@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}. Each query is forced end-to-end with
+the noop sink (full computation, no driver materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+HEADLINE = [
+    "groupby_summaries",
+    "join_3way_agg",
+    "outer_join_left",
+    "window_topk_per_group",
+    "orderby_head",
+    "unique",
+    "compute_field",
+    "events_tumbling",
+    "stats",
+    "pivot_counts",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from littletable_spark import get_spark
+
+    spark = get_spark(cpus=CPUS)
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries] + [
+        n for n in queries if n not in HEADLINE and n.startswith(("dedup", "sim", "text", "search"))
+    ]
+
+    # warmup: JIT + parquet footer caches
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Presentation and export sinks.
+
+Capability parity: ``csv_export``/``tsv_export`` (littletable.py:3117-3202),
+``json_export`` (littletable.py:3314-3413), ``as_dataframe``
+(littletable.py:3461-3492), ``present`` (littletable.py:4038-4069),
+``as_html`` (littletable.py:4071-4157), ``as_markdown`` with alignment
+inference (littletable.py:4159-4271), ``formatted_table``
+(littletable.py:2317-2343).
+
+Presentation is inherently a driver-side operation on collected rows (the
+reference renders the whole table too). For dataset-scale exports the
+``*_export`` functions accept ``distributed=True`` to write through
+``df.write`` instead of collecting.
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import numbers
+import os
+from typing import Any, Iterable
+
+from pyspark.sql import functions as F
+
+
+def _collected(table, fieldnames=None) -> tuple[list[str], list[list[Any]]]:
+    t = table.select(fieldnames) if fieldnames is not None else table
+    cols = t.fields
+    rows = [[r[c] for c in cols] for r in t._ordered_df().select(*cols).collect()]
+    return cols, rows
+
+
+def csv_export(
+    table,
+    dest: Any = None,
+    fieldnames: Any = None,
+    sep: str = ",",
+    distributed: bool = False,
+    **kwargs: Any,
+) -> str | None:
+    """CSV to path/file-like/str-return; ``distributed=True`` uses
+    ``df.write.csv`` for dataset-scale output."""
+    if distributed:
+        t = table.select(fieldnames) if fieldnames is not None else table
+        t.df.write.mode("overwrite").option("header", True).option("sep", sep).csv(
+            str(dest)
+        )
+        return None
+    import csv as _csv
+
+    cols, rows = _collected(table, fieldnames)
+    own = False
+    if dest is None:
+        out = io.StringIO()
+    elif isinstance(dest, (str, os.PathLike)):
+        out = open(dest, "w", newline="")
+        own = True
+    else:
+        out = dest
+    try:
+        w = _csv.writer(out, delimiter=sep, lineterminator="\n")
+        w.writerow(cols)
+        for r in rows:
+            w.writerow(["" if v is None else v for v in r])
+        if isinstance(out, io.StringIO):
+            return out.getvalue()
+        return None
+    finally:
+        if own:
+            out.close()
+
+
+def _json_default(o: Any) -> Any:
+    if isinstance(o, (datetime.datetime, datetime.date)):
+        return o.isoformat()
+    if isinstance(o, datetime.timedelta):
+        return o.total_seconds()
+    return str(o)
+
+
+def json_export(
+    table,
+    dest: Any = None,
+    fieldnames: Any = None,
+    streaming: bool = False,
+    distributed: bool = False,
+    **kwargs: Any,
+) -> str | None:
+    """JSON array, or JSONL when ``streaming=True`` (reference kwarg,
+    littletable.py:3319)."""
+    if distributed:
+        t = table.select(fieldnames) if fieldnames is not None else table
+        t.df.write.mode("overwrite").json(str(dest))
+        return None
+    cols, rows = _collected(table, fieldnames)
+    dicts = [dict(zip(cols, r)) for r in rows]
+    if streaming:
+        text = "\n".join(json.dumps(d, default=_json_default) for d in dicts)
+    else:
+        text = json.dumps(dicts, indent=2, default=_json_default)
+    if dest is None:
+        return text
+    if isinstance(dest, (str, os.PathLike)):
+        with open(dest, "w") as f:
+            f.write(text)
+        return None
+    dest.write(text)
+    return None
+
+
+def _is_numeric(v: Any) -> bool:
+    return isinstance(v, numbers.Number) and not isinstance(v, bool)
+
+
+def _fmt_cell(v: Any) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, (list, tuple, dict)):
+        return json.dumps(v, default=_json_default)
+    return str(v)
+
+
+def as_markdown(table, fields: Any = None, groupby: Any = None) -> str:
+    """Markdown table with alignment inference: numeric columns
+    right-aligned (reference rule, littletable.py:4196-4233); ``groupby``
+    suppresses repeated leading values."""
+    cols, rows = _collected(table, fields)
+    aligns = []
+    for i in range(len(cols)):
+        vals = [r[i] for r in rows if r[i] is not None]
+        aligns.append("right" if vals and all(_is_numeric(v) for v in vals) else "left")
+    group_cols = []
+    if groupby:
+        group_cols = groupby.split() if isinstance(groupby, str) else list(groupby)
+    out = ["| " + " | ".join(cols) + " |"]
+    sep_cells = []
+    for a in aligns:
+        sep_cells.append("---:" if a == "right" else "---")
+    out.append("| " + " | ".join(sep_cells) + " |")
+    prev: dict[int, Any] = {}
+    for r in rows:
+        cells = []
+        for i, v in enumerate(r):
+            if cols[i] in group_cols and prev.get(i) == v:
+                cells.append("")
+            else:
+                cells.append(_fmt_cell(v))
+            prev[i] = v
+        out.append("| " + " | ".join(cells) + " |")
+    return "\n".join(out) + "\n"
+
+
+def as_html(table, fields: Any = None, formats: dict | None = None, **kwargs: Any) -> str:
+    """HTML table; per-field format strings supported (littletable.py:4071-4157)."""
+    cols, rows = _collected(table, fields)
+    formats = formats or {}
+    aligns = []
+    for i in range(len(cols)):
+        vals = [r[i] for r in rows if r[i] is not None]
+        aligns.append("right" if vals and all(_is_numeric(v) for v in vals) else "left")
+    parts = ["<table>", "<thead>", "<tr>"]
+    for c, a in zip(cols, aligns):
+        parts.append(f'<th style="text-align: {a}">{c}</th>')
+    parts += ["</tr>", "</thead>", "<tbody>"]
+    for r in rows:
+        parts.append("<tr>")
+        for i, v in enumerate(r):
+            fmt = formats.get(cols[i])
+            if fmt is not None and v is not None:
+                text = fmt.format(v) if isinstance(fmt, str) else fmt(v)
+            else:
+                text = _fmt_cell(v)
+            parts.append(f'<td style="text-align: {aligns[i]}">{text}</td>')
+        parts.append("</tr>")
+    parts += ["</tbody>", "</table>"]
+    return "".join(parts)
+
+
+def present(table, fields: Any = None, limit: int | None = None, **kwargs: Any) -> None:
+    """Console rendering; uses rich when available (the reference's
+    presentation backend), plain aligned text otherwise."""
+    cols, rows = _collected(table, fields)
+    if limit is not None:
+        rows = rows[:limit]
+    try:
+        from rich.console import Console
+        from rich.table import Table as RichTable
+
+        rt = RichTable(title=table.table_name or None)
+        numeric = []
+        for i in range(len(cols)):
+            vals = [r[i] for r in rows if r[i] is not None]
+            numeric.append(bool(vals) and all(_is_numeric(v) for v in vals))
+        for c, num in zip(cols, numeric):
+            rt.add_column(c, justify="right" if num else "left")
+        for r in rows:
+            rt.add_row(*[_fmt_cell(v) for v in r])
+        Console().print(rt)
+        return
+    except ImportError:
+        pass
+    widths = [
+        max(len(c), *(len(_fmt_cell(r[i])) for r in rows)) if rows else len(c)
+        for i, c in enumerate(cols)
+    ]
+    print("  ".join(c.ljust(w) for c, w in zip(cols, widths)))
+    print("  ".join("-" * w for w in widths))
+    for r in rows:
+        print("  ".join(_fmt_cell(v).ljust(w) for v, w in zip(r, widths)))
+
+
+def formatted_table(table, fields: Iterable[str], field_formats: dict[str, str]):
+    """Table of stringified columns (littletable.py:2317-2343)."""
+    from .table import Table
+
+    sel = list(fields) if fields else table.fields
+    t = table
+    cols = []
+    for c in sel:
+        fmt = field_formats.get(c)
+        if fmt:
+            cols.append(F.format_string(fmt.replace("{}", "%s").replace("{:", "%").replace("}", ""), F.col(c)).alias(c) if "%" in fmt else F.col(c).cast("string").alias(c))
+        else:
+            cols.append(F.col(c).cast("string").alias(c))
+    out = t._require_df().select(*cols, F.col("__epoch__"), F.col("__row_ord__"))
+    return t._derive(out)

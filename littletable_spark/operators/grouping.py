@@ -1,0 +1,214 @@
+"""Grouping and pivot operators.
+
+Capability parity: ``groupby_with_summaries`` (littletable.py:3546-3580),
+``groupby`` with itertools-consecutive-run semantics (littletable.py:3582-3614),
+and the pivot tree (littletable.py:2724-2742, 4295-4599).
+
+Spark-first: hash aggregation is one ``groupBy().agg()`` — partial
+(map-side) aggregation and AQE partition coalescing are automatic.
+Arbitrary Python summary callables degrade to ``collect_list`` + UDF
+(the documented slow path); pass native ``pyspark.sql.functions``
+aggregate Columns to stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..table import EPOCH, Table
+from ..plans.ordering import ROW_ORD
+
+
+def _keys(keyexpr: Any) -> list[str]:
+    if isinstance(keyexpr, str):
+        return keyexpr.replace(",", " ").split()
+    return list(keyexpr)
+
+
+def groupby_with_summaries(
+    table: Table, keyexpr: Any, outexprs: dict[str, Any]
+) -> Table:
+    keys = _keys(keyexpr)
+    fields = table.fields
+    aggs: list[Column] = []
+    needs_rows = any(
+        callable(e) and not isinstance(e, Column) for e in outexprs.values()
+    )
+    rows_col = F.collect_list(F.struct(*[F.col(c) for c in fields])).alias("__rows__")
+    for name, expr in outexprs.items():
+        if isinstance(expr, Column):
+            aggs.append(expr.alias(name))
+        elif isinstance(expr, str):
+            aggs.append(F.expr(expr).alias(name))
+        elif callable(expr):
+            continue  # second pass over __rows__
+        else:
+            raise TypeError(f"unsupported summary expression for {name!r}")
+    if needs_rows:
+        aggs.append(rows_col)
+    grouped = table.df.groupBy(*keys).agg(*aggs)
+    for name, expr in outexprs.items():
+        if callable(expr) and not isinstance(expr, Column):
+
+            def call(rows: Any, _fn=expr) -> Any:
+                return _fn([SimpleNamespace(**r.asDict()) for r in rows])
+
+            grouped = grouped.withColumn(name, F.udf(call)(F.col("__rows__")))
+    if needs_rows:
+        grouped = grouped.drop("__rows__")
+    t = Table.from_df(grouped, name=f"{table.table_name}_summary")
+    for k in keys:
+        t._indexes[k] = table._indexes.get(k) or t._indexes.get(k) or _mk_idx(k)
+    return t
+
+
+def _mk_idx(attr: str):
+    from ..table import _IndexInfo
+
+    return _IndexInfo(attr, unique=False, accept_none=True)
+
+
+def groupby_iter(
+    table: Table, keyexpr: Any, sort: bool = False
+) -> Iterator[tuple[Any, Table]]:
+    """``itertools.groupby`` semantics: consecutive runs in table order
+    unless ``sort=True`` (littletable.py:3582-3614).
+
+    Yields ``(key, subtable)``. This is a driver-side presentation
+    iterator; the scalable aggregation path is ``groupby_with_summaries``.
+    """
+    keys = _keys(keyexpr)
+    df = table._require_df()
+    if sort:
+        distinct = [
+            tuple(r[k] for k in keys)
+            for r in df.select(*keys).distinct().orderBy(*keys).collect()
+        ]
+        for keyvals in distinct:
+            sub = table.where(**dict(zip(keys, keyvals)))
+            yield (keyvals[0] if len(keys) == 1 else keyvals), sub
+        return
+    # consecutive-run ids via a global-order window; acceptable because the
+    # result is consumed as a driver-side iterator anyway
+    w = Window.orderBy(*table._sort_cols())
+    key_struct = F.struct(*[F.col(k) for k in keys])
+    change = F.when(
+        key_struct.eqNullSafe(F.lag(key_struct).over(w)), F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = df.withColumn("__run__", F.sum(change).over(w))
+    run_keys = (
+        runs.select("__run__", *keys).distinct().orderBy("__run__").collect()
+    )
+    for r in run_keys:
+        sub_df = runs.filter(F.col("__run__") == r["__run__"]).drop("__run__")
+        sub = table._derive(sub_df, keep_sort=True)
+        keyvals = tuple(r[k] for k in keys)
+        yield (keyvals[0] if len(keys) == 1 else keyvals), sub
+
+
+_AGG_MAP: dict[Any, Callable[[str], Column]] = {
+    len: lambda c: F.count(F.lit(1)),
+    sum: lambda c: F.sum(c),
+    min: lambda c: F.min(c),
+    max: lambda c: F.max(c),
+}
+
+
+class PivotTable:
+    """n-level pivot tree (1-3 attrs), Spark-backed.
+
+    The reference materializes a tree of subtables
+    (littletable.py:4295-4520); here child nodes are lazily filtered
+    DataFrames and the summary forms are single ``groupBy``/``pivot``
+    aggregations.
+    """
+
+    def __init__(self, table: Table, attrs: list[str]) -> None:
+        if not 1 <= len(attrs) <= 3:
+            raise ValueError("pivot supports 1-3 attributes")
+        self.table = table
+        self.attrs = attrs
+
+    def values_for(self, attr: str) -> list[Any]:
+        rows = self.table.df.select(attr).distinct().orderBy(attr).collect()
+        return [r[attr] for r in rows]
+
+    def __getitem__(self, keyval: Any) -> Any:
+        """Descend one level: subtable(s) where attrs[0] == keyval."""
+        sub = self.table.where(**{self.attrs[0]: keyval})
+        if len(self.attrs) == 1:
+            return sub
+        return PivotTable(sub, self.attrs[1:])
+
+    def subtables(self) -> Iterator[tuple[tuple, Table]]:
+        combos = (
+            self.table.df.select(*self.attrs).distinct().orderBy(*self.attrs).collect()
+        )
+        for r in combos:
+            keyvals = tuple(r[a] for a in self.attrs)
+            yield keyvals, self.table.where(**dict(zip(self.attrs, keyvals)))
+
+    def as_table(self, fn: Any = None, col: str | None = None) -> Table:
+        """Flat summary: one row per key combo (littletable.py:4456-4506)."""
+        if fn is None or fn is len:
+            agg = F.count(F.lit(1))
+            out_name = "count"
+        elif fn in _AGG_MAP and col is not None:
+            agg = _AGG_MAP[fn](col)
+            out_name = f"{fn.__name__}_{col}"
+        elif isinstance(fn, Column):
+            agg = fn
+            out_name = col or "value"
+        else:
+            raise TypeError("fn must be len/sum/min/max or a Column aggregate")
+        out = self.table.df.groupBy(*self.attrs).agg(agg.alias(out_name)).orderBy(*self.attrs)
+        return Table.from_df(out, name=f"{self.table.table_name}_pivot")
+
+    summary_counts = as_table
+
+    def dump_counts(self, count_fn: Any = None, stream: Any = None) -> str:
+        """Cross-tab with row/col/grand totals (littletable.py:4395-4454)."""
+        import io
+        import sys
+
+        out = io.StringIO()
+        if len(self.attrs) == 1:
+            counts = self.as_table(count_fn).df.collect()
+            total = 0
+            out.write(f"Pivot: {self.attrs[0]}\n")
+            for r in counts:
+                out.write(f"{r[0]!s:<20} {r[-1]}\n")
+                total += r[-1]
+            out.write(f"{'Total':<20} {total}\n")
+        else:
+            a, b = self.attrs[0], self.attrs[1]
+            bvals = self.values_for(b)
+            pivoted = (
+                self.table.df.groupBy(a)
+                .pivot(b, bvals)
+                .count()
+                .na.fill(0)
+                .orderBy(a)
+                .collect()
+            )
+            header = [str(a)] + [str(v) for v in bvals] + ["Total"]
+            out.write(" ".join(f"{h:>12}" for h in header) + "\n")
+            col_tot = [0] * len(bvals)
+            for r in pivoted:
+                vals = [r[str(v)] if str(v) in r.asDict() else r[v] for v in bvals]
+                for i, v in enumerate(vals):
+                    col_tot[i] += v
+                cells = [str(r[a])] + [str(v) for v in vals] + [str(sum(vals))]
+                out.write(" ".join(f"{c:>12}" for c in cells) + "\n")
+            cells = ["Total"] + [str(v) for v in col_tot] + [str(sum(col_tot))]
+            out.write(" ".join(f"{c:>12}" for c in cells) + "\n")
+        text = out.getvalue()
+        (stream or sys.stdout).write(text)
+        return text
+
+    def summarize(self, fn: Any = None, col: str | None = None) -> Table:
+        return self.as_table(fn, col)

@@ -1,0 +1,177 @@
+"""Join operators.
+
+Capability parity: ``Table.join`` (inner multi-key equi-join,
+littletable.py:2353-2507), ``outer_join`` (left/right/full,
+littletable.py:2509-2709), and the ``join_on`` + ``+`` DSL
+(littletable.py:2711-2722, 4602-4683).
+
+Spark-first: one ``DataFrame.join`` per step — Catalyst/AQE picks
+broadcast vs shuffled-hash vs sort-merge and reorders multi-joins. The
+reference's hand-rolled hash-bucket product loop has no analog here.
+Scale notes:
+- small dimension sides are left to AQE's dynamic broadcast detection;
+  callers can force via ``broadcast=True``;
+- the reference's "fill join keys on the synthesized side"
+  (littletable.py:2668-2678) maps to ``coalesce(l.key, r.key)`` in the
+  output projection — identical observable semantics to SQL outer joins.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..plans.ordering import ROW_ORD
+from ..table import EPOCH, Table
+
+_RPREFIX = "__r__"
+
+
+def _parse_attrlist(attrlist: Any) -> list[Any] | None:
+    if attrlist is None:
+        return None
+    if isinstance(attrlist, str):
+        return attrlist.replace(",", " ").split()
+    return list(attrlist)
+
+
+def join_tables(
+    left: Table,
+    right: Table,
+    how: str,
+    attrlist: Any,
+    key_map: dict[str, str],
+    broadcast: bool = False,
+) -> Table:
+    how = {
+        "inner": "inner",
+        "left": "left",
+        "left_outer": "left",
+        "right": "right",
+        "right_outer": "right",
+        "full": "full",
+        "full_outer": "full",
+        "outer": "full",
+    }[how]
+    ldf = left._require_df()
+    rdf = right._require_df()
+    if not key_map:
+        common = [c for c in left.fields if c in right.fields]
+        if not common:
+            raise ValueError("no join keys given and no common columns found")
+        key_map = {c: c for c in common}
+
+    # disambiguate by renaming every right column
+    rdf2 = rdf.select(*[F.col(c).alias(_RPREFIX + c) for c in rdf.columns])
+    if broadcast:
+        rdf2 = F.broadcast(rdf2)
+    cond = None
+    for lk, rk in key_map.items():
+        c = ldf[lk] == rdf2[_RPREFIX + rk]
+        cond = c if cond is None else cond & c
+    joined = ldf.join(rdf2, on=cond, how=how)
+
+    right_keys = set(key_map.values())
+    # default projection: left fields, then right fields minus join keys
+    # minus name collisions (reference collision-drop, littletable.py:2481-2486)
+    out_cols = []
+    spec = _parse_attrlist(attrlist)
+    if spec is None:
+        for f in left.fields:
+            if f in key_map and how in ("right", "full"):
+                out_cols.append(
+                    F.coalesce(ldf[f], rdf2[_RPREFIX + key_map[f]]).alias(f)
+                )
+            else:
+                out_cols.append(ldf[f].alias(f))
+        for f in right.fields:
+            if f in right_keys or f in left.fields:
+                continue
+            out_cols.append(rdf2[_RPREFIX + f].alias(f))
+    else:
+        for item in spec:
+            if isinstance(item, tuple):
+                tbl, attr, *alias = item
+                out_name = alias[0] if alias else attr
+                if tbl is left:
+                    out_cols.append(ldf[attr].alias(out_name))
+                else:
+                    out_cols.append(rdf2[_RPREFIX + attr].alias(out_name))
+            else:
+                if item in left.fields:
+                    if item in key_map and how in ("right", "full"):
+                        out_cols.append(
+                            F.coalesce(ldf[item], rdf2[_RPREFIX + key_map[item]]).alias(item)
+                        )
+                    else:
+                        out_cols.append(ldf[item].alias(item))
+                elif item in right.fields:
+                    out_cols.append(rdf2[_RPREFIX + item].alias(item))
+                else:
+                    raise ValueError(f"join output attr {item!r} not found")
+
+    # result order: left order, unmatched-right rows after (big epoch offset)
+    out_cols.append(
+        F.coalesce(ldf[EPOCH], rdf2[_RPREFIX + EPOCH] + F.lit(1_000_000)).alias(EPOCH)
+    )
+    out_cols.append(F.coalesce(ldf[ROW_ORD], rdf2[_RPREFIX + ROW_ORD]).alias(ROW_ORD))
+    out = joined.select(*out_cols)
+    name = f"{left.table_name}:{right.table_name}"
+    t = left._derive(out, name=name, keep_sort=False)
+    t._clear_sort()
+    return t
+
+
+class JoinTerm:
+    """Composable join expression: ``a.join_on("x") + b.join_on("y")``.
+
+    Mirrors littletable.py:2711-2722 / 4602-4683: ``+`` chains terms
+    left-associatively; calling the chain executes the joins.
+    """
+
+    def __init__(self, table: Table, attr: str, join_type: str = "inner") -> None:
+        self.table = table
+        self.attr = attr
+        self.join_type = join_type
+
+    def __add__(self, other: Any) -> "JoinChain":
+        if isinstance(other, JoinTerm):
+            return JoinChain([self, other])
+        if isinstance(other, Table):
+            # bare table adopts the left term's join attribute
+            return JoinChain([self, JoinTerm(other, self.attr)])
+        return NotImplemented
+
+
+class JoinChain:
+    def __init__(self, terms: list[JoinTerm]) -> None:
+        self.terms = terms
+
+    def __add__(self, other: Any) -> "JoinChain":
+        if isinstance(other, JoinTerm):
+            return JoinChain(self.terms + [other])
+        if isinstance(other, Table):
+            return JoinChain(self.terms + [JoinTerm(other, self.terms[-1].attr)])
+        return NotImplemented
+
+    def __call__(self, attrlist: Any = None) -> Table:
+        acc = self.terms[0].table
+        for i, term in enumerate(self.terms[1:]):
+            # first hop joins left term's attr to right term's attr; later
+            # hops join on the new term's attr, which the accumulated result
+            # must expose (reference fold semantics, littletable.py:4638-4668)
+            if i == 0:
+                left_key = self.terms[0].attr
+            elif term.attr in acc.fields:
+                left_key = term.attr
+            else:
+                raise ValueError(
+                    f"join chain attr {term.attr!r} not present in accumulated result"
+                )
+            acc = join_tables(
+                acc, term.table, term.join_type, None, {left_key: term.attr}
+            )
+        if attrlist is not None:
+            return acc.select(attrlist)
+        return acc

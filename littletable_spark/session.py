@@ -1,0 +1,41 @@
+"""SparkSession helper tuned for this engine.
+
+Local testing runs on ``local[N]``; the configuration below is chosen so
+the same code scales to a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast).
+- shuffle partitions sized to cores locally; on a real cluster this is
+  overridden by AQE's coalescing from an initial high partition count.
+- Arrow enabled so pandas-UDF paths and ``toPandas`` are vectorized.
+- UTC session timezone so timestamp semantics are stable and match
+  columnar engines (parquet instants, DuckDB naive-UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "littletable_spark", cpus: int | None = None) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,1 @@
+from .events import load_events, tumbling_window, sliding_window, sessionize

@@ -1,0 +1,169 @@
+"""Event-time operators: tumbling/sliding/session windows.
+
+Net-new capability over the reference (SURVEY.md §2.9: littletable has no
+streaming). Batch forms work on any DataFrame with an epoch-seconds
+column and are SQL-expressible (oracle-checkable); the streaming forms
+are the same logical plans behind ``readStream`` + watermark.
+
+Time is carried as epoch seconds (long). That keeps window arithmetic
+integer-exact, timezone-free, and identical across engines — at 100 TB
+the window assignment is a pure projection (no shuffle) and the
+aggregation shuffles once on (bucket, keys).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..table import Table
+
+TS_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load_events(spark: SparkSession, path: str, name: str = "events") -> Table:
+    """Read the driver's events parquet (nanosecond timestamps).
+
+    Spark cannot read TIMESTAMP(NANOS) parquet natively; with
+    ``nanosAsLong`` the column arrives as int64 nanoseconds, from which we
+    derive ``ts_sec`` (epoch seconds, exact integer arithmetic) and a
+    microsecond-truncated ``ts`` timestamp for window functions.
+    """
+    prev = spark.conf.get(TS_NANOS_CONF, None)
+    spark.conf.set(TS_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set(TS_NANOS_CONF, prev)
+    df = (
+        df.withColumn("ts_sec", F.expr("ts div 1000000000"))
+        .withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    )
+    return Table(name=name, df=df, spark=spark)
+
+
+def tumbling_window(
+    table: Table,
+    size_sec: int,
+    keys: Iterable[str] = (),
+    ts_col: str = "ts_sec",
+    **aggs: Column,
+) -> Table:
+    """Fixed windows: one row per (window_start, keys)."""
+    df = table.df
+    bucket = (F.col(ts_col) - (F.col(ts_col) % F.lit(size_sec))).alias("window_start")
+    grouped = df.groupBy(bucket, *keys).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return Table.from_df(grouped, name=f"{table.table_name}_tumbling")
+
+
+def sliding_window(
+    table: Table,
+    size_sec: int,
+    slide_sec: int,
+    keys: Iterable[str] = (),
+    ts_col: str = "ts_sec",
+    **aggs: Column,
+) -> Table:
+    """Overlapping windows: each event lands in size/slide windows.
+
+    Expressed as an explode over the window starts covering the event —
+    a narrow projection (no UDF) followed by one aggregation.
+    """
+    if size_sec % slide_sec != 0:
+        raise ValueError("size must be a multiple of slide")
+    n = size_sec // slide_sec
+    df = table.df
+    first_start = (
+        F.col(ts_col) - (F.col(ts_col) % F.lit(slide_sec)) - F.lit(size_sec - slide_sec)
+    )
+    starts = F.sequence(
+        first_start, first_start + F.lit((n - 1) * slide_sec), F.lit(slide_sec)
+    )
+    exploded = df.withColumn("window_start", F.explode(starts)).filter(
+        F.col("window_start") >= 0
+    )
+    grouped = exploded.groupBy("window_start", *keys).agg(
+        *[c.alias(nm) for nm, c in aggs.items()]
+    )
+    return Table.from_df(grouped, name=f"{table.table_name}_sliding")
+
+
+def sessionize(
+    table: Table,
+    gap_sec: int,
+    key: str,
+    ts_col: str = "ts_sec",
+    **aggs: Column,
+) -> Table:
+    """Session windows: per-key runs split where the gap exceeds ``gap_sec``.
+
+    Window-function formulation (lag + cumulative sum of gap breaks) —
+    shuffles once on the session key; no global window.
+    """
+    from pyspark.sql import Window
+
+    df = table.df
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap_break = F.when(
+        F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap_sec), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_session = df.withColumn("__brk__", gap_break).withColumn(
+        "session_id", F.sum("__brk__").over(w)
+    )
+    grouped = (
+        with_session.groupBy(key, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            *[c.alias(nm) for nm, c in aggs.items()],
+        )
+    )
+    return Table.from_df(grouped, name=f"{table.table_name}_sessions")
+
+
+def streaming_tumbling_demo(
+    spark: SparkSession,
+    path: str,
+    size_sec: int = 3600,
+    keys: Iterable[str] = ("event_type",),
+):
+    """True Structured Streaming variant: readStream → window agg → memory sink.
+
+    Returns the in-memory result DataFrame after draining all available
+    input (used by tests; production would aim at a kafka/delta sink).
+    """
+    prev = spark.conf.get(TS_NANOS_CONF, None)
+    spark.conf.set(TS_NANOS_CONF, "true")
+    try:
+        static = spark.read.parquet(path)
+        schema = static.schema
+        stream = spark.readStream.schema(schema).parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set(TS_NANOS_CONF, prev)
+    events = stream.withColumn(
+        "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+    )
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{size_sec} seconds"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    import uuid
+
+    qname = f"lt_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname}")

@@ -1,0 +1,1079 @@
+"""Core Table: a mutable handle over an immutable Spark DataFrame.
+
+Capability parity with the reference's ``Table`` (littletable.py:1095+):
+an *ordered* bag of records with ORM-flavored query methods, hash-index
+semantics, and full-text search — re-expressed Spark-first:
+
+- every relational op is a native DataFrame transformation (Catalyst
+  optimizes: pushdown, pruning, join selection, AQE);
+- order is an explicit ``__row_ord__``/``__epoch__`` column pair, never
+  partition order (see ``plans/ordering.py`` for the scale design);
+- "mutation" re-points the handle at a new DataFrame and bumps a version
+  stamp, which is what invalidates search indexes (the reference's
+  ``_contents_changed``, littletable.py:2078-2086);
+- Python callables are accepted everywhere the reference accepts them
+  (where/select/compute_field/transforms) but degrade to UDFs — the
+  documented slow path; comparator objects and string expressions stay
+  JVM-side.
+"""
+
+from __future__ import annotations
+
+import random
+from types import SimpleNamespace
+from typing import Any, Callable, Iterable, Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as SQLT
+
+from . import comparators as cmp
+from .comparators import Comparator
+from .exceptions import (
+    NoSuchIndexError,
+    SearchIndexInconsistentError,
+    UniqueKeyViolation,
+)
+from .functions.rows import to_row_dict
+from .plans.ordering import ROW_ORD, dense_index, ensure_row_ord
+
+EPOCH = "__epoch__"
+INTERNAL = (ROW_ORD, EPOCH)
+
+
+class _IndexInfo:
+    __slots__ = ("attr", "unique", "accept_none")
+
+    def __init__(self, attr: str, unique: bool, accept_none: bool) -> None:
+        self.attr = attr
+        self.unique = unique
+        self.accept_none = accept_none
+
+
+class _IndexAccessor:
+    """``table.by.attr`` — keyed access (littletable.py:533-597, 684-743)."""
+
+    def __init__(self, table: "Table", attr: str) -> None:
+        self._table = table
+        self._attr = attr
+        self._info = table._indexes[attr]
+
+    def __getitem__(self, key: Any) -> Any:
+        t = self._table
+        if isinstance(key, slice):
+            if key.step is not None:
+                raise ValueError("stepped slices not supported on index access")
+            comp: Comparator | None = None
+            if key.start is not None and key.stop is not None:
+                comp = cmp.in_range(key.start, key.stop)
+            elif key.start is not None:
+                comp = cmp.ge(key.start)
+            elif key.stop is not None:
+                comp = cmp.lt(key.stop)
+            return t.where(**{self._attr: comp}) if comp else t.clone()
+        result = t.where(**{self._attr: key})
+        if self._info.unique:
+            rows = result._ordered_df().limit(1).collect()
+            if not rows:
+                raise KeyError(key)
+            return _row_to_ns(rows[0])
+        return result
+
+    def __contains__(self, key: Any) -> bool:
+        return not self._table.where(**{self._attr: key}).is_empty()
+
+    def get(self, key: Any, default: Any = None) -> Any:
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def keys(self) -> list:
+        col = self._attr
+        rows = self._table._df.select(col).distinct().orderBy(col).collect()
+        return [r[col] for r in rows]
+
+
+class _ByAccessor:
+    def __init__(self, table: "Table") -> None:
+        self._table = table
+
+    def __getattr__(self, attr: str) -> _IndexAccessor:
+        if attr.startswith("_"):
+            raise AttributeError(attr)
+        if attr not in self._table._indexes:
+            raise NoSuchIndexError(f"no index on attribute {attr!r}")
+        return _IndexAccessor(self._table, attr)
+
+
+class _FieldValues:
+    """``table.all.attr`` — ordered column-value iterator (littletable.py:605-634)."""
+
+    def __init__(self, table: "Table", attr: str) -> None:
+        self._table = table
+        self._attr = attr
+
+    def __iter__(self) -> Iterator[Any]:
+        for row in self._table._ordered_df().select(self._attr).toLocalIterator():
+            yield row[self._attr]
+
+    @property
+    def unique(self) -> Iterator[Any]:
+        seen: set = set()
+        for v in self:
+            if v not in seen:
+                seen.add(v)
+                yield v
+
+
+class _AllAccessor:
+    def __init__(self, table: "Table") -> None:
+        self._table = table
+
+    def __getattr__(self, attr: str) -> _FieldValues:
+        if attr.startswith("_"):
+            raise AttributeError(attr)
+        return _FieldValues(self._table, attr)
+
+
+def _row_to_ns(row) -> SimpleNamespace:
+    d = row.asDict(recursive=True)
+    for c in INTERNAL:
+        d.pop(c, None)
+    return SimpleNamespace(**d)
+
+
+class Table:
+    """Spark-native re-expression of the reference Table."""
+
+    # join-type constants (littletable.py outer_join API)
+    INNER_JOIN = "inner"
+    LEFT_OUTER_JOIN = "left"
+    RIGHT_OUTER_JOIN = "right"
+    FULL_OUTER_JOIN = "full"
+
+    # ------------------------------------------------------------------ #
+    # construction
+
+    def __init__(
+        self,
+        name: str = "",
+        df: DataFrame | None = None,
+        spark: SparkSession | None = None,
+    ) -> None:
+        self.table_name = name
+        self._spark = spark or (df.sparkSession if df is not None else None)
+        self._df: DataFrame | None = None
+        if df is not None:
+            self._df = self._with_internal(df)
+        self._sort: list[tuple[str, bool]] = []  # (expr, ascending)
+        self._sort_udf_cols: list[Column] | None = None
+        self._indexes: dict[str, _IndexInfo] = {}
+        self._search_indexes: dict[str, Any] = {}
+        self._version = 0
+        self._len_cache: int | None = None
+        self._next_epoch = 1
+        self.import_source = None
+        self.import_source_type = None
+
+    @staticmethod
+    def _with_internal(df: DataFrame) -> DataFrame:
+        if EPOCH not in df.columns:
+            df = df.withColumn(EPOCH, F.lit(0).cast("long"))
+        return ensure_row_ord(df)
+
+    @classmethod
+    def from_df(cls, df: DataFrame, name: str = "") -> "Table":
+        return cls(name=name, df=df)
+
+    @classmethod
+    def parquet_import(
+        cls, spark: SparkSession, path: str, name: str = ""
+    ) -> "Table":
+        return cls(name=name or path, df=spark.read.parquet(path), spark=spark)
+
+    # ------------------------------------------------------------------ #
+    # internals
+
+    def _require_df(self) -> DataFrame:
+        if self._df is None:
+            raise ValueError("table is empty and has no schema yet")
+        return self._df
+
+    @property
+    def fields(self) -> list[str]:
+        if self._df is None:
+            return list(self._indexes)
+        return [c for c in self._df.columns if c not in INTERNAL]
+
+    @property
+    def df(self) -> DataFrame:
+        """User-facing DataFrame view (internal order columns stripped)."""
+        return self._require_df().select(*self.fields)
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self._spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        return self._spark
+
+    def _sort_cols(self) -> list[Column]:
+        cols: list[Column] = []
+        for expr, asc in self._sort:
+            c = F.expr(expr)
+            cols.append(c.asc() if asc else c.desc())
+        cols.append(F.col(EPOCH).asc())
+        cols.append(F.col(ROW_ORD).asc())
+        return cols
+
+    def _ordered_df(self) -> DataFrame:
+        return self._require_df().orderBy(*self._sort_cols())
+
+    def _mutate(self, df: DataFrame) -> None:
+        self._df = df
+        self._version += 1
+        self._len_cache = None
+
+    def _derive(self, df: DataFrame, name: str = "", keep_sort: bool = True) -> "Table":
+        t = Table(name=name or self.table_name, spark=self._spark)
+        t._df = df
+        if keep_sort:
+            t._sort = list(self._sort)
+        t._next_epoch = self._next_epoch
+        return t
+
+    # ------------------------------------------------------------------ #
+    # list-like surface (littletable.py:1377-1443)
+
+    def __len__(self) -> int:
+        if self._df is None:
+            return 0
+        if self._len_cache is None:
+            self._len_cache = self._df.count()
+        return self._len_cache
+
+    def __bool__(self) -> bool:
+        return not self.is_empty()
+
+    def is_empty(self) -> bool:
+        if self._df is None:
+            return True
+        if self._len_cache is not None:
+            return self._len_cache == 0
+        return self._df.limit(1).count() == 0
+
+    def __iter__(self) -> Iterator[SimpleNamespace]:
+        if self._df is None:
+            return iter(())
+        return (
+            _row_to_ns(r) for r in self._ordered_df().toLocalIterator()
+        )
+
+    def __reversed__(self) -> Iterator[SimpleNamespace]:
+        rev = [
+            (expr, not asc) for expr, asc in self._sort
+        ] or []
+        df = self._require_df().orderBy(
+            *(
+                [F.expr(e).asc() if a else F.expr(e).desc() for e, a in rev]
+                + [F.col(EPOCH).desc(), F.col(ROW_ORD).desc()]
+            )
+        )
+        return (_row_to_ns(r) for r in df.toLocalIterator())
+
+    def __contains__(self, obj: Any) -> bool:
+        try:
+            d = to_row_dict(obj)
+        except TypeError:
+            return False
+        preds = {k: v for k, v in d.items() if k in self.fields}
+        if set(d) - set(self.fields):
+            return False
+        return not self.where(**preds).is_empty()
+
+    def count(self, obj: Any) -> int:
+        d = to_row_dict(obj)
+        if set(d) - set(self.fields):
+            return 0
+        return len(self.where(**d))
+
+    def index(self, obj: Any) -> int:
+        d = to_row_dict(obj)
+        dense = dense_index(self._require_df(), self._sort_cols(), out_col="__pos__")
+        pred = self._compile_kwargs(d)
+        rows = dense.filter(pred).select(F.min("__pos__").alias("p")).collect()
+        if rows and rows[0]["p"] is not None:
+            return int(rows[0]["p"])
+        raise ValueError(f"{obj!r} not in table")
+
+    def __getitem__(self, key: int | slice) -> Any:
+        n = None
+        if isinstance(key, slice):
+            start, stop, step = key.start, key.stop, key.step
+            if step not in (None, 1):
+                n = len(self)
+                start, stop, step = key.indices(n)
+                dense = dense_index(self._require_df(), self._sort_cols())
+                picked = list(range(start, stop, step))
+                out = dense.filter(F.col(ROW_ORD).isin(picked))
+                return self._derive(self._with_internal_reset(out), keep_sort=False)
+            if (start is not None and start < 0) or (stop is not None and stop < 0):
+                n = len(self)
+                start, stop, _ = key.indices(n)
+            start = start or 0
+            dense = dense_index(self._require_df(), self._sort_cols())
+            pred = F.col(ROW_ORD) >= F.lit(start)
+            if stop is not None:
+                pred = pred & (F.col(ROW_ORD) < F.lit(stop))
+            return self._derive(dense.filter(pred), keep_sort=False)._clear_sort()
+        # int
+        idx = key
+        if idx < 0:
+            idx += len(self)
+            if idx < 0:
+                raise IndexError(key)
+        rows = self._ordered_df().offset(idx).limit(1).collect()
+        if not rows:
+            raise IndexError(key)
+        return _row_to_ns(rows[0])
+
+    def _clear_sort(self) -> "Table":
+        self._sort = []
+        return self
+
+    @staticmethod
+    def _with_internal_reset(df: DataFrame) -> DataFrame:
+        df = df.drop(ROW_ORD, EPOCH)
+        return Table._with_internal(df)
+
+    def __delitem__(self, key: int) -> None:
+        self.pop(key)
+
+    def pop(self, idx: int = -1) -> SimpleNamespace:
+        row = self[idx]
+        if idx < 0:
+            idx += len(self)
+        dense = dense_index(self._require_df(), self._sort_cols())
+        self._mutate(dense.filter(F.col(ROW_ORD) != F.lit(idx)))
+        return row
+
+    # ------------------------------------------------------------------ #
+    # naming / copying
+
+    def __call__(self, name: str) -> "Table":
+        self.table_name = name
+        return self
+
+    def clone(self, name: str = "") -> "Table":
+        t = self._derive(self._require_df(), name=name or self.table_name)
+        t._indexes = dict(self._indexes)
+        return t
+
+    def copy_template(self, name: str = "") -> "Table":
+        t = Table(name=name or self.table_name, spark=self._spark)
+        if self._df is not None:
+            t._df = self._df.limit(0)
+        t._indexes = dict(self._indexes)
+        return t
+
+    # ------------------------------------------------------------------ #
+    # insert / remove (littletable.py:1944-2076)
+
+    def insert(self, obj: Any) -> "Table":
+        return self.insert_many([obj])
+
+    def insert_many(self, objs: Iterable[Any]) -> "Table":
+        dicts = [to_row_dict(o) for o in objs]
+        if not dicts:
+            return self
+        all_keys: list[str] = []
+        for d in dicts:
+            for k in d:
+                if k not in all_keys:
+                    all_keys.append(k)
+        filled = [{k: d.get(k) for k in all_keys} for d in dicts]
+        new_df = self.spark.createDataFrame(filled)  # type: ignore[arg-type]
+        # NullType columns (all-None in batch) default to string
+        for f in new_df.schema.fields:
+            if isinstance(f.dataType, SQLT.NullType):
+                new_df = new_df.withColumn(f.name, F.col(f.name).cast("string"))
+        new_df = ensure_row_ord(new_df.withColumn(EPOCH, F.lit(self._next_epoch)))
+        self._validate_unique(new_df)
+        if self._df is None:
+            combined = new_df
+        else:
+            combined = self._df.unionByName(new_df, allowMissingColumns=True)
+        self._next_epoch += 1
+        self._mutate(combined)
+        return self
+
+    def _validate_unique(self, new_df: DataFrame) -> None:
+        """Atomic unique-key validation before commit (littletable.py:1981-2009)."""
+        for info in self._indexes.values():
+            if not info.unique:
+                continue
+            if info.attr not in new_df.columns:
+                if not info.accept_none:
+                    raise UniqueKeyViolation(
+                        f"unique index {info.attr!r}: missing key in insert batch"
+                    )
+                continue
+            key = F.col(info.attr)
+            agg = new_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(key).alias("nn"),
+                F.count_distinct(key).alias("nd"),
+            ).collect()[0]
+            if agg["nn"] < agg["n"] and not info.accept_none:
+                raise UniqueKeyViolation(f"unique index {info.attr!r}: None key")
+            if agg["nd"] < agg["nn"]:
+                raise UniqueKeyViolation(
+                    f"unique index {info.attr!r}: duplicate key within batch"
+                )
+            if self._df is not None and info.attr in self._df.columns:
+                clash = (
+                    new_df.select(info.attr)
+                    .dropna()
+                    .join(self._df.select(info.attr).dropna(), on=info.attr, how="left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if clash:
+                    raise UniqueKeyViolation(
+                        f"unique index {info.attr!r}: duplicate key"
+                    )
+
+    def remove(self, obj: Any) -> "Table":
+        """Remove one matching occurrence (first in table order)."""
+        d = to_row_dict(obj)
+        dense = dense_index(self._require_df(), self._sort_cols())
+        pred = self._compile_kwargs(d)
+        target = dense.filter(pred).select(F.min(ROW_ORD).alias("m")).collect()[0]["m"]
+        if target is None:
+            return self
+        self._mutate(dense.filter(F.col(ROW_ORD) != F.lit(target)))
+        self._sort = []
+        return self
+
+    def remove_many(self, objs: Iterable[Any]) -> "Table":
+        """Remove all rows matching any of the given records (anti-join)."""
+        dicts = [to_row_dict(o) for o in objs]
+        if not dicts:
+            return self
+        keys = sorted({k for d in dicts for k in d})
+        probe = self.spark.createDataFrame([{k: d.get(k) for k in keys} for d in dicts])
+        df = self._require_df()
+        cond = [df[k].eqNullSafe(probe[k]) for k in keys if k in df.columns]
+        self._mutate(df.join(probe, on=cond, how="left_anti"))
+        return self
+
+    def clear(self) -> "Table":
+        if self._df is not None:
+            self._mutate(self._df.limit(0))
+        return self
+
+    # ------------------------------------------------------------------ #
+    # where / delete / splitby / unique (littletable.py:2100-2190, 3630-3795)
+
+    def _compile_criterion(self, attr: str, value: Any) -> Column:
+        col = F.col(attr)
+        if isinstance(value, Comparator):
+            return value.to_column(col)
+        if isinstance(value, Column):
+            return value
+        if callable(value):
+            ret = SQLT.BooleanType()
+
+            def safe(v: Any, _fn=value) -> bool | None:
+                try:
+                    return bool(_fn(v))
+                except Exception:
+                    return False
+
+            return F.udf(safe, ret)(col)
+        if value is None:
+            return col.isNull()
+        return col == F.lit(value)
+
+    def _compile_kwargs(self, kwargs: dict[str, Any]) -> Column:
+        pred: Column | None = None
+        for attr, value in kwargs.items():
+            if attr not in self._require_df().columns:
+                # missing attribute reads as None (littletable.py:2148)
+                c = (
+                    F.lit(True)
+                    if value is None
+                    else F.lit(False)
+                    if not isinstance(value, (Comparator,)) and not callable(value)
+                    else self._compile_criterion_missing(value)
+                )
+            else:
+                c = self._compile_criterion(attr, value)
+            pred = c if pred is None else (pred & c)
+        return pred if pred is not None else F.lit(True)
+
+    @staticmethod
+    def _compile_criterion_missing(value: Any) -> Column:
+        lit_null = F.lit(None).cast("string")
+        if isinstance(value, Comparator):
+            out = value.to_column(lit_null)
+            return F.coalesce(out, F.lit(False))
+        return F.lit(False)
+
+    def where(self, wherefn: Any = None, **kwargs: Any) -> "Table":
+        df = self._require_df()
+        pred = self._compile_kwargs(kwargs) if kwargs else None
+        if wherefn is not None:
+            if isinstance(wherefn, Column):
+                fnpred = wherefn
+            elif isinstance(wherefn, str):
+                fnpred = F.expr(wherefn)
+            else:
+                user_fields = self.fields
+
+                def safe_fn(*vals: Any, _fn=wherefn, _names=tuple(user_fields)):
+                    try:
+                        return bool(_fn(SimpleNamespace(**dict(zip(_names, vals)))))
+                    except Exception:
+                        return False
+
+                fnpred = F.udf(safe_fn, SQLT.BooleanType())(
+                    *[F.col(c) for c in user_fields]
+                )
+            pred = fnpred if pred is None else (pred & fnpred)
+        out = df.filter(pred) if pred is not None else df
+        return self._derive(out)
+
+    def delete(self, **kwargs: Any) -> int:
+        if not kwargs:
+            return 0
+        n_before = len(self)
+        pred = self._compile_kwargs(kwargs)
+        self._mutate(self._require_df().filter(~F.coalesce(pred, F.lit(False))))
+        return n_before - len(self)
+
+    def splitby(
+        self,
+        pred: Any = None,
+        errors: Any = None,
+        **kwargs: Any,
+    ) -> tuple["Table", ...]:
+        """One pass -> (non-matching, matching[, errors]) (littletable.py:3630-3771)."""
+        if pred is None and kwargs:
+            col_pred = self._compile_kwargs(kwargs)
+            use_errors = False
+        elif isinstance(pred, str):
+            col_pred = self._compile_kwargs({pred: cmp.is_not_null()})
+            use_errors = False
+        elif isinstance(pred, Column):
+            col_pred = pred
+            use_errors = False
+        else:
+            user_fields = self.fields
+
+            def status(*vals: Any, _fn=pred, _names=tuple(self.fields)):
+                try:
+                    return 1 if _fn(SimpleNamespace(**dict(zip(_names, vals)))) else 0
+                except Exception:
+                    return 2
+
+            scol = F.udf(status, SQLT.IntegerType())(*[F.col(c) for c in self.fields])
+            use_errors = errors is not None
+            col_pred = None  # handled below
+        df = self._require_df()
+        if col_pred is not None:
+            p = F.coalesce(col_pred, F.lit(False))
+            return (self._derive(df.filter(~p)), self._derive(df.filter(p)))
+        df_s = df.withColumn("__split__", scol)
+        false_t = self._derive(df_s.filter(F.col("__split__") == 0).drop("__split__"))
+        true_t = self._derive(df_s.filter(F.col("__split__") == 1).drop("__split__"))
+        if use_errors:
+            err_t = self._derive(df_s.filter(F.col("__split__") == 2).drop("__split__"))
+            return (false_t, true_t, err_t)
+        # errors counted as False, matching the reference default (errors='discard' drops)
+        return (false_t, true_t)
+
+    def unique(self, key: Any = None) -> "Table":
+        """Dedup keeping first occurrence in table order (littletable.py:3773-3795)."""
+        from pyspark.sql import Window
+
+        df = self._require_df()
+        if key is None:
+            part_cols = [F.col(c) for c in self.fields]
+        elif isinstance(key, str):
+            part_cols = [F.col(key)]
+        elif callable(key):
+            user_fields = self.fields
+
+            def keyfn(*vals: Any, _fn=key, _names=tuple(user_fields)):
+                try:
+                    return str(_fn(SimpleNamespace(**dict(zip(_names, vals)))))
+                except Exception:
+                    return None
+
+            df = df.withColumn(
+                "__ukey__", F.udf(keyfn, SQLT.StringType())(*[F.col(c) for c in user_fields])
+            )
+            part_cols = [F.col("__ukey__")]
+        else:
+            part_cols = [F.col(c) for c in key]
+        w = Window.partitionBy(*part_cols).orderBy(*self._sort_cols())
+        out = (
+            df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__", "__ukey__")
+        )
+        return self._derive(out)
+
+    # ------------------------------------------------------------------ #
+    # select / compute_field (littletable.py:2259-2315, 3494-3542)
+
+    def _parse_fields_string(self, fields: Any) -> list[str]:
+        """`"a b -c *"` syntax (littletable.py:3917-3950)."""
+        if fields is None:
+            return list(self.fields)
+        if isinstance(fields, str):
+            tokens = fields.replace(",", " ").split()
+        else:
+            tokens = list(fields)
+        out: list[str] = []
+        removed: set[str] = set()
+        for tok in tokens:
+            if tok == "*":
+                for c in self.fields:
+                    if c not in out:
+                        out.append(c)
+            elif tok.startswith("-"):
+                removed.add(tok[1:])
+            else:
+                if tok not in out:
+                    out.append(tok)
+        return [c for c in out if c not in removed]
+
+    def _computed_column(self, expr: Any) -> Column:
+        if isinstance(expr, Column):
+            return expr
+        if isinstance(expr, str):
+            if "{" in expr:
+                user_fields = self.fields
+
+                def fmt(*vals: Any, _t=expr, _names=tuple(user_fields)):
+                    try:
+                        return _t.format(**dict(zip(_names, vals)))
+                    except Exception:
+                        return None
+
+                return F.udf(fmt, SQLT.StringType())(*[F.col(c) for c in user_fields])
+            return F.expr(expr)
+        if callable(expr):
+            user_fields = self.fields
+
+            def call(*vals: Any, _fn=expr, _names=tuple(user_fields)):
+                try:
+                    return _fn(SimpleNamespace(**dict(zip(_names, vals))))
+                except Exception:
+                    return None
+
+            return F.udf(call)(*[F.col(c) for c in user_fields])
+        return F.lit(expr)
+
+    def select(self, fields: Any = None, **exprs: Any) -> "Table":
+        base = self._parse_fields_string(fields)
+        cols = [F.col(c) for c in base]
+        for name, expr in exprs.items():
+            cols.append(self._computed_column(expr).alias(name))
+        cols += [F.col(c) for c in INTERNAL]
+        return self._derive(self._require_df().select(*cols))
+
+    def compute_field(
+        self, attr: str, fn: Any, default: Any = None
+    ) -> "Table":
+        """In-place derived column; ``default`` on exception
+        (littletable.py:3494-3542)."""
+        if isinstance(fn, str) and "{" not in fn:
+            col = F.expr(fn)
+        elif isinstance(fn, Column):
+            col = fn
+        else:
+            user_fields = self.fields
+
+            def call(*vals: Any, _fn=fn, _names=tuple(user_fields), _d=default):
+                try:
+                    if isinstance(_fn, str):
+                        return _fn.format(**dict(zip(_names, vals)))
+                    return _fn(SimpleNamespace(**dict(zip(_names, vals))))
+                except Exception:
+                    return _d
+
+            col = F.udf(call)(*[F.col(c) for c in user_fields])
+        if default is not None and isinstance(fn, (str, Column)):
+            col = F.coalesce(col, F.lit(default))
+        self._mutate(self._require_df().withColumn(attr, col))
+        return self
+
+    add_field = compute_field
+
+    # ------------------------------------------------------------------ #
+    # ordering (littletable.py:2184-2257, 3816-3830)
+
+    def orderby(self, key: Any, reverse: bool = False) -> "Table":
+        """In-place sort; `"a, b desc"` string syntax (littletable.py:2211-2218)."""
+        spec: list[tuple[str, bool]] = []
+        if isinstance(key, str):
+            for part in key.split(","):
+                toks = part.split()
+                if not toks:
+                    continue
+                asc = not (len(toks) > 1 and toks[1].lower() == "desc")
+                spec.append((toks[0], asc))
+        elif callable(key) and not isinstance(key, Column):
+            user_fields = self.fields
+
+            def keyfn(*vals: Any, _fn=key, _names=tuple(user_fields)):
+                try:
+                    return _fn(SimpleNamespace(**dict(zip(_names, vals))))
+                except Exception:
+                    return None
+
+            self._mutate(
+                self._require_df().withColumn(
+                    "__sortkey__", F.udf(keyfn)(*[F.col(c) for c in user_fields])
+                )
+            )
+            spec = [("__sortkey__", True)]
+        elif isinstance(key, (list, tuple)):
+            for k in key:
+                spec.append((k, True))
+        else:
+            spec = [(str(key), True)]
+        if reverse:
+            spec = [(e, not a) for e, a in spec]
+        self._sort = spec
+        self._version += 1
+        return self
+
+    sort = orderby
+
+    def shuffle(self, seed: int | None = None) -> "Table":
+        if seed is None:
+            seed = random.randrange(2**31)
+        self._mutate(
+            self._with_internal_reset(
+                self._require_df().orderBy(F.rand(seed))
+            )
+        )
+        self._sort = []
+        return self
+
+    def rank(self, rank_col: str = "rank", start: int = 1) -> "Table":
+        dense = dense_index(self._require_df(), self._sort_cols())
+        self._mutate(dense.withColumn(rank_col, (F.col(ROW_ORD) + F.lit(start)).cast("long")))
+        self._sort = []
+        return self
+
+    def head(self, n: int = 10) -> "Table":
+        return self._derive(self._ordered_df().limit(n))
+
+    def tail(self, n: int = 10) -> "Table":
+        rev = self._require_df().orderBy(
+            *[
+                (F.expr(e).desc() if a else F.expr(e).asc())
+                for e, a in self._sort
+            ]
+            + [F.col(EPOCH).desc(), F.col(ROW_ORD).desc()]
+        )
+        return self._derive(rev.limit(n))
+
+    def batched(self, n: int) -> Iterator["Table"]:
+        """Generator of n-row subtables (littletable.py:3616-3628)."""
+        dense = dense_index(self._require_df(), self._sort_cols())
+        dense = dense.withColumn("__batch__", (F.col(ROW_ORD) / F.lit(n)).cast("long"))
+        total = dense.count()
+        for b in range((total + n - 1) // n):
+            yield self._derive(
+                dense.filter(F.col("__batch__") == b).drop("__batch__"),
+                keep_sort=False,
+            )._clear_sort()
+
+    # ------------------------------------------------------------------ #
+    # union (littletable.py:1445-1462)
+
+    def union(self, other: "Table") -> "Table":
+        df1 = self._require_df()
+        df2 = other._require_df().withColumn(
+            EPOCH, F.col(EPOCH) + F.lit(self._next_epoch)
+        )
+        t = self._derive(df1.unionByName(df2, allowMissingColumns=True), keep_sort=False)
+        t._clear_sort()
+        t._next_epoch = self._next_epoch + other._next_epoch + 1
+        return t
+
+    def __add__(self, other: Any) -> "Table":
+        if isinstance(other, Table):
+            return self.union(other)
+        return self.clone().insert_many(other)
+
+    def __iadd__(self, other: Any) -> "Table":
+        if isinstance(other, Table):
+            merged = self.union(other)
+            self._mutate(merged._df)
+            self._next_epoch = merged._next_epoch
+            return self
+        return self.insert_many(other)
+
+    # ------------------------------------------------------------------ #
+    # indexes (littletable.py:1515-1595)
+
+    def create_index(
+        self,
+        attr: str,
+        unique: bool = False,
+        accept_none: bool = False,
+        force: bool = False,
+    ) -> "Table":
+        if attr in self._indexes and not force:
+            raise ValueError(f"index on {attr!r} already exists")
+        info = _IndexInfo(attr, unique, accept_none)
+        if unique and self._df is not None and attr in self._df.columns:
+            key = F.col(attr)
+            agg = self._df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(key).alias("nn"),
+                F.count_distinct(key).alias("nd"),
+            ).collect()[0]
+            if agg["nd"] < agg["nn"] or (agg["nn"] < agg["n"] and not accept_none):
+                raise UniqueKeyViolation(
+                    f"cannot create unique index on {attr!r}: duplicate or None keys"
+                )
+        self._indexes[attr] = info
+        return self
+
+    def drop_index(self, attr: str) -> "Table":
+        self._indexes.pop(attr, None)
+        return self
+
+    delete_index = drop_index
+
+    def get_index(self, attr: str) -> _IndexAccessor:
+        if attr not in self._indexes:
+            raise NoSuchIndexError(attr)
+        return _IndexAccessor(self, attr)
+
+    @property
+    def by(self) -> _ByAccessor:
+        return _ByAccessor(self)
+
+    @property
+    def all(self) -> _AllAccessor:
+        return _AllAccessor(self)
+
+    # ------------------------------------------------------------------ #
+    # joins — implemented in operators/joins.py
+
+    def join(
+        self,
+        other: "Table",
+        attrlist: Any = None,
+        auto_create_indexes: bool = True,
+        **kwargs: str,
+    ) -> "Table":
+        from .operators.joins import join_tables
+
+        return join_tables(self, other, "inner", attrlist, kwargs)
+
+    def outer_join(
+        self,
+        join_type: str,
+        other: "Table",
+        attrlist: Any = None,
+        **kwargs: str,
+    ) -> "Table":
+        from .operators.joins import join_tables
+
+        return join_tables(self, other, join_type, attrlist, kwargs)
+
+    def join_on(self, attr: str, join: str = "inner"):
+        from .operators.joins import JoinTerm
+
+        return JoinTerm(self, attr, join)
+
+    # semi/anti — net-new over the reference (its idiom is is_in over .all)
+    def semi_join(self, other: "Table", on: Any) -> "Table":
+        left_key, right_key = _parse_on(on)
+        df = self._require_df()
+        odf = other._require_df().select(F.col(right_key).alias(left_key)).distinct()
+        return self._derive(df.join(odf, on=left_key, how="left_semi"))
+
+    def anti_join(self, other: "Table", on: Any) -> "Table":
+        left_key, right_key = _parse_on(on)
+        df = self._require_df()
+        odf = other._require_df().select(F.col(right_key).alias(left_key)).distinct()
+        return self._derive(df.join(odf, on=left_key, how="left_anti"))
+
+    # ------------------------------------------------------------------ #
+    # grouping / pivot / stats — operators/
+
+    def groupby_with_summaries(self, keyexpr: Any, **outexprs: Any) -> "Table":
+        from .operators.grouping import groupby_with_summaries
+
+        return groupby_with_summaries(self, keyexpr, outexprs)
+
+    def groupby(self, keyexpr: Any, sort: bool = False):
+        from .operators.grouping import groupby_iter
+
+        return groupby_iter(self, keyexpr, sort)
+
+    def pivot(self, attrlist: Any):
+        from .operators.grouping import PivotTable
+
+        attrs = attrlist.split() if isinstance(attrlist, str) else list(attrlist)
+        return PivotTable(self, attrs)
+
+    def stats(self, field_names: Any = None, by_field: bool = True) -> "Table":
+        from .operators.stats import stats_table
+
+        return stats_table(self, field_names, by_field)
+
+    # cube / rollup — free capability win over the reference (SURVEY §2.4)
+    def cube(self, attrs: Iterable[str], **aggs: Column) -> "Table":
+        df = self.df
+        out = df.cube(*attrs).agg(*[c.alias(n) for n, c in aggs.items()])
+        return Table.from_df(out, name=f"{self.table_name}_cube")
+
+    def rollup(self, attrs: Iterable[str], **aggs: Column) -> "Table":
+        df = self.df
+        out = df.rollup(*attrs).agg(*[c.alias(n) for n, c in aggs.items()])
+        return Table.from_df(out, name=f"{self.table_name}_rollup")
+
+    # ------------------------------------------------------------------ #
+    # full-text search — operators/search.py
+
+    def create_search_index(
+        self,
+        attr: str,
+        using: Any = None,
+        stopwords: Iterable[str] | None = None,
+        force: bool = False,
+    ) -> "Table":
+        from .operators.search import SearchIndex
+
+        if using is not None:
+            src_attrs = using.split() if isinstance(using, str) else list(using)
+            concat = F.concat_ws(" ", *[F.coalesce(F.col(a).cast("string"), F.lit("")) for a in src_attrs])
+            self._mutate(self._require_df().withColumn(attr, concat))
+        if attr in self._search_indexes and not force:
+            idx = self._search_indexes[attr]
+            if idx.version == self._version:
+                return self
+        self._search_indexes[attr] = SearchIndex.build(self, attr, stopwords)
+        return self
+
+    def delete_search_index(self, attr: str) -> "Table":
+        idx = self._search_indexes.pop(attr, None)
+        if idx is not None:
+            idx.unpersist()
+        return self
+
+    def rebuild_search_index(self, attr: str) -> "Table":
+        return self.create_search_index(attr, force=True)
+
+    @property
+    def search(self):
+        from .operators.search import SearchAccessor
+
+        return SearchAccessor(self)
+
+    def _get_search_index(self, attr: str):
+        if attr not in self._search_indexes:
+            raise NoSuchIndexError(f"no search index on {attr!r}")
+        idx = self._search_indexes[attr]
+        if idx.version != self._version:
+            raise SearchIndexInconsistentError(
+                f"search index on {attr!r} is stale; call rebuild_search_index"
+            )
+        return idx
+
+    # ------------------------------------------------------------------ #
+    # presentation / export — exporters.py
+
+    def as_dataframe(self, fields: Any = None):
+        t = self.select(fields) if fields is not None else self
+        return t._ordered_df().select(*t.fields).toPandas()
+
+    def csv_export(self, dest: Any = None, fieldnames: Any = None, **kwargs: Any):
+        from .exporters import csv_export
+
+        return csv_export(self, dest, fieldnames, **kwargs)
+
+    def tsv_export(self, dest: Any = None, fieldnames: Any = None, **kwargs: Any):
+        from .exporters import csv_export
+
+        kwargs.setdefault("sep", "\t")
+        return csv_export(self, dest, fieldnames, **kwargs)
+
+    def json_export(self, dest: Any = None, fieldnames: Any = None, streaming: bool = False, **kwargs: Any):
+        from .exporters import json_export
+
+        return json_export(self, dest, fieldnames, streaming=streaming, **kwargs)
+
+    def as_markdown(self, fields: Any = None, groupby: Any = None) -> str:
+        from .exporters import as_markdown
+
+        return as_markdown(self, fields, groupby)
+
+    def as_html(self, fields: Any = None, **kwargs: Any) -> str:
+        from .exporters import as_html
+
+        return as_html(self, fields, **kwargs)
+
+    def present(self, fields: Any = None, **kwargs: Any) -> None:
+        from .exporters import present
+
+        return present(self, fields, **kwargs)
+
+    def format(self, template: str) -> Iterator[str]:
+        for ns in self:
+            yield template.format(**vars(ns))
+
+    def formatted_table(self, *fields: str, **field_formats: str) -> "Table":
+        from .exporters import formatted_table
+
+        return formatted_table(self, fields, field_formats)
+
+    def info(self) -> dict[str, Any]:
+        return {
+            "name": self.table_name,
+            "fields": self.fields,
+            "indexes": [(a, i.unique) for a, i in self._indexes.items()],
+            "len": len(self),
+        }
+
+    # ------------------------------------------------------------------ #
+    # comparators as static members (reference API: Table.gt etc.)
+
+    lt = staticmethod(cmp.lt)
+    le = staticmethod(cmp.le)
+    gt = staticmethod(cmp.gt)
+    ge = staticmethod(cmp.ge)
+    eq = staticmethod(cmp.eq)
+    ne = staticmethod(cmp.ne)
+    is_none = staticmethod(cmp.is_none)
+    is_not_none = staticmethod(cmp.is_not_none)
+    is_null = staticmethod(cmp.is_null)
+    is_not_null = staticmethod(cmp.is_not_null)
+    is_in = staticmethod(cmp.is_in)
+    not_in = staticmethod(cmp.not_in)
+    startswith = staticmethod(cmp.startswith)
+    endswith = staticmethod(cmp.endswith)
+    between = staticmethod(cmp.between)
+    within = staticmethod(cmp.within)
+    in_range = staticmethod(cmp.in_range)
+    re_match = staticmethod(cmp.re_match)
+
+
+def _parse_on(on: Any) -> tuple[str, str]:
+    if isinstance(on, str):
+        return on, on
+    if isinstance(on, (tuple, list)) and len(on) == 2:
+        return on[0], on[1]
+    raise ValueError(f"unsupported join key spec: {on!r}")
