@@ -297,6 +297,154 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session windows per user (30-min gap) via lag + cumulative sum."""
+    from littletable_spark.streaming import load_events, sessionize
+
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    return sessionize(e, 1800, "user_id").df
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sliding 2h/1h windows via sequence-explode (each event in 2 windows)."""
+    from littletable_spark.streaming import load_events, sliding_window
+
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    out = sliding_window(
+        e,
+        7200,
+        3600,
+        n_events=F.count(F.lit(1)),
+        total_value=F.round(F.sum("value"), 2),
+    )
+    return out.df
+
+
+# --------------------------------------------------------------------- #
+# corpus curation: dedup / similarity / text analysis (north-star ops)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup on text (min doc_id representative per distinct text)."""
+    from littletable_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = exact_dedup(d, ["text"], "doc_id")
+    return out.select("doc_id", text_hash=F.md5(F.col("text"))).df
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fingerprint dedup (md5 of lowercased, whitespace-collapsed text)."""
+    from littletable_spark.operators.dedup import fingerprint_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_dedup(d, "text", "doc_id").df
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (8 hashes, 4 bands of 2)."""
+    from littletable_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8, band_size=2).df
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact 3-gram Jaccard pairs at >= 0.5."""
+    from littletable_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).df
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming <= 3 via pigeonhole blocking.
+
+    No oracle: 32 per-bit vote aggregations are not reasonably
+    SQL-expressible; correctness is covered by unit tests against a
+    driver-side reference implementation.
+    """
+    from littletable_spark.operators.dedup import simhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(d, "doc_id", "text", bits=32, max_hamming=3, n_blocks=4).df
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-dup pairs (cosine >= 0.3, exact pairwise)."""
+    from littletable_spark.operators.dedup import embedding_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(e, "vec_id", "embedding", threshold=0.3).df
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force cosine top-10 neighbors for query vectors vec_id < 5."""
+    from littletable_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(vec_id=Table.lt(5))
+    return cosine_topk(e, q, "vec_id", "embedding", k=10).df
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (random hyperplanes, seed=42).
+
+    No oracle: the plane matrix is generated driver-side; recall vs the
+    exact path is asserted in unit tests instead.
+    """
+    from littletable_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(vec_id=Table.lt(5))
+    return lsh_topk(e, q, "vec_id", "embedding", k=10, n_planes=6, dim=64).df
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token counting: total, distinct, type-token ratio."""
+    from littletable_spark.operators.textops import token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return token_stats(d, "text", "doc_id").df
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality scoring: length/punct/stopword features + composite."""
+    from littletable_spark.operators.textops import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d, "text", "doc_id").df
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language ID via marker-word scores + deterministic argmax."""
+    from littletable_spark.operators.textops import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d, "text", "doc_id").df
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document fingerprinting: normalized md5 + min rolling-window hash."""
+    from littletable_spark.operators.textops import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(d, "text", "doc_id").df
+
+
+def q_search_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full-text search DSL over documents (inverted index + scoring).
+
+    No oracle: the reference's +/-/++/-- scoring pipeline (stopwords,
+    plural normalization, weight aggregation) is validated by golden
+    unit tests; the driver records the rows-only check here.
+    """
+    d = _t(spark, sf_dir, "documents")
+    d.create_search_index("text")
+    result = d.search.text("+spark merge --vector", limit=50)
+    return result.select("doc_id text_search_score").df
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "where_comparators": q_where_comparators,
@@ -323,6 +471,21 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_per_group": q_window_topk_per_group,
         "slice_range": q_slice_range,
         "events_tumbling": q_events_tumbling,
+        "events_session": q_events_session,
+        "events_sliding": q_events_sliding,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "search_text": q_search_text,
     }
 
 
@@ -500,5 +663,201 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_session": """
+            WITH e AS (
+              SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec FROM events
+            ), l AS (
+              SELECT user_id, ts_sec,
+                     CASE WHEN ts_sec - lag(ts_sec) OVER
+                            (PARTITION BY user_id ORDER BY ts_sec) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM e
+            ), s AS (
+              SELECT user_id, ts_sec,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts_sec) AS session_id
+              FROM l
+            )
+            SELECT user_id, session_id,
+                   min(ts_sec) AS session_start, max(ts_sec) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "events_sliding": """
+            WITH e AS (
+              SELECT epoch_ns(ts) // 1000000000 AS t, value FROM events
+            ), w AS (
+              SELECT t - (t % 3600) - 3600 + g.i * 3600 AS window_start, value
+              FROM e, LATERAL (SELECT unnest([0, 1]) AS i) g
+            )
+            SELECT window_start, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM w WHERE window_start >= 0 GROUP BY window_start
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+            FROM documents GROUP BY text
+        """,
+        "dedup_fingerprint": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_transform(
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                       x -> lower(x)), ' ')) AS fingerprint
+              FROM documents
+            )
+            SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM f GROUP BY fingerprint
+        """,
+        "dedup_minhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) g
+            ), mh AS (
+              SELECT doc_id,
+                     min(md5(s || ':0')) AS m0, min(md5(s || ':1')) AS m1,
+                     min(md5(s || ':2')) AS m2, min(md5(s || ':3')) AS m3,
+                     min(md5(s || ':4')) AS m4, min(md5(s || ':5')) AS m5,
+                     min(md5(s || ':6')) AS m6, min(md5(s || ':7')) AS m7
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM mh
+              UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh
+            )
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dedup_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) g
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id1, id2,
+                   round(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id1 = sa.doc_id
+            JOIN sizes sb ON id2 = sb.doc_id
+            WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.5
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(
+                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "sim_cosine_topk": """
+            SELECT * FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                         c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 5
+            ) WHERE rank <= 10
+        """,
+        "text_tokens": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct_tokens,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+            FROM t
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(toks) AS n_tokens,
+                     list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mtl,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                       / length(text) AS pr,
+                     len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','is','in','that','it','for','with'],
+                       lower(x)))) * 1.0 / len(toks) AS sr
+              FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(mtl, 6) AS mean_token_len,
+                   round(pr, 6) AS punct_ratio,
+                   round(sr, 6) AS stopword_ratio,
+                   round(0.25 * least(n_tokens / 100.0, 1.0)
+                       + 0.25 * least(mtl / 8.0, 1.0)
+                       + 0.25 * (1.0 - least(pr * 10, 1.0))
+                       + 0.25 * least(sr * 5, 1.0), 6) AS quality
+            FROM f
+        """,
+        "text_langid": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_filter(
+                       string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                       x -> lower(x)) AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','für','von'])) AS score_de,
+                len(list_intersect(toks, ['the','and','of','to','is','in','that','it','for','with'])) AS score_en,
+                len(list_intersect(toks, ['el','la','los','las','es','un','una','para','con','que'])) AS score_es,
+                len(list_intersect(toks, ['le','la','les','et','est','un','une','pour','dans','que'])) AS score_fr,
+                len(list_intersect(toks, ['的','是','了','在','和','有','我','不','这','他'])) AS score_zh
+              FROM t
+            )
+            SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+                   CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0
+                          THEN 'unknown'
+                        WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                        WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                        WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                        WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                        ELSE 'zh' END AS pred_lang
+            FROM s
+        """,
+        "text_fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_filter(
+                       string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                       x -> lower(x)) AS toks
+              FROM documents
+            ), wh AS (
+              SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint,
+                     md5(array_to_string(toks[i:i+3], ' ')) AS w
+              FROM t,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i) g
+            )
+            SELECT doc_id, fingerprint, min(w) AS min_window_hash
+            FROM wh GROUP BY doc_id, fingerprint
         """,
     }

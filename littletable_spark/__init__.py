@@ -24,6 +24,26 @@ from .table import Table
 
 __version__ = "0.1.0"
 
+
+def _register_pickle_by_value() -> None:
+    """Ship pure-function modules inside UDF pickles.
+
+    Spark workers don't share the driver's sys.path; functions referenced
+    from UDF closures (the search normalizer) must be serialized by value
+    so the package works without being installed on every executor.
+    """
+    try:
+        from pyspark import cloudpickle
+
+        from .functions import normalize
+
+        cloudpickle.register_pickle_by_value(normalize)
+    except Exception:
+        pass
+
+
+_register_pickle_by_value()
+
 __all__ = [
     "Table",
     "get_spark",

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns.
+
+Net-new over the reference (north-star requirement): brute-force cosine
+top-k as the exact baseline, plus random-hyperplane LSH bucketing as the
+scale path (candidates from matching buckets only, then exact re-rank).
+
+Scale design (100 TB):
+- cosine is a native higher-order-function expression (zip_with +
+  aggregate) — whole-stage codegen, no Python;
+- brute-force is query-broadcast × corpus — linear scan, no shuffle
+  beyond the final per-query top-k;
+- LSH replaces the linear scan with an equi-join on bucket signature;
+  plane count trades recall vs candidate volume. An IVF (k-means
+  coarse quantizer) variant would follow the same candidate-join shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..table import Table
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: Table,
+    queries: Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+) -> Table:
+    """Exact top-k neighbors per query vector (brute force baseline).
+
+    Broadcast the (small) query side, scan the corpus once, rank with a
+    per-query window. Excludes self-matches when ids collide.
+    """
+    qid = query_id_col or id_col
+    cdf = corpus.df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    qdf = queries.df.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    scored = cdf.crossJoin(F.broadcast(qdf)).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+    ).filter(F.col("query_id") != F.col("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+    )
+    return Table.from_df(out, name="cosine_topk")
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane signature: one sign bit per plane, as a string
+    bucket key. Narrow projection, codegen'd."""
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: Table,
+    queries: Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> Table:
+    """Approximate top-k: exact re-rank within matching LSH bucket only.
+
+    The scan is replaced by an equi-join on the signature — at corpus
+    scale this is the difference between O(Q·N) and O(Q·N/2^planes).
+    """
+    planes = _planes(dim, n_planes, seed)
+    cdf = corpus.df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("sig", lsh_signature(F.col("cvec"), planes))
+    qdf = queries.df.select(
+        F.col(query_id_col or id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("sig", lsh_signature(F.col("qvec"), planes))
+    scored = (
+        cdf.join(F.broadcast(qdf), on="sig")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= F.lit(k)
+    )
+    return Table.from_df(out, name="lsh_topk")

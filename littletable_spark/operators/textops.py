@@ -1,0 +1,128 @@
+"""Text analysis operators for corpus curation.
+
+Net-new over the reference (north-star requirement): language ID
+(marker-word heuristic), quality scoring, token counting, and document
+fingerprinting — all as narrow native-function projections (no UDFs, no
+shuffles) so they run at scan speed on a 100 TB corpus, and all
+engine-portable so the DuckDB oracle can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..table import Table
+from .dedup import _tokens
+
+# deterministic marker-word lists per language; scoring is the count of
+# DISTINCT markers present (array_intersect semantics in both engines)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "para", "con", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+STOPWORD_SAMPLE = LANG_MARKERS["en"]
+
+
+def token_stats(table: Table, text_col: str, id_col: str) -> Table:
+    """Whitespace token count + distinct-token count + type/token ratio."""
+    toks = _tokens(text_col)
+    out = table.df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    ).withColumn(
+        "ttr",
+        F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_tokens")
+
+
+def quality_score(table: Table, text_col: str, id_col: str) -> Table:
+    """Heuristic quality features + composite score.
+
+    Features: char length, token count, mean token length, punctuation
+    density, stopword ratio. The composite is a deterministic linear
+    blend clamped to [0, 1] — same arithmetic in SQL.
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    mean_tok_len = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_tokens
+    )
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    punct_ratio = punct.cast("double") / n_chars
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORD_SAMPLE))
+    )
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    score = (
+        F.lit(0.25) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.25) * F.least(mean_tok_len / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.25) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    out = table.df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_quality")
+
+
+def lang_id(table: Table, text_col: str, id_col: str) -> Table:
+    """n-gram/marker-word language ID heuristic.
+
+    Scores each language by the count of distinct marker words present;
+    the prediction is the argmax with a fixed tie order (languages
+    compared in sorted code order). Deterministic and SQL-expressible.
+    """
+    toks_lower = F.transform(_tokens(text_col), F.lower)
+    scores: list[tuple[str, Column]] = []
+    for code in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
+        scores.append((code, F.size(F.array_intersect(toks_lower, markers))))
+    # argmax with deterministic tie-break: first language in sorted order
+    pred: Column = F.lit("unknown")
+    best: Column = F.lit(0)
+    for code, s in scores:
+        better = s > best
+        pred = F.when(better, F.lit(code)).otherwise(pred)
+        best = F.when(better, s).otherwise(best)
+    out = table.df.select(
+        F.col(id_col),
+        *[s.alias(f"score_{code}") for code, s in scores],
+        pred.alias("pred_lang"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_langid")
+
+
+def doc_fingerprint(table: Table, text_col: str, id_col: str) -> Table:
+    """Content fingerprints: normalized md5 + per-position rolling window
+    hashes (winnowing-style minimum) for near-dup detection."""
+    toks = F.transform(_tokens(text_col), F.lower)
+    norm_fp = F.md5(F.array_join(toks, " "))
+    # rolling 4-gram hashes; keep the lexicographic minimum (one
+    # representative per doc — winnowing with a single global window)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(3), F.lit(1)))
+    window_hashes = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, 4), " "))
+    )
+    out = table.df.select(
+        F.col(id_col),
+        norm_fp.alias("fingerprint"),
+        F.array_min(window_hashes).alias("min_window_hash"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_fingerprint")

@@ -13,6 +13,7 @@ aggregation shuffles once on (bucket, keys).
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -138,6 +139,14 @@ def streaming_tumbling_demo(
     Returns the in-memory result DataFrame after draining all available
     input (used by tests; production would aim at a kafka/delta sink).
     """
+    import shutil
+    import tempfile
+
+    # file-source streams need a directory; stage the file into one
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        stage_dir = tempfile.mkdtemp(prefix="lts_stream_")
+        shutil.copy(path, stage_dir)
+        path = stage_dir
     prev = spark.conf.get(TS_NANOS_CONF, None)
     spark.conf.set(TS_NANOS_CONF, "true")
     try:
@@ -158,8 +167,10 @@ def streaming_tumbling_demo(
     import uuid
 
     qname = f"lt_stream_{uuid.uuid4().hex[:8]}"
+    # complete mode: append+watermark would withhold windows that are not
+    # yet past the watermark when the bounded input drains
     q = (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(qname)
         .trigger(availableNow=True)

@@ -391,8 +391,10 @@ class Table:
             for k in d:
                 if k not in all_keys:
                     all_keys.append(k)
-        filled = [{k: d.get(k) for k in all_keys} for d in dicts]
-        new_df = self.spark.createDataFrame(filled)  # type: ignore[arg-type]
+        # tuples + explicit names: createDataFrame on dicts sorts keys
+        # alphabetically, which would break first-seen field order
+        filled = [tuple(d.get(k) for k in all_keys) for d in dicts]
+        new_df = self.spark.createDataFrame(filled, schema=all_keys)
         # NullType columns (all-None in batch) default to string
         for f in new_df.schema.fields:
             if isinstance(f.dataType, SQLT.NullType):

@@ -1,0 +1,203 @@
+"""Dedup and similarity operators cross-checked against pure-Python
+reference implementations on small corpora."""
+
+import hashlib
+from itertools import combinations
+
+import pytest
+
+from littletable_spark import Table
+
+DOCS = [
+    (0, "the cat sat on the mat and looked around quietly"),
+    (1, "the cat sat on the mat and looked around quietly"),  # exact dup of 0
+    (2, "the cat sat on the mat and looked around loudly"),  # near dup
+    (3, "completely different words about spark query engines"),
+    (4, "spark query engines process completely different words"),
+    (5, "one more unrelated sentence talking about nothing much"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    t = Table("docs", spark=spark)
+    t.insert_many([{"doc_id": i, "text": s} for i, s in DOCS])
+    return t
+
+
+def _tokens(s):
+    return [w for w in s.strip().split() if w]
+
+
+def _shingles(s, n=3):
+    t = _tokens(s)
+    idx = range(1, max(len(t) - n + 1, 1) + 1)
+    return {" ".join(t[i - 1 : i - 1 + n]) for i in idx}
+
+
+def _md5(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_exact_dedup(docs):
+    from littletable_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs, ["text"], "doc_id")
+    assert len(out) == 5  # 0/1 merged
+    ids = sorted(r.doc_id for r in out)
+    assert 0 in ids and 1 not in ids
+
+
+def test_minhash_matches_python_reference(docs):
+    from littletable_spark.operators.dedup import minhash_lsh_pairs
+
+    # python reference: identical minhash banding
+    sigs = {}
+    for i, s in DOCS:
+        sh = _shingles(s)
+        sigs[i] = [min(_md5(f"{x}:{k}") for x in sh) for k in range(8)]
+    expect = set()
+    for (i, si), (j, sj) in combinations(sigs.items(), 2):
+        a, b = min(i, j), max(i, j)
+        for band in range(4):
+            if si[2 * band : 2 * band + 2] == sj[2 * band : 2 * band + 2]:
+                expect.add((a, b))
+                break
+    got = {(r.id1, r.id2) for r in minhash_lsh_pairs(docs, "doc_id", "text")}
+    assert got == expect
+    assert (0, 1) in got  # exact dup must be a candidate
+
+
+def test_jaccard_matches_python_reference(docs):
+    from littletable_spark.operators.dedup import ngram_jaccard_pairs
+
+    expect = {}
+    for (i, a), (j, b) in combinations(DOCS, 2):
+        sa, sb = _shingles(a), _shingles(b)
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= 0.5:
+            expect[(min(i, j), max(i, j))] = round(jac, 6)
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    }
+    assert got == expect
+
+
+def test_simhash_matches_python_reference(docs):
+    from littletable_spark.operators.dedup import simhash
+
+    def py_simhash(s, bits=32):
+        toks = _tokens(s)
+        hashes = [int(_md5(t)[:8], 16) for t in toks]
+        out = 0
+        for i in range(bits):
+            votes = sum(1 if h & (1 << i) else -1 for h in hashes)
+            if votes > 0:
+                out |= 1 << i
+        return out
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: r.sh
+        for r in docs.df.select("doc_id", simhash("text", 32).alias("sh")).collect()
+    }
+    for i, s in DOCS:
+        assert got[i] == py_simhash(s), f"doc {i}"
+
+
+def test_simhash_pairs_find_near_dups(docs):
+    from littletable_spark.operators.dedup import simhash_dedup_pairs
+
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3)
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0  # identical docs
+
+
+@pytest.fixture()
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(8, 16)
+    base[1] = base[0] + 0.01 * rng.randn(16)  # planted near-dup of 0
+    t = Table("vecs", spark=spark)
+    t.insert_many(
+        [{"vec_id": i, "embedding": [float(x) for x in base[i]]} for i in range(8)]
+    )
+    return t, base
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    import numpy as np
+
+    from littletable_spark.operators.similarity import cosine_topk
+
+    t, base = vectors
+    norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    out = cosine_topk(t, t.where(vec_id=0), "vec_id", "embedding", k=3)
+    got = [(r.corpus_id, r.cosine) for r in sorted(out, key=lambda r: r.rank)]
+    expect_order = np.argsort(-sims[0])
+    expect = [(int(j), round(float(sims[0][j]), 6)) for j in expect_order if j != 0][:3]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gi, gc), (ei, ec) in zip(got, expect):
+        assert abs(gc - ec) < 1e-5
+    assert got[0][0] == 1  # the planted near-dup is the top neighbor
+
+
+def test_lsh_topk_neighbors_score_exactly(vectors):
+    from littletable_spark.operators.similarity import cosine_topk, lsh_topk
+
+    t, _ = vectors
+    q = t.where(vec_id=0)
+    exact = {
+        r.corpus_id: r.cosine for r in cosine_topk(t, q, "vec_id", "embedding", k=7)
+    }
+    approx = lsh_topk(t, q, "vec_id", "embedding", k=7, n_planes=4, dim=16, seed=1)
+    for r in approx:
+        # every returned neighbor's cosine must equal the exact computation
+        assert abs(r.cosine - exact[r.corpus_id]) < 1e-9
+    # the planted near-dup shares all hyperplane signs with its twin
+    assert 1 in {r.corpus_id for r in approx}
+
+
+def test_embedding_dup_pairs(vectors):
+    from littletable_spark.operators.dedup import embedding_dup_pairs
+
+    t, _ = vectors
+    pairs = {(r.id1, r.id2) for r in embedding_dup_pairs(t, "vec_id", "embedding", 0.99)}
+    assert pairs == {(0, 1)}
+
+
+def test_textops_fingerprint_and_quality(docs):
+    from littletable_spark.operators.dedup import fingerprint_dedup
+    from littletable_spark.operators.textops import quality_score, token_stats
+
+    fp = fingerprint_dedup(docs, "text", "doc_id")
+    assert len(fp) == 5
+    ts = {r.doc_id: r for r in token_stats(docs, "text", "doc_id")}
+    assert ts[0].n_tokens == 10
+    assert ts[0].n_distinct_tokens == 9  # 'the' twice
+    q = {r.doc_id: r for r in quality_score(docs, "text", "doc_id")}
+    assert 0.0 <= q[0].quality <= 1.0
+    assert q[0].punct_ratio == 0.0
+
+
+def test_langid(spark):
+    from littletable_spark.operators.textops import lang_id
+
+    t = Table("langs", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 0, "text": "the cat is in the house and it is warm"},
+            {"doc_id": 1, "text": "der hund ist nicht mit der katze"},
+            {"doc_id": 2, "text": "le chat est dans la maison pour toujours"},
+            {"doc_id": 3, "text": "qwerty zxcvb asdfgh"},
+        ]
+    )
+    out = {r.doc_id: r.pred_lang for r in lang_id(t, "text", "doc_id")}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "unknown"}

@@ -1,0 +1,97 @@
+"""Join semantics against the reference's outer-join truth tables
+(unit_tests.py:1682-1796) and the join_on DSL (littletable.py:4602-4683)."""
+
+from littletable_spark import Table
+
+
+def test_inner_join_counts(abc, spark):
+    other = abc.clone("other")
+    j = abc.join(other, **{"a": "a"})
+    # self-join on a: each a-value has 9 rows -> 9*9 per value * 3 values
+    assert len(j) == 3 * 81
+
+
+def test_inner_join_projection_collision_drop(catalog_prices):
+    catalog, prices = catalog_prices
+    j = catalog.join(prices, **{"sku": "sku"})
+    # size collides -> left's kept, right's dropped (littletable.py:2481-2486)
+    assert j.fields == ["sku", "color", "size", "material", "unit_price"]
+    assert len(j) == 3
+
+
+def test_left_outer_join(catalog_prices):
+    catalog, prices = catalog_prices
+    j = catalog.outer_join(Table.LEFT_OUTER_JOIN, prices, **{"sku": "sku"})
+    assert len(j) == 5  # 001 twice, 002 once, 003/004 unmatched
+    unmatched = [r for r in j if r.unit_price is None]
+    assert sorted(r.sku for r in unmatched) == ["003", "004"]
+
+
+def test_right_outer_join(catalog_prices):
+    catalog, prices = catalog_prices
+    j = catalog.outer_join(Table.RIGHT_OUTER_JOIN, prices, **{"sku": "sku"})
+    assert len(j) == 4
+    sku5 = [r for r in j if r.sku == "005"]
+    assert len(sku5) == 1 and sku5[0].color is None and sku5[0].unit_price == 11
+
+
+def test_full_outer_join(catalog_prices):
+    catalog, prices = catalog_prices
+    j = catalog.outer_join(Table.FULL_OUTER_JOIN, prices, **{"sku": "sku"})
+    assert len(j) == 6
+    skus = sorted(r.sku for r in j)
+    assert skus == ["001", "001", "002", "003", "004", "005"]
+
+
+def test_join_attrlist_aliases(catalog_prices):
+    catalog, prices = catalog_prices
+    j = catalog.join(
+        prices,
+        [(catalog, "sku", "sku"), (catalog, "color", "colour"), (prices, "unit_price", "price")],
+        **{"sku": "sku"},
+    )
+    assert j.fields == ["sku", "colour", "price"]
+
+
+def test_join_on_dsl_three_tables(spark):
+    customers = Table("customers", spark=spark)
+    customers.insert_many(
+        [{"id": "1", "name": "A"}, {"id": "2", "name": "B"}]
+    )
+    wishitems = Table("wishitems", spark=spark)
+    wishitems.insert_many(
+        [
+            {"custid": "1", "sku": "X"},
+            {"custid": "1", "sku": "Y"},
+            {"custid": "2", "sku": "X"},
+        ]
+    )
+    cat = Table("cat", spark=spark)
+    cat.insert_many([{"sku": "X", "descr": "x-thing"}, {"sku": "Y", "descr": "y-thing"}])
+    joined = (customers.join_on("id") + wishitems.join_on("custid") + cat.join_on("sku"))()
+    assert len(joined) == 3
+    a_items = sorted(r.descr for r in joined if r.name == "A")
+    assert a_items == ["x-thing", "y-thing"]
+
+
+def test_join_plus_bare_table_adopts_attr(spark):
+    t1 = Table("t1", spark=spark)
+    t1.insert_many([{"k": 1, "v": "a"}])
+    t2 = Table("t2", spark=spark)
+    t2.insert_many([{"k": 1, "w": "b"}])
+    joined = (t1.join_on("k") + t2)()
+    assert len(joined) == 1 and joined[0].w == "b"
+
+
+def test_semi_anti(catalog_prices):
+    catalog, prices = catalog_prices
+    assert sorted(r.sku for r in catalog.semi_join(prices, "sku")) == ["001", "002"]
+    assert sorted(r.sku for r in catalog.anti_join(prices, "sku")) == ["003", "004"]
+
+
+def test_empty_side_join(abc, spark):
+    empty = Table("empty", spark=spark)
+    empty.insert_many([{"a": 99}])
+    empty.delete(a=99)
+    j = abc.join(empty, **{"a": "a"})
+    assert len(j) == 0

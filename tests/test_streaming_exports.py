@@ -1,0 +1,157 @@
+"""Streaming windows (true readStream path) and import/export round-trips."""
+
+import gzip
+import json
+import os
+import zipfile
+
+import pytest
+
+from littletable_spark import Table, csv_import, json_import, tsv_import
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from littletable_spark.streaming import load_events, tumbling_window
+    from littletable_spark.streaming.events import streaming_tumbling_demo
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    batch = tumbling_window(
+        load_events(spark, path), 3600, keys=["event_type"], n=F.count(F.lit(1))
+    )
+    batch_counts = {(r.window_start, r.event_type): r.n for r in batch}
+    streamed = streaming_tumbling_demo(spark, path, 3600, keys=("event_type",))
+    srows = streamed.collect()
+    assert len(srows) == len(batch_counts)
+    import calendar
+
+    for r in srows:
+        # collected timestamps are naive in the session TZ (UTC)
+        key = (calendar.timegm(r["window"].start.timetuple()), r["event_type"])
+        assert batch_counts[key] == r["n_events"]
+
+
+def test_sessionize_gap_splits(spark):
+    from littletable_spark.streaming import sessionize
+
+    t = Table("ev", spark=spark)
+    t.insert_many(
+        [
+            {"user_id": 1, "ts_sec": 0},
+            {"user_id": 1, "ts_sec": 100},
+            {"user_id": 1, "ts_sec": 5000},  # new session (gap > 1800)
+            {"user_id": 2, "ts_sec": 50},
+        ]
+    )
+    out = sessionize(t, 1800, "user_id")
+    sessions = {(r.user_id, r.session_id): r.n_events for r in out}
+    assert sessions == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+ABC_CSV = "a,b,c\n0,0,0\n0,0,1\n1,2,2\n"
+
+
+def test_csv_import_from_string(spark):
+    t = csv_import(ABC_CSV, transforms={"*": int}, spark=spark)
+    assert len(t) == 3
+    assert t[2].a == 1 and t[2].c == 2
+
+
+def test_csv_import_transforms_error_default(spark):
+    t = csv_import(
+        "a,b\n1,x\n2,3\n",
+        transforms={"a": int, "b": (int, -1)},
+        spark=spark,
+    )
+    rows = list(t)
+    assert rows[0].b == -1 and rows[1].b == 3
+
+
+def test_csv_import_filters_and_limit(spark):
+    t = csv_import(
+        ABC_CSV, transforms={"*": int}, filters={"a": Table.eq(0)}, spark=spark
+    )
+    assert len(t) == 2
+    t2 = csv_import(ABC_CSV, transforms={"*": int}, limit=1, spark=spark)
+    assert len(t2) == 1
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    t = csv_import(ABC_CSV, transforms={"*": int}, spark=spark)
+    out = t.csv_export()
+    assert out == ABC_CSV
+    p = tmp_path / "x.csv"
+    t.csv_export(str(p))
+    t2 = csv_import(str(p), transforms={"*": int}, spark=spark)
+    assert [vars(r) for r in t2] == [vars(r) for r in t]
+
+
+def test_csv_import_gz_and_zip(spark, tmp_path):
+    gz = tmp_path / "abc.csv.gz"
+    gz.write_bytes(gzip.compress(ABC_CSV.encode()))
+    t = csv_import(str(gz), transforms={"*": int}, spark=spark)
+    assert len(t) == 3
+    zp = tmp_path / "abc.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("abc.csv", ABC_CSV)
+    t2 = csv_import(str(zp), transforms={"*": int}, spark=spark)
+    assert len(t2) == 3
+
+
+def test_tsv_import(spark):
+    t = tsv_import("a\tb\n1\t2\n", transforms={"*": int}, spark=spark)
+    assert t[0].a == 1 and t[0].b == 2
+
+
+def test_json_import_jsonl_and_nested(spark):
+    data = (
+        '{"title": "ep1", "cast": {"kirk": "shatner"}}\n'
+        '{"title": "ep2", "cast": {"spock": "nimoy"}}\n'
+    )
+    t = json_import(data, spark=spark)
+    assert len(t) == 2
+    rows = sorted(t, key=lambda r: r.title)
+    assert rows[0].cast["kirk"] == "shatner"
+
+
+def test_json_export_roundtrip(spark):
+    t = Table("j", spark=spark)
+    t.insert_many([{"x": 1, "y": "a"}, {"x": 2, "y": "b"}])
+    text = t.json_export()
+    assert json.loads(text) == [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}]
+    jsonl = t.json_export(streaming=True)
+    assert [json.loads(line) for line in jsonl.splitlines()] == json.loads(text)
+
+
+def test_fixed_width_import(spark):
+    from littletable_spark.sources.fixed_width import FixedWidthReader
+
+    data = "0 1 2 \n1 2 0 \n"
+    t = FixedWidthReader([("a", 0, 2, int), ("b", 2, 4, int), ("c", 4, 6, int)], data, spark).table()
+    rows = sorted(t, key=lambda r: r.a)
+    assert vars(rows[0]) == {"a": 0, "b": 1, "c": 2}
+    assert vars(rows[1]) == {"a": 1, "b": 2, "c": 0}
+
+
+def test_as_markdown_alignment(spark):
+    t = Table("m", spark=spark)
+    t.insert_many([{"name": "x", "n": 1}, {"name": "y", "n": 22}])
+    md = t.as_markdown()
+    lines = md.splitlines()
+    assert lines[0] == "| name | n |"
+    assert lines[1] == "| --- | ---: |"  # numeric right-aligned
+    assert lines[2] == "| x | 1 |"
+
+
+def test_as_html(spark):
+    t = Table("h", spark=spark)
+    t.insert_many([{"name": "x", "n": 1}])
+    html = t.as_html()
+    assert "<table>" in html and "<th" in html and ">x</td>" in html
+
+
+def test_format_iterator(spark):
+    t = Table("f", spark=spark)
+    t.insert_many([{"a": 1, "b": 2}])
+    assert list(t.format("{a}+{b}")) == ["1+2"]
