@@ -701,9 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": """
             WITH f AS (
               SELECT doc_id,
-                     md5(array_to_string(list_transform(
-                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-                       x -> lower(x)), ' ')) AS fingerprint
+                     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
               FROM documents
             )
             SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies
@@ -846,13 +844,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             WITH t AS (
-              SELECT doc_id,
+              SELECT doc_id, text,
                      list_transform(list_filter(
                        string_split_regex(trim(text), '\\s+'), x -> x <> ''),
                        x -> lower(x)) AS toks
               FROM documents
             ), wh AS (
-              SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint,
+              SELECT doc_id,
+                     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
                      md5(array_to_string(toks[i:i+3], ' ')) AS w
               FROM t,
                    LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i) g

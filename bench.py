@@ -41,8 +41,14 @@ def main() -> None:
         n for n in queries if n not in HEADLINE and n.startswith(("dedup", "sim", "text", "search"))
     ]
 
-    # warmup: JIT + parquet footer caches
+    # warmup pass: codegen/JIT compilation + parquet footer caches; the
+    # timed pass below measures steady-state execution
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    for name in names:
+        try:
+            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:
@@ -65,6 +71,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "cpus": CPUS,
+                "methodology": "steady-state (one untimed warmup pass for JVM JIT/codegen)",
             }
         )
     )

@@ -35,12 +35,46 @@ def _tokens(text_col: str) -> Column:
 
 
 def _shingles(text_col: str, n: int) -> Column:
-    """Distinct word n-gram shingles, computed without a shuffle."""
+    """Distinct word n-gram shingles as an array column (no shuffle).
+
+    O(len²) per row (array slice per position) — fine for one-off use;
+    the dedup pipelines use ``_shingle_rows`` which is linear.
+    """
     toks = _tokens(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows — the linear-time scale path.
+
+    posexplode tokens once, then build each n-gram with window ``lead``
+    (O(len) per doc vs the O(len²) array-slice form): one shuffle keyed
+    on the doc id, everything codegen'd. Shingles are emitted with
+    multiplicity; add ``.distinct()`` when set semantics are needed.
+    Matches ``_shingles`` exactly, including the short-document case
+    (len < n -> one shingle of all tokens).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("p", "t")
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    wlen = Window.partitionBy(id_col)
+    out = (
+        toks.withColumn("__len__", F.count(F.lit(1)).over(wlen))
+        .withColumn("s", F.concat_ws(" ", *parts))  # concat_ws skips nulls
+        .filter(
+            (F.col("p") <= F.col("__len__") - F.lit(n))
+            | ((F.col("p") == 0) & (F.col("__len__") < F.lit(n)))
+        )
+        .select(F.col(id_col), F.col("s"))
+    )
+    return out
 
 
 def exact_dedup(table: Table, key_cols: list[str], id_col: str) -> Table:
@@ -54,7 +88,11 @@ def fingerprint_dedup(table: Table, text_col: str, id_col: str) -> Table:
     """Dedup on a normalized content fingerprint (md5 of lowercased,
     whitespace-collapsed text) — catches trivial reformattings."""
     df = table.df
-    fp = F.md5(F.array_join(F.transform(_tokens(text_col), F.lower), " "))
+    # equivalent to md5(join(lower(tokens), ' ')) but pure native string
+    # ops — no interpreted array transform in the row path
+    fp = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    )
     out = (
         df.withColumn("fingerprint", fp)
         .groupBy("fingerprint")
@@ -66,10 +104,11 @@ def fingerprint_dedup(table: Table, text_col: str, id_col: str) -> Table:
 def minhash_signature(
     text_col: str, n: int = 3, num_hashes: int = 8
 ) -> list[Column]:
-    """MinHash sketch: per-row array_min over md5-salted shingle hashes.
+    """MinHash sketch as pure projection columns (no shuffle).
 
-    Pure projection — every signature column is computed inside
-    whole-stage codegen with no explode and no shuffle.
+    Suitable for one-off signatures; ``_minhash_signature_df`` is the
+    high-throughput form used by the LSH pipeline (Catalyst's projection
+    collapse would otherwise re-derive the shingle array once per hash).
     """
     sh = _shingles(text_col, n)
 
@@ -82,6 +121,25 @@ def minhash_signature(
         ).alias(f"mh{i}")
 
     return [mh(i) for i in range(num_hashes)]
+
+
+def _minhash_signature_df(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """(id, mh0..mhk) via explode + hash-aggregate.
+
+    Exploding distinct shingles and taking ``min(md5(shingle||salt))``
+    per id keeps every expression inside whole-stage codegen, computes
+    the shingle array exactly once per row, and partially aggregates
+    map-side — one shuffle keyed on id, linear in total shingle count.
+    """
+    exploded = _shingle_rows(df, id_col, text_col, n)
+    # min over the multiset == min over the distinct set: no dedup needed
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f":{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -99,7 +157,7 @@ def minhash_lsh_pairs(
     """
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be divisible by band_size")
-    sig = table.df.select(F.col(id_col), *minhash_signature(text_col, n, num_hashes))
+    sig = _minhash_signature_df(table.df, id_col, text_col, n, num_hashes)
     n_bands = num_hashes // band_size
     band_keys = F.array(
         *[
@@ -149,9 +207,7 @@ def ngram_jaccard_pairs(
     LSH candidate generation at scale.
     """
     df = table.df
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles(text_col, n)).alias("s")
-    )
+    sh = _shingle_rows(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -208,6 +264,33 @@ def simhash(text_col: str, bits: int = 32) -> Column:
     return acc
 
 
+def _simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int) -> DataFrame:
+    """(id, sh) via explode + hash-aggregate.
+
+    Same fingerprint as ``simhash`` but computed with one md5 per token
+    and ``bits`` codegen'd conditional sums, instead of ``bits``
+    interpreted array folds per row — one shuffle keyed on id.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("t")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    vote_aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    votes_df = toks.groupBy(id_col).agg(*vote_aggs)
+    sh = None
+    for i in range(bits):
+        bit_col = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sh = bit_col if sh is None else sh + bit_col
+    return votes_df.select(F.col(id_col), sh.cast("long").alias("sh"))
+
+
 def simhash_dedup_pairs(
     table: Table,
     id_col: str,
@@ -224,7 +307,7 @@ def simhash_dedup_pairs(
     via bit_count(xor). Scale path: one shuffle per block, no cross join.
     """
     block_width = bits // n_blocks
-    sh = table.df.select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+    sh = _simhash_df(table.df, id_col, text_col, bits)
     blocks = F.array(
         *[
             F.concat(
@@ -268,25 +351,40 @@ def embedding_dup_pairs(
 ) -> Table:
     """Near-dup pairs by embedding cosine ≥ threshold (exact pairwise).
 
-    The small-N verification path; at corpus scale generate candidates
-    with ``similarity.lsh_buckets`` first.
+    One side is broadcast as a dense matrix; the other streams through an
+    Arrow-batched ``mapInPandas`` doing a BLAS matmul per batch and
+    emitting only above-threshold (id1 < id2) pairs — no N² row
+    materialization, no per-pair interpreted fold. This is the exact
+    verification path; at corpus scale the broadcast side is replaced by
+    LSH-bucketed candidates (``minhash_lsh_pairs`` shape).
     """
-    from .similarity import cosine_expr
+    import numpy as np
 
-    df = table.df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-    )
-    a = df.alias("a")
-    b = df.alias("b")
-    out = (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-            F.round(
-                cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
+    rows = table.df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    bc = table.spark.sparkContext.broadcast((ids, M, norms))
+
+    def pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_, M_, norms_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            c_norms = np.linalg.norm(C, axis=1)
+            c_ids = pdf[id_col].to_numpy()
+            S = np.round((C @ M_.T) / np.outer(c_norms, norms_), 6)
+            keep = (S >= threshold) & (c_ids[:, None] < ids_[None, :])
+            bi, mj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id1": c_ids[bi], "id2": ids_[mj], "cosine": S[bi, mj]}
+            )
+
+    out = table.df.select(id_col, vec_col).mapInPandas(
+        pairs, "id1 long, id2 long, cosine double"
     )
     return Table.from_df(out, name=f"{table.table_name}_embedding_pairs")

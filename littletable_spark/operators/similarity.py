@@ -49,29 +49,56 @@ def cosine_topk(
 ) -> Table:
     """Exact top-k neighbors per query vector (brute force baseline).
 
-    Broadcast the (small) query side, scan the corpus once, rank with a
-    per-query window. Excludes self-matches when ids collide.
+    The query side is collected/broadcast (small by definition); the
+    corpus streams through an Arrow-batched ``mapInPandas`` that does one
+    BLAS matmul per batch and emits only its local top-k per query —
+    the final window then merges per-batch candidates (decomposable
+    top-k, so the shuffle carries ≤ k·batches rows per query instead of
+    the full N·Q score matrix).
     """
     qid = query_id_col or id_col
-    cdf = corpus.df.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
+    q_rows = queries.df.select(qid, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(Q, axis=1)
+    bq = corpus.spark.sparkContext.broadcast((q_ids, Q, q_norms))
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids_, Q_, q_norms_ = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            c_norms = np.linalg.norm(C, axis=1)
+            # dot / (|a|·|b|): same op order as the JVM fold and DuckDB
+            S = np.round((C @ Q_.T) / np.outer(c_norms, q_norms_), 6)
+            cids = pdf[id_col].to_numpy()
+            frames = []
+            for qi, qv in enumerate(q_ids_):
+                col = S[:, qi]
+                mask = cids != qv
+                idx = np.nonzero(mask)[0]
+                order = np.lexsort((cids[idx], -col[idx]))[:k]
+                sel = idx[order]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qv, "corpus_id": cids[sel], "cosine": col[sel]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus.df.select(id_col, vec_col).mapInPandas(
+        score_batches, "query_id long, corpus_id long, cosine double"
     )
-    qdf = queries.df.select(
-        F.col(qid).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
-    scored = cdf.crossJoin(F.broadcast(qdf)).select(
-        "query_id",
-        "corpus_id",
-        F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
-    ).filter(F.col("query_id") != F.col("corpus_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
     )
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.lit(k))
+    out = partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= F.lit(k)
     )
     return Table.from_df(out, name="cosine_topk")
 

@@ -35,6 +35,71 @@ _NUMERIC_TYPES = (
 STAT_NAMES = ["mean", "median", "min", "max", "variance", "std_dev", "count", "missing"]
 
 
+def _exact_medians(df, cols: dict[str, "F.Column"], counts: dict[str, int]) -> dict[str, float | None]:
+    """Interpolated exact medians (statistics.median / DuckDB semantics)
+    for many columns in two fixed passes, with no global sort.
+
+    Pass 1: mergeable quantile sketches bracket the median per column.
+    Pass 2: per column, count values strictly below the bracket, count the
+    bracket endpoints' duplicate runs, and collect only the bracket's
+    interior (a ~0.4% slice for continuous data, empty for low-cardinality
+    data). The k-th order statistics are then reconstructed exactly.
+    Falls back to Spark's `percentile` if a sketch bracket misses (rank
+    error exceeded) — never wrong, only slower.
+    """
+    live = {c: col for c, col in cols.items() if counts.get(c, 0) > 0}
+    out: dict[str, float | None] = {c: None for c in cols}
+    if not live:
+        return out
+    approx = df.agg(
+        *[
+            F.percentile_approx(col, F.array(F.lit(0.498), F.lit(0.502)), F.lit(10000)).alias(c)
+            for c, col in live.items()
+        ]
+    ).collect()[0]
+    bounds = {c: (approx[c][0], approx[c][1]) for c in live}
+    aggs = []
+    for c, col in live.items():
+        lo, hi = bounds[c]
+        aggs += [
+            F.count(F.when(col < F.lit(lo), 1)).alias(f"{c}__below"),
+            F.count(F.when(col == F.lit(lo), 1)).alias(f"{c}__nlo"),
+            F.count(F.when(col == F.lit(hi), 1)).alias(f"{c}__nhi"),
+            F.sort_array(
+                F.collect_list(F.when((col > F.lit(lo)) & (col < F.lit(hi)), col))
+            ).alias(f"{c}__band"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    for c, col in live.items():
+        n = counts[c]
+        k1, k2 = (n - 1) // 2, n // 2
+        lo, hi = bounds[c]
+        below, nlo, nhi = row[f"{c}__below"], row[f"{c}__nlo"], row[f"{c}__nhi"]
+        band = row[f"{c}__band"]
+
+        def kth(k: int):
+            if k < below:
+                return None
+            k -= below
+            if k < nlo:
+                return lo
+            k -= nlo
+            if k < len(band):
+                return band[k]
+            k -= len(band)
+            if k < nhi:
+                return hi
+            return None
+
+        v1, v2 = kth(k1), kth(k2)
+        if v1 is None or v2 is None:
+            v = df.agg(F.percentile(col, F.lit(0.5)).alias("m")).collect()[0]["m"]
+            out[c] = v
+        else:
+            out[c] = (v1 + v2) / 2.0
+    return out
+
+
 def stats_table(table: Table, field_names: Any = None, by_field: bool = True) -> Table:
     df = table.df
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -47,18 +112,20 @@ def stats_table(table: Table, field_names: Any = None, by_field: bool = True) ->
     else:
         fields = list(field_names)
 
-    aggs = []
-    for c in fields:
-        col = (
+    def _col(c: str):
+        return (
             F.col(c).cast("double")
             if isinstance(schema.get(c), _NUMERIC_TYPES)
             else F.col(c).try_cast("double")
             if c in schema
             else F.lit(None).cast("double")
         )
+
+    aggs = []
+    for c in fields:
+        col = _col(c)
         aggs += [
             F.avg(col).alias(f"{c}__mean"),
-            F.percentile(col, F.lit(0.5)).alias(f"{c}__median"),
             F.min(col).alias(f"{c}__min"),
             F.max(col).alias(f"{c}__max"),
             F.var_samp(col).alias(f"{c}__variance"),
@@ -66,7 +133,18 @@ def stats_table(table: Table, field_names: Any = None, by_field: bool = True) ->
             F.count(col).alias(f"{c}__count"),
             (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__missing"),
         ]
+    # one whole-stage-codegen pass for the algebraic stats, then two fixed
+    # passes for all exact medians (Spark's `percentile` buffers a
+    # value->count map per partition and degrades on high-cardinality
+    # doubles; the sketch-bracketed selection in _exact_medians does not)
     row = df.agg(*aggs).collect()[0].asDict()
+    medians = _exact_medians(
+        df,
+        {c: _col(c) for c in fields},
+        {c: int(row[f"{c}__count"]) for c in fields},
+    )
+    for c in fields:
+        row[f"{c}__median"] = medians[c]
 
     spark = table.spark
     if by_field:

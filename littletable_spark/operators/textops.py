@@ -111,18 +111,26 @@ def lang_id(table: Table, text_col: str, id_col: str) -> Table:
 
 def doc_fingerprint(table: Table, text_col: str, id_col: str) -> Table:
     """Content fingerprints: normalized md5 + per-position rolling window
-    hashes (winnowing-style minimum) for near-dup detection."""
-    toks = F.transform(_tokens(text_col), F.lower)
-    norm_fp = F.md5(F.array_join(toks, " "))
-    # rolling 4-gram hashes; keep the lexicographic minimum (one
-    # representative per doc — winnowing with a single global window)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(3), F.lit(1)))
-    window_hashes = F.transform(
-        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, 4), " "))
-    )
-    out = table.df.select(
+    hashes (winnowing-style minimum) for near-dup detection.
+
+    The window strings explode to rows first so the md5 runs in
+    whole-stage codegen (hashing inside an interpreted array transform is
+    ~10× slower); one shuffle keyed on id for the min-aggregation.
+    """
+    from .dedup import _shingle_rows
+
+    norm_fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+    lowered = table.df.select(
         F.col(id_col),
         norm_fp.alias("fingerprint"),
-        F.array_min(window_hashes).alias("min_window_hash"),
+        F.lower(F.col(text_col)).alias("__lt__"),
+    )
+    windows = _shingle_rows(lowered, id_col, "__lt__", 4)
+    fps = lowered.select(id_col, "fingerprint")
+    out = (
+        windows.groupBy(id_col)
+        .agg(F.min(F.md5(F.col("s"))).alias("min_window_hash"))
+        .join(fps, on=id_col)
+        .select(id_col, "fingerprint", "min_window_hash")
     )
     return Table.from_df(out, name=f"{table.table_name}_fingerprint")
