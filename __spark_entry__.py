@@ -445,6 +445,90 @@ def q_search_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("doc_id text_search_score").df
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join: each event gets the user's latest order at/before it.
+
+    Right side is pre-deduped per (user, second) so the match is
+    deterministic in both engines.
+    """
+    from littletable_spark.operators.joins import asof_join
+    from littletable_spark.streaming import load_events
+
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    ev = Table.from_df(e.df.select("event_id", "user_id", "ts_sec"))
+    o = _t(spark, sf_dir, "orders")
+    orders = Table.from_df(
+        o.df.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("ot"),
+            F.col("o_orderkey"),
+        )
+        .groupBy("user_id", "ot")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join(
+        ev, orders, "ts_sec", "ot", by={"user_id": "user_id"},
+        right_cols=["last_orderkey"],
+    )
+    return out.df
+
+
+def q_convert_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_numeric transform: ''->empty default, junk->non_numeric."""
+    p = _t(spark, sf_dir, "part")
+    p.compute_field(
+        "raw",
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(""))
+        .when(F.col("p_partkey") % 11 == 0, F.lit("n/a"))
+        .otherwise(F.col("p_size").cast("string")),
+    )
+    p.convert_numeric(fields=["raw"], empty=-1.0, non_numeric=-2.0)
+    return p.select("p_partkey raw").df
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary media columns: magic-byte sniff + typed metadata struct."""
+    from littletable_spark.operators.multimodal import sniff_media
+
+    d = _t(spark, sf_dir, "documents")
+    # synthesize blobs: every 5th doc gets a PNG magic prefix
+    d.compute_field(
+        "blob",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.unhex(F.lit("89504E470D0A1A0A")), F.encode(F.col("text"), "utf-8")),
+        ).otherwise(F.encode(F.col("text"), "utf-8")),
+    )
+    out = sniff_media(d, "blob")
+    return out.select(
+        "doc_id",
+        media_format=F.col("media_meta.format"),
+        n_bytes=F.col("media_meta.n_bytes"),
+        content_hash=F.md5(F.lower(F.hex(F.col("blob")))),  # DuckDB 1.0 lacks md5(BLOB)
+    ).df
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode->featurize pipeline over binary blobs (deterministic fake
+    decoder; real codecs are stubbed — no media libs in this env).
+
+    No oracle: the md5-seeded fake decode is not SQL-expressible; the
+    Arrow plumbing and feature math are covered by unit tests.
+    """
+    from littletable_spark.operators.multimodal import decode_image, media_features
+
+    d = _t(spark, sf_dir, "documents")
+    d.compute_field("blob", F.encode(F.col("text"), "utf-8"))
+    decoded = decode_image(d, "blob", "doc_id", width=4, height=4)
+    feats = media_features(decoded, "doc_id")
+    return feats.select(
+        "doc_id n_px",
+        pmean=F.round(F.col("pmean"), 6),
+        pmin=F.col("pmin"),
+        pmax=F.col("pmax"),
+    ).df
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "where_comparators": q_where_comparators,
@@ -486,6 +570,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "search_text": q_search_text,
+        "asof_join": q_asof_join,
+        "convert_numeric": q_convert_numeric,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -858,5 +946,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, fingerprint, min(w) AS min_window_hash
             FROM wh GROUP BY doc_id, fingerprint
+        """,
+        "asof_join": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec
+              FROM events
+            ), o AS (
+              SELECT o_custkey AS user_id,
+                     epoch_ns(o_orderdate) // 1000000000 AS ot,
+                     max(o_orderkey) AS last_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts_sec, o.last_orderkey
+            FROM e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND e.ts_sec >= o.ot
+        """,
+        "convert_numeric": """
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 7 = 0 THEN -1.0
+                        WHEN p_partkey % 11 = 0 THEN -2.0
+                        ELSE p_size::DOUBLE END AS raw
+            FROM part
+        """,
+        "multimodal_meta": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN from_hex('89504E470D0A1A0A') || encode(text)
+                          ELSE encode(text) END AS blob
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN 'png' ELSE 'unknown' END AS media_format,
+                   octet_length(blob) AS n_bytes,
+                   md5(lower(hex(blob))) AS content_hash
+            FROM b
         """,
     }

@@ -123,6 +123,96 @@ def join_tables(
     return t
 
 
+def asof_join(
+    left: Table,
+    right: Table,
+    left_time: str,
+    right_time: str,
+    by: dict[str, str] | None = None,
+    direction: str = "backward",
+    right_cols: list[str] | None = None,
+) -> Table:
+    """As-of join: each left row gets the most recent right row with
+    ``right_time <= left_time`` (backward; ``forward`` = nearest later),
+    optionally within equal ``by`` keys.
+
+    Net-new over the reference (no theta/as-of joins there, SURVEY §2.3).
+    Spark lacks a native as-of join; the classic scalable formulation is
+    union-the-streams + one window pass: tag rows by side, sort by
+    (by, time, side) within one shuffle, and carry the right payload
+    forward with ``last(ignorenulls)``. O(n log n) in each partition's
+    rows, one shuffle on the by-keys — no range cross-product, no
+    per-group pandas.
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = by or {}
+    rcols = right_cols or [
+        c
+        for c in right.fields
+        if c != right_time and c not in by.values()
+    ]
+    lf = left.df
+    rf = right.df
+
+    # align the union schema: left keeps its columns, right contributes
+    # (by keys renamed to left's, the time col, payload cols)
+    time_col = "__t__"
+    side_col = "__side__"
+    left_part = lf.select(
+        *[F.col(c) for c in left.fields],
+        F.col(left_time).cast("double").alias(time_col),
+        F.lit(1).alias(side_col),
+        *[F.lit(None).cast(rf.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+    )
+    right_part = rf.select(
+        *[
+            F.col(rk).alias(lk) if (lk != rk) else F.col(rk)
+            for lk, rk in by.items()
+        ],
+        *[F.lit(None).cast(lf.schema[c].dataType).alias(c) for c in left.fields if c not in by],
+        F.col(right_time).cast("double").alias(time_col),
+        F.lit(0).alias(side_col),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    ).select(*[c for c in left_part.columns])
+
+    unioned = left_part.unionByName(right_part)
+    part_keys = [F.col(k) for k in by.keys()]
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*part_keys)
+            .orderBy(F.col(time_col).asc(), F.col(side_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in rcols
+            ],
+        )
+    else:
+        w = (
+            Window.partitionBy(*part_keys)
+            .orderBy(F.col(time_col).desc(), F.col(side_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in rcols
+            ],
+        )
+    out = filled.filter(F.col(side_col) == 1).select(
+        *[F.col(c) for c in left.fields],
+        *[F.col(f"__f_{c}").alias(c) for c in rcols],
+    )
+    return Table.from_df(out, name=f"{left.table_name}_asof_{right.table_name}")
+
+
 class JoinTerm:
     """Composable join expression: ``a.join_on("x") + b.join_on("y")``.
 

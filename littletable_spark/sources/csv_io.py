@@ -35,6 +35,13 @@ _NATIVE_CASTS: dict[Any, str] = {
 
 def _transform_column(col: Column, fn: Any, default: Any) -> Column:
     """Compile a transform to a native try_cast when possible."""
+    from ..functions.convert import ColumnTransform
+
+    if isinstance(fn, ColumnTransform):
+        out = fn.to_column(col)
+        if default is not None:
+            out = F.coalesce(out, F.lit(default))
+        return out
     if fn in _NATIVE_CASTS:
         out = col.try_cast(_NATIVE_CASTS[fn])
         if default is not None:

@@ -29,6 +29,7 @@ from pyspark.sql import types as SQLT
 
 from . import comparators as cmp
 from .comparators import Comparator
+from .functions import convert as _convert
 from .exceptions import (
     NoSuchIndexError,
     SearchIndexInconsistentError,
@@ -1051,6 +1052,64 @@ class Table:
         }
 
     # ------------------------------------------------------------------ #
+    # type-conversion helpers (littletable.py:1158-1284)
+
+    def convert_numeric(
+        self,
+        fields: Any = None,
+        empty: Any = 0,
+        non_numeric: Any = None,
+        force_float: bool = False,
+    ) -> "Table":
+        from .functions.convert import ConvertNumeric
+
+        tf = ConvertNumeric(empty, non_numeric, force_float)
+        targets = (
+            self.fields
+            if fields is None
+            else (fields.split() if isinstance(fields, str) else list(fields))
+        )
+        df = self._require_df()
+        for c in targets:
+            df = df.withColumn(c, tf.to_column(F.col(c)))
+        self._mutate(df)
+        return self
+
+    def parse_datetime_field(self, attr: str, fmt: str | None = None) -> "Table":
+        from .functions.convert import ParseDatetime
+
+        self._mutate(
+            self._require_df().withColumn(
+                attr, ParseDatetime(fmt).to_column(F.col(attr))
+            )
+        )
+        return self
+
+    def parse_date_field(self, attr: str, fmt: str | None = None) -> "Table":
+        from .functions.convert import ParseDate
+
+        self._mutate(
+            self._require_df().withColumn(attr, ParseDate(fmt).to_column(F.col(attr)))
+        )
+        return self
+
+    def parse_timedelta_field(self, attr: str) -> "Table":
+        from .functions.convert import ParseTimedelta
+
+        self._mutate(
+            self._require_df().withColumn(
+                attr, ParseTimedelta().to_column(F.col(attr))
+            )
+        )
+        return self
+
+    def namedtuple_from_fields(self, name: str = "Row"):
+        """Row class derived from the schema (littletable.py:1480-1493)."""
+        from collections import namedtuple
+
+        return namedtuple(name, self.fields)
+
+    # ------------------------------------------------------------------ #
     # comparators as static members (reference API: Table.gt etc.)
 
     lt = staticmethod(cmp.lt)
@@ -1071,6 +1130,12 @@ class Table:
     within = staticmethod(cmp.within)
     in_range = staticmethod(cmp.in_range)
     re_match = staticmethod(cmp.re_match)
+
+    # transform factories for importer transforms= dicts
+    numeric = staticmethod(_convert.convert_numeric)
+    to_datetime = staticmethod(_convert.parse_datetime)
+    to_date = staticmethod(_convert.parse_date)
+    to_timedelta = staticmethod(_convert.parse_timedelta)
 
 
 def _parse_on(on: Any) -> tuple[str, str]:

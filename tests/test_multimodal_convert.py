@@ -1,0 +1,166 @@
+"""Multimodal binary columns, type-conversion transforms, as-of join."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from littletable_spark import Table, csv_import
+
+
+@pytest.fixture()
+def blobs(spark):
+    t = Table("media", spark=spark)
+    png = b"\x89PNG\r\n\x1a\n" + b"fakepayload"
+    jpg = b"\xff\xd8\xff\xe0" + b"other"
+    t.insert_many(
+        [
+            {"id": 0, "blob": png},
+            {"id": 1, "blob": jpg},
+            {"id": 2, "blob": b"plain text bytes"},
+            {"id": 3, "blob": b""},
+        ]
+    )
+    return t
+
+
+def test_sniff_media(blobs):
+    from littletable_spark.operators.multimodal import sniff_media
+
+    out = sniff_media(blobs, "blob")
+    metas = {r.id: r.media_meta for r in out}
+    assert metas[0]["format"] == "png"
+    assert metas[1]["format"] == "jpeg"
+    assert metas[2]["format"] == "unknown"
+    assert metas[0]["n_bytes"] == 19
+    assert metas[2]["content_hash"] == hashlib.md5(b"plain text bytes").hexdigest()
+
+
+def test_decode_image_fake_deterministic(blobs):
+    from littletable_spark.operators.multimodal import decode_image, media_features
+
+    decoded = decode_image(blobs, "blob", "id", width=4, height=4)
+    rows = {r.id: r for r in decoded}
+    assert len(rows[0].pixels) == 16
+    assert rows[0].width == 4 and rows[0].height == 4
+    # deterministic: same blob -> same pixels
+    again = {r.id: r for r in decode_image(blobs, "blob", "id", width=4, height=4)}
+    assert rows[0].pixels == again[0].pixels
+    feats = {r.id: r for r in media_features(decoded, "id")}
+    assert feats[0].n_px == 16
+    assert 0.0 <= feats[0].pmean <= 1.0
+    assert feats[0].pmin <= feats[0].pmean <= feats[0].pmax
+
+
+def test_decode_image_real_path_raises_without_pil(blobs):
+    from littletable_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; stub-gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(blobs, "blob", "id", use_fake=False)
+
+
+def test_frame_sample(blobs):
+    from littletable_spark.operators.multimodal import frame_sample
+
+    frames = frame_sample(blobs, "blob", "id", n_frames=4)
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append(r.frame_idx)
+    assert sorted(by_id[0]) == [0, 1, 2, 3]
+    assert sorted(by_id[3]) == [0, 1, 2, 3]  # empty blob still yields frames
+
+
+def test_media_repartition_by_bytes(blobs, spark):
+    from littletable_spark.operators.multimodal import media_repartition
+
+    df = media_repartition(blobs.df, "blob", target_bytes=16)
+    assert df.count() == 4  # content preserved
+    assert df.rdd.getNumPartitions() >= 2  # split by payload size
+
+
+def test_convert_numeric_transform(spark):
+    t = csv_import(
+        "a,b\n1,2.5\n,\nx,7\n",
+        transforms={"a": Table.numeric(empty=-1.0, non_numeric=-2.0), "b": float},
+        spark=spark,
+    )
+    rows = list(t)
+    assert [r.a for r in rows] == [1.0, -1.0, -2.0]
+    assert rows[0].b == 2.5 and rows[1].b is None
+
+
+def test_parse_datetime_date_transforms(spark):
+    t = csv_import(
+        "d,ts\n2024-03-01,2024-03-01 10:30:00\nbad,also bad\n",
+        transforms={"d": Table.to_date(), "ts": Table.to_datetime()},
+        spark=spark,
+    )
+    rows = list(t)
+    assert str(rows[0].d) == "2024-03-01"
+    assert rows[0].ts.hour == 10
+    assert rows[1].d is None and rows[1].ts is None  # unparseable -> None
+
+
+def test_parse_timedelta(spark):
+    t = csv_import(
+        'td\n01:30:00\n"2 days, 00:00:10"\nnope\n',
+        transforms={"td": Table.to_timedelta()},
+        spark=spark,
+    )
+    vals = [r.td for r in t]
+    assert vals[0] == 5400.0
+    assert vals[1] == 2 * 86400 + 10.0
+    assert vals[2] is None
+
+
+def test_convert_numeric_instance_method(spark):
+    t = Table("c", spark=spark)
+    t.insert_many([{"x": "10"}, {"x": ""}, {"x": "oops"}])
+    t.convert_numeric(fields=["x"], empty=0.0, non_numeric=-1.0)
+    assert [r.x for r in t] == [10.0, 0.0, -1.0]
+
+
+def test_asof_join_backward_forward(spark):
+    from littletable_spark.operators.joins import asof_join
+
+    trades = Table("trades", spark=spark)
+    trades.insert_many(
+        [
+            {"sym": "A", "t": 10, "qty": 1},
+            {"sym": "A", "t": 25, "qty": 2},
+            {"sym": "B", "t": 12, "qty": 3},
+            {"sym": "A", "t": 5, "qty": 4},  # before any quote
+        ]
+    )
+    quotes = Table("quotes", spark=spark)
+    quotes.insert_many(
+        [
+            {"sym": "A", "qt": 8, "px": 100.0},
+            {"sym": "A", "qt": 20, "px": 110.0},
+            {"sym": "A", "qt": 25, "px": 115.0},  # tie with trade t=25
+            {"sym": "B", "qt": 1, "px": 50.0},
+        ]
+    )
+    back = asof_join(
+        trades, quotes, "t", "qt", by={"sym": "sym"}, right_cols=["px"]
+    )
+    got = {(r.sym, r.t): r.px for r in back}
+    assert got[("A", 10)] == 100.0
+    assert got[("A", 25)] == 115.0  # inclusive tie
+    assert got[("B", 12)] == 50.0
+    assert got[("A", 5)] is None  # no earlier quote
+
+    fwd = asof_join(
+        trades, quotes, "t", "qt", by={"sym": "sym"}, direction="forward",
+        right_cols=["px"],
+    )
+    gotf = {(r.sym, r.t): r.px for r in fwd}
+    assert gotf[("A", 5)] == 100.0  # nearest later
+    assert gotf[("A", 25)] == 115.0  # inclusive tie
+    assert gotf[("B", 12)] is None  # no later quote
