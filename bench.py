@@ -26,8 +26,12 @@ HEADLINE = [
     "unique",
     "compute_field",
     "events_tumbling",
+    "events_session",
+    "asof_join",
     "stats",
     "pivot_counts",
+    "multimodal_meta",
+    "multimodal_decode",
 ]
 
 
