@@ -445,6 +445,44 @@ def q_search_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("doc_id text_search_score").df
 
 
+def q_slice_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """positional slice t[100:150] in sorted order (dense row indexing)."""
+    o = _t(spark, sf_dir, "orders")
+    o.orderby("o_totalprice desc, o_orderkey")
+    return o[100:150].select("o_orderkey o_totalprice").df
+
+
+def q_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head + tail composition in sorted order (UNION ALL of both ends)."""
+    o = _t(spark, sf_dir, "orders")
+    o.orderby("o_totalprice desc, o_orderkey")
+    both = o.head(5) + o.tail(5)
+    return both.select("o_orderkey o_totalprice").df
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube() grouping-sets aggregate (capability win over the reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.cube(
+        ["l_returnflag", "l_linestatus"],
+        sum_qty=F.round(F.sum("l_quantity"), 2),
+        n=F.count(F.lit(1)),
+    )
+    return out.df
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-count aggregates per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.groupby_with_summaries(
+        "l_returnflag",
+        n_parts=F.count_distinct(F.col("l_partkey")),
+        n_supps=F.count_distinct(F.col("l_suppkey")),
+        n=F.count(F.lit(1)),
+    )
+    return out.df
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """as-of join: each event gets the user's latest order at/before it.
 
@@ -570,6 +608,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "search_text": q_search_text,
+        "slice_positional": q_slice_positional,
+        "head_tail": q_head_tail,
+        "cube": q_cube,
+        "agg_distinct": q_agg_distinct,
         "asof_join": q_asof_join,
         "convert_numeric": q_convert_numeric,
         "multimodal_meta": q_multimodal_meta,
@@ -946,6 +988,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, fingerprint, min(w) AS min_window_hash
             FROM wh GROUP BY doc_id, fingerprint
+        """,
+        "slice_positional": """
+            SELECT o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn > 100 AND rn <= 150
+        """,
+        "head_tail": """
+            (SELECT o_orderkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+            UNION ALL
+            (SELECT o_orderkey, o_totalprice FROM orders
+             ORDER BY o_totalprice ASC, o_orderkey DESC LIMIT 5)
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "agg_distinct": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "asof_join": """
             WITH e AS (

@@ -86,20 +86,38 @@ def json_export(
     fieldnames: Any = None,
     streaming: bool = False,
     distributed: bool = False,
+    json_encoder: Any = None,
     **kwargs: Any,
 ) -> str | None:
     """JSON array, or JSONL when ``streaming=True`` (reference kwarg,
-    littletable.py:3319)."""
+    littletable.py:3319). ``json_encoder`` mirrors the reference's custom
+    encoder chain (littletable.py:3346-3354): a JSONEncoder class (or
+    tuple of them) whose ``default`` handles non-serializable cells."""
     if distributed:
         t = table.select(fieldnames) if fieldnames is not None else table
         t.df.write.mode("overwrite").json(str(dest))
         return None
     cols, rows = _collected(table, fieldnames)
     dicts = [dict(zip(cols, r)) for r in rows]
+    default = _json_default
+    if json_encoder is not None:
+        encoders = (
+            list(json_encoder) if isinstance(json_encoder, (tuple, list)) else [json_encoder]
+        )
+        instances = [e() if isinstance(e, type) else e for e in encoders]
+
+        def default(o, _insts=instances):  # noqa: F811 - chained fallback
+            for enc in _insts:
+                try:
+                    return enc.default(o)
+                except TypeError:
+                    continue
+            return _json_default(o)
+
     if streaming:
-        text = "\n".join(json.dumps(d, default=_json_default) for d in dicts)
+        text = "\n".join(json.dumps(d, default=default) for d in dicts)
     else:
-        text = json.dumps(dicts, indent=2, default=_json_default)
+        text = json.dumps(dicts, indent=2, default=default)
     if dest is None:
         return text
     if isinstance(dest, (str, os.PathLike)):
@@ -178,12 +196,31 @@ def as_html(table, fields: Any = None, formats: dict | None = None, **kwargs: An
     return "".join(parts)
 
 
-def present(table, fields: Any = None, limit: int | None = None, **kwargs: Any) -> None:
+def present(
+    table,
+    fields: Any = None,
+    limit: int | None = None,
+    groupby: Any = None,
+    **kwargs: Any,
+) -> None:
     """Console rendering; uses rich when available (the reference's
-    presentation backend), plain aligned text otherwise."""
+    presentation backend), plain aligned text otherwise. ``groupby``
+    blanks repeated leading values (littletable.py:4038-4069)."""
     cols, rows = _collected(table, fields)
     if limit is not None:
         rows = rows[:limit]
+    if groupby:
+        gcols = groupby.split() if isinstance(groupby, str) else list(groupby)
+        prev: dict[int, Any] = {}
+        suppressed = []
+        for r in rows:
+            out_row = list(r)
+            for i, c in enumerate(cols):
+                if c in gcols and prev.get(i) == r[i]:
+                    out_row[i] = ""
+                prev[i] = r[i]
+            suppressed.append(out_row)
+        rows = suppressed
     try:
         from rich.console import Console
         from rich.table import Table as RichTable
@@ -216,13 +253,16 @@ def formatted_table(table, fields: Iterable[str], field_formats: dict[str, str])
     from .table import Table
 
     sel = list(fields) if fields else table.fields
-    t = table
     cols = []
     for c in sel:
         fmt = field_formats.get(c)
         if fmt:
-            cols.append(F.format_string(fmt.replace("{}", "%s").replace("{:", "%").replace("}", ""), F.col(c)).alias(c) if "%" in fmt else F.col(c).cast("string").alias(c))
+            # accept python format specs ("{:.2f}", "{}") or printf ("%.2f")
+            printf = fmt.replace("{}", "%s").replace("{:", "%").replace("}", "")
+            if "%" not in printf:
+                printf = "%s"
+            cols.append(F.format_string(printf, F.col(c)).alias(c))
         else:
             cols.append(F.col(c).cast("string").alias(c))
-    out = t._require_df().select(*cols, F.col("__epoch__"), F.col("__row_ord__"))
-    return t._derive(out)
+    out = table._require_df().select(*cols, F.col("__epoch__"), F.col("__row_ord__"))
+    return table._derive(out)

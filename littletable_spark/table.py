@@ -43,12 +43,15 @@ INTERNAL = (ROW_ORD, EPOCH)
 
 
 class _IndexInfo:
-    __slots__ = ("attr", "unique", "accept_none")
+    __slots__ = ("attr", "unique", "accept_none", "cached")
 
-    def __init__(self, attr: str, unique: bool, accept_none: bool) -> None:
+    def __init__(
+        self, attr: str, unique: bool, accept_none: bool, cached: bool = False
+    ) -> None:
         self.attr = attr
         self.unique = unique
         self.accept_none = accept_none
+        self.cached = cached
 
 
 class _IndexAccessor:
@@ -59,8 +62,32 @@ class _IndexAccessor:
         self._attr = attr
         self._info = table._indexes[attr]
 
+    def _cached_lookup(self, key: Any) -> Any:
+        """Driver-side hot map for unique point lookups.
+
+        ``by.id[k]`` is O(1) in the reference but a Spark job here
+        (SURVEY §7.3.8); with ``create_index(cache=True)`` the key→row
+        map is collected once per table version and point lookups stop
+        launching jobs. Only sensible for dimension-sized tables.
+        """
+        t = self._table
+        cache, version = t._index_caches.get(self._attr, (None, -1))
+        if cache is None or version != t._version:
+            rows = t._ordered_df().collect()
+            cache = {}
+            for r in rows:
+                k = r[self._attr]
+                if k is not None and k not in cache:
+                    cache[k] = _row_to_ns(r)
+            t._index_caches[self._attr] = (cache, t._version)
+        if key not in cache:
+            raise KeyError(key)
+        return cache[key]
+
     def __getitem__(self, key: Any) -> Any:
         t = self._table
+        if self._info.cached and self._info.unique and not isinstance(key, slice):
+            return self._cached_lookup(key)
         if isinstance(key, slice):
             if key.step is not None:
                 raise ValueError("stepped slices not supported on index access")
@@ -170,6 +197,7 @@ class Table:
         self._sort: list[tuple[str, bool]] = []  # (expr, ascending)
         self._sort_udf_cols: list[Column] | None = None
         self._indexes: dict[str, _IndexInfo] = {}
+        self._index_caches: dict[str, tuple[dict | None, int]] = {}
         self._search_indexes: dict[str, Any] = {}
         self._version = 0
         self._len_cache: int | None = None
@@ -833,10 +861,11 @@ class Table:
         unique: bool = False,
         accept_none: bool = False,
         force: bool = False,
+        cache: bool = False,
     ) -> "Table":
         if attr in self._indexes and not force:
             raise ValueError(f"index on {attr!r} already exists")
-        info = _IndexInfo(attr, unique, accept_none)
+        info = _IndexInfo(attr, unique, accept_none, cached=cache)
         if unique and self._df is not None and attr in self._df.columns:
             key = F.col(attr)
             agg = self._df.agg(
@@ -1018,6 +1047,11 @@ class Table:
         from .exporters import json_export
 
         return json_export(self, dest, fieldnames, streaming=streaming, **kwargs)
+
+    def excel_export(self, dest: Any, fieldnames: Any = None, **kwargs: Any) -> None:
+        from .sources.excel_io import excel_export
+
+        return excel_export(self, dest, fieldnames, **kwargs)
 
     def as_markdown(self, fields: Any = None, groupby: Any = None) -> str:
         from .exporters import as_markdown
