@@ -483,6 +483,16 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def q_search_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full-text search in raw-token mode (normalize=False): the whole
+    scoring pipeline — inverted index, +/-- weights, exclusion, ranked
+    limit — is SQL-reproducible, so this one IS oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    d.create_search_index("text", normalize=False)
+    result = d.search.text("+merge spark --vector", limit=50)
+    return result.select("doc_id text_search_score").df
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """as-of join: each event gets the user's latest order at/before it.
 
@@ -608,6 +618,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "search_text": q_search_text,
+        "search_raw": q_search_raw,
         "slice_positional": q_slice_positional,
         "head_tail": q_head_tail,
         "cube": q_cube,
@@ -988,6 +999,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, fingerprint, min(w) AS min_window_hash
             FROM wh GROUP BY doc_id, fingerprint
+        """,
+        "search_raw": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS toks
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                     (CASE WHEN list_contains(toks, 'merge') THEN 1000 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'spark') THEN 100 ELSE 0 END)
+                       AS text_search_score
+              FROM t
+              WHERE (list_contains(toks, 'merge') OR list_contains(toks, 'spark'))
+                AND NOT list_contains(toks, 'vector')
+            )
+            SELECT doc_id, text_search_score FROM scored
+            ORDER BY text_search_score DESC, doc_id LIMIT 50
         """,
         "slice_positional": """
             SELECT o_orderkey, o_totalprice FROM (

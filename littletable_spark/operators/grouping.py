@@ -34,30 +34,41 @@ def groupby_with_summaries(
 ) -> Table:
     keys = _keys(keyexpr)
     fields = table.fields
+
+    def _as_callable(e: Any):
+        """Summary spec forms: Column | SQL string | callable |
+        (callable, return_type_str)."""
+        if isinstance(e, tuple) and len(e) == 2 and callable(e[0]):
+            return e
+        if callable(e) and not isinstance(e, Column):
+            return (e, None)
+        return None
+
     aggs: list[Column] = []
-    needs_rows = any(
-        callable(e) and not isinstance(e, Column) for e in outexprs.values()
-    )
+    needs_rows = any(_as_callable(e) for e in outexprs.values())
     rows_col = F.collect_list(F.struct(*[F.col(c) for c in fields])).alias("__rows__")
     for name, expr in outexprs.items():
+        if _as_callable(expr):
+            continue  # second pass over __rows__
         if isinstance(expr, Column):
             aggs.append(expr.alias(name))
         elif isinstance(expr, str):
             aggs.append(F.expr(expr).alias(name))
-        elif callable(expr):
-            continue  # second pass over __rows__
         else:
             raise TypeError(f"unsupported summary expression for {name!r}")
     if needs_rows:
         aggs.append(rows_col)
     grouped = table.df.groupBy(*keys).agg(*aggs)
     for name, expr in outexprs.items():
-        if callable(expr) and not isinstance(expr, Column):
+        spec = _as_callable(expr)
+        if spec:
+            fn, rtype = spec
 
-            def call(rows: Any, _fn=expr) -> Any:
+            def call(rows: Any, _fn=fn) -> Any:
                 return _fn([SimpleNamespace(**r.asDict()) for r in rows])
 
-            grouped = grouped.withColumn(name, F.udf(call)(F.col("__rows__")))
+            udf = F.udf(call, rtype) if rtype else F.udf(call)
+            grouped = grouped.withColumn(name, udf(F.col("__rows__")))
     if needs_rows:
         grouped = grouped.drop("__rows__")
     t = Table.from_df(grouped, name=f"{table.table_name}_summary")

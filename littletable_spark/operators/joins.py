@@ -123,6 +123,45 @@ def join_tables(
     return t
 
 
+def salted_join(
+    left: Table,
+    right: Table,
+    left_key: str,
+    right_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> Table:
+    """Skew-resistant equi-join: salt the (large, skewed) left side and
+    replicate the right side once per salt value.
+
+    For a hot key holding p% of the left rows, a plain shuffle join puts
+    all of them in one task; salting splits them across ``salt`` tasks at
+    the cost of a ``salt``-times replicated right side — the classic
+    trade when AQE's skew splitting isn't enough (e.g. the skew is in an
+    aggregation-feeding join). Same output as a plain join.
+    """
+    ldf = left._require_df()
+    rdf = right._require_df()
+    lsalted = ldf.withColumn(
+        "__salt__", (F.rand(seed=0) * salt).cast("int")
+    )
+    rrepl = rdf.select(
+        *[F.col(c).alias(_RPREFIX + c) for c in rdf.columns]
+    ).withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    cond = (lsalted[left_key] == rrepl[_RPREFIX + right_key]) & (
+        lsalted["__salt__"] == rrepl["__salt__"]
+    )
+    joined = lsalted.join(rrepl, on=cond, how=how).drop("__salt__")
+    out_cols = [lsalted[c].alias(c) for c in ldf.columns] + [
+        rrepl[_RPREFIX + c].alias(c)
+        for c in right.fields
+        if c != right_key and c not in left.fields
+    ]
+    t = left._derive(joined.select(*out_cols), keep_sort=False)
+    t._clear_sort()
+    return t
+
+
 def asof_join(
     left: Table,
     right: Table,

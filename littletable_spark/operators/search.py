@@ -43,30 +43,53 @@ class SearchIndex:
         self.attr = attr
         self.index_df = index_df
         self.version = version
+        self.normalize = True
 
     @classmethod
-    def build(cls, table, attr: str, stopwords: Iterable[str] | None = None) -> "SearchIndex":
-        extra_stop = frozenset(stopwords or ())
-
-        @F.pandas_udf(SQLT.ArrayType(SQLT.StringType()))
-        def terms_of(texts: pd.Series) -> pd.Series:
-            return texts.map(
-                lambda t: [
-                    w for w in normalize_text(t or "") if w not in extra_stop
-                ]
-            )
-
+    def build(
+        cls,
+        table,
+        attr: str,
+        stopwords: Iterable[str] | None = None,
+        normalize: bool = True,
+    ) -> "SearchIndex":
         from ..table import EPOCH
+
+        extra_stop = frozenset(stopwords or ())
+        text = F.col(attr).cast("string")
+        if normalize:
+
+            @F.pandas_udf(SQLT.ArrayType(SQLT.StringType()))
+            def terms_of(texts: pd.Series) -> pd.Series:
+                return texts.map(
+                    lambda t: [
+                        w for w in normalize_text(t or "") if w not in extra_stop
+                    ]
+                )
+
+            words = terms_of(text)
+        else:
+            # raw mode: lowercase whitespace tokens, no linguistic
+            # normalization — fully native (and SQL-reproducible)
+            toks = F.filter(
+                F.split(F.trim(F.lower(text)), r"\s+"), lambda x: x != F.lit("")
+            )
+            if extra_stop:
+                stop_arr = F.array(*[F.lit(s) for s in sorted(extra_stop)])
+                toks = F.filter(toks, lambda x: ~F.array_contains(stop_arr, x))
+            words = F.array_distinct(toks)
 
         # key rows by (epoch, row_ord): row_ord alone is only unique
         # within one insert batch
         df = table._require_df().select(
             F.col(EPOCH),
             F.col(ROW_ORD),
-            F.explode(terms_of(F.col(attr).cast("string"))).alias("word"),
+            F.explode(words).alias("word"),
         )
         index_df = df.persist()
-        return cls(attr, index_df, table._version)
+        idx = cls(attr, index_df, table._version)
+        idx.normalize = normalize
+        return idx
 
     def unpersist(self) -> None:
         try:
@@ -133,7 +156,10 @@ def search(
     term_rows: list[dict] = []
     n_required = 0
     for term_id, (mode, term) in enumerate(parsed):
-        variants = normalize_query_term(term)
+        if idx.normalize:
+            variants = normalize_query_term(term)
+        else:
+            variants = [term.lower()] if term.strip() else []
         if not variants:
             continue
         if mode == "required":

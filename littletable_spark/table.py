@@ -986,6 +986,7 @@ class Table:
         using: Any = None,
         stopwords: Iterable[str] | None = None,
         force: bool = False,
+        normalize: bool = True,
     ) -> "Table":
         from .operators.search import SearchIndex
 
@@ -997,7 +998,9 @@ class Table:
             idx = self._search_indexes[attr]
             if idx.version == self._version:
                 return self
-        self._search_indexes[attr] = SearchIndex.build(self, attr, stopwords)
+        self._search_indexes[attr] = SearchIndex.build(
+            self, attr, stopwords, normalize=normalize
+        )
         return self
 
     def delete_search_index(self, attr: str) -> "Table":
@@ -1007,7 +1010,10 @@ class Table:
         return self
 
     def rebuild_search_index(self, attr: str) -> "Table":
-        return self.create_search_index(attr, force=True)
+        old = self._search_indexes.get(attr)
+        return self.create_search_index(
+            attr, force=True, normalize=(old.normalize if old else True)
+        )
 
     @property
     def search(self):
