@@ -223,3 +223,38 @@ class PivotTable:
 
     def summarize(self, fn: Any = None, col: str | None = None) -> Table:
         return self.as_table(fn, col)
+
+    def as_html(self, fn: Any = None, col: str | None = None) -> str:
+        """2-D pivot summary as an HTML cross-tab with row/col/grand
+        totals (littletable.py:4510-4599)."""
+        if len(self.attrs) < 2:
+            return self.as_table(fn, col).as_html()
+        a, b = self.attrs[0], self.attrs[1]
+        bvals = self.values_for(b)
+        agg_df = self.as_table(fn, col).df
+        val_col = [c for c in agg_df.columns if c not in self.attrs][0]
+        cells: dict[tuple, Any] = {
+            (r[a], r[b]): r[val_col] for r in agg_df.collect()
+        }
+        avals = sorted({k[0] for k in cells})
+        parts = ["<table>", "<thead><tr>", f"<th>{a}\\{b}</th>"]
+        parts += [f"<th>{v}</th>" for v in bvals] + ["<th>Total</th>", "</tr></thead>", "<tbody>"]
+        col_tot = {v: 0 for v in bvals}
+        grand = 0
+        for av in avals:
+            row_cells = [cells.get((av, bv), 0) for bv in bvals]
+            for bv, c in zip(bvals, row_cells):
+                col_tot[bv] += c
+            grand += sum(row_cells)
+            parts.append(
+                f"<tr><td>{av}</td>"
+                + "".join(f"<td>{c}</td>" for c in row_cells)
+                + f"<td>{sum(row_cells)}</td></tr>"
+            )
+        parts.append(
+            "<tr><td>Total</td>"
+            + "".join(f"<td>{col_tot[bv]}</td>" for bv in bvals)
+            + f"<td>{grand}</td></tr>"
+        )
+        parts += ["</tbody>", "</table>"]
+        return "".join(parts)

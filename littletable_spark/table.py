@@ -929,6 +929,17 @@ class Table:
 
         return JoinTerm(self, attr, join)
 
+    def cross_join(self, other: "Table") -> "Table":
+        """Cartesian product — net-new (reference has none, SURVEY §2.3)."""
+        ldf = self.df
+        rdf = other.df
+        dup = [c for c in rdf.columns if c in ldf.columns]
+        rdf = rdf.select(
+            *[F.col(c).alias(f"{other.table_name or 'right'}_{c}" if c in dup else c) for c in rdf.columns]
+        )
+        out = ldf.crossJoin(rdf)
+        return Table.from_df(out, name=f"{self.table_name}:x:{other.table_name}")
+
     # semi/anti — net-new over the reference (its idiom is is_in over .all)
     def semi_join(self, other: "Table", on: Any) -> "Table":
         left_key, right_key = _parse_on(on)
