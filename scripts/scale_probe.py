@@ -1,0 +1,123 @@
+"""Scale probe: do the headline plans survive a 10x data blow-up?
+
+Synthesizes ~sf1 in memory (union of sf0.1 lineitem/orders with shifted
+keys, 10 copies) and times representative operators at 1x vs 10x. A
+scale-safe plan should grow ~linearly; a super-linear jump flags a
+bottleneck (single-partition stage, driver materialization, quadratic
+kernel). Usage: python scripts/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from littletable_spark import Table, get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def blow_up(df, key_cols: list[str], copies: int):
+    """Union `copies` shifted replicas — distinct keys per replica."""
+    out = None
+    for i in range(copies):
+        rep = df
+        for k in key_cols:
+            rep = rep.withColumn(k, F.col(k) + F.lit(i * 100_000_000))
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def timed(label, fn, results):
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    results[label] = dt
+    return dt
+
+
+def main() -> None:
+    spark = get_spark(cpus=32)
+    li1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o1 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li10 = blow_up(li1, ["l_orderkey"], COPIES)
+    o10 = blow_up(o1, ["o_orderkey", "o_custkey"], COPIES)
+
+    def q1(df):
+        return (
+            df.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.avg("l_quantity"),
+                F.count(F.lit(1)),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def join_agg(li, o):
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice"), F.count(F.lit(1)))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def topk(o):
+        return (
+            o.orderBy(F.col("o_totalprice").desc()).limit(100)
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    def window_topk(o):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+        return (
+            o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    def minhash(sf_docs):
+        from littletable_spark.operators.dedup import minhash_lsh_pairs
+
+        t = Table.from_df(sf_docs)
+        minhash_lsh_pairs(t, "doc_id", "text").df.write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs10 = blow_up(docs1, ["doc_id"], COPIES)
+
+    # warm up plans
+    q1(li1); join_agg(li1, o1); topk(o1); window_topk(o1); minhash(docs1)
+
+    results: dict[str, float] = {}
+    timed("q1_agg_1x", lambda: q1(li1), results)
+    timed("q1_agg_10x", lambda: q1(li10), results)
+    timed("join_agg_1x", lambda: join_agg(li1, o1), results)
+    timed("join_agg_10x", lambda: join_agg(li10, o10), results)
+    timed("topk_1x", lambda: topk(o1), results)
+    timed("topk_10x", lambda: topk(o10), results)
+    timed("window_topk_1x", lambda: window_topk(o1), results)
+    timed("window_topk_10x", lambda: window_topk(o10), results)
+    timed("minhash_1x", lambda: minhash(docs1), results)
+    timed("minhash_10x", lambda: minhash(docs10), results)
+
+    print(f"{'query':<18}{'1x sec':>9}{'10x sec':>10}{'ratio':>8}")
+    for base in ["q1_agg", "join_agg", "topk", "window_topk", "minhash"]:
+        a, b = results[f"{base}_1x"], results[f"{base}_10x"]
+        print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
+
+
+if __name__ == "__main__":
+    main()
