@@ -483,6 +483,22 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def q_groupby_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """consecutive-run groupby (itertools semantics): runs of equal
+    o_orderstatus in orderkey order, aggregated per run."""
+    from littletable_spark.operators.grouping import consecutive_runs
+
+    o = _t(spark, sf_dir, "orders")
+    out = consecutive_runs(
+        o,
+        "o_orderstatus",
+        order_by="o_orderkey",
+        n_orders=F.count(F.lit(1)),
+        max_price=F.max("o_totalprice"),
+    )
+    return out.df
+
+
 def q_search_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """full-text search in raw-token mode (normalize=False): the whole
     scoring pipeline — inverted index, +/-- weights, exclusion, ranked
@@ -594,6 +610,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "union": q_union,
         "groupby_summaries": q_groupby_summaries,
+        "groupby_runs": q_groupby_runs,
         "pivot_counts": q_pivot_counts,
         "pivot_sum": q_pivot_sum,
         "rollup": q_rollup,
@@ -733,6 +750,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "groupby_runs": """
+            WITH l AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     CASE WHEN o_orderstatus = lag(o_orderstatus)
+                            OVER (ORDER BY o_orderkey)
+                          THEN 0 ELSE 1 END AS brk
+              FROM orders
+            ), r AS (
+              SELECT o_orderstatus, o_totalprice,
+                     sum(brk) OVER (ORDER BY o_orderkey) AS run_id
+              FROM l
+            )
+            SELECT run_id, o_orderstatus, count(*) AS n_orders,
+                   max(o_totalprice) AS max_price
+            FROM r GROUP BY run_id, o_orderstatus
         """,
         "pivot_counts": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS count

@@ -121,6 +121,38 @@ def groupby_iter(
         yield (keyvals[0] if len(keys) == 1 else keyvals), sub
 
 
+def consecutive_runs(
+    table: Table, keyexpr: Any, order_by: Any = None, **aggs: Column
+) -> Table:
+    """Aggregate consecutive same-key runs (itertools.groupby semantics,
+    littletable.py:3612) as a DataFrame — the set-returning companion to
+    the ``groupby`` iterator.
+
+    Run ids come from lag+cumsum over the given order. With an explicit
+    ``order_by`` the window is global (total order is inherent to
+    consecutive-run semantics); partition-scoped variants should add the
+    partition key to ``keyexpr`` and window on it.
+    """
+    from pyspark.sql import Window
+
+    keys = _keys(keyexpr)
+    df = table._require_df()
+    if order_by is None:
+        order_cols = table._sort_cols()
+    else:
+        order_cols = [F.col(c) for c in _keys(order_by)]
+    w = Window.orderBy(*order_cols)
+    key_struct = F.struct(*[F.col(k) for k in keys])
+    change = F.when(
+        key_struct.eqNullSafe(F.lag(key_struct).over(w)), F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = df.withColumn("run_id", F.sum(change).over(w))
+    out = runs.groupBy("run_id", *keys).agg(
+        *([c.alias(n) for n, c in aggs.items()] or [F.count(F.lit(1)).alias("n_rows")])
+    )
+    return Table.from_df(out, name=f"{table.table_name}_runs")
+
+
 _AGG_MAP: dict[Any, Callable[[str], Column]] = {
     len: lambda c: F.count(F.lit(1)),
     sum: lambda c: F.sum(c),

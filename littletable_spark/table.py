@@ -386,6 +386,10 @@ class Table:
         self._mutate(dense.filter(F.col(ROW_ORD) != F.lit(idx)))
         return row
 
+    def __repr__(self) -> str:
+        name = self.table_name or "<unnamed>"
+        return f"Table({name!r}, fields={self.fields})"
+
     # ------------------------------------------------------------------ #
     # naming / copying
 
@@ -551,7 +555,12 @@ class Table:
             return F.coalesce(out, F.lit(False))
         return F.lit(False)
 
+    def _empty_like(self) -> "Table":
+        return Table(name=self.table_name, spark=self._spark)
+
     def where(self, wherefn: Any = None, **kwargs: Any) -> "Table":
+        if self._df is None:  # schemaless empty table: queries are no-ops
+            return self._empty_like()
         df = self._require_df()
         pred = self._compile_kwargs(kwargs) if kwargs else None
         if wherefn is not None:
@@ -628,6 +637,8 @@ class Table:
         """Dedup keeping first occurrence in table order (littletable.py:3773-3795)."""
         from pyspark.sql import Window
 
+        if self._df is None:
+            return self._empty_like()
         df = self._require_df()
         if key is None:
             part_cols = [F.col(c) for c in self.fields]
@@ -803,6 +814,8 @@ class Table:
         return self
 
     def head(self, n: int = 10) -> "Table":
+        if self._df is None:
+            return self._empty_like()
         return self._derive(self._ordered_df().limit(n))
 
     def tail(self, n: int = 10) -> "Table":
