@@ -140,22 +140,63 @@ def lsh_topk(
     scale this is the difference between O(Q·N) and O(Q·N/2^planes).
     """
     planes = _planes(dim, n_planes, seed)
+
+    def with_sig(out_id: str, out_vec: str):
+        schema = f"{out_id} long, {out_vec} array<double>, sig string"
+
+        def sig_batches(batches, _planes=planes, _in_id=out_id, _in_vec=out_vec):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.array([list(v) for v in pdf[_in_vec]], dtype=np.float64)
+                bits = (M @ _planes.T) >= 0
+                sigs = ["".join("1" if b else "0" for b in row) for row in bits]
+                yield pd.DataFrame(
+                    {_in_id: pdf[_in_id], _in_vec: pdf[_in_vec], "sig": sigs}
+                )
+
+        return sig_batches, schema
+
+    cfn, cschema = with_sig("corpus_id", "cvec")
     cdf = corpus.df.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("sig", lsh_signature(F.col("cvec"), planes))
+    ).mapInPandas(cfn, cschema)
+    qfn, qschema = with_sig("query_id", "qvec")
     qdf = queries.df.select(
         F.col(query_id_col or id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("sig", lsh_signature(F.col("qvec"), planes))
-    scored = (
-        cdf.join(F.broadcast(qdf), on="sig")
-        .filter(F.col("query_id") != F.col("corpus_id"))
-        .select(
-            "query_id",
-            "corpus_id",
-            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
-        )
+    ).mapInPandas(qfn, qschema)
+    candidates = cdf.join(F.broadcast(qdf), on="sig").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+
+    def rerank(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
+            Q = np.array([list(v) for v in pdf["qvec"]], dtype=np.float64)
+            dots = np.einsum("ij,ij->i", C, Q)
+            cos = np.round(
+                dots / (np.linalg.norm(C, axis=1) * np.linalg.norm(Q, axis=1)), 6
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "corpus_id": pdf["corpus_id"],
+                    "cosine": cos,
+                }
+            )
+
+    scored = candidates.mapInPandas(
+        rerank, "query_id long, corpus_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()

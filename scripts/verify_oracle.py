@@ -46,10 +46,23 @@ def multiset(rows, cols):
 
 
 def main() -> int:
-    import __spark_entry__ as entrymod
-    from littletable_spark import get_spark
+    import os
 
-    spark = get_spark(cpus=8)
+    import __spark_entry__ as entrymod
+
+    if os.environ.get("PLAIN_SESSION"):
+        # mimic the driver: stock session, no engine-tuned config
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("plain_verify")
+            .getOrCreate()
+        )
+    else:
+        from littletable_spark import get_spark
+
+        spark = get_spark(cpus=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
