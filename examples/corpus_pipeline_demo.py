@@ -1,0 +1,55 @@
+"""A training-data curation pipeline over the documents/embeddings tables:
+quality-filter -> language ID -> exact + near dedup -> similarity check.
+
+Run: python examples/corpus_pipeline_demo.py [sf_dir]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from littletable_spark import Table, get_spark
+from littletable_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from littletable_spark.operators.similarity import cosine_topk
+from littletable_spark.operators.textops import lang_id, quality_score
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(cpus=8)
+    docs = Table.parquet_import(spark, f"{sf_dir}/documents.parquet", "documents")
+
+    # 1. quality gate
+    q = quality_score(docs, "text", "doc_id")
+    keep = q.where(quality=Table.ge(0.3))
+    print(f"quality gate: {len(keep)}/{len(docs)} docs pass")
+
+    # 2. language distribution (predicted)
+    langs = lang_id(docs, "text", "doc_id")
+    langs.groupby_with_summaries("pred_lang", n=F.count(F.lit(1))).orderby(
+        "n desc"
+    ).present()
+
+    # 3. dedup: exact, then MinHash candidates verified by Jaccard
+    exact = exact_dedup(docs, ["text"], "doc_id")
+    print(f"exact dedup: {len(docs) - len(exact)} duplicate docs removed")
+    cands = minhash_lsh_pairs(docs, "doc_id", "text")
+    verified = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7)
+    print(f"near-dup: {len(cands)} LSH candidates, {len(verified)} verified ≥0.7")
+
+    # 4. nearest neighbors for the first few embeddings
+    emb = Table.parquet_import(spark, f"{sf_dir}/embeddings.parquet", "embeddings")
+    nn = cosine_topk(emb, emb.where(vec_id=Table.lt(3)), "vec_id", "embedding", k=3)
+    print("\nTop-3 neighbors per query vector:")
+    nn.orderby("query_id, rank").select("query_id corpus_id cosine rank").present()
+
+
+if __name__ == "__main__":
+    main()
