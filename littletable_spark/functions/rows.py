@@ -50,17 +50,22 @@ def to_row_dict(obj: Any) -> dict[str, Any]:
 
 
 def _normalize_value(v: Any) -> Any:
-    """Nested dicts/objects stay as dicts → Spark StructType/MapType.
+    """Nested dicts/objects become Rows → Spark StructType.
 
-    Mirrors the reference's recursive dict wrapping (littletable.py:1147-1156)
-    in reverse: nested namespaces become nested dicts at ingest.
+    Mirrors the reference's recursive dict wrapping into namespaces
+    (littletable.py:1147-1156): a struct, not a map — map inference would
+    force one common value type across heterogeneous nested fields.
     """
     if isinstance(v, Mapping):
-        return {str(k): _normalize_value(x) for k, x in v.items()}
+        from pyspark.sql import Row
+
+        return Row(**{str(k): _normalize_value(x) for k, x in v.items()})
     if isinstance(v, (list, tuple)) and not hasattr(v, "_fields"):
         return [_normalize_value(x) for x in v]
     if hasattr(v, "__dict__") and not isinstance(v, type) and vars(v):
         cls = type(v).__module__
         if cls not in ("builtins", "datetime", "decimal", "numpy"):
-            return {k: _normalize_value(x) for k, x in vars(v).items()}
+            from pyspark.sql import Row
+
+            return Row(**{str(k): _normalize_value(x) for k, x in vars(v).items()})
     return v

@@ -100,7 +100,12 @@ def _exact_medians(df, cols: dict[str, "F.Column"], counts: dict[str, int]) -> d
     return out
 
 
-def stats_table(table: Table, field_names: Any = None, by_field: bool = True) -> Table:
+def stats_table(
+    table: Table,
+    field_names: Any = None,
+    by_field: bool = True,
+    approx: bool = False,
+) -> Table:
     df = table.df
     schema = {f.name: f.dataType for f in df.schema.fields}
     if field_names is None:
@@ -133,18 +138,28 @@ def stats_table(table: Table, field_names: Any = None, by_field: bool = True) ->
             F.count(col).alias(f"{c}__count"),
             (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__missing"),
         ]
-    # one whole-stage-codegen pass for the algebraic stats, then two fixed
-    # passes for all exact medians (Spark's `percentile` buffers a
-    # value->count map per partition and degrades on high-cardinality
-    # doubles; the sketch-bracketed selection in _exact_medians does not)
-    row = df.agg(*aggs).collect()[0].asDict()
-    medians = _exact_medians(
-        df,
-        {c: _col(c) for c in fields},
-        {c: int(row[f"{c}__count"]) for c in fields},
-    )
-    for c in fields:
-        row[f"{c}__median"] = medians[c]
+    if approx:
+        # 100 TB path: one single pass, sketch-mergeable medians
+        aggs += [
+            F.percentile_approx(_col(c), F.lit(0.5), F.lit(10000)).alias(
+                f"{c}__median"
+            )
+            for c in fields
+        ]
+        row = df.agg(*aggs).collect()[0].asDict()
+    else:
+        # one whole-stage-codegen pass for the algebraic stats, then two
+        # fixed passes for all exact medians (Spark's `percentile` buffers
+        # a value->count map per partition and degrades on high-cardinality
+        # doubles; the sketch-bracketed selection in _exact_medians does not)
+        row = df.agg(*aggs).collect()[0].asDict()
+        medians = _exact_medians(
+            df,
+            {c: _col(c) for c in fields},
+            {c: int(row[f"{c}__count"]) for c in fields},
+        )
+        for c in fields:
+            row[f"{c}__median"] = medians[c]
 
     spark = table.spark
     if by_field:

@@ -985,10 +985,12 @@ class Table:
         attrs = attrlist.split() if isinstance(attrlist, str) else list(attrlist)
         return PivotTable(self, attrs)
 
-    def stats(self, field_names: Any = None, by_field: bool = True) -> "Table":
+    def stats(
+        self, field_names: Any = None, by_field: bool = True, approx: bool = False
+    ) -> "Table":
         from .operators.stats import stats_table
 
-        return stats_table(self, field_names, by_field)
+        return stats_table(self, field_names, by_field, approx)
 
     # cube / rollup — free capability win over the reference (SURVEY §2.4)
     def cube(self, attrs: Iterable[str], **aggs: Column) -> "Table":
