@@ -198,6 +198,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = False,
 ) -> Table:
     """Exact pairwise n-gram Jaccard similarity ≥ threshold.
 
@@ -209,21 +210,61 @@ def ngram_jaccard_pairs(
     df = table.df
     sh = _shingle_rows(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            on=[
-                F.col("a.s") == F.col("b.s"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+    if prefix_filter:
+        # exactness-preserving prefix filtering: two docs with
+        # Jaccard >= t MUST share a shingle within each other's first
+        # (sz - ceil(t*sz) + 1) shingles under a fixed global order, so
+        # only prefixes join for candidate generation and full sets are
+        # intersected for candidates only. Wins when a few very frequent
+        # shingles dominate the plain self-join; measured slower on
+        # uniform corpora (extra window + joins), hence opt-in.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(F.md5("s"))
+        ranked = sh.withColumn("__rn__", F.row_number().over(w)).join(sizes, on=id_col)
+        prefix = ranked.filter(
+            F.col("__rn__")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+        ).select(id_col, "s")
+        pa = prefix.alias("pa")
+        pb = prefix.alias("pb")
+        candidates = (
+            pa.join(
+                pb,
+                on=[
+                    F.col("pa.s") == F.col("pb.s"),
+                    F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"pa.{id_col}").alias("id1"), F.col(f"pb.{id_col}").alias("id2")
+            )
+            .distinct()
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        a = sh.select(F.col(id_col).alias("id1"), F.col("s"))
+        b = sh.select(F.col(id_col).alias("id2"), F.col("s"))
+        inter = (
+            candidates.join(a, on="id1")
+            .join(b, on=["id2", "s"])
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.s") == F.col("b.s"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
     jac = (

@@ -99,6 +99,22 @@ def test_search_plural_normalization_matches(journal):
     assert {ns.id for ns, _ in res} == {1, 2}
 
 
+def test_search_index_using_concatenated_fields(spark):
+    t = Table("multi", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "title": "spark tuning", "body": "partitions and shuffles"},
+            {"id": 1, "title": "cooking", "body": "spark of flavor"},
+        ]
+    )
+    # using= synthesizes a combined search field (littletable.py:1742-1750)
+    t.create_search_index("content", using="title body")
+    res = t.search.content("shuffle", as_table=False)
+    assert [ns.id for ns, _ in res] == [0]
+    res2 = t.search.content("spark", as_table=False)
+    assert {ns.id for ns, _ in res2} == {0, 1}
+
+
 def test_stale_index_raises(journal):
     journal.insert({"id": 9, "entry": "new row invalidates the index"})
     with pytest.raises(SearchIndexInconsistentError):
