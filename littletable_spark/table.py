@@ -39,7 +39,12 @@ from .functions.rows import to_row_dict
 from .plans.ordering import ROW_ORD, dense_index, ensure_row_ord
 
 EPOCH = "__epoch__"
-INTERNAL = (ROW_ORD, EPOCH)
+SORTKEY = "__sortkey__"
+INTERNAL = (ROW_ORD, EPOCH, SORTKEY)
+
+
+def _is_internal(col_name: str) -> bool:
+    return col_name in INTERNAL or col_name.startswith(SORTKEY)
 
 
 class _IndexInfo:
@@ -166,8 +171,9 @@ class _AllAccessor:
 
 def _row_to_ns(row) -> SimpleNamespace:
     d = row.asDict(recursive=True)
-    for c in INTERNAL:
-        d.pop(c, None)
+    for c in list(d):
+        if _is_internal(c):
+            d.pop(c)
     return SimpleNamespace(**d)
 
 
@@ -233,7 +239,7 @@ class Table:
     def fields(self) -> list[str]:
         if self._df is None:
             return list(self._indexes)
-        return [c for c in self._df.columns if c not in INTERNAL]
+        return [c for c in self._df.columns if not _is_internal(c)]
 
     @property
     def df(self) -> DataFrame:
@@ -724,8 +730,9 @@ class Table:
         cols = [F.col(c) for c in base]
         for name, expr in exprs.items():
             cols.append(self._computed_column(expr).alias(name))
-        cols += [F.col(c) for c in INTERNAL]
-        return self._derive(self._require_df().select(*cols))
+        df = self._require_df()
+        cols += [F.col(c) for c in df.columns if _is_internal(c)]
+        return self._derive(df.select(*cols))
 
     def compute_field(
         self, attr: str, fn: Any, default: Any = None
@@ -769,20 +776,36 @@ class Table:
                 asc = not (len(toks) > 1 and toks[1].lower() == "desc")
                 spec.append((toks[0], asc))
         elif callable(key) and not isinstance(key, Column):
+            # probe one row to learn the key shape: scalar vs tuple, and
+            # numeric vs string per element — a string-typed UDF column
+            # would sort numeric keys lexicographically
             user_fields = self.fields
+            sample_rows = self._ordered_df().limit(1).collect()
+            probe = key(_row_to_ns(sample_rows[0])) if sample_rows else None
+            parts = probe if isinstance(probe, tuple) else (probe,)
+            types = [
+                "double" if isinstance(p, (int, float)) and not isinstance(p, bool) else "string"
+                for p in parts
+            ]
+            df = self._require_df()
+            spec = []
+            for i, rtype in enumerate(types):
+                def keyfn(*vals: Any, _fn=key, _names=tuple(user_fields), _i=i, _t=rtype):
+                    try:
+                        k = _fn(SimpleNamespace(**dict(zip(_names, vals))))
+                        v = k[_i] if isinstance(k, tuple) else k
+                        # a DoubleType UDF returning a Python int yields
+                        # null — coerce explicitly
+                        return float(v) if _t == "double" else (None if v is None else str(v))
+                    except Exception:
+                        return None
 
-            def keyfn(*vals: Any, _fn=key, _names=tuple(user_fields)):
-                try:
-                    return _fn(SimpleNamespace(**dict(zip(_names, vals))))
-                except Exception:
-                    return None
-
-            self._mutate(
-                self._require_df().withColumn(
-                    "__sortkey__", F.udf(keyfn)(*[F.col(c) for c in user_fields])
+                col_name = f"{SORTKEY}{i or ''}"
+                df = df.withColumn(
+                    col_name, F.udf(keyfn, rtype)(*[F.col(c) for c in user_fields])
                 )
-            )
-            spec = [("__sortkey__", True)]
+                spec.append((col_name, True))
+            self._mutate(df)
         elif isinstance(key, (list, tuple)):
             for k in key:
                 spec.append((k, True))

@@ -68,6 +68,17 @@ def test_orderby_then_rank(abc):
     assert all(r.c == 2 for r in rows)
 
 
+def test_orderby_callable_key(abc):
+    abc.orderby(lambda r: (r.c, -r.a))
+    first = abc[0]
+    assert first.c == 0 and first.a == 2
+    # the synthesized sort-key column must not leak into the schema
+    assert abc.fields == ["a", "b", "c"]
+    sel = abc.select("a c")
+    assert sel.fields == ["a", "c"]
+    assert sel[0].c == 0  # ordering survives projection
+
+
 def test_shuffle_is_permutation(abc):
     abc.shuffle(seed=7)
     vals = sorted((r.a, r.b, r.c) for r in abc)
