@@ -316,24 +316,34 @@ class Table:
         )
         return (_row_to_ns(r) for r in df.toLocalIterator())
 
-    def __contains__(self, obj: Any) -> bool:
+    def _full_record_pred(self, obj: Any) -> dict[str, Any] | None:
+        """Whole-record equality spec: missing attributes compare as None
+        (reference getattr(obj, attr, None) semantics); extra attributes
+        mean the object cannot equal any row."""
         try:
             d = to_row_dict(obj)
         except TypeError:
-            return False
-        preds = {k: v for k, v in d.items() if k in self.fields}
+            return None
         if set(d) - set(self.fields):
+            return None
+        return {f: d.get(f) for f in self.fields}
+
+    def __contains__(self, obj: Any) -> bool:
+        preds = self._full_record_pred(obj)
+        if preds is None:
             return False
         return not self.where(**preds).is_empty()
 
     def count(self, obj: Any) -> int:
-        d = to_row_dict(obj)
-        if set(d) - set(self.fields):
+        preds = self._full_record_pred(obj)
+        if preds is None:
             return 0
-        return len(self.where(**d))
+        return len(self.where(**preds))
 
     def index(self, obj: Any) -> int:
-        d = to_row_dict(obj)
+        d = self._full_record_pred(obj)
+        if d is None:
+            raise ValueError(f"{obj!r} not in table")
         dense = dense_index(self._require_df(), self._sort_cols(), out_col="__pos__")
         pred = self._compile_kwargs(d)
         rows = dense.filter(pred).select(F.min("__pos__").alias("p")).collect()
@@ -443,7 +453,27 @@ class Table:
         if self._df is None:
             combined = new_df
         else:
-            combined = self._df.unionByName(new_df, allowMissingColumns=True)
+            # reconcile heterogeneous cell types across batches up front
+            # (the union would otherwise insert an implicit cast that
+            # fails at runtime): numeric widens to double, anything else
+            # to string — mirroring the reference's untyped cells
+            old, new = self._df, new_df
+            numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+            for f in new.schema.fields:
+                if f.name in old.columns:
+                    old_t = old.schema[f.name].dataType
+                    if old_t != f.dataType and not isinstance(
+                        f.dataType, SQLT.NullType
+                    ) and not isinstance(old_t, SQLT.NullType):
+                        target = (
+                            "double"
+                            if old_t.typeName() in numeric
+                            and f.dataType.typeName() in numeric
+                            else "string"
+                        )
+                        old = old.withColumn(f.name, F.col(f.name).cast(target))
+                        new = new.withColumn(f.name, F.col(f.name).cast(target))
+            combined = old.unionByName(new, allowMissingColumns=True)
         self._next_epoch += 1
         self._mutate(combined)
         return self
@@ -486,7 +516,9 @@ class Table:
 
     def remove(self, obj: Any) -> "Table":
         """Remove one matching occurrence (first in table order)."""
-        d = to_row_dict(obj)
+        d = self._full_record_pred(obj)
+        if d is None:
+            return self
         dense = dense_index(self._require_df(), self._sort_cols())
         pred = self._compile_kwargs(d)
         target = dense.filter(pred).select(F.min(ROW_ORD).alias("m")).collect()[0]["m"]

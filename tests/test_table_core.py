@@ -131,6 +131,20 @@ def test_remove_one_occurrence(abc):
     assert abc.count({"a": 0, "b": 0, "c": 0}) == 1
 
 
+def test_contains_partial_record_does_not_match(abc):
+    # whole-record equality: a partial dict is not "in" the table
+    assert {"a": 1} not in abc
+    assert abc.count({"a": 1}) == 0
+
+
+def test_insert_type_conflict_widens_to_string(spark):
+    t = Table("w", spark=spark)
+    t.insert({"x": 1})
+    t.insert({"x": "later-a-string"})
+    vals = sorted(str(r.x) for r in t)
+    assert vals == ["1", "later-a-string"]
+
+
 def test_stats(abc):
     st = {r.name: r for r in abc.stats(["a", "b"])}
     assert st["a"].mean == 1.0
