@@ -128,6 +128,49 @@ def sessionize(
     return Table.from_df(grouped, name=f"{table.table_name}_sessions")
 
 
+def streaming_session_demo(
+    spark: SparkSession,
+    path: str,
+    gap_sec: int = 1800,
+    key: str = "user_id",
+):
+    """True Structured Streaming sessionization via ``session_window``
+    with a watermark; drains a bounded parquet input through the memory
+    sink and returns the result DataFrame."""
+    import shutil
+    import tempfile
+    import uuid
+
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        stage = tempfile.mkdtemp(prefix="lts_sess_")
+        shutil.copy(path, stage)
+        path = stage
+    prev = spark.conf.get(TS_NANOS_CONF, None)
+    spark.conf.set(TS_NANOS_CONF, "true")
+    try:
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set(TS_NANOS_CONF, prev)
+    events = stream.withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_sec} seconds"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    qname = f"lts_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname}")
+
+
 def streaming_tumbling_demo(
     spark: SparkSession,
     path: str,

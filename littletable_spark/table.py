@@ -1164,6 +1164,28 @@ class Table:
 
         return formatted_table(self, fields, field_formats)
 
+    def parquet_export(self, path: str, mode: str = "overwrite", partition_by: Any = None) -> None:
+        """Dataset-scale sink: parquet via df.write (no driver collect)."""
+        writer = self.df.write.mode(mode)
+        if partition_by:
+            cols = partition_by.split() if isinstance(partition_by, str) else list(partition_by)
+            writer = writer.partitionBy(*cols)
+        writer.parquet(path)
+
+    def to_view(self, name: str | None = None) -> str:
+        """Register as a temp view for spark.sql — the SQL face of the
+        quasi-SQL API (free capability win: Catalyst compiles both the
+        method chain and the SQL text to the same plans)."""
+        view = name or self.table_name or "littletable"
+        self.df.createOrReplaceTempView(view)
+        return view
+
+    def query(self, sql_text: str) -> "Table":
+        """Run SQL against this table (registered as its name or `self`)."""
+        view = self.to_view(self.table_name or "self")
+        out = self.spark.sql(sql_text.replace("{table}", view))
+        return Table.from_df(out, name=f"{self.table_name}_query")
+
     def info(self) -> dict[str, Any]:
         return {
             "name": self.table_name,
