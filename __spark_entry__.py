@@ -981,13 +981,13 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, n_chars, n_tokens,
-                   round(mtl, 6) AS mean_token_len,
-                   round(pr, 6) AS punct_ratio,
-                   round(sr, 6) AS stopword_ratio,
-                   round(0.25 * least(n_tokens / 100.0, 1.0)
-                       + 0.25 * least(mtl / 8.0, 1.0)
-                       + 0.25 * (1.0 - least(pr * 10, 1.0))
-                       + 0.25 * least(sr * 5, 1.0), 6) AS quality
+                   mtl AS mean_token_len,
+                   pr AS punct_ratio,
+                   sr AS stopword_ratio,
+                   0.25 * least(n_tokens / 100.0, 1.0)
+                     + 0.25 * least(mtl / 8.0, 1.0)
+                     + 0.25 * (1.0 - least(pr * 10, 1.0))
+                     + 0.25 * least(sr * 5, 1.0) AS quality
             FROM f
         """,
         "text_langid": """

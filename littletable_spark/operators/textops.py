@@ -70,14 +70,18 @@ def quality_score(table: Table, text_col: str, id_col: str) -> Table:
         + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
         + F.lit(0.25) * F.least(stop_ratio * 5, F.lit(1.0))
     )
+    # no rounding: the features are dyadic-rational-heavy (quarter
+    # weights, small-integer ratios) and land exactly on round-half
+    # boundaries where engines disagree; unrounded same-order doubles
+    # are bit-identical across engines
     out = table.df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"),
+        mean_tok_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
     )
     return Table.from_df(out, name=f"{table.table_name}_quality")
 
