@@ -400,6 +400,23 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, "vec_id", "embedding", k=10, n_planes=6, dim=64).df
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: spherical-k-means coarse quantizer, probe-limited scan.
+
+    Run with nprobe == nlist, where IVF provably degenerates to the exact
+    result — the full machinery (centroid training, cluster assignment,
+    probe equi-join, re-rank) executes and is oracle-checkable; reduced
+    nprobe recall is covered by unit tests.
+    """
+    from littletable_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(vec_id=Table.lt(5))
+    return ivf_topk(
+        e, q, "vec_id", "embedding", k=10, nlist=16, nprobe=16
+    ).df
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token counting: total, distinct, type-token ratio."""
     from littletable_spark.operators.textops import token_stats
@@ -630,6 +647,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -939,6 +957,20 @@ def oracle_sql() -> dict[str, str]:
                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         """,
         "sim_cosine_topk": """
+            SELECT * FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                         c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 5
+            ) WHERE rank <= 10
+        """,
+        "sim_ivf_topk": """
             SELECT * FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
                      round(list_cosine_similarity(

@@ -123,6 +123,144 @@ def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
     return F.concat(*bits)
 
 
+def _train_centroids(
+    X: np.ndarray, nlist: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Spherical k-means (cosine geometry) on a driver-side sample.
+
+    Lloyd iterations over unit vectors; empty clusters are re-seeded from
+    the sample so every list stays live. Deterministic for a fixed seed.
+    """
+    rng = np.random.RandomState(seed)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms == 0, 1.0, norms)
+    nlist = min(nlist, len(Xn))
+    centroids = Xn[rng.choice(len(Xn), nlist, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ centroids.T, axis=1)
+        for c in range(nlist):
+            members = Xn[assign == c]
+            if len(members) == 0:
+                centroids[c] = Xn[rng.randint(len(Xn))]
+                continue
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            centroids[c] = m / (n if n else 1.0)
+    return centroids
+
+
+def ivf_topk(
+    corpus: Table,
+    queries: Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> Table:
+    """IVF approximate top-k: k-means coarse quantizer, probe-limited scan.
+
+    Train ``nlist`` spherical-k-means centroids on a driver-side sample,
+    broadcast them; every corpus vector is assigned to its nearest
+    centroid (one Arrow pass, no shuffle), and each query probes only its
+    ``nprobe`` closest lists via an equi-join on the cluster id. Exact
+    re-rank inside the probed lists. With ``nprobe == nlist`` this
+    degenerates to the exact brute-force result.
+
+    Scale path: assignment is embarrassingly parallel; the candidate join
+    is a broadcast of (query × nprobe) rows against a corpus partitioned
+    by cluster id — candidate volume is ~N·nprobe/nlist per query instead
+    of N.
+    """
+    qid = query_id_col or id_col
+    sample = [
+        list(r[0])
+        for r in corpus.df.select(F.col(vec_col).cast("array<double>"))
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    ]
+    centroids = _train_centroids(
+        np.array(sample, dtype=np.float64), nlist, seed
+    )
+    bc = corpus.spark.sparkContext.broadcast(centroids)
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = M / np.where(norms == 0, 1.0, norms)
+            cl = np.argmax(Mn @ cents.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"corpus_id": pdf["corpus_id"], "cvec": pdf["cvec"], "cluster": cl}
+            )
+
+    cdf = corpus.df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).mapInPandas(
+        assign_batches, "corpus_id long, cvec array<double>, cluster int"
+    )
+
+    # queries are small by definition: probe-list fan-out happens on the driver
+    q_rows = queries.df.select(qid, F.col(vec_col).cast("array<double>")).collect()
+    nprobe = min(nprobe, len(centroids))
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(list(r[1]), dtype=np.float64)
+        n = np.linalg.norm(v)
+        scores = centroids @ (v / (n if n else 1.0))
+        for c in np.argsort(-scores)[:nprobe]:
+            probe_rows.append((int(r[0]), list(r[1]), int(c)))
+    qdf = corpus.spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, cluster int"
+    )
+    candidates = cdf.join(F.broadcast(qdf), on="cluster").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+
+    def rerank(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
+            Q = np.array([list(v) for v in pdf["qvec"]], dtype=np.float64)
+            dots = np.einsum("ij,ij->i", C, Q)
+            cos = np.round(
+                dots / (np.linalg.norm(C, axis=1) * np.linalg.norm(Q, axis=1)), 6
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "corpus_id": pdf["corpus_id"],
+                    "cosine": cos,
+                }
+            )
+
+    scored = candidates.mapInPandas(
+        rerank, "query_id long, corpus_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= F.lit(k)
+    )
+    return Table.from_df(out, name="ivf_topk")
+
+
 def lsh_topk(
     corpus: Table,
     queries: Table,

@@ -165,6 +165,45 @@ def test_lsh_topk_neighbors_score_exactly(vectors):
     assert 1 in {r.corpus_id for r in approx}
 
 
+def test_ivf_topk_exact_when_all_lists_probed(vectors):
+    from littletable_spark.operators.similarity import cosine_topk, ivf_topk
+
+    t, _ = vectors
+    q = t.where(vec_id=Table.lt(2))
+    exact = {
+        (r.query_id, r.corpus_id): (r.cosine, r.rank)
+        for r in cosine_topk(t, q, "vec_id", "embedding", k=5)
+    }
+    # nprobe == nlist: every list is probed, so IVF degenerates to exact
+    got = {
+        (r.query_id, r.corpus_id): (r.cosine, r.rank)
+        for r in ivf_topk(
+            t, q, "vec_id", "embedding", k=5, nlist=4, nprobe=4, seed=3
+        )
+    }
+    assert got == exact
+
+
+def test_ivf_topk_probed_subset_scores_exactly(vectors):
+    from littletable_spark.operators.similarity import cosine_topk, ivf_topk
+
+    t, _ = vectors
+    q = t.where(vec_id=0)
+    exact = {
+        r.corpus_id: r.cosine for r in cosine_topk(t, q, "vec_id", "embedding", k=7)
+    }
+    approx = ivf_topk(
+        t, q, "vec_id", "embedding", k=7, nlist=4, nprobe=2, seed=3
+    )
+    rows = list(approx)
+    assert rows, "probing the query's own cluster must return candidates"
+    for r in rows:
+        # candidates come from probed lists only, but scores are exact
+        assert abs(r.cosine - exact[r.corpus_id]) < 1e-9
+    # the planted near-dup of vec 0 lands in the same k-means cell
+    assert 1 in {r.corpus_id for r in rows}
+
+
 def test_embedding_dup_pairs(vectors):
     from littletable_spark.operators.dedup import embedding_dup_pairs
 
