@@ -1,8 +1,12 @@
 """Excel import/export (littletable.py:3019-3115, 3415-3459).
 
-Driver-side openpyxl (xlsx is not a splittable format — the reference is
-driver-bound here too), then ``createDataFrame``. Gated behind an
-import-try: raises a clear error when openpyxl is absent.
+Driver-side decode (xlsx is not a splittable format — the reference is
+driver-bound here too), then ``createDataFrame``. Uses openpyxl when
+present; otherwise falls back to the stdlib-only SpreadsheetML codec in
+``xlsx_lite`` (zipfile + xml.etree), so Excel support works in
+environments without openpyxl. Excel-native cell types
+(int/float/str/bool/date — reference fixture test/data_types.xlsx) are
+preserved either way.
 """
 
 from __future__ import annotations
@@ -14,6 +18,18 @@ from pyspark.sql import SparkSession
 from ..table import Table
 
 
+def _read_grid(source: Any, sheet: str | int | None) -> list[list[Any]]:
+    try:
+        import openpyxl
+    except ImportError:
+        from .xlsx_lite import read_xlsx
+
+        return read_xlsx(source, sheet)
+    wb = openpyxl.load_workbook(source, read_only=True, data_only=True)
+    ws = wb[sheet] if isinstance(sheet, str) else wb.worksheets[sheet or 0]
+    return [list(r) for r in ws.iter_rows(values_only=True)]
+
+
 def excel_import(
     source: Any,
     sheet: str | int | None = None,
@@ -22,25 +38,13 @@ def excel_import(
     spark: SparkSession | None = None,
     **kwargs: Any,
 ) -> Table:
-    try:
-        import openpyxl
-    except ImportError as e:
-        raise ImportError(
-            "excel_import requires openpyxl (not installed in this environment)"
-        ) from e
     if spark is None:
         from ..session import get_spark
 
         spark = get_spark()
-    wb = openpyxl.load_workbook(source, read_only=True, data_only=True)
-    ws = (
-        wb[sheet]
-        if isinstance(sheet, str)
-        else wb.worksheets[sheet or 0]
-    )
-    rows = ws.iter_rows(values_only=True)
-    header = [str(h) for h in next(rows)]
-    dicts = [dict(zip(header, r)) for r in rows]
+    grid = _read_grid(source, sheet)
+    header = [str(h) for h in grid[0]]
+    dicts = [dict(zip(header, r)) for r in grid[1:]]
     if limit is not None:
         dicts = dicts[:limit]
     t = Table(name=str(source)[:80], spark=spark)
@@ -62,15 +66,19 @@ def excel_import(
 
 
 def excel_export(table: Table, dest: Any, fieldnames: Any = None, **kwargs: Any) -> None:
+    t = table.select(fieldnames) if fieldnames is not None else table
     try:
         import openpyxl
-    except ImportError as e:
-        raise ImportError(
-            "excel_export requires openpyxl (not installed in this environment)"
-        ) from e
+    except ImportError:
+        from .xlsx_lite import write_xlsx
+
+        grid: list[list[Any]] = [list(t.fields)]
+        for ns in t:
+            grid.append([getattr(ns, c, None) for c in t.fields])
+        write_xlsx(dest, grid, sheet_name=table.table_name or "Sheet1")
+        return
     wb = openpyxl.Workbook()
     ws = wb.active
-    t = table.select(fieldnames) if fieldnames is not None else table
     ws.append(t.fields)
     for ns in t:
         ws.append([getattr(ns, c, None) for c in t.fields])

@@ -81,12 +81,44 @@ def test_formatted_table(spark):
     assert row.val == "3.14"
 
 
-def test_excel_export_gated(spark, tmp_path):
-    t = Table("e", spark=spark)
-    t.insert_many([{"a": 1}])
-    try:
-        import openpyxl  # noqa: F401
+def test_excel_roundtrip_native_types(spark, tmp_path):
+    """Export → import preserves Excel-native cell types (reference
+    behavior per test/data_types.xlsx), with or without openpyxl —
+    the stdlib xlsx_lite codec backs the path when openpyxl is absent."""
+    import datetime
 
-        t.excel_export(str(tmp_path / "o.xlsx"))
-    except ImportError as e:
-        assert "openpyxl" in str(e)
+    from littletable_spark.sources.excel_io import excel_import
+
+    t = Table("e", spark=spark)
+    t.insert_many(
+        [
+            {"name": "a", "num": 100, "f": 3.5, "flag": True,
+             "d": datetime.date(2021, 12, 25)},
+            {"name": "b <&> c", "num": -7, "f": 0.25, "flag": False, "d": None},
+        ]
+    )
+    path = str(tmp_path / "o.xlsx")
+    t.excel_export(path)
+    back = excel_import(path, spark=spark)
+    rows = sorted(back, key=lambda r: r.num, reverse=True)
+    assert rows[0].name == "a" and rows[0].num == 100 and rows[0].f == 3.5
+    assert rows[0].flag is True and rows[0].d == datetime.date(2021, 12, 25)
+    assert rows[1].name == "b <&> c" and rows[1].flag is False and rows[1].d is None
+
+
+def test_excel_import_reference_fixture(spark):
+    """Read a real Excel-authored workbook (reference fixture): sheet
+    selection by name and Excel-native value decoding."""
+    from littletable_spark.sources.xlsx_lite import read_xlsx, sheet_names
+
+    path = "/root/reference/test/data_types.xlsx"
+    assert sheet_names(path) == ["Sheet1", "Sheet2"]
+    grid = read_xlsx(path, "Sheet1")
+    by_name = {r[0]: r[1] for r in grid[1:]}
+    assert by_name["a"] == 100 and isinstance(by_name["a"], int)
+    assert abs(by_name["b"] - 3.14159) < 1e-9
+    assert by_name["c"] is None
+    import datetime
+
+    assert by_name["d"] == datetime.date(2021, 12, 25)
+    assert by_name["e"] == "Floyd"
