@@ -270,6 +270,49 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped composite: filter → 3-way join → grouped revenue →
+    orderby → head, written end-to-end in the littletable-style API.
+    Catalyst broadcasts the filtered customer dim and pushes all three
+    filters into the parquet scans."""
+    import datetime
+
+    pivot = datetime.datetime(1998, 1, 1)
+    c = _t(spark, sf_dir, "customer").where(c_mktsegment="BUILDING")
+    o = _t(spark, sf_dir, "orders").where(o_orderdate=Table.lt(pivot))
+    li = _t(spark, sf_dir, "lineitem").where(l_shipdate=Table.gt(pivot))
+    j = c.join(o, c_custkey="o_custkey").join(li, o_orderkey="l_orderkey")
+    # the join's collision rule keeps the left key column (o_orderkey)
+    g = j.groupby_with_summaries(
+        "o_orderkey o_orderdate o_orderpriority",
+        revenue=F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ),
+    )
+    out = g.orderby("revenue desc, o_orderdate, o_orderkey").head(10)
+    return out.select(
+        "o_orderdate o_orderpriority revenue", l_orderkey=F.col("o_orderkey")
+    ).df
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving average over a 4-row frame (rowsBetween) per supplier —
+    window frames are net-new capability over the reference (§2.5)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    out = li.select(
+        "l_suppkey l_orderkey l_linenumber l_shipdate",
+        mov_avg_price=F.round(F.avg("l_extendedprice").over(w), 4),
+    )
+    return out.df
+
+
 def q_slice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """index range query by.<attr>[lo:hi] (ge/lt half-open semantics)."""
     o = _t(spark, sf_dir, "orders")
@@ -635,6 +678,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orderby_head": q_orderby_head,
         "rank": q_rank,
         "window_topk_per_group": q_window_topk_per_group,
+        "window_moving_avg": q_window_moving_avg,
+        "tpch_q3_shape": q_tpch_q3_shape,
         "slice_range": q_slice_range,
         "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
@@ -842,6 +887,27 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY o_custkey
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders) WHERE rn <= 3
+        """,
+        "tpch_q3_shape": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "window_moving_avg": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                   round(avg(l_extendedprice) OVER (
+                     PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg_price
+            FROM lineitem
         """,
         "slice_range": """
             SELECT o_orderkey, o_totalprice FROM orders

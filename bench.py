@@ -20,8 +20,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
 HEADLINE = [
     "groupby_summaries",
     "join_3way_agg",
+    "tpch_q3_shape",
     "outer_join_left",
     "window_topk_per_group",
+    "window_moving_avg",
     "orderby_head",
     "unique",
     "compute_field",

@@ -86,6 +86,23 @@ def test_parquet_export_roundtrip(spark, tmp_path):
     assert sorted(r.r_name for r in back) == sorted(r.r_name for r in o)
 
 
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned sink + partition pruning on read: a filter
+    on the partition column must become a PartitionFilter (directory
+    skip), not a data filter — at 100 TB this is the difference between
+    scanning one partition and scanning the dataset."""
+    li = Table.parquet_import(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "li_part")
+    li.parquet_export(out, partition_by="l_returnflag")
+    back = Table.parquet_import(spark, out).where(l_returnflag="R")
+    plan = _plan(back.df)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    expected = li.where(l_returnflag="R")
+    assert len(back) == len(expected)
+
+
 def test_streaming_session_demo(spark):
     from littletable_spark.streaming import load_events, sessionize
     from littletable_spark.streaming.events import streaming_session_demo
