@@ -531,6 +531,18 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregate: explicit set list, single Expand+agg
+    (capability win over the reference, companion to cube/rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    out = o.grouping_sets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        sum_price=F.round(F.sum("o_totalprice"), 2),
+        n=F.count(F.lit(1)),
+    )
+    return out.df
+
+
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct-count aggregates per group."""
     li = _t(spark, sf_dir, "lineitem")
@@ -702,6 +714,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_positional": q_slice_positional,
         "head_tail": q_head_tail,
         "cube": q_cube,
+        "grouping_sets": q_grouping_sets,
         "agg_distinct": q_agg_distinct,
         "asof_join": q_asof_join,
         "convert_numeric": q_convert_numeric,
@@ -1166,6 +1179,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
         """,
         "agg_distinct": """
             SELECT l_returnflag,

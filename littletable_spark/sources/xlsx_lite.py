@@ -144,6 +144,9 @@ class _Workbook:
         ws = ET.fromstring(self.zf.read(path))
         out: list[list[Any]] = []
         width = 0
+        dim = ws.find(f"{_NS}dimension")
+        if dim is not None and ":" in (dim.get("ref") or ""):
+            width = _col_index(dim.get("ref").split(":")[1]) + 1
         for row in ws.iter(f"{_NS}row"):
             vals: list[Any] = []
             for c in row.findall(f"{_NS}c"):
@@ -255,9 +258,12 @@ def write_xlsx(
             _cell_xml(f"{_col_letters(ci)}{ri}", v) for ci, v in enumerate(row)
         )
         body.append(f'<row r="{ri}">{cells}</row>')
+    width = max((len(r) for r in rows), default=1)
+    dim = f"A1:{_col_letters(max(width - 1, 0))}{max(len(rows), 1)}"
     ws = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f'<dimension ref="{dim}"/>'
         f"<sheetData>{''.join(body)}</sheetData></worksheet>"
     )
     with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:

@@ -1058,6 +1058,20 @@ class Table:
         out = df.rollup(*attrs).agg(*[c.alias(n) for n, c in aggs.items()])
         return Table.from_df(out, name=f"{self.table_name}_rollup")
 
+    def grouping_sets(
+        self, sets: Iterable[Iterable[str]], **aggs: Column
+    ) -> "Table":
+        """GROUPING SETS aggregation (net-new over the reference, like
+        cube/rollup): each set is one grouping; columns absent from a set
+        read as NULL in its rows. Native ``df.groupingSets`` — a single
+        Expand + one shuffled aggregate, not one shuffle per set."""
+        sets = [list(s) for s in sets]
+        all_cols = list(dict.fromkeys(c for s in sets for c in s))
+        out = self.df.groupingSets(
+            [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in all_cols]
+        ).agg(*[c.alias(n) for n, c in aggs.items()])
+        return Table.from_df(out, name=f"{self.table_name}_grouping_sets")
+
     # ------------------------------------------------------------------ #
     # full-text search — operators/search.py
 

@@ -69,3 +69,58 @@ def test_head_slice_consistency(spark, rows, n):
     sliced = [(r.a, r.b) for r in t[0:n]]
     assert head == rows[:n]
     assert sliced == rows[:n]
+
+
+# ---- xlsx codec round-trip (no Spark: pure driver-side codec) ---------- #
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(-(10**12), 10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+        ),
+        max_size=18,
+    ),
+    st.dates(),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1901, 1, 1),
+        max_value=__import__("datetime").datetime(2200, 1, 1),
+    ),
+)
+
+
+@given(
+    grid=st.lists(
+        st.lists(_cell, min_size=1, max_size=5), min_size=1, max_size=6
+    ).filter(lambda g: len({len(r) for r in g}) == 1)
+)
+@settings(max_examples=40, deadline=None)
+def test_xlsx_roundtrip_property(grid):
+    """write_xlsx → read_xlsx is the identity for every Excel-native cell
+    type (the writer never silently coerces)."""
+    import datetime
+    import io
+
+    from littletable_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    buf = io.BytesIO()
+    write_xlsx(buf, grid)
+    back = read_xlsx(buf.getvalue())
+
+    def norm(v):
+        # Excel has one numeric type: integral floats read back as ints,
+        # and datetimes are serial numbers (sub-microsecond truncation)
+        if isinstance(v, float) and v == int(v) and abs(v) < 10**15:
+            return int(v)
+        if isinstance(v, datetime.datetime):
+            return v.replace(microsecond=v.microsecond // 1000 * 1000)
+        if isinstance(v, str) and v == "":
+            return None  # empty text cell is indistinguishable from blank
+        return v
+
+    assert len(back) == len(grid)
+    for got_row, exp_row in zip(back, grid):
+        assert [norm(v) for v in got_row] == [norm(v) for v in exp_row]
