@@ -112,3 +112,33 @@ def test_streaming_session_demo(spark):
     streamed = streaming_session_demo(spark, path, 1800, "user_id")
     # same number of (user, session) groups from both engines' paths
     assert streamed.count() == len(batch)
+
+
+def test_asof_join_is_not_nested_loop(spark):
+    """The as-of join must compile to a union + keyed window, never a
+    range-condition nested-loop/cartesian join — at scale the latter is
+    O(N*M) per key pair."""
+    from littletable_spark.operators.joins import asof_join
+
+    li = Table.parquet_import(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    o = Table.parquet_import(spark, "/root/testdata/sf0.001/orders.parquet")
+    li.compute_field("ship_sec", F.unix_timestamp("l_shipdate").cast("long"))
+    o.compute_field("order_sec", F.unix_timestamp("o_orderdate").cast("long"))
+    j = asof_join(li, o, "ship_sec", "order_sec", by={"l_suppkey": "o_custkey"})
+    plan = _plan(j.df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_candidate_join_is_hash_join(spark):
+    """LSH top-k's candidate generation must be an equi-join on the
+    signature (hash join), not a nested loop over all pairs."""
+    from littletable_spark.operators.similarity import lsh_topk
+
+    e = Table.parquet_import(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(vec_id=Table.lt(3))
+    out = lsh_topk(e, q, "vec_id", "embedding", k=5, n_planes=4, dim=64)
+    plan = _plan(out.df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the sig equi-join is a real hash join
