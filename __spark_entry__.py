@@ -1069,10 +1069,13 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
               FROM documents
             )
-            SELECT doc_id, len(toks) AS n_tokens,
+            SELECT t.doc_id, len(toks) AS n_tokens,
                    len(list_distinct(toks)) AS n_distinct_tokens,
+                   len(regexp_extract_all(d.text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
+                   )) AS n_bpe_tokens,
                    len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
-            FROM t
+            FROM t JOIN documents d ON t.doc_id = d.doc_id
         """,
         "text_quality": """
             WITH t AS (

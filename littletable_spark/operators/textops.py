@@ -28,13 +28,25 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORD_SAMPLE = LANG_MARKERS["en"]
 
 
+# GPT-2-style pre-tokenizer approximation: contractions, space-prefixed
+# letter runs, digit runs, punctuation runs. No capture groups, same
+# leftmost-first alternation semantics in Java regex and RE2, so the
+# identical pattern runs in Spark and DuckDB.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 def token_stats(table: Table, text_col: str, id_col: str) -> Table:
-    """Whitespace token count + distinct-token count + type/token ratio."""
+    """Whitespace token count + distinct-token count + type/token ratio,
+    plus a BPE-ish subword proxy count (``BPE_TOKEN_RE`` matches — the
+    pre-merge piece count, a standard training-data size estimate)."""
     toks = _tokens(text_col)
     out = table.df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).alias("n_bpe_tokens"),
     ).withColumn(
         "ttr",
         F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),

@@ -221,6 +221,13 @@ def test_textops_fingerprint_and_quality(docs):
     ts = {r.doc_id: r for r in token_stats(docs, "text", "doc_id")}
     assert ts[0].n_tokens == 10
     assert ts[0].n_distinct_tokens == 9  # 'the' twice
+    # BPE-ish piece count matches a pure-Python evaluation of the pattern
+    import re as _re
+
+    from littletable_spark.operators.textops import BPE_TOKEN_RE
+
+    for i, s in DOCS:
+        assert ts[i].n_bpe_tokens == len(_re.findall(BPE_TOKEN_RE, s)), i
     q = {r.doc_id: r for r in quality_score(docs, "text", "doc_id")}
     assert 0.0 <= q[0].quality <= 1.0
     assert q[0].punct_ratio == 0.0
