@@ -348,6 +348,19 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(e, 1800, "user_id").df
 
 
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming dedup: watermarked dropDuplicates, first event per
+    (user, type). Projected to the key columns the winner set is
+    deterministic, so the streaming path is oracle-checked against a
+    batch SELECT DISTINCT."""
+    from littletable_spark.streaming.events import streaming_dedup_demo
+
+    out = streaming_dedup_demo(
+        spark, f"{sf_dir}/events.parquet", keys=("user_id", "event_type")
+    )
+    return out.select("user_id", "event_type")
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sliding 2h/1h windows via sequence-explode (each event in 2 windows)."""
     from littletable_spark.streaming import load_events, sliding_window
@@ -695,6 +708,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_range": q_slice_range,
         "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
+        "events_dedup_stream": q_events_dedup_stream,
         "events_sliding": q_events_sliding,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -934,6 +948,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_dedup_stream": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "events_session": """
             WITH e AS (

@@ -221,3 +221,46 @@ def streaming_tumbling_demo(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {qname}")
+
+
+def streaming_dedup_demo(
+    spark: SparkSession,
+    path: str,
+    keys: Iterable[str] = ("user_id", "event_type"),
+):
+    """Streaming deduplication: keep the first event per key with
+    watermark-scoped state (``withWatermark`` + ``dropDuplicates``), the
+    canonical exactly-once pattern for replayed/at-least-once feeds.
+    State is bounded: keys older than the watermark are evicted, so this
+    runs indefinitely at feed scale. Drains a bounded parquet input via
+    the memory sink (production targets kafka/delta)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        stage = tempfile.mkdtemp(prefix="lts_dedup_")
+        shutil.copy(path, stage)
+        path = stage
+    prev = spark.conf.get(TS_NANOS_CONF, None)
+    spark.conf.set(TS_NANOS_CONF, "true")
+    try:
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set(TS_NANOS_CONF, prev)
+    events = stream.withColumn(
+        "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+    )
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicates(list(keys))
+    qname = f"lts_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname}")

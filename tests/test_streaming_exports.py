@@ -155,3 +155,20 @@ def test_format_iterator(spark):
     t = Table("f", spark=spark)
     t.insert_many([{"a": 1, "b": 2}])
     assert list(t.format("{a}+{b}")) == ["1+2"]
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    """Watermarked dropDuplicates over the stream keeps exactly one row
+    per key — same cardinality as a batch distinct on the drained input."""
+    from littletable_spark.streaming import load_events
+    from littletable_spark.streaming.events import streaming_dedup_demo
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    streamed = streaming_dedup_demo(spark, path, keys=("user_id", "event_type"))
+    batch = load_events(spark, path).df.select("user_id", "event_type").distinct()
+    assert streamed.count() == batch.count()
+    # and the emitted rows are themselves unique on the key
+    assert (
+        streamed.select("user_id", "event_type").distinct().count()
+        == streamed.count()
+    )
