@@ -434,6 +434,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(e, "vec_id", "embedding", threshold=0.3).df
 
 
+def q_explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_field: UDTF/flatMap shape — one row per array element
+    with its ordinal (native posexplode, no shuffle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = e.where(vec_id=Table.lt(50)).explode_field(
+        "embedding", into="component", pos_into="pos"
+    )
+    return out.select("vec_id pos component").df
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """brute-force cosine top-10 neighbors for query vectors vec_id < 5."""
     from littletable_spark.operators.similarity import cosine_topk
@@ -716,6 +726,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "explode_embedding": q_explode_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1051,6 +1062,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(
                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "explode_embedding": """
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS component
+            FROM embeddings WHERE vec_id < 50
         """,
         "sim_cosine_topk": """
             SELECT * FROM (

@@ -1058,6 +1058,27 @@ class Table:
         out = df.rollup(*attrs).agg(*[c.alias(n) for n, c in aggs.items()])
         return Table.from_df(out, name=f"{self.table_name}_rollup")
 
+    def explode_field(
+        self,
+        attr: str,
+        into: str = "value",
+        pos_into: str | None = None,
+        outer: bool = False,
+    ) -> "Table":
+        """One output row per element of a list-typed field — the
+        UDTF/flatMap shape (net-new: the reference's rows are scalar-only,
+        SURVEY §2.8 notes no UDTF analog). ``pos_into`` adds the 0-based
+        element ordinal; ``outer=True`` keeps rows whose list is
+        empty/NULL (element reads as NULL). Native posexplode — a narrow
+        codegen'd generator, no shuffle."""
+        fn = F.posexplode_outer if outer else F.posexplode
+        others = [c for c in self.fields if c != attr]
+        pos_col = pos_into or "__pos__"
+        out = self.df.select(*others, fn(F.col(attr)).alias(pos_col, into))
+        if pos_into is None:
+            out = out.drop(pos_col)
+        return Table.from_df(out, name=f"{self.table_name}_exploded")
+
     def grouping_sets(
         self, sets: Iterable[Iterable[str]], **aggs: Column
     ) -> "Table":

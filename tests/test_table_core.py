@@ -151,3 +151,22 @@ def test_stats(abc):
     assert st["a"].min == 0.0 and st["a"].max == 2.0
     assert st["a"].count == 27 and st["a"].missing == 0
     assert abs(st["a"].variance - 0.6923076923) < 1e-6
+
+
+def test_explode_field_outer_and_ordinals(spark):
+    t = Table("ex", spark=spark)
+    t.insert_many(
+        [
+            {"id": 1, "xs": [10, 20]},
+            {"id": 2, "xs": []},
+            {"id": 3, "xs": None},
+        ]
+    )
+    inner = t.explode_field("xs", into="x", pos_into="p")
+    assert sorted((r.id, r.p, r.x) for r in inner) == [(1, 0, 10), (1, 1, 20)]
+    outer = t.explode_field("xs", into="x", outer=True)
+    got = sorted(
+        ((r.id, r.x) for r in outer),
+        key=lambda v: (v[0], v[1] is not None, v[1] or 0),
+    )
+    assert got == [(1, 10), (1, 20), (2, None), (3, None)]
