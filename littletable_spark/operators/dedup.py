@@ -20,10 +20,18 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..table import Table
+
+# Self-join pair generators consume their signature/shingle intermediate
+# 2-4x; without an explicit persist Spark re-runs the whole shuffled +
+# windowed pipeline per consumer (no ReusedExchange across AQE stages).
+# MEMORY_AND_DISK: spills instead of failing when the intermediate
+# outgrows executor memory at scale; LRU-evicted when pressure demands.
+_PAIRGEN_CACHE = StorageLevel.MEMORY_AND_DISK
 
 TOKENIZE = r"\s+"
 
@@ -172,7 +180,7 @@ def minhash_lsh_pairs(
     # attach band ordinal so identical keys in different bands don't collide
     banded = sig.select(
         F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
-    )
+    ).persist(_PAIRGEN_CACHE)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -208,7 +216,7 @@ def ngram_jaccard_pairs(
     LSH candidate generation at scale.
     """
     df = table.df
-    sh = _shingle_rows(df, id_col, text_col, n).distinct()
+    sh = _shingle_rows(df, id_col, text_col, n).distinct().persist(_PAIRGEN_CACHE)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if prefix_filter:
         # exactness-preserving prefix filtering: two docs with
@@ -360,7 +368,9 @@ def simhash_dedup_pairs(
             for b in range(n_blocks)
         ]
     )
-    banded = sh.select(F.col(id_col), F.col("sh"), F.explode(blocks).alias("blk"))
+    banded = sh.select(
+        F.col(id_col), F.col("sh"), F.explode(blocks).alias("blk")
+    ).persist(_PAIRGEN_CACHE)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
