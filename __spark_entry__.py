@@ -115,10 +115,14 @@ def q_join_3way_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_outer_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT outer join keeps customers with zero orders."""
+    """Outer join keeping customers with zero orders. In the reference's
+    (inverted vs SQL) naming that is RIGHT_OUTER_JOIN: its key universe
+    comes from self, so all of self's (customer's) rows survive —
+    unit_tests.py:1768-1774 uses exactly this to find unregistered
+    students. The oracle is the equivalent SQL LEFT JOIN."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    j = c.outer_join(Table.LEFT_OUTER_JOIN, o, **{"c_custkey": "o_custkey"})
+    j = c.outer_join(Table.RIGHT_OUTER_JOIN, o, **{"c_custkey": "o_custkey"})
     out = j.groupby_with_summaries(
         "c_custkey",
         n_orders=F.count(F.col("o_orderkey")),

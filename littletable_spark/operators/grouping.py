@@ -32,6 +32,9 @@ def _keys(keyexpr: Any) -> list[str]:
 def groupby_with_summaries(
     table: Table, keyexpr: Any, outexprs: dict[str, Any]
 ) -> Table:
+    if table._df is None:
+        # schema-less empty table: empty summary, like the reference
+        return Table(name=f"{table.table_name}_summary", spark=table.spark)
     keys = _keys(keyexpr)
     fields = table.fields
 

@@ -53,7 +53,29 @@ def join_tables(
         "full": "full",
         "full_outer": "full",
         "outer": "full",
+        # reference-parity constants: littletable's LEFT keeps all rows
+        # of the OTHER table and RIGHT keeps all rows of SELF (inverted
+        # vs SQL — littletable.py:2631-2658), so they compile to the
+        # opposite SQL join direction.
+        "ref_left": "right",
+        "ref_right": "left",
     }[how]
+    # empty-side short-circuit, mirroring the reference
+    # (littletable.py:2408-2409): joining a schema-less empty table
+    # yields an empty table instead of erroring. Inner/one-sided outer
+    # joins against a schema-less side can't synthesize its columns, so
+    # the surviving side's fields (or none) form the result schema.
+    if left._df is None or right._df is None:
+        keep = left if left._df is not None and how in ("left", "full") else (
+            right if right._df is not None and how in ("right", "full") else None
+        )
+        if keep is not None:
+            return Table.from_df(
+                keep._require_df(), name=f"{left.table_name}_join"
+            )
+        out = Table(name=f"{left.table_name}_join", spark=left.spark)
+        return out
+
     ldf = left._require_df()
     rdf = right._require_df()
     if not key_map:

@@ -36,8 +36,10 @@ _DOC_REL = (
     "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
 )
 _EPOCH = datetime.datetime(1899, 12, 30)
-# builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30)
+# builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30);
+# 14-17 are date-only, 18-22 and 45-47 include a time component
 _DATE_FMT_IDS = set(range(14, 23)) | set(range(45, 48))
+_DATE_ONLY_FMT_IDS = set(range(14, 18))
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
 
@@ -68,9 +70,13 @@ def _is_date_format(code: str) -> bool:
     return bool(re.search(r"[ymdhs]", code, re.IGNORECASE))
 
 
-def _serial_to_pydate(serial: float) -> datetime.datetime | datetime.date:
+def _serial_to_pydate(
+    serial: float, date_only: bool
+) -> datetime.datetime | datetime.date:
     dt = _EPOCH + datetime.timedelta(days=serial)
-    if serial == int(serial):
+    # a date-only format with an integral serial is a date; a format
+    # with a time component keeps midnight datetimes as datetimes
+    if date_only and serial == int(serial):
         return dt.date()
     return dt
 
@@ -95,6 +101,7 @@ class _Workbook:
             for si in sst.iter(f"{_NS}si"):
                 self.shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
         self.date_styles: set[int] = set()
+        self.date_only_styles: set[int] = set()
         if "xl/styles.xml" in self.zf.namelist():
             styles = ET.fromstring(self.zf.read("xl/styles.xml"))
             custom = {}
@@ -104,10 +111,19 @@ class _Workbook:
             if xfs is not None:
                 for i, xf in enumerate(xfs.findall(f"{_NS}xf")):
                     fid = int(xf.get("numFmtId", "0"))
-                    if fid in _DATE_FMT_IDS or (
-                        fid in custom and _is_date_format(custom[fid])
-                    ):
+                    code = custom.get(fid, "")
+                    if fid in _DATE_FMT_IDS or (code and _is_date_format(code)):
                         self.date_styles.add(i)
+                        if fid in _DATE_ONLY_FMT_IDS or (
+                            code
+                            and _is_date_format(code)
+                            and not re.search(
+                                r"[hs]",
+                                re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code),
+                                re.IGNORECASE,
+                            )
+                        ):
+                            self.date_only_styles.add(i)
 
     def _cell_value(self, c: ET.Element) -> Any:
         ctype = c.get("t", "n")
@@ -125,8 +141,9 @@ class _Workbook:
         if ctype in ("str", "e"):
             return raw
         num = float(raw)
-        if int(c.get("s", "0")) in self.date_styles:
-            return _serial_to_pydate(num)
+        style = int(c.get("s", "0"))
+        if style in self.date_styles:
+            return _serial_to_pydate(num, style in self.date_only_styles)
         if num == int(num) and "e" not in raw.lower() and "." not in raw:
             return int(raw)
         return num

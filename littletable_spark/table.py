@@ -180,10 +180,17 @@ def _row_to_ns(row) -> SimpleNamespace:
 class Table:
     """Spark-native re-expression of the reference Table."""
 
-    # join-type constants (littletable.py outer_join API)
+    # join-type constants (littletable.py outer_join API). The
+    # reference's LEFT/RIGHT naming is INVERTED relative to SQL — its
+    # key universe comes from the *other* table for LEFT and from *self*
+    # for RIGHT (littletable.py:2631-2658; canonical example
+    # unit_tests.py:1768-1783 finds unregistered students with
+    # students.outer_join(RIGHT_OUTER_JOIN, registrations)). The
+    # constants reproduce that observable behavior for drop-in parity;
+    # pass plain SQL strings ("left"/"right"/"full") for SQL semantics.
     INNER_JOIN = "inner"
-    LEFT_OUTER_JOIN = "left"
-    RIGHT_OUTER_JOIN = "right"
+    LEFT_OUTER_JOIN = "ref_left"
+    RIGHT_OUTER_JOIN = "ref_right"
     FULL_OUTER_JOIN = "full"
 
     # ------------------------------------------------------------------ #

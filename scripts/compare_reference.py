@@ -48,15 +48,12 @@ def _stub_rich() -> None:
 
     if "rich" in sys.modules:
         return
+    # only what module import needs; rich.table/rich.console stay
+    # unimportable so ImportError fallbacks elsewhere still fire
     rich = types.ModuleType("rich")
     rich.box = types.SimpleNamespace(ASCII=None)
     sys.modules["rich"] = rich
     sys.modules["rich.box"] = rich.box  # type: ignore[assignment]
-    for sub in ("table", "console"):
-        m = types.ModuleType(f"rich.{sub}")
-        m.Table = object
-        m.Console = object
-        sys.modules[f"rich.{sub}"] = m
 
 
 def main() -> None:

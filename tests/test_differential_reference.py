@@ -1,0 +1,157 @@
+"""Differential tests: the actual reference implementation
+(/root/reference/littletable.py) and this engine run the SAME operation
+on the same generated rows; results must be identical.
+
+This is stronger than fixed fixtures — hypothesis explores duplicates,
+empty tables, negative keys, and tie-heavy distributions, and any
+divergence from the reference's observable semantics (where comparators,
+multi-key ordering, keep-first unique, inner/left join row multisets)
+fails loudly. The reference is imported read-only; `rich` (used only by
+its present()) is stubbed since the package is absent here.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from littletable_spark import Table
+
+
+def _stub_rich() -> None:
+    """Stub ONLY what the reference needs at module-import time
+    (``from rich import box``). rich.table/rich.console must stay
+    unimportable so other code's ImportError fallbacks still fire."""
+    if "rich" in sys.modules:
+        return
+    rich = types.ModuleType("rich")
+    rich.box = types.SimpleNamespace(ASCII=None)
+    sys.modules["rich"] = rich
+    sys.modules["rich.box"] = rich.box
+
+
+_stub_rich()
+sys.path.insert(0, "/root/reference")
+import littletable as ref  # noqa: E402  (the reference, read-only)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(st.integers(-3, 3), st.integers(-3, 3)), min_size=0, max_size=10
+)
+
+
+def _ref_table(rows):
+    t = ref.Table()
+    t.insert_many({"a": a, "b": b} for a, b in rows)
+    return t
+
+
+def _our_table(spark, rows):
+    t = Table("diff", spark=spark)
+    if rows:
+        t.insert_many([{"a": a, "b": b} for a, b in rows])
+    return t
+
+
+def _pairs(tbl):
+    return sorted((r.a, r.b) for r in tbl)
+
+
+@given(rows=rows_st, v=st.integers(-3, 3))
+@SETTINGS
+def test_where_gt_matches_reference(spark, rows, v):
+    r = _ref_table(rows).where(a=ref.Table.gt(v))
+    o = _our_table(spark, rows).where(a=Table.gt(v))
+    assert _pairs(o) == _pairs(r)
+
+
+@given(rows=rows_st, lo=st.integers(-3, 3), hi=st.integers(-3, 3))
+@SETTINGS
+def test_where_in_range_matches_reference(spark, rows, lo, hi):
+    r = _ref_table(rows).where(a=ref.Table.in_range(lo, hi))
+    o = _our_table(spark, rows).where(a=Table.in_range(lo, hi))
+    assert _pairs(o) == _pairs(r)
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_orderby_mixed_directions_matches_reference(spark, rows):
+    r = _ref_table(rows)
+    r.orderby("a, b desc")
+    o = _our_table(spark, rows)
+    o.orderby("a, b desc")
+    # ordered comparison — multi-key direction handling must be identical
+    assert [(x.a, x.b) for x in o] == [(x.a, x.b) for x in r]
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_unique_keep_first_matches_reference(spark, rows):
+    r = _ref_table(rows).unique(key="a")
+    o = _our_table(spark, rows).unique(key="a")
+    # keep-first in table order, order preserved
+    assert [(x.a, x.b) for x in o] == [(x.a, x.b) for x in r]
+
+
+@given(left=rows_st, right=rows_st)
+@SETTINGS
+def test_inner_join_matches_reference(spark, left, right):
+    rl, rr = ref.Table(), ref.Table()
+    rl.insert_many({"a": a, "b": b} for a, b in left)
+    rr.insert_many({"a": a, "c": b} for a, b in right)
+    rl.create_index("a")
+    rr.create_index("a")
+    r = rl.join(rr, a="a")
+    ol = _our_table(spark, left)
+    orr = Table("diff_r", spark=spark)
+    if right:
+        orr.insert_many([{"a": a, "c": b} for a, b in right])
+    o = ol.join(orr, a="a")
+    assert sorted((x.a, x.b, x.c) for x in o) == sorted(
+        (x.a, x.b, x.c) for x in r
+    )
+
+
+@given(left=rows_st, right=rows_st)
+@SETTINGS
+def test_left_outer_join_matches_reference(spark, left, right):
+    rl, rr = ref.Table(), ref.Table()
+    rl.insert_many({"a": a, "b": b} for a, b in left)
+    rr.insert_many({"a": a, "c": b} for a, b in right)
+    rl.create_index("a")
+    rr.create_index("a")
+    r = rl.outer_join(ref.Table.LEFT_OUTER_JOIN, rr, a="a")
+    ol = _our_table(spark, left)
+    orr = Table("diff_r", spark=spark)
+    if right:
+        orr.insert_many([{"a": a, "c": b} for a, b in right])
+    o = ol.outer_join(Table.LEFT_OUTER_JOIN, orr, a="a")
+    key = lambda x: (  # noqa: E731
+        x[0] is None, x[0] or 0, x[1] is None, x[1] or 0, x[2] is None, x[2] or 0
+    )
+    assert sorted(
+        ((getattr(x, "a", None), getattr(x, "b", None), getattr(x, "c", None)) for x in o),
+        key=key,
+    ) == sorted(
+        ((getattr(x, "a", None), getattr(x, "b", None), getattr(x, "c", None)) for x in r),
+        key=key,
+    )
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_groupby_summary_matches_reference(spark, rows):
+    r = _ref_table(rows).groupby_with_summaries("a", total=lambda recs: sum(x.b for x in recs))
+    o = _our_table(spark, rows).groupby_with_summaries(
+        "a", total=(lambda recs: sum(x.b for x in recs), "long")
+    )
+    assert sorted((x.a, x.total) for x in o) == sorted((x.a, x.total) for x in r)

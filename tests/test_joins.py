@@ -20,19 +20,25 @@ def test_inner_join_projection_collision_drop(catalog_prices):
 
 
 def test_left_outer_join(catalog_prices):
+    """Reference naming is inverted vs SQL: LEFT_OUTER_JOIN's key
+    universe comes from the OTHER table (littletable.py:2631-2658), so
+    all price rows survive and unmatched catalog rows are dropped."""
     catalog, prices = catalog_prices
     j = catalog.outer_join(Table.LEFT_OUTER_JOIN, prices, **{"sku": "sku"})
-    assert len(j) == 5  # 001 twice, 002 once, 003/004 unmatched
-    unmatched = [r for r in j if r.unit_price is None]
-    assert sorted(r.sku for r in unmatched) == ["003", "004"]
+    assert len(j) == 4  # 001 twice, 002 once, 005 unmatched; 003/004 dropped
+    unmatched = [r for r in j if r.color is None]
+    assert sorted(r.sku for r in unmatched) == ["005"]
+    assert unmatched[0].unit_price == 11
 
 
 def test_right_outer_join(catalog_prices):
+    """RIGHT_OUTER_JOIN keeps all of SELF (catalog) — the reference's
+    canonical students-without-courses idiom (unit_tests.py:1768-1774)."""
     catalog, prices = catalog_prices
     j = catalog.outer_join(Table.RIGHT_OUTER_JOIN, prices, **{"sku": "sku"})
-    assert len(j) == 4
-    sku5 = [r for r in j if r.sku == "005"]
-    assert len(sku5) == 1 and sku5[0].color is None and sku5[0].unit_price == 11
+    assert len(j) == 5
+    unmatched = [r for r in j if r.unit_price is None]
+    assert sorted(r.sku for r in unmatched) == ["003", "004"]
 
 
 def test_full_outer_join(catalog_prices):
