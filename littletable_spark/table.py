@@ -360,6 +360,8 @@ class Table:
 
     def __getitem__(self, key: int | slice) -> Any:
         n = None
+        if isinstance(key, slice) and self._df is None:
+            return self._empty_like()  # schema-less empty: empty slice
         if isinstance(key, slice):
             start, stop, step = key.start, key.stop, key.step
             if step not in (None, 1):
@@ -881,6 +883,8 @@ class Table:
         return self._derive(self._ordered_df().limit(n))
 
     def tail(self, n: int = 10) -> "Table":
+        if self._df is None:
+            return self._empty_like()
         rev = self._require_df().orderBy(
             *[
                 (F.expr(e).desc() if a else F.expr(e).asc())

@@ -155,3 +155,30 @@ def test_groupby_summary_matches_reference(spark, rows):
         "a", total=(lambda recs: sum(x.b for x in recs), "long")
     )
     assert sorted((x.a, x.total) for x in o) == sorted((x.a, x.total) for x in r)
+
+
+@given(rows=rows_st, i=st.integers(0, 5), j=st.integers(0, 10))
+@SETTINGS
+def test_positional_slice_matches_reference(spark, rows, i, j):
+    r = _ref_table(rows)[i:j]
+    o = _our_table(spark, rows)[i:j]
+    assert [(x.a, x.b) for x in o] == [(x.a, x.b) for x in r]
+
+
+@given(rows=rows_st, n=st.integers(1, 5))
+@SETTINGS
+def test_tail_matches_reference(spark, rows, n):
+    r = _ref_table(rows).tail(n)
+    o = _our_table(spark, rows).tail(n)
+    assert [(x.a, x.b) for x in o] == [(x.a, x.b) for x in r]
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_callable_predicate_matches_reference(spark, rows):
+    # record-level predicate: both engines route through the callable
+    # (ours as a UDF), including the reference's exception-swallowing
+    pred = lambda rec: rec.a + rec.b > 0  # noqa: E731
+    r = _ref_table(rows).where(pred)
+    o = _our_table(spark, rows).where(pred)
+    assert _pairs(o) == _pairs(r)
