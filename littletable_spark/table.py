@@ -47,6 +47,28 @@ def _is_internal(col_name: str) -> bool:
     return col_name in INTERNAL or col_name.startswith(SORTKEY)
 
 
+def _pytype_to_spark(v: Any) -> str | None:
+    """Spark type name for a sample Python value; None -> untyped
+    (string) UDF fallback. bool before int: bool is an int subclass."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, _dt.datetime):
+        return "timestamp"
+    if isinstance(v, _dt.date):
+        return "date"
+    if isinstance(v, bytes):
+        return "binary"
+    return None
+
+
 class _IndexInfo:
     __slots__ = ("attr", "unique", "accept_none", "cached")
 
@@ -779,23 +801,44 @@ class Table:
         self, attr: str, fn: Any, default: Any = None
     ) -> "Table":
         """In-place derived column; ``default`` on exception
-        (littletable.py:3494-3542)."""
+        (littletable.py:3494-3542). Callable results keep their Python
+        type: the callable is probed on the first row (driver-side) to
+        infer the column type, instead of degrading everything to
+        string via an untyped UDF."""
+        if self._df is None:
+            return self  # schema-less empty: no rows to compute over
         if isinstance(fn, str) and "{" not in fn:
             col = F.expr(fn)
         elif isinstance(fn, Column):
             col = fn
         else:
             user_fields = self.fields
+            rtype = None
+            if not isinstance(fn, str):
+                first = next(iter(self.head(1)), None)
+                probe: Any = default
+                if first is not None:
+                    try:
+                        probe = fn(first)
+                    except Exception:
+                        probe = default
+                rtype = _pytype_to_spark(probe)
 
-            def call(*vals: Any, _fn=fn, _names=tuple(user_fields), _d=default):
+            def call(*vals: Any, _fn=fn, _names=tuple(user_fields), _d=default,
+                     _t=rtype):
                 try:
                     if isinstance(_fn, str):
                         return _fn.format(**dict(zip(_names, vals)))
-                    return _fn(SimpleNamespace(**dict(zip(_names, vals))))
+                    out = _fn(SimpleNamespace(**dict(zip(_names, vals))))
                 except Exception:
-                    return _d
+                    out = _d
+                # a typed double UDF returning a Python int yields NULL
+                if _t == "double" and isinstance(out, int):
+                    return float(out)
+                return out
 
-            col = F.udf(call)(*[F.col(c) for c in user_fields])
+            udf = F.udf(call, rtype) if rtype else F.udf(call)
+            col = udf(*[F.col(c) for c in user_fields])
         if default is not None and isinstance(fn, (str, Column)):
             col = F.coalesce(col, F.lit(default))
         self._mutate(self._require_df().withColumn(attr, col))

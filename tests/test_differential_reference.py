@@ -182,3 +182,17 @@ def test_callable_predicate_matches_reference(spark, rows):
     r = _ref_table(rows).where(pred)
     o = _our_table(spark, rows).where(pred)
     assert _pairs(o) == _pairs(r)
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_compute_field_default_on_exception_matches_reference(spark, rows):
+    # ZeroDivisionError rows take the default (littletable.py:3526-3531)
+    fn = lambda rec: 10 // rec.a  # noqa: E731
+    r = _ref_table(rows)
+    r.compute_field("c", fn, default=-1)
+    o = _our_table(spark, rows)
+    o.compute_field("c", fn, default=-1)
+    assert sorted((x.a, x.b, x.c) for x in o) == sorted(
+        (x.a, x.b, x.c) for x in r
+    )
