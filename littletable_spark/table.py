@@ -654,7 +654,7 @@ class Table:
         return self._derive(out)
 
     def delete(self, **kwargs: Any) -> int:
-        if not kwargs:
+        if not kwargs or self._df is None:
             return 0
         n_before = len(self)
         pred = self._compile_kwargs(kwargs)
@@ -668,6 +668,10 @@ class Table:
         **kwargs: Any,
     ) -> tuple["Table", ...]:
         """One pass -> (non-matching, matching[, errors]) (littletable.py:3630-3771)."""
+        if self._df is None:
+            # schema-less empty: all splits empty, like the reference
+            empties = (self._empty_like(), self._empty_like())
+            return empties + ((self._empty_like(),) if errors is not None and not isinstance(pred, (str, Column)) and not kwargs else ())
         if pred is None and kwargs:
             col_pred = self._compile_kwargs(kwargs)
             use_errors = False
@@ -904,6 +908,8 @@ class Table:
     sort = orderby
 
     def shuffle(self, seed: int | None = None) -> "Table":
+        if self._df is None:
+            return self
         if seed is None:
             seed = random.randrange(2**31)
         self._mutate(
@@ -915,6 +921,8 @@ class Table:
         return self
 
     def rank(self, rank_col: str = "rank", start: int = 1) -> "Table":
+        if self._df is None:
+            return self
         dense = dense_index(self._require_df(), self._sort_cols())
         self._mutate(dense.withColumn(rank_col, (F.col(ROW_ORD) + F.lit(start)).cast("long")))
         self._sort = []
@@ -939,6 +947,8 @@ class Table:
 
     def batched(self, n: int) -> Iterator["Table"]:
         """Generator of n-row subtables (littletable.py:3616-3628)."""
+        if self._df is None:
+            return
         dense = dense_index(self._require_df(), self._sort_cols())
         dense = dense.withColumn("__batch__", (F.col(ROW_ORD) / F.lit(n)).cast("long"))
         total = dense.count()

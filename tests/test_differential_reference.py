@@ -196,3 +196,24 @@ def test_compute_field_default_on_exception_matches_reference(spark, rows):
     assert sorted((x.a, x.b, x.c) for x in o) == sorted(
         (x.a, x.b, x.c) for x in r
     )
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_rank_matches_reference(spark, rows):
+    r = _ref_table(rows)
+    r.orderby("a, b")
+    r.rank("rnk")
+    o = _our_table(spark, rows)
+    o.orderby("a, b")
+    o.rank("rnk")
+    assert [(x.a, x.b, x.rnk) for x in o] == [(x.a, x.b, x.rnk) for x in r]
+
+
+@given(rows=rows_st, v=st.integers(-3, 3))
+@SETTINGS
+def test_splitby_matches_reference(spark, rows, v):
+    rf, rt = _ref_table(rows).splitby(lambda rec: rec.a >= v)
+    of, ot = _our_table(spark, rows).splitby(lambda rec: rec.a >= v)
+    assert _pairs(of) == _pairs(rf)
+    assert _pairs(ot) == _pairs(rt)
