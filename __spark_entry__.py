@@ -864,11 +864,12 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0 ELSE 1 END AS brk
               FROM orders
             ), r AS (
-              SELECT o_orderstatus, o_totalprice,
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
                      sum(brk) OVER (ORDER BY o_orderkey) AS run_id
               FROM l
             )
-            SELECT run_id, o_orderstatus, count(*) AS n_orders,
+            SELECT min(o_orderkey) AS run_start, o_orderstatus,
+                   count(*) AS n_orders,
                    max(o_totalprice) AS max_price
             FROM r GROUP BY run_id, o_orderstatus
         """,
@@ -981,7 +982,7 @@ def oracle_sql() -> dict[str, str]:
                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts_sec) AS session_id
               FROM l
             )
-            SELECT user_id, session_id,
+            SELECT user_id,
                    min(ts_sec) AS session_start, max(ts_sec) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id

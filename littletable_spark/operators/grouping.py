@@ -131,10 +131,11 @@ def consecutive_runs(
     littletable.py:3612) as a DataFrame — the set-returning companion to
     the ``groupby`` iterator.
 
-    Run ids come from lag+cumsum over the given order. With an explicit
-    ``order_by`` the window is global (total order is inherent to
-    consecutive-run semantics); partition-scoped variants should add the
-    partition key to ``keyexpr`` and window on it.
+    Run ids come from lag+cumsum over the given order, but are kept
+    internal: each run is identified in the output by ``run_start`` — the
+    minimum of the first order column within the run — so the result is
+    convention-free (no dependence on whether run numbering starts at 0
+    or 1, or on the counter's integer width).
     """
     from pyspark.sql import Window
 
@@ -149,9 +150,17 @@ def consecutive_runs(
     change = F.when(
         key_struct.eqNullSafe(F.lag(key_struct).over(w)), F.lit(0)
     ).otherwise(F.lit(1))
-    runs = df.withColumn("run_id", F.sum(change).over(w))
-    out = runs.groupBy("run_id", *keys).agg(
-        *([c.alias(n) for n, c in aggs.items()] or [F.count(F.lit(1)).alias("n_rows")])
+    runs = df.withColumn("__run__", F.sum(change).over(w))
+    out = (
+        runs.groupBy("__run__", *keys)
+        .agg(
+            F.min(order_cols[0]).alias("run_start"),
+            *(
+                [c.alias(n) for n, c in aggs.items()]
+                or [F.count(F.lit(1)).alias("n_rows")]
+            ),
+        )
+        .drop("__run__")
     )
     return Table.from_df(out, name=f"{table.table_name}_runs")
 

@@ -114,16 +114,20 @@ def sessionize(
         F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap_sec), F.lit(1)
     ).otherwise(F.lit(0))
     with_session = df.withColumn("__brk__", gap_break).withColumn(
-        "session_id", F.sum("__brk__").over(w)
+        "__session__", F.sum("__brk__").over(w)
     )
+    # the per-key session counter stays internal; sessions are identified
+    # by (key, session_start), which is convention-free (no dependence on
+    # counter origin or integer width)
     grouped = (
-        with_session.groupBy(key, "session_id")
+        with_session.groupBy(key, "__session__")
         .agg(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             *[c.alias(nm) for nm, c in aggs.items()],
         )
+        .drop("__session__")
     )
     return Table.from_df(grouped, name=f"{table.table_name}_sessions")
 

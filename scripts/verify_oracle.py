@@ -102,6 +102,34 @@ def main() -> int:
             failures.append((name, f"rowcount {len(srows)} vs {len(orows)}"))
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
             continue
+        # the driver compares pandas frames, and pandas dtype conversion is
+        # type-aware in ways fetchall() isn't: DuckDB HUGEINT (sum() of
+        # ints) lands in pandas as float64 and hashes differently from
+        # Spark's int64 even when values are numerically equal (Python's
+        # 5.0 == 5 masks this in the multiset compare below). So compare
+        # pandas dtype *kinds* per column the way the driver would see them.
+        try:
+            sp_kinds = {
+                c: d.kind for c, d in sdf.limit(1000).toPandas().dtypes.items()
+            }
+            or_kinds = {
+                c: d.kind
+                for c, d in con.execute(
+                    f"SELECT * FROM ({oracles[name]}) LIMIT 1000"
+                ).df().dtypes.items()
+            }
+        except Exception:
+            sp_kinds = or_kinds = {}
+        type_mismatch = None
+        for c in sorted(sp_kinds):
+            sk, ok = sp_kinds.get(c), or_kinds.get(c)
+            if sk and ok and sk != ok and {sk, ok} <= {"i", "f", "u"}:
+                type_mismatch = f"column {c!r}: spark kind {sk!r} vs oracle {ok!r}"
+                break
+        if type_mismatch:
+            failures.append((name, f"pandas dtype mismatch: {type_mismatch}"))
+            print(f"FAIL {name}: pandas dtype mismatch: {type_mismatch}")
+            continue
         ms, mo = multiset(srows, scols), multiset(orows, ocols)
         if ms != mo:
             diff = (ms - mo) + (mo - ms)

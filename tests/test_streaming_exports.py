@@ -45,8 +45,8 @@ def test_sessionize_gap_splits(spark):
         ]
     )
     out = sessionize(t, 1800, "user_id")
-    sessions = {(r.user_id, r.session_id): r.n_events for r in out}
-    assert sessions == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+    sessions = {(r.user_id, r.session_start): (r.session_end, r.n_events) for r in out}
+    assert sessions == {(1, 0): (100, 2), (1, 5000): (5000, 1), (2, 50): (50, 1)}
 
 
 ABC_CSV = "a,b,c\n0,0,0\n0,0,1\n1,2,2\n"
