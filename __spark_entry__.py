@@ -438,6 +438,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(e, "vec_id", "embedding", threshold=0.3).df
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sub-quadratic embedding near-dup: hyperplane-bucketed candidates
+    (seed-42, 6 planes), exact cosine only within buckets."""
+    from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, n_planes=6, dim=64
+    ).df
+
+
 def q_explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_field: UDTF/flatMap shape — one row per array element
     with its ordinal (native posexplode, no shuffle)."""
@@ -693,11 +704,20 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry. ORDER MATTERS: the driver's correctness gate takes
+    the first 50 entries, so the 50 highest-signal queries (one per
+    distinct operator, all oracle-checked) come first. The parked tail:
+    where_predicates / anti_join return 0 rows at sf0.01 (trivial
+    passes; their operators are covered by where_comparators /
+    semi_join), pivot_sum / head_tail / explode_embedding duplicate
+    operator families with in-gate rows, multimodal_decode is rows-only
+    by design. The local mirror (scripts/verify_oracle.py) still runs
+    all of them."""
     return {
         "where_comparators": q_where_comparators,
-        "where_predicates": q_where_predicates,
         "select_computed": q_select_computed,
         "compute_field": q_compute_field,
+        "convert_numeric": q_convert_numeric,
         "splitby": q_splitby,
         "delete": q_delete,
         "unique": q_unique,
@@ -706,12 +726,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_full": q_outer_join_full,
         "join_dsl": q_join_dsl,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
+        "asof_join": q_asof_join,
         "union": q_union,
         "groupby_summaries": q_groupby_summaries,
+        "agg_distinct": q_agg_distinct,
         "groupby_runs": q_groupby_runs,
         "pivot_counts": q_pivot_counts,
-        "pivot_sum": q_pivot_sum,
         "rollup": q_rollup,
         "stats": q_stats,
         "orderby_head": q_orderby_head,
@@ -730,7 +750,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "explode_embedding": q_explode_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -741,13 +761,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_text": q_search_text,
         "search_raw": q_search_raw,
         "slice_positional": q_slice_positional,
-        "head_tail": q_head_tail,
         "cube": q_cube,
         "grouping_sets": q_grouping_sets,
-        "agg_distinct": q_agg_distinct,
-        "asof_join": q_asof_join,
-        "convert_numeric": q_convert_numeric,
         "multimodal_meta": q_multimodal_meta,
+        # ---- parked beyond the driver's 50-query window ----
+        "where_predicates": q_where_predicates,
+        "anti_join": q_anti_join,
+        "pivot_sum": q_pivot_sum,
+        "head_tail": q_head_tail,
+        "explode_embedding": q_explode_embedding,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -759,6 +781,198 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return registry()
+
+
+def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB mirror of the simhash pipeline (dedup.py:_simhash_df):
+    whitespace tokens → first-8-hex-chars-of-md5 as int → per-bit vote
+    sums → sign bits → all-pairs Hamming filter. The Spark side's
+    pigeonhole blocking is a complete cover for hamming <= max_hamming,
+    so exact all-pairs SQL produces the identical pair set."""
+    votes = ",\n                     ".join(
+        f"sum(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sh = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(t), 1, 8))::BIGINT AS h
+              FROM toks WHERE t <> ''
+            ), votes AS (
+              SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id
+            ), sh AS (
+              SELECT doc_id, ({sh})::BIGINT AS sh FROM votes
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   bit_count(xor(a.sh, b.sh)) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+        """
+
+
+def _lsh_sig_bits(n_planes: int, dim: int, seed: int) -> str:
+    """The seed-deterministic hyperplane matrix (similarity.py:_planes)
+    serialized as SQL sign-bit expressions."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    return ",\n                       ".join(
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in row)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for row in planes
+    )
+
+
+def _lsh_pairs_oracle_sql(
+    threshold: float = 0.3, n_planes: int = 6, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB mirror of embedding_lsh_dup_pairs (dedup.py): same-bucket
+    candidate pairs, exact cosine, threshold filter."""
+    bits = _lsh_sig_bits(n_planes, dim, seed)
+    return f"""
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     concat({bits}) AS sig
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM c a JOIN c b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+        """
+
+
+def _lsh_oracle_sql(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB mirror of lsh_topk (similarity.py:264): the seed-42 random
+    hyperplane matrix is deterministic, so it is serialized into the SQL
+    as literals; signature = concatenated sign bits of plane dot
+    products, candidates = equi-join on signature, exact cosine re-rank
+    within bucket."""
+    bits = _lsh_sig_bits(n_planes, dim, seed)
+    return f"""
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     concat({bits}) AS sig
+              FROM embeddings
+            ), q AS (SELECT * FROM c WHERE vec_id < 5)
+            SELECT * FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                         c.vec_id ASC) AS rank
+              FROM q JOIN c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+            ) WHERE rank <= 10
+        """
+
+
+def _search_text_oracle_sql(query: str = "+spark merge --vector", limit: int = 50) -> str:
+    """DuckDB mirror of the normalized full-text search (operators/search.py,
+    functions/normalize.py). The query is compiled driver-side with the
+    engine's own compile_query (keyword -> weight map + exclusions), and
+    the document-side normalizer — stopword guards, punctuation strip,
+    plural table+rules, dot/hyphen composite splitting — is emitted as a
+    per-keyword containment predicate in SQL."""
+    from littletable_spark.functions.normalize import (
+        PLURALS_MAP,
+        SIGNIFICANT_SUFFIXES,
+        STOPWORDS,
+    )
+    from littletable_spark.operators.search import compile_query
+
+    weights, excluded, groups = compile_query(query, normalize=True)
+    assert not groups, "required groups not supported by this oracle generator"
+
+    sw_lit = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)) + "]"
+    map_case = (
+        "CASE sa "
+        + " ".join(
+            f"WHEN '{k}' THEN '{v}'" for k, v in sorted(PLURALS_MAP.items())
+        )
+        + " ELSE NULL END"
+    )
+    # plural pattern rules in reference order (normalize.py:_PLURAL_SUBS)
+    rules = [
+        (r"(.*[^aeiouy])ies$", r"\1y"),
+        (r"(.*(?:ch|ss|sh|x))es$", r"\1"),
+        (r"(.*(?:[bcdfghklmnprstuvwxz]|(qu))e)s$", r"\1"),
+        (r"(.*(?:ness|ics))$", r"\1"),
+        (r"(.*[^aeious])s$", r"\1"),
+    ]
+    rule_case = "CASE " + " ".join(
+        f"WHEN regexp_matches(sa, '{pat}') THEN regexp_replace(sa, '{pat}', '{rep}')"
+        for pat, rep in rules
+    ) + " ELSE sa END"
+    sing_expr = f"COALESCE({map_case}, {rule_case})"
+
+    def contains(kwd: str) -> str:
+        k = "'" + kwd.replace("'", "''") + "'"
+        alpha_hits = [f"sa = {k}", f"{sing_expr} = {k}"]
+        if kwd in SIGNIFICANT_SUFFIXES:
+            alpha_hits.append(f"regexp_matches(sa, '^[a-z]{{2,}}{kwd}$')")
+        composite_hits = f"""s = {k}
+               OR (contains(s, '.') AND list_contains(
+                     list_filter(string_split(s, '.'), p -> length(p) > 1), {k}))
+               OR (contains(s, '.')
+                   AND len(list_filter(string_split(s, '.'), p -> length(p) > 1)) = 0
+                   AND replace(s, '.', '') = {k})
+               OR (contains(s, '-') AND list_contains(
+                     list_filter(string_split(s, '-'), p -> length(p) > 1), {k}))"""
+        return f"""bool_or(
+            CASE WHEN is_alpha THEN
+              (NOT list_contains(stop.w, sa)) AND ({' OR '.join(alpha_hits)})
+            ELSE {composite_hits}
+            END)"""
+
+    kwds = sorted(set(weights) | set(excluded))
+    contain_cols = ",\n                   ".join(
+        f"{contains(k)} AS c_{i}" for i, k in enumerate(kwds)
+    )
+    col_of = {k: f"c_{i}" for i, k in enumerate(kwds)}
+    score_expr = " + ".join(
+        f"(CASE WHEN {col_of[k]} THEN {w} ELSE 0 END)" for k, w in sorted(weights.items())
+    )
+    any_match = " OR ".join(col_of[k] for k in sorted(weights))
+    not_excl = " AND ".join(f"NOT {col_of[k]}" for k in sorted(set(excluded))) or "TRUE"
+    return f"""
+            WITH stop AS (SELECT {sw_lit} AS w),
+            tok AS (
+              SELECT doc_id, lower(t) AS t
+              FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> ''
+            ), norm AS (
+              SELECT doc_id, t,
+                     regexp_extract(t, '[^\\w_]?([\\w._-]*)', 1) AS s
+              FROM tok, stop
+              WHERE NOT list_contains(stop.w, t)
+            ), prepped AS (
+              SELECT doc_id, t, s,
+                     rtrim(s, ',.!?;:''"-') AS sa,
+                     regexp_matches(rtrim(s, ',.!?;:''"-'), '^[a-z]+$') AS is_alpha
+              FROM norm, stop
+              WHERE NOT list_contains(stop.w, s)
+            ), contained AS (
+              SELECT doc_id,
+                   {contain_cols}
+              FROM prepped, stop GROUP BY doc_id
+            )
+            SELECT doc_id, ({score_expr}) AS text_search_score
+            FROM contained
+            WHERE ({any_match}) AND ({not_excl})
+              AND ({score_expr}) >= 0
+            ORDER BY text_search_score DESC, doc_id
+            LIMIT {limit}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1060,6 +1274,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON id2 = sb.doc_id
             WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.5
         """,
+        "dedup_simhash": _simhash_oracle_sql(),
+        "sim_lsh_topk": _lsh_oracle_sql(),
+        "dedup_embedding_lsh": _lsh_pairs_oracle_sql(),
         "dedup_embedding": """
             SELECT a.vec_id AS id1, b.vec_id AS id2,
                    round(list_cosine_similarity(
@@ -1186,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, fingerprint, min(w) AS min_window_hash
             FROM wh GROUP BY doc_id, fingerprint
         """,
+        "search_text": _search_text_oracle_sql(),
         "search_raw": """
             WITH t AS (
               SELECT doc_id,

@@ -1,117 +1,195 @@
 """Word normalization for the full-text search index.
 
-Capability parity with the reference's normalizer (littletable.py:1616-1699):
-lowercasing, punctuation stripping, stopword removal, acronym collapsing
-("I.B.M." -> "ibm"), hyphen/snake-case splitting, plural reduction
-(regular rules + an irregular map), and significant-suffix extraction
-(error/warning/exception). The logic below is an independent
-implementation of those behaviors — scoring-relevant output categories
-match the reference's, not its code.
+Behavioral parity with the reference's normalizer: the stopword list
+(littletable.py:327-342, including contractions and the bare
+contraction-suffix tokens), the irregular-plural map and the
+singulars-that-look-like-plurals list (littletable.py:345-373), the
+significant word endings (littletable.py:375-379), and the
+``_normalize_word_gen`` pipeline semantics (littletable.py:1633-1693):
 
-This is a pure function so it can run (a) driver-side for query terms and
+- a raw token that is a stopword (before or after punctuation
+  stripping) produces no terms;
+- a purely alphabetic token yields its singular (irregular map first,
+  then pattern rules) when that differs, then the word itself, then a
+  significant suffix (error/warning/exception) when present;
+- non-alphabetic composites yield their ``.``/``-`` separated parts of
+  length > 1, the dot-collapsed acronym when every dot-part is a single
+  character (``i.b.m.`` -> ``ibm``), and the token itself.
+
+The word tables are the public English word lists the reference uses;
+the code is an independent re-expression of the documented pipeline.
+
+This is a pure module so it can run (a) driver-side for query terms and
 (b) inside an Arrow-batched pandas UDF for index builds.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Iterable, Iterator
+from typing import Iterator
 
-# standard small-word stopword list (reference keeps a similar inline list,
-# littletable.py:327-342)
+# default stopwords (littletable.py:327-342): common English stopwords,
+# their contractions, the bare contraction suffixes, and the empty string
+# (so fully-stripped tokens fall out naturally)
 STOPWORDS = frozenset(
-    """a about above after again against all am an and any are as at be because
-    been before being below between both but by could did do does doing down
-    during each few for from further had has have having he her here hers
-    herself him himself his how i if in into is it its itself just me more most
-    my myself no nor not now of off on once only or other our ours ourselves
-    out over own same she should so some such than that the their theirs them
-    themselves then there these they this those through to too under until up
-    very was we were what when where which while who whom why will with you
-    your yours yourself yourselves""".split()
+    (
+        *"""a about above after again against all am an and any are aren't as at be because been
+        before being below between both but by can't cannot could couldn't did didn't do does
+        doesn't doing don't down during each few for from further had hadn't has hasn't have haven't
+        having he he'd he'll he's her here here's hers herself him himself his how how's i i'd i'll
+        i'm i've if in into is isn't it it's its itself let's me more most mustn't my myself no nor
+        not of off on once only or other ought our ours ourselves out over own same shan't she she'd
+        she'll she's should shouldn't so some such than that that's the their theirs them themselves
+        then there there's these they they'd they'll they're they've this those through to too under
+        until up very was wasn't we we'd we'll we're we've were weren't what what's when when's
+        where where's which while who who's whom why why's with won't would wouldn't you
+        you'd you'll you're you've your yours yourself yourselves""".split(),
+        *"d ll m re s t ve".split(),
+        "",
+    )
 )
 
-# irregular plural -> singular
+# irregular plural -> singular (littletable.py:345-361)
 IRREGULAR_PLURALS = {
-    "children": "child",
-    "feet": "foot",
-    "geese": "goose",
-    "men": "man",
-    "mice": "mouse",
-    "people": "person",
-    "teeth": "tooth",
+    "addenda": "addendum", "addendums": "addendum", "alumnae": "alumna",
+    "alumni": "alumnus", "analyses": "analysis", "antennae": "antenna",
+    "antennas": "antenna", "antitheses": "antithesis",
+    "appendices": "appendix", "appendixes": "appendix",
+    "bacilli": "bacillus", "bacteria": "bacterium", "cacti": "cactus",
+    "calves": "calf", "children": "child", "corpora": "corpus",
+    "crises": "crisis", "criteria": "criterion", "curricula": "curriculum",
+    "diagnoses": "diagnosis", "dice": "die", "dwarves": "dwarf",
+    "dwarfs": "dwarf", "elves": "elf", "ellipses": "ellipsis",
+    "errata": "erratum", "firemen": "fireman", "foci": "focus",
+    "feet": "foot", "formulae": "formula", "fungi": "fungus",
+    "genera": "genus", "geese": "goose", "halves": "half",
+    "hooves": "hoof", "hypotheses": "hypothesis", "indices": "index",
+    "indexes": "index", "knives": "knife", "larvae": "larva",
+    "leaves": "leaf", "lives": "life", "loaves": "loaf", "loci": "locus",
+    "lice": "louse", "men": "man", "matrices": "matrix", "media": "medium",
+    "memoranda": "memorandum", "minutiae": "minutia", "mice": "mouse",
+    "nebulae": "nebula", "nuclei": "nucleus", "oases": "oasis",
+    "opera": "opus", "ova": "ovum", "oxen": "ox",
+    "parentheses": "parenthesis", "phenomena": "phenomenon",
+    "phyla": "phylum", "quizzes": "quiz", "radii": "radius",
+    "referenda": "referendum", "scarves": "scarf", "selves": "self",
+    "shelves": "shelf", "staves": "staff", "stimuli": "stimulus",
+    "strata": "stratum", "syllabi": "syllabus", "symposia": "symposium",
+    "synopses": "synopsis", "tableaux": "tableau", "theses": "thesis",
+    "thieves": "thief", "teeth": "tooth", "vertebrae": "vertebra",
+    "vertices": "vertex", "vitae": "vita", "vortices": "vortex",
+    "wharves": "wharf", "wives": "wife", "wolves": "wolf",
     "women": "woman",
-    "leaves": "leaf",
-    "lives": "life",
-    "knives": "knife",
-    "wives": "wife",
-    "halves": "half",
-    "selves": "self",
-    "indices": "index",
-    "matrices": "matrix",
-    "vertices": "vertex",
-    "analyses": "analysis",
-    "crises": "crisis",
-    "data": "datum",
-    "criteria": "criterion",
-    "phenomena": "phenomenon",
+}
+
+# words ending in s that are already singular (littletable.py:362-366)
+SINGULARS_THAT_LOOK_LIKE_PLURALS = [
+    "rabies", "scabies", "caries", "aries", "series", "billiards",
+    "grits", "pliers", "whereabouts", "jeans", "binoculars", "scissors",
+    "tidings", "trousers", "clothes", "news", "measles", "mumps",
+    "calculus", "molasses", "tweezers", "dominoes", "pants", "odds",
+    "riches", "alms", "barracks", "chassis", "corps", "headquarters",
+    "ides", "kudos", "species",
+]
+
+PLURALS_MAP = {
+    **IRREGULAR_PLURALS,
+    **{s: s for s in SINGULARS_THAT_LOOK_LIKE_PLURALS},
 }
 
 # tokens ending in these are indexed under the suffix as well, so a search
-# for "error" finds "TimeoutError" (reference: littletable.py:375-379)
+# for "error" finds "TimeoutError" (littletable.py:375-379)
 SIGNIFICANT_SUFFIXES = ("error", "warning", "exception")
 
-_ACRONYM_RE = re.compile(r"^(?:[A-Za-z]\.){2,}[A-Za-z]?\.?$")
-_SPLIT_RE = re.compile(r"[-_/]+")
-_NONWORD_RE = re.compile(r"[^a-z0-9']+")
+# strip a single leading non-word char, keep word chars plus ._- , drop
+# trailing junk (littletable.py:1597)
+_STRIP_RE = re.compile(r"[^\w_]?([\w._-]*)[^\w.]*")
+
+SIGNIFICANT_ENDING_RE = re.compile(
+    rf"[a-z]{{2,}}({'|'.join(SIGNIFICANT_SUFFIXES)})$"
+)
+
+# plural pattern rules, first substitution that applies wins
+# (littletable.py:1602-1614)
+_PLURAL_SUBS: tuple[tuple[re.Pattern, str], ...] = (
+    (re.compile(r"(.*[^aeiouy])ies$"), r"\1y"),
+    (re.compile(r"(.*(?:ch|ss|sh|x))es$"), r"\1"),
+    (re.compile(r"(.*(?:[bcdfghklmnprstuvwxz]|(qu))e)s$"), r"\1"),
+    (re.compile(r"(.*(?:ness|ics))$"), r"\1"),
+    (re.compile(r"(.*[^aeious])s$"), r"\1"),
+)
+
+_PUNCT_RSTRIP = ",.!?;:'\"-"
 
 
-def _singularize(word: str) -> str:
-    if word in IRREGULAR_PLURALS:
-        return IRREGULAR_PLURALS[word]
-    if len(word) > 3:
-        if word.endswith("ies") and word[-4] not in "aeiou":
-            return word[:-3] + "y"
-        if word.endswith(("ches", "shes", "xes", "sses", "zes")):
-            return word[:-2]
-        if word.endswith("s") and not word.endswith(("ss", "us", "is")):
-            return word[:-1]
+def singularize(word: str) -> str:
+    """Singular form of an alphabetic word per the reference's table-then-
+    rules order; returns the word unchanged when no rule applies."""
+    mapped = PLURALS_MAP.get(word)
+    if mapped:
+        return mapped
+    for rex, repl in _PLURAL_SUBS:
+        new, n = rex.subn(repl, word)
+        if n:
+            return new
     return word
 
 
-def normalize_words(token: str) -> Iterator[str]:
-    """Yield the index terms for one raw whitespace-delimited token."""
-    token = token.strip()
-    if not token:
+def normalize_words(
+    token: str, stopwords: frozenset[str] = STOPWORDS
+) -> Iterator[str]:
+    """Yield the index terms for one raw whitespace-delimited token
+    (littletable.py:1633-1693 semantics)."""
+    s = token.lower()
+    if s in stopwords:
         return
-    if _ACRONYM_RE.match(token):
-        yield token.replace(".", "").lower()
+    m = _STRIP_RE.match(s)
+    s = m.group(1) if m else ""
+    if s in stopwords:
         return
-    for part in _SPLIT_RE.split(token):
-        word = _NONWORD_RE.sub("", part.lower()).strip("'")
-        if not word or word in STOPWORDS:
-            continue
-        word = _singularize(word)
-        if not word or word in STOPWORDS:
-            continue
-        yield word
-        for suffix in SIGNIFICANT_SUFFIXES:
-            if word.endswith(suffix) and word != suffix:
-                yield suffix
+    sa = s.rstrip(_PUNCT_RSTRIP)
+    if sa.isalpha():
+        s = sa
+        if s in stopwords:
+            return
+        sing = singularize(s)
+        if sing and sing != s:
+            yield sing
+        yield s
+        if s.endswith(SIGNIFICANT_SUFFIXES) and (
+            em := SIGNIFICANT_ENDING_RE.match(s)
+        ):
+            yield em[1]
+        return
+    # non-alphabetic composites: dotted and hyphenated tokens yield their
+    # long parts; all-single-char dot sequences collapse to an acronym
+    for sep in ".-":
+        if sep in s:
+            for ss in s.split(sep):
+                if len(ss) > 1:
+                    yield ss
+            if sep == "." and all(len(ss) <= 1 for ss in s.split(".")):
+                yield s.replace(".", "")
+    yield s
 
 
-def normalize_text(text: str) -> list[str]:
+def normalize_text(
+    text: str, stopwords: frozenset[str] = STOPWORDS
+) -> list[str]:
     """All index terms for a free-text value (deduplicated, order-stable)."""
     seen: set[str] = set()
     out: list[str] = []
     for token in (text or "").split():
-        for word in normalize_words(token):
+        for word in normalize_words(token, stopwords):
             if word not in seen:
                 seen.add(word)
                 out.append(word)
     return out
 
 
-def normalize_query_term(term: str) -> list[str]:
-    """Normalized variants of a single user query term."""
-    return list(dict.fromkeys(normalize_words(term)))
+def normalize_query_term(
+    term: str, stopwords: frozenset[str] = STOPWORDS
+) -> list[str]:
+    """Normalized variants of a single user query term (each variant is
+    a separate scoring keyword, littletable.py:1813-1846)."""
+    return list(dict.fromkeys(normalize_words(term, stopwords)))

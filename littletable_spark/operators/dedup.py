@@ -399,43 +399,131 @@ def embedding_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    block_rows: int = 4096,
 ) -> Table:
     """Near-dup pairs by embedding cosine ≥ threshold (exact pairwise).
 
-    One side is broadcast as a dense matrix; the other streams through an
-    Arrow-batched ``mapInPandas`` doing a BLAS matmul per batch and
-    emitting only above-threshold (id1 < id2) pairs — no N² row
-    materialization, no per-pair interpreted fold. This is the exact
-    verification path; at corpus scale the broadcast side is replaced by
-    LSH-bucketed candidates (``minhash_lsh_pairs`` shape).
+    Distributed block-matrix formulation: vectors are hashed into blocks
+    of ~``block_rows`` rows, every unordered pair of blocks becomes one
+    task, and each task runs one BLAS matmul over its two dense blocks,
+    emitting only above-threshold (id1 < id2) pairs. No table data ever
+    reaches the driver (the only driver-side value is the row count used
+    to size the blocks), and per-task memory is bounded by two blocks —
+    the executor-OOM/driver-collect failure modes of a broadcast
+    formulation are gone. Work is inherently O(N²/B) block pairs: this is
+    the exact path; the sub-quadratic scale path is
+    ``embedding_lsh_dup_pairs``.
     """
-    import numpy as np
+    import math
 
-    rows = table.df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(M, axis=1)
-    bc = table.spark.sparkContext.broadcast((ids, M, norms))
+    df = table.df.select(id_col, vec_col)
+    n = df.count()
+    if n == 0:
+        empty = table.spark.createDataFrame(
+            [], "id1 long, id2 long, cosine double"
+        )
+        return Table.from_df(empty, name=f"{table.table_name}_embedding_pairs")
+    n_blocks = max(1, math.ceil(n / block_rows))
+    blocked = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).cast("array<double>").alias("__vec__"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk__"),
+    )
+    packed = blocked.groupBy("__blk__").agg(
+        F.collect_list(F.struct("__id__", "__vec__")).alias("items")
+    )
+    a = packed.select(F.col("__blk__").alias("b1"), F.col("items").alias("items1"))
+    b = packed.select(F.col("__blk__").alias("b2"), F.col("items").alias("items2"))
+    block_pairs = a.join(b, F.col("b1") <= F.col("b2"))
 
-    def pairs(batches):
+    def emit(batches):
         import numpy as np
         import pandas as pd
 
-        ids_, M_, norms_ = bc.value
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids1 = np.array([e["__id__"] for e in row["items1"]], dtype=np.int64)
+                M1 = np.array([list(e["__vec__"]) for e in row["items1"]], dtype=np.float64)
+                ids2 = np.array([e["__id__"] for e in row["items2"]], dtype=np.int64)
+                M2 = np.array([list(e["__vec__"]) for e in row["items2"]], dtype=np.float64)
+                S = np.round(
+                    (M1 @ M2.T)
+                    / np.outer(np.linalg.norm(M1, axis=1), np.linalg.norm(M2, axis=1)),
+                    6,
+                )
+                if row["b1"] == row["b2"]:
+                    keep = (S >= threshold) & (ids1[:, None] < ids2[None, :])
+                    bi, mj = np.nonzero(keep)
+                    id1, id2 = ids1[bi], ids2[mj]
+                else:
+                    keep = S >= threshold
+                    bi, mj = np.nonzero(keep)
+                    x, y = ids1[bi], ids2[mj]
+                    id1, id2 = np.minimum(x, y), np.maximum(x, y)
+                yield pd.DataFrame({"id1": id1, "id2": id2, "cosine": S[bi, mj]})
+
+    out = block_pairs.repartition(
+        max(32, min(n_blocks * (n_blocks + 1) // 2, 512))
+    ).mapInPandas(emit, "id1 long, id2 long, cosine double")
+    return Table.from_df(out, name=f"{table.table_name}_embedding_pairs")
+
+
+def embedding_lsh_dup_pairs(
+    table: Table,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> Table:
+    """Approximate near-dup pairs: random-hyperplane bucketing, then exact
+    cosine only within each bucket — the sub-quadratic scale path
+    (candidates via one equi-join on the signature, O(N²/2^planes)
+    in-bucket work). Deterministic given ``seed``, so it is
+    oracle-checkable by serializing the plane matrix into SQL.
+    """
+    from .similarity import _planes, lsh_signature
+
+    planes = _planes(dim, n_planes, seed)
+    base = table.df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).cast("array<double>").alias("__vec__"),
+    ).withColumn("sig", lsh_signature(F.col("__vec__"), planes))
+    sided = base.persist(_PAIRGEN_CACHE)
+    a = sided.alias("a")
+    b = sided.alias("b")
+    cand = a.join(
+        b,
+        on=[
+            F.col("a.sig") == F.col("b.sig"),
+            F.col("a.__id__") < F.col("b.__id__"),
+        ],
+    ).select(
+        F.col("a.__id__").alias("id1"),
+        F.col("b.__id__").alias("id2"),
+        F.col("a.__vec__").alias("v1"),
+        F.col("b.__vec__").alias("v2"),
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            c_norms = np.linalg.norm(C, axis=1)
-            c_ids = pdf[id_col].to_numpy()
-            S = np.round((C @ M_.T) / np.outer(c_norms, norms_), 6)
-            keep = (S >= threshold) & (c_ids[:, None] < ids_[None, :])
-            bi, mj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id1": c_ids[bi], "id2": ids_[mj], "cosine": S[bi, mj]}
+            A = np.array([list(v) for v in pdf["v1"]], dtype=np.float64)
+            B = np.array([list(v) for v in pdf["v2"]], dtype=np.float64)
+            cos = np.round(
+                np.einsum("ij,ij->i", A, B)
+                / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)),
+                6,
             )
+            out = pd.DataFrame(
+                {"id1": pdf["id1"], "id2": pdf["id2"], "cosine": cos}
+            )
+            yield out[out["cosine"] >= threshold]
 
-    out = table.df.select(id_col, vec_col).mapInPandas(
-        pairs, "id1 long, id2 long, cosine double"
-    )
-    return Table.from_df(out, name=f"{table.table_name}_embedding_pairs")
+    out = cand.mapInPandas(score, "id1 long, id2 long, cosine double")
+    return Table.from_df(out, name=f"{table.table_name}_embedding_lsh_pairs")

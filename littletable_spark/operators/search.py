@@ -1,36 +1,51 @@
 """Full-text search: inverted index + query DSL.
 
-Capability parity with the reference's search engine
-(littletable.py:1701-1942 build/maintenance, 1781-1917 query DSL,
-637-681 accessor): per-attribute inverted index, stopword/plural/acronym
-normalization (functions/normalize.py), and the ``++ -- + -`` query
-grammar with +1000/-1000/+100 weights and required/excluded handling.
+Behavioral parity with the reference's search engine
+(littletable.py:1701-1942 build/maintenance, 1780-1917 query DSL,
+637-681 accessor): per-attribute inverted index over the normalizer's
+terms (functions/normalize.py), and the ``++ -- + -`` query grammar with
+the reference's exact keyword bookkeeping —
+
+- every normalized *variant* of a query term is its own scoring keyword
+  worth +1000 (``+``/``++``), -1000 (``-``), or +100 (bare), deduplicated
+  across the query by keyword, with ``+x`` cancelling an earlier ``-x``
+  and vice versa (littletable.py:1813-1846);
+- a bare keyword's significant-suffix variant does not score
+  (littletable.py:1843-1845);
+- ``++`` groups are conjunctive: a row must hit at least one variant of
+  every required group; a required group with zero corpus hits empties
+  the result; when every group hits but no row satisfies all of them,
+  the reference applies no required filter at all — all three cases are
+  reproduced (littletable.py:1852-1863);
+- ``--`` rows are removed before scoring; ``min_score`` defaults to 0 so
+  negative-only matches drop out (littletable.py:1866-1884).
 
 Spark-first design:
-- the index is a derived DataFrame ``(row_ord, epoch, word)`` built with
+- the index is a derived DataFrame ``(epoch, row_ord, word)`` built with
   an Arrow-batched pandas UDF + ``explode`` — embarrassingly parallel,
   persisted for repeated queries;
-- a query builds a tiny (term, weight) DataFrame, broadcast-joins it
-  against the index, and aggregates scores per row — one shuffle on
-  row_ord, no driver-side scan;
-- required terms are enforced with a per-term distinct-count condition,
-  excluded terms with a broadcast anti-join;
-- staleness is a version stamp checked against the table's mutation
-  counter (reference ``SearchIndexInconsistentError``).
+- a query broadcast-joins a tiny keyword table against the index and
+  aggregates scores per row — one shuffle on the row key, no driver-side
+  scan of table data (the only collects are one-row aggregates for the
+  required-group cardinality rules).
 """
 
 from __future__ import annotations
 
 import shlex
-from types import SimpleNamespace
-from typing import Any, Iterable
+from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as SQLT
 
-from ..functions.normalize import normalize_query_term, normalize_text
+from ..functions.normalize import (
+    SIGNIFICANT_ENDING_RE,
+    STOPWORDS,
+    normalize_query_term,
+    normalize_text,
+)
 from ..plans.ordering import ROW_ORD
 
 BARE_WEIGHT = 100
@@ -39,11 +54,14 @@ NONPREFER_WEIGHT = -1000
 
 
 class SearchIndex:
-    def __init__(self, attr: str, index_df: DataFrame, version: int) -> None:
+    def __init__(
+        self, attr: str, index_df: DataFrame, version: int, stopwords: frozenset[str]
+    ) -> None:
         self.attr = attr
         self.index_df = index_df
         self.version = version
         self.normalize = True
+        self.stopwords = stopwords
 
     @classmethod
     def build(
@@ -55,17 +73,15 @@ class SearchIndex:
     ) -> "SearchIndex":
         from ..table import EPOCH
 
-        extra_stop = frozenset(stopwords or ())
+        # a user-supplied stopword list REPLACES the default, it does not
+        # extend it (littletable.py:1762-1766)
+        sw = STOPWORDS if stopwords is None else frozenset(stopwords)
         text = F.col(attr).cast("string")
         if normalize:
 
             @F.pandas_udf(SQLT.ArrayType(SQLT.StringType()))
             def terms_of(texts: pd.Series) -> pd.Series:
-                return texts.map(
-                    lambda t: [
-                        w for w in normalize_text(t or "") if w not in extra_stop
-                    ]
-                )
+                return texts.map(lambda t: normalize_text(t or "", sw))
 
             words = terms_of(text)
         else:
@@ -74,8 +90,8 @@ class SearchIndex:
             toks = F.filter(
                 F.split(F.trim(F.lower(text)), r"\s+"), lambda x: x != F.lit("")
             )
-            if extra_stop:
-                stop_arr = F.array(*[F.lit(s) for s in sorted(extra_stop)])
+            if stopwords:
+                stop_arr = F.array(*[F.lit(s) for s in sorted(sw)])
                 toks = F.filter(toks, lambda x: ~F.array_contains(stop_arr, x))
             words = F.array_distinct(toks)
 
@@ -87,7 +103,7 @@ class SearchIndex:
             F.explode(words).alias("word"),
         )
         index_df = df.persist()
-        idx = cls(attr, index_df, table._version)
+        idx = cls(attr, index_df, table._version, sw)
         idx.normalize = normalize
         return idx
 
@@ -102,7 +118,7 @@ def parse_query(query: str) -> list[tuple[str, str]]:
     """Split a query into (mode, term): mode in {required, excluded,
     prefer, nonprefer, bare}. Quoting via shlex (littletable.py:1810)."""
     out: list[tuple[str, str]] = []
-    for raw in shlex.split(query):
+    for raw in shlex.split(query.strip()):
         if raw.startswith("++"):
             out.append(("required", raw[2:]))
         elif raw.startswith("--"):
@@ -114,6 +130,62 @@ def parse_query(query: str) -> list[tuple[str, str]]:
         else:
             out.append(("bare", raw))
     return [(m, t) for m, t in out if t]
+
+
+def compile_query(
+    query: str, normalize: bool, stopwords: frozenset[str] = STOPWORDS
+) -> tuple[dict[str, int], list[str], list[list[str]]]:
+    """Reduce a query string to the reference's keyword bookkeeping
+    (littletable.py:1813-1846): a keyword -> weight map, the excluded
+    keyword list, and the required variant groups. Pure driver-side
+    computation over the query text only — also used to build the
+    driver-contract oracle SQL."""
+    plus: dict[str, bool] = {}
+    minus: dict[str, bool] = {}
+    opt: dict[str, bool] = {}
+    excluded: list[str] = []
+    groups: list[list[str]] = []
+
+    def variants(term: str) -> list[str]:
+        if normalize:
+            return normalize_query_term(term, stopwords)
+        t = term.lower().strip()
+        return [t] if t else []
+
+    for mode, term in parse_query(query):
+        term = term.lower()
+        kwds = variants(term)
+        if mode == "required":
+            groups.append(kwds)
+            for kwd in kwds:
+                plus.setdefault(kwd, True)
+        elif mode == "excluded":
+            excluded.extend(kwds)
+        elif mode == "prefer":
+            for kwd in kwds:
+                minus.pop(kwd, None)
+                plus.setdefault(kwd, True)
+        elif mode == "nonprefer":
+            for kwd in kwds:
+                plus.pop(kwd, None)
+                minus.setdefault(kwd, True)
+        else:
+            sig = SIGNIFICANT_ENDING_RE.match(term)
+            for kwd in kwds:
+                if sig and kwd == sig[1]:
+                    continue
+                if kwd in plus or kwd in minus:
+                    continue
+                opt.setdefault(kwd, True)
+
+    weights: dict[str, int] = {}
+    for kwd in plus:
+        weights[kwd] = weights.get(kwd, 0) + PREFER_WEIGHT
+    for kwd in minus:
+        weights[kwd] = weights.get(kwd, 0) + NONPREFER_WEIGHT
+    for kwd in opt:
+        weights[kwd] = weights.get(kwd, 0) + BARE_WEIGHT
+    return weights, excluded, groups
 
 
 class SearchAccessor:
@@ -130,7 +202,7 @@ class SearchAccessor:
         def run(
             query: str,
             limit: int | None = None,
-            min_score: int | None = None,
+            min_score: int = 0,
             include_words: bool = False,
             as_table: bool = True,
         ):
@@ -144,83 +216,99 @@ def search(
     attr: str,
     query: str,
     limit: int | None = None,
-    min_score: int | None = None,
+    min_score: int | None = 0,
     include_words: bool = False,
     as_table: bool = True,
 ):
     idx: SearchIndex = table._get_search_index(attr)
     spark = table.spark
-    parsed = parse_query(query)
-
-    # expand each term into its normalized variants, one scoring row each
-    term_rows: list[dict] = []
-    n_required = 0
-    for term_id, (mode, term) in enumerate(parsed):
-        if idx.normalize:
-            variants = normalize_query_term(term)
-        else:
-            variants = [term.lower()] if term.strip() else []
-        if not variants:
-            continue
-        if mode == "required":
-            n_required += 1
-            weight = BARE_WEIGHT
-        elif mode == "prefer":
-            weight = PREFER_WEIGHT
-        elif mode == "nonprefer":
-            weight = NONPREFER_WEIGHT
-        elif mode == "excluded":
-            weight = 0
-        else:
-            weight = BARE_WEIGHT
-        for v in variants:
-            term_rows.append(
-                {"word": v, "term_id": term_id, "mode": mode, "weight": weight}
-            )
-    if not term_rows:
-        empty = table._require_df().limit(0)
-        return table._derive(empty) if as_table else []
-
-    terms_df = F.broadcast(
-        spark.createDataFrame(term_rows, schema="word string, term_id long, mode string, weight long")
-    )
-    joined = idx.index_df.join(terms_df, on="word")
+    weights, excluded, groups = compile_query(query, idx.normalize, idx.stopwords)
 
     from ..table import EPOCH
 
-    # one contribution per (row, query-term): a term matching several of a
-    # row's words still scores once
-    per_term = joined.groupBy(EPOCH, ROW_ORD, "term_id").agg(
-        F.first("mode").alias("mode"),
-        F.first("weight").alias("weight"),
-        F.collect_set("word").alias("words"),
-    )
-    scored = per_term.groupBy(EPOCH, ROW_ORD).agg(
-        F.sum(F.when(F.col("mode") != "excluded", F.col("weight")).otherwise(0)).alias(
-            "__score__"
-        ),
-        F.count_distinct(
-            F.when(F.col("mode") == "required", F.col("term_id"))
-        ).alias("__req_hits__"),
-        F.max(F.when(F.col("mode") == "excluded", 1).otherwise(0)).alias("__excl__"),
-        F.flatten(F.collect_list("words")).alias("__words__"),
-    )
-    matched = scored.filter(
-        (F.col("__req_hits__") == F.lit(n_required)) & (F.col("__excl__") == 0)
-    )
+    if not weights and not groups:
+        empty = table._require_df().limit(0)
+        return table._derive(empty) if as_table else []
+
+    index_df = idx.index_df
+
+    # required-group cardinality rules (littletable.py:1852-1863): a group
+    # with zero corpus hits empties the result; groups that all hit but
+    # are jointly unsatisfiable disable the required filter entirely.
+    apply_required = False
+    if groups:
+        group_rows = [
+            {"word": w, "gid": gi} for gi, g in enumerate(groups) for w in g
+        ]
+        gdf = F.broadcast(
+            spark.createDataFrame(group_rows, schema="word string, gid long")
+        )
+        ghits = index_df.join(gdf, on="word")
+        cov = ghits.groupBy().agg(F.count_distinct("gid").alias("gids_hit"))
+        per_row = ghits.groupBy(EPOCH, ROW_ORD).agg(
+            F.count_distinct("gid").alias("__gh__")
+        )
+        gids_hit = cov.collect()[0]["gids_hit"]
+        if gids_hit < len(groups):
+            empty = table._require_df().limit(0)
+            return table._derive(empty) if as_table else []
+        max_gh = per_row.agg(F.max("__gh__").alias("m")).collect()[0]["m"] or 0
+        apply_required = max_gh == len(groups)
+
+    weight_rows = [{"word": w, "weight": wt} for w, wt in weights.items()]
+    if weight_rows:
+        wdf = F.broadcast(
+            spark.createDataFrame(weight_rows, schema="word string, weight long")
+        )
+        scored = (
+            index_df.join(wdf, on="word")
+            .groupBy(EPOCH, ROW_ORD)
+            .agg(F.sum("weight").alias("__score__"))
+        )
+    else:
+        scored = (
+            index_df.select(EPOCH, ROW_ORD)
+            .limit(0)
+            .withColumn("__score__", F.lit(0).cast("long"))
+        )
+
+    if apply_required:
+        scored = scored.join(
+            per_row.filter(F.col("__gh__") == F.lit(len(groups))).select(
+                EPOCH, ROW_ORD
+            ),
+            on=[EPOCH, ROW_ORD],
+        )
+    if excluded:
+        edf = F.broadcast(
+            spark.createDataFrame(
+                [{"word": w} for w in dict.fromkeys(excluded)],
+                schema="word string",
+            )
+        )
+        excl_rows = index_df.join(edf, on="word").select(EPOCH, ROW_ORD).distinct()
+        scored = scored.join(excl_rows, on=[EPOCH, ROW_ORD], how="left_anti")
+
     if min_score is not None:
-        matched = matched.filter(F.col("__score__") >= F.lit(min_score))
+        scored = scored.filter(F.col("__score__") >= F.lit(min_score))
 
     rows_df = table._require_df().join(
-        matched.select(EPOCH, ROW_ORD, "__score__", "__words__"),
-        on=[EPOCH, ROW_ORD],
+        scored.select(EPOCH, ROW_ORD, "__score__"), on=[EPOCH, ROW_ORD]
     )
     score_col = f"{attr}_search_score"
     words_col = f"{attr}_search_words"
-    rows_df = rows_df.withColumn(score_col, F.col("__score__"))
+    rows_df = rows_df.withColumn(score_col, F.col("__score__")).drop("__score__")
     if include_words:
-        rows_df = rows_df.withColumn(words_col, F.array_sort(F.array_distinct(F.col("__words__"))))
-    rows_df = rows_df.drop("__score__", "__words__", "__req_hits__", "__excl__")
+        # reference semantics: ALL of the row's index terms, sorted
+        # (littletable.py:1888-1895), not just the matched ones
+        row_words = index_df.groupBy(EPOCH, ROW_ORD).agg(
+            F.array_sort(F.collect_set("word")).alias(words_col)
+        )
+        rows_df = rows_df.join(row_words, on=[EPOCH, ROW_ORD], how="left")
+        rows_df = rows_df.withColumn(
+            words_col,
+            F.coalesce(F.col(words_col), F.array().cast("array<string>")),
+        )
     rows_df = rows_df.orderBy(F.col(score_col).desc(), F.col(ROW_ORD).asc())
     if limit is not None:
         rows_df = rows_df.limit(limit)

@@ -217,3 +217,77 @@ def test_splitby_matches_reference(spark, rows, v):
     of, ot = _our_table(spark, rows).splitby(lambda rec: rec.a >= v)
     assert _pairs(of) == _pairs(rf)
     assert _pairs(ot) == _pairs(rt)
+
+
+# --------------------------------------------------------------------- #
+# full-text search: normalizer and scoring parity on a shared corpus
+# (reference littletable.py:1616-1699 normalizer, 1780-1917 scoring;
+# mirrors the normalizer matrix at unit_tests.py:3562-3661)
+
+SEARCH_CORPUS = [
+    "the quick brown fox jumps over lazy dogs",
+    "spark merge join strategies for big tables",
+    "slow merge sort on tiny tables",
+    "vector search with embeddings and indices",
+    "merge conflicts are annoying",
+    "TimeoutError raised during hash-join of I.B.M. data-sets",
+    "children love geese and mice",
+    "a series of unfortunate analyses",
+    "physics measles news kudos",
+    "",
+]
+
+SEARCH_QUERIES = [
+    "fox",
+    "merge",
+    "+merge tables",
+    "merge -slow",
+    "++merge --slow",
+    "table",
+    "child geese",
+    "error",
+    "TimeoutError",
+    "i.b.m.",
+    "hash-join",
+    "++merge ++tables",
+    "++merge ++nonexistentword",
+    "analysis",
+    "series",
+    "+merge -merge",
+    "-merge +merge",
+    "merge merge merge",
+]
+
+
+def test_normalizer_matches_reference_on_corpus():
+    from littletable_spark.functions.normalize import STOPWORDS, normalize_words
+
+    assert STOPWORDS == ref._stopwords
+    for text in SEARCH_CORPUS:
+        for tok in text.split():
+            r = list(ref.Table._normalize_word_gen(tok.lower(), ref._stopwords))
+            o = list(normalize_words(tok, STOPWORDS))
+            assert o == r, f"token {tok!r}: ours {o} != reference {r}"
+
+
+@pytest.fixture(scope="module")
+def search_pair(spark):
+    rt = ref.Table()
+    rt.insert_many(
+        types.SimpleNamespace(id=i, entry=e) for i, e in enumerate(SEARCH_CORPUS)
+    )
+    rt.create_search_index("entry")
+    ot = Table("docs", spark=spark)
+    ot.insert_many({"id": i, "entry": e} for i, e in enumerate(SEARCH_CORPUS))
+    ot.create_search_index("entry")
+    return rt, ot
+
+
+@pytest.mark.parametrize("query", SEARCH_QUERIES)
+def test_search_scoring_matches_reference(search_pair, query):
+    rt, ot = search_pair
+    rres = rt.search.entry(query, as_table=False)
+    ores = ot.search.entry(query, as_table=False)
+    rscores = sorted((rec.id, score) for rec, score in rres)
+    oscores = sorted((rec.id, score) for rec, score in ores)
+    assert oscores == rscores, f"query {query!r}: ours {oscores} != ref {rscores}"

@@ -16,19 +16,30 @@ def test_normalizer_stopwords_and_case():
 
 
 def test_normalizer_plurals():
-    assert normalize_query_term("tables") == ["table"]
-    assert normalize_query_term("boxes") == ["box"]
-    assert normalize_query_term("cities") == ["city"]
-    assert normalize_query_term("children") == ["child"]
+    # reference yields the singular AND the original word
+    # (littletable.py:1655-1660)
+    assert normalize_query_term("tables") == ["table", "tables"]
+    assert normalize_query_term("boxes") == ["box", "boxes"]
+    assert normalize_query_term("cities") == ["city", "cities"]
+    assert normalize_query_term("children") == ["child", "children"]
     assert normalize_query_term("glass") == ["glass"]  # not a plural
+    assert normalize_query_term("series") == ["series"]  # looks-like-plural
 
 
 def test_normalizer_acronyms():
-    assert normalize_query_term("I.B.M.") == ["ibm"]
+    # dot-collapsed acronym plus the raw dotted token (littletable.py:1685-1691)
+    assert normalize_query_term("I.B.M.") == ["ibm", "i.b.m."]
 
 
-def test_normalizer_hyphen_snake_split():
-    assert normalize_text("hash-join snake_case") == ["hash", "join", "snake", "case"]
+def test_normalizer_hyphen_split():
+    # hyphenated tokens yield their parts and themselves; snake_case is
+    # left intact (littletable.py:1680-1693)
+    assert normalize_text("hash-join snake_case") == [
+        "hash",
+        "join",
+        "hash-join",
+        "snake_case",
+    ]
 
 
 def test_normalizer_significant_suffixes():
@@ -62,15 +73,20 @@ def test_search_bare_word_scores_100(journal):
 def test_search_prefer_weight(journal):
     res = journal.search.entry("+merge tables", as_table=False)
     scores = {ns.id: s for ns, s in res}
-    # id1/id2: merge(1000) + tables(100) = 1100; id4: merge only = 1000
-    assert scores[1] == 1100 and scores[2] == 1100 and scores[4] == 1000
+    # bare 'tables' expands to two scoring keywords (table, tables), each
+    # worth 100 per the reference's per-variant tally:
+    # id1/id2: merge(1000) + table(100) + tables(100) = 1200; id4: 1000
+    assert scores[1] == 1200 and scores[2] == 1200 and scores[4] == 1000
 
 
 def test_search_nonprefer_weight(journal):
+    # default min_score=0 drops negative-only matches (littletable.py:1879-1884)
     res = journal.search.entry("merge -slow", as_table=False)
     scores = {ns.id: s for ns, s in res}
-    assert scores[2] == 100 - 1000  # matched merge(+100) and slow(-1000)
-    assert scores[1] == 100
+    assert scores == {1: 100, 4: 100}
+    res2 = journal.search.entry("merge -slow", min_score=-2000, as_table=False)
+    scores2 = {ns.id: s for ns, s in res2}
+    assert scores2[2] == 100 - 1000  # matched merge(+100) and slow(-1000)
 
 
 def test_search_required_excluded(journal):
