@@ -41,6 +41,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from littletable_spark import get_spark
 
+    # steady-state methodology: base tables persist across queries (the
+    # reference engine holds its tables in memory; one parquet load +
+    # cache is the Spark analogue). The warmup pass fills the cache.
+    os.environ["SPARK_GRAFT_CACHE_TABLES"] = "1"
     spark = get_spark(cpus=CPUS)
     queries = entrymod.queries()
     names = [n for n in HEADLINE if n in queries] + [

@@ -60,7 +60,11 @@ def eq(value: Any) -> Comparator:
 
 
 def ne(value: Any) -> Comparator:
-    return Comparator(lambda c: c != F.lit(value), f"!= {value!r}")
+    # Python None != value is True, so None/missing rows are INCLUDED by
+    # the reference; plain SQL != would drop them under 3VL
+    return Comparator(
+        lambda c: c.isNull() | (c != F.lit(value)), f"!= {value!r}"
+    )
 
 
 def is_none() -> Comparator:
@@ -90,9 +94,12 @@ def is_in(values: Iterable[Any]) -> Comparator:
 
 def not_in(values: Iterable[Any]) -> Comparator:
     vals = list(values)
-    # NULL never matches either way, mirroring the reference's getattr
-    # miss -> not-in-collection -> include only if value itself is None-safe.
-    return Comparator(lambda c: ~c.isin(vals), f"not in {vals!r}")
+    # Python `None not in seq` is True (when None isn't in seq), so
+    # None/missing rows are INCLUDED by the reference; ~isin would drop
+    # them under SQL 3VL
+    return Comparator(
+        lambda c: c.isNull() | ~c.isin(vals), f"not in {vals!r}"
+    )
 
 
 def startswith(prefix: str) -> Comparator:

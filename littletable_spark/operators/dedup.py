@@ -206,18 +206,39 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
 ) -> Table:
     """Exact pairwise n-gram Jaccard similarity ≥ threshold.
 
     Inverted-index formulation: explode distinct shingles, self-join on
     shingle to count intersections, derive |A∪B| from per-doc sizes.
-    Quadratic in docs sharing a shingle — the verification path after
-    LSH candidate generation at scale.
+
+    The plain self-join is quadratic in documents sharing a hot shingle;
+    the prefix filter (join only each document's first
+    ``sz - ceil(t*sz) + 1`` shingles under a fixed global order —
+    exactness-preserving) bounds that blowup but costs an extra window
+    and two joins, which loses on small skew-free corpora. Default
+    ``prefix_filter=None`` decides adaptively from one cheap statistic:
+    ``sum(freq²)`` over shingles IS the self-join's output cardinality,
+    so when it exceeds a small multiple of the corpus size the prefix
+    path engages. Explicit True/False overrides.
     """
     df = table.df
     sh = _shingle_rows(df, id_col, text_col, n).distinct().persist(_PAIRGEN_CACHE)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if prefix_filter is None:
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+        est = freq.agg(
+            F.sum(F.col("f") * F.col("f")).alias("pairs"),
+            F.sum("f").alias("rows"),
+        ).collect()[0]
+        # engage the prefix path when the self-join would emit more than
+        # ~64 rows per shingle row (hot-shingle skew territory)
+        prefix_filter = bool(
+            est["pairs"] is not None
+            and est["rows"]
+            and est["pairs"] > 64 * est["rows"]
+        )
     if prefix_filter:
         # exactness-preserving prefix filtering: two docs with
         # Jaccard >= t MUST share a shingle within each other's first
@@ -423,7 +444,10 @@ def embedding_dup_pairs(
             [], "id1 long, id2 long, cosine double"
         )
         return Table.from_df(empty, name=f"{table.table_name}_embedding_pairs")
-    n_blocks = max(1, math.ceil(n / block_rows))
+    # small corpora still want parallel block pairs: target >= ~8 blocks
+    # (36 pair-tasks) while keeping per-task memory <= block_rows vectors
+    eff_block_rows = min(block_rows, max(256, math.ceil(n / 8)))
+    n_blocks = max(1, math.ceil(n / eff_block_rows))
     blocked = df.select(
         F.col(id_col).alias("__id__"),
         F.col(vec_col).cast("array<double>").alias("__vec__"),

@@ -86,6 +86,65 @@ def _mk_idx(attr: str):
     return _IndexInfo(attr, unique=False, accept_none=True)
 
 
+_RUN = "__run__"
+_RUNPID = "__runpid__"
+_RUNRN = "__runrn__"
+_RUNLOCAL = "__runlocal__"
+
+
+def _with_run_ids(df, keys: list[str], order_cols: list[Column]):
+    """Attach a global consecutive-run id column ``__run__`` without a
+    single-partition window (the ``dense_index`` trick,
+    plans/ordering.py:51): sort, detect run breaks partition-locally,
+    then merge runs that straddle partition boundaries with a
+    driver-side O(#partitions) pass over (first_key, last_key, #runs)
+    summaries, broadcast back as a pid -> offset map.
+    """
+    key_struct = F.struct(*[F.col(k) for k in keys])
+    # persist before the summary collect: both the collect and the
+    # downstream consumer must observe the same partition assignment
+    df_sorted = (
+        df.orderBy(*order_cols)
+        .withColumn(_RUNPID, F.spark_partition_id())
+        .persist()
+    )
+    w = Window.partitionBy(_RUNPID).orderBy(*order_cols)
+    brk = F.when(
+        key_struct.eqNullSafe(F.lag(key_struct).over(w)), F.lit(0)
+    ).otherwise(F.lit(1))
+    with_local = df_sorted.withColumn(_RUNRN, F.row_number().over(w)).withColumn(
+        _RUNLOCAL, F.sum(brk).over(w)
+    )
+    info = sorted(
+        with_local.groupBy(_RUNPID)
+        .agg(
+            F.max(_RUNLOCAL).alias("k"),
+            F.min_by(key_struct, F.col(_RUNRN)).alias("first_key"),
+            F.max_by(key_struct, F.col(_RUNRN)).alias("last_key"),
+        )
+        .collect(),
+        key=lambda r: r[_RUNPID],
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    prev_last = None
+    have_prev = False
+    for row in info:
+        merge = 1 if have_prev and row["first_key"] == prev_last else 0
+        offsets[row[_RUNPID]] = acc - merge
+        acc += row["k"] - merge
+        prev_last = row["last_key"]
+        have_prev = True
+    if not offsets:
+        return df.withColumn(_RUN, F.lit(0).cast("long")).limit(0)
+    mapping = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    return with_local.withColumn(
+        _RUN, (mapping[F.col(_RUNPID)] + F.col(_RUNLOCAL)).cast("long")
+    ).drop(_RUNPID, _RUNRN, _RUNLOCAL)
+
+
 def groupby_iter(
     table: Table, keyexpr: Any, sort: bool = False
 ) -> Iterator[tuple[Any, Table]]:
@@ -106,19 +165,15 @@ def groupby_iter(
             sub = table.where(**dict(zip(keys, keyvals)))
             yield (keyvals[0] if len(keys) == 1 else keyvals), sub
         return
-    # consecutive-run ids via a global-order window; acceptable because the
-    # result is consumed as a driver-side iterator anyway
-    w = Window.orderBy(*table._sort_cols())
-    key_struct = F.struct(*[F.col(k) for k in keys])
-    change = F.when(
-        key_struct.eqNullSafe(F.lag(key_struct).over(w)), F.lit(0)
-    ).otherwise(F.lit(1))
-    runs = df.withColumn("__run__", F.sum(change).over(w))
+    # consecutive-run ids, partition-local detection + boundary merge —
+    # no single-partition window even though the result is consumed as a
+    # driver-side iterator
+    runs = _with_run_ids(df, keys, table._sort_cols())
     run_keys = (
-        runs.select("__run__", *keys).distinct().orderBy("__run__").collect()
+        runs.select(_RUN, *keys).distinct().orderBy(_RUN).collect()
     )
     for r in run_keys:
-        sub_df = runs.filter(F.col("__run__") == r["__run__"]).drop("__run__")
+        sub_df = runs.filter(F.col(_RUN) == r[_RUN]).drop(_RUN)
         sub = table._derive(sub_df, keep_sort=True)
         keyvals = tuple(r[k] for k in keys)
         yield (keyvals[0] if len(keys) == 1 else keyvals), sub
@@ -131,36 +186,33 @@ def consecutive_runs(
     littletable.py:3612) as a DataFrame — the set-returning companion to
     the ``groupby`` iterator.
 
-    Run ids come from lag+cumsum over the given order, but are kept
+    Run ids come from partition-local break detection with a boundary
+    merge (``_with_run_ids`` — no single-partition window), and are kept
     internal: each run is identified in the output by ``run_start`` — the
     minimum of the first order column within the run — so the result is
     convention-free (no dependence on whether run numbering starts at 0
     or 1, or on the counter's integer width).
     """
-    from pyspark.sql import Window
-
     keys = _keys(keyexpr)
     df = table._require_df()
     if order_by is None:
         order_cols = table._sort_cols()
+        # plain (un-SortOrdered) expression for the run_start aggregate
+        start_col = F.expr(table._sort[0][0]) if table._sort else F.col(ROW_ORD)
     else:
         order_cols = [F.col(c) for c in _keys(order_by)]
-    w = Window.orderBy(*order_cols)
-    key_struct = F.struct(*[F.col(k) for k in keys])
-    change = F.when(
-        key_struct.eqNullSafe(F.lag(key_struct).over(w)), F.lit(0)
-    ).otherwise(F.lit(1))
-    runs = df.withColumn("__run__", F.sum(change).over(w))
+        start_col = order_cols[0]
+    runs = _with_run_ids(df, keys, order_cols)
     out = (
-        runs.groupBy("__run__", *keys)
+        runs.groupBy(_RUN, *keys)
         .agg(
-            F.min(order_cols[0]).alias("run_start"),
+            F.min(start_col).alias("run_start"),
             *(
                 [c.alias(n) for n, c in aggs.items()]
                 or [F.count(F.lit(1)).alias("n_rows")]
             ),
         )
-        .drop("__run__")
+        .drop(_RUN)
     )
     return Table.from_df(out, name=f"{table.table_name}_runs")
 
@@ -225,11 +277,63 @@ class PivotTable:
 
     summary_counts = as_table
 
+    def dump(
+        self,
+        out: Any = None,
+        row_fn: Callable[[Any], str] = repr,
+        limit: int = -1,
+        indent: int = 0,
+    ) -> str:
+        """Nested listing of the full 1-3-level pivot tree
+        (littletable.py:4363-4393): each subtable prints its key path
+        (``a:1/b:2``), leaves print their rows via ``row_fn`` up to
+        ``limit``. One ordered collect, tree built driver-side —
+        presentation output is driver-bound by definition.
+        """
+        import io
+        import sys
+
+        buf = io.StringIO()
+        if not indent:
+            buf.write(f"Pivot: {','.join(self.attrs)}\n")
+        rows = self.table._ordered_df().collect()
+        mk = self.table._make_row
+
+        def rec(subset, attrs, path, depth):
+            a = attrs[0]
+            keys = sorted({r[a] for r in subset}, key=lambda v: (v is None, v))
+            for k in keys:
+                grp = [r for r in subset if r[a] == k]
+                if not grp:
+                    continue
+                key_path = path + [(a, k)]
+                buf.write(
+                    "  " * depth
+                    + "/".join(f"{attr}:{key}" for attr, key in key_path)
+                    + "\n"
+                )
+                if len(attrs) > 1:
+                    rec(grp, attrs[1:], key_path, depth + 1)
+                else:
+                    show = grp if limit < 0 else grp[:limit]
+                    for r in show:
+                        buf.write("  " * (depth + 1) + row_fn(mk(r)) + "\n")
+
+        rec(rows, self.attrs, [], indent + 1)
+        text = buf.getvalue()
+        (out or sys.stdout).write(text)
+        return text
+
     def dump_counts(self, count_fn: Any = None, stream: Any = None) -> str:
         """Cross-tab with row/col/grand totals (littletable.py:4395-4454)."""
         import io
         import sys
 
+        if len(self.attrs) > 2:
+            # reference raises for 3-level count tables (littletable.py:4454)
+            raise ValueError(
+                "can only dump summary counts for 1 or 2-attribute pivots"
+            )
         out = io.StringIO()
         if len(self.attrs) == 1:
             counts = self.as_table(count_fn).df.collect()

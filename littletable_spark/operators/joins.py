@@ -94,9 +94,8 @@ def join_tables(
         cond = c if cond is None else cond & c
     joined = ldf.join(rdf2, on=cond, how=how)
 
-    right_keys = set(key_map.values())
-    # default projection: left fields, then right fields minus join keys
-    # minus name collisions (reference collision-drop, littletable.py:2481-2486)
+    # default projection: left fields, then right fields minus name
+    # collisions (reference collision-drop, littletable.py:2481-2486)
     out_cols = []
     spec = _parse_attrlist(attrlist)
     if spec is None:
@@ -107,8 +106,11 @@ def join_tables(
                 )
             else:
                 out_cols.append(ldf[f].alias(f))
+        # the reference keeps every right attribute whose alias doesn't
+        # collide with a left alias — including differently-named join
+        # keys (littletable.py:2481-2486); only name collisions drop
         for f in right.fields:
-            if f in right_keys or f in left.fields:
+            if f in left.fields:
                 continue
             out_cols.append(rdf2[_RPREFIX + f].alias(f))
     else:
@@ -210,6 +212,17 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     by = by or {}
+    if not by:
+        import warnings
+
+        # Window.partitionBy() with no keys collapses to one partition —
+        # fine for small tables, a scale hazard otherwise. Keyed use is
+        # the designed path; make the degenerate form explicit.
+        warnings.warn(
+            "asof_join without 'by' keys runs as a single-partition "
+            "window; supply by= keys for distributed execution",
+            stacklevel=2,
+        )
     rcols = right_cols or [
         c
         for c in right.fields

@@ -35,17 +35,28 @@ _NUMERIC_TYPES = (
 STAT_NAMES = ["mean", "median", "min", "max", "variance", "std_dev", "count", "missing"]
 
 
-def _exact_medians(df, cols: dict[str, "F.Column"], counts: dict[str, int]) -> dict[str, float | None]:
+def _exact_medians(
+    df,
+    cols: dict[str, "F.Column"],
+    counts: dict[str, int],
+    band_limit: int = 10_000,
+    max_iters: int = 4,
+) -> dict[str, float | None]:
     """Interpolated exact medians (statistics.median / DuckDB semantics)
-    for many columns in two fixed passes, with no global sort.
+    for many columns with no global sort and a BOUNDED driver footprint.
 
-    Pass 1: mergeable quantile sketches bracket the median per column.
-    Pass 2: per column, count values strictly below the bracket, count the
-    bracket endpoints' duplicate runs, and collect only the bracket's
-    interior (a ~0.4% slice for continuous data, empty for low-cardinality
-    data). The k-th order statistics are then reconstructed exactly.
-    Falls back to Spark's `percentile` if a sketch bracket misses (rank
-    error exceeded) — never wrong, only slower.
+    Distributed k-th selection by iterative bracket narrowing:
+    1. mergeable quantile sketches bracket the median per column;
+    2. a count-only pass measures each bracket's interior; while an
+       interior holds more than ``band_limit`` values, the bracket is
+       re-sketched *within the interior* at the median's interior rank —
+       the interior shrinks by the sketch's bounded rank error each
+       round, so a handful of count passes suffice at any scale;
+    3. one final pass collects only the ≤``band_limit`` interior values
+       per column (plus endpoint duplicate counts) and the k-th order
+       statistics are reconstructed exactly driver-side.
+    Falls back to Spark's `percentile` if a bracket misses (rank error
+    exceeded) — never wrong, only slower.
     """
     live = {c: col for c, col in cols.items() if counts.get(c, 0) > 0}
     out: dict[str, float | None] = {c: None for c in cols}
@@ -58,45 +69,110 @@ def _exact_medians(df, cols: dict[str, "F.Column"], counts: dict[str, int]) -> d
         ]
     ).collect()[0]
     bounds = {c: (approx[c][0], approx[c][1]) for c in live}
-    aggs = []
-    for c, col in live.items():
-        lo, hi = bounds[c]
-        aggs += [
-            F.count(F.when(col < F.lit(lo), 1)).alias(f"{c}__below"),
-            F.count(F.when(col == F.lit(lo), 1)).alias(f"{c}__nlo"),
-            F.count(F.when(col == F.lit(hi), 1)).alias(f"{c}__nhi"),
-            F.sort_array(
-                F.collect_list(F.when((col > F.lit(lo)) & (col < F.lit(hi)), col))
-            ).alias(f"{c}__band"),
-        ]
-    row = df.agg(*aggs).collect()[0].asDict()
-    for c, col in live.items():
-        n = counts[c]
-        k1, k2 = (n - 1) // 2, n // 2
-        lo, hi = bounds[c]
-        below, nlo, nhi = row[f"{c}__below"], row[f"{c}__nlo"], row[f"{c}__nhi"]
-        band = row[f"{c}__band"]
+    stats: dict[str, dict] = {}
+    pending = set(live)
+    ready: set[str] = set()
+    fallback: set[str] = set()
+    for _ in range(max_iters):
+        if not pending:
+            break
+        aggs = []
+        for c in pending:
+            col, (lo, hi) = live[c], bounds[c]
+            aggs += [
+                F.count(F.when(col < F.lit(lo), 1)).alias(f"{c}__below"),
+                F.count(F.when(col == F.lit(lo), 1)).alias(f"{c}__nlo"),
+                F.count(F.when(col == F.lit(hi), 1)).alias(f"{c}__nhi"),
+                F.count(
+                    F.when((col > F.lit(lo)) & (col < F.lit(hi)), 1)
+                ).alias(f"{c}__m"),
+            ]
+        crow = df.agg(*aggs).collect()[0].asDict()
+        refine = []
+        for c in list(pending):
+            stats[c] = {
+                "below": crow[f"{c}__below"],
+                "nlo": crow[f"{c}__nlo"],
+                "nhi": crow[f"{c}__nhi"],
+                "m": crow[f"{c}__m"],
+            }
+            if stats[c]["m"] <= band_limit:
+                pending.discard(c)
+                ready.add(c)
+            else:
+                refine.append(c)
+        if not refine:
+            break
+        raggs = []
+        for c in refine:
+            col, (lo, hi) = live[c], bounds[c]
+            s = stats[c]
+            n = counts[c]
+            k1, k2 = (n - 1) // 2, n // 2
+            # the medians' ranks inside the interior, with a sketch-error
+            # margin; interior sketch accuracy 10000 -> rank error m/1e4
+            j1 = (k1 - s["below"] - s["nlo"]) / s["m"]
+            j2 = (k2 - s["below"] - s["nlo"]) / s["m"]
+            f1 = min(max(j1 - 0.002, 0.0), 1.0)
+            f2 = min(max(j2 + 0.002, 0.0), 1.0)
+            raggs.append(
+                F.percentile_approx(
+                    F.when((col > F.lit(lo)) & (col < F.lit(hi)), col),
+                    F.array(F.lit(f1), F.lit(f2)),
+                    F.lit(10000),
+                ).alias(c)
+            )
+        rrow = df.agg(*raggs).collect()[0]
+        for c in refine:
+            pair = rrow[c]
+            if pair is None or pair[0] is None or pair[1] is None:
+                pending.discard(c)
+                fallback.add(c)
+            else:
+                bounds[c] = (pair[0], pair[1])
+    fallback |= pending  # iteration budget exhausted -> exact percentile
+    if ready:
+        baggs = []
+        for c in ready:
+            col, (lo, hi) = live[c], bounds[c]
+            baggs.append(
+                F.sort_array(
+                    F.collect_list(
+                        F.when((col > F.lit(lo)) & (col < F.lit(hi)), col)
+                    )
+                ).alias(c)
+            )
+        brow = df.agg(*baggs).collect()[0]
+        for c in ready:
+            n = counts[c]
+            k1, k2 = (n - 1) // 2, n // 2
+            lo, hi = bounds[c]
+            s = stats[c]
+            band = brow[c]
 
-        def kth(k: int):
-            if k < below:
+            def kth(k: int, _s=s, _lo=lo, _hi=hi, _band=band):
+                if k < _s["below"]:
+                    return None
+                k -= _s["below"]
+                if k < _s["nlo"]:
+                    return _lo
+                k -= _s["nlo"]
+                if k < len(_band):
+                    return _band[k]
+                k -= len(_band)
+                if k < _s["nhi"]:
+                    return _hi
                 return None
-            k -= below
-            if k < nlo:
-                return lo
-            k -= nlo
-            if k < len(band):
-                return band[k]
-            k -= len(band)
-            if k < nhi:
-                return hi
-            return None
 
-        v1, v2 = kth(k1), kth(k2)
-        if v1 is None or v2 is None:
-            v = df.agg(F.percentile(col, F.lit(0.5)).alias("m")).collect()[0]["m"]
-            out[c] = v
-        else:
-            out[c] = (v1 + v2) / 2.0
+            v1, v2 = kth(k1), kth(k2)
+            if v1 is None or v2 is None:
+                fallback.add(c)
+            else:
+                out[c] = (v1 + v2) / 2.0
+    for c in fallback:
+        out[c] = df.agg(
+            F.percentile(live[c], F.lit(0.5)).alias("m")
+        ).collect()[0]["m"]
     return out
 
 

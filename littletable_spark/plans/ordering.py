@@ -63,7 +63,12 @@ def dense_index(
     df_sorted = df.orderBy(*sort_cols).withColumn(_PID, F.spark_partition_id())
     # 2. partition-local numbering (window partitioned by pid — parallel)
     w = Window.partitionBy(_PID).orderBy(*sort_cols)
-    df_local = df_sorted.withColumn(_LOCAL, F.row_number().over(w))
+    # persist BEFORE the counts job: the counts collect and the output job
+    # must see identical partition assignment, but range-partitioner
+    # sample seeds are RDD-id-derived and AQE may re-plan between jobs —
+    # the cache (filled by the counts job) pins one computed layout for
+    # both consumers
+    df_local = df_sorted.withColumn(_LOCAL, F.row_number().over(w)).persist()
     # 3. tiny per-partition counts -> cumulative offsets, broadcast-mapped
     counts = sorted(
         df_local.groupBy(_PID).agg(F.count(F.lit(1)).alias("n")).collect(),
@@ -75,6 +80,7 @@ def dense_index(
         offsets[row[_PID]] = acc
         acc += row["n"]
     if not offsets:
+        df_local.unpersist()
         return df.withColumn(tmp, F.lit(0).cast("long")).drop(out_col).withColumnRenamed(tmp, out_col)
     mapping = F.create_map(
         *[F.lit(x) for pid_off in offsets.items() for x in pid_off]

@@ -74,7 +74,15 @@ def csv_import(
         from ..session import get_spark
 
         spark = get_spark()
-    resolved = resolve_source(source, suffix=".csv", zippath=zippath)
+    # URL auth/SSL passthrough (reference littletable.py:804-833)
+    resolved = resolve_source(
+        source,
+        suffix=".csv",
+        zippath=zippath,
+        username=kwargs.get("username"),
+        password=kwargs.get("password"),
+        cafile=kwargs.get("cafile"),
+    )
     reader = (
         spark.read.option("header", fieldnames is None)
         .option("sep", delimiter)
@@ -100,8 +108,13 @@ def csv_import(
         t = t.where(**filters)
     if limit is not None:
         t = t.head(limit)
+    # rows materialize as row_class(**fields), reference littletable.py:2846
+    t.row_class = row_class
     t.import_source_type = resolved.source_type
     t.import_source = str(source)[:256]
+    import datetime as _dt
+
+    t.import_time = _dt.datetime.now().astimezone(_dt.timezone.utc)
     return t
 
 

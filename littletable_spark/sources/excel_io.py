@@ -35,6 +35,7 @@ def excel_import(
     sheet: str | int | None = None,
     transforms: dict[str, Any] | None = None,
     limit: int | None = None,
+    row_class: Any = None,
     spark: SparkSession | None = None,
     **kwargs: Any,
 ) -> Table:
@@ -60,8 +61,12 @@ def excel_import(
                 t._mutate(
                     t._require_df().withColumn(c, _transform_column(F.col(c), fn, default))
                 )
+    t.row_class = row_class
     t.import_source_type = "excel"
     t.import_source = str(source)[:256]
+    import datetime as _dt
+
+    t.import_time = _dt.datetime.now().astimezone(_dt.timezone.utc)
     return t
 
 

@@ -26,6 +26,7 @@ def json_import(
     streaming: bool = False,
     transforms: dict[str, Any] | None = None,
     limit: int | None = None,
+    row_class: Any = None,
     spark: SparkSession | None = None,
     zippath: str | None = None,
     **kwargs: Any,
@@ -34,7 +35,15 @@ def json_import(
         from ..session import get_spark
 
         spark = get_spark()
-    resolved = resolve_source(source, suffix=".json", zippath=zippath)
+    # URL auth/SSL passthrough (reference littletable.py:804-833)
+    resolved = resolve_source(
+        source,
+        suffix=".json",
+        zippath=zippath,
+        username=kwargs.get("username"),
+        password=kwargs.get("password"),
+        cafile=kwargs.get("cafile"),
+    )
 
     # sniff document shape: JSONL (default) vs single JSON array/object
     with open(resolved.path, "rb") as f:
@@ -68,6 +77,10 @@ def json_import(
                 t._mutate(t._require_df().withColumn(c, _transform_column(F.col(c), fn, default)))
     if limit is not None:
         t = t.head(limit)
+    t.row_class = row_class
     t.import_source_type = resolved.source_type
     t.import_source = str(source)[:256]
+    import datetime as _dt
+
+    t.import_time = _dt.datetime.now().astimezone(_dt.timezone.utc)
     return t

@@ -48,6 +48,7 @@ def resolve_source(
     url_timeout: float = 30.0,
     username: str | None = None,
     password: str | None = None,
+    cafile: str | None = None,
 ) -> ResolvedSource:
     """Return a local filesystem path Spark can read."""
     if hasattr(source, "read"):  # file-like
@@ -69,7 +70,14 @@ def resolve_source(
 
             cred = base64.b64encode(f"{username}:{password or ''}".encode()).decode()
             req.add_header("Authorization", f"Basic {cred}")
-        with urllib.request.urlopen(req, timeout=url_timeout) as resp:
+        context = None
+        if cafile is not None:
+            import ssl
+
+            context = ssl.create_default_context(cafile=cafile)
+        with urllib.request.urlopen(
+            req, timeout=url_timeout, context=context
+        ) as resp:
             data = resp.read()
         return _decompress_if_needed(data, text, suffix, zippath, "url")
 

@@ -23,6 +23,27 @@ from ..table import Table
 
 TS_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+class _nanos_conf:
+    """Hold nanosAsLong for the duration of a bounded operation, then
+    restore the prior value (unset when there was none) — the conf must
+    stay active through stream execution, not just plan construction."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(TS_NANOS_CONF, None)
+        self.spark.conf.set(TS_NANOS_CONF, "true")
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is not None:
+            self.spark.conf.set(TS_NANOS_CONF, self.prev)
+        else:
+            self.spark.conf.unset(TS_NANOS_CONF)
+        return False
+
+
 
 def load_events(spark: SparkSession, path: str, name: str = "events") -> Table:
     """Read the driver's events parquet (nanosecond timestamps).
@@ -32,13 +53,12 @@ def load_events(spark: SparkSession, path: str, name: str = "events") -> Table:
     derive ``ts_sec`` (epoch seconds, exact integer arithmetic) and a
     microsecond-truncated ``ts`` timestamp for window functions.
     """
-    prev = spark.conf.get(TS_NANOS_CONF, None)
-    spark.conf.set(TS_NANOS_CONF, "true")
-    try:
+    with _nanos_conf(spark):
         df = spark.read.parquet(path)
-    finally:
-        if prev is not None:
-            spark.conf.set(TS_NANOS_CONF, prev)
+        # force the scan's schema resolution while the conf is active:
+        # DataFrame reads are lazy and the conf must not leak into later
+        # unrelated spark.read calls in the session
+        df.schema
     df = (
         df.withColumn("ts_sec", F.expr("ts div 1000000000"))
         .withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
@@ -149,29 +169,24 @@ def streaming_session_demo(
         stage = tempfile.mkdtemp(prefix="lts_sess_")
         shutil.copy(path, stage)
         path = stage
-    prev = spark.conf.get(TS_NANOS_CONF, None)
-    spark.conf.set(TS_NANOS_CONF, "true")
-    try:
+    with _nanos_conf(spark):
         schema = spark.read.parquet(path).schema
         stream = spark.readStream.schema(schema).parquet(path)
-    finally:
-        if prev is not None:
-            spark.conf.set(TS_NANOS_CONF, prev)
-    events = stream.withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
-    agg = (
-        events.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", f"{gap_sec} seconds"), key)
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    qname = f"lts_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        events = stream.withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+        agg = (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", f"{gap_sec} seconds"), key)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        qname = f"lts_sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT * FROM {qname}")
 
 
@@ -194,36 +209,31 @@ def streaming_tumbling_demo(
         stage_dir = tempfile.mkdtemp(prefix="lts_stream_")
         shutil.copy(path, stage_dir)
         path = stage_dir
-    prev = spark.conf.get(TS_NANOS_CONF, None)
-    spark.conf.set(TS_NANOS_CONF, "true")
-    try:
+    import uuid
+
+    with _nanos_conf(spark):
         static = spark.read.parquet(path)
         schema = static.schema
         stream = spark.readStream.schema(schema).parquet(path)
-    finally:
-        if prev is not None:
-            spark.conf.set(TS_NANOS_CONF, prev)
-    events = stream.withColumn(
-        "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
-    )
-    agg = (
-        events.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", f"{size_sec} seconds"), *keys)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
-    )
-    import uuid
-
-    qname = f"lt_stream_{uuid.uuid4().hex[:8]}"
-    # complete mode: append+watermark would withhold windows that are not
-    # yet past the watermark when the bounded input drains
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        events = stream.withColumn(
+            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        )
+        agg = (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", f"{size_sec} seconds"), *keys)
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        )
+        qname = f"lt_stream_{uuid.uuid4().hex[:8]}"
+        # complete mode: append+watermark would withhold windows that are not
+        # yet past the watermark when the bounded input drains
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT * FROM {qname}")
 
 
@@ -246,25 +256,20 @@ def streaming_dedup_demo(
         stage = tempfile.mkdtemp(prefix="lts_dedup_")
         shutil.copy(path, stage)
         path = stage
-    prev = spark.conf.get(TS_NANOS_CONF, None)
-    spark.conf.set(TS_NANOS_CONF, "true")
-    try:
+    with _nanos_conf(spark):
         schema = spark.read.parquet(path).schema
         stream = spark.readStream.schema(schema).parquet(path)
-    finally:
-        if prev is not None:
-            spark.conf.set(TS_NANOS_CONF, prev)
-    events = stream.withColumn(
-        "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
-    )
-    deduped = events.withWatermark("ts", "1 hour").dropDuplicates(list(keys))
-    qname = f"lts_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        events = stream.withColumn(
+            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        )
+        deduped = events.withWatermark("ts", "1 hour").dropDuplicates(list(keys))
+        qname = f"lts_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT * FROM {qname}")

@@ -105,7 +105,7 @@ class _IndexAccessor:
             for r in rows:
                 k = r[self._attr]
                 if k is not None and k not in cache:
-                    cache[k] = _row_to_ns(r)
+                    cache[k] = t._make_row(r)
             t._index_caches[self._attr] = (cache, t._version)
         if key not in cache:
             raise KeyError(key)
@@ -131,7 +131,7 @@ class _IndexAccessor:
             rows = result._ordered_df().limit(1).collect()
             if not rows:
                 raise KeyError(key)
-            return _row_to_ns(rows[0])
+            return t._make_row(rows[0])
         return result
 
     def __contains__(self, key: Any) -> bool:
@@ -147,6 +147,30 @@ class _IndexAccessor:
         col = self._attr
         rows = self._table._df.select(col).distinct().orderBy(col).collect()
         return [r[col] for r in rows]
+
+    # Mapping surface (the reference registers its index wrapper as a
+    # collections.abc.Mapping, littletable.py:587): keys iterate in
+    # first-occurrence table order like dict insertion order
+    def __iter__(self) -> Iterator[Any]:
+        seen: set = set()
+        for row in (
+            self._table._ordered_df().select(self._attr).toLocalIterator()
+        ):
+            v = row[self._attr]
+            if v not in seen:
+                seen.add(v)
+                yield v
+
+    def __len__(self) -> int:
+        return self._table._df.select(self._attr).distinct().count()
+
+    def values(self) -> Iterator[Any]:
+        for k in self:
+            yield self[k]
+
+    def items(self) -> Iterator[tuple[Any, Any]]:
+        for k in self:
+            yield (k, self[k])
 
 
 class _ByAccessor:
@@ -191,12 +215,12 @@ class _AllAccessor:
         return _FieldValues(self._table, attr)
 
 
-def _row_to_ns(row) -> SimpleNamespace:
+def _row_to_ns(row, row_class: type | None = None) -> Any:
     d = row.asDict(recursive=True)
     for c in list(d):
         if _is_internal(c):
             d.pop(c)
-    return SimpleNamespace(**d)
+    return (row_class or SimpleNamespace)(**d)
 
 
 class Table:
@@ -239,6 +263,27 @@ class Table:
         self._next_epoch = 1
         self.import_source = None
         self.import_source_type = None
+        # lifecycle timestamps (littletable.py:1301-1303, 2086, 2868)
+        import datetime as _dt
+
+        self.create_time = _dt.datetime.now().astimezone(_dt.timezone.utc)
+        self.modify_time = self.create_time
+        self.import_time = None
+        # user row type: rows materialize as row_class(**fields) like the
+        # reference (littletable.py:2751-2758 row_class= importer kwarg;
+        # constructed per row at 2846). None -> SimpleNamespace.
+        self._row_class: type | None = None
+
+    @property
+    def row_class(self) -> type:
+        return self._row_class or SimpleNamespace
+
+    @row_class.setter
+    def row_class(self, cls: type | None) -> None:
+        self._row_class = cls
+
+    def _make_row(self, row) -> Any:
+        return _row_to_ns(row, self._row_class)
 
     @staticmethod
     def _with_internal(df: DataFrame) -> DataFrame:
@@ -294,9 +339,12 @@ class Table:
         return self._require_df().orderBy(*self._sort_cols())
 
     def _mutate(self, df: DataFrame) -> None:
+        import datetime as _dt
+
         self._df = df
         self._version += 1
         self._len_cache = None
+        self.modify_time = _dt.datetime.now().astimezone(_dt.timezone.utc)
 
     def _derive(self, df: DataFrame, name: str = "", keep_sort: bool = True) -> "Table":
         t = Table(name=name or self.table_name, spark=self._spark)
@@ -304,6 +352,7 @@ class Table:
         if keep_sort:
             t._sort = list(self._sort)
         t._next_epoch = self._next_epoch
+        t._row_class = self._row_class
         return t
 
     # ------------------------------------------------------------------ #
@@ -330,7 +379,7 @@ class Table:
         if self._df is None:
             return iter(())
         return (
-            _row_to_ns(r) for r in self._ordered_df().toLocalIterator()
+            self._make_row(r) for r in self._ordered_df().toLocalIterator()
         )
 
     def __reversed__(self) -> Iterator[SimpleNamespace]:
@@ -343,7 +392,7 @@ class Table:
                 + [F.col(EPOCH).desc(), F.col(ROW_ORD).desc()]
             )
         )
-        return (_row_to_ns(r) for r in df.toLocalIterator())
+        return (self._make_row(r) for r in df.toLocalIterator())
 
     def _full_record_pred(self, obj: Any) -> dict[str, Any] | None:
         """Whole-record equality spec: missing attributes compare as None
@@ -390,9 +439,31 @@ class Table:
                 n = len(self)
                 start, stop, step = key.indices(n)
                 dense = dense_index(self._require_df(), self._sort_cols())
-                picked = list(range(start, stop, step))
-                out = dense.filter(F.col(ROW_ORD).isin(picked))
-                return self._derive(self._with_internal_reset(out), keep_sort=False)
+                old = F.col(ROW_ORD)
+                # arithmetic membership + explicit new ordinal (no driver-
+                # side position list): position start + i*step maps to
+                # ordinal i, so step<0 slices come back reversed like the
+                # reference's list slice
+                if step > 0:
+                    pred = (
+                        (old >= F.lit(start))
+                        & (old < F.lit(stop))
+                        & ((old - F.lit(start)) % F.lit(step) == 0)
+                    )
+                    new_ord = (old - F.lit(start)) / F.lit(step)
+                else:
+                    pred = (
+                        (old <= F.lit(start))
+                        & (old > F.lit(stop))
+                        & ((F.lit(start) - old) % F.lit(-step) == 0)
+                    )
+                    new_ord = (F.lit(start) - old) / F.lit(-step)
+                out = (
+                    dense.filter(pred)
+                    .withColumn(ROW_ORD, new_ord.cast("long"))
+                    .withColumn(EPOCH, F.lit(0).cast("long"))
+                )
+                return self._derive(out, keep_sort=False)._clear_sort()
             if (start is not None and start < 0) or (stop is not None and stop < 0):
                 n = len(self)
                 start, stop, _ = key.indices(n)
@@ -401,7 +472,10 @@ class Table:
             pred = F.col(ROW_ORD) >= F.lit(start)
             if stop is not None:
                 pred = pred & (F.col(ROW_ORD) < F.lit(stop))
-            return self._derive(dense.filter(pred), keep_sort=False)._clear_sort()
+            # dense positions are global across insert batches; reset the
+            # epoch so iteration order is the slice order, not batch order
+            out = dense.filter(pred).withColumn(EPOCH, F.lit(0).cast("long"))
+            return self._derive(out, keep_sort=False)._clear_sort()
         # int
         idx = key
         if idx < 0:
@@ -411,7 +485,7 @@ class Table:
         rows = self._ordered_df().offset(idx).limit(1).collect()
         if not rows:
             raise IndexError(key)
-        return _row_to_ns(rows[0])
+        return self._make_row(rows[0])
 
     def _clear_sort(self) -> "Table":
         self._sort = []
@@ -454,6 +528,7 @@ class Table:
         if self._df is not None:
             t._df = self._df.limit(0)
         t._indexes = dict(self._indexes)
+        t._row_class = self._row_class
         return t
 
     # ------------------------------------------------------------------ #
@@ -653,6 +728,23 @@ class Table:
         out = df.filter(pred) if pred is not None else df
         return self._derive(out)
 
+    def _truthy_col(self, field: str) -> Column:
+        """Python-truthiness test for one column, by Spark dtype."""
+        if field not in self.fields:
+            return F.lit(False)
+        dtype = dict(self._require_df().dtypes)[field]
+        c = F.col(field)
+        base = c.isNotNull()
+        if dtype == "string":
+            return base & (c != F.lit(""))
+        if dtype == "boolean":
+            return base & c
+        if dtype.startswith(("array", "map")):
+            return base & (F.size(c) > 0)
+        if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith("decimal"):
+            return base & (c != F.lit(0))
+        return base
+
     def delete(self, **kwargs: Any) -> int:
         if not kwargs or self._df is None:
             return 0
@@ -676,7 +768,9 @@ class Table:
             col_pred = self._compile_kwargs(kwargs)
             use_errors = False
         elif isinstance(pred, str):
-            col_pred = self._compile_kwargs({pred: cmp.is_not_null()})
+            # reference semantics are bool(getattr(rec, field)): falsy
+            # non-null values (0, '', False, empty array) split False
+            col_pred = self._truthy_col(pred)
             use_errors = False
         elif isinstance(pred, Column):
             col_pred = pred
@@ -1286,11 +1380,15 @@ class Table:
         return Table.from_df(out, name=f"{self.table_name}_query")
 
     def info(self) -> dict[str, Any]:
+        """Table statistics incl. lifecycle timestamps (littletable.py:3797-3814)."""
         return {
             "name": self.table_name,
             "fields": self.fields,
             "indexes": [(a, i.unique) for a, i in self._indexes.items()],
             "len": len(self),
+            "created": self.create_time,
+            "modified": self.modify_time,
+            "last_import": self.import_time,
         }
 
     # ------------------------------------------------------------------ #

@@ -291,3 +291,65 @@ def test_search_scoring_matches_reference(search_pair, query):
     rscores = sorted((rec.id, score) for rec, score in rres)
     oscores = sorted((rec.id, score) for rec, score in ores)
     assert oscores == rscores, f"query {query!r}: ours {oscores} != ref {rscores}"
+
+
+# --------------------------------------------------------------------- #
+# round-2 advisory fixes, each verified against the actual reference
+
+def test_negative_step_slice_reverses_like_reference(spark):
+    rows = [(i, i * 10) for i in range(8)]
+    r = _ref_table(rows)
+    o = _our_table(spark, rows)
+    for sl in [slice(None, None, -1), slice(5, 1, -1), slice(None, None, 2),
+               slice(6, 0, -2), slice(1, 7, 3)]:
+        rvals = [(x.a, x.b) for x in r.obs[sl]]
+        ovals = [(x.a, x.b) for x in o[sl]]
+        assert ovals == rvals, f"slice {sl}: ours {ovals} != ref {rvals}"
+
+
+def test_splitby_string_predicate_truthiness_matches_reference(spark):
+    rows = [{"a": 0, "b": "x"}, {"a": 1, "b": ""}, {"a": 2, "b": "y"},
+            {"a": -1, "b": ""}, {"a": 0, "b": "z"}]
+    rt = ref.Table()
+    rt.insert_many(dict(r) for r in rows)
+    ot = Table("t", spark=spark)
+    ot.insert_many(dict(r) for r in rows)
+    for field in ("a", "b"):
+        rf, rtr = rt.splitby(field)
+        of, otr = ot.splitby(field)
+        assert sorted((x.a, x.b) for x in of) == sorted((x.a, x.b) for x in rf)
+        assert sorted((x.a, x.b) for x in otr) == sorted((x.a, x.b) for x in rtr)
+
+
+def test_ne_and_not_in_include_none_like_reference(spark):
+    rows = [{"a": 1}, {"a": 2}, {"a": None}, {"a": 3}]
+    rt = ref.Table()
+    rt.insert_many(dict(r) for r in rows)
+    ot = Table("t", spark=spark)
+    ot.insert_many(dict(r) for r in rows)
+    r_ne = sorted((x.a for x in rt.where(a=ref.Table.ne(2))), key=str)
+    o_ne = sorted((x.a for x in ot.where(a=Table.ne(2))), key=str)
+    assert o_ne == r_ne  # None included
+    r_ni = sorted((x.a for x in rt.where(a=ref.Table.not_in([1, 3]))), key=str)
+    o_ni = sorted((x.a for x in ot.where(a=Table.not_in([1, 3]))), key=str)
+    assert o_ni == r_ni  # None included
+
+
+def test_join_keeps_differently_named_right_key_like_reference(spark):
+    lrows = [{"a": 1, "x": "l1"}, {"a": 2, "x": "l2"}]
+    rrows = [{"b": 1, "y": "r1"}, {"b": 2, "y": "r2"}]
+    rt1 = ref.Table().insert_many(dict(r) for r in lrows)
+    rt2 = ref.Table().insert_many(dict(r) for r in rrows)
+    rt1.create_index("a")
+    rt2.create_index("b")
+    rj = rt1.join(rt2, a="b")
+    ot1 = Table("l", spark=spark)
+    ot1.insert_many(dict(r) for r in lrows)
+    ot2 = Table("r", spark=spark)
+    ot2.insert_many(dict(r) for r in rrows)
+    oj = ot1.join(ot2, a="b")
+    rfields = set(vars(rj[0]))
+    assert set(oj.fields) == rfields  # right key 'b' must survive
+    assert sorted((x.a, x.b, x.x, x.y) for x in oj) == sorted(
+        (x.a, x.b, x.x, x.y) for x in rj
+    )

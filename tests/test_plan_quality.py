@@ -142,3 +142,21 @@ def test_lsh_candidate_join_is_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # the sig equi-join is a real hash join
+
+
+def test_consecutive_runs_has_no_global_window(spark):
+    """Run detection must stay partition-local (boundary-merged), never a
+    single-partition Window.orderBy with empty partition spec."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from littletable_spark.operators.grouping import consecutive_runs
+
+    t = Table("runs", spark=spark)
+    t.insert_many([{"k": i % 3, "v": i} for i in range(50)])
+    out = consecutive_runs(t, "k", order_by="v", n=F.count(F.lit(1)))
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected partition-local window in plan"
+    assert all("__runpid__" in s for s in specs), specs

@@ -83,3 +83,26 @@ def test_where_comparator_on_missing_attr(abc):
     # comparator against a missing attribute evaluates over None -> False
     assert len(abc.where(zzz=Table.gt(1))) == 0
     assert len(abc.where(zzz=Table.is_null())) == 27
+
+
+def test_exact_medians_iterative_narrowing_bounded_band(spark):
+    """Distributed k-th selection: with a tiny band cap the bracket must
+    iterate (count-only passes) and still reconstruct the exact
+    interpolated median — the driver never collects more than the cap."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from littletable_spark.operators.stats import _exact_medians
+
+    df = spark.range(0, 20001).select(
+        (F.col("id") * 7 % 20001).cast("double").alias("x"),
+        (F.col("id") % 13).cast("double").alias("dup"),
+    )
+    cols = {"x": F.col("x"), "dup": F.col("dup")}
+    counts = {"x": 20001, "dup": 20001}
+    got = _exact_medians(df, cols, counts, band_limit=40, max_iters=6)
+    xs = [float((i * 7) % 20001) for i in range(20001)]
+    dups = [float(i % 13) for i in range(20001)]
+    assert got["x"] == statistics.median(xs)
+    assert got["dup"] == statistics.median(dups)

@@ -71,3 +71,108 @@ def test_pivot_as_html(abc):
     assert "<table>" in html and "Total" in html
     # grand total cell
     assert "<td>27</td>" in html
+
+
+@pytest.fixture()
+def auth_http_url():
+    """Server that requires basic auth; records the received header."""
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            auth = self.headers.get("Authorization", "")
+            seen["auth"] = auth
+            if not auth.startswith("Basic "):
+                self.send_response(401)
+                self.end_headers()
+                return
+            body = ABC_CSV.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_port}/abc.csv", seen
+    srv.shutdown()
+
+
+def test_csv_import_url_basic_auth_passthrough(spark, auth_http_url):
+    """username/password reach the HTTP request (littletable.py:804-833)."""
+    import base64
+
+    url, seen = auth_http_url
+    t = csv_import(
+        url, transforms={"*": int}, spark=spark,
+        username="alice", password="s3cret",
+    )
+    assert len(t) == 3
+    expected = base64.b64encode(b"alice:s3cret").decode()
+    assert seen["auth"] == f"Basic {expected}"
+
+
+def test_info_includes_lifecycle_timestamps(spark):
+    import datetime
+
+    t = Table("t", spark=spark)
+    info0 = t.info()
+    assert isinstance(info0["created"], datetime.datetime)
+    assert info0["modified"] == info0["created"]
+    assert info0["last_import"] is None
+    t.insert({"a": 1})
+    info1 = t.info()
+    assert info1["modified"] >= info0["created"]
+    t2 = csv_import(ABC_CSV, spark=spark)
+    assert isinstance(t2.info()["last_import"], datetime.datetime)
+
+
+def test_by_accessor_mapping_surface(spark):
+    t = Table("t", spark=spark)
+    t.insert_many([{"k": "b", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 3}])
+    t.create_index("k")
+    acc = t.by.k
+    # first-occurrence iteration order, like reference dict insertion
+    assert list(acc) == ["b", "a"]
+    assert len(acc) == 2
+    items = dict((k, len(sub)) for k, sub in acc.items())
+    assert items == {"b": 2, "a": 1}
+    assert [len(v) for v in acc.values()] == [2, 1]
+
+
+def test_pivot_dump_three_level(spark):
+    t = Table("t", spark=spark)
+    t.insert_many(
+        [
+            {"a": 1, "b": "x", "c": "p", "v": 10},
+            {"a": 1, "b": "x", "c": "q", "v": 11},
+            {"a": 2, "b": "y", "c": "p", "v": 12},
+        ]
+    )
+    pt = t.pivot("a b c")
+    text = pt.dump(out=type("S", (), {"write": lambda self, s: None})())
+    lines = text.splitlines()
+    assert lines[0] == "Pivot: a,b,c"
+    assert "  a:1" in lines
+    assert "    a:1/b:x" in lines
+    assert "      a:1/b:x/c:p" in lines
+    assert "      a:1/b:x/c:q" in lines
+    assert "  a:2" in lines
+    # leaf rows rendered one level deeper than their subtable header
+    assert any(line.startswith("        namespace(") for line in lines)
+    # dump_counts still refuses 3-level, like the reference
+    with pytest.raises(ValueError):
+        pt.dump_counts(stream=type("S", (), {"write": lambda self, s: None})())
+
+
+def test_load_events_conf_restored(spark):
+    from littletable_spark.streaming import load_events
+    from littletable_spark.streaming.events import TS_NANOS_CONF
+
+    e = load_events(spark, "/root/testdata/sf0.001/events.parquet")
+    assert e.df.count() > 0
+    assert spark.conf.get(TS_NANOS_CONF, None) in (None, "false")
