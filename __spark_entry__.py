@@ -428,6 +428,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8, band_size=2).df
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connected components over the MinHash-LSH candidate pairs: each
+    near-dup doc labelled with its cluster's min doc_id (the canonical
+    representative) — the pairs→clusters→keep-one step of corpus dedup.
+    Distributed min-label propagation + pointer jumping (dedup.py)."""
+    from littletable_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=8, band_size=2).df
+    return dup_clusters(pairs, "id1", "id2").orderBy("doc_id")
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact 3-gram Jaccard pairs at >= 0.5."""
     from littletable_spark.operators.dedup import ngram_jaccard_pairs
@@ -728,10 +740,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct operator, all oracle-checked) come first. The parked tail:
     where_predicates / anti_join return 0 rows at sf0.01 (trivial
     passes; their operators are covered by where_comparators /
-    semi_join), pivot_sum / head_tail / explode_embedding duplicate
-    operator families with in-gate rows, multimodal_decode is rows-only
-    by design. The local mirror (scripts/verify_oracle.py) still runs
-    all of them."""
+    semi_join), cube / pivot_sum / head_tail / explode_embedding
+    duplicate operator families with in-gate rows (rollup covers the
+    Expand family), multimodal_decode is rows-only by design. The local
+    mirror (scripts/verify_oracle.py) still runs all of them."""
     return {
         "where_comparators": q_where_comparators,
         "select_computed": q_select_computed,
@@ -766,6 +778,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -780,10 +793,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_text": q_search_text,
         "search_raw": q_search_raw,
         "slice_positional": q_slice_positional,
-        "cube": q_cube,
         "grouping_sets": q_grouping_sets,
         "multimodal_meta": q_multimodal_meta,
         # ---- parked beyond the driver's 50-query window ----
+        "cube": q_cube,
         "where_predicates": q_where_predicates,
         "anti_join": q_anti_join,
         "pivot_sum": q_pivot_sum,
@@ -800,6 +813,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return registry()
+
+
+# DuckDB mirror of the MinHash+LSH candidate pipeline (dedup.py:
+# minhash_lsh_pairs, n=3 / 8 hashes / 4 bands of 2) — shared by the
+# dedup_minhash oracle and, wrapped in a recursive-CTE connected-
+# components pass, the dedup_clusters oracle.
+_MINHASH_PAIRS_SQL = """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) g
+            ), mh AS (
+              SELECT doc_id,
+                     min(md5(s || ':0')) AS m0, min(md5(s || ':1')) AS m1,
+                     min(md5(s || ':2')) AS m2, min(md5(s || ':3')) AS m3,
+                     min(md5(s || ':4')) AS m4, min(md5(s || ':5')) AS m5,
+                     min(md5(s || ':6')) AS m6, min(md5(s || ':7')) AS m7
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM mh
+              UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
+              UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
+              UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh
+            )
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """
 
 
 def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:
@@ -1244,31 +1289,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies
             FROM f GROUP BY fingerprint
         """,
-        "dedup_minhash": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
-              FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-              FROM toks,
-                   LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) g
-            ), mh AS (
-              SELECT doc_id,
-                     min(md5(s || ':0')) AS m0, min(md5(s || ':1')) AS m1,
-                     min(md5(s || ':2')) AS m2, min(md5(s || ':3')) AS m3,
-                     min(md5(s || ':4')) AS m4, min(md5(s || ':5')) AS m5,
-                     min(md5(s || ':6')) AS m6, min(md5(s || ':7')) AS m7
-              FROM sh GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM mh
-              UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh
-              UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh
-              UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh
+        "dedup_minhash": _MINHASH_PAIRS_SQL,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              {_MINHASH_PAIRS_SQL}
+            ), edges AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION
+              SELECT id2 AS a, id1 AS b FROM pairs
+            ), reach(src, node) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
             )
-            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            SELECT src AS doc_id, min(node) AS cluster_id
+            FROM reach GROUP BY src ORDER BY doc_id
         """,
         "dedup_jaccard": """
             WITH toks AS (

@@ -551,3 +551,112 @@ def embedding_lsh_dup_pairs(
 
     out = cand.mapInPandas(score, "id1 long, id2 long, cosine double")
     return Table.from_df(out, name=f"{table.table_name}_embedding_lsh_pairs")
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "id1",
+    b_col: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every id
+    appearing in any pair gets a ``cluster_id`` — the smallest id
+    reachable through the pair graph (the canonical representative).
+
+    This is the step that turns pairwise near-dup evidence (MinHash /
+    SimHash / embedding LSH) into an actionable "keep one per cluster"
+    decision for corpus curation; the reference has no equivalent
+    (single-node, no graph ops).
+
+    Distributed min-label propagation with pointer jumping. Each round:
+    (1) neighbour pull — every node takes the min label across its graph
+        neighbours (one equi-join + one partially-aggregated groupBy);
+    (2) path compression — every node re-reads its label's label (one
+        self-equi-join), so label chains at least halve per round.
+    Convergence is therefore O(log diameter) rounds, each a fixed number
+    of key shuffles on the (id, lbl) table — no global windows, no
+    driver-side graph state; the only driver value per round is the
+    changed-label count used for the fixpoint test. Each round's label
+    table is ``localCheckpoint``-ed: the self-join references it twice,
+    so without lineage *truncation* the logical plan doubles per round
+    and Catalyst analysis goes exponential (persist alone caches data
+    but re-analyzes the full plan). ``max_iter`` is a safety bound (2^25
+    -deep dup chains do not occur), not a tuning knob. This is the
+    min-label specialization of the alternating large-star/small-star
+    MapReduce CC algorithm (Kiveris et al., SoCC'14).
+    """
+    e1 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e2 = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = e1.union(e2).distinct().persist(_PAIRGEN_CACHE)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            stepped = (
+                labels.alias("l")
+                .join(nbr_min.alias("n"), F.col("l.id") == F.col("n.src"), "left")
+                .select(
+                    F.col("l.id").alias("id"),
+                    F.least(
+                        F.col("l.lbl"), F.coalesce(F.col("n.nbr_lbl"), F.col("l.lbl"))
+                    ).alias("lbl"),
+                )
+            )
+            jumped = (
+                stepped.alias("s")
+                .join(
+                    stepped.select(
+                        F.col("id").alias("pid"), F.col("lbl").alias("plbl")
+                    ).alias("p"),
+                    F.col("s.lbl") == F.col("p.pid"),
+                    "left",
+                )
+                .select(
+                    F.col("s.id").alias("id"),
+                    F.coalesce(F.col("p.plbl"), F.col("s.lbl")).alias("lbl"),
+                )
+                # eager lineage truncation: the O(1)-deep plan per round
+                .localCheckpoint()
+            )
+            changed = (
+                jumped.alias("j")
+                .join(labels.alias("o"), F.col("j.id") == F.col("o.id"))
+                .where(F.col("j.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()
+
+
+def keep_canonical(
+    table: Table,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "id1",
+    b_col: str = "id2",
+    max_iter: int = 25,
+) -> Table:
+    """Drop every cluster member except the canonical (min-id) one: the
+    deduplicated corpus induced by a near-dup pair list. Plain left-anti
+    join against the non-canonical ids (AQE broadcasts it when small)."""
+    clusters = dup_clusters(pairs, a_col, b_col, max_iter)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    out = table._require_df().join(drop, on=id_col, how="left_anti")
+    return table._derive(out)

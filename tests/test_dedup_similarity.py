@@ -247,3 +247,70 @@ def test_langid(spark):
     )
     out = {r.doc_id: r.pred_lang for r in lang_id(t, "text", "doc_id")}
     assert out == {0: "en", 1: "de", 2: "fr", 3: "unknown"}
+
+
+# ---------------------------------------------------------------- clusters
+def _brute_components(pairs):
+    """Union-find ground truth: id -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (3, 4)],  # chain
+        [(1, 2), (3, 4), (5, 6), (2, 3)],  # merge two components
+        [(10, 1), (10, 2), (10, 3), (20, 21)],  # star + separate pair
+        [(7, 7)],  # self-loop
+        [(5, 1), (4, 5), (3, 4), (2, 3), (9, 8), (8, 7), (1, 9)],  # long path, one comp
+    ],
+)
+def test_dup_clusters_matches_union_find(spark, edges):
+    from littletable_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == _brute_components(edges)
+
+
+def test_dup_clusters_empty(spark):
+    from littletable_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    assert dup_clusters(pairs).count() == 0
+
+
+def test_dup_clusters_converges_on_deep_chain(spark):
+    """Pointer jumping: a 40-node path must converge well inside
+    max_iter=25 (O(log diameter), not O(diameter))."""
+    from littletable_spark.operators.dedup import dup_clusters
+
+    edges = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_keep_canonical(spark, docs):
+    from littletable_spark.operators.dedup import keep_canonical, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=8, band_size=2).df
+    kept = keep_canonical(docs, pairs, "doc_id")
+    kept_ids = {r.doc_id for r in kept}
+    pair_rows = [(r.id1, r.id2) for r in pairs.collect()]
+    comp = _brute_components(pair_rows)
+    expected = {i for i, _ in DOCS} - {x for x, root in comp.items() if root != x}
+    assert kept_ids == expected
