@@ -1,0 +1,99 @@
+"""Deterministic sampling operators for corpus curation.
+
+Net-new over the reference (single-node littletable has no sampling;
+SURVEY §2 pipeline mandate). All operators key their randomness on an
+md5 of a caller-named key column, NOT on Spark's partition-seeded RNG
+(`df.sample`), so results are:
+
+- reproducible across runs, cluster sizes, partitionings, and AQE
+  re-plans (a `df.sample` result changes whenever partitioning does);
+- engine-portable: DuckDB computes the identical sample with
+  ``('0x' || substring(md5(key::VARCHAR || salt), 1, 8))::BIGINT`` —
+  which is what makes these oracle-checkable;
+- stable under incremental re-runs: a doc's keep/drop decision never
+  changes when other rows are added or removed — the property that
+  makes hash sampling the standard for 100 TB training-data splits
+  (a re-shard or a late-arriving shard cannot flip earlier decisions).
+
+Everything is a narrow whole-stage-codegen projection + filter: no
+shuffle, no UDF, no driver state. ``sample_fixed`` adds one TakeOrdered
+(distributed per-partition top-k, then a k-row merge on the driver).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..table import Table
+
+# 2^32: the md5-prefix hash below is uniform on [0, 2^32)
+_HASH_SPACE = 4294967296.0
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform deterministic value on [0, 2^32): first 8 hex chars of
+    md5(key || salt) as an integer. Portable: DuckDB mirrors it as
+    ``('0x' || substring(md5(key::VARCHAR || salt), 1, 8))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def sample_hash(table: Table, key_col: str, fraction: float, salt: str = "") -> Table:
+    """Deterministic Bernoulli sample: keep rows whose key hashes below
+    ``fraction`` of the hash space. Pure codegen filter, no shuffle."""
+    df = table._require_df()
+    keep = hash_bucket(F.col(key_col), salt) < F.lit(_HASH_SPACE * fraction)
+    return table._derive(df.where(keep))
+
+
+def sample_stratified(
+    table: Table,
+    strata_col: str,
+    fractions: Mapping[Any, float],
+    key_col: str,
+    salt: str = "",
+    default: float = 0.0,
+) -> Table:
+    """Per-stratum deterministic sampling (the `sampleBy` shape, but
+    reproducible and oracle-checkable): each stratum keeps its own
+    fraction, keyed on ``key_col``. Strata missing from ``fractions``
+    keep ``default`` (0.0 = dropped)."""
+    df = table._require_df()
+    frac: Column = F.lit(float(default))
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f))).otherwise(frac)
+    keep = hash_bucket(F.col(key_col), salt).cast("double") < frac * F.lit(_HASH_SPACE)
+    return table._derive(df.where(keep))
+
+
+def sample_fixed(table: Table, key_col: str, k: int, salt: str = "") -> Table:
+    """Deterministic uniform-without-replacement k-row sample: the k
+    smallest key hashes (a minwise sample — uniform over subsets of
+    size k, and nested: the k=100 sample contains the k=50 sample).
+    Physical plan is TakeOrderedAndProject: per-partition top-k, one
+    k-row driver merge — no global sort, no full shuffle."""
+    df = table._require_df()
+    h = hash_bucket(F.col(key_col), salt)
+    out = (
+        df.withColumn("__h__", h)
+        .orderBy(F.col("__h__"), F.col(key_col))
+        .limit(int(k))
+        .drop("__h__")
+    )
+    return table._derive(out)
+
+
+def split_train_test(
+    table: Table, key_col: str, test_fraction: float, salt: str = ""
+) -> tuple[Table, Table]:
+    """Deterministic (train, test) split on a key hash: disjoint, union
+    = input, and a row's side never changes when other rows come or go
+    — late-arriving shards of a 100 TB corpus cannot leak train rows
+    into test. Returns (train, test)."""
+    df = table._require_df()
+    is_test = hash_bucket(F.col(key_col), salt) < F.lit(_HASH_SPACE * test_fraction)
+    return table._derive(df.where(~is_test)), table._derive(df.where(is_test))

@@ -1,0 +1,88 @@
+"""Deterministic sampling operators: reproducibility, stratum rates,
+minwise nesting, split partition properties, and no-shuffle plans."""
+
+import pytest
+
+from littletable_spark import Table
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return Table.parquet_import(
+        spark, "/root/testdata/sf0.001/orders.parquet", name="orders"
+    )
+
+
+def _keys(t, col="o_orderkey"):
+    return {r[col] for r in t.df.select(col).collect()}
+
+
+def test_sample_hash_deterministic_and_sized(orders):
+    from littletable_spark.operators.sampling import sample_hash
+
+    s1 = sample_hash(orders, "o_orderkey", 0.2, salt="t")
+    s2 = sample_hash(orders, "o_orderkey", 0.2, salt="t")
+    k1, k2 = _keys(s1), _keys(s2)
+    assert k1 == k2  # reproducible
+    n = len(orders)
+    assert 0.13 * n < len(k1) < 0.27 * n  # ~Bernoulli(0.2) on 1500 rows
+    # different salt -> different (but valid) sample
+    assert _keys(sample_hash(orders, "o_orderkey", 0.2, salt="u")) != k1
+
+
+def test_sample_stratified_rates_and_default_drop(orders):
+    from littletable_spark.operators.sampling import sample_stratified
+
+    s = sample_stratified(
+        orders, "o_orderstatus", {"O": 0.5, "F": 0.1}, key_col="o_orderkey"
+    )
+    base = {
+        r["o_orderstatus"]: r["count"]
+        for r in orders.df.groupBy("o_orderstatus").count().collect()
+    }
+    got = {
+        r["o_orderstatus"]: r["count"]
+        for r in s.df.groupBy("o_orderstatus").count().collect()
+    }
+    assert "P" not in got  # default=0.0 drops unlisted strata
+    assert 0.35 < got["O"] / base["O"] < 0.65
+    assert 0.03 < got["F"] / base["F"] < 0.2
+
+
+def test_sample_fixed_k_and_nesting(orders):
+    from littletable_spark.operators.sampling import sample_fixed
+
+    s50 = _keys(sample_fixed(orders, "o_orderkey", 50))
+    s100 = _keys(sample_fixed(orders, "o_orderkey", 100))
+    assert len(s50) == 50 and len(s100) == 100
+    assert s50 < s100  # minwise nesting
+
+
+def test_sample_fixed_plan_is_take_ordered(orders):
+    from littletable_spark.operators.sampling import sample_fixed
+
+    plan = sample_fixed(orders, "o_orderkey", 10).df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_hash_no_shuffle(orders):
+    from littletable_spark.operators.sampling import sample_hash
+
+    plan = sample_hash(orders, "o_orderkey", 0.5).df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_split_train_test_partitions(orders):
+    from littletable_spark.operators.sampling import split_train_test
+
+    train, test = split_train_test(orders, "o_orderkey", 0.25, salt="v")
+    kt, ks = _keys(train), _keys(test)
+    assert kt.isdisjoint(ks)
+    assert kt | ks == _keys(orders)
+    n = len(orders)
+    assert 0.18 * n < len(ks) < 0.32 * n
+    # membership is stable under corpus changes: dropping other rows
+    # never flips a row's side
+    sub = orders.where(lambda r: r.o_orderkey % 2 == 0)
+    tr2, te2 = split_train_test(sub, "o_orderkey", 0.25, salt="v")
+    assert _keys(te2) == {k for k in ks if k % 2 == 0}
