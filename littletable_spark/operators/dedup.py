@@ -558,6 +558,7 @@ def dup_clusters(
     a_col: str = "id1",
     b_col: str = "id2",
     max_iter: int = 25,
+    broadcast_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every id
     appearing in any pair gets a ``cluster_id`` — the smallest id
@@ -568,54 +569,81 @@ def dup_clusters(
     decision for corpus curation; the reference has no equivalent
     (single-node, no graph ops).
 
-    Distributed min-label propagation with pointer jumping. Each round:
+    Distributed min-label propagation with pointer jumping. Round 0 is
+    free: labels seed directly from the edge list as
+    ``min(id, min(neighbour))`` — one partially-aggregated groupBy over
+    the (src, dst)-symmetrized edges, no ``distinct`` (min is
+    duplicate-insensitive, so the dedup shuffle the naive formulation
+    pays is pure waste). Each subsequent round:
     (1) neighbour pull — every node takes the min label across its graph
         neighbours (one equi-join + one partially-aggregated groupBy);
     (2) path compression — every node re-reads its label's label (one
         self-equi-join), so label chains at least halve per round.
-    Convergence is therefore O(log diameter) rounds, each a fixed number
-    of key shuffles on the (id, lbl) table — no global windows, no
-    driver-side graph state; the only driver value per round is the
-    changed-label count used for the fixpoint test. Each round's label
-    table is ``localCheckpoint``-ed: the self-join references it twice,
-    so without lineage *truncation* the logical plan doubles per round
-    and Catalyst analysis goes exponential (persist alone caches data
-    but re-analyzes the full plan). ``max_iter`` is a safety bound (2^25
-    -deep dup chains do not occur), not a tuning knob. This is the
+    Convergence is therefore O(log diameter) rounds. The fixpoint test
+    is fused into the round itself: the round's plan carries a
+    ``chg = (new_lbl != old_lbl)`` flag column, so after the (eager)
+    ``localCheckpoint`` materializes the round, convergence is a
+    near-free ``isEmpty`` over already-cached data — no separate
+    old-vs-new join job, which previously re-shuffled both label tables
+    every round just to produce one driver integer.
+
+    Strategy is adaptive on node count (known after the seed job, one
+    cached count): a label table under ``broadcast_nodes`` rows is
+    broadcast into every join, so a round's only shuffle is the
+    partially-aggregated neighbour groupBy — the big persisted edge
+    table is never reshuffled. Above the threshold the plain shuffle
+    path runs — at 100 TB the label table is billions of rows and
+    broadcasting it would be wrong, while the shuffle path's per-round
+    cost stays a fixed number of key shuffles on (id, lbl). Each round's
+    label table is ``localCheckpoint``-ed: the self-join references it
+    twice, so without lineage *truncation* the logical plan doubles per
+    round and Catalyst analysis goes exponential (persist alone caches
+    data but re-analyzes the full plan). ``max_iter`` is a safety bound
+    (2^25-deep dup chains do not occur), not a tuning knob. This is the
     min-label specialization of the alternating large-star/small-star
     MapReduce CC algorithm (Kiveris et al., SoCC'14).
     """
     e1 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e2 = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = e1.union(e2).distinct().persist(_PAIRGEN_CACHE)
+    edges = e1.union(e2).persist(_PAIRGEN_CACHE)
+    # seed = one neighbour-pull round fused into label construction
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("lbl"))
+        .select(F.col("src").alias("id"), "lbl")
         .localCheckpoint()
     )
+    small = labels.count() <= broadcast_nodes  # cached: near-free job
+    _b = F.broadcast if small else (lambda df: df)
     try:
         for _ in range(max_iter):
             nbr_min = (
-                edges.join(labels, edges["dst"] == labels["id"])
+                edges.join(_b(labels), edges["dst"] == labels["id"])
                 .groupBy("src")
                 .agg(F.min("lbl").alias("nbr_lbl"))
             )
             stepped = (
                 labels.alias("l")
-                .join(nbr_min.alias("n"), F.col("l.id") == F.col("n.src"), "left")
+                .join(_b(nbr_min).alias("n"), F.col("l.id") == F.col("n.src"), "left")
                 .select(
                     F.col("l.id").alias("id"),
                     F.least(
                         F.col("l.lbl"), F.coalesce(F.col("n.nbr_lbl"), F.col("l.lbl"))
                     ).alias("lbl"),
+                    F.col("l.lbl").alias("olbl"),
                 )
             )
+            # jump through the PREVIOUS round's (cached) labels, not
+            # `stepped` itself: a stepped-vs-stepped self-join would
+            # compute the edge join twice per round (no ReusedExchange
+            # across AQE stages), while `labels` is checkpointed data
             jumped = (
                 stepped.alias("s")
                 .join(
-                    stepped.select(
-                        F.col("id").alias("pid"), F.col("lbl").alias("plbl")
+                    _b(
+                        labels.select(
+                            F.col("id").alias("pid"), F.col("lbl").alias("plbl")
+                        )
                     ).alias("p"),
                     F.col("s.lbl") == F.col("p.pid"),
                     "left",
@@ -623,18 +651,17 @@ def dup_clusters(
                 .select(
                     F.col("s.id").alias("id"),
                     F.coalesce(F.col("p.plbl"), F.col("s.lbl")).alias("lbl"),
+                    (
+                        F.coalesce(F.col("p.plbl"), F.col("s.lbl"))
+                        != F.col("s.olbl")
+                    ).alias("chg"),
                 )
                 # eager lineage truncation: the O(1)-deep plan per round
                 .localCheckpoint()
             )
-            changed = (
-                jumped.alias("j")
-                .join(labels.alias("o"), F.col("j.id") == F.col("o.id"))
-                .where(F.col("j.lbl") != F.col("o.lbl"))
-                .count()
-            )
-            labels = jumped
-            if changed == 0:
+            converged = jumped.where(F.col("chg")).isEmpty()
+            labels = jumped.select("id", "lbl")
+            if converged:
                 break
         return labels.select(
             F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
