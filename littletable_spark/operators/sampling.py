@@ -36,9 +36,21 @@ _HASH_SPACE = 4294967296.0
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """Uniform deterministic value on [0, 2^32): first 8 hex chars of
     md5(key || salt) as an integer. Portable: DuckDB mirrors it as
-    ``('0x' || substring(md5(key::VARCHAR || salt), 1, 8))::BIGINT``."""
+    ``('0x' || substring(md5(coalesce(key::VARCHAR, chr(0)) || salt, 1, 8))::BIGINT``.
+
+    NULL keys hash as the sentinel ``chr(0)`` (a string no real key
+    renders as) instead of propagating NULL — a NULL-keyed row must land
+    in exactly one side of a split / keep-or-drop decision, never be
+    silently dropped from both (the disjoint-union invariant of
+    ``split_train_test``)."""
     return F.conv(
-        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10
+        F.substring(
+            F.md5(F.concat(F.coalesce(key.cast("string"), F.lit("\x00")), F.lit(salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
     ).cast("long")
 
 
