@@ -34,12 +34,17 @@ from ..table import Table
 _PAIRGEN_CACHE = StorageLevel.MEMORY_AND_DISK
 
 # ngram_jaccard_pairs adaptive-path decisions, keyed on
-# (df.semanticHash(), text_col, n). The decision statistic is a full
-# aggregation job over the shingle table; it picks a *plan shape*, never
-# affects results (both paths are exact), so caching it per semantically
-# identical input is safe — repeated calls on the same table (the common
-# production pattern, and the bench steady state) skip the job entirely.
-_ADAPTIVE_DECISIONS: dict[tuple[int, str, int], bool] = {}
+# (df.semanticHash(), id_col, text_col, n). The decision statistic is a
+# full aggregation job over the shingle table; it picks a *plan shape*,
+# never affects results (both paths are exact), so caching it per
+# semantically identical input is safe — repeated calls on the same
+# table (the common production pattern, and the bench steady state)
+# skip the job entirely. Bounded FIFO (semanticHash tracks plan shape,
+# not data: a long-lived driver over mutating sources must not
+# accumulate stale decisions without bound — callers on such sources
+# should pass prefix_filter explicitly).
+_ADAPTIVE_DECISIONS: "dict[tuple[int, str, str, int], bool]" = {}
+_ADAPTIVE_DECISIONS_MAX = 256
 
 TOKENIZE = r"\s+"
 
@@ -235,7 +240,7 @@ def ngram_jaccard_pairs(
     sh = _shingle_rows(df, id_col, text_col, n).distinct().persist(_PAIRGEN_CACHE)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if prefix_filter is None:
-        decision_key = (df.semanticHash(), text_col, n)
+        decision_key = (df.semanticHash(), id_col, text_col, n)
         if decision_key in _ADAPTIVE_DECISIONS:
             prefix_filter = _ADAPTIVE_DECISIONS[decision_key]
         else:
@@ -251,6 +256,8 @@ def ngram_jaccard_pairs(
                 and est["rows"]
                 and est["pairs"] > 64 * est["rows"]
             )
+            while len(_ADAPTIVE_DECISIONS) >= _ADAPTIVE_DECISIONS_MAX:
+                _ADAPTIVE_DECISIONS.pop(next(iter(_ADAPTIVE_DECISIONS)))
             _ADAPTIVE_DECISIONS[decision_key] = prefix_filter
     if prefix_filter:
         # exactness-preserving prefix filtering: two docs with

@@ -8,8 +8,9 @@ md5 of a caller-named key column, NOT on Spark's partition-seeded RNG
 - reproducible across runs, cluster sizes, partitionings, and AQE
   re-plans (a `df.sample` result changes whenever partitioning does);
 - engine-portable: DuckDB computes the identical sample with
-  ``('0x' || substring(md5(key::VARCHAR || salt), 1, 8))::BIGINT`` —
-  which is what makes these oracle-checkable;
+  ``('0x' || substring(md5(coalesce(key::VARCHAR, chr(0)) || salt), 1, 8))::BIGINT``
+  (the chr(0) sentinel mirrors hash_bucket's NULL handling) — which is
+  what makes these oracle-checkable;
 - stable under incremental re-runs: a doc's keep/drop decision never
   changes when other rows are added or removed — the property that
   makes hash sampling the standard for 100 TB training-data splits
@@ -36,7 +37,7 @@ _HASH_SPACE = 4294967296.0
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """Uniform deterministic value on [0, 2^32): first 8 hex chars of
     md5(key || salt) as an integer. Portable: DuckDB mirrors it as
-    ``('0x' || substring(md5(coalesce(key::VARCHAR, chr(0)) || salt, 1, 8))::BIGINT``.
+    ``('0x' || substring(md5(coalesce(key::VARCHAR, chr(0)) || salt), 1, 8))::BIGINT``.
 
     NULL keys hash as the sentinel ``chr(0)`` (a string no real key
     renders as) instead of propagating NULL — a NULL-keyed row must land

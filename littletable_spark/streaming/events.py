@@ -45,13 +45,55 @@ class _nanos_conf:
 
 
 
-def load_events(spark: SparkSession, path: str, name: str = "events") -> Table:
-    """Read the driver's events parquet (nanosecond timestamps).
+def epoch_seconds(df: DataFrame, ts_col: str = "ts") -> Column:
+    """Epoch-seconds expression for ``ts_col``, adaptive to how the
+    writer encoded time. Handles the three encodings event feeds show
+    up with, all timezone-independent so Spark and a DuckDB oracle
+    agree regardless of session TZ:
 
-    Spark cannot read TIMESTAMP(NANOS) parquet natively; with
-    ``nanosAsLong`` the column arrives as int64 nanoseconds, from which we
-    derive ``ts_sec`` (epoch seconds, exact integer arithmetic) and a
-    microsecond-truncated ``ts`` timestamp for window functions.
+    - int64 nanoseconds (parquet TIMESTAMP(NANOS) read with
+      ``nanosAsLong``): exact integer division;
+    - TIMESTAMP_NTZ (naive wall time, parquet isAdjustedToUTC=false):
+      wall time treated as UTC via date/time-component arithmetic —
+      never a cast through the session-local TIMESTAMP, which would
+      make results depend on the executing cluster's timezone;
+    - TIMESTAMP (instant): ``unix_seconds``, already TZ-free.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dtype = df.schema[ts_col].dataType
+    c = F.col(ts_col)
+    if isinstance(dtype, LongType):
+        return F.expr(f"{ts_col} div 1000000000")
+    if isinstance(dtype, TimestampNTZType):
+        return (
+            F.unix_date(c.cast("date")) * F.lit(86400)
+            + F.hour(c) * F.lit(3600)
+            + F.minute(c) * F.lit(60)
+            + F.second(c)
+        ).cast("long")
+    if isinstance(dtype, TimestampType):
+        return F.unix_seconds(c)
+    raise TypeError(f"unsupported timestamp encoding for {ts_col!r}: {dtype}")
+
+
+def _with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Attach ``ts_sec`` (epoch seconds, long) and normalize ``ts_col``
+    to a seconds-precision TIMESTAMP for window functions."""
+    sec = epoch_seconds(df, ts_col)
+    return df.withColumn("ts_sec", sec).withColumn(
+        ts_col, F.timestamp_seconds(F.col("ts_sec"))
+    )
+
+
+def load_events(spark: SparkSession, path: str, name: str = "events") -> Table:
+    """Read an events parquet whatever its timestamp encoding.
+
+    Older driver data wrote TIMESTAMP(NANOS), which Spark can only read
+    as int64 under ``nanosAsLong``; newer data writes ordinary
+    timestamp[us]. The conf is scoped so it cannot leak into unrelated
+    reads, and the epoch-seconds derivation adapts to the schema that
+    actually arrives (see :func:`epoch_seconds`).
     """
     with _nanos_conf(spark):
         df = spark.read.parquet(path)
@@ -59,11 +101,7 @@ def load_events(spark: SparkSession, path: str, name: str = "events") -> Table:
         # DataFrame reads are lazy and the conf must not leak into later
         # unrelated spark.read calls in the session
         df.schema
-    df = (
-        df.withColumn("ts_sec", F.expr("ts div 1000000000"))
-        .withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
-    )
-    return Table(name=name, df=df, spark=spark)
+    return Table(name=name, df=_with_event_time(df), spark=spark)
 
 
 def tumbling_window(
@@ -172,7 +210,7 @@ def streaming_session_demo(
     with _nanos_conf(spark):
         schema = spark.read.parquet(path).schema
         stream = spark.readStream.schema(schema).parquet(path)
-        events = stream.withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+        events = _with_event_time(stream).drop("ts_sec")
         agg = (
             events.withWatermark("ts", "1 hour")
             .groupBy(F.session_window("ts", f"{gap_sec} seconds"), key)
@@ -215,9 +253,7 @@ def streaming_tumbling_demo(
         static = spark.read.parquet(path)
         schema = static.schema
         stream = spark.readStream.schema(schema).parquet(path)
-        events = stream.withColumn(
-            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
-        )
+        events = _with_event_time(stream).drop("ts_sec")
         agg = (
             events.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", f"{size_sec} seconds"), *keys)
@@ -259,9 +295,7 @@ def streaming_dedup_demo(
     with _nanos_conf(spark):
         schema = spark.read.parquet(path).schema
         stream = spark.readStream.schema(schema).parquet(path)
-        events = stream.withColumn(
-            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
-        )
+        events = _with_event_time(stream).drop("ts_sec")
         deduped = events.withWatermark("ts", "1 hour").dropDuplicates(list(keys))
         qname = f"lts_dedup_{uuid.uuid4().hex[:8]}"
         q = (

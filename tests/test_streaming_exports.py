@@ -172,3 +172,57 @@ def test_streaming_dedup_matches_batch_distinct(spark):
         streamed.select("user_id", "event_type").distinct().count()
         == streamed.count()
     )
+
+
+def test_epoch_seconds_tz_independent(spark, tmp_path):
+    """epoch_seconds must agree with DuckDB's naive-as-UTC epoch for every
+    timestamp encoding, regardless of the Spark session timezone."""
+    import datetime
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from littletable_spark.streaming.events import epoch_seconds
+
+    wall = datetime.datetime(2024, 3, 7, 13, 45, 59)
+    expected = int(
+        duckdb.sql("SELECT epoch(TIMESTAMP '2024-03-07 13:45:59')").fetchone()[0]
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")  # UTC+8:45
+        ntz = spark.createDataFrame(
+            [(wall,)], "ts timestamp_ntz"
+        )
+        got_ntz = ntz.select(epoch_seconds(ntz, "ts").alias("s")).collect()[0]["s"]
+        assert got_ntz == expected
+
+        nanos = spark.createDataFrame([(expected * 1_000_000_000,)], "ts long")
+        got_ns = nanos.select(epoch_seconds(nanos, "ts").alias("s")).collect()[0]["s"]
+        assert got_ns == expected
+
+        ltz = spark.createDataFrame([(expected,)], "sec long").select(
+            F.timestamp_seconds("sec").alias("ts")
+        )
+        got_ltz = ltz.select(epoch_seconds(ltz, "ts").alias("s")).collect()[0]["s"]
+        assert got_ltz == expected
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_load_events_timestamp_us(spark, tmp_path):
+    """load_events adapts to plain timestamp[us] parquet (current driver
+    format) and still produces exact epoch seconds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.array([1700000000_000000, 1700000123_500000], type=pa.timestamp("us"))
+    tbl = pa.table({"ts": ts, "user_id": pa.array([1, 2], type=pa.int64())})
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(tbl, path)
+
+    from littletable_spark.streaming import load_events
+
+    out = {r["user_id"]: r["ts_sec"] for r in load_events(spark, path).df.collect()}
+    assert out == {1: 1700000000, 2: 1700000123}
