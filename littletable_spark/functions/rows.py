@@ -24,6 +24,20 @@ def to_row_dict(obj: Any) -> dict[str, Any]:
             f.name: _normalize_value(getattr(obj, f.name))
             for f in dataclasses.fields(obj)
         }
+    # attrs classes (slots or not): field list lives on the type
+    attrs_fields = getattr(type(obj), "__attrs_attrs__", None)
+    if attrs_fields:
+        return {
+            f.name: _normalize_value(getattr(obj, f.name)) for f in attrs_fields
+        }
+    # traitlets HasTraits: values live behind descriptors, instance
+    # __dict__ holds only private machinery — use the traits API
+    if callable(getattr(obj, "trait_values", None)) and callable(
+        getattr(obj, "trait_names", None)
+    ):
+        return {
+            str(k): _normalize_value(v) for k, v in obj.trait_values().items()
+        }
     # pydantic v2 / v1
     for meth in ("model_dump", "dict"):
         fn = getattr(obj, meth, None)

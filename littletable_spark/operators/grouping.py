@@ -146,16 +146,57 @@ def _with_run_ids(df, keys: list[str], order_cols: list[Column]):
 
 
 def groupby_iter(
-    table: Table, keyexpr: Any, sort: bool = False
+    table: Table, keyexpr: Any, sort: bool = False, materialize: bool = True
 ) -> Iterator[tuple[Any, Table]]:
     """``itertools.groupby`` semantics: consecutive runs in table order
     unless ``sort=True`` (littletable.py:3582-3614).
 
     Yields ``(key, subtable)``. This is a driver-side presentation
     iterator; the scalable aggregation path is ``groupby_with_summaries``.
+
+    With ``materialize=True`` (default) the table is collected ONCE and
+    partitioned driver-side — one Spark job total, each subtable a local
+    DataFrame over its rows. The typical consumer iterates every group's
+    rows anyway, so lazy per-group filters would re-scan the source once
+    per group (one job per distinct key). ``materialize=False`` restores
+    the lazy per-group-filter behavior for tables too large to collect —
+    at real scale prefer ``groupby_with_summaries``, which aggregates
+    distributed.
     """
     keys = _keys(keyexpr)
     df = table._require_df()
+    if materialize:
+        from itertools import groupby as _it_groupby
+
+        spark = table.spark
+        if sort:
+            # stable sort by key: within-key order is the table's order
+            rows = df.orderBy(
+                *[F.col(k).asc() for k in keys], *table._sort_cols()
+            ).collect()
+            schema = df.schema
+            drop: list[str] = []
+        else:
+            runs = _with_run_ids(df, keys, table._sort_cols())
+            rows = runs.orderBy(F.col(_RUN).asc(), *table._sort_cols()).collect()
+            schema = runs.schema
+            drop = [_RUN]
+        if sort:
+            key_of = lambda r: tuple(r[k] for k in keys)  # noqa: E731
+        else:
+            key_of = lambda r: r[_RUN]  # noqa: E731
+        for gk, grp in _it_groupby(rows, key=key_of):
+            grp = list(grp)
+            sub_df = spark.createDataFrame(grp, schema)
+            for c in drop:
+                sub_df = sub_df.drop(c)
+            sub = table._derive(sub_df, keep_sort=True)
+            # rows are already here in table order: iteration/len on the
+            # subtable is job-free (run columns are INTERNAL to row objs)
+            sub._prefetched = grp
+            keyvals = tuple(grp[0][k] for k in keys)
+            yield (keyvals[0] if len(keys) == 1 else keyvals), sub
+        return
     if sort:
         distinct = [
             tuple(r[k] for k in keys)

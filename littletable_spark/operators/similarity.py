@@ -22,6 +22,28 @@ from pyspark.sql import functions as F
 
 from ..table import Table
 
+# Query vectors are collected to the driver and broadcast (the probe set
+# of a top-k search is small by contract). The cap turns a silent driver
+# OOM from an oversized query table into an immediate, actionable error:
+# 65536 queries x dim-1024 float64 is ~512 MB of broadcast — already at
+# the edge of sane. Large query sets should be chunked by the caller or
+# joined corpus-vs-corpus via the LSH pair path (dedup.py).
+MAX_QUERY_VECTORS = 65536
+
+
+def _collect_query_vectors(df: DataFrame, max_queries: int) -> list:
+    """Bounded collect of the query side: raises ``ValueError`` instead
+    of silently OOMing the driver when the query table exceeds the cap
+    (checked with a ``limit(cap+1)`` scan, not a full count)."""
+    rows = df.limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query table exceeds max_queries={max_queries}; top-k search "
+            "broadcasts the query side — chunk the queries or raise "
+            "max_queries explicitly if the driver has the memory"
+        )
+    return rows
+
 
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side."""
@@ -46,10 +68,12 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     k: int = 10,
+    max_queries: int = MAX_QUERY_VECTORS,
 ) -> Table:
     """Exact top-k neighbors per query vector (brute force baseline).
 
-    The query side is collected/broadcast (small by definition); the
+    The query side is collected/broadcast (bounded by ``max_queries`` —
+    a clear error beats a silent driver OOM); the
     corpus streams through an Arrow-batched ``mapInPandas`` that does one
     BLAS matmul per batch and emits only its local top-k per query —
     the final window then merges per-batch candidates (decomposable
@@ -57,7 +81,7 @@ def cosine_topk(
     the full N·Q score matrix).
     """
     qid = query_id_col or id_col
-    q_rows = queries.df.select(qid, vec_col).collect()
+    q_rows = _collect_query_vectors(queries.df.select(qid, vec_col), max_queries)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(Q, axis=1)
@@ -160,6 +184,7 @@ def ivf_topk(
     nprobe: int = 4,
     sample_size: int = 4096,
     seed: int = 42,
+    max_queries: int = MAX_QUERY_VECTORS,
 ) -> Table:
     """IVF approximate top-k: k-means coarse quantizer, probe-limited scan.
 
@@ -211,8 +236,10 @@ def ivf_topk(
         assign_batches, "corpus_id long, cvec array<double>, cluster int"
     )
 
-    # queries are small by definition: probe-list fan-out happens on the driver
-    q_rows = queries.df.select(qid, F.col(vec_col).cast("array<double>")).collect()
+    # probe-list fan-out happens on the driver; bounded like cosine_topk
+    q_rows = _collect_query_vectors(
+        queries.df.select(qid, F.col(vec_col).cast("array<double>")), max_queries
+    )
     nprobe = min(nprobe, len(centroids))
     probe_rows = []
     for r in q_rows:

@@ -40,7 +40,9 @@ from .plans.ordering import ROW_ORD, dense_index, ensure_row_ord
 
 EPOCH = "__epoch__"
 SORTKEY = "__sortkey__"
-INTERNAL = (ROW_ORD, EPOCH, SORTKEY)
+# __run*__ are grouping's consecutive-run helper columns
+# (operators/grouping.py) — internal wherever a row object is built
+INTERNAL = (ROW_ORD, EPOCH, SORTKEY, "__run__", "__runpid__", "__runrn__", "__runlocal__")
 
 
 def _is_internal(col_name: str) -> bool:
@@ -260,6 +262,10 @@ class Table:
         self._search_indexes: dict[str, Any] = {}
         self._version = 0
         self._len_cache: int | None = None
+        # pre-collected rows in table order (set by collect-once paths
+        # like groupby_iter(materialize=True)); iteration/len use them
+        # without launching a Spark job. Invalidated on any mutation.
+        self._prefetched: list | None = None
         self._next_epoch = 1
         self.import_source = None
         self.import_source_type = None
@@ -344,6 +350,7 @@ class Table:
         self._df = df
         self._version += 1
         self._len_cache = None
+        self._prefetched = None
         self.modify_time = _dt.datetime.now().astimezone(_dt.timezone.utc)
 
     def _derive(self, df: DataFrame, name: str = "", keep_sort: bool = True) -> "Table":
@@ -361,6 +368,8 @@ class Table:
     def __len__(self) -> int:
         if self._df is None:
             return 0
+        if self._prefetched is not None:
+            return len(self._prefetched)
         if self._len_cache is None:
             self._len_cache = self._df.count()
         return self._len_cache
@@ -378,6 +387,8 @@ class Table:
     def __iter__(self) -> Iterator[SimpleNamespace]:
         if self._df is None:
             return iter(())
+        if self._prefetched is not None:
+            return (self._make_row(r) for r in self._prefetched)
         return (
             self._make_row(r) for r in self._ordered_df().toLocalIterator()
         )
@@ -1187,10 +1198,10 @@ class Table:
 
         return groupby_with_summaries(self, keyexpr, outexprs)
 
-    def groupby(self, keyexpr: Any, sort: bool = False):
+    def groupby(self, keyexpr: Any, sort: bool = False, materialize: bool = True):
         from .operators.grouping import groupby_iter
 
-        return groupby_iter(self, keyexpr, sort)
+        return groupby_iter(self, keyexpr, sort, materialize)
 
     def pivot(self, attrlist: Any):
         from .operators.grouping import PivotTable

@@ -314,3 +314,19 @@ def test_keep_canonical(spark, docs):
     comp = _brute_components(pair_rows)
     expected = {i for i, _ in DOCS} - {x for x, root in comp.items() if root != x}
     assert kept_ids == expected
+
+
+def test_topk_query_collect_is_bounded(spark):
+    """An oversized query table raises a clear error instead of a silent
+    driver-side OOM (the collect is capped, checked via limit(cap+1))."""
+    from littletable_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = Table.parquet_import(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(e, e, "vec_id", "embedding", k=2, max_queries=10)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_topk(e, e, "vec_id", "embedding", k=2, max_queries=10)
+    # within the cap everything still works
+    q = e.where(vec_id=Table.lt(3))
+    out = cosine_topk(e, q, "vec_id", "embedding", k=2, max_queries=10)
+    assert len(out) == 6

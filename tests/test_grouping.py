@@ -71,3 +71,33 @@ def test_cube_rollup(abc):
     cu = abc.cube(["a"], n=F.count(F.lit(1)))
     rows = {r.a: r.n for r in cu}
     assert rows[None] == 27 and rows[0] == 9
+
+
+def test_groupby_materialize_matches_lazy(spark):
+    t = Table("runs2", spark=spark)
+    t.insert_many(
+        [{"k": "x", "v": 1}, {"k": "x", "v": 2}, {"k": "y", "v": 3},
+         {"k": "x", "v": 4}, {"k": "y", "v": 5}, {"k": "y", "v": 6}]
+    )
+    mat = [(k, [r.v for r in sub]) for k, sub in t.groupby("k")]
+    lazy = [(k, [r.v for r in sub]) for k, sub in t.groupby("k", materialize=False)]
+    assert mat == lazy == [("x", [1, 2]), ("y", [3]), ("x", [4]), ("y", [5, 6])]
+    mat_s = [(k, sorted(r.v for r in sub)) for k, sub in t.groupby("k", sort=True)]
+    lazy_s = [
+        (k, sorted(r.v for r in sub))
+        for k, sub in t.groupby("k", sort=True, materialize=False)
+    ]
+    assert mat_s == lazy_s == [("x", [1, 2, 4]), ("y", [3, 5, 6])]
+
+
+def test_groupby_materialize_single_scan(spark, abc):
+    """The materialized iterator runs a bounded number of Spark jobs no
+    matter how many groups there are (vs one filter job per group lazy)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    groups = [(k, [r.b for r in sub]) for k, sub in abc.groupby("a", sort=True)]
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert len(groups) == 3 and all(len(v) == 9 for _, v in groups)
+    # one collect (plus possible AQE sub-jobs); group iteration itself
+    # is job-free thanks to the prefetched-row cache
+    assert after - before <= 3
