@@ -95,11 +95,79 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    docs10 = blow_up(docs1, ["doc_id"], COPIES)
+    def jaccard(docs):
+        from littletable_spark.operators.dedup import ngram_jaccard_pairs
 
-    # warm up plans
+        t = Table.from_df(docs)
+        ngram_jaccard_pairs(t, "doc_id", "text", threshold=0.8).df.write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def clusters(pairs_df):
+        from littletable_spark.operators.dedup import dup_clusters
+
+        dup_clusters(pairs_df, "id1", "id2").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def emb_lsh(emb, n_planes=6):
+        from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
+
+        # in-bucket work is O(N²/2^planes): the scale knob is the plane
+        # count, raised with N to hold per-bucket density constant
+        # (n_planes ≈ log2(N / target_bucket_size))
+        t = Table.from_df(emb)
+        embedding_lsh_dup_pairs(
+            t, "vec_id", "embedding", threshold=0.3, n_planes=n_planes
+        ).df.write.format("noop").mode("overwrite").save()
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # replica-perturbed corpora: identical replicas would create
+    # cross-replica near-dup pairs (quadratic in COPIES — a data
+    # artifact, not a plan property). A per-replica letter rotation
+    # (COPIES distinct rotations) / array rotation give each replica
+    # distinct shingles / vectors so pair volume and candidate structure
+    # stay ~linear, which is what the probe measures.
+    LETTERS = "aeiousnrtl"  # len >= COPIES: all rotations distinct
+    docs10_p = None
+    for i in range(COPIES):
+        rot = LETTERS[i:] + LETTERS[:i]
+        rep = docs1.withColumn("text", F.translate(F.col("text"), LETTERS, rot))
+        rep = rep.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
+        docs10_p = rep if docs10_p is None else docs10_p.unionByName(rep)
+    docs10 = docs10_p
+
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb10 = None
+    for i in range(COPIES):
+        k = i % 64
+        rep = emb1.withColumn(
+            "embedding",
+            F.concat(
+                F.slice(F.col("embedding"), k + 1, 64 - k),
+                F.slice(F.col("embedding"), 1, k),
+            ),
+        ).withColumn("vec_id", F.col("vec_id") + F.lit(i * 100_000_000))
+        emb10 = rep if emb10 is None else emb10.unionByName(rep)
+
+    from littletable_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs1 = minhash_lsh_pairs(
+        Table.from_df(docs1), "doc_id", "text"
+    ).df.persist()
+    pairs10 = minhash_lsh_pairs(
+        Table.from_df(docs10_p), "doc_id", "text"
+    ).df.persist()
+    pairs1.count(), pairs10.count()
+
+    # warm up plans at BOTH scales (steady-state methodology, same as
+    # bench.py: JIT/codegen + the jaccard adaptive-stat decision are
+    # one-time costs, not per-call plan costs)
     q1(li1); join_agg(li1, o1); topk(o1); window_topk(o1); minhash(docs1)
+    jaccard(docs1); clusters(pairs1); emb_lsh(emb1)
+    q1(li10); join_agg(li10, o10); topk(o10); window_topk(o10)
+    minhash(docs10); jaccard(docs10_p); clusters(pairs10)
+    emb_lsh(emb10, n_planes=9)
 
     results: dict[str, float] = {}
     timed("q1_agg_1x", lambda: q1(li1), results)
@@ -112,9 +180,18 @@ def main() -> None:
     timed("window_topk_10x", lambda: window_topk(o10), results)
     timed("minhash_1x", lambda: minhash(docs1), results)
     timed("minhash_10x", lambda: minhash(docs10), results)
+    timed("jaccard_1x", lambda: jaccard(docs1), results)
+    timed("jaccard_10x", lambda: jaccard(docs10_p), results)
+    timed("clusters_1x", lambda: clusters(pairs1), results)
+    timed("clusters_10x", lambda: clusters(pairs10), results)
+    timed("emb_lsh_1x", lambda: emb_lsh(emb1), results)
+    timed("emb_lsh_10x", lambda: emb_lsh(emb10, n_planes=9), results)
 
     print(f"{'query':<18}{'1x sec':>9}{'10x sec':>10}{'ratio':>8}")
-    for base in ["q1_agg", "join_agg", "topk", "window_topk", "minhash"]:
+    for base in [
+        "q1_agg", "join_agg", "topk", "window_topk", "minhash",
+        "jaccard", "clusters", "emb_lsh",
+    ]:
         a, b = results[f"{base}_1x"], results[f"{base}_10x"]
         print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
 
