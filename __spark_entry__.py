@@ -36,7 +36,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
         key = (sf_dir, name)
         if key not in _TABLE_CACHE:
             t = Table.parquet_import(spark, f"{sf_dir}/{name}.parquet", name)
-            t._require_df().persist()
+            df = t._require_df()
+            # single-file parquet often scans as 1-3 splits; widen the
+            # cached layout so CPU-heavy aggs over the big tables get
+            # real fan-out — but keep small tables narrow (32 near-empty
+            # partitions just add per-task overhead to every query).
+            # ROW_ORD is already attached (computed map-side, pre-
+            # shuffle) so positional semantics are unchanged.
+            n_rows = df.count()
+            target = max(1, min(spark.sparkContext.defaultParallelism, n_rows // 20_000))
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
+                t._df = df
+            df.persist()
             _TABLE_CACHE[key] = t
         # derive a fresh handle so per-query mutations (orderby, indexes)
         # don't leak across queries through the shared cached table

@@ -60,12 +60,21 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # per-query median over N timed passes: single-JVM GC/JIT noise at
+    # this scale swings individual runs by 2x; the median is the honest
+    # steady-state figure (and is what a profile of repeated production
+    # runs would report)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(passes):
+        for name in names:
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {
+        n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -81,7 +90,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "cpus": CPUS,
-                "methodology": "steady-state (one untimed warmup pass for JVM JIT/codegen)",
+                "methodology": f"steady-state (untimed warmup pass; per-query median of {passes} timed passes)",
             }
         )
     )

@@ -579,6 +579,7 @@ def dup_clusters(
     b_col: str = "id2",
     max_iter: int = 25,
     broadcast_nodes: int = 1_000_000,
+    driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every id
     appearing in any pair gets a ``cluster_id`` — the smallest id
@@ -622,7 +623,37 @@ def dup_clusters(
     (2^25-deep dup chains do not occur), not a tuning knob. This is the
     min-label specialization of the alternating large-star/small-star
     MapReduce CC algorithm (Kiveris et al., SoCC'14).
+
+    Below ``driver_edges`` pairs the graph is solved driver-side with
+    union-find instead: a single distributed round costs several jobs of
+    fixed scheduler overhead, while a few hundred thousand edges
+    union-find in milliseconds — the same small-graph shortcut
+    production CC implementations take. The distributed loop is the
+    ≥``driver_edges`` path (a 100 TB corpus's pair list easily exceeds
+    it). Results are identical; the threshold only picks the engine.
     """
+    n_pairs = pairs.limit(driver_edges + 1).count()
+    if n_pairs <= driver_edges:
+        rows = pairs.select(a_col, b_col).collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r[0], r[1]
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {v for r in rows for v in (r[0], r[1])}
+        out = [(int(v), int(find(v))) for v in nodes]
+        spark = pairs.sparkSession
+        return spark.createDataFrame(out, "doc_id long, cluster_id long")
     e1 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e2 = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = e1.union(e2).persist(_PAIRGEN_CACHE)

@@ -35,12 +35,32 @@ _NUMERIC_TYPES = (
 STAT_NAMES = ["mean", "median", "min", "max", "variance", "std_dev", "count", "missing"]
 
 
+# bracket sketch accuracy: rank error is n/_SKETCH_ACC = 0.0005n, well
+# inside the ±0.002n quantile margin of _bracket_aggs, so the bracket
+# always contains the true median; interior size stays ~0.005n, under
+# band_limit for n <= 2M (beyond that the refinement rounds narrow it)
+_SKETCH_ACC = 2_000
+
+
+def _bracket_aggs(cols: dict[str, "F.Column"]) -> list:
+    """Per-column [0.498, 0.502] quantile-bracket sketch aggregates —
+    built separately so callers can fuse them into an existing single
+    aggregation pass instead of paying a dedicated scan."""
+    return [
+        F.percentile_approx(
+            col, F.array(F.lit(0.498), F.lit(0.502)), F.lit(_SKETCH_ACC)
+        ).alias(f"{c}__bracket")
+        for c, col in cols.items()
+    ]
+
+
 def _exact_medians(
     df,
     cols: dict[str, "F.Column"],
     counts: dict[str, int],
     band_limit: int = 10_000,
     max_iters: int = 4,
+    brackets: dict[str, tuple] | None = None,
 ) -> dict[str, float | None]:
     """Interpolated exact medians (statistics.median / DuckDB semantics)
     for many columns with no global sort and a BOUNDED driver footprint.
@@ -62,17 +82,21 @@ def _exact_medians(
     out: dict[str, float | None] = {c: None for c in cols}
     if not live:
         return out
-    approx = df.agg(
-        *[
-            F.percentile_approx(col, F.array(F.lit(0.498), F.lit(0.502)), F.lit(10000)).alias(c)
-            for c, col in live.items()
-        ]
-    ).collect()[0]
-    bounds = {c: (approx[c][0], approx[c][1]) for c in live}
+    if brackets is None:
+        approx = df.agg(*_bracket_aggs(live)).collect()[0]
+        brackets = {c: approx[f"{c}__bracket"] for c in live}
+    usable = {
+        c
+        for c in live
+        if brackets.get(c) is not None
+        and brackets[c][0] is not None
+        and brackets[c][1] is not None
+    }
+    bounds = {c: (brackets[c][0], brackets[c][1]) for c in usable}
     stats: dict[str, dict] = {}
-    pending = set(live)
+    pending = set(usable)
     ready: set[str] = set()
-    fallback: set[str] = set()
+    fallback: set[str] = set(live) - usable
     for _ in range(max_iters):
         if not pending:
             break
@@ -119,7 +143,7 @@ def _exact_medians(
                 F.percentile_approx(
                     F.when((col > F.lit(lo)) & (col < F.lit(hi)), col),
                     F.array(F.lit(f1), F.lit(f2)),
-                    F.lit(10000),
+                    F.lit(_SKETCH_ACC),
                 ).alias(c)
             )
         rrow = df.agg(*raggs).collect()[0]
@@ -169,10 +193,13 @@ def _exact_medians(
                 fallback.add(c)
             else:
                 out[c] = (v1 + v2) / 2.0
-    for c in fallback:
-        out[c] = df.agg(
-            F.percentile(live[c], F.lit(0.5)).alias("m")
-        ).collect()[0]["m"]
+    if fallback:
+        # never wrong, only slower — and all fallback columns in ONE job
+        frow = df.agg(
+            *[F.percentile(live[c], F.lit(0.5)).alias(c) for c in fallback]
+        ).collect()[0]
+        for c in fallback:
+            out[c] = frow[c]
     return out
 
 
@@ -228,11 +255,19 @@ def stats_table(
         # fixed passes for all exact medians (Spark's `percentile` buffers
         # a value->count map per partition and degrades on high-cardinality
         # doubles; the sketch-bracketed selection in _exact_medians does not)
-        row = df.agg(*aggs).collect()[0].asDict()
+        # the bracket sketches ride along in the same single pass — the
+        # median selection then needs only the count + band-collect scans
+        colmap = {c: _col(c) for c in fields}
+        row = df.agg(*aggs, *_bracket_aggs(colmap)).collect()[0].asDict()
         medians = _exact_medians(
             df,
-            {c: _col(c) for c in fields},
+            colmap,
             {c: int(row[f"{c}__count"]) for c in fields},
+            brackets={
+                c: row[f"{c}__bracket"]
+                for c in fields
+                if row.get(f"{c}__bracket") is not None
+            },
         )
         for c in fields:
             row[f"{c}__median"] = medians[c]

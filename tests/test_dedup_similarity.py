@@ -282,8 +282,15 @@ def test_dup_clusters_matches_union_find(spark, edges):
     from littletable_spark.operators.dedup import dup_clusters
 
     pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    # driver union-find path (default) and the distributed min-label
+    # loop (forced via driver_edges=0) must agree exactly
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == _brute_components(edges)
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(pairs, driver_edges=0).collect()
+    }
+    assert dist == _brute_components(edges)
 
 
 def test_dup_clusters_empty(spark):
@@ -300,7 +307,10 @@ def test_dup_clusters_converges_on_deep_chain(spark):
 
     edges = [(i, i + 1) for i in range(40)]
     pairs = spark.createDataFrame(edges, "id1 long, id2 long")
-    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iter=10).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(pairs, max_iter=10, driver_edges=0).collect()
+    }
     assert got == {i: 0 for i in range(41)}
 
 
