@@ -26,6 +26,7 @@ This is a pure module so it can run (a) driver-side for query terms and
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Iterator
 
 # default stopwords (littletable.py:327-342): common English stopwords,
@@ -173,6 +174,17 @@ def normalize_words(
     yield s
 
 
+@lru_cache(maxsize=1 << 20)
+def _normalize_token_cached(
+    token: str, stopwords: frozenset[str]
+) -> tuple[str, ...]:
+    """Memoized per-token normalization: a corpus repeats its vocabulary
+    thousands of times, so caching per distinct token turns the regex
+    pipeline from per-occurrence into per-vocabulary-entry work (the
+    index-build hot path inside the Arrow UDF)."""
+    return tuple(normalize_words(token, stopwords))
+
+
 def normalize_text(
     text: str, stopwords: frozenset[str] = STOPWORDS
 ) -> list[str]:
@@ -180,7 +192,7 @@ def normalize_text(
     seen: set[str] = set()
     out: list[str] = []
     for token in (text or "").split():
-        for word in normalize_words(token, stopwords):
+        for word in _normalize_token_cached(token, stopwords):
             if word not in seen:
                 seen.add(word)
                 out.append(word)

@@ -244,16 +244,29 @@ def search(
             spark.createDataFrame(group_rows, schema="word string, gid long")
         )
         ghits = index_df.join(gdf, on="word")
-        cov = ghits.groupBy().agg(F.count_distinct("gid").alias("gids_hit"))
-        per_row = ghits.groupBy(EPOCH, ROW_ORD).agg(
-            F.count_distinct("gid").alias("__gh__")
+        # one job for both coverage statistics: per-row distinct-gid sets
+        # (each bounded by len(groups), so the explode below is cheap at
+        # any corpus size), then global max row-coverage + distinct gids
+        per_row_g = ghits.groupBy(EPOCH, ROW_ORD).agg(
+            F.collect_set("gid").alias("__g__")
         )
-        gids_hit = cov.collect()[0]["gids_hit"]
-        if gids_hit < len(groups):
+        summary = (
+            per_row_g.select(
+                F.size("__g__").alias("__gh__"), F.explode("__g__").alias("gid")
+            )
+            .agg(
+                F.max("__gh__").alias("max_gh"),
+                F.count_distinct("gid").alias("gids_hit"),
+            )
+            .collect()[0]
+        )
+        if (summary["gids_hit"] or 0) < len(groups):
             empty = table._require_df().limit(0)
             return table._derive(empty) if as_table else []
-        max_gh = per_row.agg(F.max("__gh__").alias("m")).collect()[0]["m"] or 0
-        apply_required = max_gh == len(groups)
+        per_row = per_row_g.select(
+            EPOCH, ROW_ORD, F.size("__g__").alias("__gh__")
+        )
+        apply_required = (summary["max_gh"] or 0) == len(groups)
 
     weight_rows = [{"word": w, "weight": wt} for w, wt in weights.items()]
     if weight_rows:
