@@ -747,6 +747,34 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document chunking: fixed 16-token windows with 4-token overlap —
+    the pre-training/RAG chunking step as a native posexplode plan."""
+    from littletable_spark.operators.textops import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_documents(d, "text", "doc_id", chunk_tokens=16, overlap=4)
+    return out.select("doc_id chunk_id chunk_text n_chunk_tokens").df
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/SSN/IP/phone redaction + per-category counts
+    (native regexp_replace chain, codegen end-to-end)."""
+    from littletable_spark.operators.textops import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_pii(d, "text", "doc_id").df
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intra-document repetition: duplicate 5-gram window fraction
+    (Gopher-style quality signal)."""
+    from littletable_spark.operators.textops import repetition_score
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_score(d, "text", "doc_id", n=5).df
+
+
 def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic Bernoulli sample (md5 hash keyed on doc_id) — the
     shuffle-free, re-shard-stable sampling primitive (sampling.py)."""
@@ -877,6 +905,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "pivot_sum": q_pivot_sum,
         "head_tail": q_head_tail,
+        "text_chunks": q_text_chunks,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1567,6 +1598,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "text_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), nz AS (
+              SELECT * FROM toks WHERE len(t) > 0
+            ), starts AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t), 1), 12)) AS s
+              FROM nz
+            )
+            SELECT doc_id,
+                   ((s - 1) // 12)::INT AS chunk_id,
+                   array_to_string(t[s : s + 15], ' ') AS chunk_text,
+                   len(t[s : s + 15]) AS n_chunk_tokens
+            FROM starts
+        """,
+        "text_pii_scrub": """
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                  '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+                '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
+              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+              len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
+              len(regexp_extract_all(text, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
+              len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phone
+            FROM documents
+        """,
+        "text_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), w AS (
+              SELECT doc_id, t, greatest(len(t) - 4, 0) AS n_windows FROM toks
+            ), sh AS (
+              SELECT doc_id, n_windows,
+                     CASE WHEN n_windows > 0 THEN (
+                       SELECT count(DISTINCT array_to_string(t[i.g : i.g + 4], ' '))
+                       FROM (SELECT unnest(generate_series(1, n_windows)) AS g) i
+                     ) ELSE 0 END AS n_distinct_windows
+              FROM w
+            )
+            SELECT doc_id, n_windows, n_distinct_windows,
+                   CASE WHEN n_windows > 0
+                        THEN (n_windows - n_distinct_windows) * 1.0 / n_windows
+                        ELSE 0.0 END AS dup_window_frac
+            FROM sh
         """,
         "sample_uniform": f"""
             SELECT doc_id, lang, source FROM documents

@@ -150,3 +150,113 @@ def doc_fingerprint(table: Table, text_col: str, id_col: str) -> Table:
         .select(id_col, "fingerprint", "min_window_hash")
     )
     return Table.from_df(out, name=f"{table.table_name}_fingerprint")
+
+
+def chunk_documents(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> Table:
+    """Split documents into fixed-size token windows (the standard
+    pre-training/RAG chunking step): one output row per chunk, with its
+    ordinal and token count. ``overlap`` tokens are shared between
+    consecutive chunks.
+
+    Pure narrow plan — tokenize, ``sequence`` of window starts,
+    ``posexplode``, ``slice`` + ``array_join`` — no UDF, no shuffle: at
+    100 TB this is scan-speed row amplification, and the chunk rows
+    inherit the input partitioning (downstream tokenize/pack stages
+    consume them without a reshuffle).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = _tokens(text_col)
+    df = table.df.select(F.col(id_col), toks.alias("__toks__")).where(
+        F.size("__toks__") > 0
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("__toks__"), F.lit(1)), F.lit(step))
+    out = (
+        df.select(
+            F.col(id_col),
+            F.col("__toks__"),
+            F.posexplode(starts).alias("chunk_id", "__start__"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.array_join(
+                F.slice("__toks__", F.col("__start__"), chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.size(F.slice("__toks__", F.col("__start__"), chunk_tokens)).alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )
+    return Table.from_df(out, name=f"{table.table_name}_chunks")
+
+
+# PII patterns shared by the Spark path and the DuckDB oracle: plain
+# character classes / bounded quantifiers only, so Java regex and RE2
+# agree. Order matters — SSN before the looser phone pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(table: Table, text_col: str, id_col: str) -> Table:
+    """Redact common PII shapes (emails, SSNs, IPv4s, phone runs) and
+    count redactions per category — the corpus-hygiene pass every
+    training pipeline runs before anything else sees the text.
+
+    Chained native ``regexp_replace`` — whole-stage codegen, no UDF;
+    counts come from ``regexp_extract_all`` over the ORIGINAL text so a
+    later pattern can't hide an earlier category's hits.
+    """
+    text = F.col(text_col).cast("string")
+    clean = text
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    out = table.df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+    return Table.from_df(out, name=f"{table.table_name}_scrubbed")
+
+
+def repetition_score(
+    table: Table, text_col: str, id_col: str, n: int = 5
+) -> Table:
+    """Intra-document repetition: the fraction of word ``n``-gram
+    windows that are duplicates of an earlier window (the Gopher-style
+    repetition quality signal — boilerplate and looped generations
+    score high).
+
+    Native: total windows from the token count, distinct windows from
+    the deduplicated shingle array — a pure projection, no shuffle.
+    """
+    from .dedup import _shingles
+
+    toks = _tokens(text_col)
+    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    distinct = F.when(total > 0, F.size(_shingles(text_col, n))).otherwise(
+        F.lit(0)
+    )
+    frac = F.when(
+        total > 0, (total - distinct).cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    out = table.df.select(
+        F.col(id_col),
+        total.alias("n_windows"),
+        distinct.alias("n_distinct_windows"),
+        frac.alias("dup_window_frac"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_repetition")

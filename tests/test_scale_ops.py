@@ -106,3 +106,79 @@ def test_exact_medians_iterative_narrowing_bounded_band(spark):
     dups = [float(i % 13) for i in range(20001)]
     assert got["x"] == statistics.median(xs)
     assert got["dup"] == statistics.median(dups)
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Non-overlapping chunks concatenate back to the token sequence."""
+    from littletable_spark.operators.textops import chunk_documents
+
+    t = Table("chdocs", spark=spark)
+    words = " ".join(f"w{i}" for i in range(37))
+    t.insert_many([{"doc_id": 1, "text": words}, {"doc_id": 2, "text": "a b"}])
+    out = chunk_documents(t, "text", "doc_id", chunk_tokens=10, overlap=0)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in out)
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2, 3]
+    assert [r[3] for r in d1] == [10, 10, 10, 7]
+    assert " ".join(r[2] for r in d1) == words
+    assert rows[-1] == (2, 0, "a b", 2)
+
+
+def test_chunk_documents_overlap(spark):
+    from littletable_spark.operators.textops import chunk_documents
+
+    t = Table("chov", spark=spark)
+    t.insert({"doc_id": 1, "text": "a b c d e f g h"})
+    out = chunk_documents(t, "text", "doc_id", chunk_tokens=4, overlap=2)
+    chunks = {r.chunk_id: r.chunk_text for r in out}
+    assert chunks[0] == "a b c d" and chunks[1] == "c d e f" and chunks[2] == "e f g h"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(t, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from littletable_spark.operators.textops import scrub_pii
+
+    t = Table("pii", spark=spark)
+    t.insert_many(
+        [
+            {
+                "doc_id": 1,
+                "text": "mail bob@example.com or call +1 (555) 123-4567 now",
+            },
+            {"doc_id": 2, "text": "ssn 123-45-6789 from 192.168.0.1 ok"},
+            {"doc_id": 3, "text": "clean text with no pii at all"},
+        ]
+    )
+    out = {r.doc_id: r for r in scrub_pii(t, "text", "doc_id")}
+    assert "<EMAIL>" in out[1].clean_text and "bob@" not in out[1].clean_text
+    assert "<PHONE>" in out[1].clean_text
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert out[2].clean_text == "ssn <SSN> from <IP> ok"
+    assert out[2].n_ssn == 1 and out[2].n_ip == 1
+    assert out[3].clean_text == out[3].clean_text and out[3].n_email == 0
+    assert "no pii" in out[3].clean_text
+
+
+def test_repetition_score(spark):
+    from littletable_spark.operators.textops import repetition_score
+
+    t = Table("rep", spark=spark)
+    t.insert_many(
+        [
+            # "x y z w v" repeated 3x: 15 tokens, 11 windows, first 5
+            # distinct then cycling repeats
+            {"doc_id": 1, "text": "x y z w v " * 3},
+            {"doc_id": 2, "text": "all distinct words here never repeat once more"},
+            {"doc_id": 3, "text": "too short"},
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_score(t, "text", "doc_id", n=5)}
+    assert out[1].n_windows == 11 and out[1].n_distinct_windows == 5
+    assert abs(out[1].dup_window_frac - 6 / 11) < 1e-12
+    assert out[2].dup_window_frac == 0.0
+    assert out[3].n_windows == 0 and out[3].dup_window_frac == 0.0
