@@ -160,3 +160,34 @@ def test_consecutive_runs_has_no_global_window(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, "expected partition-local window in plan"
     assert all("__runpid__" in s for s in specs), specs
+
+
+def test_pipeline_projections_have_no_shuffle(spark):
+    """chunking / PII scrub / repetition / hash sampling are pure narrow
+    plans — scan-speed at 100 TB, no Exchange anywhere."""
+    from littletable_spark.operators.sampling import sample_hash
+    from littletable_spark.operators.textops import (
+        chunk_documents,
+        repetition_score,
+        scrub_pii,
+    )
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    for out in (
+        chunk_documents(d, "text", "doc_id", chunk_tokens=16),
+        scrub_pii(d, "text", "doc_id"),
+        repetition_score(d, "text", "doc_id"),
+        sample_hash(d, "doc_id", 0.25),
+    ):
+        plan = _plan(out.df)
+        assert "Exchange" not in plan, plan
+
+
+def test_sample_fixed_is_take_ordered(spark):
+    """fixed-k minwise sampling must compile to TakeOrderedAndProject
+    (per-partition top-k + k-row driver merge), not a global sort."""
+    from littletable_spark.operators.sampling import sample_fixed
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(sample_fixed(d, "doc_id", 20).df)
+    assert "TakeOrderedAndProject" in plan
