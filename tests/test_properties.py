@@ -124,3 +124,83 @@ def test_xlsx_roundtrip_property(grid):
     assert len(back) == len(grid)
     for got_row, exp_row in zip(back, grid):
         assert [norm(v) for v in got_row] == [norm(v) for v in exp_row]
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=30
+)
+
+
+@given(words=words_strategy, k=st.integers(1, 8), ov=st.integers(0, 7))
+@SETTINGS
+def test_chunking_reconstructs_and_bounds(spark, words, k, ov):
+    """Chunking invariants for any doc: every chunk has 1..k tokens, the
+    non-overlap prefix of consecutive chunks tiles the token stream, and
+    with overlap=0 concatenation reproduces the document exactly."""
+    from littletable_spark.operators.textops import chunk_documents
+
+    if ov >= k:
+        return
+    t = Table("chprop", spark=spark)
+    t.insert({"doc_id": 1, "text": " ".join(words)})
+    out = sorted(
+        ((r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+         for r in chunk_documents(t, "text", "doc_id", k, ov)),
+    )
+    if not words:
+        assert out == []
+        return
+    assert all(1 <= n <= k for _, _, n in out)
+    step = k - ov
+    starts = list(range(0, len(words), step))
+    # posexplode emits one chunk per start position <= len
+    assert len(out) == len(starts)
+    for (cid, text, n), s in zip(out, starts):
+        assert text.split() == words[s : s + k]
+    if ov == 0:
+        assert " ".join(c for _, c, _ in out).split() == words
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=0, max_size=40, unique=True),
+    frac=st.floats(0.0, 1.0),
+)
+@SETTINGS
+def test_split_is_disjoint_partition_and_stable(spark, keys, frac):
+    """split_train_test: disjoint, union = input, and each row's side is
+    independent of which other rows are present (re-shard stability)."""
+    from littletable_spark.operators.sampling import split_train_test
+
+    t = Table("splitprop", spark=spark)
+    if keys:
+        t.insert_many([{"k": k} for k in keys])
+    else:
+        return
+    train, test = split_train_test(t, "k", frac, salt="prop")
+    tr = {r.k for r in train}
+    te = {r.k for r in test}
+    assert tr | te == set(keys) and not (tr & te)
+    # stability: the same keys in a smaller table land on the same side
+    sub = keys[: len(keys) // 2]
+    if sub:
+        t2 = Table("splitprop2", spark=spark)
+        t2.insert_many([{"k": k} for k in sub])
+        tr2, te2 = split_train_test(t2, "k", frac, salt="prop")
+        assert {r.k for r in tr2} == tr & set(sub)
+        assert {r.k for r in te2} == te & set(sub)
+
+
+@given(words=words_strategy)
+@SETTINGS
+def test_repetition_score_bounds(spark, words):
+    from littletable_spark.operators.textops import repetition_score
+
+    t = Table("repprop", spark=spark)
+    t.insert({"doc_id": 1, "text": " ".join(words)})
+    (row,) = list(repetition_score(t, "text", "doc_id", n=3))
+    assert 0.0 <= row.dup_window_frac <= 1.0
+    expected_total = max(len(words) - 2, 0)
+    assert row.n_windows == expected_total
+    if expected_total:
+        grams = [" ".join(words[i : i + 3]) for i in range(expected_total)]
+        assert row.n_distinct_windows == len(set(grams))
