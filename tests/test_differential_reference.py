@@ -353,3 +353,55 @@ def test_join_keeps_differently_named_right_key_like_reference(spark):
     assert sorted((x.a, x.b, x.x, x.y) for x in oj) == sorted(
         (x.a, x.b, x.x, x.y) for x in rj
     )
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_groupby_iter_runs_match_reference(spark, rows):
+    """itertools.groupby semantics: same (key, [rows]) run sequence, in
+    order, for sort=False — the materialized iterator path."""
+    r = _ref_table(rows)
+    t = _our_table(spark, rows)
+    expect = [
+        (k, [(o.a, o.b) for o in grp]) for k, grp in r.groupby("a")
+    ]
+    if not rows:
+        return
+    got = [(k, [(o.a, o.b) for o in grp]) for k, grp in t.groupby("a")]
+    assert got == expect
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_groupby_iter_sorted_matches_reference(spark, rows):
+    """sort=True groups each key once, keys ascending, stable within."""
+    r = _ref_table(rows)
+    t = _our_table(spark, rows)
+    expect = [
+        (k, [(o.a, o.b) for o in grp]) for k, grp in r.groupby("a", sort=True)
+    ]
+    if not rows:
+        return
+    got = [
+        (k, [(o.a, o.b) for o in grp]) for k, grp in t.groupby("a", sort=True)
+    ]
+    assert got == expect
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_stats_match_reference(spark, rows):
+    """mean/median/min/max/count agree with the reference's stats()
+    (which uses Python statistics.*) — exercises the exact-median
+    bracket path on tiny, tie-heavy inputs."""
+    if not rows:
+        return
+    r = _ref_table(rows)
+    t = _our_table(spark, rows)
+    ref_stats = {s.name: s for s in r.stats(["a"])}
+    our_stats = {s.name: s for s in t.stats(["a"])}
+    ra, oa = ref_stats["a"], our_stats["a"]
+    assert oa.count == ra.count
+    assert oa.min == ra.min and oa.max == ra.max
+    assert abs(oa.mean - ra.mean) < 1e-9
+    assert abs(oa.median - ra.median) < 1e-9
