@@ -194,10 +194,17 @@ def asof_join(
     by: dict[str, str] | None = None,
     direction: str = "backward",
     right_cols: list[str] | None = None,
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
 ) -> Table:
     """As-of join: each left row gets the most recent right row with
     ``right_time <= left_time`` (backward; ``forward`` = nearest later),
     optionally within equal ``by`` keys.
+
+    ``tolerance`` (pandas ``merge_asof`` parity) voids matches farther
+    than the given time distance; ``allow_exact_matches=False`` makes
+    the comparison strict (``<`` / ``>``). Both are post-fill column
+    predicates — no plan-shape change.
 
     Net-new over the reference (no theta/as-of joins there, SURVEY §2.3).
     Spark lacks a native as-of join; the classic scalable formulation is
@@ -211,6 +218,8 @@ def asof_join(
 
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be non-negative")
     by = by or {}
     if not by:
         import warnings
@@ -230,6 +239,11 @@ def asof_join(
     ]
     lf = left.df
     rf = right.df
+    if tolerance is not None:
+        # carry the matched right row's time through the fill so the
+        # tolerance predicate can see it
+        rf = rf.withColumn("__rt__", F.col(right_time).cast("double"))
+        rcols = list(rcols) + ["__rt__"]
 
     # align the union schema: left keeps its columns, right contributes
     # (by keys renamed to left's, the time col, payload cols)
@@ -254,10 +268,18 @@ def asof_join(
 
     unioned = left_part.unionByName(right_part)
     part_keys = [F.col(k) for k in by.keys()]
+    # with exact matches allowed a right row at the same instant sorts
+    # BEFORE the left row (side asc: 0 < 1) and is therefore visible to
+    # the fill; strict mode sorts it after, so only strictly earlier
+    # (later, for forward) right rows are seen — semantics by sort order,
+    # no extra pass
+    side_order = (
+        F.col(side_col).asc() if allow_exact_matches else F.col(side_col).desc()
+    )
     if direction == "backward":
         w = (
             Window.partitionBy(*part_keys)
-            .orderBy(F.col(time_col).asc(), F.col(side_col).asc())
+            .orderBy(F.col(time_col).asc(), side_order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = unioned.select(
@@ -270,7 +292,7 @@ def asof_join(
     else:
         w = (
             Window.partitionBy(*part_keys)
-            .orderBy(F.col(time_col).desc(), F.col(side_col).asc())
+            .orderBy(F.col(time_col).desc(), side_order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = unioned.select(
@@ -280,10 +302,23 @@ def asof_join(
                 for c in rcols
             ],
         )
-    out = filled.filter(F.col(side_col) == 1).select(
-        *[F.col(c) for c in left.fields],
-        *[F.col(f"__f_{c}").alias(c) for c in rcols],
-    )
+    lefts = filled.filter(F.col(side_col) == 1)
+    if tolerance is not None:
+        dist = F.abs(F.col(time_col) - F.col("__f___rt__"))
+        valid = F.col("__f___rt__").isNotNull() & (dist <= F.lit(float(tolerance)))
+        out = lefts.select(
+            *[F.col(c) for c in left.fields],
+            *[
+                F.when(valid, F.col(f"__f_{c}")).alias(c)
+                for c in rcols
+                if c != "__rt__"
+            ],
+        )
+    else:
+        out = lefts.select(
+            *[F.col(c) for c in left.fields],
+            *[F.col(f"__f_{c}").alias(c) for c in rcols],
+        )
     return Table.from_df(out, name=f"{left.table_name}_asof_{right.table_name}")
 
 

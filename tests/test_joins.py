@@ -101,3 +101,63 @@ def test_empty_side_join(abc, spark):
     empty.delete(a=99)
     j = abc.join(empty, **{"a": "a"})
     assert len(j) == 0
+
+
+def _asof_case(spark):
+    left = Table("trades", spark=spark)
+    left.insert_many(
+        [
+            {"sym": "a", "t": 1.0, "px": 10.0},
+            {"sym": "a", "t": 5.0, "px": 11.0},
+            {"sym": "a", "t": 9.0, "px": 12.0},
+            {"sym": "b", "t": 2.0, "px": 20.0},
+        ]
+    )
+    right = Table("quotes", spark=spark)
+    right.insert_many(
+        [
+            {"s": "a", "qt": 1.0, "bid": 9.5},
+            {"s": "a", "qt": 4.0, "bid": 10.5},
+            {"s": "b", "qt": 3.0, "bid": 19.5},
+        ]
+    )
+    return left, right
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential vs pandas.merge_asof across direction, tolerance,
+    and allow_exact_matches."""
+    import pandas as pd
+
+    from littletable_spark.operators.joins import asof_join
+
+    left, right = _asof_case(spark)
+    lpd = pd.DataFrame(
+        [(r.sym, r.t, r.px) for r in left], columns=["sym", "t", "px"]
+    ).sort_values("t", kind="stable").reset_index(drop=True)
+    rpd = pd.DataFrame(
+        [(r.s, r.qt, r.bid) for r in right], columns=["s", "qt", "bid"]
+    ).sort_values("qt", kind="stable").reset_index(drop=True)
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 2.0, 0.5):
+            for exact in (True, False):
+                got = asof_join(
+                    left, right, "t", "qt", by={"sym": "s"},
+                    direction=direction, right_cols=["bid"],
+                    tolerance=tol, allow_exact_matches=exact,
+                )
+                got_rows = sorted(
+                    (r.sym, r.t, r.px, r.bid) for r in got
+                )
+                exp = pd.merge_asof(
+                    lpd, rpd, left_on="t", right_on="qt",
+                    left_by="sym", right_by="s", direction=direction,
+                    tolerance=tol, allow_exact_matches=exact,
+                )
+                exp_rows = sorted(
+                    (row.sym, row.t, row.px,
+                     None if pd.isna(row.bid) else row.bid)
+                    for row in exp.itertuples()
+                )
+                assert got_rows == exp_rows, (direction, tol, exact)
