@@ -775,6 +775,25 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(d, "text", "doc_id", n=5).df
 
 
+_PRICE_BANDS = [(f"b{i}", 50_000.0 * i, 50_000.0 * (i + 1)) for i in range(8)]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range join: orders priced into half-open 50k bands via the
+    binning rewrite (equi-join on bin, no nested loop)."""
+    from littletable_spark.operators.joins import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    bands = Table.from_df(
+        spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    )
+    out = range_join(
+        o, bands, "o_totalprice", "lo", "hi",
+        bucket_width=50_000.0, hi_inclusive=False,
+    )
+    return out.select("o_orderkey o_totalprice band").df
+
+
 def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic Bernoulli sample (md5 hash keyed on doc_id) — the
     shuffle-free, re-shard-stable sampling primitive (sampling.py)."""
@@ -908,6 +927,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_pii_scrub": q_text_pii_scrub,
         "text_repetition": q_text_repetition,
+        "range_join": q_range_join,
     }
 
 
@@ -1598,6 +1618,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "range_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+              """ + ",\n              ".join(
+                f"('b{i}', {50_000.0 * i}, {50_000.0 * (i + 1)})"
+                for i in range(8)
+            ) + """
+            )
+            SELECT o_orderkey, o_totalprice, band
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
         """,
         "text_chunks": """
             WITH toks AS (

@@ -161,3 +161,58 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                     for row in exp.itertuples()
                 )
                 assert got_rows == exp_rows, (direction, tol, exact)
+
+
+def test_range_join_bucketed_matches_plain(spark):
+    """Bucketed rewrite returns exactly the plain theta-join result, and
+    compiles to a hash join instead of a nested loop."""
+    from littletable_spark.operators.joins import range_join
+
+    pts = Table("pts", spark=spark)
+    pts.insert_many([{"pid": i, "x": float(i)} for i in range(30)])
+    iv = Table("iv", spark=spark)
+    iv.insert_many(
+        [
+            {"band": "low", "lo": 0.0, "hi": 9.0},
+            {"band": "mid", "lo": 9.0, "hi": 21.0},
+            {"band": "high", "lo": 20.0, "hi": 29.0},
+            {"band": "nothing", "lo": 100.0, "hi": 200.0},
+        ]
+    )
+    plain = range_join(pts, iv, "x", "lo", "hi")
+    bucketed = range_join(pts, iv, "x", "lo", "hi", bucket_width=5.0)
+    p = sorted((r.pid, r.band) for r in plain)
+    b = sorted((r.pid, r.band) for r in bucketed)
+    assert p == b
+    # boundary membership: 9.0 is in both 'low' and 'mid' (inclusive)
+    assert (9, "low") in b and (9, "mid") in b
+    # exclusive bounds drop the boundaries
+    ex = range_join(
+        pts, iv, "x", "lo", "hi", bucket_width=5.0,
+        lo_inclusive=False, hi_inclusive=False,
+    )
+    exr = sorted((r.pid, r.band) for r in ex)
+    assert (9, "low") not in exr and (9, "mid") not in exr and (8, "low") in exr
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bucketed.df.explain()
+    assert "NestedLoop" not in buf.getvalue() and "Cartesian" not in buf.getvalue()
+
+
+def test_range_join_by_keys(spark):
+    from littletable_spark.operators.joins import range_join
+
+    pts = Table("pts2", spark=spark)
+    pts.insert_many(
+        [{"g": "a", "x": 5.0}, {"g": "b", "x": 5.0}, {"g": "a", "x": 50.0}]
+    )
+    iv = Table("iv2", spark=spark)
+    iv.insert_many(
+        [{"grp": "a", "lo": 0.0, "hi": 10.0}, {"grp": "b", "lo": 100.0, "hi": 200.0}]
+    )
+    out = range_join(pts, iv, "x", "lo", "hi", by={"g": "grp"}, bucket_width=10.0)
+    assert sorted((r.g, r.x) for r in out) == [("a", 5.0)]
