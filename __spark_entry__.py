@@ -775,6 +775,23 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(d, "text", "doc_id", n=5).df
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hypertable-style multi-resolution rollup (1h + 1d tiers) over the
+    events table — one scan, one shuffle for every tier together."""
+    from littletable_spark.streaming import load_events
+    from littletable_spark.streaming.events import time_rollup
+
+    e = load_events(spark, f"{sf_dir}/events.parquet")
+    out = time_rollup(
+        e,
+        resolutions=(3600, 86400),
+        keys=("event_type",),
+        n_events=F.count(F.lit(1)),
+        total_value=F.round(F.sum("value"), 2),
+    )
+    return out.df
+
+
 _PRICE_BANDS = [(f"b{i}", 50_000.0 * i, 50_000.0 * (i + 1)) for i in range(8)]
 
 
@@ -928,6 +945,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_repetition": q_text_repetition,
         "range_join": q_range_join,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -1618,6 +1636,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "events_rollup": """
+            WITH sec AS (
+              SELECT event_type, value,
+                     epoch_ns(ts) // 1000000000 AS t
+              FROM events
+            ), tiers AS (
+              SELECT * FROM sec CROSS JOIN (VALUES (3600), (86400)) r(resolution)
+            )
+            SELECT resolution, t - (t % resolution) AS bucket_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM tiers
+            GROUP BY 1, 2, 3
         """,
         "range_join": """
             WITH bands(band, lo, hi) AS (VALUES

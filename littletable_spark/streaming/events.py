@@ -307,3 +307,46 @@ def streaming_dedup_demo(
         )
         q.awaitTermination()
     return spark.sql(f"SELECT * FROM {qname}")
+
+
+def time_rollup(
+    table: Table,
+    resolutions: Iterable[int] = (60, 3600, 86400),
+    keys: Iterable[str] = (),
+    ts_col: str = "ts_sec",
+    **aggs: Column,
+) -> Table:
+    """Hypertable-style multi-resolution rollup: one row per
+    (resolution, bucket_start, keys) for every requested resolution —
+    the continuous-aggregate tiering (1m/1h/1d) time-series stores
+    maintain, computed in ONE scan and ONE shuffle.
+
+    Each event explodes to its (resolution, bucket) assignments (a
+    narrow Expand-style row multiplication, factor = len(resolutions)),
+    then a single partially-aggregated groupBy rolls every tier up
+    together — map-side combine collapses the multiplied rows before
+    the shuffle, so shuffle volume is one row per populated bucket per
+    tier, not per event.
+    """
+    res = [int(r) for r in resolutions]
+    if not res or any(r <= 0 for r in res):
+        raise ValueError("resolutions must be positive ints")
+    df = table.df
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("resolution"),
+                (F.col(ts_col) - (F.col(ts_col) % F.lit(r))).alias("bucket_start"),
+            )
+            for r in res
+        ]
+    )
+    exploded = df.withColumn("__rb__", F.explode(pairs)).select(
+        F.col("__rb__.resolution").alias("resolution"),
+        F.col("__rb__.bucket_start").alias("bucket_start"),
+        *[F.col(c) for c in df.columns if c != "__rb__"],
+    )
+    grouped = exploded.groupBy("resolution", "bucket_start", *keys).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return Table.from_df(grouped, name=f"{table.table_name}_rollup")

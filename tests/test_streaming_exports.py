@@ -226,3 +226,33 @@ def test_load_events_timestamp_us(spark, tmp_path):
 
     out = {r["user_id"]: r["ts_sec"] for r in load_events(spark, path).df.collect()}
     assert out == {1: 1700000000, 2: 1700000123}
+
+
+def test_time_rollup_tiers_consistent(spark):
+    """Each tier of the multi-resolution rollup equals the equivalent
+    single-resolution tumbling window; coarse tiers aggregate fine ones."""
+    from pyspark.sql import functions as F
+
+    from littletable_spark.streaming import load_events, tumbling_window
+    from littletable_spark.streaming.events import time_rollup
+
+    e = load_events(spark, "/root/testdata/sf0.001/events.parquet")
+    rolled = time_rollup(
+        e, resolutions=(3600, 86400), keys=("event_type",),
+        n=F.count(F.lit(1)),
+    ).df
+    hourly = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in tumbling_window(
+            e, 3600, keys=["event_type"], n=F.count(F.lit(1))
+        ).df.collect()
+    }
+    got_hourly = {
+        (r["bucket_start"], r["event_type"]): r["n"]
+        for r in rolled.filter(F.col("resolution") == 3600).collect()
+    }
+    assert got_hourly == hourly
+    daily_total = sum(
+        r["n"] for r in rolled.filter(F.col("resolution") == 86400).collect()
+    )
+    assert daily_total == sum(hourly.values())
