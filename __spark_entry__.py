@@ -57,6 +57,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
     return Table.parquet_import(spark, f"{sf_dir}/{name}.parquet", name)
 
 
+def _ev(spark: SparkSession, sf_dir: str):
+    """events via the timestamp-adaptive loader, cached like _t under
+    SPARK_GRAFT_CACHE_TABLES so the events queries measure steady-state
+    like every other bench query instead of re-reading parquet."""
+    import os
+
+    from littletable_spark.streaming import load_events
+
+    if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
+        key = (sf_dir, "__events__")
+        if key not in _TABLE_CACHE:
+            t = load_events(spark, f"{sf_dir}/events.parquet")
+            df = t._require_df()
+            n_rows = df.count()
+            target = max(
+                1, min(spark.sparkContext.defaultParallelism, n_rows // 20_000)
+            )
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
+                t._df = df
+            df.persist()
+            _TABLE_CACHE[key] = t
+        cached = _TABLE_CACHE[key]
+        return cached._derive(cached._require_df(), name="events", keep_sort=False)
+    return load_events(spark, f"{sf_dir}/events.parquet")
+
+
 # --------------------------------------------------------------------- #
 # §2.2 projections / filters / predicates
 
@@ -362,9 +389,9 @@ def q_slice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tumbling 1-hour window aggregation over the events table."""
-    from littletable_spark.streaming import load_events, tumbling_window
+    from littletable_spark.streaming import tumbling_window
 
-    e = load_events(spark, f"{sf_dir}/events.parquet")
+    e = _ev(spark, sf_dir)
     out = tumbling_window(
         e,
         3600,
@@ -377,9 +404,9 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session windows per user (30-min gap) via lag + cumulative sum."""
-    from littletable_spark.streaming import load_events, sessionize
+    from littletable_spark.streaming import sessionize
 
-    e = load_events(spark, f"{sf_dir}/events.parquet")
+    e = _ev(spark, sf_dir)
     return sessionize(e, 1800, "user_id").df
 
 
@@ -398,9 +425,9 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sliding 2h/1h windows via sequence-explode (each event in 2 windows)."""
-    from littletable_spark.streaming import load_events, sliding_window
+    from littletable_spark.streaming import sliding_window
 
-    e = load_events(spark, f"{sf_dir}/events.parquet")
+    e = _ev(spark, sf_dir)
     out = sliding_window(
         e,
         7200,
@@ -669,10 +696,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic in both engines.
     """
     from littletable_spark.operators.joins import asof_join
-    from littletable_spark.streaming import load_events
     from littletable_spark.streaming.events import epoch_seconds
 
-    e = load_events(spark, f"{sf_dir}/events.parquet")
+    e = _ev(spark, sf_dir)
     ev = Table.from_df(e.df.select("event_id", "user_id", "ts_sec"))
     o = _t(spark, sf_dir, "orders")
     orders = Table.from_df(
@@ -778,10 +804,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hypertable-style multi-resolution rollup (1h + 1d tiers) over the
     events table — one scan, one shuffle for every tier together."""
-    from littletable_spark.streaming import load_events
     from littletable_spark.streaming.events import time_rollup
 
-    e = load_events(spark, f"{sf_dir}/events.parquet")
+    e = _ev(spark, sf_dir)
     out = time_rollup(
         e,
         resolutions=(3600, 86400),

@@ -243,17 +243,24 @@ def repetition_score(
     Native: total windows from the token count, distinct windows from
     the deduplicated shingle array — a pure projection, no shuffle.
     """
-    from .dedup import _shingles
-
-    toks = _tokens(text_col)
-    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    distinct = F.when(total > 0, F.size(_shingles(text_col, n))).otherwise(
+    # materialize the token array ONCE: referencing the tokenizer
+    # expression inside the per-window lambda would re-run the regex
+    # split per window (O(windows x tokens) regex work — measured 10x
+    # slower); against a column reference each window is a cheap slice
+    toked = table.df.select(F.col(id_col), _tokens(text_col).alias("__tk__"))
+    tk = F.col("__tk__")
+    total = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(tk, i, n), " "),
+    )
+    distinct = F.when(total > 0, F.size(F.array_distinct(windows))).otherwise(
         F.lit(0)
     )
     frac = F.when(
         total > 0, (total - distinct).cast("double") / total.cast("double")
     ).otherwise(F.lit(0.0))
-    out = table.df.select(
+    out = toked.select(
         F.col(id_col),
         total.alias("n_windows"),
         distinct.alias("n_distinct_windows"),
