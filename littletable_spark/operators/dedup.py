@@ -58,8 +58,12 @@ def _tokens(text_col: str) -> Column:
 def _shingles(text_col: str, n: int) -> Column:
     """Distinct word n-gram shingles as an array column (no shuffle).
 
-    O(len²) per row (array slice per position) — fine for one-off use;
-    the dedup pipelines use ``_shingle_rows`` which is linear.
+    One-off use only: the tokenizer expression sits INSIDE the window
+    lambda, so the interpreted evaluator re-runs the regex split once
+    per window (measured ~8x slowdown on a corpus scan). Hot paths must
+    either use ``_shingle_rows`` (linear, codegen) or materialize the
+    token array as a real column first and slice that (see
+    ``textops.repetition_score``).
     """
     toks = _tokens(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
