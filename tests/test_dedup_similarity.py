@@ -340,3 +340,17 @@ def test_topk_query_collect_is_bounded(spark):
     q = e.where(vec_id=Table.lt(3))
     out = cosine_topk(e, q, "vec_id", "embedding", k=2, max_queries=10)
     assert len(out) == 6
+
+
+def test_embedding_lsh_scorers_agree(spark):
+    """Native-fold and Arrow-batch scorers produce the identical pair set."""
+    from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
+
+    e = Table.parquet_import(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    nat = embedding_lsh_dup_pairs(e, "vec_id", "embedding", threshold=0.3)
+    arw = embedding_lsh_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, use_arrow=True
+    )
+    n = sorted((r.id1, r.id2, r.cosine) for r in nat)
+    a = sorted((r.id1, r.id2, r.cosine) for r in arw)
+    assert n == a
