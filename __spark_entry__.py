@@ -1207,6 +1207,34 @@ def _search_text_oracle_sql(query: str = "+spark merge --vector", limit: int = 5
         """
 
 
+def _refround_sql(e: str) -> str:
+    """DuckDB mirror of the reference's stats rounding
+    (littletable.py:3882-3889): |v| > 1 rounds to max(4-magnitude, 0)
+    digits; 0/NULL/|v| <= 1 pass through."""
+    return (
+        f"CASE WHEN {e} IS NULL OR {e} = 0 THEN {e} "
+        f"WHEN abs({e}) > 1 THEN round({e}, "
+        f"CAST(greatest(4 - (CAST(floor(log10(abs({e}))) AS INTEGER) + 1), 0) AS INTEGER)) "
+        f"ELSE {e} END"
+    )
+
+
+def _stats_oracle_sql() -> str:
+    parts = []
+    for col in ("l_quantity", "l_discount", "l_extendedprice"):
+        parts.append(f"""
+              SELECT '{col}' AS name, count({col}) AS count,
+                     count(*) - count({col}) AS missing,
+                     round({_refround_sql(f"avg({col})")}, 4) AS mean,
+                     round({_refround_sql(f"median({col})")}, 4) AS median,
+                     round(min({col}), 4) AS min,
+                     round(max({col}), 4) AS max,
+                     round({_refround_sql(f"var_samp({col})")}, 4) AS variance,
+                     round({_refround_sql(f"stddev_samp({col})")}, 4) AS std_dev
+              FROM lineitem""")
+    return "WITH s AS (" + "\n              UNION ALL".join(parts) + ") SELECT * FROM s"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "where_comparators": """
@@ -1333,33 +1361,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
-        "stats": """
-            WITH s AS (
-              SELECT 'l_quantity' AS name, count(l_quantity) AS count,
-                     count(*) - count(l_quantity) AS missing,
-                     round(avg(l_quantity), 4) AS mean,
-                     round(median(l_quantity), 4) AS median,
-                     round(min(l_quantity), 4) AS min,
-                     round(max(l_quantity), 4) AS max,
-                     round(var_samp(l_quantity), 4) AS variance,
-                     round(stddev_samp(l_quantity), 4) AS std_dev
-              FROM lineitem
-              UNION ALL
-              SELECT 'l_discount', count(l_discount),
-                     count(*) - count(l_discount),
-                     round(avg(l_discount), 4), round(median(l_discount), 4),
-                     round(min(l_discount), 4), round(max(l_discount), 4),
-                     round(var_samp(l_discount), 4), round(stddev_samp(l_discount), 4)
-              FROM lineitem
-              UNION ALL
-              SELECT 'l_extendedprice', count(l_extendedprice),
-                     count(*) - count(l_extendedprice),
-                     round(avg(l_extendedprice), 4), round(median(l_extendedprice), 4),
-                     round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
-                     round(var_samp(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4)
-              FROM lineitem
-            ) SELECT * FROM s
-        """,
+        "stats": _stats_oracle_sql(),
         "orderby_head": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 25

@@ -272,6 +272,24 @@ def stats_table(
         for c in fields:
             row[f"{c}__median"] = medians[c]
 
+    # reference-parity rounding (littletable.py:3882-3889): mean/median/
+    # variance/std_dev round to max(4-magnitude, 0) digits when |v| > 1;
+    # min/max/count/missing stay exact. Applied driver-side to the tiny
+    # collected summary, so the distributed plan is untouched.
+    import math
+
+    def _ref_round(v):
+        if v is None or v == 0.0:
+            return v
+        if abs(v) > 1:
+            mag = int(math.log10(abs(v))) + 1
+            return round(v, max(4 - mag, 0))
+        return v
+
+    for c in fields:
+        for s in ("mean", "median", "variance", "std_dev"):
+            row[f"{c}__{s}"] = _ref_round(row[f"{c}__{s}"])
+
     spark = table.spark
     if by_field:
         recs = [

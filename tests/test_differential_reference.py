@@ -403,5 +403,6 @@ def test_stats_match_reference(spark, rows):
     ra, oa = ref_stats["a"], our_stats["a"]
     assert oa.count == ra.count
     assert oa.min == ra.min and oa.max == ra.max
-    assert abs(oa.mean - ra.mean) < 1e-9
-    assert abs(oa.median - ra.median) < 1e-9
+    # exact: we mirror the reference's magnitude-dependent rounding
+    assert oa.mean == ra.mean
+    assert oa.median == ra.median
