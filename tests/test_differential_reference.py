@@ -406,3 +406,18 @@ def test_stats_match_reference(spark, rows):
     # exact: we mirror the reference's magnitude-dependent rounding
     assert oa.mean == ra.mean
     assert oa.median == ra.median
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_stats_by_stat_layout_matches_reference(spark, rows):
+    """by_field=False: one row per statistic, one column per field."""
+    if not rows:
+        return
+    r = _ref_table(rows)
+    t = _our_table(spark, rows)
+    ref_rows = {s.stat: (s.a, s.b) for s in r.stats(["a", "b"], by_field=False)}
+    our_rows = {s.stat: (s.a, s.b) for s in t.stats(["a", "b"], by_field=False)}
+    assert set(our_rows) == set(ref_rows)
+    for stat in ("mean", "median", "min", "max", "count", "missing"):
+        assert our_rows[stat] == ref_rows[stat], stat
