@@ -891,18 +891,21 @@ def _hash_bucket_sql(key: str, salt: str) -> str:
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate takes
     the first 50 entries, so the 50 highest-signal queries (one per
-    distinct operator, all oracle-checked) come first. The parked tail
-    holds queries whose operator family already has an in-gate row on
-    the same code path: where_predicates / anti_join return 0 rows at
-    sf0.01 (trivial passes; covered by where_comparators / semi_join),
-    cube / pivot_sum duplicate the Expand family (rollup,
-    grouping_sets), head_tail composes in-gate orderby_head + slicing,
-    slice_positional / search_raw / outer_join_full / events_sliding /
-    window_moving_avg are siblings of in-gate slice_range / search_text
-    / outer_join_left / events_tumbling / window_topk_per_group, and
-    sample_stratified shares hash_bucket with in-gate sample_uniform.
-    The local mirror (scripts/verify_oracle.py) still runs all of
-    them."""
+    distinct operator FAMILY, all oracle-checked) come first. Every
+    parked query has an in-gate sibling on the same code path:
+    where_predicates / anti_join return 0 rows at sf0.01 (trivial
+    passes; covered by where_comparators / semi_join), cube / pivot_sum
+    duplicate the Expand family (rollup, grouping_sets), head_tail
+    composes in-gate orderby_head + slicing, slice_positional /
+    search_raw / outer_join_full / events_sliding / window_moving_avg /
+    text_langid are siblings of in-gate slice_range / search_text /
+    outer_join_left / events_tumbling / window_topk_per_group /
+    text_quality, sample_fixed + sample_stratified share hash_bucket
+    with in-gate sample_uniform + sample_split, dedup_fingerprint
+    shares the hash-groupBy shape with dedup_exact, and dedup_embedding
+    / sim_lsh_topk share the block-matmul / hyperplane-bucket cores
+    with in-gate dedup_embedding_lsh + sim_cosine_topk. The local
+    mirror (scripts/verify_oracle.py) still runs all 66."""
     return {
         "where_comparators": q_where_comparators,
         "select_computed": q_select_computed,
@@ -932,29 +935,34 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session": q_events_session,
         "events_dedup_stream": q_events_dedup_stream,
         "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "search_text": q_search_text,
         "grouping_sets": q_grouping_sets,
         "multimodal_meta": q_multimodal_meta,
         "sample_uniform": q_sample_uniform,
-        "sample_fixed": q_sample_fixed,
         "sample_split": q_sample_split,
         "explode_embedding": q_explode_embedding,
         "multimodal_decode": q_multimodal_decode,
+        "text_chunks": q_text_chunks,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_repetition": q_text_repetition,
+        "range_join": q_range_join,
+        "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
+        "sample_fixed": q_sample_fixed,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "text_langid": q_text_langid,
+        "dedup_embedding": q_dedup_embedding,
         "slice_positional": q_slice_positional,
         "search_raw": q_search_raw,
         "outer_join_full": q_outer_join_full,
@@ -966,11 +974,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "pivot_sum": q_pivot_sum,
         "head_tail": q_head_tail,
-        "text_chunks": q_text_chunks,
-        "text_pii_scrub": q_text_pii_scrub,
-        "text_repetition": q_text_repetition,
-        "range_join": q_range_join,
-        "events_rollup": q_events_rollup,
     }
 
 
