@@ -99,13 +99,18 @@ def q_where_comparators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+_PRED_BRANDS = ["Brand#2", "Brand#4", "Brand#9", "Brand#16", "Brand#19", "Brand#25"]
+
+
 def q_where_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """is_in / startswith / within comparators on part."""
+    """is_in / startswith / within comparators on part (predicates sized
+    to return a non-trivial row set at sf0.01 — a 0-row hash match
+    carries no signal)."""
     p = _t(spark, sf_dir, "part")
     out = p.where(
-        p_brand=Table.is_in(["Brand#1", "Brand#2", "Brand#3"]),
-        p_name=Table.startswith("a"),
-        p_size=Table.within(10, 40),
+        p_brand=Table.is_in(_PRED_BRANDS),
+        p_name=Table.startswith("s"),
+        p_size=Table.within(5, 45),
     ).select("p_partkey p_name p_brand p_size")
     return out.df
 
@@ -218,9 +223,11 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customers with no orders (left_anti)."""
+    """customers with no URGENT order (left_anti against a filtered
+    right side — every customer has SOME order at sf0.01, so the
+    unfiltered version returns 0 rows and proves nothing)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(o_orderpriority="1-URGENT")
     return c.anti_join(o, ("c_custkey", "o_custkey")).select("c_custkey c_name").df
 
 
@@ -756,8 +763,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode->featurize pipeline over binary blobs (deterministic fake
     decoder; real codecs are stubbed — no media libs in this env).
 
-    No oracle: the md5-seeded fake decode is not SQL-expressible; the
-    Arrow plumbing and feature math are covered by unit tests.
+    Oracle-checked: the fake decode is ``md5(blob).digest()[(x*31+y) %
+    16] / 255.0``, and md5 digest bytes are reconstructible in DuckDB
+    from the md5 hex string (``('0x' || substr(md5(text), 2k+1, 2))::
+    BIGINT``), so the full decode→featurize math — fold-ordered pixel
+    sum, min/max, mean — is mirrored in SQL (see oracle_sql).
     """
     from littletable_spark.operators.multimodal import decode_image, media_features
 
@@ -891,43 +901,46 @@ def _hash_bucket_sql(key: str, salt: str) -> str:
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate takes
     the first 50 entries, so the 50 highest-signal queries (one per
-    distinct operator FAMILY, all oracle-checked) come first. Every
-    parked query has an in-gate sibling on the same code path:
-    where_predicates / anti_join return 0 rows at sf0.01 (trivial
-    passes; covered by where_comparators / semi_join), cube / pivot_sum
-    duplicate the Expand family (rollup, grouping_sets), head_tail
-    composes in-gate orderby_head + slicing, slice_positional /
-    search_raw / outer_join_full / events_sliding / window_moving_avg /
-    text_langid are siblings of in-gate slice_range / search_text /
-    outer_join_left / events_tumbling / window_topk_per_group /
-    text_quality, sample_fixed + sample_stratified share hash_bucket
-    with in-gate sample_uniform + sample_split, dedup_fingerprint
-    shares the hash-groupBy shape with dedup_exact, and dedup_embedding
-    / sim_lsh_topk share the block-matmul / hyperplane-bucket cores
-    with in-gate dedup_embedding_lsh + sim_cosine_topk. The local
-    mirror (scripts/verify_oracle.py) still runs all 66."""
+    distinct operator FAMILY, all oracle-checked) come first. Round-5
+    rotation: where_predicates + anti_join (re-parameterized to return
+    non-trivial row sets — their old forms passed with 0 rows) and
+    sample_fixed + sample_stratified enter the gate; orderby_head, rank,
+    rollup and delete park in exchange, each with an in-gate sibling on
+    the same code path (orderby desc + head(10) runs inside
+    tpch_q3_shape; rank's row_number window is window_topk_per_group's
+    path; rollup shares the Expand/grouping-sets rewrite with in-gate
+    grouping_sets; delete is where()-negation, covered by
+    where_comparators / splitby). Remaining parked siblings: cube /
+    pivot_sum duplicate the Expand + pivot-agg families, head_tail
+    composes orderby+limit, slice_positional / search_raw /
+    outer_join_full / events_sliding / window_moving_avg / text_langid
+    are siblings of in-gate slice_range / search_text / outer_join_left
+    / events_tumbling / window_topk_per_group / text_quality,
+    dedup_fingerprint shares the hash-groupBy shape with dedup_exact,
+    and dedup_embedding / sim_lsh_topk share the block-matmul /
+    hyperplane-bucket cores with in-gate dedup_embedding_lsh +
+    sim_cosine_topk. The local mirror (scripts/verify_oracle.py) still
+    runs all 66."""
     return {
         "where_comparators": q_where_comparators,
+        "where_predicates": q_where_predicates,
         "select_computed": q_select_computed,
         "compute_field": q_compute_field,
         "convert_numeric": q_convert_numeric,
         "splitby": q_splitby,
-        "delete": q_delete,
         "unique": q_unique,
         "join_3way_agg": q_join_3way_agg,
         "outer_join_left": q_outer_join_left,
         "join_dsl": q_join_dsl,
         "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
         "asof_join": q_asof_join,
         "union": q_union,
         "groupby_summaries": q_groupby_summaries,
         "agg_distinct": q_agg_distinct,
         "groupby_runs": q_groupby_runs,
         "pivot_counts": q_pivot_counts,
-        "rollup": q_rollup,
         "stats": q_stats,
-        "orderby_head": q_orderby_head,
-        "rank": q_rank,
         "window_topk_per_group": q_window_topk_per_group,
         "tpch_q3_shape": q_tpch_q3_shape,
         "slice_range": q_slice_range,
@@ -950,6 +963,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "sample_uniform": q_sample_uniform,
         "sample_split": q_sample_split,
+        "sample_fixed": q_sample_fixed,
+        "sample_stratified": q_sample_stratified,
         "explode_embedding": q_explode_embedding,
         "multimodal_decode": q_multimodal_decode,
         "text_chunks": q_text_chunks,
@@ -958,7 +973,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
-        "sample_fixed": q_sample_fixed,
+        "orderby_head": q_orderby_head,
+        "rank": q_rank,
+        "rollup": q_rollup,
+        "delete": q_delete,
         "dedup_fingerprint": q_dedup_fingerprint,
         "sim_lsh_topk": q_sim_lsh_topk,
         "text_langid": q_text_langid,
@@ -968,10 +986,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_full": q_outer_join_full,
         "events_sliding": q_events_sliding,
         "window_moving_avg": q_window_moving_avg,
-        "sample_stratified": q_sample_stratified,
         "cube": q_cube,
-        "where_predicates": q_where_predicates,
-        "anti_join": q_anti_join,
         "pivot_sum": q_pivot_sum,
         "head_tail": q_head_tail,
     }
@@ -1210,6 +1225,59 @@ def _search_text_oracle_sql(query: str = "+spark merge --vector", limit: int = 5
         """
 
 
+def _decode_oracle_sql(width: int = 4, height: int = 4) -> str:
+    """DuckDB mirror of decode_image(use_fake=True) -> media_features
+    (multimodal.py): pixel (x,y) is digest byte ``(x*31+y) % 16`` of
+    ``md5(blob)`` over 255.0, and blob == encode(text), so each byte is
+    reconstructed from the md5 HEX string. psum replays the Spark
+    ``F.aggregate`` left fold in the exact same pixel order (x-major),
+    so the double sum is bit-identical; pmin/pmax need only the distinct
+    byte positions."""
+    idxs = [(x * 31 + y) % 16 for x in range(width) for y in range(height)]
+
+    def byte(k: int) -> str:
+        return f"(('0x' || substr(h, {2 * k + 1}, 2))::BIGINT / 255.0)"
+
+    psum = " + ".join(byte(k) for k in idxs)
+    distinct = sorted(set(idxs))
+    pmin = "least(" + ", ".join(byte(k) for k in distinct) + ")"
+    pmax = "greatest(" + ", ".join(byte(k) for k in distinct) + ")"
+    n = width * height
+    return f"""
+            WITH px AS (SELECT doc_id, md5(text) AS h FROM documents)
+            SELECT doc_id,
+                   CAST({n} AS INTEGER) AS n_px,
+                   round((0.0 + {psum}) / {n}, 6) AS pmean,
+                   {pmin} AS pmin,
+                   {pmax} AS pmax
+            FROM px
+        """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of scrub_pii (textops.py): generated from the SAME
+    PII_PATTERNS list, with each category counted against the
+    progressively-cleaned text (after earlier patterns' replacements) so
+    counts equal actual redactions — an SSN already replaced by <SSN>
+    cannot also be counted as a phone."""
+    from littletable_spark.operators.textops import PII_PATTERNS
+
+    clean = "text"
+    count_cols = []
+    for name, pat, repl in PII_PATTERNS:
+        count_cols.append(
+            f"len(regexp_extract_all({clean}, '{pat}')) AS n_{name}"
+        )
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    counts = ",\n                   ".join(count_cols)
+    return f"""
+            SELECT doc_id,
+                   {clean} AS clean_text,
+                   {counts}
+            FROM documents
+        """
+
+
 def _refround_sql(e: str) -> str:
     """DuckDB mirror of the reference's stats rounding
     (littletable.py:3882-3889): |v| > 1 rounds to max(4-magnitude, 0)
@@ -1247,12 +1315,12 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount > 0.01 AND l_discount < 0.08
               AND l_returnflag = 'N'
         """,
-        "where_predicates": """
+        "where_predicates": f"""
             SELECT p_partkey, p_name, p_brand, p_size
             FROM part
-            WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
-              AND p_name LIKE 'a%'
-              AND p_size BETWEEN 10 AND 40
+            WHERE p_brand IN ({", ".join(f"'{b}'" for b in _PRED_BRANDS)})
+              AND p_name LIKE 's%'
+              AND p_size BETWEEN 5 AND 45
         """,
         "select_computed": """
             SELECT p_partkey, p_retailprice, p_size,
@@ -1313,7 +1381,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
         """,
         "union": """
             SELECT o_orderkey, o_orderpriority, o_totalprice
@@ -1701,8 +1771,10 @@ def oracle_sql() -> dict[str, str]:
             ), nz AS (
               SELECT * FROM toks WHERE len(t) > 0
             ), starts AS (
+              -- starts run only while s <= max(len - overlap, 1): a start
+              -- inside the prior chunk's overlap would be fully contained
               SELECT doc_id, t,
-                     unnest(generate_series(1, greatest(len(t), 1), 12)) AS s
+                     unnest(generate_series(1, greatest(len(t) - 4, 1), 12)) AS s
               FROM nz
             )
             SELECT doc_id,
@@ -1711,22 +1783,8 @@ def oracle_sql() -> dict[str, str]:
                    len(t[s : s + 15]) AS n_chunk_tokens
             FROM starts
         """,
-        "text_pii_scrub": """
-            SELECT doc_id,
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(text,
-                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
-                  '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
-                '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
-              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-              len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
-              len(regexp_extract_all(text, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
-              len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phone
-            FROM documents
-        """,
+        "text_pii_scrub": _pii_oracle_sql(),
+        "multimodal_decode": _decode_oracle_sql(width=4, height=4),
         "text_repetition": """
             WITH toks AS (
               SELECT doc_id,

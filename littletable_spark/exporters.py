@@ -140,60 +140,170 @@ def _fmt_cell(v: Any) -> str:
     return str(v)
 
 
-def as_markdown(table, fields: Any = None, groupby: Any = None) -> str:
-    """Markdown table with alignment inference: numeric columns
-    right-aligned (reference rule, littletable.py:4196-4233); ``groupby``
-    suppresses repeated leading values."""
-    cols, rows = _collected(table, fields)
-    aligns = []
-    for i in range(len(cols)):
-        vals = [r[i] for r in rows if r[i] is not None]
-        aligns.append("right" if vals and all(_is_numeric(v) for v in vals) else "left")
-    group_cols = []
-    if groupby:
-        group_cols = groupby.split() if isinstance(groupby, str) else list(groupby)
-    out = ["| " + " | ".join(cols) + " |"]
-    sep_cells = []
-    for a in aligns:
-        sep_cells.append("---:" if a == "right" else "---")
-    out.append("| " + " | ".join(sep_cells) + " |")
-    prev: dict[int, Any] = {}
-    for r in rows:
-        cells = []
-        for i, v in enumerate(r):
-            if cols[i] in group_cols and prev.get(i) == v:
-                cells.append("")
-            else:
-                cells.append(_fmt_cell(v))
-            prev[i] = v
-        out.append("| " + " | ".join(cells) + " |")
-    return "\n".join(out) + "\n"
+# Alignment-inference value classes, verbatim-matching the reference
+# (littletable.py:303, littletable.py:4196-4204): bool is an int subclass
+# so it is right-justifiable; bool-ish display values are centerable;
+# right wins over center when both hold for every value in the column.
+_RIGHT_JUSTIFY_TYPES: tuple[type, ...] = (int, float, datetime.timedelta)
+_CENTER_VALS = {
+    "Y", "N", "X", "YES", "NO",
+    "y", "n", "x", "yes", "no",
+    "0", "1", True, False,
+    None, "",
+}
+_EMPTY_VALS = {None, ""}
 
 
-def as_html(table, fields: Any = None, formats: dict | None = None, **kwargs: Any) -> str:
-    """HTML table; per-field format strings supported (littletable.py:4071-4157)."""
+def _suppressed(group_attrs: list[str], prev: tuple, curr: tuple) -> set:
+    """Leading group attrs equal to the previous row's are suppressed —
+    prefix-wise takewhile, exactly the reference's
+    _determine_suppressed_attrs (littletable.py:1085-1090)."""
+    import itertools
+
+    return {
+        a
+        for a, _, _ in itertools.takewhile(
+            lambda apc: apc[1] == apc[2], zip(group_attrs, prev, curr)
+        )
+    }
+
+
+def _format_map_get(formats: dict, field_format_map: dict, fld: str, v: Any):
+    """Per-field format resolution: by field name, then by the type of
+    the first value seen, else "{}" (littletable.py:4110-4112). The
+    resolution is sticky per field, like the reference's."""
+    if fld not in field_format_map:
+        field_format_map[fld] = formats.get(fld, formats.get(type(v), "{}"))
+    return field_format_map[fld]
+
+
+def _markdown_align(cols: list[str], rows: list[list[Any]]) -> dict[str, str]:
+    """Reference alignment inference (littletable.py:4196-4233):
+    right if every value is empty or an int/float/timedelta; else center
+    if every value is bool-ish; non-hashable values (lists/dicts) force
+    left."""
+    amap: dict[str, str] = {}
+    for i, f in enumerate(cols):
+        align_center = True
+        align_right = True
+        v_values = iter([r[i] for r in rows])
+        try:
+            for v in v_values:
+                if v not in _CENTER_VALS:
+                    align_center = False
+                if not (v in _EMPTY_VALS or isinstance(v, _RIGHT_JUSTIFY_TYPES)):
+                    align_right = False
+                if not align_right:
+                    break
+            align_center = align_center and all(v in _CENTER_VALS for v in v_values)
+        except TypeError:
+            align_center = False
+            align_right = False
+        align = "---"
+        if align_right:
+            align = "---:"
+        elif align_center:
+            align = ":---:"
+        amap[f] = align
+    return amap
+
+
+def as_markdown(
+    table, fields: Any = None, formats: dict | None = None, groupby: Any = None
+) -> str:
+    """Markdown table, byte-identical to the reference renderer
+    (littletable.py:4159-4271, checked by differential tests): alignment
+    inference per _markdown_align, per-field/per-type ``formats``,
+    ``groupby`` suppressing prefix-equal leading values."""
     cols, rows = _collected(table, fields)
     formats = formats or {}
-    aligns = []
-    for i in range(len(cols)):
-        vals = [r[i] for r in rows if r[i] is not None]
-        aligns.append("right" if vals and all(_is_numeric(v) for v in vals) else "left")
-    parts = ["<table>", "<thead>", "<tr>"]
-    for c, a in zip(cols, aligns):
-        parts.append(f'<th style="text-align: {a}">{c}</th>')
-    parts += ["</tr>", "</thead>", "<tbody>"]
-    for r in rows:
-        parts.append("<tr>")
-        for i, v in enumerate(r):
-            fmt = formats.get(cols[i])
-            if fmt is not None and v is not None:
-                text = fmt.format(v) if isinstance(fmt, str) else fmt(v)
+    field_format_map: dict[str, Any] = {}
+    align_map = _markdown_align(cols, rows)
+    group_attrs: list[str] = []
+    if groupby:
+        gset = groupby.split() if isinstance(groupby, str) else list(groupby)
+        group_attrs = [g for g in gset if g in cols]
+
+    def row_md(r: list[Any], suppress: set) -> str:
+        cells = ["|"]
+        for i, fld in enumerate(cols):
+            if fld not in suppress:
+                v = r[i]
+                fmt = _format_map_get(formats, field_format_map, fld, v)
+                str_v = fmt.format(v) if isinstance(fmt, str) else fmt(v)
             else:
-                text = _fmt_cell(v)
-            parts.append(f'<td style="text-align: {aligns[i]}">{text}</td>')
-        parts.append("</tr>")
-    parts += ["</tbody>", "</table>"]
-    return "".join(parts)
+                str_v = ""
+            cells.append(f" {str_v} |")
+        cells.append("\n")
+        return "".join(cells)
+
+    body: list[str] = []
+    prev = ("",) * len(group_attrs)
+    for r in rows:
+        curr = tuple(r[cols.index(a)] for a in group_attrs)
+        body.append(row_md(r, _suppressed(group_attrs, prev, curr)))
+        prev = curr
+    return (
+        f"| {' | '.join(cols)} |\n"
+        f"|{'|'.join(align_map[f] for f in cols)}|\n"
+        f"{''.join(body)}"
+    )
+
+
+def as_html(
+    table,
+    fields: Any = None,
+    formats: dict | None = None,
+    groupby: Any = None,
+    table_properties: dict | None = None,
+    **kwargs: Any,
+) -> str:
+    """HTML table, byte-identical to the reference renderer
+    (littletable.py:4071-4157, checked by differential tests): per-value
+    right-justification, centered headers, per-field/per-type
+    ``formats``, ``groupby`` suppression, ``table_properties``
+    attributes on the <table> tag."""
+    cols, rows = _collected(table, fields)
+    formats = formats or {}
+    field_format_map: dict[str, Any] = {}
+    group_attrs: list[str] = []
+    if groupby:
+        gset = groupby.split() if isinstance(groupby, str) else list(groupby)
+        group_attrs = [g for g in gset if g in cols]
+    table_modifiers = "".join(
+        f' {k}="{v}"' for k, v in (table_properties or {}).items()
+    )
+
+    def row_tr(r: list[Any], suppress: set) -> str:
+        out = ["<tr>"]
+        for i, fld in enumerate(cols):
+            align = "left"
+            if fld not in suppress:
+                v = r[i]
+                if isinstance(v, _RIGHT_JUSTIFY_TYPES):
+                    align = "right"
+                fmt = _format_map_get(formats, field_format_map, fld, v)
+                str_v = fmt.format(v) if isinstance(fmt, str) else fmt(v)
+            else:
+                str_v = ""
+            out.append(f'<td><div align="{align}">{str_v}</div></td>')
+        out.append("</tr>\n")
+        return "".join(out)
+
+    body: list[str] = []
+    prev = ("",) * len(group_attrs)
+    for r in rows:
+        curr = tuple(r[cols.index(a)] for a in group_attrs)
+        body.append(row_tr(r, _suppressed(group_attrs, prev, curr)))
+        prev = curr
+    headers = "".join(f'<th><div align="center">{fld}</div></th>' for fld in cols)
+    return (
+        f"<table{table_modifiers}>\n<thead>\n"
+        f"<tr>{headers}</tr>\n"
+        "</thead>\n<tbody>"
+        f"{''.join(body)}"
+        "</tbody>\n</table>"
+    )
 
 
 def present(

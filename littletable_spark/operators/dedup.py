@@ -671,9 +671,22 @@ def dup_clusters(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         nodes = {v for r in rows for v in (r[0], r[1])}
-        out = [(int(v), int(find(v))) for v in nodes]
+        out = [(v, find(v)) for v in nodes]
         spark = pairs.sparkSession
-        return spark.createDataFrame(out, "doc_id long, cluster_id long")
+        # derive the output schema from the input pair columns so the
+        # driver path returns the SAME types as the distributed path for
+        # any id dtype (string doc ids included) — behavior must not
+        # diverge by graph size
+        from pyspark.sql import types as SQLT
+
+        id_type = pairs.schema[a_col].dataType
+        schema = SQLT.StructType(
+            [
+                SQLT.StructField("doc_id", id_type, True),
+                SQLT.StructField("cluster_id", id_type, True),
+            ]
+        )
+        return spark.createDataFrame(out, schema)
     e1 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e2 = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = e1.union(e2).persist(_PAIRGEN_CACHE)

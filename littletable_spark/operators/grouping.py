@@ -146,7 +146,11 @@ def _with_run_ids(df, keys: list[str], order_cols: list[Column]):
 
 
 def groupby_iter(
-    table: Table, keyexpr: Any, sort: bool = False, materialize: bool = True
+    table: Table,
+    keyexpr: Any,
+    sort: bool = False,
+    materialize: bool = True,
+    materialize_limit: int | None = 1_000_000,
 ) -> Iterator[tuple[Any, Table]]:
     """``itertools.groupby`` semantics: consecutive runs in table order
     unless ``sort=True`` (littletable.py:3582-3614).
@@ -162,9 +166,29 @@ def groupby_iter(
     the lazy per-group-filter behavior for tables too large to collect —
     at real scale prefer ``groupby_with_summaries``, which aggregates
     distributed.
+
+    ``materialize_limit`` guards the collect: when the table exceeds it
+    (checked with a cheap ``limit(n+1).count()``, not a full count) the
+    iterator warns and falls back to the lazy path instead of OOMing the
+    driver by default. Pass ``materialize_limit=None`` to collect
+    unconditionally when the driver is known to have the memory.
     """
     keys = _keys(keyexpr)
     df = table._require_df()
+    if materialize and materialize_limit is not None:
+        if df.limit(materialize_limit + 1).count() > materialize_limit:
+            import warnings
+
+            warnings.warn(
+                f"groupby_iter: table exceeds materialize_limit="
+                f"{materialize_limit} rows; falling back to the lazy "
+                "per-group path. Use groupby_with_summaries for "
+                "distributed aggregation, or pass materialize_limit=None "
+                "to collect anyway.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            materialize = False
     if materialize:
         from itertools import groupby as _it_groupby
 

@@ -169,6 +169,12 @@ def chunk_documents(
     100 TB this is scan-speed row amplification, and the chunk rows
     inherit the input partitioning (downstream tokenize/pack stages
     consume them without a reshuffle).
+
+    Window starts only run while ``start <= max(len - overlap, 1)``: a
+    start inside the previous chunk's overlap region would emit a chunk
+    whose tokens are all already covered by that chunk (e.g. 13 tokens,
+    chunk 16 / overlap 4 → a second "chunk" of just token 13), silently
+    duplicating content into downstream training/RAG data.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
@@ -177,7 +183,11 @@ def chunk_documents(
     df = table.df.select(F.col(id_col), toks.alias("__toks__")).where(
         F.size("__toks__") > 0
     )
-    starts = F.sequence(F.lit(1), F.greatest(F.size("__toks__"), F.lit(1)), F.lit(step))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__toks__") - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
     out = (
         df.select(
             F.col(id_col),
@@ -214,16 +224,19 @@ def scrub_pii(table: Table, text_col: str, id_col: str) -> Table:
     count redactions per category — the corpus-hygiene pass every
     training pipeline runs before anything else sees the text.
 
-    Chained native ``regexp_replace`` — whole-stage codegen, no UDF;
-    counts come from ``regexp_extract_all`` over the ORIGINAL text so a
-    later pattern can't hide an earlier category's hits.
+    Chained native ``regexp_replace`` — whole-stage codegen, no UDF.
+    Each category is counted against the text AFTER the earlier
+    patterns' replacements, so ``n_<cat>`` equals the number of
+    ``<CAT>`` redactions that category actually performed: an SSN that
+    would also match the looser phone pattern is already ``<SSN>`` by
+    the time phones are counted, so it is not double-counted.
     """
     text = F.col(text_col).cast("string")
     clean = text
     counts = []
     for name, pat, repl in PII_PATTERNS:
         counts.append(
-            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(
+            F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0))).alias(
                 f"n_{name}"
             )
         )

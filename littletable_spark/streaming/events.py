@@ -57,14 +57,23 @@ def epoch_seconds(df: DataFrame, ts_col: str = "ts") -> Column:
       wall time treated as UTC via date/time-component arithmetic —
       never a cast through the session-local TIMESTAMP, which would
       make results depend on the executing cluster's timezone;
-    - TIMESTAMP (instant): ``unix_seconds``, already TZ-free.
+    - TIMESTAMP (instant): ``unix_seconds``, already TZ-free;
+    - DATE (date-semantic columns, e.g. order dates a writer re-encodes
+      as parquet DATE): ``unix_date * 86400`` — midnight UTC, TZ-free.
     """
-    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     dtype = df.schema[ts_col].dataType
     c = F.col(ts_col)
     if isinstance(dtype, LongType):
         return F.expr(f"{ts_col} div 1000000000")
+    if isinstance(dtype, DateType):
+        return (F.unix_date(c) * F.lit(86400)).cast("long")
     if isinstance(dtype, TimestampNTZType):
         return (
             F.unix_date(c.cast("date")) * F.lit(86400)

@@ -1198,10 +1198,16 @@ class Table:
 
         return groupby_with_summaries(self, keyexpr, outexprs)
 
-    def groupby(self, keyexpr: Any, sort: bool = False, materialize: bool = True):
+    def groupby(
+        self,
+        keyexpr: Any,
+        sort: bool = False,
+        materialize: bool = True,
+        materialize_limit: int | None = 1_000_000,
+    ):
         from .operators.grouping import groupby_iter
 
-        return groupby_iter(self, keyexpr, sort, materialize)
+        return groupby_iter(self, keyexpr, sort, materialize, materialize_limit)
 
     def pivot(self, attrlist: Any):
         from .operators.grouping import PivotTable
@@ -1344,10 +1350,12 @@ class Table:
 
         return excel_export(self, dest, fieldnames, **kwargs)
 
-    def as_markdown(self, fields: Any = None, groupby: Any = None) -> str:
+    def as_markdown(
+        self, fields: Any = None, formats: Any = None, groupby: Any = None
+    ) -> str:
         from .exporters import as_markdown
 
-        return as_markdown(self, fields, groupby)
+        return as_markdown(self, fields, formats, groupby)
 
     def as_html(self, fields: Any = None, **kwargs: Any) -> str:
         from .exporters import as_html

