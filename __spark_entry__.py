@@ -497,9 +497,10 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming <= 3 via pigeonhole blocking.
 
-    No oracle: 32 per-bit vote aggregations are not reasonably
-    SQL-expressible; correctness is covered by unit tests against a
-    driver-side reference implementation.
+    Oracle-checked: the 32 per-bit vote aggregations are generated into
+    SQL (_simhash_oracle_sql); the Spark side's pigeonhole blocking is a
+    complete cover for hamming <= max_hamming, so exact all-pairs SQL
+    yields the identical pair set.
     """
     from littletable_spark.operators.dedup import simhash_dedup_pairs
 
@@ -548,8 +549,9 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (random hyperplanes, seed=42).
 
-    No oracle: the plane matrix is generated driver-side; recall vs the
-    exact path is asserted in unit tests instead.
+    Oracle-checked: the seed-deterministic plane matrix is serialized
+    into the SQL as literals (_lsh_oracle_sql), so DuckDB reproduces the
+    same buckets and the same exact in-bucket re-rank.
     """
     from littletable_spark.operators.similarity import lsh_topk
 
@@ -610,9 +612,11 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_search_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """full-text search DSL over documents (inverted index + scoring).
 
-    No oracle: the reference's +/-/++/-- scoring pipeline (stopwords,
-    plural normalization, weight aggregation) is validated by golden
-    unit tests; the driver records the rows-only check here.
+    Oracle-checked: the query is compiled driver-side with the engine's
+    own compile_query, and the full normalizer — stopwords, plural
+    table+rules, composite splitting — is emitted as SQL containment
+    predicates (_search_text_oracle_sql); golden unit tests additionally
+    pin the reference's +/-/++/-- scoring semantics.
     """
     d = _t(spark, sf_dir, "documents")
     d.create_search_index("text")
@@ -811,6 +815,19 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(d, "text", "doc_id", n=5).df
 
 
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence packing: assign each doc to a fixed-token-budget pack
+    (per-shard token-stream offset binning — the chunk→pack step of a
+    training pipeline; deterministic, shuffle-minimal, UDF-free)."""
+    from littletable_spark.operators.textops import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    out = pack_sequences(
+        d, "text", "doc_id", budget_tokens=256, n_shards=8, salt="pack"
+    )
+    return out.select("doc_id n_tokens shard pack pack_offset").df
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hypertable-style multi-resolution rollup (1h + 1d tiers) over the
     events table — one scan, one shuffle for every tier together."""
@@ -989,6 +1006,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "pivot_sum": q_pivot_sum,
         "head_tail": q_head_tail,
+        "text_pack": q_text_pack,
     }
 
 
@@ -1785,6 +1803,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "multimodal_decode": _decode_oracle_sql(width=4, height=4),
+        "text_pack": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> ''))::INTEGER AS n_tokens,
+                     CAST(({_hash_bucket_sql('doc_id', 'pack')}) % 8 AS INTEGER) AS shard
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens, shard,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                          AS BIGINT) AS e
+              FROM t
+            )
+            SELECT doc_id, n_tokens, shard,
+                   CAST((e - n_tokens) // 256 AS BIGINT) AS pack,
+                   CAST((e - n_tokens) % 256 AS BIGINT) AS pack_offset
+            FROM c
+        """,
         "text_repetition": """
             WITH toks AS (
               SELECT doc_id,

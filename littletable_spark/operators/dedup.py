@@ -525,6 +525,7 @@ def embedding_lsh_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     use_arrow: bool = False,
+    probe_bits: int = 0,
 ) -> Table:
     """Approximate near-dup pairs: random-hyperplane bucketing, then exact
     cosine only within each bucket — the sub-quadratic scale path
@@ -538,21 +539,58 @@ def embedding_lsh_dup_pairs(
     switches to the numpy batch scorer, which wins when candidate volume
     per task is large enough for vectorization to dominate (very high
     dim or very hot buckets).
+
+    ``probe_bits=1`` enables distance-1 multiprobe: the left join side
+    also probes every single-bit-flipped signature, so a true near-dup
+    pair straddling ONE hyperplane is still found. This decouples recall
+    from bucket size — at scale, raise ``n_planes`` (smaller buckets ⇒
+    less O(N²)-in-bucket work) and keep recall with multiprobe, instead
+    of holding ``n_planes`` low and paying quadratic in-bucket growth.
+    Candidate volume grows by at most (n_planes+1)× while in-bucket
+    quadratic work shrinks by 2^Δplanes. Each candidate pair still
+    appears exactly once: only the ``id1 < id2`` side probes, and a
+    vector's probe signatures are pairwise distinct, so a given (id1,
+    id2) matches on at most one probe. Still one equi-join — the probe
+    explode is a narrow row amplification, no extra shuffle kind.
     """
     from .similarity import _planes, cosine_expr, lsh_signature
 
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 (off) or 1 (single-bit multiprobe)")
     planes = _planes(dim, n_planes, seed)
     base = table.df.select(
         F.col(id_col).alias("__id__"),
         F.col(vec_col).cast("array<double>").alias("__vec__"),
     ).withColumn("sig", lsh_signature(F.col("__vec__"), planes))
     sided = base.persist(_PAIRGEN_CACHE)
-    a = sided.alias("a")
+    if probe_bits == 1:
+        # original signature + every single-bit flip, all native string
+        # ops (substring/concat) — distinct by construction
+        flips = [F.col("sig")]
+        for i in range(1, n_planes + 1):
+            flipped_bit = F.when(
+                F.substring(F.col("sig"), i, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            flips.append(
+                F.concat(
+                    F.substring(F.col("sig"), 1, i - 1),
+                    flipped_bit,
+                    F.substring(F.col("sig"), i + 1, n_planes - i),
+                )
+            )
+        probed = sided.select(
+            "__id__", "__vec__", F.explode(F.array(*flips)).alias("psig")
+        )
+        a = probed.alias("a")
+        join_sig = F.col("a.psig") == F.col("b.sig")
+    else:
+        a = sided.alias("a")
+        join_sig = F.col("a.sig") == F.col("b.sig")
     b = sided.alias("b")
     cand = a.join(
         b,
         on=[
-            F.col("a.sig") == F.col("b.sig"),
+            join_sig,
             F.col("a.__id__") < F.col("b.__id__"),
         ],
     ).select(

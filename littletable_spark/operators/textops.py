@@ -245,6 +245,71 @@ def scrub_pii(table: Table, text_col: str, id_col: str) -> Table:
     return Table.from_df(out, name=f"{table.table_name}_scrubbed")
 
 
+def pack_sequences(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    budget_tokens: int = 2048,
+    n_shards: int = 16,
+    salt: str = "",
+) -> Table:
+    """Assign documents to fixed-token-budget packs — the chunk→pack
+    step that turns a curated corpus into training-ready context
+    windows. Each doc gets (shard, pack) coordinates plus its token
+    offset inside the pack.
+
+    Strategy: offset binning over a deterministic per-shard token
+    stream. Docs are sharded by md5(id || salt) (re-shard-stable, same
+    discipline as sampling.py), ordered by id within the shard, and a
+    doc belongs to the pack where its first token lands
+    (``floor(start_offset / budget)``). A pack may overflow by at most
+    one document's tokens (assignment-at-start, straddling allowed) —
+    the standard best-effort packing used when exact greedy reset
+    semantics (which need sequential recursion) aren't worth a
+    non-relational pass. Properties: every doc assigned exactly once;
+    docs in a pack are contiguous in id order; pack token totals are
+    < budget + max-doc-tokens.
+
+    Scale: one shuffle (by shard) + per-shard window cumsum — shards
+    are independent, so parallelism is ``n_shards``-wide and no global
+    sort or single-partition window exists. Raise ``n_shards`` with the
+    corpus (shard ≈ a few hundred MB of tokens). Fully native (no UDF)
+    and engine-portable, so the DuckDB oracle replays it exactly.
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from .sampling import hash_bucket
+
+    shard = F.pmod(hash_bucket(F.col(id_col), salt), F.lit(n_shards)).cast("int")
+    df = table.df.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("__end__", F.sum("n_tokens").over(w))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("shard"),
+            (
+                (F.col("__end__") - F.col("n_tokens")) / F.lit(budget_tokens)
+            ).cast("long").alias("pack"),
+            F.pmod(
+                F.col("__end__") - F.col("n_tokens"), F.lit(budget_tokens)
+            ).alias("pack_offset"),
+        )
+    )
+    return Table.from_df(out, name=f"{table.table_name}_packed")
+
+
 def repetition_score(
     table: Table, text_col: str, id_col: str, n: int = 5
 ) -> Table:

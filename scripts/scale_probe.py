@@ -110,16 +110,28 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    def emb_lsh(emb, n_planes=6):
+    def emb_lsh(emb, n_planes=6, probe_bits=0):
         from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
 
         # in-bucket work is O(N²/2^planes): the scale knob is the plane
         # count, raised with N to hold per-bucket density constant
-        # (n_planes ≈ log2(N / target_bucket_size))
+        # (n_planes ≈ log2(N / target_bucket_size)). probe_bits=1 is the
+        # multiprobe variant: planes can go higher (cheaper buckets)
+        # while distance-1 probing holds recall.
         t = Table.from_df(emb)
         embedding_lsh_dup_pairs(
-            t, "vec_id", "embedding", threshold=0.3, n_planes=n_planes
+            t, "vec_id", "embedding", threshold=0.3, n_planes=n_planes,
+            probe_bits=probe_bits,
         ).df.write.format("noop").mode("overwrite").save()
+
+    def emb_lsh_pairs_found(emb, n_planes, probe_bits=0):
+        from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
+
+        t = Table.from_df(emb)
+        return embedding_lsh_dup_pairs(
+            t, "vec_id", "embedding", threshold=0.3, n_planes=n_planes,
+            probe_bits=probe_bits,
+        ).df.count()
 
     docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     # replica-perturbed corpora: identical replicas would create
@@ -168,6 +180,7 @@ def main() -> None:
     q1(li10); join_agg(li10, o10); topk(o10); window_topk(o10)
     minhash(docs10); jaccard(docs10_p); clusters(pairs10)
     emb_lsh(emb10, n_planes=9)
+    emb_lsh(emb10, n_planes=12, probe_bits=1)
 
     results: dict[str, float] = {}
     timed("q1_agg_1x", lambda: q1(li1), results)
@@ -186,6 +199,14 @@ def main() -> None:
     timed("clusters_10x", lambda: clusters(pairs10), results)
     timed("emb_lsh_1x", lambda: emb_lsh(emb1), results)
     timed("emb_lsh_10x", lambda: emb_lsh(emb10, n_planes=9), results)
+    # multiprobe scale path: 3 more planes (8x smaller buckets), recall
+    # held by distance-1 probing — growth vs the same 1x base should be
+    # flatter than the plain n_planes=9 row at comparable found pairs
+    timed(
+        "emb_lsh_mp_10x",
+        lambda: emb_lsh(emb10, n_planes=12, probe_bits=1),
+        results,
+    )
 
     print(f"{'query':<18}{'1x sec':>9}{'10x sec':>10}{'ratio':>8}")
     for base in [
@@ -194,6 +215,12 @@ def main() -> None:
     ]:
         a, b = results[f"{base}_1x"], results[f"{base}_10x"]
         print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
+    a, b = results["emb_lsh_1x"], results["emb_lsh_mp_10x"]
+    print(f"{'emb_lsh_mp':<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
+    plain = emb_lsh_pairs_found(emb10, n_planes=9)
+    mp = emb_lsh_pairs_found(emb10, n_planes=12, probe_bits=1)
+    print(f"pairs found at 10x: planes=9 probe=0 -> {plain}; "
+          f"planes=12 probe=1 -> {mp}")
 
 
 if __name__ == "__main__":

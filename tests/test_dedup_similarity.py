@@ -419,3 +419,58 @@ def test_lsh_topk_signature_is_native(spark):
     assert plan.count("MapInPandas") == 1
     # and it still returns ranked neighbors
     assert out.df.count() > 0
+
+
+def test_embedding_lsh_multiprobe_matches_numpy_reference(spark):
+    """probe_bits=1 finds exactly the pairs whose signatures differ in
+    <= 1 bit and whose cosine clears the threshold (numpy reference),
+    is a superset of the probe_bits=0 pair set, and contains no
+    duplicate pairs (each pair matches on at most one probe)."""
+    import numpy as np
+
+    from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
+    from littletable_spark.operators.similarity import _planes
+
+    rng = np.random.RandomState(7)
+    n, dim, n_planes, thr = 120, 16, 5, 0.5
+    V = rng.randn(n, dim)
+    t = Table("mp", spark=spark)
+    t.insert_many(
+        [{"vec_id": i, "embedding": [float(x) for x in V[i]]} for i in range(n)]
+    )
+
+    planes = _planes(dim, n_planes, 42)
+    sigs = (V @ planes.T) >= 0
+    norms = np.linalg.norm(V, axis=1)
+    cos = np.round((V @ V.T) / np.outer(norms, norms), 6)
+
+    def expect(max_hamming):
+        out = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (sigs[i] != sigs[j]).sum() <= max_hamming and cos[i, j] >= thr:
+                    out.add((i, j))
+        return out
+
+    base = embedding_lsh_dup_pairs(
+        t, "vec_id", "embedding", threshold=thr, n_planes=n_planes, dim=dim
+    ).df.collect()
+    probed = embedding_lsh_dup_pairs(
+        t, "vec_id", "embedding", threshold=thr, n_planes=n_planes, dim=dim,
+        probe_bits=1,
+    ).df.collect()
+    base_pairs = {(r.id1, r.id2) for r in base}
+    probed_list = [(r.id1, r.id2) for r in probed]
+    probed_pairs = set(probed_list)
+    assert len(probed_list) == len(probed_pairs)  # no duplicate candidates
+    assert base_pairs == expect(0)
+    assert probed_pairs == expect(1)
+    assert base_pairs <= probed_pairs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        embedding_lsh_dup_pairs(
+            t, "vec_id", "embedding", threshold=thr, n_planes=n_planes,
+            dim=dim, probe_bits=2,
+        )

@@ -152,11 +152,23 @@ def test_chunking_reconstructs_and_bounds(spark, words, k, ov):
         return
     assert all(1 <= n <= k for _, _, n in out)
     step = k - ov
-    starts = list(range(0, len(words), step))
-    # posexplode emits one chunk per start position <= len
+    # starts run only while start <= max(len - ov, 1) (0-based: start <
+    # max(len - ov, 1)) — a later start would yield a chunk fully
+    # contained in its predecessor (round-5 fix)
+    starts = list(range(0, max(len(words) - ov, 1), step))
     assert len(out) == len(starts)
     for (cid, text, n), s in zip(out, starts):
         assert text.split() == words[s : s + k]
+    # every token is covered by some chunk
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + k, len(words))))
+    assert covered == set(range(len(words)))
+    # no chunk is fully contained in its predecessor
+    for (c1, _, n1), (c2, _, n2), (s1, s2) in zip(
+        out, out[1:], zip(starts, starts[1:])
+    ):
+        assert s2 + n2 > s1 + n1
     if ov == 0:
         assert " ".join(c for _, c, _ in out).split() == words
 

@@ -252,3 +252,58 @@ def test_groupby_iter_materialize_limit_falls_back_lazy(spark):
         ]
     assert not any("materialize_limit" in str(x.message) for x in w2)
     assert got2 == got
+
+
+def test_pack_sequences_properties(spark):
+    """Offset-binned sequence packing: every doc assigned exactly once;
+    docs within a (shard, pack) are id-contiguous inside their shard;
+    pack token totals never exceed budget + the overflow doc; offsets
+    are the running position within the pack's budget window; and the
+    assignment is stable under repartitioning (hash sharding, window
+    cumsum — no partition-dependent state)."""
+    from littletable_spark.operators.textops import pack_sequences
+
+    t = Table("packdocs", spark=spark)
+    rows = [
+        {"doc_id": i, "text": " ".join(f"w{j}" for j in range((i * 37) % 90 + 1))}
+        for i in range(120)
+    ]
+    t.insert_many(rows)
+    out = pack_sequences(t, "text", "doc_id", budget_tokens=64, n_shards=4)
+    got = sorted(
+        ((r.doc_id, r.n_tokens, r.shard, r.pack, r.pack_offset) for r in out)
+    )
+    assert [g[0] for g in got] == list(range(120))  # exactly once each
+    assert all(g[1] == (g[0] * 37) % 90 + 1 for g in got)
+
+    # per-shard: packs increase monotonically with id; offset = start % budget
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for doc_id, n, shard, pack, off in got:
+        by_shard[shard].append((doc_id, n, pack, off))
+    max_doc = max(g[1] for g in got)
+    for shard, docs in by_shard.items():
+        cum = 0
+        for doc_id, n, pack, off in docs:  # already id-ordered
+            assert pack == cum // 64
+            assert off == cum % 64
+            cum += n
+        # pack totals bounded by budget + one overflow doc
+        tot = defaultdict(int)
+        for _, n, pack, _ in docs:
+            tot[pack] += n
+        assert all(v < 64 + max_doc for v in tot.values())
+
+    # re-shard stability: same assignment from a repartitioned input
+    t2 = Table.from_df(t.df.repartition(7), name="packdocs2")
+    out2 = pack_sequences(t2, "text", "doc_id", budget_tokens=64, n_shards=4)
+    got2 = sorted(
+        ((r.doc_id, r.n_tokens, r.shard, r.pack, r.pack_offset) for r in out2)
+    )
+    assert got2 == got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(t, "text", "doc_id", budget_tokens=0)

@@ -136,19 +136,22 @@ def test_fixed_width_import(spark):
 
 def test_as_markdown_alignment(spark):
     t = Table("m", spark=spark)
-    t.insert_many([{"name": "x", "n": 1}, {"name": "y", "n": 22}])
+    t.insert_many([{"name": "ab", "n": 1, "ok": "y"}, {"name": "cd", "n": 22, "ok": "N"}])
     md = t.as_markdown()
     lines = md.splitlines()
-    assert lines[0] == "| name | n |"
-    assert lines[1] == "|---|---:|"  # numeric right-aligned, reference layout
-    assert lines[2] == "| x | 1 |"
+    assert lines[0] == "| name | n | ok |"
+    # reference layout: left / numeric-right / bool-ish-center
+    assert lines[1] == "|---|---:|:---:|"
+    assert lines[2] == "| ab | 1 | y |"
 
 
 def test_as_html(spark):
     t = Table("h", spark=spark)
-    t.insert_many([{"name": "x", "n": 1}])
+    t.insert_many([{"name": "ab", "n": 1}])
     html = t.as_html()
-    assert "<table>" in html and "<th" in html and ">x</td>" in html
+    assert "<table>" in html and "<th" in html
+    assert '<td><div align="left">ab</div></td>' in html
+    assert '<td><div align="right">1</div></td>' in html
 
 
 def test_format_iterator(spark):
