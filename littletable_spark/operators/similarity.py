@@ -132,9 +132,28 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
-def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
+def lsh_signature(vec_col: Column | str, planes: np.ndarray) -> Column:
     """Random-hyperplane signature: one sign bit per plane, as a string
-    bucket key. Narrow projection, codegen'd."""
+    bucket key. Narrow projection, JVM-evaluated.
+
+    Pass the vector column NAME (string) where possible: the whole
+    signature then parses as ONE SQL expression — a single py4j round
+    trip. Building it from Column objects costs one py4j call per plane
+    literal (n_planes × dim of them), which measurably dominates
+    plan-construction time (~0.7s at 6×64 planes, more than the query's
+    own execution). Fold order (left aggregate, 0.0 seed) is identical
+    on both paths and matches the DuckDB oracle's list_dot_product.
+    """
+    if isinstance(vec_col, str):
+        parts = []
+        for row in planes:
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), "
+                "0.0D, (acc, v) -> acc + v)"
+            )
+            parts.append(f"if({dot} >= 0, '1', '0')")
+        return F.expr("concat(" + ", ".join(parts) + ")")
     bits = []
     for row in planes:
         plane = F.array(*[F.lit(float(x)) for x in row])
@@ -335,11 +354,11 @@ def lsh_topk(
     cdf = corpus.df.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("sig", lsh_signature(F.col("cvec"), planes))
+    ).withColumn("sig", lsh_signature("cvec", planes))
     qdf = queries.df.select(
         F.col(query_id_col or id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("sig", lsh_signature(F.col("qvec"), planes))
+    ).withColumn("sig", lsh_signature("qvec", planes))
     candidates = cdf.join(F.broadcast(qdf), on="sig").filter(
         F.col("query_id") != F.col("corpus_id")
     )

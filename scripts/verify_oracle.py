@@ -72,9 +72,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    attempted = 0
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
+        attempted += 1
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
@@ -138,7 +140,8 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch ({sum(diff.values())} cells), e.g. {sample}")
             continue
         print(f"PASS {name} ({len(srows)} rows)")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} passed")
+    subset = " (subset)" if ONLY else ""
+    print(f"\n{attempted - len(failures)}/{attempted} passed{subset}")
     return 1 if failures else 0
 
 
