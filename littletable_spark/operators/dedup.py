@@ -694,9 +694,12 @@ def dup_clusters(
     ≥``driver_edges`` path (a 100 TB corpus's pair list easily exceeds
     it). Results are identical; the threshold only picks the engine.
     """
-    n_pairs = pairs.limit(driver_edges + 1).count()
-    if n_pairs <= driver_edges:
-        rows = pairs.select(a_col, b_col).collect()
+    # ONE probe doubling as the collect: grabbing driver_edges+1 rows
+    # costs the same job as a limit-count, and when the graph is small
+    # (the common curated-corpus case) the pair pipeline then runs
+    # exactly once instead of count-then-collect running it twice.
+    rows = pairs.select(a_col, b_col).limit(driver_edges + 1).collect()
+    if len(rows) <= driver_edges:
         parent: dict = {}
 
         def find(x):

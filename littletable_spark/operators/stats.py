@@ -34,6 +34,62 @@ _NUMERIC_TYPES = (
 
 STAT_NAMES = ["mean", "median", "min", "max", "variance", "std_dev", "count", "missing"]
 
+# cardinality routing threshold for exact medians: columns whose
+# approx_count_distinct is at or under this go through the value-
+# histogram path (explode -> partially-aggregated groupBy collapses to
+# ~distinct rows per partition map-side, then an exact driver-side
+# order-statistic walk over <= ~LOW_CARD values). HLL error (~2-5%) only
+# shifts performance, never correctness — both routes are exact.
+_LOW_CARD_LIMIT = 10_000
+
+
+def _histogram_medians(df, cols: dict[str, "F.Column"], counts: dict[str, int]):
+    """Exact interpolated medians for low-cardinality columns via ONE
+    value-histogram job over all of them together (union-explode +
+    count), instead of per-column quantile sketches. On typical fact
+    tables most measure columns are low-cardinality (quantities,
+    discounts, flags), and a histogram of a 47-value column costs ~5%
+    of a per-row percentile sketch over the same rows."""
+    from collections import defaultdict
+
+    ex = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("f"), col.alias("v"))
+                    for c, col in cols.items()
+                ]
+            )
+        ).alias("e")
+    )
+    hist = (
+        ex.where(F.col("e.v").isNotNull())
+        .groupBy(F.col("e.f").alias("f"), F.col("e.v").alias("v"))
+        .count()
+        .collect()
+    )
+    by_field: dict[str, list] = defaultdict(list)
+    for r in hist:
+        by_field[r["f"]].append((r["v"], r["count"]))
+    out: dict[str, float | None] = {}
+    for c in cols:
+        n = counts.get(c, 0)
+        if n == 0:
+            out[c] = None
+            continue
+        k1, k2 = (n - 1) // 2, n // 2
+        acc = 0
+        v1 = v2 = None
+        for v, cnt in sorted(by_field[c]):
+            if v1 is None and k1 < acc + cnt:
+                v1 = v
+            if k2 < acc + cnt:
+                v2 = v
+                break
+            acc += cnt
+        out[c] = None if v1 is None or v2 is None else (v1 + v2) / 2.0
+    return out
+
 
 # bracket sketch accuracy: rank error is n/_SKETCH_ACC = 0.0005n, well
 # inside the ±0.002n quantile margin of _bracket_aggs, so the bracket
@@ -94,13 +150,26 @@ def _exact_medians(
     }
     bounds = {c: (brackets[c][0], brackets[c][1]) for c in usable}
     stats: dict[str, dict] = {}
+    bands: dict[str, list] = {}
     pending = set(usable)
     ready: set[str] = set()
     fallback: set[str] = set(live) - usable
+    first_iter = True
     for _ in range(max_iters):
         if not pending:
             break
         aggs = []
+        # fuse the band collect into the count pass when the interior is
+        # PROVABLY small: interior <= 0.004n + 2*(n/_SKETCH_ACC) = 0.005n,
+        # so n <= 200*band_limit guarantees <= band_limit values — one
+        # whole scan saved (3 jobs -> 2) with the same driver bound. The
+        # count-first path remains for larger n, where an over-eager
+        # collect could ship an unboundedly large interior.
+        fused = {
+            c
+            for c in pending
+            if first_iter and counts[c] * 0.005 <= band_limit
+        }
         for c in pending:
             col, (lo, hi) = live[c], bounds[c]
             aggs += [
@@ -111,6 +180,14 @@ def _exact_medians(
                     F.when((col > F.lit(lo)) & (col < F.lit(hi)), 1)
                 ).alias(f"{c}__m"),
             ]
+            if c in fused:
+                aggs.append(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when((col > F.lit(lo)) & (col < F.lit(hi)), col)
+                        )
+                    ).alias(f"{c}__band")
+                )
         crow = df.agg(*aggs).collect()[0].asDict()
         refine = []
         for c in list(pending):
@@ -123,8 +200,11 @@ def _exact_medians(
             if stats[c]["m"] <= band_limit:
                 pending.discard(c)
                 ready.add(c)
+                if c in fused:
+                    bands[c] = crow[f"{c}__band"]
             else:
                 refine.append(c)
+        first_iter = False
         if not refine:
             break
         raggs = []
@@ -156,23 +236,27 @@ def _exact_medians(
                 bounds[c] = (pair[0], pair[1])
     fallback |= pending  # iteration budget exhausted -> exact percentile
     if ready:
-        baggs = []
-        for c in ready:
-            col, (lo, hi) = live[c], bounds[c]
-            baggs.append(
-                F.sort_array(
-                    F.collect_list(
-                        F.when((col > F.lit(lo)) & (col < F.lit(hi)), col)
-                    )
-                ).alias(c)
-            )
-        brow = df.agg(*baggs).collect()[0]
+        need_collect = [c for c in ready if c not in bands]
+        if need_collect:
+            baggs = []
+            for c in need_collect:
+                col, (lo, hi) = live[c], bounds[c]
+                baggs.append(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when((col > F.lit(lo)) & (col < F.lit(hi)), col)
+                        )
+                    ).alias(c)
+                )
+            brow = df.agg(*baggs).collect()[0]
+            for c in need_collect:
+                bands[c] = brow[c]
         for c in ready:
             n = counts[c]
             k1, k2 = (n - 1) // 2, n // 2
             lo, hi = bounds[c]
             s = stats[c]
-            band = brow[c]
+            band = bands[c]
 
             def kth(k: int, _s=s, _lo=lo, _hi=hi, _band=band):
                 if k < _s["below"]:
@@ -251,24 +335,34 @@ def stats_table(
         ]
         row = df.agg(*aggs).collect()[0].asDict()
     else:
-        # one whole-stage-codegen pass for the algebraic stats, then two
-        # fixed passes for all exact medians (Spark's `percentile` buffers
-        # a value->count map per partition and degrades on high-cardinality
-        # doubles; the sketch-bracketed selection in _exact_medians does not)
-        # the bracket sketches ride along in the same single pass — the
-        # median selection then needs only the count + band-collect scans
+        # one pass for the algebraic stats + an approx_count_distinct
+        # router per column, then exact medians by cardinality: low-card
+        # columns take ONE shared value-histogram job (most measure
+        # columns — quantities, discounts, flags — live here, and a
+        # histogram costs ~5% of a per-row percentile sketch), high-card
+        # columns take the sketch-bracketed bounded selection in
+        # _exact_medians (Spark's exact `percentile` buffers a
+        # value->count map per partition and degrades exactly there).
         colmap = {c: _col(c) for c in fields}
-        row = df.agg(*aggs, *_bracket_aggs(colmap)).collect()[0].asDict()
-        medians = _exact_medians(
-            df,
-            colmap,
-            {c: int(row[f"{c}__count"]) for c in fields},
-            brackets={
-                c: row[f"{c}__bracket"]
-                for c in fields
-                if row.get(f"{c}__bracket") is not None
-            },
-        )
+        acd_aggs = [
+            F.approx_count_distinct(col).alias(f"{c}__acd")
+            for c, col in colmap.items()
+        ]
+        row = df.agg(*aggs, *acd_aggs).collect()[0].asDict()
+        counts = {c: int(row[f"{c}__count"]) for c in fields}
+        low = {
+            c: colmap[c]
+            for c in fields
+            if counts[c] > 0 and row[f"{c}__acd"] <= _LOW_CARD_LIMIT
+        }
+        high = {
+            c: colmap[c] for c in fields if counts[c] > 0 and c not in low
+        }
+        medians: dict[str, float | None] = {c: None for c in fields}
+        if low:
+            medians.update(_histogram_medians(df, low, counts))
+        if high:
+            medians.update(_exact_medians(df, high, counts))
         for c in fields:
             row[f"{c}__median"] = medians[c]
 
