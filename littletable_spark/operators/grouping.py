@@ -389,8 +389,14 @@ class PivotTable:
         (out or sys.stdout).write(text)
         return text
 
-    def dump_counts(self, count_fn: Any = None, stream: Any = None) -> str:
-        """Cross-tab with row/col/grand totals (littletable.py:4395-4454)."""
+    def dump_counts(
+        self, count_fn: Any = None, stream: Any = None, colwidth: int = 10
+    ) -> str:
+        """Cross-tab counts, byte-identical to the reference renderer
+        (littletable.py:4395-4454, checked by differential tests) —
+        including its quirks: no Total row for 1-attr pivots, a
+        left-truncating key column, and a value column width that can
+        grow mid-render when a tally outgrows ``colwidth``."""
         import io
         import sys
 
@@ -399,37 +405,71 @@ class PivotTable:
             raise ValueError(
                 "can only dump summary counts for 1 or 2-attribute pivots"
             )
+        cf = count_fn if count_fn is not None else len
         out = io.StringIO()
         if len(self.attrs) == 1:
-            counts = self.as_table(count_fn).df.collect()
-            total = 0
-            out.write(f"Pivot: {self.attrs[0]}\n")
-            for r in counts:
-                out.write(f"{r[0]!s:<20} {r[-1]}\n")
-                total += r[-1]
-            out.write(f"{'Total':<20} {total}\n")
-        else:
-            a, b = self.attrs[0], self.attrs[1]
-            bvals = self.values_for(b)
-            pivoted = (
+            a = self.attrs[0]
+            counts = (
                 self.table.df.groupBy(a)
-                .pivot(b, bvals)
                 .count()
-                .na.fill(0)
                 .orderBy(a)
                 .collect()
             )
-            header = [str(a)] + [str(v) for v in bvals] + ["Total"]
-            out.write(" ".join(f"{h:>12}" for h in header) + "\n")
-            col_tot = [0] * len(bvals)
-            for r in pivoted:
-                vals = [r[str(v)] if str(v) in r.asDict() else r[v] for v in bvals]
-                for i, v in enumerate(vals):
-                    col_tot[i] += v
-                cells = [str(r[a])] + [str(v) for v in vals] + [str(sum(vals))]
-                out.write(" ".join(f"{c:>12}" for c in cells) + "\n")
-            cells = ["Total"] + [str(v) for v in col_tot] + [str(sum(col_tot))]
-            out.write(" ".join(f"{c:>12}" for c in cells) + "\n")
+            keytally = {r[0]: (cf(self[r[0]]) if count_fn else r[1]) for r in counts}
+            out.write(f"Pivot: {a}\n")
+            maxkeylen = max(len(str(k)) for k in keytally)
+            maxvallen = max(colwidth, *(len(str(v)) for v in keytally.values()))
+            for k, v in keytally.items():
+                out.write(f"{str(k):<{maxkeylen}.{maxkeylen}s} {v:>{maxvallen}}\n")
+        else:
+            a, b = self.attrs[0], self.attrs[1]
+            bvals = self.values_for(b)
+            if count_fn is None:
+                pivoted = (
+                    self.table.df.groupBy(a)
+                    .pivot(b, bvals)
+                    .count()
+                    .na.fill(0)
+                    .orderBy(a)
+                    .collect()
+                )
+                grid = [
+                    (r[a], [r[i + 1] for i in range(len(bvals))]) for r in pivoted
+                ]
+            else:
+                grid = []
+                for ak in self.values_for(a):
+                    sub = self[ak]
+                    grid.append(
+                        (ak, [cf(sub[bv]) for bv in bvals])
+                    )
+            out.write(f"Pivot: {a},{b}\n")
+            maxkeylen = max(max(len(str(k)) for k, _ in grid), 5)
+            maxvallen = max(max(len(str(v)) for v in bvals), colwidth)
+            keytally = dict.fromkeys(bvals, 0)
+            out.write(f"{' ' * maxkeylen} ")
+            out.write(
+                " ".join(f"{str(k):>{maxvallen}.{maxvallen}s}" for k in bvals)
+            )
+            out.write(f' {"Total":>{maxvallen}s}\n')
+            for ak, vals in grid:
+                out.write(f"{str(ak):<{maxkeylen}.{maxkeylen}s} ")
+                for bv, v in zip(bvals, vals):
+                    out.write(f"{v:{maxvallen}d} ")
+                    keytally[bv] += v
+                    maxvallen = max(maxvallen, len(str(v)))
+                sub_v = sum(vals)
+                maxvallen = max(maxvallen, len(str(sub_v)))
+                out.write(f"{sub_v:{maxvallen}d}\n")
+            out.write(f'{"Total":{maxkeylen}.{maxkeylen}s} ')
+            out.write(
+                " ".join(
+                    f"{tally:{maxvallen}d}" for k, tally in sorted(keytally.items())
+                )
+            )
+            out.write(
+                f" {sum(tally for k, tally in keytally.items()):{maxvallen}d}\n"
+            )
         text = out.getvalue()
         (stream or sys.stdout).write(text)
         return text

@@ -476,3 +476,64 @@ def test_as_html_groupby_properties_match_reference(spark):
         table_properties={"border": 1},
     )
     assert t.as_html(**kwargs) == r.as_html(**kwargs)
+
+
+def test_csv_export_matches_reference(spark):
+    r, t = _present_fixture(spark)
+    ours = t.csv_export()
+    theirs = r.csv_export()
+    assert ours == theirs
+
+
+def test_json_export_matches_reference(spark):
+    import json
+
+    r, t = _present_fixture(spark)
+    ours = t.json_export(streaming=True)
+    theirs = r.json_export(streaming=True)
+    assert [json.loads(x) for x in ours.splitlines()] == [
+        json.loads(x) for x in theirs.splitlines()
+    ]
+
+
+def _pivot_fixture(spark):
+    rows = [{"a": "p", "b": "u"}, {"a": "p", "b": "u"}, {"a": "q", "b": "v"},
+            {"a": "longerkey", "b": "u"}, {"a": "q", "b": "w"}, {"a": "q", "b": "w"}]
+    rt = ref.Table()
+    rt.insert_many(dict(d) for d in rows)
+    rt.create_index("a")
+    rt.create_index("b")
+    ot = Table("pv", spark=spark)
+    ot.insert_many([dict(d) for d in rows])
+    return rt, ot
+
+
+def test_dump_counts_2attr_matches_reference(spark):
+    import io
+
+    rt, ot = _pivot_fixture(spark)
+    buf = io.StringIO()
+    rt.pivot("a b").dump_counts(out=buf)
+    ours = ot.pivot("a b").dump_counts(stream=io.StringIO())
+    assert ours == buf.getvalue()
+
+
+def test_dump_counts_1attr_matches_reference(spark):
+    import io
+
+    rt, ot = _pivot_fixture(spark)
+    buf = io.StringIO()
+    rt.pivot("a").dump_counts(out=buf)
+    ours = ot.pivot("a").dump_counts(stream=io.StringIO())
+    assert ours == buf.getvalue()
+
+
+def test_dump_counts_count_fn_matches_reference(spark):
+    import io
+
+    rt, ot = _pivot_fixture(spark)
+    big = lambda s: len(s) * 100000000000  # noqa: E731 - forces width growth
+    buf = io.StringIO()
+    rt.pivot("a b").dump_counts(out=buf, count_fn=big)
+    ours = ot.pivot("a b").dump_counts(count_fn=big, stream=io.StringIO())
+    assert ours == buf.getvalue()
