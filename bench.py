@@ -72,6 +72,20 @@ def main() -> None:
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+    # sub-second queries are the most load-noise-sensitive (a single GC
+    # pause doubles them, and round-over-round comparisons then chase
+    # phantom regressions); give them extra passes so their median
+    # settles — a few extra seconds total, bounded by the 2s cap
+    extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2"))
+    for _ in range(extra):
+        for name in names:
+            if sorted(samples[name])[len(samples[name]) // 2] >= 2.0:
+                continue
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[name].append(time.perf_counter() - t0)
     timings = {
         n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()
     }
@@ -90,7 +104,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "cpus": CPUS,
-                "methodology": f"steady-state (untimed warmup pass; per-query median of {passes} timed passes)",
+                "methodology": (
+                    f"steady-state (untimed warmup pass; per-query median of "
+                    f"{passes} timed passes, +{extra} extra passes for sub-2s "
+                    "queries to damp load noise)"
+                ),
             }
         )
     )

@@ -50,6 +50,15 @@ def main() -> None:
     print("\nTop-3 neighbors per query vector:")
     nn.orderby("query_id, rank").select("query_id corpus_id cosine rank").present()
 
+    # 5. chunk + pack into training-ready context windows
+    from littletable_spark.operators.textops import chunk_documents, pack_sequences
+
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=8)
+    packs = pack_sequences(docs, "text", "doc_id", budget_tokens=512, n_shards=4)
+    n_packs = packs.df.select("shard", "pack").distinct().count()
+    print(f"\nchunking: {len(chunks)} chunks; packing: {len(docs)} docs -> "
+          f"{n_packs} packs of ~512 tokens")
+
 
 if __name__ == "__main__":
     main()

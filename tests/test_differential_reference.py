@@ -537,3 +537,14 @@ def test_dump_counts_count_fn_matches_reference(spark):
     rt.pivot("a b").dump_counts(out=buf, count_fn=big)
     ours = ot.pivot("a b").dump_counts(count_fn=big, stream=io.StringIO())
     assert ours == buf.getvalue()
+
+
+def test_pivot_dump_matches_reference(spark):
+    import io
+
+    rt, ot = _pivot_fixture(spark)
+    buf = io.StringIO()
+    rt.pivot("a b").dump(out=buf)
+    ours = io.StringIO()
+    ot.pivot("a b").dump(out=ours)
+    assert ours.getvalue() == buf.getvalue()
