@@ -828,6 +828,20 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id n_tokens shard pack pack_offset").df
 
 
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark decontamination: per eval doc (doc_id % 17 == 0), the
+    fraction of its 8-gram hashes found anywhere in the training corpus
+    (the remaining docs) — broadcast semi-join plan, corpus shingles
+    never shuffled."""
+    from littletable_spark.operators.textops import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 0)
+    corpus = d.where(F.col("doc_id") % 17 != 0)
+    out = contamination_check(corpus, bench, "doc_id", "doc_id", n=8)
+    return out.select("doc_id n_ngrams n_contaminated contamination").df
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hypertable-style multi-resolution rollup (1h + 1d tiers) over the
     events table — one scan, one shuffle for every tier together."""
@@ -1007,6 +1021,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_sum": q_pivot_sum,
         "head_tail": q_head_tail,
         "text_pack": q_text_pack,
+        "text_contamination": q_text_contamination,
     }
 
 
@@ -1863,6 +1878,29 @@ def oracle_sql() -> dict[str, str]:
                   < 4294967296 * (CASE lang WHEN 'en' THEN 0.5
                                             WHEN 'de' THEN 0.2
                                             ELSE 0.1 END)
+        """,
+        "text_contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), bsh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i) g
+              WHERE doc_id % 17 = 0
+            ), csh AS (
+              SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS s
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i) g
+              WHERE doc_id % 17 <> 0
+            )
+            SELECT bsh.doc_id,
+                   count(*) AS n_ngrams,
+                   count(csh.s) AS n_contaminated,
+                   count(csh.s) * 1.0 / count(*) AS contamination
+            FROM bsh LEFT JOIN csh ON bsh.s = csh.s
+            GROUP BY bsh.doc_id
         """,
         "grouping_sets": """
             SELECT o_orderstatus, o_orderpriority,

@@ -310,6 +310,88 @@ def pack_sequences(
     return Table.from_df(out, name=f"{table.table_name}_packed")
 
 
+def _ngram_rows(df, id_col: str, text_col: str, n: int):
+    """(id, n-gram) rows with NO shuffle: tokenize once into a column,
+    then ``transform`` + ``slice`` per start position — O(len·n) per doc
+    for fixed small n, all codegen, inherits the input partitioning.
+    (dedup's ``_shingle_rows`` pays one shuffle for its window-``lead``
+    form; that wins when n-gram construction must feed a per-doc
+    aggregation anyway, but a pure shingle *stream* — like the corpus
+    side of a contamination scan — should stay narrow.) Matches
+    ``_shingle_rows`` semantics incl. the short-doc case (len < n ->
+    one shingle of all tokens; empty docs -> no rows)."""
+    from .dedup import _tokens as _tk_expr  # same tokenizer
+
+    toked = df.select(F.col(id_col), _tk_expr(text_col).alias("__tk__")).where(
+        F.size("__tk__") > 0
+    )
+    tk = F.col("__tk__")
+    grams = F.when(
+        F.size(tk) < n, F.array(F.array_join(tk, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        )
+    )
+    return toked.select(F.col(id_col), F.explode(grams).alias("s"))
+
+
+def contamination_check(
+    corpus: Table,
+    bench: Table,
+    corpus_id: str,
+    bench_id: str,
+    corpus_text: str = "text",
+    bench_text: str = "text",
+    n: int = 8,
+) -> Table:
+    """Benchmark decontamination: for every evaluation document, the
+    fraction of its word ``n``-grams that appear anywhere in the training
+    corpus — the standard train/test overlap check run before an eval
+    set is trusted. One row per benchmark doc: ``n_ngrams``,
+    ``n_contaminated``, ``contamination``.
+
+    Scale plan (corpus >> benchmark, the production shape): the
+    benchmark's distinct n-gram hashes are broadcast, and the corpus
+    side is a broadcast LEFT-SEMI filter at scan speed — the corpus's
+    own (enormous) shingle set is never distinct-ed or shuffled; only
+    the matched hashes (bounded by the benchmark's n-gram count) come
+    back for the final small join. Shingling is the shuffle-free
+    ``_ngram_rows`` form, codegen end-to-end: the whole corpus side is
+    one narrow scan stage.
+    """
+    b_sh = (
+        _ngram_rows(
+            bench.df.select(bench_id, bench_text), bench_id, bench_text, n
+        )
+        .select(F.col(bench_id), F.md5("s").alias("h"))
+        .distinct()
+    )
+    bench_hashes = b_sh.select("h").distinct()
+    c_sh = _ngram_rows(
+        corpus.df.select(corpus_id, corpus_text), corpus_id, corpus_text, n
+    ).select(F.md5("s").alias("h"))
+    hit_hashes = (
+        c_sh.join(F.broadcast(bench_hashes), on="h", how="left_semi")
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    out = (
+        b_sh.join(hit_hashes, on="h", how="left")
+        .groupBy(bench_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit__").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated").cast("double") / F.col("n_ngrams"),
+        )
+    )
+    return Table.from_df(out, name=f"{bench.table_name}_contamination")
+
+
 def repetition_score(
     table: Table, text_col: str, id_col: str, n: int = 5
 ) -> Table:

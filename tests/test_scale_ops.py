@@ -307,3 +307,37 @@ def test_pack_sequences_properties(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences(t, "text", "doc_id", budget_tokens=0)
+
+
+def test_contamination_check_known_overlap(spark):
+    """Constructed overlap: bench doc 1 is verbatim in the corpus (100%
+    contaminated), doc 2 shares half its windows, doc 3 shares none.
+    The corpus side must reach the scan as a broadcast semi filter —
+    the corpus shingle set is never distinct-ed/shuffled wholesale."""
+    from littletable_spark.operators.textops import contamination_check
+
+    corpus = Table("ccorp", spark=spark)
+    shared = " ".join(f"s{i}" for i in range(12))
+    corpus.insert_many(
+        [
+            {"doc_id": 100, "text": shared},
+            {"doc_id": 101, "text": "completely different corpus words here today"},
+        ]
+    )
+    bench = Table("cbench", spark=spark)
+    half = shared.split()[:8]  # windows over s0..s7 overlap; rest don't
+    bench.insert_many(
+        [
+            {"doc_id": 1, "text": shared},
+            {"doc_id": 2, "text": " ".join(half + [f"u{i}" for i in range(8)])},
+            {"doc_id": 3, "text": "nothing in common with training data at all"},
+        ]
+    )
+    out = contamination_check(corpus, bench, "doc_id", "doc_id", n=4)
+    got = {r.doc_id: (r.n_ngrams, r.n_contaminated, r.contamination) for r in out}
+    assert got[1] == (9, 9, 1.0)  # 12 tokens, 9 4-gram windows, all hit
+    # doc 2: 16 tokens -> 13 windows; windows fully inside s0..s7 = 5 hits
+    assert got[2] == (13, 5, 5 / 13)
+    assert got[3][1] == 0 and got[3][2] == 0.0
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
