@@ -909,6 +909,48 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t1.unionByName(t2)
 
 
+_MIX_WEIGHTS = {"en": 0.6, "de": 0.3, "fr": 0.1}
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic mixture resampling: thin each language to the
+    target 60/30/10 proportions at the max feasible volume (the
+    scarcest source relative to its weight is kept whole) — the
+    data-mixing step of corpus assembly (sampling.py)."""
+    from littletable_spark.operators.sampling import resample_to_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    out = resample_to_mixture(d, "lang", _MIX_WEIGHTS, key_col="doc_id", salt="mix")
+    return out.select("doc_id lang").df
+
+
+def _mixture_oracle_sql() -> str:
+    """DuckDB mirror of resample_to_mixture: identical normalized weight
+    literals (cast to DOUBLE — DuckDB decimal literals would otherwise
+    diverge from Spark's double arithmetic) and the same operation
+    order, so the per-source fraction thresholds agree bit-for-bit."""
+    total = float(sum(_MIX_WEIGHTS.values()))
+    norm = {k: float(v) / total for k, v in sorted(_MIX_WEIGHTS.items())}
+    case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN ({v!r})::DOUBLE" for k, v in norm.items())
+        + " END"
+    )
+    return f"""
+            WITH c AS (
+              SELECT lang, count(*) AS n, {case} AS w
+              FROM documents GROUP BY lang
+            ), t AS (
+              SELECT min(n / w) AS t FROM c WHERE w IS NOT NULL
+            ), f AS (
+              SELECT lang, w * t.t / n AS frac FROM c, t WHERE w IS NOT NULL
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN f ON d.lang = f.lang
+            WHERE {_hash_bucket_sql('d.doc_id', 'mix')} < 4294967296 * frac
+        """
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-stratum deterministic sampling (reproducible sampleBy)."""
     from littletable_spark.operators.sampling import sample_stratified
@@ -1022,6 +1064,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_tail": q_head_tail,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
+        "sample_mixture": q_sample_mixture,
     }
 
 
@@ -1872,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'test' ELSE 'train' END AS side
             FROM documents
         """,
+        "sample_mixture": _mixture_oracle_sql(),
         "sample_stratified": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_hash_bucket_sql('doc_id', 'strat')}

@@ -55,6 +55,67 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
     ).cast("long")
 
 
+def resample_to_mixture(
+    table: Table,
+    source_col: str,
+    weights: Mapping[Any, float],
+    key_col: str,
+    salt: str = "",
+) -> Table:
+    """Deterministically down-sample so the ``source_col`` distribution
+    matches the target ``weights`` (data mixing for training corpora:
+    "60% web, 30% code, 10% papers"). Keeps the maximum feasible volume:
+    the scarcest source relative to its target weight is kept whole, and
+    every other source is hash-thinned to proportion.
+
+    Given observed counts N_s and normalized weights w_s, the max
+    feasible total is T = min_s(N_s / w_s); each source keeps
+    ``w_s * T / N_s`` of its rows via the same md5 ``hash_bucket``
+    filter as the other samplers — so the selection is reproducible,
+    re-shard-stable, and engine-portable (the DuckDB oracle recomputes
+    the identical fractions from the same counts with the same
+    operation order, so even the double-precision thresholds agree
+    bit-for-bit). Sources absent from ``weights`` are dropped.
+
+    Collect-free plan: counts aggregate -> single-row global min ->
+    per-source fraction table broadcast back onto the stream — three
+    tiny aggregations and one broadcast join; the corpus itself is
+    scanned once and never shuffled.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total_w = float(sum(weights.values()))
+    norm = {k: float(v) / total_w for k, v in weights.items()}
+    df = table._require_df()
+    w_expr = F.create_map(
+        *[x for k, v in sorted(norm.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    counts = (
+        df.groupBy(F.col(source_col).alias("__src__"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .withColumn("__w__", w_expr[F.col("__src__")])
+        .where(F.col("__w__").isNotNull())
+    )
+    t_row = counts.agg(
+        F.min(F.col("__n__") / F.col("__w__")).alias("__t__")
+    )
+    fracs = counts.crossJoin(F.broadcast(t_row)).select(
+        "__src__",
+        (F.col("__w__") * F.col("__t__") / F.col("__n__")).alias("__frac__"),
+    )
+    out = (
+        df.join(
+            F.broadcast(fracs), df[source_col] == F.col("__src__"), "inner"
+        )
+        .where(
+            hash_bucket(F.col(key_col), salt)
+            < F.lit(_HASH_SPACE) * F.col("__frac__")
+        )
+        .drop("__src__", "__frac__")
+    )
+    return table._derive(out)
+
+
 def sample_hash(table: Table, key_col: str, fraction: float, salt: str = "") -> Table:
     """Deterministic Bernoulli sample: keep rows whose key hashes below
     ``fraction`` of the hash space. Pure codegen filter, no shuffle."""

@@ -86,3 +86,42 @@ def test_split_train_test_partitions(orders):
     sub = orders.where(lambda r: r.o_orderkey % 2 == 0)
     tr2, te2 = split_train_test(sub, "o_orderkey", 0.25, salt="v")
     assert _keys(te2) == {k for k in ks if k % 2 == 0}
+
+
+def test_resample_to_mixture_proportions_and_stability(spark):
+    """Mixture resampling: the scarcest source (relative to its weight)
+    is kept whole, other sources thin to ~target proportions, sources
+    outside the weight map are dropped, and the selection is stable
+    under repartitioning."""
+    from littletable_spark.operators.sampling import resample_to_mixture
+
+    t = Table("mixdocs", spark=spark)
+    rows = (
+        [{"doc_id": i, "src": "web"} for i in range(3000)]
+        + [{"doc_id": 10_000 + i, "src": "code"} for i in range(500)]
+        + [{"doc_id": 20_000 + i, "src": "papers"} for i in range(400)]
+        + [{"doc_id": 30_000 + i, "src": "junk"} for i in range(100)]
+    )
+    t.insert_many(rows)
+    out = resample_to_mixture(
+        t, "src", {"web": 0.6, "code": 0.3, "papers": 0.1}, key_col="doc_id"
+    )
+    got = {r["src"]: r["n"] for r in
+           out.df.groupBy("src").count().withColumnRenamed("count", "n").collect()}
+    assert "junk" not in got
+    # T = min(3000/.6, 500/.3, 400/.1) = 500/.3 = 1666.7 -> binding: code
+    assert got["code"] == 500  # scarcest source kept whole
+    # web ~ .6*1666.7 = 1000, papers ~ .1*1666.7 = 166.7 (hash variance)
+    assert abs(got["web"] - 1000) < 100
+    assert abs(got["papers"] - 167) < 45
+    # deterministic under re-sharding
+    t2 = Table.from_df(t.df.repartition(13), name="mixdocs2")
+    out2 = resample_to_mixture(
+        t2, "src", {"web": 0.6, "code": 0.3, "papers": 0.1}, key_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_to_mixture(t, "src", {}, key_col="doc_id")

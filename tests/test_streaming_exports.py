@@ -259,3 +259,28 @@ def test_time_rollup_tiers_consistent(spark):
         r["n"] for r in rolled.filter(F.col("resolution") == 86400).collect()
     )
     assert daily_total == sum(hourly.values())
+
+
+def test_epoch_seconds_date_type(spark):
+    """DATE columns (a writer re-encoding date-semantic fields as
+    parquet DATE is a known cross-round occurrence) derive midnight-UTC
+    epoch seconds, timezone-free like the other encodings."""
+    import datetime
+
+    from littletable_spark.streaming.events import epoch_seconds
+
+    df = spark.createDataFrame(
+        [(1, datetime.date(1970, 1, 2)), (2, datetime.date(1998, 1, 1))],
+        "id long, d date",
+    )
+    got = {r.id: r.e for r in df.select("id", epoch_seconds(df, "d").alias("e")).collect()}
+    assert got[1] == 86400
+    assert got[2] == 883612800  # 1998-01-01T00:00:00Z
+    # TZ-independence: same answer under a shifted session timezone
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        got2 = {r.id: r.e for r in df.select("id", epoch_seconds(df, "d").alias("e")).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got2 == got
