@@ -353,25 +353,27 @@ def contamination_check(
     ``n_contaminated``, ``contamination``.
 
     Scale plan (corpus >> benchmark, the production shape): the
-    benchmark's distinct n-gram hashes are broadcast, and the corpus
-    side is a broadcast LEFT-SEMI filter at scan speed — the corpus's
-    own (enormous) shingle set is never distinct-ed or shuffled; only
-    the matched hashes (bounded by the benchmark's n-gram count) come
-    back for the final small join. Shingling is the shuffle-free
-    ``_ngram_rows`` form, codegen end-to-end: the whole corpus side is
-    one narrow scan stage.
+    benchmark's distinct n-grams are broadcast, and the corpus side is a
+    broadcast LEFT-SEMI filter at scan speed — the corpus's own
+    (enormous) shingle set is never distinct-ed or shuffled; only the
+    matched n-grams (bounded by the benchmark's n-gram count) come back
+    for the final small join. The join key is the raw n-gram string —
+    exact (no hash-collision caveat) and measured no slower than
+    hashing, since the narrow shingle scan dominates. Shingling is the
+    shuffle-free ``_ngram_rows`` form, codegen end-to-end: the whole
+    corpus side is one narrow scan stage.
     """
     b_sh = (
         _ngram_rows(
             bench.df.select(bench_id, bench_text), bench_id, bench_text, n
         )
-        .select(F.col(bench_id), F.md5("s").alias("h"))
+        .select(F.col(bench_id), F.col("s").alias("h"))
         .distinct()
     )
     bench_hashes = b_sh.select("h").distinct()
     c_sh = _ngram_rows(
         corpus.df.select(corpus_id, corpus_text), corpus_id, corpus_text, n
-    ).select(F.md5("s").alias("h"))
+    ).select(F.col("s").alias("h"))
     hit_hashes = (
         c_sh.join(F.broadcast(bench_hashes), on="h", how="left_semi")
         .distinct()
