@@ -1928,14 +1928,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
               FROM documents
+            ), nz AS (
+              -- mirror _ngram_rows' empty-doc filter: a whitespace-only
+              -- doc emits NO shingles, not one '' shingle
+              SELECT * FROM toks WHERE len(t) > 0
             ), bsh AS (
               SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
-              FROM toks,
+              FROM nz,
                    LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i) g
               WHERE doc_id % 17 = 0
             ), csh AS (
               SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS s
-              FROM toks,
+              FROM nz,
                    LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i) g
               WHERE doc_id % 17 <> 0
             )

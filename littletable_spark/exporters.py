@@ -144,7 +144,18 @@ def _fmt_cell(v: Any) -> str:
 # (littletable.py:303, littletable.py:4196-4204): bool is an int subclass
 # so it is right-justifiable; bool-ish display values are centerable;
 # right wins over center when both hold for every value in the column.
-_RIGHT_JUSTIFY_TYPES: tuple[type, ...] = (int, float, datetime.timedelta)
+# decimal.Decimal is OUR addition: Spark DecimalType columns (money
+# columns) collect as Decimal, a numeric cell type the reference's own
+# importers never produce — without it every decimal column would
+# left-align (and 0/1 decimals would even center via hash equality).
+import decimal
+
+_RIGHT_JUSTIFY_TYPES: tuple[type, ...] = (
+    int,
+    float,
+    decimal.Decimal,
+    datetime.timedelta,
+)
 _CENTER_VALS = {
     "Y", "N", "X", "YES", "NO",
     "y", "n", "x", "yes", "no",
@@ -175,6 +186,18 @@ def _format_map_get(formats: dict, field_format_map: dict, fld: str, v: Any):
     if fld not in field_format_map:
         field_format_map[fld] = formats.get(fld, formats.get(type(v), "{}"))
     return field_format_map[fld]
+
+
+def _cell_str(formats: dict, field_format_map: dict, fld: str, v: Any) -> str:
+    """Render one cell. A Spark NULL maps to the reference's
+    *missing-attribute* case (our schema-union data model conflates the
+    two), which the reference renders as "" (getattr(r, fld, "")) — NOT
+    as the string "None". Matches csv_export's NULL handling and the
+    alignment logic, where None is already an empty value."""
+    if v is None:
+        return ""
+    fmt = _format_map_get(formats, field_format_map, fld, v)
+    return fmt.format(v) if isinstance(fmt, str) else fmt(v)
 
 
 def _markdown_align(cols: list[str], rows: list[list[Any]]) -> dict[str, str]:
@@ -228,9 +251,7 @@ def as_markdown(
         cells = ["|"]
         for i, fld in enumerate(cols):
             if fld not in suppress:
-                v = r[i]
-                fmt = _format_map_get(formats, field_format_map, fld, v)
-                str_v = fmt.format(v) if isinstance(fmt, str) else fmt(v)
+                str_v = _cell_str(formats, field_format_map, fld, r[i])
             else:
                 str_v = ""
             cells.append(f" {str_v} |")
@@ -282,8 +303,7 @@ def as_html(
                 v = r[i]
                 if isinstance(v, _RIGHT_JUSTIFY_TYPES):
                     align = "right"
-                fmt = _format_map_get(formats, field_format_map, fld, v)
-                str_v = fmt.format(v) if isinstance(fmt, str) else fmt(v)
+                str_v = _cell_str(formats, field_format_map, fld, v)
             else:
                 str_v = ""
             out.append(f'<td><div align="{align}">{str_v}</div></td>')

@@ -694,12 +694,15 @@ def dup_clusters(
     ≥``driver_edges`` path (a 100 TB corpus's pair list easily exceeds
     it). Results are identical; the threshold only picks the engine.
     """
-    # ONE probe doubling as the collect: grabbing driver_edges+1 rows
-    # costs the same job as a limit-count, and when the graph is small
-    # (the common curated-corpus case) the pair pipeline then runs
-    # exactly once instead of count-then-collect running it twice.
-    rows = pairs.select(a_col, b_col).limit(driver_edges + 1).collect()
-    if len(rows) <= driver_edges:
+    # count-only probe first: it ships no rows, so an oversized graph
+    # (the exact case driver_edges guards) never pushes ~2M Row objects
+    # through the driver just to be discarded. The small-graph case pays
+    # a second execution of the pair pipeline, which its own persist
+    # (every in-repo pair generator persists its banded intermediate)
+    # makes cheap.
+    n_pairs = pairs.limit(driver_edges + 1).count()
+    if n_pairs <= driver_edges:
+        rows = pairs.select(a_col, b_col).collect()
         parent: dict = {}
 
         def find(x):

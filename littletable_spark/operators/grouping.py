@@ -407,10 +407,15 @@ class PivotTable:
             )
         cf = count_fn if count_fn is not None else len
         out = io.StringIO()
+        # NULL pivot keys are excluded on BOTH axes, like the reference,
+        # whose Index.keys() filters None (littletable.py:447) — a null
+        # key would otherwise crash the sorted() in the Total row and
+        # print rows/columns the reference never shows.
         if len(self.attrs) == 1:
             a = self.attrs[0]
             counts = (
-                self.table.df.groupBy(a)
+                self.table.df.where(F.col(a).isNotNull())
+                .groupBy(a)
                 .count()
                 .orderBy(a)
                 .collect()
@@ -423,28 +428,42 @@ class PivotTable:
                 out.write(f"{str(k):<{maxkeylen}.{maxkeylen}s} {v:>{maxvallen}}\n")
         else:
             a, b = self.attrs[0], self.attrs[1]
-            bvals = self.values_for(b)
+            bvals = [v for v in self.values_for(b) if v is not None]
             if count_fn is None:
-                pivoted = (
-                    self.table.df.groupBy(a)
-                    .pivot(b, bvals)
-                    .count()
-                    .na.fill(0)
+                # one aggregation: per-b conditional counts + the FULL
+                # row count per a (the reference's row total is
+                # count_fn(whole-a-slice), which includes null-b rows
+                # the cells exclude — sum(cells) would diverge there)
+                aggs = [
+                    F.count(F.when(F.col(b) == F.lit(bv), 1)).alias(f"__c{i}__")
+                    for i, bv in enumerate(bvals)
+                ]
+                rows = (
+                    self.table.df.where(F.col(a).isNotNull())
+                    .groupBy(a)
+                    .agg(*aggs, F.count(F.lit(1)).alias("__tot__"))
                     .orderBy(a)
                     .collect()
                 )
                 grid = [
-                    (r[a], [r[i + 1] for i in range(len(bvals))]) for r in pivoted
+                    (
+                        r[a],
+                        [r[f"__c{i}__"] for i in range(len(bvals))],
+                        r["__tot__"],
+                    )
+                    for r in rows
                 ]
             else:
                 grid = []
                 for ak in self.values_for(a):
+                    if ak is None:
+                        continue
                     sub = self[ak]
                     grid.append(
-                        (ak, [cf(sub[bv]) for bv in bvals])
+                        (ak, [cf(sub[bv]) for bv in bvals], cf(sub.table))
                     )
             out.write(f"Pivot: {a},{b}\n")
-            maxkeylen = max(max(len(str(k)) for k, _ in grid), 5)
+            maxkeylen = max(max(len(str(k)) for k, _, _ in grid), 5)
             maxvallen = max(max(len(str(v)) for v in bvals), colwidth)
             keytally = dict.fromkeys(bvals, 0)
             out.write(f"{' ' * maxkeylen} ")
@@ -452,13 +471,12 @@ class PivotTable:
                 " ".join(f"{str(k):>{maxvallen}.{maxvallen}s}" for k in bvals)
             )
             out.write(f' {"Total":>{maxvallen}s}\n')
-            for ak, vals in grid:
+            for ak, vals, sub_v in grid:
                 out.write(f"{str(ak):<{maxkeylen}.{maxkeylen}s} ")
                 for bv, v in zip(bvals, vals):
                     out.write(f"{v:{maxvallen}d} ")
                     keytally[bv] += v
                     maxvallen = max(maxvallen, len(str(v)))
-                sub_v = sum(vals)
                 maxvallen = max(maxvallen, len(str(sub_v)))
                 out.write(f"{sub_v:{maxvallen}d}\n")
             out.write(f'{"Total":{maxkeylen}.{maxkeylen}s} ')

@@ -548,3 +548,44 @@ def test_pivot_dump_matches_reference(spark):
     ours = io.StringIO()
     ot.pivot("a b").dump(out=ours)
     assert ours.getvalue() == buf.getvalue()
+
+
+def test_dump_counts_null_keys_match_reference(spark):
+    """NULL pivot keys: no null row/column, but row totals still count
+    null-b rows (the reference's count_fn(sub) semantics)."""
+    import io
+
+    rows = [
+        {"a": "p", "b": "u"},
+        {"a": "p", "b": None},
+        {"a": "q", "b": "v"},
+        {"a": None, "b": "u"},
+    ]
+    rt = ref.Table()
+    rt.insert_many(dict(d) for d in rows)
+    rt.create_index("a")
+    rt.create_index("b")
+    ot = Table("pvn", spark=spark)
+    ot.insert_many([dict(d) for d in rows])
+    buf = io.StringIO()
+    rt.pivot("a b").dump_counts(out=buf)
+    assert ot.pivot("a b").dump_counts(stream=io.StringIO()) == buf.getvalue()
+
+
+def test_dump_counts_nonadditive_count_fn_matches_reference(spark):
+    """Row totals are count_fn(whole-a-slice), not a sum of cells —
+    divergent for non-additive count functions."""
+    import io
+
+    rows = [{"a": "p", "b": "u"}, {"a": "p", "b": "v"}, {"a": "q", "b": "v"}]
+    rt = ref.Table()
+    rt.insert_many(dict(d) for d in rows)
+    rt.create_index("a")
+    rt.create_index("b")
+    ot = Table("pvc", spark=spark)
+    ot.insert_many([dict(d) for d in rows])
+    one = lambda s: 1  # noqa: E731
+    buf = io.StringIO()
+    rt.pivot("a b").dump_counts(out=buf, count_fn=one)
+    got = ot.pivot("a b").dump_counts(count_fn=one, stream=io.StringIO())
+    assert got == buf.getvalue()

@@ -284,3 +284,25 @@ def test_epoch_seconds_date_type(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert got2 == got
+
+
+def test_renderers_null_and_decimal_cells(spark):
+    """Spark NULLs render empty (the reference's missing-attribute
+    case), never the string 'None'; DecimalType columns right-align."""
+    import decimal
+
+    t = Table("nulls", spark=spark)
+    t.insert_many(
+        [
+            {"name": "ab", "price": decimal.Decimal("1.50")},
+            {"name": None, "price": decimal.Decimal("22.25")},
+        ]
+    )
+    md = t.as_markdown()
+    assert "None" not in md
+    # null cell renders empty (Decimal scale varies with inference)
+    assert any(line.startswith("|  | 22.25") for line in md.splitlines())
+    assert md.splitlines()[1] == "|---|---:|"  # decimal right-aligned
+    html = t.as_html()
+    assert "None" not in html
+    assert '<td><div align="right">1.50' in html
