@@ -366,13 +366,19 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """moving average over a 4-row frame (rowsBetween) per supplier —
-    window frames are net-new capability over the reference (§2.5)."""
+    window frames are net-new capability over the reference (§2.5).
+
+    l_extendedprice is the final sort tiebreaker: (shipdate, orderkey,
+    linenumber) is NOT a total order in the synthetic data (sf0.1 has a
+    duplicate key pair with different prices), and a row-frame over a
+    non-total order assigns engine-dependent averages to the tied rows.
+    """
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-3, 0)
     )
     out = li.select(
@@ -1545,7 +1551,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
                    round(avg(l_extendedprice) OVER (
                      PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg_price
             FROM lineitem
         """,
