@@ -73,14 +73,21 @@ def _shingles(text_col: str, n: int) -> Column:
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) rows — the linear-time scale path.
+    """(id, shingle) rows — the shuffled linear-time form.
 
-    posexplode tokens once, then build each n-gram with window ``lead``
-    (O(len) per doc vs the O(len²) array-slice form): one shuffle keyed
-    on the doc id, everything codegen'd. Shingles are emitted with
-    multiplicity; add ``.distinct()`` when set semantics are needed.
-    Matches ``_shingles`` exactly, including the short-document case
-    (len < n -> one shingle of all tokens).
+    posexplode tokens once, then build each n-gram with window ``lead``:
+    O(len) per doc, one shuffle keyed on the doc id, everything
+    codegen'd. The shuffle is the right trade when the shingles feed a
+    per-doc aggregation anyway (minhash, winnowing min) — the exchange
+    is shared. For a pure shingle *stream* with no per-doc aggregation,
+    prefer textops._ngram_rows (shuffle-free transform+slice, O(len·n)
+    for fixed small n). Either way, never reference the tokenizer
+    expression inside a per-position lambda — that re-runs the regex
+    split per window (O(len²) regex work, measured 10×; see
+    repetition_score). Shingles are emitted with multiplicity; add
+    ``.distinct()`` when set semantics are needed. Matches ``_shingles``
+    exactly, including the short-document case (len < n -> one shingle
+    of all tokens).
     """
     from pyspark.sql import Window
 
