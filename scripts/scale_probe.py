@@ -124,6 +124,22 @@ def main() -> None:
             probe_bits=probe_bits,
         ).df.write.format("noop").mode("overwrite").save()
 
+    def pack(docs):
+        from littletable_spark.operators.textops import pack_sequences
+
+        t = Table.from_df(docs)
+        pack_sequences(t, "text", "doc_id", budget_tokens=512, n_shards=16)\
+            .df.write.format("noop").mode("overwrite").save()
+
+    def contamination(docs):
+        from littletable_spark.operators.textops import contamination_check
+
+        t = Table.from_df(docs)
+        bench = Table.from_df(docs.where(F.pmod(F.col("doc_id"), F.lit(17)) == 0))
+        corpus = Table.from_df(docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 0))
+        contamination_check(corpus, bench, "doc_id", "doc_id", n=8)\
+            .df.write.format("noop").mode("overwrite").save()
+
     def emb_lsh_pairs_found(emb, n_planes, probe_bits=0):
         from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
 
@@ -181,6 +197,7 @@ def main() -> None:
     minhash(docs10); jaccard(docs10_p); clusters(pairs10)
     emb_lsh(emb10, n_planes=9)
     emb_lsh(emb10, n_planes=12, probe_bits=1)
+    pack(docs1); pack(docs10); contamination(docs1); contamination(docs10)
 
     results: dict[str, float] = {}
     timed("q1_agg_1x", lambda: q1(li1), results)
@@ -208,10 +225,15 @@ def main() -> None:
         results,
     )
 
+    timed("pack_1x", lambda: pack(docs1), results)
+    timed("pack_10x", lambda: pack(docs10), results)
+    timed("contamination_1x", lambda: contamination(docs1), results)
+    timed("contamination_10x", lambda: contamination(docs10), results)
+
     print(f"{'query':<18}{'1x sec':>9}{'10x sec':>10}{'ratio':>8}")
     for base in [
         "q1_agg", "join_agg", "topk", "window_topk", "minhash",
-        "jaccard", "clusters", "emb_lsh",
+        "jaccard", "clusters", "emb_lsh", "pack", "contamination",
     ]:
         a, b = results[f"{base}_1x"], results[f"{base}_10x"]
         print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
