@@ -980,26 +980,29 @@ def _hash_bucket_sql(key: str, salt: str) -> str:
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate takes
     the first 50 entries, so the 50 highest-signal queries (one per
-    distinct operator FAMILY, all oracle-checked) come first. Round-5
-    rotation: where_predicates + anti_join (re-parameterized to return
-    non-trivial row sets — their old forms passed with 0 rows) and
-    sample_fixed + sample_stratified enter the gate; orderby_head, rank,
-    rollup and delete park in exchange, each with an in-gate sibling on
-    the same code path (orderby desc + head(10) runs inside
-    tpch_q3_shape; rank's row_number window is window_topk_per_group's
-    path; rollup shares the Expand/grouping-sets rewrite with in-gate
-    grouping_sets; delete is where()-negation, covered by
-    where_comparators / splitby). Remaining parked siblings: cube /
-    pivot_sum duplicate the Expand + pivot-agg families, head_tail
-    composes orderby+limit, slice_positional / search_raw /
-    outer_join_full / events_sliding / window_moving_avg / text_langid
-    are siblings of in-gate slice_range / search_text / outer_join_left
-    / events_tumbling / window_topk_per_group / text_quality,
-    dedup_fingerprint shares the hash-groupBy shape with dedup_exact,
-    and dedup_embedding / sim_lsh_topk share the block-matmul /
-    hyperplane-bucket cores with in-gate dedup_embedding_lsh +
-    sim_cosine_topk. The local mirror (scripts/verify_oracle.py) still
-    runs all 66."""
+    distinct operator FAMILY, all oracle-checked) come first. Round-6
+    rotation goal: every registry query sits in a driver gate window at
+    least once. In: the four that had never been driver-gated —
+    text_pack, text_contamination, sample_mixture (new in round 5) and
+    window_moving_avg (parked before its round-5 total-order fix,
+    commit a1b41ff). Out (each with an in-gate sibling on the same code
+    path, and each already driver-green in CORRECTNESS_r05): sample_split
+    (hash_bucket path, siblings sample_uniform / sample_fixed /
+    sample_stratified), join_dsl (thin `+` DSL over the same join core
+    as in-gate join_3way_agg / semi_join / anti_join), text_repetition
+    (token-array projection like in-gate text_tokens / text_quality),
+    explode_embedding (posexplode family, sibling text_chunks).
+    Previously parked, all driver-green in an earlier round: orderby_head
+    / rank / rollup / delete (r1-r4 gates; siblings tpch_q3_shape,
+    window_topk_per_group, grouping_sets, where_comparators), cube /
+    pivot_sum (Expand + pivot-agg families), head_tail, slice_positional
+    / search_raw / outer_join_full / events_sliding / text_langid
+    (siblings of in-gate slice_range / search_text / outer_join_left /
+    events_tumbling / text_quality), dedup_fingerprint (hash-groupBy
+    shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
+    / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
+    sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
+    runs all 69 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1010,7 +1013,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique": q_unique,
         "join_3way_agg": q_join_3way_agg,
         "outer_join_left": q_outer_join_left,
-        "join_dsl": q_join_dsl,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "asof_join": q_asof_join,
@@ -1021,6 +1023,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "stats": q_stats,
         "window_topk_per_group": q_window_topk_per_group,
+        "window_moving_avg": q_window_moving_avg,
         "tpch_q3_shape": q_tpch_q3_shape,
         "slice_range": q_slice_range,
         "events_tumbling": q_events_tumbling,
@@ -1041,14 +1044,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "multimodal_meta": q_multimodal_meta,
         "sample_uniform": q_sample_uniform,
-        "sample_split": q_sample_split,
         "sample_fixed": q_sample_fixed,
         "sample_stratified": q_sample_stratified,
-        "explode_embedding": q_explode_embedding,
+        "sample_mixture": q_sample_mixture,
         "multimodal_decode": q_multimodal_decode,
         "text_chunks": q_text_chunks,
         "text_pii_scrub": q_text_pii_scrub,
-        "text_repetition": q_text_repetition,
+        "text_pack": q_text_pack,
+        "text_contamination": q_text_contamination,
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
@@ -1064,13 +1067,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_raw": q_search_raw,
         "outer_join_full": q_outer_join_full,
         "events_sliding": q_events_sliding,
-        "window_moving_avg": q_window_moving_avg,
         "cube": q_cube,
         "pivot_sum": q_pivot_sum,
         "head_tail": q_head_tail,
-        "text_pack": q_text_pack,
-        "text_contamination": q_text_contamination,
-        "sample_mixture": q_sample_mixture,
+        "sample_split": q_sample_split,
+        "join_dsl": q_join_dsl,
+        "text_repetition": q_text_repetition,
+        "explode_embedding": q_explode_embedding,
     }
 
 
@@ -1870,7 +1873,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pack": f"""
             WITH t AS (
               SELECT doc_id,
-                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
                                      x -> x <> ''))::INTEGER AS n_tokens,
                      CAST(({_hash_bucket_sql('doc_id', 'pack')}) % 8 AS INTEGER) AS shard
               FROM documents

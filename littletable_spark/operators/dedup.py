@@ -49,10 +49,9 @@ _ADAPTIVE_DECISIONS_MAX = 256
 TOKENIZE = r"\s+"
 
 
-def _tokens(text_col: str) -> Column:
-    return F.filter(
-        F.split(F.trim(F.col(text_col)), TOKENIZE), lambda x: x != F.lit("")
-    )
+def _tokens(text_col) -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.trim(col), TOKENIZE), lambda x: x != F.lit(""))
 
 
 def _shingles(text_col: str, n: int) -> Column:

@@ -168,15 +168,23 @@ def groupby_iter(
     distributed.
 
     ``materialize_limit`` guards the collect: when the table exceeds it
-    (checked with a cheap ``limit(n+1).count()``, not a full count) the
-    iterator warns and falls back to the lazy path instead of OOMing the
-    driver by default. Pass ``materialize_limit=None`` to collect
-    unconditionally when the driver is known to have the memory.
+    the iterator warns and falls back to the lazy path instead of OOMing
+    the driver by default. The check reuses the Table's cached ``len()``
+    when one exists (zero extra jobs — the common case after any prior
+    ``len(t)``); otherwise it costs one cheap ``limit(n+1).count()``
+    probe job, NOT a full count. Pass ``materialize_limit=None`` to
+    collect unconditionally when the driver is known to have the memory.
     """
     keys = _keys(keyexpr)
     df = table._require_df()
     if materialize and materialize_limit is not None:
-        if df.limit(materialize_limit + 1).count() > materialize_limit:
+        cached = getattr(table, "_len_cache", None)
+        over = (
+            cached > materialize_limit
+            if cached is not None
+            else df.limit(materialize_limit + 1).count() > materialize_limit
+        )
+        if over:
             import warnings
 
             warnings.warn(

@@ -283,9 +283,12 @@ def pack_sequences(
     from .sampling import hash_bucket
 
     shard = F.pmod(hash_bucket(F.col(id_col), salt), F.lit(n_shards)).cast("int")
+    # NULL text must count as 0 tokens, not NULL/-1 (size-of-null), or
+    # the per-shard cumsum would corrupt every later doc's pack/offset.
+    safe_text = F.coalesce(F.col(text_col), F.lit(""))
     df = table.df.select(
         F.col(id_col),
-        F.size(_tokens(text_col)).alias("n_tokens"),
+        F.size(_tokens(safe_text)).alias("n_tokens"),
         shard.alias("shard"),
     )
     w = (
