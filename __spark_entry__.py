@@ -368,17 +368,23 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """moving average over a 4-row frame (rowsBetween) per supplier —
     window frames are net-new capability over the reference (§2.5).
 
-    l_extendedprice is the final sort tiebreaker: (shipdate, orderkey,
-    linenumber) is NOT a total order in the synthetic data (sf0.1 has a
-    duplicate key pair with different prices), and a row-frame over a
-    non-total order assigns engine-dependent averages to the tied rows.
+    Sort is PROVABLY total: partition l_suppkey + (l_orderkey,
+    l_linenumber, l_partkey) covers lineitem's unique 4-tuple from the
+    duplicate-key census ((orderkey, linenumber) alone is deliberately
+    non-unique in the synthetic data — sf0.1 has a duplicate pair with
+    different prices, which round 5's engine-dependent-averages bug
+    hinged on). l_extendedprice stays in the key so the pre-census
+    ordering (price resolved the only observed ties) is preserved.
     """
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_partkey",
+        )
         .rowsBetween(-3, 0)
     )
     out = li.select(
@@ -1554,7 +1560,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
                    round(avg(l_extendedprice) OVER (
                      PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
+                              l_partkey
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg_price
             FROM lineitem
         """,

@@ -238,7 +238,20 @@ def asof_join(
         if c != right_time and c not in by.values()
     ]
     lf = left.df
-    rf = right.df
+    # Total-order discipline: two right rows tying on (by, time) would
+    # make the last(ignorenulls) fill engine/partition-dependent. Break
+    # the tie with the right table's row ordinal — backward keeps the
+    # LAST tied right row in table order, forward the FIRST (pandas
+    # merge_asof tie semantics). Left-left ties need no break: tied left
+    # rows see the identical preceding right set either way.
+    ord_col = "__asof_ord__"
+    rf = right._require_df()
+    if ROW_ORD in rf.columns:
+        rf = rf.select(*right.fields, F.col(ROW_ORD).alias(ord_col))
+    else:
+        rf = rf.select(*right.fields).withColumn(
+            ord_col, F.monotonically_increasing_id()
+        )
     if tolerance is not None:
         # carry the matched right row's time through the fill so the
         # tolerance predicate can see it
@@ -253,6 +266,7 @@ def asof_join(
         *[F.col(c) for c in left.fields],
         F.col(left_time).cast("double").alias(time_col),
         F.lit(1).alias(side_col),
+        F.lit(0).cast("long").alias(ord_col),
         *[F.lit(None).cast(rf.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
     )
     right_part = rf.select(
@@ -263,6 +277,7 @@ def asof_join(
         *[F.lit(None).cast(lf.schema[c].dataType).alias(c) for c in left.fields if c not in by],
         F.col(right_time).cast("double").alias(time_col),
         F.lit(0).alias(side_col),
+        F.col(ord_col).cast("long").alias(ord_col),
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
     ).select(*[c for c in left_part.columns])
 
@@ -277,9 +292,11 @@ def asof_join(
         F.col(side_col).asc() if allow_exact_matches else F.col(side_col).desc()
     )
     if direction == "backward":
+        # time asc: the latest tied right row must sort LAST in its tie
+        # group (nearest the left rows that follow) -> ord asc
         w = (
             Window.partitionBy(*part_keys)
-            .orderBy(F.col(time_col).asc(), side_order)
+            .orderBy(F.col(time_col).asc(), side_order, F.col(ord_col).asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = unioned.select(
@@ -290,9 +307,11 @@ def asof_join(
             ],
         )
     else:
+        # time desc: the EARLIEST tied right row (pandas forward tie
+        # winner) must sort last in its tie group -> ord desc
         w = (
             Window.partitionBy(*part_keys)
-            .orderBy(F.col(time_col).desc(), side_order)
+            .orderBy(F.col(time_col).desc(), side_order, F.col(ord_col).desc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = unioned.select(

@@ -163,6 +163,61 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 assert got_rows == exp_rows, (direction, tol, exact)
 
 
+def test_asof_join_tied_right_timestamps_match_pandas(spark):
+    """Duplicate (by, time) right rows: the fill must pick pandas
+    merge_asof's tie winner (backward -> LAST tied right row in table
+    order, forward -> FIRST), deterministically — not whichever row the
+    engine happened to sort last (total-order discipline)."""
+    import pandas as pd
+
+    from littletable_spark.operators.joins import asof_join
+
+    left = Table("trades", spark=spark)
+    left.insert_many(
+        [
+            {"sym": "a", "t": 5.0, "px": 10.0},
+            {"sym": "a", "t": 3.0, "px": 11.0},
+            {"sym": "b", "t": 4.0, "px": 20.0},
+        ]
+    )
+    right = Table("quotes", spark=spark)
+    right.insert_many(
+        [
+            {"s": "a", "qt": 3.0, "bid": 1.0},
+            {"s": "a", "qt": 3.0, "bid": 2.0},
+            {"s": "a", "qt": 3.0, "bid": 3.0},
+            {"s": "b", "qt": 4.0, "bid": 7.0},
+            {"s": "b", "qt": 4.0, "bid": 8.0},
+        ]
+    )
+    lpd = pd.DataFrame(
+        [(r.sym, r.t, r.px) for r in left], columns=["sym", "t", "px"]
+    ).sort_values("t", kind="stable").reset_index(drop=True)
+    rpd = pd.DataFrame(
+        [(r.s, r.qt, r.bid) for r in right], columns=["s", "qt", "bid"]
+    ).sort_values("qt", kind="stable").reset_index(drop=True)
+
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            got = asof_join(
+                left, right, "t", "qt", by={"sym": "s"},
+                direction=direction, right_cols=["bid"],
+                allow_exact_matches=exact,
+            )
+            got_rows = sorted((r.sym, r.t, r.px, r.bid) for r in got)
+            exp = pd.merge_asof(
+                lpd, rpd, left_on="t", right_on="qt",
+                left_by="sym", right_by="s", direction=direction,
+                allow_exact_matches=exact,
+            )
+            exp_rows = sorted(
+                (row.sym, row.t, row.px,
+                 None if pd.isna(row.bid) else row.bid)
+                for row in exp.itertuples()
+            )
+            assert got_rows == exp_rows, (direction, exact)
+
+
 def test_range_join_bucketed_matches_plain(spark):
     """Bucketed rewrite returns exactly the plain theta-join result, and
     compiles to a hash join instead of a nested loop."""
