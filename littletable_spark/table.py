@@ -507,8 +507,39 @@ class Table:
         df = df.drop(ROW_ORD, EPOCH)
         return Table._with_internal(df)
 
-    def __delitem__(self, key: int) -> None:
-        self.pop(key)
+    def __delitem__(self, key: int | slice) -> None:
+        """``del t[i]`` / ``del t[i:j]`` / ``del t[i:j:k]`` — list-slice
+        delete semantics incl. extended slices (reference
+        littletable.py:1402-1412, exercised at littletable.py:4811 as
+        ``del amfm[0:-1:2]``). Implemented as ONE filter keeping the
+        complement of the slice's arithmetic membership (the negation of
+        ``__getitem__``'s stepped-slice predicate) — no driver-side
+        position list, no per-row pop loop."""
+        if isinstance(key, slice):
+            if self._df is None:
+                return  # schema-less empty table: nothing to delete
+            n = len(self)
+            start, stop, step = key.indices(n)
+            dense = dense_index(self._require_df(), self._sort_cols())
+            old = F.col(ROW_ORD)
+            if step > 0:
+                member = (
+                    (old >= F.lit(start))
+                    & (old < F.lit(stop))
+                    & ((old - F.lit(start)) % F.lit(step) == 0)
+                )
+            else:
+                member = (
+                    (old <= F.lit(start))
+                    & (old > F.lit(stop))
+                    & ((F.lit(start) - old) % F.lit(-step) == 0)
+                )
+            self._mutate(dense.filter(~member))
+            return
+        if isinstance(key, int):
+            self.pop(key)
+            return
+        raise TypeError("Table index must be int or slice")
 
     def pop(self, idx: int = -1) -> SimpleNamespace:
         row = self[idx]

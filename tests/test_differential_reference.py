@@ -165,6 +165,41 @@ def test_positional_slice_matches_reference(spark, rows, i, j):
     assert [(x.a, x.b) for x in o] == [(x.a, x.b) for x in r]
 
 
+@given(
+    rows=rows_st,
+    i=st.integers(-12, 12) | st.none(),
+    j=st.integers(-12, 12) | st.none(),
+    k=st.integers(-4, 4).filter(lambda x: x != 0) | st.none(),
+)
+@SETTINGS
+def test_delitem_slice_matches_reference(spark, rows, i, j, k):
+    """del t[i:j:k] incl. extended/negative slices — reference
+    littletable.py:1402-1412 (exercised there at :4811)."""
+    r = _ref_table(rows)
+    o = _our_table(spark, rows)
+    del r[i:j:k]
+    del o[i:j:k]
+    assert [(x.a, x.b) for x in o] == [(x.a, x.b) for x in r]
+
+
+def test_delitem_slice_canonical_cases(spark):
+    """The reference's own doctest case (del t[0:-1:2]) plus del t[i:j]
+    and full reversal del t[::-1]."""
+    base = [(n, n * n) for n in range(7)]
+    for sl in (slice(0, -1, 2), slice(2, 5), slice(None, None, -1)):
+        r = _ref_table(base)
+        o = _our_table(spark, base)
+        del r[sl]
+        del o[sl]
+        assert [(x.a, x.b) for x in o] == [(x.a, x.b) for x in r], sl
+
+
+def test_delitem_rejects_non_int_non_slice(spark):
+    o = _our_table(spark, [(1, 2)])
+    with pytest.raises(TypeError):
+        del o["a"]
+
+
 @given(rows=rows_st, n=st.integers(1, 5))
 @SETTINGS
 def test_tail_matches_reference(spark, rows, n):
