@@ -13,7 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..table import Table
-from .dedup import _tokens
+from .dedup import _ngram_rows, _tokens
 
 # deterministic marker-word lists per language; scoring is the count of
 # DISTINCT markers present (array_intersect semantics in both engines)
@@ -313,31 +313,16 @@ def pack_sequences(
     return Table.from_df(out, name=f"{table.table_name}_packed")
 
 
-def _ngram_rows(df, id_col: str, text_col: str, n: int):
-    """(id, n-gram) rows with NO shuffle: tokenize once into a column,
-    then ``transform`` + ``slice`` per start position — O(len·n) per doc
-    for fixed small n, all codegen, inherits the input partitioning.
-    (dedup's ``_shingle_rows`` pays one shuffle for its window-``lead``
-    form; that wins when n-gram construction must feed a per-doc
-    aggregation anyway, but a pure shingle *stream* — like the corpus
-    side of a contamination scan — should stay narrow.) Matches
-    ``_shingle_rows`` semantics incl. the short-doc case (len < n ->
-    one shingle of all tokens; empty docs -> no rows)."""
-    from .dedup import _tokens as _tk_expr  # same tokenizer
 
-    toked = df.select(F.col(id_col), _tk_expr(text_col).alias("__tk__")).where(
-        F.size("__tk__") > 0
-    )
-    tk = F.col("__tk__")
-    grams = F.when(
-        F.size(tk) < n, F.array(F.array_join(tk, " "))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(tk, i, n), " "),
-        )
-    )
-    return toked.select(F.col(id_col), F.explode(grams).alias("s"))
+
+# The benchmark side of a contamination check is broadcast to every
+# executor, so it must be eval-set-sized, not corpus-sized. 4M distinct
+# 8-grams x ~50-100 B of string is a ~200-400 MB broadcast — already at
+# the edge of sane. The cap turns a silently-mis-sided call (bench and
+# corpus swapped, or a corpus-scale "bench") into an immediate,
+# actionable error instead of an executor OOM at scale — same contract
+# as similarity.MAX_QUERY_VECTORS.
+MAX_BENCH_NGRAMS = 4_000_000
 
 
 def contamination_check(
@@ -348,6 +333,7 @@ def contamination_check(
     corpus_text: str = "text",
     bench_text: str = "text",
     n: int = 8,
+    max_bench_ngrams: int | None = MAX_BENCH_NGRAMS,
 ) -> Table:
     """Benchmark decontamination: for every evaluation document, the
     fraction of its word ``n``-grams that appear anywhere in the training
@@ -374,6 +360,19 @@ def contamination_check(
         .distinct()
     )
     bench_hashes = b_sh.select("h").distinct()
+    if max_bench_ngrams is not None:
+        # bounded probe (limit(cap+1), not a full count) over the small
+        # side only; the corpus side is never touched by the guard
+        probed = bench_hashes.limit(max_bench_ngrams + 1).count()
+        if probed > max_bench_ngrams:
+            raise ValueError(
+                f"contamination_check: benchmark side has more than "
+                f"{max_bench_ngrams} distinct {n}-grams — too large to "
+                "broadcast. The bench side must be the (small) eval "
+                "set; check the argument order, shrink the eval set, "
+                "or raise max_bench_ngrams explicitly if the cluster "
+                "can hold the broadcast."
+            )
     c_sh = _ngram_rows(
         corpus.df.select(corpus_id, corpus_text), corpus_id, corpus_text, n
     ).select(F.col("s").alias("h"))

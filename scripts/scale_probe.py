@@ -140,6 +140,19 @@ def main() -> None:
         contamination_check(corpus, bench, "doc_id", "doc_id", n=8)\
             .df.write.format("noop").mode("overwrite").save()
 
+    def contamination_fixed_bench(bench_docs, corpus_docs):
+        # the production asymmetry: a FIXED small eval set vs a growing
+        # corpus — growth across corpus sizes should be ~the corpus
+        # scan, since the bench broadcast and final join are constant
+        from littletable_spark.operators.textops import contamination_check
+
+        bench = Table.from_df(
+            bench_docs.where(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+        )
+        corpus = Table.from_df(corpus_docs)
+        contamination_check(corpus, bench, "doc_id", "doc_id", n=8)\
+            .df.write.format("noop").mode("overwrite").save()
+
     def emb_lsh_pairs_found(emb, n_planes, probe_bits=0):
         from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
 
@@ -229,11 +242,22 @@ def main() -> None:
     timed("pack_10x", lambda: pack(docs10), results)
     timed("contamination_1x", lambda: contamination(docs1), results)
     timed("contamination_10x", lambda: contamination(docs10), results)
+    contamination_fixed_bench(docs1, docs1)
+    contamination_fixed_bench(docs1, docs10)  # warm both shapes
+    timed(
+        "contam_fixed_1x", lambda: contamination_fixed_bench(docs1, docs1),
+        results,
+    )
+    timed(
+        "contam_fixed_10x", lambda: contamination_fixed_bench(docs1, docs10),
+        results,
+    )
 
     print(f"{'query':<18}{'1x sec':>9}{'10x sec':>10}{'ratio':>8}")
     for base in [
         "q1_agg", "join_agg", "topk", "window_topk", "minhash",
         "jaccard", "clusters", "emb_lsh", "pack", "contamination",
+        "contam_fixed",
     ]:
         a, b = results[f"{base}_1x"], results[f"{base}_10x"]
         print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")

@@ -341,3 +341,27 @@ def test_contamination_check_known_overlap(spark):
     assert got[3][1] == 0 and got[3][2] == 0.0
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_contamination_check_bench_cap(spark):
+    """An over-cap bench side fails loudly (mis-sided call / corpus-
+    scale 'bench' would otherwise OOM executors on the broadcast);
+    raising the cap or passing None restores the run."""
+    import pytest
+
+    from littletable_spark.operators.textops import contamination_check
+
+    corpus = Table("gcorp", spark=spark)
+    corpus.insert_many([{"doc_id": 1, "text": "a b c d e f"}])
+    bench = Table("gbench", spark=spark)
+    bench.insert_many(
+        [{"doc_id": i, "text": f"w{i} x{i} y{i} z{i}"} for i in range(10)]
+    )
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        contamination_check(
+            corpus, bench, "doc_id", "doc_id", n=2, max_bench_ngrams=5
+        )
+    ok = contamination_check(
+        corpus, bench, "doc_id", "doc_id", n=2, max_bench_ngrams=None
+    )
+    assert len(ok) == 10
