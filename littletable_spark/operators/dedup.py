@@ -108,6 +108,32 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return out
 
 
+def _ngram_rows(df, id_col: str, text_col: str, n: int):
+    """(id, n-gram) rows with NO shuffle: tokenize once into a column,
+    then ``transform`` + ``slice`` per start position — O(len·n) per doc
+    for fixed small n, all codegen, inherits the input partitioning.
+    (``_shingle_rows`` pays one shuffle for its window-``lead`` form;
+    that wins when n-gram construction must feed a per-doc aggregation
+    whose exchange it can share, but a pure shingle *stream* — the
+    corpus side of a contamination scan, or a self-join input that gets
+    re-shuffled on the shingle anyway — should stay narrow.) Matches
+    ``_shingle_rows`` semantics incl. the short-doc case (len < n ->
+    one shingle of all tokens; empty docs -> no rows)."""
+    toked = df.select(F.col(id_col), _tokens(text_col).alias("__tk__")).where(
+        F.size("__tk__") > 0
+    )
+    tk = F.col("__tk__")
+    grams = F.when(
+        F.size(tk) < n, F.array(F.array_join(tk, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        )
+    )
+    return toked.select(F.col(id_col), F.explode(grams).alias("s"))
+
+
 def exact_dedup(table: Table, key_cols: list[str], id_col: str) -> Table:
     """Keep one representative (min id) per exact key — hash groupBy."""
     df = table.df
@@ -231,7 +257,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     prefix_filter: bool | None = None,
 ) -> Table:
-    """Exact pairwise n-gram Jaccard similarity ≥ threshold.
+    """Exact pairwise n-gram Jaccard similarity ≥ threshold (exact up
+    to 64-bit shingle-hash collisions — see the hashing note below).
 
     Inverted-index formulation: explode distinct shingles, self-join on
     shingle to count intersections, derive |A∪B| from per-doc sizes.
@@ -247,7 +274,34 @@ def ngram_jaccard_pairs(
     path engages. Explicit True/False overrides.
     """
     df = table.df
-    sh = _shingle_rows(df, id_col, text_col, n).distinct().persist(_PAIRGEN_CACHE)
+    # narrow shingle form: the stream feeds distinct() (a shuffle on
+    # (id, s)) and then the self-join re-shuffles on s regardless, so
+    # _shingle_rows' window-lead exchange would be a pure extra shuffle
+    # of the whole shingle stream (measured ~1.3x end-to-end at 10x).
+    # One caveat: shingling now runs at INPUT parallelism. A small
+    # parquet (one 128 MB split) would shingle single-threaded, so when
+    # the source has fewer partitions than cores, redistribute the raw
+    # text first — that shuffles only the documents (~1/n of the
+    # shingle stream the window form shuffled) and is a no-op at real
+    # scale, where inputs already carry thousands of splits.
+    src = df.select(id_col, text_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, F.col(id_col))
+    # shingles are 64-bit-hashed BEFORE the distinct: every downstream
+    # stage (distinct, self-join sides, prefix ranking) then shuffles
+    # and sorts 8-byte longs instead of n-word strings (~3-4x fewer
+    # key bytes on the wire). Set semantics survive hashing up to
+    # xxhash64 collisions — p ~ (distinct shingles)²/2⁶⁴, ~1e-9 at 100M
+    # distinct shingles — so "exact" here means exact up to 64-bit
+    # shingle-hash collisions, same caveat every large-scale shingle
+    # pipeline accepts.
+    sh = (
+        _ngram_rows(src, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("s").alias("s"))
+        .distinct()
+        .persist(_PAIRGEN_CACHE)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if prefix_filter is None:
         decision_key = (df.semanticHash(), id_col, text_col, n)
@@ -279,7 +333,9 @@ def ngram_jaccard_pairs(
         # uniform corpora (extra window + joins), hence opt-in.
         from pyspark.sql import Window
 
-        w = Window.partitionBy(id_col).orderBy(F.md5("s"))
+        # the hashed shingle is already a fixed pseudo-random global
+        # order (the role md5 played when shingles were strings)
+        w = Window.partitionBy(id_col).orderBy(F.col("s"))
         ranked = sh.withColumn("__rn__", F.row_number().over(w)).join(sizes, on=id_col)
         prefix = ranked.filter(
             F.col("__rn__")

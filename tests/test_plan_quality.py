@@ -191,3 +191,18 @@ def test_sample_fixed_is_take_ordered(spark):
     d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
     plan = _plan(sample_fixed(d, "doc_id", 20).df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_topk_single_arrow_pass(spark):
+    """IVF centroid assignment is a native JVM fold (one F.expr of
+    centroid literals); the only Arrow/Python node left in the plan is
+    the BLAS re-rank after the candidate join."""
+    from littletable_spark.operators.similarity import ivf_topk
+
+    e = Table.parquet_import(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = Table.from_df(e.df.where("vec_id < 3"))
+    df = ivf_topk(e, q, "vec_id", "embedding", k=5).df
+    # executedPlan tree string: one node line per operator (the
+    # formatted explain would double-count via its per-node details)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan

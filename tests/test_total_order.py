@@ -72,9 +72,9 @@ ALLOW_INTERCHANGEABLE: dict[str, str] = {
     "dedup_minhash": "lead over posexplode position, unique per doc",
     "dedup_clusters": "lead over posexplode position, unique per doc",
     "dedup_jaccard": (
-        "lead over posexplode position (unique per doc); prefix-filter "
-        "rank over md5(shingle) — tied shingles are identical (id, s) "
-        "rows, interchangeable for prefix selection"
+        "prefix-filter rank over the 64-bit shingle hash — the stream "
+        "is distinct per (id, s), so the sort key is unique within its "
+        "doc partition by construction"
     ),
     # session windows: lag(ts) over (user_id order by ts) — tied rows
     # have EQUAL ts, so every lag difference (the only thing the window
