@@ -166,26 +166,6 @@ def lsh_signature(vec_col: Column | str, planes: np.ndarray) -> Column:
     return F.concat(*bits)
 
 
-def _centroid_dots_expr(vec_col: str, centroids: "np.ndarray") -> Column:
-    """``array(dot(vec, c_0), ..., dot(vec, c_{nlist-1}))`` as ONE SQL
-    expression string (same py4j-storm-avoiding trick as
-    ``lsh_signature``: nlist x dim float literals in a single
-    ``F.expr`` costs one py4j round-trip, not one per literal).
-
-    Assignment uses the UN-normalized corpus vector: dividing every dot
-    by the same positive ||v|| cannot change the argmax, and the
-    all-zero vector yields all-zero dots -> first index either way —
-    exactly ``np.argmax`` on the normalized matrix."""
-    dots = []
-    for row in centroids:
-        arr = "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
-        dots.append(
-            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), "
-            "0.0D, (acc, v) -> acc + v)"
-        )
-    return F.expr("array(" + ",".join(dots) + ")")
-
-
 def _train_centroids(
     X: np.ndarray, nlist: int, seed: int, iters: int = 10
 ) -> np.ndarray:
@@ -270,25 +250,40 @@ def ivf_topk(
         corpus.df, id_col, vec_col, sample_size
     )
     centroids = _train_centroids(sample, nlist, seed)
+    bc = corpus.spark.sparkContext.broadcast(centroids)
 
-    # native JVM assignment (no Arrow pass): dot array in one F.expr,
-    # then argmax = first position of the max — array_position picks
-    # the FIRST occurrence among exact ties, matching np.argmax. The
-    # dots land in a real column first so max + position share one
-    # evaluation instead of recomputing the nlist x dim fold twice.
-    cdf = (
-        corpus.df.select(
-            F.col(id_col).alias("corpus_id"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
-        )
-        .withColumn("__dots__", _centroid_dots_expr("cvec", centroids))
-        .withColumn(
-            "cluster",
-            (
-                F.expr("array_position(__dots__, array_max(__dots__))") - 1
-            ).cast("int"),
-        )
-        .drop("__dots__")
+    # Assignment stays an Arrow/BLAS pass DELIBERATELY. A native-JVM
+    # fold (dot array as one F.expr of nlist x dim literals, argmax via
+    # array_position(array_max), the lsh_signature trick) was built and
+    # A/B-measured this round: 2.46s vs 1.79s end-to-end at sf0.1 —
+    # nlist*dim (~1024) interpreted multiply-adds per row lose to one
+    # numpy matmul by far more than the Arrow round-trip costs. The
+    # lsh_signature win came from plan-construction (py4j per-literal
+    # Columns) and a much smaller fold (n_planes <= 12 dots); it does
+    # not transfer to dense centroid assignment. Normalization is
+    # argmax-irrelevant (same positive divisor per row) but kept so the
+    # batch matmul matches the trainer's geometry exactly.
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = M / np.where(norms == 0, 1.0, norms)
+            cl = np.argmax(Mn @ cents.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"corpus_id": pdf["corpus_id"], "cvec": pdf["cvec"], "cluster": cl}
+            )
+
+    cdf = corpus.df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).mapInPandas(
+        assign_batches, "corpus_id long, cvec array<double>, cluster int"
     )
 
     # probe-list fan-out happens on the driver; bounded like cosine_topk

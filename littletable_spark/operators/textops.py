@@ -362,7 +362,13 @@ def contamination_check(
     bench_hashes = b_sh.select("h").distinct()
     if max_bench_ngrams is not None:
         # bounded probe (limit(cap+1), not a full count) over the small
-        # side only; the corpus side is never touched by the guard
+        # side only; the corpus side is never touched by the guard.
+        # persist first so the guard job materializes the same set the
+        # broadcast reuses (size bounded by the cap) instead of
+        # computing the bench shingles twice
+        from pyspark import StorageLevel
+
+        bench_hashes = bench_hashes.persist(StorageLevel.MEMORY_AND_DISK)
         probed = bench_hashes.limit(max_bench_ngrams + 1).count()
         if probed > max_bench_ngrams:
             raise ValueError(

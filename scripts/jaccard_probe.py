@@ -43,24 +43,32 @@ def main() -> None:
     spark = get_spark(cpus=32)
     copies_list = [int(c) for c in sys.argv[1:]] or [1, 10]
     for copies in copies_list:
-        t = Table.from_df(corpus(spark, copies))
-        n_pairs = None
+        src = corpus(spark, copies).persist()
+        src.count()  # pin the synthetic corpus so reps time jaccard only
         for pf in (False, True):
-            run(t, pf)  # warm
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                run(t, pf)
-                times.append(time.perf_counter() - t0)
-            if n_pairs is None:
+            for mode in ("cold", "warm"):
+                t = Table.from_df(src)
+                run(t, pf)  # JIT/codegen warm
+                times = []
+                for _ in range(3):
+                    if mode == "cold":
+                        # full pipeline incl. shingle+distinct: new
+                        # Table, all jaccard caches dropped
+                        spark.catalog.clearCache()
+                        src.persist(); src.count()
+                        t = Table.from_df(src)
+                    t0 = time.perf_counter()
+                    run(t, pf)
+                    times.append(time.perf_counter() - t0)
                 n_pairs = ngram_jaccard_pairs(
                     t, "doc_id", "text", threshold=0.8, prefix_filter=pf
                 ).df.count()
-            print(
-                f"copies={copies:<3} prefix={str(pf):<5} "
-                f"min={min(times):.2f}s med={sorted(times)[1]:.2f}s "
-                f"pairs={n_pairs}"
-            )
+                print(
+                    f"copies={copies:<3} prefix={str(pf):<5} mode={mode} "
+                    f"min={min(times):.2f}s med={sorted(times)[1]:.2f}s "
+                    f"pairs={n_pairs}"
+                )
+        src.unpersist()
 
 
 if __name__ == "__main__":

@@ -193,10 +193,14 @@ def test_sample_fixed_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_ivf_topk_single_arrow_pass(spark):
-    """IVF centroid assignment is a native JVM fold (one F.expr of
-    centroid literals); the only Arrow/Python node left in the plan is
-    the BLAS re-rank after the candidate join."""
+def test_ivf_topk_two_arrow_passes(spark):
+    """IVF's plan shape is exactly two Arrow passes: centroid
+    assignment and BLAS re-rank. Pinned by A/B measurement (round 6):
+    folding assignment into a native F.expr of nlist x dim literals
+    (the lsh_signature trick) measured 2.46s vs 1.79s end-to-end at
+    sf0.1 — ~1024 interpreted multiply-adds per row lose to one numpy
+    matmul by more than the Arrow round-trip costs. If this count
+    changes, re-run that A/B before accepting the new shape."""
     from littletable_spark.operators.similarity import ivf_topk
 
     e = Table.parquet_import(spark, "/root/testdata/sf0.001/embeddings.parquet")
@@ -205,4 +209,4 @@ def test_ivf_topk_single_arrow_pass(spark):
     # executedPlan tree string: one node line per operator (the
     # formatted explain would double-count via its per-node details)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("MapInPandas") == 2, plan
