@@ -19,6 +19,7 @@ from .exceptions import (
     SearchIndexInconsistentError,
     UniqueKeyViolation,
 )
+from .plans.lint import PlanWarning, lint_plan
 from .session import get_spark
 from .table import Table
 
@@ -57,6 +58,8 @@ __all__ = [
     "json_import",
     "excel_import",
     "parquet_import",
+    "lint_plan",
+    "PlanWarning",
 ]
 
 

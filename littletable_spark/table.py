@@ -1441,6 +1441,14 @@ class Table:
             "last_import": self.import_time,
         }
 
+    def lint(self) -> list:
+        """Scale anti-pattern warnings for this table's current plan
+        (single-partition windows, cartesian joins, row-at-a-time
+        Python UDFs, ... — see plans/lint.py). Runs no jobs."""
+        from .plans.lint import lint_plan
+
+        return lint_plan(self._require_df())
+
     # ------------------------------------------------------------------ #
     # type-conversion helpers (littletable.py:1158-1284)
 

@@ -200,6 +200,19 @@ def test_delitem_rejects_non_int_non_slice(spark):
         del o["a"]
 
 
+def test_delitem_slice_keeps_indexes_live(spark):
+    """A slice delete must leave unique indexes consistent: deleted keys
+    miss (KeyError), survivors still resolve."""
+    t = Table("delidx", spark=spark)
+    t.insert_many([{"k": i, "v": i * 10} for i in range(6)])
+    t.create_index("k", unique=True)
+    del t[0:5:2]  # drops rows at positions 0, 2, 4 -> keys 0, 2, 4
+    assert len(t) == 3
+    assert t.by.k[1].v == 10 and t.by.k[5].v == 50
+    with pytest.raises(KeyError):
+        t.by.k[2]
+
+
 @given(rows=rows_st, n=st.integers(1, 5))
 @SETTINGS
 def test_tail_matches_reference(spark, rows, n):

@@ -1,0 +1,67 @@
+"""plans/lint.py: each anti-pattern triggers its warning; the repo's
+own operators (built to avoid them) lint clean."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from littletable_spark import Table, lint_plan
+
+
+def _codes(df):
+    return {w.code for w in lint_plan(df)}
+
+
+def _df(spark, n=50):
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+
+
+def test_flags_unpartitioned_window(spark):
+    df = _df(spark).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    codes = _codes(df)
+    assert "single-partition-window" in codes
+
+
+def test_partitioned_window_is_clean(spark):
+    df = _df(spark).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert "single-partition-window" not in _codes(df)
+
+
+def test_flags_single_partition_exchange(spark):
+    assert "single-partition-exchange" in _codes(_df(spark).repartition(1))
+
+
+def test_flags_cartesian_join(spark):
+    a, b = _df(spark), _df(spark, 10)
+    theta = a.alias("a").join(b.alias("b"), F.col("a.v") < F.col("b.v"))
+    assert "cartesian-join" in _codes(theta)
+
+
+def test_flags_row_at_a_time_udf(spark):
+    plus1 = F.udf(lambda x: x + 1, "bigint")
+    assert "python-row-udf" in _codes(_df(spark).select(plus1("id")))
+
+
+def test_global_sort_flagged_but_topk_is_not(spark):
+    assert "global-sort" in _codes(_df(spark).orderBy("v"))
+    assert "global-sort" not in _codes(_df(spark).orderBy("v").limit(5))
+
+
+def test_repo_operators_lint_clean(spark):
+    """rank/slicing (partition-local numbering), groupby, joins — the
+    operators built to dodge these traps must not trigger them."""
+    t = Table("lintt", spark=spark)
+    t.insert_many([{"k": i % 3, "v": float(i)} for i in range(30)])
+    ranked = t.rank()
+    assert "single-partition-window" not in _codes(ranked.df)
+    g = t.groupby_with_summaries("k", total=F.sum("v"))
+    assert _codes(g.df) <= {"global-sort"}
+    # Table.lint() convenience surfaces the same checks
+    assert isinstance(t.lint(), list)
