@@ -84,6 +84,52 @@ def test_jaccard_matches_python_reference(docs):
     assert got == expect
 
 
+def test_jaccard_prefix_filter_is_exactness_preserving(spark):
+    """The prefix path must return EXACTLY the plain self-join's pairs
+    and values — hypothesis corpora with heavy shingle overlap, both
+    paths forced. (Pins the theory: docs with Jaccard >= t must share a
+    shingle within each other's first sz - ceil(t*sz) + 1 shingles
+    under ANY fixed global order — here the 64-bit shingle hash.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from littletable_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+
+    @given(
+        texts=st.lists(
+            st.lists(words, min_size=1, max_size=12).map(" ".join),
+            min_size=2,
+            max_size=8,
+        ),
+        threshold=st.sampled_from([0.3, 0.5, 0.8]),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(texts, threshold):
+        t = Table("pfx", spark=spark)
+        t.insert_many([{"doc_id": i, "text": s} for i, s in enumerate(texts)])
+        plain = {
+            (r.id1, r.id2): r.jaccard
+            for r in ngram_jaccard_pairs(
+                t, "doc_id", "text", threshold=threshold, prefix_filter=False
+            )
+        }
+        prefix = {
+            (r.id1, r.id2): r.jaccard
+            for r in ngram_jaccard_pairs(
+                t, "doc_id", "text", threshold=threshold, prefix_filter=True
+            )
+        }
+        assert plain == prefix
+
+    check()
+
+
 def test_simhash_matches_python_reference(docs):
     from littletable_spark.operators.dedup import simhash
 
