@@ -936,6 +936,18 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id lang").df
 
 
+def q_sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-group quota: at most 10 docs per source, chosen by a
+    deterministic minwise rank inside the group (the per-domain cap
+    step of corpus curation; re-shard-stable, nested in the cap,
+    WindowGroupLimit bounds skewed groups map-side — sampling.py)."""
+    from littletable_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    out = cap_per_group(d, "source", 10, key_col="doc_id", salt="cap")
+    return out.select("doc_id source").df
+
+
 def _mixture_oracle_sql() -> str:
     """DuckDB mirror of resample_to_mixture: identical normalized weight
     literals (cast to DOUBLE — DuckDB decimal literals would otherwise
@@ -1008,7 +1020,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 69 every round."""
+    runs all 70 every round (sample_cap_per_group is net-new in round 6, mirror-tier until a gate slot rotates open)."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1080,6 +1092,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_dsl": q_join_dsl,
         "text_repetition": q_text_repetition,
         "explode_embedding": q_explode_embedding,
+        "sample_cap_per_group": q_sample_cap_per_group,
     }
 
 
@@ -1932,6 +1945,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "sample_mixture": _mixture_oracle_sql(),
+        "sample_cap_per_group": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_hash_bucket_sql('doc_id', 'cap')}, doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 10
+        """,
         "sample_stratified": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_hash_bucket_sql('doc_id', 'strat')}

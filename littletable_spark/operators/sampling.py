@@ -171,3 +171,47 @@ def split_train_test(
     df = table._require_df()
     is_test = hash_bucket(F.col(key_col), salt) < F.lit(_HASH_SPACE * test_fraction)
     return table._derive(df.where(~is_test)), table._derive(df.where(is_test))
+
+
+def cap_per_group(
+    table: Table,
+    group_col: str,
+    cap: int,
+    key_col: str,
+    salt: str = "",
+) -> Table:
+    """Keep at most ``cap`` rows per group — the per-source/per-domain
+    quota step of corpus curation (one crawl domain must not dominate
+    the training mix no matter how many documents it contributed).
+
+    Which rows survive is a deterministic minwise choice: rows are
+    ranked inside their group by ``md5(key || salt)`` (ties broken by
+    the key itself — a total order whenever ``key_col`` is unique, the
+    same discipline tests/test_total_order.py enforces) and the first
+    ``cap`` keep. Like every operator here the decision is
+    re-shard-stable AND nested (raising the cap only ever ADDS
+    survivors), but unlike pure hash thinning it is exact: a group with
+    fewer than ``cap`` rows keeps everything, one with more keeps
+    exactly ``cap``.
+
+    Scale: one shuffle on ``group_col``; Spark plans the rank filter as
+    WindowGroupLimit (per-partition group top-k before the exchange),
+    so the shuffle carries at most ~``cap`` rows per group per input
+    partition, not the whole corpus. Skewed groups (exactly the
+    motivating case — one domain with 10^8 docs) are therefore bounded
+    map-side.
+    """
+    from pyspark.sql import Window
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    df = table._require_df()
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    out = (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= F.lit(int(cap)))
+        .drop("__rk__")
+    )
+    return table._derive(out)

@@ -125,3 +125,46 @@ def test_resample_to_mixture_proportions_and_stability(spark):
 
     with _pytest.raises(ValueError):
         resample_to_mixture(t, "src", {}, key_col="doc_id")
+
+
+def test_cap_per_group_exact_and_nested(spark):
+    """Groups under the cap keep everything; over-cap groups keep
+    exactly cap; survivors are NESTED in the cap (raising it only adds
+    rows) and stable under repartitioning."""
+    from littletable_spark.operators.sampling import cap_per_group
+
+    t = Table("capt", spark=spark)
+    t.insert_many(
+        [{"g": "big", "k": i} for i in range(40)]
+        + [{"g": "small", "k": 100 + i} for i in range(3)]
+    )
+    out10 = cap_per_group(t, "g", 10, key_col="k", salt="s")
+    by_g = {}
+    for r in out10:
+        by_g.setdefault(r.g, set()).add(r.k)
+    assert len(by_g["big"]) == 10
+    assert by_g["small"] == {100, 101, 102}
+
+    out5 = cap_per_group(t, "g", 5, key_col="k", salt="s")
+    kept5 = {(r.g, r.k) for r in out5}
+    kept10 = {(r.g, r.k) for r in out10}
+    assert kept5 < kept10  # nested: cap=5 survivors all survive cap=10
+
+    resharded = Table.from_df(t.df.repartition(13))
+    again = {(r.g, r.k) for r in cap_per_group(resharded, "g", 10, key_col="k", salt="s")}
+    assert again == kept10
+
+    with pytest.raises(ValueError):
+        cap_per_group(t, "g", 0, key_col="k")
+
+
+def test_cap_per_group_plans_window_group_limit(spark):
+    """The rank filter must reach the map side (WindowGroupLimit), so a
+    skewed group is bounded to ~cap rows per input partition before the
+    shuffle."""
+    from littletable_spark.operators.sampling import cap_per_group
+
+    t = Table("capp", spark=spark)
+    t.insert_many([{"g": i % 2, "k": i} for i in range(50)])
+    plan = cap_per_group(t, "g", 5, key_col="k").df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
