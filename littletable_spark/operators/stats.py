@@ -343,12 +343,42 @@ def stats_table(
         # columns take the sketch-bracketed bounded selection in
         # _exact_medians (Spark's exact `percentile` buffers a
         # value->count map per partition and degrades exactly there).
-        colmap = {c: _col(c) for c in fields}
+        # project to the stat columns once — explicit column pruning
+        # every pass below inherits (an A/B also tried repartitioning
+        # this projection when the source has few splits, like
+        # ngram_jaccard does: it LOST locally — stats' per-job work is
+        # tiny, so the exchange + cache write cost more than the extra
+        # parallelism returned; the jaccard case wins because shingling
+        # is CPU-heavy per row)
+        stat_src = df.select(
+            *[_col(c).alias(f"__st_{c}") for c in fields]
+        )
+        colmap = {c: F.col(f"__st_{c}") for c in fields}
+        aggs = []
+        for c in fields:
+            col = colmap[c]
+            aggs += [
+                F.avg(col).alias(f"{c}__mean"),
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+                F.var_samp(col).alias(f"{c}__variance"),
+                F.stddev_samp(col).alias(f"{c}__std_dev"),
+                F.count(col).alias(f"{c}__count"),
+                (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__missing"),
+            ]
         acd_aggs = [
             F.approx_count_distinct(col).alias(f"{c}__acd")
             for c, col in colmap.items()
         ]
-        row = df.agg(*aggs, *acd_aggs).collect()[0].asDict()
+        # fuse the high-card path's quantile-bracket sketches into the
+        # SAME scan (the hook _bracket_aggs exposes): for columns that
+        # turn out low-cardinality the sketch is wasted CPU in an
+        # already-running pass, but the high-card path then starts at
+        # the count-only step instead of paying a dedicated sketch scan
+        # — one fewer full pass, which is what matters at 100 TB
+        row = stat_src.agg(
+            *aggs, *acd_aggs, *_bracket_aggs(colmap)
+        ).collect()[0].asDict()
         counts = {c: int(row[f"{c}__count"]) for c in fields}
         low = {
             c: colmap[c]
@@ -360,9 +390,16 @@ def stats_table(
         }
         medians: dict[str, float | None] = {c: None for c in fields}
         if low:
-            medians.update(_histogram_medians(df, low, counts))
+            medians.update(_histogram_medians(stat_src, low, counts))
         if high:
-            medians.update(_exact_medians(df, high, counts))
+            medians.update(
+                _exact_medians(
+                    stat_src,
+                    high,
+                    counts,
+                    brackets={c: row[f"{c}__bracket"] for c in high},
+                )
+            )
         for c in fields:
             row[f"{c}__median"] = medians[c]
 
