@@ -936,6 +936,21 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id lang").df
 
 
+def q_text_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filtering with an audit trail: keep flag +
+    the array of violated rules per doc (fixed rule order), so curation
+    decisions are explainable and per-rule rejection rates aggregable
+    (textops.filter_quality; narrow projection, scan-speed)."""
+    from littletable_spark.operators.textops import filter_quality
+
+    d = _t(spark, sf_dir, "documents")
+    out = filter_quality(d, "text", "doc_id")
+    return out.select(
+        "doc_id n_tokens mean_token_len symbol_ratio stopword_ratio "
+        "failed_rules keep"
+    ).df
+
+
 def q_sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-group quota: at most 10 docs per source, chosen by a
     deterministic minwise rank inside the group (the per-domain cap
@@ -1020,7 +1035,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 70 every round (sample_cap_per_group is net-new in round 6, mirror-tier until a gate slot rotates open)."""
+    runs all 71 every round (sample_cap_per_group and text_filter_quality are net-new in round 6, mirror-tier until gate slots rotate open)."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1093,6 +1108,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "explode_embedding": q_explode_embedding,
         "sample_cap_per_group": q_sample_cap_per_group,
+        "text_filter_quality": q_text_filter_quality,
     }
 
 
@@ -1954,6 +1970,49 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rk
               FROM documents
             ) WHERE rk <= 10
+        """,
+        "text_filter_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS DOUBLE) AS n_tokens,
+                     CAST(list_sum(list_transform(toks, x -> length(x)))
+                          AS DOUBLE) / len(toks) AS mean_token_len,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                          AS DOUBLE) / length(text) AS symbol_ratio,
+                     CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','is','in','that','it','for','with'],
+                       lower(x)))) AS DOUBLE) / len(toks) AS stopword_ratio
+              FROM t
+            ), chk AS (
+              SELECT *,
+                     list_filter([
+                       CASE WHEN NOT (n_tokens IS NOT NULL AND n_tokens >= 50.0
+                                      AND n_tokens <= 100000.0)
+                            THEN 'n_tokens' END,
+                       CASE WHEN NOT (mean_token_len IS NOT NULL
+                                      AND mean_token_len >= 3.0
+                                      AND mean_token_len <= 10.0)
+                            THEN 'mean_token_len' END,
+                       CASE WHEN NOT (symbol_ratio IS NOT NULL
+                                      AND symbol_ratio >= 0.0
+                                      AND symbol_ratio <= 0.1)
+                            THEN 'symbol_ratio' END,
+                       CASE WHEN NOT (stopword_ratio IS NOT NULL
+                                      AND stopword_ratio >= 0.02
+                                      AND stopword_ratio <= 1.0)
+                            THEN 'stopword_ratio' END
+                     ], x -> x IS NOT NULL) AS failed_rules
+              FROM sig
+            )
+            SELECT doc_id, n_tokens, mean_token_len, symbol_ratio,
+                   stopword_ratio, failed_rules,
+                   len(failed_rules) = 0 AS keep
+            FROM chk
         """,
         "sample_stratified": f"""
             SELECT doc_id, lang FROM documents

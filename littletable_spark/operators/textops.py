@@ -9,6 +9,8 @@ engine-portable so the DuckDB oracle can check them.
 
 from __future__ import annotations
 
+from typing import Mapping
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -96,6 +98,85 @@ def quality_score(table: Table, text_col: str, id_col: str) -> Table:
         score.alias("quality"),
     )
     return Table.from_df(out, name=f"{table.table_name}_quality")
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+#: Models", table A1 — the public standard for rule-based corpus
+#: filtering). Tuned constants are parameters; these are the defaults.
+GOPHER_RULES: dict[str, tuple[float, float]] = {
+    # rule name -> (lo, hi) inclusive bounds on the underlying signal
+    "n_tokens": (50.0, 100_000.0),
+    "mean_token_len": (3.0, 10.0),
+    "symbol_ratio": (0.0, 0.1),
+    "stopword_ratio": (0.02, 1.0),
+}
+
+
+def filter_quality(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    rules: Mapping[str, tuple[float, float]] | None = None,
+) -> Table:
+    """Rule-based quality filtering with an audit trail — the
+    Gopher-rule keep/drop step of corpus curation, kept explainable:
+    every row carries ``keep`` plus ``failed_rules``, the array of rule
+    names it violated (in a fixed rule order), so curation decisions
+    can be audited, aggregated per rule, and re-litigated without
+    re-running the pipeline.
+
+    Each rule is an inclusive ``lo <= signal <= hi`` band over a
+    deterministic text signal (token count, mean token length, symbol
+    density, stopword ratio). Pure narrow projection — no shuffle, no
+    UDF, scan-speed at any scale; downstream callers typically
+    ``where(keep=True)`` (pushed to the scan) or group on
+    ``explode(failed_rules)`` for a per-rule rejection report.
+    """
+    rules = dict(rules) if rules is not None else dict(GOPHER_RULES)
+    unknown = set(rules) - set(GOPHER_RULES)
+    if unknown:
+        raise ValueError(f"unknown quality rules: {sorted(unknown)}")
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    signals: dict[str, Column] = {
+        "n_tokens": n_tokens.cast("double"),
+        "mean_token_len": (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            ).cast("double")
+            / n_tokens
+        ),
+        "symbol_ratio": (
+            F.length(
+                F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+            ).cast("double")
+            / F.length(F.col(text_col))
+        ),
+        "stopword_ratio": (
+            F.size(
+                F.filter(toks, lambda t: F.lower(t).isin(STOPWORD_SAMPLE))
+            ).cast("double")
+            / n_tokens
+        ),
+    }
+    checks = []
+    for name in GOPHER_RULES:  # fixed order for the audit array
+        if name not in rules:
+            continue
+        lo, hi = rules[name]
+        sig = signals[name]
+        ok = sig.isNotNull() & (sig >= F.lit(float(lo))) & (sig <= F.lit(float(hi)))
+        checks.append(F.when(~ok, F.lit(name)))
+    failed = F.array_compact(F.array(*checks)) if checks else F.array().cast(
+        "array<string>"
+    )
+    out = table.df.select(
+        F.col(id_col),
+        *[signals[n].alias(n) for n in GOPHER_RULES if n in rules],
+        failed.alias("failed_rules"),
+        (F.size(failed) == 0).alias("keep"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_filtered")
 
 
 def lang_id(table: Table, text_col: str, id_col: str) -> Table:

@@ -365,3 +365,45 @@ def test_contamination_check_bench_cap(spark):
         corpus, bench, "doc_id", "doc_id", n=2, max_bench_ngrams=None
     )
     assert len(ok) == 10
+
+
+def test_filter_quality_rules_and_audit_trail(spark):
+    """Each Gopher rule fires on a constructed violator and names
+    itself in failed_rules (fixed order); a clean doc keeps; custom
+    bands override; unknown rule names fail loudly."""
+    import pytest
+
+    from littletable_spark.operators.textops import filter_quality
+
+    good = " ".join(["the quick brown fox jumps over lazy dogs tonight"] * 8)
+    docs = [
+        {"doc_id": 1, "text": good},                       # passes all
+        {"doc_id": 2, "text": "the of to is in"},          # too few tokens
+        {"doc_id": 3, "text": " ".join(["the", "a b c d " * 20][:1] * 60)},
+        {"doc_id": 4, "text": " ".join(["the##%%@@!!**"] * 60)},  # symbols
+        {"doc_id": 5, "text": " ".join(["zqxj klmn vwpt"] * 30)},  # no stopwords
+    ]
+    t = Table("fq", spark=spark)
+    t.insert_many(docs)
+    out = {r.doc_id: r for r in filter_quality(t, "text", "doc_id")}
+    assert out[1].keep and list(out[1].failed_rules) == []
+    assert not out[2].keep and "n_tokens" in out[2].failed_rules
+    assert not out[4].keep and "symbol_ratio" in out[4].failed_rules
+    assert not out[5].keep and "stopword_ratio" in out[5].failed_rules
+    # fixed audit order: any multi-failure lists rules in GOPHER order
+    multi = [r for r in out.values() if len(r.failed_rules) > 1]
+    from littletable_spark.operators.textops import GOPHER_RULES
+
+    order = list(GOPHER_RULES)
+    for r in multi:
+        idxs = [order.index(x) for x in r.failed_rules]
+        assert idxs == sorted(idxs)
+
+    # custom band: min 3 tokens only
+    loose = filter_quality(
+        t, "text", "doc_id", rules={"n_tokens": (3.0, 1e9)}
+    )
+    assert all(r.keep for r in loose)
+
+    with pytest.raises(ValueError, match="unknown quality rules"):
+        filter_quality(t, "text", "doc_id", rules={"bogus": (0, 1)})
