@@ -31,6 +31,26 @@ def main() -> None:
     keep = q.where(quality=Table.ge(0.3))
     print(f"quality gate: {len(keep)}/{len(docs)} docs pass")
 
+    # 1b. rule-based filtering with an audit trail: which Gopher rule
+    # rejects how many docs (explainable curation)
+    from littletable_spark.operators.textops import filter_quality
+
+    fq = filter_quality(docs, "text", "doc_id")
+    rej = Table.from_df(
+        fq.df.select(F.explode("failed_rules").alias("rule"))
+        .groupBy("rule")
+        .count()
+    )
+    print(f"gopher rules: {len(fq.where(keep=True))}/{len(fq)} docs keep; "
+          "rejections by rule:")
+    rej.orderby("count desc").present()
+
+    # 1c. per-source quota so no domain dominates the mix
+    from littletable_spark.operators.sampling import cap_per_group
+
+    capped = cap_per_group(docs, "source", 10, key_col="doc_id", salt="demo")
+    print(f"per-source cap (10): {len(capped)}/{len(docs)} docs survive")
+
     # 2. language distribution (predicted)
     langs = lang_id(docs, "text", "doc_id")
     langs.groupby_with_summaries("pred_lang", n=F.count(F.lit(1))).orderby(
