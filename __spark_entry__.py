@@ -1025,7 +1025,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     as in-gate join_3way_agg / semi_join / anti_join), text_repetition
     (token-array projection like in-gate text_tokens / text_quality),
     explode_embedding (posexplode family, sibling text_chunks).
-    Previously parked, all driver-green in an earlier round: orderby_head
+    Late-round-6 swap: the two net-new round-6 queries
+    (text_filter_quality, sample_cap_per_group) enter the gate so their
+    FIRST driver gate run happens this round; semi_join and
+    sample_stratified park in exchange (both driver-green in
+    CORRECTNESS_r05; siblings in gate: anti_join + join_3way_agg share
+    the join core, sample_uniform / sample_fixed / sample_mixture share
+    the hash_bucket path). Previously parked, all driver-green in an
+    earlier round: orderby_head
     / rank / rollup / delete (r1-r4 gates; siblings tpch_q3_shape,
     window_topk_per_group, grouping_sets, where_comparators), cube /
     pivot_sum (Expand + pivot-agg families), head_tail, slice_positional
@@ -1035,7 +1042,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 71 every round (sample_cap_per_group and text_filter_quality are net-new in round 6, mirror-tier until gate slots rotate open)."""
+    runs all 71 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1046,7 +1053,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique": q_unique,
         "join_3way_agg": q_join_3way_agg,
         "outer_join_left": q_outer_join_left,
-        "semi_join": q_semi_join,
+        "text_filter_quality": q_text_filter_quality,
         "anti_join": q_anti_join,
         "asof_join": q_asof_join,
         "union": q_union,
@@ -1078,7 +1085,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "sample_uniform": q_sample_uniform,
         "sample_fixed": q_sample_fixed,
-        "sample_stratified": q_sample_stratified,
+        "sample_cap_per_group": q_sample_cap_per_group,
         "sample_mixture": q_sample_mixture,
         "multimodal_decode": q_multimodal_decode,
         "text_chunks": q_text_chunks,
@@ -1107,8 +1114,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_dsl": q_join_dsl,
         "text_repetition": q_text_repetition,
         "explode_embedding": q_explode_embedding,
-        "sample_cap_per_group": q_sample_cap_per_group,
-        "text_filter_quality": q_text_filter_quality,
+        "semi_join": q_semi_join,
+        "sample_stratified": q_sample_stratified,
     }
 
 
