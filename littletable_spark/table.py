@@ -307,6 +307,14 @@ class Table:
     ) -> "Table":
         return cls(name=name or path, df=spark.read.parquet(path), spark=spark)
 
+    @classmethod
+    def orc_import(
+        cls, spark: SparkSession, path: str, name: str = ""
+    ) -> "Table":
+        """ORC source (built into Spark; same pushdown/pruning story as
+        parquet — PushedFilters and ReadSchema reach the scan)."""
+        return cls(name=name or path, df=spark.read.orc(path), spark=spark)
+
     # ------------------------------------------------------------------ #
     # internals
 
@@ -1414,6 +1422,32 @@ class Table:
             cols = partition_by.split() if isinstance(partition_by, str) else list(partition_by)
             writer = writer.partitionBy(*cols)
         writer.parquet(path)
+
+    def orc_export(self, path: str, mode: str = "overwrite", partition_by: Any = None) -> None:
+        """Dataset-scale ORC sink (df.write, no driver collect)."""
+        writer = self.df.write.mode(mode)
+        if partition_by:
+            cols = partition_by.split() if isinstance(partition_by, str) else list(partition_by)
+            writer = writer.partitionBy(*cols)
+        writer.orc(path)
+
+    def explain(self, mode: str = "formatted") -> None:
+        """Print this table's physical plan (df.explain passthrough) —
+        pairs with ``lint()`` for plan hygiene checks."""
+        self.df.explain(mode)
+
+    def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "Table":
+        """Pin the current contents (incl. order columns) across the
+        next several actions; returns self for chaining."""
+        from pyspark import StorageLevel
+
+        self._require_df().persist(getattr(StorageLevel, storage_level))
+        return self
+
+    def unpersist(self) -> "Table":
+        if self._df is not None:
+            self._df.unpersist()
+        return self
 
     def to_view(self, name: str | None = None) -> str:
         """Register as a temp view for spark.sql — the SQL face of the

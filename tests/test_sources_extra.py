@@ -176,3 +176,32 @@ def test_load_events_conf_restored(spark):
     e = load_events(spark, "/root/testdata/sf0.001/events.parquet")
     assert e.df.count() > 0
     assert spark.conf.get(TS_NANOS_CONF, None) in (None, "false")
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC round-trips with full fidelity and, like parquet, pushes
+    filters into the scan."""
+    import io
+    import contextlib
+
+    from littletable_spark import Table
+
+    src = Table.parquet_import(spark, "/root/testdata/sf0.001/orders.parquet")
+    p = str(tmp_path / "orders_orc")
+    src.orc_export(p)
+    back = Table.orc_import(spark, p)
+    assert len(back) == len(src)
+    assert sorted(back.fields) == sorted(src.fields)
+    big = back.where(o_totalprice=Table.gt(100_000.0))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        big.explain()
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+    # partitioned variant prunes partitions
+    src.orc_export(str(tmp_path / "orc_part"), partition_by="o_orderstatus")
+    part = Table.orc_import(spark, str(tmp_path / "orc_part"))
+    sub = part.where(o_orderstatus="F")
+    assert len(sub) == len(src.where(o_orderstatus="F"))
+    # persist/unpersist passthrough chains
+    assert src.persist().unpersist() is src
