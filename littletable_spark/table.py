@@ -293,6 +293,17 @@ class Table:
 
     @staticmethod
     def _with_internal(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            # A Table over an unbounded stream supports the narrow
+            # subset (select/where/compute-style projections — e.g.
+            # ingest-time quality filtering); ordered-bag semantics
+            # (slices, rank, head) are meaningless on a stream, and
+            # monotonically_increasing_id is rejected by Structured
+            # Streaming anyway, so no order columns are stamped. An
+            # order-dependent op on a streaming Table fails with
+            # Spark's missing-column/unsupported-operation analysis
+            # error at plan time, never silently.
+            return df
         if EPOCH not in df.columns:
             df = df.withColumn(EPOCH, F.lit(0).cast("long"))
         return ensure_row_ord(df)

@@ -306,3 +306,40 @@ def test_renderers_null_and_decimal_cells(spark):
     html = t.as_html()
     assert "None" not in html
     assert '<td><div align="right">1.50' in html
+
+
+def test_filter_quality_runs_on_streams(spark):
+    """The curation projections are narrow, so they apply unchanged to
+    a readStream source: stream filter_quality over documents and match
+    the batch result row-for-row (ingest-time filtering at scale)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from littletable_spark import Table
+    from littletable_spark.operators.textops import filter_quality
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    stage = tempfile.mkdtemp(prefix="lts_fq_stream_")
+    shutil.copy(src, stage)
+    schema = spark.read.parquet(src).schema
+    stream_df = spark.readStream.schema(schema).parquet(stage)
+    out = filter_quality(Table.from_df(stream_df), "text", "doc_id").df
+    assert out.isStreaming
+    sink = f"fq_sink_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r.doc_id: (r.keep, tuple(r.failed_rules))
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    batch = {
+        r.doc_id: (r.keep, tuple(r.failed_rules))
+        for r in filter_quality(
+            Table.parquet_import(spark, src), "text", "doc_id"
+        )
+    }
+    assert streamed == batch
