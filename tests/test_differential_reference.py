@@ -213,6 +213,62 @@ def test_delitem_slice_keeps_indexes_live(spark):
         t.by.k[2]
 
 
+@given(rows=rows_st, n=st.integers(1, 4))
+@SETTINGS
+def test_batched_matches_reference(spark, rows, n):
+    """batched(n): same number of batches, same rows per batch, in
+    table order (littletable.py:3616-3628)."""
+    r_batches = [[(x.a, x.b) for x in b] for b in _ref_table(rows).batched(n)]
+    o_batches = [[(x.a, x.b) for x in b] for b in _our_table(spark, rows).batched(n)]
+    assert o_batches == r_batches
+
+
+@given(rows=rows_st)
+@SETTINGS
+def test_list_surface_index_count_matches_reference(spark, rows):
+    """t.count(obj) and t.index(obj) — list-protocol parity incl. the
+    ValueError on a missing object."""
+    r = _ref_table(rows)
+    o = _our_table(spark, rows)
+    probe = {"a": rows[0][0], "b": rows[0][1]} if rows else {"a": 99, "b": 99}
+    import types
+
+    ns = types.SimpleNamespace(**probe)
+    assert o.count(ns) == sum(
+        1 for x in r if (x.a, x.b) == (probe["a"], probe["b"])
+    )
+    if rows:
+        assert o.index(ns) == next(
+            i for i, x in enumerate(r) if (x.a, x.b) == (probe["a"], probe["b"])
+        )
+    else:
+        with pytest.raises(ValueError):
+            o.index(ns)
+
+
+@given(rows=st.lists(st.tuples(st.integers(-3, 3), st.integers(-3, 3)), min_size=1, max_size=8),
+       i=st.integers(-8, 7))
+@SETTINGS
+def test_pop_matches_reference(spark, rows, i):
+    """pop(i): same popped row and same survivors, or IndexError on
+    both engines."""
+    r = _ref_table(rows)
+    o = _our_table(spark, rows)
+    r_err = o_err = None
+    try:
+        r_row = r.pop(i)
+    except IndexError:
+        r_err = True
+    try:
+        o_row = o.pop(i)
+    except IndexError:
+        o_err = True
+    assert r_err == o_err
+    if not r_err:
+        assert (o_row.a, o_row.b) == (r_row.a, r_row.b)
+        assert [(x.a, x.b) for x in o] == [(x.a, x.b) for x in r]
+
+
 @given(rows=rows_st, n=st.integers(1, 5))
 @SETTINGS
 def test_tail_matches_reference(spark, rows, n):
