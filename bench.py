@@ -34,6 +34,7 @@ HEADLINE = [
     "pivot_counts",
     "multimodal_meta",
     "multimodal_decode",
+    "sample_cap_per_group",
 ]
 
 

@@ -136,43 +136,55 @@ def filter_quality(
     unknown = set(rules) - set(GOPHER_RULES)
     if unknown:
         raise ValueError(f"unknown quality rules: {sorted(unknown)}")
-    toks = _tokens(text_col)
-    n_tokens = F.size(toks)
+    # materialize the token array ONCE (the repetition_score trick):
+    # referencing the tokenizer expression inside each signal would
+    # re-run the regex split per signal AND again per rule check —
+    # measured ~3x end-to-end on the bench corpus
+    toked = table.df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt__"),
+        _tokens(text_col).alias("__tk__"),
+    )
+    tk = F.col("__tk__")
+    n_tokens = F.size(tk)
     signals: dict[str, Column] = {
         "n_tokens": n_tokens.cast("double"),
         "mean_token_len": (
             F.aggregate(
-                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+                tk, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
             ).cast("double")
             / n_tokens
         ),
         "symbol_ratio": (
             F.length(
-                F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+                F.regexp_replace(F.col("__txt__"), r"[A-Za-z0-9\s]", "")
             ).cast("double")
-            / F.length(F.col(text_col))
+            / F.length(F.col("__txt__"))
         ),
         "stopword_ratio": (
             F.size(
-                F.filter(toks, lambda t: F.lower(t).isin(STOPWORD_SAMPLE))
+                F.filter(tk, lambda t: F.lower(t).isin(STOPWORD_SAMPLE))
             ).cast("double")
             / n_tokens
         ),
     }
+    sig_df = toked.select(
+        F.col(id_col),
+        *[signals[n].alias(n) for n in GOPHER_RULES if n in rules],
+    )
     checks = []
     for name in GOPHER_RULES:  # fixed order for the audit array
         if name not in rules:
             continue
         lo, hi = rules[name]
-        sig = signals[name]
+        sig = F.col(name)  # the materialized signal, not a recompute
         ok = sig.isNotNull() & (sig >= F.lit(float(lo))) & (sig <= F.lit(float(hi)))
         checks.append(F.when(~ok, F.lit(name)))
     failed = F.array_compact(F.array(*checks)) if checks else F.array().cast(
         "array<string>"
     )
-    out = table.df.select(
-        F.col(id_col),
-        *[signals[n].alias(n) for n in GOPHER_RULES if n in rules],
+    out = sig_df.select(
+        "*",
         failed.alias("failed_rules"),
         (F.size(failed) == 0).alias("keep"),
     )
