@@ -41,13 +41,18 @@ def token_stats(table: Table, text_col: str, id_col: str) -> Table:
     """Whitespace token count + distinct-token count + type/token ratio,
     plus a BPE-ish subword proxy count (``BPE_TOKEN_RE`` matches — the
     pre-merge piece count, a standard training-data size estimate)."""
-    toks = _tokens(text_col)
-    out = table.df.select(
+    toked = table.df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt__"),
+        _tokens(text_col).alias("__tk__"),  # split once, not per signal
+    )
+    toks = F.col("__tk__")
+    out = toked.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+            F.regexp_extract_all(F.col("__txt__"), F.lit(BPE_TOKEN_RE), F.lit(0))
         ).alias("n_bpe_tokens"),
     ).withColumn(
         "ttr",
@@ -63,8 +68,16 @@ def quality_score(table: Table, text_col: str, id_col: str) -> Table:
     density, stopword ratio. The composite is a deterministic linear
     blend clamped to [0, 1] — same arithmetic in SQL.
     """
-    toks = _tokens(text_col)
-    n_chars = F.length(F.col(text_col))
+    # materialize the token array once — the tokenizer expression is
+    # referenced by three signals, and inlining it re-runs the regex
+    # split per signal (same lesson as filter_quality/repetition_score)
+    toked = table.df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt__"),
+        _tokens(text_col).alias("__tk__"),
+    )
+    toks = F.col("__tk__")
+    n_chars = F.length(F.col("__txt__"))
     n_tokens = F.size(toks)
     mean_tok_len = (
         F.aggregate(
@@ -72,7 +85,7 @@ def quality_score(table: Table, text_col: str, id_col: str) -> Table:
         ).cast("double")
         / n_tokens
     )
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    punct = F.length(F.regexp_replace(F.col("__txt__"), r"[^.,;:!?]", ""))
     punct_ratio = punct.cast("double") / n_chars
     stop_hits = F.size(
         F.filter(toks, lambda t: F.lower(t).isin(STOPWORD_SAMPLE))
@@ -88,7 +101,7 @@ def quality_score(table: Table, text_col: str, id_col: str) -> Table:
     # weights, small-integer ratios) and land exactly on round-half
     # boundaries where engines disagree; unrounded same-order doubles
     # are bit-identical across engines
-    out = table.df.select(
+    out = toked.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -198,7 +211,14 @@ def lang_id(table: Table, text_col: str, id_col: str) -> Table:
     the prediction is the argmax with a fixed tie order (languages
     compared in sorted code order). Deterministic and SQL-expressible.
     """
-    toks_lower = F.transform(_tokens(text_col), F.lower)
+    # lowercase token array materialized once: the per-language
+    # intersect loop references it len(LANG_MARKERS) times, which would
+    # otherwise re-run the split+lower per language
+    toked = table.df.select(
+        F.col(id_col),
+        F.transform(_tokens(text_col), F.lower).alias("__tkl__"),
+    )
+    toks_lower = F.col("__tkl__")
     scores: list[tuple[str, Column]] = []
     for code in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
@@ -210,7 +230,7 @@ def lang_id(table: Table, text_col: str, id_col: str) -> Table:
         better = s > best
         pred = F.when(better, F.lit(code)).otherwise(pred)
         best = F.when(better, s).otherwise(best)
-    out = table.df.select(
+    out = toked.select(
         F.col(id_col),
         *[s.alias(f"score_{code}") for code, s in scores],
         pred.alias("pred_lang"),
