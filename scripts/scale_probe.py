@@ -140,6 +140,21 @@ def main() -> None:
         contamination_check(corpus, bench, "doc_id", "doc_id", n=8)\
             .df.write.format("noop").mode("overwrite").save()
 
+    def fquality(docs):
+        from littletable_spark.operators.textops import filter_quality
+
+        t = Table.from_df(docs)
+        filter_quality(t, "text", "doc_id").df.write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def capgrp(docs):
+        from littletable_spark.operators.sampling import cap_per_group
+
+        t = Table.from_df(docs)
+        cap_per_group(t, "source", 10, key_col="doc_id", salt="probe")\
+            .df.write.format("noop").mode("overwrite").save()
+
     def contamination_fixed_bench(bench_docs, corpus_docs):
         # the production asymmetry: a FIXED small eval set vs a growing
         # corpus — growth across corpus sizes should be ~the corpus
@@ -242,6 +257,11 @@ def main() -> None:
     timed("pack_10x", lambda: pack(docs10), results)
     timed("contamination_1x", lambda: contamination(docs1), results)
     timed("contamination_10x", lambda: contamination(docs10), results)
+    fquality(docs1); fquality(docs10); capgrp(docs1); capgrp(docs10)
+    timed("fquality_1x", lambda: fquality(docs1), results)
+    timed("fquality_10x", lambda: fquality(docs10), results)
+    timed("capgrp_1x", lambda: capgrp(docs1), results)
+    timed("capgrp_10x", lambda: capgrp(docs10), results)
     contamination_fixed_bench(docs1, docs1)
     contamination_fixed_bench(docs1, docs10)  # warm both shapes
     timed(
@@ -257,7 +277,7 @@ def main() -> None:
     for base in [
         "q1_agg", "join_agg", "topk", "window_topk", "minhash",
         "jaccard", "clusters", "emb_lsh", "pack", "contamination",
-        "contam_fixed",
+        "contam_fixed", "fquality", "capgrp",
     ]:
         a, b = results[f"{base}_1x"], results[f"{base}_10x"]
         print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
