@@ -45,8 +45,19 @@ def main() -> None:
     spark = get_spark(cpus=32)
     li1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     o1 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    li10 = blow_up(li1, ["l_orderkey"], COPIES)
-    o10 = blow_up(o1, ["o_orderkey", "o_custkey"], COPIES)
+    # Pin every synthetic input before timing: the 10x frames are
+    # 10-way union + per-replica transforms, and leaving that plan live
+    # inside the timed queries measures corpus SYNTHESIS (itself 10x
+    # work) on top of the operator — the round-5/6 jaccard_10x row
+    # swung 3.0-6.4s for exactly this reason. Persist + count fixes the
+    # probe to measure operator growth alone (the controlled
+    # jaccard_probe.py methodology, now applied probe-wide).
+    li10 = blow_up(li1, ["l_orderkey"], COPIES).persist()
+    o10 = blow_up(o1, ["o_orderkey", "o_custkey"], COPIES).persist()
+    li1 = li1.persist()
+    o1 = o1.persist()
+    for _df in (li1, o1, li10, o10):
+        _df.count()
 
     def q1(df):
         return (
@@ -191,7 +202,10 @@ def main() -> None:
         rep = docs1.withColumn("text", F.translate(F.col("text"), LETTERS, rot))
         rep = rep.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
         docs10_p = rep if docs10_p is None else docs10_p.unionByName(rep)
+    docs1 = docs1.persist()
+    docs10_p = docs10_p.persist()
     docs10 = docs10_p
+    docs1.count(), docs10.count()
 
     emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     emb10 = None
@@ -205,6 +219,9 @@ def main() -> None:
             ),
         ).withColumn("vec_id", F.col("vec_id") + F.lit(i * 100_000_000))
         emb10 = rep if emb10 is None else emb10.unionByName(rep)
+    emb1 = emb1.persist()
+    emb10 = emb10.persist()
+    emb1.count(), emb10.count()
 
     from littletable_spark.operators.dedup import minhash_lsh_pairs
 
