@@ -871,13 +871,43 @@ def keep_canonical(
     a_col: str = "id1",
     b_col: str = "id2",
     max_iter: int = 25,
+    score_col: str | None = None,
+    descending: bool = True,
 ) -> Table:
-    """Drop every cluster member except the canonical (min-id) one: the
-    deduplicated corpus induced by a near-dup pair list. Plain left-anti
-    join against the non-canonical ids (AQE broadcasts it when small)."""
+    """Drop every cluster member except the canonical one: the
+    deduplicated corpus induced by a near-dup pair list.
+
+    By default canonical = the min-id member (cheap, deterministic).
+    With ``score_col`` the canonical is the best-scoring member per
+    cluster (``descending=True`` keeps the max — e.g. a quality score —
+    ties broken by min id, a total order since ids are unique): the
+    production dedup policy is usually "keep the BEST copy", not the
+    first-crawled one. Either way the final step is a plain left-anti
+    join against the non-canonical ids (AQE broadcasts it when small);
+    the score path adds one window over the (small) cluster-membership
+    table, never over the corpus."""
     clusters = dup_clusters(pairs, a_col, b_col, max_iter)
-    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if score_col is None:
+        drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window
+
+        scores = table._require_df().select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("__sc__")
+        )
+        order = (
+            F.col("__sc__").desc() if descending else F.col("__sc__").asc()
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            order, F.col("doc_id").asc()
+        )
+        drop = (
+            clusters.join(scores, on="doc_id")
+            .withColumn("__rk__", F.row_number().over(w))
+            .where(F.col("__rk__") > 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
     out = table._require_df().join(drop, on=id_col, how="left_anti")
     return table._derive(out)

@@ -61,6 +61,7 @@ def resample_to_mixture(
     weights: Mapping[Any, float],
     key_col: str,
     salt: str = "",
+    temperature: float = 1.0,
 ) -> Table:
     """Deterministically down-sample so the ``source_col`` distribution
     matches the target ``weights`` (data mixing for training corpora:
@@ -84,8 +85,17 @@ def resample_to_mixture(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
-    total_w = float(sum(weights.values()))
-    norm = {k: float(v) / total_w for k, v in weights.items()}
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    # temperature-scaled mixing (the multilingual-sampling trick from
+    # the XLM-R line of work): w^(1/T) then renormalize. T=1 keeps the
+    # stated proportions; T>1 flattens toward uniform so low-resource
+    # sources are up-weighted relative to their raw share; T<1
+    # sharpens. Applied driver-side to the literal weights, so the plan
+    # and the oracle see ordinary constants.
+    scaled = {k: float(v) ** (1.0 / temperature) for k, v in weights.items()}
+    total_w = float(sum(scaled.values()))
+    norm = {k: float(v) / total_w for k, v in scaled.items()}
     df = table._require_df()
     w_expr = F.create_map(
         *[x for k, v in sorted(norm.items()) for x in (F.lit(k), F.lit(v))]

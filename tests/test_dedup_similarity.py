@@ -520,3 +520,40 @@ def test_embedding_lsh_multiprobe_matches_numpy_reference(spark):
             t, "vec_id", "embedding", threshold=thr, n_planes=n_planes,
             dim=dim, probe_bits=2,
         )
+
+
+def test_keep_canonical_score_col_keeps_best(spark):
+    """Quality-aware canonical selection: the highest-scoring member of
+    each cluster survives (ties -> min id), singletons untouched."""
+    from littletable_spark.operators.dedup import keep_canonical
+
+    t = Table("kc", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 1, "q": 0.2},
+            {"doc_id": 2, "q": 0.9},   # cluster {1,2,3}: best
+            {"doc_id": 3, "q": 0.9},   # tie -> 2 wins (min id)
+            {"doc_id": 7, "q": 0.1},   # cluster {7,8}
+            {"doc_id": 8, "q": 0.5},   # best
+            {"doc_id": 9, "q": 0.0},   # singleton
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id1 long, id2 long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_canonical(t, pairs, "doc_id", score_col="q")
+    )
+    assert kept == [2, 8, 9]
+    # default min-id policy unchanged
+    kept_min = sorted(r.doc_id for r in keep_canonical(t, pairs, "doc_id"))
+    assert kept_min == [1, 7, 9]
+    # ascending keeps the LOWEST score
+    kept_asc = sorted(
+        r.doc_id
+        for r in keep_canonical(
+            t, pairs, "doc_id", score_col="q", descending=False
+        )
+    )
+    assert kept_asc == [1, 7, 9]

@@ -168,3 +168,32 @@ def test_cap_per_group_plans_window_group_limit(spark):
     t.insert_many([{"g": i % 2, "k": i} for i in range(50)])
     plan = cap_per_group(t, "g", 5, key_col="k").df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark):
+    """T=1 reproduces the stated proportions exactly (bit-identical to
+    the pre-temperature behavior); large T approaches uniform so the
+    scarce source's share rises; T<=0 fails loudly."""
+    from littletable_spark.operators.sampling import resample_to_mixture
+
+    t = Table("mixT", spark=spark)
+    t.insert_many(
+        [{"k": i, "src": "web"} for i in range(300)]
+        + [{"k": 1000 + i, "src": "code"} for i in range(60)]
+    )
+    w = {"web": 0.9, "code": 0.1}
+    base = resample_to_mixture(t, "src", w, key_col="k", salt="t")
+    t1 = resample_to_mixture(t, "src", w, key_col="k", salt="t", temperature=1.0)
+    assert sorted(r.k for r in base) == sorted(r.k for r in t1)
+
+    def share(tbl, src):
+        rows = list(tbl)
+        return sum(1 for r in rows if r.src == src) / len(rows)
+
+    hot = resample_to_mixture(t, "src", w, key_col="k", salt="t", temperature=8.0)
+    # T=8 flattens 0.9/0.1 toward ~0.55/0.45: code's share must rise
+    assert share(hot, "code") > share(base, "code")
+    assert abs(share(hot, "code") - 0.45) < 0.12
+
+    with pytest.raises(ValueError):
+        resample_to_mixture(t, "src", w, key_col="k", temperature=0.0)
