@@ -557,3 +557,57 @@ def test_keep_canonical_score_col_keeps_best(spark):
         )
     )
     assert kept_asc == [1, 7, 9]
+
+
+def test_jaccard_adaptive_decision_engages_on_hot_shingle_skew(spark):
+    """The adaptive prefix-filter stat (sum f² = the self-join's output
+    cardinality) must engage the prefix path on a hot-shingle corpus
+    (every doc shares one shingle -> est pairs ~ N²) and must NOT
+    engage on a disjoint-shingle corpus — pinning both sides of the
+    64x-rows threshold. Results are identical either way (the
+    exactness-preservation property, asserted again here on the skewed
+    corpus)."""
+    from littletable_spark.operators import dedup as D
+
+    # threshold arithmetic: k=4 shingles/doc, one shared by all N docs
+    # -> sum f² ≈ N² + 3N vs 64·rows = 64·4N, so the prefix path
+    # engages once N > ~256. N=400 sits clearly past the crossover.
+    hot = "common shared shingle"
+    skew = Table("skew", spark=spark)
+    skew.insert_many(
+        [
+            {"doc_id": i, "text": f"{hot} unique{i} filler{i} tail{i}"}
+            for i in range(400)
+        ]
+    )
+    D._ADAPTIVE_DECISIONS.clear()
+    out_adaptive = {
+        (r.id1, r.id2)
+        for r in D.ngram_jaccard_pairs(skew, "doc_id", "text", threshold=0.5)
+    }
+    assert D._ADAPTIVE_DECISIONS and all(
+        v is True or v == True  # noqa: E712
+        for v in D._ADAPTIVE_DECISIONS.values()
+    ), "hot-shingle corpus must engage the prefix path"
+    out_plain = {
+        (r.id1, r.id2)
+        for r in D.ngram_jaccard_pairs(
+            skew, "doc_id", "text", threshold=0.5, prefix_filter=False
+        )
+    }
+    assert out_adaptive == out_plain
+
+    flat = Table("flat", spark=spark)
+    flat.insert_many(
+        [
+            {"doc_id": i, "text": f"a{i} b{i} c{i} d{i} e{i} f{i}"}
+            for i in range(40)
+        ]
+    )
+    D._ADAPTIVE_DECISIONS.clear()
+    D.ngram_jaccard_pairs(flat, "doc_id", "text", threshold=0.5)
+    assert D._ADAPTIVE_DECISIONS and all(
+        v is False or v == False  # noqa: E712
+        for v in D._ADAPTIVE_DECISIONS.values()
+    ), "disjoint-shingle corpus must take the plain self-join"
+    D._ADAPTIVE_DECISIONS.clear()
