@@ -365,6 +365,11 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("inter"))
         )
     else:
+        # join strategy left to Catalyst (sort-merge here): a
+        # shuffle_hash hint A/B'd ~11% faster on the join core at 10x
+        # sf0.1 (1.45s vs 1.63s) but only ~4% end-to-end, and SMJ's
+        # sort-spill behavior is the robust choice when BOTH sides are
+        # corpus-scale — not worth pinning the plan for that margin
         a = sh.alias("a")
         b = sh.alias("b")
         inter = (
