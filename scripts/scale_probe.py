@@ -166,6 +166,18 @@ def main() -> None:
         cap_per_group(t, "source", 10, key_col="doc_id", salt="probe")\
             .df.write.format("noop").mode("overwrite").save()
 
+    def asof(ev, orders):
+        # keyed as-of: union-the-streams + one window pass per
+        # (user) partition — the scale axis is the user count, which
+        # the 10x corpus multiplies while per-user stream length stays
+        # constant (the production shape for event enrichment)
+        from littletable_spark.operators.joins import asof_join
+
+        asof_join(
+            Table.from_df(ev), Table.from_df(orders), "ts_sec", "ot",
+            by={"user_id": "user_id"}, right_cols=["last_orderkey"],
+        ).df.write.format("noop").mode("overwrite").save()
+
     def contamination_fixed_bench(bench_docs, corpus_docs):
         # the production asymmetry: a FIXED small eval set vs a growing
         # corpus — growth across corpus sizes should be ~the corpus
@@ -274,6 +286,29 @@ def main() -> None:
     timed("pack_10x", lambda: pack(docs10), results)
     timed("contamination_1x", lambda: contamination(docs1), results)
     timed("contamination_10x", lambda: contamination(docs10), results)
+    from littletable_spark.streaming import load_events
+    from littletable_spark.streaming.events import epoch_seconds
+
+    ev1 = load_events(spark, f"{SF_DIR}/events.parquet").df.select(
+        "event_id", "user_id", "ts_sec"
+    )
+    ord1 = (
+        o1.select(
+            F.col("o_custkey").alias("user_id"),
+            epoch_seconds(o1, "o_orderdate").alias("ot"),
+            "o_orderkey",
+        )
+        .groupBy("user_id", "ot")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    ev10 = blow_up(ev1, ["event_id", "user_id"], COPIES).persist()
+    ord10 = blow_up(ord1, ["user_id", "last_orderkey"], COPIES).persist()
+    ev1 = ev1.persist(); ord1 = ord1.persist()
+    ev1.count(), ord1.count(), ev10.count(), ord10.count()
+    asof(ev1, ord1); asof(ev10, ord10)
+    timed("asof_1x", lambda: asof(ev1, ord1), results)
+    timed("asof_10x", lambda: asof(ev10, ord10), results)
+
     fquality(docs1); fquality(docs10); capgrp(docs1); capgrp(docs10)
     timed("fquality_1x", lambda: fquality(docs1), results)
     timed("fquality_10x", lambda: fquality(docs10), results)
@@ -294,7 +329,7 @@ def main() -> None:
     for base in [
         "q1_agg", "join_agg", "topk", "window_topk", "minhash",
         "jaccard", "clusters", "emb_lsh", "pack", "contamination",
-        "contam_fixed", "fquality", "capgrp",
+        "contam_fixed", "fquality", "capgrp", "asof",
     ]:
         a, b = results[f"{base}_1x"], results[f"{base}_10x"]
         print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
