@@ -35,6 +35,8 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_decode",
     "sample_cap_per_group",
+    "range_join",
+    "events_rollup",
 ]
 
 
