@@ -407,3 +407,77 @@ def test_filter_quality_rules_and_audit_trail(spark):
 
     with pytest.raises(ValueError, match="unknown quality rules"):
         filter_quality(t, "text", "doc_id", rules={"bogus": (0, 1)})
+
+
+def test_filter_quality_matches_python_model(spark):
+    """Hypothesis differential: signals and keep/failed_rules match a
+    pure-Python model of the Gopher bands (guards the driver-gated
+    text_filter_quality query against rule-arithmetic drift)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from littletable_spark.operators.textops import (
+        GOPHER_RULES,
+        STOPWORD_SAMPLE,
+        filter_quality,
+    )
+
+    token = st.sampled_from(
+        ["the", "and", "zqxj", "##%%", "word", "a", "supercalifragilistic"]
+    )
+
+    def model(text):
+        toks = [t for t in text.strip().split() if t]
+        n = len(toks)
+        sig = {
+            "n_tokens": float(n),
+            "mean_token_len": (sum(len(t) for t in toks) / n) if n else None,
+            "symbol_ratio": (
+                sum(1 for ch in text if not (ch.isalnum() or ch.isspace()))
+                / len(text)
+            )
+            if len(text)
+            else None,
+            "stopword_ratio": (
+                sum(1 for t in toks if t.lower() in STOPWORD_SAMPLE) / n
+            )
+            if n
+            else None,
+        }
+        failed = [
+            name
+            for name, (lo, hi) in GOPHER_RULES.items()
+            if sig[name] is None or not (lo <= sig[name] <= hi)
+        ]
+        return sig, failed
+
+    @given(
+        texts=st.lists(
+            st.lists(token, min_size=1, max_size=80).map(" ".join),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(texts):
+        t = Table("fqd", spark=spark)
+        t.insert_many([{"doc_id": i, "text": s} for i, s in enumerate(texts)])
+        got = {r.doc_id: r for r in filter_quality(t, "text", "doc_id")}
+        for i, s in enumerate(texts):
+            sig, failed = model(s)
+            r = got[i]
+            assert list(r.failed_rules) == failed, (s, r.failed_rules, failed)
+            assert r.keep == (not failed)
+            assert abs(r.n_tokens - sig["n_tokens"]) < 1e-9
+            if sig["mean_token_len"] is not None:
+                assert abs(r.mean_token_len - sig["mean_token_len"]) < 1e-9
+            if sig["symbol_ratio"] is not None:
+                assert abs(r.symbol_ratio - sig["symbol_ratio"]) < 1e-9
+            if sig["stopword_ratio"] is not None:
+                assert abs(r.stopword_ratio - sig["stopword_ratio"]) < 1e-9
+
+    check()
