@@ -916,3 +916,220 @@ def keep_canonical(
         )
     out = table._require_df().join(drop, on=id_col, how="left_anti")
     return table._derive(out)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better") and boilerplate line
+# removal (CCNet / RefinedWeb style). Net-new over the reference —
+# no littletable analog; these are the exact-match complements to the
+# approximate MinHash/SimHash family above.
+# ---------------------------------------------------------------------------
+
+
+def _positioned_gram_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int, hash_keys: bool
+) -> DataFrame:
+    """(id, p, g) rows: token position p (1-based) and the k-token gram
+    starting there. Narrow (tokenize once + transform/slice + explode,
+    all codegen, inherits input partitioning — same design as
+    ``_ngram_rows``). Docs shorter than k tokens emit no rows: they
+    cannot contain a k-token duplicate span.
+
+    ``hash_keys=True`` replaces the gram string with ``xxhash64`` before
+    the shuffle — 8 bytes instead of ~6k/8 chars per row. At 10^12 grams
+    the 64-bit birthday bound expects ~n^2/2^65 ≈ tens of thousands of
+    colliding PAIRS corpus-wide, i.e. a ~1e-8 false-mark rate on spans;
+    acceptable for dedup (marks a rare non-duplicate span), switchable
+    off for exact audits."""
+    toked = df.select(F.col(id_col), _tokens(text_col).alias("__tk__")).where(
+        F.size("__tk__") >= k
+    )
+    tk = F.col("__tk__")
+    gram = lambda i: F.array_join(F.slice(tk, i, k), " ")  # noqa: E731
+    key = (lambda i: F.xxhash64(gram(i))) if hash_keys else gram
+    pos = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("p"), key(i).alias("g")
+                ),
+            )
+        ).alias("pg"),
+    )
+    return pos.select(F.col(id_col), F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
+
+
+def duplicate_spans(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    hash_keys: bool = True,
+) -> Table:
+    """Exact-substring duplicate detection: every maximal token span
+    whose k-token grams all occur in >= ``min_docs`` DISTINCT documents,
+    as (id, span_start, span_end, span_tokens), positions 1-based
+    inclusive. Intra-document repeats do NOT mark a span (that signal is
+    ``repetition_score``); this is the cross-document exact complement
+    to the approximate MinHash/SimHash family.
+
+    Scale shape (100 TB): gram generation is narrow; ONE shuffle groups
+    by gram key (8-byte hashed by default, see ``_positioned_gram_rows``)
+    with map-side partial aggregation; the mark-back semi-join reuses
+    that exchange (both sides hash-partitioned on g). For the common
+    ``min_docs=2`` the dup test is min(id) != max(id) — two cheap
+    algebraic aggs instead of a count-distinct expansion. Span merging
+    is a per-document window (docs are bounded, no skew) ordered by the
+    in-doc position p — (id, p) is unique, so the sort is total and the
+    result engine-independent. Overlapping AND adjacent gram hits merge
+    into one span (a contiguous duplicated region has no gap)."""
+    from pyspark.sql import Window
+
+    df = table._require_df()
+    pos = _positioned_gram_rows(df, id_col, text_col, k, hash_keys)
+    if min_docs <= 2:
+        dup = (
+            pos.groupBy("g")
+            .agg(F.min(id_col).alias("__a__"), F.max(id_col).alias("__b__"))
+            .where(F.col("__a__") != F.col("__b__"))
+            .select("g")
+        )
+    else:
+        dup = (
+            pos.groupBy("g")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+            .where(F.col("__nd__") >= min_docs)
+            .select("g")
+        )
+    marked = pos.join(dup, on="g", how="left_semi").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev = F.lag("p").over(w)
+    brk = F.when(prev.isNull() | (F.col("p") > prev + F.lit(k)), 1).otherwise(0)
+    wsum = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("__brk__", brk).withColumn(
+        "__isl__", F.sum("__brk__").over(wsum)
+    )
+    out = (
+        islands.groupBy(id_col, "__isl__")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        )
+        .withColumn(
+            "span_tokens", (F.col("span_end") - F.col("span_start") + 1).cast("bigint")
+        )
+        .drop("__isl__")
+    )
+    return Table.from_df(out, name=f"{table.table_name}_dup_spans")
+
+
+def remove_duplicate_spans(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    hash_keys: bool = True,
+) -> Table:
+    """Cut every cross-document duplicate span (see ``duplicate_spans``)
+    out of the text; returns (id, text) with the surviving tokens
+    space-joined (whitespace is normalized — the tokenizer's view IS the
+    output). NULL text is treated as '' (the engine-portable choice; a
+    NULL would poison downstream token arithmetic — see pack_sequences).
+
+    Scale shape: the span table (docs-with-dups only, few rows per doc)
+    is aggregated per doc and joined back to the corpus — AQE broadcasts
+    it when small; the cut itself is a narrow positional array filter
+    (two-arg lambda, whole-stage codegen), NOT a token-level
+    explode+anti-join, so the corpus is never token-exploded a second
+    time."""
+    df = table._require_df()
+    spans = duplicate_spans(table, text_col, id_col, k, min_docs, hash_keys).df
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
+    )
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    joined = df.select(
+        F.col(id_col),
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk__"),
+    ).join(span_arr, on=id_col, how="left")
+    covered = lambda x, i: F.exists(  # noqa: E731
+        F.coalesce(F.col("__spans__"), empty),
+        lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
+    )
+    out = joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.filter(F.col("__tk__"), lambda x, i: ~covered(x, i)), " "
+        ).alias(text_col),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_despanned")
+
+
+def line_dedup(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+    join_sep: str | None = None,
+) -> Table:
+    """Inter-document boilerplate line removal (CCNet / RefinedWeb
+    style): drop every line that occurs verbatim in >= ``min_docs``
+    DISTINCT documents (nav bars, cookie banners, license headers),
+    reassemble the rest in order. Returns (id, text, n_lines_kept);
+    documents whose every line is boilerplate drop out entirely (the
+    standard curation policy — an empty doc is not training data).
+
+    ``sep`` is a Java regex for splitting; ``join_sep`` (default: ``sep``
+    verbatim) is the literal used to rejoin — pass both when the split
+    pattern contains metacharacters.
+
+    Scale shape (100 TB): one shuffle counts line frequencies (min!=max
+    trick at min_docs=2, no count-distinct expansion), the anti-join
+    back reuses the same hash partitioning on the line, and reassembly
+    is one groupBy per doc whose sort (array_sort on the in-doc line
+    ordinal — unique, total) happens inside the aggregated array, never
+    as a global orderBy."""
+    df = table._require_df()
+    rejoin = sep if join_sep is None else join_sep
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("__pos__", "__line__"),
+    )
+    if min_docs <= 2:
+        bad = (
+            lines.groupBy("__line__")
+            .agg(F.min(id_col).alias("__a__"), F.max(id_col).alias("__b__"))
+            .where(F.col("__a__") != F.col("__b__"))
+            .select("__line__")
+        )
+    else:
+        bad = (
+            lines.groupBy("__line__")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+            .where(F.col("__nd__") >= min_docs)
+            .select("__line__")
+        )
+    kept = lines.join(bad, on="__line__", how="left_anti")
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__line__"))),
+                lambda s: s["__line__"],
+            ),
+            rejoin,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_line_dedup")

@@ -1,0 +1,248 @@
+"""Exact-substring duplicate spans and boilerplate line dedup,
+cross-checked against pure-Python reference models on small corpora.
+
+Net-new operators (no littletable analog): Lee-et-al-style exact
+substring dedup and CCNet/RefinedWeb-style line dedup — the exact-match
+complements to the approximate MinHash/SimHash family.
+"""
+
+import random
+
+import pytest
+
+from littletable_spark import Table
+from littletable_spark.operators.dedup import (
+    duplicate_spans,
+    line_dedup,
+    remove_duplicate_spans,
+)
+
+
+def _toks(s):
+    return [w for w in (s or "").strip().split() if w]
+
+
+def _model_spans(docs, k, min_docs=2):
+    """Pure-Python duplicate_spans: positioned k-grams, cross-doc dup
+    grams, merged (overlap or adjacency) spans."""
+    grams = {}  # gram -> set of doc ids
+    pos = {}  # doc -> [p...] (1-based)
+    for i, s in docs:
+        t = _toks(s)
+        for p in range(1, len(t) - k + 2):
+            g = " ".join(t[p - 1 : p - 1 + k])
+            grams.setdefault(g, set()).add(i)
+            pos.setdefault(i, []).append((p, g))
+    dup = {g for g, ids in grams.items() if len(ids) >= min_docs}
+    out = []
+    for i, plist in pos.items():
+        marked = sorted(p for p, g in plist if g in dup)
+        if not marked:
+            continue
+        start = prev = marked[0]
+        for p in marked[1:]:
+            if p > prev + k:  # gap: prev span ends prev+k-1, p starts later than prev+k
+                out.append((i, start, prev + k - 1, prev + k - start))
+                start = p
+            prev = p
+        out.append((i, start, prev + k - 1, prev + k - start))
+    return sorted(out)
+
+
+def _model_remove(docs, k, min_docs=2):
+    spans = {}
+    for i, a, b, _n in _model_spans(docs, k, min_docs):
+        spans.setdefault(i, []).append((a, b))
+    out = []
+    for i, s in docs:
+        t = _toks(s)
+        kept = [
+            w
+            for p, w in enumerate(t, start=1)
+            if not any(a <= p <= b for a, b in spans.get(i, []))
+        ]
+        out.append((i, " ".join(kept)))
+    return sorted(out)
+
+
+def _model_line_dedup(docs, min_docs=2, sep="\n"):
+    freq = {}
+    for i, s in docs:
+        for ln in set((s or "").split(sep)):
+            freq.setdefault(ln, set()).add(i)
+    bad = {ln for ln, ids in freq.items() if len(ids) >= min_docs}
+    out = []
+    for i, s in docs:
+        kept = [ln for ln in (s or "").split(sep) if ln not in bad]
+        if kept:
+            out.append((i, sep.join(kept), len(kept)))
+    return sorted(out)
+
+
+def _mk(spark, docs):
+    t = Table("docs", spark=spark)
+    t.insert_many([{"doc_id": i, "text": s} for i, s in docs])
+    return t
+
+
+CORPUS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1, "prefix words alpha beta gamma delta epsilon zeta other tail stuff"),
+    (2, "alpha beta gamma delta epsilon unrelated middle zeta eta theta iota kappa"),
+    (3, "totally disjoint sentence with its own private vocabulary here"),
+    (4, "totally disjoint sentence with its own private vocabulary here"),
+]
+
+
+def test_duplicate_spans_matches_model(spark):
+    got = sorted(
+        tuple(r)
+        for r in duplicate_spans(_mk(spark, CORPUS), "text", "doc_id", k=4)
+        .df.collect()
+    )
+    assert got == _model_spans(CORPUS, k=4)
+    assert got  # non-trivial on this corpus
+
+
+def test_adjacent_hits_merge_into_one_span(spark):
+    # doc 0 and 1 share tokens a..h: every 4-gram in that run is marked,
+    # consecutive positions merge into ONE maximal span, not 5 spans
+    docs = [
+        (0, "a b c d e f g h x y z"),
+        (1, "q r a b c d e f g h s"),
+    ]
+    got = sorted(
+        tuple(r)
+        for r in duplicate_spans(_mk(spark, docs), "text", "doc_id", k=4).df.collect()
+    )
+    assert got == [(0, 1, 8, 8), (1, 3, 10, 8)]
+
+
+def test_intra_doc_repeats_do_not_mark(spark):
+    docs = [
+        (0, "x y z w x y z w x y z w"),  # repeats only within itself
+        (1, "completely different tokens here nothing shared at all"),
+    ]
+    assert duplicate_spans(_mk(spark, docs), "text", "doc_id", k=4).df.count() == 0
+
+
+def test_min_docs_three(spark):
+    docs = [
+        (0, "common run one two three four tail0"),
+        (1, "common run one two three four tail1"),
+        (2, "common run one two three four tail2"),
+        (3, "pair only five six seven eight tail3"),
+        (4, "pair only five six seven eight tail4"),
+    ]
+    got = sorted(
+        tuple(r)
+        for r in duplicate_spans(_mk(spark, docs), "text", "doc_id", k=4, min_docs=3)
+        .df.collect()
+    )
+    assert got == _model_spans(docs, k=4, min_docs=3)
+    assert {r[0] for r in got} == {0, 1, 2}  # the pair-only dup is below min_docs
+
+
+def test_docs_shorter_than_k_emit_nothing(spark):
+    docs = [(0, "a b c"), (1, "a b c"), (2, "")]
+    assert duplicate_spans(_mk(spark, docs), "text", "doc_id", k=4).df.count() == 0
+
+
+def test_hash_keys_off_matches_on(spark):
+    t = _mk(spark, CORPUS)
+    on = sorted(
+        tuple(r) for r in duplicate_spans(t, "text", "doc_id", k=4).df.collect()
+    )
+    off = sorted(
+        tuple(r)
+        for r in duplicate_spans(t, "text", "doc_id", k=4, hash_keys=False)
+        .df.collect()
+    )
+    assert on == off
+
+
+def test_remove_duplicate_spans_matches_model(spark):
+    got = sorted(
+        tuple(r)
+        for r in remove_duplicate_spans(_mk(spark, CORPUS), "text", "doc_id", k=4)
+        .df.collect()
+    )
+    assert got == _model_remove(CORPUS, k=4)
+    # exact-dup docs 3/4 are fully cut; untouched docs keep all tokens
+    d = dict(got)
+    assert d[3] == "" and d[4] == ""
+
+
+def test_remove_null_text_becomes_empty(spark):
+    docs = [(0, None), (1, "a b c d e f"), (2, "a b c d e f")]
+    got = dict(
+        (r[0], r[1])
+        for r in remove_duplicate_spans(_mk(spark, docs), "text", "doc_id", k=4)
+        .df.collect()
+    )
+    assert got[0] == "" and got[1] == "" and got[2] == ""
+
+
+def test_randomized_spans_match_model(spark):
+    rng = random.Random(6)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(30)
+    ]
+    t = _mk(spark, docs)
+    for k, md in ((3, 2), (4, 3)):
+        got = sorted(
+            tuple(r)
+            for r in duplicate_spans(t, "text", "doc_id", k=k, min_docs=md)
+            .df.collect()
+        )
+        assert got == _model_spans(docs, k=k, min_docs=md)
+
+
+LINED = [
+    (0, "keep me zero\nCOOKIE BANNER\nunique tail zero"),
+    (1, "keep me one\nCOOKIE BANNER\nNAV BAR\nunique tail one"),
+    (2, "NAV BAR\nkeep me two"),
+    (3, "COOKIE BANNER\nNAV BAR"),  # all boilerplate -> drops out
+]
+
+
+def test_line_dedup_matches_model(spark):
+    got = sorted(
+        tuple(r)
+        for r in line_dedup(_mk(spark, LINED), "text", "doc_id").df.collect()
+    )
+    assert got == _model_line_dedup(LINED)
+    assert {r[0] for r in got} == {0, 1, 2}  # doc 3 dropped entirely
+
+
+def test_line_dedup_preserves_order_and_counts(spark):
+    got = dict(
+        (r["doc_id"], (r["text"], r["n_lines_kept"]))
+        for r in line_dedup(_mk(spark, LINED), "text", "doc_id").df.collect()
+    )
+    assert got[1] == ("keep me one\nunique tail one", 2)
+
+
+def test_line_dedup_min_docs_three(spark):
+    # COOKIE BANNER is in 3 docs -> removed; NAV BAR in 3 docs -> removed;
+    # bump min_docs to 4 and both survive
+    got = sorted(
+        tuple(r)
+        for r in line_dedup(_mk(spark, LINED), "text", "doc_id", min_docs=4)
+        .df.collect()
+    )
+    assert got == _model_line_dedup(LINED, min_docs=4)
+    assert {r[0] for r in got} == {0, 1, 2, 3}
+
+
+def test_line_dedup_custom_sep(spark):
+    docs = [(0, "a|SHARED|b"), (1, "c|SHARED|d")]
+    got = dict(
+        (r["doc_id"], r["text"])
+        for r in line_dedup(
+            _mk(spark, docs), "text", "doc_id", sep=r"\|", join_sep="|"
+        ).df.collect()
+    )
+    assert got == {0: "a|b", 1: "c|d"}
