@@ -506,6 +506,55 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).df
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact-substring duplicate spans: maximal runs of 5-token grams
+    shared by >= 2 distinct documents (Lee-et-al-style exact dedup)."""
+    from littletable_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, "text", "doc_id", k=5).df
+
+
+def q_dedup_spans_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cut every cross-document duplicate 5-gram span out of the text
+    (subsumes q_dedup_spans: span detection + positional array cut)."""
+    from littletable_spark.operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(d, "text", "doc_id", k=5)
+    return out.df.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boilerplate line removal: line-ify into 10-token lines, drop
+    lines shared verbatim by >= 2 distinct docs, reassemble in order;
+    fully-boilerplate docs drop out (CCNet/RefinedWeb policy)."""
+    from littletable_spark.operators.dedup import _tokens, line_dedup
+    from littletable_spark.table import Table
+
+    d = _t(spark, sf_dir, "documents")
+    tk = _tokens("text")
+    lined = d.df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.lit(0), F.floor((F.size(tk) - 1) / F.lit(10)).cast("int")
+                    ),
+                ),
+                lambda i: F.array_join(F.slice(tk, i * 10 + 1, 10), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = line_dedup(Table.from_df(lined, name="lined"), "text", "doc_id")
+    return out.df.select(
+        "doc_id", F.md5(F.col("text")).alias("text_hash"), "n_lines_kept"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming <= 3 via pigeonhole blocking.
 
@@ -1013,9 +1062,21 @@ def _hash_bucket_sql(key: str, salt: str) -> str:
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate takes
     the first 50 entries, so the 50 highest-signal queries (one per
-    distinct operator FAMILY, all oracle-checked) come first. Round-6
-    rotation goal: every registry query sits in a driver gate window at
-    least once. In: the four that had never been driver-gated —
+    distinct operator FAMILY, all oracle-checked) come first.
+
+    Late-round-6 net-new rotation: dedup_spans_remove + dedup_lines
+    (exact-substring span dedup and boilerplate line dedup, new this
+    round) enter the gate immediately so their first driver run happens
+    this round; dedup_minhash (banded-equi-join family, in-gate siblings
+    dedup_jaccard / dedup_simhash / dedup_embedding_lsh share the
+    candidate-pair shape, driver-green r1-r5) and text_fingerprint
+    (token-array projection + groupBy-min, in-gate siblings text_tokens
+    + dedup_exact, driver-green r1-r5) park in exchange. dedup_spans
+    itself is mirror-checked (its full pipeline is a strict subset of
+    in-gate dedup_spans_remove).
+
+    Round-6 rotation goal: every registry query sits in a driver gate
+    window at least once. In: the four that had never been driver-gated —
     text_pack, text_contamination, sample_mixture (new in round 5) and
     window_moving_avg (parked before its round-5 total-order fix,
     commit a1b41ff). Out (each with an in-gate sibling on the same code
@@ -1042,7 +1103,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 71 every round."""
+    runs all 74 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1070,7 +1131,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session": q_events_session,
         "events_dedup_stream": q_events_dedup_stream,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
+        "dedup_spans_remove": q_dedup_spans_remove,
+        "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1079,7 +1141,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
         "search_text": q_search_text,
         "grouping_sets": q_grouping_sets,
         "multimodal_meta": q_multimodal_meta,
@@ -1095,6 +1156,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
+        "dedup_spans": q_dedup_spans,
+        "dedup_minhash": q_dedup_minhash,
+        "text_fingerprint": q_text_fingerprint,
         "orderby_head": q_orderby_head,
         "rank": q_rank,
         "rollup": q_rollup,
@@ -1698,6 +1762,96 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id1 = sa.doc_id
             JOIN sizes sb ON id2 = sb.doc_id
             WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.5
+        """,
+        "dedup_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS p
+              FROM toks WHERE len(t) >= 5
+            ), g AS (
+              SELECT doc_id, p, array_to_string(t[p : p + 4], ' ') AS gram FROM pos
+            ), dup AS (
+              SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+            ), m AS (
+              SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)
+            ), isl AS (
+              SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 5
+                          THEN 1 ELSE 0 END AS brk
+              FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+            ), grp AS (
+              SELECT doc_id, p,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl
+            )
+            SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+                   CAST(MAX(p) + 4 AS BIGINT) AS span_end,
+                   CAST(MAX(p) + 5 - MIN(p) AS BIGINT) AS span_tokens
+            FROM grp GROUP BY doc_id, island
+        """,
+        "dedup_spans_remove": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS p
+              FROM toks WHERE len(t) >= 5
+            ), g AS (
+              SELECT doc_id, p, array_to_string(t[p : p + 4], ' ') AS gram FROM pos
+            ), dup AS (
+              SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+            ), m AS (
+              SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)
+            ), covered AS (
+              SELECT DISTINCT doc_id, unnest(generate_series(p, p + 4)) AS cp FROM m
+            ), tp AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     unnest(generate_series(1, len(t))) AS tp
+              FROM toks
+            ), kept AS (
+              SELECT tp.doc_id, tp.tok, tp.tp
+              FROM tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.tp = c.cp
+              WHERE c.cp IS NULL
+            )
+            SELECT d.doc_id, md5(coalesce(kk.text, '')) AS text_hash
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text
+                       FROM kept GROUP BY doc_id) kk
+            USING (doc_id)
+        """,
+        "dedup_lines": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), lined AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(
+                         range(0, greatest(0, CAST(floor((len(t)-1)/10.0) AS BIGINT)) + 1),
+                         i -> array_to_string(t[i*10+1 : i*10+10], ' ')),
+                       chr(10)) AS text
+              FROM toks
+            ), ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS la FROM lined
+            ), lines AS (
+              SELECT doc_id, unnest(la) AS line,
+                     unnest(generate_series(1, len(la))) AS pos
+              FROM ls
+            ), bad AS (
+              SELECT line FROM lines GROUP BY line HAVING min(doc_id) <> max(doc_id)
+            ), kept AS (
+              SELECT l.* FROM lines l ANTI JOIN bad b USING (line)
+            )
+            SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_lines_kept
+            FROM kept GROUP BY doc_id
         """,
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_lsh_topk": _lsh_oracle_sql(),
