@@ -314,6 +314,26 @@ def main() -> None:
     timed("fquality_10x", lambda: fquality(docs10), results)
     timed("capgrp_1x", lambda: capgrp(docs1), results)
     timed("capgrp_10x", lambda: capgrp(docs10), results)
+    def spans(docs):
+        from littletable_spark.operators.dedup import duplicate_spans
+
+        duplicate_spans(Table.from_df(docs), "text", "doc_id", k=5)\
+            .df.write.format("noop").mode("overwrite").save()
+
+    def linededup(docs):
+        from littletable_spark.operators.dedup import line_dedup
+
+        line_dedup(Table.from_df(docs), "text", "doc_id")\
+            .df.write.format("noop").mode("overwrite").save()
+
+    # replica letter-rotation keeps dup grams/lines within-replica, so
+    # span/line volume grows ~linearly — the plan property under test
+    spans(docs1); spans(docs10); linededup(docs1); linededup(docs10)
+    timed("dup_spans_1x", lambda: spans(docs1), results)
+    timed("dup_spans_10x", lambda: spans(docs10), results)
+    timed("line_dedup_1x", lambda: linededup(docs1), results)
+    timed("line_dedup_10x", lambda: linededup(docs10), results)
+
     contamination_fixed_bench(docs1, docs1)
     contamination_fixed_bench(docs1, docs10)  # warm both shapes
     timed(
@@ -330,6 +350,7 @@ def main() -> None:
         "q1_agg", "join_agg", "topk", "window_topk", "minhash",
         "jaccard", "clusters", "emb_lsh", "pack", "contamination",
         "contam_fixed", "fquality", "capgrp", "asof",
+        "dup_spans", "line_dedup",
     ]:
         a, b = results[f"{base}_1x"], results[f"{base}_10x"]
         print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
