@@ -58,6 +58,8 @@ __all__ = [
     "json_import",
     "excel_import",
     "parquet_import",
+    "binary_import",
+    "text_import",
     "lint_plan",
     "PlanWarning",
 ]
@@ -90,3 +92,15 @@ def excel_import(source, **kwargs):
 
 def parquet_import(spark, path, name=""):
     return Table.parquet_import(spark, path, name)
+
+
+def binary_import(spark, path, **kwargs):
+    from .sources.binary_io import binary_import as _imp
+
+    return _imp(spark, path, **kwargs)
+
+
+def text_import(spark, path, **kwargs):
+    from .sources.binary_io import text_import as _imp
+
+    return _imp(spark, path, **kwargs)

@@ -205,3 +205,65 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert len(sub) == len(src.where(o_orderstatus="F"))
     # persist/unpersist passthrough chains
     assert src.persist().unpersist() is src
+
+
+def test_binary_import_glob_and_max_bytes(spark, tmp_path):
+    """binaryFile source: glob pruning in the listing, content bytes
+    intact, and the max_bytes guard pushed into the scan as a length
+    filter (oversized blobs never materialize)."""
+    import io
+    import contextlib
+
+    from littletable_spark import binary_import
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG\r\n\x1a\nrest")
+    (d / "b.png").write_bytes(b"\x89PNG" + b"x" * 100)
+    (d / "c.txt").write_bytes(b"not a png")
+    t = binary_import(spark, str(d), pattern="*.png")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in t}
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"].startswith(b"\x89PNG")
+    capped = binary_import(spark, str(d), pattern="*.png", max_bytes=50)
+    assert [r.path.rsplit("/", 1)[-1] for r in capped] == ["a.png"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        capped.explain()
+    plan = buf.getvalue()
+    assert "length" in plan  # pushed file-metadata filter
+
+
+def test_binary_import_recursive_feeds_multimodal(spark, tmp_path):
+    """recursive listing + the standard pipeline handoff: binary rows
+    flow into sniff_media without any driver-side file walk."""
+    from littletable_spark import binary_import
+    from littletable_spark.operators.multimodal import sniff_media
+
+    d = tmp_path / "tree" / "sub"
+    d.mkdir(parents=True)
+    (tmp_path / "tree" / "top.bin").write_bytes(b"\x89PNG\r\n\x1a\n....")
+    (d / "deep.bin").write_bytes(b"RIFF1234WAVEfmt ")
+    t = binary_import(spark, str(tmp_path / "tree"), recursive=True)
+    assert len(t) == 2
+    sniffed = sniff_media(t, "content")
+    kinds = {r["media_meta"]["format"] for r in sniffed.df.collect()}
+    assert kinds == {"png", "riff"}
+
+
+def test_text_import_lines_whole_file_and_sep(spark, tmp_path):
+    from littletable_spark import text_import
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "x.txt").write_text("line one\nline two\n")
+    (d / "y.txt").write_text("only line")
+    lines = text_import(spark, str(d))
+    assert sorted(r.text for r in lines) == ["line one", "line two", "only line"]
+    assert all(r.path.startswith("file:") for r in lines)
+    whole = text_import(spark, str(d), whole_file=True)
+    got = {r.path.rsplit("/", 1)[-1]: r.text for r in whole}
+    assert got["x.txt"] == "line one\nline two\n"
+    (d / "z.rec").write_text("r1\x00r2\x00r3")
+    recs = text_import(spark, str(d), pattern="*.rec", line_sep="\x00")
+    assert sorted(r.text for r in recs) == ["r1", "r2", "r3"]
