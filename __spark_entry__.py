@@ -555,6 +555,25 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unigram LM-quality proxy: mean token log-prob under the corpus's
+    own top-20 unigram model (31 distinct tokens at sf0.01, so the cap
+    exercises the OOV alpha path)."""
+    from littletable_spark.operators.textops import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d, "text", "doc_id", alpha=0.5, vocab_size=20).df
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-document top-3 tf-idf terms (keyword extraction); rank order
+    (tfidf desc, term asc) is total."""
+    from littletable_spark.operators.textops import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "text", "doc_id", k=3).df
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming <= 3 via pigeonhole blocking.
 
@@ -1073,7 +1092,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (token-array projection + groupBy-min, in-gate siblings text_tokens
     + dedup_exact, driver-green r1-r5) park in exchange. dedup_spans
     itself is mirror-checked (its full pipeline is a strict subset of
-    in-gate dedup_spans_remove).
+    in-gate dedup_spans_remove). Likewise text_logprob + text_tfidf
+    (unigram LM-quality proxy and tf-idf keyword extraction, new this
+    round) enter the gate; sample_uniform (hash_bucket path, in-gate
+    siblings sample_fixed / sample_mixture / sample_cap_per_group,
+    driver-green r1-r5) and events_tumbling (window-binning core shared
+    with in-gate events_session / events_rollup, driver-green r1-r5)
+    park in exchange.
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
@@ -1103,7 +1128,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 74 every round."""
+    runs all 76 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1127,7 +1152,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_moving_avg": q_window_moving_avg,
         "tpch_q3_shape": q_tpch_q3_shape,
         "slice_range": q_slice_range,
-        "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
         "events_dedup_stream": q_events_dedup_stream,
         "dedup_exact": q_dedup_exact,
@@ -1141,10 +1165,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
+        "text_logprob": q_text_logprob,
+        "text_tfidf": q_text_tfidf,
         "search_text": q_search_text,
         "grouping_sets": q_grouping_sets,
         "multimodal_meta": q_multimodal_meta,
-        "sample_uniform": q_sample_uniform,
         "sample_fixed": q_sample_fixed,
         "sample_cap_per_group": q_sample_cap_per_group,
         "sample_mixture": q_sample_mixture,
@@ -1156,6 +1181,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
+        "sample_uniform": q_sample_uniform,
+        "events_tumbling": q_events_tumbling,
         "dedup_spans": q_dedup_spans,
         "dedup_minhash": q_dedup_minhash,
         "text_fingerprint": q_text_fingerprint,
@@ -1762,6 +1789,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id1 = sa.doc_id
             JOIN sizes sb ON id2 = sb.doc_id
             WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.5
+        """,
+        "text_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(t) AS w FROM toks
+            ), freq0 AS (
+              SELECT w, count(*) AS c FROM tok GROUP BY w
+            ), tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq0
+            ), freq AS (
+              SELECT w, c FROM freq0 ORDER BY c DESC, w ASC LIMIT 20
+            )
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   avg(ln(coalesce(f.c, 0.5) / (SELECT n FROM tot)))
+                     AS logprob_per_token
+            FROM tok t LEFT JOIN freq f USING (w)
+            GROUP BY t.doc_id
+        """,
+        "text_tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(t) AS term FROM toks
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term
+            ), docfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), d AS (
+              SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+                     tf.tf * ln((SELECT nd FROM d) / docfreq.df) AS tfidf
+              FROM tf JOIN docfreq USING (term)
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term ASC) AS term_rank
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS INT) AS term_rank
+            FROM ranked WHERE term_rank <= 3
         """,
         "dedup_spans": """
             WITH toks AS (

@@ -550,3 +550,89 @@ def repetition_score(
         frac.alias("dup_window_frac"),
     )
     return Table.from_df(out, name=f"{table.table_name}_repetition")
+
+
+def unigram_logprob(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    vocab_size: int | None = None,
+    train_table: Table | None = None,
+) -> Table:
+    """LM-quality proxy (CCNet-style): mean token log-probability under
+    a unigram model of ``train_table`` (default: the corpus itself) —
+    (id, n_tokens, logprob_per_token); perplexity = exp(-score).
+    Low-scoring documents are gibberish/boilerplate candidates, the
+    standard cheap stand-in for KenLM perplexity filtering.
+
+    ``vocab_size`` caps the model to the top-V tokens (count desc, token
+    asc — a total order); out-of-vocabulary tokens score ``alpha / N``
+    (N = TOTAL training tokens, counted before the cap). Empty documents
+    emit no row.
+
+    Scale shape (100 TB): token explode is narrow; the frequency build
+    is one map-side-combined shuffle on the token; the vocab cap is a
+    bounded TakeOrdered (V rows, never a full sort); scoring joins token
+    rows to the (≤V row) model — AQE broadcasts it for any realistic V —
+    and re-aggregates per doc. N rides along as a broadcast single-row
+    cross join, never a driver collect."""
+    df = table._require_df()
+    tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("__w__"))
+    tdf = df if train_table is None else train_table._require_df()
+    ttok = tdf.select(F.explode(_tokens(text_col)).alias("__w__"))
+    freq = ttok.groupBy("__w__").agg(F.count(F.lit(1)).alias("__c__"))
+    totdf = freq.agg(F.sum("__c__").cast("double").alias("__N__"))
+    if vocab_size is not None:
+        freq = freq.orderBy(
+            F.col("__c__").desc(), F.col("__w__").asc()
+        ).limit(int(vocab_size))
+    scored = tok.join(freq, on="__w__", how="left").crossJoin(F.broadcast(totdf))
+    logp = F.log(
+        F.coalesce(F.col("__c__").cast("double"), F.lit(float(alpha)))
+        / F.col("__N__")
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(logp).alias("logprob_per_token"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_logprob")
+
+
+def tfidf_top_terms(
+    table: Table, text_col: str, id_col: str, k: int = 5
+) -> Table:
+    """Per-document top-k terms by tf-idf — (id, term, tf, df, tfidf,
+    term_rank) — the standard keyword-extraction / topic-surfacing pass.
+    tf = in-doc count, idf = ln(D / df) with D = corpus size; rank order
+    (tfidf desc, term asc) is total, so results are engine-independent.
+
+    Scale shape: one shuffle aggregates (doc, term) counts (map-side
+    combine collapses repeats), document frequency reuses that table
+    with a second narrow-key aggregation, D rides along as a broadcast
+    single-row cross join, and the top-k per doc is a keyed window —
+    bounded per group, no global sort."""
+    from pyspark.sql import Window
+
+    df = table._require_df()
+    tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ddf = df.agg(F.count(F.lit(1)).cast("double").alias("__D__"))
+    scored = (
+        tf.join(docfreq, on="term")
+        .crossJoin(F.broadcast(ddf))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double") * F.log(F.col("__D__") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    out = (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "term_rank")
+    )
+    return Table.from_df(out, name=f"{table.table_name}_tfidf")
