@@ -334,6 +334,24 @@ def main() -> None:
     timed("line_dedup_1x", lambda: linededup(docs1), results)
     timed("line_dedup_10x", lambda: linededup(docs10), results)
 
+    def logprob(docs):
+        from littletable_spark.operators.textops import unigram_logprob
+
+        unigram_logprob(Table.from_df(docs), "text", "doc_id", vocab_size=20)\
+            .df.write.format("noop").mode("overwrite").save()
+
+    def tfidf(docs):
+        from littletable_spark.operators.textops import tfidf_top_terms
+
+        tfidf_top_terms(Table.from_df(docs), "text", "doc_id", k=3)\
+            .df.write.format("noop").mode("overwrite").save()
+
+    logprob(docs1); logprob(docs10); tfidf(docs1); tfidf(docs10)
+    timed("logprob_1x", lambda: logprob(docs1), results)
+    timed("logprob_10x", lambda: logprob(docs10), results)
+    timed("tfidf_1x", lambda: tfidf(docs1), results)
+    timed("tfidf_10x", lambda: tfidf(docs10), results)
+
     contamination_fixed_bench(docs1, docs1)
     contamination_fixed_bench(docs1, docs10)  # warm both shapes
     timed(
@@ -350,7 +368,7 @@ def main() -> None:
         "q1_agg", "join_agg", "topk", "window_topk", "minhash",
         "jaccard", "clusters", "emb_lsh", "pack", "contamination",
         "contam_fixed", "fquality", "capgrp", "asof",
-        "dup_spans", "line_dedup",
+        "dup_spans", "line_dedup", "logprob", "tfidf",
     ]:
         a, b = results[f"{base}_1x"], results[f"{base}_10x"]
         print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
