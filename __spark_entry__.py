@@ -533,8 +533,12 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from littletable_spark.table import Table
 
     d = _t(spark, sf_dir, "documents")
-    tk = _tokens("text")
-    lined = d.df.select(
+    # materialize the token array ONCE: inlining the tokenizer inside
+    # the transform lambda re-runs the regex split per chunk (the
+    # documented per-position re-tokenize trap, dedup.py:_shingles)
+    toked = d.df.select("doc_id", _tokens("text").alias("__tk__"))
+    tk = F.col("__tk__")
+    lined = toked.select(
         "doc_id",
         F.array_join(
             F.transform(

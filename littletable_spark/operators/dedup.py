@@ -1109,12 +1109,14 @@ def line_dedup(
     as a global orderBy."""
     df = table._require_df()
     rejoin = sep if join_sep is None else join_sep
+    # two consumers (frequency aggregation + anti-join probe): persist
+    # so the split+explode runs once, same policy as the pair generators
     lines = df.select(
         F.col(id_col),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("__pos__", "__line__"),
-    )
+    ).persist(_PAIRGEN_CACHE)
     if min_docs <= 2:
         bad = (
             lines.groupBy("__line__")
