@@ -51,6 +51,15 @@ def main() -> None:
     capped = cap_per_group(docs, "source", 10, key_col="doc_id", salt="demo")
     print(f"per-source cap (10): {len(capped)}/{len(docs)} docs survive")
 
+    # 1d. LM-quality proxy: mean token log-prob under the corpus's own
+    # unigram model — low scorers are gibberish/boilerplate candidates
+    from littletable_spark.operators.textops import unigram_logprob
+
+    lp = unigram_logprob(docs, "text", "doc_id", vocab_size=1000)
+    worst = lp.orderby("logprob_per_token").head(3)
+    print("lowest LM-quality docs:",
+          [r.doc_id for r in worst])
+
     # 2. language distribution (predicted)
     langs = lang_id(docs, "text", "doc_id")
     langs.groupby_with_summaries("pred_lang", n=F.count(F.lit(1))).orderby(
@@ -63,6 +72,21 @@ def main() -> None:
     cands = minhash_lsh_pairs(docs, "doc_id", "text")
     verified = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7)
     print(f"near-dup: {len(cands)} LSH candidates, {len(verified)} verified ≥0.7")
+
+    # 3b. exact-substring spans: cut cross-document duplicated runs out
+    # of the surviving text, and strip boilerplate lines
+    from littletable_spark.operators.dedup import (
+        duplicate_spans,
+        line_dedup,
+        remove_duplicate_spans,
+    )
+
+    spans = duplicate_spans(docs, "text", "doc_id", k=8)
+    cleaned = remove_duplicate_spans(docs, "text", "doc_id", k=8)
+    deboiler = line_dedup(docs, "text", "doc_id")
+    print(f"exact-substring: {len(spans)} duplicate spans cut "
+          f"({len(cleaned)} docs rewritten); line dedup keeps "
+          f"{len(deboiler)}/{len(docs)} docs")
 
     # 4. nearest neighbors for the first few embeddings
     emb = Table.parquet_import(spark, f"{sf_dir}/embeddings.parquet", "embeddings")
