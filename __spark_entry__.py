@@ -506,6 +506,17 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).df
 
 
+def q_sample_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic epoch shuffle: stable (shard, shuffle_ord) layout
+    columns (the physical partitioning/order itself is the writer-side
+    contract, asserted in tests)."""
+    from littletable_spark.operators.sampling import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    out = epoch_shuffle(d, "doc_id", seed="r6", n_shards=8)
+    return out.df.select("doc_id", "shard", "shuffle_ord")
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-substring duplicate spans: maximal runs of 5-token grams
     shared by >= 2 distinct documents (Lee-et-al-style exact dedup)."""
@@ -1099,10 +1110,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-gate dedup_spans_remove). Likewise text_logprob + text_tfidf
     (unigram LM-quality proxy and tf-idf keyword extraction, new this
     round) enter the gate; sample_uniform (hash_bucket path, in-gate
-    siblings sample_fixed / sample_mixture / sample_cap_per_group,
-    driver-green r1-r5) and events_tumbling (window-binning core shared
-    with in-gate events_session / events_rollup, driver-green r1-r5)
-    park in exchange.
+    siblings sample_mixture / sample_cap_per_group, driver-green r1-r5)
+    and events_tumbling (window-binning core shared with in-gate
+    events_session / events_rollup, driver-green r1-r5) park in
+    exchange. sample_epoch (deterministic epoch-shuffle layout, new
+    this round) also enters, with sample_fixed parked (hash_bucket
+    ordering path, in-gate sibling sample_epoch sorts by the identical
+    hash; driver-green r1-r5).
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
@@ -1132,7 +1146,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 76 every round."""
+    runs all 77 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1174,7 +1188,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_text": q_search_text,
         "grouping_sets": q_grouping_sets,
         "multimodal_meta": q_multimodal_meta,
-        "sample_fixed": q_sample_fixed,
+        "sample_epoch": q_sample_epoch,
         "sample_cap_per_group": q_sample_cap_per_group,
         "sample_mixture": q_sample_mixture,
         "multimodal_decode": q_multimodal_decode,
@@ -1185,6 +1199,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
+        "sample_fixed": q_sample_fixed,
         "sample_uniform": q_sample_uniform,
         "events_tumbling": q_events_tumbling,
         "dedup_spans": q_dedup_spans,
@@ -2190,6 +2205,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_fixed": f"""
             SELECT doc_id, lang FROM documents
             ORDER BY {_hash_bucket_sql('doc_id', 'r4')}, doc_id LIMIT 40
+        """,
+        "sample_epoch": f"""
+            SELECT doc_id,
+                   CAST(({_hash_bucket_sql('doc_id', 'epoch:r6')}) % 8 AS INT) AS shard,
+                   {_hash_bucket_sql('doc_id', 'epoch:r6')} AS shuffle_ord
+            FROM documents
         """,
         "sample_split": f"""
             SELECT doc_id,

@@ -225,3 +225,37 @@ def cap_per_group(
         .drop("__rk__")
     )
     return table._derive(out)
+
+
+def epoch_shuffle(
+    table: Table,
+    key_col: str,
+    seed: str = "",
+    n_shards: int = 64,
+) -> Table:
+    """Deterministic training-order shuffle: every row gets a stable
+    pseudo-random (shard, shuffle_ord) from ``hash_bucket(key, seed)``,
+    then the corpus is laid out one shard per partition, sorted by
+    shuffle_ord within each — the standard "globally shuffled, shard-
+    sharded" layout a training job reads sequentially. Re-running with
+    the same seed is bit-identical; changing ``seed`` gives a fresh
+    epoch permutation. Write with ``parquet_export`` to materialize the
+    layout (Spark preserves partitioning + in-partition order).
+
+    Scale shape (100 TB): shard = hash mod (no repartitionByRange — its
+    sampled boundaries are nondeterministic), so the single shuffle is
+    a plain hash exchange; per-shard sort happens inside each partition
+    (sortWithinPartitions), never as a global orderBy. Hash sharding is
+    balanced to ~1/sqrt(rows-per-shard) without any skew handling
+    because the key is already uniform."""
+    df = table._require_df()
+    h = hash_bucket(F.col(key_col), salt=f"epoch:{seed}")
+    out = (
+        df.withColumn("shuffle_ord", h)
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_ord"), F.lit(int(n_shards))).cast("int")
+        )
+        .repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_ord", key_col)
+    )
+    return Table.from_df(out, name=f"{table.table_name}_epoch")

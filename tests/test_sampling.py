@@ -197,3 +197,47 @@ def test_mixture_temperature_flattens_toward_uniform(spark):
 
     with pytest.raises(ValueError):
         resample_to_mixture(t, "src", w, key_col="k", temperature=0.0)
+
+
+def test_epoch_shuffle_deterministic_balanced_and_ordered(spark, tmp_path):
+    """epoch_shuffle: same seed -> bit-identical layout; different seed
+    -> different permutation; shards balanced; in-partition order is
+    (shard, shuffle_ord); parquet round-trip preserves the layout."""
+    from littletable_spark import Table
+    from littletable_spark.operators.sampling import epoch_shuffle, hash_bucket
+    from pyspark.sql import functions as F
+
+    docs = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    a = epoch_shuffle(docs, "doc_id", seed="e1", n_shards=8)
+    b = epoch_shuffle(docs, "doc_id", seed="e1", n_shards=8)
+    rows_a = [(r["doc_id"], r["shard"], r["shuffle_ord"]) for r in a.df.collect()]
+    rows_b = [(r["doc_id"], r["shard"], r["shuffle_ord"]) for r in b.df.collect()]
+    assert rows_a == rows_b  # same seed: identical incl. physical order
+    c = epoch_shuffle(docs, "doc_id", seed="e2", n_shards=8)
+    assert [r["doc_id"] for r in c.df.collect()] != [x[0] for x in rows_a]
+    # shard = hash mod, balanced and complete
+    counts = {r["shard"]: r["n"] for r in
+              a.df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = len(docs)
+    assert set(counts) == set(range(8))
+    assert all(abs(v - n / 8) < n / 8 for v in counts.values())
+    # in-partition order: shuffle_ord nondecreasing within each partition
+    def _check(it):
+        prev = None
+        for row in it:
+            cur = (row["shard"], row["shuffle_ord"])
+            assert prev is None or cur >= prev
+            prev = cur
+        return iter(())
+    list(a.df.rdd.mapPartitions(lambda it: _check(it)).collect())
+    # ord values match the documented md5 formula
+    one = a.df.limit(5).collect()
+    chk = docs.df.select("doc_id", hash_bucket(F.col("doc_id"), "epoch:e1").alias("h")).collect()
+    hmap = {r["doc_id"]: r["h"] for r in chk}
+    for r in one:
+        assert r["shuffle_ord"] == hmap[r["doc_id"]]
+    # parquet round-trip: files = shards, each file internally sorted
+    p = str(tmp_path / "epoch")
+    a.parquet_export(p)
+    back = spark.read.parquet(p)
+    assert back.count() == n
