@@ -575,22 +575,27 @@ def unigram_logprob(
     is one map-side-combined shuffle on the token; the vocab cap is a
     bounded TakeOrdered (V rows, never a full sort); scoring joins token
     rows to the (≤V row) model — AQE broadcasts it for any realistic V —
-    and re-aggregates per doc. N rides along as a broadcast single-row
-    cross join, never a driver collect."""
+    and re-aggregates per doc. N is a single-row-aggregate collect (one
+    narrow scan-and-sum job at call time, the repo's accepted scalar
+    pattern) folded in as a literal — a scalar cross join would put a
+    BroadcastNestedLoopJoin + single-partition exchange in every score
+    plan."""
     df = table._require_df()
     tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("__w__"))
     tdf = df if train_table is None else train_table._require_df()
     ttok = tdf.select(F.explode(_tokens(text_col)).alias("__w__"))
     freq = ttok.groupBy("__w__").agg(F.count(F.lit(1)).alias("__c__"))
-    totdf = freq.agg(F.sum("__c__").cast("double").alias("__N__"))
+    n_total = tdf.select(
+        F.sum(F.greatest(F.size(_tokens(text_col)), F.lit(0))).alias("n")
+    ).collect()[0]["n"]
     if vocab_size is not None:
         freq = freq.orderBy(
             F.col("__c__").desc(), F.col("__w__").asc()
         ).limit(int(vocab_size))
-    scored = tok.join(freq, on="__w__", how="left").crossJoin(F.broadcast(totdf))
+    scored = tok.join(freq, on="__w__", how="left")
     logp = F.log(
         F.coalesce(F.col("__c__").cast("double"), F.lit(float(alpha)))
-        / F.col("__N__")
+        / F.lit(float(n_total or 0) or float("nan"))
     )
     out = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -609,23 +614,19 @@ def tfidf_top_terms(
 
     Scale shape: one shuffle aggregates (doc, term) counts (map-side
     combine collapses repeats), document frequency reuses that table
-    with a second narrow-key aggregation, D rides along as a broadcast
-    single-row cross join, and the top-k per doc is a keyed window —
-    bounded per group, no global sort."""
+    with a second narrow-key aggregation, D is the handle's (cached)
+    row count folded in as a literal, and the top-k per doc is a keyed
+    window — bounded per group, no global sort."""
     from pyspark.sql import Window
 
     df = table._require_df()
+    d_count = float(len(table))
     tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    ddf = df.agg(F.count(F.lit(1)).cast("double").alias("__D__"))
-    scored = (
-        tf.join(docfreq, on="term")
-        .crossJoin(F.broadcast(ddf))
-        .withColumn(
-            "tfidf",
-            F.col("tf").cast("double") * F.log(F.col("__D__") / F.col("df")),
-        )
+    scored = tf.join(docfreq, on="term").withColumn(
+        "tfidf",
+        F.col("tf").cast("double") * F.log(F.lit(d_count) / F.col("df")),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
