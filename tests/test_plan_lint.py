@@ -65,3 +65,33 @@ def test_repo_operators_lint_clean(spark):
     assert _codes(g.df) <= {"global-sort"}
     # Table.lint() convenience surfaces the same checks
     assert isinstance(t.lint(), list)
+
+
+def test_new_pipeline_operators_lint_clean(spark):
+    """the late-round-6 operators must stay free of the linter's scale
+    anti-patterns (span/line dedup, LM scoring, tf-idf, epoch shuffle)."""
+    from littletable_spark.operators.dedup import (
+        duplicate_spans,
+        line_dedup,
+        remove_duplicate_spans,
+    )
+    from littletable_spark.operators.sampling import epoch_shuffle
+    from littletable_spark.operators.textops import (
+        tfidf_top_terms,
+        unigram_logprob,
+    )
+
+    t = Table("lintdocs", spark=spark)
+    t.insert_many(
+        [{"doc_id": i, "text": f"w{i % 7} common tokens here run {i % 3}"}
+         for i in range(40)]
+    )
+    for tab in (
+        duplicate_spans(t, "text", "doc_id", k=3),
+        remove_duplicate_spans(t, "text", "doc_id", k=3),
+        line_dedup(t, "text", "doc_id"),
+        unigram_logprob(t, "text", "doc_id", vocab_size=5),
+        tfidf_top_terms(t, "text", "doc_id", k=2),
+        epoch_shuffle(t, "doc_id", seed="lint", n_shards=4),
+    ):
+        assert tab.lint() == [], tab.table_name
