@@ -210,3 +210,18 @@ def test_ivf_topk_two_arrow_passes(spark):
     # formatted explain would double-count via its per-node details)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 2, plan
+
+
+def test_duplicate_spans_reads_grams_from_cache(spark):
+    """The span pipeline's two gram consumers must read the persisted
+    positioned-gram table, not re-run tokenize+hash per consumer
+    (pinned by A/B: 1.0s -> 0.33s steady-state at sf0.1). Both the
+    dup-gram aggregation branch and the mark-back join branch should
+    scan InMemoryTableScan once the intermediate is materialized."""
+    from littletable_spark.operators.dedup import duplicate_spans
+
+    t = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    df = duplicate_spans(t, "text", "doc_id", k=5).df
+    df.count()  # materialize the persist
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
