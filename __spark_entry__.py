@@ -517,6 +517,18 @@ def q_sample_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.select("doc_id", "shard", "shuffle_ord")
 
 
+def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental MinHash dedup: new batch (doc_id % 10 == 0) banded
+    against the existing corpus — no corpus x corpus self-join."""
+    from littletable_spark.operators.dedup import minhash_lsh_pairs
+    from littletable_spark.table import Table
+
+    d = _t(spark, sf_dir, "documents")
+    new = Table.from_df(d.df.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0))
+    corpus = Table.from_df(d.df.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0))
+    return minhash_lsh_pairs(new, "doc_id", "text", against=corpus).df
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-substring duplicate spans: maximal runs of 5-token grams
     shared by >= 2 distinct documents (Lee-et-al-style exact dedup)."""
@@ -1116,7 +1128,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exchange. sample_epoch (deterministic epoch-shuffle layout, new
     this round) also enters, with sample_fixed parked (hash_bucket
     ordering path, in-gate sibling sample_epoch sorts by the identical
-    hash; driver-green r1-r5).
+    hash; driver-green r1-r5). dedup_minhash_incr (incremental
+    new-batch-vs-corpus banding, new this round — also re-exercises the
+    parked dedup_minhash's banding core in-gate) enters with
+    agg_distinct parked (distinct-agg over the same groupBy core as
+    in-gate groupby_summaries; driver-green r1-r5).
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
@@ -1146,7 +1162,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 77 every round."""
+    runs all 78 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1162,7 +1178,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "union": q_union,
         "groupby_summaries": q_groupby_summaries,
-        "agg_distinct": q_agg_distinct,
         "groupby_runs": q_groupby_runs,
         "pivot_counts": q_pivot_counts,
         "stats": q_stats,
@@ -1173,6 +1188,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session": q_events_session,
         "events_dedup_stream": q_events_dedup_stream,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash_incr": q_dedup_minhash_incr,
         "dedup_spans_remove": q_dedup_spans_remove,
         "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
@@ -1199,6 +1215,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
+        "agg_distinct": q_agg_distinct,
         "sample_fixed": q_sample_fixed,
         "sample_uniform": q_sample_uniform,
         "events_tumbling": q_events_tumbling,
@@ -1771,6 +1788,12 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY fingerprint
         """,
         "dedup_minhash": _MINHASH_PAIRS_SQL,
+        # incremental shape: identical banding, cross-side pairs only
+        "dedup_minhash_incr": _MINHASH_PAIRS_SQL.replace(
+            "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id",
+            "ON a.band = b.band AND a.band_key = b.band_key\n"
+            "            WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0",
+        ),
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
               {_MINHASH_PAIRS_SQL}

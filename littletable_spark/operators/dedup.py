@@ -206,41 +206,62 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    against: Table | None = None,
 ) -> Table:
     """Candidate near-dup pairs via MinHash + LSH banding.
 
     Two docs are candidates iff all minhashes within at least one band
     agree. Returns distinct (id1, id2) with id1 < id2.
-    """
+
+    ``against`` switches to the INCREMENTAL ingestion shape: candidates
+    are (id1 = doc of ``table``, id2 = doc of ``against``) only — the
+    daily-batch-vs-existing-corpus dedup, skipping the corpus×corpus
+    self-join entirely. The new-batch band table is the small join side
+    (AQE broadcasts it), so the corpus is one banding scan + one probe —
+    the cost profile an incremental 100 TB pipeline needs. id1 < id2 is
+    NOT imposed across tables (ids may interleave or even collide
+    numerically; the sides are semantically distinct)."""
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be divisible by band_size")
-    sig = _minhash_signature_df(table.df, id_col, text_col, n, num_hashes)
     n_bands = num_hashes // band_size
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+
+    def _banded(df):
+        sig = _minhash_signature_df(df, id_col, text_col, n, num_hashes)
+        band_keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                    )
                 )
-            )
-            for b in range(n_bands)
-        ]
-    )
-    # attach band ordinal so identical keys in different bands don't collide
-    banded = sig.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
-    ).persist(_PAIRGEN_CACHE)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.band_key") == F.col("b.band_key"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+                for b in range(n_bands)
+            ]
         )
+        # attach band ordinal so identical keys in different bands
+        # don't collide
+        return sig.select(
+            F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+        )
+
+    if against is None:
+        banded = _banded(table.df).persist(_PAIRGEN_CACHE)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cond = [
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.band_key") == F.col("b.band_key"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ]
+    else:
+        a = _banded(table.df).alias("a")
+        b = _banded(against.df).alias("b")
+        cond = [
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.band_key") == F.col("b.band_key"),
+        ]
+    pairs = (
+        a.join(b, on=cond)
         .select(
             F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
         )

@@ -611,3 +611,40 @@ def test_jaccard_adaptive_decision_engages_on_hot_shingle_skew(spark):
         for v in D._ADAPTIVE_DECISIONS.values()
     ), "disjoint-shingle corpus must take the plain self-join"
     D._ADAPTIVE_DECISIONS.clear()
+
+
+def test_minhash_incremental_against_corpus(spark, docs):
+    """against= gives the new-batch-vs-corpus shape: same candidate
+    semantics as the self-join restricted to cross-side pairs."""
+    from littletable_spark.operators.dedup import minhash_lsh_pairs
+
+    new = Table("new", spark=spark)
+    new.insert_many(
+        [
+            {"doc_id": 100, "text": DOCS[0][1]},          # dup of corpus 0/1
+            {"doc_id": 101, "text": "wholly novel content nothing matches"},
+        ]
+    )
+    inc = sorted(
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_pairs(new, "doc_id", "text", against=docs)
+        .df.collect()
+    )
+    assert all(i1 in (100, 101) for i1, _ in inc)
+    hits = {i2 for i1, i2 in inc if i1 == 100}
+    assert {0, 1} <= hits          # the exact dups are found
+    assert not any(i1 == 101 for i1, _ in inc)  # novel doc matches nothing
+    # cross-side pairs agree with a combined self-join filtered to
+    # (new, corpus) pairs
+    both = Table("both", spark=spark)
+    both.insert_many(
+        [{"doc_id": i, "text": s} for i, s in DOCS]
+        + [{"doc_id": 100, "text": DOCS[0][1]},
+           {"doc_id": 101, "text": "wholly novel content nothing matches"}]
+    )
+    full = sorted(
+        (max(r["id1"], r["id2"]), min(r["id1"], r["id2"]))
+        for r in minhash_lsh_pairs(both, "doc_id", "text").df.collect()
+        if (r["id1"] >= 100) != (r["id2"] >= 100)
+    )
+    assert sorted((i1, i2) for i1, i2 in inc) == full
