@@ -529,6 +529,21 @@ def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(new, "doc_id", "text", against=corpus).df
 
 
+def q_dedup_embedding_lsh_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental embedding LSH dedup: new vectors (vec_id % 10 == 0)
+    bucketed against the existing corpus — no corpus x corpus self-join."""
+    from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
+    from littletable_spark.table import Table
+
+    e = _t(spark, sf_dir, "embeddings")
+    new = Table.from_df(e.df.where(F.pmod(F.col("vec_id"), F.lit(10)) == 0))
+    corpus = Table.from_df(e.df.where(F.pmod(F.col("vec_id"), F.lit(10)) != 0))
+    return embedding_lsh_dup_pairs(
+        new, "vec_id", "embedding", threshold=0.3, n_planes=6, dim=64,
+        against=corpus,
+    ).df
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-substring duplicate spans: maximal runs of 5-token grams
     shared by >= 2 distinct documents (Lee-et-al-style exact dedup)."""
@@ -1162,7 +1177,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 78 every round."""
+    runs all 79 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1215,6 +1230,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
+        "dedup_embedding_lsh_incr": q_dedup_embedding_lsh_incr,
         "agg_distinct": q_agg_distinct,
         "sample_fixed": q_sample_fixed,
         "sample_uniform": q_sample_uniform,
@@ -1351,6 +1367,26 @@ def _lsh_pairs_oracle_sql(
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM c a JOIN c b ON a.sig = b.sig AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+        """
+
+
+def _lsh_pairs_incr_oracle_sql(
+    threshold: float = 0.3, n_planes: int = 6, dim: int = 64, seed: int = 42
+) -> str:
+    """Incremental variant: cross-side (new % 10 == 0 vs corpus) pairs
+    only, no id ordering."""
+    bits = _lsh_sig_bits(n_planes, dim, seed)
+    return f"""
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     concat({bits}) AS sig
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM c a JOIN c b ON a.sig = b.sig
+            WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+              AND round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
         """
 
 
@@ -1971,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_lsh_topk": _lsh_oracle_sql(),
         "dedup_embedding_lsh": _lsh_pairs_oracle_sql(),
+        "dedup_embedding_lsh_incr": _lsh_pairs_incr_oracle_sql(),
         "dedup_embedding": """
             SELECT a.vec_id AS id1, b.vec_id AS id2,
                    round(list_cosine_similarity(

@@ -618,6 +618,7 @@ def embedding_lsh_dup_pairs(
     seed: int = 42,
     use_arrow: bool = False,
     probe_bits: int = 0,
+    against: Table | None = None,
 ) -> Table:
     """Approximate near-dup pairs: random-hyperplane bucketing, then exact
     cosine only within each bucket — the sub-quadratic scale path
@@ -644,17 +645,26 @@ def embedding_lsh_dup_pairs(
     vector's probe signatures are pairwise distinct, so a given (id1,
     id2) matches on at most one probe. Still one equi-join — the probe
     explode is a narrow row amplification, no extra shuffle kind.
-    """
+
+    ``against`` switches to the INCREMENTAL ingestion shape: (id1 = row
+    of ``table``, id2 = row of ``against``) candidates only, no
+    corpus×corpus self-join; the ``id1 < id2`` ordering is not imposed
+    (the sides are semantically distinct). Multiprobe still yields each
+    pair at most once — only the new side probes, its probe signatures
+    are pairwise distinct, and the corpus signature is fixed."""
     from .similarity import _planes, cosine_expr, lsh_signature
 
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits must be 0 (off) or 1 (single-bit multiprobe)")
     planes = _planes(dim, n_planes, seed)
-    base = table.df.select(
-        F.col(id_col).alias("__id__"),
-        F.col(vec_col).cast("array<double>").alias("__vec__"),
-    ).withColumn("sig", lsh_signature("__vec__", planes))
-    sided = base.persist(_PAIRGEN_CACHE)
+
+    def _sig(df):
+        return df.select(
+            F.col(id_col).alias("__id__"),
+            F.col(vec_col).cast("array<double>").alias("__vec__"),
+        ).withColumn("sig", lsh_signature("__vec__", planes))
+
+    sided = _sig(table.df).persist(_PAIRGEN_CACHE)
     if probe_bits == 1:
         # original signature + every single-bit flip, all native string
         # ops (substring/concat) — distinct by construction
@@ -678,13 +688,13 @@ def embedding_lsh_dup_pairs(
     else:
         a = sided.alias("a")
         join_sig = F.col("a.sig") == F.col("b.sig")
-    b = sided.alias("b")
+    b = (sided if against is None else _sig(against.df)).alias("b")
+    cond = [join_sig]
+    if against is None:
+        cond.append(F.col("a.__id__") < F.col("b.__id__"))
     cand = a.join(
         b,
-        on=[
-            join_sig,
-            F.col("a.__id__") < F.col("b.__id__"),
-        ],
+        on=cond,
     ).select(
         F.col("a.__id__").alias("id1"),
         F.col("b.__id__").alias("id2"),

@@ -648,3 +648,46 @@ def test_minhash_incremental_against_corpus(spark, docs):
         if (r["id1"] >= 100) != (r["id2"] >= 100)
     )
     assert sorted((i1, i2) for i1, i2 in inc) == full
+
+
+def test_embedding_lsh_incremental_against_corpus(spark):
+    """against= on embedding LSH: cross-side candidates equal the
+    combined self-join restricted to cross pairs, incl. multiprobe."""
+    import random
+
+    from littletable_spark.operators.dedup import embedding_lsh_dup_pairs
+
+    rng = random.Random(7)
+
+    def vec(base=None, jitter=0.0):
+        if base is None:
+            return [rng.uniform(-1, 1) for _ in range(8)]
+        return [x + rng.uniform(-jitter, jitter) for x in base]
+
+    corpus_rows = [{"vec_id": i, "embedding": vec()} for i in range(40)]
+    new_rows = [
+        {"vec_id": 100, "embedding": vec(corpus_rows[0]["embedding"], 0.01)},
+        {"vec_id": 101, "embedding": vec()},
+    ]
+    corpus = Table("corpus", spark=spark); corpus.insert_many(corpus_rows)
+    new = Table("new", spark=spark); new.insert_many(new_rows)
+    both = Table("both", spark=spark); both.insert_many(corpus_rows + new_rows)
+    for pb in (0, 1):
+        inc = sorted(
+            (r["id1"], r["id2"], r["cosine"])
+            for r in embedding_lsh_dup_pairs(
+                new, "vec_id", "embedding", threshold=0.5, n_planes=4,
+                dim=8, probe_bits=pb, against=corpus,
+            ).df.collect()
+        )
+        assert all(i1 in (100, 101) for i1, _, _ in inc)
+        full = sorted(
+            (max(r["id1"], r["id2"]), min(r["id1"], r["id2"]), r["cosine"])
+            for r in embedding_lsh_dup_pairs(
+                both, "vec_id", "embedding", threshold=0.5, n_planes=4,
+                dim=8, probe_bits=pb,
+            ).df.collect()
+            if (r["id1"] >= 100) != (r["id2"] >= 100)
+        )
+        assert inc == full, f"probe_bits={pb}"
+        assert any(i1 == 100 and i2 == 0 for i1, i2, _ in inc)  # the planted dup
