@@ -254,8 +254,11 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
         ]
     else:
-        a = _banded(table.df).alias("a")
-        b = _banded(against.df).alias("b")
+        # persist both band tables (same steady-state policy as the
+        # self-join path): the corpus side is the reused asset across
+        # successive incremental batches, the new side is tiny
+        a = _banded(table.df).persist(_PAIRGEN_CACHE).alias("a")
+        b = _banded(against.df).persist(_PAIRGEN_CACHE).alias("b")
         cond = [
             F.col("a.band") == F.col("b.band"),
             F.col("a.band_key") == F.col("b.band_key"),
