@@ -544,6 +544,20 @@ def q_dedup_embedding_lsh_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_dedup_spans_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental exact-substring spans: runs in new docs (doc_id % 10
+    == 0) whose 5-grams occur anywhere in the existing corpus."""
+    from littletable_spark.operators.dedup import duplicate_spans
+    from littletable_spark.table import Table
+
+    d = _t(spark, sf_dir, "documents")
+    new = Table.from_df(d.df.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0))
+    corpus = Table.from_df(d.df.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0))
+    return duplicate_spans(
+        new, "text", "doc_id", k=5, min_docs=1, against=corpus
+    ).df
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-substring duplicate spans: maximal runs of 5-token grams
     shared by >= 2 distinct documents (Lee-et-al-style exact dedup)."""
@@ -1177,7 +1191,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 79 every round."""
+    runs all 80 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1230,6 +1244,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
+        "dedup_spans_incr": q_dedup_spans_incr,
         "dedup_embedding_lsh_incr": q_dedup_embedding_lsh_incr,
         "agg_distinct": q_agg_distinct,
         "sample_fixed": q_sample_fixed,
@@ -1928,6 +1943,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
             ), m AS (
               SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)
+            ), isl AS (
+              SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 5
+                          THEN 1 ELSE 0 END AS brk
+              FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+            ), grp AS (
+              SELECT doc_id, p,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl
+            )
+            SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+                   CAST(MAX(p) + 4 AS BIGINT) AS span_end,
+                   CAST(MAX(p) + 5 - MIN(p) AS BIGINT) AS span_tokens
+            FROM grp GROUP BY doc_id, island
+        """,
+        "dedup_spans_incr": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS p
+              FROM toks WHERE len(t) >= 5
+            ), g AS (
+              SELECT doc_id, p, array_to_string(t[p : p + 4], ' ') AS gram FROM pos
+            ), dup AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0
+            ), m AS (
+              SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)
+              WHERE g.doc_id % 10 = 0
             ), isl AS (
               SELECT doc_id, p,
                      CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 5

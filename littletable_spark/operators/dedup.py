@@ -1005,6 +1005,7 @@ def duplicate_spans(
     k: int = 8,
     min_docs: int = 2,
     hash_keys: bool = True,
+    against: Table | None = None,
 ) -> Table:
     """Exact-substring duplicate detection: every maximal token span
     whose k-token grams all occur in >= ``min_docs`` DISTINCT documents,
@@ -1012,6 +1013,13 @@ def duplicate_spans(
     inclusive. Intra-document repeats do NOT mark a span (that signal is
     ``repetition_score``); this is the cross-document exact complement
     to the approximate MinHash/SimHash family.
+
+    ``against`` switches to the INCREMENTAL ingestion shape: spans of
+    ``table`` (the new batch) whose grams occur in >= ``min_docs``
+    documents of ``against`` (the existing corpus) — pass
+    ``min_docs=1`` for the usual any-corpus-occurrence marking. The
+    corpus side is one gram aggregation, the new batch one semi-join
+    probe — no corpus-side span merging, no corpus×corpus work.
 
     Scale shape (100 TB): gram generation is narrow; ONE shuffle groups
     by gram key (8-byte hashed by default, see ``_positioned_gram_rows``)
@@ -1030,6 +1038,33 @@ def duplicate_spans(
     # unpersisted pos would re-run tokenize + gram hashing — the
     # measured majority of pipeline cost — once per consumer
     # (1.0s -> 0.33s steady-state at sf0.1)
+    if against is not None:
+        pos = _positioned_gram_rows(df, id_col, text_col, k, hash_keys)
+        cpos = _positioned_gram_rows(
+            against._require_df(), id_col, text_col, k, hash_keys
+        )
+        if min_docs <= 1:
+            dup = cpos.select("g").distinct()
+        elif min_docs == 2:
+            dup = (
+                cpos.groupBy("g")
+                .agg(F.min(id_col).alias("__a__"), F.max(id_col).alias("__b__"))
+                .where(F.col("__a__") != F.col("__b__"))
+                .select("g")
+            )
+        else:
+            dup = (
+                cpos.groupBy("g")
+                .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+                .where(F.col("__nd__") >= min_docs)
+                .select("g")
+            )
+        return _merge_marked_spans(
+            pos.join(dup, on="g", how="left_semi").select(id_col, "p"),
+            id_col,
+            k,
+            f"{table.table_name}_dup_spans",
+        )
     pos = _positioned_gram_rows(df, id_col, text_col, k, hash_keys).persist(
         _PAIRGEN_CACHE
     )
@@ -1048,6 +1083,14 @@ def duplicate_spans(
             .select("g")
         )
     marked = pos.join(dup, on="g", how="left_semi").select(id_col, "p")
+    return _merge_marked_spans(marked, id_col, k, f"{table.table_name}_dup_spans")
+
+
+def _merge_marked_spans(marked, id_col: str, k: int, name: str) -> Table:
+    """Gap-and-islands merge of marked gram positions into maximal
+    spans — per-document window on the total order (id, p)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("p")
     prev = F.lag("p").over(w)
     brk = F.when(prev.isNull() | (F.col("p") > prev + F.lit(k)), 1).otherwise(0)
@@ -1070,7 +1113,7 @@ def duplicate_spans(
         )
         .drop("__isl__")
     )
-    return Table.from_df(out, name=f"{table.table_name}_dup_spans")
+    return Table.from_df(out, name=name)
 
 
 def remove_duplicate_spans(

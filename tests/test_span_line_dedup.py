@@ -246,3 +246,62 @@ def test_line_dedup_custom_sep(spark):
         ).df.collect()
     )
     assert got == {0: "a|b", 1: "c|d"}
+
+
+def _model_spans_against(new_docs, corpus_docs, k, min_docs=1):
+    grams = {}
+    for i, s in corpus_docs:
+        t = _toks(s)
+        for p in range(1, len(t) - k + 2):
+            grams.setdefault(" ".join(t[p - 1 : p - 1 + k]), set()).add(i)
+    dup = {g for g, ids in grams.items() if len(ids) >= min_docs}
+    out = []
+    for i, s in new_docs:
+        t = _toks(s)
+        marked = sorted(
+            p
+            for p in range(1, len(t) - k + 2)
+            if " ".join(t[p - 1 : p - 1 + k]) in dup
+        )
+        if not marked:
+            continue
+        start = prev = marked[0]
+        for p in marked[1:]:
+            if p > prev + k:
+                out.append((i, start, prev + k - 1, prev + k - start))
+                start = p
+            prev = p
+        out.append((i, start, prev + k - 1, prev + k - start))
+    return sorted(out)
+
+
+def test_duplicate_spans_incremental_against_corpus(spark):
+    """against= marks new-batch spans whose grams exist in the corpus;
+    corpus-internal duplication is irrelevant at min_docs=1 and
+    required at min_docs=2."""
+    corpus_docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six seven"),
+        (2, "one two three four five eight nine"),
+    ]
+    new_docs = [
+        (100, "x alpha beta gamma delta y one two three four z"),
+        (101, "nothing shared with anyone at all here"),
+    ]
+    corpus = _mk(spark, corpus_docs)
+    new = Table("newdocs", spark=spark)
+    new.insert_many([{"doc_id": i, "text": s} for i, s in new_docs])
+    for md in (1, 2):
+        got = sorted(
+            tuple(r)
+            for r in duplicate_spans(
+                new, "text", "doc_id", k=4, min_docs=md, against=corpus
+            ).df.collect()
+        )
+        assert got == _model_spans_against(new_docs, corpus_docs, k=4, min_docs=md), md
+    # md=1 marks both shared runs; md=2 keeps only the run shared by
+    # corpus docs 1 AND 2
+    got1 = _model_spans_against(new_docs, corpus_docs, 4, 1)
+    got2 = _model_spans_against(new_docs, corpus_docs, 4, 2)
+    assert len(got1) == 2 and len(got2) == 1
+    assert not any(i == 101 for i, *_ in got1)
