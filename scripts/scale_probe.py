@@ -352,6 +352,34 @@ def main() -> None:
     timed("tfidf_1x", lambda: tfidf(docs1), results)
     timed("tfidf_10x", lambda: tfidf(docs10), results)
 
+    # incremental ingestion shapes: a FIXED new batch against a 1x/10x
+    # corpus — growth should be ~the corpus-side scan/aggregation, the
+    # same asymmetry as contam_fixed
+    newb = docs1.where(F.pmod(F.col("doc_id"), F.lit(17)) == 0).persist()
+    newb.count()
+
+    def minhash_incr(corpus):
+        from littletable_spark.operators.dedup import minhash_lsh_pairs
+
+        minhash_lsh_pairs(
+            Table.from_df(newb), "doc_id", "text", against=Table.from_df(corpus)
+        ).df.write.format("noop").mode("overwrite").save()
+
+    def spans_incr(corpus):
+        from littletable_spark.operators.dedup import duplicate_spans
+
+        duplicate_spans(
+            Table.from_df(newb), "text", "doc_id", k=5, min_docs=1,
+            against=Table.from_df(corpus),
+        ).df.write.format("noop").mode("overwrite").save()
+
+    minhash_incr(docs1); minhash_incr(docs10)
+    spans_incr(docs1); spans_incr(docs10)
+    timed("minhash_incr_1x", lambda: minhash_incr(docs1), results)
+    timed("minhash_incr_10x", lambda: minhash_incr(docs10), results)
+    timed("spans_incr_1x", lambda: spans_incr(docs1), results)
+    timed("spans_incr_10x", lambda: spans_incr(docs10), results)
+
     contamination_fixed_bench(docs1, docs1)
     contamination_fixed_bench(docs1, docs10)  # warm both shapes
     timed(
@@ -369,6 +397,7 @@ def main() -> None:
         "jaccard", "clusters", "emb_lsh", "pack", "contamination",
         "contam_fixed", "fquality", "capgrp", "asof",
         "dup_spans", "line_dedup", "logprob", "tfidf",
+        "minhash_incr", "spans_incr",
     ]:
         a, b = results[f"{base}_1x"], results[f"{base}_10x"]
         print(f"{base:<18}{a:>9.2f}{b:>10.2f}{b / a:>8.1f}x")
