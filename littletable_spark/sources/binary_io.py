@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 from ..table import Table
 
 
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
 def binary_import(
     spark: SparkSession,
     path: str,
@@ -33,6 +38,7 @@ def binary_import(
     recursive: bool = False,
     name: str = "",
     max_bytes: int | None = None,
+    stream: bool = False,
 ) -> Table:
     """Read a directory of raw files as (path, modificationTime,
     length, content) rows via Spark's ``binaryFile`` source.
@@ -41,8 +47,17 @@ def binary_import(
     (files are pruned before any read, not filtered after). With
     ``max_bytes`` set, oversized files are dropped by a pushed
     ``length`` filter — the scan never materializes their content
-    (binaryFile supports predicate pushdown on length/path/time)."""
-    reader = spark.read.format("binaryFile")
+    (binaryFile supports predicate pushdown on length/path/time).
+
+    ``stream=True`` returns a streaming Table over the same directory
+    (``readStream`` file source, fixed binaryFile schema): newly landed
+    files flow through the narrow curation ops (sniff → filter → sink)
+    without re-listing history — the continuous-ingest half of the
+    multimodal pipeline."""
+    if stream:
+        reader = spark.readStream.format("binaryFile").schema(BINARY_FILE_SCHEMA)
+    else:
+        reader = spark.read.format("binaryFile")
     if pattern:
         reader = reader.option("pathGlobFilter", pattern)
     if recursive:
@@ -61,14 +76,16 @@ def text_import(
     whole_file: bool = False,
     line_sep: str | None = None,
     name: str = "",
+    stream: bool = False,
 ) -> Table:
     """Read text files as (path, text) rows — one row per line, or one
     per file with ``whole_file=True`` — via Spark's ``text`` source
     (split-planned per HDFS block for large files unless whole_file).
 
     ``line_sep`` overrides the newline delimiter (e.g. ``\\0`` for
-    record-separated crawls)."""
-    reader = spark.read.format("text")
+    record-separated crawls). ``stream=True`` tails the directory as a
+    Structured Streaming file source."""
+    reader = (spark.readStream if stream else spark.read).format("text")
     if pattern:
         reader = reader.option("pathGlobFilter", pattern)
     if recursive:

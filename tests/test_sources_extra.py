@@ -267,3 +267,45 @@ def test_text_import_lines_whole_file_and_sep(spark, tmp_path):
     (d / "z.rec").write_text("r1\x00r2\x00r3")
     recs = text_import(spark, str(d), pattern="*.rec", line_sep="\x00")
     assert sorted(r.text for r in recs) == ["r1", "r2", "r3"]
+
+
+def test_binary_and_text_stream_import(spark, tmp_path):
+    """stream=True: the same directories tail as Structured Streaming
+    file sources; narrow curation ops (sniff_media) apply unchanged and
+    drain through a memory sink with availableNow."""
+    from littletable_spark import binary_import, text_import
+    from littletable_spark.operators.multimodal import sniff_media
+
+    d = tmp_path / "stream_blobs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG\r\n\x1a\npayload")
+    (d / "b.bin").write_bytes(b"RIFF0000WAVEfmt ")
+    bt = binary_import(spark, str(d), stream=True)
+    assert bt.df.isStreaming
+    sniffed = sniff_media(bt, "content")
+    q = (
+        sniffed.df.selectExpr("path", "media_meta.format AS fmt", "length")
+        .writeStream.format("memory")
+        .queryName("blob_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["path"].rsplit("/", 1)[-1]: r["fmt"]
+            for r in spark.sql("select * from blob_stream_t").collect()}
+    assert rows == {"a.png": "png", "b.bin": "riff"}
+
+    td = tmp_path / "stream_txt"
+    td.mkdir()
+    (td / "x.txt").write_text("alpha\nbeta\n")
+    tt = text_import(spark, str(td), stream=True)
+    assert tt.df.isStreaming
+    q2 = (
+        tt.df.writeStream.format("memory")
+        .queryName("text_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    got = sorted(r["text"] for r in spark.sql("select * from text_stream_t").collect())
+    assert got == ["alpha", "beta"]
