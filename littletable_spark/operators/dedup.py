@@ -1123,12 +1123,16 @@ def remove_duplicate_spans(
     k: int = 8,
     min_docs: int = 2,
     hash_keys: bool = True,
+    against: Table | None = None,
 ) -> Table:
     """Cut every cross-document duplicate span (see ``duplicate_spans``)
     out of the text; returns (id, text) with the surviving tokens
     space-joined (whitespace is normalized — the tokenizer's view IS the
     output). NULL text is treated as '' (the engine-portable choice; a
     NULL would poison downstream token arithmetic — see pack_sequences).
+    ``against`` cuts the INCREMENTAL spans instead (new-batch runs
+    occurring in >= ``min_docs`` corpus docs — pass ``min_docs=1`` for
+    any-occurrence); the corpus itself is never rewritten.
 
     Scale shape: the span table (docs-with-dups only, few rows per doc)
     is aggregated per doc and joined back to the corpus — AQE broadcasts
@@ -1137,7 +1141,9 @@ def remove_duplicate_spans(
     explode+anti-join, so the corpus is never token-exploded a second
     time."""
     df = table._require_df()
-    spans = duplicate_spans(table, text_col, id_col, k, min_docs, hash_keys).df
+    spans = duplicate_spans(
+        table, text_col, id_col, k, min_docs, hash_keys, against
+    ).df
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
     )

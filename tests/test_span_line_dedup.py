@@ -305,3 +305,21 @@ def test_duplicate_spans_incremental_against_corpus(spark):
     got2 = _model_spans_against(new_docs, corpus_docs, 4, 2)
     assert len(got1) == 2 and len(got2) == 1
     assert not any(i == 101 for i, *_ in got1)
+
+
+def test_remove_spans_incremental(spark):
+    """against= on the remove path: only new-batch text is rewritten,
+    cutting exactly the corpus-occurring runs."""
+    corpus = _mk(spark, [(0, "one two three four five six")])
+    new = Table("newdocs2", spark=spark)
+    new.insert_many(
+        [{"doc_id": 100, "text": "x one two three four y"},
+         {"doc_id": 101, "text": "untouched novel words entirely here"}]
+    )
+    got = dict(
+        (r["doc_id"], r["text"])
+        for r in remove_duplicate_spans(
+            new, "text", "doc_id", k=4, min_docs=1, against=corpus
+        ).df.collect()
+    )
+    assert got == {100: "x y", 101: "untouched novel words entirely here"}
