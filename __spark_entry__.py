@@ -1161,7 +1161,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new-batch-vs-corpus banding, new this round — also re-exercises the
     parked dedup_minhash's banding core in-gate) enters with
     agg_distinct parked (distinct-agg over the same groupBy core as
-    in-gate groupby_summaries; driver-green r1-r5).
+    in-gate groupby_summaries; driver-green r1-r5). The two remaining
+    incremental variants, dedup_spans_incr and dedup_embedding_lsh_incr,
+    are mirror-checked this round (their cores — span machinery and LSH
+    bucketing — sit in-gate via dedup_spans_remove and
+    dedup_embedding_lsh, and the incremental JOIN shape is gated via
+    dedup_minhash_incr); rotate them into a gate window in round 7.
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
