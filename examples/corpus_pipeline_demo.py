@@ -88,6 +88,21 @@ def main() -> None:
           f"({len(cleaned)} docs rewritten); line dedup keeps "
           f"{len(deboiler)}/{len(docs)} docs")
 
+    # 3c. incremental ingestion: dedupe a "new batch" against the
+    # existing corpus without any corpus x corpus work
+    new_batch = Table.from_df(
+        docs.df.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    )
+    old_corpus = Table.from_df(
+        docs.df.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    )
+    incr = minhash_lsh_pairs(new_batch, "doc_id", "text", against=old_corpus)
+    incr_spans = duplicate_spans(
+        new_batch, "text", "doc_id", k=8, min_docs=1, against=old_corpus
+    )
+    print(f"incremental: {len(incr)} new-vs-corpus near-dup candidates, "
+          f"{len(incr_spans)} exact spans already present in the corpus")
+
     # 4. nearest neighbors for the first few embeddings
     emb = Table.parquet_import(spark, f"{sf_dir}/embeddings.parquet", "embeddings")
     nn = cosine_topk(emb, emb.where(vec_id=Table.lt(3)), "vec_id", "embedding", k=3)
