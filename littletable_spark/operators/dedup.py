@@ -1040,9 +1040,12 @@ def duplicate_spans(
     # (1.0s -> 0.33s steady-state at sf0.1)
     if against is not None:
         pos = _positioned_gram_rows(df, id_col, text_col, k, hash_keys)
+        # the corpus gram table is the asset reused across successive
+        # incremental batches — same steady-state persist policy as the
+        # pair generators
         cpos = _positioned_gram_rows(
             against._require_df(), id_col, text_col, k, hash_keys
-        )
+        ).persist(_PAIRGEN_CACHE)
         if min_docs <= 1:
             dup = cpos.select("g").distinct()
         elif min_docs == 2:
