@@ -1175,6 +1175,7 @@ def line_dedup(
     min_docs: int = 2,
     sep: str = "\n",
     join_sep: str | None = None,
+    against: Table | None = None,
 ) -> Table:
     """Inter-document boilerplate line removal (CCNet / RefinedWeb
     style): drop every line that occurs verbatim in >= ``min_docs``
@@ -1182,6 +1183,13 @@ def line_dedup(
     reassemble the rest in order. Returns (id, text, n_lines_kept);
     documents whose every line is boilerplate drop out entirely (the
     standard curation policy — an empty doc is not training data).
+
+    ``against`` switches to the INCREMENTAL ingestion shape: the
+    boilerplate line set is learned from ``against`` (the existing
+    corpus — ``min_docs`` counts ITS documents; pass ``min_docs=1`` to
+    strip any line the corpus has seen) and applied to ``table`` (the
+    new batch) only; the corpus line-frequency table is the persisted
+    asset reused across successive batches.
 
     ``sep`` is a Java regex for splitting; ``join_sep`` (default: ``sep``
     verbatim) is the literal used to rejoin — pass both when the split
@@ -1195,28 +1203,43 @@ def line_dedup(
     as a global orderBy."""
     df = table._require_df()
     rejoin = sep if join_sep is None else join_sep
-    # two consumers (frequency aggregation + anti-join probe): persist
-    # so the split+explode runs once, same policy as the pair generators
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
-        ).alias("__pos__", "__line__"),
-    ).persist(_PAIRGEN_CACHE)
-    if min_docs <= 2:
-        bad = (
-            lines.groupBy("__line__")
-            .agg(F.min(id_col).alias("__a__"), F.max(id_col).alias("__b__"))
-            .where(F.col("__a__") != F.col("__b__"))
+
+    def _lines(frame):
+        return frame.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("__pos__", "__line__"),
+        )
+
+    def _bad(frame, threshold):
+        if threshold <= 1:
+            return frame.select("__line__").distinct()
+        if threshold == 2:
+            return (
+                frame.groupBy("__line__")
+                .agg(F.min(id_col).alias("__a__"), F.max(id_col).alias("__b__"))
+                .where(F.col("__a__") != F.col("__b__"))
+                .select("__line__")
+            )
+        return (
+            frame.groupBy("__line__")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+            .where(F.col("__nd__") >= threshold)
             .select("__line__")
+        )
+
+    if against is not None:
+        lines = _lines(df)
+        bad = _bad(
+            _lines(against._require_df()).persist(_PAIRGEN_CACHE), min_docs
         )
     else:
-        bad = (
-            lines.groupBy("__line__")
-            .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
-            .where(F.col("__nd__") >= min_docs)
-            .select("__line__")
-        )
+        # two consumers (frequency aggregation + anti-join probe):
+        # persist so the split+explode runs once, same policy as the
+        # pair generators
+        lines = _lines(df).persist(_PAIRGEN_CACHE)
+        bad = _bad(lines, max(min_docs, 2))
     kept = lines.join(bad, on="__line__", how="left_anti")
     out = kept.groupBy(id_col).agg(
         F.array_join(

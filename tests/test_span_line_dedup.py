@@ -323,3 +323,34 @@ def test_remove_spans_incremental(spark):
         ).df.collect()
     )
     assert got == {100: "x y", 101: "untouched novel words entirely here"}
+
+
+def test_line_dedup_incremental(spark):
+    """against=: boilerplate learned from the corpus, applied to the
+    new batch only; min_docs counts corpus docs."""
+    corpus = _mk(spark, LINED)
+    new = Table("newlined", spark=spark)
+    new.insert_many(
+        [{"doc_id": 100, "text": "fresh headline\nCOOKIE BANNER\nfresh tail"},
+         {"doc_id": 101, "text": "keep me zero\nall novel"}]
+    )
+    got = dict(
+        (r["doc_id"], (r["text"], r["n_lines_kept"]))
+        for r in line_dedup(
+            new, "text", "doc_id", min_docs=2, against=corpus
+        ).df.collect()
+    )
+    # COOKIE BANNER is in >= 2 corpus docs -> stripped from the batch;
+    # "keep me zero" is in only ONE corpus doc -> kept at min_docs=2
+    assert got == {
+        100: ("fresh headline\nfresh tail", 2),
+        101: ("keep me zero\nall novel", 2),
+    }
+    # min_docs=1: any corpus-seen line goes, including "keep me zero"
+    got1 = dict(
+        (r["doc_id"], r["text"])
+        for r in line_dedup(
+            new, "text", "doc_id", min_docs=1, against=corpus
+        ).df.collect()
+    )
+    assert got1 == {100: "fresh headline\nfresh tail", 101: "all novel"}
