@@ -216,3 +216,111 @@ def test_repetition_score_bounds(spark, words):
     if expected_total:
         grams = [" ".join(words[i : i + 3]) for i in range(expected_total)]
         assert row.n_distinct_windows == len(set(grams))
+
+
+# --- late-round-6 curation operators vs pure-Python models ---
+
+# min_size=1: a zero-doc table has no schema (reference semantics) and
+# the curation operators require a DataFrame
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=14),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _mk_docs(spark, docs):
+    t = Table("propdocs", spark=spark)
+    rows = [{"doc_id": i, "text": " ".join(ws)} for i, ws in enumerate(docs)]
+    if rows:
+        t.insert_many(rows)
+    return t
+
+
+@given(docs=docs_strategy, k=st.integers(2, 4))
+@SETTINGS
+def test_duplicate_spans_property(spark, docs, k):
+    from littletable_spark.operators.dedup import duplicate_spans
+
+    grams, pos = {}, {}
+    for i, ws in enumerate(docs):
+        for p in range(1, len(ws) - k + 2):
+            g = " ".join(ws[p - 1 : p - 1 + k])
+            grams.setdefault(g, set()).add(i)
+            pos.setdefault(i, []).append((p, g))
+    dup = {g for g, ids in grams.items() if len(ids) >= 2}
+    want = []
+    for i, plist in pos.items():
+        marked = sorted(p for p, g in plist if g in dup)
+        if not marked:
+            continue
+        start = prev = marked[0]
+        for p in marked[1:]:
+            if p > prev + k:
+                want.append((i, start, prev + k - 1, prev + k - start))
+                start = p
+            prev = p
+        want.append((i, start, prev + k - 1, prev + k - start))
+    got = sorted(
+        tuple(r)
+        for r in duplicate_spans(_mk_docs(spark, docs), "text", "doc_id", k=k)
+        .df.collect()
+    )
+    assert got == sorted(want)
+
+
+@given(docs=docs_strategy)
+@SETTINGS
+def test_line_dedup_property(spark, docs):
+    """word-level line dedup (sep=' '): matches the model incl. empty
+    docs dropping out and in-doc order preservation."""
+    from littletable_spark.operators.dedup import line_dedup
+
+    freq = {}
+    for i, ws in enumerate(docs):
+        text = " ".join(ws)
+        for ln in set(text.split(" ")):
+            freq.setdefault(ln, set()).add(i)
+    bad = {ln for ln, ids in freq.items() if len(ids) >= 2}
+    want = []
+    for i, ws in enumerate(docs):
+        kept = [ln for ln in " ".join(ws).split(" ") if ln not in bad]
+        if kept:
+            want.append((i, " ".join(kept), len(kept)))
+    got = sorted(
+        tuple(r)
+        for r in line_dedup(_mk_docs(spark, docs), "text", "doc_id", sep=" ")
+        .df.collect()
+    )
+    assert got == sorted(want)
+
+
+@given(docs=docs_strategy, vocab=st.integers(1, 6))
+@SETTINGS
+def test_unigram_logprob_property(spark, docs, vocab):
+    import math
+
+    from littletable_spark.operators.textops import unigram_logprob
+
+    freq = {}
+    for ws in docs:
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+    n = float(sum(freq.values()))
+    keep = dict(sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab])
+    want = {}
+    for i, ws in enumerate(docs):
+        if not ws:
+            continue
+        lp = [math.log(keep.get(w, 0.5) / n) for w in ws]
+        want[i] = (len(ws), sum(lp) / len(lp))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+        for r in unigram_logprob(
+            _mk_docs(spark, docs), "text", "doc_id", vocab_size=vocab
+        ).df.collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], rel=1e-9)
