@@ -517,6 +517,15 @@ def q_sample_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.select("doc_id", "shard", "shuffle_ord")
 
 
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-8 for a fixed query (scores rounded to 6dp BEFORE
+    ranking so the rank order is total and engine-portable)."""
+    from littletable_spark.operators.textops import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "text", "doc_id", "spark table merge", k=8).df
+
+
 def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """incremental MinHash dedup: new batch (doc_id % 10 == 0) banded
     against the existing corpus — no corpus x corpus self-join."""
@@ -1196,7 +1205,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 80 every round."""
+    runs all 81 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1249,6 +1258,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         # ---- parked beyond the driver's 50-query window ----
+        "text_bm25": q_text_bm25,
         "dedup_spans_incr": q_dedup_spans_incr,
         "dedup_embedding_lsh_incr": q_dedup_embedding_lsh_incr,
         "agg_distinct": q_agg_distinct,
@@ -1887,6 +1897,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id1 = sa.doc_id
             JOIN sizes sb ON id2 = sb.doc_id
             WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.5
+        """,
+        "text_bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS nd, avg(len(t)) AS avgdl FROM toks
+            ), tok AS (
+              SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS w FROM toks
+            ), ftok AS (
+              SELECT * FROM tok WHERE w IN ('merge', 'spark', 'table')
+            ), tf AS (
+              SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+              FROM ftok GROUP BY doc_id, w
+            ), df AS (
+              SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1 + ((SELECT nd FROM stats) - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * 2.5
+                       / (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl
+                                         / (SELECT avgdl FROM stats)))
+                     ), 6) AS score
+              FROM tf JOIN df USING (w) GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+                     AS rank
+            FROM scored ORDER BY score DESC, doc_id ASC LIMIT 8
         """,
         "text_logprob": """
             WITH toks AS (

@@ -637,3 +637,86 @@ def tfidf_top_terms(
         .select(id_col, "term", "tf", "df", "tfidf", "term_rank")
     )
     return Table.from_df(out, name=f"{table.table_name}_tfidf")
+
+
+def bm25_topk(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> Table:
+    """Okapi BM25 relevance of every document to a query string, top-k —
+    (id, score, rank). The standard retrieval scorer for corpus work
+    (finding near-matches of an eval prompt, quality-by-query probes,
+    retrieval-based decontamination triage) with document-length
+    normalization that plain tf-idf lacks.
+
+    idf = ln(1 + (D - df + 0.5)/(df + 0.5)); per-term contribution
+    tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)). Scores are rounded to 6
+    decimals BEFORE ranking and tie-broken by id, so the rank order is
+    total and engine-portable (unrounded IEEE sums can differ in the
+    last ulp across engines and would flip near-ties under limit).
+
+    Scale shape (100 TB): the corpus scan filters to query terms BEFORE
+    any aggregation (a handful of terms — the filter prunes ~everything
+    at scan speed); per-doc lengths are a narrow projection; D and avgdl
+    are single-row-aggregate scalars folded in as literals; the top-k is
+    a TakeOrdered, never a global sort."""
+    terms = sorted({w for w in (query or "").strip().split() if w})
+    if not terms:
+        raise ValueError("bm25_topk: query has no tokens")
+    df = table._require_df()
+    d_count = float(len(table))
+    stats = df.select(
+        F.sum(F.greatest(F.size(_tokens(text_col)), F.lit(0))).alias("n")
+    ).collect()[0]
+    avgdl = float(stats["n"] or 0) / d_count if d_count else 0.0
+    if avgdl <= 0:
+        raise ValueError("bm25_topk: corpus has no tokens")
+    toked = df.select(
+        F.col(id_col),
+        _tokens(text_col).alias("__tk__"),
+    ).select(
+        F.col(id_col),
+        F.size("__tk__").cast("double").alias("__dl__"),
+        F.explode("__tk__").alias("__w__"),
+    ).where(F.col("__w__").isin(terms))
+    tf = toked.groupBy(id_col, "__w__").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf__"),
+        F.first("__dl__").alias("__dl__"),
+    )
+    docfreq = tf.groupBy("__w__").agg(
+        F.count(F.lit(1)).cast("double").alias("__df__")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(d_count) - F.col("__df__") + F.lit(0.5))
+        / (F.col("__df__") + F.lit(0.5))
+    )
+    denom = F.col("__tf__") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl__") / F.lit(avgdl)
+    )
+    contrib = idf * F.col("__tf__") * F.lit(k1 + 1.0) / denom
+    scored = (
+        tf.join(docfreq, on="__w__")
+        .withColumn("__c__", contrib)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__c__"), 6).alias("score"))
+    )
+    from ..plans.ordering import dense_index
+
+    top = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(int(k))
+    # rank over the <= k surviving rows via partition-local numbering +
+    # broadcast offsets (no global single-partition window — lint-clean,
+    # and the pattern stays correct if k is ever large)
+    out = dense_index(
+        top, [F.col("score").desc(), F.col(id_col).asc()], out_col="rank"
+    ).withColumn("rank", (F.col("rank") + F.lit(1)).cast("int"))
+    return Table.from_df(
+        out.select(id_col, "score", "rank"), name=f"{table.table_name}_bm25"
+    )

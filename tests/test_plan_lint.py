@@ -86,12 +86,17 @@ def test_new_pipeline_operators_lint_clean(spark):
         [{"doc_id": i, "text": f"w{i % 7} common tokens here run {i % 3}"}
          for i in range(40)]
     )
+    from littletable_spark.operators.textops import bm25_topk
+
     for tab in (
         duplicate_spans(t, "text", "doc_id", k=3),
         remove_duplicate_spans(t, "text", "doc_id", k=3),
+        duplicate_spans(t, "text", "doc_id", k=3, min_docs=1, against=t),
         line_dedup(t, "text", "doc_id"),
+        line_dedup(t, "text", "doc_id", against=t),
         unigram_logprob(t, "text", "doc_id", vocab_size=5),
         tfidf_top_terms(t, "text", "doc_id", k=2),
+        bm25_topk(t, "text", "doc_id", "common tokens", k=3),
         epoch_shuffle(t, "doc_id", seed="lint", n_shards=4),
     ):
         assert tab.lint() == [], tab.table_name

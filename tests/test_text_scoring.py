@@ -140,3 +140,50 @@ def test_tfidf_rank_is_total_and_k_bounds(spark):
     # near-ubiquitous "the" has the lowest idf -> not a top-2 term here
     terms0 = {r["term"] for r in out if r["doc_id"] == 0}
     assert "the" not in terms0
+
+
+def test_bm25_topk_matches_model_and_is_length_normalized(spark):
+    import math
+
+    from littletable_spark.operators.textops import bm25_topk
+
+    docs = [
+        (0, "spark engine spark plan"),
+        (1, "spark " + "filler " * 40 + "end"),   # same hits, much longer
+        (2, "unrelated words entirely different"),
+        (3, "spark"),
+    ]
+    t = _mk(spark, docs)
+    got = [(r["doc_id"], r["score"], r["rank"])
+           for r in bm25_topk(t, "text", "doc_id", "spark engine", k=4)
+           .df.collect()]
+    # pure-python BM25
+    toks = {i: _toks(s) for i, s in docs}
+    D = float(len(docs))
+    avgdl = sum(len(v) for v in toks.values()) / D
+    terms = ["spark", "engine"]
+    dfreq = {w: float(sum(1 for v in toks.values() if w in v)) for w in terms}
+    want = []
+    for i, tkns in toks.items():
+        sc = 0.0
+        for w in terms:
+            tf = float(tkns.count(w))
+            if not tf:
+                continue
+            idf = math.log(1 + (D - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            sc += idf * tf * 2.5 / (tf + 1.5 * (0.25 + 0.75 * len(tkns) / avgdl))
+        if sc:
+            want.append((i, round(sc, 6)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = [(i, s, r + 1) for r, (i, s) in enumerate(want)]
+    assert sorted(got) == sorted(want)
+    ranks = {i: r for i, _s, r in got}
+    assert ranks[0] == 1            # two distinct hits, short doc
+    assert ranks[3] < ranks[1]      # length normalization: short beats long
+
+
+def test_bm25_empty_query_raises(spark):
+    from littletable_spark.operators.textops import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(_mk(spark), "text", "doc_id", "   ")
