@@ -1175,7 +1175,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are mirror-checked this round (their cores — span machinery and LSH
     bucketing — sit in-gate via dedup_spans_remove and
     dedup_embedding_lsh, and the incremental JOIN shape is gated via
-    dedup_minhash_incr); rotate them into a gate window in round 7.
+    dedup_minhash_incr); likewise text_bm25 (mirror; its scan-filter +
+    scalar-literal + TakeOrdered shape shares the text aggregation core
+    with in-gate text_logprob / text_tfidf). Rotate all three into a
+    gate window in round 7.
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
