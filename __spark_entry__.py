@@ -722,6 +722,41 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_sim_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic clustering: spherical-k-means assignment over embeddings.
+
+    Run with deterministic init (centroids = embeddings of vec_id 0..7,
+    ``train_iters=0``), where assignment degenerates to
+    nearest-of-the-given-vectors — the full distributed machinery
+    (broadcast centroid matrix, Arrow/BLAS argmax scan, rounded-score
+    tie-break) executes and is oracle-checkable; Lloyd refinement is
+    covered by differential unit tests (the sim_ivf_topk pattern)."""
+    from littletable_spark.operators.similarity import cluster_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cluster_embeddings(
+        e, "vec_id", "embedding", init_ids=list(range(8)), train_iters=0
+    ).df
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster near-dup pairs: k-means blocks the
+    corpus, exact cosine only inside each block (candidates Σ n_c²,
+    never N²). Deterministic-init clustering as in sim_cluster so the
+    block structure is SQL-expressible for the oracle."""
+    from littletable_spark.operators.dedup import semantic_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        init_ids=list(range(8)),
+        train_iters=0,
+    ).df
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token counting: total, distinct, type-token ratio."""
     from littletable_spark.operators.textops import token_stats
@@ -1170,15 +1205,25 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new-batch-vs-corpus banding, new this round — also re-exercises the
     parked dedup_minhash's banding core in-gate) enters with
     agg_distinct parked (distinct-agg over the same groupBy core as
-    in-gate groupby_summaries; driver-green r1-r5). The two remaining
-    incremental variants, dedup_spans_incr and dedup_embedding_lsh_incr,
-    are mirror-checked this round (their cores — span machinery and LSH
-    bucketing — sit in-gate via dedup_spans_remove and
-    dedup_embedding_lsh, and the incremental JOIN shape is gated via
-    dedup_minhash_incr); likewise text_bm25 (mirror; its scan-filter +
-    scalar-literal + TakeOrdered shape shares the text aggregation core
-    with in-gate text_logprob / text_tfidf). Rotate all three into a
-    gate window in round 7.
+    in-gate groupby_summaries; driver-green r1-r5).
+
+    Final round-6 rotation: the last three never-driver-gated queries
+    enter the gate — dedup_spans_incr, dedup_embedding_lsh_incr,
+    text_bm25 — so EVERY registry query is now either gated this round
+    or driver-green in a prior round's CORRECTNESS file. The two
+    net-new SemDeDup queries (sim_cluster, dedup_semantic — k-means
+    cluster assignment + within-cluster near-dup pairs, deterministic
+    init so fully oracle-checkable) also enter immediately, per the
+    new-query-gates-first rule. Out in exchange, each driver-green in
+    CORRECTNESS_r05 with an in-gate sibling on the same code path:
+    range_join + events_rollup (binned-join / window-binning cores
+    shared with in-gate asof_join / events_session), multimodal_decode
+    (mapInPandas blob path of in-gate multimodal_meta), text_pii_scrub
+    (chained-regexp projection like in-gate text_quality /
+    text_filter_quality), sim_cosine_topk (with nprobe == nlist the
+    in-gate sim_ivf_topk computes the identical exact result through
+    the same rerank code; sim_cluster adds a third gated pass over the
+    same embedding-scan machinery).
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
@@ -1207,8 +1252,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_tumbling / text_quality), dedup_fingerprint (hash-groupBy
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
-    sim_cosine_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 81 every round."""
+    sim_ivf_topk). The local mirror (scripts/verify_oracle.py) still
+    runs all 83 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1236,34 +1281,36 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_incr": q_dedup_minhash_incr,
         "dedup_spans_remove": q_dedup_spans_remove,
+        "dedup_spans_incr": q_dedup_spans_incr,
         "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "sim_cosine_topk": q_sim_cosine_topk,
+        "dedup_embedding_lsh_incr": q_dedup_embedding_lsh_incr,
+        "dedup_semantic": q_dedup_semantic,
+        "sim_cluster": q_sim_cluster,
         "sim_ivf_topk": q_sim_ivf_topk,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_logprob": q_text_logprob,
         "text_tfidf": q_text_tfidf,
+        "text_bm25": q_text_bm25,
         "search_text": q_search_text,
         "grouping_sets": q_grouping_sets,
         "multimodal_meta": q_multimodal_meta,
         "sample_epoch": q_sample_epoch,
         "sample_cap_per_group": q_sample_cap_per_group,
         "sample_mixture": q_sample_mixture,
-        "multimodal_decode": q_multimodal_decode,
         "text_chunks": q_text_chunks,
-        "text_pii_scrub": q_text_pii_scrub,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
+        # ---- parked beyond the driver's 50-query window ----
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
-        # ---- parked beyond the driver's 50-query window ----
-        "text_bm25": q_text_bm25,
-        "dedup_spans_incr": q_dedup_spans_incr,
-        "dedup_embedding_lsh_incr": q_dedup_embedding_lsh_incr,
+        "multimodal_decode": q_multimodal_decode,
+        "text_pii_scrub": q_text_pii_scrub,
+        "sim_cosine_topk": q_sim_cosine_topk,
         "agg_distinct": q_agg_distinct,
         "sample_fixed": q_sample_fixed,
         "sample_uniform": q_sample_uniform,
@@ -2131,6 +2178,50 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
               WHERE q.vec_id < 5
             ) WHERE rank <= 10
+        """,
+        # centroids = embeddings of vec_id 0..7 (cluster index = vec_id
+        # because init_ids=[0..7]); cosine is norm-invariant so the raw
+        # embedding stands in for the unit-normalized centroid. Rank on
+        # the ROUNDED score with cluster-index tie-break — the same
+        # total order the Spark argmax uses.
+        "sim_cluster": """
+            WITH cents AS (
+              SELECT vec_id AS cl, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+              SELECT e.vec_id, c.cl,
+                     round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.cvec), 6) AS cos,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         e.embedding::DOUBLE[], c.cvec), 6) DESC, c.cl ASC
+                     ) AS rk
+              FROM embeddings e CROSS JOIN cents c
+            )
+            SELECT vec_id, cl::INT AS cluster, cos AS cosine
+            FROM scored WHERE rk = 1
+        """,
+        "dedup_semantic": """
+            WITH cents AS (
+              SELECT vec_id AS cl, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id < 8
+            ), assign AS (
+              SELECT vec_id, cl AS cluster, emb FROM (
+                SELECT e.vec_id, c.cl, e.embedding::DOUBLE[] AS emb,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.cvec), 6) DESC, c.cl ASC
+                       ) AS rk
+                FROM embeddings e CROSS JOIN cents c
+              ) WHERE rk = 1
+            )
+            SELECT a.vec_id AS id1, b.vec_id AS id2, a.cluster::INT AS cluster,
+                   round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+            FROM assign a JOIN assign b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
         """,
         "sim_ivf_topk": """
             SELECT * FROM (

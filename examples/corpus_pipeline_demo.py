@@ -109,6 +109,16 @@ def main() -> None:
     print("\nTop-3 neighbors per query vector:")
     nn.orderby("query_id, rank").select("query_id corpus_id cosine rank").present()
 
+    # 4b. SemDeDup: k-means blocks the embedding space, exact cosine
+    # only within each cluster (never the O(N²) all-pairs)
+    from littletable_spark.operators.dedup import semantic_dedup
+    from littletable_spark.operators.similarity import cluster_embeddings
+
+    cl = cluster_embeddings(emb, "vec_id", "embedding", k=4, train_iters=5)
+    sem = semantic_dedup(emb, "vec_id", "embedding", threshold=0.3, clusters=cl)
+    print(f"semantic dedup: {len(emb)} vectors -> {len(sem)} survivors "
+          f"(within-cluster cosine >= 0.3, 4 clusters)")
+
     # 5. chunk + pack into training-ready context windows
     from littletable_spark.operators.textops import chunk_documents, pack_sequences
 

@@ -167,18 +167,29 @@ def lsh_signature(vec_col: Column | str, planes: np.ndarray) -> Column:
 
 
 def _train_centroids(
-    X: np.ndarray, nlist: int, seed: int, iters: int = 10
+    X: np.ndarray,
+    nlist: int,
+    seed: int,
+    iters: int = 10,
+    init: np.ndarray | None = None,
 ) -> np.ndarray:
     """Spherical k-means (cosine geometry) on a driver-side sample.
 
     Lloyd iterations over unit vectors; empty clusters are re-seeded from
     the sample so every list stays live. Deterministic for a fixed seed.
+    ``init`` (unit rows) pins the starting centroids instead of the
+    seeded random draw — the deterministic-initialization path
+    ``cluster_embeddings`` exposes for oracle checking.
     """
     rng = np.random.RandomState(seed)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     Xn = X / np.where(norms == 0, 1.0, norms)
-    nlist = min(nlist, len(Xn))
-    centroids = Xn[rng.choice(len(Xn), nlist, replace=False)]
+    if init is not None:
+        centroids = init.copy()
+        nlist = len(centroids)
+    else:
+        nlist = min(nlist, len(Xn))
+        centroids = Xn[rng.choice(len(Xn), nlist, replace=False)]
     for _ in range(iters):
         assign = np.argmax(Xn @ centroids.T, axis=1)
         for c in range(nlist):
@@ -405,3 +416,114 @@ def lsh_topk(
         F.col("rank") <= F.lit(k)
     )
     return Table.from_df(out, name="lsh_topk")
+
+
+def cluster_embeddings(
+    table: Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    train_iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+    init_ids: list | None = None,
+) -> Table:
+    """Assign every vector to one of ``k`` spherical-k-means clusters —
+    the coarse partitioning step of semantic curation (SemDeDup-style
+    dedup, diversity-aware sampling, per-topic quotas). Net-new over the
+    reference: littletable has no embedding operations at all.
+
+    Returns a Table of (``id_col``, ``cluster`` int, ``cosine`` double) —
+    the cosine to the assigned centroid, rounded to 6 places. Assignment
+    argmax is computed on the ROUNDED scores with ties broken toward the
+    lower cluster index, so the result is reproducible across engines
+    (the same total-order discipline as the top-k rankers here).
+
+    Training is driver-side on a bounded md5-hash-ordered sample (the
+    de-correlated ``_training_sample``), like ``ivf_topk``'s quantizer:
+    at 100 TB the model is tiny (k × dim doubles) and only the
+    ASSIGNMENT pass must be distributed — one broadcast of the centroid
+    matrix plus one Arrow/BLAS scan, no shuffle. Dense centroid scoring
+    deliberately stays numpy (see ivf_topk's in-code A/B note: a native
+    JVM fold measured slower at k·dim ≈ 1024 multiply-adds per row).
+
+    ``init_ids`` pins the initial centroids to the embeddings of those
+    ids (in list order, unit-normalized). With ``train_iters=0`` the
+    operator degenerates to nearest-of-the-given-vectors — fully
+    SQL-expressible, which is how the driver gate oracle-checks the
+    full distributed assignment machinery; Lloyd refinement is covered
+    by differential unit tests against a numpy model (the ivf_topk
+    pattern: degenerate-exact in the gate, approximate paths unit-tested).
+    """
+    centroids = resolve_centroids(
+        table, id_col, vec_col, k, train_iters, sample_size, seed, init_ids
+    )
+    bc = table.spark.sparkContext.broadcast(centroids)
+    df = table._require_df()
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array([list(v) for v in pdf["__vec__"]], dtype=np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = M / np.where(norms == 0, 1.0, norms)
+            scores = np.round(Mn @ cents.T, 6)
+            cl = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": cl.astype(np.int32),
+                    "cosine": scores[np.arange(len(cl)), cl],
+                }
+            )
+
+    id_dtype = dict(df.dtypes)[id_col]
+    out = df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__vec__")
+    ).mapInPandas(assign, f"{id_col} {id_dtype}, cluster int, cosine double")
+    return Table.from_df(out, name=f"{table.table_name}_clusters")
+
+
+def resolve_centroids(
+    table: Table,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    train_iters: int,
+    sample_size: int,
+    seed: int,
+    init_ids: list | None,
+) -> np.ndarray:
+    """Driver-side centroid model shared by ``cluster_embeddings`` and
+    ``semantic_dup_pairs``: pinned ``init_ids`` rows (unit-normalized,
+    optionally Lloyd-refined on the hash-ordered sample) or a seeded
+    spherical-k-means fit. Returns the (k × dim) unit-row matrix — the
+    only state the distributed assignment pass needs (broadcast-sized:
+    k·dim doubles)."""
+    df = table._require_df()
+    if init_ids is not None:
+        rows = (
+            df.where(F.col(id_col).isin(list(init_ids)))
+            .select(id_col, F.col(vec_col).cast("array<double>"))
+            .collect()
+        )
+        by_id = {r[0]: list(r[1]) for r in rows}
+        missing = [i for i in init_ids if i not in by_id]
+        if missing:
+            raise ValueError(f"init_ids not found in {id_col}: {missing}")
+        C0 = np.array([by_id[i] for i in init_ids], dtype=np.float64)
+        norms = np.linalg.norm(C0, axis=1, keepdims=True)
+        C0 = C0 / np.where(norms == 0, 1.0, norms)
+        if train_iters > 0:
+            sample, _ = _training_sample(df, id_col, vec_col, sample_size)
+            return _train_centroids(
+                sample, len(C0), seed, iters=train_iters, init=C0
+            )
+        return C0
+    sample, _ = _training_sample(df, id_col, vec_col, sample_size)
+    return _train_centroids(sample, k, seed, iters=train_iters)

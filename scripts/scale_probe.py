@@ -135,6 +135,20 @@ def main() -> None:
             probe_bits=probe_bits,
         ).df.write.format("noop").mode("overwrite").save()
 
+    def semantic(emb, k):
+        from littletable_spark.operators.dedup import semantic_dup_pairs
+        from littletable_spark.operators.similarity import cluster_embeddings
+
+        # in-cluster work is Σ n_c² ≈ N²/k: like LSH's plane count, k is
+        # the scale knob and grows with N (k ∝ N holds per-cluster size
+        # constant — the SemDeDup paper runs ~100k clusters at billions
+        # of docs). Probe: k=8 at 1x vs k=80 at 10x, the honest shape.
+        t = Table.from_df(emb)
+        cl = cluster_embeddings(t, "vec_id", "embedding", k=k, train_iters=4)
+        semantic_dup_pairs(
+            t, "vec_id", "embedding", threshold=0.3, clusters=cl
+        ).df.write.format("noop").mode("overwrite").save()
+
     def pack(docs):
         from littletable_spark.operators.textops import pack_sequences
 
@@ -254,6 +268,7 @@ def main() -> None:
     minhash(docs10); jaccard(docs10_p); clusters(pairs10)
     emb_lsh(emb10, n_planes=9)
     emb_lsh(emb10, n_planes=12, probe_bits=1)
+    semantic(emb1, k=8); semantic(emb10, k=80)
     pack(docs1); pack(docs10); contamination(docs1); contamination(docs10)
 
     results: dict[str, float] = {}
@@ -273,6 +288,8 @@ def main() -> None:
     timed("clusters_10x", lambda: clusters(pairs10), results)
     timed("emb_lsh_1x", lambda: emb_lsh(emb1), results)
     timed("emb_lsh_10x", lambda: emb_lsh(emb10, n_planes=9), results)
+    timed("semantic_1x", lambda: semantic(emb1, k=8), results)
+    timed("semantic_10x", lambda: semantic(emb10, k=80), results)
     # multiprobe scale path: 3 more planes (8x smaller buckets), recall
     # held by distance-1 probing — growth vs the same 1x base should be
     # flatter than the plain n_planes=9 row at comparable found pairs
