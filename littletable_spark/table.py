@@ -326,6 +326,25 @@ class Table:
         parquet — PushedFilters and ReadSchema reach the scan)."""
         return cls(name=name or path, df=spark.read.orc(path), spark=spark)
 
+    @classmethod
+    def xml_import(
+        cls,
+        spark: SparkSession,
+        path: str,
+        name: str = "",
+        row_tag: str = "row",
+        **options: Any,
+    ) -> "Table":
+        """XML source — native in Spark 4 (spark-xml merged upstream,
+        SPARK-44810). ``row_tag`` names the repeating record element;
+        extra ``options`` pass through to the reader (attributePrefix,
+        valueTag, mode, ...). Schema inference and parsing distribute
+        like the json source — one scan, no driver parsing."""
+        reader = spark.read.format("xml").option("rowTag", row_tag)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return cls(name=name or path, df=reader.load(path), spark=spark)
+
     # ------------------------------------------------------------------ #
     # internals
 
@@ -1441,6 +1460,26 @@ class Table:
             cols = partition_by.split() if isinstance(partition_by, str) else list(partition_by)
             writer = writer.partitionBy(*cols)
         writer.orc(path)
+
+    def xml_export(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        row_tag: str = "row",
+        root_tag: str = "rows",
+        **options: Any,
+    ) -> None:
+        """Dataset-scale XML sink (native Spark 4 writer; one file per
+        partition under ``path``, no driver collect)."""
+        writer = (
+            self.df.write.mode(mode)
+            .format("xml")
+            .option("rowTag", row_tag)
+            .option("rootTag", root_tag)
+        )
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.save(path)
 
     def explain(self, mode: str = "formatted") -> None:
         """Print this table's physical plan (df.explain passthrough) —

@@ -207,6 +207,36 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert src.persist().unpersist() is src
 
 
+def test_xml_roundtrip_and_options(spark, tmp_path):
+    """XML source/sink (native Spark 4 data source): export → import
+    round-trips values, row_tag selects the record element, and reader
+    options (attributePrefix) pass through."""
+    from littletable_spark import Table
+
+    src = Table.parquet_import(
+        spark, "/root/testdata/sf0.001/nation.parquet"
+    ).select("n_nationkey, n_name, n_regionkey")
+    p = str(tmp_path / "nation_xml")
+    src.xml_export(p, row_tag="nation", root_tag="nations")
+    back = Table.xml_import(spark, p, row_tag="nation")
+    assert len(back) == len(src)
+    assert sorted(back.fields) == sorted(src.fields)
+    assert sorted(r.n_name for r in back) == sorted(r.n_name for r in src)
+
+    # hand-written file with attributes: attributePrefix option reaches
+    # the reader, and row_tag picks the repeating element
+    f = tmp_path / "attr.xml"
+    f.write_text(
+        "<catalog><item sku='a1'><qty>3</qty></item>"
+        "<item sku='b2'><qty>5</qty></item></catalog>"
+    )
+    t = Table.xml_import(
+        spark, str(f), row_tag="item", attributePrefix="at_"
+    )
+    rows = sorted((r.at_sku, r.qty) for r in t)
+    assert rows == [("a1", 3), ("b2", 5)]
+
+
 def test_binary_import_glob_and_max_bytes(spark, tmp_path):
     """binaryFile source: glob pruning in the listing, content bytes
     intact, and the max_bytes guard pushed into the scan as a length
