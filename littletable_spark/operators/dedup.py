@@ -768,6 +768,9 @@ def semantic_dup_pairs(
     ``cluster_embeddings`` output, or ANY partition labels (crawl
     domain, topic model, language) for a domain-blocked dedup; when
     omitted it is computed here with the given k/seed/init knobs.
+    Label and id dtypes are preserved (string domains, string doc ids —
+    ``id1 < id2`` is then lexicographic); NULL-labeled rows belong to
+    no block and are excluded.
 
     Scoring reuses ``embedding_dup_pairs``' block-matmul formulation,
     restricted to same-cluster block pairs: each cluster is hashed
@@ -785,12 +788,17 @@ def semantic_dup_pairs(
         F.col(id_col).alias("__id__"),
         F.col(vec_col).cast("array<double>").alias("__vec__"),
     )
+    id_dtype = dict(narrow.dtypes)["__id__"]
+    int_ids = id_dtype in ("tinyint", "smallint", "int", "bigint")
     if clusters is not None:
-        # external blocking labels: one equi-join to attach them
+        # external blocking labels (any dtype — domain strings, topic
+        # ints): one equi-join to attach them. NULL-labeled rows are
+        # excluded — they belong to no block.
+        cluster_dtype = dict(clusters.df.dtypes)["cluster"]
         assigned = narrow.join(
             clusters.df.select(F.col(id_col).alias("__id__"), "cluster"),
             on="__id__",
-        )
+        ).where(F.col("cluster").isNotNull())
     else:
         # internal clustering: assign in ONE Arrow pass that carries the
         # vectors straight through — no corpus-vs-assignment join (at
@@ -824,7 +832,7 @@ def semantic_dup_pairs(
                     }
                 )
 
-        id_dtype = dict(narrow.dtypes)["__id__"]
+        cluster_dtype = "int"
         assigned = narrow.mapInPandas(
             assign, f"__id__ {id_dtype}, __vec__ array<double>, cluster int"
         )
@@ -857,13 +865,14 @@ def semantic_dup_pairs(
         import numpy as np
         import pandas as pd
 
+        id_np = np.int64 if int_ids else object
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ids1 = np.array([e["__id__"] for e in row["items1"]], dtype=np.int64)
+                ids1 = np.array([e["__id__"] for e in row["items1"]], dtype=id_np)
                 M1 = np.array(
                     [list(e["__vec__"]) for e in row["items1"]], dtype=np.float64
                 )
-                ids2 = np.array([e["__id__"] for e in row["items2"]], dtype=np.int64)
+                ids2 = np.array([e["__id__"] for e in row["items2"]], dtype=id_np)
                 M2 = np.array(
                     [list(e["__vec__"]) for e in row["items2"]], dtype=np.float64
                 )
@@ -887,7 +896,7 @@ def semantic_dup_pairs(
                     {
                         "id1": id1,
                         "id2": id2,
-                        "cluster": np.full(len(id1), row["cluster"], dtype=np.int32),
+                        "cluster": pd.Series([row["cluster"]] * len(id1)),
                         "cosine": S[bi, mj],
                     }
                 )
@@ -899,7 +908,10 @@ def semantic_dup_pairs(
     # +0.7s of empty-task overhead at sf0.1)
     out = block_pairs.repartition(
         F.col("cluster"), F.col("b1"), F.col("b2")
-    ).mapInPandas(emit, "id1 long, id2 long, cluster int, cosine double")
+    ).mapInPandas(
+        emit,
+        f"id1 {id_dtype}, id2 {id_dtype}, cluster {cluster_dtype}, cosine double",
+    )
     return Table.from_df(out, name=f"{table.table_name}_semantic_pairs")
 
 

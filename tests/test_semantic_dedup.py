@@ -208,6 +208,45 @@ def test_semantic_dedup_score_col_keeps_best(vecs, spark):
     assert 5 in kept and 4 not in kept
 
 
+def test_semantic_pairs_string_labels_and_ids(spark):
+    """domain-blocked dedup: string doc ids + string blocking labels
+    (the precomputed-clusters path); NULL-labeled rows are excluded."""
+    import numpy as np
+
+    from littletable_spark.operators.dedup import semantic_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 8)
+    base[1] = base[0] + 0.001 * rng.randn(8)  # near-dup, same domain
+    base[3] = base[2] + 0.001 * rng.randn(8)  # near-dup, SPLIT domains
+    t = Table("strvecs", spark=spark)
+    t.insert_many(
+        [
+            {"doc": f"d{i}", "embedding": [float(x) for x in base[i]]}
+            for i in range(6)
+        ]
+    )
+    labels = Table("labels", spark=spark)
+    labels.insert_many(
+        [
+            {"doc": "d0", "cluster": "a.com"},
+            {"doc": "d1", "cluster": "a.com"},
+            {"doc": "d2", "cluster": "a.com"},
+            {"doc": "d3", "cluster": "b.org"},
+            {"doc": "d4", "cluster": "b.org"},
+            {"doc": "d5", "cluster": None},
+        ]
+    )
+    got = {
+        (r.id1, r.id2): r.cluster
+        for r in semantic_dup_pairs(
+            t, "doc", "embedding", threshold=0.999, clusters=labels
+        )
+    }
+    # same-domain twin found; twin split across domains is NOT compared
+    assert got == {("d0", "d1"): "a.com"}
+
+
 def test_semantic_operators_lint_clean(vecs):
     from littletable_spark.operators.dedup import semantic_dup_pairs
     from littletable_spark.operators.similarity import cluster_embeddings
