@@ -757,6 +757,27 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental SemDeDup: new vectors (vec_id % 10 == 0) blocked and
+    scored against the existing corpus only — never corpus × corpus.
+    The cluster model is frozen from the corpus side (init vec_id 1..8,
+    all corpus rows, train_iters=0 so the oracle can replicate it)."""
+    from littletable_spark.operators.dedup import semantic_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    new = Table.from_df(e.df.where(F.pmod(F.col("vec_id"), F.lit(10)) == 0))
+    corpus = Table.from_df(e.df.where(F.pmod(F.col("vec_id"), F.lit(10)) != 0))
+    return semantic_dup_pairs(
+        new,
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        against=corpus,
+        init_ids=list(range(1, 9)),
+        train_iters=0,
+    ).df
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token counting: total, distinct, type-token ratio."""
     from littletable_spark.operators.textops import token_stats
@@ -1223,7 +1244,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_filter_quality), sim_cosine_topk (with nprobe == nlist the
     in-gate sim_ivf_topk computes the identical exact result through
     the same rerank code; sim_cluster adds a third gated pass over the
-    same embedding-scan machinery).
+    same embedding-scan machinery). dedup_semantic_incr (the against=
+    incremental variant, added after the rotation) is mirror-checked:
+    its block scorer and cluster assignment sit in-gate via
+    dedup_semantic / sim_cluster and the incremental cross-join shape
+    via dedup_minhash_incr — rotate it into a round-7 gate window.
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
@@ -1253,7 +1278,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_ivf_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 83 every round."""
+    runs all 84 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1306,6 +1331,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "dedup_semantic_incr": q_dedup_semantic_incr,
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         "multimodal_decode": q_multimodal_decode,
@@ -2222,6 +2248,32 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a JOIN assign b
               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
+        """,
+        # incremental SemDeDup: frozen corpus-side model (centroids =
+        # embeddings of vec_id 1..8, cluster index = vec_id - 1), both
+        # sides assigned against it, cross-side candidates only.
+        "dedup_semantic_incr": """
+            WITH cents AS (
+              SELECT (vec_id - 1)::INT AS cl, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+            ), assign AS (
+              SELECT vec_id, cluster, emb, side FROM (
+                SELECT e.vec_id, c.cl AS cluster, e.embedding::DOUBLE[] AS emb,
+                       CASE WHEN e.vec_id % 10 = 0 THEN 'new' ELSE 'corpus'
+                       END AS side,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.cvec), 6) DESC, c.cl ASC
+                       ) AS rk
+                FROM embeddings e CROSS JOIN cents c
+              ) WHERE rk = 1
+            )
+            SELECT a.vec_id AS id1, b.vec_id AS id2, a.cluster,
+                   round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+            FROM assign a JOIN assign b ON a.cluster = b.cluster
+            WHERE a.side = 'new' AND b.side = 'corpus'
+              AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
         """,
         "sim_ivf_topk": """
             SELECT * FROM (

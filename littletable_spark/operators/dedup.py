@@ -748,6 +748,8 @@ def semantic_dup_pairs(
     seed: int = 42,
     init_ids: list | None = None,
     block_rows: int = 4096,
+    against: Table | None = None,
+    centroids=None,
 ) -> Table:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means-partition the embedding space, then exact
@@ -783,31 +785,52 @@ def semantic_dup_pairs(
     sf0.1's ~250k candidate pairs (the same Arrow-beats-expr result as
     ivf_topk's centroid-fold note). Emits (id1 < id2, cluster,
     cosine >= threshold) rounded to 6, like the other pair operators.
+
+    ``against`` switches to the INCREMENTAL ingestion shape, like the
+    MinHash/LSH/spans operators: (id1 = ``table`` row, id2 =
+    ``against`` corpus row) candidates only, never corpus×corpus. The
+    model (centroids or init_ids) is resolved from the CORPUS side —
+    the stable asset reused across batches — and an explicit
+    ``centroids`` matrix skips training entirely
+    (train-once-assign-forever; pairs with ``cluster_embeddings``'
+    ``centroids=`` for streaming-ingest labeling). id1 < id2 is not
+    imposed across sides (they are semantically distinct).
     """
-    narrow = table.df.select(
-        F.col(id_col).alias("__id__"),
-        F.col(vec_col).cast("array<double>").alias("__vec__"),
-    )
-    id_dtype = dict(narrow.dtypes)["__id__"]
-    int_ids = id_dtype in ("tinyint", "smallint", "int", "bigint")
+    def _narrow(side: Table):
+        return side.df.select(
+            F.col(id_col).alias("__id__"),
+            F.col(vec_col).cast("array<double>").alias("__vec__"),
+        )
+
+    a_narrow = _narrow(table)
+    id_dtype_a = dict(a_narrow.dtypes)["__id__"]
+    _INTS = ("tinyint", "smallint", "int", "bigint")
+    int_a = id_dtype_a in _INTS
+
     if clusters is not None:
         # external blocking labels (any dtype — domain strings, topic
         # ints): one equi-join to attach them. NULL-labeled rows are
         # excluded — they belong to no block.
         cluster_dtype = dict(clusters.df.dtypes)["cluster"]
-        assigned = narrow.join(
-            clusters.df.select(F.col(id_col).alias("__id__"), "cluster"),
-            on="__id__",
-        ).where(F.col("cluster").isNotNull())
+
+        def attach(narrow, dt):
+            return narrow.join(
+                clusters.df.select(F.col(id_col).alias("__id__"), "cluster"),
+                on="__id__",
+            ).where(F.col("cluster").isNotNull())
+
     else:
         # internal clustering: assign in ONE Arrow pass that carries the
         # vectors straight through — no corpus-vs-assignment join (at
-        # 100 TB that join is a second corpus scan plus a shuffle)
+        # 100 TB that join is a second corpus scan plus a shuffle). In
+        # incremental mode the model comes from the CORPUS side.
         from .similarity import resolve_centroids
 
+        model_side = against if against is not None else table
         bc = table.spark.sparkContext.broadcast(
             resolve_centroids(
-                table, id_col, vec_col, k, train_iters, sample_size, seed, init_ids
+                model_side, id_col, vec_col, k, train_iters, sample_size,
+                seed, init_ids, centroids,
             )
         )
 
@@ -833,46 +856,66 @@ def semantic_dup_pairs(
                 )
 
         cluster_dtype = "int"
-        assigned = narrow.mapInPandas(
-            assign, f"__id__ {id_dtype}, __vec__ array<double>, cluster int"
+
+        def attach(narrow, dt):
+            return narrow.mapInPandas(
+                assign, f"__id__ {dt}, __vec__ array<double>, cluster int"
+            )
+
+    def pack(assigned):
+        # exact per-cluster sub-block counts: one row per cluster,
+        # broadcast back to size the hash sub-blocking
+        sized = assigned.groupBy("cluster").count().select(
+            "cluster",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("count") / F.lit(block_rows))
+            ).cast("int").alias("__nsub__"),
         )
-    assigned = assigned.persist(_PAIRGEN_CACHE)
-    # exact per-cluster sub-block counts: k rows, broadcast back
-    sized = assigned.groupBy("cluster").count().select(
-        "cluster",
-        F.greatest(
-            F.lit(1), F.ceil(F.col("count") / F.lit(block_rows))
-        ).cast("int").alias("__nsub__"),
-    )
-    packed = (
-        assigned.join(F.broadcast(sized), on="cluster")
-        .withColumn(
-            "__blk__",
-            F.pmod(F.xxhash64(F.col("__id__")), F.col("__nsub__")).cast("int"),
+        return (
+            assigned.join(F.broadcast(sized), on="cluster")
+            .withColumn(
+                "__blk__",
+                F.pmod(F.xxhash64(F.col("__id__")), F.col("__nsub__")).cast("int"),
+            )
+            .groupBy("cluster", "__blk__")
+            .agg(F.collect_list(F.struct("__id__", "__vec__")).alias("items"))
         )
-        .groupBy("cluster", "__blk__")
-        .agg(F.collect_list(F.struct("__id__", "__vec__")).alias("items"))
-    )
-    a = packed.select(
+
+    packed_a = pack(attach(a_narrow, id_dtype_a).persist(_PAIRGEN_CACHE))
+    aa = packed_a.select(
         "cluster", F.col("__blk__").alias("b1"), F.col("items").alias("items1")
     )
-    b = packed.select(
-        "cluster", F.col("__blk__").alias("b2"), F.col("items").alias("items2")
-    )
-    block_pairs = a.join(b, on="cluster").where(F.col("b1") <= F.col("b2"))
+    if against is None:
+        symmetric = True
+        id_dtype_b, int_b = id_dtype_a, int_a
+        bb = packed_a.select(
+            "cluster", F.col("__blk__").alias("b2"), F.col("items").alias("items2")
+        )
+        block_pairs = aa.join(bb, on="cluster").where(F.col("b1") <= F.col("b2"))
+    else:
+        symmetric = False
+        b_narrow = _narrow(against)
+        id_dtype_b = dict(b_narrow.dtypes)["__id__"]
+        int_b = id_dtype_b in _INTS
+        packed_b = pack(attach(b_narrow, id_dtype_b).persist(_PAIRGEN_CACHE))
+        bb = packed_b.select(
+            "cluster", F.col("__blk__").alias("b2"), F.col("items").alias("items2")
+        )
+        block_pairs = aa.join(bb, on="cluster")
 
     def emit(batches):
         import numpy as np
         import pandas as pd
 
-        id_np = np.int64 if int_ids else object
+        id_np1 = np.int64 if int_a else object
+        id_np2 = np.int64 if int_b else object
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ids1 = np.array([e["__id__"] for e in row["items1"]], dtype=id_np)
+                ids1 = np.array([e["__id__"] for e in row["items1"]], dtype=id_np1)
                 M1 = np.array(
                     [list(e["__vec__"]) for e in row["items1"]], dtype=np.float64
                 )
-                ids2 = np.array([e["__id__"] for e in row["items2"]], dtype=id_np)
+                ids2 = np.array([e["__id__"] for e in row["items2"]], dtype=id_np2)
                 M2 = np.array(
                     [list(e["__vec__"]) for e in row["items2"]], dtype=np.float64
                 )
@@ -883,13 +926,15 @@ def semantic_dup_pairs(
                     ),
                     6,
                 )
-                if row["b1"] == row["b2"]:
+                if not symmetric:
+                    bi, mj = np.nonzero(S >= threshold)
+                    id1, id2 = ids1[bi], ids2[mj]
+                elif row["b1"] == row["b2"]:
                     keep = (S >= threshold) & (ids1[:, None] < ids2[None, :])
                     bi, mj = np.nonzero(keep)
                     id1, id2 = ids1[bi], ids2[mj]
                 else:
-                    keep = S >= threshold
-                    bi, mj = np.nonzero(keep)
+                    bi, mj = np.nonzero(S >= threshold)
                     x, y = ids1[bi], ids2[mj]
                     id1, id2 = np.minimum(x, y), np.maximum(x, y)
                 yield pd.DataFrame(
@@ -901,16 +946,16 @@ def semantic_dup_pairs(
                     }
                 )
 
-    # hash-spread block pairs so a hot cluster's nsub²/2 matmul tasks
-    # don't all land in the join's per-cluster output partition; no
-    # explicit N — shuffle.partitions governs fan-out at scale and AQE
-    # coalesces the near-empty case (a fixed round-robin N measured
-    # +0.7s of empty-task overhead at sf0.1)
+    # hash-spread block pairs so a hot cluster's matmul tasks don't all
+    # land in the join's per-cluster output partition; no explicit N —
+    # shuffle.partitions governs fan-out at scale and AQE coalesces the
+    # near-empty case (a fixed round-robin N measured +0.7s of
+    # empty-task overhead at sf0.1)
     out = block_pairs.repartition(
         F.col("cluster"), F.col("b1"), F.col("b2")
     ).mapInPandas(
         emit,
-        f"id1 {id_dtype}, id2 {id_dtype}, cluster {cluster_dtype}, cosine double",
+        f"id1 {id_dtype_a}, id2 {id_dtype_b}, cluster {cluster_dtype}, cosine double",
     )
     return Table.from_df(out, name=f"{table.table_name}_semantic_pairs")
 
@@ -929,10 +974,22 @@ def semantic_dedup(
     (``semantic_dup_pairs``), connected components, keep one canonical
     member per component (min id, or best ``score_col`` — the
     keep-the-best-copy production policy), drop the rest via a left-anti
-    join. One pair-join shuffle + the CC rounds + one anti-join."""
+    join. One pair-join shuffle + the CC rounds + one anti-join.
+
+    With ``against=`` (incremental ingestion) the policy is simpler and
+    matches the other incremental operators: the corpus is the settled
+    asset, so ANY ``table`` row with a semantic match in the corpus is
+    dropped (``score_col`` does not apply — no within-batch clustering
+    happens) and the cleaned new batch is returned."""
+    against = kwargs.get("against")
     pairs = semantic_dup_pairs(
         table, id_col, vec_col, threshold=threshold, k=k, clusters=clusters, **kwargs
     )
+    if against is not None:
+        dup_new = pairs.df.select(F.col("id1").alias(id_col)).distinct()
+        return table._derive(
+            table._require_df().join(dup_new, on=id_col, how="left_anti")
+        )
     return keep_canonical(table, pairs.df, id_col, score_col=score_col)
 
 

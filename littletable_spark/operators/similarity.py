@@ -427,6 +427,7 @@ def cluster_embeddings(
     sample_size: int = 4096,
     seed: int = 42,
     init_ids: list | None = None,
+    centroids=None,
 ) -> Table:
     """Assign every vector to one of ``k`` spherical-k-means clusters —
     the coarse partitioning step of semantic curation (SemDeDup-style
@@ -454,9 +455,16 @@ def cluster_embeddings(
     full distributed assignment machinery; Lloyd refinement is covered
     by differential unit tests against a numpy model (the ivf_topk
     pattern: degenerate-exact in the gate, approximate paths unit-tested).
+
+    ``centroids`` short-circuits training entirely with a pretrained
+    (k × dim) model (rows are unit-normalized here): the
+    train-once-assign-forever deployment — batch N+1 or a readStream
+    ingest labels arrivals against the frozen model with no driver
+    jobs at all.
     """
     centroids = resolve_centroids(
-        table, id_col, vec_col, k, train_iters, sample_size, seed, init_ids
+        table, id_col, vec_col, k, train_iters, sample_size, seed, init_ids,
+        centroids,
     )
     bc = table.spark.sparkContext.broadcast(centroids)
     df = table._require_df()
@@ -498,13 +506,19 @@ def resolve_centroids(
     sample_size: int,
     seed: int,
     init_ids: list | None,
+    centroids=None,
 ) -> np.ndarray:
     """Driver-side centroid model shared by ``cluster_embeddings`` and
     ``semantic_dup_pairs``: pinned ``init_ids`` rows (unit-normalized,
     optionally Lloyd-refined on the hash-ordered sample) or a seeded
     spherical-k-means fit. Returns the (k × dim) unit-row matrix — the
     only state the distributed assignment pass needs (broadcast-sized:
-    k·dim doubles)."""
+    k·dim doubles). An explicit ``centroids`` matrix (a pretrained
+    model) bypasses everything except unit normalization."""
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        return C / np.where(norms == 0, 1.0, norms)
     df = table._require_df()
     if init_ids is not None:
         rows = (

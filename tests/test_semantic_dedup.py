@@ -247,6 +247,77 @@ def test_semantic_pairs_string_labels_and_ids(spark):
     assert got == {("d0", "d1"): "a.com"}
 
 
+def test_cluster_embeddings_pretrained_centroids(vecs):
+    """centroids= bypasses training: assignment equals the numpy model
+    of nearest-given-vector (the train-once-assign-forever path)."""
+    from littletable_spark.operators.similarity import cluster_embeddings
+
+    t, base = vecs
+    C = np.stack([base[2], base[9], base[17]])
+    out = {
+        r.vec_id: r.cluster
+        for r in cluster_embeddings(t, "vec_id", "embedding", centroids=C)
+    }
+    scores = np.round(_unit(base) @ _unit(C).T, 6)
+    for i in range(24):
+        assert out[i] == int(np.argmax(scores[i]))
+
+
+def test_semantic_pairs_incremental_matches_cross_side_of_self_join(vecs):
+    """against= equivalence under a SHARED frozen model: the incremental
+    pair set must be exactly the cross-side subset of the full
+    self-join's pairs (same centroids on both runs)."""
+    from littletable_spark.operators.dedup import semantic_dup_pairs
+
+    t, base = vecs
+    C = np.stack([base[0], base[8], base[16]])
+    tau = 0.2
+    full = semantic_dup_pairs(t, "vec_id", "embedding", threshold=tau, centroids=C)
+    new = t.where(vec_id=Table.lt(6))
+    corpus = t.where(vec_id=Table.ge(6))
+    expect = {}
+    for r in full:
+        a, b = r.id1, r.id2
+        if a < 6 <= b:
+            expect[(a, b)] = r.cosine
+        elif b < 6 <= a:
+            expect[(b, a)] = r.cosine
+    got = {
+        (r.id1, r.id2): r.cosine
+        for r in semantic_dup_pairs(
+            new, "vec_id", "embedding", threshold=tau, against=corpus, centroids=C
+        )
+    }
+    assert got == expect and expect  # non-trivial
+
+
+def test_semantic_dedup_incremental_drops_matched_new_rows(vecs):
+    from littletable_spark.operators.dedup import semantic_dedup
+
+    t, base = vecs
+    C = np.stack([base[0], base[8]])
+    new = t.where(vec_id=Table.lt(2))  # 0 and its planted twin 1
+    corpus = t.where(vec_id=Table.ge(2))
+    # corpus holds no twin of 0/1 at tau=0.999 -> nothing dropped
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            new, "vec_id", "embedding", threshold=0.999, against=corpus, centroids=C
+        )
+    }
+    assert kept == {0, 1}  # within-batch twins are NOT collapsed here
+    # move the twin into the corpus: the new row that matches it drops
+    new2 = t.where(vec_id=Table.lt(1))
+    corpus2 = t.where(vec_id=Table.ge(1))
+    kept2 = {
+        r.vec_id
+        for r in semantic_dedup(
+            new2, "vec_id", "embedding", threshold=0.999, against=corpus2, centroids=C
+        )
+    }
+    assert kept2 == set()
+
+
 def test_semantic_operators_lint_clean(vecs):
     from littletable_spark.operators.dedup import semantic_dup_pairs
     from littletable_spark.operators.similarity import cluster_embeddings
