@@ -343,3 +343,48 @@ def test_filter_quality_runs_on_streams(spark):
         )
     }
     assert streamed == batch
+
+
+def test_cluster_labeling_runs_on_streams(spark):
+    """Train-once-assign-forever: with a frozen centroids= model the
+    cluster assignment is a stateless Arrow projection, so it applies
+    unchanged to a readStream source — ingest-time semantic labeling.
+    Streamed labels must match the batch assignment row-for-row."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import numpy as np
+
+    from littletable_spark import Table
+    from littletable_spark.operators.similarity import cluster_embeddings
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    rng = np.random.RandomState(11)
+    model = rng.randn(4, 64)
+
+    stage = tempfile.mkdtemp(prefix="lts_cl_stream_")
+    shutil.copy(src, stage)
+    schema = spark.read.parquet(src).schema
+    stream_df = spark.readStream.schema(schema).parquet(stage)
+    out = cluster_embeddings(
+        Table.from_df(stream_df), "vec_id", "embedding", centroids=model
+    ).df
+    assert out.isStreaming
+    sink = f"cl_sink_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r.vec_id: (r.cluster, r.cosine)
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    batch = {
+        r.vec_id: (r.cluster, r.cosine)
+        for r in cluster_embeddings(
+            Table.parquet_import(spark, src), "vec_id", "embedding", centroids=model
+        )
+    }
+    assert streamed == batch and len(batch) > 0
