@@ -225,3 +225,28 @@ def test_duplicate_spans_reads_grams_from_cache(spark):
     df.count()  # materialize the persist
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_semantic_pairs_plan_shape(spark):
+    """Internal-clustering SemDeDup is exactly two Arrow passes (assign
+    carrying the vectors, block-pair matmul emit) and NO corpus join —
+    pinned by A/B (round 6): a pair equi-join + per-pair JVM cosine
+    fold measured 6.3s vs ~1.1s at sf0.1's ~250k candidates, and an
+    assignment-then-join variant adds a second corpus scan + shuffle.
+    If the MapInPandas count changes, re-run those A/Bs first."""
+    import re
+
+    from littletable_spark.operators.dedup import semantic_dup_pairs
+
+    e = Table.parquet_import(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    df = semantic_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, init_ids=[0, 1], train_iters=0
+    ).df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the persisted assign relation is PRINTED under every cached scan,
+    # so count distinct Arrow functions, not text occurrences
+    fns = set(re.findall(r"MapInPandas (\w+)\(", plan))
+    assert fns == {"assign", "emit"}, plan
+    # the assign pass is computed once behind an InMemoryRelation cache
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

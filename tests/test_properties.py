@@ -324,3 +324,62 @@ def test_unigram_logprob_property(spark, docs, vocab):
     for i in want:
         assert got[i][0] == want[i][0]
         assert got[i][1] == pytest.approx(want[i][1], rel=1e-9)
+
+
+@given(
+    data=st.data(),
+    n=st.integers(4, 14),
+    dim=st.integers(2, 6),
+    k=st.integers(1, 4),
+)
+@SETTINGS
+def test_semantic_pairs_property(spark, data, n, dim, k):
+    """randomized SemDeDup equivalence: for arbitrary vectors, cluster
+    count, and threshold, the distributed pair set equals an in-memory
+    blocked model (assign to nearest init vector by rounded cosine with
+    low-index tie-break, then all same-cluster above-threshold pairs)."""
+    import numpy as np
+
+    from littletable_spark.operators.dedup import semantic_dup_pairs
+
+    k = min(k, n)
+    vals = data.draw(
+        st.lists(
+            st.lists(
+                st.floats(-2, 2, allow_nan=False, width=32),
+                min_size=dim,
+                max_size=dim,
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    X = np.array(vals, dtype=np.float64)
+    # avoid all-zero vectors (cosine undefined; production embeddings
+    # are nonzero by construction)
+    X[np.linalg.norm(X, axis=1) == 0] += 1.0
+    tau = data.draw(st.sampled_from([0.0, 0.3, 0.9]))
+    init = list(range(k))
+
+    t = Table("semprop", spark=spark)
+    t.insert_many(
+        [{"vec_id": i, "embedding": [float(x) for x in X[i]]} for i in range(n)]
+    )
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = Xn[init]
+    assign = np.argmax(np.round(Xn @ Cn.T, 6), axis=1)
+    S = np.round(Xn @ Xn.T, 6)
+    expect = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if assign[i] == assign[j] and S[i][j] >= tau
+    }
+    got = {
+        (r.id1, r.id2)
+        for r in semantic_dup_pairs(
+            t, "vec_id", "embedding", threshold=tau, init_ids=init, train_iters=0
+        )
+    }
+    assert got == expect
