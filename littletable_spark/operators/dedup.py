@@ -199,6 +199,57 @@ def _minhash_signature_df(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _band_table_df(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be divisible by band_size")
+    n_bands = num_hashes // band_size
+    sig = _minhash_signature_df(df, id_col, text_col, n, num_hashes)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    # attach band ordinal so identical keys in different bands
+    # don't collide
+    return sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    )
+
+
+def minhash_band_table(
+    table: Table,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> Table:
+    """The corpus's MinHash LSH index as a first-class Table:
+    (``id_col``, band, band_key) — one row per (doc, band).
+
+    This is the durable asset of an incremental dedup pipeline: build
+    it ONCE over the settled corpus, ``parquet_export`` it, and every
+    future batch joins against the re-imported table via
+    ``minhash_lsh_pairs(new, ..., against_bands=bands)`` — the corpus
+    text is never re-shingled again (at 100 TB, banding the corpus is
+    the dominant cost of the against= path; this removes it entirely).
+    The n / num_hashes / band_size used to BUILD the table must match
+    the probe call's parameters — they define the signature space."""
+    return Table.from_df(
+        _band_table_df(table.df, id_col, text_col, n, num_hashes, band_size),
+        name=f"{table.table_name}_minhash_bands",
+    )
+
+
 def minhash_lsh_pairs(
     table: Table,
     id_col: str,
@@ -207,6 +258,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     against: Table | None = None,
+    against_bands: Table | None = None,
 ) -> Table:
     """Candidate near-dup pairs via MinHash + LSH banding.
 
@@ -220,31 +272,30 @@ def minhash_lsh_pairs(
     (AQE broadcasts it), so the corpus is one banding scan + one probe —
     the cost profile an incremental 100 TB pipeline needs. id1 < id2 is
     NOT imposed across tables (ids may interleave or even collide
-    numerically; the sides are semantically distinct)."""
+    numerically; the sides are semantically distinct).
+
+    ``against_bands`` takes the corpus side as a PREBUILT
+    ``minhash_band_table`` (typically parquet-imported from a prior
+    run) instead of raw documents: the corpus is not even scanned —
+    the probe cost is the new batch's banding plus one join against
+    the stored index. Build parameters must match this call's."""
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be divisible by band_size")
-    n_bands = num_hashes // band_size
+    if against is not None and against_bands is not None:
+        raise ValueError("pass against= (raw docs) or against_bands= (prebuilt), not both")
 
     def _banded(df):
-        sig = _minhash_signature_df(df, id_col, text_col, n, num_hashes)
-        band_keys = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
-                    )
-                )
-                for b in range(n_bands)
-            ]
-        )
-        # attach band ordinal so identical keys in different bands
-        # don't collide
-        return sig.select(
-            F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
-        )
+        return _band_table_df(df, id_col, text_col, n, num_hashes, band_size)
 
-    if against is None:
+    if against_bands is not None:
+        expected = {id_col, "band", "band_key"}
+        if not expected <= set(against_bands.fields):
+            raise ValueError(
+                f"against_bands must have columns {sorted(expected)} "
+                f"(a minhash_band_table result); got {against_bands.fields}"
+            )
+
+    if against is None and against_bands is None:
         banded = _banded(table.df).persist(_PAIRGEN_CACHE)
         a = banded.alias("a")
         b = banded.alias("b")
@@ -258,7 +309,12 @@ def minhash_lsh_pairs(
         # self-join path): the corpus side is the reused asset across
         # successive incremental batches, the new side is tiny
         a = _banded(table.df).persist(_PAIRGEN_CACHE).alias("a")
-        b = _banded(against.df).persist(_PAIRGEN_CACHE).alias("b")
+        corpus_bands = (
+            against_bands.df
+            if against_bands is not None
+            else _banded(against.df).persist(_PAIRGEN_CACHE)
+        )
+        b = corpus_bands.alias("b")
         cond = [
             F.col("a.band") == F.col("b.band"),
             F.col("a.band_key") == F.col("b.band_key"),
@@ -611,6 +667,31 @@ def embedding_dup_pairs(
     return Table.from_df(out, name=f"{table.table_name}_embedding_pairs")
 
 
+def embedding_signature_table(
+    table: Table,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> Table:
+    """The corpus's hyperplane-LSH index as a first-class Table:
+    (``id_col``, ``vec_col`` as array<double>, sig). Build once over
+    the settled corpus, ``parquet_export`` it, and probe every future
+    batch with ``embedding_lsh_dup_pairs(new, ...,
+    against_sigs=sigs)`` — the corpus vectors are carried in the table
+    so candidate scoring needs no second corpus source. n_planes / dim
+    / seed must match the probe call's (they define the plane matrix)."""
+    from .similarity import _planes, lsh_signature
+
+    planes = _planes(dim, n_planes, seed)
+    out = table.df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).withColumn("sig", lsh_signature(vec_col, planes))
+    return Table.from_df(out, name=f"{table.table_name}_lsh_sigs")
+
+
 def embedding_lsh_dup_pairs(
     table: Table,
     id_col: str,
@@ -622,6 +703,7 @@ def embedding_lsh_dup_pairs(
     use_arrow: bool = False,
     probe_bits: int = 0,
     against: Table | None = None,
+    against_sigs: Table | None = None,
 ) -> Table:
     """Approximate near-dup pairs: random-hyperplane bucketing, then exact
     cosine only within each bucket — the sub-quadratic scale path
@@ -654,11 +736,26 @@ def embedding_lsh_dup_pairs(
     corpus×corpus self-join; the ``id1 < id2`` ordering is not imposed
     (the sides are semantically distinct). Multiprobe still yields each
     pair at most once — only the new side probes, its probe signatures
-    are pairwise distinct, and the corpus signature is fixed."""
+    are pairwise distinct, and the corpus signature is fixed.
+
+    ``against_sigs`` takes the corpus side as a PREBUILT
+    ``embedding_signature_table`` (typically parquet-imported from a
+    prior run): the corpus is never rescanned or re-signed — probe
+    cost is the new batch's signatures plus the bucket join against
+    the stored index. Build parameters must match this call's."""
     from .similarity import _planes, cosine_expr, lsh_signature
 
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits must be 0 (off) or 1 (single-bit multiprobe)")
+    if against is not None and against_sigs is not None:
+        raise ValueError("pass against= (raw vectors) or against_sigs= (prebuilt), not both")
+    if against_sigs is not None:
+        expected = {id_col, vec_col, "sig"}
+        if not expected <= set(against_sigs.fields):
+            raise ValueError(
+                f"against_sigs must have columns {sorted(expected)} "
+                f"(an embedding_signature_table result); got {against_sigs.fields}"
+            )
     planes = _planes(dim, n_planes, seed)
 
     def _sig(df):
@@ -691,9 +788,19 @@ def embedding_lsh_dup_pairs(
     else:
         a = sided.alias("a")
         join_sig = F.col("a.sig") == F.col("b.sig")
-    b = (sided if against is None else _sig(against.df)).alias("b")
+    if against_sigs is not None:
+        corpus_sigs = against_sigs.df.select(
+            F.col(id_col).alias("__id__"),
+            F.col(vec_col).cast("array<double>").alias("__vec__"),
+            "sig",
+        )
+    elif against is not None:
+        corpus_sigs = _sig(against.df)
+    else:
+        corpus_sigs = sided
+    b = corpus_sigs.alias("b")
     cond = [join_sig]
-    if against is None:
+    if against is None and against_sigs is None:
         cond.append(F.col("a.__id__") < F.col("b.__id__"))
     cand = a.join(
         b,

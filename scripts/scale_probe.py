@@ -411,7 +411,8 @@ def main() -> None:
     print(f"{'query':<18}{'1x sec':>9}{'10x sec':>10}{'ratio':>8}")
     for base in [
         "q1_agg", "join_agg", "topk", "window_topk", "minhash",
-        "jaccard", "clusters", "emb_lsh", "pack", "contamination",
+        "jaccard", "clusters", "emb_lsh", "semantic", "pack",
+        "contamination",
         "contam_fixed", "fquality", "capgrp", "asof",
         "dup_spans", "line_dedup", "logprob", "tfidf",
         "minhash_incr", "spans_incr",

@@ -691,3 +691,77 @@ def test_embedding_lsh_incremental_against_corpus(spark):
         )
         assert inc == full, f"probe_bits={pb}"
         assert any(i1 == 100 and i2 == 0 for i1, i2, _ in inc)  # the planted dup
+
+
+def test_minhash_prebuilt_band_table_round_trip(spark, tmp_path):
+    """The corpus band table is a durable asset: probing a new batch
+    against the prebuilt (and parquet-round-tripped) index must equal
+    probing against the raw corpus docs."""
+    from littletable_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    new = Table.from_df(d.df.where("doc_id % 10 = 0"))
+    corpus = Table.from_df(d.df.where("doc_id % 10 != 0"))
+    expect = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(new, "doc_id", "text", against=corpus)
+    }
+    bands = minhash_band_table(corpus, "doc_id", "text")
+    got_live = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(new, "doc_id", "text", against_bands=bands)
+    }
+    assert got_live == expect
+    # durable round trip: export the index, re-import, probe again
+    p = str(tmp_path / "bands")
+    bands.parquet_export(p)
+    reloaded = Table.parquet_import(spark, p)
+    got_stored = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(new, "doc_id", "text", against_bands=reloaded)
+    }
+    assert got_stored == expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        minhash_lsh_pairs(
+            new, "doc_id", "text", against=corpus, against_bands=bands
+        )
+    with _pytest.raises(ValueError, match="must have columns"):
+        minhash_lsh_pairs(new, "doc_id", "text", against_bands=new)
+
+
+def test_embedding_prebuilt_signature_table_round_trip(spark, tmp_path):
+    """Same durable-asset contract for the hyperplane index, including
+    the multiprobe path (only the new side probes)."""
+    from littletable_spark.operators.dedup import (
+        embedding_lsh_dup_pairs,
+        embedding_signature_table,
+    )
+
+    e = Table.parquet_import(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    new = Table.from_df(e.df.where("vec_id % 10 = 0"))
+    corpus = Table.from_df(e.df.where("vec_id % 10 != 0"))
+    sigs = embedding_signature_table(corpus, "vec_id", "embedding")
+    p = str(tmp_path / "sigs")
+    sigs.parquet_export(p)
+    reloaded = Table.parquet_import(spark, p)
+    for pb in (0, 1):
+        expect = {
+            (r.id1, r.id2): r.cosine
+            for r in embedding_lsh_dup_pairs(
+                new, "vec_id", "embedding", threshold=0.3,
+                against=corpus, probe_bits=pb,
+            )
+        }
+        got = {
+            (r.id1, r.id2): r.cosine
+            for r in embedding_lsh_dup_pairs(
+                new, "vec_id", "embedding", threshold=0.3,
+                against_sigs=reloaded, probe_bits=pb,
+            )
+        }
+        assert got == expect and expect
