@@ -1362,6 +1362,43 @@ def _positioned_gram_rows(
     return pos.select(F.col(id_col), F.col("pg.p").alias("p"), F.col("pg.g").alias("g"))
 
 
+def span_gram_table(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 1,
+    hash_keys: bool = True,
+) -> Table:
+    """The corpus's k-token-gram set as a durable probe asset: a single
+    column ``g`` holding every gram that occurs in >= ``min_docs``
+    distinct corpus documents (``min_docs`` is BAKED IN at build time).
+    Build once over the settled corpus, ``parquet_export``, and mark
+    every future batch with ``duplicate_spans(new, ...,
+    against_grams=grams)`` — the corpus text is never re-tokenized.
+    ``k`` and ``hash_keys`` must match the probe call's."""
+    cpos = _positioned_gram_rows(
+        table._require_df(), id_col, text_col, k, hash_keys
+    )
+    if min_docs <= 1:
+        dup = cpos.select("g").distinct()
+    elif min_docs == 2:
+        dup = (
+            cpos.groupBy("g")
+            .agg(F.min(id_col).alias("__a__"), F.max(id_col).alias("__b__"))
+            .where(F.col("__a__") != F.col("__b__"))
+            .select("g")
+        )
+    else:
+        dup = (
+            cpos.groupBy("g")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+            .where(F.col("__nd__") >= min_docs)
+            .select("g")
+        )
+    return Table.from_df(dup, name=f"{table.table_name}_span_grams")
+
+
 def duplicate_spans(
     table: Table,
     text_col: str,
@@ -1370,6 +1407,7 @@ def duplicate_spans(
     min_docs: int = 2,
     hash_keys: bool = True,
     against: Table | None = None,
+    against_grams: Table | None = None,
 ) -> Table:
     """Exact-substring duplicate detection: every maximal token span
     whose k-token grams all occur in >= ``min_docs`` DISTINCT documents,
@@ -1384,6 +1422,9 @@ def duplicate_spans(
     ``min_docs=1`` for the usual any-corpus-occurrence marking. The
     corpus side is one gram aggregation, the new batch one semi-join
     probe — no corpus-side span merging, no corpus×corpus work.
+    ``against_grams`` takes that corpus gram set PREBUILT
+    (``span_gram_table``, min_docs baked in at build time), so the
+    corpus is not scanned at all.
 
     Scale shape (100 TB): gram generation is narrow; ONE shuffle groups
     by gram key (8-byte hashed by default, see ``_positioned_gram_rows``)
@@ -1398,6 +1439,25 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     df = table._require_df()
+    if against is not None and against_grams is not None:
+        raise ValueError("pass against= (raw docs) or against_grams= (prebuilt), not both")
+    if against_grams is not None:
+        # prebuilt corpus gram set (span_gram_table, typically parquet-
+        # imported): min_docs was baked in at build time; the probe is
+        # the new batch's gram pass plus one semi-join on the stored set
+        if "g" not in against_grams.fields:
+            raise ValueError(
+                "against_grams must have column 'g' (a span_gram_table "
+                f"result); got {against_grams.fields}"
+            )
+        pos = _positioned_gram_rows(df, id_col, text_col, k, hash_keys)
+        return _merge_marked_spans(
+            pos.join(against_grams.df.select("g"), on="g", how="left_semi")
+            .select(id_col, "p"),
+            id_col,
+            k,
+            f"{table.table_name}_dup_spans",
+        )
     # two consumers (dup-gram aggregation + mark-back semi-join): an
     # unpersisted pos would re-run tokenize + gram hashing — the
     # measured majority of pipeline cost — once per consumer
@@ -1491,6 +1551,7 @@ def remove_duplicate_spans(
     min_docs: int = 2,
     hash_keys: bool = True,
     against: Table | None = None,
+    against_grams: Table | None = None,
 ) -> Table:
     """Cut every cross-document duplicate span (see ``duplicate_spans``)
     out of the text; returns (id, text) with the surviving tokens
@@ -1509,7 +1570,8 @@ def remove_duplicate_spans(
     time."""
     df = table._require_df()
     spans = duplicate_spans(
-        table, text_col, id_col, k, min_docs, hash_keys, against
+        table, text_col, id_col, k, min_docs, hash_keys, against,
+        against_grams,
     ).df
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
@@ -1532,6 +1594,47 @@ def remove_duplicate_spans(
     return Table.from_df(out, name=f"{table.table_name}_despanned")
 
 
+def boilerplate_line_table(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> Table:
+    """The corpus's boilerplate line set as a durable probe asset: a
+    single column ``line`` with every line occurring in >= ``min_docs``
+    distinct corpus documents (baked in at build time). Build once,
+    ``parquet_export``, strip every future batch with
+    ``line_dedup(new, ..., against_lines=lines)`` — the corpus text is
+    never re-split. ``sep`` must match the probe call's."""
+    frame = table._require_df().select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("__pos__", "__line__"),
+    )
+    if min_docs <= 1:
+        bad = frame.select("__line__").distinct()
+    elif min_docs == 2:
+        bad = (
+            frame.groupBy("__line__")
+            .agg(F.min(id_col).alias("__a__"), F.max(id_col).alias("__b__"))
+            .where(F.col("__a__") != F.col("__b__"))
+            .select("__line__")
+        )
+    else:
+        bad = (
+            frame.groupBy("__line__")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+            .where(F.col("__nd__") >= min_docs)
+            .select("__line__")
+        )
+    return Table.from_df(
+        bad.select(F.col("__line__").alias("line")),
+        name=f"{table.table_name}_boilerplate_lines",
+    )
+
+
 def line_dedup(
     table: Table,
     text_col: str,
@@ -1540,6 +1643,7 @@ def line_dedup(
     sep: str = "\n",
     join_sep: str | None = None,
     against: Table | None = None,
+    against_lines: Table | None = None,
 ) -> Table:
     """Inter-document boilerplate line removal (CCNet / RefinedWeb
     style): drop every line that occurs verbatim in >= ``min_docs``
@@ -1553,7 +1657,9 @@ def line_dedup(
     corpus — ``min_docs`` counts ITS documents; pass ``min_docs=1`` to
     strip any line the corpus has seen) and applied to ``table`` (the
     new batch) only; the corpus line-frequency table is the persisted
-    asset reused across successive batches.
+    asset reused across successive batches. ``against_lines`` takes
+    that line set PREBUILT (``boilerplate_line_table``, min_docs baked
+    in at build time), so the corpus is not scanned at all.
 
     ``sep`` is a Java regex for splitting; ``join_sep`` (default: ``sep``
     verbatim) is the literal used to rejoin — pass both when the split
@@ -1593,7 +1699,19 @@ def line_dedup(
             .select("__line__")
         )
 
-    if against is not None:
+    if against is not None and against_lines is not None:
+        raise ValueError("pass against= (raw docs) or against_lines= (prebuilt), not both")
+    if against_lines is not None:
+        # prebuilt corpus line set (boilerplate_line_table, typically
+        # parquet-imported): min_docs baked in at build time
+        if "line" not in against_lines.fields:
+            raise ValueError(
+                "against_lines must have column 'line' (a "
+                f"boilerplate_line_table result); got {against_lines.fields}"
+            )
+        lines = _lines(df)
+        bad = against_lines.df.select(F.col("line").alias("__line__"))
+    elif against is not None:
         lines = _lines(df)
         bad = _bad(
             _lines(against._require_df()).persist(_PAIRGEN_CACHE), min_docs

@@ -354,3 +354,98 @@ def test_line_dedup_incremental(spark):
         ).df.collect()
     )
     assert got1 == {100: "fresh headline\nfresh tail", 101: "all novel"}
+
+
+def test_span_gram_table_round_trip(spark, tmp_path):
+    """Prebuilt corpus gram set equals the raw against= path, including
+    after a parquet round trip (the durable-asset contract)."""
+    from littletable_spark import Table
+    from littletable_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+        span_gram_table,
+    )
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    new = Table.from_df(d.df.where("doc_id % 10 = 0"))
+    corpus = Table.from_df(d.df.where("doc_id % 10 != 0"))
+    expect = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(
+            new, "text", "doc_id", k=5, min_docs=1, against=corpus
+        )
+    }
+    grams = span_gram_table(corpus, "text", "doc_id", k=5, min_docs=1)
+    p = str(tmp_path / "grams")
+    grams.parquet_export(p)
+    reloaded = Table.parquet_import(spark, p)
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(new, "text", "doc_id", k=5, against_grams=reloaded)
+    }
+    assert got == expect
+    # the remove passthrough produces identical cleaned text
+    a = {
+        r.doc_id: r.text
+        for r in remove_duplicate_spans(
+            new, "text", "doc_id", k=5, min_docs=1, against=corpus
+        )
+    }
+    b = {
+        r.doc_id: r.text
+        for r in remove_duplicate_spans(
+            new, "text", "doc_id", k=5, against_grams=reloaded
+        )
+    }
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        duplicate_spans(
+            new, "text", "doc_id", k=5, against=corpus, against_grams=grams
+        )
+    with _pytest.raises(ValueError, match="column 'g'"):
+        duplicate_spans(new, "text", "doc_id", k=5, against_grams=new)
+
+
+def test_boilerplate_line_table_round_trip(spark, tmp_path):
+    """Prebuilt corpus line set equals the raw against= path after a
+    parquet round trip; baked-in min_docs is respected."""
+    from littletable_spark import Table
+    from littletable_spark.operators.dedup import (
+        boilerplate_line_table,
+        line_dedup,
+    )
+
+    corpus = Table("blcorp", spark=spark)
+    corpus.insert_many(
+        [
+            {"doc_id": 1, "text": "COOKIE BANNER\nreal a"},
+            {"doc_id": 2, "text": "COOKIE BANNER\nreal b"},
+            {"doc_id": 3, "text": "NAV BAR\nreal c"},
+        ]
+    )
+    new = Table("blnew", spark=spark)
+    new.insert_many(
+        [{"doc_id": 10, "text": "COOKIE BANNER\nNAV BAR\nfresh content"}]
+    )
+    expect = {
+        r.doc_id: (r.text, r.n_lines_kept)
+        for r in line_dedup(new, "text", "doc_id", min_docs=2, against=corpus)
+    }
+    lines = boilerplate_line_table(corpus, "text", "doc_id", min_docs=2)
+    # min_docs=2: only COOKIE BANNER is boilerplate (NAV BAR once)
+    assert {r.line for r in lines} == {"COOKIE BANNER"}
+    p = str(tmp_path / "lines")
+    lines.parquet_export(p)
+    reloaded = Table.parquet_import(spark, p)
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept)
+        for r in line_dedup(new, "text", "doc_id", against_lines=reloaded)
+    }
+    assert got == expect
+    assert got[10] == ("NAV BAR\nfresh content", 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="column 'line'"):
+        line_dedup(new, "text", "doc_id", against_lines=new)
