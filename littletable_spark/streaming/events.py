@@ -359,3 +359,103 @@ def time_rollup(
         *[c.alias(n) for n, c in aggs.items()]
     )
     return Table.from_df(grouped, name=f"{table.table_name}_rollup")
+
+
+def enrich_stream(stream: Table, dim: Table, on: dict[str, str]) -> Table:
+    """Stream-static enrichment join: attach dimension attributes (user
+    profile, product metadata) to a live event stream. ``on`` maps
+    stream columns to dimension columns.
+
+    Scale shape: the static side is explicitly broadcast — Spark
+    re-reads it per micro-batch either way, and the broadcast keeps the
+    stream side's partitioning intact (no shuffle of the unbounded
+    side, no state store: stream-static joins are stateless). LEFT
+    join, so events without a dimension row pass through with NULLs —
+    late dimension upserts are a data fix, not a data loss. The
+    dimension's join-key columns are dropped after the join (the stream
+    keeps its own)."""
+    sdf = stream._require_df()
+    ddf = dim.df
+    if sdf.isStreaming and not ddf.isStreaming:
+        # the dimension's ordered-bag lineage contains
+        # monotonically_increasing_id (ensure_row_ord), which the
+        # streaming UnsupportedOperationChecker rejects even when the
+        # column is pruned; localCheckpoint rewrites the dim to a
+        # plan-clean static relation — it is the small broadcast side,
+        # so the eager materialization is the cost of one dim scan
+        ddf = ddf.localCheckpoint(eager=True)
+    cond = None
+    for l_col, r_col in on.items():
+        c = sdf[l_col] == ddf[r_col]
+        cond = c if cond is None else (cond & c)
+    out = sdf.join(F.broadcast(ddf), on=cond, how="left")
+    for r_col in on.values():
+        out = out.drop(ddf[r_col])
+    return Table.from_df(out, name=f"{stream.table_name}_enriched")
+
+
+def streaming_followup_join_demo(
+    spark: SparkSession,
+    path: str,
+    key: str = "user_id",
+    within_sec: int = 1800,
+    watermark: str = "1 hour",
+):
+    """Stream-stream self interval join: pair every event with the SAME
+    key's follow-up events inside ``within_sec`` — the funnel /
+    response-time primitive (click→purchase, error→retry).
+
+    This is the canonical watermarked stream-stream join: both sides
+    carry a watermark and the join condition bounds b.ts to
+    (a.ts, a.ts + within_sec], so Spark can size and EVICT the join
+    state — without the time bound the state store would grow without
+    limit. Drains a bounded parquet input through a memory sink like
+    the other demos; production aims at kafka/delta. Returns the
+    joined result (a_* columns for the earlier event, b_* for the
+    follow-up)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        stage = tempfile.mkdtemp(prefix="lts_follow_")
+        shutil.copy(path, stage)
+        path = stage
+    with _nanos_conf(spark):
+        schema = spark.read.parquet(path).schema
+        stream = _with_event_time(
+            spark.readStream.schema(schema).parquet(path)
+        ).drop("ts_sec")
+        a = (
+            stream.select(
+                F.col(key).alias("k"),
+                F.col("event_id").alias("a_event_id"),
+                F.col("event_type").alias("a_event_type"),
+                F.col("ts").alias("a_ts"),
+            ).withWatermark("a_ts", watermark)
+        )
+        b = (
+            stream.select(
+                F.col(key).alias("k"),
+                F.col("event_id").alias("b_event_id"),
+                F.col("event_type").alias("b_event_type"),
+                F.col("ts").alias("b_ts"),
+            ).withWatermark("b_ts", watermark)
+        )
+        joined = a.join(
+            b,
+            (a["k"] == b["k"])
+            & (b["b_ts"] > a["a_ts"])
+            & (b["b_ts"] <= a["a_ts"] + F.expr(f"INTERVAL {within_sec} SECONDS")),
+            "inner",
+        ).drop(b["k"])
+        qname = f"lts_follow_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname}")

@@ -388,3 +388,85 @@ def test_cluster_labeling_runs_on_streams(spark):
         )
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_enrich_stream_matches_batch_join(spark):
+    """Stream-static enrichment: streamed left join against a broadcast
+    dimension equals the batch join row-for-row; dimensionless events
+    pass through with NULLs."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from littletable_spark import Table
+    from littletable_spark.streaming import enrich_stream, load_events
+
+    dim = Table("profiles", spark=spark)
+    dim.insert_many(
+        [{"uid": i, "tier": "gold" if i % 2 == 0 else "free"} for i in range(0, 40, 2)]
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stage = tempfile.mkdtemp(prefix="lts_enrich_")
+    shutil.copy(src, stage)
+    schema = spark.read.parquet(src).schema
+    stream = Table.from_df(spark.readStream.schema(schema).parquet(stage))
+    out = enrich_stream(stream, dim, {"user_id": "uid"}).df
+    assert out.isStreaming
+    sink = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r.event_id: r.tier for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    batch = {
+        r.event_id: r.tier
+        for r in enrich_stream(
+            Table.from_df(spark.read.parquet(src)), dim, {"user_id": "uid"}
+        )
+    }
+    assert streamed == batch and len(batch) > 0
+    # dimension misses pass through as NULL, never dropped
+    assert any(v is None for v in batch.values())
+    assert any(v is not None for v in batch.values())
+
+
+def test_streaming_followup_join_matches_batch(spark):
+    """Watermarked stream-stream interval self-join equals the batch
+    self-join under the same (key, time-bound) condition."""
+    from pyspark.sql import functions as F
+
+    from littletable_spark.streaming import load_events
+    from littletable_spark.streaming.events import streaming_followup_join_demo
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    streamed = {
+        (r.a_event_id, r.b_event_id)
+        for r in streaming_followup_join_demo(
+            spark, path, key="user_id", within_sec=1800
+        ).collect()
+    }
+    ev = load_events(spark, path).df
+    a = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("bk"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    batch = {
+        (r.a_event_id, r.b_event_id)
+        for r in a.join(
+            b,
+            (a["k"] == b["bk"])
+            & (b["b_ts"] > a["a_ts"])
+            & (b["b_ts"] <= a["a_ts"] + F.expr("INTERVAL 1800 SECONDS")),
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
