@@ -757,6 +757,28 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conditional in-place update: flag urgent F-status orders; narrow
+    when/otherwise projection, row count and order unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    o.update({"o_orderstatus": "F", "o_orderpriority": "1-URGENT"}, flag=1)
+    return o.select("o_orderkey o_orderstatus o_orderpriority flag").df
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyed MERGE: one matched region row is replaced in place, one
+    new row appends; non-incoming columns survive on the matched row."""
+    r = _t(spark, sf_dir, "region")
+    r.upsert(
+        [
+            {"r_regionkey": 0, "r_name": "PATCHED", "r_note": "refreshed"},
+            {"r_regionkey": 99, "r_name": "NEW REGION", "r_note": "added"},
+        ],
+        key="r_regionkey",
+    )
+    return r.select("r_regionkey r_name r_note").df
+
+
 def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """incremental SemDeDup: new vectors (vec_id % 10 == 0) blocked and
     scored against the existing corpus only — never corpus × corpus.
@@ -1249,6 +1271,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its block scorer and cluster assignment sit in-gate via
     dedup_semantic / sim_cluster and the incremental cross-join shape
     via dedup_minhash_incr — rotate it into a round-7 gate window.
+    Likewise update_where / upsert_merge (conditional in-place update
+    and keyed MERGE, added after the rotation): mirror-checked; their
+    cores — when/otherwise projection, left join + unionByName append —
+    sit in-gate via compute_field / where_comparators / outer_join_left
+    / union. Round-7 gate candidates.
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
@@ -1278,7 +1305,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_ivf_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 84 every round."""
+    runs all 86 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
@@ -1332,6 +1359,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
         "dedup_semantic_incr": q_dedup_semantic_incr,
+        "update_where": q_update_where,
+        "upsert_merge": q_upsert_merge,
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         "multimodal_decode": q_multimodal_decode,
@@ -2248,6 +2277,22 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a JOIN assign b
               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
+        """,
+        "update_where": """
+            SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                   CASE WHEN o_orderstatus = 'F'
+                         AND o_orderpriority = '1-URGENT'
+                        THEN 1 END AS flag
+            FROM orders
+        """,
+        "upsert_merge": """
+            SELECT r_regionkey,
+                   CASE WHEN r_regionkey = 0 THEN 'PATCHED' ELSE r_name
+                   END AS r_name,
+                   CASE WHEN r_regionkey = 0 THEN 'refreshed' END AS r_note
+            FROM region
+            UNION ALL
+            SELECT 99, 'NEW REGION', 'added'
         """,
         # incremental SemDeDup: frozen corpus-side model (centroids =
         # embeddings of vec_id 1..8, cluster index = vec_id - 1), both

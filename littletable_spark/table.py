@@ -225,6 +225,32 @@ def _row_to_ns(row, row_class: type | None = None) -> Any:
     return (row_class or SimpleNamespace)(**d)
 
 
+def _reconcile_cell_types(old: DataFrame, new: DataFrame):
+    """Reconcile heterogeneous cell types across batches up front (a
+    union would otherwise insert an implicit cast that fails at
+    runtime): integral+integral widens to bigint, any other numeric mix
+    to double, anything else to string — mirroring the reference's
+    untyped cells without degrading int keys to floats."""
+    integral = {"byte", "short", "integer", "long"}
+    numeric = integral | {"float", "double", "decimal"}
+    for f in new.schema.fields:
+        if f.name in old.columns:
+            old_t = old.schema[f.name].dataType
+            if old_t != f.dataType and not isinstance(
+                f.dataType, SQLT.NullType
+            ) and not isinstance(old_t, SQLT.NullType):
+                on, nn = old_t.typeName(), f.dataType.typeName()
+                if on in integral and nn in integral:
+                    target = "bigint"
+                elif on in numeric and nn in numeric:
+                    target = "double"
+                else:
+                    target = "string"
+                old = old.withColumn(f.name, F.col(f.name).cast(target))
+                new = new.withColumn(f.name, F.col(f.name).cast(target))
+    return old, new
+
+
 class Table:
     """Spark-native re-expression of the reference Table."""
 
@@ -639,26 +665,7 @@ class Table:
         if self._df is None:
             combined = new_df
         else:
-            # reconcile heterogeneous cell types across batches up front
-            # (the union would otherwise insert an implicit cast that
-            # fails at runtime): numeric widens to double, anything else
-            # to string — mirroring the reference's untyped cells
-            old, new = self._df, new_df
-            numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
-            for f in new.schema.fields:
-                if f.name in old.columns:
-                    old_t = old.schema[f.name].dataType
-                    if old_t != f.dataType and not isinstance(
-                        f.dataType, SQLT.NullType
-                    ) and not isinstance(old_t, SQLT.NullType):
-                        target = (
-                            "double"
-                            if old_t.typeName() in numeric
-                            and f.dataType.typeName() in numeric
-                            else "string"
-                        )
-                        old = old.withColumn(f.name, F.col(f.name).cast(target))
-                        new = new.withColumn(f.name, F.col(f.name).cast(target))
+            old, new = _reconcile_cell_types(self._df, new_df)
             combined = old.unionByName(new, allowMissingColumns=True)
         self._next_epoch += 1
         self._mutate(combined)
@@ -832,6 +839,167 @@ class Table:
         pred = self._compile_kwargs(kwargs)
         self._mutate(self._require_df().filter(~F.coalesce(pred, F.lit(False))))
         return n_before - len(self)
+
+    def _compile_pred_any(self, where: Any) -> Column:
+        """Predicate from any ``Table.where``-style spec: criteria dict,
+        Column, SQL string, or row callable; None matches every row."""
+        if where is None:
+            return F.lit(True)
+        if isinstance(where, dict):
+            return F.coalesce(self._compile_kwargs(where), F.lit(False))
+        if isinstance(where, Column):
+            return F.coalesce(where, F.lit(False))
+        if isinstance(where, str):
+            return F.coalesce(F.expr(where), F.lit(False))
+        user_fields = self.fields
+
+        def safe_fn(*vals: Any, _fn=where, _names=tuple(user_fields)):
+            try:
+                return bool(_fn(SimpleNamespace(**dict(zip(_names, vals)))))
+            except Exception:
+                return False
+
+        return F.coalesce(
+            F.udf(safe_fn, SQLT.BooleanType())(*[F.col(c) for c in user_fields]),
+            F.lit(False),
+        )
+
+    def update(self, where: Any = None, **sets: Any) -> int:
+        """Conditional in-place column update; returns the matched-row
+        count. The Spark-idiomatic replacement for the reference idiom
+        of mutating returned row objects directly (``for row in
+        t.where(status='F'): row.flag = 1`` — rows here are immutable).
+
+        ``where`` takes a criteria dict (the ``Table.where`` kwargs
+        forms, incl. comparators), a Column, a SQL string, or a row
+        callable; omit it to update every row. Each ``sets`` value is a
+        literal (strings stay literals — pass ``F.expr(...)`` for
+        expressions), a Column over the current row, or a row callable
+        (typed via a first-matching-row probe, like ``compute_field``).
+        New column names are allowed (non-matching rows get NULL).
+
+        Scale shape: one narrow conditional projection — row order,
+        row count, and untouched columns are unchanged; no shuffle.
+        Setting a unique-indexed column revalidates the WHOLE table
+        before committing (atomic: the table is unchanged on
+        violation), which is one aggregate scan per affected index."""
+        if self._df is None or not sets:
+            return 0
+        df = self._require_df()
+        pred = self._compile_pred_any(where)
+        matched = int(df.filter(pred).count())
+        user_fields = self.fields
+        new_df = df
+        for attr, value in sets.items():
+            if isinstance(value, Column):
+                col = value
+            elif callable(value):
+                first = next(
+                    iter(self._derive(df.filter(pred)).head(1)), None
+                )
+                probe: Any = None
+                if first is not None:
+                    try:
+                        probe = value(first)
+                    except Exception:
+                        probe = None
+                rtype = _pytype_to_spark(probe)
+
+                def call(*vals: Any, _fn=value, _names=tuple(user_fields), _t=rtype):
+                    try:
+                        out = _fn(SimpleNamespace(**dict(zip(_names, vals))))
+                    except Exception:
+                        return None
+                    if _t == "double" and isinstance(out, int):
+                        return float(out)
+                    return out
+
+                udf = F.udf(call, rtype) if rtype else F.udf(call)
+                col = udf(*[F.col(c) for c in user_fields])
+            else:
+                col = F.lit(value)
+            old = F.col(attr) if attr in new_df.columns else F.lit(None)
+            new_df = new_df.withColumn(attr, F.when(pred, col).otherwise(old))
+        for info in self._indexes.values():
+            if info.unique and info.attr in sets:
+                key = F.col(info.attr)
+                agg = new_df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(key).alias("nn"),
+                    F.count_distinct(key).alias("nd"),
+                ).collect()[0]
+                if agg["nn"] < agg["n"] and not info.accept_none:
+                    raise UniqueKeyViolation(
+                        f"unique index {info.attr!r}: update produces None key"
+                    )
+                if agg["nd"] < agg["nn"]:
+                    raise UniqueKeyViolation(
+                        f"unique index {info.attr!r}: update produces duplicate key"
+                    )
+        self._mutate(new_df)
+        return matched
+
+    def upsert(self, objs: Any, key: str) -> "Table":
+        """Keyed merge (MERGE INTO semantics, in place): rows of
+        ``objs`` (a Table or an iterable of records) whose ``key``
+        matches an existing row REPLACE that row's incoming columns —
+        the row keeps its position; unmatched rows append like
+        ``insert_many`` (schema widening included). The incoming batch
+        must be key-unique (ambiguous merges raise, table unchanged).
+        Net-new over the reference (its users re-insert after mutating
+        objects); this is the corpus-refresh primitive — nightly
+        re-crawls replace stale documents and add new ones in one pass.
+
+        Scale shape: one LEFT join of the corpus against the (usually
+        broadcast) incoming batch for the in-place replacement, one
+        anti-join + union for the appends; row order of existing rows
+        is never touched, so no shuffle of the corpus."""
+        inc_t = (
+            objs
+            if isinstance(objs, Table)
+            else Table("upsert_batch", spark=self.spark).insert_many(objs)
+        )
+        inc = inc_t.df
+        if key not in inc.columns:
+            raise ValueError(f"upsert batch has no key column {key!r}")
+        agg = inc.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(key)).alias("nd")
+        ).collect()[0]
+        if agg["nd"] < agg["n"]:
+            raise UniqueKeyViolation(
+                f"upsert batch has duplicate {key!r} keys — merge is ambiguous"
+            )
+        if self._df is None:
+            return self.insert_many(
+                inc_t
+            )  # empty table: upsert degenerates to insert
+        df = self._require_df()
+        # reconcile heterogeneous cell types up front, like insert_many
+        df, inc = _reconcile_cell_types(df, inc)
+        renamed = inc.select(
+            [F.col(c).alias(f"__new_{c}__") for c in inc.columns]
+        )
+        joined = df.join(
+            renamed, df[key] == renamed[f"__new_{key}__"], how="left"
+        )
+        hit = F.col(f"__new_{key}__").isNotNull()
+        updated = joined
+        for c in inc.columns:
+            if c == key:
+                continue
+            old = F.col(c) if c in df.columns else F.lit(None)
+            updated = updated.withColumn(
+                c, F.when(hit, F.col(f"__new_{c}__")).otherwise(old)
+            )
+        updated = updated.drop(*[f"__new_{c}__" for c in inc.columns])
+        appended = inc.join(df.select(key).dropna(), on=key, how="left_anti")
+        appended = ensure_row_ord(
+            appended.withColumn(EPOCH, F.lit(self._next_epoch))
+        )
+        combined = updated.unionByName(appended, allowMissingColumns=True)
+        self._next_epoch += 1
+        self._mutate(combined)
+        return self
 
     def splitby(
         self,
