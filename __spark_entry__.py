@@ -766,17 +766,26 @@ def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """keyed MERGE: one matched region row is replaced in place, one
-    new row appends; non-incoming columns survive on the matched row."""
-    r = _t(spark, sf_dir, "region")
-    r.upsert(
-        [
-            {"r_regionkey": 0, "r_name": "PATCHED", "r_note": "refreshed"},
-            {"r_regionkey": 99, "r_name": "NEW REGION", "r_note": "added"},
-        ],
-        key="r_regionkey",
+    """keyed MERGE at batch scale (the nightly re-crawl shape): every
+    7th customer is re-ingested with a refreshed balance + a c_note
+    column the corpus lacks (schema widening), every 11th spawns a
+    net-new key that appends. Matched rows keep their position and
+    their non-incoming columns (c_name survives); the hash covers all
+    three behaviors over the full table."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.df
+    matched = base.where(F.pmod(F.col("c_custkey"), F.lit(7)) == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("refreshed").alias("c_note"),
     )
-    return r.select("r_regionkey r_name r_note").df
+    fresh = base.where(F.pmod(F.col("c_custkey"), F.lit(11)) == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("added").alias("c_note"),
+    )
+    c.upsert(Table.from_df(matched.unionByName(fresh)), key="c_custkey")
+    return c.select("c_custkey c_name c_acctbal c_note").df
 
 
 def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,6 +1183,24 @@ def q_sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id source").df
 
 
+def q_sample_cap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted per-group quota: at most 4000 CHARS of text per source
+    (the token-budget form mixtures are actually specified in) — the
+    strict prefix of the same minwise order whose running n_chars sum
+    fits. min_weight=40 is a true lower bound on doc length here, so
+    the rank pre-filter restores the map-side WindowGroupLimit bound
+    (sampling.py:cap_per_group weight_col=). Binds at every SF: each
+    source carries ≥7k chars."""
+    from littletable_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    out = cap_per_group(
+        d, "source", 4000, key_col="doc_id", salt="tok",
+        weight_col="n_chars", min_weight=40,
+    )
+    return out.select("doc_id source n_chars").df
+
+
 def _mixture_oracle_sql() -> str:
     """DuckDB mirror of resample_to_mixture: identical normalized weight
     literals (cast to DOUBLE — DuckDB decimal literals would otherwise
@@ -1266,16 +1293,25 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_filter_quality), sim_cosine_topk (with nprobe == nlist the
     in-gate sim_ivf_topk computes the identical exact result through
     the same rerank code; sim_cluster adds a third gated pass over the
-    same embedding-scan machinery). dedup_semantic_incr (the against=
-    incremental variant, added after the rotation) is mirror-checked:
-    its block scorer and cluster assignment sit in-gate via
-    dedup_semantic / sim_cluster and the incremental cross-join shape
-    via dedup_minhash_incr — rotate it into a round-7 gate window.
-    Likewise update_where / upsert_merge (conditional in-place update
-    and keyed MERGE, added after the rotation): mirror-checked; their
-    cores — when/otherwise projection, left join + unionByName append —
-    sit in-gate via compute_field / where_comparators / outer_join_left
-    / union. Round-7 gate candidates.
+    same embedding-scan machinery). Final-session swap: the three queries added after the earlier
+    rotations enter the gate immediately (new-query-gates-first rule) —
+    dedup_semantic_incr (against= incremental SemDeDup), update_where
+    (conditional in-place update) and upsert_merge (keyed MERGE). Out
+    in exchange, each driver-green in CORRECTNESS_r05 with an in-gate
+    sibling on the same code path: splitby (when/otherwise predicate
+    split — in-gate update_where exercises the identical when/otherwise
+    projection, where_comparators/where_predicates the predicate core),
+    union (unionByName core — in-gate upsert_merge's MERGE appends
+    through the same unionByName path), and dedup_embedding_lsh
+    (hyperplane-bucket self-join — in-gate dedup_embedding_lsh_incr
+    runs the same bucket join cross-table, dedup_semantic the same
+    block scorer). sample_cap_tokens (weighted token-budget caps, the
+    last net-new op of the round) also gates immediately; parked in
+    exchange: select_computed (computed-projection core sits in-gate
+    via compute_field and update_where; driver-green r1-r5). The
+    strengthened upsert_merge now MERGEs a derived batch into the full
+    customer table (schema widening + batch appends at sf scale) in
+    place of the 6-row region demo.
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
@@ -1305,21 +1341,20 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_ivf_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 86 every round."""
+    runs all 87 every round."""
     return {
         "where_comparators": q_where_comparators,
         "where_predicates": q_where_predicates,
-        "select_computed": q_select_computed,
         "compute_field": q_compute_field,
+        "update_where": q_update_where,
         "convert_numeric": q_convert_numeric,
-        "splitby": q_splitby,
         "unique": q_unique,
         "join_3way_agg": q_join_3way_agg,
         "outer_join_left": q_outer_join_left,
         "text_filter_quality": q_text_filter_quality,
         "anti_join": q_anti_join,
         "asof_join": q_asof_join,
-        "union": q_union,
+        "upsert_merge": q_upsert_merge,
         "groupby_summaries": q_groupby_summaries,
         "groupby_runs": q_groupby_runs,
         "pivot_counts": q_pivot_counts,
@@ -1338,9 +1373,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_embedding_lsh_incr": q_dedup_embedding_lsh_incr,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_incr": q_dedup_semantic_incr,
         "sim_cluster": q_sim_cluster,
         "sim_ivf_topk": q_sim_ivf_topk,
         "text_tokens": q_text_tokens,
@@ -1353,14 +1388,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "sample_epoch": q_sample_epoch,
         "sample_cap_per_group": q_sample_cap_per_group,
+        "sample_cap_tokens": q_sample_cap_tokens,
         "sample_mixture": q_sample_mixture,
         "text_chunks": q_text_chunks,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
-        "dedup_semantic_incr": q_dedup_semantic_incr,
-        "update_where": q_update_where,
-        "upsert_merge": q_upsert_merge,
+        "select_computed": q_select_computed,
+        "splitby": q_splitby,
+        "union": q_union,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         "multimodal_decode": q_multimodal_decode,
@@ -2286,13 +2323,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "upsert_merge": """
-            SELECT r_regionkey,
-                   CASE WHEN r_regionkey = 0 THEN 'PATCHED' ELSE r_name
-                   END AS r_name,
-                   CASE WHEN r_regionkey = 0 THEN 'refreshed' END AS r_note
-            FROM region
+            SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                        ELSE c_acctbal END AS c_acctbal,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'refreshed' END AS c_note
+            FROM customer
             UNION ALL
-            SELECT 99, 'NEW REGION', 'added'
+            SELECT c_custkey + 1000000, NULL, 0.0, 'added'
+            FROM customer WHERE c_custkey % 11 = 0
         """,
         # incremental SemDeDup: frozen corpus-side model (centroids =
         # embeddings of vec_id 1..8, cluster index = vec_id - 1), both
@@ -2573,6 +2611,17 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rk
               FROM documents
             ) WHERE rk <= 10
+        """,
+        "sample_cap_tokens": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0)) || 'tok'), 1, 8))::BIGINT, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM documents
+            ) WHERE cum <= 4000
         """,
         "text_filter_quality": """
             WITH t AS (

@@ -35,6 +35,7 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_decode",
     "sample_cap_per_group",
+    "sample_cap_tokens",
     "sample_epoch",
     "range_join",
     "events_rollup",

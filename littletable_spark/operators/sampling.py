@@ -189,27 +189,43 @@ def cap_per_group(
     cap: int,
     key_col: str,
     salt: str = "",
+    weight_col: str | None = None,
+    min_weight: float = 0.0,
 ) -> Table:
     """Keep at most ``cap`` rows per group — the per-source/per-domain
     quota step of corpus curation (one crawl domain must not dominate
     the training mix no matter how many documents it contributed).
 
+    With ``weight_col`` the quota is a BUDGET over summed weight instead
+    of a row count — the token-budget form of the same step ("at most
+    2M tokens per source", the unit mixtures are actually specified
+    in). A row survives iff the running weight total up to AND
+    including it stays ≤ ``cap``; survivors are always a STRICT PREFIX
+    of the group's minwise order — a row too heavy for the remaining
+    budget busts it for everything ranked at or after it (no
+    skip-and-continue knapsack; the running sum keeps counting dropped
+    rows, which is what makes the decision nested and re-shard-stable).
+
     Which rows survive is a deterministic minwise choice: rows are
     ranked inside their group by ``md5(key || salt)`` (ties broken by
     the key itself — a total order whenever ``key_col`` is unique, the
-    same discipline tests/test_total_order.py enforces) and the first
-    ``cap`` keep. Like every operator here the decision is
+    same discipline tests/test_total_order.py enforces) and the prefix
+    that fits keeps. Like every operator here the decision is
     re-shard-stable AND nested (raising the cap only ever ADDS
-    survivors), but unlike pure hash thinning it is exact: a group with
-    fewer than ``cap`` rows keeps everything, one with more keeps
-    exactly ``cap``.
+    survivors — the cumulative sums are fixed by the ordering, only the
+    threshold moves), but unlike pure hash thinning it is exact: a
+    group under budget keeps everything.
 
-    Scale: one shuffle on ``group_col``; Spark plans the rank filter as
-    WindowGroupLimit (per-partition group top-k before the exchange),
-    so the shuffle carries at most ~``cap`` rows per group per input
-    partition, not the whole corpus. Skewed groups (exactly the
-    motivating case — one domain with 10^8 docs) are therefore bounded
-    map-side.
+    Scale: one shuffle on ``group_col``. The row-count form plans the
+    rank filter as WindowGroupLimit (per-partition group top-k before
+    the exchange), so the shuffle carries at most ~``cap`` rows per
+    group per input partition — skewed groups (exactly the motivating
+    case: one domain with 10^8 docs) are bounded map-side. A window
+    SUM gets no such pre-shuffle bound, so the weighted form accepts
+    ``min_weight``: when every row weighs at least that much, rank
+    > cap/min_weight + 1 provably busts the budget, and the SAME
+    WindowGroupLimit rank cut prunes the shuffle map-side (for token
+    budgets over non-empty documents min_weight=1 is always sound).
     """
     from pyspark.sql import Window
 
@@ -219,10 +235,30 @@ def cap_per_group(
     w = Window.partitionBy(group_col).orderBy(
         hash_bucket(F.col(key_col), salt), F.col(key_col)
     )
+    if weight_col is None:
+        out = (
+            df.withColumn("__rk__", F.row_number().over(w))
+            .where(F.col("__rk__") <= F.lit(int(cap)))
+            .drop("__rk__")
+        )
+        return table._derive(out)
+    if min_weight > 0:
+        rank_cap = int(cap / min_weight) + 1
+        df = (
+            df.withColumn("__rk__", F.row_number().over(w))
+            .where(F.col("__rk__") <= F.lit(rank_cap))
+            .drop("__rk__")
+        )
+    # NULL weight = 0 (survives, consumes nothing) — without this one
+    # NULL row would poison the running sum for every later row in its
+    # group (the pack_sequences NULL-text lesson, ADVICE round 5).
+    cum = F.sum(F.coalesce(F.col(weight_col), F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     out = (
-        df.withColumn("__rk__", F.row_number().over(w))
-        .where(F.col("__rk__") <= F.lit(int(cap)))
-        .drop("__rk__")
+        df.withColumn("__cum__", cum)
+        .where(F.col("__cum__") <= F.lit(cap))
+        .drop("__cum__")
     )
     return table._derive(out)
 

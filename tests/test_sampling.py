@@ -170,6 +170,95 @@ def test_cap_per_group_plans_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_cap_per_group_weighted_budget(spark):
+    """weight_col turns the cap into a summed-weight budget: survivors
+    are the greedy prefix (in the SAME minwise order as the row-count
+    form) whose running total fits; a group under budget keeps
+    everything; raising the budget only adds survivors; decisions are
+    re-shard-stable and a pure-Python cumsum model agrees exactly."""
+    import hashlib
+
+    from littletable_spark.operators.sampling import cap_per_group
+
+    rows = [
+        {"g": "big", "k": i, "w": 10 + (i * 7) % 25} for i in range(40)
+    ] + [{"g": "small", "k": 100 + i, "w": 5} for i in range(3)]
+    t = Table("capw", spark=spark)
+    t.insert_many(rows)
+
+    def model(budget):
+        h = lambda k: int(hashlib.md5(f"{k}s".encode()).hexdigest()[:8], 16)
+        keep = set()
+        for g in {"big", "small"}:
+            cum = 0
+            for r in sorted(
+                (r for r in rows if r["g"] == g), key=lambda r: (h(r["k"]), r["k"])
+            ):
+                cum += r["w"]
+                if cum <= budget:
+                    keep.add((g, r["k"]))
+        return keep
+
+    out = cap_per_group(t, "g", 100, key_col="k", salt="s", weight_col="w")
+    kept = {(r.g, r.k) for r in out}
+    assert kept == model(100)
+    assert {k for g, k in kept if g == "small"} == {100, 101, 102}  # under budget
+
+    bigger = {
+        (r.g, r.k)
+        for r in cap_per_group(t, "g", 200, key_col="k", salt="s", weight_col="w")
+    }
+    assert kept < bigger and bigger == model(200)  # nested in the budget
+
+    resharded = Table.from_df(t.df.repartition(13))
+    again = {
+        (r.g, r.k)
+        for r in cap_per_group(resharded, "g", 100, key_col="k", salt="s", weight_col="w")
+    }
+    assert again == kept
+
+    # min_weight (a true lower bound) changes nothing but the plan:
+    # identical survivors, and the rank pre-filter restores the
+    # map-side WindowGroupLimit bound the window SUM alone lacks.
+    capped = cap_per_group(
+        t, "g", 100, key_col="k", salt="s", weight_col="w", min_weight=5
+    )
+    assert {(r.g, r.k) for r in capped} == kept
+    plan = capped.df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_cap_per_group_weighted_edge_cases(spark):
+    """STRICT-PREFIX semantics: a row heavier than the remaining budget
+    busts it for everything ranked at or after it (the running sum
+    keeps counting dropped rows — survivors are always a prefix of the
+    minwise order, never a skip-and-continue knapsack). NULL weights
+    consume nothing and do NOT poison later rows in their group."""
+    import hashlib
+
+    from littletable_spark.operators.sampling import cap_per_group
+
+    t = Table("capwe", spark=spark)
+    t.insert_many(
+        [{"g": "a", "k": i, "w": 1000 if i == 0 else 1} for i in range(5)]
+        + [{"g": "b", "k": 10}, {"g": "b", "k": 11}]  # w column absent -> NULL
+    )
+    out = cap_per_group(t, "g", 10, key_col="k", weight_col="w")
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, set()).add(r.k)
+
+    h = lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+    exp, cum = set(), 0
+    for k in sorted(range(5), key=lambda k: (h(k), k)):
+        cum += 1000 if k == 0 else 1
+        if cum <= 10:
+            exp.add(k)
+    assert 0 not in exp  # the 1000-weight row never fits the 10-budget
+    assert by_g.get("a", set()) == exp
+    assert by_g["b"] == {10, 11}  # NULL weights survive, consume nothing
+
+
 def test_mixture_temperature_flattens_toward_uniform(spark):
     """T=1 reproduces the stated proportions exactly (bit-identical to
     the pre-temperature behavior); large T approaches uniform so the
