@@ -429,6 +429,36 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(e, 1800, "user_id").df
 
 
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curated-ingestion sink (streaming/ingest.py:ingest_batch — the
+    exact function the foreachBatch stream drives; the true readStream
+    path is exercised by tests/test_streaming_ingest.py): documents
+    arrive as two micro-batches (doc_id parity), each deduped
+    within-batch (MinHash greedy keep-smaller-id) and then against the
+    durable band index of prior batches' SURVIVORS — the corpus parquet
+    is written once per batch and never rescanned. Returns the final
+    corpus with its batch_id lineage (partition) column. Deterministic
+    end-to-end (hash-based dedup + fixed split), so fully
+    oracle-checkable despite being a side-effecting sink."""
+    import tempfile
+
+    from littletable_spark.streaming.ingest import ingest_batch
+
+    d = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lts_ingest_q_")
+    corpus, bands = f"{root}/corpus", f"{root}/bands"
+    for bid in (0, 1):
+        ingest_batch(
+            d.where(F.pmod(F.col("doc_id"), F.lit(2)) == bid),
+            bid,
+            corpus,
+            bands,
+            collect_stats=False,
+        )
+    out = spark.read.parquet(corpus)
+    return out.select("doc_id", F.col("batch_id").cast("int").alias("batch_id"))
+
+
 def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming dedup: watermarked dropDuplicates, first event per
     (user, type). Projected to the key columns the winner set is
@@ -1311,7 +1341,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     via compute_field and update_where; driver-green r1-r5). The
     strengthened upsert_merge now MERGEs a derived batch into the full
     customer table (schema widening + batch appends at sf scale) in
-    place of the 6-row region demo.
+    place of the 6-row region demo. stream_ingest_dedup (the
+    foreachBatch curated-ingestion sink run batch-wise over a two-batch
+    parity split — net-new) gates immediately; parked in exchange:
+    where_predicates (predicate core sits in-gate via where_comparators
+    and every filtering query; driver-green r4-r5 at 61 rows).
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
@@ -1341,10 +1375,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_ivf_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 87 every round."""
+    runs all 88 every round."""
     return {
         "where_comparators": q_where_comparators,
-        "where_predicates": q_where_predicates,
         "compute_field": q_compute_field,
         "update_where": q_update_where,
         "convert_numeric": q_convert_numeric,
@@ -1365,6 +1398,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_range": q_slice_range,
         "events_session": q_events_session,
         "events_dedup_stream": q_events_dedup_stream,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_incr": q_dedup_minhash_incr,
         "dedup_spans_remove": q_dedup_spans_remove,
@@ -1394,6 +1428,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "where_predicates": q_where_predicates,
         "select_computed": q_select_computed,
         "splitby": q_splitby,
         "union": q_union,
@@ -1472,6 +1507,50 @@ _MINHASH_PAIRS_SQL = """
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """
+
+
+def _ingest_oracle_sql() -> str:
+    """DuckDB mirror of the curated-ingestion sink over the two-batch
+    doc_id-parity split (streaming/ingest.py:ingest_batch): per batch a
+    greedy within-batch drop (every id2 of a candidate pair), then the
+    new batch probed against the SURVIVORS of prior batches only. The
+    band CTEs are shared with _MINHASH_PAIRS_SQL — a signature depends
+    only on its own doc's text, so one bands table serves every side."""
+    prefix = _MINHASH_PAIRS_SQL[: _MINHASH_PAIRS_SQL.rindex("SELECT DISTINCT")]
+    prefix = prefix.rstrip()  # ends at the bands CTE's closing paren
+    assert prefix.endswith(")")
+    return prefix + """, pw0 AS (
+              SELECT DISTINCT b.doc_id AS id2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+            ), kept0 AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id % 2 = 0
+                AND doc_id NOT IN (SELECT id2 FROM pw0)
+            ), pw1 AS (
+              SELECT DISTINCT b.doc_id AS id2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+            ), kept1a AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id % 2 = 1
+                AND doc_id NOT IN (SELECT id2 FROM pw1)
+            ), px AS (
+              SELECT DISTINCT a.doc_id AS id1
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+              WHERE a.doc_id IN (SELECT doc_id FROM kept1a)
+                AND b.doc_id IN (SELECT doc_id FROM kept0)
+            )
+            SELECT doc_id, CAST(0 AS INTEGER) AS batch_id FROM kept0
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INTEGER) AS batch_id FROM kept1a
+            WHERE doc_id NOT IN (SELECT id1 FROM px)
         """
 
 
@@ -1996,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY fingerprint
         """,
         "dedup_minhash": _MINHASH_PAIRS_SQL,
+        "stream_ingest_dedup": _ingest_oracle_sql(),
         # incremental shape: identical banding, cross-side pairs only
         "dedup_minhash_incr": _MINHASH_PAIRS_SQL.replace(
             "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id",

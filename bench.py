@@ -39,6 +39,7 @@ HEADLINE = [
     "sample_epoch",
     "range_join",
     "events_rollup",
+    "stream_ingest_dedup",
 ]
 
 

@@ -6,4 +6,5 @@ from .events import (
     streaming_followup_join_demo,
     tumbling_window,
 )
+from .ingest import ingest_batch, start_curated_ingest
 from .stateful import running_totals_stream
