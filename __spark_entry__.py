@@ -429,6 +429,17 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(e, 1800, "user_id").df
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """data-skew diagnostics (operators/stats.py:skew_report): exact
+    top-5 heavy hitters per candidate join/groupBy key of orders, with
+    counts, column share and a total-ordered rank — the pre-shuffle
+    check that tells you whether a key needs salting/AQE skew handling
+    before you commit a partitioning. One stack-unpivot scan + one
+    map-combined count; rank filter plans as WindowGroupLimit."""
+    o = _t(spark, sf_dir, "orders")
+    return o.skew_report("o_orderstatus o_orderpriority o_custkey", top_k=5).df
+
+
 def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """curated-ingestion sink (streaming/ingest.py:ingest_batch — the
     exact function the foreachBatch stream drives; the true readStream
@@ -1346,6 +1357,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     parity split — net-new) gates immediately; parked in exchange:
     where_predicates (predicate core sits in-gate via where_comparators
     and every filtering query; driver-green r4-r5 at 61 rows).
+    skew_report (data-skew heavy-hitter diagnostics — net-new) gates
+    immediately; parked in exchange: window_topk_per_group (the
+    identical keyed-top-k WindowGroupLimit core IS skew_report's rank
+    cut; driver-green r1-r5).
 
     Round-6 rotation goal: every registry query sits in a driver gate
     window at least once. In: the four that had never been driver-gated —
@@ -1375,7 +1390,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
     sim_ivf_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 88 every round."""
+    runs all 89 every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1392,7 +1407,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_runs": q_groupby_runs,
         "pivot_counts": q_pivot_counts,
         "stats": q_stats,
-        "window_topk_per_group": q_window_topk_per_group,
+        "skew_report": q_skew_report,
         "window_moving_avg": q_window_moving_avg,
         "tpch_q3_shape": q_tpch_q3_shape,
         "slice_range": q_slice_range,
@@ -1428,6 +1443,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "window_topk_per_group": q_window_topk_per_group,
         "where_predicates": q_where_predicates,
         "select_computed": q_select_computed,
         "splitby": q_splitby,
@@ -2691,6 +2707,28 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rk
               FROM documents
             ) WHERE rk <= 10
+        """,
+        "skew_report": """
+            WITH pairs AS (
+              SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+              UNION ALL
+              SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+            ), cnts AS (
+              SELECT col_name, value, count(*) AS cnt
+              FROM pairs GROUP BY col_name, value
+            )
+            SELECT col_name, value, cnt, share, rank
+            FROM (
+              SELECT *,
+                     CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY col_name) AS DOUBLE) AS share,
+                     row_number() OVER (
+                       PARTITION BY col_name
+                       ORDER BY cnt DESC, value ASC NULLS FIRST
+                     ) AS rank
+              FROM cnts
+            ) WHERE rank <= 5
         """,
         "sample_cap_tokens": """
             SELECT doc_id, source, n_chars FROM (

@@ -444,3 +444,50 @@ def stats_table(
         out = spark.createDataFrame(recs, schema=schema_str)
     t = Table.from_df(out, name=f"{table.table_name}_stats")
     return t
+
+
+def skew_report(table: Table, cols: Any, top_k: int = 10) -> Table:
+    """Per-column heavy-hitter report: for each named column, the
+    ``top_k`` most frequent values with their exact count, the share of
+    the column they represent, and a frequency rank. The DATA-side
+    complement of the plan linter (plans/lint.py): lint says the plan
+    has a skew-prone shape, skew_report says whether the data will
+    actually skew it — run it on join/groupBy key candidates before
+    committing a partitioning (one key value carrying 30% of a column
+    means salting or AQE skew handling at 100 TB, and a NULL-heavy join
+    key silently empties inner joins — NULL is reported as a value for
+    exactly that reason).
+
+    One scan: ``stack`` unpivots (col_name, value-as-string) pairs
+    JVM-side (a generator expression — no Python, no shuffle), one
+    map-combined groupBy counts them, and the per-column share + rank
+    are windows over the already-tiny aggregate (row_number's filter
+    plans as WindowGroupLimit). Rank order is total: ties break on the
+    value itself, NULLS FIRST on both engines.
+    """
+    if isinstance(cols, str):
+        cols = cols.split()
+    cols = list(cols)
+    if not cols:
+        raise ValueError("skew_report needs at least one column")
+    df = table._require_df()
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"skew_report: no such column(s) {missing}")
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    from pyspark.sql import Window
+
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    pairs = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, value)")
+    )
+    cnts = pairs.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("col_name")
+    wr = wc.orderBy(F.col("cnt").desc(), F.col("value").asc_nulls_first())
+    out = (
+        cnts.withColumn("share", F.col("cnt") / F.sum("cnt").over(wc))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= F.lit(int(top_k)))
+    )
+    return Table.from_df(out, name=f"{table.table_name}_skew")

@@ -1459,6 +1459,13 @@ class Table:
 
         return stats_table(self, field_names, by_field, approx)
 
+    def skew_report(self, cols: Any, top_k: int = 10) -> "Table":
+        """Heavy-hitter / skew diagnostics for join and groupBy key
+        candidates — see operators/stats.py:skew_report."""
+        from .operators.stats import skew_report
+
+        return skew_report(self, cols, top_k)
+
     # cube / rollup — free capability win over the reference (SURVEY §2.4)
     def cube(self, attrs: Iterable[str], **aggs: Column) -> "Table":
         df = self.df

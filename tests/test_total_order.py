@@ -76,6 +76,13 @@ ALLOW_INTERCHANGEABLE: dict[str, str] = {
         "is distinct per (id, s), so the sort key is unique within its "
         "doc partition by construction"
     ),
+    "skew_report": (
+        "both windows run over groupBy(col_name, value) output, where "
+        "(col_name, value) is unique by construction: the rank sort "
+        "(cnt DESC, value) is therefore total within its col_name "
+        "partition, and the share sum window is unordered "
+        "(full-partition frame, order-insensitive)"
+    ),
     # session windows: lag(ts) over (user_id order by ts) — tied rows
     # have EQUAL ts, so every lag difference (the only thing the window
     # reads) is permutation-invariant. Also covered by the (user_id,
