@@ -1206,10 +1206,19 @@ def q_text_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     out = filter_quality(d, "text", "doc_id")
-    return out.select(
-        "doc_id n_tokens mean_token_len symbol_ratio stopword_ratio "
-        "failed_rules keep"
-    ).df
+    # the Table-level operator returns failed_rules as a real
+    # array<string>; the gate serializes it ('|'-joined, fixed rule
+    # order) because the driver's pandas canonicalizer can't hash list
+    # cells (round-6 gate err) — scalar outputs only in the registry
+    return out.df.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "symbol_ratio",
+        "stopword_ratio",
+        F.array_join("failed_rules", "|").alias("failed_rules"),
+        "keep",
+    )
 
 
 def q_sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1293,6 +1302,18 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate takes
     the first 50 entries, so the 50 highest-signal queries (one per
     distinct operator FAMILY, all oracle-checked) come first.
+
+    Round-7 rotation: dedup_spans enters the gate — it was the single
+    registry query never driver-green (verified against
+    CORRECTNESS_r01-r06) — with dedup_spans_remove parked in exchange
+    (driver-green r6; its span-detection core IS dedup_spans, and its
+    positional-cut tail stays exercised by per-rule pytest +
+    scripts/verify_oracle.py). text_filter_quality also changes shape,
+    not position: the gate query now '|'-joins the failed_rules array
+    (fixed rule order) because the driver's pandas canonicalizer can't
+    hash list cells — the round-6 gate `err`; a registry-wide
+    no-complex-output schema sweep (tests/test_plan_lint.py) now pins
+    every queries() result to scalar columns.
 
     Late-round-6 net-new rotation: dedup_spans_remove + dedup_lines
     (exact-substring span dedup and boilerplate line dedup, new this
@@ -1416,7 +1437,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_incr": q_dedup_minhash_incr,
-        "dedup_spans_remove": q_dedup_spans_remove,
+        "dedup_spans": q_dedup_spans,
         "dedup_spans_incr": q_dedup_spans_incr,
         "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
@@ -1458,7 +1479,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fixed": q_sample_fixed,
         "sample_uniform": q_sample_uniform,
         "events_tumbling": q_events_tumbling,
-        "dedup_spans": q_dedup_spans,
+        "dedup_spans_remove": q_dedup_spans_remove,
         "dedup_minhash": q_dedup_minhash,
         "text_fingerprint": q_text_fingerprint,
         "orderby_head": q_orderby_head,
@@ -2780,7 +2801,9 @@ def oracle_sql() -> dict[str, str]:
               FROM sig
             )
             SELECT doc_id, n_tokens, mean_token_len, symbol_ratio,
-                   stopword_ratio, failed_rules,
+                   stopword_ratio,
+                   coalesce(array_to_string(failed_rules, '|'), '')
+                       AS failed_rules,
                    len(failed_rules) = 0 AS keep
             FROM chk
         """,

@@ -100,3 +100,23 @@ def test_new_pipeline_operators_lint_clean(spark):
         epoch_shuffle(t, "doc_id", seed="lint", n_shards=4),
     ):
         assert tab.lint() == [], tab.table_name
+
+
+def test_registry_outputs_are_scalar_only(spark):
+    """Registry-wide schema sweep: no queries() result may expose an
+    Array/Map/Struct column. The driver's oracle harness canonicalizes
+    results via pandas sort_values, which raises `unhashable type` on
+    list cells (the round-6 `text_filter_quality` gate err) — registry
+    queries must serialize complex columns (array_join etc.) at the
+    query edge while the Table-level operators keep the real types."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in entrymod.registry().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, field.name, field.dataType.simpleString()))
+    assert not offenders, f"non-scalar registry output columns: {offenders}"
