@@ -1441,6 +1441,15 @@ def duplicate_spans(
     df = table._require_df()
     if against is not None and against_grams is not None:
         raise ValueError("pass against= (raw docs) or against_grams= (prebuilt), not both")
+    if against is None and against_grams is None and min_docs < 2:
+        # self mode counts the document's OWN occurrence, so min_docs=1
+        # would mark every span of every doc — a silent >=2 coercion
+        # here would give the same argument two meanings across modes
+        raise ValueError(
+            "min_docs < 2 is degenerate in self mode (every gram occurs "
+            "in its own document); use against=/against_grams= for "
+            "any-corpus-occurrence marking"
+        )
     if against_grams is not None:
         # prebuilt corpus gram set (span_gram_table, typically parquet-
         # imported): min_docs was baked in at build time; the probe is

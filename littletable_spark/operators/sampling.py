@@ -271,12 +271,18 @@ def epoch_shuffle(
 ) -> Table:
     """Deterministic training-order shuffle: every row gets a stable
     pseudo-random (shard, shuffle_ord) from ``hash_bucket(key, seed)``,
-    then the corpus is laid out one shard per partition, sorted by
-    shuffle_ord within each — the standard "globally shuffled, shard-
-    sharded" layout a training job reads sequentially. Re-running with
-    the same seed is bit-identical; changing ``seed`` gives a fresh
-    epoch permutation. Write with ``parquet_export`` to materialize the
-    layout (Spark preserves partitioning + in-partition order).
+    then the corpus is laid out shard-GROUPED — ``repartition(n,
+    col("shard"))`` hash-partitions the shard VALUE, so each partition
+    holds zero or more whole shards (shards never split, but two
+    shards can share a partition and some partitions may be empty) —
+    sorted by (shard, shuffle_ord) within each partition: the
+    "globally shuffled, shard-sharded" order a training job reads
+    sequentially. Re-running with the same seed is bit-identical;
+    changing ``seed`` gives a fresh epoch permutation. To materialize a
+    true one-directory-per-shard layout, export with
+    ``df.write.partitionBy("shard")`` (in-partition order preserved);
+    plain ``parquet_export`` preserves content and order but the
+    file↔shard alignment is only the grouped one above.
 
     Scale shape (100 TB): shard = hash mod (no repartitionByRange — its
     sampled boundaries are nondeterministic), so the single shuffle is

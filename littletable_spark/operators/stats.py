@@ -478,10 +478,26 @@ def skew_report(table: Table, cols: Any, top_k: int = 10) -> Table:
         raise ValueError("top_k must be positive")
     from pyspark.sql import Window
 
-    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
-    pairs = df.select(
-        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, value)")
-    )
+    # pure-Column unpivot (explode of an array<struct> literal): the
+    # same JVM-side Generate the SQL stack() plans to, but with column
+    # names carried as data, never parsed — a positional toDF rename
+    # sidesteps name resolution entirely, so a column name containing
+    # a quote or backtick can't corrupt (or even reach) the analyzer
+    idx = {c: i for i, c in enumerate(df.columns)}
+    safe = df.toDF(*[f"__c{i}__" for i in range(len(df.columns))])
+    pairs = safe.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"__c{idx[c]}__").cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__pair__")
+    ).select("__pair__.col_name", "__pair__.value")
     cnts = pairs.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
     wc = Window.partitionBy("col_name")
     wr = wc.orderBy(F.col("cnt").desc(), F.col("value").asc_nulls_first())

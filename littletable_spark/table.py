@@ -889,7 +889,17 @@ class Table:
         pred = self._compile_pred_any(where)
         matched = int(df.filter(pred).count())
         user_fields = self.fields
-        new_df = df
+        # materialize the match ONCE against the pre-update row: the
+        # predicate Column would otherwise re-resolve by name against
+        # new_df after each withColumn, so a where= referencing a
+        # column that is also in sets would stop matching for every
+        # LATER set (update({"status": "F"}, status="D", flag=1) would
+        # set status but leave flag untouched). Sets still apply in
+        # order, so a Column set value may see earlier sets — matching
+        # the reference's sequential row-mutation idiom.
+        match_col = "__update_match__"
+        new_df = df.withColumn(match_col, pred)
+        match = F.col(match_col)
         for attr, value in sets.items():
             if isinstance(value, Column):
                 col = value
@@ -919,25 +929,49 @@ class Table:
             else:
                 col = F.lit(value)
             old = F.col(attr) if attr in new_df.columns else F.lit(None)
-            new_df = new_df.withColumn(attr, F.when(pred, col).otherwise(old))
-        for info in self._indexes.values():
-            if info.unique and info.attr in sets:
-                key = F.col(info.attr)
-                agg = new_df.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.count(key).alias("nn"),
-                    F.count_distinct(key).alias("nd"),
-                ).collect()[0]
-                if agg["nn"] < agg["n"] and not info.accept_none:
-                    raise UniqueKeyViolation(
-                        f"unique index {info.attr!r}: update produces None key"
-                    )
-                if agg["nd"] < agg["nn"]:
-                    raise UniqueKeyViolation(
-                        f"unique index {info.attr!r}: update produces duplicate key"
-                    )
+            new_df = new_df.withColumn(attr, F.when(match, col).otherwise(old))
+        new_df = new_df.drop(match_col)
+        self._validate_unique_whole(
+            new_df, touched=set(sets), verb="update produces"
+        )
         self._mutate(new_df)
         return matched
+
+    def _validate_unique_whole(
+        self,
+        new_df: DataFrame,
+        touched: set[str] | None = None,
+        verb: str = "produces",
+    ) -> int:
+        """Whole-table unique-index recheck before an in-place commit
+        (update/upsert). ``touched=None`` checks every unique index;
+        otherwise only indexes whose key column is in ``touched``
+        (untouched columns cannot have changed). All checked indexes
+        fold into ONE aggregate scan; raises UniqueKeyViolation leaving
+        the table unchanged. Returns the number of indexes checked."""
+        uniq = [
+            info
+            for info in self._indexes.values()
+            if info.unique and (touched is None or info.attr in touched)
+        ]
+        if not uniq:
+            return 0
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__n__")]
+        for i, info in enumerate(uniq):
+            key = F.col(info.attr)
+            aggs.append(F.count(key).alias(f"__nn{i}__"))
+            aggs.append(F.count_distinct(key).alias(f"__nd{i}__"))
+        row = new_df.agg(*aggs).collect()[0]
+        for i, info in enumerate(uniq):
+            if row[f"__nn{i}__"] < row["__n__"] and not info.accept_none:
+                raise UniqueKeyViolation(
+                    f"unique index {info.attr!r}: {verb} None key"
+                )
+            if row[f"__nd{i}__"] < row[f"__nn{i}__"]:
+                raise UniqueKeyViolation(
+                    f"unique index {info.attr!r}: {verb} duplicate key"
+                )
+        return len(uniq)
 
     def upsert(self, objs: Any, key: str) -> "Table":
         """Keyed merge (MERGE INTO semantics, in place): rows of
@@ -997,6 +1031,12 @@ class Table:
             appended.withColumn(EPOCH, F.lit(self._next_epoch))
         )
         combined = updated.unionByName(appended, allowMissingColumns=True)
+        # upsert was the one mutation path bypassing unique indexes:
+        # replaced columns can collide with untouched rows, and appends
+        # get NULL for columns absent from the batch (allowMissingColumns)
+        # — recheck EVERY unique index on the merged table, atomically,
+        # like insert_many/update do (one folded aggregate scan).
+        self._validate_unique_whole(combined, verb="upsert produces")
         self._next_epoch += 1
         self._mutate(combined)
         return self

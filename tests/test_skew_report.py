@@ -68,3 +68,15 @@ def test_skew_report_plan_shape(spark):
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert lint_plan(r.df) == []
+
+
+def test_skew_report_hostile_column_names(spark):
+    """column names containing quotes/backticks must not corrupt the
+    unpivot (built from Column objects, not interpolated SQL)."""
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 3)], ["it's `bad`", "v"]
+    )
+    t = Table.from_df(df, name="hostile")
+    out = t.skew_report(["it's `bad`"], top_k=2)
+    rows = {(r.value): r.cnt for r in out}
+    assert rows == {"x": 2, "y": 1}

@@ -449,3 +449,13 @@ def test_boilerplate_line_table_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="column 'line'"):
         line_dedup(new, "text", "doc_id", against_lines=new)
+
+
+def test_duplicate_spans_self_mode_rejects_min_docs_below_2(spark):
+    """self mode counts the document's own occurrence, so min_docs=1
+    would mark every span of every doc; it raises instead of silently
+    coercing to >=2 (against=/against_grams= still honor min_docs=1)."""
+    t = Table("mdguard", spark=spark)
+    t.insert_many([{"doc_id": 1, "text": "a b c d e f"}])
+    with pytest.raises(ValueError, match="degenerate in self mode"):
+        duplicate_spans(t, "text", "doc_id", k=3, min_docs=1)

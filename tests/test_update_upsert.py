@@ -111,3 +111,71 @@ def test_upsert_into_empty_table(spark):
     t = Table("empty_up", spark=spark)
     t.upsert([{"k": 1, "v": "a"}], key="k")
     assert [(r.k, r.v) for r in t] == [(1, "a")]
+
+
+def test_update_predicate_overlapping_set_column(inv):
+    """Round-7 advisor repro: when the where-predicate references a
+    column that is ALSO being set, every later set must still see the
+    pre-update match (the predicate is materialized once, not
+    re-resolved against the half-updated frame)."""
+    n = inv.update({"status": "hold"}, status="done", qty=999)
+    assert n == 2
+    rows = {r.sku: (r.status, r.qty) for r in inv}
+    assert rows == {
+        "a": ("ok", 5),
+        "b": ("ok", 0),
+        "c": ("done", 999),
+        "d": ("done", 999),
+    }
+
+
+def test_update_set_order_sees_prior_sets(inv):
+    """Column set values apply in order (the reference's sequential
+    row-mutation idiom): a later set referencing an earlier-set column
+    sees the NEW value; the match itself stays pre-update."""
+    inv.update({"status": "hold"}, qty=F.col("qty") + 100, qty2=F.col("qty"))
+    rows = {r.sku: (r.qty, r.qty2) for r in inv}
+    assert rows["c"] == (107, 107)
+    assert rows["a"] == (5, None)
+
+
+def test_upsert_unique_violation_on_replaced_column(inv):
+    """upsert must enforce unique indexes like every other mutation
+    path: a replaced non-key column colliding with an untouched row
+    raises and leaves the table unchanged."""
+    t2 = Table("u2", spark=inv.spark)
+    t2.insert_many(
+        [
+            {"sku": "a", "qty": 1, "status": "ok"},
+            {"sku": "b", "qty": 2, "status": "ok"},
+            {"sku": "c", "qty": 3, "status": "hold"},
+            {"sku": "d", "qty": 4, "status": "hold"},
+        ]
+    )
+    t2.create_index("qty", unique=True)
+    before = [(r.sku, r.qty, r.status) for r in t2]
+    with pytest.raises(UniqueKeyViolation):
+        # replaces b.qty -> 3, colliding with untouched c.qty == 3
+        t2.upsert([{"sku": "b", "qty": 3}], key="sku")
+    assert [(r.sku, r.qty, r.status) for r in t2] == before
+
+
+def test_upsert_unique_violation_on_appended_null(spark):
+    """appended rows get NULL for columns absent from the batch; an
+    accept_none=False unique index on such a column must reject the
+    merge atomically."""
+    t = Table("u3", spark=spark)
+    t.insert_many([{"k": 1, "u": 10}, {"k": 2, "u": 20}])
+    t.create_index("u", unique=True)
+    before = [(r.k, r.u) for r in t]
+    with pytest.raises(UniqueKeyViolation):
+        t.upsert([{"k": 3}], key="k")  # appends with u = NULL
+    assert [(r.k, r.u) for r in t] == before
+
+
+def test_upsert_valid_merge_with_unique_index_passes(spark):
+    t = Table("u4", spark=spark)
+    t.insert_many([{"k": 1, "u": 10}, {"k": 2, "u": 20}])
+    t.create_index("u", unique=True)
+    t.upsert([{"k": 2, "u": 25}, {"k": 3, "u": 30}], key="k")
+    assert {r.k: r.u for r in t} == {1: 10, 2: 25, 3: 30}
