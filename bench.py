@@ -97,6 +97,30 @@ def main() -> None:
         n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()
     }
 
+    # fixed-work calibration: a pure-JVM, zero-I/O, data-independent job
+    # (fold of xxhash64 over a fixed 2B range, whole-stage codegen) timed the
+    # same way as the queries. Its ONLY purpose is cross-round drift
+    # normalization: the box's quiet-state throughput varies ~1.1-1.25x
+    # between rounds (BASELINE.md round-6 notes), and this row moves
+    # with that drift while the workload stays bit-identical — divide a
+    # query's round-over-round ratio by the calibration ratio before
+    # calling it a regression. Deliberately NOT in `queries`/`value` so
+    # headline totals stay comparable with earlier rounds.
+    from pyspark.sql import functions as F
+
+    def _cal_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, CPUS).select(
+            # max, not sum: summing 2B hashes overflows long under
+            # ANSI mode; max forces the same per-row work
+            F.max(F.xxhash64(F.col("id"))).alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    _cal_once()  # codegen warmup, untimed
+    cal = [_cal_once() for _ in range(3)]
+    calibration = round(sorted(cal)[1], 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -109,6 +133,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "calibration_sec": calibration,
                 "sf": sf_val,
                 "cpus": CPUS,
                 "methodology": (

@@ -4,10 +4,12 @@ One JVM-side aggregation computes every statistic for every requested
 field in a single pass (partial aggregation map-side); the tiny result is
 reshaped driver-side into the reference's by-field / by-stat layouts.
 
-- ``median`` uses exact interpolated ``percentile`` (matches Python
-  ``statistics.median`` and DuckDB ``median`` for numeric input). At
-  100 TB swap to ``percentile_approx`` — noted, not default, to keep
-  oracle parity.
+- ``median`` is exact interpolated (matches Python ``statistics.median``
+  and DuckDB ``median`` for numeric input), computed by the bounded
+  bracket-narrowing selection in ``_exact_medians`` — never a global
+  sort, never an unbounded per-partition value map. ``approx=True``
+  swaps to single-pass ``percentile_approx`` — the 100 TB default when
+  sketch error is acceptable.
 - non-numeric values are excluded per field (reference filters them out,
   littletable.py:3869-3874): numeric-typed columns pass through; string
   columns are ``try_cast`` so unparseable cells count as missing.
@@ -33,62 +35,6 @@ _NUMERIC_TYPES = (
 )
 
 STAT_NAMES = ["mean", "median", "min", "max", "variance", "std_dev", "count", "missing"]
-
-# cardinality routing threshold for exact medians: columns whose
-# approx_count_distinct is at or under this go through the value-
-# histogram path (explode -> partially-aggregated groupBy collapses to
-# ~distinct rows per partition map-side, then an exact driver-side
-# order-statistic walk over <= ~LOW_CARD values). HLL error (~2-5%) only
-# shifts performance, never correctness — both routes are exact.
-_LOW_CARD_LIMIT = 10_000
-
-
-def _histogram_medians(df, cols: dict[str, "F.Column"], counts: dict[str, int]):
-    """Exact interpolated medians for low-cardinality columns via ONE
-    value-histogram job over all of them together (union-explode +
-    count), instead of per-column quantile sketches. On typical fact
-    tables most measure columns are low-cardinality (quantities,
-    discounts, flags), and a histogram of a 47-value column costs ~5%
-    of a per-row percentile sketch over the same rows."""
-    from collections import defaultdict
-
-    ex = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("f"), col.alias("v"))
-                    for c, col in cols.items()
-                ]
-            )
-        ).alias("e")
-    )
-    hist = (
-        ex.where(F.col("e.v").isNotNull())
-        .groupBy(F.col("e.f").alias("f"), F.col("e.v").alias("v"))
-        .count()
-        .collect()
-    )
-    by_field: dict[str, list] = defaultdict(list)
-    for r in hist:
-        by_field[r["f"]].append((r["v"], r["count"]))
-    out: dict[str, float | None] = {}
-    for c in cols:
-        n = counts.get(c, 0)
-        if n == 0:
-            out[c] = None
-            continue
-        k1, k2 = (n - 1) // 2, n // 2
-        acc = 0
-        v1 = v2 = None
-        for v, cnt in sorted(by_field[c]):
-            if v1 is None and k1 < acc + cnt:
-                v1 = v
-            if k2 < acc + cnt:
-                v2 = v
-                break
-            acc += cnt
-        out[c] = None if v1 is None or v2 is None else (v1 + v2) / 2.0
-    return out
 
 
 # bracket sketch accuracy: rank error is n/_SKETCH_ACC = 0.0005n, well
@@ -335,14 +281,18 @@ def stats_table(
         ]
         row = df.agg(*aggs).collect()[0].asDict()
     else:
-        # one pass for the algebraic stats + an approx_count_distinct
-        # router per column, then exact medians by cardinality: low-card
-        # columns take ONE shared value-histogram job (most measure
-        # columns — quantities, discounts, flags — live here, and a
-        # histogram costs ~5% of a per-row percentile sketch), high-card
-        # columns take the sketch-bracketed bounded selection in
-        # _exact_medians (Spark's exact `percentile` buffers a
-        # value->count map per partition and degrades exactly there).
+        # one pass for the algebraic stats + the quantile-bracket
+        # sketches (fused via the _bracket_aggs hook), then exact
+        # medians for EVERY column through the bracket-narrowing
+        # selection in _exact_medians. Round-7 A/B retired the old
+        # cardinality router (approx_count_distinct per column -> a
+        # shared value-histogram job for low-card columns): the bracket
+        # path subsumes it — a low-card column's [0.498, 0.502] bracket
+        # has a tiny (often empty) interior, so it resolves in the same
+        # fused count+band job as everything else, and dropping the two
+        # router jobs measured 1.7s vs 2.2s warm on the bench shape
+        # (imperative aggs like acd don't fuse for free: agg CPU is
+        # additive, 0.27 alg / 0.41 acd / 0.56 brackets -> 1.18 fused).
         # project to the stat columns once — explicit column pruning
         # every pass below inherits (an A/B also tried repartitioning
         # this projection when the source has few splits, like
@@ -366,38 +316,19 @@ def stats_table(
                 F.count(col).alias(f"{c}__count"),
                 (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__missing"),
             ]
-        acd_aggs = [
-            F.approx_count_distinct(col).alias(f"{c}__acd")
-            for c, col in colmap.items()
-        ]
-        # fuse the high-card path's quantile-bracket sketches into the
-        # SAME scan (the hook _bracket_aggs exposes): for columns that
-        # turn out low-cardinality the sketch is wasted CPU in an
-        # already-running pass, but the high-card path then starts at
-        # the count-only step instead of paying a dedicated sketch scan
-        # — one fewer full pass, which is what matters at 100 TB
         row = stat_src.agg(
-            *aggs, *acd_aggs, *_bracket_aggs(colmap)
+            *aggs, *_bracket_aggs(colmap)
         ).collect()[0].asDict()
         counts = {c: int(row[f"{c}__count"]) for c in fields}
-        low = {
-            c: colmap[c]
-            for c in fields
-            if counts[c] > 0 and row[f"{c}__acd"] <= _LOW_CARD_LIMIT
-        }
-        high = {
-            c: colmap[c] for c in fields if counts[c] > 0 and c not in low
-        }
+        live = {c: colmap[c] for c in fields if counts[c] > 0}
         medians: dict[str, float | None] = {c: None for c in fields}
-        if low:
-            medians.update(_histogram_medians(stat_src, low, counts))
-        if high:
+        if live:
             medians.update(
                 _exact_medians(
                     stat_src,
-                    high,
+                    live,
                     counts,
-                    brackets={c: row[f"{c}__bracket"] for c in high},
+                    brackets={c: row[f"{c}__bracket"] for c in live},
                 )
             )
         for c in fields:
@@ -458,8 +389,10 @@ def skew_report(table: Table, cols: Any, top_k: int = 10) -> Table:
     key silently empties inner joins — NULL is reported as a value for
     exactly that reason).
 
-    One scan: ``stack`` unpivots (col_name, value-as-string) pairs
-    JVM-side (a generator expression — no Python, no shuffle), one
+    One scan: an explode of an array<struct> literal unpivots
+    (col_name, value-as-string) pairs JVM-side (the same Generate that
+    SQL ``stack`` plans to — no Python, no shuffle, and column names
+    ride as data so they are never parsed), one
     map-combined groupBy counts them, and the per-column share + rank
     are windows over the already-tiny aggregate (row_number's filter
     plans as WindowGroupLimit). Rank order is total: ties break on the
