@@ -604,29 +604,130 @@ def unigram_logprob(
     return Table.from_df(out, name=f"{table.table_name}_logprob")
 
 
+def term_stats_table(table: Table, text_col: str, id_col: str) -> Table:
+    """The corpus's retrieval statistics as a first-class durable Table
+    — the asset that makes repeated tf-idf / BM25 queries and
+    incremental batches stop re-scanning the corpus (the same
+    stored-index asymmetry ``minhash_band_table`` exploits for dedup).
+
+    Schema: one row per distinct term ``(term, df)`` (``df`` = number
+    of distinct documents containing the term) plus EXACTLY ONE
+    corpus-scalar row with ``term IS NULL`` carrying ``n_docs`` (D) and
+    ``total_tokens`` (Σ document lengths, for avgdl). Tokens are never
+    NULL (they are non-empty strings by construction), so the NULL-term
+    row is unambiguous. Build ONCE over the settled corpus,
+    ``parquet_export`` it, and pass the re-imported table to
+    ``tfidf_top_terms(..., against_stats=)`` / ``bm25_topk(...,
+    against_stats=)`` — the corpus text is never re-tokenized again.
+
+    Scale shape: tokenize once; docfreq is the same two-stage shape as
+    self-mode tf-idf (one (doc, term) shuffle with map-side combine,
+    one term-key count); the scalars are a single-row aggregate unioned
+    on. Output size is vocabulary-bounded, not corpus-bounded."""
+    df = table._require_df()
+    tok = df.select(
+        F.col(id_col).alias("__id__"), _tokens(text_col).alias("__tk__")
+    )
+    per_doc = tok.select(
+        "__id__",
+        F.size("__tk__").alias("__dl__"),
+        F.explode("__tk__").alias("term"),
+    )
+    docfreq = (
+        per_doc.select("__id__", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            "df",
+            F.lit(None).cast("bigint").alias("n_docs"),
+            F.lit(None).cast("bigint").alias("total_tokens"),
+        )
+    )
+    scalars = tok.agg(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.greatest(F.size("__tk__"), F.lit(0))).alias("total_tokens"),
+    )
+    return Table.from_df(
+        docfreq.unionByName(scalars),
+        name=f"{table.table_name}_term_stats",
+    )
+
+
+def _load_term_scalars(stats: Table) -> tuple[float, float]:
+    """Collect the NULL-term corpus-scalar row of a term_stats_table:
+    (n_docs, total_tokens). One job over a vocab-bounded table whose
+    term-IS-NULL filter is pushed to the parquet scan."""
+    for c in ("term", "df", "n_docs", "total_tokens"):
+        if c not in stats.fields:
+            raise ValueError(
+                "against_stats must be a term_stats_table result "
+                f"(missing column {c!r}); got {stats.fields}"
+            )
+    rows = stats.df.where(F.col("term").isNull()).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"against_stats has {len(rows)} corpus-scalar rows (term IS "
+            "NULL); exactly one expected — not a term_stats_table result?"
+        )
+    return float(rows[0]["n_docs"] or 0), float(rows[0]["total_tokens"] or 0)
+
+
 def tfidf_top_terms(
-    table: Table, text_col: str, id_col: str, k: int = 5
+    table: Table,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    against_stats: Table | None = None,
 ) -> Table:
     """Per-document top-k terms by tf-idf — (id, term, tf, df, tfidf,
     term_rank) — the standard keyword-extraction / topic-surfacing pass.
     tf = in-doc count, idf = ln(D / df) with D = corpus size; rank order
     (tfidf desc, term asc) is total, so results are engine-independent.
 
+    ``against_stats`` (a ``term_stats_table`` result, typically parquet-
+    re-imported) switches to the INCREMENTAL retrieval shape: tf still
+    comes from ``table`` (the new batch / query set), but df and D come
+    from the STORED corpus statistics — the batch is scored against the
+    settled corpus without re-tokenizing it. A batch term absent from
+    the stored vocabulary reports ``df = 0`` and scores with
+    ``idf = ln(D / max(df, 1))`` — i.e. maximal distinctiveness, the
+    natural reading for a never-seen term (self mode always has df >= 1,
+    so the two modes agree on every term the corpus has seen).
+
     Scale shape: one shuffle aggregates (doc, term) counts (map-side
     combine collapses repeats), document frequency reuses that table
-    with a second narrow-key aggregation, D is the handle's (cached)
-    row count folded in as a literal, and the top-k per doc is a keyed
-    window — bounded per group, no global sort."""
+    with a second narrow-key aggregation (or, with ``against_stats``,
+    one vocab-bounded equi-join against the stored table — the corpus
+    is never scanned), D is the handle's (cached) row count folded in
+    as a literal, and the top-k per doc is a keyed window — bounded per
+    group, no global sort."""
     from pyspark.sql import Window
 
     df = table._require_df()
-    d_count = float(len(table))
     tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(docfreq, on="term").withColumn(
+    if against_stats is not None:
+        d_count, _ = _load_term_scalars(against_stats)
+        if d_count <= 0:
+            raise ValueError("against_stats corpus has no documents")
+        stored = against_stats.df.where(F.col("term").isNotNull()).select(
+            "term", "df"
+        )
+        docfreq_joined = tf.join(stored, on="term", how="left").withColumn(
+            "df", F.coalesce(F.col("df"), F.lit(0).cast("bigint"))
+        )
+    else:
+        d_count = float(len(table))
+        docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        docfreq_joined = tf.join(docfreq, on="term")
+    scored = docfreq_joined.withColumn(
         "tfidf",
-        F.col("tf").cast("double") * F.log(F.lit(d_count) / F.col("df")),
+        F.col("tf").cast("double")
+        * F.log(F.lit(d_count) / F.greatest(F.col("df"), F.lit(1))),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
@@ -647,6 +748,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.5,
     b: float = 0.75,
+    against_stats: Table | None = None,
 ) -> Table:
     """Okapi BM25 relevance of every document to a query string, top-k —
     (id, score, rank). The standard retrieval scorer for corpus work
@@ -660,6 +762,16 @@ def bm25_topk(
     total and engine-portable (unrounded IEEE sums can differ in the
     last ulp across engines and would flip near-ties under limit).
 
+    ``against_stats`` (a ``term_stats_table`` result) switches to the
+    stored-statistics retrieval shape: df, D and avgdl come from the
+    durable corpus-stats table (its NULL-term scalar row + a query-term
+    filter over its vocab rows — both pushed-down, corpus never
+    scanned); tf and dl still come from ``table``, the documents being
+    ranked. With stats built from the SAME corpus the scores are
+    identical to self mode (BM25's idf handles df = 0 natively), so
+    repeated queries against a settled corpus pay one tiny stats probe
+    instead of a corpus length-scan per call.
+
     Scale shape (100 TB): the corpus scan filters to query terms BEFORE
     any aggregation (a handful of terms — the filter prunes ~everything
     at scan speed); per-doc lengths are a narrow projection; D and avgdl
@@ -669,11 +781,41 @@ def bm25_topk(
     if not terms:
         raise ValueError("bm25_topk: query has no tokens")
     df = table._require_df()
-    d_count = float(len(table))
-    stats = df.select(
-        F.sum(F.greatest(F.size(_tokens(text_col)), F.lit(0))).alias("n")
-    ).collect()[0]
-    avgdl = float(stats["n"] or 0) / d_count if d_count else 0.0
+    df_map = None
+    if against_stats is not None:
+        # ONE collect fetches the corpus-scalar row AND the query-term
+        # vocab rows together (both filters pushed to the stats scan) —
+        # measured: two separate tiny jobs added ~0.3s of pure job
+        # latency to an otherwise sub-second probe
+        for c in ("term", "df", "n_docs", "total_tokens"):
+            if c not in against_stats.fields:
+                raise ValueError(
+                    "against_stats must be a term_stats_table result "
+                    f"(missing column {c!r}); got {against_stats.fields}"
+                )
+        rows = against_stats.df.where(
+            F.col("term").isNull() | F.col("term").isin(terms)
+        ).collect()
+        scalar = [r for r in rows if r["term"] is None]
+        if len(scalar) != 1:
+            raise ValueError(
+                f"against_stats has {len(scalar)} corpus-scalar rows (term "
+                "IS NULL); exactly one expected — not a term_stats_table "
+                "result?"
+            )
+        d_count = float(scalar[0]["n_docs"] or 0)
+        if d_count <= 0:
+            raise ValueError("against_stats corpus has no documents")
+        avgdl = float(scalar[0]["total_tokens"] or 0) / d_count
+        df_map = {
+            r["term"]: float(r["df"]) for r in rows if r["term"] is not None
+        }
+    else:
+        d_count = float(len(table))
+        stats = df.select(
+            F.sum(F.greatest(F.size(_tokens(text_col)), F.lit(0))).alias("n")
+        ).collect()[0]
+        avgdl = float(stats["n"] or 0) / d_count if d_count else 0.0
     if avgdl <= 0:
         raise ValueError("bm25_topk: corpus has no tokens")
     toked = df.select(
@@ -688,9 +830,21 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("__tf__"),
         F.first("__dl__").alias("__dl__"),
     )
-    docfreq = tf.groupBy("__w__").agg(
-        F.count(F.lit(1)).cast("double").alias("__df__")
-    )
+    if df_map is not None:
+        # fold the stored per-term df back in as a literal lookup table
+        # (<= len(terms) rows), so the downstream inner join is against
+        # a local-relation broadcast. Terms absent from the stored
+        # vocab get df = 0, which BM25's idf handles natively
+        # (idf = ln(1 + (D + 0.5)/0.5)) — an unseen query term still
+        # ranks the docs that contain it.
+        docfreq = table.spark.createDataFrame(
+            [(t, df_map.get(t, 0.0)) for t in terms],
+            "`__w__` string, `__df__` double",
+        )
+    else:
+        docfreq = tf.groupBy("__w__").agg(
+            F.count(F.lit(1)).cast("double").alias("__df__")
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(d_count) - F.col("__df__") + F.lit(0.5))

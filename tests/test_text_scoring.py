@@ -187,3 +187,108 @@ def test_bm25_empty_query_raises(spark):
 
     with pytest.raises(ValueError):
         bm25_topk(_mk(spark), "text", "doc_id", "   ")
+
+
+# ---------------------------------------------------------------- #
+# durable corpus statistics (term_stats_table + against_stats=)    #
+# ---------------------------------------------------------------- #
+
+
+def test_term_stats_table_shape_and_scalars(spark):
+    from littletable_spark.operators.textops import term_stats_table
+
+    t = _mk(spark)
+    stats = term_stats_table(t, "text", "doc_id")
+    rows = list(stats)
+    scalar = [r for r in rows if r.term is None]
+    vocab = {r.term: r.df for r in rows if r.term is not None}
+    assert len(scalar) == 1
+    assert scalar[0].n_docs == 5
+    # total tokens: 6 + 6 + 6 + 0 + 4
+    assert scalar[0].total_tokens == 22
+    assert vocab["the"] == 3  # docs 0, 1, 4
+    assert vocab["sat"] == 2
+    assert vocab["zyxwv"] == 1
+
+
+def test_tfidf_against_stats_equals_self_mode(spark):
+    """cross-side equivalence: stats built from the same corpus give
+    bit-identical self-mode results (the stored-index contract)."""
+    from littletable_spark.operators.textops import term_stats_table
+
+    t = _mk(spark)
+    stats = term_stats_table(t, "text", "doc_id")
+    a = sorted(
+        (r.doc_id, r.term, r.tf, r.df, round(r.tfidf, 9), r.term_rank)
+        for r in tfidf_top_terms(t, "text", "doc_id", k=3)
+    )
+    b = sorted(
+        (r.doc_id, r.term, r.tf, r.df, round(r.tfidf, 9), r.term_rank)
+        for r in tfidf_top_terms(t, "text", "doc_id", k=3, against_stats=stats)
+    )
+    assert a == b
+
+
+def test_retrieval_against_stats_parquet_roundtrip(spark, tmp_path):
+    """the asset survives parquet export/re-import (the actual durable
+    usage), for both tf-idf and BM25, on a disjoint probe batch."""
+    from littletable_spark.operators.textops import (
+        bm25_topk,
+        term_stats_table,
+    )
+
+    corpus = _mk(spark)
+    p = str(tmp_path / "stats.parquet")
+    term_stats_table(corpus, "text", "doc_id").df.write.parquet(p)
+    stored = Table.parquet_import(spark, p)
+    batch = Table("batch", spark=spark)
+    batch.insert_many(
+        [
+            {"doc_id": 100, "text": "the cat and the dog"},
+            {"doc_id": 101, "text": "zyxwv zyxwv unrelated"},
+        ]
+    )
+    # tf-idf: df values come from the CORPUS, not the batch
+    out = {
+        (r.doc_id, r.term): r.df
+        for r in tfidf_top_terms(batch, "text", "doc_id", k=5, against_stats=stored)
+    }
+    assert out[(100, "the")] == 3
+    assert out[(100, "and")] == 0  # unseen in corpus -> df 0, idf ln(D/1)
+    assert out[(101, "zyxwv")] == 1
+    # bm25: D/avgdl/df from stats; batch doc containing the rare corpus
+    # term outranks the common-term doc for a rare-term query
+    top = list(bm25_topk(batch, "text", "doc_id", "zyxwv", k=2, against_stats=stored))
+    assert top[0].doc_id == 101 and top[0].rank == 1
+
+
+def test_bm25_against_stats_equals_self_mode(spark):
+    from littletable_spark.operators.textops import (
+        bm25_topk,
+        term_stats_table,
+    )
+
+    t = _mk(spark)
+    stats = term_stats_table(t, "text", "doc_id")
+    a = [(r.doc_id, r.score, r.rank) for r in bm25_topk(t, "text", "doc_id", "cat sat", k=5)]
+    b = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_topk(t, "text", "doc_id", "cat sat", k=5, against_stats=stats)
+    ]
+    assert a == b
+
+
+def test_against_stats_validation(spark):
+    from littletable_spark.operators.textops import bm25_topk, tfidf_top_terms
+
+    t = _mk(spark)
+    bogus = Table("bogus", spark=spark)
+    bogus.insert_many([{"term": "x", "df": 1}])  # missing scalar columns
+    with pytest.raises(ValueError, match="missing column"):
+        tfidf_top_terms(t, "text", "doc_id", against_stats=bogus)
+    noscalar = Table("noscalar", spark=spark)
+    noscalar.insert_many(
+        [{"term": "x", "df": 1, "n_docs": 0, "total_tokens": 0}]
+    )  # no term-IS-NULL scalar row
+    with pytest.raises(ValueError, match="corpus-scalar"):
+        bm25_topk(t, "text", "doc_id", "x", against_stats=noscalar)
