@@ -1,13 +1,16 @@
 """Streaming curated ingestion: the foreachBatch sink that turns the
-durable dedup index into a running pipeline.
+durable curation indexes into a running pipeline.
 
-Micro-batches of new documents are deduped INSIDE ``foreachBatch`` —
-first within the batch, then against the stored corpus band index
-(``minhash_band_table`` parquet) — and survivors append to the corpus
-AND extend the index. The settled corpus is never re-shingled or even
-re-scanned: each batch costs its own banding plus one join against the
-stored index, which is the only cost profile that survives a 100 TB
-corpus ingesting a few GB a night.
+Micro-batches of new documents run the full curation stack INSIDE
+``foreachBatch`` — opt-in boilerplate line strip and duplicate-span
+removal (text rewrites against the stored line/gram tables), MinHash
+near-dup drop (within batch, then against the stored band index), and
+opt-in embedding near-dup against the stored signature table — and
+survivors append to the corpus AND extend every enabled index. The
+settled corpus is never re-shingled or even re-scanned: each batch
+costs its own fingerprinting plus one join per stage against a stored
+index, which is the only cost profile that survives a 100 TB corpus
+ingesting a few GB a night.
 
 Exactly-once: Structured Streaming re-delivers a micro-batch after a
 failure, so the sink writes each batch to its own
@@ -47,51 +50,153 @@ def ingest_batch(
     num_hashes: int = 8,
     band_size: int = 2,
     collect_stats: bool = True,
+    lines_path: str | None = None,
+    line_min_docs: int = 2,
+    line_sep: str = "\n",
+    grams_path: str | None = None,
+    span_k: int = 8,
+    span_min_docs: int = 1,
+    sigs_path: str | None = None,
+    emb_col: str | None = None,
+    emb_threshold: float = 0.95,
+    emb_planes: int = 6,
+    emb_dim: int = 64,
+    emb_seed: int = 42,
 ) -> dict[str, int]:
     """Process ONE micro-batch (plain batch DataFrame — callable
-    directly in tests or backfills, no stream required):
+    directly in tests or backfills, no stream required) through the
+    full curation stack, every stage probing a DURABLE parquet index
+    so the settled corpus is never re-scanned:
 
-    1. within-batch near-dup drop: MinHash+LSH self-pairs, greedy
+    1. boilerplate line strip (opt-in, ``lines_path``): every line the
+       stored ``boilerplate_line_table`` knows is cut from the batch
+       text; docs reduced to nothing drop out,
+    2. duplicate-span removal (opt-in, ``grams_path``): every k-token
+       run occurring in the stored ``span_gram_table`` is cut from the
+       batch text — text rewrites happen BEFORE fingerprinting, so the
+       MinHash signatures below see the cleaned text,
+    3. within-batch near-dup drop: MinHash+LSH self-pairs, greedy
        keep-the-smaller-id policy (every ``id2`` of a candidate pair
        drops — the per-batch convention; use ``dup_clusters`` +
        ``keep_canonical`` in a batch backfill when cluster-exact
        canonicalization matters),
-    2. corpus dedup: survivors probe the stored band index via
+    4. corpus dedup: survivors probe the stored band index via
        ``against_bands=`` (no corpus scan; first batch skips this —
        the index doesn't exist yet),
-    3. idempotent append: survivors land in
-       ``corpus_path/batch_id=<id>``, their band rows in
-       ``bands_path/batch_id=<id>``, both mode=overwrite so a
-       re-delivered batch replaces its own output.
+    5. embedding near-dup (opt-in, ``sigs_path`` + ``emb_col``):
+       within-batch hyperplane-LSH pairs, then the stored
+       ``embedding_signature_table`` — the semantic complement of the
+       lexical stages,
+    6. idempotent append: survivors land in
+       ``corpus_path/batch_id=<id>``; every enabled index extends with
+       the batch's OWN rows in its ``batch_id=<id>`` partition, all
+       mode=overwrite so a re-delivered batch replaces its own output.
 
-    Returns counts for observability. ``collect_stats=False`` skips
-    the extra count jobs (two per batch) when the sink runs hot.
+    Incremental-index semantics for the text-rewrite stages: each
+    batch contributes the lines/grams qualifying WITHIN that batch
+    (``line_min_docs`` / ``span_min_docs`` counted per batch, like the
+    one-shot builders bake min_docs in at build time), so the stored
+    set is the union of per-batch qualifying sets — a line spread one
+    occurrence per batch never qualifies, the documented approximation
+    of any append-only frequency index.
+
+    Returns counts for observability, including per-enabled-stage
+    survivor counts. ``collect_stats=False`` skips every count job
+    (one per enabled stage plus two) when the sink runs hot.
     """
-    from ..operators.dedup import minhash_band_table, minhash_lsh_pairs
+    from ..operators.dedup import (
+        boilerplate_line_table,
+        embedding_lsh_dup_pairs,
+        embedding_signature_table,
+        line_dedup,
+        minhash_band_table,
+        minhash_lsh_pairs,
+        remove_duplicate_spans,
+        span_gram_table,
+    )
+
+    if sigs_path is not None and emb_col is None:
+        raise ValueError("sigs_path requires emb_col (the embedding column)")
 
     spark = batch_df.sparkSession
+    bid = int(batch_id)
+
+    def _stored(path: str) -> DataFrame | None:
+        """The stored index MINUS this batch's own partition: a
+        RE-DELIVERED batch already has its own rows in the index —
+        probing them would match every doc against itself and
+        overwrite the partition with nothing. The exclusion is on the
+        partition column, so it prunes at scan. None if the index
+        doesn't exist yet (first batch)."""
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            return None
+        return df.where(F.col("batch_id") != F.lit(bid))
+
+    counts: dict[str, int] = {"batch_id": bid}
     batch = batch_df.persist()
     try:
-        n_in = batch.count() if collect_stats else -1
+        counts["received"] = batch.count() if collect_stats else -1
+        cur = batch
 
-        t = Table.from_df(batch, name=f"ingest_batch_{batch_id}")
+        if lines_path is not None:
+            stored_lines = _stored(lines_path)
+            if stored_lines is not None:
+                rewritten = line_dedup(
+                    Table.from_df(cur),
+                    text_col,
+                    id_col,
+                    sep=line_sep,
+                    against_lines=Table.from_df(stored_lines.select("line")),
+                ).df
+                # line_dedup returns (id, text, n_lines_kept) for docs
+                # with at least one surviving line; join the cleaned
+                # text back onto the batch's other columns
+                cur = cur.drop(text_col).join(
+                    rewritten.select(id_col, text_col), on=id_col, how="inner"
+                )
+                if collect_stats:
+                    counts["after_line_strip"] = cur.count()
+
+        if grams_path is not None:
+            stored_grams = _stored(grams_path)
+            if stored_grams is not None:
+                rewritten = remove_duplicate_spans(
+                    Table.from_df(cur),
+                    text_col,
+                    id_col,
+                    k=span_k,
+                    min_docs=1,
+                    against_grams=Table.from_df(stored_grams.select("g")),
+                ).df
+                # span removal rewrites text; a doc cut to NOTHING was
+                # wholly copied from the corpus — drop it like the line
+                # stage drops all-boilerplate docs (an empty doc is not
+                # training data). Note this makes the minhash stage
+                # redundant for fully-copied docs when the gram index
+                # is built with min_docs=1 — the band probe still
+                # catches partial/fuzzy dups whose copied runs are
+                # shorter than span_k.
+                cur = cur.drop(text_col).join(
+                    rewritten.where(F.col(text_col) != "").select(
+                        id_col, text_col
+                    ),
+                    on=id_col,
+                    how="inner",
+                )
+                if collect_stats:
+                    counts["after_span_cut"] = cur.count()
+
+        t = Table.from_df(cur, name=f"ingest_batch_{bid}")
         self_pairs = minhash_lsh_pairs(
             t, id_col, text_col, n=n, num_hashes=num_hashes, band_size=band_size
         ).df
         drop_self = self_pairs.select(F.col("id2").alias(id_col)).distinct()
-        kept = batch.join(drop_self, on=id_col, how="left_anti")
+        kept = cur.join(drop_self, on=id_col, how="left_anti")
 
-        try:
-            stored = spark.read.parquet(bands_path)
-        except AnalysisException:
-            stored = None  # first batch: no index yet
+        stored = _stored(bands_path)
         if stored is not None:
-            # a RE-DELIVERED batch already has its own band rows in the
-            # index — probing them would match every doc against itself
-            # and overwrite the partition with nothing. Excluding the
-            # batch's own partition (pruned at scan, it's the partition
-            # column) keeps redelivery idempotent instead of lossy.
-            stored = stored.where(F.col("batch_id") != F.lit(int(batch_id)))
             cross = minhash_lsh_pairs(
                 Table.from_df(kept),
                 id_col,
@@ -105,34 +210,83 @@ def ingest_batch(
             ).df
             drop_cross = cross.select(F.col("id1").alias(id_col)).distinct()
             kept = kept.join(drop_cross, on=id_col, how="left_anti")
+        if collect_stats:
+            counts["after_minhash"] = kept.count()
+
+        if sigs_path is not None:
+            et = Table.from_df(kept, name=f"ingest_emb_{bid}")
+            eself = embedding_lsh_dup_pairs(
+                et, id_col, emb_col, threshold=emb_threshold,
+                n_planes=emb_planes, dim=emb_dim, seed=emb_seed,
+            ).df
+            kept = kept.join(
+                eself.select(F.col("id2").alias(id_col)).distinct(),
+                on=id_col,
+                how="left_anti",
+            )
+            stored_sigs = _stored(sigs_path)
+            if stored_sigs is not None:
+                ecross = embedding_lsh_dup_pairs(
+                    Table.from_df(kept),
+                    id_col,
+                    emb_col,
+                    threshold=emb_threshold,
+                    n_planes=emb_planes,
+                    dim=emb_dim,
+                    seed=emb_seed,
+                    against_sigs=Table.from_df(
+                        stored_sigs.select(id_col, emb_col, "sig")
+                    ),
+                ).df
+                kept = kept.join(
+                    ecross.select(F.col("id1").alias(id_col)).distinct(),
+                    on=id_col,
+                    how="left_anti",
+                )
+            if collect_stats:
+                counts["after_embedding"] = kept.count()
 
         kept = kept.persist()
         try:
-            n_kept = kept.count() if collect_stats else -1
+            counts["appended"] = kept.count() if collect_stats else -1
+            kt = Table.from_df(kept, name=f"ingest_kept_{bid}")
             kept.write.mode("overwrite").parquet(
-                f"{corpus_path}/batch_id={batch_id}"
+                f"{corpus_path}/batch_id={bid}"
             )
-            bands_new = minhash_band_table(
-                Table.from_df(kept),
-                id_col,
-                text_col,
-                n=n,
-                num_hashes=num_hashes,
-                band_size=band_size,
-            ).df
-            bands_new.write.mode("overwrite").parquet(
-                f"{bands_path}/batch_id={batch_id}"
+            minhash_band_table(
+                kt, id_col, text_col,
+                n=n, num_hashes=num_hashes, band_size=band_size,
+            ).df.write.mode("overwrite").parquet(
+                f"{bands_path}/batch_id={bid}"
             )
+            if lines_path is not None:
+                boilerplate_line_table(
+                    kt, text_col, id_col,
+                    min_docs=line_min_docs, sep=line_sep,
+                ).df.write.mode("overwrite").parquet(
+                    f"{lines_path}/batch_id={bid}"
+                )
+            if grams_path is not None:
+                span_gram_table(
+                    kt, text_col, id_col, k=span_k, min_docs=span_min_docs,
+                ).df.write.mode("overwrite").parquet(
+                    f"{grams_path}/batch_id={bid}"
+                )
+            if sigs_path is not None:
+                embedding_signature_table(
+                    kt, id_col, emb_col,
+                    n_planes=emb_planes, dim=emb_dim, seed=emb_seed,
+                ).df.write.mode("overwrite").parquet(
+                    f"{sigs_path}/batch_id={bid}"
+                )
         finally:
             kept.unpersist()
     finally:
         batch.unpersist()
-    return {
-        "batch_id": int(batch_id),
-        "received": n_in,
-        "appended": n_kept,
-        "dropped": (n_in - n_kept) if collect_stats else -1,
-    }
+    counts["dropped"] = (
+        (counts["received"] - counts["appended"]) if collect_stats else -1
+    )
+    return counts
 
 
 def start_curated_ingest(

@@ -1,6 +1,8 @@
 """Focused 10x scale probe for the late-round-6 ops: weighted group
 budgets (cap_per_group weight_col=), skew_report, and the streaming
-ingest sink's fixed-batch probe against a 1x vs 10x STORED band index.
+ingest sink's fixed-batch probe against a 1x vs 10x STORED band index —
+plus (round 7) the FULL multi-stage curation stack (line strip + span
+cut + minhash + embedding, all four durable indexes probed per batch).
 
 Methodology matches scale_probe.py's pinned-input rule: every synthetic
 input is persisted and counted before timing, so rows measure operator
@@ -71,24 +73,69 @@ def main() -> None:
             "o_orderstatus o_orderpriority o_custkey", top_k=5
         ).df.write.format("noop").mode("overwrite").save()
 
-    # stored-index build (one-time cost, not the probe row): band the
-    # 1x and 10x corpora and park them as parquet indexes
+    # stored-index build (one-time cost, not the probe row): every
+    # durable curation index for the 1x and 10x corpora, parked as
+    # parquet — bands (minhash), boilerplate lines, span grams, and
+    # embedding signatures (a deterministic 8-dim synthetic vector:
+    # the probe times the signature/bucket-join machinery, not a model)
+    from littletable_spark.operators.dedup import (
+        boilerplate_line_table,
+        embedding_signature_table,
+        span_gram_table,
+    )
+
+    def with_emb(df):
+        return df.withColumn(
+            "emb",
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("doc_id") + F.lit(i)), F.lit(97))
+                    .cast("double")
+                    for i in range(8)
+                ]
+            ),
+        )
+
     root = tempfile.mkdtemp(prefix="lts_probe_idx_")
     for tag, df in (("1x", d1), ("10x", d10)):
-        minhash_band_table(
-            Table.from_df(df.select("doc_id", "text")), "doc_id", "text"
-        ).df.withColumn("batch_id", F.lit(-1)).write.parquet(f"{root}/{tag}/batch_id=-1")
+        src = Table.from_df(with_emb(df.select("doc_id", "text")))
+        minhash_band_table(src, "doc_id", "text").df.withColumn(
+            "batch_id", F.lit(-1)
+        ).write.parquet(f"{root}/{tag}/bands/batch_id=-1")
+        boilerplate_line_table(src, "text", "doc_id").df.withColumn(
+            "batch_id", F.lit(-1)
+        ).write.parquet(f"{root}/{tag}/lines/batch_id=-1")
+        span_gram_table(src, "text", "doc_id").df.withColumn(
+            "batch_id", F.lit(-1)
+        ).write.parquet(f"{root}/{tag}/grams/batch_id=-1")
+        embedding_signature_table(src, "doc_id", "emb", dim=8).df.withColumn(
+            "batch_id", F.lit(-1)
+        ).write.parquet(f"{root}/{tag}/sigs/batch_id=-1")
 
-    batch = (
-        d1.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
-        .select("doc_id", "text")
-        .persist()
-    )
+    batch = with_emb(
+        d1.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
+            "doc_id", "text"
+        )
+    ).persist()
     batch.count()
 
     def ingest(tag):
         out = tempfile.mkdtemp(prefix=f"lts_probe_out_{tag}_")
-        ingest_batch(batch, 7, f"{out}/corpus", f"{root}/{tag}", collect_stats=False)
+        ingest_batch(
+            batch, 7, f"{out}/corpus", f"{root}/{tag}/bands",
+            collect_stats=False,
+        )
+
+    def ingest_full(tag):
+        out = tempfile.mkdtemp(prefix=f"lts_probe_full_{tag}_")
+        ingest_batch(
+            batch, 7, f"{out}/corpus", f"{root}/{tag}/bands",
+            collect_stats=False,
+            lines_path=f"{root}/{tag}/lines",
+            grams_path=f"{root}/{tag}/grams",
+            sigs_path=f"{root}/{tag}/sigs",
+            emb_col="emb", emb_dim=8,
+        )
 
     # warm + 3 timed passes each, report median
     meds: dict[str, float] = {}
@@ -99,6 +146,8 @@ def main() -> None:
         ("skew_report_10x", lambda: skew(o10)),
         ("ingest_vs_idx_1x", lambda: ingest("1x")),
         ("ingest_vs_idx_10x", lambda: ingest("10x")),
+        ("ingest_full_stack_1x", lambda: ingest_full("1x")),
+        ("ingest_full_stack_10x", lambda: ingest_full("10x")),
     ):
         fn()  # warm
         ts = []
@@ -110,7 +159,7 @@ def main() -> None:
 
     for k, v in meds.items():
         print(f"{k}: {v:.2f}s")
-    for op in ("cap_tokens", "skew_report", "ingest_vs_idx"):
+    for op in ("cap_tokens", "skew_report", "ingest_vs_idx", "ingest_full_stack"):
         print(f"{op} growth: {meds[op + '_10x'] / meds[op + '_1x']:.2f}x")
 
 

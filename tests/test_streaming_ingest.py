@@ -109,3 +109,140 @@ def test_start_curated_ingest_foreachbatch_stream(spark, paths):
     assert 4 in ids and len(ids) == 3  # one of {1,3} was deduped away
     assert ids in ({1, 2, 4}, {2, 3, 4})  # file order decides which
     assert {r.doc_id for r in spark.read.parquet(bands).collect()} == ids
+
+
+# ---------------------------------------------------------------- #
+# multi-stage sink: line strip + span cut + minhash + embedding    #
+# ---------------------------------------------------------------- #
+
+_V_A = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+_V_B = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+_V_C = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+_V_A2 = [0.999, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # cos(A, A2) ~ 1
+_V_D = [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def _edocs(spark, rows):
+    t = Table("eing", spark=spark)
+    t.insert_many(
+        [{"doc_id": i, "text": txt, "emb": vec} for i, txt, vec in rows]
+    )
+    return t.df.select("doc_id", "text", "emb")
+
+
+def _stage_kw(root):
+    return dict(
+        lines_path=f"{root}/lines",
+        line_min_docs=1,
+        grams_path=f"{root}/grams",
+        span_k=4,
+        sigs_path=f"{root}/sigs",
+        emb_col="emb",
+        emb_dim=8,
+    )
+
+
+_SPAN_RUN = "q1 q2 q3 q4 q5 q6 q7 q8"  # 8 tokens >= span_k + 1 grams
+
+
+def test_multi_stage_ingest_full_curation_stack(spark, paths):
+    corpus, bands, _, _ = paths
+    root = corpus.rsplit("/", 1)[0]
+    kw = _stage_kw(root)
+
+    s0 = ingest_batch(
+        _edocs(
+            spark,
+            [
+                (1, _BASE[0] + "\nfooter line here", _V_A),
+                (2, _BASE[1] + "\n" + _SPAN_RUN, _V_B),
+            ],
+        ),
+        0, corpus, bands, **kw,
+    )
+    assert (s0["received"], s0["appended"]) == (2, 2)
+    # all four indexes seeded
+    assert spark.read.parquet(kw["lines_path"]).count() > 0
+    assert spark.read.parquet(kw["grams_path"]).count() > 0
+    assert spark.read.parquet(kw["sigs_path"]).count() == 2
+
+    s1 = ingest_batch(
+        _edocs(
+            spark,
+            [
+                # line from corpus -> stripped, doc survives cleaned
+                (3, "own words entirely fresh\nfooter line here", _V_C),
+                # every line known to corpus -> doc drops at line stage
+                (4, "footer line here", _V_D),
+                # 8-token span from corpus doc 2 -> cut BEFORE minhash,
+                # so the doc survives with its own tokens only
+                (5, "novel opening statement tokens " + _SPAN_RUN, _V_D),
+                # wholly-copied doc: IDENTICAL token stream to corpus
+                # doc 1 but single-line (newline -> space), so no line
+                # is verbatim-known and the line stage passes it; the
+                # span stage cuts its ENTIRE text (every 4-gram is in
+                # the stored gram table) and the empty doc drops there.
+                # (The minhash band probe — covered by the single-stage
+                # tests above — is the safety net for fuzzy dups whose
+                # copied runs are shorter than span_k.)
+                (6, _BASE[0] + " footer line here", _V_D),
+                # embedding near-dup of corpus doc 1 (distinct text)
+                (7, _BASE[2], _V_A2),
+            ],
+        ),
+        1, corpus, bands, **kw,
+    )
+    assert s1["received"] == 5
+    assert s1["after_line_strip"] == 4        # doc 4 gone
+    assert s1["after_span_cut"] == 3          # doc 6 cut to nothing
+    assert s1["after_minhash"] == 3           # nothing left for bands here
+    assert s1["after_embedding"] == 2         # doc 7 gone
+    assert s1["appended"] == 2 and s1["dropped"] == 3
+
+    got = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[3] == "own words entirely fresh"          # line stripped
+    assert got[5] == "novel opening statement tokens"    # span cut
+    # every enabled index extended with batch-1 survivors only
+    sigs = spark.read.parquet(kw["sigs_path"])
+    assert {r.doc_id for r in sigs.collect()} == {1, 2, 3, 5}
+
+
+def test_multi_stage_redelivery_is_idempotent(spark, paths):
+    """Re-running a batch with every stage enabled must reproduce the
+    same survivors: each stage's stored-index probe excludes the
+    batch's own partition (lines/grams would strip every doc's text to
+    nothing; sigs/bands would self-match every doc)."""
+    corpus, bands, _, _ = paths
+    root = corpus.rsplit("/", 1)[0]
+    kw = _stage_kw(root)
+
+    ingest_batch(
+        _edocs(spark, [(1, _BASE[0] + "\nfooter line here", _V_A)]),
+        0, corpus, bands, **kw,
+    )
+    b1 = [(2, _BASE[1] + "\n" + _SPAN_RUN, _V_B), (3, _BASE[2], _V_C)]
+    s = ingest_batch(_edocs(spark, b1), 1, corpus, bands, **kw)
+    before_corpus = {
+        (r.doc_id, r.batch_id, r.text)
+        for r in spark.read.parquet(corpus).collect()
+    }
+    before_sigs = {r.doc_id for r in spark.read.parquet(kw["sigs_path"]).collect()}
+
+    s2 = ingest_batch(_edocs(spark, b1), 1, corpus, bands, **kw)  # redelivery
+    assert s2["appended"] == s["appended"] == 2
+    after_corpus = {
+        (r.doc_id, r.batch_id, r.text)
+        for r in spark.read.parquet(corpus).collect()
+    }
+    assert after_corpus == before_corpus
+    assert {r.doc_id for r in spark.read.parquet(kw["sigs_path"]).collect()} == before_sigs
+
+
+def test_sigs_path_requires_emb_col(spark, paths):
+    corpus, bands, _, _ = paths
+    with pytest.raises(ValueError, match="emb_col"):
+        ingest_batch(
+            _docs(spark, [(1, _BASE[0])]), 0, corpus, bands,
+            sigs_path="/tmp/nope",
+        )
