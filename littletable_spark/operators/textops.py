@@ -657,6 +657,50 @@ def term_stats_table(table: Table, text_col: str, id_col: str) -> Table:
     )
 
 
+def fold_term_stats(stats: Table) -> Table:
+    """Fold a UNION of ``term_stats_table`` results — e.g. the
+    per-batch partitioned parquet an ingest sink maintains
+    (``stats_path=``), read back with one ``parquet_import`` — into a
+    single logical stats table (one row per term, one scalar row).
+
+    Correct because the statistics are additive over batches with
+    DISJOINT documents (exactly what per-batch ``batch_id=``
+    partitions of deduped survivors are): docfreq sums, D sums, total
+    tokens sums. Feeding overlapping corpora double-counts — fold is
+    for the partitioned-asset layout, not arbitrary unions.
+
+    Scale shape: one vocab-keyed aggregation with map-side combine
+    plus a single-row aggregate — both over the (vocab-bounded) stats
+    rows, never the corpus."""
+    for c in ("term", "df", "n_docs", "total_tokens"):
+        if c not in stats.fields:
+            raise ValueError(
+                "fold_term_stats needs a union of term_stats_table "
+                f"results (missing column {c!r}); got {stats.fields}"
+            )
+    df = stats.df
+    terms = (
+        df.where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.lit(None).cast("bigint").alias("n_docs"),
+            F.lit(None).cast("bigint").alias("total_tokens"),
+        )
+    )
+    scalars = df.where(F.col("term").isNull()).agg(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+    )
+    return Table.from_df(
+        terms.unionByName(scalars), name=f"{stats.table_name}_folded"
+    )
+
+
 def _load_term_scalars(stats: Table) -> tuple[float, float]:
     """Collect the NULL-term corpus-scalar row of a term_stats_table:
     (n_docs, total_tokens). One job over a vocab-bounded table whose

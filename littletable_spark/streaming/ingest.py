@@ -62,6 +62,7 @@ def ingest_batch(
     emb_planes: int = 6,
     emb_dim: int = 64,
     emb_seed: int = 42,
+    stats_path: str | None = None,
 ) -> dict[str, int]:
     """Process ONE micro-batch (plain batch DataFrame — callable
     directly in tests or backfills, no stream required) through the
@@ -91,6 +92,11 @@ def ingest_batch(
        ``corpus_path/batch_id=<id>``; every enabled index extends with
        the batch's OWN rows in its ``batch_id=<id>`` partition, all
        mode=overwrite so a re-delivered batch replaces its own output.
+       ``stats_path`` additionally maintains the retrieval-statistics
+       asset (``term_stats_table`` per batch; probe-only — reading the
+       path back through ``fold_term_stats`` yields the whole written
+       corpus's stats for ``against_stats=`` retrieval, never
+       re-tokenizing the corpus).
 
     Incremental-index semantics for the text-rewrite stages: each
     batch contributes the lines/grams qualifying WITHIN that batch
@@ -114,6 +120,7 @@ def ingest_batch(
         remove_duplicate_spans,
         span_gram_table,
     )
+    from ..operators.textops import term_stats_table
 
     if sigs_path is not None and emb_col is None:
         raise ValueError("sigs_path requires emb_col (the embedding column)")
@@ -279,6 +286,16 @@ def ingest_batch(
                 ).df.write.mode("overwrite").parquet(
                     f"{sigs_path}/batch_id={bid}"
                 )
+            if stats_path is not None:
+                # retrieval-stats maintenance (no probe — pure index
+                # upkeep): the batch's own term_stats_table rows land
+                # in their partition; batches hold DISJOINT survivor
+                # docs, so fold_term_stats over a parquet read of
+                # stats_path is exactly term_stats_table of the whole
+                # written corpus, without ever re-tokenizing it
+                term_stats_table(kt, text_col, id_col).df.write.mode(
+                    "overwrite"
+                ).parquet(f"{stats_path}/batch_id={bid}")
         finally:
             kept.unpersist()
     finally:

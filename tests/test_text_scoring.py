@@ -292,3 +292,89 @@ def test_against_stats_validation(spark):
     )  # no term-IS-NULL scalar row
     with pytest.raises(ValueError, match="corpus-scalar"):
         bm25_topk(t, "text", "doc_id", "x", against_stats=noscalar)
+
+
+def test_fold_term_stats_equals_whole_corpus_build(spark):
+    """folding per-batch stats over disjoint doc sets reproduces the
+    single-build stats of the union corpus exactly — the invariant
+    that makes the ingest sink's stats_path maintenance sound."""
+    from littletable_spark.operators.textops import (
+        fold_term_stats,
+        term_stats_table,
+    )
+
+    half_a = _mk(spark, DOCS[:3])
+    half_b = _mk(spark, DOCS[3:])
+    whole = _mk(spark)
+    parts = term_stats_table(half_a, "text", "doc_id").df.unionByName(
+        term_stats_table(half_b, "text", "doc_id").df
+    )
+    folded = fold_term_stats(Table.from_df(parts))
+    keyf = lambda t: sorted(  # noqa: E731
+        (r.term or "", r.df or -1, r.n_docs or -1, r.total_tokens or -1)
+        for r in t
+    )
+    want = keyf(term_stats_table(whole, "text", "doc_id"))
+    got = keyf(folded)
+    assert got == want
+
+
+def test_fold_term_stats_validation(spark):
+    from littletable_spark.operators.textops import fold_term_stats
+
+    bogus = Table("fbogus", spark=spark)
+    bogus.insert_many([{"term": "x"}])
+    with pytest.raises(ValueError, match="missing column"):
+        fold_term_stats(bogus)
+
+
+def test_ingest_stats_path_maintains_retrieval_asset(spark, tmp_path):
+    """the sink's stats_path stage: folded per-batch stats equal a
+    fresh term_stats_table of the written corpus, and retrieval
+    against them matches self-mode on that corpus; redelivery keeps
+    the fold stable."""
+    from littletable_spark.operators.textops import (
+        bm25_topk,
+        fold_term_stats,
+        term_stats_table,
+    )
+    from littletable_spark.streaming.ingest import ingest_batch
+
+    root = str(tmp_path)
+    corpus, bands, stats_p = f"{root}/c", f"{root}/b", f"{root}/s"
+
+    def batch(rows):
+        t = Table("sb", spark=spark)
+        t.insert_many([{"doc_id": i, "text": s} for i, s in rows])
+        return t.df.select("doc_id", "text")
+
+    b1 = [(3, "the dog sat on the log"), (4, "weird zyxwv qqqq tokens")]
+    ingest_batch(batch([(1, "the cat sat on the mat"), (2, "a b c d e f g h")]),
+                 0, corpus, bands, stats_path=stats_p)
+    ingest_batch(batch(b1), 1, corpus, bands, stats_path=stats_p)
+
+    folded = fold_term_stats(Table.parquet_import(spark, stats_p))
+    written = Table.from_df(
+        spark.read.parquet(corpus).select("doc_id", "text")
+    )
+    fresh = term_stats_table(written, "text", "doc_id")
+    key = lambda t: sorted(  # noqa: E731
+        (r.term or "", r.df or -1, r.n_docs or -1, r.total_tokens or -1)
+        for r in t
+    )
+    # materialize once: the redelivery below rewrites the corpus
+    # files, after which re-executing fresh's plan would hit a stale
+    # file listing
+    fresh_key = key(fresh)
+    assert key(folded) == fresh_key
+
+    a = [(r.doc_id, r.score) for r in bm25_topk(written, "text", "doc_id", "the sat", k=4)]
+    b = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(written, "text", "doc_id", "the sat", k=4, against_stats=folded)
+    ]
+    assert a == b
+
+    ingest_batch(batch(b1), 1, corpus, bands, stats_path=stats_p)  # redelivery
+    refolded = fold_term_stats(Table.parquet_import(spark, stats_p))
+    assert key(refolded) == fresh_key
