@@ -803,6 +803,40 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_sim_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-IVF-index top-10: index the base corpus once
+    (ivf_index_table), extend it with a later batch against the FROZEN
+    centroid model (extend_ivf_index — zero training jobs, only the
+    batch is assigned), then search the stored index
+    (against_index=) without ever rescanning or re-assigning the
+    corpus. Run with nprobe == nlist, where every list is probed and
+    the result provably equals exact brute-force top-k regardless of
+    the trained model — so the full durable-index machinery (build,
+    frozen-model extension, model reload, static probe-cluster
+    predicate, candidate join, re-rank) executes and is
+    oracle-checkable; reduced-nprobe recall and parquet
+    partition-pruning are covered by unit tests."""
+    from littletable_spark.operators.similarity import (
+        extend_ivf_index,
+        ivf_index_table,
+        ivf_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.where(vec_id=Table.ge(100))
+    batch = e.where(vec_id=Table.lt(100))
+    idx = extend_ivf_index(
+        ivf_index_table(base, "vec_id", "embedding", nlist=16, seed=42),
+        batch,
+        "vec_id",
+        "embedding",
+    )
+    q = e.where(vec_id=Table.ge(5)).where(vec_id=Table.lt(10))
+    return ivf_topk(
+        e, q, "vec_id", "embedding", k=10, nprobe=16, against_index=idx
+    ).df
+
+
 def q_sim_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic clustering: spherical-k-means assignment over embeddings.
 
@@ -1459,8 +1493,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_tumbling / text_quality), dedup_fingerprint (hash-groupBy
     shape of dedup_exact), dedup_embedding / sim_lsh_topk (block-matmul
     / hyperplane-bucket cores of in-gate dedup_embedding_lsh +
-    sim_ivf_topk). The local mirror (scripts/verify_oracle.py) still
-    runs all 89 every round."""
+    sim_ivf_topk). Round-7 swap: net-new sim_ivf_incr (durable IVF
+    index: build + frozen-model extend + against_index search) gates
+    immediately; sim_ivf_topk parks in exchange (driver-green r5-r6;
+    in-gate sim_ivf_incr runs the identical probe-join/re-rank
+    machinery over an index built by the same trainer, sim_cluster the
+    same centroid-assignment scan). The local mirror
+    (scripts/verify_oracle.py) still runs all 92 every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1496,7 +1535,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_incr": q_dedup_semantic_incr,
         "sim_cluster": q_sim_cluster,
-        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_incr": q_sim_ivf_incr,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_logprob": q_text_logprob,
@@ -1513,6 +1552,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "sim_ivf_topk": q_sim_ivf_topk,
         "window_topk_per_group": q_window_topk_per_group,
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
@@ -2592,6 +2632,20 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a JOIN assign b ON a.cluster = b.cluster
             WHERE a.side = 'new' AND b.side = 'corpus'
               AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
+        """,
+        "sim_ivf_incr": """
+            SELECT * FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                         c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id >= 5 AND q.vec_id < 10
+            ) WHERE rank <= 10
         """,
         "sim_ivf_topk": """
             SELECT * FROM (

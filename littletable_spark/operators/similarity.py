@@ -241,6 +241,7 @@ def ivf_topk(
     sample_size: int = 4096,
     seed: int = 42,
     max_queries: int = MAX_QUERY_VECTORS,
+    against_index: Table | None = None,
 ) -> Table:
     """IVF approximate top-k: k-means coarse quantizer, probe-limited scan.
 
@@ -251,16 +252,29 @@ def ivf_topk(
     re-rank inside the probed lists. With ``nprobe == nlist`` this
     degenerates to the exact brute-force result.
 
+    ``against_index`` skips training AND corpus assignment entirely,
+    searching a stored ``ivf_index_table`` instead (``corpus`` then only
+    supplies the session): the train-once-search-forever deployment. The
+    probed cluster ids are known on the driver before any job runs, so
+    the index scan carries a static ``cluster IN (...)`` predicate — an
+    index persisted with ``df.write.partitionBy("cluster")`` is read at
+    ~nprobe/nlist of its files via partition pruning, which is the whole
+    point of IVF at 100 TB: repeated queries never rescan the corpus,
+    and never even read most of the index.
+
     Scale path: assignment is embarrassingly parallel; the candidate join
     is a broadcast of (query × nprobe) rows against a corpus partitioned
     by cluster id — candidate volume is ~N·nprobe/nlist per query instead
     of N.
     """
     qid = query_id_col or id_col
-    sample, _sample_ids = _training_sample(
-        corpus.df, id_col, vec_col, sample_size
-    )
-    centroids = _train_centroids(sample, nlist, seed)
+    if against_index is not None:
+        centroids, cdf = _load_ivf_index(against_index)
+    else:
+        sample, _sample_ids = _training_sample(
+            corpus.df, id_col, vec_col, sample_size
+        )
+        centroids = _train_centroids(sample, nlist, seed)
     bc = corpus.spark.sparkContext.broadcast(centroids)
 
     # Assignment stays an Arrow/BLAS pass DELIBERATELY. A native-JVM
@@ -290,12 +304,13 @@ def ivf_topk(
                 {"corpus_id": pdf["corpus_id"], "cvec": pdf["cvec"], "cluster": cl}
             )
 
-    cdf = corpus.df.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).mapInPandas(
-        assign_batches, "corpus_id long, cvec array<double>, cluster int"
-    )
+    if against_index is None:
+        cdf = corpus.df.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        ).mapInPandas(
+            assign_batches, "corpus_id long, cvec array<double>, cluster int"
+        )
 
     # probe-list fan-out happens on the driver; bounded like cosine_topk
     q_rows = _collect_query_vectors(
@@ -312,6 +327,12 @@ def ivf_topk(
     qdf = corpus.spark.createDataFrame(
         probe_rows, "query_id long, qvec array<double>, cluster int"
     )
+    # the probed cluster set is known driver-side: a static IN filter
+    # lets a cluster-partitioned stored index prune unprobed partitions
+    # at the scan (and, self-mode, cuts the join input) before any
+    # candidate pairing happens
+    probed = sorted({c for _, _, c in probe_rows})
+    cdf = cdf.where(F.col("cluster").isin(probed))
     candidates = cdf.join(F.broadcast(qdf), on="cluster").filter(
         F.col("query_id") != F.col("corpus_id")
     )
@@ -347,6 +368,133 @@ def ivf_topk(
         F.col("rank") <= F.lit(k)
     )
     return Table.from_df(out, name="ivf_topk")
+
+
+_IVF_INDEX_COLS = ("cluster", "corpus_id", "cvec", "centroid")
+
+
+def ivf_index_table(
+    corpus: Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    train_iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+    init_ids: list | None = None,
+    centroids=None,
+) -> Table:
+    """Build the durable IVF index ``ivf_topk(against_index=)`` searches:
+    one row per corpus vector (``cluster``, ``corpus_id``, ``cvec``) plus
+    ``nlist`` model rows carrying the centroid vectors (``corpus_id IS
+    NULL``, ``centroid``) — the same self-describing one-table layout as
+    ``term_stats_table``'s corpus-scalar row, so a single parquet asset
+    persists both the model and the assignment.
+
+    Training matches ``ivf_topk``'s self-mode exactly for the same
+    (``nlist``, ``sample_size``, ``seed``): hash-ordered driver sample,
+    spherical k-means. ``init_ids``/``train_iters=0`` give the
+    deterministic, SQL-expressible model (the ``cluster_embeddings``
+    oracle path); ``centroids`` freezes a pretrained model — batch N+1
+    is then indexed by ``extend_ivf_index`` with zero training jobs.
+
+    Persist with ``.df.write.partitionBy("cluster")``: ``ivf_topk``'s
+    static probe-cluster predicate then prunes unprobed partitions at
+    the scan, reading ~nprobe/nlist of the index.
+    """
+    cents = resolve_centroids(
+        corpus, id_col, vec_col, nlist, train_iters, sample_size, seed,
+        init_ids, centroids,
+    )
+    bc = corpus.spark.sparkContext.broadcast(cents)
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = M / np.where(norms == 0, 1.0, norms)
+            cl = np.argmax(Mn @ C.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"cluster": cl, "corpus_id": pdf["corpus_id"], "cvec": pdf["cvec"]}
+            )
+
+    schema = (
+        "cluster int, corpus_id long, cvec array<double>, "
+        "centroid array<double>"
+    )
+    assigned = (
+        corpus.df.select(
+            F.col(id_col).cast("long").alias("corpus_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .mapInPandas(
+            assign_batches, "cluster int, corpus_id long, cvec array<double>"
+        )
+        .withColumn("centroid", F.lit(None).cast("array<double>"))
+    )
+    model = corpus.spark.createDataFrame(
+        [(int(i), None, None, [float(x) for x in c]) for i, c in enumerate(cents)],
+        schema,
+    )
+    return Table.from_df(
+        assigned.unionByName(model), name=f"{corpus.table_name}_ivf_index"
+    )
+
+
+def _load_ivf_index(index: Table) -> tuple[np.ndarray, DataFrame]:
+    """Split an ``ivf_index_table`` into its centroid model (driver-side
+    (nlist × dim) matrix — one collect over nlist rows) and its
+    assignment DataFrame. Validates the two-row-kind layout."""
+    missing = [c for c in _IVF_INDEX_COLS if c not in index.fields]
+    if missing:
+        raise ValueError(
+            f"against_index is not an ivf_index_table (missing {missing}); "
+            "build one with ivf_index_table()"
+        )
+    model = (
+        index.df.where(F.col("corpus_id").isNull())
+        .select("cluster", "centroid")
+        .collect()
+    )
+    if not model:
+        raise ValueError(
+            "against_index has no centroid model rows (corpus_id IS NULL); "
+            "build it with ivf_index_table()"
+        )
+    by_cluster = {r["cluster"]: list(r["centroid"]) for r in model}
+    cents = np.array(
+        [by_cluster[c] for c in sorted(by_cluster)], dtype=np.float64
+    )
+    cdf = index.df.where(F.col("corpus_id").isNotNull()).select(
+        "corpus_id", "cvec", "cluster"
+    )
+    return cents, cdf
+
+
+def extend_ivf_index(
+    index: Table,
+    batch: Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Table:
+    """Index a new batch against a stored IVF index's FROZEN centroid
+    model and return the extended index (original rows + the batch's
+    assignment rows). No training jobs, no rescan of already-indexed
+    vectors — the nightly-ingest shape: per-batch cost is one Arrow
+    assignment pass over the batch alone."""
+    cents, _ = _load_ivf_index(index)
+    fresh = ivf_index_table(
+        batch, id_col, vec_col, centroids=cents
+    ).df.where(F.col("corpus_id").isNotNull())
+    return Table.from_df(
+        index.df.unionByName(fresh), name=index.table_name
+    )
 
 
 def lsh_topk(

@@ -765,3 +765,142 @@ def test_embedding_prebuilt_signature_table_round_trip(spark, tmp_path):
             )
         }
         assert got == expect and expect
+
+
+def test_ivf_index_search_matches_self_mode(vectors):
+    """against_index= with an index built at the same (nlist, sample,
+    seed) reproduces self-mode ivf_topk exactly — same centroids, same
+    assignment, same probed candidates — at reduced nprobe too."""
+    from littletable_spark.operators.similarity import (
+        ivf_index_table,
+        ivf_topk,
+    )
+
+    t, _ = vectors
+    q = t.where(vec_id=Table.lt(2))
+    idx = ivf_index_table(t, "vec_id", "embedding", nlist=4, seed=3)
+    for nprobe in (2, 4):
+        expect = {
+            (r.query_id, r.corpus_id): (r.cosine, r.rank)
+            for r in ivf_topk(
+                t, q, "vec_id", "embedding", k=5, nlist=4, nprobe=nprobe, seed=3
+            )
+        }
+        got = {
+            (r.query_id, r.corpus_id): (r.cosine, r.rank)
+            for r in ivf_topk(
+                t, q, "vec_id", "embedding", k=5, nprobe=nprobe,
+                against_index=idx,
+            )
+        }
+        assert got == expect and expect
+
+
+def test_ivf_index_parquet_partition_pruning(vectors, tmp_path):
+    """a cluster-partitioned stored index: search results survive the
+    round trip, and the probe scan carries the static cluster IN
+    predicate as a PartitionFilter — the nprobe/nlist read fraction."""
+    import contextlib
+    import io
+
+    from littletable_spark.operators.similarity import (
+        ivf_index_table,
+        ivf_topk,
+    )
+
+    t, _ = vectors
+    q = t.where(vec_id=0)
+    idx = ivf_index_table(t, "vec_id", "embedding", nlist=4, seed=3)
+    p = str(tmp_path / "ivf")
+    idx.df.write.partitionBy("cluster").parquet(p)
+    stored = Table.parquet_import(t.spark, p)
+    expect = {
+        (r.corpus_id, r.cosine, r.rank)
+        for r in ivf_topk(
+            t, q, "vec_id", "embedding", k=7, nprobe=1, against_index=idx
+        )
+    }
+    out = ivf_topk(
+        t, q, "vec_id", "embedding", k=7, nprobe=1, against_index=stored
+    )
+    got = {(r.corpus_id, r.cosine, r.rank) for r in out}
+    assert got == expect and got
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+
+def test_extend_ivf_index_equals_frozen_whole_build(spark):
+    """indexing batch B against index(A)'s frozen model == building the
+    whole A∪B index under the same frozen centroids — the zero-training
+    nightly-ingest invariant."""
+    import numpy as np
+
+    from littletable_spark.operators.similarity import (
+        extend_ivf_index,
+        ivf_index_table,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(12, 8)
+
+    def mk(ids):
+        t = Table(f"vx{ids[0]}", spark=spark)
+        t.insert_many(
+            [{"vec_id": i, "embedding": [float(x) for x in X[i]]} for i in ids]
+        )
+        return t
+
+    a, b, both = mk(range(8)), mk(range(8, 12)), mk(range(12))
+    idx_a = ivf_index_table(a, "vec_id", "embedding", nlist=3, seed=1)
+    ext = extend_ivf_index(idx_a, b, "vec_id", "embedding")
+    # frozen model: rebuild A∪B with idx_a's own centroids
+    cents = np.array(
+        sorted(
+            (r.cluster, list(r.centroid))
+            for r in idx_a
+            if r.corpus_id is None
+        ),
+        dtype=object,
+    )
+    frozen = ivf_index_table(
+        both, "vec_id", "embedding",
+        centroids=np.array([c for _, c in cents], dtype=np.float64),
+    )
+    key = lambda t: sorted(  # noqa: E731
+        (
+            r.cluster,
+            -1 if r.corpus_id is None else r.corpus_id,
+            # model rows renormalize a unit vector (1-ulp drift); the
+            # assignment rows must agree exactly, centroids to 1e-12
+            tuple(round(x, 12) for x in (r.centroid or r.cvec or ())),
+        )
+        for r in t
+    )
+    assert key(ext) == key(frozen)
+
+
+def test_ivf_index_validation(vectors):
+    from littletable_spark.operators.similarity import ivf_topk
+
+    t, _ = vectors
+    q = t.where(vec_id=0)
+    bogus = Table("notidx", spark=t.spark)
+    bogus.insert_many([{"cluster": 0, "corpus_id": 1}])
+    with pytest.raises(ValueError, match="not an ivf_index_table"):
+        ivf_topk(t, q, "vec_id", "embedding", against_index=bogus)
+    # right columns but no model rows
+    nomodel = Table.from_df(
+        t.spark.createDataFrame(
+            [(0, 1, [1.0], None)],
+            "cluster int, corpus_id long, cvec array<double>, "
+            "centroid array<double>",
+        ),
+        name="nomod",
+    )
+    with pytest.raises(ValueError, match="no centroid model"):
+        ivf_topk(t, q, "vec_id", "embedding", against_index=nomodel)
