@@ -63,6 +63,8 @@ def ingest_batch(
     emb_dim: int = 64,
     emb_seed: int = 42,
     stats_path: str | None = None,
+    ivf_path: str | None = None,
+    ivf_centroids=None,
 ) -> dict[str, int]:
     """Process ONE micro-batch (plain batch DataFrame — callable
     directly in tests or backfills, no stream required) through the
@@ -96,7 +98,12 @@ def ingest_batch(
        asset (``term_stats_table`` per batch; probe-only — reading the
        path back through ``fold_term_stats`` yields the whole written
        corpus's stats for ``against_stats=`` retrieval, never
-       re-tokenizing the corpus).
+       re-tokenizing the corpus). ``ivf_path`` + ``ivf_centroids`` (a
+       frozen (nlist × dim) model) likewise maintain a searchable ANN
+       index: each batch's survivors are assigned against the frozen
+       centroids (one Arrow pass over the batch alone, zero training)
+       and reading ``ivf_path`` back IS an ``ivf_index_table`` for
+       ``ivf_topk(against_index=)``.
 
     Incremental-index semantics for the text-rewrite stages: each
     batch contributes the lines/grams qualifying WITHIN that batch
@@ -124,6 +131,12 @@ def ingest_batch(
 
     if sigs_path is not None and emb_col is None:
         raise ValueError("sigs_path requires emb_col (the embedding column)")
+    if ivf_path is not None and (emb_col is None or ivf_centroids is None):
+        raise ValueError(
+            "ivf_path requires emb_col and ivf_centroids (the frozen "
+            "(nlist x dim) model — train once with ivf_index_table or "
+            "resolve_centroids, then reuse it every batch)"
+        )
 
     spark = batch_df.sparkSession
     bid = int(batch_id)
@@ -285,6 +298,19 @@ def ingest_batch(
                     n_planes=emb_planes, dim=emb_dim, seed=emb_seed,
                 ).df.write.mode("overwrite").parquet(
                     f"{sigs_path}/batch_id={bid}"
+                )
+            if ivf_path is not None:
+                from ..operators.similarity import ivf_index_table
+
+                # ANN-index maintenance (frozen model, zero training):
+                # the batch's assignment + model rows land in their
+                # partition — the model rows are identical every batch
+                # and collapse in _load_ivf_index, so a plain parquet
+                # read of ivf_path is a searchable ivf_index_table
+                ivf_index_table(
+                    kt, id_col, emb_col, centroids=ivf_centroids
+                ).df.write.mode("overwrite").parquet(
+                    f"{ivf_path}/batch_id={bid}"
                 )
             if stats_path is not None:
                 # retrieval-stats maintenance (no probe — pure index

@@ -246,3 +246,75 @@ def test_sigs_path_requires_emb_col(spark, paths):
             _docs(spark, [(1, _BASE[0])]), 0, corpus, bands,
             sigs_path="/tmp/nope",
         )
+
+
+def test_ivf_path_maintains_searchable_ann_index(spark, paths):
+    """the sink's ivf_path stage: the per-batch frozen-model
+    assignments read back as one searchable ivf_index_table whose
+    rows equal a whole-corpus frozen build, and searching it at
+    nprobe == nlist is exact; redelivery keeps the asset stable."""
+    import numpy as np
+
+    from littletable_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_table,
+        ivf_topk,
+    )
+
+    corpus, bands, _, _ = paths
+    root = corpus.rsplit("/", 1)[0]
+    ivf_p = f"{root}/ivf"
+    cents = np.eye(3, 8)  # frozen 3-list model over dim 8
+    kw = dict(emb_col="emb", ivf_path=ivf_p, ivf_centroids=cents)
+
+    b1 = [(0, _BASE[0], _V_A), (1, _BASE[1], _V_B)]
+    b2 = [(2, _BASE[2], _V_C), (3, _BASE[0], _V_D)]  # 3 = text dup of 0
+    ingest_batch(_edocs(spark, b1), 0, corpus, bands, **kw)
+    s2 = ingest_batch(_edocs(spark, b2), 1, corpus, bands, **kw)
+    assert s2["appended"] == 1  # doc 3 dropped by the band probe
+
+    stored = Table.parquet_import(spark, ivf_p)
+    written = Table.from_df(
+        spark.read.parquet(corpus).select("doc_id", "emb")
+    )
+    frozen = ivf_index_table(written, "doc_id", "emb", centroids=cents)
+    # set key: the stored asset repeats the (identical) model rows in
+    # every batch partition; they collapse here exactly as they do in
+    # _load_ivf_index
+    key = lambda t: sorted(  # noqa: E731
+        {
+            (
+                r.cluster,
+                -1 if r.corpus_id is None else r.corpus_id,
+                tuple(round(x, 12) for x in (r.centroid or r.cvec or ())),
+            )
+            for r in t
+        }
+    )
+    stored_key = key(stored)
+    assert stored_key == key(frozen)
+
+    q = Table.from_df(written.df.where("doc_id = 0"))
+    exact = {
+        (r.query_id, r.corpus_id, r.cosine, r.rank)
+        for r in cosine_topk(written, q, "doc_id", "emb", k=3)
+    }
+    got = {
+        (r.query_id, r.corpus_id, r.cosine, r.rank)
+        for r in ivf_topk(
+            written, q, "doc_id", "emb", k=3, nprobe=3, against_index=stored
+        )
+    }
+    assert got == exact and got
+
+    ingest_batch(_edocs(spark, b2), 1, corpus, bands, **kw)  # redelivery
+    assert key(Table.parquet_import(spark, ivf_p)) == stored_key
+
+
+def test_ivf_path_requires_model(spark, paths):
+    corpus, bands, _, _ = paths
+    with pytest.raises(ValueError, match="ivf_centroids"):
+        ingest_batch(
+            _edocs(spark, [(0, _BASE[0], _V_A)]), 0, corpus, bands,
+            emb_col="emb", ivf_path=f"{corpus}_ivf",
+        )
