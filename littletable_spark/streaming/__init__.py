@@ -7,4 +7,5 @@ from .events import (
     tumbling_window,
 )
 from .ingest import ingest_batch, start_curated_ingest
+from .maintenance import asset_info, compact_asset, recover_asset
 from .stateful import running_totals_stream

@@ -1,0 +1,226 @@
+"""Durable-asset compaction (streaming/maintenance.py): row-multiset
+preservation, reader equivalence across every asset kind, manifest-led
+crash recovery, and composition with further ingest batches."""
+
+import json
+import shutil
+import tempfile
+
+import pytest
+
+from littletable_spark import Table
+from littletable_spark.streaming.ingest import ingest_batch
+from littletable_spark.streaming.maintenance import (
+    _MANIFEST,
+    _TMP,
+    asset_info,
+    compact_asset,
+    recover_asset,
+)
+
+_TEXTS = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    "lambda mu nu xi omicron pi rho sigma tau upsilon",
+    "phi chi psi omega one two three four five six",
+    "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen",
+]
+
+
+def _docs(spark, rows):
+    t = Table("cmp", spark=spark)
+    t.insert_many([{"doc_id": i, "text": txt} for i, txt in rows])
+    return t.df.select("doc_id", "text")
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="lts_compact_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _multiset(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def _seed(spark, root, n_batches=3):
+    corpus, bands, stats = f"{root}/corpus", f"{root}/bands", f"{root}/stats"
+    for b in range(n_batches):
+        ingest_batch(
+            _docs(spark, [(b, _TEXTS[b])]), b, corpus, bands, stats_path=stats
+        )
+    return corpus, bands, stats
+
+
+def test_compact_preserves_rows_and_probe_decisions(spark, root):
+    """Compacting the band index changes ONLY layout: same row
+    multiset, fewer partitions/files, and the next batch's
+    against-corpus dedup decisions are identical to an uncompacted
+    twin's."""
+    corpus, bands, stats = _seed(spark, root)
+    twin = f"{root}/twin"
+    for sub in ("corpus", "bands", "stats"):
+        shutil.copytree(f"{root}/{sub}", f"{twin}/{sub}")
+
+    before_bands = _multiset(spark.read.parquet(bands), ["doc_id"])
+    info0 = asset_info(spark, bands)
+    assert info0["partitions"] == 3 and not info0["pending_compaction"]
+
+    res = compact_asset(spark, bands)
+    assert res["compacted"] == 3 and res["dest"] == "batch_id=-3"
+    info1 = asset_info(spark, bands)
+    assert info1["partitions"] == 1
+    assert info1["files"] < info0["files"]
+    assert info1["min_batch_id"] == info1["max_batch_id"] == -3
+    assert _multiset(spark.read.parquet(bands), ["doc_id"]) == before_bands
+
+    # next batch: a dup of corpus doc 0 plus a new doc — the compacted
+    # index must make the same drop/keep calls as the uncompacted twin
+    batch = [(10, _TEXTS[0]), (11, _TEXTS[3])]
+    s_c = ingest_batch(_docs(spark, batch), 3, corpus, bands, stats_path=stats)
+    s_u = ingest_batch(
+        _docs(spark, batch), 3, f"{twin}/corpus", f"{twin}/bands",
+        stats_path=f"{twin}/stats",
+    )
+    assert (s_c["appended"], s_c["dropped"]) == (s_u["appended"], s_u["dropped"]) == (1, 1)
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {0, 1, 2, 11}
+
+
+def test_compact_stats_asset_keeps_fold_sums(spark, root):
+    """The term-stats reader SUMS rows across partitions; compaction
+    (no dedup) must leave the folded corpus statistics bit-identical."""
+    from littletable_spark.operators.textops import fold_term_stats
+
+    _, _, stats = _seed(spark, root)
+    key = lambda t: sorted(  # noqa: E731
+        ((r.term or "", r.df, r.n_docs, r.total_tokens) for r in t)
+    )
+    before = key(fold_term_stats(Table.parquet_import(spark, stats)))
+    compact_asset(spark, stats)
+    assert key(fold_term_stats(Table.parquet_import(spark, stats))) == before
+
+
+def test_compact_upto_batch_id_spares_redeliverable_partitions(spark, root):
+    """upto_batch_id= folds only settled partitions, so a redelivered
+    recent batch can still overwrite its own directory."""
+    corpus, bands, stats = _seed(spark, root)
+    res = compact_asset(spark, corpus, upto_batch_id=1)
+    assert res["compacted"] == 2
+    dirs = asset_info(spark, corpus)
+    assert dirs["partitions"] == 2 and dirs["min_batch_id"] == -2
+    assert dirs["max_batch_id"] == 2
+
+    # redeliver batch 2: overwrites batch_id=2 in place, corpus stable
+    ingest_batch(_docs(spark, [(2, _TEXTS[2])]), 2, corpus, bands, stats_path=stats)
+    assert _multiset(spark.read.parquet(corpus), ["doc_id"]) == [(0,), (1,), (2,)]
+
+
+def test_recompaction_folds_prior_compaction(spark, root):
+    """A second compaction absorbs the previous batch_id=-k partition
+    plus the new micro-batches into a fresh non-colliding name."""
+    corpus, bands, stats = _seed(spark, root)
+    compact_asset(spark, bands)  # -> batch_id=-3
+    ingest_batch(_docs(spark, [(7, _TEXTS[3])]), 7, corpus, bands, stats_path=stats)
+    res = compact_asset(spark, bands)
+    assert res["compacted"] == 2 and res["dest"] == "batch_id=-8"
+    assert asset_info(spark, bands)["partitions"] == 1
+    assert {r.doc_id for r in spark.read.parquet(bands).collect()} == {0, 1, 2, 7}
+
+
+def test_compact_dedup_collapses_repeated_ivf_model_rows(spark, root):
+    """dedup=True: the IVF asset's identical frozen-model rows (one
+    copy per batch) collapse to one, and stored-index search over the
+    compacted asset still equals exact search."""
+    import numpy as np
+
+    from littletable_spark.operators.similarity import cosine_topk, ivf_topk
+
+    corpus, bands = f"{root}/corpus", f"{root}/bands"
+    ivf = f"{root}/ivf"
+    cents = np.eye(2, 4)
+    vecs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.7, 0.7, 0.0, 0.0]]
+
+    t = Table("e", spark=spark)
+    for b in range(3):
+        t2 = Table("e", spark=spark)
+        t2.insert_many([{"doc_id": b, "text": _TEXTS[b], "emb": vecs[b]}])
+        ingest_batch(
+            t2.df, b, corpus, bands, emb_col="emb",
+            ivf_path=ivf, ivf_centroids=cents,
+        )
+    n_model_before = spark.read.parquet(ivf).where("corpus_id IS NULL").count()
+    assert n_model_before == 6  # 2 centroids x 3 batches
+
+    compact_asset(spark, ivf, dedup=True)
+    stored = Table.parquet_import(spark, ivf)
+    assert stored.df.where("corpus_id IS NULL").count() == 2
+
+    written = Table.from_df(spark.read.parquet(corpus).select("doc_id", "emb"))
+    q = Table.from_df(written.df.where("doc_id = 2"))
+    exact = {
+        (r.query_id, r.corpus_id, r.rank)
+        for r in cosine_topk(written, q, "doc_id", "emb", k=3)
+    }
+    got = {
+        (r.query_id, r.corpus_id, r.rank)
+        for r in ivf_topk(
+            written, q, "doc_id", "emb", k=3, nprobe=2, against_index=stored
+        )
+    }
+    assert got == exact and got
+
+
+def test_crash_recovery_replays_manifest(spark, root):
+    """A manifest + temp dir left by a mid-swap crash is replayed to
+    completion (by recover_asset directly, and by compact_asset's
+    entry recovery), never double-counting rows."""
+    _, bands, _ = _seed(spark, root)
+    before = _multiset(spark.read.parquet(bands), ["doc_id"])
+
+    # simulate the crash window: compacted temp written + manifest
+    # published, but no source partition deleted yet
+    import glob as _glob
+    import os
+
+    srcs = sorted(
+        os.path.basename(p) for p in _glob.glob(f"{bands}/batch_id=*")
+    )
+    spark.read.parquet(
+        *[f"{bands}/{s}" for s in srcs]
+    ).repartition(1).write.parquet(f"{bands}/{_TMP}")
+    with open(f"{bands}/{_MANIFEST}", "w") as fh:
+        json.dump({"sources": srcs, "dest": "batch_id=-9"}, fh)
+
+    # Spark readers ignore the dot-dirs, so the asset still reads
+    # consistently from the (intact) sources during the crash window
+    assert _multiset(spark.read.parquet(bands), ["doc_id"]) == before
+    assert asset_info(spark, bands)["pending_compaction"]
+
+    assert recover_asset(spark, bands) is True
+    info = asset_info(spark, bands)
+    assert info["partitions"] == 1 and info["min_batch_id"] == -9
+    assert not info["pending_compaction"]
+    assert _multiset(spark.read.parquet(bands), ["doc_id"]) == before
+    assert recover_asset(spark, bands) is False  # nothing pending now
+
+
+def test_stale_tmp_without_manifest_is_discarded(spark, root):
+    """A pre-publish crash leaves only the temp dir; the sources are
+    authoritative and the garbage is swept on the next compaction."""
+    _, bands, _ = _seed(spark, root)
+    before = _multiset(spark.read.parquet(bands), ["doc_id"])
+    spark.read.parquet(bands).limit(1).write.parquet(f"{bands}/{_TMP}")
+
+    res = compact_asset(spark, bands)
+    assert res["compacted"] == 3
+    info = asset_info(spark, bands)
+    assert info["partitions"] == 1
+    assert _multiset(spark.read.parquet(bands), ["doc_id"]) == before
+
+
+def test_single_partition_is_a_noop(spark, root):
+    corpus, bands = f"{root}/corpus", f"{root}/bands"
+    ingest_batch(_docs(spark, [(0, _TEXTS[0])]), 0, corpus, bands)
+    res = compact_asset(spark, bands)
+    assert res["compacted"] == 0 and res["dest"] is None
+    assert asset_info(spark, bands)["partitions"] == 1
