@@ -822,6 +822,8 @@ def q_sim_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
     )
 
+    import tempfile
+
     e = _t(spark, sf_dir, "embeddings")
     base = e.where(vec_id=Table.ge(100))
     batch = e.where(vec_id=Table.lt(100))
@@ -831,9 +833,17 @@ def q_sim_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
     )
+    # persist the index like the real deployment (durable asset on
+    # disk): an in-memory index would recompute its assignment lineage
+    # once for the model-row collect and once for the candidate scan —
+    # the stored table makes both a cheap columnar read, and is the
+    # shape against_index= exists for
+    root = tempfile.mkdtemp(prefix="lts_ivf_q_")
+    idx.df.write.mode("overwrite").parquet(f"{root}/ivf")
+    stored = Table.parquet_import(spark, f"{root}/ivf")
     q = e.where(vec_id=Table.ge(5)).where(vec_id=Table.lt(10))
     return ivf_topk(
-        e, q, "vec_id", "embedding", k=10, nprobe=16, against_index=idx
+        e, q, "vec_id", "embedding", k=10, nprobe=16, against_index=stored
     ).df
 
 
