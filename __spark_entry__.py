@@ -950,6 +950,35 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(d, "text", "doc_id").df
 
 
+def q_text_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """model-based quality filtering (the fastText/DCLM-style learned
+    stage): quality_score's feature columns scored by a FIXED linear
+    model (score_linear — fixed-order multiply-add, pure JVM
+    projection) with the keep decision thresholded on the raw logit.
+    Fixed weights keep the query oracle-checkable; the pyspark.ml
+    training path that produces such weights is covered by
+    tests/test_classifier.py (train_quality_classifier round-trips
+    into this exact scorer)."""
+    from littletable_spark.operators.classifier import score_linear
+    from littletable_spark.operators.textops import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_score(d, "text", "doc_id")
+    scored = score_linear(
+        feats,
+        {
+            "mean_token_len": 0.4,
+            "n_tokens": 0.02,
+            "punct_ratio": -12.0,
+            "stopword_ratio": 3.0,
+        },
+        intercept=-2.5,
+        decision_col="keep",
+        threshold=0.0,
+    )
+    return scored.df.select("doc_id", "logit", "keep")
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """language ID via marker-word scores + deterministic argmax."""
     from littletable_spark.operators.textops import lang_id
@@ -1508,8 +1537,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     immediately; sim_ivf_topk parks in exchange (driver-green r5-r6;
     in-gate sim_ivf_incr runs the identical probe-join/re-rank
     machinery over an index built by the same trainer, sim_cluster the
-    same centroid-assignment scan). The local mirror
-    (scripts/verify_oracle.py) still runs all 92 every round."""
+    same centroid-assignment scan). Net-new text_quality_clf
+    (model-based quality filtering: quality_score features scored by
+    a fixed linear model through score_linear's fixed-order
+    multiply-add) also gates immediately; text_quality parks in
+    exchange (driver-green r1-r5 — and its entire feature pipeline
+    executes IN-GATE inside text_quality_clf, which consumes
+    quality_score's columns directly). The local mirror
+    (scripts/verify_oracle.py) still runs all 93 every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1547,7 +1582,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cluster": q_sim_cluster,
         "sim_ivf_incr": q_sim_ivf_incr,
         "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
+        "text_quality_clf": q_text_quality_clf,
         "text_logprob": q_text_logprob,
         "text_tfidf_incr": q_text_tfidf_incr,
         "text_bm25_incr": q_text_bm25_incr,
@@ -1562,6 +1597,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "text_quality": q_text_quality,
         "sim_ivf_topk": q_sim_ivf_topk,
         "window_topk_per_group": q_window_topk_per_group,
         "text_tfidf": q_text_tfidf,
@@ -2711,6 +2747,32 @@ def oracle_sql() -> dict[str, str]:
                      + 0.25 * (1.0 - least(pr * 10, 1.0))
                      + 0.25 * least(sr * 5, 1.0) AS quality
             FROM f
+        """,
+        "text_quality_clf": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mtl,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                       / length(text) AS pr,
+                     len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','is','in','that','it','for','with'],
+                       lower(x)))) * 1.0 / len(toks) AS sr
+              FROM t
+            ), s AS (
+              -- fixed-order multiply-add: sorted(weights) order, same
+              -- association as score_linear's Column chain
+              SELECT doc_id,
+                     -2.5 + 0.4 * mtl + 0.02 * n_tokens
+                          + -12.0 * pr + 3.0 * sr AS logit
+              FROM f
+            )
+            SELECT doc_id, logit, CAST(logit > 0.0 AS INT) AS keep
+            FROM s
         """,
         "text_langid": """
             WITH t AS (
