@@ -338,6 +338,8 @@ def start_curated_ingest(
     bands_path: str,
     checkpoint: str,
     available_now: bool = True,
+    compact_every: int | None = None,
+    compact_horizon: int = 2,
     **params: Any,
 ):
     """Wire ``ingest_batch`` into a Structured Streaming sink.
@@ -348,11 +350,42 @@ def start_curated_ingest(
     makes restarts exactly-once). ``available_now=True`` drains the
     currently-available input and stops (the scheduled nightly-ingest
     shape); pass ``False`` for a continuously-running micro-batch
-    query. Extra kwargs flow to ``ingest_batch``."""
+    query. Extra kwargs flow to ``ingest_batch``.
+
+    ``compact_every=N`` makes the sink self-maintaining: after every
+    Nth batch, ``compact_asset`` folds the settled partitions of the
+    corpus and every enabled index into one right-sized partition
+    (small-files control — see streaming/maintenance.py and the
+    2.8× probe in BASELINE.md). Safe inside ``foreachBatch`` because
+    micro-batches are strictly sequential: nothing reads the assets
+    during the swap. Only batches older than ``compact_horizon`` are
+    folded (``upto_batch_id = batch_id - horizon``) so a redelivered
+    recent batch can still overwrite its own partition; batches at or
+    inside the horizon are, by the checkpoint's commit log, the only
+    ones a restart can redeliver."""
     df = _as_df(stream)
+
+    asset_keys = (
+        "lines_path", "grams_path", "sigs_path", "stats_path", "ivf_path",
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(batch_df, batch_id, corpus_path, bands_path, **params)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from .maintenance import compact_asset
+
+            spark = batch_df.sparkSession
+            upto = int(batch_id) - compact_horizon
+            paths = [corpus_path, bands_path] + [
+                params[k] for k in asset_keys if params.get(k)
+            ]
+            for p in paths:
+                compact_asset(
+                    spark,
+                    p,
+                    upto_batch_id=upto,
+                    dedup=(p == params.get("ivf_path")),
+                )
 
     writer = (
         df.writeStream.foreachBatch(_sink)

@@ -318,3 +318,52 @@ def test_ivf_path_requires_model(spark, paths):
             _edocs(spark, [(0, _BASE[0], _V_A)]), 0, corpus, bands,
             emb_col="emb", ivf_path=f"{corpus}_ivf",
         )
+
+
+def test_start_curated_ingest_self_compacting(spark, paths):
+    """compact_every= makes the sink fold settled partitions inline:
+    after draining 5 staged files with compact_every=2 / horizon=2,
+    the corpus content equals the plain-sink run, the band probe still
+    makes the same decisions, and the layout shows a compacted
+    (negative-id) partition plus only the horizon's recent batches."""
+    from littletable_spark.streaming.maintenance import asset_info
+
+    corpus, bands, ckpt, stage = paths
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "phi chi psi omega one two three four five six",
+        "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen",
+        "apple banana cherry date elderberry fig grape honeydew kiwi lemon",
+    ]
+    for i, txt in enumerate(texts):
+        _docs(spark, [(i, txt)]).coalesce(1).write.parquet(f"{stage}/f{i}")
+    schema = spark.read.parquet(f"{stage}/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/f*/")
+    )
+    q = start_curated_ingest(
+        stream, corpus, bands, ckpt, compact_every=2, compact_horizon=2
+    )
+    q.awaitTermination(180)
+
+    # all five texts are mutually non-duplicate: content is complete
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == set(
+        range(5)
+    )
+    assert {r.doc_id for r in spark.read.parquet(bands).collect()} == set(
+        range(5)
+    )
+    info = asset_info(spark, corpus)
+    # batch 4 triggered the last fold (upto 2): batches 0-2 compacted,
+    # 3 and 4 still inside the horizon as their own partitions
+    assert info["min_batch_id"] < 0
+    assert info["partitions"] == 3, info
+    assert not info["pending_compaction"]
+
+    # the folded index still drives dedup: a dup of doc 0 (inside the
+    # compacted partition) is dropped by the band probe
+    s = ingest_batch(_docs(spark, [(9, texts[0])]), 9, corpus, bands)
+    assert (s["appended"], s["dropped"]) == (0, 1)
