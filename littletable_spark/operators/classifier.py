@@ -177,3 +177,186 @@ def train_quality_classifier(
 def sigmoid(z: float) -> float:
     """Driver-side convenience mirroring ``prob_col``'s arithmetic."""
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def _hash_idx(tok: Column, n_features: int) -> Column:
+    """Feature index of a token: pmod(murmur3(token), n) — the hashing
+    trick as a native JVM expression. Deliberately NOT spark.ml's
+    HashingTF.indexOf, whose murmur3 variant differs from
+    ``F.hash`` (verified empirically): train and score must share ONE
+    index function, and this one exists on the pure-DataFrame side
+    where the 100 TB scoring scan lives."""
+    return F.pmod(F.hash(tok), F.lit(n_features)).cast("int")
+
+
+def train_text_classifier(
+    table: Table,
+    text_col: str,
+    label_col: str,
+    n_features: int = 1 << 15,
+    max_iter: int = 100,
+    reg_param: float = 1e-4,
+) -> Table:
+    """Fit a fastText-style hashed bag-of-words quality classifier on
+    raw text and return the model AS A TABLE — one row per nonzero
+    coefficient ``(feature_idx, weight)`` plus a NULL-idx scalar row
+    carrying the intercept and ``n_features`` (the same
+    self-describing one-table layout as ``term_stats_table`` /
+    ``ivf_index_table``), so the model parquet-exports like any other
+    durable asset and ``score_text_classifier`` needs nothing else.
+
+    Features are token counts under the hashing trick: index =
+    pmod(murmur3(token), n_features), counted per document — unseen
+    future tokens still land in trained buckets, and the model size is
+    capped at ``n_features`` regardless of vocabulary. The fit is
+    pyspark.ml's distributed LogisticRegression (L2 by default — keeps
+    every bucket usable at score time).
+
+    The per-document sparse vectors are assembled through a
+    row-at-a-time UDF — the ONE place this module leaves codegen,
+    confined to the one-time model fit (VectorUDT is the ml API
+    boundary; Arrow does not carry it). Scoring never pays it: see
+    ``score_text_classifier``.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    from .textops import _tokens
+
+    if n_features <= 0:
+        raise ValueError("n_features must be positive")
+    missing = [c for c in (text_col, label_col) if c not in table.fields]
+    if missing:
+        raise ValueError(
+            f"train_text_classifier: columns not in table: {missing}"
+        )
+    df = table._require_df()
+    toks = df.select(
+        F.monotonically_increasing_id().alias("__doc__"),
+        F.col(label_col).cast("double").alias("__label__"),
+        F.explode(_tokens(text_col)).alias("__tok__"),
+    )
+    counts = (
+        toks.withColumn("__idx__", _hash_idx(F.col("__tok__"), n_features))
+        .groupBy("__doc__", "__label__", "__idx__")
+        .agg(F.count(F.lit(1)).cast("double").alias("__cnt__"))
+        .groupBy("__doc__", "__label__")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__idx__", "__cnt__"))
+            ).alias("__pairs__")
+        )
+    )
+
+    @F.udf(returnType=VectorUDT())
+    def to_vec(pairs):
+        return Vectors.sparse(
+            n_features, [int(p["__idx__"]) for p in pairs],
+            [float(p["__cnt__"]) for p in pairs],
+        )
+
+    assembled = counts.select(
+        F.col("__label__"), to_vec("__pairs__").alias("__features__")
+    )
+    lr = LogisticRegression(
+        featuresCol="__features__",
+        labelCol="__label__",
+        maxIter=max_iter,
+        regParam=reg_param,
+        family="binomial",
+    )
+    model = lr.fit(assembled)
+    coefs = model.coefficients
+    spark = table.spark
+    weight_rows = [
+        (int(i), float(w), None)
+        for i, w in zip(coefs.indices, coefs.values)
+    ] if hasattr(coefs, "indices") else [
+        (int(i), float(w), None) for i, w in enumerate(coefs.toArray()) if w
+    ]
+    schema = "feature_idx int, weight double, n_features int"
+    wdf = spark.createDataFrame(weight_rows, schema)
+    scalar = spark.createDataFrame(
+        [(None, float(model.intercept), int(n_features))], schema
+    )
+    return Table.from_df(
+        wdf.unionByName(scalar), name=f"{table.table_name}_text_clf"
+    )
+
+
+def score_text_classifier(
+    table: Table,
+    model: Table,
+    text_col: str,
+    id_col: str,
+    out_col: str = "logit",
+    decision_col: str | None = None,
+    threshold: float = 0.0,
+) -> Table:
+    """Score raw text with a ``train_text_classifier`` model — the
+    100 TB deployment path, entirely JVM-side: explode tokens, compute
+    the hashed index natively, broadcast-join the (≤ n_features)-row
+    weight table, and sum per document. logit = intercept +
+    Σ_occurrences weight[idx(token)] — exactly the linear margin the
+    fit optimized (token counts × weights, occurrence by occurrence).
+    No UDF, no vector types, no driver collect of anything but the
+    one intercept row; documents whose tokens all miss trained buckets
+    score the bare intercept (LEFT join + zero-fill).
+    """
+    from .textops import _tokens
+
+    for c in ("feature_idx", "weight", "n_features"):
+        if c not in model.fields:
+            raise ValueError(
+                "score_text_classifier: model must be a "
+                f"train_text_classifier table (missing {c!r})"
+            )
+    scalar = (
+        model.df.where(F.col("feature_idx").isNull())
+        .select("weight", "n_features")
+        .collect()
+    )
+    if len(scalar) != 1:
+        raise ValueError(
+            f"model has {len(scalar)} intercept rows (feature_idx IS "
+            "NULL); exactly one expected"
+        )
+    intercept = float(scalar[0]["weight"])
+    n_features = int(scalar[0]["n_features"])
+
+    df = table._require_df()
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode_outer(_tokens(text_col)).alias("__tok__"),
+    ).withColumn(
+        "__idx__",
+        # explode_outer keeps token-less documents as one NULL-token
+        # row (so they still score the intercept) — but murmur3(NULL)
+        # is the seed, not NULL, and would spuriously join bucket 42
+        F.when(
+            F.col("__tok__").isNotNull(),
+            _hash_idx(F.col("__tok__"), n_features),
+        ),
+    )
+    weights = model.df.where(F.col("feature_idx").isNotNull()).select(
+        F.col("feature_idx").alias("__idx__"), F.col("weight")
+    )
+    per_doc = (
+        toks.join(F.broadcast(weights), on="__idx__", how="left")
+        .groupBy("__id__")
+        .agg(
+            (
+                F.lit(intercept)
+                + F.coalesce(F.sum("weight"), F.lit(0.0))
+            ).alias(out_col)
+        )
+    )
+    out = df.join(
+        per_doc.withColumnRenamed("__id__", id_col), on=id_col, how="left"
+    )
+    if decision_col is not None:
+        out = out.withColumn(
+            decision_col,
+            (F.col(out_col) > F.lit(float(threshold))).cast("int"),
+        )
+    return Table.from_df(out, name=f"{table.table_name}_text_scored")

@@ -130,3 +130,98 @@ def test_quality_feature_composition(spark):
         threshold=0.0,
     )
     assert [r.doc_id for r in kept] == [0]
+
+
+# ------------------------------------------------------------------ #
+# hashed bag-of-words text classifier                                 #
+# ------------------------------------------------------------------ #
+
+_GOOD_WORDS = "insight analysis careful thorough evidence clear structured".split()
+_SPAM_WORDS = "buy click free winner cash prize urgent".split()
+
+
+def _text_corpus(spark, n_per_class=40):
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(n_per_class):
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(rng.choice(_GOOD_WORDS, 8)),
+                "label": 1,
+            }
+        )
+        rows.append(
+            {
+                "doc_id": n_per_class + i,
+                "text": " ".join(rng.choice(_SPAM_WORDS, 8)),
+                "label": 0,
+            }
+        )
+    t = Table("txt", spark=spark)
+    t.insert_many(rows)
+    return t, n_per_class
+
+
+def test_text_classifier_trains_and_deploys_jvm_side(spark):
+    from littletable_spark.operators.classifier import (
+        score_text_classifier,
+        train_text_classifier,
+    )
+
+    t, n = _text_corpus(spark)
+    model = train_text_classifier(t, "text", "label", n_features=1 << 12)
+    # self-describing one-table layout: exactly one NULL-idx scalar row
+    scalars = model.df.where("feature_idx IS NULL").collect()
+    assert len(scalars) == 1 and scalars[0]["n_features"] == 1 << 12
+
+    scored = score_text_classifier(
+        t, model, "text", "doc_id", decision_col="keep"
+    )
+    rows = {r.doc_id: r for r in scored}
+    agree = sum(1 for r in rows.values() if r.keep == (1 if r.doc_id < n else 0))
+    assert agree >= int(0.95 * 2 * n)
+
+    # the scoring plan never leaves the JVM: no Python eval of any kind
+    plan = scored.df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_text_classifier_model_is_a_durable_asset(spark, tmp_path):
+    """parquet round-trip scores identically; unseen-vocabulary and
+    empty documents score the bare intercept."""
+    from littletable_spark.operators.classifier import (
+        score_text_classifier,
+        train_text_classifier,
+    )
+
+    t, _ = _text_corpus(spark, n_per_class=15)
+    model = train_text_classifier(t, "text", "label", n_features=1 << 12)
+    p = str(tmp_path / "clf")
+    model.df.write.parquet(p)
+    stored = Table.parquet_import(spark, p)
+
+    probe = Table("probe", spark=spark)
+    probe.insert_many(
+        [
+            {"doc_id": 0, "text": "insight evidence clear"},
+            {"doc_id": 1, "text": "zzzunseen qqqnovel xxxwords"},
+            {"doc_id": 2, "text": "   "},
+        ]
+    )
+    a = {r.doc_id: r.logit for r in score_text_classifier(probe, model, "text", "doc_id")}
+    b = {r.doc_id: r.logit for r in score_text_classifier(probe, stored, "text", "doc_id")}
+    assert a == b and len(a) == 3
+    intercept = model.df.where("feature_idx IS NULL").collect()[0]["weight"]
+    # unseen tokens CAN collide into trained buckets (the hashing
+    # trick's price); the token-less doc is exactly the intercept
+    assert a[2] == pytest.approx(intercept, abs=1e-12)
+    assert a[0] != a[2]
+
+
+def test_text_classifier_validates_model_table(spark):
+    from littletable_spark.operators.classifier import score_text_classifier
+
+    t, _ = _text_corpus(spark, n_per_class=3)
+    with pytest.raises(ValueError, match="train_text_classifier"):
+        score_text_classifier(t, t, "text", "doc_id")
