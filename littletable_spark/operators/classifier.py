@@ -77,6 +77,16 @@ def score_linear(
         raise ValueError(
             f"score_linear: feature columns not in table: {missing}"
         )
+    taken = [
+        c
+        for c in (out_col, prob_col, decision_col)
+        if c is not None and c in table.fields
+    ]
+    if taken:
+        raise ValueError(
+            f"score_linear: output columns already exist: {taken} — "
+            "a silent duplicate would break downstream name resolution"
+        )
     df = table._require_df()
     z = _logit_expr(weights, intercept)
     cols = [F.col(c) for c in df.columns] + [z.alias(out_col)]
@@ -231,7 +241,15 @@ def train_text_classifier(
             f"train_text_classifier: columns not in table: {missing}"
         )
     df = table._require_df()
-    toks = df.select(
+    # NULL-label / NULL-text rows are dropped (mirroring
+    # train_quality_classifier's dropna), not fed to the fit — a single
+    # NULL label would otherwise surface as an opaque JVM error; note
+    # token-LESS documents also contribute nothing to a bag-of-words
+    # fit and are likewise absent from the assembled training set
+    clean = df.where(
+        F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    toks = clean.select(
         F.monotonically_increasing_id().alias("__doc__"),
         F.col(label_col).cast("double").alias("__label__"),
         F.explode(_tokens(text_col)).alias("__tok__"),
@@ -311,6 +329,15 @@ def score_text_classifier(
                 "score_text_classifier: model must be a "
                 f"train_text_classifier table (missing {c!r})"
             )
+    taken = [
+        c
+        for c in (out_col, decision_col)
+        if c is not None and c in table.fields
+    ]
+    if taken:
+        raise ValueError(
+            f"score_text_classifier: output columns already exist: {taken}"
+        )
     scalar = (
         model.df.where(F.col("feature_idx").isNull())
         .select("weight", "n_features")

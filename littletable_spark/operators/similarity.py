@@ -166,6 +166,19 @@ def lsh_signature(vec_col: Column | str, planes: np.ndarray) -> Column:
     return F.concat(*bits)
 
 
+def _assign_clusters(vec_series, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment for one Arrow batch: unit-normalize,
+    one BLAS matmul, argmax. The SINGLE definition shared by ivf_topk
+    (self mode) and ivf_index_table, so a stored index and a fresh
+    assignment can never disagree bit-for-bit. Normalization is
+    argmax-irrelevant (same positive divisor per row) but kept so the
+    batch matmul matches the trainer's geometry exactly."""
+    M = np.array([list(v) for v in vec_series], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    Mn = M / np.where(norms == 0, 1.0, norms)
+    return np.argmax(Mn @ cents.T, axis=1).astype(np.int32)
+
+
 def _train_centroids(
     X: np.ndarray,
     nlist: int,
@@ -278,36 +291,33 @@ def ivf_topk(
             corpus.df, id_col, vec_col, sample_size
         )
         centroids = _train_centroids(sample, nlist, seed)
-    bc = corpus.spark.sparkContext.broadcast(centroids)
 
-    # Assignment stays an Arrow/BLAS pass DELIBERATELY. A native-JVM
-    # fold (dot array as one F.expr of nlist x dim literals, argmax via
-    # array_position(array_max), the lsh_signature trick) was built and
-    # A/B-measured this round: 2.46s vs 1.79s end-to-end at sf0.1 —
-    # nlist*dim (~1024) interpreted multiply-adds per row lose to one
-    # numpy matmul by far more than the Arrow round-trip costs. The
-    # lsh_signature win came from plan-construction (py4j per-literal
-    # Columns) and a much smaller fold (n_planes <= 12 dots); it does
-    # not transfer to dense centroid assignment. Normalization is
-    # argmax-irrelevant (same positive divisor per row) but kept so the
-    # batch matmul matches the trainer's geometry exactly.
-    def assign_batches(batches):
-        import numpy as np
-        import pandas as pd
+        # Assignment stays an Arrow/BLAS pass DELIBERATELY. A
+        # native-JVM fold (dot array as one F.expr of nlist x dim
+        # literals, argmax via array_position(array_max), the
+        # lsh_signature trick) was built and A/B-measured (round 6):
+        # 2.46s vs 1.79s end-to-end at sf0.1 — nlist*dim (~1024)
+        # interpreted multiply-adds per row lose to one numpy matmul
+        # by far more than the Arrow round-trip costs. The math lives
+        # in _assign_clusters, shared with ivf_index_table so stored-
+        # index search can never diverge from self-mode assignment.
+        bc = corpus.spark.sparkContext.broadcast(centroids)
 
-        cents = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            M = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
-            norms = np.linalg.norm(M, axis=1, keepdims=True)
-            Mn = M / np.where(norms == 0, 1.0, norms)
-            cl = np.argmax(Mn @ cents.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {"corpus_id": pdf["corpus_id"], "cvec": pdf["cvec"], "cluster": cl}
-            )
+        def assign_batches(batches):
+            import pandas as pd
 
-    if against_index is None:
+            cents = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "corpus_id": pdf["corpus_id"],
+                        "cvec": pdf["cvec"],
+                        "cluster": _assign_clusters(pdf["cvec"], cents),
+                    }
+                )
+
         cdf = corpus.df.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -319,6 +329,11 @@ def ivf_topk(
     q_rows = _collect_query_vectors(
         queries.df.select(qid, F.col(vec_col).cast("array<double>")), max_queries
     )
+    if not q_rows:
+        empty = corpus.spark.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
+        return Table.from_df(empty, name="ivf_topk")
     nprobe = min(nprobe, len(centroids))
     q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
@@ -432,19 +447,18 @@ def ivf_index_table(
     bc = corpus.spark.sparkContext.broadcast(cents)
 
     def assign_batches(batches):
-        import numpy as np
         import pandas as pd
 
         C = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            M = np.array([list(v) for v in pdf["cvec"]], dtype=np.float64)
-            norms = np.linalg.norm(M, axis=1, keepdims=True)
-            Mn = M / np.where(norms == 0, 1.0, norms)
-            cl = np.argmax(Mn @ C.T, axis=1).astype(np.int32)
             yield pd.DataFrame(
-                {"cluster": cl, "corpus_id": pdf["corpus_id"], "cvec": pdf["cvec"]}
+                {
+                    "cluster": _assign_clusters(pdf["cvec"], C),
+                    "corpus_id": pdf["corpus_id"],
+                    "cvec": pdf["cvec"],
+                }
             )
 
     schema = (

@@ -141,6 +141,21 @@ def ingest_batch(
     spark = batch_df.sparkSession
     bid = int(batch_id)
 
+    # heal any compaction interrupted mid-swap BEFORE the first probe:
+    # a crash between a compaction's manifest write and its publish
+    # leaves the asset with sources deleted and the compacted rows
+    # still in the (reader-invisible) temp dir — probing that state
+    # would silently miss the settled corpus and admit duplicates.
+    # Cost when nothing is pending: one fs.exists per enabled path.
+    from .maintenance import recover_asset
+
+    for p in (
+        corpus_path, bands_path, lines_path, grams_path, sigs_path,
+        ivf_path, stats_path,
+    ):
+        if p is not None:
+            recover_asset(spark, p)
+
     def _stored(path: str) -> DataFrame | None:
         """The stored index MINUS this batch's own partition: a
         RE-DELIVERED batch already has its own rows in the index —

@@ -166,6 +166,7 @@ def compact_asset(
     target_file_mb: int = 128,
     upto_batch_id: int | None = None,
     dedup: bool = False,
+    max_generations: int = 4,
 ) -> dict:
     """Fold an asset's settled ``batch_id=*`` partitions into one
     right-sized partition. Returns a stats dict.
@@ -183,22 +184,36 @@ def compact_asset(
     reader SUMS rows across partitions) and for anything else where
     the row multiset is the data.
 
-    The compacted rows land in ``batch_id=-<k>`` with ``k`` strictly
-    greater than every absolute batch id seen, so the name can never
-    collide with a future micro-batch (always >= 0) or a previous
-    compaction. Output is sized at ``ceil(bytes / target_file_mb)``
-    files so a 100 GB asset compacts to ~800 files at the default,
-    never to 1 giant or 10k tiny ones.
+    Compaction is GENERATIONAL (LSM-style tiering) so periodic calls
+    never rewrite the whole asset: each call folds only the newly
+    settled positive partitions into a fresh negative-id generation,
+    and the negative generations themselves are merged only once
+    ``max_generations`` of them exist — per-cycle I/O stays
+    proportional to new data, with occasional full merges amortizing
+    to O(log n) rewrites of any given row rather than one rewrite per
+    cycle. ``max_generations=1`` forces a full single-partition merge
+    every call (the quiesced-backfill shape).
+
+    Generation ids are ``batch_id=-<k>`` with ``k`` strictly greater
+    than every absolute batch id consumed, so a name can never collide
+    with a future micro-batch (always >= 0) or a previous generation.
+    Output is sized at ``ceil(bytes / target_file_mb)`` files so a
+    100 GB fold compacts to ~800 files at the default, never to 1
+    giant or 10k tiny ones.
     """
     fs, _, jvm = _fs(spark, path)
     recover_asset(spark, path)
 
     dirs = _list_batch_dirs(fs, jvm, path)
-    selected = {
+    fresh = {
         bid: d
         for bid, d in dirs.items()
-        if bid < 0 or upto_batch_id is None or bid <= upto_batch_id
+        if bid >= 0 and (upto_batch_id is None or bid <= upto_batch_id)
     }
+    generations = {bid: d for bid, d in dirs.items() if bid < 0}
+    selected = dict(fresh)
+    if len(generations) + (1 if fresh else 0) > max(1, max_generations):
+        selected.update(generations)
     if len(selected) <= 1:
         files, bytes_ = _dir_stats(fs, jvm, list(dirs.values()))
         return {
@@ -225,15 +240,13 @@ def compact_asset(
         fs.delete(tmp, True)
     df.repartition(n_files).write.mode("overwrite").parquet(tmp_path)
     # publish: from this point the swap is replayable from the manifest
-    _write_manifest(
-        fs,
-        jvm,
-        path,
-        {"sources": [f"batch_id={b}" for b in selected], "dest": dest},
-    )
-    _finish_swap(
-        fs, jvm, path, {"sources": [f"batch_id={b}" for b in selected], "dest": dest}
-    )
+    # — the SAME dict drives both paths so replay can never diverge
+    manifest = {
+        "sources": [f"batch_id={b}" for b in selected],
+        "dest": dest,
+    }
+    _write_manifest(fs, jvm, path, manifest)
+    _finish_swap(fs, jvm, path, manifest)
     files_after, _ = _dir_stats(fs, jvm, [f"{path}/{dest}"])
     return {
         "compacted": len(selected),

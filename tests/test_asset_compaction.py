@@ -116,15 +116,54 @@ def test_compact_upto_batch_id_spares_redeliverable_partitions(spark, root):
 
 
 def test_recompaction_folds_prior_compaction(spark, root):
-    """A second compaction absorbs the previous batch_id=-k partition
-    plus the new micro-batches into a fresh non-colliding name."""
+    """max_generations=1 forces full merges: a second compaction
+    absorbs the previous batch_id=-k partition plus the new
+    micro-batches into a fresh non-colliding name."""
     corpus, bands, stats = _seed(spark, root)
-    compact_asset(spark, bands)  # -> batch_id=-3
+    compact_asset(spark, bands, max_generations=1)  # -> batch_id=-3
     ingest_batch(_docs(spark, [(7, _TEXTS[3])]), 7, corpus, bands, stats_path=stats)
-    res = compact_asset(spark, bands)
+    res = compact_asset(spark, bands, max_generations=1)
     assert res["compacted"] == 2 and res["dest"] == "batch_id=-8"
     assert asset_info(spark, bands)["partitions"] == 1
     assert {r.doc_id for r in spark.read.parquet(bands).collect()} == {0, 1, 2, 7}
+
+
+def test_generational_tiering_bounds_rewrite_cost(spark, root):
+    """The default behavior is LSM-style: periodic compactions fold
+    ONLY newly settled batches into a fresh generation — settled
+    generations are not re-read — until max_generations exist, when
+    one full merge collapses them. Per-cycle I/O stays proportional
+    to new data instead of rewriting the whole asset every cycle."""
+    corpus, bands, stats = _seed(spark, root)  # batches 0,1,2
+    r1 = compact_asset(spark, bands, max_generations=2)
+    assert r1["compacted"] == 3 and r1["dest"] == "batch_id=-3"
+
+    fresh_texts = {
+        7: _TEXTS[3],
+        8: "red orange yellow green blue indigo violet silver gold bronze",
+    }
+    for b in (7, 8):
+        ingest_batch(
+            _docs(spark, [(b, fresh_texts[b])]), b,
+            corpus, bands, stats_path=stats,
+        )
+    # one generation + fresh -> a SECOND generation; gen -3 untouched
+    r2 = compact_asset(spark, bands, max_generations=2)
+    assert r2["compacted"] == 2 and r2["dest"] == "batch_id=-9"
+    info = asset_info(spark, bands)
+    assert info["partitions"] == 2 and info["min_batch_id"] == -9
+
+    # two generations at the cap + fresh -> full merge of everything
+    ingest_batch(
+        _docs(spark, [(11, "mercury venus earth mars jupiter saturn uranus neptune pluto ceres")]),
+        11, corpus, bands, stats_path=stats,
+    )
+    r3 = compact_asset(spark, bands, max_generations=2)
+    assert r3["compacted"] == 3 and r3["dest"] == "batch_id=-12"
+    assert asset_info(spark, bands)["partitions"] == 1
+    assert {r.doc_id for r in spark.read.parquet(bands).collect()} == {
+        0, 1, 2, 7, 8, 11,
+    }
 
 
 def test_compact_dedup_collapses_repeated_ivf_model_rows(spark, root):
@@ -224,3 +263,33 @@ def test_single_partition_is_a_noop(spark, root):
     res = compact_asset(spark, bands)
     assert res["compacted"] == 0 and res["dest"] is None
     assert asset_info(spark, bands)["partitions"] == 1
+
+
+def test_ingest_heals_interrupted_compaction_before_probing(spark, root):
+    """The dangerous crash window: manifest published, some source
+    partitions already deleted, compacted rows still invisible in the
+    temp dir. A plain read would miss settled docs and re-admit their
+    duplicates — ingest_batch must replay the swap BEFORE its first
+    probe, so the dedup decision matches a never-crashed run."""
+    import glob as _glob
+    import os
+
+    corpus, bands, stats = _seed(spark, root)
+    srcs = sorted(os.path.basename(p) for p in _glob.glob(f"{bands}/batch_id=*"))
+    spark.read.parquet(*[f"{bands}/{s}" for s in srcs]).repartition(1).write.parquet(
+        f"{bands}/{_TMP}"
+    )
+    with open(f"{bands}/{_MANIFEST}", "w") as fh:
+        json.dump({"sources": srcs, "dest": "batch_id=-4"}, fh)
+    shutil.rmtree(f"{bands}/{srcs[0]}")  # partial delete: doc 0's bands gone
+
+    # a dup of doc 0 (whose band rows are ONLY recoverable via the
+    # manifest replay) plus a new doc
+    s = ingest_batch(
+        _docs(spark, [(20, _TEXTS[0]), (21, _TEXTS[3])]), 20,
+        corpus, bands, stats_path=stats,
+    )
+    assert (s["appended"], s["dropped"]) == (1, 1)
+    info = asset_info(spark, bands)
+    assert not info["pending_compaction"]
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {0, 1, 2, 21}

@@ -225,3 +225,37 @@ def test_text_classifier_validates_model_table(spark):
     t, _ = _text_corpus(spark, n_per_class=3)
     with pytest.raises(ValueError, match="train_text_classifier"):
         score_text_classifier(t, t, "text", "doc_id")
+
+
+def test_score_output_column_collisions_fail_fast(spark):
+    from littletable_spark.operators.classifier import score_text_classifier
+
+    t = _feats(spark, [(1.0, 2.0, 0.5)])
+    with pytest.raises(ValueError, match="already exist"):
+        score_linear(t, {"f_a": 1.0}, out_col="f_b")
+    t2, _ = _text_corpus(spark, n_per_class=3)
+    from littletable_spark.operators.classifier import train_text_classifier
+
+    m = train_text_classifier(t2, "text", "label", n_features=256)
+    with pytest.raises(ValueError, match="already exist"):
+        score_text_classifier(t2, m, "text", "doc_id", out_col="label")
+
+
+def test_train_text_classifier_drops_null_rows(spark):
+    from littletable_spark.operators.classifier import (
+        score_text_classifier,
+        train_text_classifier,
+    )
+
+    t = Table("nt", spark=spark)
+    t.insert_many(
+        [{"doc_id": i, "text": ("good solid text" if i % 2 else "bad spam junk"),
+          "label": i % 2} for i in range(10)]
+        + [{"doc_id": 10, "text": None, "label": 1},
+           {"doc_id": 11, "text": "orphan", "label": None}]
+    )
+    model = train_text_classifier(t, "text", "label", n_features=256)
+    scored = score_text_classifier(t, model, "text", "doc_id", decision_col="keep")
+    rows = {r.doc_id: r for r in scored}
+    assert len(rows) == 12  # scoring keeps every row, incl. NULL text
+    assert all(rows[i].keep == i % 2 for i in range(10))
