@@ -58,6 +58,41 @@ def main() -> None:
         n for n in queries if n not in HEADLINE and n.startswith(("dedup", "sim", "text", "search"))
     ]
 
+    # fixed-work ARROW calibration, measured TWICE: here (fresh JVM,
+    # only primitive Arrow writers loaded) and again after the query
+    # loop (polluted). Root-caused this round: the FIRST mapInPandas
+    # whose input carries an array column permanently degrades the
+    # session's JVM-side Arrow batch feed (~6x on this job — worker
+    # wait-for-batch 10.8s -> 147s aggregate while in-worker compute
+    # stays flat and plain-Python RDD tasks stay flat; thread dumps
+    # show task threads in ArrowFieldWriter.getSizeInBytes via
+    # StructVector.getBufferSizeFor — consistent with JIT call-site
+    # pollution once non-primitive writer classes load). Every
+    # Arrow-heavy query timed after the first embedding query pays
+    # this; the pre/post pair quantifies the session's pollution
+    # factor so cross-round comparisons can separate it from real
+    # regressions.
+    def _arrow_cal_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"s": [float(np.sqrt(pdf["id"].to_numpy()).sum())]}
+            )
+
+    def _cal_arrow_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 40_000_000, 1, CPUS).mapInPandas(
+            _arrow_cal_batches, "s double"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    _cal_arrow_once()  # worker/Arrow warmup, untimed
+    calibration_arrow_fresh = round(
+        sorted(_cal_arrow_once() for _ in range(3))[1], 3
+    )
+
     # warmup pass: codegen/JIT compilation + parquet footer caches; the
     # timed pass below measures steady-state execution
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
@@ -121,6 +156,15 @@ def main() -> None:
     cal = [_cal_once() for _ in range(3)]
     calibration = round(sorted(cal)[1], 3)
 
+    # post-run ARROW calibration: same fixed job as the pre-run one —
+    # by now the session's Arrow feed path carries the array-writer
+    # pollution every late-running Arrow query also paid, so THIS is
+    # the number that normalizes the dedup/sim/text rows; the ratio
+    # post/fresh is the session's pollution factor (see the pre-run
+    # block for the root-cause evidence).
+    cal_a = [_cal_arrow_once() for _ in range(3)]
+    calibration_arrow = round(sorted(cal_a)[1], 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -134,6 +178,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "calibration_sec": calibration,
+                "calibration_arrow_fresh_sec": calibration_arrow_fresh,
+                "calibration_arrow_sec": calibration_arrow,
                 "sf": sf_val,
                 "cpus": CPUS,
                 "methodology": (
