@@ -33,6 +33,19 @@ def get_spark(app_name: str = "littletable_spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # EXACTLY Int.MaxValue: BatchedPythonArrowInput.underBatchSizeLimit
+        # short-circuits on == INT_MAX and skips its per-row
+        # ArrowWriter.sizeInBytes() walk (verified in the 4.1.2
+        # bytecode). With the default 64m cap that walk degrades ~6x
+        # session-wide once any mapInPandas input has carried an array
+        # column (root-caused round 7 — BASELINE.md "Arrow-feed
+        # pollution"), taxing every later Arrow pass. This restores
+        # Spark 3.x batching semantics: batches are bounded by
+        # maxRecordsPerBatch (10k rows) only — pipelines pushing very
+        # fat rows (multi-MB binary blobs) through Pandas UDFs should
+        # lower spark.sql.execution.arrow.maxRecordsPerBatch to keep
+        # per-batch bytes in check.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647b")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
