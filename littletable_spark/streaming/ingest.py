@@ -65,6 +65,7 @@ def ingest_batch(
     stats_path: str | None = None,
     ivf_path: str | None = None,
     ivf_centroids=None,
+    allow_schema_drift: bool = False,
 ) -> dict[str, int]:
     """Process ONE micro-batch (plain batch DataFrame — callable
     directly in tests or backfills, no stream required) through the
@@ -155,6 +156,32 @@ def ingest_batch(
     ):
         if p is not None:
             recover_asset(spark, p)
+
+    # schema-drift guard: a plain partitioned-parquet read resolves its
+    # schema from ONE footer, so a batch carrying a column the settled
+    # corpus lacks (upstream added a field mid-crawl) would write fine
+    # and then SILENTLY VANISH from every read. Fail loudly instead,
+    # with the migration recipe; allow_schema_drift=True permits the
+    # write for operators who will run the compaction migration.
+    try:
+        stored_cols = set(spark.read.parquet(corpus_path).columns) - {
+            "batch_id"
+        }
+    except AnalysisException:
+        stored_cols = None  # first batch seeds the schema
+    if stored_cols is not None and not allow_schema_drift:
+        batch_cols = set(batch_df.columns)
+        if batch_cols != stored_cols:
+            raise ValueError(
+                "ingest_batch: batch schema drifted from the stored corpus "
+                f"(batch-only: {sorted(batch_cols - stored_cols)}, "
+                f"corpus-only: {sorted(stored_cols - batch_cols)}). A plain "
+                "read of the corpus would silently drop the new columns. "
+                "Either align the batch, or pass allow_schema_drift=True "
+                "and then run compact_asset(spark, corpus_path, "
+                "merge_schema=True) to unify the layout so plain reads "
+                "see the union schema."
+            )
 
     def _stored(path: str) -> DataFrame | None:
         """The stored index MINUS this batch's own partition: a

@@ -167,6 +167,7 @@ def compact_asset(
     upto_batch_id: int | None = None,
     dedup: bool = False,
     max_generations: int = 4,
+    merge_schema: bool = False,
 ) -> dict:
     """Fold an asset's settled ``batch_id=*`` partitions into one
     right-sized partition. Returns a stats dict.
@@ -226,8 +227,16 @@ def compact_asset(
 
     files_before, bytes_ = _dir_stats(fs, jvm, list(selected.values()))
     # reading the explicit partition dirs (no basePath) drops the
-    # batch_id partition column, leaving pure data rows to rewrite
-    df = spark.read.parquet(*selected.values())
+    # batch_id partition column, leaving pure data rows to rewrite.
+    # merge_schema=True is the SCHEMA MIGRATION path: partitions whose
+    # schemas drifted (a mid-crawl batch added a column, written with
+    # allow_schema_drift=True) are unioned to the full column set —
+    # missing columns become NULLs — so after this rewrite a plain
+    # single-footer read sees the union schema again.
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*selected.values())
     if dedup:
         df = df.distinct()
     n_files = max(1, -(-bytes_ // (target_file_mb * 1024 * 1024)))

@@ -293,3 +293,40 @@ def test_ingest_heals_interrupted_compaction_before_probing(spark, root):
     info = asset_info(spark, bands)
     assert not info["pending_compaction"]
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {0, 1, 2, 21}
+
+
+def test_schema_drift_guard_and_migration(spark, root):
+    """A mid-crawl batch carrying a new column must not silently
+    vanish from plain corpus reads: ingest fails loudly by default,
+    allow_schema_drift=True permits the write, and
+    compact_asset(merge_schema=True) is the migration that makes the
+    union schema visible to single-footer reads again."""
+    corpus, bands = f"{root}/corpus", f"{root}/bands"
+    ingest_batch(_docs(spark, [(0, _TEXTS[0])]), 0, corpus, bands)
+
+    drifted = Table("d", spark=spark)
+    drifted.insert_many([{"doc_id": 5, "text": _TEXTS[1], "lang": "en"}])
+    dd = drifted.df.select("doc_id", "text", "lang")
+
+    with pytest.raises(ValueError, match="schema drifted"):
+        ingest_batch(dd, 1, corpus, bands)
+
+    s = ingest_batch(dd, 1, corpus, bands, allow_schema_drift=True)
+    assert s["appended"] == 1
+    # the hazard the guard exists for: plain read misses the new column
+    assert "lang" not in spark.read.parquet(corpus).columns
+
+    compact_asset(spark, corpus, merge_schema=True, max_generations=1)
+    got = spark.read.parquet(corpus)
+    assert "lang" in got.columns
+    assert {(r.doc_id, r.lang) for r in got.collect()} == {
+        (0, None), (5, "en"),
+    }
+
+    # post-migration: batches in the NEW schema pass the guard
+    t3 = Table("d3", spark=spark)
+    t3.insert_many([{"doc_id": 9, "text": _TEXTS[2], "lang": "de"}])
+    s3 = ingest_batch(
+        t3.df.select("doc_id", "text", "lang"), 2, corpus, bands
+    )
+    assert s3["appended"] == 1
