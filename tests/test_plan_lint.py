@@ -102,6 +102,32 @@ def test_new_pipeline_operators_lint_clean(spark):
         assert tab.lint() == [], tab.table_name
 
 
+def test_classifier_operators_lint_clean(spark):
+    """round-7 classifier surface: linear scoring/filtering are pure
+    projections, and hashed-text SCORING never leaves the JVM (the
+    fit's one sparse-assembly UDF is deliberately confined to
+    training and is not part of any scan-path plan)."""
+    from littletable_spark.operators.classifier import (
+        filter_by_classifier,
+        score_linear,
+        score_text_classifier,
+        train_text_classifier,
+    )
+
+    t = Table("lintclf", spark=spark)
+    t.insert_many(
+        [{"doc_id": i, "text": f"tok{i % 5} body words {i % 2}",
+          "f_a": float(i), "label": i % 2} for i in range(20)]
+    )
+    model = train_text_classifier(t, "text", "label", n_features=256)
+    for tab in (
+        score_linear(t, {"f_a": 0.5}, decision_col="keep"),
+        filter_by_classifier(t, {"f_a": 0.5}),
+        score_text_classifier(t, model, "text", "doc_id"),
+    ):
+        assert tab.lint() == [], tab.table_name
+
+
 def test_registry_outputs_are_scalar_only(spark):
     """Registry-wide schema sweep: no queries() result may expose an
     Array/Map/Struct column. The driver's oracle harness canonicalizes
