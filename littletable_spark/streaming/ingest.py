@@ -163,11 +163,14 @@ def ingest_batch(
     # and then SILENTLY VANISH from every read. Fail loudly instead,
     # with the migration recipe; allow_schema_drift=True permits the
     # write for operators who will run the compaction migration.
-    try:
+    from .maintenance import _fs
+
+    fs, corpus_jpath, _ = _fs(spark, corpus_path)
+    if fs.exists(corpus_jpath):
         stored_cols = set(spark.read.parquet(corpus_path).columns) - {
             "batch_id"
         }
-    except AnalysisException:
+    else:
         stored_cols = None  # first batch seeds the schema
     if stored_cols is not None and not allow_schema_drift:
         batch_cols = set(batch_df.columns)
