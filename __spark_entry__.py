@@ -470,6 +470,40 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("batch_id").cast("int").alias("batch_id"))
 
 
+def q_stream_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compacting-ingest lifecycle: batches 0 and 1 (doc_id%3) run the
+    curated sink, compact_asset folds BOTH assets' partitions into one
+    generation (manifest-led swap, streaming/maintenance.py), then
+    batch 2 dedups against the COMPACTED band index. Compaction is
+    pure layout, so the surviving doc set must equal a never-compacted
+    run's — the oracle is the plain 3-batch recurrence — while the
+    batch_id lineage column proves the fold happened (-2 for folded
+    survivors, 2 for batch-2 survivors). The driver thereby gates the
+    whole maintenance path: generational naming, swap completeness,
+    and probe-over-compacted-asset equivalence."""
+    import tempfile
+
+    from littletable_spark.streaming.ingest import ingest_batch
+    from littletable_spark.streaming.maintenance import compact_asset
+
+    d = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lts_ingest_cq_")
+    corpus, bands = f"{root}/corpus", f"{root}/bands"
+    for bid in (0, 1):
+        ingest_batch(
+            d.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid),
+            bid, corpus, bands, collect_stats=False,
+        )
+    for p in (corpus, bands):
+        compact_asset(spark, p, max_generations=1)
+    ingest_batch(
+        d.where(F.pmod(F.col("doc_id"), F.lit(3)) == 2),
+        2, corpus, bands, collect_stats=False,
+    )
+    out = spark.read.parquet(corpus)
+    return out.select("doc_id", F.col("batch_id").cast("int").alias("batch_id"))
+
+
 def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming dedup: watermarked dropDuplicates, first event per
     (user, type). Projected to the key columns the winner set is
@@ -1543,8 +1577,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multiply-add) also gates immediately; text_quality parks in
     exchange (driver-green r1-r5 — and its entire feature pipeline
     executes IN-GATE inside text_quality_clf, which consumes
-    quality_score's columns directly). The local mirror
-    (scripts/verify_oracle.py) still runs all 93 every round."""
+    quality_score's columns directly). Net-new stream_ingest_compact
+    (the compacting-ingest lifecycle: two batches, full asset
+    compaction, a third batch probing the COMPACTED index — the
+    maintenance path driver-gated end-to-end via layout-invariant
+    dedup decisions + the folded batch_id lineage) also gates
+    immediately; pivot_counts parks in exchange (driver-green r1-r6;
+    its Expand/pivot-agg core stays in-gate via grouping_sets and
+    groupby_summaries). The local mirror
+    (scripts/verify_oracle.py) still runs all 94 every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1559,7 +1600,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": q_upsert_merge,
         "groupby_summaries": q_groupby_summaries,
         "groupby_runs": q_groupby_runs,
-        "pivot_counts": q_pivot_counts,
+        "stream_ingest_compact": q_stream_ingest_compact,
         "stats": q_stats,
         "skew_report": q_skew_report,
         "window_moving_avg": q_window_moving_avg,
@@ -1597,6 +1638,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "pivot_counts": q_pivot_counts,
         "text_quality": q_text_quality,
         "sim_ivf_topk": q_sim_ivf_topk,
         "window_topk_per_group": q_window_topk_per_group,
@@ -1725,6 +1767,63 @@ def _ingest_oracle_sql() -> str:
             UNION ALL
             SELECT doc_id, CAST(1 AS INTEGER) AS batch_id FROM kept1a
             WHERE doc_id NOT IN (SELECT id1 FROM px)
+        """
+
+
+def _ingest_compact_oracle_sql() -> str:
+    """DuckDB mirror of the compacting-ingest lifecycle
+    (q_stream_ingest_compact): three doc_id%3 micro-batches with a
+    full asset compaction between batch 1 and batch 2. Compaction is
+    pure layout — the dedup decisions must be IDENTICAL to a
+    never-compacted run — so the oracle is the straight 3-batch
+    greedy-then-probe recurrence; the only compaction-visible output
+    is the batch_id lineage column, which is -2 (the folded
+    generation: ids 0,1 consumed, max abs 1 -> dest -(1+1)) for every
+    pre-compaction survivor and 2 for batch-2 survivors."""
+    prefix = _MINHASH_PAIRS_SQL[: _MINHASH_PAIRS_SQL.rindex("SELECT DISTINCT")]
+    prefix = prefix.rstrip()
+    assert prefix.endswith(")")
+
+    def within(b: int) -> str:
+        return f"""pw{b} AS (
+              SELECT DISTINCT b.doc_id AS id2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 3 = {b} AND b.doc_id % 3 = {b}
+            ), kept{b}a AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id % 3 = {b}
+                AND doc_id NOT IN (SELECT id2 FROM pw{b})
+            )"""
+
+    return prefix + f""", {within(0)}, kept0 AS (
+              SELECT doc_id FROM kept0a
+            ), {within(1)}, px1 AS (
+              SELECT DISTINCT a.doc_id AS id1
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+              WHERE a.doc_id IN (SELECT doc_id FROM kept1a)
+                AND b.doc_id IN (SELECT doc_id FROM kept0)
+            ), kept1 AS (
+              SELECT doc_id FROM kept1a
+              WHERE doc_id NOT IN (SELECT id1 FROM px1)
+            ), {within(2)}, px2 AS (
+              SELECT DISTINCT a.doc_id AS id1
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+              WHERE a.doc_id IN (SELECT doc_id FROM kept2a)
+                AND (b.doc_id IN (SELECT doc_id FROM kept0)
+                     OR b.doc_id IN (SELECT doc_id FROM kept1))
+            ), kept2 AS (
+              SELECT doc_id FROM kept2a
+              WHERE doc_id NOT IN (SELECT id1 FROM px2)
+            )
+            SELECT doc_id, CAST(-2 AS INTEGER) AS batch_id FROM kept0
+            UNION ALL
+            SELECT doc_id, CAST(-2 AS INTEGER) AS batch_id FROM kept1
+            UNION ALL
+            SELECT doc_id, CAST(2 AS INTEGER) AS batch_id FROM kept2
         """
 
 
@@ -2250,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _MINHASH_PAIRS_SQL,
         "stream_ingest_dedup": _ingest_oracle_sql(),
+        "stream_ingest_compact": _ingest_compact_oracle_sql(),
         # incremental shape: identical banding, cross-side pairs only
         "dedup_minhash_incr": _MINHASH_PAIRS_SQL.replace(
             "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id",

@@ -40,6 +40,7 @@ HEADLINE = [
     "range_join",
     "events_rollup",
     "stream_ingest_dedup",
+    "stream_ingest_compact",
     "skew_report",
 ]
 
