@@ -146,3 +146,30 @@ def test_registry_outputs_are_scalar_only(spark):
             if isinstance(field.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, field.name, field.dataType.simpleString()))
     assert not offenders, f"non-scalar registry output columns: {offenders}"
+
+
+def test_coverage_tier_annotations_match_registry():
+    """COVERAGE.md's '(gate)'/'(mirror)' oracle-tier citations must
+    agree with the registry's actual 50-query gate window — stale
+    annotations misreport which queries the driver verified this
+    round. Pure text/dict check, no Spark session."""
+    import itertools
+    import re
+
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    gate = set(itertools.islice(q, 50))
+    parked = set(q) - gate
+    cov = open("COVERAGE.md").read()
+    bad = sorted(
+        {
+            (name, tier)
+            for name, tier in re.findall(
+                r"(\w+) \((gate|mirror)[;)\s]", cov
+            )
+            if (name in gate and tier == "mirror")
+            or (name in parked and tier == "gate")
+        }
+    )
+    assert bad == [], f"stale COVERAGE tier annotations: {bad}"
