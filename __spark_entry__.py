@@ -592,6 +592,24 @@ def q_sample_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.select("doc_id", "shard", "shuffle_ord")
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): top-100 documents by ln(u)/w with w = char length — the
+    quality-weighted corpus-selection step. The raw score stays out of
+    the output (ln() may differ in the last ulp across engines); the
+    selected (doc_id, w) pairs are exact."""
+    from littletable_spark.operators.sampling import sample_weighted
+
+    d = _t(spark, sf_dir, "documents")
+    weighted = Table.from_df(
+        d.df.select(
+            "doc_id", F.length("text").cast("double").alias("w")
+        )
+    )
+    out = sample_weighted(weighted, 100, "w", "doc_id", salt="r7")
+    return out.df.select("doc_id", "w")
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-8 for a fixed query (scores rounded to 6dp BEFORE
     ranking so the rank order is total and engine-portable)."""
@@ -1584,8 +1602,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup decisions + the folded batch_id lineage) also gates
     immediately; pivot_counts parks in exchange (driver-green r1-r6;
     its Expand/pivot-agg core stays in-gate via grouping_sets and
-    groupby_summaries). The local mirror
-    (scripts/verify_oracle.py) still runs all 94 every round."""
+    groupby_summaries). Net-new sample_weighted (Efraimidis–Spirakis
+    weighted sampling without replacement over the md5 u-draw) gates
+    immediately; sample_mixture parks in exchange (driver-green r6;
+    the md5 hash-threshold core stays in-gate via sample_epoch /
+    cap_per_group / cap_tokens and sample_weighted itself). The local
+    mirror (scripts/verify_oracle.py) still runs all 95 every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1633,11 +1655,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_epoch": q_sample_epoch,
         "sample_cap_per_group": q_sample_cap_per_group,
         "sample_cap_tokens": q_sample_cap_tokens,
-        "sample_mixture": q_sample_mixture,
+        "sample_weighted": q_sample_weighted,
         "text_chunks": q_text_chunks,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "sample_mixture": q_sample_mixture,
         "pivot_counts": q_pivot_counts,
         "text_quality": q_text_quality,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -3063,6 +3086,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "sample_mixture": _mixture_oracle_sql(),
+        "sample_weighted": f"""
+            -- A-ES: top-k by ln(u)/w desc with the md5 u-draw; the
+            -- score orders but is NOT emitted (ln differs in the last
+            -- ulp across engines; the selected rows are exact)
+            WITH w AS (
+              SELECT doc_id, CAST(length(text) AS DOUBLE) AS w
+              FROM documents
+            )
+            SELECT doc_id, w FROM w
+            WHERE w IS NOT NULL AND w > 0
+            ORDER BY ln(({_hash_bucket_sql('doc_id', 'r7')} + 0.5)
+                        / 4294967296.0) / w DESC,
+                     doc_id
+            LIMIT 100
+        """,
         "sample_cap_per_group": f"""
             SELECT doc_id, source FROM (
               SELECT doc_id, source,

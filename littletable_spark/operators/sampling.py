@@ -171,6 +171,54 @@ def sample_fixed(table: Table, key_col: str, k: int, salt: str = "") -> Table:
     return table._derive(out)
 
 
+def sample_weighted(
+    table: Table,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "",
+) -> Table:
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis–Spirakis A-ES): every row draws u = (hash_bucket(key,
+    salt) + 0.5) / 2^32 ∈ (0,1) and the k largest u^(1/w) win —
+    equivalently the k largest ln(u)/w, computed that way so the
+    score is one log and one divide. Inclusion is exactly
+    weight-proportional for k=1 and the standard A-ES sequential-
+    sampling distribution for k>1 — the quality-weighted corpus
+    selection step ("keep 10M docs, preferring high quality-score")
+    that uniform hash sampling can't express.
+
+    Same determinism contract as the rest of this module: md5-keyed,
+    so the selection is reproducible across runs/partitionings and
+    NESTED (the k=10k sample contains the k=1k sample — the scores
+    are fixed per row, only the cutoff moves). Rows with NULL or
+    non-positive weight are excluded — weight 0 means "never sample",
+    and a NULL weight must not silently win with u alone.
+
+    Physical plan is TakeOrderedAndProject like ``sample_fixed``:
+    per-partition top-k, one k-row driver merge — no global sort. The
+    total order is (score desc, key asc); engines may differ in the
+    last ulp of ln(), so keep the raw score OUT of hash-checked
+    oracle outputs (selection flips need two scores within ~1e-16 at
+    the cutoff — negligible; value mismatches on an emitted score
+    would not be).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    df = table._require_df()
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(_HASH_SPACE)
+    score = F.log(u) / w
+    out = (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__s__", score)
+        .orderBy(F.col("__s__").desc(), F.col(key_col))
+        .limit(int(k))
+        .drop("__s__")
+    )
+    return table._derive(out)
+
+
 def split_train_test(
     table: Table, key_col: str, test_fraction: float, salt: str = ""
 ) -> tuple[Table, Table]:

@@ -330,3 +330,90 @@ def test_epoch_shuffle_deterministic_balanced_and_ordered(spark, tmp_path):
     a.parquet_export(p)
     back = spark.read.parquet(p)
     assert back.count() == n
+
+
+# ------------------------------------------------------------------ #
+# weighted sampling without replacement (A-ES)                        #
+# ------------------------------------------------------------------ #
+
+
+def _aes_model(keys_weights, k, salt=""):
+    """Independent numpy/hashlib model of sample_weighted: the exact
+    md5-prefix u draw and ln(u)/w score, top-k by (score desc, key)."""
+    import hashlib
+    import math
+
+    scored = []
+    for key, w in keys_weights:
+        if w is None or w <= 0:
+            continue
+        h = int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        scored.append((math.log(u) / w, key))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [key for _, key in scored[:k]]
+
+
+def test_sample_weighted_matches_independent_model(spark):
+    from littletable_spark.operators.sampling import sample_weighted
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    t = Table("wsamp", spark=spark)
+    t.insert_many([{"rid": r, "w": w} for r, w in rows])
+    got = [
+        r.rid
+        for r in sample_weighted(t, 25, "w", "rid", salt="x")
+        .df.select("rid")
+        .collect()
+    ]
+    assert sorted(got) == sorted(_aes_model(rows, 25, salt="x"))
+
+
+def test_sample_weighted_is_weight_proportional_at_k1(spark):
+    """A-ES with k=1 selects row i with probability w_i/Σw exactly;
+    across 300 independent salts the empirical counts must track the
+    1:2:7 weights (±5 sigma)."""
+    from littletable_spark.operators.sampling import sample_weighted
+
+    t = Table("w3", spark=spark)
+    t.insert_many(
+        [{"rid": 0, "w": 1.0}, {"rid": 1, "w": 2.0}, {"rid": 2, "w": 7.0}]
+    )
+    # the model is exact and cheap — run the trial sweep driver-side,
+    # then spot-check a handful of salts through the real operator
+    wins = [0, 0, 0]
+    rows = [(0, 1.0), (1, 2.0), (2, 7.0)]
+    for s in range(300):
+        wins[_aes_model(rows, 1, salt=f"s{s}")[0]] += 1
+    for i, p in enumerate((0.1, 0.2, 0.7)):
+        mean, sigma = 300 * p, (300 * p * (1 - p)) ** 0.5
+        assert abs(wins[i] - mean) < 5 * sigma, (i, wins)
+    for s in ("a", "b", "c"):
+        got = sample_weighted(t, 1, "w", "rid", salt=s).df.collect()
+        assert [r.rid for r in got] == _aes_model(rows, 1, salt=s)
+
+
+def test_sample_weighted_nested_null_and_plan(spark):
+    from littletable_spark.operators.sampling import sample_weighted
+
+    t = Table("wn", spark=spark)
+    t.insert_many(
+        [{"rid": i, "w": float(i % 5)} for i in range(50)]  # w=0 for i%5==0
+        + [{"rid": 99, "w": None}]
+    )
+    small = {r.rid for r in sample_weighted(t, 5, "w", "rid").df.collect()}
+    big = {r.rid for r in sample_weighted(t, 20, "w", "rid").df.collect()}
+    assert small <= big  # nested: fixed scores, moving cutoff
+    everything = {
+        r.rid for r in sample_weighted(t, 1000, "w", "rid").df.collect()
+    }
+    assert 99 not in everything  # NULL weight excluded
+    assert all(r % 5 != 0 for r in everything)  # zero weight excluded
+    plan = (
+        sample_weighted(t, 5, "w", "rid")
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        sample_weighted(t, 0, "w", "rid")
