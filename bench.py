@@ -37,6 +37,7 @@ HEADLINE = [
     "sample_cap_per_group",
     "sample_cap_tokens",
     "sample_epoch",
+    "sample_weighted",
     "range_join",
     "events_rollup",
     "stream_ingest_dedup",
