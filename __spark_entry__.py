@@ -457,6 +457,13 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="lts_ingest_q_")
+    # the returned DF is lazy, so the tree must outlive this call; a
+    # bench/mirror round invokes each query several times — reclaim at
+    # process exit instead of accreting mkdtemp trees on a long-lived box
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     corpus, bands = f"{root}/corpus", f"{root}/bands"
     for bid in (0, 1):
         ingest_batch(
@@ -488,6 +495,13 @@ def q_stream_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="lts_ingest_cq_")
+    # the returned DF is lazy, so the tree must outlive this call; a
+    # bench/mirror round invokes each query several times — reclaim at
+    # process exit instead of accreting mkdtemp trees on a long-lived box
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     corpus, bands = f"{root}/corpus", f"{root}/bands"
     for bid in (0, 1):
         ingest_batch(
@@ -891,6 +905,13 @@ def q_sim_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stored table makes both a cheap columnar read, and is the
     # shape against_index= exists for
     root = tempfile.mkdtemp(prefix="lts_ivf_q_")
+    # the returned DF is lazy, so the tree must outlive this call; a
+    # bench/mirror round invokes each query several times — reclaim at
+    # process exit instead of accreting mkdtemp trees on a long-lived box
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     idx.df.write.mode("overwrite").parquet(f"{root}/ivf")
     stored = Table.parquet_import(spark, f"{root}/ivf")
     q = e.where(vec_id=Table.ge(5)).where(vec_id=Table.lt(10))

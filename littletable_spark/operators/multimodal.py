@@ -82,6 +82,26 @@ def media_repartition(df: DataFrame, bin_col: str, target_bytes: int = 128 << 20
     return sized.repartition(n_parts).drop("__sz__")
 
 
+def _bound_arrow_batch_rows(spark, max_rows: int = 256) -> None:
+    """Blob rows are FAT, and get_spark disables Spark 4.1's per-batch
+    byte cap (the Int.MaxValue maxBytesPerBatch fix — see session.py):
+    the only remaining bound on an Arrow feed batch is
+    ``maxRecordsPerBatch``, and the 10k default times multi-MB blobs
+    is a multi-GB batch on the JVM feed side. Every blob-consuming
+    mapInPandas entry point therefore LOWERS the session's records cap
+    to ``max_rows`` (256 × 5 MB ≈ 1.3 GB worst case) before returning
+    its plan. Only ever lowers — a caller-tightened cap is respected —
+    and the setting is session-sticky (documented; skinny-row ops lose
+    nothing measurable at 256+ rows per batch)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    try:
+        current = int(spark.conf.get(key))
+    except Exception:
+        current = 10000
+    if current > max_rows:
+        spark.conf.set(key, str(max_rows))
+
+
 def _fake_pixels(blob: bytes, width: int, height: int) -> list[float]:
     """Deterministic stand-in for a pixel decode: md5-seeded grid."""
     h = hashlib.md5(blob or b"").digest()
@@ -150,6 +170,7 @@ def decode_image(
                 }
             )
 
+    _bound_arrow_batch_rows(table.spark)
     out = table.df.select(id_col, bin_col).mapInPandas(run, schema)
     return Table.from_df(out, name=f"{table.table_name}_decoded")
 
@@ -199,5 +220,6 @@ def frame_sample(
             if rows:
                 yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
 
+    _bound_arrow_batch_rows(table.spark)
     out = table.df.select(id_col, bin_col).mapInPandas(run, schema)
     return Table.from_df(out, name=f"{table.table_name}_frames")

@@ -185,8 +185,8 @@ def sample_weighted(
     score is one log and one divide. Inclusion is exactly
     weight-proportional for k=1 and the standard A-ES sequential-
     sampling distribution for k>1 — the quality-weighted corpus
-    selection step ("keep 10M docs, preferring high quality-score")
-    that uniform hash sampling can't express.
+    selection step (keep k docs, preferring high quality-score) that
+    uniform hash sampling can't express.
 
     Same determinism contract as the rest of this module: md5-keyed,
     so the selection is reproducible across runs/partitionings and
@@ -196,12 +196,19 @@ def sample_weighted(
     and a NULL weight must not silently win with u alone.
 
     Physical plan is TakeOrderedAndProject like ``sample_fixed``:
-    per-partition top-k, one k-row driver merge — no global sort. The
-    total order is (score desc, key asc); engines may differ in the
-    last ulp of ln(), so keep the raw score OUT of hash-checked
-    oracle outputs (selection flips need two scores within ~1e-16 at
-    the cutoff — negligible; value mismatches on an emitted score
-    would not be).
+    per-partition top-k, one k-row driver merge — no global sort.
+    That shape bounds k: every task holds a k-row heap of FULL rows
+    and the merge materializes k rows in one buffer, so it is right
+    for k up to the low millions of skinny rows. For corpus-scale
+    selections (tens of millions of text-bearing rows) run the same
+    score as a projection and threshold it instead: pick the cutoff
+    from a small ``sample_fixed`` quantile probe, then
+    ``where(score >= cutoff)`` — one scan, no heaps, same
+    distribution up to the cutoff estimate. The total order is
+    (score desc, key asc); engines may differ in the last ulp of
+    ln(), so keep the raw score OUT of hash-checked oracle outputs
+    (selection flips need two scores within ~1e-16 at the cutoff —
+    negligible; value mismatches on an emitted score would not be).
     """
     if k <= 0:
         raise ValueError("k must be positive")

@@ -158,33 +158,57 @@ def ingest_batch(
             recover_asset(spark, p)
 
     # schema-drift guard: a plain partitioned-parquet read resolves its
-    # schema from ONE footer, so a batch carrying a column the settled
-    # corpus lacks (upstream added a field mid-crawl) would write fine
-    # and then SILENTLY VANISH from every read. Fail loudly instead,
-    # with the migration recipe; allow_schema_drift=True permits the
-    # write for operators who will run the compaction migration.
-    from .maintenance import _fs
+    # schema from ONE footer, so a batch carrying a column (or a TYPE)
+    # the settled corpus lacks would write fine and then SILENTLY
+    # VANISH from / break every read. Fail loudly instead, with the
+    # migration recipe; allow_schema_drift=True permits the write (and
+    # skips the check entirely — no corpus metadata is touched) for
+    # operators who will run the compaction migration. The baseline is
+    # the single NEWEST partition's footer (highest positive batch id,
+    # else the most recent compaction generation = most-negative id):
+    # deterministic regardless of file-listing order, and one
+    # listStatus + one footer read — the corpus data is never listed
+    # recursively or scanned.
+    if not allow_schema_drift:
+        from .maintenance import _fs, _list_batch_dirs
 
-    fs, corpus_jpath, _ = _fs(spark, corpus_path)
-    if fs.exists(corpus_jpath):
-        stored_cols = set(spark.read.parquet(corpus_path).columns) - {
-            "batch_id"
-        }
-    else:
-        stored_cols = None  # first batch seeds the schema
-    if stored_cols is not None and not allow_schema_drift:
-        batch_cols = set(batch_df.columns)
-        if batch_cols != stored_cols:
-            raise ValueError(
-                "ingest_batch: batch schema drifted from the stored corpus "
-                f"(batch-only: {sorted(batch_cols - stored_cols)}, "
-                f"corpus-only: {sorted(stored_cols - batch_cols)}). A plain "
-                "read of the corpus would silently drop the new columns. "
-                "Either align the batch, or pass allow_schema_drift=True "
-                "and then run compact_asset(spark, corpus_path, "
-                "merge_schema=True) to unify the layout so plain reads "
-                "see the union schema."
-            )
+        fs, _, jvm = _fs(spark, corpus_path)
+        dirs = (
+            _list_batch_dirs(fs, jvm, corpus_path)
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(corpus_path))
+            else {}
+        )
+        if dirs:
+            positives = [b for b in dirs if b >= 0]
+            baseline = max(positives) if positives else min(dirs)
+            stored = {
+                f.name: f.dataType.simpleString()
+                for f in spark.read.parquet(dirs[baseline]).schema.fields
+                if f.name != "batch_id"
+            }
+            batch = {
+                f.name: f.dataType.simpleString()
+                for f in batch_df.schema.fields
+            }
+            if batch != stored:
+                only_b = sorted(set(batch) - set(stored))
+                only_s = sorted(set(stored) - set(batch))
+                retyped = sorted(
+                    f"{c}: {stored[c]} -> {batch[c]}"
+                    for c in set(batch) & set(stored)
+                    if batch[c] != stored[c]
+                )
+                raise ValueError(
+                    "ingest_batch: batch schema drifted from the stored "
+                    f"corpus (batch-only: {only_b}, corpus-only: {only_s}, "
+                    f"retyped: {retyped}). A plain read of the corpus "
+                    "would silently drop or misread the drifted columns. "
+                    "Either align the batch, or pass "
+                    "allow_schema_drift=True and then run "
+                    "compact_asset(spark, corpus_path, merge_schema=True) "
+                    "to unify the layout so plain reads see the union "
+                    "schema."
+                )
 
     def _stored(path: str) -> DataFrame | None:
         """The stored index MINUS this batch's own partition: a

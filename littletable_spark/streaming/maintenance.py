@@ -232,7 +232,32 @@ def compact_asset(
     # schemas drifted (a mid-crawl batch added a column, written with
     # allow_schema_drift=True) are unioned to the full column set —
     # missing columns become NULLs — so after this rewrite a plain
-    # single-footer read sees the union schema again.
+    # single-footer read sees the union schema again. WITHOUT it, a
+    # fold across drifted partitions would resolve its schema from one
+    # arbitrary footer, silently DROP the other partitions' extra
+    # columns, and then delete the only copies — so heterogeneous
+    # selections are refused outright (one footer read per selected
+    # partition, driver-side, no data scan).
+    if not merge_schema:
+        schemas = {
+            bid: tuple(
+                (f.name, f.dataType.simpleString())
+                for f in spark.read.parquet(d).schema.fields
+            )
+            for bid, d in selected.items()
+        }
+        if len(set(schemas.values())) > 1:
+            by_schema: dict = {}
+            for bid, sch in schemas.items():
+                by_schema.setdefault(sch, []).append(bid)
+            raise ValueError(
+                "compact_asset: the selected partitions carry DIFFERENT "
+                "schemas — a plain fold would silently drop the drifted "
+                "columns and then delete their only copies. Partition "
+                f"groups: { {str(dict(k)): v for k, v in by_schema.items()} }. "
+                "Re-run with merge_schema=True to fold to the union "
+                "schema (missing columns NULL-filled)."
+            )
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")

@@ -330,3 +330,37 @@ def test_schema_drift_guard_and_migration(spark, root):
         t3.df.select("doc_id", "text", "lang"), 2, corpus, bands
     )
     assert s3["appended"] == 1
+
+
+def test_compact_refuses_heterogeneous_schemas_without_merge(spark, root):
+    """A plain fold across drifted partitions would resolve one
+    arbitrary footer's schema, silently drop the other partitions'
+    extra columns, and then DELETE their only copies — refused
+    outright unless merge_schema=True."""
+    corpus, bands = f"{root}/corpus", f"{root}/bands"
+    ingest_batch(_docs(spark, [(0, _TEXTS[0])]), 0, corpus, bands)
+    drifted = Table("dh", spark=spark)
+    drifted.insert_many([{"doc_id": 5, "text": _TEXTS[1], "lang": "en"}])
+    ingest_batch(
+        drifted.df.select("doc_id", "text", "lang"), 1, corpus, bands,
+        allow_schema_drift=True,
+    )
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        compact_asset(spark, corpus)
+    # nothing was deleted by the refusal
+    assert asset_info(spark, corpus)["partitions"] == 2
+    # the migration path still works
+    compact_asset(spark, corpus, merge_schema=True, max_generations=1)
+    assert "lang" in spark.read.parquet(corpus).columns
+
+
+def test_schema_guard_catches_type_drift(spark, root):
+    corpus, bands = f"{root}/corpus", f"{root}/bands"
+    ingest_batch(_docs(spark, [(0, _TEXTS[0])]), 0, corpus, bands)
+    from pyspark.sql import functions as F
+
+    retyped = _docs(spark, [(7, _TEXTS[1])]).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    with pytest.raises(ValueError, match="retyped"):
+        ingest_batch(retyped, 1, corpus, bands)

@@ -164,3 +164,22 @@ def test_asof_join_backward_forward(spark):
     assert gotf[("A", 5)] == 100.0  # nearest later
     assert gotf[("A", 25)] == 115.0  # inclusive tie
     assert gotf[("B", 12)] is None  # no later quote
+
+
+def test_blob_ops_bound_arrow_batch_rows(spark, blobs):
+    """get_spark uncaps Arrow batch BYTES (the maxBytesPerBatch fix),
+    so the blob-consuming entry points must self-limit the records cap
+    — and must only ever LOWER it."""
+    from littletable_spark.operators.multimodal import decode_image
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10000")
+        decode_image(blobs, "blob", "id").df.count()
+        assert int(spark.conf.get(key)) == 256
+        spark.conf.set(key, "64")  # caller-tightened cap is respected
+        decode_image(blobs, "blob", "id").df.count()
+        assert int(spark.conf.get(key)) == 64
+    finally:
+        spark.conf.set(key, prev)

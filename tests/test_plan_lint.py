@@ -166,7 +166,7 @@ def test_coverage_tier_annotations_match_registry():
         {
             (name, tier)
             for name, tier in re.findall(
-                r"(\w+) \((gate|mirror)[;)\s]", cov
+                r"(\w+) \((gate|mirror)[;,)\s]", cov
             )
             if (name in gate and tier == "mirror")
             or (name in parked and tier == "gate")
