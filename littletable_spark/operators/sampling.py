@@ -171,6 +171,22 @@ def sample_fixed(table: Table, key_col: str, k: int, salt: str = "") -> Table:
     return table._derive(out)
 
 
+def weighted_sample_score(
+    key_col: str, weight_col: str, salt: str = ""
+) -> Column:
+    """The A-ES selection score as a reusable Column: ln(u)/w with the
+    module's md5 u-draw — EXACTLY what ``sample_weighted`` orders by.
+    This is the corpus-scale escape hatch its docstring prescribes:
+    estimate a cutoff from a small probe, then
+    ``df.where(weighted_sample_score(...) >= cutoff)`` — one scan, no
+    per-task top-k heaps, same distribution up to the cutoff estimate.
+    NULL/non-positive weights yield NULL (never selected by any
+    >=-cutoff filter), matching sample_weighted's exclusion."""
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(_HASH_SPACE)
+    return F.when(w.isNotNull() & (w > 0), F.log(u) / w)
+
+
 def sample_weighted(
     table: Table,
     k: int,
@@ -214,11 +230,11 @@ def sample_weighted(
         raise ValueError("k must be positive")
     df = table._require_df()
     w = F.col(weight_col).cast("double")
-    u = (hash_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(_HASH_SPACE)
-    score = F.log(u) / w
     out = (
         df.where(w.isNotNull() & (w > 0))
-        .withColumn("__s__", score)
+        .withColumn(
+            "__s__", weighted_sample_score(key_col, weight_col, salt)
+        )
         .orderBy(F.col("__s__").desc(), F.col(key_col))
         .limit(int(k))
         .drop("__s__")

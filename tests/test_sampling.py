@@ -417,3 +417,35 @@ def test_sample_weighted_nested_null_and_plan(spark):
 
     with pytest.raises(ValueError, match="k must be positive"):
         sample_weighted(t, 0, "w", "rid")
+
+
+def test_weighted_score_threshold_equals_topk(spark):
+    """The corpus-scale recipe: thresholding weighted_sample_score at
+    the k-th selected row's score reproduces sample_weighted's set —
+    the projection and the TakeOrdered path compute the same score."""
+    from littletable_spark.operators.sampling import (
+        sample_weighted,
+        weighted_sample_score,
+    )
+    from pyspark.sql import functions as F
+
+    t = Table("wt", spark=spark)
+    t.insert_many(
+        [{"rid": i, "w": float(1 + (i * 3) % 7)} for i in range(120)]
+        + [{"rid": 999, "w": None}]
+    )
+    topk = {r.rid for r in sample_weighted(t, 30, "w", "rid", salt="z")}
+    scored = t.df.withColumn(
+        "s", weighted_sample_score("rid", "w", salt="z")
+    )
+    cutoff = (
+        scored.where(F.col("rid").isin(list(topk)))
+        .agg(F.min("s"))
+        .collect()[0][0]
+    )
+    via_threshold = {
+        r.rid for r in scored.where(F.col("s") >= cutoff).collect()
+    }
+    assert via_threshold == topk
+    # NULL weight scores NULL and never clears any cutoff
+    assert scored.where("rid = 999").collect()[0]["s"] is None
