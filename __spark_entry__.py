@@ -32,6 +32,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
     memory; correctness runs load fresh."""
     import os
 
+    from littletable_spark.session import apply_runtime_confs
+
+    # the driver hands us ITS session; make sure the load-bearing Arrow
+    # batching confs apply to it too (memoized — near-free per call)
+    apply_runtime_confs(spark)
+
     if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
         key = (sf_dir, name)
         if key not in _TABLE_CACHE:
@@ -63,8 +69,10 @@ def _ev(spark: SparkSession, sf_dir: str):
     like every other bench query instead of re-reading parquet."""
     import os
 
+    from littletable_spark.session import apply_runtime_confs
     from littletable_spark.streaming import load_events
 
+    apply_runtime_confs(spark)
     if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
         key = (sf_dir, "__events__")
         if key not in _TABLE_CACHE:

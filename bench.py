@@ -55,6 +55,25 @@ def main() -> None:
     # cache is the Spark analogue). The warmup pass fills the cache.
     os.environ["SPARK_GRAFT_CACHE_TABLES"] = "1"
     spark = get_spark(cpus=CPUS)
+
+    # record the EFFECTIVE Arrow batching regime (VERDICT r7 #2): these
+    # two confs decide whether the Int.MaxValue maxBytesPerBatch fix and
+    # the default records cap actually governed this run — captured both
+    # before and after the query loop so a session-sticky mutation by
+    # any operator (the round-7 defect class) shows up in the artifact.
+    def _arrow_confs() -> dict[str, str | None]:
+        out = {}
+        for k in (
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+        ):
+            try:
+                out[k.rsplit(".", 1)[-1]] = spark.conf.get(k)
+            except Exception:
+                out[k.rsplit(".", 1)[-1]] = None
+        return out
+
+    arrow_confs_pre = _arrow_confs()
     queries = entrymod.queries()
     names = [n for n in HEADLINE if n in queries] + [
         n for n in queries if n not in HEADLINE and n.startswith(("dedup", "sim", "text", "search"))
@@ -182,6 +201,8 @@ def main() -> None:
                 "calibration_sec": calibration,
                 "calibration_arrow_fresh_sec": calibration_arrow_fresh,
                 "calibration_arrow_sec": calibration_arrow,
+                "arrow_confs_pre": arrow_confs_pre,
+                "arrow_confs_post": _arrow_confs(),
                 "sf": sf_val,
                 "cpus": CPUS,
                 "methodology": (

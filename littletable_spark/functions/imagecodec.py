@@ -1,0 +1,261 @@
+"""Pure-stdlib/numpy image decoders for the multimodal pipeline.
+
+No codec libraries ship in this environment, but the container formats
+themselves are public and simple enough to decode with ``zlib`` +
+``struct`` + numpy: PPM/PGM (trivial), BMP (uncompressed 8/24/32-bit),
+and PNG (zlib-inflate the IDAT stream, undo the per-row filters). That
+makes ``decode_image(use_fake=False)`` a REAL decode path — same
+mapInPandas plumbing, real pixels — while staying dependency-free.
+PIL, if ever provisioned, is used only as a fallback for formats these
+decoders don't cover (JPEG, interlaced PNG, palette exotica).
+
+Everything here is per-blob Python executed INSIDE an Arrow batch on
+the executors — the decoders are shipped by value via cloudpickle, so
+they must only import stdlib + numpy (both on every worker).
+
+Public-format references: PNG (RFC 2083 / W3C PNG spec), BMP
+(BITMAPINFOHEADER, Windows public docs), PPM/PGM (netpbm man pages).
+No reference analog (littletable has no media support); this fulfils
+the brief's multimodal mandate.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["decode_to_gray", "decode_pixels", "sniff_format"]
+
+
+def sniff_format(blob: bytes) -> str:
+    if blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if blob.startswith(b"BM"):
+        return "bmp"
+    if blob[:2] in (b"P5", b"P6", b"P2", b"P3"):
+        return "ppm"
+    if blob.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    return "unknown"
+
+
+# ------------------------------------------------------------------ #
+# PPM / PGM (netpbm)
+
+
+def _decode_ppm(blob: bytes) -> np.ndarray:
+    """P5 (gray) / P6 (RGB) binary and P2/P3 ASCII, maxval <= 65535."""
+    # header: magic, whitespace/comment-separated width height maxval
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    w, h, maxval = fields
+    magic = blob[:2]
+    channels = 3 if magic in (b"P6", b"P3") else 1
+    if magic in (b"P2", b"P3"):  # ASCII sample text
+        samples = np.array(blob[pos:].split(), dtype=np.uint16)
+        data = samples[: w * h * channels]
+    else:
+        pos += 1  # single whitespace byte after maxval
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        data = np.frombuffer(
+            blob, dtype=dtype, count=w * h * channels, offset=pos
+        )
+    img = data.reshape(h, w, channels).astype(np.float64) / float(maxval)
+    return img[:, :, 0] * 255.0 if channels == 1 else img * 255.0
+
+
+# ------------------------------------------------------------------ #
+# BMP (BITMAPINFOHEADER, uncompressed)
+
+
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size = struct.unpack_from("<I", blob, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS(32bpp common)
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bpp {bpp}")
+    h = abs(h_signed)
+    top_down = h_signed < 0
+    row_bytes = ((w * bpp + 31) // 32) * 4  # rows pad to 4 bytes
+    raw = np.frombuffer(blob, dtype=np.uint8, count=row_bytes * h, offset=data_offset)
+    rows = raw.reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]  # BMP default is bottom-up
+    if bpp == 8:
+        # palette: 4-byte BGRA entries right after the info header
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack_from("<I", blob, 46)[0] or 256
+        pal = np.frombuffer(
+            blob, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGR -> RGB
+        idx = rows[:, :w]
+        return pal[idx].astype(np.float64)
+    step = bpp // 8
+    px = rows[:, : w * step].reshape(h, w, step)
+    return px[:, :, 2::-1].astype(np.float64)  # BGR(A) -> RGB
+
+
+# ------------------------------------------------------------------ #
+# PNG (non-interlaced, bit depth 8/16, color types 0/2/3/4/6)
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, fpx: int) -> np.ndarray:
+    """Undo PNG per-row filters. ``fpx`` = filter unit (bytes/pixel).
+
+    Filter math is defined on bytes mod 256 (spec §6); rows depend on
+    the previous reconstructed row, so this loop is sequential in h —
+    but each blob is one task-side unit of work, so the O(h) Python
+    loop with numpy row ops is fine at batch scale.
+    """
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ftype = raw[y, 0]
+        row = raw[y, 1:].astype(np.int16)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 1:  # Sub
+            cur = row.copy()
+            for i in range(fpx, stride):
+                cur[i] = (cur[i] + cur[i - fpx]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (row + prior) & 0xFF
+        elif ftype == 3:  # Average
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - fpx] if i >= fpx else 0
+                cur[i] = (cur[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row.copy()
+            for i in range(stride):
+                a = int(cur[i - fpx]) if i >= fpx else 0
+                b = int(prior[i])
+                c = int(prior[i - fpx]) if i >= fpx else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prior = cur
+    return out
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    if not blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = bitdepth = colortype = None
+    palette = None
+    while pos + 8 <= len(blob):
+        length, ctype = struct.unpack_from(">I4s", blob, pos)
+        body = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if bitdepth not in (8, 16):
+                raise ValueError(f"PNG bit depth {bitdepth} not supported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    channels = _PNG_CHANNELS[colortype]
+    bytes_per_sample = bitdepth // 8
+    stride = w * channels * bytes_per_sample
+    fpx = max(1, channels * bytes_per_sample)
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    recon = _png_unfilter(raw, h, stride, fpx)
+    if bitdepth == 16:
+        px = recon.reshape(h, w, channels, 2).astype(np.float64)
+        img = (px[..., 0] * 256 + px[..., 1]) / 257.0  # scale to 0..255
+    else:
+        img = recon.reshape(h, w, channels).astype(np.float64)
+    if colortype == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        return palette[img[:, :, 0].astype(np.intp)].astype(np.float64)
+    if colortype == 0:
+        return img[:, :, 0]
+    if colortype == 4:  # gray + alpha: drop alpha
+        return img[:, :, 0]
+    if colortype == 6:  # RGBA: drop alpha
+        return img[:, :, :3]
+    return img  # colortype 2 (RGB)
+
+
+# ------------------------------------------------------------------ #
+# dispatch + grayscale/resize
+
+
+def decode_pixels(blob: bytes) -> np.ndarray:
+    """Decode a PNG/BMP/PPM blob to an HxW (gray) or HxWx3 (RGB)
+    float64 array in 0..255. Raises ValueError on unsupported data;
+    falls back to PIL only if it happens to be installed."""
+    fmt = sniff_format(blob)
+    try:
+        if fmt == "png":
+            return _decode_png(blob)
+        if fmt == "bmp":
+            return _decode_bmp(blob)
+        if fmt == "ppm":
+            return _decode_ppm(blob)
+    except ValueError:
+        pass  # builtin decoder hit an unsupported variant; try PIL
+    try:  # pragma: no cover - PIL absent in this environment
+        from io import BytesIO
+
+        from PIL import Image
+
+        img = Image.open(BytesIO(blob)).convert("RGB")
+        return np.asarray(img, dtype=np.float64)
+    except ImportError:
+        raise ValueError(
+            f"cannot decode blob (sniffed format: {fmt}); builtin decoders "
+            "cover PNG/BMP/PPM and PIL is not installed"
+        ) from None
+
+
+def decode_to_gray(blob: bytes, width: int, height: int) -> np.ndarray:
+    """Decode, convert to ITU-R BT.601 luma, nearest-neighbor resize to
+    (height, width); returns float64 in 0..1, row-major."""
+    img = decode_pixels(blob)
+    if img.ndim == 3:
+        img = img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+    src_h, src_w = img.shape
+    ys = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
+    xs = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
+    return img[np.ix_(ys, xs)] / 255.0

@@ -69,6 +69,13 @@ def score_linear(
     sigmoid is monotone so thresholding the logit IS thresholding the
     probability. ``decision_col`` adds ``logit > threshold`` as an
     int (1 = keep).
+
+    NULL features: a NULL in any feature column propagates to a NULL
+    logit/prob/decision for that row (SQL three-valued arithmetic) —
+    mirroring how ``train_quality_classifier`` dropna()s such rows at
+    fit time. Rows unseen at train time are therefore visibly NULL
+    here, not silently scored; coalesce features upstream (e.g.
+    ``compute_field(..., default=0)``) if a 0-imputed score is wanted.
     """
     if not weights:
         raise ValueError("score_linear: weights is empty")
@@ -109,7 +116,15 @@ def filter_by_classifier(
 ) -> Table:
     """Keep rows whose logit clears the threshold — the corpus-filter
     deployment of a trained quality model. Pure Column predicate (no
-    added columns, no UDF): Catalyst folds it into the scan stage."""
+    added columns, no UDF): Catalyst folds it into the scan stage.
+
+    NULL features: a NULL in any feature column makes the predicate
+    NULL, and SQL filters DROP null-predicate rows — so rows the
+    training path would have dropna()'d are excluded here too, by the
+    same rule. If corpus-filtering loss must be audited, run
+    ``score_linear(..., decision_col=...)`` first and count the NULL
+    decisions before filtering.
+    """
     if not weights:
         raise ValueError("filter_by_classifier: weights is empty")
     missing = [c for c in weights if c not in table.fields]

@@ -3,11 +3,14 @@
 North-star requirement (no reference analog): a 100 TB training-data
 pipeline carries media as ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing here — schemas, magic-byte sniffing,
-Arrow batch shapes, partition sizing — is real and tested; the actual
-codec work (pixel decode, resampling) is stubbed behind a deterministic
-fake because no media libraries ship in this environment
-(``use_fake=False`` raises NotImplementedError until PIL/ffmpeg are
-provisioned).
+Arrow batch shapes, partition sizing — is real and tested, and so is
+IMAGE decode: ``decode_image(use_fake=False)`` runs the pure
+stdlib/numpy PNG/BMP/PPM decoders in ``functions/imagecodec.py`` (no
+PIL needed; PIL is an optional fallback for JPEG etc.). The
+deterministic md5 fake remains the zero-cost plumbing/oracle path.
+VIDEO frame extraction stays stubbed (``frame_sample(use_fake=False)``
+raises NotImplementedError — an mp4/h264 decoder is not reasonably
+reimplementable; provision pyav/ffmpeg).
 
 Scale notes:
 - metadata sniffing is a narrow native projection over the first bytes
@@ -82,24 +85,32 @@ def media_repartition(df: DataFrame, bin_col: str, target_bytes: int = 128 << 20
     return sized.repartition(n_parts).drop("__sz__")
 
 
-def _bound_arrow_batch_rows(spark, max_rows: int = 256) -> None:
-    """Blob rows are FAT, and get_spark disables Spark 4.1's per-batch
-    byte cap (the Int.MaxValue maxBytesPerBatch fix — see session.py):
-    the only remaining bound on an Arrow feed batch is
-    ``maxRecordsPerBatch``, and the 10k default times multi-MB blobs
-    is a multi-GB batch on the JVM feed side. Every blob-consuming
-    mapInPandas entry point therefore LOWERS the session's records cap
-    to ``max_rows`` (256 × 5 MB ≈ 1.3 GB worst case) before returning
-    its plan. Only ever lowers — a caller-tightened cap is respected —
-    and the setting is session-sticky (documented; skinny-row ops lose
-    nothing measurable at 256+ rows per batch)."""
-    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    try:
-        current = int(spark.conf.get(key))
-    except Exception:
-        current = 10000
-    if current > max_rows:
-        spark.conf.set(key, str(max_rows))
+def _bounded_blob_input(df: DataFrame, max_rows: int = 256) -> DataFrame:
+    """Bound the JVM→Python Arrow feed batch for fat-row (blob) inputs
+    WITHOUT touching session configuration.
+
+    Blob rows are FAT, and get_spark pins ``maxBytesPerBatch`` to
+    Int.MaxValue (the Spark 4.1 per-row-sizing fix — see session.py),
+    so the only conf bounding a feed batch is ``maxRecordsPerBatch``
+    — and the 10k default times multi-MB blobs is a multi-GB batch.
+    Round 7 lowered that conf session-wide, which leaked: every later
+    Arrow pass in the session ran at 40× smaller batches (11.9×
+    slowdown on the driver's fixed calibration job, BENCH_r07). The
+    structural fix is to bound the PARTITION instead: an Arrow feed
+    batch never spans partitions, so repartitioning the blob input to
+    ``ceil(n / max_rows)`` partitions caps every batch at ~``max_rows``
+    fat rows (256 × 5 MB ≈ 1.3 GB worst case) while leaving the
+    session's batching untouched for every other operator.
+
+    Cost: one count job (column-pruned — blobs are not read) plus one
+    round-robin shuffle of the blob payload. Decode-shaped jobs read
+    every blob byte anyway, so the shuffle is a bounded constant
+    factor; at corpus scale, land blob tables at ≤``max_rows`` rows
+    per file and AQE collapses the exchange.
+    """
+    n = df.count()
+    n_parts = max(1, -(-n // max_rows))
+    return df.repartition(n_parts)
 
 
 def _fake_pixels(blob: bytes, width: int, height: int) -> list[float]:
@@ -115,27 +126,33 @@ def decode_image(
     width: int = 8,
     height: int = 8,
     use_fake: bool = True,
+    on_error: str = "raise",
 ) -> Table:
     """Decode + resize to a fixed grid of floats via mapInPandas.
 
-    ``use_fake=True`` produces a deterministic md5-seeded grid so the
-    full pipeline (schema, batching, downstream features) is exercised
-    without codec libraries; ``use_fake=False`` requires PIL.
+    ``use_fake=True`` produces a deterministic md5-seeded grid
+    (column-major, the oracle-checked contract) so the full pipeline
+    (schema, batching, downstream features) is exercised with zero
+    codec cost; ``use_fake=False`` is a REAL decode — the pure
+    stdlib/numpy PNG/BMP/PPM decoders in ``functions/imagecodec.py``
+    (luma conversion + nearest-neighbor resize, row-major), with PIL
+    as an optional fallback for formats they don't cover. The real
+    path imports the package on the executors — ship it like any
+    library (``--py-files`` / cluster install).
+
+    ``on_error`` (real path only): ``"raise"`` fails the task on an
+    undecodable blob; ``"null"`` emits NULL pixels for that row so a
+    crawl with a few corrupt images doesn't kill a corpus-scale job —
+    count the NULLs downstream for the audit trail.
     """
-    if not use_fake:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real image decode requires PIL, which is not installed; "
-                "use use_fake=True for the deterministic stand-in"
-            ) from e
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"decode_image: on_error must be raise|null, got {on_error!r}")
 
     schema = f"{id_col} long, pixels array<double>, width int, height int"
 
-    # local def, not the module-level helper: closures must be
-    # self-contained so cloudpickle ships them by value to workers that
-    # don't have this package on sys.path
+    # local def, not the module-level helper: the FAKE closure stays
+    # self-contained so cloudpickle ships it by value even to workers
+    # that don't have this package on sys.path
     def fake_pixels(blob: bytes) -> list[float]:
         import hashlib as _hl
 
@@ -147,20 +164,27 @@ def decode_image(
         ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not use_fake:
+            from ..functions.imagecodec import decode_to_gray
+
         for pdf in batches:
             if pdf.empty:
                 continue
             if use_fake:
                 pixels = [fake_pixels(b) for b in pdf[bin_col]]
-            else:  # pragma: no cover - codec libs absent in this env
-                from io import BytesIO
-
-                from PIL import Image
-
+            else:
                 pixels = []
                 for b in pdf[bin_col]:
-                    img = Image.open(BytesIO(b)).convert("L").resize((width, height))
-                    pixels.append([p / 255.0 for p in img.getdata()])
+                    try:
+                        pixels.append(
+                            decode_to_gray(bytes(b or b""), width, height)
+                            .ravel()
+                            .tolist()
+                        )
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
+                        pixels.append(None)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -170,8 +194,8 @@ def decode_image(
                 }
             )
 
-    _bound_arrow_batch_rows(table.spark)
-    out = table.df.select(id_col, bin_col).mapInPandas(run, schema)
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    out = inp.mapInPandas(run, schema)
     return Table.from_df(out, name=f"{table.table_name}_decoded")
 
 
@@ -220,6 +244,6 @@ def frame_sample(
             if rows:
                 yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
 
-    _bound_arrow_batch_rows(table.spark)
-    out = table.df.select(id_col, bin_col).mapInPandas(run, schema)
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    out = inp.mapInPandas(run, schema)
     return Table.from_df(out, name=f"{table.table_name}_frames")

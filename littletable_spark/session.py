@@ -18,21 +18,18 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "littletable_spark", cpus: int | None = None) -> SparkSession:
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        return active
-    if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+def _runtime_sql_confs(cpus: int) -> dict[str, str]:
+    """The SQL confs this engine depends on — all runtime-settable, so
+    they can be applied both at builder time and onto a session someone
+    else created (a driver harness handing us its own SparkSession must
+    still get the load-bearing Arrow batching fix below)."""
+    return {
+        "spark.sql.shuffle.partitions": str(cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
         # EXACTLY Int.MaxValue: BatchedPythonArrowInput.underBatchSizeLimit
         # short-circuits on == INT_MAX and skips its per-row
         # ArrowWriter.sizeInBytes() walk (verified in the 4.1.2
@@ -41,14 +38,55 @@ def get_spark(app_name: str = "littletable_spark", cpus: int | None = None) -> S
         # column (root-caused round 7 — BASELINE.md "Arrow-feed
         # pollution"), taxing every later Arrow pass. This restores
         # Spark 3.x batching semantics: batches are bounded by
-        # maxRecordsPerBatch (10k rows) only — pipelines pushing very
-        # fat rows (multi-MB binary blobs) through Pandas UDFs should
-        # lower spark.sql.execution.arrow.maxRecordsPerBatch to keep
-        # per-batch bytes in check.
-        .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647b")
+        # maxRecordsPerBatch (10k rows) only — blob-consuming operators
+        # bound their INPUT PARTITIONS instead of this conf (see
+        # operators/multimodal._bounded_blob_input) so fat rows never
+        # produce multi-GB batches.
+        "spark.sql.execution.arrow.maxBytesPerBatch": "2147483647b",
+    }
+
+
+_APPLIED: set[int] = set()
+
+
+def apply_runtime_confs(spark: SparkSession, cpus: int | None = None) -> SparkSession:
+    """Idempotently apply the engine's runtime SQL confs to a session
+    created by someone else (e.g. a test harness that hands us its own
+    SparkSession). Memoized per session object so hot paths can call it
+    freely."""
+    if id(spark) in _APPLIED:
+        return spark
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    for k, v in _runtime_sql_confs(cpus).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # a conf the host locked down; the rest still apply
+    _APPLIED.add(id(spark))
+    return spark
+
+
+def get_spark(app_name: str = "littletable_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    confs = _runtime_sql_confs(cpus)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # apply the runtime-settable confs to the pre-existing session
+        # too — previously this returned it untouched, which silently
+        # dropped the Arrow maxBytesPerBatch fix when a harness created
+        # the session first (VERDICT r7 #2).
+        _APPLIED.discard(id(active))
+        return apply_runtime_confs(active, cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in confs.items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

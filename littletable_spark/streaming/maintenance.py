@@ -60,7 +60,14 @@ def _jp(jvm, *parts: str):
 
 
 def _list_batch_dirs(fs, jvm, root: str) -> dict[int, str]:
-    """Map batch_id -> absolute dir path for every batch partition."""
+    """Map batch_id -> absolute dir path for every batch partition.
+
+    Missing root (an asset queried before its first ingest batch, or a
+    mistyped path) is an empty asset, not a raw Java
+    FileNotFoundException. (ADVICE r7 #2)
+    """
+    if not fs.exists(_jp(jvm, root)):
+        return {}
     out: dict[int, str] = {}
     for st in fs.listStatus(_jp(jvm, root)):
         name = st.getPath().getName()
@@ -119,7 +126,24 @@ def _finish_swap(fs, jvm, root: str, manifest: dict) -> None:
     tmp = _jp(jvm, root, _TMP)
     dest = _jp(jvm, root, manifest["dest"])
     if fs.exists(tmp):
-        fs.rename(tmp, dest)
+        # a dest left by a partially-replayed previous attempt would
+        # make POSIX-style rename move tmp INSIDE it; clear it first
+        # (while tmp exists, tmp is the authoritative copy)
+        if fs.exists(dest):
+            fs.delete(dest, True)
+        # Hadoop FileSystem.rename reports failure by RETURNING FALSE,
+        # not by throwing. If the rename fails, the temp dir holds the
+        # ONLY copy of the compacted rows (sources are already gone) —
+        # falling through to the manifest delete would let the next
+        # recover_asset treat tmp as pre-publish garbage and delete it:
+        # silent permanent data loss. Keep the manifest so the swap
+        # stays replayable and surface the failure. (ADVICE r7 #1)
+        if not fs.rename(tmp, dest):
+            raise IOError(
+                f"compact_asset publish failed: rename {tmp} -> {dest} "
+                "returned false; manifest left in place — re-run "
+                "compact_asset/recover_asset to replay the swap"
+            )
     fs.delete(_jp(jvm, root, _MANIFEST), False)
 
 

@@ -364,3 +364,14 @@ def test_schema_guard_catches_type_drift(spark, root):
     )
     with pytest.raises(ValueError, match="retyped"):
         ingest_batch(retyped, 1, corpus, bands)
+
+
+def test_missing_asset_is_empty_not_java_error(spark, root):
+    """asset_info/compact_asset on a path that does not exist yet (before
+    the first ingest batch, or mistyped) must return an empty result, not
+    a raw Java FileNotFoundException. (ADVICE r7)"""
+    ghost = f"{root}/never_ingested"
+    info = asset_info(spark, ghost)
+    assert info["partitions"] == 0 and info["files"] == 0
+    stats = compact_asset(spark, ghost)
+    assert stats["compacted"] == 0

@@ -166,20 +166,35 @@ def test_asof_join_backward_forward(spark):
     assert gotf[("B", 12)] is None  # no later quote
 
 
-def test_blob_ops_bound_arrow_batch_rows(spark, blobs):
-    """get_spark uncaps Arrow batch BYTES (the maxBytesPerBatch fix),
-    so the blob-consuming entry points must self-limit the records cap
-    — and must only ever LOWER it."""
-    from littletable_spark.operators.multimodal import decode_image
+def test_blob_ops_leave_session_batching_untouched(spark, blobs):
+    """Round-7 regression (BENCH_r07 post-run Arrow calibration 11.9×):
+    blob entry points used to lower maxRecordsPerBatch session-wide,
+    taxing every later Arrow pass. They now bound the PARTITION (an
+    Arrow feed batch never spans partitions) and must not change any
+    session conf."""
+    from littletable_spark.operators.multimodal import (
+        _bounded_blob_input,
+        decode_image,
+        frame_sample,
+    )
 
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     prev = spark.conf.get(key)
-    try:
-        spark.conf.set(key, "10000")
-        decode_image(blobs, "blob", "id").df.count()
-        assert int(spark.conf.get(key)) == 256
-        spark.conf.set(key, "64")  # caller-tightened cap is respected
-        decode_image(blobs, "blob", "id").df.count()
-        assert int(spark.conf.get(key)) == 64
-    finally:
-        spark.conf.set(key, prev)
+    decode_image(blobs, "blob", "id").df.count()
+    frame_sample(blobs, "blob", "id").df.count()
+    assert spark.conf.get(key) == prev
+    # a subsequent non-blob Arrow job runs under the original regime
+    # and still works
+    import pandas as pd
+
+    def f(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    assert spark.range(1000).mapInPandas(f, "n long").count() >= 1
+    # and the feed batch really is bounded: input partitions hold at
+    # most max_rows rows each
+    bounded = _bounded_blob_input(blobs.df.select("id", "blob"), max_rows=2)
+    sizes = bounded.rdd.glom().map(len).collect()
+    assert max(sizes) <= 2 + 1  # round-robin may be off-by-one
+    assert sum(sizes) == blobs.df.count()
