@@ -1295,6 +1295,33 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id n_tokens shard pack pack_offset").df
 
 
+def q_text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer lifecycle: train merges over the corpus (one
+    distributed word-count shuffle + driver merge loop over the bounded
+    word dict), Arrow-batched apply with a broadcast ranks table, then
+    pack documents into fixed-budget sequences weighted by REAL
+    tokenizer token counts (weight_col=) instead of whitespace counts.
+
+    No DuckDB oracle: the merge loop is iterative and not
+    SQL-expressible — the driver records the weaker rows-only check;
+    correctness is pinned by tests/test_bpe.py (differential vs a
+    brute-force reference trainer, greedy-encode vs sequential merge
+    replay, hand-computed merges). Deterministic end-to-end: word
+    ordering, tie-breaks, and md5 sharding are all fixed."""
+    from littletable_spark.operators.bpe import apply_bpe, train_bpe
+    from littletable_spark.operators.textops import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", num_merges=60, max_words=5000)
+    counts = apply_bpe(d, "text", "doc_id", merges)
+    joined = d.join(counts, doc_id="doc_id")
+    out = pack_sequences(
+        joined, "text", "doc_id", budget_tokens=512, n_shards=8,
+        salt="bpe", weight_col="n_bpe_tokens",
+    )
+    return out.select("doc_id n_tokens shard pack pack_offset").df
+
+
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """benchmark decontamination: per eval doc (doc_id % 17 == 0), the
     fraction of its 8-gram hashes found anywhere in the training corpus
@@ -1635,8 +1662,18 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     weighted sampling without replacement over the md5 u-draw) gates
     immediately; sample_mixture parks in exchange (driver-green r6;
     the md5 hash-threshold core stays in-gate via sample_epoch /
-    cap_per_group / cap_tokens and sample_weighted itself). The local
-    mirror (scripts/verify_oracle.py) still runs all 95 every round."""
+    cap_per_group / cap_tokens and sample_weighted itself).
+
+    Round-8 rotation: net-new text_bpe_pack (BPE tokenizer train +
+    apply + BPE-weighted packing) gates immediately per the
+    new-query-gates-first rule — the registry's FIRST rows-only entry
+    (no oracle_sql: the merge loop is iterative, not SQL-expressible;
+    pinned instead by tests/test_bpe.py's differential reference).
+    sample_weighted parks in exchange (driver-green r7; its
+    Efraimidis–Spirakis md5 u-draw core stays in-gate via sample_epoch
+    / sample_cap_per_group / sample_cap_tokens). The local mirror
+    (scripts/verify_oracle.py) still runs every oracle-checked query
+    every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1684,11 +1721,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_epoch": q_sample_epoch,
         "sample_cap_per_group": q_sample_cap_per_group,
         "sample_cap_tokens": q_sample_cap_tokens,
-        "sample_weighted": q_sample_weighted,
+        "text_bpe_pack": q_text_bpe_pack,
         "text_chunks": q_text_chunks,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "sample_weighted": q_sample_weighted,
         "sample_mixture": q_sample_mixture,
         "pivot_counts": q_pivot_counts,
         "text_quality": q_text_quality,

@@ -1,0 +1,268 @@
+"""Byte-pair-encoding tokenizer as a durable corpus asset.
+
+Training pipelines budget data in TOKENIZER tokens, not whitespace
+tokens (counts differ 1.3-2x on web text), so the token-budget
+operators (``chunk_documents``, ``pack_sequences``,
+``cap_per_group(weight_col=)``) need a real subword tokenizer to count
+with. This module provides the classic BPE algorithm (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units" —
+public) in the engine's durable-asset shape:
+
+- ``train_bpe`` — ONE distributed pass over the corpus (pre-tokenize
+  with ``BPE_TOKEN_RE``, explode, word-count shuffle with map-side
+  combine), capped to the top ``max_words`` distinct words by mass.
+  The merge loop then runs driver-side over that BOUNDED word-frequency
+  dictionary — the standard formulation (subword-nmt trains on a word
+  dict, not the raw corpus), and the right 100 TB shape: corpus I/O is
+  one scan + one vocabulary-keyed shuffle regardless of ``num_merges``,
+  while a "fully distributed" loop would pay one shuffle PER merge
+  (thousands of jobs). The result is a merges Table
+  ``(rank, left, right)`` — ``parquet_export`` it like
+  ``term_stats_table`` and re-import forever.
+- ``apply_bpe`` — broadcast the (small) ranks table, Arrow-batched
+  encode with a per-batch word cache (web text repeats words heavily;
+  each distinct word is merged once per batch). Emits the token count
+  (and optionally the pieces) per document.
+
+Not SQL-expressible (iterative merges), so there is no DuckDB oracle —
+correctness is pinned by unit tests against hand-computed merges and a
+differential test between the distributed count path and a local
+reference implementation (see tests/test_bpe.py); documented in
+COVERAGE.md like the hashed text classifier.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..table import Table
+from .textops import BPE_TOKEN_RE
+
+END = "</w>"
+
+
+# ------------------------------------------------------------------ #
+# driver-side merge loop (bounded by max_words, not corpus size)
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    """A word as its initial symbol sequence: chars, with the end-of-
+    word marker fused onto the last char (subword-nmt convention) so
+    merges can't cross word boundaries and word-final units stay
+    distinct from word-internal ones."""
+    if not word:
+        return ()
+    chars = list(word)
+    chars[-1] += END
+    return tuple(chars)
+
+
+def _train_merges(
+    word_counts: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE over a word-frequency dict with incremental pair
+    statistics (the subword-nmt algorithm): O(merges × affected words)
+    instead of re-counting every pair every round. Deterministic:
+    best pair = (max count, then lexicographically smallest pair)."""
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in word_counts:
+        syms = _word_symbols(w)
+        if len(syms) >= 2:
+            words.append(list(syms))
+            counts.append(c)
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, syms in enumerate(words):
+        c = counts[idx]
+        for pair in zip(syms, syms[1:]):
+            pair_counts[pair] = pair_counts.get(pair, 0) + c
+            pair_words.setdefault(pair, set()).add(idx)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        best_count = 0
+        for pair, c in pair_counts.items():
+            if c > best_count or (c == best_count and best is not None and pair < best):
+                best, best_count = pair, c
+        if best is None or best_count < 1:
+            break
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        for idx in list(pair_words.get(best, ())):
+            syms = words[idx]
+            c = counts[idx]
+            # remove this word's contribution to all its pairs
+            for pair in zip(syms, syms[1:]):
+                pair_counts[pair] -= c
+                if pair_counts[pair] <= 0:
+                    pair_counts.pop(pair, None)
+                ws = pair_words.get(pair)
+                if ws is not None:
+                    ws.discard(idx)
+                    if not ws:
+                        pair_words.pop(pair, None)
+            # apply the merge within the word
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = out
+            # add back the new pair contributions
+            for pair in zip(out, out[1:]):
+                pair_counts[pair] = pair_counts.get(pair, 0) + c
+                pair_words.setdefault(pair, set()).add(idx)
+    return merges
+
+
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> tuple[str, ...]:
+    """GPT-2-style greedy encode: repeatedly merge the lowest-rank
+    adjacent pair until none of the word's pairs has a rank."""
+    syms = list(_word_symbols(word))
+    while len(syms) >= 2:
+        best_i = -1
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return tuple(syms)
+
+
+# ------------------------------------------------------------------ #
+# public API
+
+
+def train_bpe(
+    table: Table,
+    text_col: str,
+    num_merges: int = 1000,
+    max_words: int = 200_000,
+    min_count: int = 1,
+) -> Table:
+    """Train BPE merges over the corpus; returns the merges Table
+    ``(rank int, left string, right string)`` — the durable asset.
+
+    Scale shape: pre-tokenize + explode + word-count is ONE shuffle
+    with map-side combine whose output is vocabulary-bounded;
+    ``max_words`` (ordered by count desc, word asc — deterministic)
+    bounds what reaches the driver, and on web text the top 200k words
+    carry ~99% of token mass, so the truncation moves merge statistics
+    negligibly while keeping the driver memory O(max_words).
+    """
+    df = table._require_df()
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(int(min_count)))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(int(max_words))
+    )
+    pairs = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    merges = _train_merges(pairs, num_merges)
+    spark = table.spark
+    rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
+    out = spark.createDataFrame(rows, "rank int, left string, right string")
+    return Table.from_df(out, name=f"{table.table_name}_bpe_merges")
+
+
+def _load_ranks(merges: Table) -> dict[tuple[str, str], int]:
+    for c in ("rank", "left", "right"):
+        if c not in merges.fields:
+            raise ValueError(
+                f"apply_bpe needs a train_bpe merges table (missing {c!r}); "
+                f"got {merges.fields}"
+            )
+    return {
+        (r["left"], r["right"]): int(r["rank"])
+        for r in merges._require_df().collect()
+    }
+
+
+def apply_bpe(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    merges: Table,
+    emit_pieces: bool = False,
+) -> Table:
+    """Tokenize every document with a trained merges table; emits
+    ``(id, n_bpe_tokens)`` (+ ``pieces array<string>`` when
+    ``emit_pieces``) for the token-budget operators to consume —
+    e.g. join the counts back and ``pack_sequences(...,
+    weight_col="n_bpe_tokens")``.
+
+    Scale shape: the ranks dict is merges-table-sized (small) and
+    BROADCAST once per executor, not shipped per task; encoding runs
+    inside Arrow batches with a per-batch distinct-word cache, so each
+    repeated word (web text is extremely repetitive) is merged once
+    per batch. No shuffle — a pure mapInPandas over the corpus scan.
+    """
+    ranks = _load_ranks(merges)
+    bc = table.spark.sparkContext.broadcast(ranks)
+    pattern = BPE_TOKEN_RE
+
+    if emit_pieces:
+        schema = f"{id_col} long, n_bpe_tokens int, pieces array<string>"
+    else:
+        schema = f"{id_col} long, n_bpe_tokens int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        rx = _re.compile(pattern)
+        rk = bc.value
+        cache: dict[str, tuple[str, ...]] = {}
+
+        def enc(word: str) -> tuple[str, ...]:
+            got = cache.get(word)
+            if got is None:
+                got = _encode_word(word, rk)
+                cache[word] = got
+            return got
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            counts: list[int] = []
+            pieces: list[list[str]] = []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                for w in rx.findall(text or ""):
+                    toks.extend(enc(w))
+                counts.append(len(toks))
+                if emit_pieces:
+                    pieces.append(toks)
+            data = {id_col: pdf[id_col], "n_bpe_tokens": counts}
+            if emit_pieces:
+                data["pieces"] = pieces
+            yield pd.DataFrame(data)
+
+    out = table._require_df().select(id_col, text_col).mapInPandas(run, schema)
+    return Table.from_df(out, name=f"{table.table_name}_bpe")

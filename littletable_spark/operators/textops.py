@@ -365,6 +365,7 @@ def pack_sequences(
     budget_tokens: int = 2048,
     n_shards: int = 16,
     salt: str = "",
+    weight_col: str | None = None,
 ) -> Table:
     """Assign documents to fixed-token-budget packs — the chunk→pack
     step that turns a curated corpus into training-ready context
@@ -388,6 +389,11 @@ def pack_sequences(
     sort or single-partition window exists. Raise ``n_shards`` with the
     corpus (shard ≈ a few hundred MB of tokens). Fully native (no UDF)
     and engine-portable, so the DuckDB oracle replays it exactly.
+
+    ``weight_col`` swaps the whitespace token count for a precomputed
+    per-doc size — e.g. ``apply_bpe``'s ``n_bpe_tokens``, so packs are
+    budgeted in REAL tokenizer tokens (NULL weights count as 0, like
+    NULL text).
     """
     from pyspark.sql import Window
 
@@ -398,10 +404,14 @@ def pack_sequences(
     shard = F.pmod(hash_bucket(F.col(id_col), salt), F.lit(n_shards)).cast("int")
     # NULL text must count as 0 tokens, not NULL/-1 (size-of-null), or
     # the per-shard cumsum would corrupt every later doc's pack/offset.
-    safe_text = F.coalesce(F.col(text_col), F.lit(""))
+    if weight_col is not None:
+        n_tokens = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    else:
+        safe_text = F.coalesce(F.col(text_col), F.lit(""))
+        n_tokens = F.size(_tokens(safe_text))  # int, the gated schema
     df = table.df.select(
         F.col(id_col),
-        F.size(_tokens(safe_text)).alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         shard.alias("shard"),
     )
     w = (

@@ -1,0 +1,212 @@
+"""BPE tokenizer: driver merge loop vs a brute-force reference,
+greedy encode vs sequential merge replay, Spark end-to-end, durable
+merges round-trip, and pack_sequences integration."""
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from littletable_spark import Table
+from littletable_spark.operators.bpe import (
+    END,
+    _encode_word,
+    _train_merges,
+    _word_symbols,
+    apply_bpe,
+    train_bpe,
+)
+from littletable_spark.operators.textops import BPE_TOKEN_RE
+
+
+# ------------------------------------------------------------------ #
+# reference implementations (deliberately naive)
+
+
+def _ref_train(word_counts, num_merges):
+    """Recount every pair from scratch each round — O(n²) but obviously
+    correct; same tie-break (max count, then lexicographically smallest
+    pair)."""
+    words = {i: list(_word_symbols(w)) for i, (w, _) in enumerate(word_counts)}
+    counts = {i: c for i, (_, c) in enumerate(word_counts)}
+    merges = []
+    for _ in range(num_merges):
+        pair_counts = {}
+        for i, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + counts[i]
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        merges.append(best)
+        for i, syms in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(best[0] + best[1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+    return merges
+
+
+def _ref_apply_in_order(word, merges):
+    """Apply merges sequentially in rank order (the definitional
+    semantics); greedy-lowest-rank must agree."""
+    syms = list(_word_symbols(word))
+    for left, right in merges:
+        out, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                out.append(left + right)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return tuple(syms)
+
+
+# ------------------------------------------------------------------ #
+
+
+def test_train_matches_bruteforce_reference():
+    rng = random.Random(42)
+    alphabet = "abcde"
+    for trial in range(5):
+        words = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))): rng.randint(1, 20)
+            for _ in range(30)
+        }
+        wc = sorted(words.items())
+        got = _train_merges(wc, num_merges=25)
+        want = _ref_train(wc, num_merges=25)
+        assert got == want, f"trial {trial}: {got[:5]} vs {want[:5]}"
+
+
+def test_hand_computed_merges():
+    # "aaab" x3, "ab" x2: pairs: (a,a)=6, (a,b</w>)=5 -> merge (a,a);
+    # then (aa,a)=3, (a,b</w>)=5 -> merge (a,b</w>); then (aa, ab</w>)=3
+    wc = [("aaab", 3), ("ab", 2)]
+    merges = _train_merges(wc, num_merges=3)
+    assert merges == [("a", "a"), ("a", "b" + END), ("aa", "ab" + END)]
+
+
+def test_greedy_encode_equals_sequential_replay():
+    rng = random.Random(7)
+    wc = [
+        ("".join(rng.choice("abcd") for _ in range(rng.randint(2, 9))), rng.randint(1, 9))
+        for _ in range(40)
+    ]
+    merges = _train_merges(sorted(set(wc)), num_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in wc:
+        assert _encode_word(w, ranks) == _ref_apply_in_order(w, merges), w
+    # unseen words too
+    for w in ("dcba", "abcdabcd", "x", "xa"):
+        assert _encode_word(w, ranks) == _ref_apply_in_order(w, merges), w
+
+
+def test_encode_reconstructs_word():
+    merges = _train_merges([("hello", 5), ("help", 3)], num_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("hello", "help", "hell", "zzz"):
+        pieces = _encode_word(w, ranks)
+        assert "".join(pieces) == w + END
+
+
+def test_spark_train_apply_end_to_end(spark):
+    docs = Table("docs", spark=spark)
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "the the the cat cat",
+        "a completely different sentence here",
+        "",
+    ]
+    docs.insert_many([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    merges = train_bpe(docs, "text", num_merges=40, max_words=1000)
+    mrows = sorted(
+        ((r.rank, r.left, r.right) for r in merges), key=lambda r: r[0]
+    )
+    # distributed word-count + driver loop == all-local reference train
+    local_words = {}
+    rx = re.compile(BPE_TOKEN_RE)
+    for t in texts:
+        for w in rx.findall(t):
+            local_words[w] = local_words.get(w, 0) + 1
+    want = _ref_train(sorted(local_words.items()), num_merges=40)
+    assert [(l, r) for _, l, r in mrows] == want
+
+    out = apply_bpe(docs, "text", "doc_id", merges, emit_pieces=True)
+    rows = {r.doc_id: r for r in out}
+    assert rows[4].n_bpe_tokens == 0 and rows[4].pieces == []
+    ranks = {p: i for i, p in enumerate(want)}
+    for i, t in enumerate(texts):
+        pieces = []
+        for w in rx.findall(t):
+            pieces.extend(_encode_word(w, ranks))
+        assert list(rows[i].pieces) == pieces
+        assert rows[i].n_bpe_tokens == len(pieces)
+        # pieces reconstruct the text (single-spaced input, lossless regex)
+        assert "".join(pieces).replace(END, "") == t
+
+
+def test_merges_table_is_durable(spark, tmp_path):
+    docs = Table("docs", spark=spark)
+    docs.insert_many(
+        [{"doc_id": i, "text": f"repeat repeat token{i}"} for i in range(20)]
+    )
+    merges = train_bpe(docs, "text", num_merges=15)
+    path = str(tmp_path / "merges.parquet")
+    merges.parquet_export(path)
+    back = Table.parquet_import(spark, path, "merges")
+    a = apply_bpe(docs, "text", "doc_id", merges)
+    b = apply_bpe(docs, "text", "doc_id", back)
+    assert sorted((r.doc_id, r.n_bpe_tokens) for r in a) == sorted(
+        (r.doc_id, r.n_bpe_tokens) for r in b
+    )
+
+
+def test_pack_sequences_budgets_in_bpe_tokens(spark):
+    from littletable_spark.operators.textops import pack_sequences
+
+    docs = Table("docs", spark=spark)
+    docs.insert_many(
+        [
+            {"doc_id": i, "text": "word " * (i + 1) + "ending"}
+            for i in range(30)
+        ]
+    )
+    merges = train_bpe(docs, "text", num_merges=20)
+    counts = apply_bpe(docs, "text", "doc_id", merges)
+    joined = docs.join(counts, doc_id="doc_id")
+    packed = pack_sequences(
+        joined, "text", "doc_id", budget_tokens=50, n_shards=4,
+        weight_col="n_bpe_tokens",
+    )
+    rows = list(packed)
+    assert len(rows) == 30  # every doc assigned exactly once
+    by_id = {r.doc_id: r for r in rows}
+    cnt = {r.doc_id: r.n_bpe_tokens for r in counts}
+    # n_tokens is the BPE weight, not the whitespace count
+    for i in range(30):
+        assert by_id[i].n_tokens == cnt[i]
+    # pack invariant: a doc starts in the pack where its first token lands
+    import collections
+
+    stream = collections.defaultdict(int)
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        assert r.pack == stream[r.shard] // 50
+        assert r.pack_offset == stream[r.shard] % 50
+        stream[r.shard] += r.n_tokens
+
+
+def test_apply_rejects_wrong_table(spark):
+    docs = Table("docs", spark=spark)
+    docs.insert_many([{"doc_id": 0, "text": "x"}])
+    with pytest.raises(ValueError, match="merges table"):
+        apply_bpe(docs, "text", "doc_id", docs)
