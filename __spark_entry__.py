@@ -928,6 +928,39 @@ def q_sim_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized durable IVF index: build (coarse quantizer +
+    per-subspace PQ codebooks, m-byte codes instead of full vectors —
+    the >=8x storage cut that keeps a 100 TB corpus's index from being
+    corpus-sized), persist to parquet, reload (codebooks reconstructed
+    from the model rows), then search via ADC lookup-table candidates +
+    exact re-rank against corpus vectors fetched through a broadcast
+    candidate join. Run with nprobe == nlist and rerank >= |corpus|,
+    where the PQ path provably returns the exact brute-force top-k
+    (ADC only orders candidates; final scores are exact re-rank) — so
+    the full PQ machinery is oracle-checkable; reduced-probe recall
+    and the storage ratio are covered by tests/test_pq_index.py."""
+    from littletable_spark.operators.similarity import ivf_index_table, ivf_topk
+
+    import atexit
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = ivf_index_table(
+        e, "vec_id", "embedding", nlist=16, pq_m=8, pq_ksub=32, seed=42
+    )
+    root = tempfile.mkdtemp(prefix="lts_pq_q_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx.df.write.mode("overwrite").parquet(f"{root}/pq")
+    stored = Table.parquet_import(spark, f"{root}/pq")
+    q = e.where(vec_id=Table.ge(20)).where(vec_id=Table.lt(25))
+    return ivf_topk(
+        e, q, "vec_id", "embedding", k=10, nprobe=16,
+        against_index=stored, rerank=100_000,
+    ).df
+
+
 def q_sim_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic clustering: spherical-k-means assignment over embeddings.
 
@@ -1671,7 +1704,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pinned instead by tests/test_bpe.py's differential reference).
     sample_weighted parks in exchange (driver-green r7; its
     Efraimidis–Spirakis md5 u-draw core stays in-gate via sample_epoch
-    / sample_cap_per_group / sample_cap_tokens). The local mirror
+    / sample_cap_per_group / sample_cap_tokens). Net-new sim_ivf_pq
+    (product-quantized durable IVF index: codebook train, m-byte codes,
+    parquet round-trip, ADC candidates + exact re-rank — run at
+    nprobe == nlist with corpus-covering rerank where it provably
+    equals exact brute force, so fully oracle-checked) also gates
+    immediately; text_tfidf_incr parks in exchange (driver-green r7;
+    its durable term-stats machinery — build, fold, against_stats
+    probe — stays in-gate via text_bm25_incr, which shares
+    term_stats_table and the probe join). The local mirror
     (scripts/verify_oracle.py) still runs every oracle-checked query
     every round."""
     return {
@@ -1710,10 +1751,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_incr": q_dedup_semantic_incr,
         "sim_cluster": q_sim_cluster,
         "sim_ivf_incr": q_sim_ivf_incr,
+        "sim_ivf_pq": q_sim_ivf_pq,
         "text_tokens": q_text_tokens,
         "text_quality_clf": q_text_quality_clf,
         "text_logprob": q_text_logprob,
-        "text_tfidf_incr": q_text_tfidf_incr,
         "text_bm25_incr": q_text_bm25_incr,
         "search_text": q_search_text,
         "grouping_sets": q_grouping_sets,
@@ -1726,6 +1767,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "text_tfidf_incr": q_text_tfidf_incr,
         "sample_weighted": q_sample_weighted,
         "sample_mixture": q_sample_mixture,
         "pivot_counts": q_pivot_counts,
@@ -2780,6 +2822,23 @@ def oracle_sql() -> dict[str, str]:
                          c.vec_id ASC) AS rank
               FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
               WHERE q.vec_id < 5
+            ) WHERE rank <= 10
+        """,
+        # with nprobe == nlist every list is probed and rerank covers
+        # the whole corpus, so the PQ search equals exact brute force —
+        # same SQL shape as sim_cosine_topk over the 20..24 query set
+        "sim_ivf_pq": """
+            SELECT * FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                         c.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id >= 20 AND q.vec_id < 25
             ) WHERE rank <= 10
         """,
         # centroids = embeddings of vec_id 0..7 (cluster index = vec_id

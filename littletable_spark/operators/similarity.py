@@ -242,6 +242,49 @@ def _training_sample(
     return np.array([list(r["__svec__"]) for r in rows], dtype=np.float64), ids
 
 
+def _train_pq_codebooks(
+    X: np.ndarray, m: int, ksub: int = 256, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Product-quantization codebooks: split the dim into ``m`` equal
+    subspaces and run plain (Euclidean) Lloyd k-means with ``ksub``
+    centers in each — Jegou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search" (public). Deterministic for a fixed seed;
+    empty clusters re-seed from the sample. Returns (m, ksub, dsub)."""
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"pq_m={m} must divide the embedding dim {dim}")
+    dsub = dim // m
+    ksub = min(ksub, n)
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cents = Xs[rng.choice(n, ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = Xs[assign == c]
+                cents[c] = members.mean(axis=0) if len(members) else Xs[rng.randint(n)]
+        books[s] = cents
+    return books
+
+
+def _encode_pq(vec_series, books: np.ndarray) -> list[bytes]:
+    """Nearest-center code per subspace, packed as one byte each —
+    the 8x-64x storage cut (dim x float64 -> m bytes) that makes a
+    100 TB corpus's index NOT itself corpus-sized."""
+    M = np.array([list(v) for v in vec_series], dtype=np.float64)
+    m, ksub, dsub = books.shape
+    codes = np.zeros((len(M), m), dtype=np.uint8)
+    for s in range(m):
+        Xs = M[:, s * dsub : (s + 1) * dsub]
+        # |x-c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 is argmin-constant
+        d = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+        codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+    return [c.tobytes() for c in codes]
+
+
 def ivf_topk(
     corpus: Table,
     queries: Table,
@@ -255,6 +298,7 @@ def ivf_topk(
     seed: int = 42,
     max_queries: int = MAX_QUERY_VECTORS,
     against_index: Table | None = None,
+    rerank: int | None = None,
 ) -> Table:
     """IVF approximate top-k: k-means coarse quantizer, probe-limited scan.
 
@@ -284,6 +328,13 @@ def ivf_topk(
     of N.
     """
     qid = query_id_col or id_col
+    if against_index is not None and "codes" in against_index.fields:
+        # product-quantized layout: ADC candidates + exact re-rank
+        # (rerank= bounds the exact phase; see _pq_search)
+        return _pq_search(
+            corpus, queries, id_col, vec_col, qid, k, nprobe,
+            max_queries, against_index, rerank,
+        )
     if against_index is not None:
         centroids, cdf = _load_ivf_index(against_index)
     else:
@@ -421,6 +472,10 @@ def ivf_index_table(
     seed: int = 42,
     init_ids: list | None = None,
     centroids=None,
+    pq_m: int | None = None,
+    pq_ksub: int = 256,
+    pq_iters: int = 10,
+    pq_codebooks=None,
 ) -> Table:
     """Build the durable IVF index ``ivf_topk(against_index=)`` searches:
     one row per corpus vector (``cluster``, ``corpus_id``, ``cvec``) plus
@@ -439,12 +494,87 @@ def ivf_index_table(
     Persist with ``.df.write.partitionBy("cluster")``: ``ivf_topk``'s
     static probe-cluster predicate then prunes unprobed partitions at
     the scan, reading ~nprobe/nlist of the index.
+
+    ``pq_m`` switches to the PRODUCT-QUANTIZED layout: instead of the
+    full ``cvec``, each corpus row stores an m-byte PQ code (per-
+    subspace nearest-center ids), and the model rows additionally carry
+    the ``(pq_sub, pq_code, pq_center)`` codebooks. At dim=1024 float64
+    that is a 1024x storage cut per vector (8 KB -> m bytes) — the fix
+    for the index itself being corpus-sized at 100 TB. Search over a PQ
+    index (``ivf_topk(against_index=)`` auto-detects the layout) scores
+    candidates by asymmetric-distance lookup tables and then re-ranks
+    the top ``rerank`` per query against the EXACT vectors fetched from
+    the corpus table. Codebooks train on the same hash-ordered driver
+    sample as the coarse quantizer; ``pq_codebooks`` freezes a
+    pretrained model for ``extend_ivf_index``.
     """
     cents = resolve_centroids(
         corpus, id_col, vec_col, nlist, train_iters, sample_size, seed,
         init_ids, centroids,
     )
+    books = None
+    if pq_codebooks is not None:
+        books = np.asarray(pq_codebooks, dtype=np.float64)
+    elif pq_m is not None:
+        sample, _ = _training_sample(
+            corpus._require_df(), id_col, vec_col, sample_size
+        )
+        books = _train_pq_codebooks(sample, pq_m, pq_ksub, seed, pq_iters)
     bc = corpus.spark.sparkContext.broadcast(cents)
+
+    if books is not None:
+        bb = corpus.spark.sparkContext.broadcast(books)
+
+        def assign_pq_batches(batches):
+            import pandas as pd
+
+            C = bc.value
+            B = bb.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "cluster": _assign_clusters(pdf["cvec"], C),
+                        "corpus_id": pdf["corpus_id"],
+                        "codes": _encode_pq(pdf["cvec"], B),
+                    }
+                )
+
+        schema = (
+            "cluster int, corpus_id long, codes binary, "
+            "centroid array<double>, pq_sub int, pq_code int, "
+            "pq_center array<double>"
+        )
+        assigned = (
+            corpus.df.select(
+                F.col(id_col).cast("long").alias("corpus_id"),
+                F.col(vec_col).cast("array<double>").alias("cvec"),
+            )
+            .mapInPandas(
+                assign_pq_batches,
+                "cluster int, corpus_id long, codes binary",
+            )
+            .withColumn("centroid", F.lit(None).cast("array<double>"))
+            .withColumn("pq_sub", F.lit(None).cast("int"))
+            .withColumn("pq_code", F.lit(None).cast("int"))
+            .withColumn("pq_center", F.lit(None).cast("array<double>"))
+        )
+        model_rows = [
+            (int(i), None, None, [float(x) for x in c], None, None, None)
+            for i, c in enumerate(cents)
+        ] + [
+            (None, None, None, None, int(s), int(c), [float(x) for x in books[s, c]])
+            for s in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        model = corpus.spark.createDataFrame(model_rows, schema)
+        out = Table.from_df(
+            assigned.unionByName(model), name=f"{corpus.table_name}_ivf_pq_index"
+        )
+        out._ivf_model = cents
+        out._pq_model = books
+        return out
 
     def assign_batches(batches):
         import pandas as pd
@@ -492,6 +622,31 @@ def ivf_index_table(
     return out
 
 
+def _load_centroids(index: Table) -> np.ndarray:
+    """Centroid model of an ivf_index_table (plain or PQ layout):
+    driver cache when available, else one column-pruned collect over
+    the nlist model rows."""
+    cached = getattr(index, "_ivf_model", None)
+    if cached is not None:
+        return np.asarray(cached, dtype=np.float64)
+    model = (
+        index.df.where(
+            F.col("corpus_id").isNull() & F.col("centroid").isNotNull()
+        )
+        .select("cluster", "centroid")
+        .collect()
+    )
+    if not model:
+        raise ValueError(
+            "against_index has no centroid model rows (corpus_id IS NULL); "
+            "build it with ivf_index_table()"
+        )
+    by_cluster = {r["cluster"]: list(r["centroid"]) for r in model}
+    return np.array(
+        [by_cluster[c] for c in sorted(by_cluster)], dtype=np.float64
+    )
+
+
 def _load_ivf_index(index: Table) -> tuple[np.ndarray, DataFrame]:
     """Split an ``ivf_index_table`` into its centroid model (driver-side
     (nlist × dim) matrix — one collect over nlist rows) and its
@@ -502,30 +657,221 @@ def _load_ivf_index(index: Table) -> tuple[np.ndarray, DataFrame]:
             f"against_index is not an ivf_index_table (missing {missing}); "
             "build one with ivf_index_table()"
         )
-    cached = getattr(index, "_ivf_model", None)
-    if cached is not None:
-        cdf = index.df.where(F.col("corpus_id").isNotNull()).select(
-            "corpus_id", "cvec", "cluster"
-        )
-        return np.asarray(cached, dtype=np.float64), cdf
-    model = (
-        index.df.where(F.col("corpus_id").isNull())
-        .select("cluster", "centroid")
-        .collect()
-    )
-    if not model:
-        raise ValueError(
-            "against_index has no centroid model rows (corpus_id IS NULL); "
-            "build it with ivf_index_table()"
-        )
-    by_cluster = {r["cluster"]: list(r["centroid"]) for r in model}
-    cents = np.array(
-        [by_cluster[c] for c in sorted(by_cluster)], dtype=np.float64
-    )
+    cents = _load_centroids(index)
     cdf = index.df.where(F.col("corpus_id").isNotNull()).select(
         "corpus_id", "cvec", "cluster"
     )
     return cents, cdf
+
+
+def _load_pq_index(index: Table) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """Split a PQ ``ivf_index_table`` into (centroids, codebooks,
+    code-assignment DataFrame). Codebooks come from the driver cache
+    when the index was built this session, else from one column-pruned
+    collect over the (m × ksub) codebook rows."""
+    missing = [
+        c
+        for c in ("cluster", "corpus_id", "codes", "centroid", "pq_sub", "pq_code", "pq_center")
+        if c not in index.fields
+    ]
+    if missing:
+        raise ValueError(
+            f"against_index is not a PQ ivf_index_table (missing {missing}); "
+            "build one with ivf_index_table(pq_m=)"
+        )
+    cents = _load_centroids(index)
+    books = getattr(index, "_pq_model", None)
+    if books is None:
+        rows = (
+            index.df.where(F.col("pq_sub").isNotNull())
+            .select("pq_sub", "pq_code", "pq_center")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(
+                "against_index has a 'codes' column but no codebook rows "
+                "(pq_sub IS NOT NULL); build it with ivf_index_table(pq_m=)"
+            )
+        m = max(r["pq_sub"] for r in rows) + 1
+        ksub = max(r["pq_code"] for r in rows) + 1
+        dsub = len(rows[0]["pq_center"])
+        books = np.zeros((m, ksub, dsub), dtype=np.float64)
+        seen = 0
+        for r in rows:
+            books[r["pq_sub"], r["pq_code"]] = list(r["pq_center"])
+            seen += 1
+        if seen != m * ksub:
+            raise ValueError(
+                f"PQ codebook rows incomplete: {seen} of {m * ksub}"
+            )
+    cdf = index.df.where(F.col("corpus_id").isNotNull()).select(
+        "corpus_id", "codes", "cluster"
+    )
+    return cents, np.asarray(books, dtype=np.float64), cdf
+
+
+def _pq_search(
+    corpus: Table,
+    queries: Table,
+    id_col: str,
+    vec_col: str,
+    qid: str,
+    k: int,
+    nprobe: int,
+    max_queries: int,
+    index: Table,
+    rerank: int | None,
+) -> Table:
+    """Search a product-quantized IVF index: ADC candidate generation
+    over the m-byte codes, then EXACT re-rank of the top ``rerank``
+    candidates per query against the corpus vectors fetched by id.
+
+    Scale shape: the probed index scan reads codes (m bytes/row), not
+    vectors; scoring is per-batch lookup-table sums (one (nq × ksub)
+    table per subspace, built driver-side from the query matrix). The
+    exact phase touches only ``rerank × n_queries`` corpus rows via a
+    broadcast join of the (small) candidate list — the corpus is
+    scanned once with every non-candidate row dropped at the join, and
+    the dense vectors of non-candidates never move. With
+    ``nprobe == nlist`` and ``rerank >= |corpus|`` the result is
+    provably the exact brute-force top-k (the oracle contract)."""
+    cents, books, cdf = _load_pq_index(index)
+    q_rows = _collect_query_vectors(
+        queries.df.select(qid, F.col(vec_col).cast("array<double>")),
+        max_queries,
+    )
+    spark = corpus.spark
+    if not q_rows:
+        empty = spark.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
+        return Table.from_df(empty, name="ivf_pq_topk")
+    nprobe = min(nprobe, len(cents))
+    R = int(rerank) if rerank is not None else max(8 * k, 64)
+    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(Q, axis=1)
+    Qn = Q / np.where(q_norms == 0, 1.0, q_norms)[:, None]
+    top = np.argsort(-(Qn @ cents.T), axis=1)[:, :nprobe]
+    probe_sets = [set(int(c) for c in row) for row in top]
+    probed = sorted({c for s in probe_sets for c in s})
+    cdf = cdf.where(F.col("cluster").isin(probed))
+    allowed_by_cluster = {
+        c: np.fromiter(
+            (c in s for s in probe_sets), dtype=bool, count=len(probe_sets)
+        )
+        for c in probed
+    }
+
+    # ADC tables: LUT[s][qi][code] = dot(q_sub, center);
+    # code_norm2[s][code] = |center|^2 (for the reconstructed |v|)
+    m, ksub, dsub = books.shape
+    lut = np.stack(
+        [Q[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)]
+    )  # (m, nq, ksub)
+    code_norm2 = (books**2).sum(axis=2)  # (m, ksub)
+    bq = spark.sparkContext.broadcast(
+        (q_ids, q_norms, lut, code_norm2, allowed_by_cluster, R)
+    )
+
+    def adc_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids_, q_norms_, lut_, cn2_, allowed_, R_ = bq.value
+        m_ = lut_.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            U = np.stack(
+                [np.frombuffer(b, dtype=np.uint8, count=m_) for b in pdf["codes"]]
+            )  # (n, m)
+            n = len(U)
+            D = np.zeros((len(q_ids_), n), dtype=np.float64)
+            v2 = np.zeros(n, dtype=np.float64)
+            for s in range(m_):
+                D += lut_[s][:, U[:, s]]
+                v2 += cn2_[s][U[:, s]]
+            vnorm = np.sqrt(v2)
+            denom = np.where(vnorm == 0, 1.0, vnorm)[None, :] * np.where(
+                q_norms_ == 0, 1.0, q_norms_
+            )[:, None]
+            S = D / denom  # approx cosine: ranks candidates only
+            cids = pdf["corpus_id"].to_numpy()
+            mask = np.stack([allowed_[int(c)] for c in pdf["cluster"]])
+            frames = []
+            for qi, qv in enumerate(q_ids_):
+                ok = mask[:, qi] & (cids != qv)
+                idx = np.nonzero(ok)[0]
+                if idx.size == 0:
+                    continue
+                col = S[qi]
+                order = np.lexsort((cids[idx], -col[idx]))[:R_]
+                sel = idx[order]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qv, "corpus_id": cids[sel], "ascore": col[sel]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = cdf.select("corpus_id", "codes", "cluster").mapInPandas(
+        adc_batches, "query_id long, corpus_id long, ascore double"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col("corpus_id").asc()
+    )
+    cand = (
+        cand.withColumn("__r__", F.row_number().over(wa))
+        .filter(F.col("__r__") <= F.lit(R))
+        .select("query_id", "corpus_id")
+    )
+
+    # exact re-rank: fetch the candidates' TRUE vectors from the corpus
+    # via a broadcast join (candidate list is <= R x n_queries rows) —
+    # non-candidate vectors never leave the scan
+    cvecs = corpus.df.select(
+        F.col(id_col).cast("long").alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    joined = cvecs.join(F.broadcast(cand), "corpus_id")
+    bq2 = spark.sparkContext.broadcast((q_ids, Q, q_norms))
+
+    def exact_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids_, Q_, q_norms_ = bq2.value
+        pos = {int(v): i for i, v in enumerate(q_ids_)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array([list(v) for v in pdf["__cv__"]], dtype=np.float64)
+            c_norms = np.linalg.norm(C, axis=1)
+            # same matmul + op order as ivf_topk/cosine_topk so the
+            # rounded score is bit-identical to the non-PQ paths
+            S = np.round((C @ Q_.T) / np.outer(c_norms, q_norms_), 6)
+            qidx = pdf["query_id"].map(pos).to_numpy()
+            rows = np.arange(len(C))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "corpus_id": pdf["corpus_id"],
+                    "cosine": S[rows, qidx],
+                }
+            )
+
+    scored = joined.mapInPandas(
+        exact_batches, "query_id long, corpus_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= F.lit(k)
+    )
+    return Table.from_df(out, name="ivf_pq_topk")
 
 
 def extend_ivf_index(
@@ -538,7 +884,17 @@ def extend_ivf_index(
     model and return the extended index (original rows + the batch's
     assignment rows). No training jobs, no rescan of already-indexed
     vectors — the nightly-ingest shape: per-batch cost is one Arrow
-    assignment pass over the batch alone."""
+    assignment pass over the batch alone. PQ indexes extend the same
+    way: the frozen codebooks encode the batch, nothing retrains."""
+    if "codes" in index.fields:
+        cents, books, _ = _load_pq_index(index)
+        fresh = ivf_index_table(
+            batch, id_col, vec_col, centroids=cents, pq_codebooks=books
+        ).df.where(F.col("corpus_id").isNotNull())
+        out = Table.from_df(index.df.unionByName(fresh), name=index.table_name)
+        out._ivf_model = cents
+        out._pq_model = books
+        return out
     cents, _ = _load_ivf_index(index)
     fresh = ivf_index_table(
         batch, id_col, vec_col, centroids=cents
