@@ -1287,6 +1287,31 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audio decode pipeline over binary blobs (deterministic fake
+    features; the REAL path — pure stdlib/numpy RIFF/PCM WAV decode in
+    functions/audiocodec.py — is pytest-verified against stdlib-encoded
+    fixtures, test_imagecodec.py).
+
+    Oracle-checked like multimodal_decode: the fake features are
+    ``md5(blob).digest()`` bytes (n_frames=b0, duration=b1/255,
+    rms=b2/255, peak=b3/255, zcr=b4/255), reconstructible in DuckDB
+    from the md5 hex string. Scalar columns only (waveform array
+    dropped) per the registry schema rule."""
+    from littletable_spark.operators.multimodal import decode_audio
+
+    d = _t(spark, sf_dir, "documents")
+    d.compute_field("blob", F.encode(F.col("text"), "utf-8"))
+    out = decode_audio(d, "blob", "doc_id", use_fake=True)
+    return out.select(
+        "doc_id n_frames",
+        duration=F.round(F.col("duration"), 6),
+        rms=F.round(F.col("rms"), 6),
+        peak=F.round(F.col("peak"), 6),
+        zcr=F.round(F.col("zcr"), 6),
+    ).df
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """document chunking: fixed 16-token windows with 4-token overlap —
     the pre-training/RAG chunking step as a native posexplode plan."""
@@ -1712,9 +1737,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     immediately; text_tfidf_incr parks in exchange (driver-green r7;
     its durable term-stats machinery — build, fold, against_stats
     probe — stays in-gate via text_bm25_incr, which shares
-    term_stats_table and the probe join). The local mirror
-    (scripts/verify_oracle.py) still runs every oracle-checked query
-    every round."""
+    term_stats_table and the probe join). Net-new multimodal_audio
+    (WAV decode pipeline — fake md5-feature path oracle-checked like
+    multimodal_decode; the real stdlib RIFF/PCM decoder is
+    pytest-verified) gates immediately; dedup_spans parks in exchange
+    (driver-green r7; its hashed-gram span-detection core runs in-gate
+    inside dedup_spans_incr, a strict superset pipeline). The local
+    mirror (scripts/verify_oracle.py) still runs every oracle-checked
+    query every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1740,7 +1770,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_incr": q_dedup_minhash_incr,
-        "dedup_spans": q_dedup_spans,
+        "multimodal_audio": q_multimodal_audio,
         "dedup_spans_incr": q_dedup_spans_incr,
         "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
@@ -1767,6 +1797,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "dedup_spans": q_dedup_spans,
         "text_tfidf_incr": q_text_tfidf_incr,
         "sample_weighted": q_sample_weighted,
         "sample_mixture": q_sample_mixture,
@@ -3151,6 +3182,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "multimodal_decode": _decode_oracle_sql(width=4, height=4),
+        # fake audio features are md5 digest bytes (multimodal.py
+        # decode_audio use_fake=True): n_frames=b0, duration=b1/255,
+        # rms=b2/255, peak=b3/255, zcr=b4/255 — bytes reconstructed
+        # from the hex string like the image fake
+        "multimodal_audio": """
+            WITH h AS (SELECT doc_id, md5(text) AS x FROM documents)
+            SELECT doc_id,
+                   ('0x' || substr(x, 1, 2))::BIGINT AS n_frames,
+                   round(('0x' || substr(x, 3, 2))::BIGINT / 255.0, 6) AS duration,
+                   round(('0x' || substr(x, 5, 2))::BIGINT / 255.0, 6) AS rms,
+                   round(('0x' || substr(x, 7, 2))::BIGINT / 255.0, 6) AS peak,
+                   round(('0x' || substr(x, 9, 2))::BIGINT / 255.0, 6) AS zcr
+            FROM h
+        """,
         "text_pack": f"""
             WITH t AS (
               SELECT doc_id,

@@ -199,6 +199,77 @@ def decode_image(
     return Table.from_df(out, name=f"{table.table_name}_decoded")
 
 
+def decode_audio(
+    table: Table,
+    bin_col: str,
+    id_col: str,
+    n_points: int = 64,
+    use_fake: bool = False,
+    on_error: str = "raise",
+) -> Table:
+    """Decode WAV audio blobs to per-row features + a fixed-size
+    waveform thumbnail via mapInPandas — the audio analogue of
+    ``decode_image``. The real path is the pure stdlib/numpy RIFF/PCM
+    decoder in ``functions/audiocodec.py`` (no audio library needed);
+    compressed codecs (MP3/AAC) would need ffmpeg and raise through
+    ``on_error``. ``use_fake=True`` emits a deterministic md5-seeded
+    feature row (the zero-cost plumbing/oracle path, like the image
+    fake). ``on_error="null"`` NULLs the features for undecodable
+    blobs instead of failing the job."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"decode_audio: on_error must be raise|null, got {on_error!r}")
+
+    schema = (
+        f"{id_col} long, sample_rate int, n_channels int, n_frames long, "
+        "duration double, rms double, peak double, zcr double, "
+        "waveform array<double>"
+    )
+    cols = [
+        "sample_rate", "n_channels", "n_frames", "duration",
+        "rms", "peak", "zcr", "waveform",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        if not use_fake:
+            from ..functions.audiocodec import wav_features
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _id, b in zip(pdf[id_col], pdf[bin_col]):
+                if use_fake:
+                    h = _hl.md5(bytes(b or b"")).digest()
+                    rows.append(
+                        (
+                            _id, 16000, 1, h[0], h[1] / 255.0,
+                            h[2] / 255.0, h[3] / 255.0, h[4] / 255.0,
+                            [h[(i * 7) % 16] / 255.0 for i in range(n_points)],
+                        )
+                    )
+                    continue
+                try:
+                    f = wav_features(bytes(b or b""), n_points=n_points)
+                    rows.append(
+                        (
+                            _id, f["sample_rate"], f["n_channels"],
+                            f["n_frames"], f["duration"], f["rms"],
+                            f["peak"], f["zcr"], f["waveform"],
+                        )
+                    )
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    rows.append((_id,) + (None,) * 8)
+            yield pd.DataFrame(rows, columns=[id_col, *cols])
+
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    out = inp.mapInPandas(run, schema)
+    return Table.from_df(out, name=f"{table.table_name}_audio")
+
+
 def media_features(table: Table, id_col: str, pixels_col: str = "pixels") -> Table:
     """Feature extraction over decoded grids — native array aggregates."""
     px = F.col(pixels_col)

@@ -187,3 +187,81 @@ def test_decode_image_real_path_mapinpandas(spark, img4x3):
     # on_error="raise" fails the job on the corrupt blob
     with pytest.raises(Exception):
         decode_image(t, "blob", "id", use_fake=False).df.collect()
+
+
+# ------------------------------------------------------------------ #
+# audio (WAV/RIFF) — real decode, stdlib-encoded fixtures
+
+
+def _wav_encode(samples: np.ndarray, rate: int, sampwidth: int = 2) -> bytes:
+    """Encode (n, ch) float in [-1,1] with the stdlib wave module."""
+    import io
+    import wave
+
+    n, ch = samples.shape
+    if sampwidth == 2:
+        raw = (samples * 32767).astype("<i2").reshape(-1).tobytes()
+    else:
+        raw = ((samples * 127) + 128).astype(np.uint8).reshape(-1).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def test_wav_decode_roundtrip():
+    from littletable_spark.functions.audiocodec import decode_wav, wav_features
+
+    t = np.arange(8000) / 8000.0
+    sine = np.sin(2 * np.pi * 440 * t)
+    blob = _wav_encode(np.stack([sine, -sine], axis=1), rate=8000)
+    samples, rate = decode_wav(blob)
+    assert rate == 8000 and samples.shape == (8000, 2)
+    # int16 truncation + the 32767-encode/32768-decode scale mismatch
+    np.testing.assert_allclose(samples[:, 0], sine, atol=1e-4)
+    f = wav_features(blob)
+    assert f["duration"] == 1.0 and f["n_channels"] == 2
+    # stereo (sine, -sine) channel-means to ~0
+    assert f["rms"] < 1e-4
+    mono = _wav_encode(sine[:, None], rate=8000)
+    fm = wav_features(mono)
+    np.testing.assert_allclose(fm["rms"], 1 / np.sqrt(2), atol=1e-3)
+    assert 0.10 < fm["zcr"] < 0.12  # 440 Hz at 8 kHz: ~0.11 crossings/frame
+    assert len(fm["waveform"]) == 64
+
+
+def test_wav_unsupported_raises():
+    from littletable_spark.functions.audiocodec import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"ID3\x03 not a wav")
+
+
+def test_decode_audio_spark_path(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import decode_audio
+
+    t64 = np.arange(4000) / 8000.0
+    wav = _wav_encode(np.sin(2 * np.pi * 220 * t64)[:, None], rate=8000)
+    t = Table("audio", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "blob": wav},
+            {"id": 1, "blob": b"not audio"},
+        ]
+    )
+    out = decode_audio(t, "blob", "id", on_error="null")
+    rows = {r.id: r for r in out}
+    assert rows[0].sample_rate == 8000 and rows[0].duration == 0.5
+    assert abs(rows[0].rms - 1 / np.sqrt(2)) < 1e-3
+    assert len(rows[0].waveform) == 64
+    assert rows[1].sample_rate is None  # corrupt -> NULL, row kept
+    with pytest.raises(Exception):
+        decode_audio(t, "blob", "id").df.collect()
+    # fake path is deterministic and cheap (plumbing/oracle contract)
+    fake = {r.id: r for r in decode_audio(t, "blob", "id", use_fake=True)}
+    fake2 = {r.id: r for r in decode_audio(t, "blob", "id", use_fake=True)}
+    assert fake[0].rms == fake2[0].rms and fake[1].rms == fake2[1].rms
