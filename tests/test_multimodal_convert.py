@@ -52,17 +52,20 @@ def test_decode_image_fake_deterministic(blobs):
     assert feats[0].pmin <= feats[0].pmean <= feats[0].pmax
 
 
-def test_decode_image_real_path_raises_without_pil(blobs):
+def test_decode_image_real_path_no_pil_needed(blobs):
+    """use_fake=False is a REAL decode path now (builtin PNG/BMP/PPM
+    codecs, no PIL): undecodable blobs raise ValueError per-row under
+    on_error='raise' and NULL out under on_error='null'. Full
+    real-pixel coverage lives in test_imagecodec.py."""
     from littletable_spark.operators.multimodal import decode_image
 
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("PIL installed; stub-gate not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        decode_image(blobs, "blob", "id", use_fake=False)
+    with pytest.raises(Exception):  # fixture blobs are not real images
+        decode_image(blobs, "blob", "id", use_fake=False).df.collect()
+    out = decode_image(blobs, "blob", "id", use_fake=False, on_error="null")
+    rows = {r.id: r for r in out}
+    assert len(rows) == 4 and all(r.pixels is None for r in rows.values())
+    with pytest.raises(ValueError, match="raise|null"):
+        decode_image(blobs, "blob", "id", on_error="sometimes")
 
 
 def test_frame_sample(blobs):
