@@ -692,17 +692,21 @@ def _load_pq_index(index: Table) -> tuple[np.ndarray, np.ndarray, DataFrame]:
                 "against_index has a 'codes' column but no codebook rows "
                 "(pq_sub IS NOT NULL); build it with ivf_index_table(pq_m=)"
             )
-        m = max(r["pq_sub"] for r in rows) + 1
-        ksub = max(r["pq_code"] for r in rows) + 1
-        dsub = len(rows[0]["pq_center"])
+        # keyed dict: batch-partitioned assets (streaming ingest) repeat
+        # the identical model rows once per batch partition — collapse
+        # them like _load_centroids does for the coarse model
+        by_key = {
+            (r["pq_sub"], r["pq_code"]): list(r["pq_center"]) for r in rows
+        }
+        m = max(s for s, _ in by_key) + 1
+        ksub = max(c for _, c in by_key) + 1
+        dsub = len(next(iter(by_key.values())))
         books = np.zeros((m, ksub, dsub), dtype=np.float64)
-        seen = 0
-        for r in rows:
-            books[r["pq_sub"], r["pq_code"]] = list(r["pq_center"])
-            seen += 1
-        if seen != m * ksub:
+        for (s, c), center in by_key.items():
+            books[s, c] = center
+        if len(by_key) != m * ksub:
             raise ValueError(
-                f"PQ codebook rows incomplete: {seen} of {m * ksub}"
+                f"PQ codebook rows incomplete: {len(by_key)} of {m * ksub}"
             )
     cdf = index.df.where(F.col("corpus_id").isNotNull()).select(
         "corpus_id", "codes", "cluster"

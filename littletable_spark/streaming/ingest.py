@@ -65,6 +65,7 @@ def ingest_batch(
     stats_path: str | None = None,
     ivf_path: str | None = None,
     ivf_centroids=None,
+    ivf_codebooks=None,
     allow_schema_drift: bool = False,
 ) -> dict[str, int]:
     """Process ONE micro-batch (plain batch DataFrame — callable
@@ -104,7 +105,13 @@ def ingest_batch(
        index: each batch's survivors are assigned against the frozen
        centroids (one Arrow pass over the batch alone, zero training)
        and reading ``ivf_path`` back IS an ``ivf_index_table`` for
-       ``ivf_topk(against_index=)``.
+       ``ivf_topk(against_index=)``. Passing frozen ``ivf_codebooks``
+       too ((m × ksub × dsub), trained once with
+       ``_train_pq_codebooks`` or taken from an ``ivf_index_table(
+       pq_m=)``'s ``_pq_model``) switches the asset to the
+       PRODUCT-QUANTIZED layout: batches append m-byte codes instead
+       of full vectors, so the durable ANN asset grows ~1000x slower
+       than the corpus at high dim.
 
     Incremental-index semantics for the text-rewrite stages: each
     batch contributes the lines/grams qualifying WITHIN that batch
@@ -377,7 +384,8 @@ def ingest_batch(
                 # and collapse in _load_ivf_index, so a plain parquet
                 # read of ivf_path is a searchable ivf_index_table
                 ivf_index_table(
-                    kt, id_col, emb_col, centroids=ivf_centroids
+                    kt, id_col, emb_col, centroids=ivf_centroids,
+                    pq_codebooks=ivf_codebooks,
                 ).df.write.mode("overwrite").parquet(
                     f"{ivf_path}/batch_id={bid}"
                 )

@@ -367,3 +367,51 @@ def test_start_curated_ingest_self_compacting(spark, paths):
     # compacted partition) is dropped by the band probe
     s = ingest_batch(_docs(spark, [(9, texts[0])]), 9, corpus, bands)
     assert (s["appended"], s["dropped"]) == (0, 1)
+
+
+def test_ivf_path_pq_layout(spark, paths):
+    """ivf_codebooks switches the durable ANN asset to the PQ layout:
+    batches append m-byte codes, the stored asset searches through the
+    PQ path, and at nprobe == nlist with corpus-covering rerank the
+    result is exact."""
+    import numpy as np
+
+    from littletable_spark.operators.similarity import (
+        _train_pq_codebooks,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    corpus, bands, _, _ = paths
+    root = corpus.rsplit("/", 1)[0]
+    ivf_p = f"{root}/ivf_pq"
+    cents = np.eye(3, 8)
+    rng = np.random.RandomState(3)
+    books = _train_pq_codebooks(rng.randn(64, 8), m=4, ksub=8, seed=5)
+    kw = dict(
+        emb_col="emb", ivf_path=ivf_p, ivf_centroids=cents,
+        ivf_codebooks=books,
+    )
+    b1 = [(0, _BASE[0], _V_A), (1, _BASE[1], _V_B)]
+    b2 = [(2, _BASE[2], _V_C)]
+    ingest_batch(_edocs(spark, b1), 0, corpus, bands, **kw)
+    ingest_batch(_edocs(spark, b2), 1, corpus, bands, **kw)
+
+    stored = Table.parquet_import(spark, ivf_p)
+    assert "codes" in stored.fields and "cvec" not in stored.fields
+    written = Table.from_df(
+        spark.read.parquet(corpus).select("doc_id", "emb")
+    )
+    q = Table.from_df(written.df.where("doc_id = 0"))
+    exact = {
+        (r.query_id, r.corpus_id, r.cosine, r.rank)
+        for r in cosine_topk(written, q, "doc_id", "emb", k=3)
+    }
+    got = {
+        (r.query_id, r.corpus_id, r.cosine, r.rank)
+        for r in ivf_topk(
+            written, q, "doc_id", "emb", k=3, nprobe=3,
+            against_index=stored, rerank=100,
+        )
+    }
+    assert got == exact and got
