@@ -24,7 +24,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -111,12 +110,6 @@ def _bounded_blob_input(df: DataFrame, max_rows: int = 256) -> DataFrame:
     n = df.count()
     n_parts = max(1, -(-n // max_rows))
     return df.repartition(n_parts)
-
-
-def _fake_pixels(blob: bytes, width: int, height: int) -> list[float]:
-    """Deterministic stand-in for a pixel decode: md5-seeded grid."""
-    h = hashlib.md5(blob or b"").digest()
-    return [h[(x * 31 + y) % 16] / 255.0 for x in range(width) for y in range(height)]
 
 
 def decode_image(
