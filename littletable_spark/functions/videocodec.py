@@ -1,0 +1,66 @@
+"""Pure-stdlib AVI (RIFF) container parsing for video frame sampling.
+
+``frame_sample``'s production contract is one blob row in, n frame
+rows out, each frame an opaque ``binary`` — so for MJPEG-style AVI
+(every frame an independently-coded image, the common crawl/archive
+shape) the CONTAINER walk is the whole job: find the ``movi`` LIST,
+collect the ``##dc``/``##db`` video chunks, pick n evenly spaced ones.
+No codec is required to sample frames; decoding the sampled JPEG/raw
+frames is a separate step (PIL/ffmpeg, or ``imagecodec`` for the
+formats it covers). Inter-coded codecs (H.264 etc.) need a real
+demuxer+decoder and stay behind ffmpeg.
+
+AVI RIFF layout is public (Microsoft "AVI RIFF File Reference").
+Stdlib + nothing else; runs per-blob inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["avi_video_frames", "sample_avi_frames"]
+
+
+def _walk_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) for a RIFF chunk run."""
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+
+
+def avi_video_frames(blob: bytes) -> list[bytes]:
+    """All video frame payloads of an AVI blob, in stream order.
+
+    Frames are the ``##dc`` (compressed) / ``##db`` (uncompressed)
+    chunks inside the ``movi`` LIST, including inside ``rec `` sub-
+    lists. Raises ValueError for non-AVI input.
+    """
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob")
+    frames: list[bytes] = []
+
+    def scan_list(pos: int, end: int) -> None:
+        for cid, body, size in _walk_chunks(blob, pos, end):
+            if cid == b"LIST":
+                ltype = blob[body : body + 4]
+                if ltype in (b"movi", b"rec "):
+                    scan_list(body + 4, body + size)
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(bytes(blob[body : body + size]))
+
+    scan_list(12, len(blob))
+    if not frames:
+        raise ValueError("AVI has no video frame chunks (##dc/##db)")
+    return frames
+
+
+def sample_avi_frames(blob: bytes, n_frames: int) -> list[tuple[int, bytes]]:
+    """n evenly spaced (frame_index, frame_bytes) samples — fewer when
+    the clip has fewer frames than requested (every frame, once)."""
+    frames = avi_video_frames(blob)
+    total = len(frames)
+    if total <= n_frames:
+        return list(enumerate(frames))
+    idxs = sorted({(i * total) // n_frames for i in range(n_frames)})
+    return [(i, frames[i]) for i in idxs]

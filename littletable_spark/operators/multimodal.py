@@ -8,9 +8,10 @@ IMAGE decode: ``decode_image(use_fake=False)`` runs the pure
 stdlib/numpy PNG/BMP/PPM decoders in ``functions/imagecodec.py`` (no
 PIL needed; PIL is an optional fallback for JPEG etc.). The
 deterministic md5 fake remains the zero-cost plumbing/oracle path.
-VIDEO frame extraction stays stubbed (``frame_sample(use_fake=False)``
-raises NotImplementedError — an mp4/h264 decoder is not reasonably
-reimplementable; provision pyav/ffmpeg).
+VIDEO frame sampling is container-real for MJPEG-style AVI
+(``functions/videocodec.py`` walks the RIFF ``movi`` chunks — frame
+BYTES are the contract, no codec needed); inter-coded formats
+(mp4/h264) still need ffmpeg and surface via ``on_error``.
 
 Scale notes:
 - metadata sniffing is a narrow native projection over the first bytes
@@ -282,29 +283,52 @@ def frame_sample(
     id_col: str,
     n_frames: int = 4,
     use_fake: bool = True,
+    on_error: str = "raise",
 ) -> Table:
-    """Sample n 'frames' per video blob — one output row per frame.
+    """Sample n frames per video blob — one output row per frame.
 
-    The fake path slices the blob into byte windows (deterministic);
-    the real path would seek with ffmpeg/pyav. The Spark shape — one
-    blob row in, n frame rows out, each with a frame index — is the
-    production contract.
+    The Spark shape — one blob row in, n frame rows out, each with a
+    frame index and opaque frame BYTES — is the production contract.
+    ``use_fake=True`` slices the blob into byte windows
+    (deterministic plumbing/oracle path). ``use_fake=False`` is a REAL
+    container walk for MJPEG-style AVI (``functions/videocodec.py``:
+    pure-stdlib RIFF parse of the ``movi`` chunks, n evenly spaced
+    ``##dc``/``##db`` payloads) — the frame bytes are then
+    independently decodable images (PIL/ffmpeg, or ``imagecodec`` for
+    the formats it covers). Inter-coded codecs (H.264 etc.) still
+    need ffmpeg and surface through ``on_error`` (``"null"`` emits a
+    single NULL-frame row per undecodable blob so corpus jobs keep
+    going; count them downstream for the audit trail).
     """
-    if not use_fake:
-        raise NotImplementedError("real frame sampling requires pyav/ffmpeg")
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"frame_sample: on_error must be raise|null, got {on_error!r}")
 
     schema = f"{id_col} long, frame_idx int, frame binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not use_fake:
+            from ..functions.videocodec import sample_avi_frames
+
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                blob = r[bin_col] or b""
-                step = max(len(blob) // n_frames, 1)
-                for i in range(n_frames):
-                    rows.append(
-                        (r[id_col], i, bytes(blob[i * step : i * step + step]))
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                blob = bytes(blob or b"")
+                if use_fake:
+                    step = max(len(blob) // n_frames, 1)
+                    for i in range(n_frames):
+                        rows.append(
+                            (_id, i, blob[i * step : i * step + step])
+                        )
+                    continue
+                try:
+                    rows.extend(
+                        (_id, idx, frame)
+                        for idx, frame in sample_avi_frames(blob, n_frames)
                     )
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    rows.append((_id, None, None))
             if rows:
                 yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
 

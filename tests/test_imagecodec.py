@@ -265,3 +265,85 @@ def test_decode_audio_spark_path(spark):
     fake = {r.id: r for r in decode_audio(t, "blob", "id", use_fake=True)}
     fake2 = {r.id: r for r in decode_audio(t, "blob", "id", use_fake=True)}
     assert fake[0].rms == fake2[0].rms and fake[1].rms == fake2[1].rms
+
+
+# ------------------------------------------------------------------ #
+# video (AVI/RIFF container) — real frame sampling, hand-built fixture
+
+
+def _avi_encode(frames: list[bytes]) -> bytes:
+    """Minimal MJPEG-style AVI: RIFF('AVI ') holding a LIST('movi')
+    of 00dc chunks (hdrl omitted — the frame walk doesn't need it)."""
+    body = bytearray()
+    for f in frames:
+        body += b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) & 1:
+            body += b"\x00"
+    movi = b"movi" + bytes(body)
+    lst = b"LIST" + struct.pack("<I", len(movi)) + movi
+    riff_body = b"AVI " + lst
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_avi_frame_walk():
+    from littletable_spark.functions.videocodec import (
+        avi_video_frames,
+        sample_avi_frames,
+    )
+
+    frames = [b"frame%d" % i for i in range(10)]
+    blob = _avi_encode(frames)
+    assert avi_video_frames(blob) == frames
+    got = sample_avi_frames(blob, 4)
+    assert [i for i, _ in got] == [0, 2, 5, 7]
+    assert all(blob_ == frames[i] for i, blob_ in got)
+    # fewer frames than requested: every frame once
+    short = _avi_encode(frames[:2])
+    assert sample_avi_frames(short, 4) == [(0, b"frame0"), (1, b"frame1")]
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        avi_video_frames(b"\x00\x01\x02")
+
+
+def test_frame_sample_real_avi_to_decoded_pixels(spark, img4x3):
+    """End-to-end video story: real AVI container walk samples frame
+    BYTES (PNG payloads here), and decode_image then decodes the
+    sampled frames — container-real, codec via imagecodec."""
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import decode_image, frame_sample
+
+    pngs = []
+    for shift in range(6):
+        img = ((img4x3.astype(int) + shift * 20) % 256).astype(np.uint8)
+        pngs.append(_png_encode(img, filters=[0, 2, 4]))
+    t = Table("vids", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "blob": _avi_encode(pngs)},
+            {"id": 1, "blob": b"not a video"},
+        ]
+    )
+    frames = frame_sample(t, "blob", "id", n_frames=3, use_fake=False, on_error="null")
+    rows = sorted(
+        ((r.id, r.frame_idx, r.frame) for r in frames), key=lambda x: (x[0], x[1] is None, x[1])
+    )
+    vid0 = [r for r in rows if r[0] == 0]
+    assert [r[1] for r in vid0] == [0, 2, 4]
+    assert [bytes(r[2]) for r in vid0] == [pngs[0], pngs[2], pngs[4]]
+    bad = [r for r in rows if r[0] == 1]
+    assert len(bad) == 1 and bad[0][2] is None  # null row, job survives
+
+    # sampled frames decode through the image path
+    from pyspark.sql import functions as F
+
+    ft = Table.from_df(
+        frames.df.where("frame IS NOT NULL").select(
+            (F.col("id") * 10 + F.col("frame_idx")).alias("fid"),
+            F.col("frame"),
+        ),
+        name="frames",
+    )
+    decoded = decode_image(ft, "frame", "fid", width=4, height=3, use_fake=False)
+    assert decoded.df.where("pixels IS NOT NULL").count() == 3
+
+    with pytest.raises(Exception):  # raise mode surfaces the bad blob
+        frame_sample(t, "blob", "id", use_fake=False).df.collect()
