@@ -266,3 +266,58 @@ def apply_bpe(
 
     out = table._require_df().select(id_col, text_col).mapInPandas(run, schema)
     return Table.from_df(out, name=f"{table.table_name}_bpe")
+
+
+def chunk_by_pieces(
+    table: Table,
+    pieces_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> Table:
+    """Split documents into fixed-size windows of REAL tokenizer tokens
+    — ``chunk_documents`` over an ``apply_bpe(emit_pieces=True)``
+    column instead of whitespace tokens, so every chunk fits the model
+    context it is budgeted for (whitespace chunks can be 1.3-2x over
+    in BPE terms on web text).
+
+    Chunk text is reconstructed from the pieces natively (the ``</w>``
+    end-of-word markers become spaces, concatenation restores
+    everything else), so the output is directly trainable text. Same
+    pure-narrow plan shape as ``chunk_documents``: ``sequence`` of
+    window starts, ``posexplode``, ``slice`` — no UDF, no shuffle, and
+    the same start rule (no window begins inside the previous chunk's
+    overlap region).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    df = table._require_df().select(
+        F.col(id_col), F.col(pieces_col).alias("__pc__")
+    ).where(F.size("__pc__") > 0)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__pc__") - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
+    # word boundaries live in the pieces' LEADING spaces (the GPT-2
+    # pre-tokenizer keeps " word" together), so the </w> marker is
+    # dropped, not spaced; trim handles a window starting mid-document
+    window = F.slice("__pc__", F.col("__start__"), chunk_tokens)
+    text = F.trim(
+        F.array_join(
+            F.transform(window, lambda p: F.replace(p, F.lit(END), F.lit(""))),
+            "",
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "__start__"),
+        F.col("__pc__"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        text.alias("chunk_text"),
+        F.size(window).alias("n_chunk_tokens"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_bpe_chunks")

@@ -210,3 +210,48 @@ def test_apply_rejects_wrong_table(spark):
     docs.insert_many([{"doc_id": 0, "text": "x"}])
     with pytest.raises(ValueError, match="merges table"):
         apply_bpe(docs, "text", "doc_id", docs)
+
+
+def test_chunk_by_pieces(spark):
+    from littletable_spark.operators.bpe import chunk_by_pieces
+
+    docs = Table("docs", spark=spark)
+    texts = [
+        "the cat sat on the mat and the dog sat on the log today",
+        "short one",
+        "",
+    ]
+    docs.insert_many([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    merges = train_bpe(docs, "text", num_merges=30)
+    pieces = apply_bpe(docs, "text", "doc_id", merges, emit_pieces=True)
+    chunks = chunk_by_pieces(pieces, "pieces", "doc_id", chunk_tokens=5, overlap=1)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in chunks)
+    )
+    by_doc = {}
+    for d, c, t, n in rows:
+        by_doc.setdefault(d, []).append((c, t, n))
+    # empty doc emits no chunks; short doc emits one
+    assert 2 not in by_doc and len(by_doc[1]) == 1
+    # every chunk obeys the budget in REAL tokens
+    assert all(n <= 5 for chs in by_doc.values() for _, _, n in chs)
+    # reconstructing doc 0 from non-overlapping parts of its chunks
+    # yields the original text (chunk_text is trainable text)
+    p0 = {r.doc_id: list(r.pieces) for r in pieces}[0]
+    full = "".join(p0).replace(END, "").strip()
+    assert full == texts[0]
+    step = 4  # chunk_tokens - overlap
+    rebuilt_pieces = []
+    for c, t, n in sorted(by_doc[0]):
+        start = c * step
+        rebuilt_pieces.extend(p0[start : start + 5][: max(0, len(p0) - start)])
+    # chunk texts individually match their piece windows
+    for c, t, n in by_doc[0]:
+        want = "".join(p0[c * step : c * step + 5]).replace(END, "").strip()
+        assert t == want and n == len(p0[c * step : c * step + 5])
+    # the union of windows covers every piece (overlap rule: no
+    # chunk starts past len - overlap)
+    covered = set()
+    for c, _, n in by_doc[0]:
+        covered.update(range(c * step, c * step + n))
+    assert covered == set(range(len(p0)))
