@@ -508,17 +508,23 @@ def ivf_index_table(
     sample as the coarse quantizer; ``pq_codebooks`` freezes a
     pretrained model for ``extend_ivf_index``.
     """
+    # one shared hash-ordered sample feeds BOTH the coarse quantizer
+    # and the PQ codebooks — the second TakeOrdered collect was ~40%
+    # of a pq_m build's driver time
+    sample = None
+    needs_pq_train = pq_codebooks is None and pq_m is not None
+    if (centroids is None or needs_pq_train):
+        sample, _ = _training_sample(
+            corpus._require_df(), id_col, vec_col, sample_size
+        )
     cents = resolve_centroids(
         corpus, id_col, vec_col, nlist, train_iters, sample_size, seed,
-        init_ids, centroids,
+        init_ids, centroids, sample=sample,
     )
     books = None
     if pq_codebooks is not None:
         books = np.asarray(pq_codebooks, dtype=np.float64)
     elif pq_m is not None:
-        sample, _ = _training_sample(
-            corpus._require_df(), id_col, vec_col, sample_size
-        )
         books = _train_pq_codebooks(sample, pq_m, pq_ksub, seed, pq_iters)
     bc = corpus.spark.sparkContext.broadcast(cents)
 
@@ -1068,6 +1074,7 @@ def resolve_centroids(
     seed: int,
     init_ids: list | None,
     centroids=None,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Driver-side centroid model shared by ``cluster_embeddings`` and
     ``semantic_dup_pairs``: pinned ``init_ids`` rows (unit-normalized,
@@ -1095,10 +1102,12 @@ def resolve_centroids(
         norms = np.linalg.norm(C0, axis=1, keepdims=True)
         C0 = C0 / np.where(norms == 0, 1.0, norms)
         if train_iters > 0:
-            sample, _ = _training_sample(df, id_col, vec_col, sample_size)
+            if sample is None:
+                sample, _ = _training_sample(df, id_col, vec_col, sample_size)
             return _train_centroids(
                 sample, len(C0), seed, iters=train_iters, init=C0
             )
         return C0
-    sample, _ = _training_sample(df, id_col, vec_col, sample_size)
+    if sample is None:
+        sample, _ = _training_sample(df, id_col, vec_col, sample_size)
     return _train_centroids(sample, k, seed, iters=train_iters)
