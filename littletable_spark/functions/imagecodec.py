@@ -36,6 +36,8 @@ def sniff_format(blob: bytes) -> str:
         return "bmp"
     if blob[:2] in (b"P5", b"P6", b"P2", b"P3"):
         return "ppm"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if blob.startswith(b"\xff\xd8\xff"):
         return "jpeg"
     return "unknown"
@@ -218,11 +220,113 @@ def _decode_png(blob: bytes) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ #
+# GIF (87a/89a, first frame, non-interlaced)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW (variable code width 3..12 bits, CLEAR/END
+    codes) — spec appendix F. Returns exactly n_pixels indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    # bit reader: GIF packs codes LSB-first
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return end  # truncated stream: treat as END
+        byte0 = bitpos // 8
+        val = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        val = (val >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        return val
+
+    width = min_code_size + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    prev: list[int] | None = None
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            dictionary = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(dictionary) and dictionary[code]:
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and len(dictionary) < 4096:
+            dictionary.append(prev + [entry[0]])
+        # width grows when the NEXT code could not be represented
+        if len(dictionary) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data ended early")
+    return out[:n_pixels]
+
+
+def _decode_gif(blob: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a as HxWx3 float64 (non-interlaced;
+    transparency ignored — pixels take their palette color)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", blob, pos + 1)
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                size = blob[pos]
+                data += blob[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            arr = np.array(idx, dtype=np.intp).reshape(h, w)
+            return table[arr].astype(np.float64)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF has no image frame")
+
+
+# ------------------------------------------------------------------ #
 # dispatch + grayscale/resize
 
 
 def decode_pixels(blob: bytes) -> np.ndarray:
-    """Decode a PNG/BMP/PPM blob to an HxW (gray) or HxWx3 (RGB)
+    """Decode a PNG/BMP/PPM/GIF blob to an HxW (gray) or HxWx3 (RGB)
     float64 array in 0..255. Raises ValueError on unsupported data;
     falls back to PIL only if it happens to be installed."""
     fmt = sniff_format(blob)
@@ -233,6 +337,8 @@ def decode_pixels(blob: bytes) -> np.ndarray:
             return _decode_bmp(blob)
         if fmt == "ppm":
             return _decode_ppm(blob)
+        if fmt == "gif":
+            return _decode_gif(blob)
     except ValueError:
         pass  # builtin decoder hit an unsupported variant; try PIL
     try:  # pragma: no cover - PIL absent in this environment
@@ -245,7 +351,7 @@ def decode_pixels(blob: bytes) -> np.ndarray:
     except ImportError:
         raise ValueError(
             f"cannot decode blob (sniffed format: {fmt}); builtin decoders "
-            "cover PNG/BMP/PPM and PIL is not installed"
+            "cover PNG/BMP/PPM/GIF and PIL is not installed"
         ) from None
 
 

@@ -347,3 +347,123 @@ def test_frame_sample_real_avi_to_decoded_pixels(spark, img4x3):
 
     with pytest.raises(Exception):  # raise mode surfaces the bad blob
         frame_sample(t, "blob", "id", use_fake=False).df.collect()
+
+
+# ------------------------------------------------------------------ #
+# GIF — LZW decode, round-tripped against a test-side greedy encoder
+
+
+def _gif_lzw_encode(pixels: list[int], mcs: int) -> bytes:
+    """Greedy LZW; code widths follow the decoder's dict/width state
+    machine (bump when dict size reaches 2^width, 4096 cap)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = clear + 2
+    codes = [clear]
+    w = ()
+    for p in pixels:
+        wk = w + (p,)
+        if wk in table:
+            w = wk
+            continue
+        codes.append(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        w = (p,)
+    codes.append(table[w])
+    codes.append(end)
+    # width assignment: replicate the decoder's state transitions
+    width, size, prev = mcs + 1, clear + 2, False
+    bits = []
+    for c in codes:
+        bits.append((c, width))
+        if c == clear:
+            width, size, prev = mcs + 1, clear + 2, False
+            continue
+        if c == end:
+            break
+        if prev and size < 4096:
+            size += 1
+        if size >= (1 << width) and width < 12:
+            width += 1
+        prev = True
+    # LSB-first bit packing
+    acc = pos = 0
+    out = bytearray()
+    for c, wd in bits:
+        acc |= c << pos
+        pos += wd
+        while pos >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            pos -= 8
+    if pos:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_encode(indices: np.ndarray, palette: np.ndarray, mcs: int = 2) -> bytes:
+    h, w = indices.shape
+    n = len(palette)
+    gct_bits = max((n - 1).bit_length(), 1) - 1
+    gct_n = 2 << gct_bits
+    pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    data = _gif_lzw_encode(list(indices.reshape(-1)), mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_repetitive_and_random():
+    from littletable_spark.functions.imagecodec import decode_pixels
+
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    # repetitive: exercises multi-symbol dict entries + the KwKwK case
+    rep = np.zeros((4, 8), dtype=np.uint8)
+    rep[1] = 1
+    rep[2, ::2] = 2
+    blob = _gif_encode(rep, palette)
+    assert sniff_format(blob) == "gif"
+    out = decode_pixels(blob)
+    np.testing.assert_array_equal(out.astype(np.uint8), palette[rep])
+    # random 16x16: dict grows enough to force code-width bumps
+    rng = np.random.RandomState(5)
+    rnd = rng.randint(0, 4, size=(16, 16)).astype(np.uint8)
+    out2 = decode_pixels(_gif_encode(rnd, palette))
+    np.testing.assert_array_equal(out2.astype(np.uint8), palette[rnd])
+
+
+def test_gif_long_stream_width_growth():
+    from littletable_spark.functions.imagecodec import decode_pixels
+
+    # 64x64 of structured + noisy data: thousands of dict entries,
+    # multiple width bumps (3 -> 9+ bits)
+    rng = np.random.RandomState(11)
+    idx = (np.add.outer(np.arange(64), np.arange(64)) % 4).astype(np.uint8)
+    noise = rng.randint(0, 4, size=(64, 64))
+    idx[noise == 0] = 3
+    palette = np.array(
+        [[10, 20, 30], [200, 100, 0], [0, 200, 100], [50, 50, 250]],
+        dtype=np.uint8,
+    )
+    out = decode_pixels(_gif_encode(idx, palette))
+    np.testing.assert_array_equal(out.astype(np.uint8), palette[idx])
+
+
+def test_gif_rejects_garbage():
+    from littletable_spark.functions.imagecodec import _decode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"PNG nope")
