@@ -7,7 +7,7 @@ and PNG (zlib-inflate the IDAT stream, undo the per-row filters). That
 makes ``decode_image(use_fake=False)`` a REAL decode path — same
 mapInPandas plumbing, real pixels — while staying dependency-free.
 PIL, if ever provisioned, is used only as a fallback for formats these
-decoders don't cover (JPEG, interlaced PNG, palette exotica).
+decoders don't cover (JPEG, exotic variants).
 
 Everything here is per-blob Python executed INSIDE an Arrow batch on
 the executors — the decoders are shipped by value via cloudpickle, so
@@ -174,6 +174,7 @@ def _decode_png(blob: bytes) -> np.ndarray:
     pos = 8
     idat = bytearray()
     w = h = bitdepth = colortype = None
+    interlace = 0
     palette = None
     while pos + 8 <= len(blob):
         length, ctype = struct.unpack_from(">I4s", blob, pos)
@@ -183,8 +184,6 @@ def _decode_png(blob: bytes) -> np.ndarray:
             w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
             if bitdepth not in (8, 16):
                 raise ValueError(f"PNG bit depth {bitdepth} not supported")
         elif ctype == b"PLTE":
@@ -199,8 +198,33 @@ def _decode_png(blob: bytes) -> np.ndarray:
     bytes_per_sample = bitdepth // 8
     stride = w * channels * bytes_per_sample
     fpx = max(1, channels * bytes_per_sample)
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    recon = _png_unfilter(raw, h, stride, fpx)
+    data = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        # Adam7: seven filtered sub-images, scattered back on a fixed
+        # (x_start, x_step, y_start, y_step) grid (PNG spec §8.2)
+        cb = channels * bytes_per_sample
+        recon = np.zeros((h, stride), dtype=np.uint8)
+        pos7 = 0
+        for xs0, xst, ys0, yst in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - xs0 + xst - 1) // xst
+            ph = (h - ys0 + yst - 1) // yst
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * cb
+            nbytes = ph * (pstride + 1)
+            sub = np.frombuffer(data, np.uint8, nbytes, pos7)
+            pos7 += nbytes
+            prec = _png_unfilter(sub, ph, pstride, fpx)
+            cols = np.add.outer(
+                (xs0 + np.arange(pw) * xst) * cb, np.arange(cb)
+            ).reshape(-1)
+            recon[np.ix_(ys0 + np.arange(ph) * yst, cols)] = prec
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        recon = _png_unfilter(raw, h, stride, fpx)
     if bitdepth == 16:
         px = recon.reshape(h, w, channels, 2).astype(np.float64)
         img = (px[..., 0] * 256 + px[..., 1]) / 257.0  # scale to 0..255

@@ -467,3 +467,41 @@ def test_gif_rejects_garbage():
 
     with pytest.raises(ValueError, match="not a GIF"):
         _decode_gif(b"PNG nope")
+
+
+def _png_encode_interlaced(img: np.ndarray) -> bytes:
+    """Adam7-interlaced PNG: seven filtered sub-images in pass order
+    (filter 0 rows within a pass for pass 1, filter 2 thereafter)."""
+    h, w, _ = img.shape
+    raw = bytearray()
+    for xs0, xst, ys0, yst in (
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    ):
+        sub = img[ys0::yst, xs0::xst]
+        if sub.size == 0:
+            continue
+        prior = np.zeros(sub.shape[1] * 3, dtype=np.uint8)
+        for yi in range(sub.shape[0]):
+            row = sub[yi].reshape(-1)
+            ftype = 0 if yi == 0 else 2
+            raw.append(ftype)
+            raw.extend(_png_filter_row(row, prior, ftype, 3).tobytes())
+            prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced():
+    rng = np.random.RandomState(13)
+    for shape in ((9, 10), (3, 5), (16, 16), (1, 1)):
+        img = rng.randint(0, 256, size=(*shape, 3), dtype=np.uint8)
+        blob = _png_encode_interlaced(img)
+        np.testing.assert_array_equal(
+            decode_pixels(blob).astype(np.uint8), img, err_msg=str(shape)
+        )
