@@ -119,7 +119,7 @@ def _decode_bmp(blob: bytes) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ #
-# PNG (non-interlaced, bit depth 8/16, color types 0/2/3/4/6)
+# PNG (bit depth 8/16, color types 0/2/3/4/6, incl. Adam7 interlace)
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 

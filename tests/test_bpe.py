@@ -255,3 +255,27 @@ def test_chunk_by_pieces(spark):
     for c, _, n in by_doc[0]:
         covered.update(range(c * step, c * step + n))
     assert covered == set(range(len(p0)))
+
+
+def test_encode_word_properties_hypothesis():
+    """Any unicode word, any merges: pieces always concatenate back to
+    word+</w>, and greedy-lowest-rank == sequential merge replay."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=12
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(words, st.integers(1, 50)), min_size=1, max_size=25),
+           st.integers(0, 40), words)
+    def check(wc, n_merges, probe):
+        merges = _train_merges(sorted(set(wc)), num_merges=n_merges)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w, _ in wc + [(probe, 1)]:
+            pieces = _encode_word(w, ranks)
+            assert "".join(pieces) == w + END
+            assert pieces == _ref_apply_in_order(w, merges)
+
+    check()
