@@ -277,3 +277,60 @@ def test_semantic_pairs_plan_shape(spark):
     # the assign pass is computed once behind an InMemoryRelation cache
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pq_search_plan_shape(spark, tmp_path):
+    """PQ stored-index search: the code scan carries the static probed-
+    cluster filter (partition-prunable), the ONLY join is the broadcast
+    of the bounded candidate list onto the corpus (exact re-rank), and
+    no full-vector column is read from the index."""
+    from littletable_spark.operators.similarity import (
+        ivf_index_table,
+        ivf_topk,
+    )
+
+    e = Table.parquet_import(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    p = str(tmp_path / "pq")
+    ivf_index_table(
+        e, "vec_id", "embedding", nlist=4, pq_m=8, pq_ksub=16, seed=1
+    ).df.write.parquet(p)
+    stored = Table.parquet_import(spark, p)
+    q = Table.from_df(e.df.where("vec_id < 3"))
+    df = ivf_topk(
+        e, q, "vec_id", "embedding", k=5, nprobe=2,
+        against_index=stored, rerank=20,
+    ).df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cluster" in plan and " IN " in plan.upper() or "cluster#" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan  # candidate fetch only
+    assert plan.count("SortMergeJoin") == 0, plan
+    # the ADC pass reads codes, never cvec (the index has none)
+    assert "cvec" not in plan, plan
+
+
+def test_apply_bpe_is_single_arrow_pass_no_shuffle(spark):
+    from littletable_spark.operators.bpe import apply_bpe, train_bpe
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe(d, "text", num_merges=10, max_words=500)
+    df = apply_bpe(d, "text", "doc_id", merges).df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_by_pieces_is_narrow(spark):
+    from littletable_spark.operators.bpe import (
+        apply_bpe,
+        chunk_by_pieces,
+        train_bpe,
+    )
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    merges = train_bpe(d, "text", num_merges=10, max_words=500)
+    pieces = apply_bpe(d, "text", "doc_id", merges, emit_pieces=True)
+    df = chunk_by_pieces(pieces, "pieces", "doc_id", chunk_tokens=32).df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # chunking adds NO exchange beyond the tokenize pass's plan
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan  # posexplode row amplification
