@@ -43,26 +43,34 @@ MEDIA_META_SCHEMA = SQLT.StructType(
     ]
 )
 
-_MAGIC = [
-    ("png", "89504E47"),
-    ("jpeg", "FFD8FF"),
-    ("gif", "47494638"),
-    ("riff", "52494646"),  # wav/avi/webp container
-    ("mp4", "00000018667479"),
-    ("pdf", "25504446"),
-]
-
-
 def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Table:
     """Attach the typed metadata struct — pure native projection.
 
-    Format comes from magic-byte prefixes (hex-compare on the first
-    bytes), size from ``length``, identity from md5 — no UDF anywhere.
+    Format comes from magic bytes (hex-compare on the first 12 bytes),
+    size from ``length``, identity from md5 — no UDF anywhere.
+    Container families resolve to their subtype the way file sniffers
+    do: RIFF splits into wav / avi / webp by the type field at bytes
+    9-12, ISO-BMFF (mp4/mov/...) is recognized by ``ftyp`` at bytes
+    5-8 (box size varies, so a fixed-prefix match would miss most real
+    files). ``bmp``'s two-byte magic is looser than the others — fine
+    for media buckets, not for sniffing arbitrary text.
     """
-    prefix = F.upper(F.hex(F.substring(F.col(bin_col), 1, 8)))
-    fmt = F.lit("unknown")
-    for name, magic in reversed(_MAGIC):
-        fmt = F.when(prefix.startswith(magic), F.lit(name)).otherwise(fmt)
+    hx = F.upper(F.hex(F.substring(F.col(bin_col), 1, 12)))
+    riff = hx.startswith("52494646")
+    sub = F.substring(hx, 17, 8)  # RIFF type field, bytes 9-12
+    fmt = (
+        F.when(hx.startswith("89504E47"), F.lit("png"))
+        .when(hx.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(hx.startswith("47494638"), F.lit("gif"))
+        .when(hx.startswith("25504446"), F.lit("pdf"))
+        .when(riff & (sub == F.lit("57415645")), F.lit("wav"))
+        .when(riff & (sub == F.lit("41564920")), F.lit("avi"))
+        .when(riff & (sub == F.lit("57454250")), F.lit("webp"))
+        .when(riff, F.lit("riff"))
+        .when(F.substring(hx, 9, 8) == F.lit("66747970"), F.lit("mp4"))
+        .when(hx.startswith("424D"), F.lit("bmp"))
+        .otherwise(F.lit("unknown"))
+    )
     meta = F.struct(
         fmt.alias("format"),
         F.length(F.col(bin_col)).cast("long").alias("n_bytes"),

@@ -36,6 +36,29 @@ def test_sniff_media(blobs):
     assert metas[2]["content_hash"] == hashlib.md5(b"plain text bytes").hexdigest()
 
 
+def test_sniff_media_container_subtypes(spark):
+    """RIFF resolves to wav/avi/webp by the type field; ISO-BMFF is
+    recognized by ftyp at bytes 5-8 regardless of the first box size."""
+    from littletable_spark.operators.multimodal import sniff_media
+
+    t = Table("m", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "blob": b"RIFF\x10\x00\x00\x00WAVEfmt "},
+            {"id": 1, "blob": b"RIFF\x10\x00\x00\x00AVI LIST"},
+            {"id": 2, "blob": b"RIFF\x10\x00\x00\x00WEBPVP8 "},
+            {"id": 3, "blob": b"RIFF\x10\x00\x00\x00XXXXdata"},
+            {"id": 4, "blob": b"\x00\x00\x00\x20ftypisom rest"},
+            {"id": 5, "blob": b"\x00\x00\x01\x00ftypmp42 other size"},
+            {"id": 6, "blob": b"BM\x36\x00\x00\x00 bmp-ish"},
+        ]
+    )
+    metas = {r.id: r.media_meta["format"] for r in sniff_media(t, "blob")}
+    assert metas == {
+        0: "wav", 1: "avi", 2: "webp", 3: "riff", 4: "mp4", 5: "mp4", 6: "bmp",
+    }
+
+
 def test_decode_image_fake_deterministic(blobs):
     from littletable_spark.operators.multimodal import decode_image, media_features
 
