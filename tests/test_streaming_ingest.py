@@ -415,3 +415,51 @@ def test_ivf_path_pq_layout(spark, paths):
         )
     }
     assert got == exact and got
+
+
+def test_ivf_pq_asset_compacts_with_dedup(spark, paths):
+    """compact_asset(dedup=True) over a PQ asset: the per-batch
+    repeated model rows (centroids + codebooks) collapse to one copy,
+    binary code rows distinct cleanly, and the compacted asset
+    searches identically."""
+    import numpy as np
+
+    from littletable_spark.operators.similarity import (
+        _train_pq_codebooks,
+        ivf_topk,
+    )
+    from littletable_spark.streaming.maintenance import asset_info, compact_asset
+
+    corpus, bands, _, _ = paths
+    root = corpus.rsplit("/", 1)[0]
+    ivf_p = f"{root}/ivf_pq_c"
+    cents = np.eye(3, 8)
+    books = _train_pq_codebooks(np.random.RandomState(3).randn(64, 8), m=4, ksub=8, seed=5)
+    kw = dict(emb_col="emb", ivf_path=ivf_p, ivf_centroids=cents, ivf_codebooks=books)
+    ingest_batch(_edocs(spark, [(0, _BASE[0], _V_A), (1, _BASE[1], _V_B)]), 0, corpus, bands, **kw)
+    ingest_batch(_edocs(spark, [(2, _BASE[2], _V_C)]), 1, corpus, bands, **kw)
+
+    written = Table.from_df(spark.read.parquet(corpus).select("doc_id", "emb"))
+    q = Table.from_df(written.df.where("doc_id = 0"))
+
+    def search(idx):
+        return sorted(
+            (r.query_id, r.corpus_id, r.cosine, r.rank)
+            for r in ivf_topk(
+                written, q, "doc_id", "emb", k=3, nprobe=3,
+                against_index=idx, rerank=100,
+            )
+        )
+
+    before = search(Table.parquet_import(spark, ivf_p))
+    stats = compact_asset(spark, ivf_p, dedup=True, max_generations=1)
+    assert stats["compacted"] == 2
+    info = asset_info(spark, ivf_p)
+    assert info["partitions"] == 1
+    after_tbl = Table.parquet_import(spark, ivf_p)
+    # model rows collapsed to exactly one copy each
+    from pyspark.sql import functions as F
+
+    n_model = after_tbl.df.where(F.col("corpus_id").isNull()).count()
+    assert n_model == 3 + 4 * 8  # nlist + m*ksub
+    assert search(after_tbl) == before and before
