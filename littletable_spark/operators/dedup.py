@@ -827,8 +827,8 @@ def embedding_lsh_dup_pairs(
         for pdf in batches:
             if pdf.empty:
                 continue
-            A = np.array([list(v) for v in pdf["v1"]], dtype=np.float64)
-            B = np.array([list(v) for v in pdf["v2"]], dtype=np.float64)
+            A = np.stack(pdf["v1"].to_numpy()).astype(np.float64, copy=False)
+            B = np.stack(pdf["v2"].to_numpy()).astype(np.float64, copy=False)
             cos = np.round(
                 np.einsum("ij,ij->i", A, B)
                 / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)),
@@ -949,7 +949,7 @@ def semantic_dup_pairs(
             for pdf in batches:
                 if pdf.empty:
                     continue
-                M = np.array([list(v) for v in pdf["__vec__"]], dtype=np.float64)
+                M = np.stack(pdf["__vec__"].to_numpy()).astype(np.float64, copy=False)
                 norms = np.linalg.norm(M, axis=1, keepdims=True)
                 Mn = M / np.where(norms == 0, 1.0, norms)
                 # same rounded-argmax total order as cluster_embeddings
