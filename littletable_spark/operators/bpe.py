@@ -228,10 +228,11 @@ def apply_bpe(
     bc = table.spark.sparkContext.broadcast(ranks)
     pattern = BPE_TOKEN_RE
 
+    id_type = dict(table._require_df().dtypes)[id_col]  # not only long ids
     if emit_pieces:
-        schema = f"{id_col} long, n_bpe_tokens int, pieces array<string>"
+        schema = f"{id_col} {id_type}, n_bpe_tokens int, pieces array<string>"
     else:
-        schema = f"{id_col} long, n_bpe_tokens int"
+        schema = f"{id_col} {id_type}, n_bpe_tokens int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re as _re

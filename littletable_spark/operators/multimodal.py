@@ -150,7 +150,8 @@ def decode_image(
     if on_error not in ("raise", "null"):
         raise ValueError(f"decode_image: on_error must be raise|null, got {on_error!r}")
 
-    schema = f"{id_col} long, pixels array<double>, width int, height int"
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = f"{id_col} {id_type}, pixels array<double>, width int, height int"
 
     # local def, not the module-level helper: the FAKE closure stays
     # self-contained so cloudpickle ships it by value even to workers
@@ -221,8 +222,9 @@ def decode_audio(
     if on_error not in ("raise", "null"):
         raise ValueError(f"decode_audio: on_error must be raise|null, got {on_error!r}")
 
+    id_type = dict(table._require_df().dtypes)[id_col]
     schema = (
-        f"{id_col} long, sample_rate int, n_channels int, n_frames long, "
+        f"{id_col} {id_type}, sample_rate int, n_channels int, n_frames long, "
         "duration double, rms double, peak double, zcr double, "
         "waveform array<double>"
     )
@@ -311,7 +313,8 @@ def frame_sample(
     if on_error not in ("raise", "null"):
         raise ValueError(f"frame_sample: on_error must be raise|null, got {on_error!r}")
 
-    schema = f"{id_col} long, frame_idx int, frame binary"
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = f"{id_col} {id_type}, frame_idx int, frame binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not use_fake:

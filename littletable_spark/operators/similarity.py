@@ -768,7 +768,7 @@ def _pq_search(
         )
         return Table.from_df(empty, name="ivf_pq_topk")
     nprobe = min(nprobe, len(cents))
-    R = int(rerank) if rerank is not None else max(8 * k, 64)
+    R = max(int(rerank), k) if rerank is not None else max(8 * k, 64)
     q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(Q, axis=1)

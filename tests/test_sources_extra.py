@@ -278,7 +278,7 @@ def test_binary_import_recursive_feeds_multimodal(spark, tmp_path):
     assert len(t) == 2
     sniffed = sniff_media(t, "content")
     kinds = {r["media_meta"]["format"] for r in sniffed.df.collect()}
-    assert kinds == {"png", "riff"}
+    assert kinds == {"png", "wav"}
 
 
 def test_text_import_lines_whole_file_and_sep(spark, tmp_path):
@@ -323,7 +323,7 @@ def test_binary_and_text_stream_import(spark, tmp_path):
     q.awaitTermination(60)
     rows = {r["path"].rsplit("/", 1)[-1]: r["fmt"]
             for r in spark.sql("select * from blob_stream_t").collect()}
-    assert rows == {"a.png": "png", "b.bin": "riff"}
+    assert rows == {"a.png": "png", "b.bin": "wav"}
 
     td = tmp_path / "stream_txt"
     td.mkdir()
