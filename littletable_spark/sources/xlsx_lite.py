@@ -73,7 +73,12 @@ def _is_date_format(code: str) -> bool:
 def _serial_to_pydate(
     serial: float, date_only: bool
 ) -> datetime.datetime | datetime.date:
-    dt = _EPOCH + datetime.timedelta(days=serial)
+    # Excel serials are float64 days, so far dates carry ~1 µs of
+    # representation error (e.g. 2080-01-01 01:42:12.479 reads back
+    # .478999 via timedelta(days=serial)).  Excel's effective precision
+    # is the millisecond; reconstruct by rounding to integer ms, which
+    # is exact for any serial our writer (or openpyxl) produces.
+    dt = _EPOCH + datetime.timedelta(milliseconds=round(serial * 86400_000))
     # a date-only format with an integral serial is a date; a format
     # with a time component keeps midnight datetimes as datetimes
     if date_only and serial == int(serial):
@@ -251,7 +256,12 @@ def _cell_xml(ref: str, v: Any) -> str:
     if isinstance(v, bool):
         return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
     if isinstance(v, datetime.datetime):
-        serial = (v.replace(tzinfo=None) - _EPOCH).total_seconds() / 86400.0
+        # quantize to integer milliseconds (Excel's effective precision)
+        # BEFORE dividing: total_seconds() loses µs for far dates, and an
+        # exact M/86400000 serial round-trips bit-perfectly through the
+        # reader's round-to-ms reconstruction
+        ms = (v.replace(tzinfo=None) - _EPOCH) // datetime.timedelta(milliseconds=1)
+        serial = ms / 86400_000.0
         return f'<c r="{ref}" s="2"><v>{serial!r}</v></c>'
     if isinstance(v, datetime.date):
         serial = (datetime.datetime(v.year, v.month, v.day) - _EPOCH).days

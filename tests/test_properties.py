@@ -126,6 +126,29 @@ def test_xlsx_roundtrip_property(grid):
         assert [norm(v) for v in got_row] == [norm(v) for v in exp_row]
 
 
+def test_xlsx_datetime_millisecond_regression():
+    """Far-date datetimes must round-trip exactly at millisecond
+    precision: float64 Excel serials carry ~1 µs of representation error
+    at 2080, which used to read .479000 back as .478999 (hypothesis-found
+    in round 8). The codec now quantizes to integer ms on write and
+    rounds to integer ms on read."""
+    import datetime
+    import io
+
+    from littletable_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    cases = [
+        datetime.datetime(2080, 1, 1, 1, 42, 12, 479000),
+        datetime.datetime(2199, 12, 31, 23, 59, 59, 999000),
+        datetime.datetime(1901, 1, 1, 0, 0, 0, 1000),
+        datetime.datetime(2024, 2, 29, 12, 0, 0, 500000),
+    ]
+    buf = io.BytesIO()
+    write_xlsx(buf, [[v] for v in cases])
+    back = read_xlsx(buf.getvalue())
+    assert [r[0] for r in back] == cases
+
+
 words_strategy = st.lists(
     st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=30
 )
