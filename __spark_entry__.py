@@ -1361,7 +1361,8 @@ def q_text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer token counts (weight_col=) instead of whitespace counts.
 
     No DuckDB oracle: the merge loop is iterative and not
-    SQL-expressible — the driver records the weaker rows-only check;
+    SQL-expressible — the driver's correctness artifact records
+    ``err: "no_oracle"`` with null match fields (spark_rows only);
     correctness is pinned by tests/test_bpe.py (differential vs a
     brute-force reference trainer, greedy-encode vs sequential merge
     replay, hand-computed merges). Deterministic end-to-end: word
@@ -2996,7 +2997,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, len(toks) AS n_tokens,
                    len(list_distinct(toks)) AS n_distinct_tokens,
                    len(regexp_extract_all(d.text,
-                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
                    )) AS n_bpe_tokens,
                    len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
             FROM t JOIN documents d ON t.doc_id = d.doc_id

@@ -365,18 +365,23 @@ def decode_pixels(blob: bytes) -> np.ndarray:
             return _decode_gif(blob)
     except ValueError:
         pass  # builtin decoder hit an unsupported variant; try PIL
-    try:  # pragma: no cover - PIL absent in this environment
-        from io import BytesIO
-
-        from PIL import Image
-
-        img = Image.open(BytesIO(blob)).convert("RGB")
-        return np.asarray(img, dtype=np.float64)
+    try:
+        from PIL import Image  # pragma: no cover - PIL absent here
     except ImportError:
         raise ValueError(
             f"cannot decode blob (sniffed format: {fmt}); builtin decoders "
-            "cover PNG/BMP/PPM/GIF and PIL is not installed"
+            "cover PNG/JPEG/BMP/PPM/GIF and PIL is not installed"
         ) from None
+    try:  # pragma: no cover - PIL absent in this environment
+        from io import BytesIO
+
+        img = Image.open(BytesIO(blob)).convert("RGB")
+        return np.asarray(img, dtype=np.float64)
+    except Exception as exc:
+        # PIL raises UnidentifiedImageError/OSError/... on corrupt blobs;
+        # decode_image's on_error="null" contract catches ValueError only,
+        # so normalize — a corrupt blob must not kill the corpus job.
+        raise ValueError(f"PIL could not decode blob: {exc}") from None
 
 
 def decode_to_gray(blob: bytes, width: int, height: int) -> np.ndarray:

@@ -282,9 +282,15 @@ def chunk_by_pieces(
     context it is budgeted for (whitespace chunks can be 1.3-2x over
     in BPE terms on web text).
 
-    Chunk text is reconstructed from the pieces natively (the ``</w>``
-    end-of-word markers become spaces, concatenation restores
-    everything else), so the output is directly trainable text. Same
+    Chunk text is reconstructed from the pieces natively: the ``</w>``
+    end-of-word markers are DROPPED, and concatenation restores the
+    text because separators live in the pieces themselves (the
+    pre-tokenizer keeps single spaces fused to the following word and
+    emits other whitespace runs — newlines, tabs, multi-spaces — as
+    their own tokens). Interior whitespace is therefore exact; each
+    chunk is then trimmed at its EDGES only (a window starting at
+    ``' word'`` yields ``'word'``), so reconstruction is lossless
+    modulo leading/trailing whitespace of the chunk itself. Same
     pure-narrow plan shape as ``chunk_documents``: ``sequence`` of
     window starts, ``posexplode``, ``slice`` — no UDF, no shuffle, and
     the same start rule (no window begins inside the previous chunk's

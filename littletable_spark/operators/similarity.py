@@ -264,6 +264,10 @@ def _train_pq_codebooks(
     n, dim = X.shape
     if dim % m != 0:
         raise ValueError(f"pq_m={m} must divide the embedding dim {dim}")
+    if ksub > 256:
+        # codes pack one byte per subspace (_encode_pq astype(np.uint8));
+        # a larger ksub would silently wrap codes and corrupt the index
+        raise ValueError(f"pq_ksub={ksub} exceeds 256 (codes are one byte)")
     dsub = dim // m
     ksub = min(ksub, n)
     rng = np.random.RandomState(seed)
@@ -519,6 +523,13 @@ def ivf_index_table(
     sample as the coarse quantizer; ``pq_codebooks`` freezes a
     pretrained model for ``extend_ivf_index``.
     """
+    if pq_m is not None and pq_ksub > 256:
+        raise ValueError(f"pq_ksub={pq_ksub} exceeds 256 (codes are one byte)")
+    if pq_codebooks is not None and np.asarray(pq_codebooks).shape[1] > 256:
+        raise ValueError(
+            "pq_codebooks has more than 256 centers per subspace "
+            "(codes are one byte)"
+        )
     # one shared hash-ordered sample feeds BOTH the coarse quantizer
     # and the PQ codebooks — the second TakeOrdered collect was ~40%
     # of a pq_m build's driver time

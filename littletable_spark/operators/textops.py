@@ -31,10 +31,16 @@ STOPWORD_SAMPLE = LANG_MARKERS["en"]
 
 
 # GPT-2-style pre-tokenizer approximation: contractions, space-prefixed
-# letter runs, digit runs, punctuation runs. No capture groups, same
-# leftmost-first alternation semantics in Java regex and RE2, so the
-# identical pattern runs in Spark and DuckDB.
-BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# letter runs, digit runs, punctuation runs, plus a whitespace-run arm
+# (GPT-2's own pattern has \s+ arms) so newlines/tabs/multi-spaces
+# become their own tokens and piece concatenation is LOSSLESS — without
+# it 'hello\nworld' reconstructed as 'helloworld'. GPT-2's \s+(?!\S)
+# lookahead is unavailable (RE2 has no lookahead), so a whitespace run
+# before a word stays one token instead of splitting its last space
+# onto the word. No capture groups, same leftmost-first alternation
+# semantics in Java regex and RE2, so the identical pattern runs in
+# Spark and DuckDB (verified side-by-side in tests).
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
 def token_stats(table: Table, text_col: str, id_col: str) -> Table:

@@ -212,6 +212,32 @@ def test_apply_rejects_wrong_table(spark):
         apply_bpe(docs, "text", "doc_id", docs)
 
 
+def test_pieces_preserve_interior_whitespace(spark):
+    """Newlines / tabs / multi-space runs are their own pre-tokenizer
+    tokens (round-9 fix: they used to be silently dropped, fusing
+    'hello\\nworld' into 'helloworld'), so piece concatenation and
+    chunk_by_pieces reconstruction keep interior whitespace exact."""
+    from littletable_spark.operators.bpe import chunk_by_pieces
+
+    docs = Table("docs", spark=spark)
+    texts = [
+        "hello\nworld",
+        "para one\n\npara two\there",
+        "a  b   c\r\nd",
+    ]
+    docs.insert_many([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    merges = train_bpe(docs, "text", num_merges=10)
+    pieces = apply_bpe(docs, "text", "doc_id", merges, emit_pieces=True)
+    by_id = {r.doc_id: list(r.pieces) for r in pieces}
+    for i, t in enumerate(texts):
+        assert "".join(p.replace(END, "") for p in by_id[i]) == t, i
+    # one chunk covering the whole doc reproduces it (edge-trim only;
+    # these texts have no leading/trailing whitespace)
+    chunks = chunk_by_pieces(pieces, "pieces", "doc_id", chunk_tokens=64)
+    got = {r.doc_id: r.chunk_text for r in chunks}
+    assert got == {i: t for i, t in enumerate(texts)}
+
+
 def test_chunk_by_pieces(spark):
     from littletable_spark.operators.bpe import chunk_by_pieces
 
