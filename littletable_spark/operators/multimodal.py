@@ -110,14 +110,21 @@ def _bounded_blob_input(df: DataFrame, max_rows: int = 256) -> DataFrame:
     fat rows (256 × 5 MB ≈ 1.3 GB worst case) while leaving the
     session's batching untouched for every other operator.
 
-    Cost: one count job (column-pruned — blobs are not read) plus one
-    round-robin shuffle of the blob payload. Decode-shaped jobs read
-    every blob byte anyway, so the shuffle is a bounded constant
-    factor; at corpus scale, land blob tables at ≤``max_rows`` rows
-    per file and AQE collapses the exchange.
+    Cost: one EAGER count job at operator-construction time (column-
+    pruned — blobs are not read; metadata-only on a plain parquet
+    scan). The round-robin shuffle of the blob payload is SKIPPED
+    whenever the input already has at least ``ceil(n / max_rows)``
+    partitions — at corpus scale, land blob tables at ≤``max_rows``
+    rows per file (or bound split size with
+    ``spark.sql.files.maxPartitionBytes`` at read time) and decode
+    calls touch each blob exactly once with no exchange. An explicit
+    repartition is never elided by AQE, so skipping it here is the
+    only way to avoid it.
     """
     n = df.count()
     n_parts = max(1, -(-n // max_rows))
+    if df.rdd.getNumPartitions() >= n_parts:
+        return df
     return df.repartition(n_parts)
 
 
@@ -146,6 +153,11 @@ def decode_image(
     undecodable blob; ``"null"`` emits NULL pixels for that row so a
     crawl with a few corrupt images doesn't kill a corpus-scale job —
     count the NULLs downstream for the audit trail.
+
+    NOTE: constructing this operator runs one eager column-pruned
+    count job to bound the Arrow feed partitions (no shuffle if the
+    input is already landed at ≤256 rows/partition) — see
+    ``_bounded_blob_input``.
     """
     if on_error not in ("raise", "null"):
         raise ValueError(f"decode_image: on_error must be raise|null, got {on_error!r}")
@@ -218,7 +230,11 @@ def decode_audio(
     ``on_error``. ``use_fake=True`` emits a deterministic md5-seeded
     feature row (the zero-cost plumbing/oracle path, like the image
     fake). ``on_error="null"`` NULLs the features for undecodable
-    blobs instead of failing the job."""
+    blobs instead of failing the job.
+
+    NOTE: construction runs one eager column-pruned count job to bound
+    the Arrow feed partitions (no shuffle if the input is already
+    landed at ≤256 rows/partition) — see ``_bounded_blob_input``."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"decode_audio: on_error must be raise|null, got {on_error!r}")
 
@@ -309,6 +325,10 @@ def frame_sample(
     need ffmpeg and surface through ``on_error`` (``"null"`` emits a
     single NULL-frame row per undecodable blob so corpus jobs keep
     going; count them downstream for the audit trail).
+
+    NOTE: construction runs one eager column-pruned count job to bound
+    the Arrow feed partitions (no shuffle if the input is already
+    landed at ≤256 rows/partition) — see ``_bounded_blob_input``.
     """
     if on_error not in ("raise", "null"):
         raise ValueError(f"frame_sample: on_error must be raise|null, got {on_error!r}")

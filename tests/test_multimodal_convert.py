@@ -224,3 +224,22 @@ def test_blob_ops_leave_session_batching_untouched(spark, blobs):
     sizes = bounded.rdd.glom().map(len).collect()
     assert max(sizes) <= 2 + 1  # round-robin may be off-by-one
     assert sum(sizes) == blobs.df.count()
+
+
+def test_bounded_blob_input_skips_shuffle_when_prebounded(spark, blobs):
+    """Round-9: an input that already has >= ceil(n/max_rows) partitions
+    (the landed ≤max_rows-rows-per-file layout) must pass through
+    UNSHUFFLED — an explicit repartition is never elided by AQE, so at
+    100-TB blob scale the skip is the only way to avoid re-shuffling
+    the full payload per decode call."""
+    from littletable_spark.operators.multimodal import _bounded_blob_input
+
+    n = blobs.df.count()
+    pre = blobs.df.select("id", "blob").repartition(int(n))  # 1 row/part
+    out = _bounded_blob_input(pre, max_rows=2)
+    assert out is pre  # identity: no new plan node at all
+    # and an under-partitioned input still gets bounded
+    squeezed = blobs.df.select("id", "blob").coalesce(1)
+    out2 = _bounded_blob_input(squeezed, max_rows=2)
+    assert out2 is not squeezed
+    assert max(out2.rdd.glom().map(len).collect()) <= 3
