@@ -191,18 +191,36 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    total = round(sum(timings.values()), 3)
+    # the driver's artifact stores a byte-bounded TAIL of stdout, and in
+    # round 8 the single long JSON line lost its own head (headline
+    # `value` + first queries). Truncation-proofing, both directions:
+    # (1) a compact summary line FIRST, (2) the headline scalars
+    # repeated at the END of the full dict, after the big `queries`
+    # map — whichever end a capture keeps, the totals survive. The
+    # LAST stdout line is always the full record.
+    print(
+        json.dumps(
+            {
+                "value": total,
+                "calibration_sec": calibration,
+                "calibration_arrow_fresh_sec": calibration_arrow_fresh,
+                "calibration_arrow_sec": calibration_arrow,
+                "arrow_post_fresh_ratio": (
+                    round(calibration_arrow / calibration_arrow_fresh, 3)
+                    if calibration_arrow_fresh
+                    else None
+                ),
+                "n_queries": len(timings),
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "calibration_sec": calibration,
-                "calibration_arrow_fresh_sec": calibration_arrow_fresh,
-                "calibration_arrow_sec": calibration_arrow,
-                "arrow_confs_pre": arrow_confs_pre,
-                "arrow_confs_post": _arrow_confs(),
                 "sf": sf_val,
                 "cpus": CPUS,
                 "methodology": (
@@ -210,6 +228,13 @@ def main() -> None:
                     f"{passes} timed passes, +{extra} extra passes for sub-2s "
                     "queries to damp load noise)"
                 ),
+                "arrow_confs_pre": arrow_confs_pre,
+                "arrow_confs_post": _arrow_confs(),
+                "queries": timings,
+                "value": total,
+                "calibration_sec": calibration,
+                "calibration_arrow_fresh_sec": calibration_arrow_fresh,
+                "calibration_arrow_sec": calibration_arrow,
             }
         )
     )
