@@ -3,18 +3,22 @@
 No codec libraries ship in this environment, but the container formats
 themselves are public and simple enough to decode with ``zlib`` +
 ``struct`` + numpy: PPM/PGM (trivial), BMP (uncompressed 8/24/32-bit),
-and PNG (zlib-inflate the IDAT stream, undo the per-row filters). That
-makes ``decode_image(use_fake=False)`` a REAL decode path — same
-mapInPandas plumbing, real pixels — while staying dependency-free.
-PIL, if ever provisioned, is used only as a fallback for formats these
-decoders don't cover (JPEG, exotic variants).
+PNG (zlib-inflate the IDAT stream, undo the per-row filters), GIF
+(variable-width LZW), and baseline JPEG (huffman + dequant + IDCT +
+chroma upsampling — the format real web crawls are overwhelmingly made
+of, and the frame payload of MJPEG AVI). That makes
+``decode_image(use_fake=False)`` a REAL decode path — same mapInPandas
+plumbing, real pixels — while staying dependency-free. PIL, if ever
+provisioned, is used only as a fallback for variants these decoders
+don't cover (progressive JPEG, exotic color modes).
 
 Everything here is per-blob Python executed INSIDE an Arrow batch on
 the executors — the decoders are shipped by value via cloudpickle, so
 they must only import stdlib + numpy (both on every worker).
 
 Public-format references: PNG (RFC 2083 / W3C PNG spec), BMP
-(BITMAPINFOHEADER, Windows public docs), PPM/PGM (netpbm man pages).
+(BITMAPINFOHEADER, Windows public docs), PPM/PGM (netpbm man pages),
+GIF (GIF89a spec), JPEG (ITU-T T.81 + JFIF color conventions).
 No reference analog (littletable has no media support); this fulfils
 the brief's multimodal mandate.
 """
@@ -346,17 +350,296 @@ def _decode_gif(blob: bytes) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ #
+# JPEG (baseline DCT, ITU T.81 — public spec; JFIF color conventions)
+
+# zig-zag scan order (T.81 Figure 5): _JPEG_ZIGZAG[i] = natural index
+# of the i-th transmitted coefficient
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.intp,
+)
+
+# orthonormal 8-point DCT-II matrix: forward F = C X C.T, inverse
+# X = C.T F C (T.81 Annex A.3.3 up to the orthonormal scaling)
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8) if k == 0 else np.sqrt(2.0 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ],
+    dtype=np.float64,
+)
+
+
+def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """DHT (BITS, HUFFVAL) -> {(length, code): symbol} via the canonical
+    code assignment of T.81 Annex C (codes of each length are
+    consecutive, starting from double the previous length's end)."""
+    if len(counts) < 16 or len(symbols) < sum(counts[:16]):
+        raise ValueError("truncated JPEG huffman table")
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over ONE entropy-coded segment (already
+    unstuffed; restart markers split segments upstream)."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read_bit(self) -> int:
+        p = self.pos
+        if p >= self.nbits:
+            # past the end: T.81 decoders pad with 1-bits (the encoder
+            # flushes with 1s); a truly corrupt stream still errors out
+            # via an impossible huffman code below
+            self.pos = p + 1
+            return 1
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG huffman stream")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_entropy_segments(blob: bytes, pos: int) -> list[bytes]:
+    """Split the scan's entropy-coded data at restart markers, with
+    FF00 byte-unstuffing — each returned segment is pure huffman bits."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    n = len(blob)
+    while pos < n:
+        b = blob[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = blob[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:  # stuffed literal FF
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or any other marker ends the scan
+            break
+    segments.append(bytes(cur))
+    return segments
+
+
+def _decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0/SOF1, 8-bit, huffman): marker
+    parse, per-block huffman + dequant + de-zigzag + IDCT, nearest-
+    neighbor chroma upsampling for subsampled scans (4:2:0 / 4:2:2),
+    JFIF YCbCr->RGB. Progressive (SOF2) and arithmetic coding raise
+    ValueError (PIL fallback / on_error policy upstream)."""
+    if not blob.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, qid)])
+    restart_interval = 0
+    scan = None  # ([(comp_idx, dc_id, ac_id)], ecs_start_pos)
+    pos = 2
+    n = len(blob)
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq:  # 16-bit table
+                    vals = np.frombuffer(body, ">u2", 64, i).astype(np.float64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(body, np.uint8, 64, i).astype(np.float64)
+                    i += 64
+                tab = np.zeros(64)
+                tab[_JPEG_ZIGZAG] = vals  # store in natural order
+                qt[tq] = tab.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = body[i + 1 : i + 17]
+                total = sum(counts)
+                symbols = body[i + 17 : i + 17 + total]
+                (huff_ac if tc else huff_dc)[th] = _jpeg_build_huffman(
+                    counts, symbols
+                )
+                i += 17 + total
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"JPEG precision {prec} not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{marker - 0xC0} (non-baseline) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            sel = []
+            cids = [c[0] for c in frame[2]]
+            for s in range(ns):
+                cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * s)
+                sel.append((cids.index(cs), tdta >> 4, tdta & 15))
+            scan = (sel, pos)
+            break  # single-scan baseline: decode from here
+        # all other markers (APPn, COM) are skipped via seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = frame
+    sel, ecs_pos = scan
+    if len(sel) != len(comps):
+        raise ValueError("JPEG non-interleaved scans not supported")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        for (_cid, hs, vs, _tq) in comps
+    ]
+    segments = _jpeg_entropy_segments(blob, ecs_pos)
+    bits = _JpegBits(segments[0])
+    seg_idx = 0
+    preds = [0] * len(comps)
+    Ct = _DCT_C.T
+    zz = _JPEG_ZIGZAG
+    n_mcu = mcux * mcuy
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG truncated at restart marker")
+            bits = _JpegBits(segments[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, (dc_id, ac_id) in ((s[0], (s[1], s[2])) for s in sel):
+            _cid, hs, vs, tq = comps[ci]
+            quant = qt[tq]
+            dct = huff_dc[dc_id]
+            act = huff_ac[ac_id]
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64)
+                    t = bits.huff(dct)
+                    preds[ci] += _jpeg_extend(bits.receive(t), t)
+                    coef[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = bits.huff(act)
+                        r, s_ = rs >> 4, rs & 15
+                        if s_ == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("corrupt JPEG AC run")
+                        coef[zz[k]] = _jpeg_extend(bits.receive(s_), s_)
+                        k += 1
+                    block = Ct @ ((coef.reshape(8, 8) * quant)) @ _DCT_C
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+    # upsample subsampled planes to full resolution, crop to (fh, fw)
+    full = []
+    for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs != vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        return np.clip(full[0], 0.0, 255.0)
+    if len(full) != 3:
+        raise ValueError(f"JPEG with {len(full)} components not supported")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0.0, 255.0)
+
+
+# ------------------------------------------------------------------ #
 # dispatch + grayscale/resize
 
 
 def decode_pixels(blob: bytes) -> np.ndarray:
-    """Decode a PNG/BMP/PPM/GIF blob to an HxW (gray) or HxWx3 (RGB)
-    float64 array in 0..255. Raises ValueError on unsupported data;
-    falls back to PIL only if it happens to be installed."""
+    """Decode a PNG/JPEG/BMP/PPM/GIF blob to an HxW (gray) or HxWx3
+    (RGB) float64 array in 0..255. Raises ValueError on unsupported
+    data; falls back to PIL only if it happens to be installed."""
     fmt = sniff_format(blob)
     try:
         if fmt == "png":
             return _decode_png(blob)
+        if fmt == "jpeg":
+            return _decode_jpeg(blob)
         if fmt == "bmp":
             return _decode_bmp(blob)
         if fmt == "ppm":

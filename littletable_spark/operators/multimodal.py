@@ -143,9 +143,10 @@ def decode_image(
     (column-major, the oracle-checked contract) so the full pipeline
     (schema, batching, downstream features) is exercised with zero
     codec cost; ``use_fake=False`` is a REAL decode — the pure
-    stdlib/numpy PNG/BMP/PPM decoders in ``functions/imagecodec.py``
-    (luma conversion + nearest-neighbor resize, row-major), with PIL
-    as an optional fallback for formats they don't cover. The real
+    stdlib/numpy PNG/JPEG(baseline)/BMP/PPM/GIF decoders in
+    ``functions/imagecodec.py`` (luma conversion + nearest-neighbor
+    resize, row-major), with PIL as an optional fallback for variants
+    they don't cover (progressive JPEG, exotic color modes). The real
     path imports the package on the executors — ship it like any
     library (``--py-files`` / cluster install).
 
@@ -319,9 +320,10 @@ def frame_sample(
     (deterministic plumbing/oracle path). ``use_fake=False`` is a REAL
     container walk for MJPEG-style AVI (``functions/videocodec.py``:
     pure-stdlib RIFF parse of the ``movi`` chunks, n evenly spaced
-    ``##dc``/``##db`` payloads) — the frame bytes are then
-    independently decodable images (PIL/ffmpeg, or ``imagecodec`` for
-    the formats it covers). Inter-coded codecs (H.264 etc.) still
+    ``##dc``/``##db`` payloads) — and MJPEG frame bytes ARE baseline
+    JPEGs, which ``imagecodec`` now decodes natively, so the
+    container walk + frame decode chain is real end-to-end (pinned by
+    tests/test_jpegcodec.py). Inter-coded codecs (H.264 etc.) still
     need ffmpeg and surface through ``on_error`` (``"null"`` emits a
     single NULL-frame row per undecodable blob so corpus jobs keep
     going; count them downstream for the audit trail).

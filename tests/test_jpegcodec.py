@@ -1,0 +1,444 @@
+"""Baseline JPEG decode without PIL: pure stdlib/numpy (ITU T.81).
+
+Fixtures are ENCODED here from known pixel arrays by a minimal
+test-side baseline encoder (forward DCT + quantize + huffman, simple
+fixed-length code tables — the decoder reads whatever tables the file
+carries). The encoder also computes its own expected reconstruction
+(dequantize + IDCT + upsample + color convert, the decoder's exact
+math), so the decoder is checked DIFFERENTIALLY and exactly — not with
+a loose quality tolerance.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from littletable_spark.functions.imagecodec import (
+    _JPEG_ZIGZAG,
+    _DCT_C,
+    decode_pixels,
+    decode_to_gray,
+    sniff_format,
+)
+
+# Annex K.1/K.2 quantization tables (natural order after de-zigzag is
+# how the decoder stores them; these literals are in natural row-major
+# order and get zigzagged for the wire below)
+_QL = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_QC = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+
+# ------------------------------------------------------------------ #
+# test-side encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        """Pad the last byte with 1-bits (T.81 convention)."""
+        while self.nbits:
+            self.write(1, 1)
+
+
+# fixed-length huffman tables: DC symbols 0..11 at 4 bits (code == sym),
+# AC all 256 run/size symbols at 9 bits (code == sym) — wasteful but
+# trivially valid canonical tables; the decoder reads them from DHT
+_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
+_DC_VALS = bytes(range(12))
+_AC_BITS = bytes([0] * 8 + [255, 1] + [0] * 6)  # 255 at len 9, 1 at len 10
+_AC_VALS = bytes(list(range(255)) + [255])
+
+
+def _dc_codes():
+    # canonical: length-4 codes 0..11
+    return {s: (s, 4) for s in range(12)}
+
+
+def _ac_codes():
+    # canonical: 255 length-9 codes 0..254, then symbol 255 at length 10
+    codes = {s: (s, 9) for s in range(255)}
+    codes[255] = (255 << 1, 10)
+    return codes
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _fdct_quant(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantize every 8x8 block of an MCU-aligned plane;
+    returns integer coefficient blocks (natural order)."""
+    h, w = plane.shape
+    shifted = plane.astype(np.float64) - 128.0
+    out = np.zeros((h // 8, w // 8, 8, 8), dtype=np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            F = _DCT_C @ blk @ _DCT_C.T
+            out[by, bx] = np.round(F / quant.reshape(8, 8)).astype(np.int64)
+    return out
+
+
+def _reconstruct(coefs: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """The decoder's exact math: dequantize + IDCT + level shift."""
+    nby, nbx = coefs.shape[:2]
+    plane = np.zeros((nby * 8, nbx * 8))
+    for by in range(nby):
+        for bx in range(nbx):
+            deq = coefs[by, bx].astype(np.float64) * quant.reshape(8, 8)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _DCT_C.T @ deq @ _DCT_C + 128.0
+            )
+    return plane
+
+
+def _encode_block(bw, coef_block, pred, dc_codes, ac_codes):
+    zz = coef_block.reshape(64)[_JPEG_ZIGZAG]
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, nb = dc_codes[t]
+    bw.write(code, nb)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, nb = ac_codes[0xF0]  # ZRL
+            bw.write(code, nb)
+            run -= 16
+        s = _category(v)
+        code, nb = ac_codes[(run << 4) | s]
+        bw.write(code, nb)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, nb = ac_codes[0x00]  # EOB
+        bw.write(code, nb)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    subsample: bool = False,
+    restart: int = 0,
+    divisor: float = 4.0,
+):
+    """Minimal baseline JFIF encoder. img: HxW (gray) or HxWx3 uint8
+    RGB. Returns (jpeg_bytes, expected_float_image) where expected is
+    the decoder's exact reconstruction (pre-clip math replicated, then
+    clipped)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = _QL / divisor  # milder quantization than Annex K baseline
+    qc = _QC / divisor
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        if subsample:  # 4:2:0 — nearest (strided) chroma
+            cb, cr = cb[::2, ::2], cr[::2, ::2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        quants = [ql, qc, qc]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # ---- serialize headers ---------------------------------------- #
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    # 8-bit DQT in zigzag order, rounded with a floor of 1 — the
+    # coefficients and expected reconstruction below use the tables AS
+    # WRITTEN so the differential comparison is exact
+    q8l = np.maximum(np.round(ql[_JPEG_ZIGZAG]), 1).astype(np.uint8)
+    q8c = np.maximum(np.round(qc[_JPEG_ZIGZAG]), 1).astype(np.uint8)
+    out += seg(0xDB, bytes([0x00]) + q8l.tobytes())
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + q8c.tobytes())
+    ql_wire = np.zeros(64)
+    qc_wire = np.zeros(64)
+    ql_wire[_JPEG_ZIGZAG] = q8l.astype(np.float64)
+    qc_wire[_JPEG_ZIGZAG] = q8c.astype(np.float64)
+    coefs = []
+    recon = []
+    quants_wire = [ql_wire] + ([] if gray else [qc_wire, qc_wire])
+    for p, q, (hs, vs) in zip(planes, quants_wire, samp):
+        padded = np.pad(
+            np.clip(p, 0, 255),
+            (
+                (0, mcuy * vs * 8 - p.shape[0]),
+                (0, mcux * hs * 8 - p.shape[1]),
+            ),
+            mode="edge",
+        )
+        c = _fdct_quant(padded, q)
+        coefs.append(c)
+        recon.append(_reconstruct(c, q))
+    full = []
+    for r, (hs, vs) in zip(recon, samp):
+        if hs != hmax:
+            r = np.repeat(r, hmax // hs, axis=1)
+        if vs != vmax:
+            r = np.repeat(r, vmax // vs, axis=0)
+        full.append(r[:h, :w])
+    if gray:
+        expected = np.clip(full[0], 0.0, 255.0)
+    else:
+        yy, cbb, crr = full
+        expected = np.clip(
+            np.stack(
+                [
+                    yy + 1.402 * (crr - 128.0),
+                    yy - 0.344136 * (cbb - 128.0) - 0.714136 * (crr - 128.0),
+                    yy + 1.772 * (cbb - 128.0),
+                ],
+                axis=2,
+            ),
+            0.0,
+            255.0,
+        )
+
+    # SOF0
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (hs, vs) in enumerate(samp):
+        sof += struct.pack(">BBB", i + 1, (hs << 4) | vs, 0 if i == 0 else 1)
+    out += seg(0xC0, sof[: 6 + 3 * nc])
+    # DHT: one DC + one AC table, shared by all components
+    out += seg(0xC4, bytes([0x00]) + _DC_BITS + _DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + _AC_BITS + _AC_VALS)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    dc_codes, ac_codes = _dc_codes(), _ac_codes()
+    bw = _BitWriter()
+    preds = [0] * nc
+    n_mcu = mcux * mcuy
+    rst = 0
+    for mcu in range(n_mcu):
+        if restart and mcu and mcu % restart == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _BitWriter()
+            preds = [0] * nc
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            hs, vs = samp[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    preds[ci] = _encode_block(
+                        bw,
+                        coefs[ci][my * vs + by, mx * hs + bx],
+                        preds[ci],
+                        dc_codes,
+                        ac_codes,
+                    )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out), expected
+
+
+# ------------------------------------------------------------------ #
+# tests
+
+
+def _rng(seed=7):
+    return np.random.RandomState(seed)
+
+
+def test_sniff_jpeg():
+    blob, _ = encode_jpeg(np.full((8, 8), 130, dtype=np.uint8))
+    assert sniff_format(blob) == "jpeg"
+
+
+def test_gray_uniform_exact():
+    """A flat gray image is DC-only: decode must be exact."""
+    img = np.full((16, 16), 136, dtype=np.uint8)
+    blob, expected = encode_jpeg(img)
+    got = decode_pixels(blob)
+    assert got.shape == (16, 16)
+    np.testing.assert_allclose(got, expected, atol=1e-8)
+    # and the reconstruction is within quantization distance of input
+    assert np.max(np.abs(got - 136.0)) < 4.0
+
+
+def test_gray_gradient_differential():
+    img = (
+        np.arange(24)[:, None] * 5 + np.arange(40)[None, :] * 3
+    ).astype(np.uint8)
+    blob, expected = encode_jpeg(img)
+    got = decode_pixels(blob)
+    assert got.shape == (24, 40)
+    np.testing.assert_allclose(got, expected, atol=1e-8)
+
+
+def test_rgb_444_differential():
+    img = _rng(1).randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    blob, expected = encode_jpeg(img)
+    got = decode_pixels(blob)
+    assert got.shape == (16, 24, 3)
+    np.testing.assert_allclose(got, expected, atol=1e-8)
+
+
+def test_rgb_420_subsampled_odd_dims_differential():
+    """4:2:0 chroma subsampling with non-MCU-aligned dimensions: hits
+    the multi-block-per-MCU loop, nearest upsampling, and the crop."""
+    img = _rng(2).randint(0, 256, (19, 21, 3)).astype(np.uint8)
+    blob, expected = encode_jpeg(img, subsample=True)
+    got = decode_pixels(blob)
+    assert got.shape == (19, 21, 3)
+    np.testing.assert_allclose(got, expected, atol=1e-8)
+
+
+def test_restart_markers_differential():
+    """DRI + RSTn: predictors reset, bit reader re-aligns per segment."""
+    img = _rng(3).randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    blob, expected = encode_jpeg(img, restart=2)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+    got = decode_pixels(blob)
+    np.testing.assert_allclose(got, expected, atol=1e-8)
+
+
+def test_smooth_image_reconstruction_quality():
+    """End-to-end sanity on a natural-ish smooth image: reconstruction
+    error stays within a few quantization steps of the source."""
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = (
+        128 + 60 * np.sin(yy / 7.0) * np.cos(xx / 9.0)
+    ).astype(np.uint8)
+    blob, _ = encode_jpeg(img)
+    got = decode_pixels(blob)
+    assert np.mean(np.abs(got - img.astype(np.float64))) < 6.0
+
+
+def test_decode_to_gray_pipeline():
+    img = _rng(4).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    blob, expected = encode_jpeg(img)
+    g = decode_to_gray(blob, 8, 8)
+    assert g.shape == (8, 8) and 0.0 <= g.min() and g.max() <= 1.0
+    lum = (
+        expected[:, :, 0] * 0.299
+        + expected[:, :, 1] * 0.587
+        + expected[:, :, 2] * 0.114
+    )
+    ys = np.minimum((np.arange(8) * 16) // 8, 15)
+    np.testing.assert_allclose(g, lum[np.ix_(ys, ys)] / 255.0, atol=1e-8)
+
+
+def test_progressive_rejected():
+    """SOF2 (progressive) must raise ValueError, not misdecode."""
+    blob, _ = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    bad = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_pixels(bad)
+
+
+def test_truncated_stream_rejected():
+    blob, _ = encode_jpeg(
+        _rng(5).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    )
+    with pytest.raises(ValueError):
+        decode_pixels(blob[: len(blob) // 3])
+
+
+def test_true_mjpeg_avi_end_to_end(spark):
+    """The real MJPEG contract (round-8 gap): AVI frames ARE JPEG
+    bytes. frame_sample walks the container, decode_image decodes the
+    sampled JPEG frames — both on the real (use_fake=False) path, and
+    the decoded luma matches each frame's own expected reconstruction
+    bit-for-bit."""
+    from test_imagecodec import _avi_encode
+
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import decode_image, frame_sample
+    from pyspark.sql import functions as F
+
+    jpegs = []
+    expected = []
+    rng = _rng(6)
+    for _ in range(6):
+        img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        blob, exp = encode_jpeg(img)
+        jpegs.append(blob)
+        expected.append(exp)
+    t = Table("vids", spark=spark)
+    t.insert_many([{"id": 0, "blob": _avi_encode(jpegs)}])
+    frames = frame_sample(t, "blob", "id", n_frames=3, use_fake=False)
+    rows = sorted((r.frame_idx, bytes(r.frame)) for r in frames)
+    assert [i for i, _ in rows] == [0, 2, 4]
+    assert [b for _, b in rows] == [jpegs[0], jpegs[2], jpegs[4]]
+
+    ft = Table.from_df(
+        frames.df.select(F.col("frame_idx").alias("fid"), "frame"),
+        name="frames",
+    )
+    decoded = decode_image(ft, "frame", "fid", width=16, height=16, use_fake=False)
+    got = {r.fid: np.array(r.pixels).reshape(16, 16) for r in decoded}
+    assert set(got) == {0, 2, 4}
+    for i in (0, 2, 4):
+        exp = expected[i]
+        lum = (
+            exp[:, :, 0] * 0.299 + exp[:, :, 1] * 0.587 + exp[:, :, 2] * 0.114
+        ) / 255.0
+        np.testing.assert_allclose(got[i], lum, atol=1e-8)
