@@ -22,7 +22,14 @@ public) in the engine's durable-asset shape:
 - ``apply_bpe`` — broadcast the (small) ranks table, Arrow-batched
   encode with a per-batch word cache (web text repeats words heavily;
   each distinct word is merged once per batch). Emits the token count
-  (and optionally the pieces) per document.
+  (and optionally the pieces and/or token ids) per document.
+- ``bpe_vocab`` / ``apply_bpe(emit_ids=True)`` / ``detokenize_bpe`` /
+  ``pack_token_ids`` — the TOKEN-ID surface models actually consume:
+  a stable piece→id vocabulary derived purely from the merges asset
+  (unk + sorted base alphabet + one piece per merge rank, so every
+  holder of the asset agrees on every id), id-array emission, the
+  inverse text reconstruction, and per-(shard, pack) id concatenation
+  for training-ready packed sequences.
 
 Not SQL-expressible (iterative merges), so there is no DuckDB oracle —
 correctness is pinned by unit tests against hand-computed merges and a
@@ -186,23 +193,105 @@ def train_bpe(
     )
     pairs = [(r["word"], int(r["cnt"])) for r in words.collect()]
     merges = _train_merges(pairs, num_merges)
+    # the asset also carries the training ALPHABET (rank/right NULL):
+    # single-symbol words ('\n', 'a', whitespace runs) never join a
+    # merge, so a merges-only vocabulary would map them — some of the
+    # most frequent tokens in any corpus — to unk. Readers that only
+    # want ranks filter right IS NOT NULL (old assets lack these rows
+    # and degrade to the merges-derived alphabet).
+    alphabet = sorted({s for w, _ in pairs for s in _word_symbols(w)})
     spark = table.spark
     rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
+    rows += [(None, sym, None) for sym in alphabet]
     out = spark.createDataFrame(rows, "rank int, left string, right string")
     return Table.from_df(out, name=f"{table.table_name}_bpe_merges")
 
 
-def _load_ranks(merges: Table) -> dict[tuple[str, str], int]:
+def _load_asset(
+    merges: Table,
+) -> tuple[list[tuple[int, str, str]], list[str]]:
+    """(merge rows sorted by rank, alphabet symbols) from a train_bpe
+    asset. Alphabet rows have NULL rank/right; assets written before
+    round 9 have none, and the vocab then degrades to the
+    merges-derived alphabet."""
     for c in ("rank", "left", "right"):
         if c not in merges.fields:
             raise ValueError(
-                f"apply_bpe needs a train_bpe merges table (missing {c!r}); "
+                f"need a train_bpe merges table (missing {c!r}); "
                 f"got {merges.fields}"
             )
-    return {
-        (r["left"], r["right"]): int(r["rank"])
-        for r in merges._require_df().collect()
-    }
+    merge_rows: list[tuple[int, str, str]] = []
+    alphabet: list[str] = []
+    for r in merges._require_df().collect():
+        if r["right"] is None:
+            alphabet.append(r["left"])
+        else:
+            merge_rows.append((int(r["rank"]), r["left"], r["right"]))
+    merge_rows.sort()
+    return merge_rows, alphabet
+
+
+def _load_merge_rows(merges: Table) -> list[tuple[int, str, str]]:
+    return _load_asset(merges)[0]
+
+
+def _load_ranks(merges: Table) -> dict[tuple[str, str], int]:
+    return {(l, r): rank for rank, l, r in _load_merge_rows(merges)}
+
+
+UNK_ID = 0
+
+
+def _vocab_list(
+    merge_rows: list[tuple[int, str, str]],
+    alphabet: list[str] = (),
+    unk_piece: str = "<unk>",
+) -> list[str]:
+    """Stable vocabulary derived PURELY from the merges asset (so any
+    two holders of the same merges table agree on every id): index 0
+    is the unk piece, then the base alphabet — the asset's alphabet
+    rows plus any symbol a merge consumes, minus merge products,
+    sorted — then one piece per merge in rank order (first rank wins
+    on the rare duplicate product, e.g. ('a','bc') and ('ab','c')
+    both producing 'abc').
+
+    Every piece ``_encode_word`` can emit is either a merge product or
+    a single base symbol; symbols outside the asset's alphabet
+    (characters the training corpus never saw) map to ``UNK_ID`` —
+    the standard closed-vocabulary contract (count unks downstream
+    for the audit trail)."""
+    ordered = sorted(merge_rows)
+    produced = {left + right for _, left, right in ordered}
+    consumed = {s for _, left, right in ordered for s in (left, right)}
+    base = sorted((set(alphabet) | consumed) - produced)
+    seen = set(base)
+    if unk_piece in seen or unk_piece in produced:
+        raise ValueError(
+            f"unk_piece {unk_piece!r} collides with a real vocab piece; "
+            "pass a different unk_piece"
+        )
+    vocab = [unk_piece] + base
+    for _, left, right in ordered:
+        p = left + right
+        if p not in seen:
+            seen.add(p)
+            vocab.append(p)
+    return vocab
+
+
+def bpe_vocab(merges: Table, unk_piece: str = "<unk>") -> Table:
+    """Materialize the stable vocab table ``(token_id int, piece
+    string)`` for a merges asset — the id↔piece mapping that
+    ``apply_bpe(emit_ids=True)`` and ``detokenize_bpe`` both derive
+    internally, exposed as its own durable asset for model configs and
+    external consumers. Deterministic: same merges table → same ids,
+    forever (alphabet + rank order; see ``_vocab_list``)."""
+    merge_rows, alphabet = _load_asset(merges)
+    vocab = _vocab_list(merge_rows, alphabet, unk_piece)
+    out = merges.spark.createDataFrame(
+        list(enumerate(vocab)), "token_id int, piece string"
+    )
+    return Table.from_df(out, name=f"{merges.table_name}_vocab")
 
 
 def apply_bpe(
@@ -211,12 +300,22 @@ def apply_bpe(
     id_col: str,
     merges: Table,
     emit_pieces: bool = False,
+    emit_ids: bool = False,
+    unk_piece: str = "<unk>",
 ) -> Table:
     """Tokenize every document with a trained merges table; emits
     ``(id, n_bpe_tokens)`` (+ ``pieces array<string>`` when
-    ``emit_pieces``) for the token-budget operators to consume —
-    e.g. join the counts back and ``pack_sequences(...,
-    weight_col="n_bpe_tokens")``.
+    ``emit_pieces``, + ``token_ids array<int>`` when ``emit_ids``) for
+    the token-budget operators to consume — e.g. join the counts back
+    and ``pack_sequences(..., weight_col="n_bpe_tokens")``, or feed
+    ``token_ids`` through ``pack_token_ids`` for training-ready packed
+    sequences.
+
+    ``token_ids`` use the stable vocabulary derived from the merges
+    asset itself (``bpe_vocab`` — alphabet + rank order), so ids are
+    identical across sessions and holders of the same asset; pieces
+    outside the vocab (characters the training corpus never merged)
+    map to ``UNK_ID`` (0).
 
     Scale shape: the ranks dict is merges-table-sized (small) and
     BROADCAST once per executor, not shipped per task; encoding runs
@@ -224,21 +323,33 @@ def apply_bpe(
     repeated word (web text is extremely repetitive) is merged once
     per batch. No shuffle — a pure mapInPandas over the corpus scan.
     """
-    ranks = _load_ranks(merges)
-    bc = table.spark.sparkContext.broadcast(ranks)
+    merge_rows, alphabet = _load_asset(merges)
+    ranks = {(left, right): rank for rank, left, right in merge_rows}
+    piece_ids = (
+        {
+            p: i
+            for i, p in enumerate(
+                _vocab_list(merge_rows, alphabet, unk_piece)
+            )
+        }
+        if emit_ids
+        else None
+    )
+    bc = table.spark.sparkContext.broadcast((ranks, piece_ids))
     pattern = BPE_TOKEN_RE
 
     id_type = dict(table._require_df().dtypes)[id_col]  # not only long ids
+    schema = f"{id_col} {id_type}, n_bpe_tokens int"
     if emit_pieces:
-        schema = f"{id_col} {id_type}, n_bpe_tokens int, pieces array<string>"
-    else:
-        schema = f"{id_col} {id_type}, n_bpe_tokens int"
+        schema += ", pieces array<string>"
+    if emit_ids:
+        schema += ", token_ids array<int>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re as _re
 
         rx = _re.compile(pattern)
-        rk = bc.value
+        rk, pids = bc.value
         cache: dict[str, tuple[str, ...]] = {}
 
         def enc(word: str) -> tuple[str, ...]:
@@ -253,6 +364,7 @@ def apply_bpe(
                 continue
             counts: list[int] = []
             pieces: list[list[str]] = []
+            ids: list[list[int]] = []
             for text in pdf[text_col]:
                 toks: list[str] = []
                 for w in rx.findall(text or ""):
@@ -260,13 +372,97 @@ def apply_bpe(
                 counts.append(len(toks))
                 if emit_pieces:
                     pieces.append(toks)
+                if pids is not None:
+                    ids.append([pids.get(t, UNK_ID) for t in toks])
             data = {id_col: pdf[id_col], "n_bpe_tokens": counts}
             if emit_pieces:
                 data["pieces"] = pieces
+            if pids is not None:
+                data["token_ids"] = ids
             yield pd.DataFrame(data)
 
     out = table._require_df().select(id_col, text_col).mapInPandas(run, schema)
     return Table.from_df(out, name=f"{table.table_name}_bpe")
+
+
+def detokenize_bpe(
+    table: Table,
+    ids_col: str,
+    id_col: str,
+    merges: Table,
+    unk_piece: str = "<unk>",
+) -> Table:
+    """Map token-id arrays back to text: ``(id, text string)``. The
+    inverse of ``apply_bpe(emit_ids=True)`` — lossless for any
+    fully-in-vocab encoding (``</w>`` markers drop; separators live in
+    the pieces, including whitespace-run tokens), while unk ids decode
+    to the literal ``unk_piece`` string (the information was lost at
+    encode time). Ids outside the vocab range also decode as unk
+    rather than failing the job.
+
+    Scale shape: the id→piece list is broadcast once per executor and
+    decode is a pure mapInPandas over the scan — no shuffle, no joins.
+    """
+    merge_rows, alphabet = _load_asset(merges)
+    vocab = _vocab_list(merge_rows, alphabet, unk_piece)
+    bc = table.spark.sparkContext.broadcast(vocab)
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = f"{id_col} {id_type}, text string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        voc = bc.value
+        n = len(voc)
+        unk = voc[UNK_ID]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts = []
+            for ids in pdf[ids_col]:
+                texts.append(
+                    "".join(
+                        voc[i] if 0 <= i < n else unk
+                        for i in (ids if ids is not None else ())
+                    ).replace(END, "")
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "text": texts})
+
+    out = table._require_df().select(id_col, ids_col).mapInPandas(run, schema)
+    return Table.from_df(out, name=f"{table.table_name}_detok")
+
+
+def pack_token_ids(
+    table: Table,
+    id_col: str,
+    ids_col: str = "token_ids",
+) -> Table:
+    """Concatenate per-document token-id arrays into ONE id array per
+    (shard, pack) — the final training-ready step: join
+    ``pack_sequences`` output with ``apply_bpe(emit_ids=True)`` and
+    this emits ``(shard, pack, token_ids, n_docs, n_tokens)``, where
+    ``token_ids`` is every member document's ids concatenated in id
+    order (the same order ``pack_offset`` was assigned in).
+
+    Fully native: one groupBy shuffle on (shard, pack) whose payload
+    is already tokenized ids (no text), then an in-group
+    ``array_sort(struct)`` + ``flatten`` — no UDF, no driver
+    materialization; each pack is budget-bounded so the per-group
+    array is small by construction.
+    """
+    df = table._require_df()
+    pair = F.struct(F.col(id_col).alias("k"), F.col(ids_col).alias("v"))
+    out = (
+        df.groupBy("shard", "pack")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(pair)), lambda s: s["v"]
+                )
+            ).alias(ids_col),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size(F.col(ids_col)))
+    )
+    return Table.from_df(out, name=f"{table.table_name}_packed_ids")
 
 
 def chunk_by_pieces(

@@ -130,8 +130,12 @@ def test_spark_train_apply_end_to_end(spark):
     docs.insert_many([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
     merges = train_bpe(docs, "text", num_merges=40, max_words=1000)
     mrows = sorted(
-        ((r.rank, r.left, r.right) for r in merges), key=lambda r: r[0]
+        ((r.rank, r.left, r.right) for r in merges if r.right is not None),
+        key=lambda r: r[0],
     )
+    # the asset also carries the training alphabet (rank/right NULL)
+    alpha = sorted(r.left for r in merges if r.right is None)
+    assert alpha and alpha == sorted(set(alpha))
     # distributed word-count + driver loop == all-local reference train
     local_words = {}
     rx = re.compile(BPE_TOKEN_RE)
@@ -305,3 +309,139 @@ def test_encode_word_properties_hypothesis():
             assert pieces == _ref_apply_in_order(w, merges)
 
     check()
+
+
+# ------------------------------------------------------------------ #
+# token-id surface (round 9): vocab, emit_ids, detokenize, packed ids
+
+
+def test_vocab_stable_and_complete(spark):
+    """bpe_vocab is derived purely from the merges asset: id 0 is unk,
+    then the sorted base alphabet, then merge products in rank order —
+    so two independent holders of the same asset agree on every id."""
+    from littletable_spark.operators.bpe import _vocab_list, bpe_vocab
+
+    docs = Table("docs", spark=spark)
+    docs.insert_many(
+        [{"doc_id": i, "text": t} for i, t in enumerate(
+            ["the cat sat", "the bat sat", "the cat mat"] * 3
+        )]
+    )
+    merges = train_bpe(docs, "text", num_merges=15)
+    vt = bpe_vocab(merges)
+    rows = sorted((r.token_id, r.piece) for r in vt)
+    assert rows[0] == (0, "<unk>")
+    ids = [i for i, _ in rows]
+    assert ids == list(range(len(rows)))  # dense, zero-based
+    pieces = [p for _, p in rows]
+    assert len(set(pieces)) == len(pieces)  # injective
+    # deterministic re-derivation from the raw asset rows
+    mrows = [
+        (r.rank, r.left, r.right) for r in merges if r.right is not None
+    ]
+    alpha = [r.left for r in merges if r.right is None]
+    assert pieces == _vocab_list(mrows, alpha)
+    # base alphabet segment is sorted and precedes all merge products
+    produced = {l + r for _, l, r in mrows}
+    n_base = len(pieces) - 1 - len(produced)
+    base = pieces[1 : 1 + n_base]
+    assert base == sorted(base)
+    # the asset alphabet is fully in-vocab (no base symbol is unk)
+    assert set(alpha) - produced <= set(base)
+
+
+def test_ids_pieces_text_roundtrip(spark):
+    """apply_bpe(emit_ids=True) ids map 1:1 to pieces via the vocab,
+    and detokenize_bpe reconstructs the original text exactly
+    (including interior newlines) when every piece is in-vocab."""
+    from littletable_spark.operators.bpe import bpe_vocab, detokenize_bpe
+
+    texts = [
+        "aa ab aa ab\naa ab",
+        "ab aa\tab",
+        "aa aa aa ab ab",
+    ]
+    docs = Table("docs", spark=spark)
+    docs.insert_many([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    # enough merges that every symbol the corpus contains is consumed
+    merges = train_bpe(docs, "text", num_merges=40)
+    enc = apply_bpe(docs, "text", "doc_id", merges, emit_pieces=True, emit_ids=True)
+    vt = {r.token_id: r.piece for r in bpe_vocab(merges)}
+    by_id = {r.doc_id: r for r in enc}
+    for i, t in enumerate(texts):
+        r = by_id[i]
+        assert len(r.token_ids) == r.n_bpe_tokens == len(r.pieces)
+        assert [vt[tid] for tid in r.token_ids] == list(r.pieces)
+        assert 0 not in r.token_ids  # fully in-vocab
+    detok = detokenize_bpe(enc, "token_ids", "doc_id", merges)
+    got = {r.doc_id: r.text for r in detok}
+    assert got == {i: t for i, t in enumerate(texts)}
+
+
+def test_unk_ids(spark):
+    """Characters the training corpus never merged map to UNK_ID and
+    detokenize to the unk piece — a closed vocabulary, not a crash."""
+    from littletable_spark.operators.bpe import (
+        UNK_ID,
+        bpe_vocab,
+        detokenize_bpe,
+    )
+
+    train = Table("train", spark=spark)
+    train.insert_many(
+        [{"doc_id": i, "text": "aa bb aa bb aa"} for i in range(3)]
+    )
+    merges = train_bpe(train, "text", num_merges=20)
+    test = Table("test", spark=spark)
+    test.insert_many([{"doc_id": 0, "text": "aa zz"}])
+    enc = apply_bpe(test, "text", "doc_id", merges, emit_ids=True, emit_pieces=True)
+    r = list(enc)[0]
+    assert UNK_ID in r.token_ids
+    vt = {p: i for i, p in ((x.token_id, x.piece) for x in bpe_vocab(merges))}
+    detok = detokenize_bpe(enc, "token_ids", "doc_id", merges)
+    out = list(detok)[0].text
+    assert "<unk>" in out and out.startswith("aa ")
+    # unk collision guard ('a' is a base alphabet symbol)
+    with pytest.raises(ValueError, match="collides"):
+        bpe_vocab(merges, unk_piece="a")
+
+
+def test_pack_token_ids_invariants(spark):
+    """pack_sequences + emit_ids + pack_token_ids: every doc's ids
+    appear exactly once, concatenated in id order within each pack,
+    and pack token totals equal the member docs' counts."""
+    from littletable_spark.operators.bpe import pack_token_ids
+    from littletable_spark.operators.textops import pack_sequences
+
+    rng = random.Random(5)
+    texts = [
+        " ".join(rng.choice(["aa", "ab", "ba", "bb"]) for _ in range(rng.randint(1, 12)))
+        for _ in range(40)
+    ]
+    docs = Table("docs", spark=spark)
+    docs.insert_many([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    merges = train_bpe(docs, "text", num_merges=25)
+    enc = apply_bpe(docs, "text", "doc_id", merges, emit_ids=True)
+    packed = pack_sequences(
+        docs.join(enc, doc_id="doc_id"), "text", "doc_id",
+        budget_tokens=16, n_shards=4, weight_col="n_bpe_tokens",
+    )
+    joined = packed.join(enc.select("doc_id token_ids"), doc_id="doc_id")
+    out = pack_token_ids(joined, "doc_id")
+    ids_by_doc = {r.doc_id: list(r.token_ids) for r in enc}
+    meta = {
+        r.doc_id: (r.shard, r.pack, r.pack_offset, r.n_tokens)
+        for r in packed
+    }
+    packs = {(r.shard, r.pack): r for r in out}
+    # totals: n_tokens on each pack equals the sum of member doc counts
+    for (sh, pk), r in packs.items():
+        members = sorted(
+            d for d, (s, p, _, _) in meta.items() if (s, p) == (sh, pk)
+        )
+        want = [tid for d in members for tid in ids_by_doc[d]]
+        assert list(r.token_ids) == want, (sh, pk)
+        assert r.n_docs == len(members)
+        assert r.n_tokens == len(want) == sum(meta[d][3] for d in members)
+    # every doc is in exactly one pack
+    assert sum(r.n_docs for r in packs.values()) == len(texts)
