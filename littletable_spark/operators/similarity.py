@@ -56,6 +56,26 @@ def _vec_matrix(series) -> np.ndarray:
     return np.stack(cells).astype(np.float64, copy=False)
 
 
+def cast_embeddings(table: Table, vec_col: str, dtype: str = "float") -> Table:
+    """Cast an embedding column to ``float`` (float32) or ``double``:
+    at 100 TB the embedding column dominates corpus scan AND shuffle
+    bytes for every sim/dedup operator, and float32 halves both at
+    ~1e-7 relative error — invisible at the engine's 6-decimal score
+    rounding. All Arrow scoring closures upcast to float64 on entry
+    (``_vec_matrix``), so downstream operators accept either dtype
+    transparently; persist the cast table with ``parquet_export`` to
+    bank the savings at the scan."""
+    dtype = {"float64": "double", "float32": "float"}.get(dtype, dtype)
+    if dtype not in ("double", "float"):
+        raise ValueError(
+            f"dtype must be double|float (or float64|float32), got {dtype!r}"
+        )
+    out = table._require_df().withColumn(
+        vec_col, F.col(vec_col).cast(f"array<{dtype}>")
+    )
+    return table._derive(out)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side."""
     dot = F.aggregate(
@@ -491,6 +511,7 @@ def ivf_index_table(
     pq_ksub: int = 256,
     pq_iters: int = 10,
     pq_codebooks=None,
+    vec_dtype: str = "double",
 ) -> Table:
     """Build the durable IVF index ``ivf_topk(against_index=)`` searches:
     one row per corpus vector (``cluster``, ``corpus_id``, ``cvec``) plus
@@ -522,7 +543,21 @@ def ivf_index_table(
     the corpus table. Codebooks train on the same hash-ordered driver
     sample as the coarse quantizer; ``pq_codebooks`` freezes a
     pretrained model for ``extend_ivf_index``.
+
+    ``vec_dtype="float"`` stores the plain layout's assignment vectors
+    as float32 — half the scan/shuffle bytes at ~1e-7 relative error
+    (invisible at the engine's 6-decimal score rounding; scoring
+    upcasts to float64). ``extend_ivf_index`` preserves the stored
+    dtype. The middle ground between the full-precision index and PQ.
     """
+    vec_dtype = {"float64": "double", "float32": "float"}.get(
+        vec_dtype, vec_dtype
+    )
+    if vec_dtype not in ("double", "float"):
+        raise ValueError(
+            f"vec_dtype must be double|float (or float64|float32), "
+            f"got {vec_dtype!r}"
+        )
     if pq_m is not None and pq_ksub > 256:
         raise ValueError(f"pq_ksub={pq_ksub} exceeds 256 (codes are one byte)")
     if pq_codebooks is not None and np.asarray(pq_codebooks).shape[1] > 256:
@@ -619,8 +654,13 @@ def ivf_index_table(
                 }
             )
 
+    # vec_dtype="float" stores the assignment vectors at half the bytes
+    # (the index's dominant term at corpus scale); centroids stay
+    # double — nlist rows, and probe math wants the model's precision.
+    # Scoring upcasts to float64 (see _vec_matrix), so only the stored
+    # values are truncated (~1e-7 relative — scores round to 6dp).
     schema = (
-        "cluster int, corpus_id long, cvec array<double>, "
+        f"cluster int, corpus_id long, cvec array<{vec_dtype}>, "
         "centroid array<double>"
     )
     assigned = (
@@ -629,7 +669,8 @@ def ivf_index_table(
             F.col(vec_col).cast("array<double>").alias("cvec"),
         )
         .mapInPandas(
-            assign_batches, "cluster int, corpus_id long, cvec array<double>"
+            assign_batches,
+            f"cluster int, corpus_id long, cvec array<{vec_dtype}>",
         )
         .withColumn("centroid", F.lit(None).cast("array<double>"))
     )
@@ -928,8 +969,11 @@ def extend_ivf_index(
         out._pq_model = books
         return out
     cents, _ = _load_ivf_index(index)
+    # new rows inherit the index's stored vector dtype (a float32 index
+    # stays float32 across every nightly extend)
+    vd = dict(index._require_df().dtypes)["cvec"].removeprefix("array<").removesuffix(">")
     fresh = ivf_index_table(
-        batch, id_col, vec_col, centroids=cents
+        batch, id_col, vec_col, centroids=cents, vec_dtype=vd
     ).df.where(F.col("corpus_id").isNotNull())
     out = Table.from_df(
         index.df.unionByName(fresh), name=index.table_name
