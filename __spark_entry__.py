@@ -846,6 +846,27 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, q, "vec_id", "embedding", k=10).df
 
 
+def q_sim_f32_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cosine top-8 over float32-STORED embeddings (round-9
+    cast_embeddings): the column is pinned double→float32 before
+    scoring, so the gate covers the storage-halving path end-to-end —
+    scoring upcasts to float64 (the engine contract), and DuckDB
+    replays the identical IEEE truncation via ::DOUBLE[]::REAL[]::
+    DOUBLE[]. Query set (10 ≤ vec_id < 15) is disjoint from
+    sim_cosine_topk's so the two exercise different rows."""
+    from littletable_spark.operators.similarity import (
+        cast_embeddings,
+        cosine_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    e32 = cast_embeddings(
+        cast_embeddings(e, "embedding", dtype="double"), "embedding"
+    )
+    q = e32.where(vec_id=Table.ge(10)).where(vec_id=Table.lt(15))
+    return cosine_topk(e32, q, "vec_id", "embedding", k=8).df
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (random hyperplanes, seed=42).
 
@@ -1353,6 +1374,45 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id n_tokens shard pack pack_offset").df
 
 
+def q_text_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training-ready packed sequences (round-9 pack_token_ids): docs
+    get pack coordinates from pack_sequences, then every member doc's
+    token-id array is concatenated per (shard, pack) in id order — one
+    groupBy shuffle, array_sort(struct)+flatten, no UDF.
+
+    BPE ids have no SQL oracle (iterative merges), so the gated id
+    column is a SQL-derivable stand-in — per-token character lengths
+    of the whitespace split — which drives the EXACT aggregation the
+    BPE path uses (order, coverage, totals). Ids '|'-join to a scalar
+    column for the gate hasher, like text_filter_quality's rule list."""
+    from littletable_spark.operators.bpe import pack_token_ids
+    from littletable_spark.operators.textops import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d, "text", "doc_id", budget_tokens=256, n_shards=8, salt="pack"
+    )
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    ids = d.df.select(
+        F.col("doc_id"),
+        F.transform(toks, lambda t: F.length(t)).alias("token_ids"),
+    )
+    joined = packed.df.select("doc_id", "shard", "pack").join(ids, "doc_id")
+    out = pack_token_ids(Table.from_df(joined, name="packed_ids"), "doc_id")
+    return out.df.select(
+        "shard",
+        "pack",
+        "n_docs",
+        "n_tokens",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), "|"
+        ).alias("ids_str"),
+    )
+
+
 def q_text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer lifecycle: train merges over the corpus (one
     distributed word-count shuffle + driver merge loop over the bounded
@@ -1743,9 +1803,25 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_decode; the real stdlib RIFF/PCM decoder is
     pytest-verified) gates immediately; dedup_spans parks in exchange
     (driver-green r7; its hashed-gram span-detection core runs in-gate
-    inside dedup_spans_incr, a strict superset pipeline). The local
-    mirror (scripts/verify_oracle.py) still runs every oracle-checked
-    query every round."""
+    inside dedup_spans_incr, a strict superset pipeline).
+
+    Round-9 rotation: net-new sim_f32_topk (cosine top-k over
+    float32-STORED embeddings via cast_embeddings — DuckDB replays the
+    identical IEEE truncation, so the storage-halving path is fully
+    oracle-checked) gates immediately; sim_ivf_pq parks in exchange
+    (driver-green r8; its IVF machinery — trainer, probe join, re-rank,
+    durable asset — stays in-gate via sim_ivf_incr, and the PQ-specific
+    ADC/re-rank path is pinned by test_pq_index.py). Net-new
+    text_pack_ids (pack_token_ids: per-(shard,pack) id-array
+    concatenation in id order, the training-ready packing step — gated
+    over a SQL-derivable stand-in id column since BPE ids have no
+    oracle) also gates immediately; multimodal_audio parks in exchange
+    (driver-green r8; its fake-feature oracle contract shares the
+    md5-reconstruction shape with in-gate multimodal_meta, and the real
+    WAV decoder is pytest-pinned). text_bpe_pack stays in-gate as the
+    registry's only rows-only row. The local mirror
+    (scripts/verify_oracle.py) still runs every oracle-checked query
+    every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1771,7 +1847,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_incr": q_dedup_minhash_incr,
-        "multimodal_audio": q_multimodal_audio,
+        "text_pack_ids": q_text_pack_ids,
         "dedup_spans_incr": q_dedup_spans_incr,
         "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
@@ -1782,7 +1858,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_incr": q_dedup_semantic_incr,
         "sim_cluster": q_sim_cluster,
         "sim_ivf_incr": q_sim_ivf_incr,
-        "sim_ivf_pq": q_sim_ivf_pq,
+        "sim_f32_topk": q_sim_f32_topk,
         "text_tokens": q_text_tokens,
         "text_quality_clf": q_text_quality_clf,
         "text_logprob": q_text_logprob,
@@ -1798,6 +1874,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "sim_ivf_pq": q_sim_ivf_pq,
+        "multimodal_audio": q_multimodal_audio,
         "dedup_spans": q_dedup_spans,
         "text_tfidf_incr": q_text_tfidf_incr,
         "sample_weighted": q_sample_weighted,
@@ -2856,6 +2934,25 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5
             ) WHERE rank <= 10
         """,
+        # float32-stored embeddings: DuckDB replays the identical IEEE
+        # truncation (::REAL[]) then scores in double like the engine
+        "sim_f32_topk": """
+            WITH e AS (
+              SELECT vec_id,
+                     embedding::DOUBLE[]::REAL[]::DOUBLE[] AS emb
+              FROM embeddings
+            )
+            SELECT * FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_cosine_similarity(q.emb, c.emb), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6)
+                         DESC, c.vec_id ASC) AS rank
+              FROM e q JOIN e c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id >= 10 AND q.vec_id < 15
+            ) WHERE rank <= 8
+        """,
         # with nprobe == nlist every list is probed and rerank covers
         # the whole corpus, so the PQ search equals exact brute force —
         # same SQL shape as sim_cosine_topk over the 20..24 query set
@@ -3214,6 +3311,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST((e - n_tokens) // 256 AS BIGINT) AS pack,
                    CAST((e - n_tokens) % 256 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        # pack_token_ids over the SQL-derivable stand-in id column
+        # (per-token lengths); list(... ORDER BY doc_id) replays the
+        # in-group id ordering of array_sort(struct)
+        "text_pack_ids": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS toks,
+                     CAST(({_hash_bucket_sql('doc_id', 'pack')}) % 8 AS INTEGER) AS shard
+              FROM documents
+            ), c AS (
+              SELECT doc_id, toks, shard,
+                     len(toks)::INTEGER AS n,
+                     CAST(sum(len(toks)) OVER (PARTITION BY shard ORDER BY doc_id)
+                          AS BIGINT) AS e
+              FROM t
+            ), p AS (
+              SELECT doc_id, shard,
+                     CAST((e - n) // 256 AS BIGINT) AS pack,
+                     list_transform(toks, x -> length(x)) AS tids
+              FROM c
+            )
+            SELECT shard, pack,
+                   count(*)::INTEGER AS n_docs,
+                   len(flatten(list(tids ORDER BY doc_id)))::INTEGER AS n_tokens,
+                   array_to_string(flatten(list(tids ORDER BY doc_id)), '|') AS ids_str
+            FROM p GROUP BY shard, pack
         """,
         "text_repetition": """
             WITH toks AS (

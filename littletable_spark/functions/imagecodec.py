@@ -420,6 +420,16 @@ class _JpegBits:
         return (self.data[p >> 3] >> (7 - (p & 7))) & 1
 
     def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos
+        end = p + n
+        if end <= self.nbits:
+            # fast path: slice the covering bytes once (<=4 for n<=16)
+            b0, b1 = p >> 3, (end + 7) >> 3
+            word = int.from_bytes(self.data[b0:b1], "big")
+            self.pos = end
+            return (word >> ((b1 << 3) - end)) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
