@@ -23,6 +23,13 @@ public) in the engine's durable-asset shape:
   encode with a per-batch word cache (web text repeats words heavily;
   each distinct word is merged once per batch). Emits the token count
   (and optionally the pieces and/or token ids) per document.
+- ``train_bpe(byte_level=True)`` — GPT-2-style BYTE-level BPE: words
+  map through the reversible byte→printable-char table before merging
+  (Sennrich merges over bytes, Radford et al. 2019 formulation —
+  public), the asset seeds the full 256-byte alphabet, and NO text can
+  ever produce an unk. The mapping runs driver-side on the bounded
+  word dict and inside the existing Arrow closures — the distributed
+  plan is identical to char-level.
 - ``bpe_vocab`` / ``apply_bpe(emit_ids=True)`` / ``detokenize_bpe`` /
   ``pack_token_ids`` — the TOKEN-ID surface models actually consume:
   a stable piece→id vocabulary derived purely from the merges asset
@@ -49,6 +56,37 @@ from ..table import Table
 from .textops import BPE_TOKEN_RE
 
 END = "</w>"
+
+_BYTE_LEVEL_FLAG = "byte_level"
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte→printable-unicode map (public algorithm):
+    the 188 visible latin-1 bytes map to themselves; the other 68
+    (controls, space, DEL, soft hyphen...) map to 256+i so every byte
+    is a single printable char and merged pieces remain readable
+    strings. Byte-level BPE operates on these chars, so ANY utf-8 text
+    — emoji, CJK, mojibake, binary junk — tokenizes with zero unks."""
+    visible = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    mapping = {b: chr(b) for b in visible}
+    n = 0
+    for b in range(256):
+        if b not in mapping:
+            mapping[b] = chr(256 + n)
+            n += 1
+    return mapping
+
+
+_B2U = _bytes_to_unicode()
+_U2B = {c: b for b, c in _B2U.items()}
+
+
+def _to_byte_space(word: str) -> str:
+    return "".join(_B2U[b] for b in word.encode("utf-8"))
 
 
 # ------------------------------------------------------------------ #
@@ -165,6 +203,7 @@ def train_bpe(
     num_merges: int = 1000,
     max_words: int = 200_000,
     min_count: int = 1,
+    byte_level: bool = False,
 ) -> Table:
     """Train BPE merges over the corpus; returns the merges Table
     ``(rank int, left string, right string)`` — the durable asset.
@@ -175,6 +214,15 @@ def train_bpe(
     bounds what reaches the driver, and on web text the top 200k words
     carry ~99% of token mass, so the truncation moves merge statistics
     negligibly while keeping the driver memory O(max_words).
+
+    ``byte_level=True`` trains GPT-2-style BYTE-level BPE: each word's
+    utf-8 bytes map through the reversible printable-char table before
+    merging (driver-side, on the bounded word dict — the distributed
+    plan is unchanged), the asset's alphabet seeds ALL 256 byte chars
+    in both plain and word-final forms, and a ``byte_level`` marker row
+    makes ``apply_bpe``/``bpe_vocab``/``detokenize_bpe`` self-configure
+    from the asset. Consequence: NO text can ever produce an unk — the
+    closed-vocabulary caveat of char-level assets disappears.
     """
     df = table._require_df()
     words = (
@@ -192,27 +240,40 @@ def train_bpe(
         .limit(int(max_words))
     )
     pairs = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    if byte_level:
+        pairs = [(_to_byte_space(w), c) for w, c in pairs]
     merges = _train_merges(pairs, num_merges)
     # the asset also carries the training ALPHABET (rank/right NULL):
     # single-symbol words ('\n', 'a', whitespace runs) never join a
     # merge, so a merges-only vocabulary would map them — some of the
     # most frequent tokens in any corpus — to unk. Readers that only
     # want ranks filter right IS NOT NULL (old assets lack these rows
-    # and degrade to the merges-derived alphabet).
-    alphabet = sorted({s for w, _ in pairs for s in _word_symbols(w)})
+    # and degrade to the merges-derived alphabet). Byte-level seeds the
+    # FULL byte alphabet (plain + word-final forms) so coverage is
+    # total, not corpus-dependent.
+    if byte_level:
+        alphabet = sorted(
+            {c for c in _B2U.values()} | {c + END for c in _B2U.values()}
+        )
+    else:
+        alphabet = sorted({s for w, _ in pairs for s in _word_symbols(w)})
     spark = table.spark
     rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
     rows += [(None, sym, None) for sym in alphabet]
+    if byte_level:
+        # marker row (rank NULL, left NULL): readers self-configure
+        rows.append((None, None, _BYTE_LEVEL_FLAG))
     out = spark.createDataFrame(rows, "rank int, left string, right string")
     return Table.from_df(out, name=f"{table.table_name}_bpe_merges")
 
 
 def _load_asset(
     merges: Table,
-) -> tuple[list[tuple[int, str, str]], list[str]]:
-    """(merge rows sorted by rank, alphabet symbols) from a train_bpe
-    asset. Alphabet rows have NULL rank/right; assets written before
-    round 9 have none, and the vocab then degrades to the
+) -> tuple[list[tuple[int, str, str]], list[str], bool]:
+    """(merge rows sorted by rank, alphabet symbols, byte_level flag)
+    from a train_bpe asset. Alphabet rows have NULL rank/right; the
+    byte-level marker row has NULL rank/left; assets written before
+    round 9 have neither, and the vocab then degrades to the
     merges-derived alphabet."""
     for c in ("rank", "left", "right"):
         if c not in merges.fields:
@@ -222,13 +283,16 @@ def _load_asset(
             )
     merge_rows: list[tuple[int, str, str]] = []
     alphabet: list[str] = []
+    byte_level = False
     for r in merges._require_df().collect():
-        if r["right"] is None:
+        if r["left"] is None:
+            byte_level = byte_level or r["right"] == _BYTE_LEVEL_FLAG
+        elif r["right"] is None:
             alphabet.append(r["left"])
         else:
             merge_rows.append((int(r["rank"]), r["left"], r["right"]))
     merge_rows.sort()
-    return merge_rows, alphabet
+    return merge_rows, alphabet, byte_level
 
 
 def _load_merge_rows(merges: Table) -> list[tuple[int, str, str]]:
@@ -286,7 +350,7 @@ def bpe_vocab(merges: Table, unk_piece: str = "<unk>") -> Table:
     internally, exposed as its own durable asset for model configs and
     external consumers. Deterministic: same merges table → same ids,
     forever (alphabet + rank order; see ``_vocab_list``)."""
-    merge_rows, alphabet = _load_asset(merges)
+    merge_rows, alphabet, _byte = _load_asset(merges)
     vocab = _vocab_list(merge_rows, alphabet, unk_piece)
     out = merges.spark.createDataFrame(
         list(enumerate(vocab)), "token_id int, piece string"
@@ -323,7 +387,7 @@ def apply_bpe(
     repeated word (web text is extremely repetitive) is merged once
     per batch. No shuffle — a pure mapInPandas over the corpus scan.
     """
-    merge_rows, alphabet = _load_asset(merges)
+    merge_rows, alphabet, byte_level = _load_asset(merges)
     ranks = {(left, right): rank for rank, left, right in merge_rows}
     piece_ids = (
         {
@@ -335,7 +399,7 @@ def apply_bpe(
         if emit_ids
         else None
     )
-    bc = table.spark.sparkContext.broadcast((ranks, piece_ids))
+    bc = table.spark.sparkContext.broadcast((ranks, piece_ids, byte_level))
     pattern = BPE_TOKEN_RE
 
     id_type = dict(table._require_df().dtypes)[id_col]  # not only long ids
@@ -349,13 +413,15 @@ def apply_bpe(
         import re as _re
 
         rx = _re.compile(pattern)
-        rk, pids = bc.value
+        rk, pids, bl = bc.value
         cache: dict[str, tuple[str, ...]] = {}
 
         def enc(word: str) -> tuple[str, ...]:
             got = cache.get(word)
             if got is None:
-                got = _encode_word(word, rk)
+                got = _encode_word(
+                    _to_byte_space(word) if bl else word, rk
+                )
                 cache[word] = got
             return got
 
@@ -400,17 +466,22 @@ def detokenize_bpe(
     encode time). Ids outside the vocab range also decode as unk
     rather than failing the job.
 
+    For a byte-level asset the pieces live in byte-char space; the
+    decoder maps them back through the reversible table and utf-8
+    decodes (``errors="replace"`` — only reachable if out-of-range ids
+    split a multi-byte character).
+
     Scale shape: the id→piece list is broadcast once per executor and
     decode is a pure mapInPandas over the scan — no shuffle, no joins.
     """
-    merge_rows, alphabet = _load_asset(merges)
+    merge_rows, alphabet, byte_level = _load_asset(merges)
     vocab = _vocab_list(merge_rows, alphabet, unk_piece)
-    bc = table.spark.sparkContext.broadcast(vocab)
+    bc = table.spark.sparkContext.broadcast((vocab, byte_level))
     id_type = dict(table._require_df().dtypes)[id_col]
     schema = f"{id_col} {id_type}, text string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        voc = bc.value
+        voc, bl = bc.value
         n = len(voc)
         unk = voc[UNK_ID]
         for pdf in batches:
@@ -418,12 +489,15 @@ def detokenize_bpe(
                 continue
             texts = []
             for ids in pdf[ids_col]:
-                texts.append(
-                    "".join(
-                        voc[i] if 0 <= i < n else unk
-                        for i in (ids if ids is not None else ())
-                    ).replace(END, "")
-                )
+                joined = "".join(
+                    voc[i] if 0 <= i < n else unk
+                    for i in (ids if ids is not None else ())
+                ).replace(END, "")
+                if bl:
+                    joined = bytes(
+                        _U2B.get(c, ord("?")) for c in joined
+                    ).decode("utf-8", errors="replace")
+                texts.append(joined)
             yield pd.DataFrame({id_col: pdf[id_col], "text": texts})
 
     out = table._require_df().select(id_col, ids_col).mapInPandas(run, schema)

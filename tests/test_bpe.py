@@ -445,3 +445,88 @@ def test_pack_token_ids_invariants(spark):
         assert r.n_tokens == len(want) == sum(meta[d][3] for d in members)
     # every doc is in exactly one pack
     assert sum(r.n_docs for r in packs.values()) == len(texts)
+
+
+# ------------------------------------------------------------------ #
+# byte-level BPE (round 9): GPT-2-style full-coverage tokenizer
+
+
+def test_byte_map_is_reversible_bijection():
+    from littletable_spark.operators.bpe import _B2U, _U2B
+
+    assert len(_B2U) == 256 and len(_U2B) == 256
+    for b in range(256):
+        assert _U2B[_B2U[b]] == b
+    # every mapped char is printable (merged pieces remain readable)
+    assert all(c.isprintable() for c in _B2U.values())
+
+
+def test_byte_level_round_trip_zero_unks(spark):
+    """Byte-level assets tokenize ANY text with zero unks — including
+    characters the training corpus never saw (emoji, CJK, controls) —
+    and detokenize_bpe restores the original exactly."""
+    from littletable_spark.operators.bpe import (
+        UNK_ID,
+        bpe_vocab,
+        detokenize_bpe,
+    )
+
+    train = Table("train", spark=spark)
+    train.insert_many(
+        [{"doc_id": i, "text": "the cat sat on the mat"} for i in range(3)]
+    )
+    merges = train_bpe(train, "text", num_merges=20, byte_level=True)
+    # vocab covers the full byte alphabet in plain + word-final forms
+    n_vocab = bpe_vocab(merges).df.count()
+    assert n_vocab >= 1 + 512
+
+    texts = [
+        "the cat sat",                      # in-distribution
+        "naïve café — über",                # accents + em dash
+        "日本語のテキスト",                   # CJK, never seen
+        "mixed 🙂 emoji\nand\tcontrols",     # emoji + whitespace
+        "",                                  # empty
+    ]
+    docs = Table("docs", spark=spark)
+    docs.insert_many([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    enc = apply_bpe(docs, "text", "doc_id", merges, emit_ids=True)
+    for r in enc:
+        assert UNK_ID not in (r.token_ids or []), r.doc_id
+    detok = detokenize_bpe(enc, "token_ids", "doc_id", merges)
+    got = {r.doc_id: r.text for r in detok}
+    assert got == {i: t for i, t in enumerate(texts)}
+
+
+def test_byte_level_asset_is_durable_and_self_describing(spark, tmp_path):
+    """The byte_level marker row survives parquet; a re-imported asset
+    applies byte mapping without any caller flag."""
+    from littletable_spark.operators.bpe import detokenize_bpe
+
+    train = Table("train", spark=spark)
+    train.insert_many([{"doc_id": 0, "text": "hello world hello"}])
+    merges = train_bpe(train, "text", num_merges=10, byte_level=True)
+    path = str(tmp_path / "bl_merges.parquet")
+    merges.parquet_export(path)
+    back = Table.parquet_import(spark, path, "merges")
+
+    docs = Table("docs", spark=spark)
+    docs.insert_many([{"doc_id": 0, "text": "héllo wörld 🎉"}])
+    a = apply_bpe(docs, "text", "doc_id", merges, emit_ids=True)
+    b = apply_bpe(docs, "text", "doc_id", back, emit_ids=True)
+    assert [list(r.token_ids) for r in a] == [list(r.token_ids) for r in b]
+    got = list(detokenize_bpe(b, "token_ids", "doc_id", back))[0].text
+    assert got == "héllo wörld 🎉"
+
+
+def test_byte_level_merges_compress(spark):
+    """Merges actually fire in byte space: a repeated word encodes to
+    far fewer pieces than its byte length."""
+    train = Table("train", spark=spark)
+    train.insert_many(
+        [{"doc_id": i, "text": "tokenizer " * 20} for i in range(5)]
+    )
+    merges = train_bpe(train, "text", num_merges=60, byte_level=True)
+    docs = Table("docs", spark=spark)
+    docs.insert_many([{"doc_id": 0, "text": "tokenizer tokenizer"}])
+    r = list(apply_bpe(docs, "text", "doc_id", merges))[0]
+    assert r.n_bpe_tokens <= 4  # ~1 piece per word after merges
