@@ -1,12 +1,15 @@
-"""Round-8 capabilities end-to-end: BPE tokenizer asset, real-token
-budgeting, and a product-quantized ANN index.
+"""Tokenizer + ANN capabilities end-to-end: BPE tokenizer asset,
+real-token budgeting, training-ready token ids, and compressed ANN
+indexes.
 
 1. Train a BPE tokenizer over the corpus (one word-count shuffle +
    driver merge loop) and persist the merges table.
 2. Tokenize, chunk in REAL tokens, pack into fixed token budgets.
-3. Build a product-quantized IVF index over the embeddings (m-byte
+3. Round 9: byte-level mode (zero unks on any input), stable token
+   ids, packed id arrays, and detokenization back to text.
+4. Build a product-quantized IVF index over the embeddings (m-byte
    codes instead of vectors), persist it, and search it with exact
-   re-rank.
+   re-rank; float32 storage for the uncompressed variant.
 
 Run: python examples/tokenizer_ann_demo.py [sf_dir]
 """
@@ -46,7 +49,35 @@ def main() -> None:
     chunks = chunk_by_pieces(pieces, "pieces", "doc_id", chunk_tokens=128)
     print("chunks:", len(chunks))
 
-    # 3. PQ ANN index: built once, stored, searched with exact re-rank
+    # 3. round-9 token-id surface: byte-level asset (no unk ever),
+    # stable ids, packed id arrays, and back to text
+    from littletable_spark.operators.bpe import (
+        bpe_vocab,
+        detokenize_bpe,
+        pack_token_ids,
+    )
+
+    bl_merges = train_bpe(
+        docs, "text", num_merges=200, max_words=20_000, byte_level=True
+    )
+    vocab = bpe_vocab(bl_merges)
+    print(f"byte-level vocab: {len(vocab)} pieces (full byte coverage)")
+    ids = apply_bpe(docs, "text", "doc_id", bl_merges, emit_ids=True)
+    with_coords = packed.select("doc_id shard pack").join(
+        ids.select("doc_id token_ids"), doc_id="doc_id"
+    )
+    pack_ids = pack_token_ids(with_coords, "doc_id")
+    print("packed id sequences:", len(pack_ids))
+    round_trip = detokenize_bpe(ids, "token_ids", "doc_id", bl_merges)
+    n_exact = round_trip.join(
+        docs.select("doc_id text").compute_field(
+            "orig", lambda r: r.text
+        ).select("doc_id orig"),
+        doc_id="doc_id",
+    ).where(lambda r: r.text == r.orig)
+    print(f"detokenize round-trip exact: {len(n_exact)}/{len(docs)}")
+
+    # 4. PQ ANN index: built once, stored, searched with exact re-rank
     emb = Table.parquet_import(spark, f"{sf_dir}/embeddings.parquet", "embeddings")
     idx = ivf_index_table(emb, "vec_id", "embedding", nlist=16, pq_m=8)
     idx.df.write.mode("overwrite").parquet(f"{root}/pq_index")

@@ -560,7 +560,10 @@ def chunk_by_pieces(
     their own tokens). Interior whitespace is therefore exact; each
     chunk is then trimmed at its EDGES only (a window starting at
     ``' word'`` yields ``'word'``), so reconstruction is lossless
-    modulo leading/trailing whitespace of the chunk itself. Same
+    modulo leading/trailing whitespace of the chunk itself. NOTE:
+    pieces from a BYTE-level asset live in byte-char space — chunk
+    their ``token_ids`` and ``detokenize_bpe`` instead if you need
+    readable chunk text. Same
     pure-narrow plan shape as ``chunk_documents``: ``sequence`` of
     window starts, ``posexplode``, ``slice`` — no UDF, no shuffle, and
     the same start rule (no window begins inside the previous chunk's
