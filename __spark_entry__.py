@@ -1262,6 +1262,31 @@ def q_convert_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey raw").df
 
 
+def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perceptual-hash image dedup (round 9): 64-bit image hash per
+    blob, pigeonhole-blocked Hamming pair join (shared with SimHash —
+    hamming_hash_pairs), exact bit_count(xor) filter. Gated on the
+    md5-derived FAKE hash contract (JVM-native, SQL-expressible, like
+    multimodal_decode's fake pixels); the real dHash path
+    (decode_to_gray gradients, container/brightness-invariant) is
+    pinned by test_multimodal_convert.py. Blobs synthesize duplicate
+    groups (content = doc_id % 60) so the pair join has real work."""
+    from littletable_spark.operators.multimodal import image_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    d.compute_field(
+        "blob",
+        F.encode(
+            F.concat(F.lit("img-"), (F.col("doc_id") % 60).cast("string")),
+            "utf-8",
+        ),
+    )
+    pairs = image_dup_pairs(d, "blob", "doc_id", max_hamming=3, n_blocks=4)
+    return pairs.df.select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary media columns: magic-byte sniff + typed metadata struct."""
     from littletable_spark.operators.multimodal import sniff_media
@@ -1818,10 +1843,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle) also gates immediately; multimodal_audio parks in exchange
     (driver-green r8; its fake-feature oracle contract shares the
     md5-reconstruction shape with in-gate multimodal_meta, and the real
-    WAV decoder is pytest-pinned). text_bpe_pack stays in-gate as the
-    registry's only rows-only row. The local mirror
-    (scripts/verify_oracle.py) still runs every oracle-checked query
-    every round."""
+    WAV decoder is pytest-pinned). Net-new multimodal_image_dedup
+    (perceptual-hash image dedup: 64-bit hash + pigeonhole-blocked
+    Hamming pair join, gated on the JVM-native md5 fake-hash contract)
+    also gates immediately; dedup_simhash parks in exchange
+    (driver-green r8; its pigeonhole blocking core — now factored as
+    hamming_hash_pairs — runs IN-GATE inside multimodal_image_dedup,
+    and the simhash fingerprint aggregation is mirror- and
+    pytest-covered). text_bpe_pack stays in-gate as the registry's
+    only rows-only row. The local mirror (scripts/verify_oracle.py)
+    still runs every oracle-checked query every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1852,7 +1883,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
+        "multimodal_image_dedup": q_multimodal_image_dedup,
         "dedup_embedding_lsh_incr": q_dedup_embedding_lsh_incr,
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_incr": q_dedup_semantic_incr,
@@ -1876,6 +1907,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- parked beyond the driver's 50-query window ----
         "sim_ivf_pq": q_sim_ivf_pq,
         "multimodal_audio": q_multimodal_audio,
+        "dedup_simhash": q_dedup_simhash,
         "dedup_spans": q_dedup_spans,
         "text_tfidf_incr": q_text_tfidf_incr,
         "sample_weighted": q_sample_weighted,
@@ -3280,6 +3312,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "multimodal_decode": _decode_oracle_sql(width=4, height=4),
+        # the fake image hash is the first 15 md5 hex chars of the blob
+        # (60-bit positive BIGINT in both engines); the n^2 oracle join
+        # is fine at gate scale, the ENGINE uses pigeonhole blocking
+        "multimodal_image_dedup": """
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(lower(hex(encode(
+                        'img-' || (doc_id % 60)::VARCHAR)))), 1, 15))::BIGINT AS sh
+              FROM documents
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
         # fake audio features are md5 digest bytes (multimodal.py
         # decode_audio use_fake=True): n_frames=b0, duration=b1/255,
         # rms=b2/255, peak=b3/255, zcr=b4/255 — bytes reconstructed

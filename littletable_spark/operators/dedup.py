@@ -536,23 +536,29 @@ def _simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int) -> DataFra
     return votes_df.select(F.col(id_col), sh.cast("long").alias("sh"))
 
 
-def simhash_dedup_pairs(
-    table: Table,
+def hamming_hash_pairs(
+    df: DataFrame,
     id_col: str,
-    text_col: str,
-    bits: int = 32,
-    max_hamming: int = 3,
-    n_blocks: int = 4,
-) -> Table:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-
-    Pigeonhole blocking: split the fingerprint into ``n_blocks`` blocks;
-    any pair within distance ``max_hamming < n_blocks`` agrees on at
-    least one block — equi-join per block, then exact Hamming filter
-    via bit_count(xor). Scale path: one shuffle per block, no cross join.
-    """
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Pairs (id1, id2, hamming) with Hamming distance ≤ ``max_hamming``
+    between ``bits``-wide integer fingerprints, by pigeonhole blocking:
+    split the fingerprint into ``n_blocks`` blocks; any pair within
+    distance ``max_hamming < n_blocks`` agrees on at least one block —
+    equi-join per block, then exact Hamming filter via bit_count(xor).
+    Scale path: one shuffle per block, no cross join. Shared by
+    ``simhash_dedup_pairs`` (text) and ``multimodal.image_dup_pairs``
+    (perceptual image hashes)."""
+    if not max_hamming < n_blocks:
+        raise ValueError(
+            f"pigeonhole bound needs max_hamming ({max_hamming}) < "
+            f"n_blocks ({n_blocks})"
+        )
     block_width = bits // n_blocks
-    sh = _simhash_df(table.df, id_col, text_col, bits)
+    sh = df.select(F.col(id_col), F.col(hash_col).alias("sh"))
     blocks = F.array(
         *[
             F.concat(
@@ -569,7 +575,7 @@ def simhash_dedup_pairs(
     ).persist(_PAIRGEN_CACHE)
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             on=[
@@ -587,6 +593,23 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .distinct()
     )
+
+
+def simhash_dedup_pairs(
+    table: Table,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> Table:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking and the exact Hamming filter live in
+    ``hamming_hash_pairs`` (pigeonhole: one equi-join per block).
+    """
+    sh = _simhash_df(table.df, id_col, text_col, bits)
+    pairs = hamming_hash_pairs(sh, id_col, "sh", bits, max_hamming, n_blocks)
     return Table.from_df(pairs, name=f"{table.table_name}_simhash_pairs")
 
 

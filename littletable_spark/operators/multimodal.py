@@ -291,6 +291,105 @@ def decode_audio(
     return Table.from_df(out, name=f"{table.table_name}_audio")
 
 
+def image_hash(
+    table: Table,
+    bin_col: str,
+    id_col: str,
+    use_fake: bool = True,
+    on_error: str = "raise",
+) -> Table:
+    """Perceptual 64-bit image hash per blob: ``(id, img_hash long)``.
+
+    Real path (``use_fake=False``): dHash (public difference-hash
+    scheme) — decode to a 9×8 luma grid via the builtin codecs
+    (PNG/JPEG/BMP/PPM/GIF), set bit ``r*8+c`` when ``g[r,c] >
+    g[r,c+1]``. Gradient-based, so it is invariant to uniform
+    brightness shifts and to the container format (the same pixels
+    hash identically from a PNG and a BMP), and near-duplicate images
+    (recompression, small edits) land within a few bits. Feed the
+    result (or ``image_dup_pairs``) into the dedup machinery exactly
+    like text SimHash.
+
+    Fake path (``use_fake=True``, the oracle-checked plumbing
+    contract like ``decode_image``): a 60-bit integer from the blob's
+    md5 — fully JVM-native (no Python at all) and SQL-expressible, so
+    the hash+blocking+Hamming pipeline is driver-gateable end-to-end.
+
+    NOTE (real path): construction runs one eager column-pruned count
+    job to bound the Arrow feed partitions — see
+    ``_bounded_blob_input``. The fake path is a pure projection.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"image_hash: on_error must be raise|null, got {on_error!r}")
+    if use_fake:
+        # 15 hex chars = 60 bits: always positive in a signed long in
+        # BOTH engines (DuckDB's ::BIGINT has no unsigned escape hatch)
+        h = F.conv(
+            F.substring(F.md5(F.lower(F.hex(F.col(bin_col)))), 1, 15), 16, 10
+        ).cast("long")
+        out = table._require_df().select(
+            F.col(id_col), h.alias("img_hash")
+        )
+        return Table.from_df(out, name=f"{table.table_name}_imghash")
+
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = f"{id_col} {id_type}, img_hash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import decode_to_gray
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for b in pdf[bin_col]:
+                try:
+                    g = decode_to_gray(bytes(b or b""), 9, 8)  # (8, 9)
+                    bits = (g[:, :-1] > g[:, 1:]).ravel()
+                    h = 0
+                    for i, bit in enumerate(bits):
+                        if bit:
+                            h |= 1 << i
+                    if h >= 1 << 63:  # two's-complement into a long
+                        h -= 1 << 64
+                    hashes.append(h)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col], "img_hash": hashes})
+
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    out = inp.mapInPandas(run, schema)
+    return Table.from_df(out, name=f"{table.table_name}_imghash")
+
+
+def image_dup_pairs(
+    table: Table,
+    bin_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    bits: int = 64,
+    use_fake: bool = True,
+    on_error: str = "raise",
+) -> Table:
+    """Near-duplicate image pairs ``(id1, id2, hamming)`` by perceptual-
+    hash Hamming distance ≤ ``max_hamming`` — the image analogue of
+    ``simhash_dedup_pairs``, sharing its pigeonhole blocking
+    (``hamming_hash_pairs``): one equi-join per block, exact
+    ``bit_count(xor)`` filter, never a cross join. At crawl scale this
+    is the standard recompressed/re-hosted image dedup pass."""
+    from .dedup import hamming_hash_pairs
+
+    hashes = image_hash(table, bin_col, id_col, use_fake, on_error)
+    hdf = hashes.df.where(F.col("img_hash").isNotNull())
+    pairs = hamming_hash_pairs(
+        hdf, id_col, "img_hash", bits, max_hamming, n_blocks
+    )
+    return Table.from_df(pairs, name=f"{table.table_name}_imgdup_pairs")
+
+
 def media_features(table: Table, id_col: str, pixels_col: str = "pixels") -> Table:
     """Feature extraction over decoded grids — native array aggregates."""
     px = F.col(pixels_col)

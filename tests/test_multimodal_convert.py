@@ -243,3 +243,91 @@ def test_bounded_blob_input_skips_shuffle_when_prebounded(spark, blobs):
     out2 = _bounded_blob_input(squeezed, max_rows=2)
     assert out2 is not squeezed
     assert max(out2.rdd.glom().map(len).collect()) <= 3
+
+
+# ------------------------------------------------------------------ #
+# perceptual image hashing + image near-dup (round 9)
+
+
+def test_image_hash_real_dhash_invariances(spark):
+    """dHash is container-invariant (same pixels via PNG and BMP hash
+    identically) and brightness-invariant (gradients unchanged), while
+    a genuinely different image lands many bits away."""
+    import numpy as np
+    from test_imagecodec import _bmp_encode, _png_encode
+
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import image_hash
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(10, 180, (16, 18, 3)).astype(np.uint8)
+    shifted = (base.astype(int) + 40).clip(0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+    t = Table("imgs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "blob": _png_encode(base, filters=[0] * 16)},
+            {"id": 1, "blob": _bmp_encode(base)},
+            {"id": 2, "blob": _png_encode(shifted, filters=[2] * 16)},
+            {"id": 3, "blob": _png_encode(other, filters=[0] * 16)},
+            {"id": 4, "blob": b"not an image"},
+        ]
+    )
+    got = {
+        r.id: r.img_hash
+        for r in image_hash(t, "blob", "id", use_fake=False, on_error="null")
+    }
+    assert got[0] == got[1]  # container-invariant
+    assert got[0] == got[2]  # brightness-invariant
+    assert got[4] is None  # corrupt -> NULL, job survives
+    diff = bin((got[0] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert diff > 10, f"different image only {diff} bits away"
+
+
+def test_image_dup_pairs_matches_bruteforce(spark):
+    """Pigeonhole blocking finds EXACTLY the brute-force pair set for
+    max_hamming < n_blocks (the bound the helper enforces)."""
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import (
+        image_dup_pairs,
+        image_hash,
+    )
+
+    t = Table("blobs", spark=spark)
+    # duplicate groups: blob determined by id % 6 -> identical hashes
+    t.insert_many(
+        [{"id": i, "blob": (b"img-%d" % (i % 6)) * 3} for i in range(24)]
+    )
+    hashes = {r.id: r.img_hash for r in image_hash(t, "blob", "id")}
+    want = set()
+    for a in range(24):
+        for b in range(a + 1, 24):
+            h = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    got = {
+        (r.id1, r.id2, r.hamming)
+        for r in image_dup_pairs(t, "blob", "id", max_hamming=3, n_blocks=4)
+    }
+    assert got == want and len(got) >= 24  # the dup groups all pair up
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_dup_pairs(t, "blob", "id", max_hamming=4, n_blocks=4)
+
+
+def test_image_hash_fake_contract(spark):
+    """The fake hash is the documented md5-derived 60-bit integer —
+    recomputable engine-independently (the oracle contract)."""
+    import hashlib
+
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import image_hash
+
+    blobs = [b"\x89PNGfake", b"hello world", b""]
+    t = Table("blobs", spark=spark)
+    t.insert_many([{"id": i, "blob": b} for i, b in enumerate(blobs)])
+    got = {r.id: r.img_hash for r in image_hash(t, "blob", "id")}
+    for i, b in enumerate(blobs):
+        want = int(hashlib.md5(b.hex().encode()).hexdigest()[:15], 16)
+        assert got[i] == want, i
