@@ -323,8 +323,7 @@ def _decode_gif(blob: bytes) -> np.ndarray:
         elif b0 == 0x2C:  # image descriptor
             _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", blob, pos + 1)
             pos += 10
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported")
+            interlaced = bool(ipacked & 0x40)
             table = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
@@ -341,6 +340,21 @@ def _decode_gif(blob: bytes) -> np.ndarray:
                 pos += 1 + size
             idx = _lzw_decode(bytes(data), min_code, w * h)
             arr = np.array(idx, dtype=np.intp).reshape(h, w)
+            if interlaced:
+                # GIF89a appendix E: rows are stored in four passes
+                # (every 8th from 0, every 8th from 4, every 4th from
+                # 2, every 2nd from 1); remap stream order -> display
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                out = np.empty_like(arr)
+                out[order] = arr
+                arr = out
             return table[arr].astype(np.float64)
         elif b0 == 0x3B:  # trailer
             break

@@ -403,7 +403,12 @@ def _gif_lzw_encode(pixels: list[int], mcs: int) -> bytes:
     return bytes(out)
 
 
-def _gif_encode(indices: np.ndarray, palette: np.ndarray, mcs: int = 2) -> bytes:
+def _gif_encode(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    mcs: int = 2,
+    interlace: bool = False,
+) -> bytes:
     h, w = indices.shape
     n = len(palette)
     gct_bits = max((n - 1).bit_length(), 1) - 1
@@ -413,8 +418,19 @@ def _gif_encode(indices: np.ndarray, palette: np.ndarray, mcs: int = 2) -> bytes
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
     out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
     out.append(mcs)
+    if interlace:
+        # store rows in the four-pass interlace order (GIF89a app. E)
+        order = np.concatenate(
+            [
+                np.arange(0, h, 8),
+                np.arange(4, h, 8),
+                np.arange(2, h, 4),
+                np.arange(1, h, 2),
+            ]
+        )
+        indices = indices[order]
     data = _gif_lzw_encode(list(indices.reshape(-1)), mcs)
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
@@ -505,3 +521,19 @@ def test_png_adam7_interlaced():
         np.testing.assert_array_equal(
             decode_pixels(blob).astype(np.uint8), img, err_msg=str(shape)
         )
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlaced GIFs (round 9): the four-pass row order is undone, so
+    the decoded frame equals the plain-scan decode of the same pixels —
+    exercised at heights hitting all four passes incl. non-multiples."""
+    rng = np.random.RandomState(3)
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    for h in (16, 13, 9, 5, 1):
+        idx = rng.randint(0, 4, (h, 7))
+        plain = decode_pixels(_gif_encode(idx, palette))
+        inter = decode_pixels(_gif_encode(idx, palette, interlace=True))
+        np.testing.assert_array_equal(plain, inter)
+        np.testing.assert_array_equal(inter, palette[idx].astype(np.float64))
