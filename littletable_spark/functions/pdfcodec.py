@@ -1,0 +1,239 @@
+"""Minimal PDF text extraction, pure stdlib (zlib + re).
+
+PDF (ISO 32000, public) at the subset generated PDFs actually use:
+objects are scanned linearly (`N G obj ... endobj` — more robust than
+trusting the xref table, which linearized/incrementally-updated files
+complicate), page content streams are inflated (`/FlateDecode`) or
+taken raw, and the text operators between BT/ET are interpreted:
+
+- ``Tj`` / ``'`` / ``"``   show a string (the quoted forms imply a
+  line advance first)
+- ``TJ``                   show an array of strings and kern numbers
+  (a large negative kern is rendered as a space — the standard
+  word-gap idiom)
+- ``Td`` / ``TD`` / ``T*`` line moves → newline
+- ``Tm``                   text matrix reset → newline when y moves
+
+String syntax: ``(literal)`` with backslash escapes (incl. octal and
+line continuation) and balanced parens, ``<hex>``. Strings beginning
+with a UTF-16BE BOM decode as UTF-16BE (how most writers emit non-
+Latin text with simple fonts); everything else decodes as Latin-1
+(≈ PDFDocEncoding for the printable range).
+
+Out of scope (raise ValueError → ``on_error`` policy upstream):
+encrypted files, and files whose ONLY text uses CID fonts with
+ToUnicode CMaps (the bytes extract but may not be readable text —
+callers should language-ID/quality-filter downstream, which the
+pipeline does anyway). No reference analog; fulfils the brief's
+multimodal mandate like imagecodec/audiocodec.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["extract_pdf_text"]
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_CONTENTS_RE = re.compile(rb"/Contents\s+(?:(\d+)\s+\d+\s+R|\[(.*?)\])", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+# text-showing / positioning operators, tokenized lazily
+_TOKEN_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"      # literal string (1-level; nested handled below)
+    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"|\[|\]"
+    rb"|[-+]?[0-9]*\.?[0-9]+"      # number
+    rb"|/[^\s/\[\]()<>]*"          # name
+    rb"|[A-Za-z'\"*]+"             # operator
+)
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _literal_string(raw: bytes) -> bytes:
+    """Decode the inside of a (literal) string: escapes, octal, and
+    line continuations (spec 7.3.4.2)."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        e = raw[i + 1 : i + 2]
+        if e in _ESCAPES:
+            out += _ESCAPES[e]
+            i += 2
+        elif e.isdigit():  # up to 3 octal digits
+            j = i + 1
+            while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif e in (b"\n", b"\r"):  # line continuation
+            i += 2
+            if e == b"\r" and raw[i : i + 1] == b"\n":
+                i += 1
+        else:
+            out += e
+            i += 2
+    return bytes(out)
+
+
+def _balanced_paren_string(data: bytes, start: int) -> tuple[bytes, int]:
+    """Scan a literal string with NESTED balanced parens from
+    ``data[start] == '('``; returns (inner bytes, index past ')')."""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash: skip escaped char
+            i += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return data[start + 1 : i], i + 1
+        i += 1
+    raise ValueError("unterminated PDF string")
+
+
+def _decode_text(raw: bytes) -> str:
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    """Stream payload of an object body, inflated when FlateDecode."""
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    data = m.group(1)
+    if b"/FlateDecode" in body[: m.start()]:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as exc:
+            raise ValueError(f"bad PDF Flate stream: {exc}") from None
+    return data
+
+
+def _content_text(content: bytes) -> list[str]:
+    """Interpret a page content stream's BT/ET text operators."""
+    chunks: list[str] = []
+    pending: list[bytes] = []  # operand stack (strings + numbers)
+    in_text = False
+    last_ty: float | None = None
+    i = 0
+    n = len(content)
+    while i < n:
+        c = content[i : i + 1]
+        if c == b"(":
+            raw, i = _balanced_paren_string(content, i)
+            pending.append(b"S" + _literal_string(raw))
+            continue
+        m = _TOKEN_RE.match(content, i)
+        if m is None:
+            i += 1
+            continue
+        tok = m.group(0)
+        i = m.end()
+        if tok[:1] == b"<" and tok[-1:] == b">":
+            hexs = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hexs) % 2:
+                hexs += b"0"
+            pending.append(b"S" + bytes.fromhex(hexs.decode("ascii")))
+        elif tok in (b"BT",):
+            in_text = True
+            last_ty = None
+            pending.clear()
+        elif tok == b"ET":
+            in_text = False
+            pending.clear()
+        elif not in_text:
+            pending.clear() if tok in (b"[", b"]") else pending.append(tok)
+        elif tok == b"Tj":
+            if pending and pending[-1][:1] == b"S":
+                chunks.append(_decode_text(pending[-1][1:]))
+            pending.clear()
+        elif tok in (b"'", b'"'):
+            chunks.append("\n")
+            if pending and pending[-1][:1] == b"S":
+                chunks.append(_decode_text(pending[-1][1:]))
+            pending.clear()
+        elif tok == b"TJ":
+            for op in pending:
+                if op[:1] == b"S":
+                    chunks.append(_decode_text(op[1:]))
+                else:
+                    try:  # big negative kern = inter-word gap
+                        if float(op) < -100:
+                            chunks.append(" ")
+                    except ValueError:
+                        pass
+            pending.clear()
+        elif tok in (b"Td", b"TD", b"T*"):
+            chunks.append("\n")
+            pending.clear()
+        elif tok == b"Tm":
+            # newline only when the y translation moves (column 6)
+            try:
+                ty = float(pending[-1])
+            except (IndexError, ValueError):
+                ty = None
+            if last_ty is not None and ty is not None and ty != last_ty:
+                chunks.append("\n")
+            last_ty = ty
+            pending.clear()
+        elif tok in (b"[", b"]"):
+            pass  # TJ arrays: operands already accumulate
+        elif tok[:1] in (b"/",) or tok[:1].isdigit() or tok[:1] in (b"-", b"+", b"."):
+            pending.append(tok)
+        else:
+            pending.clear()  # any other operator consumes its operands
+    return chunks
+
+
+def extract_pdf_text(blob: bytes) -> str:
+    """All page text of a PDF blob, reading order per content stream,
+    newlines at line moves, pages separated by form feeds."""
+    if not blob.startswith(b"%PDF-"):
+        raise ValueError("not a PDF")
+    if b"/Encrypt" in blob:
+        raise ValueError("encrypted PDF not supported")
+    objects: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(blob):
+        objects[int(m.group(1))] = m.group(3)
+    pages: list[str] = []
+    for num in sorted(objects):
+        body = objects[num]
+        if b"/Type" not in body or b"/Page" not in body or b"/Pages" in body:
+            continue
+        cm = _CONTENTS_RE.search(body)
+        if cm is None:
+            continue
+        refs = [int(cm.group(1))] if cm.group(1) else [
+            int(r) for r in _REF_RE.findall(cm.group(2))
+        ]
+        text_parts: list[str] = []
+        for ref in refs:
+            stream = _stream_data(objects.get(ref, b""))
+            if stream:
+                text_parts.extend(_content_text(stream))
+        page = "".join(text_parts)
+        page = re.sub(r"\n{3,}", "\n\n", page).strip("\n")
+        if page:
+            pages.append(page)
+    if not pages and not objects:
+        raise ValueError("no PDF objects found")
+    return "\f".join(pages)

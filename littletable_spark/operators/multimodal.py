@@ -364,6 +364,64 @@ def image_hash(
     return Table.from_df(out, name=f"{table.table_name}_imghash")
 
 
+def extract_text(
+    table: Table,
+    bin_col: str,
+    id_col: str,
+    on_error: str = "raise",
+) -> Table:
+    """Extract document text from binary blobs: ``(id, text string,
+    n_chars int)`` — the ingestion step that turns a crawled/scanned
+    blob corpus into rows the text operators (quality, dedup,
+    tokenize, pack) consume.
+
+    Formats: PDF via the pure-stdlib extractor in
+    ``functions/pdfcodec.py`` (FlateDecode streams, BT/ET text
+    operators, Latin-1 + UTF-16BE strings — the subset generated PDFs
+    use; encrypted/CID-only files surface through ``on_error``);
+    plain/UTF-8 bytes pass through decoded. ``on_error="null"`` NULLs
+    the text for unextractable blobs so one bad file never kills a
+    corpus job — count the NULLs downstream for the audit trail.
+
+    NOTE: construction runs one eager column-pruned count job to bound
+    the Arrow feed partitions — see ``_bounded_blob_input``.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"extract_text: on_error must be raise|null, got {on_error!r}")
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = f"{id_col} {id_type}, text string, n_chars int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pdfcodec import extract_pdf_text
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts: list[str | None] = []
+            for b in pdf[bin_col]:
+                blob = bytes(b or b"")
+                try:
+                    if blob.startswith(b"%PDF-"):
+                        texts.append(extract_pdf_text(blob))
+                    else:
+                        texts.append(blob.decode("utf-8"))
+                except (ValueError, UnicodeDecodeError):
+                    if on_error == "raise":
+                        raise
+                    texts.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "text": texts,
+                    "n_chars": [len(t) if t is not None else None for t in texts],
+                }
+            )
+
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    out = inp.mapInPandas(run, schema)
+    return Table.from_df(out, name=f"{table.table_name}_text")
+
+
 def image_dup_pairs(
     table: Table,
     bin_col: str,

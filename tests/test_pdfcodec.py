@@ -1,0 +1,176 @@
+"""PDF text extraction: pure-stdlib codec against hand-built PDFs.
+
+Fixtures are WRITTEN here (objects, FlateDecode content streams, xref)
+so the extractor is checked against exact expected text, matching the
+repo's encode-your-own-fixtures pattern (PNG/GIF/JPEG/WAV)."""
+
+import zlib
+
+import pytest
+
+from littletable_spark import Table
+from littletable_spark.functions.pdfcodec import extract_pdf_text
+
+
+def _make_pdf(page_streams: list[bytes], compress: bool = True) -> bytes:
+    """Minimal valid PDF: catalog, page tree, one page + content stream
+    per entry. The xref table is written correctly even though the
+    extractor scans objects linearly."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    page_ids = []
+    content_ids = []
+    for stream in page_streams:
+        data = zlib.compress(stream) if compress else stream
+        filt = b"/Filter /FlateDecode " if compress else b""
+        cid = add(
+            b"<< " + filt + b"/Length %d >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream"
+        )
+        content_ids.append(cid)
+        page_ids.append(None)  # placeholder, filled after pages obj
+    pages_id = add(b"")  # placeholder body set below
+    for i, cid in enumerate(content_ids):
+        pid = add(
+            b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R "
+            b"/MediaBox [0 0 612 792] >>" % (pages_id, cid)
+        )
+        page_ids[i] = pid
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    objs[pages_id - 1] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % len(page_ids)
+    )
+    catalog_id = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (len(objs) + 1, catalog_id, xref_at)
+    )
+    return bytes(out)
+
+
+def _text_stream(lines: list[bytes]) -> bytes:
+    body = b"BT /F1 12 Tf 72 720 Td\n"
+    for i, line in enumerate(lines):
+        if i:
+            body += b"0 -14 Td\n"
+        body += b"(" + line + b") Tj\n"
+    return body + b"ET"
+
+
+def test_simple_lines_and_pages():
+    pdf = _make_pdf(
+        [
+            _text_stream([b"Hello", b"World"]),
+            _text_stream([b"Page two"]),
+        ]
+    )
+    assert extract_pdf_text(pdf) == "Hello\nWorld\fPage two"
+
+
+def test_uncompressed_stream():
+    pdf = _make_pdf([_text_stream([b"raw bytes"])], compress=False)
+    assert extract_pdf_text(pdf) == "raw bytes"
+
+
+def test_tj_array_kerning_becomes_word_gap():
+    stream = b"BT 72 720 Td [(Hel) -50 (lo) -300 (world)] TJ ET"
+    assert extract_pdf_text(_make_pdf([stream])) == "Hello world"
+
+
+def test_string_escapes_octal_nesting_hex():
+    stream = (
+        b"BT 72 720 Td "
+        b"(paren \\(in\\) octal \\101 back\\\\slash) Tj "
+        b"0 -14 Td (nested (balanced) parens) Tj "
+        b"0 -14 Td <48656C6C6F> Tj "
+        b"ET"
+    )
+    got = extract_pdf_text(_make_pdf([stream]))
+    assert got == (
+        "paren (in) octal A back\\slash\nnested (balanced) parens\nHello"
+    )
+
+
+def test_utf16_string_and_quote_operator():
+    utf16 = "élève 中文".encode("utf-16-be")
+    stream = (
+        b"BT 72 720 Td (first) Tj (\xfe\xff" + utf16.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(").replace(b")", b"\\)") + b") ' ET"
+    )
+    got = extract_pdf_text(_make_pdf([stream]))
+    assert got == "first\nélève 中文"
+
+
+def test_tm_y_move_newline():
+    stream = (
+        b"BT 1 0 0 1 72 720 Tm (one) Tj 1 0 0 1 200 720 Tm (two) Tj "
+        b"1 0 0 1 72 700 Tm (three) Tj ET"
+    )
+    # same-y Tm does NOT break the line; y move does
+    assert extract_pdf_text(_make_pdf([stream])) == "onetwo\nthree"
+
+
+def test_rejections():
+    with pytest.raises(ValueError, match="not a PDF"):
+        extract_pdf_text(b"plain text")
+    enc = _make_pdf([_text_stream([b"x"])]).replace(
+        b"/Root", b"/Encrypt 9 0 R /Root"
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(enc)
+    with pytest.raises(ValueError, match="no PDF objects"):
+        extract_pdf_text(b"%PDF-1.4\ngarbage")
+
+
+def test_extract_text_operator_end_to_end(spark):
+    """The Spark operator: PDFs extract, UTF-8 passes through, junk
+    NULLs under on_error='null', and the output feeds the text ops."""
+    from littletable_spark.operators.multimodal import extract_text
+
+    pdf = _make_pdf([_text_stream([b"From a PDF", b"second line"])])
+    t = Table("blobs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "blob": pdf},
+            {"id": 1, "blob": "plain utf-8 text".encode()},
+            {"id": 2, "blob": b"\xff\xfe\x00bad"},
+        ]
+    )
+    out = {r.id: r for r in extract_text(t, "blob", "id", on_error="null")}
+    assert out[0].text == "From a PDF\nsecond line"
+    assert out[0].n_chars == len(out[0].text)
+    assert out[1].text == "plain utf-8 text"
+    assert out[2].text is None and out[2].n_chars is None
+    with pytest.raises(Exception):
+        extract_text(t, "blob", "id").df.collect()
+    # downstream composition: token stats over the extracted text
+    from littletable_spark.operators.textops import token_stats
+
+    stats = token_stats(
+        Table.from_df(
+            extract_text(t, "blob", "id", on_error="null").df.where(
+                "text IS NOT NULL"
+            ),
+            name="texts",
+        ),
+        "text",
+        "id",
+    )
+    got = {r.id: r.n_tokens for r in stats}
+    assert got[0] == 5 and got[1] == 3
