@@ -369,19 +369,29 @@ def extract_text(
     bin_col: str,
     id_col: str,
     on_error: str = "raise",
+    html_main_content: bool = False,
 ) -> Table:
-    """Extract document text from binary blobs: ``(id, text string,
-    n_chars int)`` — the ingestion step that turns a crawled/scanned
-    blob corpus into rows the text operators (quality, dedup,
-    tokenize, pack) consume.
+    """Extract document text from binary blobs: ``(id, doc_format
+    string, title string, text string, n_chars int)`` — the ingestion
+    step that turns a crawled/scanned blob corpus into rows the text
+    operators (quality, dedup, tokenize, pack) consume.
 
-    Formats: PDF via the pure-stdlib extractor in
-    ``functions/pdfcodec.py`` (FlateDecode streams, BT/ET text
-    operators, Latin-1 + UTF-16BE strings — the subset generated PDFs
-    use; encrypted/CID-only files surface through ``on_error``);
-    plain/UTF-8 bytes pass through decoded. ``on_error="null"`` NULLs
-    the text for unextractable blobs so one bad file never kills a
-    corpus job — count the NULLs downstream for the audit trail.
+    Formats, routed by content sniff:
+    - PDF (``%PDF-``) via the pure-stdlib extractor in
+      ``functions/pdfcodec.py`` (FlateDecode streams, BT/ET text
+      operators, Latin-1 + UTF-16BE strings — the subset generated
+      PDFs use; encrypted/CID-only files surface through
+      ``on_error``);
+    - HTML via ``functions/htmlcodec.py`` (charset-aware decode, tag
+      stripping, block newlines, entity decoding; ``title`` captured;
+      ``html_main_content=True`` additionally drops
+      link-dense/short boilerplate blocks — the readability
+      heuristic);
+    - everything else: UTF-8 passthrough.
+
+    ``on_error="null"`` NULLs the text for unextractable blobs so one
+    bad file never kills a corpus job — count the NULLs downstream for
+    the audit trail.
 
     NOTE: construction runs one eager column-pruned count job to bound
     the Arrow feed partitions — see ``_bounded_blob_input``.
@@ -389,31 +399,44 @@ def extract_text(
     if on_error not in ("raise", "null"):
         raise ValueError(f"extract_text: on_error must be raise|null, got {on_error!r}")
     id_type = dict(table._require_df().dtypes)[id_col]
-    schema = f"{id_col} {id_type}, text string, n_chars int"
+    schema = (
+        f"{id_col} {id_type}, doc_format string, title string, "
+        "text string, n_chars int"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.htmlcodec import extract_html_text, looks_like_html
         from ..functions.pdfcodec import extract_pdf_text
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            texts: list[str | None] = []
-            for b in pdf[bin_col]:
+            rows = []
+            for _id, b in zip(pdf[id_col], pdf[bin_col]):
                 blob = bytes(b or b"")
                 try:
                     if blob.startswith(b"%PDF-"):
-                        texts.append(extract_pdf_text(blob))
+                        rows.append((_id, "pdf", "", extract_pdf_text(blob)))
+                    elif looks_like_html(blob):
+                        got = extract_html_text(
+                            blob, main_content=html_main_content
+                        )
+                        rows.append((_id, "html", got["title"], got["text"]))
                     else:
-                        texts.append(blob.decode("utf-8"))
+                        rows.append((_id, "text", "", blob.decode("utf-8")))
                 except (ValueError, UnicodeDecodeError):
                     if on_error == "raise":
                         raise
-                    texts.append(None)
+                    rows.append((_id, None, None, None))
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
-                    "text": texts,
-                    "n_chars": [len(t) if t is not None else None for t in texts],
+                    id_col: [r[0] for r in rows],
+                    "doc_format": [r[1] for r in rows],
+                    "title": [r[2] for r in rows],
+                    "text": [r[3] for r in rows],
+                    "n_chars": [
+                        len(r[3]) if r[3] is not None else None for r in rows
+                    ],
                 }
             )
 

@@ -1,0 +1,188 @@
+"""Crawl ingestion: WARC source + HTML text extraction, end-to-end
+into the text pipeline. Fixtures are WRITTEN here (WARC records with
+proper CRLF framing, per-member gzip) — the repo's
+encode-your-own-fixtures pattern."""
+
+import gzip
+
+import pytest
+
+from littletable_spark import Table
+from littletable_spark.functions.htmlcodec import (
+    extract_html_text,
+    looks_like_html,
+)
+from littletable_spark.sources.warc_io import parse_warc, warc_import
+
+
+# ------------------------------------------------------------------ #
+# test-side WARC writer
+
+
+def _warc_record(
+    warc_type: str,
+    url: str,
+    body: bytes,
+    http: bool = True,
+    content_type: bytes = b"text/html",
+) -> bytes:
+    if http:
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + content_type
+            + b"\r\nServer: test\r\n\r\n" + body
+        )
+    else:
+        payload = body
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + warc_type.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+    )
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+_PAGE = b"""<!DOCTYPE html>
+<html><head><title>A Test  Page</title>
+<meta charset="utf-8">
+<script>var x = "SCRIPT NOISE";</script>
+<style>.c { color: red }</style>
+</head><body>
+<nav><a href="/">Home</a> | <a href="/a">About</a> | <a href="/c">Contact</a></nav>
+<h1>Heading One</h1>
+<p>This is the first paragraph of real content, long enough to keep
+and it even mentions caf\xc3\xa9s &amp; r\xc3\xa9sum\xc3\xa9s.</p>
+<div>Second block of content here, also plenty long to survive the
+minimum block length filter in main-content mode.</div>
+<pre>  keep   spacing  </pre>
+<footer><a href="/p">Privacy</a> <a href="/t">Terms</a></footer>
+</body></html>"""
+
+
+# ------------------------------------------------------------------ #
+# html codec
+
+
+def test_looks_like_html():
+    assert looks_like_html(_PAGE)
+    assert looks_like_html(b"  <html lang='en'>...")
+    assert not looks_like_html(b"%PDF-1.4 ...")
+    assert not looks_like_html(b"just some text with <brackets>")
+
+
+def test_extract_html_text_full():
+    got = extract_html_text(_PAGE)
+    assert got["title"] == "A Test Page"
+    assert "SCRIPT NOISE" not in got["text"]
+    assert "color: red" not in got["text"]
+    lines = got["text"].split("\n")
+    assert "Heading One" in lines
+    assert any(line.startswith("This is the first paragraph") for line in lines)
+    assert "cafés & résumés" in got["text"]  # entities + utf-8 decode
+    assert "  keep   spacing  " in got["text"]  # <pre> preserved
+    assert "Home | About | Contact" in got["text"]  # kept without main_content
+
+
+def test_extract_html_main_content_drops_boilerplate():
+    got = extract_html_text(_PAGE, main_content=True)
+    assert "Home" not in got["text"]  # link-dense nav dropped
+    assert "Privacy" not in got["text"]  # footer dropped
+    assert "first paragraph of real content" in got["text"]
+    assert "Second block of content" in got["text"]
+
+
+def test_charset_declaration_latin1():
+    page = (
+        b"<html><head><meta charset=\"iso-8859-1\"></head>"
+        b"<body><p>caf\xe9 cr\xe8me</p></body></html>"
+    )
+    assert extract_html_text(page)["text"] == "caf\xe9 cr\xe8me"
+
+
+# ------------------------------------------------------------------ #
+# warc parsing
+
+
+def test_parse_warc_plain_and_gzip():
+    raw = (
+        _warc_record("warcinfo", "", b"software: test\r\n", http=False)
+        + _warc_record("request", "http://x.test/", b"GET / HTTP/1.1", http=False)
+        + _warc_record("response", "http://x.test/", _PAGE)
+        + _warc_record(
+            "response", "http://x.test/plain.txt", b"plain body",
+            content_type=b"text/plain",
+        )
+    )
+    for blob in (raw, b"".join(
+        gzip.compress(r) for r in (
+            _warc_record("warcinfo", "", b"software: test\r\n", http=False),
+            _warc_record("response", "http://x.test/", _PAGE),
+        )
+    )):
+        recs = parse_warc(blob)
+        responses = [r for r in recs if r["warc_type"] == "response"]
+        assert responses, "no response records parsed"
+        r = responses[0]
+        assert r["url"] == "http://x.test/"
+        assert r["http_status"] == 200
+        assert r["content_type"].startswith("text/html")
+        assert r["payload"] == _PAGE  # HTTP envelope stripped
+    with pytest.raises(ValueError, match="not a WARC"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_warc_import_to_text_pipeline(spark, tmp_path):
+    """The whole crawl story in-engine: WARC files on disk ->
+    warc_import -> extract_text (HTML main content) -> token_stats."""
+    from littletable_spark.operators.multimodal import extract_text
+    from littletable_spark.operators.textops import token_stats
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _warc_record("warcinfo", "", b"x", http=False)
+        + _warc_record("response", "http://a.test/1", _PAGE)
+        + _warc_record(
+            "response", "http://a.test/2", b"short plain doc",
+            content_type=b"text/plain",
+        )
+    )
+    (d / "b.warc.gz").write_bytes(
+        gzip.compress(_warc_record("response", "http://b.test/1", _PAGE))
+    )
+    (d / "junk.warc").write_bytes(b"this is not a warc at all")
+
+    recs = warc_import(spark, str(d), pattern="*.warc*", on_error="null")
+    rows = sorted((r.url, r.http_status) for r in recs)
+    assert rows == [
+        ("http://a.test/1", 200),
+        ("http://a.test/2", 200),
+        ("http://b.test/1", 200),
+    ]
+
+    docs = Table.from_df(
+        recs.df.selectExpr(
+            "concat(url, '#', cast(record_ord as string)) AS doc_id",
+            "payload",
+        ),
+        name="docs",
+    )
+    texts = extract_text(
+        docs, "payload", "doc_id", html_main_content=True, on_error="null"
+    )
+    got = {r.doc_id: r for r in texts}
+    assert got["http://a.test/1#1"].doc_format == "html"
+    assert got["http://a.test/1#1"].title == "A Test Page"
+    assert "first paragraph" in got["http://a.test/1#1"].text
+    assert got["http://a.test/2#2"].doc_format == "text"
+    assert got["http://a.test/2#2"].text == "short plain doc"
+
+    stats = token_stats(
+        Table.from_df(texts.df.where("text IS NOT NULL"), name="t"),
+        "text",
+        "doc_id",
+    )
+    by_id = {r.doc_id: r.n_tokens for r in stats}
+    assert by_id["http://a.test/2#2"] == 3
+    assert by_id["http://a.test/1#1"] > 20
