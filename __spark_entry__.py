@@ -1399,6 +1399,18 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id n_tokens shard pack pack_offset").df
 
 
+def q_text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-(lang, source) curation report (round 9): doc counts, empty
+    counts, char/token totals and means, exact p50/p95 token counts —
+    one projection + one map-combined groupBy; Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate
+    bit-identically, so the whole report is oracle-checked."""
+    from littletable_spark.operators.stats import corpus_report
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_report(d, "text", by=("lang", "source")).df
+
+
 def q_text_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """training-ready packed sequences (round-9 pack_token_ids): docs
     get pack coordinates from pack_sequences, then every member doc's
@@ -1850,9 +1862,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (driver-green r8; its pigeonhole blocking core — now factored as
     hamming_hash_pairs — runs IN-GATE inside multimodal_image_dedup,
     and the simhash fingerprint aggregation is mirror- and
-    pytest-covered). text_bpe_pack stays in-gate as the registry's
-    only rows-only row. The local mirror (scripts/verify_oracle.py)
-    still runs every oracle-checked query every round."""
+    pytest-covered). Net-new text_corpus_report (per-group curation
+    report with exact percentile parity — Spark percentile ≡ DuckDB
+    quantile_cont, A/B bit-equal) also gates immediately;
+    events_dedup_stream parks in exchange (driver-green r1-r8; the
+    streaming dedup family stays in-gate three ways: events_session's
+    stateful windows, stream_ingest_dedup's batch-wise dedup
+    lifecycle, stream_ingest_compact's compacted-asset probe).
+    text_bpe_pack stays in-gate as the registry's only rows-only row.
+    The local mirror (scripts/verify_oracle.py) still runs every
+    oracle-checked query every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1874,7 +1893,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shape": q_tpch_q3_shape,
         "slice_range": q_slice_range,
         "events_session": q_events_session,
-        "events_dedup_stream": q_events_dedup_stream,
+        "text_corpus_report": q_text_corpus_report,
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_incr": q_dedup_minhash_incr,
@@ -1908,6 +1927,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_pq": q_sim_ivf_pq,
         "multimodal_audio": q_multimodal_audio,
         "dedup_simhash": q_dedup_simhash,
+        "events_dedup_stream": q_events_dedup_stream,
         "dedup_spans": q_dedup_spans,
         "text_tfidf_incr": q_text_tfidf_incr,
         "sample_weighted": q_sample_weighted,
@@ -3358,6 +3378,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((e - n_tokens) // 256 AS BIGINT) AS pack,
                    CAST((e - n_tokens) % 256 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        # exact percentiles: quantile_cont ≡ Spark percentile (A/B
+        # verified bit-equal incl. interpolation error)
+        "text_corpus_report": """
+            WITH t AS (
+              SELECT lang, source,
+                     len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                     x -> x <> '')) AS n_tok,
+                     length(coalesce(text, '')) AS n_chars,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 END AS emp
+              FROM documents
+            )
+            SELECT lang, source,
+                   count(*)::INTEGER AS n_docs,
+                   sum(emp)::INTEGER AS n_empty,
+                   sum(n_chars)::BIGINT AS n_chars_total,
+                   sum(n_tok)::BIGINT AS n_tokens_total,
+                   sum(n_tok) * 1.0 / count(*) AS mean_tokens,
+                   quantile_cont(n_tok, 0.5) AS p50_tokens,
+                   quantile_cont(n_tok, 0.95) AS p95_tokens,
+                   max(n_tok)::INTEGER AS max_tokens
+            FROM t GROUP BY lang, source
         """,
         # pack_token_ids over the SQL-derivable stand-in id column
         # (per-token lengths); list(... ORDER BY doc_id) replays the

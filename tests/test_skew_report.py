@@ -80,3 +80,35 @@ def test_skew_report_hostile_column_names(spark):
     out = t.skew_report(["it's `bad`"], top_k=2)
     rows = {(r.value): r.cnt for r in out}
     assert rows == {"x": 2, "y": 1}
+
+
+def test_corpus_report(spark):
+    """Per-group curation report: counts, totals, exact percentiles,
+    empty/NULL text handling."""
+    from littletable_spark import Table
+    from littletable_spark.operators.stats import corpus_report
+
+    t = Table("docs", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 0, "lang": "en", "src": "a", "text": "one two three"},
+            {"doc_id": 1, "lang": "en", "src": "a", "text": "four five"},
+            {"doc_id": 2, "lang": "en", "src": "a", "text": "six"},
+            {"doc_id": 3, "lang": "en", "src": "a", "text": "   "},
+            {"doc_id": 4, "lang": "de", "src": "b", "text": None},
+        ]
+    )
+    rows = {(r.lang, r.src): r for r in corpus_report(t, "text", by="lang src")}
+    en = rows[("en", "a")]
+    assert en.n_docs == 4 and en.n_empty == 1
+    assert en.n_tokens_total == 6 and en.max_tokens == 3
+    assert en.mean_tokens == 6 / 4
+    # exact interpolated percentiles over [0, 1, 2, 3]
+    assert en.p50_tokens == 1.5
+    assert abs(en.p95_tokens - 2.85) < 1e-9
+    de = rows[("de", "b")]
+    assert de.n_docs == 1 and de.n_empty == 1 and de.n_tokens_total == 0
+    import pytest as _p
+
+    with _p.raises(ValueError, match="grouping column"):
+        corpus_report(t, "text", by=[])
