@@ -1399,6 +1399,46 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id n_tokens shard pack pack_offset").df
 
 
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation features (round 9): synthesize crawl-shaped URLs
+    from document fields (ip-hosted every 11th doc, query params every
+    3rd), then derive host / registrable domain / tld / path depth /
+    param count / is_ip with the SAME regexes in both engines
+    (deliberately not parse_url, which DuckDB cannot replay)."""
+    from littletable_spark.operators.urlops import url_features
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit("http://10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit("/mirror/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://u:p@"),
+            F.col("source"),
+            F.lit(".example-"),
+            F.col("lang"),
+            F.lit(".com:8443/docs/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?a=1&b=2&c=3")).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    d.compute_field("url", url)
+    out = url_features(d, "url")
+    return out.df.select(
+        "doc_id", "host", "domain", "tld", "path_depth", "n_params",
+        F.col("is_ip").cast("int").alias("is_ip"),
+    )
+
+
 def q_text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-(lang, source) curation report (round 9): doc counts, empty
     counts, char/token totals and means, exact p50/p95 token counts —
@@ -1869,9 +1909,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming dedup family stays in-gate three ways: events_session's
     stateful windows, stream_ingest_dedup's batch-wise dedup
     lifecycle, stream_ingest_compact's compacted-asset probe).
-    text_bpe_pack stays in-gate as the registry's only rows-only row.
-    The local mirror (scripts/verify_oracle.py) still runs every
-    oracle-checked query every round."""
+    Net-new url_features (URL curation columns over crawl-shaped
+    synthesized URLs — host/domain/tld/path-depth/params/is_ip, same
+    regexes in both engines) also gates immediately; dedup_jaccard
+    parks in exchange (driver-green r8; the candidate-pair family
+    stays in-gate three ways — dedup_minhash_incr's banded equi-join,
+    dedup_spans_incr's gram join, multimodal_image_dedup's hamming
+    blocking — and jaccard's adaptive prefix filter is mirror- and
+    pytest-covered). text_bpe_pack stays in-gate as the registry's
+    only rows-only row. The local mirror (scripts/verify_oracle.py)
+    still runs every oracle-checked query every round."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1901,7 +1948,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_incr": q_dedup_spans_incr,
         "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_jaccard": q_dedup_jaccard,
+        "url_features": q_url_features,
         "multimodal_image_dedup": q_multimodal_image_dedup,
         "dedup_embedding_lsh_incr": q_dedup_embedding_lsh_incr,
         "dedup_semantic": q_dedup_semantic,
@@ -1928,6 +1975,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "dedup_simhash": q_dedup_simhash,
         "events_dedup_stream": q_events_dedup_stream,
+        "dedup_jaccard": q_dedup_jaccard,
         "dedup_spans": q_dedup_spans,
         "text_tfidf_incr": q_text_tfidf_incr,
         "sample_weighted": q_sample_weighted,
@@ -3378,6 +3426,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST((e - n_tokens) // 256 AS BIGINT) AS pack,
                    CAST((e - n_tokens) % 256 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        # same regexes as urlops.py — Java regex and RE2 agree on all
+        # of them (no lookbehind, no backrefs)
+        "url_features": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN
+                       'http://10.0.0.' || (doc_id % 200)::VARCHAR
+                       || '/mirror/' || doc_id::VARCHAR
+                     ELSE
+                       'https://u:p@' || source || '.example-' || lang
+                       || '.com:8443/docs/' || lang || '/' || doc_id::VARCHAR
+                       || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2&c=3' ELSE '' END
+                     END AS url
+              FROM documents
+            ), f AS (
+              SELECT doc_id, url,
+                     regexp_extract(
+                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       '^(?:[^@]*@)?([^:]*)', 1) AS host,
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u
+            )
+            SELECT doc_id, host,
+                   CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
+                        THEN host
+                        ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain,
+                   CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
+                        THEN ''
+                        ELSE regexp_extract(host, '\\.([A-Za-z0-9-]+)$', 1) END AS tld,
+                   len(list_filter(string_split(path, '/'), x -> x <> ''))::INTEGER AS path_depth,
+                   CASE WHEN query = '' THEN 0
+                        ELSE len(string_split(query, '&')) END::INTEGER AS n_params,
+                   CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
+                        THEN 1 ELSE 0 END AS is_ip
+            FROM f
         """,
         # exact percentiles: quantile_cont ≡ Spark percentile (A/B
         # verified bit-equal incl. interpolation error)

@@ -186,3 +186,56 @@ def test_warc_import_to_text_pipeline(spark, tmp_path):
     by_id = {r.doc_id: r.n_tokens for r in stats}
     assert by_id["http://a.test/2#2"] == 3
     assert by_id["http://a.test/1#1"] > 20
+
+
+# ------------------------------------------------------------------ #
+# url curation features
+
+
+def test_url_features(spark):
+    from littletable_spark.operators.urlops import url_features
+
+    t = Table("recs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "url": "https://www.example.co.uk/a/b/c?x=1&y=2#frag"},
+            {"id": 1, "url": "http://10.1.2.3:8080/only"},
+            {"id": 2, "url": "https://user:pw@Sub.Host.ORG/"},
+            {"id": 3, "url": "not a url"},
+            {"id": 4, "url": None},
+        ]
+    )
+    got = {r.id: r for r in url_features(t, "url")}
+    r0 = got[0]
+    assert r0.host == "www.example.co.uk"
+    assert r0.domain == "co.uk"  # last-two-labels heuristic, documented
+    assert r0.tld == "uk"
+    assert r0.path_depth == 3 and r0.n_params == 2 and not r0.is_ip
+    r1 = got[1]
+    assert r1.host == "10.1.2.3" and r1.is_ip and r1.domain == "10.1.2.3"
+    assert r1.tld == "" and r1.path_depth == 1 and r1.n_params == 0
+    r2 = got[2]
+    assert r2.host == "sub.host.org" and r2.domain == "host.org"
+    assert got[3].host == "" and got[4].host == ""  # junk never fails
+
+
+def test_filter_url_blocklist(spark):
+    from littletable_spark.operators.urlops import filter_url_blocklist
+
+    t = Table("recs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "url": "https://good.site.com/x"},
+            {"id": 1, "url": "https://spam.bad.com/y"},
+            {"id": 2, "url": "https://sub.bad.com/z"},
+        ]
+    )
+    # literal list: matches registrable domain, not host
+    kept = filter_url_blocklist(t, ["bad.com"], "url")
+    assert sorted(r.id for r in kept) == [0]
+    assert "domain" not in kept.fields  # derived columns dropped again
+    # Table blocklist: broadcast anti-join
+    bl = Table("bl", spark=spark)
+    bl.insert_many([{"domain": "site.com"}])
+    kept2 = filter_url_blocklist(t, bl, "url")
+    assert sorted(r.id for r in kept2) == [1, 2]
