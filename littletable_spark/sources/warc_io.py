@@ -35,12 +35,16 @@ __all__ = ["warc_import", "parse_warc"]
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the .warc.gz layout)."""
+    """Decompress concatenated gzip members (the .warc.gz layout).
+    Corruption surfaces as ValueError so the on_error policy applies."""
     out = bytearray()
     while data:
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(data)
-        out += d.flush()
+        try:
+            out += d.decompress(data)
+            out += d.flush()
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member in WARC: {exc}") from None
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
         data = d.unused_data

@@ -130,6 +130,12 @@ def test_parse_warc_plain_and_gzip():
         assert r["payload"] == _PAGE  # HTTP envelope stripped
     with pytest.raises(ValueError, match="not a WARC"):
         parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    # corrupt gzip surfaces as ValueError (the on_error contract), not
+    # a bare zlib.error that would escape warc_import's null policy
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(b"\x1f\x8b" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(gzip.compress(b"WARC/1.0\r\n\r\n")[:-5])
 
 
 def test_warc_import_to_text_pipeline(spark, tmp_path):
