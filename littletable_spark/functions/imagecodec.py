@@ -30,7 +30,21 @@ import zlib
 
 import numpy as np
 
-__all__ = ["decode_to_gray", "decode_pixels", "sniff_format"]
+__all__ = ["decode_to_gray", "decode_pixels", "sniff_format", "CORRUPT_ERRORS"]
+
+# error classes a truncated/malformed blob can raise out of the builtin
+# decoders (struct.error etc. are NOT ValueError subclasses) — the
+# on_error machinery and the PIL fallback treat them all as decode
+# failures rather than letting them kill a corpus job
+CORRUPT_ERRORS = (
+    ValueError,
+    struct.error,
+    zlib.error,
+    IndexError,
+    KeyError,
+    OverflowError,
+    EOFError,
+)
 
 
 def sniff_format(blob: bytes) -> str:
@@ -670,8 +684,8 @@ def decode_pixels(blob: bytes) -> np.ndarray:
             return _decode_ppm(blob)
         if fmt == "gif":
             return _decode_gif(blob)
-    except ValueError:
-        pass  # builtin decoder hit an unsupported variant; try PIL
+    except CORRUPT_ERRORS:
+        pass  # unsupported variant or truncated/corrupt data; try PIL
     try:
         from PIL import Image  # pragma: no cover - PIL absent here
     except ImportError:

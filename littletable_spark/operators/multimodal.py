@@ -181,7 +181,7 @@ def decode_image(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not use_fake:
-            from ..functions.imagecodec import decode_to_gray
+            from ..functions.imagecodec import CORRUPT_ERRORS, decode_to_gray
 
         for pdf in batches:
             if pdf.empty:
@@ -197,7 +197,7 @@ def decode_image(
                             .ravel()
                             .tolist()
                         )
-                    except ValueError:
+                    except CORRUPT_ERRORS:
                         if on_error == "raise":
                             raise
                         pixels.append(None)
@@ -255,6 +255,7 @@ def decode_audio(
 
         if not use_fake:
             from ..functions.audiocodec import wav_features
+            from ..functions.imagecodec import CORRUPT_ERRORS
 
         for pdf in batches:
             if pdf.empty:
@@ -280,7 +281,7 @@ def decode_audio(
                             f["peak"], f["zcr"], f["waveform"],
                         )
                     )
-                except ValueError:
+                except CORRUPT_ERRORS:
                     if on_error == "raise":
                         raise
                     rows.append((_id,) + (None,) * 8)
@@ -336,7 +337,7 @@ def image_hash(
     schema = f"{id_col} {id_type}, img_hash long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.imagecodec import decode_to_gray
+        from ..functions.imagecodec import CORRUPT_ERRORS, decode_to_gray
 
         for pdf in batches:
             if pdf.empty:
@@ -353,7 +354,7 @@ def image_hash(
                     if h >= 1 << 63:  # two's-complement into a long
                         h -= 1 << 64
                     hashes.append(h)
-                except ValueError:
+                except CORRUPT_ERRORS:
                     if on_error == "raise":
                         raise
                     hashes.append(None)
@@ -406,6 +407,7 @@ def extract_text(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.htmlcodec import extract_html_text, looks_like_html
+        from ..functions.imagecodec import CORRUPT_ERRORS
         from ..functions.pdfcodec import extract_pdf_text
 
         for pdf in batches:
@@ -424,7 +426,7 @@ def extract_text(
                         rows.append((_id, "html", got["title"], got["text"]))
                     else:
                         rows.append((_id, "text", "", blob.decode("utf-8")))
-                except (ValueError, UnicodeDecodeError):
+                except (*CORRUPT_ERRORS, UnicodeDecodeError):
                     if on_error == "raise":
                         raise
                     rows.append((_id, None, None, None))
@@ -521,6 +523,7 @@ def frame_sample(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not use_fake:
             from ..functions.videocodec import sample_avi_frames
+            from ..functions.imagecodec import CORRUPT_ERRORS
 
         for pdf in batches:
             rows = []
@@ -538,7 +541,7 @@ def frame_sample(
                         (_id, idx, frame)
                         for idx, frame in sample_avi_frames(blob, n_frames)
                     )
-                except ValueError:
+                except CORRUPT_ERRORS:
                     if on_error == "raise":
                         raise
                     rows.append((_id, None, None))

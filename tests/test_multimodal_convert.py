@@ -331,3 +331,40 @@ def test_image_hash_fake_contract(spark):
     for i, b in enumerate(blobs):
         want = int(hashlib.md5(b.hex().encode()).hexdigest()[:15], 16)
         assert got[i] == want, i
+
+
+def test_truncated_blobs_respect_on_error_null(spark):
+    """Truncated media raises struct.error/IndexError out of the
+    builtin codecs — NOT ValueError — and used to escape the
+    on_error='null' policy. All decode entry points now route the
+    whole corrupt-blob error family through it (round 9)."""
+    import struct as _struct
+
+    from littletable_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        frame_sample,
+        image_hash,
+    )
+
+    truncated_png = (
+        b"\x89PNG\r\n\x1a\n" + _struct.pack(">I4s", 13, b"IHDR") + b"shrt"
+    )
+    truncated_wav = b"RIFF\x10\x00\x00\x00WAVE" + b"fmt \x02\x00\x00\x00AB"
+    truncated_avi = b"RIFF\x20\x00\x00\x00AVI LIST\xff\xff\xff\xffmovi00dc"
+    t = Table("blobs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "blob": truncated_png},
+            {"id": 1, "blob": truncated_wav},
+            {"id": 2, "blob": truncated_avi},
+        ]
+    )
+    px = {r.id: r.pixels for r in decode_image(t, "blob", "id", use_fake=False, on_error="null")}
+    assert px == {0: None, 1: None, 2: None}
+    au = {r.id: r.sample_rate for r in decode_audio(t, "blob", "id", on_error="null")}
+    assert au[1] is None
+    fr = list(frame_sample(t, "blob", "id", use_fake=False, on_error="null"))
+    assert all(r.frame is None for r in fr if r.id == 2)
+    ih = {r.id: r.img_hash for r in image_hash(t, "blob", "id", use_fake=False, on_error="null")}
+    assert ih == {0: None, 1: None, 2: None}
