@@ -76,7 +76,12 @@ def main() -> None:
     arrow_confs_pre = _arrow_confs()
     queries = entrymod.queries()
     names = [n for n in HEADLINE if n in queries] + [
-        n for n in queries if n not in HEADLINE and n.startswith(("dedup", "sim", "text", "search"))
+        n
+        for n in queries
+        if n not in HEADLINE
+        and n.startswith(
+            ("dedup", "sim", "text", "search", "url", "multimodal_image")
+        )
     ]
 
     # fixed-work ARROW calibration, measured TWICE: here (fresh JVM,
