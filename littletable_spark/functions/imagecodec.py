@@ -4,13 +4,15 @@ No codec libraries ship in this environment, but the container formats
 themselves are public and simple enough to decode with ``zlib`` +
 ``struct`` + numpy: PPM/PGM (trivial), BMP (uncompressed 8/24/32-bit),
 PNG (zlib-inflate the IDAT stream, undo the per-row filters), GIF
-(variable-width LZW), and baseline JPEG (huffman + dequant + IDCT +
-chroma upsampling — the format real web crawls are overwhelmingly made
-of, and the frame payload of MJPEG AVI). That makes
+(variable-width LZW), and JPEG — baseline AND progressive (huffman +
+dequant + IDCT + chroma upsampling; spectral selection, EOB runs, and
+DC/AC successive approximation per T.81 Annex G) — the format real web
+crawls are overwhelmingly made of, and the frame payload of MJPEG AVI.
+That makes
 ``decode_image(use_fake=False)`` a REAL decode path — same mapInPandas
 plumbing, real pixels — while staying dependency-free. PIL, if ever
 provisioned, is used only as a fallback for variants these decoders
-don't cover (progressive JPEG, exotic color modes).
+don't cover (arithmetic-coded JPEG, exotic color modes).
 
 Everything here is per-blob Python executed INSIDE an Arrow batch on
 the executors — the decoders are shipped by value via cloudpickle, so
@@ -478,9 +480,11 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _jpeg_entropy_segments(blob: bytes, pos: int) -> list[bytes]:
-    """Split the scan's entropy-coded data at restart markers, with
-    FF00 byte-unstuffing — each returned segment is pure huffman bits."""
+def _jpeg_entropy_segments(blob: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split a scan's entropy-coded data at restart markers, with FF00
+    byte-unstuffing — each returned segment is pure huffman bits. Also
+    returns the position of the marker that ended the scan (so a
+    multi-scan progressive stream can keep parsing)."""
     segments: list[bytes] = []
     cur = bytearray()
     n = len(blob)
@@ -501,15 +505,97 @@ def _jpeg_entropy_segments(blob: bytes, pos: int) -> list[bytes]:
         else:  # EOI or any other marker ends the scan
             break
     segments.append(bytes(cur))
-    return segments
+    return segments, pos
+
+
+def _jpeg_ac_first(bits, coef, act, band_lo, Se, Al, eobrun) -> int:
+    """AC band, first pass (Ah == 0): run-length coefficients with
+    EOB-run skips (T.81 G.1.2.2). Returns the remaining EOB run."""
+    zz = _JPEG_ZIGZAG
+    if eobrun > 0:
+        return eobrun - 1
+    k = band_lo
+    while k <= Se:
+        rs = bits.huff(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.receive(r)
+            return eobrun
+        k += r
+        if k > Se:
+            raise ValueError("corrupt JPEG AC run")
+        coef[zz[k]] = _jpeg_extend(bits.receive(s), s) << Al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(bits, coef, act, band_lo, Se, Al, eobrun) -> int:
+    """AC band, refinement pass (Ah > 0): one correction bit per
+    already-nonzero coefficient, newly significant coefficients appear
+    as ±1<<Al (T.81 G.1.2.3; the libjpeg-equivalent control flow)."""
+    zz = _JPEG_ZIGZAG
+    p1 = 1 << Al
+
+    def correct(z: int) -> None:
+        if bits.read_bit() and (coef[z] & p1) == 0:
+            coef[z] += p1 if coef[z] >= 0 else -p1
+
+    k = band_lo
+    if eobrun > 0:
+        while k <= Se:
+            if coef[zz[k]] != 0:
+                correct(zz[k])
+            k += 1
+        return eobrun - 1
+    while k <= Se:
+        rs = bits.huff(act)
+        r, s = rs >> 4, rs & 15
+        val = 0
+        if s == 0:
+            if r < 15:  # EOB run starts: finish this block's tail below
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.receive(r)
+                break
+            # r == 15 (ZRL): skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("corrupt JPEG refinement scan")
+            val = p1 if bits.read_bit() else -p1
+        while k <= Se:
+            z = zz[k]
+            if coef[z] != 0:
+                correct(z)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val and k <= Se:
+            coef[zz[k]] = val
+        k += 1
+    while k <= Se:  # EOB tail: corrections for the rest of the band
+        if coef[zz[k]] != 0:
+            correct(zz[k])
+        k += 1
+    return eobrun
 
 
 def _decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline sequential JPEG (SOF0/SOF1, 8-bit, huffman): marker
-    parse, per-block huffman + dequant + de-zigzag + IDCT, nearest-
-    neighbor chroma upsampling for subsampled scans (4:2:0 / 4:2:2),
-    JFIF YCbCr->RGB. Progressive (SOF2) and arithmetic coding raise
-    ValueError (PIL fallback / on_error policy upstream)."""
+    """Sequential (SOF0/SOF1) AND progressive (SOF2) 8-bit huffman
+    JPEG: the unified T.81 model — every scan accumulates into
+    per-component integer coefficient grids (baseline is one
+    interleaved scan with Ss=0, Se=63, Ah=Al=0), progressive adds
+    spectral selection, EOB runs, and DC/AC successive approximation
+    (Annex G). Then one dequant + matrix IDCT + nearest-neighbor
+    chroma upsampling + JFIF YCbCr->RGB pass over the final grids.
+    Arithmetic coding / hierarchical / lossless SOFs raise ValueError
+    (PIL fallback / on_error policy upstream)."""
     if not blob.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -517,7 +603,9 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, hs, vs, qid)])
     restart_interval = 0
-    scan = None  # ([(comp_idx, dc_id, ac_id)], ecs_start_pos)
+    # each scan: (sel[(ci, dc_id, ac_id)], Ss, Se, Ah, Al, segments,
+    #             restart_interval, dc_tables, ac_tables)
+    scans: list[tuple] = []
     pos = 2
     n = len(blob)
     while pos + 4 <= n:
@@ -557,7 +645,7 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                     counts, symbols
                 )
                 i += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / prog.
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"JPEG precision {prec} not supported")
@@ -566,14 +654,15 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF{marker - 0xC0} (non-baseline) not supported"
+                f"JPEG SOF{marker - 0xC0} (non-baseline/progressive) "
+                "not supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
-        elif marker == 0xDA:  # SOS — entropy data follows the header
+        elif marker == 0xDA:  # SOS: header, then entropy data
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
@@ -582,69 +671,109 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
             for s in range(ns):
                 cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * s)
                 sel.append((cids.index(cs), tdta >> 4, tdta & 15))
-            scan = (sel, pos)
-            break  # single-scan baseline: decode from here
+            Ss, Se, AhAl = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            segments, pos = _jpeg_entropy_segments(blob, pos)
+            scans.append(
+                (
+                    sel, Ss, Se, AhAl >> 4, AhAl & 15, segments,
+                    restart_interval, dict(huff_dc), dict(huff_ac),
+                )
+            )
         # all other markers (APPn, COM) are skipped via seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
-    sel, ecs_pos = scan
-    if len(sel) != len(comps):
-        raise ValueError("JPEG non-interleaved scans not supported")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+    # per-component integer coefficient grids, natural order per block
+    coefs = [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
         for (_cid, hs, vs, _tq) in comps
     ]
-    segments = _jpeg_entropy_segments(blob, ecs_pos)
-    bits = _JpegBits(segments[0])
-    seg_idx = 0
-    preds = [0] * len(comps)
-    Ct = _DCT_C.T
-    zz = _JPEG_ZIGZAG
-    n_mcu = mcux * mcuy
-    for mcu in range(n_mcu):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("JPEG truncated at restart marker")
-            bits = _JpegBits(segments[seg_idx])
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcux)
-        for ci, (dc_id, ac_id) in ((s[0], (s[1], s[2])) for s in sel):
-            _cid, hs, vs, tq = comps[ci]
-            quant = qt[tq]
-            dct = huff_dc[dc_id]
-            act = huff_ac[ac_id]
-            for by in range(vs):
-                for bx in range(hs):
-                    coef = np.zeros(64)
-                    t = bits.huff(dct)
+
+    for sel, Ss, Se, Ah, Al, segments, rst, dc_tabs, ac_tabs in scans:
+        eobrun = 0
+        preds = [0] * len(comps)
+        bits = _JpegBits(segments[0])
+        seg_idx = 0
+
+        def unit(ci: int, by: int, bx: int, dc_id: int, ac_id: int) -> None:
+            nonlocal eobrun
+            coef = coefs[ci][by, bx]
+            if Ss == 0:
+                if Ah == 0:  # DC first pass (at precision Al)
+                    t = bits.huff(dc_tabs[dc_id])
                     preds[ci] += _jpeg_extend(bits.receive(t), t)
-                    coef[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = bits.huff(act)
-                        r, s_ = rs >> 4, rs & 15
-                        if s_ == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("corrupt JPEG AC run")
-                        coef[zz[k]] = _jpeg_extend(bits.receive(s_), s_)
-                        k += 1
-                    block = Ct @ ((coef.reshape(8, 8) * quant)) @ _DCT_C
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
-    # upsample subsampled planes to full resolution, crop to (fh, fw)
+                    coef[0] = preds[ci] << Al
+                elif bits.read_bit():  # DC refinement: one bit
+                    coef[0] |= 1 << Al
+            if Se >= 1 and Se >= Ss:
+                band_lo = max(Ss, 1)
+                if band_lo <= Se:
+                    if Ah == 0:
+                        eobrun = _jpeg_ac_first(
+                            bits, coef, ac_tabs[ac_id], band_lo, Se, Al, eobrun
+                        )
+                    else:
+                        eobrun = _jpeg_ac_refine(
+                            bits, coef, ac_tabs[ac_id], band_lo, Se, Al, eobrun
+                        )
+
+        if len(sel) > 1:
+            # interleaved MCU order over the padded grid (baseline
+            # multi-component, or progressive DC scans covering
+            # several components)
+            n_units = mcux * mcuy
+            for mcu in range(n_units):
+                if rst and mcu and mcu % rst == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG truncated at restart marker")
+                    bits = _JpegBits(segments[seg_idx])
+                    preds = [0] * len(comps)
+                    eobrun = 0
+                my, mx = divmod(mcu, mcux)
+                for ci, dc_id, ac_id in sel:
+                    _cid, hs, vs, _tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            unit(ci, my * vs + by, mx * hs + bx, dc_id, ac_id)
+        else:
+            # non-interleaved: the component's REAL block grid (not
+            # padded to MCU multiples — T.81 A.2.2)
+            ci, dc_id, ac_id = sel[0]
+            _cid, hs, vs, _tq = comps[ci]
+            comp_w = -(-(fw * hs) // hmax)
+            comp_h = -(-(fh * vs) // vmax)
+            nbx = -(-comp_w // 8)
+            nby = -(-comp_h // 8)
+            for i in range(nbx * nby):
+                if rst and i and i % rst == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG truncated at restart marker")
+                    bits = _JpegBits(segments[seg_idx])
+                    preds = [0] * len(comps)
+                    eobrun = 0
+                by, bx = divmod(i, nbx)
+                unit(ci, by, bx, dc_id, ac_id)
+
+    # dequant + IDCT every block, then upsample + crop + color-convert
+    Ct = _DCT_C.T
+    planes = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        quant = qt[tq].reshape(8, 8)
+        nby, nbx = coefs[ci].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        grid = coefs[ci].astype(np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = Ct @ (grid[by, bx].reshape(8, 8) * quant) @ _DCT_C
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
+        planes.append(plane)
     full = []
     for ci, (_cid, hs, vs, _tq) in enumerate(comps):
         p = planes[ci]

@@ -143,10 +143,10 @@ def decode_image(
     (column-major, the oracle-checked contract) so the full pipeline
     (schema, batching, downstream features) is exercised with zero
     codec cost; ``use_fake=False`` is a REAL decode — the pure
-    stdlib/numpy PNG/JPEG(baseline)/BMP/PPM/GIF decoders in
-    ``functions/imagecodec.py`` (luma conversion + nearest-neighbor
+    stdlib/numpy PNG/JPEG(baseline+progressive)/BMP/PPM/GIF decoders
+    in ``functions/imagecodec.py`` (luma conversion + nearest-neighbor
     resize, row-major), with PIL as an optional fallback for variants
-    they don't cover (progressive JPEG, exotic color modes). The real
+    they don't cover (arithmetic-coded JPEG, exotic color modes). The real
     path imports the package on the executors — ship it like any
     library (``--py-files`` / cluster install).
 

@@ -386,12 +386,348 @@ def test_decode_to_gray_pipeline():
     np.testing.assert_allclose(g, lum[np.ix_(ys, ys)] / 255.0, atol=1e-8)
 
 
-def test_progressive_rejected():
-    """SOF2 (progressive) must raise ValueError, not misdecode."""
+def test_baseline_relabelled_sof2_decodes_identically():
+    """A baseline stream relabelled SOF2 is a legal single-scan
+    progressive file (Ss=0, Se=63, Ah=Al=0) — the unified decoder must
+    produce bit-identical output (round 9: progressive supported)."""
+    img = _rng(6).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    blob, expected = encode_jpeg(img)
+    as_prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    np.testing.assert_allclose(decode_pixels(as_prog), expected, atol=1e-8)
+
+
+def test_unsupported_sof_rejected():
+    """Lossless/hierarchical SOFs still raise ValueError."""
     blob, _ = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
-    bad = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    bad = blob.replace(b"\xff\xc0", b"\xff\xc3", 1)  # SOF3 lossless
     with pytest.raises(ValueError):
         decode_pixels(bad)
+
+
+# ------------------------------------------------------------------ #
+# progressive encoder (test-side): spectral selection + successive
+# approximation for DC and AC, per-component AC scans, EOB runs
+
+
+def _enc_dc_first(bw, coefs_list, samp, al, dc_codes):
+    preds = [0] * len(coefs_list)
+    nby0, nbx0 = coefs_list[0].shape[:2]
+    mcuy, mcux = nby0 // samp[0][1], nbx0 // samp[0][0]
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (hs, vs) in enumerate(samp):
+            for by in range(vs):
+                for bx in range(hs):
+                    v = int(coefs_list[ci][my * vs + by, mx * hs + bx, 0])
+                    approx = v >> al  # arithmetic shift, like C
+                    diff = approx - preds[ci]
+                    preds[ci] = approx
+                    t = _category(diff)
+                    code, nb = dc_codes[t]
+                    bw.write(code, nb)
+                    if t:
+                        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_dc_refine(bw, coefs_list, samp, al):
+    nby0, nbx0 = coefs_list[0].shape[:2]
+    mcuy, mcux = nby0 // samp[0][1], nbx0 // samp[0][0]
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (hs, vs) in enumerate(samp):
+            for by in range(vs):
+                for bx in range(hs):
+                    v = int(coefs_list[ci][my * vs + by, mx * hs + bx, 0])
+                    bw.write((v >> al) & 1, 1)
+
+
+def _flush_eobrun(bw, ac_codes, n):
+    while n > 0:
+        r = min(n.bit_length() - 1, 14)
+        chunk = min(n, (1 << (r + 1)) - 1)
+        r = chunk.bit_length() - 1
+        code, nb = ac_codes[r << 4]
+        bw.write(code, nb)
+        if r:
+            bw.write(chunk - (1 << r), r)
+        n -= chunk
+    return 0
+
+
+def _enc_ac_first(bw, blocks, lo, hi, al, ac_codes):
+    """AC first pass over one component's real block grid; sign-
+    magnitude values at precision al; cross-block EOB runs."""
+    eob = 0
+    for coef in blocks:
+        zzvals = [int(coef[z]) for z in _JPEG_ZIGZAG[lo : hi + 1]]
+        mags = [(abs(v) >> al) for v in zzvals]
+        if not any(mags):
+            eob += 1
+            continue
+        eob = _flush_eobrun(bw, ac_codes, eob)
+        run = 0
+        last_nz = max(i for i, m in enumerate(mags) if m)
+        for i, (v, m) in enumerate(zip(zzvals, mags)):
+            if i > last_nz:
+                break
+            if m == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, nb = ac_codes[0xF0]
+                bw.write(code, nb)
+                run -= 16
+            s = m.bit_length()
+            code, nb = ac_codes[(run << 4) | s]
+            bw.write(code, nb)
+            sv = m if v > 0 else -m
+            bw.write(sv if sv > 0 else sv + (1 << s) - 1, s)
+            run = 0
+        if last_nz < len(mags) - 1:
+            eob += 1  # block ends with zeros: start an EOB run
+    _flush_eobrun(bw, ac_codes, eob)
+
+
+def _enc_ac_refine(bw, blocks, lo, hi, al, ac_codes):
+    """AC refinement: newly significant -> (run<<4)|1 + sign, history
+    coefficients -> buffered correction bits; per-block EOB flush
+    (EOBRUN of 1) keeps the stream simple and legal."""
+    for coef in blocks:
+        zzvals = [int(coef[z]) for z in _JPEG_ZIGZAG[lo : hi + 1]]
+        mags = [abs(v) >> al for v in zzvals]
+        newly = [i for i, m in enumerate(mags) if m == 1]
+        last_new = newly[-1] if newly else -1
+        run = 0
+        pending: list[int] = []
+        for i, (v, m) in enumerate(zip(zzvals, mags)):
+            if i > last_new:
+                break
+            if m == 0:
+                run += 1
+            elif m > 1:  # history coefficient: buffer its correction bit
+                pending.append(m & 1)
+            else:  # newly significant
+                while run > 15:
+                    code, nb = ac_codes[0xF0]
+                    bw.write(code, nb)
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                    run -= 16
+                code, nb = ac_codes[(run << 4) | 1]
+                bw.write(code, nb)
+                bw.write(1 if v > 0 else 0, 1)
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                run = 0
+        # tail: EOB (run-of-1) then correction bits for remaining history
+        tail = [
+            mags[i] & 1
+            for i in range(max(last_new + 1, 0), len(mags))
+            if mags[i] > 1
+        ]
+        if run > 0 or tail or last_new < len(mags) - 1:
+            code, nb = ac_codes[0x00]
+            bw.write(code, nb)
+            for b in pending:
+                bw.write(b, 1)
+            for b in tail:
+                bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    subsample: bool = False,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    bands=((1, 5), (6, 63)),
+    divisor: float = 4.0,
+):
+    """Progressive JFIF encoder: interleaved DC scan at Al=dc_al + DC
+    refinements, then per-component AC band scans at Al=ac_al + AC
+    refinements. Returns (bytes, expected) with the same expected
+    reconstruction as the baseline encoder (identical coefficients)."""
+    base_blob, expected = encode_jpeg(img, subsample=subsample, divisor=divisor)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = _QL / divisor
+    qc = _QC / divisor
+    q8l = np.maximum(np.round(ql[_JPEG_ZIGZAG]), 1).astype(np.uint8)
+    q8c = np.maximum(np.round(qc[_JPEG_ZIGZAG]), 1).astype(np.uint8)
+    ql_wire = np.zeros(64)
+    qc_wire = np.zeros(64)
+    ql_wire[_JPEG_ZIGZAG] = q8l.astype(np.float64)
+    qc_wire[_JPEG_ZIGZAG] = q8c.astype(np.float64)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        quants = [ql_wire]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        if subsample:
+            cb, cr = cb[::2, ::2], cr[::2, ::2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        quants = [ql_wire, qc_wire, qc_wire]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    for p, q, (hs, vs) in zip(planes, quants, samp):
+        padded = np.pad(
+            np.clip(p, 0, 255),
+            ((0, mcuy * vs * 8 - p.shape[0]), (0, mcux * hs * 8 - p.shape[1])),
+            mode="edge",
+        )
+        c = _fdct_quant(padded, q)
+        coefs.append(c.reshape(c.shape[0], c.shape[1], 64))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    nc = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + q8l.tobytes())
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + q8c.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (hs, vs) in enumerate(samp):
+        sof += struct.pack(">BBB", i + 1, (hs << 4) | vs, 0 if i == 0 else 1)
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + _DC_BITS + _DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + _AC_BITS + _AC_VALS)
+    dc_codes, ac_codes = _dc_codes(), _ac_codes()
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for c in comp_ids:
+            body += bytes([c + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    # scan 1: interleaved DC first pass at Al=dc_al
+    out += sos(list(range(nc)), 0, 0, 0, dc_al)
+    bw = _BitWriter()
+    _enc_dc_first(bw, coefs, samp, dc_al, dc_codes)
+    bw.flush()
+    out += bw.out
+    # DC refinement down to full precision
+    for al in range(dc_al - 1, -1, -1):
+        out += sos(list(range(nc)), 0, 0, al + 1, al)
+        bw = _BitWriter()
+        _enc_dc_refine(bw, coefs, samp, al)
+        bw.flush()
+        out += bw.out
+    # AC scans per component per band (real block grid, raster order)
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        comp_w = -(-(w * hs) // hmax)
+        comp_h = -(-(h * vs) // vmax)
+        nbx = -(-comp_w // 8)
+        nby = -(-comp_h // 8)
+        blocks = [
+            coefs[ci][by, bx] for by in range(nby) for bx in range(nbx)
+        ]
+        for lo, hi in bands:
+            out += sos([ci], lo, hi, 0, ac_al)
+            bw = _BitWriter()
+            _enc_ac_first(bw, blocks, lo, hi, ac_al, ac_codes)
+            bw.flush()
+            out += bw.out
+        for al in range(ac_al - 1, -1, -1):
+            for lo, hi in bands:
+                out += sos([ci], lo, hi, al + 1, al)
+                bw = _BitWriter()
+                _enc_ac_refine(bw, blocks, lo, hi, al, ac_codes)
+                bw.flush()
+                out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out), expected
+
+
+def test_progressive_gray_differential():
+    img = (
+        np.arange(19)[:, None] * 6 + np.arange(21)[None, :] * 4
+    ).astype(np.uint8)
+    blob, expected = encode_jpeg_progressive(img)
+    got = decode_pixels(blob)
+    assert got.shape == (19, 21)
+    np.testing.assert_allclose(got, expected, atol=1e-8)
+
+
+def test_progressive_rgb_444_differential():
+    img = _rng(8).randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    blob, expected = encode_jpeg_progressive(img)
+    np.testing.assert_allclose(decode_pixels(blob), expected, atol=1e-8)
+
+
+def test_progressive_420_subsampled_differential():
+    """4:2:0 progressive: interleaved DC scan over the padded MCU grid,
+    per-component AC scans over each component's REAL block grid.
+    MCU-aligned dims so padded == real for the expected comparison."""
+    img = _rng(9).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    blob, expected = encode_jpeg_progressive(img, subsample=True)
+    np.testing.assert_allclose(decode_pixels(blob), expected, atol=1e-8)
+
+
+def test_progressive_spectral_only_no_approximation():
+    """Spectral selection without successive approximation (three
+    bands, Ah=Al=0) — the EOB-run path without refinement."""
+    img = _rng(10).randint(0, 256, (17, 15, 3)).astype(np.uint8)
+    blob, expected = encode_jpeg_progressive(
+        img, dc_al=0, ac_al=0, bands=((1, 2), (3, 20), (21, 63))
+    )
+    np.testing.assert_allclose(decode_pixels(blob), expected, atol=1e-8)
+
+
+def test_progressive_deep_approximation():
+    """Two levels of successive approximation for DC and AC — every
+    refinement level runs both the newly-significant and the
+    correction-bit paths."""
+    img = _rng(11).randint(0, 256, (16, 16)).astype(np.uint8)
+    blob, expected = encode_jpeg_progressive(img, dc_al=2, ac_al=2)
+    np.testing.assert_allclose(decode_pixels(blob), expected, atol=1e-8)
+
+
+def test_ac_refine_handcrafted_stream():
+    """The AC-refinement decoder against a hand-computed bit stream:
+    one block, band 1..4, Al=0, prior coefficients [_,8,0,-6,0] (zigzag
+    positions 1-4). Scan: newly-significant +1 at position 2 with run=0
+    after passing the history coef at 1 (correction bit 1 -> 8+=1),
+    then EOB with tail correction for position 3 (bit 0 -> -6 stays)."""
+    from littletable_spark.functions.imagecodec import (
+        _JpegBits,
+        _jpeg_ac_refine,
+        _jpeg_build_huffman,
+    )
+
+    table = _jpeg_build_huffman(_AC_BITS, _AC_VALS)
+    coef = np.zeros(64, dtype=np.int64)
+    coef[_JPEG_ZIGZAG[1]] = 8
+    coef[_JPEG_ZIGZAG[3]] = -6
+    bw = _BitWriter()
+    code, nb = _ac_codes()[(0 << 4) | 1]
+    bw.write(code, nb)  # newly significant, run 0 (zero-HISTORY run)
+    bw.write(1, 1)  # sign: positive
+    bw.write(1, 1)  # correction bit for history coef at k=1 (8 -> 9)
+    code, nb = _ac_codes()[0x00]
+    bw.write(code, nb)  # EOB
+    bw.write(0, 1)  # tail correction for k=3 (-6 unchanged)
+    bw.flush()
+    bits = _JpegBits(bytes(bw.out))
+    eobrun = _jpeg_ac_refine(bits, coef, table, 1, 4, 0, 0)
+    assert eobrun == 0
+    assert coef[_JPEG_ZIGZAG[1]] == 9  # corrected history
+    assert coef[_JPEG_ZIGZAG[2]] == 1  # newly significant
+    assert coef[_JPEG_ZIGZAG[3]] == -6  # correction bit 0: unchanged
+    assert coef[_JPEG_ZIGZAG[4]] == 0
 
 
 def test_truncated_stream_rejected():
