@@ -368,3 +368,27 @@ def test_truncated_blobs_respect_on_error_null(spark):
     assert all(r.frame is None for r in fr if r.id == 2)
     ih = {r.id: r.img_hash for r in image_hash(t, "blob", "id", use_fake=False, on_error="null")}
     assert ih == {0: None, 1: None, 2: None}
+
+
+def test_image_dedup_composes_with_clustering(spark):
+    """image_dup_pairs feeds the generic dup-cluster machinery: pairs
+    -> connected components -> one canonical id per duplicate-image
+    cluster — the full crawl image-dedup decision in-engine."""
+    from littletable_spark.operators.dedup import dup_clusters
+    from littletable_spark.operators.multimodal import image_dup_pairs
+
+    t = Table("blobs", spark=spark)
+    # three duplicate groups of sizes 4 / 3 / 2 plus 3 singletons
+    groups = [0, 0, 0, 0, 1, 1, 1, 2, 2, 3, 4, 5]
+    t.insert_many(
+        [{"id": i, "blob": (b"img-%d" % g) * 4} for i, g in enumerate(groups)]
+    )
+    pairs = image_dup_pairs(t, "blob", "id", max_hamming=0, n_blocks=4)
+    clusters = dup_clusters(pairs.df)
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    # every duplicated id is labeled with its group's smallest id;
+    # singletons (9, 10, 11) never appear in any pair
+    assert set(got) == set(range(9))
+    assert all(got[i] == 0 for i in range(4))
+    assert all(got[i] == 4 for i in range(4, 7))
+    assert all(got[i] == 7 for i in range(7, 9))
