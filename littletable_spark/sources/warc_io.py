@@ -31,55 +31,91 @@ from pyspark.sql import SparkSession
 from ..table import Table
 from .binary_io import binary_import
 
-__all__ = ["warc_import", "parse_warc"]
+__all__ = ["warc_import", "parse_warc", "iter_warc"]
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the .warc.gz layout).
+def _gzip_member_chunks(data: bytes):
+    """Yield decompressed chunks member-by-member (the .warc.gz layout
+    is one gzip member per record, so this is naturally incremental).
     Corruption surfaces as ValueError so the on_error policy applies."""
-    out = bytearray()
     while data:
         d = zlib.decompressobj(wbits=31)
         try:
-            out += d.decompress(data)
-            out += d.flush()
+            yield d.decompress(data)
+            yield d.flush()
         except zlib.error as exc:
             raise ValueError(f"corrupt gzip member in WARC: {exc}") from None
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
         data = d.unused_data
-    return bytes(out)
 
 
-def parse_warc(blob: bytes) -> list[dict]:
-    """All records of one WARC file as dicts. Raises ValueError on a
-    stream that does not parse as WARC."""
-    if blob[:2] == b"\x1f\x8b":
-        blob = _gunzip_members(blob)
-    if not blob.startswith(b"WARC/"):
+def iter_warc(blob: bytes) -> Iterator[dict]:
+    """Yield one dict per record, decompressing and parsing
+    INCREMENTALLY: peak memory is the raw blob plus ONE decompressed
+    record, never the whole decompressed archive (a 1 GB .warc.gz is
+    several GB inflated — materializing it per task is the classic
+    distributed-WARC OOM). Raises ValueError on non-WARC data."""
+    src = (
+        _gzip_member_chunks(blob)
+        if blob[:2] == b"\x1f\x8b"
+        else iter((blob,))
+    )
+    buf = bytearray()
+    eof = False
+
+    def fill() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        for chunk in src:
+            if chunk:
+                buf.extend(chunk)
+                return True
+        eof = True
+        return False
+
+    while len(buf) < 5 and fill():
+        pass
+    if bytes(buf[:5]) != b"WARC/":
         raise ValueError("not a WARC stream")
-    records = []
-    pos = 0
-    n = len(blob)
-    while pos < n:
-        if not blob.startswith(b"WARC/", pos):
-            # trailing record separators / padding
-            if blob[pos:].strip() == b"":
+    while True:
+        # consume inter-record CRLFs / trailing padding
+        while True:
+            while len(buf) < 2 and fill():
+                pass
+            if buf[:2] == b"\r\n":
+                del buf[:2]
+            else:
                 break
-            raise ValueError(f"malformed WARC record at offset {pos}")
-        hdr_end = blob.index(b"\r\n\r\n", pos)
+        while len(buf) < 5 and fill():
+            pass
+        if not buf:
+            break
+        if bytes(buf[:5]) != b"WARC/":
+            if bytes(buf).strip() == b"" and not fill():
+                break
+            raise ValueError("malformed WARC record")
+        while True:
+            hdr_end = buf.find(b"\r\n\r\n")
+            if hdr_end >= 0:
+                break
+            if not fill():
+                raise ValueError("truncated WARC header")
         headers: dict[str, str] = {}
-        for line in blob[pos:hdr_end].split(b"\r\n")[1:]:
+        for line in bytes(buf[:hdr_end]).split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("latin-1")] = (
                 v.strip().decode("latin-1")
             )
         length = int(headers.get("content-length", "0"))
-        body = blob[hdr_end + 4 : hdr_end + 4 + length]
-        pos = hdr_end + 4 + length
-        # each record is terminated by two CRLFs
-        while blob.startswith(b"\r\n", pos):
-            pos += 2
+        total = hdr_end + 4 + length
+        while len(buf) < total and fill():
+            pass
+        if len(buf) < total:
+            raise ValueError("truncated WARC payload")
+        body = bytes(buf[hdr_end + 4 : total])
+        del buf[:total]
         warc_type = headers.get("warc-type", "")
         content_type = headers.get("content-type", "")
         status = None
@@ -97,17 +133,20 @@ def parse_warc(blob: bytes) -> list[dict]:
                     if k.strip().lower() == b"content-type":
                         content_type = v.strip().decode("latin-1")
                 payload = body[hend + 4 :]
-        records.append(
-            {
-                "warc_type": warc_type,
-                "url": headers.get("warc-target-uri", ""),
-                "warc_date": headers.get("warc-date", ""),
-                "content_type": content_type,
-                "http_status": status,
-                "payload": payload,
-            }
-        )
-    return records
+        yield {
+            "warc_type": warc_type,
+            "url": headers.get("warc-target-uri", ""),
+            "warc_date": headers.get("warc-date", ""),
+            "content_type": content_type,
+            "http_status": status,
+            "payload": payload,
+        }
+
+
+def parse_warc(blob: bytes) -> list[dict]:
+    """All records of one WARC file as dicts (materialized
+    ``iter_warc`` — use the iterator form in memory-sensitive paths)."""
+    return list(iter_warc(blob))
 
 
 def warc_import(
@@ -123,10 +162,11 @@ def warc_import(
     """Read a directory of ``.warc`` / ``.warc.gz`` files into one row
     per record. ``record_types`` filters at parse time (``response``
     by default — the documents; pass ``()`` for everything incl.
-    request/metadata records). ``on_error="null"`` skips unparseable
-    FILES (one bad archive never kills the crawl job) — they surface
-    as zero records; count per-path rows downstream for the audit
-    trail."""
+    request/metadata records). ``on_error="null"`` stops a corrupt
+    archive at the point of corruption instead of failing the job:
+    records parsed before the bad byte are KEPT (crawl salvage), the
+    rest of that file is skipped — count per-path rows downstream for
+    the audit trail."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"warc_import: on_error must be raise|null, got {on_error!r}")
     files = binary_import(
@@ -146,20 +186,22 @@ def warc_import(
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    recs = parse_warc(bytes(content or b""))
+                    # iterator form: decompress+parse record-by-record,
+                    # never the whole inflated archive at once
+                    for i, r in enumerate(iter_warc(bytes(content or b""))):
+                        if want and r["warc_type"] not in want:
+                            continue
+                        rows.append(
+                            (
+                                p, i, r["warc_type"], r["url"],
+                                r["warc_date"], r["content_type"],
+                                r["http_status"], r["payload"],
+                            )
+                        )
                 except ValueError:
                     if on_error == "raise":
                         raise
                     continue
-                for i, r in enumerate(recs):
-                    if want and r["warc_type"] not in want:
-                        continue
-                    rows.append(
-                        (
-                            p, i, r["warc_type"], r["url"], r["warc_date"],
-                            r["content_type"], r["http_status"], r["payload"],
-                        )
-                    )
             if rows:
                 yield pd.DataFrame(
                     rows,

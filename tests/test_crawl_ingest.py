@@ -245,3 +245,17 @@ def test_filter_url_blocklist(spark):
     bl.insert_many([{"domain": "site.com"}])
     kept2 = filter_url_blocklist(t, bl, "url")
     assert sorted(r.id for r in kept2) == [1, 2]
+
+
+def test_warc_salvage_keeps_records_before_corruption(spark, tmp_path):
+    """on_error='null' salvages the records parsed before a corrupt
+    byte (iter_warc parses incrementally — peak memory is one record,
+    and partial archives still contribute their good prefix)."""
+    d = tmp_path / "c"
+    d.mkdir()
+    good = _warc_record("response", "http://ok.test/1", b"<html><p>fine</p></html>")
+    (d / "partial.warc").write_bytes(good + b"GARBAGE NOT A RECORD")
+    recs = warc_import(spark, str(d), on_error="null")
+    assert [(r.url, r.record_ord) for r in recs] == [("http://ok.test/1", 0)]
+    with pytest.raises(Exception):
+        warc_import(spark, str(d), on_error="raise").df.collect()
