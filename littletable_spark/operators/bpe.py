@@ -523,6 +523,12 @@ def pack_token_ids(
     array is small by construction.
     """
     df = table._require_df()
+    missing = [c for c in ("shard", "pack", id_col, ids_col) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"pack_token_ids needs pack_sequences coordinates joined with "
+            f"the id arrays (missing {missing}); got {df.columns}"
+        )
     pair = F.struct(F.col(id_col).alias("k"), F.col(ids_col).alias("v"))
     out = (
         df.groupBy("shard", "pack")

@@ -39,6 +39,13 @@ def url_features(table: Table, url_col: str = "url") -> Table:
     ``is_ip`` columns derived from ``url_col``. Pure narrow projection
     (no UDF, no shuffle); unparseable/relative URLs yield empty host
     and zero counts rather than failing the job."""
+    taken = {"host", "domain", "tld", "path_depth", "n_params", "is_ip"}
+    clash = sorted(taken & set(table.fields))
+    if clash:
+        raise ValueError(
+            f"url_features would overwrite existing column(s) {clash}; "
+            "rename them first"
+        )
     url = F.coalesce(F.col(url_col), F.lit(""))
     authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     # strip userinfo and port: host is what's between '@' and ':'

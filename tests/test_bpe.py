@@ -530,3 +530,12 @@ def test_byte_level_merges_compress(spark):
     docs.insert_many([{"doc_id": 0, "text": "tokenizer tokenizer"}])
     r = list(apply_bpe(docs, "text", "doc_id", merges))[0]
     assert r.n_bpe_tokens <= 4  # ~1 piece per word after merges
+
+
+def test_pack_token_ids_missing_columns(spark):
+    from littletable_spark.operators.bpe import pack_token_ids
+
+    t = Table("t", spark=spark)
+    t.insert_many([{"doc_id": 0, "token_ids": [1, 2]}])
+    with pytest.raises(ValueError, match="pack_sequences coordinates"):
+        pack_token_ids(t, "doc_id")

@@ -259,3 +259,12 @@ def test_warc_salvage_keeps_records_before_corruption(spark, tmp_path):
     assert [(r.url, r.record_ord) for r in recs] == [("http://ok.test/1", 0)]
     with pytest.raises(Exception):
         warc_import(spark, str(d), on_error="raise").df.collect()
+
+
+def test_url_features_column_conflict_guard(spark):
+    from littletable_spark.operators.urlops import url_features
+
+    t = Table("recs", spark=spark)
+    t.insert_many([{"id": 0, "url": "https://a.com/", "domain": "preexisting"}])
+    with pytest.raises(ValueError, match="overwrite existing"):
+        url_features(t, "url")
