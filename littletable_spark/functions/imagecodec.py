@@ -409,22 +409,37 @@ _DCT_C = np.array(
 )
 
 
-def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> dict:
-    """DHT (BITS, HUFFVAL) -> {(length, code): symbol} via the canonical
-    code assignment of T.81 Annex C (codes of each length are
-    consecutive, starting from double the previous length's end)."""
-    if len(counts) < 16 or len(symbols) < sum(counts[:16]):
-        raise ValueError("truncated JPEG huffman table")
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _JpegHuff:
+    """Canonical huffman decode tables (T.81 Annex C assignment +
+    Annex F.16 MINCODE/MAXCODE/VALPTR decode): one 16-bit peek and a
+    handful of integer compares per symbol instead of a per-bit walk."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "symbols", "lengths")
+
+    def __init__(self, counts: bytes, symbols: bytes):
+        if len(counts) < 16 or len(symbols) < sum(counts[:16]):
+            raise ValueError("truncated JPEG huffman table")
+        self.symbols = list(symbols)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.lengths: list[int] = []
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            c = counts[length - 1]
+            if c:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                self.maxcode[length] = code + c - 1
+                self.lengths.append(length)
+                code += c
+                k += c
+            code <<= 1
+
+
+def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> _JpegHuff:
+    return _JpegHuff(counts, symbols)
 
 
 class _JpegBits:
@@ -465,13 +480,25 @@ class _JpegBits:
             v = (v << 1) | self.read_bit()
         return v
 
-    def huff(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
+    def peek16(self) -> int:
+        """The next 16 bits without advancing, 1-padded past the end
+        (same convention as read_bit)."""
+        p = self.pos
+        chunk = self.data[p >> 3 : (p >> 3) + 3]
+        pad = 8 * (3 - len(chunk))
+        word = (int.from_bytes(chunk, "big") << pad) | ((1 << pad) - 1)
+        return (word >> (8 - (p & 7))) & 0xFFFF
+
+    def huff(self, table: _JpegHuff) -> int:
+        peek = self.peek16()
+        maxcode = table.maxcode
+        for length in table.lengths:
+            code = peek >> (16 - length)
+            if code <= maxcode[length]:
+                self.pos += length
+                return table.symbols[
+                    table.valptr[length] + code - table.mincode[length]
+                ]
         raise ValueError("corrupt JPEG huffman stream")
 
 
