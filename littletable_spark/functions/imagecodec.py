@@ -788,18 +788,20 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                 by, bx = divmod(i, nbx)
                 unit(ci, by, bx, dc_id, ac_id)
 
-    # dequant + IDCT every block, then upsample + crop + color-convert
+    # dequant + IDCT, BATCHED: all of a component's blocks go through
+    # two broadcast matmuls instead of one 8x8 GEMM per block
     Ct = _DCT_C.T
     planes = []
     for ci, (_cid, hs, vs, tq) in enumerate(comps):
         quant = qt[tq].reshape(8, 8)
         nby, nbx = coefs[ci].shape[:2]
-        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
-        grid = coefs[ci].astype(np.float64)
-        for by in range(nby):
-            for bx in range(nbx):
-                block = Ct @ (grid[by, bx].reshape(8, 8) * quant) @ _DCT_C
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
+        grid = coefs[ci].astype(np.float64).reshape(-1, 8, 8) * quant
+        blocks = (Ct @ grid) @ _DCT_C + 128.0
+        plane = (
+            blocks.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
         planes.append(plane)
     full = []
     for ci, (_cid, hs, vs, _tq) in enumerate(comps):
