@@ -334,3 +334,54 @@ def test_chunk_by_pieces_is_narrow(spark):
     # chunking adds NO exchange beyond the tokenize pass's plan
     assert "Exchange" not in plan, plan
     assert "Generate" in plan, plan  # posexplode row amplification
+
+
+def test_url_features_plan_is_narrow(spark):
+    """url_features is a pure projection: no Exchange, no Python, and
+    only the consumed columns reach the scan."""
+    from littletable_spark.operators.urlops import url_features
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    d.compute_field("url", F.concat(F.lit("https://x.com/"), F.col("doc_id").cast("string")))
+    out = url_features(d, "url")
+    plan = _plan(out.df.select("doc_id", "domain", "path_depth"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+def test_corpus_report_single_shuffle(spark):
+    """corpus_report = one projection + ONE map-combined groupBy: a
+    single Exchange, partial aggregation before it."""
+    import re
+
+    from littletable_spark.operators.stats import corpus_report
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(corpus_report(d, "text").df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_pack_token_ids_no_second_shuffle(spark):
+    """The (shard, pack) aggregation reuses the shard hash partitioning
+    from pack_sequences' window: exactly ONE data Exchange in the whole
+    pack-and-concatenate plan (plus the broadcast for the ids join)."""
+    import re
+
+    from littletable_spark.operators.bpe import pack_token_ids
+    from littletable_spark.operators.textops import pack_sequences
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(d, "text", "doc_id", budget_tokens=256, n_shards=8)
+    ids = d.df.selectExpr(
+        "doc_id",
+        "transform(filter(split(trim(coalesce(text, '')), '\\\\s+'), x -> x != ''), t -> length(t)) AS token_ids",
+    )
+    joined = packed.df.select("doc_id", "shard", "pack").join(ids, "doc_id")
+    out = pack_token_ids(Table.from_df(joined, name="j"), "doc_id")
+    plan = _plan(out.df)
+    data_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    broadcasts = len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
+    assert data_exchanges == 1, plan
+    assert broadcasts == 1, plan  # the ids join broadcasts, not shuffles
