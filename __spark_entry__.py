@@ -25,6 +25,15 @@ from littletable_spark import Table
 _TABLE_CACHE: dict[tuple[str, str], Table] = {}
 
 
+def _psl_in_list() -> str:
+    """The url_features public-suffix snapshot as a SQL IN-list — built
+    from the operator's own tuple so Spark and the DuckDB oracle can
+    never disagree on which suffixes are two-level."""
+    from littletable_spark.operators.urlops import COMMON_TWO_LEVEL_SUFFIXES
+
+    return ", ".join(f"'{s}'" for s in COMMON_TWO_LEVEL_SUFFIXES)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
     """Load a test table. With SPARK_GRAFT_CACHE_TABLES=1 (set by
     bench.py) base tables are persisted and reused across queries — the
@@ -1400,11 +1409,13 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL curation features (round 9): synthesize crawl-shaped URLs
-    from document fields (ip-hosted every 11th doc, query params every
-    3rd), then derive host / registrable domain / tld / path depth /
-    param count / is_ip with the SAME regexes in both engines
-    (deliberately not parse_url, which DuckDB cannot replay)."""
+    """URL curation features (round 9, r10: public-suffix-aware
+    registrable domains): synthesize crawl-shaped URLs from document
+    fields (ip-hosted every 11th doc, ccTLD `.co.uk` hosts every 7th,
+    query params every 3rd), then derive host / registrable domain /
+    tld / path depth / param count / is_ip with the SAME regexes AND
+    the same public-suffix IN-list in both engines (deliberately not
+    parse_url, which DuckDB cannot replay)."""
     from littletable_spark.operators.urlops import url_features
 
     d = _t(spark, sf_dir, "documents")
@@ -1422,7 +1433,10 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source"),
             F.lit(".example-"),
             F.col("lang"),
-            F.lit(".com:8443/docs/"),
+            # every 7th doc on a ccTLD second-level registry: the
+            # registrable domain must be the THIRD label, not co.uk
+            F.when(F.col("doc_id") % 7 == 0, F.lit(".co.uk:8443/docs/"))
+            .otherwise(F.lit(".com:8443/docs/")),
             F.col("lang"),
             F.lit("/"),
             F.col("doc_id").cast("string"),
@@ -3428,7 +3442,9 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         # same regexes as urlops.py — Java regex and RE2 agree on all
-        # of them (no lookbehind, no backrefs)
+        # of them (no lookbehind, no backrefs); the public-suffix IN
+        # list is composed from the SAME tuple the operator uses
+        # (COMMON_TWO_LEVEL_SUFFIXES) so the two engines cannot drift
         "url_features": """
             WITH u AS (
               SELECT doc_id,
@@ -3437,7 +3453,9 @@ def oracle_sql() -> dict[str, str]:
                        || '/mirror/' || doc_id::VARCHAR
                      ELSE
                        'https://u:p@' || source || '.example-' || lang
-                       || '.com:8443/docs/' || lang || '/' || doc_id::VARCHAR
+                       || CASE WHEN doc_id % 7 = 0 THEN '.co.uk:8443/docs/'
+                               ELSE '.com:8443/docs/' END
+                       || lang || '/' || doc_id::VARCHAR
                        || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2&c=3' ELSE '' END
                      END AS url
               FROM documents
@@ -3449,11 +3467,18 @@ def oracle_sql() -> dict[str, str]:
                      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
                      regexp_extract(url, '\\?([^#]*)', 1) AS query
               FROM u
+            ), g AS (
+              SELECT *,
+                     regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS sfx2,
+                     regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS sfx3
+              FROM f
             )
             SELECT doc_id, host,
                    CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
                         THEN host
-                        ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain,
+                        WHEN sfx2 IN (__PSL_IN_LIST__) AND sfx3 <> ''
+                        THEN sfx3
+                        ELSE sfx2 END AS domain,
                    CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
                         THEN ''
                         ELSE regexp_extract(host, '\\.([A-Za-z0-9-]+)$', 1) END AS tld,
@@ -3462,8 +3487,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split(query, '&')) END::INTEGER AS n_params,
                    CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
                         THEN 1 ELSE 0 END AS is_ip
-            FROM f
-        """,
+            FROM g
+        """.replace("__PSL_IN_LIST__", _psl_in_list()),
         # exact percentiles: quantile_cont ≡ Spark percentile (A/B
         # verified bit-equal incl. interpolation error)
         "text_corpus_report": """

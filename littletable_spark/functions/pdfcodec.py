@@ -20,12 +20,23 @@ with a UTF-16BE BOM decode as UTF-16BE (how most writers emit non-
 Latin text with simple fonts); everything else decodes as Latin-1
 (≈ PDFDocEncoding for the printable range).
 
+PDF 1.5+ object streams (``/Type /ObjStm`` — the default layout of
+most modern writers: Chrome print-to-PDF, LibreOffice, current TeX)
+are supported: the stream is inflated, its ``/N`` pairs of
+``obj-number offset`` header integers are parsed, and the contained
+objects (page dicts etc. — content streams themselves may NOT live in
+an ObjStm per spec 7.5.7, so the stream path is untouched) are merged
+into the object map before the page walk.
+
 Out of scope (raise ValueError → ``on_error`` policy upstream):
 encrypted files, and files whose ONLY text uses CID fonts with
 ToUnicode CMaps (the bytes extract but may not be readable text —
 callers should language-ID/quality-filter downstream, which the
-pipeline does anyway). No reference analog; fulfils the brief's
-multimodal mandate like imagecodec/audiocodec.
+pipeline does anyway). A structurally valid PDF in which no page
+object can be located also raises (rather than silently returning
+``""``) so ``on_error`` audit trails see the loss. No reference
+analog; fulfils the brief's multimodal mandate like
+imagecodec/audiocodec.
 """
 
 from __future__ import annotations
@@ -204,6 +215,37 @@ def _content_text(content: bytes) -> list[str]:
     return chunks
 
 
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _merge_object_streams(objects: dict[int, bytes]) -> None:
+    """Inflate ``/Type /ObjStm`` streams and merge their contained
+    objects into ``objects`` (spec 7.5.7: ``/N`` pairs of
+    ``obj-number byte-offset`` integers precede the concatenated
+    object bodies starting at ``/First``)."""
+    for num in sorted(objects):
+        body = objects[num]
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        n_m = _OBJSTM_N_RE.search(body)
+        first_m = _OBJSTM_FIRST_RE.search(body)
+        data = _stream_data(body)
+        if n_m is None or first_m is None or data is None:
+            raise ValueError("malformed PDF object stream")
+        count, first = int(n_m.group(1)), int(first_m.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * count:
+            raise ValueError("truncated PDF object stream header")
+        pairs = [
+            (int(header[2 * k]), int(header[2 * k + 1])) for k in range(count)
+        ]
+        offsets = [off for _, off in pairs] + [len(data) - first]
+        for k, (objnum, off) in enumerate(pairs):
+            # top-level definitions win (incremental-update overrides)
+            objects.setdefault(objnum, data[first + off : first + offsets[k + 1]])
+
+
 def extract_pdf_text(blob: bytes) -> str:
     """All page text of a PDF blob, reading order per content stream,
     newlines at line moves, pages separated by form feeds."""
@@ -214,11 +256,14 @@ def extract_pdf_text(blob: bytes) -> str:
     objects: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(blob):
         objects[int(m.group(1))] = m.group(3)
+    _merge_object_streams(objects)
     pages: list[str] = []
+    n_page_objs = 0
     for num in sorted(objects):
         body = objects[num]
         if b"/Type" not in body or b"/Page" not in body or b"/Pages" in body:
             continue
+        n_page_objs += 1
         cm = _CONTENTS_RE.search(body)
         if cm is None:
             continue
@@ -234,6 +279,11 @@ def extract_pdf_text(blob: bytes) -> str:
         page = re.sub(r"\n{3,}", "\n\n", page).strip("\n")
         if page:
             pages.append(page)
-    if not pages and not objects:
+    if not objects:
         raise ValueError("no PDF objects found")
+    if not n_page_objs:
+        # Objects parsed but no page dictionary located anywhere
+        # (top-level or inside an ObjStm): surface the loss so
+        # ``on_error`` applies instead of silently emitting "".
+        raise ValueError("no page objects found in PDF")
     return "\f".join(pages)

@@ -9,9 +9,17 @@ SAME regexes run in Java regex and RE2, so every feature is
 oracle-checkable in DuckDB (deliberately NOT Spark's ``parse_url``,
 which DuckDB cannot replay).
 
-- ``url_features``: host, registrable domain (last two labels — the
-  practical heuristic; a full public-suffix list is a data file, not
-  an algorithm), tld, path depth, query-param count, is_ip.
+- ``url_features``: host, registrable domain, tld, path depth,
+  query-param count, is_ip. The registrable domain respects two-level
+  public suffixes (``bbc.co.uk`` → ``bbc.co.uk``, not ``co.uk``):
+  by default an embedded snapshot of the common ccTLD second-level
+  registries (public data from publicsuffix.org) is consulted; pass
+  ``psl=`` (a Table with a ``suffix`` column, or an iterable) to
+  supply the full public-suffix list as data. This matters because
+  the feature's two consumers break without it: ``cap_per_group``
+  on ``domain`` would pool every ``*.co.uk`` site into ONE quota
+  bucket, and a blocklist entry could not name a single British site
+  without blocking the whole registry.
 - ``filter_url_blocklist``: drop rows whose domain is on a blocklist —
   a broadcast anti-join for Table-sized lists, an ``isin`` for small
   literal lists.
@@ -27,19 +35,76 @@ from pyspark.sql import functions as F
 
 from ..table import Table
 
-__all__ = ["url_features", "filter_url_blocklist"]
+__all__ = [
+    "url_features",
+    "filter_url_blocklist",
+    "COMMON_TWO_LEVEL_SUFFIXES",
+]
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
+# Embedded snapshot of the most common two-level public suffixes —
+# the ccTLD second-level registries under which sites register
+# directly (public data: publicsuffix.org). NOT the full list (that
+# is a data file callers pass via ``psl=``); this default covers the
+# registries that actually dominate crawls. Three-or-more-level
+# suffixes (e.g. city-level .jp) are out of the default's scope.
+COMMON_TWO_LEVEL_SUFFIXES = (
+    # United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    # Japan / Korea / Taiwan / Hong Kong / Singapore
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    # China / India / Indonesia / Thailand / Malaysia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "web.id",
+    "co.th", "ac.th", "go.th", "or.th", "in.th",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.pe", "com.ve", "com.ec", "com.uy",
+    # Africa / Middle East / Europe ccSLDs
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za",
+    "co.ke", "co.il", "org.il", "net.il", "ac.il", "gov.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "com.eg", "com.sa", "com.ng", "com.gh",
+    # South / Southeast Asia remainder
+    "com.ph", "com.vn", "com.pk", "com.bd", "com.np", "com.lk",
+)
 
-def url_features(table: Table, url_col: str = "url") -> Table:
+_FEATURE_COLS = ("host", "domain", "tld", "path_depth", "n_params", "is_ip")
+
+
+def url_features(table: Table, url_col: str = "url", psl=None) -> Table:
     """Add ``host``, ``domain``, ``tld``, ``path_depth``, ``n_params``,
-    ``is_ip`` columns derived from ``url_col``. Pure narrow projection
-    (no UDF, no shuffle); unparseable/relative URLs yield empty host
-    and zero counts rather than failing the job."""
-    taken = {"host", "domain", "tld", "path_depth", "n_params", "is_ip"}
+    ``is_ip`` columns derived from ``url_col``.
+
+    ``domain`` is the registrable domain: the last two host labels,
+    or the last THREE when the last two are a public suffix —
+    ``COMMON_TWO_LEVEL_SUFFIXES`` by default, or the suffixes in
+    ``psl`` (a Table with a ``suffix`` column → broadcast left join;
+    an iterable → compiled into the predicate). With the default /
+    iterable form this stays a pure narrow projection (no UDF, no
+    shuffle, no join); the Table form adds one broadcast join.
+    Unparseable/relative URLs yield empty host and zero counts rather
+    than failing the job."""
+    taken = set(_FEATURE_COLS)
     clash = sorted(taken & set(table.fields))
     if clash:
         raise ValueError(
@@ -51,9 +116,8 @@ def url_features(table: Table, url_col: str = "url") -> Table:
     # strip userinfo and port: host is what's between '@' and ':'
     host = F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1)
     is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
-    domain = F.when(is_ip, host).otherwise(
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    )
+    sfx2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    sfx3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     tld = F.when(is_ip, F.lit("")).otherwise(
         F.regexp_extract(host, r"\.([A-Za-z0-9-]+)$", 1)
     )
@@ -65,16 +129,50 @@ def url_features(table: Table, url_col: str = "url") -> Table:
     n_params = F.when(query == F.lit(""), F.lit(0)).otherwise(
         F.size(F.split(query, "&"))
     )
-    out = table._require_df().withColumns(
-        {
-            "host": host,
-            "domain": domain,
-            "tld": tld,
-            "path_depth": path_depth,
-            "n_params": n_params,
-            "is_ip": is_ip,
-        }
-    )
+
+    def _domain(on_suffix) -> F.Column:
+        return F.when(is_ip, host).otherwise(
+            F.when(on_suffix & (sfx3 != F.lit("")), sfx3).otherwise(sfx2)
+        )
+
+    df = table._require_df()
+    fields = table.fields
+    if isinstance(psl, Table):
+        pdf = (
+            psl._require_df()
+            .select(F.lower(F.col("suffix")).alias("__psl_suffix__"))
+            .distinct()
+        )
+        joined = df.join(
+            F.broadcast(pdf), sfx2 == F.col("__psl_suffix__"), "left"
+        )
+        domain = _domain(F.col("__psl_suffix__").isNotNull())
+        out = joined.select(
+            *fields,
+            host.alias("host"),
+            domain.alias("domain"),
+            tld.alias("tld"),
+            path_depth.alias("path_depth"),
+            n_params.alias("n_params"),
+            is_ip.alias("is_ip"),
+        )
+    else:
+        suffixes = (
+            list(COMMON_TWO_LEVEL_SUFFIXES)
+            if psl is None
+            else [str(s).lower() for s in psl]
+        )
+        domain = _domain(sfx2.isin(suffixes) if suffixes else F.lit(False))
+        out = df.withColumns(
+            {
+                "host": host,
+                "domain": domain,
+                "tld": tld,
+                "path_depth": path_depth,
+                "n_params": n_params,
+                "is_ip": is_ip,
+            }
+        )
     return table._derive(out)
 
 
@@ -83,6 +181,7 @@ def filter_url_blocklist(
     blocked,
     url_col: str = "url",
     domain_col: str | None = None,
+    psl=None,
 ) -> Table:
     """Drop rows whose registrable domain is blocklisted.
 
@@ -90,18 +189,22 @@ def filter_url_blocklist(
     LEFT ANTI join — the blocklist is list-sized, the crawl is not) or
     a Python iterable of domains (compiled to one ``isin`` predicate,
     pushed to the scan). When ``domain_col`` is None the domain is
-    derived from ``url_col`` via ``url_features``' expression."""
+    derived from ``url_col`` via ``url_features`` (``psl`` passes
+    through), so a blocklist entry like ``bbc.co.uk`` blocks exactly
+    that site, not the whole ``co.uk`` registry."""
     if domain_col is None:
-        t = url_features(table, url_col)
+        t = url_features(table, url_col, psl=psl)
         domain_col = "domain"
         df = t._require_df()
-        added = ["host", "domain", "tld", "path_depth", "n_params", "is_ip"]
+        added = list(_FEATURE_COLS)
     else:
         df = table._require_df()
         added = []
     if isinstance(blocked, Table):
+        # lower() mirrors the iterable path: blocklist rows with mixed
+        # case must still match url_features' lowercased domain
         bdf = blocked._require_df().select(
-            F.col("domain").alias("__blocked__")
+            F.lower(F.col("domain")).alias("__blocked__")
         )
         out = df.join(
             F.broadcast(bdf),

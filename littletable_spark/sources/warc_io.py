@@ -149,6 +149,57 @@ def parse_warc(blob: bytes) -> list[dict]:
     return list(iter_warc(blob))
 
 
+_WARC_COLS = [
+    "path", "record_ord", "warc_type", "url",
+    "warc_date", "content_type", "http_status", "payload",
+]
+
+
+def _explode_files(
+    pairs: Iterator[tuple[str, bytes]],
+    want: tuple[str, ...],
+    on_error: str,
+    records_per_batch: int,
+) -> Iterator[pd.DataFrame]:
+    """Explode ``(path, raw blob)`` pairs into record DataFrames,
+    FLUSHING every ``records_per_batch`` records so peak memory is the
+    raw blob plus one chunk of decompressed records — honoring
+    ``iter_warc``'s incremental contract (a 1 GB .warc.gz inflates to
+    several GB; holding a whole archive's records before yielding is
+    the distributed-WARC OOM this module exists to avoid)."""
+    rows: list[tuple] = []
+
+    def flush() -> pd.DataFrame:
+        df = pd.DataFrame(rows, columns=_WARC_COLS)
+        rows.clear()
+        return df
+
+    for p, content in pairs:
+        try:
+            # iterator form: decompress+parse record-by-record,
+            # never the whole inflated archive at once
+            for i, r in enumerate(iter_warc(bytes(content or b""))):
+                if want and r["warc_type"] not in want:
+                    continue
+                rows.append(
+                    (
+                        p, i, r["warc_type"], r["url"],
+                        r["warc_date"], r["content_type"],
+                        r["http_status"], r["payload"],
+                    )
+                )
+                if len(rows) >= records_per_batch:
+                    yield flush()
+        except ValueError:
+            if on_error == "raise":
+                raise
+            # salvage: records accumulated before the corrupt byte
+            # stay in ``rows`` and flush with the next chunk
+            continue
+    if rows:
+        yield flush()
+
+
 def warc_import(
     spark: SparkSession,
     path: str,
@@ -156,19 +207,24 @@ def warc_import(
     recursive: bool = False,
     record_types: tuple[str, ...] = ("response",),
     max_bytes: int | None = None,
+    records_per_batch: int = 256,
     name: str = "",
     on_error: str = "raise",
 ) -> Table:
     """Read a directory of ``.warc`` / ``.warc.gz`` files into one row
     per record. ``record_types`` filters at parse time (``response``
     by default — the documents; pass ``()`` for everything incl.
-    request/metadata records). ``on_error="null"`` stops a corrupt
-    archive at the point of corruption instead of failing the job:
-    records parsed before the bad byte are KEPT (crawl salvage), the
-    rest of that file is skipped — count per-path rows downstream for
-    the audit trail."""
+    request/metadata records). Records stream out in chunks of
+    ``records_per_batch`` (peak task memory = raw blob + one chunk,
+    never a whole inflated archive). ``on_error="null"`` stops a
+    corrupt archive at the point of corruption instead of failing the
+    job: records parsed before the bad byte are KEPT (crawl salvage),
+    the rest of that file is skipped — count per-path rows downstream
+    for the audit trail."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"warc_import: on_error must be raise|null, got {on_error!r}")
+    if records_per_batch < 1:
+        raise ValueError("warc_import: records_per_batch must be >= 1")
     files = binary_import(
         spark, path, pattern=pattern, recursive=recursive, max_bytes=max_bytes
     )
@@ -183,34 +239,10 @@ def warc_import(
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    # iterator form: decompress+parse record-by-record,
-                    # never the whole inflated archive at once
-                    for i, r in enumerate(iter_warc(bytes(content or b""))):
-                        if want and r["warc_type"] not in want:
-                            continue
-                        rows.append(
-                            (
-                                p, i, r["warc_type"], r["url"],
-                                r["warc_date"], r["content_type"],
-                                r["http_status"], r["payload"],
-                            )
-                        )
-                except ValueError:
-                    if on_error == "raise":
-                        raise
-                    continue
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "path", "record_ord", "warc_type", "url",
-                        "warc_date", "content_type", "http_status",
-                        "payload",
-                    ],
-                )
+            yield from _explode_files(
+                zip(pdf["path"], pdf["content"]), want, on_error,
+                records_per_batch,
+            )
 
     out = files.df.select("path", "content").mapInPandas(run, schema)
     return Table.from_df(out, name=name or f"warc:{path}")

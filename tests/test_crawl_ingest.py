@@ -194,6 +194,63 @@ def test_warc_import_to_text_pipeline(spark, tmp_path):
     assert by_id["http://a.test/1#1"] > 20
 
 
+def test_warc_explode_yields_bounded_chunks():
+    """The Arrow-pass generator flushes every records_per_batch
+    records, so peak task memory is the raw blob plus ONE chunk —
+    matching iter_warc's incremental contract (not one DataFrame with
+    the whole inflated archive)."""
+    from littletable_spark.sources.warc_io import _explode_files
+
+    blob = b"".join(
+        _warc_record("response", f"http://m.test/{i}", b"body %d" % i)
+        for i in range(600)
+    )
+    frames = list(_explode_files(iter([("f", blob)]), ("response",), "raise", 256))
+    assert [len(f) for f in frames] == [256, 256, 88]
+    assert frames[0]["record_ord"].tolist() == list(range(256))
+    assert frames[2]["url"].iloc[-1] == "http://m.test/599"
+    # multiple small files pack into shared chunks (flush is by count,
+    # not per file)
+    half = b"".join(
+        _warc_record("response", f"http://h.test/{i}", b"y") for i in range(300)
+    )
+    two = list(
+        _explode_files(iter([("a", half), ("b", blob)]), ("response",), "raise", 500)
+    )
+    assert sum(len(f) for f in two) == 900 and all(len(f) <= 500 for f in two)
+    assert len(two) == 2  # flush is by count, not per file
+
+
+def test_warc_explode_chunking_preserves_salvage():
+    """Corruption mid-archive after a flush boundary: already-flushed
+    chunks AND the good records accumulated since remain."""
+    from littletable_spark.sources.warc_io import _explode_files
+
+    good = b"".join(
+        _warc_record("response", f"http://s.test/{i}", b"x") for i in range(300)
+    )
+    frames = list(
+        _explode_files(
+            iter([("f", good + b"CORRUPT TAIL")]), ("response",), "null", 256
+        )
+    )
+    assert [len(f) for f in frames] == [256, 44]
+
+
+def test_warc_import_small_batch_end_to_end(spark, tmp_path):
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "m.warc").write_bytes(
+        b"".join(
+            _warc_record("response", f"http://e.test/{i}", b"doc") for i in range(17)
+        )
+    )
+    recs = warc_import(spark, str(d), records_per_batch=5)
+    assert sorted(r.record_ord for r in recs) == list(range(17))
+    with pytest.raises(ValueError, match="records_per_batch"):
+        warc_import(spark, str(d), records_per_batch=0)
+
+
 # ------------------------------------------------------------------ #
 # url curation features
 
@@ -214,7 +271,8 @@ def test_url_features(spark):
     got = {r.id: r for r in url_features(t, "url")}
     r0 = got[0]
     assert r0.host == "www.example.co.uk"
-    assert r0.domain == "co.uk"  # last-two-labels heuristic, documented
+    # co.uk is a public suffix: registrable domain is the THIRD label
+    assert r0.domain == "example.co.uk"
     assert r0.tld == "uk"
     assert r0.path_depth == 3 and r0.n_params == 2 and not r0.is_ip
     r1 = got[1]
@@ -223,6 +281,63 @@ def test_url_features(spark):
     r2 = got[2]
     assert r2.host == "sub.host.org" and r2.domain == "host.org"
     assert got[3].host == "" and got[4].host == ""  # junk never fails
+
+
+def test_url_features_public_suffixes(spark):
+    """Registrable domain on ccTLD second-level registries: default
+    snapshot, psl= iterable override, and psl= Table broadcast join
+    all agree; a bare-suffix host degrades to the suffix itself."""
+    from littletable_spark.operators.urlops import url_features
+
+    t = Table("recs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "url": "https://www.bbc.co.uk/news"},
+            {"id": 1, "url": "https://shop.example.com.au/x"},
+            {"id": 2, "url": "https://plain.com/x"},
+            {"id": 3, "url": "https://co.uk/"},           # bare suffix host
+            {"id": 4, "url": "https://a.b.custom.zz/x"},  # only via psl=
+        ]
+    )
+    got = {r.id: r.domain for r in url_features(t, "url")}
+    assert got[0] == "bbc.co.uk"
+    assert got[1] == "example.com.au"
+    assert got[2] == "plain.com"           # ordinary TLD: last two labels
+    assert got[3] == "co.uk"               # no third label to take
+    assert got[4] == "custom.zz"           # zz not in the snapshot
+
+    # iterable override REPLACES the snapshot
+    got_it = {r.id: r.domain for r in url_features(t, "url", psl=["custom.zz"])}
+    assert got_it[4] == "b.custom.zz"
+    assert got_it[0] == "co.uk"  # co.uk absent from the override list
+
+    # Table form: broadcast left join, case-normalized
+    p = Table("psl", spark=spark)
+    p.insert_many([{"suffix": "CO.UK"}, {"suffix": "custom.zz"}])
+    got_tb = {r.id: r.domain for r in url_features(t, "url", psl=p)}
+    assert got_tb[0] == "bbc.co.uk" and got_tb[4] == "b.custom.zz"
+    assert got_tb[1] == "com.au"  # com.au not in this psl table: 2 labels
+
+
+def test_filter_url_blocklist_per_site_on_cctld(spark):
+    """A blocklist entry names ONE British site, not all of co.uk —
+    and mixed-case Table rows still match (lowercased before the
+    anti-join, like the iterable path)."""
+    from littletable_spark.operators.urlops import filter_url_blocklist
+
+    t = Table("recs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "url": "https://bad.co.uk/x"},
+            {"id": 1, "url": "https://good.co.uk/y"},
+        ]
+    )
+    kept = filter_url_blocklist(t, ["bad.co.uk"], "url")
+    assert sorted(r.id for r in kept) == [1]
+    bl = Table("bl", spark=spark)
+    bl.insert_many([{"domain": "Bad.CO.uk"}])
+    kept2 = filter_url_blocklist(t, bl, "url")
+    assert sorted(r.id for r in kept2) == [1]
 
 
 def test_filter_url_blocklist(spark):

@@ -64,6 +64,92 @@ def _make_pdf(page_streams: list[bytes], compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def _make_pdf_objstm(page_streams: list[bytes]) -> bytes:
+    """Modern (PDF 1.5+) layout: page dicts, page tree, and catalog
+    live compressed inside a /Type /ObjStm object stream, with a
+    cross-reference STREAM (/Type /XRef, type-2 entries) instead of an
+    xref table — the default output shape of Chrome print-to-PDF,
+    LibreOffice, and current TeX engines. Content streams stay
+    top-level (spec 7.5.7 forbids streams inside an ObjStm)."""
+    n_pages = len(page_streams)
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    # top-level content streams: objects 1..P
+    for i, stream in enumerate(page_streams):
+        data = zlib.compress(stream)
+        emit(
+            i + 1,
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream",
+        )
+
+    # compressed objects: pages tree, page dicts, catalog
+    objstm_num = n_pages + 1
+    pages_id = n_pages + 2
+    page_ids = [pages_id + 1 + i for i in range(n_pages)]
+    catalog_id = pages_id + 1 + n_pages
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    packed: list[tuple[int, bytes]] = [
+        (
+            pages_id,
+            b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages,
+        )
+    ]
+    for i, pid in enumerate(page_ids):
+        packed.append(
+            (
+                pid,
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R "
+                b"/MediaBox [0 0 612 792] >>" % (pages_id, i + 1),
+            )
+        )
+    packed.append((catalog_id, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id))
+
+    bodies = bytearray()
+    header_parts = []
+    for num, body in packed:
+        header_parts.append(b"%d %d" % (num, len(bodies)))
+        bodies += body + b" "
+    header = b" ".join(header_parts) + b"\n"
+    stm = zlib.compress(bytes(header) + bytes(bodies))
+    emit(
+        objstm_num,
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (len(packed), len(header), len(stm))
+        + stm
+        + b"\nendstream",
+    )
+
+    # cross-reference stream: type-1 rows for top-level objects,
+    # type-2 rows (objstm number + index) for the compressed ones
+    xref_num = catalog_id + 1
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+    for num in range(1, objstm_num + 1):
+        rows += bytes([1]) + offsets[num].to_bytes(2, "big") + (0).to_bytes(2, "big")
+    for idx in range(len(packed)):
+        rows += bytes([2]) + objstm_num.to_bytes(2, "big") + idx.to_bytes(2, "big")
+    xref_at = len(out)  # placeholder row for the xref stream itself
+    rows += bytes([1]) + xref_at.to_bytes(2, "big") + (0).to_bytes(2, "big")
+    xdata = zlib.compress(bytes(rows))
+    emit(
+        xref_num,
+        b"<< /Type /XRef /Size %d /W [1 2 2] /Root %d 0 R "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n"
+        % (xref_num + 1, catalog_id, len(xdata))
+        + xdata
+        + b"\nendstream",
+    )
+    out += b"startxref\n%d\n%%%%EOF" % xref_at
+    return bytes(out)
+
+
 def _text_stream(lines: list[bytes]) -> bytes:
     body = b"BT /F1 12 Tf 72 720 Td\n"
     for i, line in enumerate(lines):
@@ -124,6 +210,62 @@ def test_tm_y_move_newline():
     )
     # same-y Tm does NOT break the line; y move does
     assert extract_pdf_text(_make_pdf([stream])) == "onetwo\nthree"
+
+
+def test_object_stream_layout_extracts():
+    """PDF 1.5 ObjStm layout (page dicts compressed inside an object
+    stream, xref stream): previously returned "" silently."""
+    pdf = _make_pdf_objstm(
+        [
+            _text_stream([b"Hello", b"World"]),
+            _text_stream([b"Page two"]),
+        ]
+    )
+    assert b"/ObjStm" in pdf and b"/Type /XRef" in pdf
+    # the page dictionaries must NOT be findable by the linear scan
+    assert b"/Type /Page /Parent" not in pdf
+    assert extract_pdf_text(pdf) == "Hello\nWorld\fPage two"
+
+
+def test_object_stream_single_page_kerning():
+    stream = b"BT 72 720 Td [(Obj) -300 (Stm)] TJ ET"
+    assert extract_pdf_text(_make_pdf_objstm([stream])) == "Obj Stm"
+
+
+def test_zero_page_pdf_raises_instead_of_silent_empty():
+    """Objects present but no page dict anywhere → ValueError so the
+    on_error audit trail records the loss (was: silent "")."""
+    pdf = (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"%%EOF"
+    )
+    with pytest.raises(ValueError, match="no page objects"):
+        extract_pdf_text(pdf)
+
+
+def test_truncated_objstm_header_raises():
+    data = zlib.compress(b"7 0\n<< /Type /Page >>")  # claims N=2, has 1
+    pdf = (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /N 2 /First 4 "
+        b"/Filter /FlateDecode /Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\n%%EOF"
+    )
+    with pytest.raises(ValueError, match="object stream"):
+        extract_pdf_text(pdf)
+
+
+def test_objstm_pdf_through_extract_text_operator(spark):
+    """The Spark path: a modern-layout PDF extracts (not silently
+    empty) and a zero-page PDF NULLs under on_error='null'."""
+    from littletable_spark.operators.multimodal import extract_text
+
+    good = _make_pdf_objstm([_text_stream([b"modern layout"])])
+    no_pages = b"%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\nendobj\n%%EOF"
+    t = Table("blobs", spark=spark)
+    t.insert_many([{"id": 0, "blob": good}, {"id": 1, "blob": no_pages}])
+    out = {r.id: r for r in extract_text(t, "blob", "id", on_error="null")}
+    assert out[0].text == "modern layout"
+    assert out[1].text is None
 
 
 def test_rejections():
