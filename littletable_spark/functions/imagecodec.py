@@ -638,6 +638,9 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if blob[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        while pos + 2 <= n and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -484,15 +484,22 @@ def detokenize_bpe(
         voc, bl = bc.value
         n = len(voc)
         unk = voc[UNK_ID]
+        end_len = len(END)
         for pdf in batches:
             if pdf.empty:
                 continue
             texts = []
             for ids in pdf[ids_col]:
+                # strip END only as a piece SUFFIX (it is piece-final
+                # by construction); literal "</w>" in source text sits
+                # mid-piece and must round-trip
                 joined = "".join(
-                    voc[i] if 0 <= i < n else unk
-                    for i in (ids if ids is not None else ())
-                ).replace(END, "")
+                    p[:-end_len] if p.endswith(END) else p
+                    for p in (
+                        voc[i] if 0 <= i < n else unk
+                        for i in (ids if ids is not None else ())
+                    )
+                )
                 if bl:
                     joined = bytes(
                         _U2B.get(c, ord("?")) for c in joined
@@ -590,9 +597,14 @@ def chunk_by_pieces(
     # pre-tokenizer keeps " word" together), so the </w> marker is
     # dropped, not spaced; trim handles a window starting mid-document
     window = F.slice("__pc__", F.col("__start__"), chunk_tokens)
+    # strip END only as a SUFFIX (anchored regex): pieces carry the
+    # marker piece-finally by construction, while literal "</w>" in
+    # the source text sits mid-piece and must survive reconstruction
     text = F.trim(
         F.array_join(
-            F.transform(window, lambda p: F.replace(p, F.lit(END), F.lit(""))),
+            F.transform(
+                window, lambda p: F.regexp_replace(p, END + "$", "")
+            ),
             "",
         )
     )

@@ -110,22 +110,32 @@ def _bounded_blob_input(df: DataFrame, max_rows: int = 256) -> DataFrame:
     fat rows (256 × 5 MB ≈ 1.3 GB worst case) while leaving the
     session's batching untouched for every other operator.
 
-    Cost: one EAGER count job at operator-construction time (column-
-    pruned — blobs are not read; metadata-only on a plain parquet
-    scan). The round-robin shuffle of the blob payload is SKIPPED
-    whenever the input already has at least ``ceil(n / max_rows)``
-    partitions — at corpus scale, land blob tables at ≤``max_rows``
-    rows per file (or bound split size with
-    ``spark.sql.files.maxPartitionBytes`` at read time) and decode
-    calls touch each blob exactly once with no exchange. An explicit
-    repartition is never elided by AQE, so skipping it here is the
-    only way to avoid it.
+    Cost: one EAGER per-partition row-count probe at operator-
+    construction time (column-pruned — blobs are not read; the scan
+    feeds ``spark_partition_id`` with zero data columns, and the
+    combine is map-side so the exchange carries one row per
+    partition). The round-robin shuffle of the blob payload is
+    SKIPPED whenever every input partition ALREADY holds at most
+    ``max_rows`` rows — measured, not inferred from the partition
+    COUNT, because a skewed input (many partitions, rows concentrated
+    in a few) has enough partitions yet unbounded fat-row batches.
+    At corpus scale, land blob tables at ≤``max_rows`` rows per file
+    (or bound split size with ``spark.sql.files.maxPartitionBytes`` at
+    read time) and decode calls touch each blob exactly once with no
+    exchange. An explicit repartition is never elided by AQE, so
+    skipping it here is the only way to avoid it.
     """
-    n = df.count()
-    n_parts = max(1, -(-n // max_rows))
-    if df.rdd.getNumPartitions() >= n_parts:
+    probe = (
+        df.select(F.spark_partition_id().alias("__pid__"))
+        .groupBy("__pid__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .agg(F.sum("__c__").alias("n"), F.max("__c__").alias("mx"))
+        .collect()[0]
+    )
+    n, mx = probe["n"] or 0, probe["mx"] or 0
+    if mx <= max_rows:
         return df
-    return df.repartition(n_parts)
+    return df.repartition(max(1, -(-n // max_rows)))
 
 
 def decode_image(

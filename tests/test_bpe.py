@@ -497,6 +497,39 @@ def test_byte_level_round_trip_zero_unks(spark):
     assert got == {i: t for i, t in enumerate(texts)}
 
 
+def test_literal_end_marker_text_round_trips(spark):
+    """Source text containing a literal '</w>' (which maps to exactly
+    the END marker's characters in byte space) must survive
+    detokenize_bpe and chunk_by_pieces: END strips only piece-finally,
+    never as a substring of genuine text."""
+    from littletable_spark.operators.bpe import chunk_by_pieces, detokenize_bpe
+
+    texts = [
+        "an xml tag </w> in prose",
+        "</w>",
+        "ends with </w>",
+        "<w></w></w>",
+    ]
+    train = Table("train", spark=spark)
+    # train on the same texts so char-level mode has every symbol
+    # in-alphabet (no unks) and both modes can round-trip exactly
+    train.insert_many([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    for byte_level in (False, True):
+        merges = train_bpe(train, "text", num_merges=5, byte_level=byte_level)
+        docs = Table("docs", spark=spark)
+        docs.insert_many([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+        enc = apply_bpe(
+            docs, "text", "doc_id", merges, emit_ids=True, emit_pieces=True
+        )
+        detok = detokenize_bpe(enc, "token_ids", "doc_id", merges)
+        got = {r.doc_id: r.text for r in detok}
+        assert got == dict(enumerate(texts)), f"byte_level={byte_level}"
+        chunks = chunk_by_pieces(enc, "pieces", "doc_id", chunk_tokens=1000)
+        rebuilt = {r.doc_id: r.chunk_text for r in chunks}
+        for i, t in enumerate(texts):
+            assert "</w>" in rebuilt[i], (byte_level, i, rebuilt[i])
+
+
 def test_byte_level_asset_is_durable_and_self_describing(spark, tmp_path):
     """The byte_level marker row survives parquet; a re-imported asset
     applies byte mapping without any caller flag."""

@@ -323,6 +323,16 @@ def test_gray_uniform_exact():
     assert np.max(np.abs(got - 136.0)) < 4.0
 
 
+def test_ff_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes — a spec-valid padded file must decode identically."""
+    img = (np.arange(16)[:, None] * 9 + np.arange(16)[None, :]).astype(np.uint8)
+    blob, expected = encode_jpeg(img)
+    # pad after SOI and before every non-entropy segment marker
+    padded = blob[:2] + b"\xff\xff\xff" + blob[2:]
+    np.testing.assert_allclose(decode_pixels(padded), expected, atol=1e-8)
+
+
 def test_gray_gradient_differential():
     img = (
         np.arange(24)[:, None] * 5 + np.arange(40)[None, :] * 3

@@ -245,6 +245,23 @@ def test_bounded_blob_input_skips_shuffle_when_prebounded(spark, blobs):
     assert max(out2.rdd.glom().map(len).collect()) <= 3
 
 
+def test_bounded_blob_input_skew_does_not_bypass_guard(spark, blobs):
+    """Round-10 (ADVICE): partition COUNT does not bound rows per
+    partition. A skewed input — plenty of partitions, all rows hashed
+    into one — must still be re-bounded, not passed through."""
+    from littletable_spark.operators.multimodal import _bounded_blob_input
+
+    n = int(blobs.df.count())
+    from pyspark.sql import functions as F
+
+    skewed = blobs.df.select("id", "blob").repartition(int(n), F.lit(0))
+    sizes = skewed.rdd.glom().map(len).collect()
+    assert len(sizes) >= n and max(sizes) == n  # genuinely skewed
+    out = _bounded_blob_input(skewed, max_rows=2)
+    assert out is not skewed  # the old count-based skip let this through
+    assert max(out.rdd.glom().map(len).collect()) <= 3
+
+
 # ------------------------------------------------------------------ #
 # perceptual image hashing + image near-dup (round 9)
 
