@@ -1930,9 +1930,24 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stays in-gate three ways — dedup_minhash_incr's banded equi-join,
     dedup_spans_incr's gram join, multimodal_image_dedup's hamming
     blocking — and jaccard's adaptive prefix filter is mirror- and
-    pytest-covered). text_bpe_pack stays in-gate as the registry's
-    only rows-only row. The local mirror (scripts/verify_oracle.py)
-    still runs every oracle-checked query every round."""
+    pytest-covered). text_bpe_pack stayed in-gate through round 9 as
+    the registry's only rows-only row.
+
+    Round-10 rotation: the gate reads 50/50 all-green — text_bpe_pack
+    can never be better than rows-only (the BPE merge loop is
+    iterative, not SQL-expressible), so after two gated rows-only
+    rounds (r8, r9) it parks in the mirror, where the rows-only run
+    plus tests/test_bpe.py's differential brute-force trainer carry
+    its correctness; sim_ivf_pq returns to the gate in exchange
+    (driver-green r8 at the provably-exact nprobe=nlist +
+    corpus-covering-rerank config — the full PQ lifecycle: codebook
+    train, m-byte codes, parquet round-trip, ADC candidates, exact
+    re-rank). The url_features gate row changes SHAPE this round
+    (public-suffix-aware registrable domains, ccTLD hosts synthesized
+    every 7th doc; the suffix IN-list is composed from the operator's
+    own tuple in both engines). The local mirror
+    (scripts/verify_oracle.py) still runs every query every round,
+    rows-only where no oracle exists."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1980,12 +1995,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_epoch": q_sample_epoch,
         "sample_cap_per_group": q_sample_cap_per_group,
         "sample_cap_tokens": q_sample_cap_tokens,
-        "text_bpe_pack": q_text_bpe_pack,
+        "sim_ivf_pq": q_sim_ivf_pq,
         "text_chunks": q_text_chunks,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
-        "sim_ivf_pq": q_sim_ivf_pq,
+        "text_bpe_pack": q_text_bpe_pack,
         "multimodal_audio": q_multimodal_audio,
         "dedup_simhash": q_dedup_simhash,
         "events_dedup_stream": q_events_dedup_stream,
