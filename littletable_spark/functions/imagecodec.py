@@ -60,6 +60,8 @@ def sniff_format(blob: bytes) -> str:
         return "gif"
     if blob.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return "webp"
     return "unknown"
 
 
@@ -830,9 +832,10 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
 
 
 def decode_pixels(blob: bytes) -> np.ndarray:
-    """Decode a PNG/JPEG/BMP/PPM/GIF blob to an HxW (gray) or HxWx3
-    (RGB) float64 array in 0..255. Raises ValueError on unsupported
-    data; falls back to PIL only if it happens to be installed."""
+    """Decode a PNG/JPEG/BMP/PPM/GIF/WebP-lossless blob to an HxW
+    (gray) or HxWx3 (RGB) float64 array in 0..255. Raises ValueError
+    on unsupported data (e.g. lossy VP8 WebP); falls back to PIL only
+    if it happens to be installed."""
     fmt = sniff_format(blob)
     try:
         if fmt == "png":
@@ -845,6 +848,10 @@ def decode_pixels(blob: bytes) -> np.ndarray:
             return _decode_ppm(blob)
         if fmt == "gif":
             return _decode_gif(blob)
+        if fmt == "webp":
+            from .webpcodec import decode_webp
+
+            return decode_webp(blob)
     except CORRUPT_ERRORS:
         pass  # unsupported variant or truncated/corrupt data; try PIL
     try:
@@ -852,7 +859,8 @@ def decode_pixels(blob: bytes) -> np.ndarray:
     except ImportError:
         raise ValueError(
             f"cannot decode blob (sniffed format: {fmt}); builtin decoders "
-            "cover PNG/JPEG/BMP/PPM/GIF and PIL is not installed"
+            "cover PNG/JPEG/BMP/PPM/GIF/WebP-lossless and PIL is not "
+            "installed"
         ) from None
     try:  # pragma: no cover - PIL absent in this environment
         from io import BytesIO
