@@ -34,6 +34,14 @@ def _psl_in_list() -> str:
     return ", ".join(f"'{s}'" for s in COMMON_TWO_LEVEL_SUFFIXES)
 
 
+def _track_re() -> str:
+    """canonicalize_urls' tracking-param regex, verbatim, for the
+    DuckDB oracle (engine-portable: no lookaround, anchored)."""
+    from littletable_spark.operators.urlops import TRACKING_PARAM_RE
+
+    return TRACKING_PARAM_RE
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
     """Load a test table. With SPARK_GRAFT_CACHE_TABLES=1 (set by
     bench.py) base tables are persisted and reused across queries — the
@@ -1453,6 +1461,50 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (round 10): synthesize messy crawl URLs —
+    upper/lower case variants, explicit default ports, tracking params
+    in shuffled order, fragments, junk rows — such that each even/odd
+    doc pair reaches the SAME page two different ways; canonicalize
+    and window-count per canonical key to show the frontier-dedup
+    collapse. Same regexes + sort semantics in both engines."""
+    from pyspark.sql import Window
+
+    from littletable_spark.operators.urlops import canonicalize_urls
+
+    d = _t(spark, sf_dir, "documents")
+    pair = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+    url = F.when(F.col("doc_id") % 11 == 0, F.lit("no scheme here")).otherwise(
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("HTTPS://CDN.Example-"), F.col("lang"),
+                    F.lit(".COM:443/Item/"), pair,
+                    F.lit("?utm_source=x&b=2&a=1"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("https://u:p@cdn.example-"), F.col("lang"),
+                    F.lit(".com/Item/"), pair,
+                    F.lit("?a=1&b=2&gclid="), F.col("doc_id").cast("string"),
+                ),
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+    )
+    d.compute_field("url", url)
+    out = canonicalize_urls(d, "url")
+    return out.df.select(
+        "doc_id",
+        "canon_url",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("canon_url"))
+        .cast("int")
+        .alias("n_same_key"),
+    )
+
+
 def q_text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-(lang, source) curation report (round 9): doc counts, empty
     counts, char/token totals and means, exact p50/p95 token counts —
@@ -1945,9 +1997,17 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-rank). The url_features gate row changes SHAPE this round
     (public-suffix-aware registrable domains, ccTLD hosts synthesized
     every 7th doc; the suffix IN-list is composed from the operator's
-    own tuple in both engines). The local mirror
-    (scripts/verify_oracle.py) still runs every query every round,
-    rows-only where no oracle exists."""
+    own tuple in both engines). Net-new url_canon (canonicalize_urls:
+    the crawl-frontier dedup key — case/port/userinfo/fragment/
+    tracking-param/param-order normalization, window-counted per
+    canonical key) gates immediately per the new-query-gates-first
+    rule; dedup_lines parks in exchange (driver-green r6-r9; its
+    boilerplate line-strip core runs IN-GATE every round inside
+    stream_ingest_dedup's and stream_ingest_compact's curated-ingest
+    stacks, and the order-preserving reassembly is mirror- and
+    pytest-covered). The local mirror (scripts/verify_oracle.py)
+    still runs every query every round, rows-only where no oracle
+    exists."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -1975,7 +2035,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incr": q_dedup_minhash_incr,
         "text_pack_ids": q_text_pack_ids,
         "dedup_spans_incr": q_dedup_spans_incr,
-        "dedup_lines": q_dedup_lines,
+        "url_canon": q_url_canon,
         "dedup_clusters": q_dedup_clusters,
         "url_features": q_url_features,
         "multimodal_image_dedup": q_multimodal_image_dedup,
@@ -2001,6 +2061,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
         "text_bpe_pack": q_text_bpe_pack,
+        "dedup_lines": q_dedup_lines,
         "multimodal_audio": q_multimodal_audio,
         "dedup_simhash": q_dedup_simhash,
         "events_dedup_stream": q_events_dedup_stream,
@@ -3504,6 +3565,60 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS is_ip
             FROM g
         """.replace("__PSL_IN_LIST__", _psl_in_list()),
+        # canonicalization: same regexes, same byte-order param sort;
+        # the tracking-param regex is the operator's own constant so
+        # the engines cannot drift
+        "url_canon": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN 'no scheme here'
+                     ELSE
+                       CASE WHEN doc_id % 2 = 0 THEN
+                         'HTTPS://CDN.Example-' || lang || '.COM:443/Item/'
+                         || (doc_id - doc_id % 2)::VARCHAR
+                         || '?utm_source=x&b=2&a=1'
+                       ELSE
+                         'https://u:p@cdn.example-' || lang || '.com/Item/'
+                         || (doc_id - doc_id % 2)::VARCHAR
+                         || '?a=1&b=2&gclid=' || doc_id::VARCHAR
+                       END
+                       || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END
+                     END AS url
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     regexp_extract(
+                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       '^(?:[^@]*@)?(.*)$', 1) AS hostport,
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS raw_path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u
+            ), g AS (
+              SELECT doc_id, scheme,
+                     regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                     regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                     CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
+                     list_sort(list_filter(string_split(query, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '__TRACK_RE__'))) AS params
+              FROM f
+            ), c AS (
+              SELECT doc_id,
+                     CASE WHEN scheme = '' OR host = '' THEN NULL
+                     ELSE scheme || '://' || host
+                       || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                                    OR (scheme = 'https' AND port = '443')
+                               THEN '' ELSE ':' || port END
+                       || path
+                       || CASE WHEN len(params) = 0 THEN ''
+                               ELSE '?' || array_to_string(params, '&') END
+                     END AS canon_url
+              FROM g
+            )
+            SELECT doc_id, canon_url,
+                   (count(*) OVER (PARTITION BY canon_url))::INTEGER AS n_same_key
+            FROM c
+        """.replace("__TRACK_RE__", _track_re()),
         # exact percentiles: quantile_cont ≡ Spark percentile (A/B
         # verified bit-equal incl. interpolation error)
         "text_corpus_report": """

@@ -38,7 +38,9 @@ from ..table import Table
 __all__ = [
     "url_features",
     "filter_url_blocklist",
+    "canonicalize_urls",
     "COMMON_TWO_LEVEL_SUFFIXES",
+    "TRACKING_PARAM_RE",
 ]
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
@@ -173,6 +175,83 @@ def url_features(table: Table, url_col: str = "url", psl=None) -> Table:
                 "is_ip": is_ip,
             }
         )
+    return table._derive(out)
+
+
+# query parameters that never change page content (analytics /
+# click-tracking) — dropped during canonicalization so the same page
+# reached via different campaigns dedups to ONE frontier key.
+# Engine-portable regex (no lookaround): anchored full-param match.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=&]*|gclid|dclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src"
+    r"|_ga|yclid|wbraid|gbraid)(=.*)?$"
+)
+
+
+def canonicalize_urls(
+    table: Table,
+    url_col: str = "url",
+    out_col: str = "canon_url",
+    drop_tracking_params: bool = True,
+) -> Table:
+    """Add ``out_col``: the canonical form of ``url_col`` — THE dedup /
+    crawl-frontier key (the same page reached via different casings,
+    default ports, fragments, tracking params, or query-param orders
+    must collapse to one key before URL-level dedup or per-URL quotas
+    mean anything).
+
+    Normalizations (all engine-portable native expressions — one
+    narrow projection, no UDF, no shuffle; oracle-checkable in DuckDB
+    with the same regexes):
+
+    - scheme and host lowercased; userinfo (``user:pw@``) dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+      other ports kept
+    - fragment (``#...``) dropped
+    - empty path becomes ``/``
+    - query params: empty params dropped, tracking params
+      (``TRACKING_PARAM_RE``: utm_*, gclid, fbclid, ...) dropped when
+      ``drop_tracking_params``, the rest SORTED (byte order —
+      identical in Spark and DuckDB); an emptied query drops its ``?``
+
+    Rows whose URL has no scheme or host canonicalize to NULL (count
+    them downstream for the audit trail; junk never fails the job).
+    """
+    if out_col in table.fields:
+        raise ValueError(
+            f"canonicalize_urls would overwrite existing column {out_col!r}; "
+            "pass a different out_col"
+        )
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    hostport = F.regexp_extract(authority, r"^(?:[^@]*@)?(.*)$", 1)
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default_port = (
+        (scheme == F.lit("http")) & (port == F.lit("80"))
+    ) | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    port_part = F.when(
+        (port == F.lit("")) | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(raw_path == F.lit(""), F.lit("/")).otherwise(raw_path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        (lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE))
+        if drop_tracking_params
+        else (lambda p: p != F.lit("")),
+    )
+    query_part = F.when(F.size(keep) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(keep), "&"))
+    )
+    canon = F.when(
+        (scheme == F.lit("")) | (host == F.lit("")), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    )
+    out = table._require_df().withColumn(out_col, canon)
     return table._derive(out)
 
 

@@ -376,6 +376,46 @@ def test_warc_salvage_keeps_records_before_corruption(spark, tmp_path):
         warc_import(spark, str(d), on_error="raise").df.collect()
 
 
+def test_canonicalize_urls(spark):
+    """Frontier-key canonicalization: case, default ports, userinfo,
+    fragments, tracking params, param order, and empty paths all
+    collapse; junk canonicalizes to NULL without failing."""
+    from littletable_spark.operators.urlops import canonicalize_urls
+
+    t = Table("recs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "url": "HTTP://Example.COM:80/a/b?z=2&a=1#frag"},
+            {"id": 1, "url": "http://example.com/a/b?a=1&z=2"},
+            {"id": 2, "url": "https://u:pw@Site.org:443"},
+            {"id": 3, "url": "https://site.org:8443/x?utm_source=tw&q=hi&utm_medium=&gclid=abc"},
+            {"id": 4, "url": "http://a.com/p?&&"},
+            {"id": 5, "url": "not a url"},
+            {"id": 6, "url": None},
+            {"id": 7, "url": "http://a.com/p?ref=x&REF=y"},  # case-sensitive names
+        ]
+    )
+    got = {r.id: r.canon_url for r in canonicalize_urls(t, "url")}
+    assert got[0] == "http://example.com/a/b?a=1&z=2"
+    assert got[1] == got[0]  # param order + default port + case collapse
+    assert got[2] == "https://site.org/"
+    assert got[3] == "https://site.org:8443/x?q=hi"
+    assert got[4] == "http://a.com/p"  # empty params, ? dropped
+    assert got[5] is None and got[6] is None
+    assert got[7] == "http://a.com/p?REF=y"  # REF= kept (names case-sensitive)
+    kept_all = {
+        r.id: r.canon_url
+        for r in canonicalize_urls(t, "url", drop_tracking_params=False)
+    }
+    assert kept_all[3] == (
+        "https://site.org:8443/x?gclid=abc&q=hi&utm_medium=&utm_source=tw"
+    )
+    with pytest.raises(ValueError, match="overwrite existing"):
+        canonicalize_urls(Table.from_df(
+            canonicalize_urls(t, "url").df, name="x"
+        ), "url")
+
+
 def test_url_features_column_conflict_guard(spark):
     from littletable_spark.operators.urlops import url_features
 
