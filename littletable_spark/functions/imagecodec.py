@@ -632,6 +632,7 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, hs, vs, qid)])
     restart_interval = 0
+    orientation = 1  # EXIF tag 0x0112; 1 = upright
     # each scan: (sel[(ci, dc_id, ac_id)], Ss, Se, Ah, Al, segments,
     #             restart_interval, dc_tables, ac_tables)
     scans: list[tuple] = []
@@ -694,6 +695,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":  # APP1
+            orientation = _exif_orientation(body[6:]) or orientation
         elif marker == 0xDA:  # SOS: header, then entropy data
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -817,14 +820,62 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
             p = np.repeat(p, vmax // vs, axis=0)
         full.append(p[:fh, :fw])
     if len(full) == 1:
-        return np.clip(full[0], 0.0, 255.0)
+        return _apply_orientation(np.clip(full[0], 0.0, 255.0), orientation)
     if len(full) != 3:
         raise ValueError(f"JPEG with {len(full)} components not supported")
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.stack([r, g, b], axis=2), 0.0, 255.0)
+    out = np.clip(np.stack([r, g, b], axis=2), 0.0, 255.0)
+    return _apply_orientation(out, orientation)
+
+
+def _exif_orientation(tiff: bytes) -> int | None:
+    """Orientation (EXIF tag 0x0112, values 1-8) from an APP1 TIFF
+    body; None when absent/malformed (EXIF problems must never fail a
+    decode — the pixels are still good)."""
+    try:
+        if tiff[:2] == b"II":
+            fmt = "<"
+        elif tiff[:2] == b"MM":
+            fmt = ">"
+        else:
+            return None
+        if struct.unpack_from(fmt + "H", tiff, 2)[0] != 42:
+            return None
+        (ifd_off,) = struct.unpack_from(fmt + "I", tiff, 4)
+        (n,) = struct.unpack_from(fmt + "H", tiff, ifd_off)
+        for i in range(n):
+            base = ifd_off + 2 + 12 * i
+            tag, typ = struct.unpack_from(fmt + "HH", tiff, base)
+            if tag == 0x0112 and typ == 3:  # SHORT
+                (val,) = struct.unpack_from(fmt + "H", tiff, base + 8)
+                return val if 1 <= val <= 8 else None
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
+def _apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Map stored pixels to DISPLAY orientation (EXIF 1-8) so
+    downstream features (dHash, resize grids) see what a viewer sees —
+    a rotated-capture photo must dedup against its upright twin."""
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1, :]
+    if orientation == 5:
+        return np.swapaxes(img, 0, 1)
+    if orientation == 6:
+        return np.swapaxes(img, 0, 1)[:, ::-1]
+    if orientation == 7:
+        return np.swapaxes(img, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.swapaxes(img, 0, 1)[::-1, :]
+    return img
 
 
 # ------------------------------------------------------------------ #

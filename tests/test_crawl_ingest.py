@@ -237,6 +237,46 @@ def test_warc_explode_chunking_preserves_salvage():
     assert [len(f) for f in frames] == [256, 44]
 
 
+def test_wet_conversion_records(spark, tmp_path):
+    """Common Crawl WET files are WARC archives of WARC-Type:
+    conversion records (pre-extracted text, no HTTP envelope) —
+    record_types=('conversion',) ingests them directly into the text
+    pipeline."""
+    d = tmp_path / "wet"
+    d.mkdir()
+    recs = _warc_record(
+        "warcinfo", "", b"software: wet-writer", http=False
+    ) + b"".join(
+        _warc_record(
+            "conversion",
+            f"http://w.test/{i}",
+            ("extracted text of document %d with several words" % i).encode(),
+            http=False,
+            content_type=b"text/plain",
+        )
+        for i in range(5)
+    )
+    (d / "c.warc.wet.gz").write_bytes(gzip.compress(recs))
+    t = warc_import(
+        spark, str(d), pattern="*.wet.gz", record_types=("conversion",)
+    )
+    rows = sorted((r.url, r.payload.decode()) for r in t)
+    assert len(rows) == 5
+    assert rows[0] == (
+        "http://w.test/0",
+        "extracted text of document 0 with several words",
+    )
+    # straight into token stats: WET payload IS the document text
+    from littletable_spark.operators.textops import token_stats
+
+    docs = Table.from_df(
+        t.df.selectExpr("url AS doc_id", "decode(payload, 'utf-8') AS text"),
+        name="wet_docs",
+    )
+    stats = {r.doc_id: r.n_tokens for r in token_stats(docs, "text", "doc_id")}
+    assert stats["http://w.test/3"] == 8
+
+
 def test_warc_import_small_batch_end_to_end(spark, tmp_path):
     d = tmp_path / "w"
     d.mkdir()

@@ -333,6 +333,76 @@ def test_ff_fill_bytes_before_markers():
     np.testing.assert_allclose(decode_pixels(padded), expected, atol=1e-8)
 
 
+def _exif_app1(orientation: int, bo: str = "II") -> bytes:
+    fmt = "<" if bo == "II" else ">"
+    entry = (
+        struct.pack(fmt + "HHI", 0x0112, 3, 1)
+        + struct.pack(fmt + "H", orientation)
+        + b"\x00\x00"
+    )
+    tiff = (
+        bo.encode()
+        + struct.pack(fmt + "HI", 42, 8)
+        + struct.pack(fmt + "H", 1)
+        + entry
+        + struct.pack(fmt + "I", 0)
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_exif_orientation_all_values(bo):
+    """An EXIF-tagged JPEG decodes to DISPLAY orientation: the decoded
+    pixels are the stored pixels mapped per tag 0x0112 (both TIFF byte
+    orders) — so a rotated-capture photo dedups against its upright
+    twin."""
+    from littletable_spark.functions.imagecodec import _apply_orientation
+
+    img = (np.arange(16)[:, None] * 9 + np.arange(24)[None, :] * 2).astype(
+        np.uint8
+    )
+    blob, expected = encode_jpeg(img)
+    for o in range(1, 9):
+        tagged = blob[:2] + _exif_app1(o, bo) + blob[2:]
+        got = decode_pixels(tagged)
+        np.testing.assert_allclose(
+            got, _apply_orientation(expected, o), atol=1e-8, err_msg=f"o={o}"
+        )
+    # malformed EXIF never fails the decode
+    bad = blob[:2] + b"\xff\xe1\x00\x08Exif\x00\x00" + blob[2:]
+    np.testing.assert_allclose(decode_pixels(bad), expected, atol=1e-8)
+
+
+def test_exif_rotation_invariant_image_hash():
+    """dHash of a rotated-capture JPEG (stored sideways + orientation
+    tag) matches the upright capture within near-dup distance."""
+    from littletable_spark.functions.imagecodec import decode_to_gray
+
+    rng = np.random.RandomState(3)
+    upright = np.repeat(
+        np.repeat(rng.choice([0, 230], size=(4, 4)), 16, axis=0), 16, axis=1
+    ).astype(np.uint8)
+    stored = np.rot90(upright, 1).copy()  # display(stored, o=6) == upright
+    up_blob, _ = encode_jpeg(upright)
+    rot_blob, _ = encode_jpeg(stored)
+    tagged = rot_blob[:2] + _exif_app1(6) + rot_blob[2:]
+
+    def dhash(blob):
+        g = decode_to_gray(blob, 9, 8)
+        bits = 0
+        for r in range(8):
+            for c in range(8):
+                if g[r, c] > g[r, c + 1]:
+                    bits |= 1 << (r * 8 + c)
+        return bits
+
+    ham_fixed = bin(dhash(up_blob) ^ dhash(tagged)).count("1")
+    ham_untagged = bin(dhash(up_blob) ^ dhash(rot_blob)).count("1")
+    assert ham_fixed <= 4, ham_fixed
+    assert ham_untagged > ham_fixed  # without the tag they diverge
+
+
 def test_gray_gradient_differential():
     img = (
         np.arange(24)[:, None] * 5 + np.arange(40)[None, :] * 3
