@@ -633,6 +633,7 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     frame = None  # (h, w, [(cid, hs, vs, qid)])
     restart_interval = 0
     orientation = 1  # EXIF tag 0x0112; 1 = upright
+    adobe_transform = None  # APP14: 0=RGB/CMYK, 1=YCbCr, 2=YCCK
     # each scan: (sel[(ci, dc_id, ac_id)], Ss, Se, Ah, Al, segments,
     #             restart_interval, dc_tables, ac_tables)
     scans: list[tuple] = []
@@ -697,6 +698,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":  # APP1
             orientation = _exif_orientation(body[6:]) or orientation
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe_transform = body[11]  # APP14 color-transform flag
         elif marker == 0xDA:  # SOS: header, then entropy data
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -821,8 +824,26 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
         full.append(p[:fh, :fw])
     if len(full) == 1:
         return _apply_orientation(np.clip(full[0], 0.0, 255.0), orientation)
+    if len(full) == 4:
+        # Adobe CMYK (APP14 transform 0/absent) or YCCK (transform 2).
+        # Adobe stores INVERTED ink values (255 = no ink), the
+        # convention every mainstream consumer applies: R = C'·K'/255
+        # on the decoded values.
+        if adobe_transform == 2:  # YCCK: YCbCr math yields inverted CMY
+            y, cb, cr, k = full
+            c = y + 1.402 * (cr - 128.0)
+            m = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            ye = y + 1.772 * (cb - 128.0)
+        else:
+            c, m, ye, k = full
+        c, m, ye, k = (np.clip(v, 0.0, 255.0) for v in (c, m, ye, k))
+        out = np.stack([c * k, m * k, ye * k], axis=2) / 255.0
+        return _apply_orientation(out, orientation)
     if len(full) != 3:
         raise ValueError(f"JPEG with {len(full)} components not supported")
+    if adobe_transform == 0:  # Adobe RGB: stored without YCbCr
+        out = np.clip(np.stack(full, axis=2), 0.0, 255.0)
+        return _apply_orientation(out, orientation)
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -299,6 +299,63 @@ def encode_jpeg(
     return bytes(out), expected
 
 
+def encode_jpeg_channels(
+    channels: np.ndarray, adobe_transform: int | None, divisor: float = 4.0
+):
+    """Baseline encoder for N equal-resolution components with an
+    Adobe APP14 marker (CMYK/YCCK/RGB layouts). channels: HxWxN uint8
+    WIRE values. Returns (blob, per-channel decoder-exact recon)."""
+    h, w, nc = channels.shape
+    ql = _QL / divisor
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    if adobe_transform is not None:
+        out += seg(
+            0xEE,
+            b"Adobe" + b"\x00\x64" + b"\x00\x00" * 2 + bytes([adobe_transform]),
+        )
+    q8 = np.maximum(np.round(ql[_JPEG_ZIGZAG]), 1).astype(np.uint8)
+    out += seg(0xDB, bytes([0x00]) + q8.tobytes())
+    q_wire = np.zeros(64)
+    q_wire[_JPEG_ZIGZAG] = q8.astype(np.float64)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    coefs, recon = [], []
+    for ci in range(nc):
+        p = channels[:, :, ci].astype(np.float64)
+        padded = np.pad(
+            p, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge"
+        )
+        c = _fdct_quant(padded, q_wire)
+        coefs.append(c)
+        recon.append(_reconstruct(c, q_wire)[:h, :w])
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += struct.pack(">BBB", i + 1, 0x11, 0)
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + _DC_BITS + _DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + _AC_BITS + _AC_VALS)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    dc_codes, ac_codes = _dc_codes(), _ac_codes()
+    bw = _BitWriter()
+    preds = [0] * nc
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            preds[ci] = _encode_block(
+                bw, coefs[ci][my, mx], preds[ci], dc_codes, ac_codes
+            )
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out), recon
+
+
 # ------------------------------------------------------------------ #
 # tests
 
@@ -372,6 +429,51 @@ def test_exif_orientation_all_values(bo):
     # malformed EXIF never fails the decode
     bad = blob[:2] + b"\xff\xe1\x00\x08Exif\x00\x00" + blob[2:]
     np.testing.assert_allclose(decode_pixels(bad), expected, atol=1e-8)
+
+
+def test_adobe_cmyk_differential():
+    """4-component Adobe JPEG, transform 0 (inverted CMYK): decoded
+    RGB must equal R=C'·K'/255 on the decoder-exact channel recons."""
+    ch = _rng(31).randint(0, 256, (16, 13, 4), dtype=np.uint8)
+    blob, recon = encode_jpeg_channels(ch, adobe_transform=0)
+    c, m, ye, k = (np.clip(r, 0.0, 255.0) for r in recon)
+    expected = np.stack([c * k, m * k, ye * k], axis=2) / 255.0
+    np.testing.assert_allclose(decode_pixels(blob), expected, atol=1e-8)
+
+
+def test_adobe_ycck_differential():
+    """Transform 2 (YCCK): YCbCr math on channels 0-2 yields inverted
+    CMY, multiplied by K'."""
+    ch = _rng(32).randint(0, 256, (12, 17, 4), dtype=np.uint8)
+    blob, recon = encode_jpeg_channels(ch, adobe_transform=2)
+    y, cb, cr, k = recon
+    c = y + 1.402 * (cr - 128.0)
+    m = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    ye = y + 1.772 * (cb - 128.0)
+    c, m, ye, k = (np.clip(v, 0.0, 255.0) for v in (c, m, ye, k))
+    got = decode_pixels(blob)
+    np.testing.assert_allclose(
+        got, np.stack([c * k, m * k, ye * k], axis=2) / 255.0, atol=1e-8
+    )
+
+
+def test_adobe_rgb_passthrough():
+    """3-component Adobe transform 0: channels ARE RGB (no YCbCr)."""
+    ch = _rng(33).randint(0, 256, (10, 10, 3), dtype=np.uint8)
+    blob, recon = encode_jpeg_channels(ch, adobe_transform=0)
+    expected = np.clip(np.stack(recon, axis=2), 0.0, 255.0)
+    np.testing.assert_allclose(decode_pixels(blob), expected, atol=1e-8)
+
+
+def test_four_components_without_adobe_marker_is_cmyk():
+    ch = _rng(34).randint(0, 256, (9, 9, 4), dtype=np.uint8)
+    blob, recon = encode_jpeg_channels(ch, adobe_transform=None)
+    c, m, ye, k = (np.clip(r, 0.0, 255.0) for r in recon)
+    np.testing.assert_allclose(
+        decode_pixels(blob),
+        np.stack([c * k, m * k, ye * k], axis=2) / 255.0,
+        atol=1e-8,
+    )
 
 
 def test_exif_rotation_invariant_image_hash():
