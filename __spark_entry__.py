@@ -1505,6 +1505,63 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_TEMPLATE = (
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok\n"
+    "Disallow: /tmp*.bak$\n"
+)
+
+
+def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt filtering (round 10): one robots.txt per synthesized
+    per-lang domain (parsed by parse_robots in an Arrow pass), URLs in
+    five path shapes hitting prefix rules, the Allow override, the $
+    anchor, and its non-anchored miss, plus unlisted-domain rows;
+    filter_by_robots keeps the allowed set under strict
+    keep_unlisted=False. The oracle replays the parsed rules as VALUES
+    and the same LIKE/window logic."""
+    from pyspark.sql import Window  # noqa: F401 (operator builds windows)
+
+    from littletable_spark.operators.robots import filter_by_robots, parse_robots
+
+    d = _t(spark, sf_dir, "documents")
+    robots = Table.from_df(
+        d.df.select("lang")
+        .distinct()
+        .select(
+            F.concat(F.lit("site-"), F.col("lang"), F.lit(".com")).alias(
+                "domain"
+            ),
+            F.lit(_ROBOTS_TEMPLATE).alias("txt"),
+        ),
+        name="robots",
+    )
+    rules = parse_robots(robots, "txt", "domain")
+    shape = F.col("doc_id") % 5
+    url = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit("https://unlisted-"), F.col("lang"), F.lit(".org/x")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site-"),
+            F.col("lang"),
+            F.lit(".com"),
+            F.when(shape == 0, F.lit("/public/"))
+            .when(shape == 1, F.lit("/private/"))
+            .when(shape == 2, F.lit("/private/ok/"))
+            .otherwise(F.lit("/tmp")),
+            F.col("doc_id").cast("string"),
+            F.when(shape == 3, F.lit(".bak"))
+            .when(shape == 4, F.lit(".bak.txt"))
+            .otherwise(F.lit("")),
+        )
+    )
+    d.compute_field("url", url)
+    kept = filter_by_robots(d, rules, "url", "doc_id", keep_unlisted=False)
+    return kept.df.select("doc_id", "url")
+
+
 def q_text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-(lang, source) curation report (round 9): doc counts, empty
     counts, char/token totals and means, exact p50/p95 token counts —
@@ -2005,9 +2062,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     boilerplate line-strip core runs IN-GATE every round inside
     stream_ingest_dedup's and stream_ingest_compact's curated-ingest
     stacks, and the order-preserving reassembly is mirror- and
-    pytest-covered). The local mirror (scripts/verify_oracle.py)
-    still runs every query every round, rows-only where no oracle
-    exists."""
+    pytest-covered). Net-new url_robots (RFC 9309 robots.txt
+    filtering: parse_robots Arrow-pass rules + filter_by_robots'
+    broadcast LIKE join with longest-rule/allow-wins precedence,
+    strict keep_unlisted=False) also gates immediately; text_chunks
+    parks in exchange (driver-green r1-r9; its posexplode(sequence) +
+    array-slice windowing core stays in-gate via text_pack's shard
+    coordinates and explode-family siblings, and the chunk-shape
+    invariants are mirror- and pytest-covered). The local mirror
+    (scripts/verify_oracle.py) still runs every query every round,
+    rows-only where no oracle exists."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -2036,6 +2100,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_ids": q_text_pack_ids,
         "dedup_spans_incr": q_dedup_spans_incr,
         "url_canon": q_url_canon,
+        "url_robots": q_url_robots,
         "dedup_clusters": q_dedup_clusters,
         "url_features": q_url_features,
         "multimodal_image_dedup": q_multimodal_image_dedup,
@@ -2056,11 +2121,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_cap_per_group": q_sample_cap_per_group,
         "sample_cap_tokens": q_sample_cap_tokens,
         "sim_ivf_pq": q_sim_ivf_pq,
-        "text_chunks": q_text_chunks,
         "text_pack": q_text_pack,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
         "text_bpe_pack": q_text_bpe_pack,
+        "text_chunks": q_text_chunks,
         "dedup_lines": q_dedup_lines,
         "multimodal_audio": q_multimodal_audio,
         "dedup_simhash": q_dedup_simhash,
@@ -3619,6 +3684,71 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) OVER (PARTITION BY canon_url))::INTEGER AS n_same_key
             FROM c
         """.replace("__TRACK_RE__", _track_re()),
+        # robots filtering: the parsed rules of the fixed template are
+        # replayed as VALUES; same LIKE patterns (ESCAPE '\\'), same
+        # longest-rule/allow-wins window, same subdomain-safe domain
+        # match and listed/unlisted distinction
+        "url_robots": """
+            WITH langs AS (SELECT DISTINCT lang FROM documents),
+            rules AS (
+              SELECT 'site-' || lang || '.com' AS domain,
+                     r.allow, r.rule_len, r.like_pattern
+              FROM langs, (VALUES
+                (false, 9, '/private/%'),
+                (true, 11, '/private/ok%'),
+                (false, 10, '/tmp%.bak')
+              ) AS r(allow, rule_len, like_pattern)
+            ),
+            u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN
+                       'https://unlisted-' || lang || '.org/x'
+                     ELSE
+                       'https://site-' || lang || '.com'
+                       || CASE doc_id % 5 WHEN 0 THEN '/public/'
+                            WHEN 1 THEN '/private/' WHEN 2 THEN '/private/ok/'
+                            ELSE '/tmp' END
+                       || doc_id::VARCHAR
+                       || CASE doc_id % 5 WHEN 3 THEN '.bak'
+                            WHEN 4 THEN '.bak.txt' ELSE '' END
+                     END AS url
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, url,
+                     regexp_extract(
+                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       '^(?:[^@]*@)?([^:]*)', 1) AS host,
+                     CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                          THEN '/'
+                          ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+                     END AS path
+              FROM u
+            ),
+            listed AS (
+              SELECT f.doc_id, max(1) AS is_listed
+              FROM f JOIN (SELECT DISTINCT domain FROM rules) d
+                ON f.host = d.domain OR ends_with(f.host, '.' || d.domain)
+              GROUP BY f.doc_id
+            ),
+            j AS (
+              SELECT f.doc_id, f.url, r.allow, r.rule_len,
+                     row_number() OVER (
+                       PARTITION BY f.doc_id
+                       ORDER BY r.rule_len DESC NULLS LAST,
+                                r.allow DESC NULLS LAST
+                     ) AS rn
+              FROM f LEFT JOIN rules r
+                ON (f.host = r.domain OR ends_with(f.host, '.' || r.domain))
+                   AND f.path LIKE r.like_pattern ESCAPE '\\'
+            )
+            SELECT j.doc_id, j.url
+            FROM j LEFT JOIN listed l ON j.doc_id = l.doc_id
+            WHERE j.rn = 1
+              AND CASE WHEN j.rule_len IS NOT NULL THEN j.allow
+                       WHEN l.is_listed IS NOT NULL THEN TRUE
+                       ELSE FALSE END
+        """,
         # exact percentiles: quantile_cont ≡ Spark percentile (A/B
         # verified bit-equal incl. interpolation error)
         "text_corpus_report": """

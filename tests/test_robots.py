@@ -1,0 +1,117 @@
+"""robots.txt (RFC 9309) parsing + URL filtering."""
+
+import pytest
+
+from littletable_spark import Table
+from littletable_spark.operators.robots import (
+    _parse_one,
+    filter_by_robots,
+    parse_robots,
+    robots_like_pattern,
+)
+
+_ROBOTS = """\
+# a comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /tmp*.bak$
+
+User-agent: GoodBot
+User-agent: OtherBot
+Disallow: /goodbot-only/
+Allow:
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_parse_one_group_selection():
+    star = _parse_one(_ROBOTS, "SomeCrawler")
+    assert ("/private/", False) in star and ("/private/ok", True) in star
+    assert ("/tmp*.bak$", False) in star
+    good = _parse_one(_ROBOTS, "goodbot")
+    assert good == [("/goodbot-only/", False)]
+    # stacked user-agent lines share one group
+    other = _parse_one(_ROBOTS, "OtherBot")
+    assert other == good
+    # token containment: agent string contains the UA token
+    assert _parse_one(_ROBOTS, "BadBot/2.1 (+http://x)") == [("/", False)]
+    # empty Disallow: emits no rule (allow-all idiom)
+    assert _parse_one("User-agent: *\nDisallow:\n", "x") == []
+
+
+def test_like_pattern_translation():
+    assert robots_like_pattern("/a/b") == "/a/b%"
+    assert robots_like_pattern("/a*z") == "/a%z%"
+    assert robots_like_pattern("/exact$") == "/exact"
+    assert robots_like_pattern("/50%_off") == "/50\\%\\_off%"
+
+
+def test_parse_robots_table(spark):
+    t = Table("robots", spark=spark)
+    t.insert_many(
+        [
+            {"domain": "a.com", "txt": _ROBOTS},
+            {"domain": "b.com", "txt": "User-agent: *\nDisallow: /\n"},
+            {"domain": "c.com", "txt": "not robots at all"},
+        ]
+    )
+    rules = parse_robots(t, "txt", "domain")
+    got = {(r.domain, r.path_pattern): (r.allow, r.rule_len) for r in rules}
+    assert got[("a.com", "/private/")] == (False, 9)
+    assert got[("a.com", "/private/ok")] == (True, 11)
+    assert got[("b.com", "/")] == (False, 1)
+    assert not any(d == "c.com" for d, _ in got)
+
+
+def test_filter_by_robots_precedence(spark):
+    rt = Table("robots", spark=spark)
+    rt.insert_many(
+        [
+            {"domain": "a.com", "txt": _ROBOTS},
+            {"domain": "deny.com", "txt": "User-agent: *\nDisallow: /\n"},
+        ]
+    )
+    rules = parse_robots(rt, "txt", "domain")
+    t = Table("urls", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 0, "url": "https://a.com/public/page"},
+            {"doc_id": 1, "url": "https://a.com/private/secret"},
+            {"doc_id": 2, "url": "https://a.com/private/ok/fine"},  # Allow wins
+            {"doc_id": 3, "url": "https://a.com/tmp123.bak"},       # $ anchor
+            {"doc_id": 4, "url": "https://a.com/tmp123.bak.txt"},   # not anchored
+            {"doc_id": 5, "url": "https://deny.com/anything"},
+            {"doc_id": 6, "url": "https://unlisted.org/x"},
+        ]
+    )
+    kept = sorted(r.doc_id for r in filter_by_robots(t, rules, "url", "doc_id"))
+    assert kept == [0, 2, 4, 6]
+    strict = sorted(
+        r.doc_id
+        for r in filter_by_robots(t, rules, "url", "doc_id", keep_unlisted=False)
+    )
+    assert strict == [0, 2, 4]
+    # original columns come back unchanged
+    out = filter_by_robots(t, rules, "url", "doc_id")
+    assert set(out.fields) == {"doc_id", "url"}
+
+
+def test_filter_allow_beats_disallow_on_tie(spark):
+    rt = Table("r", spark=spark)
+    rt.insert_many(
+        [{"domain": "t.com", "txt": "User-agent: *\nDisallow: /a/\nAllow: /b/\n"}]
+    )
+    rules = parse_robots(rt, "txt", "domain")
+    # same-length competing rules for one path: craft via two rules of
+    # equal length matching the same URL
+    rt2 = Table("r2", spark=spark)
+    rt2.insert_many(
+        [{"domain": "t.com", "txt": "User-agent: *\nDisallow: /pg\nAllow: /pg\n"}]
+    )
+    rules2 = parse_robots(rt2, "txt", "domain")
+    t = Table("u", spark=spark)
+    t.insert_many([{"doc_id": 0, "url": "https://t.com/pg/x"}])
+    assert [r.doc_id for r in filter_by_robots(t, rules2, "url", "doc_id")] == [0]

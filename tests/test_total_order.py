@@ -88,6 +88,18 @@ ALLOW_INTERCHANGEABLE: dict[str, str] = {
     # reads) is permutation-invariant. Also covered by the (user_id,
     # ts) census row, kept here for the generic-operator argument.
     "events_session": "lag reads only ts; ties have equal ts",
+    "url_canon": (
+        "count(*) over (partition by canon_url) carries NO order "
+        "clause — a full-partition frame is order-insensitive, so "
+        "tied rows are trivially interchangeable"
+    ),
+    "url_robots": (
+        "row_number over (doc_id ORDER BY rule_len DESC, allow DESC): "
+        "rows tied on (rule_len, allow) are interchangeable because "
+        "the query keeps/projects only (doc_id, url) — constant within "
+        "the partition — and the keep decision reads only the tied "
+        "allow flag"
+    ),
 }
 
 
