@@ -1558,7 +1558,7 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d.compute_field("url", url)
-    kept = filter_by_robots(d, rules, "url", "doc_id", keep_unlisted=False)
+    kept = filter_by_robots(d, rules, "url", keep_unlisted=False)
     return kept.df.select("doc_id", "url")
 
 

@@ -1,16 +1,21 @@
-"""The full crawl story in-engine (round 9): WARC archives on disk →
-records → extracted text → quality filter → dedup → curation report.
+"""The full crawl story in-engine (rounds 9-10): WARC archives on
+disk → records → robots filtering → canonical-URL dedup → extracted
+text → quality filter → content dedup → curation report.
 
 Builds a small synthetic crawl (two .warc/.warc.gz files of HTML +
 plain-text responses, one corrupt archive) in a temp dir, then runs
 the pipeline a real pretraining-data job would:
 
-1. ``warc_import``       — one task per archive, HTTP envelope split
-2. ``extract_text``      — format-routed (HTML main-content / PDF /
+1. ``warc_import``       — one task per archive, HTTP envelope split,
+                           records streamed out in bounded chunks
+2. ``parse_robots`` + ``filter_by_robots`` — RFC 9309 politeness
+3. ``canonicalize_urls`` — frontier-key dedup (tracking params, case,
+                           ports, fragments collapse)
+4. ``extract_text``      — format-routed (HTML main-content / PDF /
                            UTF-8), boilerplate dropped
-3. ``gopher_quality_filter`` — rule-based audit-trail filtering
-4. ``exact_dedup``       — content-hash dedup
-5. ``corpus_report``     — per-format counts/tokens/percentiles
+5. ``gopher_quality_filter`` — rule-based audit-trail filtering
+6. ``exact_dedup``       — content-hash dedup
+7. ``corpus_report``     — per-format counts/tokens/percentiles
 
 Run: python examples/crawl_pipeline_demo.py
 """
@@ -71,11 +76,39 @@ def main() -> None:
     (root / "site_b.warc.gz").write_bytes(gzip.compress(b))
     (root / "broken.warc").write_bytes(b"not a warc")
 
-    # 1-2. archives -> records -> text
+    # 1. archives -> records
     recs = warc_import(spark, str(root), pattern="*.warc*", on_error="null")
     print(f"records: {len(recs)}")
+
+    # 2. robots politeness: site B disallows /2 for everyone
+    from littletable_spark.operators.robots import filter_by_robots, parse_robots
+
+    robots = Table("robots", spark=spark)
+    robots.insert_many(
+        [{"domain": "site-b.test", "txt": "User-agent: *\nDisallow: /2\n"}]
+    )
+    rules = parse_robots(robots, "txt", "domain")
+    polite = filter_by_robots(recs, rules, "url")
+    print(f"robots: {len(polite)}/{len(recs)} allowed")
+
+    # 3. canonical frontier keys: tracking params / fragments collapse
+    from littletable_spark.operators.urlops import canonicalize_urls
+
+    canon = canonicalize_urls(polite, "url")
+    frontier = Table.from_df(
+        canon.df.withColumn(
+            "__rn__",
+            F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"]).Window
+                .partitionBy("canon_url").orderBy("url")
+            ),
+        ).where("__rn__ = 1").drop("__rn__"),
+        name="frontier",
+    )
+    print(f"frontier: {len(frontier)} unique canonical urls")
+
     docs = Table.from_df(
-        recs.df.select(F.col("url").alias("doc_id"), "payload"), name="docs"
+        frontier.df.select(F.col("url").alias("doc_id"), "payload"), name="docs"
     )
     texts = extract_text(
         docs, "payload", "doc_id", html_main_content=True, on_error="null"

@@ -156,7 +156,6 @@ def filter_by_robots(
     table: Table,
     rules: Table,
     url_col: str = "url",
-    id_col: str = "doc_id",
     keep_unlisted: bool = True,
 ) -> Table:
     """Keep rows whose URL the robots rules allow. Longest matching
@@ -165,14 +164,23 @@ def filter_by_robots(
     domain with no robots entry at all keeps the row only when
     ``keep_unlisted`` (set False for strict known-sites-only crawls).
     Domain match is subdomain-safe: rules for ``site.com`` govern
-    ``www.site.com`` but never ``notsite.com``."""
+    ``www.site.com`` but never ``notsite.com``.
+
+    Row identity for the winning-rule window is a synthesized
+    per-row ordinal (``monotonically_increasing_id`` computed BEFORE
+    the rules join), so the input needs no unique key and duplicate
+    rows keep their multiplicity — filters must never dedup."""
     df = table._require_df()
     url = F.coalesce(F.col(url_col), F.lit(""))
     authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     host = F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1)
     raw_path = F.regexp_extract(url, _PATH_RE, 1)
     path = F.when(raw_path == F.lit(""), F.lit("/")).otherwise(raw_path)
-    work = df.withColumn("__host__", host).withColumn("__path__", path)
+    work = (
+        df.withColumn("__row_ord__", F.monotonically_increasing_id())
+        .withColumn("__host__", host)
+        .withColumn("__path__", path)
+    )
     rdf = rules._require_df().select(
         F.lower(F.col(rules.fields[0])).alias("__rdom__"),
         F.col("allow").alias("__allow__"),
@@ -197,7 +205,7 @@ def filter_by_robots(
         & F.like(F.col("__path__"), F.col("__rlike__"), F.lit("\\")),
         "left",
     )
-    w = Window.partitionBy(id_col).orderBy(
+    w = Window.partitionBy("__row_ord__").orderBy(
         F.desc_nulls_last("__rlen__"),
         F.desc_nulls_last("__allow__"),
     )
@@ -210,7 +218,7 @@ def filter_by_robots(
         )
     )
     out = ranked.where(keep).drop(
-        "__host__", "__path__", "__rdom__", "__allow__", "__rlen__",
-        "__rlike__", "__rn__", "__listed__",
+        "__row_ord__", "__host__", "__path__", "__rdom__", "__allow__",
+        "__rlen__", "__rlike__", "__rn__", "__listed__",
     )
     return table._derive(out)

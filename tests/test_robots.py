@@ -87,15 +87,15 @@ def test_filter_by_robots_precedence(spark):
             {"doc_id": 6, "url": "https://unlisted.org/x"},
         ]
     )
-    kept = sorted(r.doc_id for r in filter_by_robots(t, rules, "url", "doc_id"))
+    kept = sorted(r.doc_id for r in filter_by_robots(t, rules, "url"))
     assert kept == [0, 2, 4, 6]
     strict = sorted(
         r.doc_id
-        for r in filter_by_robots(t, rules, "url", "doc_id", keep_unlisted=False)
+        for r in filter_by_robots(t, rules, "url", keep_unlisted=False)
     )
     assert strict == [0, 2, 4]
     # original columns come back unchanged
-    out = filter_by_robots(t, rules, "url", "doc_id")
+    out = filter_by_robots(t, rules, "url")
     assert set(out.fields) == {"doc_id", "url"}
 
 
@@ -114,4 +114,26 @@ def test_filter_allow_beats_disallow_on_tie(spark):
     rules2 = parse_robots(rt2, "txt", "domain")
     t = Table("u", spark=spark)
     t.insert_many([{"doc_id": 0, "url": "https://t.com/pg/x"}])
-    assert [r.doc_id for r in filter_by_robots(t, rules2, "url", "doc_id")] == [0]
+    assert [r.doc_id for r in filter_by_robots(t, rules2, "url")] == [0]
+
+
+def test_filter_preserves_duplicate_rows_and_needs_no_key(spark):
+    """Filters must never dedup: identical rows (and colliding
+    pseudo-ids) keep their multiplicity — the winning-rule window keys
+    on a synthesized per-row ordinal."""
+    rt = Table("r", spark=spark)
+    rt.insert_many(
+        [{"domain": "s.com", "txt": "User-agent: *\nDisallow: /no/\n"}]
+    )
+    rules = parse_robots(rt, "txt", "domain")
+    t = Table("u", spark=spark)
+    t.insert_many(
+        [
+            {"ord": 0, "url": "https://s.com/a"},
+            {"ord": 0, "url": "https://s.com/b"},   # colliding ord
+            {"ord": 0, "url": "https://s.com/b"},   # true duplicate row
+            {"ord": 1, "url": "https://s.com/no/x"},
+        ]
+    )
+    kept = sorted(r.url for r in filter_by_robots(t, rules, "url"))
+    assert kept == ["https://s.com/a", "https://s.com/b", "https://s.com/b"]

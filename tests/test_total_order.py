@@ -93,13 +93,6 @@ ALLOW_INTERCHANGEABLE: dict[str, str] = {
         "clause — a full-partition frame is order-insensitive, so "
         "tied rows are trivially interchangeable"
     ),
-    "url_robots": (
-        "row_number over (doc_id ORDER BY rule_len DESC, allow DESC): "
-        "rows tied on (rule_len, allow) are interchangeable because "
-        "the query keeps/projects only (doc_id, url) — constant within "
-        "the partition — and the keep decision reads only the tied "
-        "allow flag"
-    ),
 }
 
 

@@ -632,6 +632,51 @@ def test_two_symbol_simple_code_canonical_order():
     assert got[0, 0, 1] == 20.0 and got[0, 1, 1] == 50.0
 
 
+def test_random_transform_combinations_hypothesis():
+    """Property: ANY image round-trips exactly through ANY encoder
+    configuration (transform stack × cache × LZ77 × plane codes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        seed=st.integers(0, 10_000),
+        sub_green=st.booleans(),
+        pred=st.one_of(st.none(), st.integers(0, 13)),
+        color=st.booleans(),
+        cache=st.sampled_from([0, 2, 6]),
+        lz77=st.booleans(),
+        plane=st.booleans(),
+        few_colors=st.booleans(),
+    )
+    def check(h, w, seed, sub_green, pred, color, cache, lz77, plane, few_colors):
+        rng = np.random.RandomState(seed)
+        if few_colors:
+            cols = rng.randint(0, 256, (3, 3), dtype=np.uint8)
+            img = cols[rng.randint(0, 3, (h, w))]
+        else:
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        kw = dict(
+            subtract_green=sub_green,
+            predictor=pred,
+            cache_bits=cache,
+            lz77=lz77,
+            plane_codes=plane,
+        )
+        if color:
+            kw["color"] = (
+                int(rng.randint(0, 256)),
+                int(rng.randint(0, 256)),
+                int(rng.randint(0, 256)),
+            )
+        got = decode_webp(encode_vp8l(img, **kw))
+        np.testing.assert_array_equal(got, img.astype(np.float64))
+
+    check()
+
+
 def test_rejections():
     with pytest.raises(ValueError, match="not a WebP"):
         decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
