@@ -385,3 +385,61 @@ def test_pack_token_ids_no_second_shuffle(spark):
     broadcasts = len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
     assert data_exchanges == 1, plan
     assert broadcasts == 1, plan  # the ids join broadcasts, not shuffles
+
+
+def test_canonicalize_urls_plan_is_narrow(spark):
+    """canonicalize_urls is a pure projection: no Exchange, no Python
+    UDF — the frontier key computes inside the scan's codegen stage."""
+    from littletable_spark.operators.urlops import canonicalize_urls
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    d.compute_field(
+        "url", F.concat(F.lit("https://x.com/"), F.col("doc_id").cast("string"))
+    )
+    out = canonicalize_urls(d, "url")
+    plan = _plan(out.df.select("doc_id", "canon_url"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+def test_url_features_psl_table_joins_broadcast(spark):
+    """The psl= Table form adds exactly one BROADCAST join (suffix
+    list is list-sized) — never a shuffled join of the corpus."""
+    from littletable_spark.operators.urlops import url_features
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    d.compute_field(
+        "url", F.concat(F.lit("https://x.co.uk/"), F.col("doc_id").cast("string"))
+    )
+    psl = Table("psl", spark=spark)
+    psl.insert_many([{"suffix": "co.uk"}])
+    out = url_features(d, "url", psl=psl)
+    plan = _plan(out.df.select("doc_id", "domain"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_filter_by_robots_plan_shape(spark):
+    """filter_by_robots: the rules joins are BROADCAST (non-equi LIKE
+    condition over a list-sized rules table — never a shuffled
+    cartesian), and the only hash exchange of the corpus side is the
+    per-row winning-rule window."""
+    from littletable_spark.operators.robots import filter_by_robots, parse_robots
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    d.compute_field(
+        "url", F.concat(F.lit("https://x.com/p/"), F.col("doc_id").cast("string"))
+    )
+    rt = Table("r", spark=spark)
+    rt.insert_many([{"domain": "x.com", "txt": "User-agent: *\nDisallow: /no\n"}])
+    rules = parse_robots(rt, "txt", "domain")
+    plan = _plan(filter_by_robots(d, rules, "url").df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+    import re
+
+    parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    # the corpus side shuffles exactly once — for the per-row window;
+    # any other hash exchange is the list-sized rules-distinct
+    assert parts.count("__row_ord__") == 1, plan
+    assert all(p in ("__row_ord__", "__rdom__") for p in parts), plan
