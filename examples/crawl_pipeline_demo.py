@@ -92,19 +92,9 @@ def main() -> None:
     print(f"robots: {len(polite)}/{len(recs)} allowed")
 
     # 3. canonical frontier keys: tracking params / fragments collapse
-    from littletable_spark.operators.urlops import canonicalize_urls
+    from littletable_spark.operators.urlops import dedup_urls
 
-    canon = canonicalize_urls(polite, "url")
-    frontier = Table.from_df(
-        canon.df.withColumn(
-            "__rn__",
-            F.row_number().over(
-                __import__("pyspark.sql", fromlist=["Window"]).Window
-                .partitionBy("canon_url").orderBy("url")
-            ),
-        ).where("__rn__ = 1").drop("__rn__"),
-        name="frontier",
-    )
+    frontier = dedup_urls(polite, "url")
     print(f"frontier: {len(frontier)} unique canonical urls")
 
     docs = Table.from_df(

@@ -39,6 +39,7 @@ __all__ = [
     "url_features",
     "filter_url_blocklist",
     "canonicalize_urls",
+    "dedup_urls",
     "COMMON_TWO_LEVEL_SUFFIXES",
     "TRACKING_PARAM_RE",
 ]
@@ -252,6 +253,38 @@ def canonicalize_urls(
         F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
     )
     out = table._require_df().withColumn(out_col, canon)
+    return table._derive(out)
+
+
+def dedup_urls(
+    table: Table,
+    url_col: str = "url",
+    order_col: str | None = None,
+    drop_tracking_params: bool = True,
+) -> Table:
+    """Keep ONE row per canonical URL — the frontier-dedup pass: the
+    same page reached via different casings, ports, fragments,
+    tracking params, or query-param orders survives once.
+
+    The kept row is the one with the smallest ``order_col`` value
+    (``url_col`` itself by default — a deterministic, engine-portable
+    tiebreak). Rows whose URL does not canonicalize (junk/NULL) are
+    all kept: they carry no frontier key to collide on. One narrow
+    projection + one hash shuffle on the canonical key."""
+    canon = canonicalize_urls(
+        table, url_col, out_col="__canon__",
+        drop_tracking_params=drop_tracking_params,
+    )
+    from pyspark.sql import Window
+
+    df = canon._require_df()
+    order = F.col(order_col) if order_col else F.col(url_col)
+    w = Window.partitionBy("__canon__").orderBy(order)
+    out = (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__canon__").isNull() | (F.col("__rn__") == 1))
+        .drop("__canon__", "__rn__")
+    )
     return table._derive(out)
 
 

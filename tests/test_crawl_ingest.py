@@ -463,3 +463,24 @@ def test_url_features_column_conflict_guard(spark):
     t.insert_many([{"id": 0, "url": "https://a.com/", "domain": "preexisting"}])
     with pytest.raises(ValueError, match="overwrite existing"):
         url_features(t, "url")
+
+
+def test_dedup_urls_frontier(spark):
+    """One row per canonical URL; junk rows all survive (no key);
+    order_col picks the canonical representative deterministically."""
+    from littletable_spark.operators.urlops import dedup_urls
+
+    t = Table("recs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "url": "HTTP://A.com:80/x?b=2&a=1", "rank": 5},
+            {"id": 1, "url": "http://a.com/x?a=1&b=2&utm_source=z", "rank": 3},
+            {"id": 2, "url": "http://a.com/other", "rank": 1},
+            {"id": 3, "url": "junk", "rank": 9},
+            {"id": 4, "url": "junk", "rank": 9},
+        ]
+    )
+    out = dedup_urls(t, "url", order_col="rank")
+    kept = sorted(r.id for r in out)
+    assert kept == [1, 2, 3, 4]  # 0/1 collapse (rank 3 wins); junk kept
+    assert set(out.fields) == {"id", "url", "rank"}
