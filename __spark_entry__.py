@@ -1521,8 +1521,6 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter_by_robots keeps the allowed set under strict
     keep_unlisted=False. The oracle replays the parsed rules as VALUES
     and the same LIKE/window logic."""
-    from pyspark.sql import Window  # noqa: F401 (operator builds windows)
-
     from littletable_spark.operators.robots import filter_by_robots, parse_robots
 
     d = _t(spark, sf_dir, "documents")

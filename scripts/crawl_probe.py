@@ -212,9 +212,63 @@ def main() -> None:
         timed("image_dup_pairs_1x", lambda: dup_pairs(imgs1), res)
         timed("image_dup_pairs_10x", lambda: dup_pairs(imgs10), res)
 
+        # ---- URL frontier ops: canonicalize+dedup, robots filter --- #
+        from littletable_spark.operators.robots import (
+            filter_by_robots,
+            parse_robots,
+        )
+        from littletable_spark.operators.urlops import dedup_urls
+
+        def url_table(n):
+            df = (
+                spark.range(n)
+                .selectExpr(
+                    "id",
+                    "concat('https://Site-', cast(id % 50 as string), "
+                    "'.com:443/p/', cast(id % (5 * {0}) as string), "
+                    "case when id % 3 = 0 then '?utm_source=x&b=2&a=1' "
+                    "else '?a=1&b=2' end) AS url".format(n // 10 or 1),
+                )
+                .persist()
+            )
+            df.count()
+            return Table.from_df(df, name="urls")
+
+        u1 = url_table(N_DOCS_1X * 5)
+        u10 = url_table(N_DOCS_1X * 50)
+
+        def frontier(t):
+            dedup_urls(t, "url", order_col="id").df.count()
+
+        frontier(u1)  # untimed warmup
+        timed("url_frontier_dedup_1x", lambda: frontier(u1), res)
+        timed("url_frontier_dedup_10x", lambda: frontier(u10), res)
+
+        rt = Table("robots", spark=spark)
+        rt.insert_many(
+            [
+                {
+                    "domain": f"site-{k}.com",
+                    "txt": "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n",
+                }
+                for k in range(50)
+            ]
+        )
+        rules = parse_robots(rt, "txt", "domain")
+
+        def robots_pass(t):
+            filter_by_robots(t, rules, "url").df.count()
+
+        robots_pass(u1)  # untimed warmup
+        timed("robots_filter_1x", lambda: robots_pass(u1), res)
+        timed("robots_filter_10x", lambda: robots_pass(u10), res)
+
     for k, v in res.items():
         print(f"{k:28s} {v:8.3f}s")
-    for fam in ("warc_parse", "extract_text", "image_hash_real", "image_dup_pairs"):
+    for fam in (
+        "warc_parse", "extract_text", "image_hash_real", "image_dup_pairs",
+        "url_frontier_dedup", "robots_filter",
+    ):
         r = res[f"{fam}_10x"] / max(res[f"{fam}_1x"], 1e-9)
         print(f"{fam:28s} 10x/1x ratio {r:6.2f}")
 
