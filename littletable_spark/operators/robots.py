@@ -42,7 +42,12 @@ from pyspark.sql import functions as F
 from ..table import Table
 from .urlops import _HOST_RE, _PATH_RE
 
-__all__ = ["parse_robots", "filter_by_robots", "robots_like_pattern"]
+__all__ = [
+    "parse_robots",
+    "filter_by_robots",
+    "robots_sitemaps",
+    "robots_like_pattern",
+]
 
 
 def robots_like_pattern(rule: str) -> str:
@@ -150,6 +155,42 @@ def parse_robots(
         .mapInPandas(run, schema)
     )
     return Table.from_df(out, name=f"{table.table_name}_robots_rules")
+
+
+def robots_sitemaps(
+    table: Table,
+    text_col: str,
+    domain_col: str = "domain",
+) -> Table:
+    """``Sitemap:`` directives from robots.txt blobs — the discovery
+    hand-off: feed the resulting ``(domain, sitemap_url)`` rows to the
+    fetcher, then the fetched blobs to ``sitemap_entries``. Sitemap
+    lines are group-independent per RFC 9309 (they apply regardless of
+    user agent), so this is a stateless line scan — still an Arrow
+    pass for symmetry with ``parse_robots`` (one blob → few rows)."""
+    schema = f"{domain_col} string, sitemap_url string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for dom, text in zip(pdf[domain_col], pdf[text_col]):
+                for raw in str(text or "").splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    key, _, val = line.partition(":")
+                    if key.strip().lower() == "sitemap":
+                        url = val.strip()
+                        if url.startswith(("http://", "https://")):
+                            rows.append((dom, url))
+            yield pd.DataFrame(rows, columns=[domain_col, "sitemap_url"])
+
+    out = (
+        table._require_df()
+        .select(domain_col, text_col)
+        .mapInPandas(run, schema)
+    )
+    return Table.from_df(out, name=f"{table.table_name}_sitemaps")
 
 
 def filter_by_robots(

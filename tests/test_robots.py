@@ -137,3 +137,30 @@ def test_filter_preserves_duplicate_rows_and_needs_no_key(spark):
     )
     kept = sorted(r.url for r in filter_by_robots(t, rules, "url"))
     assert kept == ["https://s.com/a", "https://s.com/b", "https://s.com/b"]
+
+
+def test_robots_sitemaps_directives(spark):
+    """Sitemap: lines extract group-independently and hand off to the
+    sitemap parser."""
+    from littletable_spark.operators.robots import robots_sitemaps
+
+    rt = Table("r", spark=spark)
+    rt.insert_many(
+        [
+            {
+                "domain": "a.com",
+                "txt": (
+                    "Sitemap: https://a.com/sitemap.xml\n"
+                    "User-agent: *\nDisallow: /x\n"
+                    "sitemap:https://a.com/sitemap2.xml.gz  # trailing\n"
+                    "Sitemap: not-a-url\n"
+                ),
+            },
+            {"domain": "b.com", "txt": "User-agent: *\nAllow: /\n"},
+        ]
+    )
+    got = sorted((r.domain, r.sitemap_url) for r in robots_sitemaps(rt, "txt"))
+    assert got == [
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("a.com", "https://a.com/sitemap2.xml.gz"),
+    ]
