@@ -792,6 +792,17 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stupid-backoff bigram LM score (round 10): the corpus's own
+    bigram model capped to the top-30 pairs so BOTH branches execute —
+    bigram hits score c2/c1, capped-out/rare pairs back off through
+    alpha * c(w2)/N (the unigram arithmetic, in-gate)."""
+    from littletable_spark.operators.textops import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d, "text", "doc_id", model_size=30).df
+
+
 def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unigram LM-quality proxy: mean token log-prob under the corpus's
     own top-20 unigram model (31 distinct tokens at sf0.01, so the cap
@@ -2067,9 +2078,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     parks in exchange (driver-green r1-r9; its posexplode(sequence) +
     array-slice windowing core stays in-gate via text_pack's shard
     coordinates and explode-family siblings, and the chunk-shape
-    invariants are mirror- and pytest-covered). The local mirror
-    (scripts/verify_oracle.py) still runs every query every round,
-    rows-only where no oracle exists."""
+    invariants are mirror- and pytest-covered). Net-new
+    text_bigram_logprob (stupid-backoff bigram LM scoring, capped
+    model so both branches execute) also gates immediately;
+    text_logprob parks in exchange (driver-green r6-r9; its unigram
+    tokenizer, vocab-cap TakeOrdered, OOV path, and avg-ln aggregation
+    all execute IN-GATE inside text_bigram_logprob's backoff branch,
+    and the standalone operator keeps its hypothesis differential).
+    The local mirror (scripts/verify_oracle.py) still runs every query
+    every round, rows-only where no oracle exists."""
     return {
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -2110,7 +2127,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_f32_topk": q_sim_f32_topk,
         "text_tokens": q_text_tokens,
         "text_quality_clf": q_text_quality_clf,
-        "text_logprob": q_text_logprob,
+        "text_bigram_logprob": q_text_bigram_logprob,
         "text_bm25_incr": q_text_bm25_incr,
         "search_text": q_search_text,
         "grouping_sets": q_grouping_sets,
@@ -2123,6 +2140,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
         "text_bpe_pack": q_text_bpe_pack,
+        "text_logprob": q_text_logprob,
         "text_chunks": q_text_chunks,
         "dedup_lines": q_dedup_lines,
         "multimodal_audio": q_multimodal_audio,
@@ -2987,6 +3005,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
                      AS rank
             FROM scored ORDER BY score DESC, doc_id ASC LIMIT 8
+        """,
+        # stupid backoff: bigram hits score c2/c1 (unigram context
+        # count), everything else alpha*c(w2)/N; cap total order
+        # (c2 desc, w1, w2) matches the operator's TakeOrdered
+        "text_bigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ), uni AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+            ), tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni
+            ), pairs AS (
+              SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+              FROM toks,
+                   LATERAL (SELECT unnest(range(2, len(t) + 1)) AS i) g
+              WHERE len(t) >= 2
+            ), big0 AS (
+              SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+            ), big AS (
+              SELECT w1, w2, c2 FROM big0
+              ORDER BY c2 DESC, w1 ASC, w2 ASC LIMIT 30
+            )
+            SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   avg(ln(
+                     CASE WHEN b.c2 IS NOT NULL
+                          THEN CAST(b.c2 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+                          ELSE 0.4 * CAST(coalesce(u2.c, 0.5) AS DOUBLE)
+                               / (SELECT n FROM tot) END
+                   )) AS logprob_per_bigram
+            FROM pairs p
+            LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+            LEFT JOIN uni u1 ON p.w1 = u1.w
+            LEFT JOIN uni u2 ON p.w2 = u2.w
+            GROUP BY p.doc_id
         """,
         "text_logprob": """
             WITH toks AS (

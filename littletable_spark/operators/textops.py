@@ -620,6 +620,107 @@ def unigram_logprob(
     return Table.from_df(out, name=f"{table.table_name}_logprob")
 
 
+def bigram_logprob(
+    table: Table,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.4,
+    oov: float = 0.5,
+    model_size: int | None = None,
+    train_table: Table | None = None,
+) -> Table:
+    """Stupid-backoff bigram LM score (Brants et al. 2007, the
+    web-scale formulation: no normalization, a fixed backoff weight) —
+    the next quality-filter rung above ``unigram_logprob``, catching
+    shuffled/templated word salad that unigram statistics cannot:
+
+        P(w2 | w1) = c(w1 w2) / c(w1)          when the bigram is known
+                   = alpha * c(w2) / N          otherwise (backoff)
+                   = alpha * oov / N            when w2 itself is unseen
+
+    Output ``(id, n_bigrams, logprob_per_bigram)``; documents with
+    fewer than two tokens emit no row. ``model_size`` caps the bigram
+    model to the top-V pairs (count desc, then (w1, w2) asc — a total
+    order), forcing the backoff path on rare pairs; the unigram
+    backoff model is never capped.
+
+    Scale shape (100 TB): bigrams derive from one narrow
+    ``transform(sequence(...))`` projection (no window, no second
+    tokenize); the model build is one (w1,w2)-key map-combined
+    shuffle plus the unigram shuffle ``unigram_logprob`` already pays;
+    the cap is a bounded TakeOrdered. Scoring joins doc bigrams to the
+    model on (w1,w2) and to the unigram table twice (w1 context, w2
+    backoff) — plain hash joins AQE broadcasts when the model is
+    small; per-doc re-aggregation is the final shuffle. N is the same
+    single-row-aggregate scalar fold ``unigram_logprob`` documents."""
+    df = table._require_df()
+    tdf = df if train_table is None else train_table._require_df()
+
+    def _bigrams(src, with_id: bool):
+        cols = [F.col(id_col)] if with_id else []
+        tk = src.select(*cols, _tokens(text_col).alias("__tk__")).where(
+            F.size("__tk__") >= 2
+        )
+        pairs = F.expr(
+            "transform(sequence(1, size(__tk__) - 1), "
+            "i -> struct(__tk__[i - 1] AS w1, __tk__[i] AS w2))"
+        )
+        return tk.select(*cols, F.explode(pairs).alias("__bg__")).select(
+            *cols, F.col("__bg__.w1").alias("__w1__"),
+            F.col("__bg__.w2").alias("__w2__"),
+        )
+
+    uni = (
+        tdf.select(F.explode(_tokens(text_col)).alias("__w__"))
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).alias("__cu__"))
+    )
+    n_total = tdf.select(
+        F.sum(F.greatest(F.size(_tokens(text_col)), F.lit(0))).alias("n")
+    ).collect()[0]["n"]
+    big = _bigrams(tdf, with_id=False).groupBy("__w1__", "__w2__").agg(
+        F.count(F.lit(1)).alias("__c2__")
+    )
+    if model_size is not None:
+        big = big.orderBy(
+            F.col("__c2__").desc(), F.col("__w1__").asc(), F.col("__w2__").asc()
+        ).limit(int(model_size))
+    doc = _bigrams(df, with_id=True)
+    scored = (
+        doc.join(big, on=["__w1__", "__w2__"], how="left")
+        .join(
+            uni.select(
+                F.col("__w__").alias("__w1__"), F.col("__cu__").alias("__c1__")
+            ),
+            on="__w1__",
+            how="left",
+        )
+        .join(
+            uni.select(
+                F.col("__w__").alias("__w2__"), F.col("__cu__").alias("__cw2__")
+            ),
+            on="__w2__",
+            how="left",
+        )
+    )
+    n_lit = F.lit(float(n_total or 0) or float("nan"))
+    logp = F.log(
+        F.when(
+            F.col("__c2__").isNotNull(),
+            F.col("__c2__").cast("double") / F.col("__c1__").cast("double"),
+        ).otherwise(
+            F.lit(float(alpha))
+            * F.coalesce(F.col("__cw2__").cast("double"), F.lit(float(oov)))
+            / n_lit
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(logp).alias("logprob_per_bigram"),
+    )
+    return Table.from_df(out, name=f"{table.table_name}_bigram_logprob")
+
+
 def term_stats_table(table: Table, text_col: str, id_col: str) -> Table:
     """The corpus's retrieval statistics as a first-class durable Table
     — the asset that makes repeated tf-idf / BM25 queries and

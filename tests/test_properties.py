@@ -349,6 +349,50 @@ def test_unigram_logprob_property(spark, docs, vocab):
         assert got[i][1] == pytest.approx(want[i][1], rel=1e-9)
 
 
+@given(docs=docs_strategy, cap=st.integers(1, 8))
+@SETTINGS
+def test_bigram_logprob_property(spark, docs, cap):
+    """randomized stupid-backoff equivalence vs a brute-force model:
+    capped bigram table, unigram backoff, OOV floor, <2-token docs
+    emit nothing."""
+    import math
+
+    from littletable_spark.operators.textops import bigram_logprob
+
+    uni = {}
+    big = {}
+    for ws in docs:
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n = float(sum(uni.values()))
+    kept = dict(
+        sorted(big.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:cap]
+    )
+    want = {}
+    for i, ws in enumerate(docs):
+        if len(ws) < 2:
+            continue
+        lp = []
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in kept:
+                lp.append(math.log(kept[(a, b)] / uni[a]))
+            else:
+                lp.append(math.log(0.4 * uni.get(b, 0.5) / n))
+        want[i] = (len(ws) - 1, sum(lp) / len(lp))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_per_bigram"])
+        for r in bigram_logprob(
+            _mk_docs(spark, docs), "text", "doc_id", model_size=cap
+        ).df.collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], rel=1e-9)
+
+
 @given(
     data=st.data(),
     n=st.integers(4, 14),
