@@ -483,6 +483,89 @@ def image_dup_pairs(
     return Table.from_df(pairs, name=f"{table.table_name}_imgdup_pairs")
 
 
+def exif_report(table: Table, bin_col: str, id_col: str) -> Table:
+    """Per-blob EXIF/PII audit for JPEG images: ``(id, has_exif,
+    orientation, make, model, exif_datetime, has_gps, gps_lat,
+    gps_lon)``. GPS tags in crawled photos are precise-location PII —
+    run this before redistribution, route the ``has_gps`` rows to
+    ``scrub_image_metadata``. EXIF problems never fail the job (the
+    parser reports what it can; non-JPEG blobs report
+    ``has_exif=false``).
+
+    NOTE: constructing this operator runs the eager column-pruned
+    per-partition probe to bound the Arrow feed — see
+    ``_bounded_blob_input``."""
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, has_exif boolean, orientation int, "
+        "make string, model string, exif_datetime string, "
+        "has_gps boolean, gps_lat double, gps_lon double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.exifmeta import parse_exif
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                m = parse_exif(bytes(blob or b""))
+                rows.append(
+                    (
+                        rid, m["has_exif"], m["orientation"], m["make"],
+                        m["model"], m["datetime"], m["has_gps"],
+                        m["gps_lat"], m["gps_lon"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "has_exif", "orientation", "make", "model",
+                    "exif_datetime", "has_gps", "gps_lat", "gps_lon",
+                ],
+            )
+
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    return Table.from_df(
+        inp.mapInPandas(run, schema), name=f"{table.table_name}_exif"
+    )
+
+
+def scrub_image_metadata(table: Table, bin_col: str, id_col: str) -> Table:
+    """Redaction pass: the same JPEG blobs minus APP1 (Exif/XMP),
+    APP13 (IPTC), and COM segments — decoded pixels byte-identical;
+    non-JPEG blobs pass through unchanged. Output ``(id, <bin_col>)``
+    with the scrubbed bytes under the ORIGINAL column name so the
+    table can be written back in place.
+
+    Caveat (documented): the orientation tag is metadata too — scrub
+    AFTER any decode that should honor display orientation, or rotate
+    pixels physically first."""
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = f"{id_col} {id_type}, {bin_col} binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.exifmeta import strip_exif
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    bin_col: [
+                        strip_exif(bytes(b or b"")) for b in pdf[bin_col]
+                    ],
+                }
+            )
+
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    return Table.from_df(
+        inp.mapInPandas(run, schema), name=f"{table.table_name}_scrubbed"
+    )
+
+
 def media_features(table: Table, id_col: str, pixels_col: str = "pixels") -> Table:
     """Feature extraction over decoded grids — native array aggregates."""
     px = F.col(pixels_col)

@@ -431,6 +431,135 @@ def test_exif_orientation_all_values(bo):
     np.testing.assert_allclose(decode_pixels(bad), expected, atol=1e-8)
 
 
+def _exif_full_app1(
+    orientation=6, make=b"TestCam", gps=(48.85837, 2.294481), bo="II"
+) -> bytes:
+    """APP1 with IFD0 (orientation, Make, DateTime) + a GPS sub-IFD
+    carrying rational lat/lon."""
+    fmt = "<" if bo == "II" else ">"
+    dt = b"2024:05:06 07:08:09\x00"
+
+    def rat3(deg: float) -> bytes:
+        d = int(deg)
+        m = int((deg - d) * 60)
+        s = (deg - d - m / 60) * 3600
+        return struct.pack(
+            fmt + "IIIIII", d, 1, m, 1, int(round(s * 10000)), 10000
+        )
+
+    lat, lon = abs(gps[0]), abs(gps[1])
+    # layout: header(8) IFD0(2+4*12+4) GPSIFD(2+4*12+4) then data area
+    ifd0_off = 8
+    gps_off = ifd0_off + 2 + 4 * 12 + 4
+    data_off = gps_off + 2 + 4 * 12 + 4
+    make_b = make + b"\x00"
+    data = bytearray()
+    make_ptr = data_off + 0
+    data += make_b
+    dt_ptr = data_off + len(data)
+    data += dt
+    lat_ptr = data_off + len(data)
+    data += rat3(lat)
+    lon_ptr = data_off + len(data)
+    data += rat3(lon)
+
+    def entry(tag, typ, count, value4: bytes) -> bytes:
+        return struct.pack(fmt + "HHI", tag, typ, count) + value4
+
+    def u32(v):
+        return struct.pack(fmt + "I", v)
+
+    def u16pad(v):
+        return struct.pack(fmt + "H", v) + b"\x00\x00"
+
+    ifd0 = struct.pack(fmt + "H", 4)
+    ifd0 += entry(0x010F, 2, len(make_b), u32(make_ptr))
+    ifd0 += entry(0x0112, 3, 1, u16pad(orientation))
+    ifd0 += entry(0x0132, 2, len(dt), u32(dt_ptr))
+    ifd0 += entry(0x8825, 4, 1, u32(gps_off))
+    ifd0 += u32(0)
+    lat_ref = b"S\x00\x00\x00" if gps[0] < 0 else b"N\x00\x00\x00"
+    lon_ref = b"W\x00\x00\x00" if gps[1] < 0 else b"E\x00\x00\x00"
+    gifd = struct.pack(fmt + "H", 4)
+    gifd += entry(0x0001, 2, 2, lat_ref)
+    gifd += entry(0x0002, 5, 3, u32(lat_ptr))
+    gifd += entry(0x0003, 2, 2, lon_ref)
+    gifd += entry(0x0004, 5, 3, u32(lon_ptr))
+    gifd += u32(0)
+    tiff = (
+        bo.encode() + struct.pack(fmt + "HI", 42, ifd0_off)
+        + ifd0 + gifd + bytes(data)
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_parse_exif_full(bo):
+    from littletable_spark.functions.exifmeta import parse_exif
+
+    blob, _ = encode_jpeg(np.full((8, 8), 99, dtype=np.uint8))
+    tagged = blob[:2] + _exif_full_app1(gps=(48.85837, -2.294481), bo=bo) + blob[2:]
+    m = parse_exif(tagged)
+    assert m["has_exif"] and m["has_gps"]
+    assert m["orientation"] == 6
+    assert m["make"] == "TestCam"
+    assert m["datetime"] == "2024:05:06 07:08:09"
+    assert m["gps_lat"] == pytest.approx(48.85837, abs=1e-4)
+    assert m["gps_lon"] == pytest.approx(-2.294481, abs=1e-4)
+    bare = parse_exif(blob)
+    assert not bare["has_exif"] and not bare["has_gps"]
+    assert parse_exif(b"not a jpeg")["has_exif"] is False
+
+
+def test_strip_exif_pixels_identical():
+    from littletable_spark.functions.exifmeta import parse_exif, strip_exif
+
+    img = (np.arange(16)[:, None] * 7 + np.arange(16)[None, :]).astype(np.uint8)
+    blob, expected = encode_jpeg(img)
+    tagged = (
+        blob[:2]
+        + _exif_full_app1(orientation=1)
+        + b"\xff\xfe\x00\x0acomment!"  # COM segment
+        + blob[2:]
+    )
+    scrubbed = strip_exif(tagged)
+    assert parse_exif(scrubbed)["has_exif"] is False
+    assert b"comment!" not in scrubbed
+    np.testing.assert_allclose(decode_pixels(scrubbed), expected, atol=1e-8)
+    assert strip_exif(blob) == blob  # nothing to drop: unchanged
+    assert strip_exif(b"plain") == b"plain"  # non-JPEG passthrough
+
+
+def test_exif_report_and_scrub_spark(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import (
+        exif_report,
+        scrub_image_metadata,
+    )
+
+    blob, _ = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8))
+    gps_blob = blob[:2] + _exif_full_app1(gps=(-33.8568, 151.2153)) + blob[2:]
+    t = Table("imgs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "blob": gps_blob},
+            {"id": 1, "blob": blob},
+            {"id": 2, "blob": b"not an image"},
+        ]
+    )
+    rep = {r.id: r for r in exif_report(t, "blob", "id")}
+    assert rep[0].has_gps and rep[0].gps_lat == pytest.approx(-33.8568, abs=1e-4)
+    assert rep[0].make == "TestCam"
+    assert not rep[1].has_exif and not rep[2].has_exif
+    scrubbed = {r.id: bytes(r.blob) for r in scrub_image_metadata(t, "blob", "id")}
+    from littletable_spark.functions.exifmeta import parse_exif
+
+    assert parse_exif(scrubbed[0])["has_exif"] is False
+    assert scrubbed[1] == blob
+    assert scrubbed[2] == b"not an image"
+
+
 def test_adobe_cmyk_differential():
     """4-component Adobe JPEG, transform 0 (inverted CMYK): decoded
     RGB must equal R=C'·K'/255 on the decoder-exact channel recons."""
