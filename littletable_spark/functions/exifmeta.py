@@ -1,5 +1,6 @@
-"""EXIF metadata extraction and scrubbing for JPEG blobs — the image
-half of PII curation.
+"""EXIF metadata extraction and scrubbing for image blobs (JPEG APP1,
+PNG eXIf/text chunks, WebP EXIF/XMP chunks) — the image half of PII
+curation.
 
 Crawled photos routinely carry EXIF GPS coordinates (precise home
 locations — PII), camera serial-adjacent Make/Model strings, and
@@ -135,52 +136,93 @@ def _iter_segments(blob: bytes):
         pos = end
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _iter_png_chunks(blob: bytes):
+    """Yield (type, chunk_start, chunk_end) over PNG chunks (bounds
+    include length+type+crc)."""
+    pos = 8
+    n = len(blob)
+    while pos + 12 <= n:
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        end = pos + 12 + length
+        if end > n:
+            return
+        yield ctype, pos, end
+        pos = end
+
+
+def _iter_riff_chunks(blob: bytes):
+    """Yield (fourcc, chunk_start, chunk_end incl. pad) over WebP RIFF
+    chunks."""
+    pos = 12
+    n = len(blob)
+    while pos + 8 <= n:
+        fourcc = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        end = pos + 8 + size + (size & 1)
+        if pos + 8 + size > n:
+            return
+        yield fourcc, pos, end
+        pos = end
+
+
+def _fold_tiff(out: dict, tiff: bytes) -> None:
+    out["has_exif"] = True
+    parsed = _parse_tiff(tiff)
+    for k in ("orientation", "make", "model", "datetime"):
+        if parsed.get(k) is not None:
+            out[k] = parsed[k]
+    if "gps_lat" in parsed:
+        out["has_gps"] = True
+        out["gps_lat"] = parsed["gps_lat"]
+        out["gps_lon"] = parsed["gps_lon"]
+
+
 def parse_exif(blob: bytes) -> dict:
-    """EXIF summary of one JPEG blob (see module docstring); all keys
-    always present, ``has_exif=False`` for non-JPEG data."""
+    """EXIF summary of one image blob — JPEG APP1, PNG ``eXIf`` chunk,
+    or WebP ``EXIF`` RIFF chunk (see module docstring); all keys
+    always present, ``has_exif=False`` for other data."""
     out = {
         "has_exif": False, "orientation": None, "make": None,
         "model": None, "datetime": None, "has_gps": False,
         "gps_lat": None, "gps_lon": None,
     }
-    if not blob.startswith(b"\xff\xd8"):
-        return out
-    for marker, start, end in _iter_segments(blob):
-        # skip past the FF-run + marker + length
-        i = start
-        while blob[i + 1] == 0xFF:
-            i += 1
-        payload = blob[i + 4 : end]
-        if marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
-            out["has_exif"] = True
-            parsed = _parse_tiff(payload[6:])
-            for k in ("orientation", "make", "model", "datetime"):
-                if parsed.get(k) is not None:
-                    out[k] = parsed[k]
-            if "gps_lat" in parsed:
-                out["has_gps"] = True
-                out["gps_lat"] = parsed["gps_lat"]
-                out["gps_lon"] = parsed["gps_lon"]
+    if blob.startswith(b"\xff\xd8"):
+        for marker, start, end in _iter_segments(blob):
+            # skip past the FF-run + marker + length
+            i = start
+            while blob[i + 1] == 0xFF:
+                i += 1
+            payload = blob[i + 4 : end]
+            if marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
+                _fold_tiff(out, payload[6:])
+    elif blob.startswith(_PNG_SIG):
+        for ctype, start, end in _iter_png_chunks(blob):
+            if ctype == b"eXIf":  # payload IS a TIFF body (PNG ext.)
+                _fold_tiff(out, blob[start + 8 : end - 4])
+    elif blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        for fourcc, start, end in _iter_riff_chunks(blob):
+            if fourcc == b"EXIF":
+                data = blob[start + 8 : end]
+                if data[:6] == b"Exif\x00\x00":  # some writers prefix
+                    data = data[6:]
+                _fold_tiff(out, data)
     return out
 
 
 # metadata segments scrubbed: APP1 (Exif + XMP), APP13 (IPTC/Photoshop),
 # APP2 ICC stays (color fidelity, not PII), COM comments go
 _SCRUB_MARKERS = {0xE1, 0xED, 0xFE}
+# PNG ancillary metadata chunks (text, EXIF, modification time)
+_PNG_SCRUB = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
+# WebP metadata chunks
+_RIFF_SCRUB = {b"EXIF", b"XMP "}
 
 
-def strip_exif(blob: bytes) -> bytes:
-    """The same JPEG minus APP1/APP13/COM metadata segments; the
-    entropy stream (and so the decoded pixels) is byte-identical.
-    Non-JPEG blobs pass through unchanged."""
-    if not blob.startswith(b"\xff\xd8"):
-        return blob
-    drop: list[tuple[int, int]] = []
-    for marker, start, end in _iter_segments(blob):
-        if marker in _SCRUB_MARKERS:
-            drop.append((start, end))
-    if not drop:
-        return blob
+def _drop_spans(blob: bytes, drop: list[tuple[int, int]]) -> bytes:
     out = bytearray()
     pos = 0
     for start, end in drop:
@@ -188,3 +230,34 @@ def strip_exif(blob: bytes) -> bytes:
         pos = end
     out += blob[pos:]
     return bytes(out)
+
+
+def strip_exif(blob: bytes) -> bytes:
+    """The same image minus metadata: JPEG APP1/APP13/COM segments,
+    PNG tEXt/zTXt/iTXt/eXIf/tIME chunks, or WebP EXIF/XMP chunks (the
+    RIFF size and VP8X flag bits are fixed up). The pixel data is
+    byte-identical in every case. Other blobs pass through
+    unchanged."""
+    if blob.startswith(b"\xff\xd8"):
+        drop = [
+            (s, e) for m, s, e in _iter_segments(blob) if m in _SCRUB_MARKERS
+        ]
+        return _drop_spans(blob, drop) if drop else blob
+    if blob.startswith(_PNG_SIG):
+        drop = [
+            (s, e) for t, s, e in _iter_png_chunks(blob) if t in _PNG_SCRUB
+        ]
+        return _drop_spans(blob, drop) if drop else blob
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        drop = [
+            (s, e) for f, s, e in _iter_riff_chunks(blob) if f in _RIFF_SCRUB
+        ]
+        if not drop:
+            return blob
+        out = bytearray(_drop_spans(blob, drop))
+        struct.pack_into("<I", out, 4, len(out) - 8)  # RIFF size
+        # clear the VP8X EXIF (0x08) / XMP (0x04) flag bits
+        if out[12:16] == b"VP8X" and len(out) >= 21:
+            out[20] &= ~0x0C
+        return bytes(out)
+    return blob

@@ -531,6 +531,72 @@ def test_strip_exif_pixels_identical():
     assert strip_exif(b"plain") == b"plain"  # non-JPEG passthrough
 
 
+def test_exif_png_and_webp_variants():
+    """The audit+scrub pair covers PNG (eXIf/tEXt chunks) and WebP
+    (EXIF RIFF chunk + VP8X flag fix-up) too — pixels untouched."""
+    import zlib as _z
+
+    from littletable_spark.functions.exifmeta import parse_exif, strip_exif
+    from littletable_spark.functions.imagecodec import decode_pixels
+
+    # minimal 1x1 gray PNG with eXIf + tEXt chunks
+    def chunk(t, d):
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", _z.crc32(c))
+
+    tiff = _exif_full_app1(gps=(10.5, 20.25))[10:]  # strip FF E1 len Exif\0\0
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+    idat = chunk(b"IDAT", _z.compress(b"\x00\x7f"))
+    png = (
+        b"\x89PNG\r\n\x1a\n" + ihdr
+        + chunk(b"tEXt", b"Author\x00Somebody")
+        + chunk(b"eXIf", tiff)
+        + idat + chunk(b"IEND", b"")
+    )
+    m = parse_exif(png)
+    assert m["has_exif"] and m["has_gps"]
+    assert m["gps_lat"] == pytest.approx(10.5, abs=1e-4)
+    clean = strip_exif(png)
+    assert parse_exif(clean)["has_exif"] is False
+    assert b"Somebody" not in clean
+    np.testing.assert_array_equal(decode_pixels(clean), decode_pixels(png))
+
+    # minimal 1x1 VP8L inside a VP8X container with an EXIF chunk
+    bits = []
+
+    def w(v, n):
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    w(0x2F, 8); w(0, 14); w(0, 14); w(0, 1); w(0, 3)
+    w(0, 1); w(0, 1); w(0, 1)  # no transforms/cache/meta
+    for sym in (77, 200, 30, 255, 0):
+        w(1, 1); w(0, 1); w(1, 1); w(sym, 8)
+    payload = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        payload[i >> 3] |= b << (i & 7)
+    payload = bytes(payload)
+
+    def riff_chunk(fourcc, data):
+        return fourcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    vp8x = riff_chunk(b"VP8X", bytes([0x0C]) + b"\x00" * 9)  # EXIF|XMP flags
+    exifc = riff_chunk(b"EXIF", b"Exif\x00\x00" + tiff)
+    vp8l = riff_chunk(b"VP8L", payload)
+    body = vp8x + exifc + vp8l
+    webp = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    m2 = parse_exif(webp)
+    assert m2["has_exif"] and m2["gps_lon"] == pytest.approx(20.25, abs=1e-4)
+    clean2 = strip_exif(webp)
+    assert parse_exif(clean2)["has_exif"] is False
+    assert clean2[20] & 0x0C == 0  # VP8X metadata flags cleared
+    assert struct.unpack("<I", clean2[4:8])[0] == len(clean2) - 8
+    np.testing.assert_array_equal(decode_pixels(clean2), decode_pixels(webp))
+    assert decode_pixels(webp)[0, 0].tolist() == [200.0, 77.0, 30.0]
+
+
 def test_exif_report_and_scrub_spark(spark):
     from littletable_spark import Table
     from littletable_spark.operators.multimodal import (
