@@ -46,6 +46,7 @@ __all__ = [
     "parse_robots",
     "filter_by_robots",
     "robots_sitemaps",
+    "robots_crawl_delays",
     "robots_like_pattern",
 ]
 
@@ -71,12 +72,14 @@ def robots_like_pattern(rule: str) -> str:
     return "".join(out)
 
 
-def _parse_one(text: str, agent: str) -> list[tuple[str, bool]]:
-    """Rules (path_pattern, allow) for ``agent`` from one robots.txt:
-    specific-agent groups win over ``*`` groups; same-agent groups
-    merge. Lines outside any group and unknown directives ignored."""
+def _walk_groups(text: str, agent: str):
+    """The selected user-agent group's ``(rules, crawl_delay)`` for one
+    robots.txt: specific-agent groups win over ``*`` groups (most
+    specific token containment); same-agent groups merge. Lines
+    outside any group and unknown directives are ignored."""
     agent = agent.lower()
     groups: dict[str, list[tuple[str, bool]]] = {}
+    delays: dict[str, float] = {}
     current: list[str] = []
     last_was_ua = False
     for raw in text.splitlines():
@@ -95,27 +98,44 @@ def _parse_one(text: str, agent: str) -> list[tuple[str, bool]]:
                 groups.setdefault(u, groups.get(u, []))
             last_was_ua = True
             continue
+        last_was_ua = False
         if key in ("allow", "disallow"):
-            last_was_ua = False
             if not current:
                 continue  # rule before any user-agent line
             if val == "":
                 continue  # empty Disallow: allow-all idiom; no rule
             for u in current:
                 groups.setdefault(u, []).append((val, key == "allow"))
-        else:
-            last_was_ua = False  # crawl-delay/sitemap/etc: group continues
-    # RFC: the most specific matching user-agent token's groups apply
-    if agent in groups and groups[agent]:
-        return groups[agent]
-    # longest agent token contained in our agent string
-    best = ""
-    for ua in groups:
-        if ua != "*" and ua in agent and len(ua) > len(best) and groups[ua]:
-            best = ua
-    if best:
-        return groups[best]
-    return groups.get("*", [])
+        elif key == "crawl-delay" and current:
+            try:
+                for u in current:
+                    delays[u] = float(val)
+            except ValueError:
+                pass
+        # other directives (sitemap etc.): group continues
+
+    def pick() -> str | None:
+        if agent in groups and (groups[agent] or agent in delays):
+            return agent
+        best = ""
+        for ua in groups:
+            if (
+                ua != "*"
+                and ua in agent
+                and len(ua) > len(best)
+                and (groups[ua] or ua in delays)
+            ):
+                best = ua
+        return best or ("*" if "*" in groups else None)
+
+    chosen = pick()
+    if chosen is None:
+        return [], None
+    return groups.get(chosen, []), delays.get(chosen)
+
+
+def _parse_one(text: str, agent: str) -> list[tuple[str, bool]]:
+    return _walk_groups(text, agent)[0]
 
 
 def parse_robots(
@@ -155,6 +175,41 @@ def parse_robots(
         .mapInPandas(run, schema)
     )
     return Table.from_df(out, name=f"{table.table_name}_robots_rules")
+
+
+def robots_crawl_delays(
+    table: Table,
+    text_col: str,
+    domain_col: str = "domain",
+    agent: str = "*",
+    default_delay: float = 1.0,
+) -> Table:
+    """Per-domain ``Crawl-delay`` (seconds) for ``agent`` — the fetch
+    SCHEDULING input (non-standard but widely honored): one row per
+    domain, ``default_delay`` where robots.txt names none. Group
+    selection matches ``parse_robots``. Compose with per-domain
+    quotas: a domain's sustainable crawl budget over a window is
+    ``window / crawl_delay`` pages."""
+    schema = f"{domain_col} string, crawl_delay double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for dom, text in zip(pdf[domain_col], pdf[text_col]):
+                _, delay = _walk_groups(str(text or ""), agent)
+                rows.append(
+                    (dom, float(default_delay) if delay is None else delay)
+                )
+            yield pd.DataFrame(rows, columns=[domain_col, "crawl_delay"])
+
+    out = (
+        table._require_df()
+        .select(domain_col, text_col)
+        .mapInPandas(run, schema)
+    )
+    return Table.from_df(out, name=f"{table.table_name}_crawl_delays")
 
 
 def robots_sitemaps(

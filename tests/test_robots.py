@@ -164,3 +164,31 @@ def test_robots_sitemaps_directives(spark):
         ("a.com", "https://a.com/sitemap.xml"),
         ("a.com", "https://a.com/sitemap2.xml.gz"),
     ]
+
+
+def test_robots_crawl_delays(spark):
+    """Crawl-delay: group-scoped per RFC practice, numeric parse,
+    default where absent; a delay-only group still selects."""
+    from littletable_spark.operators.robots import robots_crawl_delays
+
+    rt = Table("r", spark=spark)
+    rt.insert_many(
+        [
+            {
+                "domain": "a.com",
+                "txt": (
+                    "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"
+                    "User-agent: fastbot\nCrawl-delay: 0.1\n"
+                ),
+            },
+            {"domain": "b.com", "txt": "User-agent: *\nDisallow: /\n"},
+            {"domain": "c.com", "txt": "User-agent: *\nCrawl-delay: nonsense\n"},
+        ]
+    )
+    star = {r.domain: r.crawl_delay for r in robots_crawl_delays(rt, "txt")}
+    assert star == {"a.com": 2.5, "b.com": 1.0, "c.com": 1.0}
+    fast = {
+        r.domain: r.crawl_delay
+        for r in robots_crawl_delays(rt, "txt", agent="FastBot/9")
+    }
+    assert fast["a.com"] == 0.1  # delay-only group still wins for its agent
