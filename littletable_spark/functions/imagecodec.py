@@ -206,7 +206,7 @@ def _decode_png(blob: bytes) -> np.ndarray:
             w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bitdepth not in (8, 16):
+            if bitdepth not in (1, 2, 4, 8, 16):
                 raise ValueError(f"PNG bit depth {bitdepth} not supported")
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
@@ -217,10 +217,31 @@ def _decode_png(blob: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     channels = _PNG_CHANNELS[colortype]
+    data = zlib.decompress(bytes(idat))
+    if bitdepth < 8:
+        # sub-byte packed samples (spec: only gray / palette): unpack
+        # MSB-first after byte-level unfiltering (filter unit = 1 byte)
+        if colortype not in (0, 3):
+            raise ValueError("sub-byte PNG requires gray or palette")
+        if interlace:
+            raise ValueError("interlaced sub-byte PNG not supported")
+        stride = (w * bitdepth + 7) // 8
+        raw = np.frombuffer(data, dtype=np.uint8)
+        recon = _png_unfilter(raw, h, stride, 1).reshape(h, stride)
+        bits = np.unpackbits(recon, axis=1)
+        weights = 1 << np.arange(bitdepth - 1, -1, -1)
+        samples = (
+            bits[:, : (stride * 8 // bitdepth) * bitdepth]
+            .reshape(h, -1, bitdepth) @ weights
+        )[:, :w]
+        if colortype == 3:
+            if palette is None:
+                raise ValueError("paletted PNG missing PLTE")
+            return palette[samples.astype(np.intp)].astype(np.float64)
+        return samples.astype(np.float64) * (255.0 / ((1 << bitdepth) - 1))
     bytes_per_sample = bitdepth // 8
     stride = w * channels * bytes_per_sample
     fpx = max(1, channels * bytes_per_sample)
-    data = zlib.decompress(bytes(idat))
     if interlace == 1:
         # Adam7: seven filtered sub-images, scattered back on a fixed
         # (x_start, x_step, y_start, y_step) grid (PNG spec §8.2)

@@ -537,3 +537,66 @@ def test_gif_interlaced_roundtrip():
         inter = decode_pixels(_gif_encode(idx, palette, interlace=True))
         np.testing.assert_array_equal(plain, inter)
         np.testing.assert_array_equal(inter, palette[idx].astype(np.float64))
+
+
+def _png_encode_subbyte(
+    samples: np.ndarray, bitdepth: int, palette: np.ndarray | None = None,
+    filters=None,
+) -> bytes:
+    """samples: HxW ints < 2^bitdepth; gray (colortype 0) or, with a
+    palette (Nx3 uint8), indexed (colortype 3). MSB-first packing per
+    PNG spec; per-row filter types exercise byte-level filtering over
+    packed data."""
+    h, w = samples.shape
+    stride = (w * bitdepth + 7) // 8
+    per_byte = 8 // bitdepth
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.uint8)
+    filters = filters or [0] * h
+    from littletable_spark.functions import imagecodec as _ic  # noqa: F401
+
+    for y, ftype in zip(range(h), filters):
+        packed = np.zeros(stride, dtype=np.uint8)
+        for x in range(w):
+            shift = 8 - bitdepth * (x % per_byte + 1)
+            packed[x // per_byte] |= int(samples[y, x]) << shift
+        raw.append(ftype)
+        raw.extend(_png_filter_row(packed, prior, ftype, 1).tobytes())
+        prior = packed
+    colortype = 3 if palette is not None else 0
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+@pytest.mark.parametrize("bitdepth", [1, 2, 4])
+def test_png_subbyte_gray(bitdepth):
+    rng = np.random.RandomState(bitdepth)
+    samples = rng.randint(0, 1 << bitdepth, size=(7, 13))
+    blob = _png_encode_subbyte(samples, bitdepth, filters=[0, 1, 2, 3, 4, 0, 1])
+    got = decode_pixels(blob)
+    expected = samples.astype(np.float64) * (255.0 / ((1 << bitdepth) - 1))
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+
+@pytest.mark.parametrize("bitdepth", [1, 2, 4])
+def test_png_subbyte_palette(bitdepth):
+    rng = np.random.RandomState(10 + bitdepth)
+    n = 1 << bitdepth
+    palette = rng.randint(0, 256, size=(n, 3), dtype=np.uint8)
+    samples = rng.randint(0, n, size=(5, 9))
+    blob = _png_encode_subbyte(samples, bitdepth, palette=palette)
+    got = decode_pixels(blob)
+    np.testing.assert_array_equal(got, palette[samples].astype(np.float64))
+
+
+def test_png_subbyte_width_not_byte_aligned():
+    """w*depth not divisible by 8: trailing pad bits ignored."""
+    samples = np.array([[1, 0, 1], [0, 1, 1]])
+    blob = _png_encode_subbyte(samples, 1)
+    got = decode_pixels(blob)
+    np.testing.assert_allclose(got, samples * 255.0, atol=1e-9)
