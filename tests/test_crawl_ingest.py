@@ -484,3 +484,58 @@ def test_dedup_urls_frontier(spark):
     kept = sorted(r.id for r in out)
     assert kept == [1, 2, 3, 4]  # 0/1 collapse (rank 3 wins); junk kept
     assert set(out.fields) == {"id", "url", "rank"}
+
+
+def test_url_features_differential_vs_urllib(spark):
+    """Hypothesis differential: host/path/params extraction agrees
+    with urllib.parse over generated http(s) URLs (the regexes must
+    match the stdlib's reading of the same grammar)."""
+    from urllib.parse import urlparse
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from littletable_spark.operators.urlops import url_features
+
+    label = st.text("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-", min_size=1, max_size=8).filter(
+        lambda s: not s.startswith("-") and not s.endswith("-")
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.data(),
+        scheme=st.sampled_from(["http", "https", "HTTP"]),
+        n_labels=st.integers(1, 4),
+        userinfo=st.booleans(),
+        port=st.one_of(st.none(), st.integers(1, 65535)),
+        n_path=st.integers(0, 4),
+        n_params=st.integers(0, 3),
+        frag=st.booleans(),
+    )
+    def check(data, scheme, n_labels, userinfo, port, n_path, n_params, frag):
+        host = ".".join(data.draw(label) for _ in range(n_labels))
+        url = scheme + "://"
+        if userinfo:
+            url += "user:pw@"
+        url += host
+        if port is not None:
+            url += f":{port}"
+        segs = [data.draw(label) for _ in range(n_path)]
+        url += "".join("/" + s for s in segs)
+        if n_params:
+            url += "?" + "&".join(
+                f"{data.draw(label)}={data.draw(label)}" for _ in range(n_params)
+            )
+        if frag:
+            url += "#sec"
+        t = Table("u", spark=spark)
+        t.insert_many([{"id": 0, "url": url}])
+        r = list(url_features(t, "url"))[0]
+        p = urlparse(url)
+        assert r.host == (p.hostname or "")
+        assert r.path_depth == len([s for s in p.path.split("/") if s])
+        want_params = len([q for q in p.query.split("&") if q]) if p.query else 0
+        assert r.n_params == want_params
+        assert r.tld == (p.hostname or "").rsplit(".", 1)[-1] if "." in (p.hostname or "") else True
+
+    check()
