@@ -139,8 +139,67 @@ def _stream_data(body: bytes) -> bytes | None:
     return data
 
 
-def _content_text(content: bytes) -> list[str]:
-    """Interpret a page content stream's BT/ET text operators."""
+def _balanced_dict(data: bytes, start: int) -> bytes:
+    """The bytes of a PDF dictionary opening at ``data[start] == <<``,
+    including nested dictionaries."""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n - 1:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    raise ValueError("unterminated PDF dictionary")
+
+
+_REF_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_XOBJ_NAME_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _resolve_dict(data: bytes, pos: int, objects: dict[int, bytes]) -> bytes:
+    """The dictionary starting at ``pos`` — inline ``<<...>>`` or an
+    indirect ``N 0 R`` reference resolved through ``objects``."""
+    if data[pos : pos + 2] == b"<<":
+        return _balanced_dict(data, pos)
+    rm = _REF_HEAD_RE.match(data, pos)
+    if rm is None:
+        return b""
+    return objects.get(int(rm.group(1)), b"")
+
+
+def _xobject_map(body: bytes, objects: dict[int, bytes]) -> dict[bytes, int]:
+    """``/Resources → /XObject`` name→object-number map of a page or
+    form dictionary (both levels may be inline or indirect)."""
+    m = re.search(rb"/Resources\s*", body)
+    if m is None:
+        return {}
+    res = _resolve_dict(body, m.end(), objects)
+    xm = re.search(rb"/XObject\s*", res)
+    if xm is None:
+        return {}
+    xdict = _resolve_dict(res, xm.end(), objects)
+    return {nm: int(num) for nm, num in _XOBJ_NAME_RE.findall(xdict)}
+
+
+def _content_text(
+    content: bytes,
+    objects: dict[int, bytes] | None = None,
+    xmap: dict[bytes, int] | None = None,
+    depth: int = 0,
+    seen: frozenset[int] = frozenset(),
+) -> list[str]:
+    """Interpret a content stream's BT/ET text operators; ``Do``
+    invocations of Form XObjects recurse (depth- and cycle-limited)
+    so text painted through forms — letterheads, stamped layers,
+    generator-split content — is not silently dropped."""
     chunks: list[str] = []
     pending: list[bytes] = []  # operand stack (strings + numbers)
     in_text = False
@@ -164,6 +223,30 @@ def _content_text(content: bytes) -> list[str]:
             if len(hexs) % 2:
                 hexs += b"0"
             pending.append(b"S" + bytes.fromhex(hexs.decode("ascii")))
+        elif tok == b"Do":  # paint an XObject: recurse into Form text
+            name = pending[-1] if pending and pending[-1][:1] == b"/" else None
+            pending.clear()
+            if (
+                name is not None
+                and objects is not None
+                and xmap
+                and name[1:] in xmap
+                and depth < 8
+            ):
+                objnum = xmap[name[1:]]
+                if objnum not in seen:
+                    xbody = objects.get(objnum, b"")
+                    stream = _stream_data(xbody)
+                    if stream is not None and b"/Image" not in xbody[:200]:
+                        chunks.extend(
+                            _content_text(
+                                stream,
+                                objects,
+                                _xobject_map(xbody, objects),
+                                depth + 1,
+                                seen | {objnum},
+                            )
+                        )
         elif tok in (b"BT",):
             in_text = True
             last_ty = None
@@ -270,11 +353,12 @@ def extract_pdf_text(blob: bytes) -> str:
         refs = [int(cm.group(1))] if cm.group(1) else [
             int(r) for r in _REF_RE.findall(cm.group(2))
         ]
+        xmap = _xobject_map(body, objects)
         text_parts: list[str] = []
         for ref in refs:
             stream = _stream_data(objects.get(ref, b""))
             if stream:
-                text_parts.extend(_content_text(stream))
+                text_parts.extend(_content_text(stream, objects, xmap))
         page = "".join(text_parts)
         page = re.sub(r"\n{3,}", "\n\n", page).strip("\n")
         if page:

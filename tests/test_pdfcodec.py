@@ -212,6 +212,98 @@ def test_tm_y_move_newline():
     assert extract_pdf_text(_make_pdf([stream])) == "onetwo\nthree"
 
 
+def _make_pdf_with_form(
+    page_stream: bytes, forms: dict[bytes, bytes], indirect_resources=False
+) -> bytes:
+    """One page whose /Resources /XObject maps names to Form XObjects;
+    the page stream invokes them via `Do`."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    form_ids = {}
+    for name, stream in forms.items():
+        data = zlib.compress(stream)
+        form_ids[name] = add(
+            b"<< /Type /XObject /Subtype /Form /Filter /FlateDecode "
+            b"/Length %d /BBox [0 0 612 792] >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+    cdata = zlib.compress(page_stream)
+    cid = add(
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(cdata)
+        + cdata + b"\nendstream"
+    )
+    xobj = b"<< " + b" ".join(
+        b"/%s %d 0 R" % (nm, oid) for nm, oid in form_ids.items()
+    ) + b" >>"
+    if indirect_resources:
+        rid = add(b"<< /XObject " + xobj + b" >>")
+        resources = b"%d 0 R" % rid
+    else:
+        resources = b"<< /XObject " + xobj + b" >>"
+    pages_id = add(b"")  # placeholder
+    pid = add(
+        b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R /Resources "
+        % (pages_id, cid) + resources + b" >>"
+    )
+    objs[pages_id - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % pid
+    add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += b"%%EOF"
+    return bytes(out)
+
+
+def test_form_xobject_text_extracts():
+    """Text painted through Form XObjects (Do operator) — letterheads,
+    stamped layers — extracts instead of silently dropping."""
+    form = _text_stream([b"FORM HEADER"])
+    page = (
+        b"/Fm1 Do\nBT 72 700 Td (body text) Tj ET\n/Fm1 Do"
+    )
+    pdf = _make_pdf_with_form(page, {b"Fm1": form})
+    got = extract_pdf_text(pdf)
+    assert got.count("FORM HEADER") == 2
+    assert "body text" in got
+
+
+def test_form_xobject_nested_and_indirect_resources():
+    inner = _text_stream([b"deep"])
+    # outer form invokes the inner one through its own resources;
+    # build manually: outer referencing /Fm2
+    outer = b"BT 10 10 Td (outer) Tj ET /Fm2 Do"
+    # assemble with both forms; outer's resources added via a rewrite
+    pdf = _make_pdf_with_form(
+        b"/Fm1 Do", {b"Fm1": outer, b"Fm2": inner}, indirect_resources=True
+    )
+    # give the OUTER form object the shared /XObject resources so its
+    # /Fm2 Do resolves (inject /Resources N 0 R into the form dict)
+    pdf = pdf.replace(
+        b"/Subtype /Form /Filter", b"/Subtype /Form /Resources 4 0 R /Filter", 1
+    )
+    got = extract_pdf_text(pdf)
+    assert "outer" in got and "deep" in got
+
+
+def test_form_xobject_cycle_is_bounded():
+    """A self-invoking form must terminate (cycle guard), keeping its
+    own text once."""
+    selfref = b"BT 5 5 Td (loop) Tj ET /Fm1 Do"
+    pdf = _make_pdf_with_form(b"/Fm1 Do", {b"Fm1": selfref})
+    # the form needs resources naming ITSELF: inject a /Resources dict
+    pdf = pdf.replace(
+        b"/Subtype /Form /Filter",
+        b"/Subtype /Form /Resources << /XObject << /Fm1 1 0 R >> >> /Filter",
+        1,
+    )
+    got = extract_pdf_text(pdf)
+    assert got.count("loop") == 1
+
+
 def test_object_stream_layout_extracts():
     """PDF 1.5 ObjStm layout (page dicts compressed inside an object
     stream, xref stream): previously returned "" silently."""
