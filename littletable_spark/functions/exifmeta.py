@@ -210,6 +210,9 @@ def parse_exif(blob: bytes) -> dict:
                 if data[:6] == b"Exif\x00\x00":  # some writers prefix
                     data = data[6:]
                 _fold_tiff(out, data)
+    elif blob[:4] in (b"II*\x00", b"MM\x00*"):
+        # a TIFF file IS a TIFF body: IFD0 tags read directly
+        _fold_tiff(out, blob)
     return out
 
 

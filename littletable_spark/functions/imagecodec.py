@@ -62,7 +62,107 @@ def sniff_format(blob: bytes) -> str:
         return "jpeg"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         return "webp"
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
+
+
+# ------------------------------------------------------------------ #
+# TIFF (baseline 6.0 subset: uncompressed + PackBits, chunky strips)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9 / Macintosh): n>=0 → copy n+1
+    literals, n<0 (not -128) → repeat next byte 1-n times."""
+    out = bytearray()
+    i = 0
+    nd = len(data)
+    while i < nd and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= nd:
+                raise ValueError("truncated PackBits stream")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("truncated PackBits stream")
+    return bytes(out[:expected])
+
+
+def _decode_tiff(blob: bytes) -> np.ndarray:
+    """Baseline TIFF: first IFD, 8-bit gray/RGB(A), chunky planar
+    layout, strip-based, compression none (1) or PackBits (32773).
+    LZW/CCITT/JPEG-in-TIFF raise → PIL fallback / on_error."""
+    if blob[:2] == b"II":
+        fmt = "<"
+    elif blob[:2] == b"MM":
+        fmt = ">"
+    else:
+        raise ValueError("not a TIFF")
+    if struct.unpack_from(fmt + "H", blob, 2)[0] != 42:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(fmt + "I", blob, 4)
+    (n_entries,) = struct.unpack_from(fmt + "H", blob, ifd_off)
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(fmt + "HHI", blob, base)
+        if typ not in type_size:
+            continue
+        sz = type_size[typ]
+        if count * sz <= 4:
+            off = base + 8
+        else:
+            (off,) = struct.unpack_from(fmt + "I", blob, base + 8)
+        code = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(fmt + code * count, blob, off))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        strip_offsets = tags[273]
+        strip_counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag: {exc}") from None
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0] or h
+    if any(b != 8 for b in bits):
+        raise ValueError(f"TIFF bits-per-sample {bits} not supported")
+    if planar != 1:
+        raise ValueError("TIFF planar configuration 2 not supported")
+    if compression not in (1, 32773):
+        raise ValueError(f"TIFF compression {compression} not supported")
+    if photometric not in (0, 1, 2):
+        raise ValueError(f"TIFF photometric {photometric} not supported")
+    out = bytearray()
+    rows_left = h
+    for off, cnt in zip(strip_offsets, strip_counts):
+        rows = min(rows_per_strip, rows_left)
+        rows_left -= rows
+        expected = rows * w * spp
+        raw = blob[off : off + cnt]
+        if compression == 32773:
+            out += _packbits_decode(raw, expected)
+        else:
+            if len(raw) < expected:
+                raise ValueError("truncated TIFF strip")
+            out += raw[:expected]
+    arr = np.frombuffer(bytes(out), np.uint8, h * w * spp).reshape(h, w, spp)
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with <3 samples")
+        return arr[:, :, :3].astype(np.float64)  # extra samples (alpha) drop
+    gray = arr[:, :, 0].astype(np.float64)
+    return 255.0 - gray if photometric == 0 else gray
 
 
 # ------------------------------------------------------------------ #
@@ -945,6 +1045,8 @@ def decode_pixels(blob: bytes) -> np.ndarray:
             from .webpcodec import decode_webp
 
             return decode_webp(blob)
+        if fmt == "tiff":
+            return _decode_tiff(blob)
     except CORRUPT_ERRORS:
         pass  # unsupported variant or truncated/corrupt data; try PIL
     try:

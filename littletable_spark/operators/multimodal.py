@@ -68,6 +68,7 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
         .when(riff & (sub == F.lit("57454250")), F.lit("webp"))
         .when(riff, F.lit("riff"))
         .when(F.substring(hx, 9, 8) == F.lit("66747970"), F.lit("mp4"))
+        .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"), F.lit("tiff"))
         .when(hx.startswith("424D"), F.lit("bmp"))
         .otherwise(F.lit("unknown"))
     )

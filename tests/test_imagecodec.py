@@ -600,3 +600,132 @@ def test_png_subbyte_width_not_byte_aligned():
     blob = _png_encode_subbyte(samples, 1)
     got = decode_pixels(blob)
     np.testing.assert_allclose(got, samples * 255.0, atol=1e-9)
+
+
+# ------------------------------------------------------------------ #
+# TIFF (baseline subset: uncompressed + PackBits strips)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Naive PackBits: repeat runs >=3 as fills, the rest literal."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i
+            lit = bytearray()
+            while j < n and len(lit) < 128:
+                run2 = 1
+                while j + run2 < n and data[j + run2] == data[j] and run2 < 128:
+                    run2 += 1
+                if run2 >= 3:
+                    break
+                lit += data[j : j + run2]
+                j += run2
+            out += bytes([len(lit) - 1]) + lit
+            i = j
+    return bytes(out)
+
+
+def _tiff_encode(
+    img: np.ndarray, bo: str = "II", compression: int = 1,
+    rows_per_strip: int | None = None, photometric: int | None = None,
+) -> bytes:
+    fmt = "<" if bo == "II" else ">"
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else img.shape[2]
+    if photometric is None:
+        photometric = 1 if gray else 2
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = img[y0 : y0 + rps].tobytes()
+        strips.append(_packbits_encode(raw) if compression == 32773 else raw)
+    out = bytearray(bo.encode() + struct.pack(fmt + "HI", 42, 0))
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    if len(out) & 1:
+        out += b"\x00"
+
+    extra = bytearray()  # out-of-line arrays, placed after the IFD
+    entries = []
+
+    def entry(tag, typ, values, code):
+        sz = {1: 1, 3: 2, 4: 4}[typ]
+        if len(values) * sz <= 4:
+            v4 = struct.pack(fmt + code * len(values), *values)
+            v4 += b"\x00" * (4 - len(v4))
+            entries.append((tag, typ, len(values), v4, None))
+        else:
+            entries.append((tag, typ, len(values), None, bytes(
+                struct.pack(fmt + code * len(values), *values))))
+
+    entry(256, 4, [w], "I")
+    entry(257, 4, [h], "I")
+    entry(258, 3, [8] * spp, "H")
+    entry(259, 3, [compression], "H")
+    entry(262, 3, [photometric], "H")
+    entry(273, 4, strip_offsets, "I")
+    entry(277, 3, [spp], "H")
+    entry(278, 4, [rps], "I")
+    entry(279, 4, [len(s) for s in strips], "I")
+    ifd_off = len(out)
+    struct.pack_into(fmt + "I", out, 4, ifd_off)
+    ifd = struct.pack(fmt + "H", len(entries))
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    pending = []
+    for tag, typ, count, v4, ext in sorted(entries):
+        if v4 is not None:
+            ifd += struct.pack(fmt + "HHI", tag, typ, count) + v4
+        else:
+            ifd += struct.pack(fmt + "HHI", tag, typ, count)
+            ifd += struct.pack(fmt + "I", data_off + len(extra))
+            extra += ext
+    ifd += struct.pack(fmt + "I", 0)
+    return bytes(out) + ifd + bytes(extra)
+
+
+def test_tiff_sniff_and_gray():
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8) * 5
+    for bo in ("II", "MM"):
+        blob = _tiff_encode(img, bo=bo)
+        assert sniff_format(blob) == "tiff"
+        np.testing.assert_array_equal(decode_pixels(blob), img.astype(np.float64))
+
+
+def test_tiff_rgb_multistrip_packbits():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (10, 7, 3), dtype=np.uint8)
+    img[3:6] = 77  # give PackBits real runs
+    for comp in (1, 32773):
+        blob = _tiff_encode(img, compression=comp, rows_per_strip=4)
+        np.testing.assert_array_equal(decode_pixels(blob), img.astype(np.float64))
+
+
+def test_tiff_white_is_zero_and_rejections():
+    img = np.array([[0, 128], [255, 1]], dtype=np.uint8)
+    blob = _tiff_encode(img, photometric=0)
+    np.testing.assert_array_equal(
+        decode_pixels(blob), 255.0 - img.astype(np.float64)
+    )
+    from littletable_spark.functions.imagecodec import (
+        CORRUPT_ERRORS,
+        _decode_tiff,
+    )
+
+    with pytest.raises(CORRUPT_ERRORS):
+        _decode_tiff(_tiff_encode(img)[:20])  # truncated
+    with pytest.raises(ValueError, match="not supported"):
+        _decode_tiff(
+            _tiff_encode(img, compression=5)  # LZW: documented out
+        )

@@ -1155,3 +1155,13 @@ def test_true_mjpeg_avi_end_to_end(spark):
             exp[:, :, 0] * 0.299 + exp[:, :, 1] * 0.587 + exp[:, :, 2] * 0.114
         ) / 255.0
         np.testing.assert_allclose(got[i], lum, atol=1e-8)
+
+
+def test_parse_exif_on_raw_tiff_file():
+    """A TIFF file IS a TIFF body: IFD0 metadata reads directly."""
+    from littletable_spark.functions.exifmeta import parse_exif
+
+    tiff = _exif_full_app1(orientation=3, gps=(1.5, 2.5))[10:]
+    m = parse_exif(tiff)
+    assert m["has_exif"] and m["orientation"] == 3
+    assert m["gps_lat"] == pytest.approx(1.5, abs=1e-4)
