@@ -1501,7 +1501,9 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("?a=1&b=2&gclid="), F.col("doc_id").cast("string"),
                 ),
             ),
-            F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("#frag?fx=9")).otherwise(
+                F.lit("")
+            ),
         )
     )
     d.compute_field("url", url)
@@ -1521,17 +1523,23 @@ _ROBOTS_TEMPLATE = (
     "Disallow: /private/\n"
     "Allow: /private/ok\n"
     "Disallow: /tmp*.bak$\n"
+    "Disallow: /*?sessionid=\n"
 )
 
 
 def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt filtering (round 10): one robots.txt per synthesized
-    per-lang domain (parsed by parse_robots in an Arrow pass), URLs in
-    five path shapes hitting prefix rules, the Allow override, the $
-    anchor, and its non-anchored miss, plus unlisted-domain rows;
-    filter_by_robots keeps the allowed set under strict
-    keep_unlisted=False. The oracle replays the parsed rules as VALUES
-    and the same LIKE/window logic."""
+    """robots.txt filtering (round 10; round 11: equi-join rewrite +
+    path-AND-query matching): one robots.txt per synthesized per-lang
+    domain (parsed by parse_robots in an Arrow pass), URLs in five
+    path shapes hitting prefix rules, the Allow override, the $
+    anchor, and its non-anchored miss, plus unlisted-domain rows,
+    plus ``?sessionid=`` query strings (every 7th doc) that the
+    ``/*?sessionid=`` rule must drop and ``#frag?sessionid=`` decoys
+    (every 9th doc) that it must NOT — RFC 9309 matches path+query,
+    never the fragment. filter_by_robots keeps the allowed set under
+    strict keep_unlisted=False via the exploded host-suffix
+    equi-join. The oracle replays the parsed rules as VALUES and the
+    same LIKE/verdict logic."""
     from littletable_spark.operators.robots import filter_by_robots, parse_robots
 
     d = _t(spark, sf_dir, "documents")
@@ -1563,6 +1571,12 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.when(shape == 3, F.lit(".bak"))
             .when(shape == 4, F.lit(".bak.txt"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("?sessionid="), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("#frag?sessionid=9"))
             .otherwise(F.lit("")),
         )
     )
@@ -3659,7 +3673,7 @@ def oracle_sql() -> dict[str, str]:
                        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
                        '^(?:[^@]*@)?([^:]*)', 1) AS host,
                      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+                     regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
               FROM u
             ), g AS (
               SELECT *,
@@ -3700,7 +3714,7 @@ def oracle_sql() -> dict[str, str]:
                          || (doc_id - doc_id % 2)::VARCHAR
                          || '?a=1&b=2&gclid=' || doc_id::VARCHAR
                        END
-                       || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0 THEN '#frag?fx=9' ELSE '' END
                      END AS url
               FROM documents
             ), f AS (
@@ -3710,7 +3724,7 @@ def oracle_sql() -> dict[str, str]:
                        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
                        '^(?:[^@]*@)?(.*)$', 1) AS hostport,
                      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS raw_path,
-                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+                     regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
               FROM u
             ), g AS (
               SELECT doc_id, scheme,
@@ -3749,7 +3763,8 @@ def oracle_sql() -> dict[str, str]:
               FROM langs, (VALUES
                 (false, 9, '/private/%'),
                 (true, 11, '/private/ok%'),
-                (false, 10, '/tmp%.bak')
+                (false, 10, '/tmp%.bak'),
+                (false, 13, '/%?sessionid=%')
               ) AS r(allow, rule_len, like_pattern)
             ),
             u AS (
@@ -3764,6 +3779,10 @@ def oracle_sql() -> dict[str, str]:
                        || doc_id::VARCHAR
                        || CASE doc_id % 5 WHEN 3 THEN '.bak'
                             WHEN 4 THEN '.bak.txt' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                            THEN '?sessionid=' || doc_id::VARCHAR ELSE '' END
+                       || CASE WHEN doc_id % 9 = 0
+                            THEN '#frag?sessionid=9' ELSE '' END
                      END AS url
               FROM documents
             ),
@@ -3772,9 +3791,9 @@ def oracle_sql() -> dict[str, str]:
                      regexp_extract(
                        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
                        '^(?:[^@]*@)?([^:]*)', 1) AS host,
-                     CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                     CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) = ''
                           THEN '/'
-                          ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+                          ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)
                      END AS path
               FROM u
             ),

@@ -1060,7 +1060,12 @@ def decode_pixels(blob: bytes) -> np.ndarray:
     try:  # pragma: no cover - PIL absent in this environment
         from io import BytesIO
 
-        img = Image.open(BytesIO(blob)).convert("RGB")
+        from PIL import ImageOps
+
+        # Honor EXIF orientation like the builtin JPEG path does — the
+        # two decoders must yield the SAME pixel grid for the same
+        # photo, or dHash/dedup keys diverge by which path handled it.
+        img = ImageOps.exif_transpose(Image.open(BytesIO(blob))).convert("RGB")
         return np.asarray(img, dtype=np.float64)
     except Exception as exc:
         # PIL raises UnidentifiedImageError/OSError/... on corrupt blobs;

@@ -16,18 +16,27 @@ disallows for its user agent. Two operators:
   the filter below broadcastable.
 
 - ``filter_by_robots``: keep the rows whose URL the rules allow.
-  Fully native: derive (domain, path) with the urlops regexes,
-  broadcast-join the rules on domain, match via SQL ``LIKE`` (the
-  ``like_pattern`` column is the rule translated at parse time:
+  Fully native and EQUI-JOINED: each URL's host explodes into its
+  bounded label-suffix chain (``www.a.co.uk`` → ``[www.a.co.uk,
+  a.co.uk, co.uk]``), which hash-joins the rules on exact domain
+  equality — the suffix chain realizes the subdomain rule without a
+  non-equi ``endswith`` condition, so the plan is a standard shuffled
+  (or AQE-broadcast) hash join that scales with MATCHED pairs, never
+  an O(corpus × rules) nested loop. Rule matching is SQL ``LIKE``
+  (the ``like_pattern`` column is the rule translated at parse time:
   ``*`` → ``%``, ``$`` → anchored end — identical semantics in Spark
-  and DuckDB, so the filter is oracle-checkable), then pick the
-  winning rule per URL with one window: longest rule wins, ``Allow``
-  wins ties (RFC 9309 §2.2.2). URLs on domains with no rules are
-  kept (or dropped with ``keep_unlisted=False`` for strict-allowlist
-  crawls).
+  and DuckDB, so the filter is oracle-checkable) against the URL's
+  path-AND-query (RFC 9309 matches ``/search?q=`` rules), and the
+  winning rule per URL is one map-combined ``max(struct(rule_len,
+  allow))`` aggregation: longest rule wins, ``Allow`` wins ties
+  (RFC 9309 §2.2.2). URLs on domains with no rules are kept (or
+  dropped with ``keep_unlisted=False`` for strict-allowlist crawls).
 
-Scale shape: rules are list-sized (one site's robots.txt) →
-broadcast; the only shuffle is the per-row window on ``id_col``.
+Scale shape: rules table can be web-crawl-sized (millions of
+domains × tens of rules) — it is NEVER broadcast-nested-looped; the
+corpus side shuffles on the exploded host suffix (≤ label count per
+URL), the verdict fold is a partial-aggregating groupBy on the row
+ordinal, and the join back to the corpus is a plain equi-join.
 No reference analog; net-new crawl capability like urlops/warc_io.
 """
 
@@ -36,11 +45,16 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..table import Table
-from .urlops import _HOST_RE, _PATH_RE
+from .urlops import _HOST_RE
+
+# Path AND query (everything after the authority up to any fragment):
+# RFC 9309 rules match against the path-and-query, so a rule like
+# ``Disallow: /search?q=`` or ``Disallow: /*?sessionid=`` must see the
+# query string. Fragments are never part of the match target.
+_PATHQ_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)"
 
 __all__ = [
     "parse_robots",
@@ -115,16 +129,15 @@ def _walk_groups(text: str, agent: str):
         # other directives (sitemap etc.): group continues
 
     def pick() -> str | None:
-        if agent in groups and (groups[agent] or agent in delays):
+        # RFC 9309 §2.2.1: once a specific-agent group exists it is
+        # selected even when it holds ZERO rules — an empty matching
+        # group means allow-all for that agent, NOT fall through to
+        # the ``*`` group (which might disallow everything).
+        if agent in groups:
             return agent
         best = ""
         for ua in groups:
-            if (
-                ua != "*"
-                and ua in agent
-                and len(ua) > len(best)
-                and (groups[ua] or ua in delays)
-            ):
+            if ua != "*" and ua in agent and len(ua) > len(best):
                 best = ua
         return best or ("*" if "*" in groups else None)
 
@@ -260,22 +273,28 @@ def filter_by_robots(
     domain with no robots entry at all keeps the row only when
     ``keep_unlisted`` (set False for strict known-sites-only crawls).
     Domain match is subdomain-safe: rules for ``site.com`` govern
-    ``www.site.com`` but never ``notsite.com``.
+    ``www.site.com`` but never ``notsite.com``. Rules match against
+    the URL's path-and-query (RFC 9309), never the fragment.
 
-    Row identity for the winning-rule window is a synthesized
-    per-row ordinal (``monotonically_increasing_id`` computed BEFORE
-    the rules join), so the input needs no unique key and duplicate
-    rows keep their multiplicity — filters must never dedup."""
+    Plan shape: the host explodes into its label-suffix chain so the
+    rules join is PURE EQUALITY on domain — a hash join that scales
+    with matched (url, rule) pairs, not corpus × rules. The verdict
+    per URL is one map-combined ``max(struct(rule_len, allow))``
+    groupBy on a synthesized per-row ordinal
+    (``monotonically_increasing_id`` computed BEFORE the join), so
+    the input needs no unique key and duplicate rows keep their
+    multiplicity — filters must never dedup. The same aggregation's
+    group EXISTENCE is the listed-domain probe (no second join)."""
     df = table._require_df()
     url = F.coalesce(F.col(url_col), F.lit(""))
     authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     host = F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1)
-    raw_path = F.regexp_extract(url, _PATH_RE, 1)
-    path = F.when(raw_path == F.lit(""), F.lit("/")).otherwise(raw_path)
+    raw_pq = F.regexp_extract(url, _PATHQ_RE, 1)
+    pathq = F.when(raw_pq == F.lit(""), F.lit("/")).otherwise(raw_pq)
     work = (
         df.withColumn("__row_ord__", F.monotonically_increasing_id())
         .withColumn("__host__", host)
-        .withColumn("__path__", path)
+        .withColumn("__path__", pathq)
     )
     rdf = rules._require_df().select(
         F.lower(F.col(rules.fields[0])).alias("__rdom__"),
@@ -284,37 +303,40 @@ def filter_by_robots(
         F.col("like_pattern").alias("__rlike__"),
     )
 
-    def dom_match(rdom: F.Column) -> F.Column:
-        return (F.col("__host__") == rdom) | F.col("__host__").endswith(
-            F.concat(F.lit("."), rdom)
-        )
-
-    listed = rdf.select("__rdom__").distinct().withColumn(
-        "__listed__", F.lit(True)
+    # www.a.co.uk → [www.a.co.uk, a.co.uk, co.uk]: every label-boundary
+    # suffix; equality on a suffix IS the subdomain-or-exact match, so
+    # no endswith/OR condition survives into the join.
+    suffixes = F.expr(
+        "transform(sequence(1, size(split(__host__, '\\\\.'))), "
+        "i -> array_join(slice(split(__host__, '\\\\.'), i, "
+        "size(split(__host__, '\\\\.'))), '.'))"
     )
-    work = work.join(
-        F.broadcast(listed), dom_match(F.col("__rdom__")), "left"
-    ).drop("__rdom__")
-    joined = work.join(
-        F.broadcast(rdf),
-        dom_match(F.col("__rdom__"))
-        & F.like(F.col("__path__"), F.col("__rlike__"), F.lit("\\")),
-        "left",
+    sufs = work.select(
+        "__row_ord__", "__path__", F.explode(suffixes).alias("__hsuf__")
     )
-    w = Window.partitionBy("__row_ord__").orderBy(
-        F.desc_nulls_last("__rlen__"),
-        F.desc_nulls_last("__allow__"),
+    matches = sufs.join(rdf, F.col("__hsuf__") == F.col("__rdom__"), "inner")
+    # Group existence ⇒ the domain is listed; __best__ is null when no
+    # rule's LIKE pattern matched the path-and-query (listed-no-match
+    # ⇒ allowed). max(struct) orders by rule_len first, then allow
+    # (true > false): longest rule wins, Allow wins ties.
+    verdicts = matches.groupBy("__row_ord__").agg(
+        F.max(
+            F.when(
+                F.like(F.col("__path__"), F.col("__rlike__"), F.lit("\\")),
+                F.struct(F.col("__rlen__"), F.col("__allow__")),
+            )
+        ).alias("__best__"),
+        F.count(F.lit(1)).alias("__nlisted__"),
     )
-    ranked = joined.withColumn("__rn__", F.row_number().over(w)).where(
-        F.col("__rn__") == 1
-    )
-    keep = F.when(F.col("__rlen__").isNotNull(), F.col("__allow__")).otherwise(
-        F.when(F.col("__listed__").isNotNull(), F.lit(True)).otherwise(
+    joined = work.join(verdicts, "__row_ord__", "left")
+    keep = F.when(
+        F.col("__best__").isNotNull(), F.col("__best__").getField("__allow__")
+    ).otherwise(
+        F.when(F.col("__nlisted__").isNotNull(), F.lit(True)).otherwise(
             F.lit(bool(keep_unlisted))
         )
     )
-    out = ranked.where(keep).drop(
-        "__row_ord__", "__host__", "__path__", "__rdom__", "__allow__",
-        "__rlen__", "__rlike__", "__rn__", "__listed__",
+    out = joined.where(keep).drop(
+        "__row_ord__", "__host__", "__path__", "__best__", "__nlisted__"
     )
     return table._derive(out)

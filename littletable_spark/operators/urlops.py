@@ -46,7 +46,9 @@ __all__ = [
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# Anchored with a lazy fragment-free prefix so a '?' INSIDE the
+# fragment never reads as a query: 'http://a/p#f?x' has no query.
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 # Embedded snapshot of the most common two-level public suffixes —
 # the ccTLD second-level registries under which sites register

@@ -420,10 +420,11 @@ def test_url_features_psl_table_joins_broadcast(spark):
 
 
 def test_filter_by_robots_plan_shape(spark):
-    """filter_by_robots: the rules joins are BROADCAST (non-equi LIKE
-    condition over a list-sized rules table — never a shuffled
-    cartesian), and the only hash exchange of the corpus side is the
-    per-row winning-rule window."""
+    """filter_by_robots: the rules join is a pure EQUI-join on the
+    exploded host-suffix chain — NEVER a nested-loop or cartesian
+    (those are O(corpus × total_rules) and require broadcasting a
+    potentially web-crawl-sized rules table). The verdict fold is a
+    partially-aggregated groupBy on the per-row ordinal."""
     from littletable_spark.operators.robots import filter_by_robots, parse_robots
 
     d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
@@ -434,12 +435,15 @@ def test_filter_by_robots_plan_shape(spark):
     rt.insert_many([{"domain": "x.com", "txt": "User-agent: *\nDisallow: /no\n"}])
     rules = parse_robots(rt, "txt", "domain")
     plan = _plan(filter_by_robots(d, rules, "url").df)
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
     import re
 
     parts = re.findall(r"hashpartitioning\((\w+)", plan)
-    # the corpus side shuffles exactly once — for the per-row window;
-    # any other hash exchange is the list-sized rules-distinct
-    assert parts.count("__row_ord__") == 1, plan
-    assert all(p in ("__row_ord__", "__rdom__") for p in parts), plan
+    # every exchange keys on the join/agg columns: the suffix↔domain
+    # equi-join, the per-row verdict fold, and the verdict join-back
+    assert all(
+        p in ("__row_ord__", "__rdom__", "__hsuf__") for p in parts
+    ), plan
+    # map-side partial aggregation before the verdict shuffle
+    assert "partial_max" in plan or "HashAggregate" in plan, plan

@@ -42,6 +42,21 @@ def test_parse_one_group_selection():
     assert _parse_one("User-agent: *\nDisallow:\n", "x") == []
 
 
+def test_empty_specific_group_allows_all():
+    """RFC 9309: a matching specific-agent group with ZERO rules means
+    allow-all for that agent — it must NOT fall through to a ``*``
+    group that disallows everything. (The Sitemap line between the
+    groups keeps them distinct; adjacent UA lines would merge.)"""
+    txt = (
+        "User-agent: mybot\n"
+        "Sitemap: https://x.com/s.xml\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    assert _parse_one(txt, "mybot") == []
+    assert _parse_one(txt, "otherbot") == [("/", False)]
+
+
 def test_like_pattern_translation():
     assert robots_like_pattern("/a/b") == "/a/b%"
     assert robots_like_pattern("/a*z") == "/a%z%"
@@ -137,6 +152,64 @@ def test_filter_preserves_duplicate_rows_and_needs_no_key(spark):
     )
     kept = sorted(r.url for r in filter_by_robots(t, rules, "url"))
     assert kept == ["https://s.com/a", "https://s.com/b", "https://s.com/b"]
+
+
+def test_filter_matches_query_string_not_fragment(spark):
+    """RFC 9309 rules match the path-AND-query — ``/*?sessionid=`` and
+    ``/search?q=`` must fire — but never the fragment."""
+    rt = Table("r", spark=spark)
+    rt.insert_many(
+        [
+            {
+                "domain": "q.com",
+                "txt": (
+                    "User-agent: *\n"
+                    "Disallow: /*?sessionid=\n"
+                    "Disallow: /search?q=\n"
+                ),
+            }
+        ]
+    )
+    rules = parse_robots(rt, "txt", "domain")
+    t = Table("u", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 0, "url": "https://q.com/p?sessionid=abc"},   # drop
+            {"doc_id": 1, "url": "https://q.com/p"},                 # keep
+            {"doc_id": 2, "url": "https://q.com/search?q=x"},        # drop
+            {"doc_id": 3, "url": "https://q.com/search"},            # keep
+            # '?' inside the fragment is NOT a query — rule must not fire
+            {"doc_id": 4, "url": "https://q.com/p#frag?sessionid=1"},
+            {"doc_id": 5, "url": "https://q.com/a?sessionid=2&x=1"},  # drop
+            # '&sessionid=' is not '?sessionid=' — the rule's literal
+            # '?' must not fire mid-query
+            {"doc_id": 6, "url": "https://q.com/a?x=1&sessionid=2"},  # keep
+        ]
+    )
+    kept = sorted(r.doc_id for r in filter_by_robots(t, rules, "url"))
+    assert kept == [1, 3, 4, 6]
+
+
+def test_filter_subdomain_suffix_chain(spark):
+    """Domain equality on the exploded host-suffix chain: rules for
+    ``a.co.uk`` govern ``www.a.co.uk`` but never ``nota.co.uk``."""
+    rt = Table("r", spark=spark)
+    rt.insert_many(
+        [{"domain": "a.co.uk", "txt": "User-agent: *\nDisallow: /\n"}]
+    )
+    rules = parse_robots(rt, "txt", "domain")
+    t = Table("u", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 0, "url": "https://a.co.uk/x"},        # drop
+            {"doc_id": 1, "url": "https://www.a.co.uk/x"},    # drop
+            {"doc_id": 2, "url": "https://deep.www.a.co.uk/x"},  # drop
+            {"doc_id": 3, "url": "https://nota.co.uk/x"},     # unlisted → keep
+        ]
+    )
+    kept = sorted(r.doc_id for r in filter_by_robots(t, rules, "url"))
+    assert kept == [3]
+    assert len(filter_by_robots(t, rules, "url", keep_unlisted=False)) == 0
 
 
 def test_robots_sitemaps_directives(spark):
