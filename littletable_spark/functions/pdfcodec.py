@@ -28,15 +28,22 @@ objects (page dicts etc. — content streams themselves may NOT live in
 an ObjStm per spec 7.5.7, so the stream path is untouched) are merged
 into the object map before the page walk.
 
+Subsetted / CID fonts with ``/ToUnicode`` CMaps (most LaTeX- and
+Office-produced PDFs) ARE mapped: each page's ``/Resources → /Font``
+dictionary is resolved, every font's ``/ToUnicode`` stream is parsed
+(``begincodespacerange`` for code byte-lengths, ``beginbfchar`` +
+``beginbfrange`` incl. the array form, spec 9.10.3), and the ``Tf``
+operator tracks the ACTIVE font so each shown string decodes through
+its own font's CMap — multi-byte CIDs, multi-code-unit targets
+(ligatures → "fi"), and per-string font switches all land as real
+text instead of mojibake. Strings of fonts without a ToUnicode fall
+back to the BOM/Latin-1 path above.
+
 Out of scope (raise ValueError → ``on_error`` policy upstream):
-encrypted files, and files whose ONLY text uses CID fonts with
-ToUnicode CMaps (the bytes extract but may not be readable text —
-callers should language-ID/quality-filter downstream, which the
-pipeline does anyway). A structurally valid PDF in which no page
-object can be located also raises (rather than silently returning
-``""``) so ``on_error`` audit trails see the loss. No reference
-analog; fulfils the brief's multimodal mandate like
-imagecodec/audiocodec.
+encrypted files. A structurally valid PDF in which no page object can
+be located also raises (rather than silently returning ``""``) so
+``on_error`` audit trails see the loss. No reference analog; fulfils
+the brief's multimodal mandate like imagecodec/audiocodec.
 """
 
 from __future__ import annotations
@@ -175,6 +182,135 @@ def _resolve_dict(data: bytes, pos: int, objects: dict[int, bytes]) -> bytes:
     return objects.get(int(rm.group(1)), b"")
 
 
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BF_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f]+)>|\[|\]")
+
+
+def _utf16_str(hexs: bytes) -> str:
+    """A ToUnicode destination hex string → text. Destinations are
+    UTF-16BE code units (spec 9.10.3); tolerate a stray odd byte."""
+    data = bytes.fromhex(hexs.decode("ascii"))
+    if len(data) % 2:
+        return "".join(chr(b) for b in data)
+    return data.decode("utf-16-be", errors="replace")
+
+
+class _ToUnicodeCMap:
+    """A parsed ``/ToUnicode`` CMap: fixed-point lookup from font code
+    bytes to Unicode text. Code byte-lengths come from the source hex
+    strings themselves (and ``codespacerange``), so 1-byte simple-font
+    maps and 2-byte CID maps — even mixed — decode correctly."""
+
+    __slots__ = ("cmap", "lengths", "spaces")
+
+    def __init__(self, data: bytes) -> None:
+        self.cmap: dict[tuple[int, int], str] = {}
+        self.spaces: list[tuple[int, int, int]] = []  # (len, lo, hi)
+        for m in re.finditer(
+            rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+        ):
+            hexes = _HEXSTR_RE.findall(m.group(1))
+            for k in range(0, len(hexes) - 1, 2):
+                lo, hi = hexes[k], hexes[k + 1]
+                self.spaces.append(
+                    (len(lo) // 2, int(lo, 16), int(hi, 16))
+                )
+        for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+            hexes = _HEXSTR_RE.findall(m.group(1))
+            for k in range(0, len(hexes) - 1, 2):
+                src, dst = hexes[k], hexes[k + 1]
+                self.cmap[(len(src) // 2, int(src, 16))] = _utf16_str(dst)
+        for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+            # token stream: hex strings plus [ ] markers for the
+            # per-code destination-array form
+            stream = [
+                t.group(1) if t.group(1) is not None else t.group(0)
+                for t in _BF_TOKEN_RE.finditer(m.group(1))
+            ]
+            i = 0
+            while i + 3 <= len(stream):
+                lo_h, hi_h, nxt = stream[i], stream[i + 1], stream[i + 2]
+                if lo_h in (b"[", b"]") or hi_h in (b"[", b"]"):
+                    i += 1
+                    continue
+                length = len(lo_h) // 2
+                lo, hi = int(lo_h, 16), int(hi_h, 16)
+                if nxt == b"[":  # array form: one dst per code
+                    j = i + 3
+                    code = lo
+                    while j < len(stream) and stream[j] != b"]":
+                        self.cmap[(length, code)] = _utf16_str(stream[j])
+                        code += 1
+                        j += 1
+                    i = j + 1
+                else:  # <lo> <hi> <dst>: dst increments with the code
+                    base = int(nxt, 16)
+                    width = len(nxt)
+                    for k in range(hi - lo + 1):
+                        h = b"%0*x" % (width, base + k)
+                        self.cmap[(length, lo + k)] = _utf16_str(h)
+                    i += 3
+        lens = {ln for ln, _ in self.cmap} | {ln for ln, _, _ in self.spaces}
+        self.lengths = sorted(lens) or [1]
+
+    def decode(self, raw: bytes) -> str:
+        out: list[str] = []
+        i = 0
+        n = len(raw)
+        while i < n:
+            hit = False
+            for ln in self.lengths:
+                if i + ln > n:
+                    continue
+                code = int.from_bytes(raw[i : i + ln], "big")
+                mapped = self.cmap.get((ln, code))
+                if mapped is not None:
+                    out.append(mapped)
+                    i += ln
+                    hit = True
+                    break
+                if any(
+                    sl == ln and lo <= code <= hi for sl, lo, hi in self.spaces
+                ):
+                    # in the font's codespace but unmapped: drop the
+                    # glyph (no Unicode equivalent declared)
+                    i += ln
+                    hit = True
+                    break
+            if not hit:
+                i += self.lengths[0]
+        return "".join(out)
+
+
+def _font_map(
+    body: bytes, objects: dict[int, bytes], fcache: dict[int, object]
+) -> dict[bytes, object]:
+    """``/Resources → /Font`` name → parsed ToUnicode CMap (or None
+    when the font declares none) for a page or form dictionary."""
+    m = re.search(rb"/Resources\s*", body)
+    if m is None:
+        return {}
+    res = _resolve_dict(body, m.end(), objects)
+    fm = re.search(rb"/Font\s*", res)
+    if fm is None:
+        return {}
+    fdict = _resolve_dict(res, fm.end(), objects)
+    out: dict[bytes, object] = {}
+    for nm, num in _XOBJ_NAME_RE.findall(fdict):
+        fnum = int(num)
+        if fnum not in fcache:
+            cmap = None
+            fbody = objects.get(fnum, b"")
+            tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+            if tm is not None:
+                data = _stream_data(objects.get(int(tm.group(1)), b""))
+                if data:
+                    cmap = _ToUnicodeCMap(data)
+            fcache[fnum] = cmap
+        out[nm] = fcache[fnum]
+    return out
+
+
 def _xobject_map(body: bytes, objects: dict[int, bytes]) -> dict[bytes, int]:
     """``/Resources → /XObject`` name→object-number map of a page or
     form dictionary (both levels may be inline or indirect)."""
@@ -195,15 +331,24 @@ def _content_text(
     xmap: dict[bytes, int] | None = None,
     depth: int = 0,
     seen: frozenset[int] = frozenset(),
+    fonts: dict[bytes, object] | None = None,
+    fcache: dict[int, object] | None = None,
 ) -> list[str]:
     """Interpret a content stream's BT/ET text operators; ``Do``
     invocations of Form XObjects recurse (depth- and cycle-limited)
     so text painted through forms — letterheads, stamped layers,
-    generator-split content — is not silently dropped."""
+    generator-split content — is not silently dropped. ``Tf`` tracks
+    the active font so each shown string decodes through that font's
+    ToUnicode CMap when it has one."""
     chunks: list[str] = []
     pending: list[bytes] = []  # operand stack (strings + numbers)
     in_text = False
     last_ty: float | None = None
+    cmap = None  # active font's ToUnicode CMap (graphics text state)
+
+    def show(raw: bytes) -> str:
+        return cmap.decode(raw) if cmap is not None else _decode_text(raw)
+
     i = 0
     n = len(content)
     while i < n:
@@ -238,6 +383,7 @@ def _content_text(
                     xbody = objects.get(objnum, b"")
                     stream = _stream_data(xbody)
                     if stream is not None and b"/Image" not in xbody[:200]:
+                        ffonts = _font_map(xbody, objects, fcache or {})
                         chunks.extend(
                             _content_text(
                                 stream,
@@ -245,6 +391,9 @@ def _content_text(
                                 _xobject_map(xbody, objects),
                                 depth + 1,
                                 seen | {objnum},
+                                # form has own fonts, else inherits
+                                ffonts or fonts,
+                                fcache,
                             )
                         )
         elif tok in (b"BT",):
@@ -254,21 +403,30 @@ def _content_text(
         elif tok == b"ET":
             in_text = False
             pending.clear()
+        elif tok == b"Tf":
+            # '/F1 12 Tf' — the font name is the last name operand;
+            # text state persists across BT/ET (spec 9.3.1)
+            name = next(
+                (op for op in reversed(pending) if op[:1] == b"/"), None
+            )
+            if name is not None and fonts is not None:
+                cmap = fonts.get(name[1:])
+            pending.clear()
         elif not in_text:
             pending.clear() if tok in (b"[", b"]") else pending.append(tok)
         elif tok == b"Tj":
             if pending and pending[-1][:1] == b"S":
-                chunks.append(_decode_text(pending[-1][1:]))
+                chunks.append(show(pending[-1][1:]))
             pending.clear()
         elif tok in (b"'", b'"'):
             chunks.append("\n")
             if pending and pending[-1][:1] == b"S":
-                chunks.append(_decode_text(pending[-1][1:]))
+                chunks.append(show(pending[-1][1:]))
             pending.clear()
         elif tok == b"TJ":
             for op in pending:
                 if op[:1] == b"S":
-                    chunks.append(_decode_text(op[1:]))
+                    chunks.append(show(op[1:]))
                 else:
                     try:  # big negative kern = inter-word gap
                         if float(op) < -100:
@@ -342,6 +500,7 @@ def extract_pdf_text(blob: bytes) -> str:
     _merge_object_streams(objects)
     pages: list[str] = []
     n_page_objs = 0
+    fcache: dict[int, object] = {}  # font obj num -> parsed CMap|None
     for num in sorted(objects):
         body = objects[num]
         if b"/Type" not in body or b"/Page" not in body or b"/Pages" in body:
@@ -354,11 +513,16 @@ def extract_pdf_text(blob: bytes) -> str:
             int(r) for r in _REF_RE.findall(cm.group(2))
         ]
         xmap = _xobject_map(body, objects)
+        fonts = _font_map(body, objects, fcache)
         text_parts: list[str] = []
         for ref in refs:
             stream = _stream_data(objects.get(ref, b""))
             if stream:
-                text_parts.extend(_content_text(stream, objects, xmap))
+                text_parts.extend(
+                    _content_text(
+                        stream, objects, xmap, fonts=fonts, fcache=fcache
+                    )
+                )
         page = "".join(text_parts)
         page = re.sub(r"\n{3,}", "\n\n", page).strip("\n")
         if page:

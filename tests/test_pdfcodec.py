@@ -408,3 +408,161 @@ def test_extract_text_operator_end_to_end(spark):
     )
     got = {r.id: r.n_tokens for r in stats}
     assert got[0] == 5 and got[1] == 3
+
+
+# ------------------------------------------------------------------ #
+# ToUnicode CMaps (subsetted / CID fonts)
+
+
+def _make_pdf_cid(
+    page_stream: bytes,
+    fonts: dict[bytes, bytes | None],
+    form: tuple[bytes, bytes, bytes] | None = None,
+) -> bytes:
+    """One page whose /Resources /Font maps names to fonts; each font
+    value is a ToUnicode CMap stream body (None = simple font without
+    one). ``form`` = (form_name, form_stream, form_cmap) adds a Form
+    XObject carrying its OWN /F1 font+CMap."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    def add_font(cmap: bytes | None) -> int:
+        if cmap is None:
+            return add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        data = zlib.compress(cmap)
+        sid = add(
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+        return add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Subset "
+            b"/ToUnicode %d 0 R >>" % sid
+        )
+
+    font_ids = {nm: add_font(cm) for nm, cm in fonts.items()}
+    fdict = b"<< " + b" ".join(
+        b"/%s %d 0 R" % (nm, oid) for nm, oid in font_ids.items()
+    ) + b" >>"
+    extra_res = b""
+    if form is not None:
+        fname, fstream, fcmap = form
+        ffid = add_font(fcmap)
+        fdata = zlib.compress(fstream)
+        fxid = add(
+            b"<< /Type /XObject /Subtype /Form /Filter /FlateDecode "
+            b"/Length %d /BBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> >>\nstream\n"
+            % (len(fdata), ffid)
+            + fdata + b"\nendstream"
+        )
+        extra_res = b" /XObject << /%s %d 0 R >>" % (fname, fxid)
+    cdata = zlib.compress(page_stream)
+    cid = add(
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(cdata)
+        + cdata + b"\nendstream"
+    )
+    pages_id = add(b"")
+    pid = add(
+        b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R /Resources "
+        b"<< /Font " % (pages_id, cid) + fdict + extra_res + b" >> >>"
+    )
+    objs[pages_id - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % pid
+    add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += b"%%EOF"
+    return bytes(out)
+
+
+_CMAP_2B = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+3 beginbfchar
+<0001> <0048>
+<0002> <0069>
+<0003> <00660069>
+endbfchar
+2 beginbfrange
+<0010> <0012> <0041>
+<0020> <0021> [<0058> <0059>]
+endbfrange
+endcmap end end
+"""
+
+
+def test_tounicode_bfchar_and_multiunit():
+    """2-byte CIDs map through bfchar; a multi-code-unit destination
+    (the fi ligature) expands to two characters."""
+    page = b"BT /F1 12 Tf <000100020003> Tj ET"
+    pdf = _make_pdf_cid(page, {b"F1": _CMAP_2B})
+    assert extract_pdf_text(pdf) == "Hifi"
+
+
+def test_tounicode_bfrange_contiguous_and_array():
+    page = b"BT /F1 12 Tf <001000110012> Tj <00200021> Tj ET"
+    pdf = _make_pdf_cid(page, {b"F1": _CMAP_2B})
+    assert extract_pdf_text(pdf) == "ABCXY"
+
+
+def test_tounicode_font_switch_and_fallback():
+    """Tf switches the active CMap per string; a simple font without
+    ToUnicode falls back to Latin-1; unmapped-but-in-codespace CIDs
+    drop instead of emitting mojibake."""
+    page = (
+        b"BT /F1 12 Tf <0001> Tj "
+        b"/F2 12 Tf (plain) Tj "
+        b"/F1 12 Tf <0002EEEE0001> Tj ET"   # EEEE unmapped -> dropped
+    )
+    pdf = _make_pdf_cid(page, {b"F1": _CMAP_2B, b"F2": None})
+    assert extract_pdf_text(pdf) == "HplainiH"
+
+
+def test_tounicode_one_byte_codes():
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<41> <0061>\n<42> <0062>\nendbfchar\n"
+        b"1 beginbfrange\n<50> <52> <0070>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    page = b"BT /F1 12 Tf (AB) Tj <505152> Tj ET"
+    pdf = _make_pdf_cid(page, {b"F1": cmap})
+    assert extract_pdf_text(pdf) == "abpqr"
+
+
+def test_tounicode_tj_array_and_quote():
+    """CMap decoding applies inside TJ arrays and the quote operator."""
+    page = (
+        b"BT /F1 12 Tf [<0001> -250 <0002>] TJ ET\n"
+        b"BT /F1 12 Tf <0003> ' ET"
+    )
+    pdf = _make_pdf_cid(page, {b"F1": _CMAP_2B})
+    assert extract_pdf_text(pdf) == "H i\nfi"
+
+
+def test_tounicode_form_xobject_own_font():
+    """A Form XObject's own /F1 (different CMap) must not leak into —
+    or inherit from — the page's /F1."""
+    form_cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n1 beginbfchar\n<0001> <005A>\nendbfchar\nendcmap\n"
+    )
+    form = b"BT /F1 12 Tf <0001> Tj ET"        # Z under the form's map
+    page = b"BT /F1 12 Tf <0001> Tj ET /Fm1 Do"  # H under the page's map
+    pdf = _make_pdf_cid(
+        page, {b"F1": _CMAP_2B}, form=(b"Fm1", form, form_cmap)
+    )
+    assert extract_pdf_text(pdf) == "HZ"
+
+
+def test_tounicode_persists_across_bt_et():
+    """Text state (the active font) survives ET/BT boundaries."""
+    page = b"BT /F1 12 Tf <0001> Tj ET BT <0002> Tj ET"
+    pdf = _make_pdf_cid(page, {b"F1": _CMAP_2B})
+    assert extract_pdf_text(pdf) == "Hi"
