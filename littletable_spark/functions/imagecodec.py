@@ -68,7 +68,67 @@ def sniff_format(blob: bytes) -> str:
 
 
 # ------------------------------------------------------------------ #
-# TIFF (baseline 6.0 subset: uncompressed + PackBits, chunky strips)
+# TIFF (baseline 6.0 subset: uncompressed + PackBits + LZW + Deflate,
+# chunky strips, horizontal-differencing predictor)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, ClearCode=256, EOI=257,
+    9→12-bit codes with the TIFF "early change" — the code width bumps
+    when the table reaches 2^width - 1 entries (511/1023/2047, one
+    entry before plain LZW), matching libtiff's reader/writer pair."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    nbits_total = len(data) * 8
+    bitpos = 0
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits_total:
+            return EOI  # ran off the end: treat as end-of-information
+        byte_i = bitpos >> 3
+        nbytes = (width + (bitpos & 7) + 7) >> 3
+        val = int.from_bytes(data[byte_i : byte_i + nbytes], "big")
+        shift = nbytes * 8 - (bitpos & 7) - width
+        bitpos += width
+        return (val >> shift) & ((1 << width) - 1)
+
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            code = read(width)
+            if code == EOI:
+                break
+            if code >= len(table):
+                raise ValueError("bad TIFF LZW code after clear")
+            entry = table[code]
+            out += entry
+            prev = entry
+            continue
+        if prev is None:
+            raise ValueError("TIFF LZW stream must start with a clear code")
+        if code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad TIFF LZW code")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("truncated TIFF LZW stream")
+    return bytes(out[:expected])
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
@@ -96,8 +156,11 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 def _decode_tiff(blob: bytes) -> np.ndarray:
     """Baseline TIFF: first IFD, 8-bit gray/RGB(A), chunky planar
-    layout, strip-based, compression none (1) or PackBits (32773).
-    LZW/CCITT/JPEG-in-TIFF raise → PIL fallback / on_error."""
+    layout, strip-based; compression none (1), LZW (5, TIFF 6.0 §13),
+    Deflate (8 and legacy 32946, via zlib), or PackBits (32773), with
+    the horizontal-differencing predictor (tag 317 = 2, applied per
+    row per sample after decompression). CCITT/JPEG-in-TIFF raise →
+    PIL fallback / on_error."""
     if blob[:2] == b"II":
         fmt = "<"
     elif blob[:2] == b"MM":
@@ -135,14 +198,17 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
     photometric = tags.get(262, [1])[0]
     planar = tags.get(284, [1])[0]
     rows_per_strip = tags.get(278, [h])[0] or h
+    predictor = tags.get(317, [1])[0]
     if any(b != 8 for b in bits):
         raise ValueError(f"TIFF bits-per-sample {bits} not supported")
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 not supported")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {compression} not supported")
     if photometric not in (0, 1, 2):
         raise ValueError(f"TIFF photometric {photometric} not supported")
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported")
     out = bytearray()
     rows_left = h
     for off, cnt in zip(strip_offsets, strip_counts):
@@ -151,11 +217,28 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
         expected = rows * w * spp
         raw = blob[off : off + cnt]
         if compression == 32773:
-            out += _packbits_decode(raw, expected)
+            strip = _packbits_decode(raw, expected)
+        elif compression == 5:
+            strip = _tiff_lzw_decode(raw, expected)
+        elif compression in (8, 32946):
+            try:
+                strip = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF Deflate strip: {exc}") from None
+            if len(strip) < expected:
+                raise ValueError("truncated TIFF Deflate strip")
+            strip = strip[:expected]
         else:
             if len(raw) < expected:
                 raise ValueError("truncated TIFF strip")
-            out += raw[:expected]
+            strip = raw[:expected]
+        if predictor == 2:
+            # horizontal differencing: each sample is stored as the
+            # delta from the same sample of the pixel to its left;
+            # rows never cross strip boundaries, so undo per strip
+            arr = np.frombuffer(strip, np.uint8).reshape(rows, w, spp)
+            strip = arr.cumsum(axis=1, dtype=np.uint8).tobytes()
+        out += strip
     arr = np.frombuffer(bytes(out), np.uint8, h * w * spp).reshape(h, w, spp)
     if photometric == 2:
         if spp < 3:

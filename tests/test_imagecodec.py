@@ -603,7 +603,55 @@ def test_png_subbyte_width_not_byte_aligned():
 
 
 # ------------------------------------------------------------------ #
-# TIFF (baseline subset: uncompressed + PackBits strips)
+# TIFF (baseline subset: uncompressed/PackBits/LZW/Deflate strips)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW writer (test side): MSB-first bit packing,
+    early change — the encoder widens when its next code reaches
+    2^width (one code earlier than GIF relative to the decoder's
+    table, whose matching rule is table-size ≥ 2^width - 1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+            bitbuf &= (1 << bitcnt) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: restart
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -637,6 +685,7 @@ def _packbits_encode(data: bytes) -> bytes:
 def _tiff_encode(
     img: np.ndarray, bo: str = "II", compression: int = 1,
     rows_per_strip: int | None = None, photometric: int | None = None,
+    predictor: int = 1,
 ) -> bytes:
     fmt = "<" if bo == "II" else ">"
     gray = img.ndim == 2
@@ -647,8 +696,20 @@ def _tiff_encode(
     rps = rows_per_strip or h
     strips = []
     for y0 in range(0, h, rps):
-        raw = img[y0 : y0 + rps].tobytes()
-        strips.append(_packbits_encode(raw) if compression == 32773 else raw)
+        block = img[y0 : y0 + rps]
+        if predictor == 2:  # horizontal differencing per row/sample
+            b3 = block.reshape(block.shape[0], w, spp).astype(np.int16)
+            diff = b3.copy()
+            diff[:, 1:] = b3[:, 1:] - b3[:, :-1]
+            block = (diff % 256).astype(np.uint8)
+        raw = block.tobytes()
+        if compression == 32773:
+            raw = _packbits_encode(raw)
+        elif compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        elif compression in (8, 32946):
+            raw = zlib.compress(raw)
+        strips.append(raw)
     out = bytearray(bo.encode() + struct.pack(fmt + "HI", 42, 0))
     strip_offsets = []
     for s in strips:
@@ -679,6 +740,8 @@ def _tiff_encode(
     entry(277, 3, [spp], "H")
     entry(278, 4, [rps], "I")
     entry(279, 4, [len(s) for s in strips], "I")
+    if predictor != 1:
+        entry(317, 3, [predictor], "H")
     ifd_off = len(out)
     struct.pack_into(fmt + "I", out, 4, ifd_off)
     ifd = struct.pack(fmt + "H", len(entries))
@@ -727,5 +790,69 @@ def test_tiff_white_is_zero_and_rejections():
         _decode_tiff(_tiff_encode(img)[:20])  # truncated
     with pytest.raises(ValueError, match="not supported"):
         _decode_tiff(
-            _tiff_encode(img, compression=5)  # LZW: documented out
+            _tiff_encode(img, compression=4)  # CCITT G4: documented out
         )
+
+
+def test_tiff_lzw_roundtrip_both_byte_orders():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+    img[4:8] = 200  # runs so LZW builds real multi-byte entries
+    for bo in ("II", "MM"):
+        blob = _tiff_encode(img, bo=bo, compression=5, rows_per_strip=5)
+        np.testing.assert_array_equal(decode_pixels(blob), img.astype(np.float64))
+
+
+def test_tiff_lzw_early_change_width_crossing():
+    """Data with >253 distinct table entries forces the 9->10 bit code
+    width switch — the TIFF early-change off-by-one is exercised, and
+    a large repetitive image crosses 10->11->12 and a table restart."""
+    # incompressible noise grows the table ~1 entry per emitted code
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (64, 64), dtype=np.uint8)
+    blob = _tiff_encode(img, compression=5)
+    np.testing.assert_array_equal(decode_pixels(blob), img.astype(np.float64))
+    big = np.tile(np.arange(256, dtype=np.uint8), (80, 2)).reshape(80, 512)
+    blob = _tiff_encode(big, compression=5)
+    np.testing.assert_array_equal(decode_pixels(blob), big.astype(np.float64))
+
+
+def test_tiff_deflate_and_legacy_code():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (10, 6, 3), dtype=np.uint8)
+    for comp in (8, 32946):
+        blob = _tiff_encode(img, compression=comp, rows_per_strip=4)
+        np.testing.assert_array_equal(decode_pixels(blob), img.astype(np.float64))
+
+
+def test_tiff_horizontal_predictor():
+    """Predictor 2 (horizontal differencing) undoes per row per sample,
+    for LZW and Deflate, gray and RGB, across strip boundaries."""
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, (11, 7, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (9, 14), dtype=np.uint8)
+    for img in (rgb, gray):
+        for comp in (5, 8):
+            blob = _tiff_encode(
+                img, compression=comp, rows_per_strip=4, predictor=2
+            )
+            np.testing.assert_array_equal(
+                decode_pixels(blob), img.astype(np.float64)
+            )
+
+
+def test_tiff_lzw_differential_random():
+    """Byte-level differential: the decoder inverts the test-side
+    encoder on arbitrary byte strings (not just images)."""
+    from littletable_spark.functions.imagecodec import _tiff_lzw_decode
+
+    rng = np.random.RandomState(17)
+    for trial in range(20):
+        n = int(rng.randint(1, 5000))
+        if trial % 3 == 0:  # runs-heavy: exercises long table entries
+            data = np.repeat(
+                rng.randint(0, 4, n // 8 + 1, dtype=np.uint8), 8
+            )[:n].tobytes()
+        else:
+            data = rng.randint(0, 256, n, dtype=np.uint8).tobytes()
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
