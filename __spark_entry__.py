@@ -1142,12 +1142,85 @@ def q_text_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.df.select("doc_id", "logit", "keep")
 
 
+# per-script text samples appended to every 8th/...-th document so the
+# langid gate exercises ALL script classes (Cyrillic/kana/Hangul/
+# Arabic/Devanagari/Han) and a marker-only latin language — the same
+# literals are embedded in the generated oracle SQL, so Spark and
+# DuckDB see identical inputs
+_LANGID_SAMPLES: dict[int, str] = {
+    1: "не что это как по его она так и на русском",
+    2: "これは日本語のテキストです ひらがなとカタカナの文",
+    3: "이것은 한국어 텍스트입니다 그리고 있는 하지만",
+    4: "هذا نص باللغة العربية في من على إلى",
+    5: "यह हिंदी में पाठ है और के की से",
+    6: "的是了在和有我不这他 纯中文文本没有空格",
+    7: "não uma são também já você isso muito",
+}
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """language ID via marker-word scores + deterministic argmax."""
+    """language ID via marker-word + Unicode-script scores (round 11:
+    16 languages; every 8th doc gets a per-script sample appended so
+    the kana/Hangul/Cyrillic/Arabic/Devanagari/Han regexp_count
+    features and the new marker tables are all live in the gate)."""
     from littletable_spark.operators.textops import lang_id
 
     d = _t(spark, sf_dir, "documents")
-    return lang_id(d, "text", "doc_id").df
+    text = F.col("text")
+    for k, s in _LANGID_SAMPLES.items():
+        text = F.when(
+            F.col("doc_id") % 8 == k, F.concat(F.col("text"), F.lit(" " + s))
+        ).otherwise(text)
+    d2 = Table.from_df(d.df.withColumn("text", text), name="documents_mix")
+    return lang_id(d2, "text", "doc_id").df
+
+
+def _langid_oracle_sql() -> str:
+    """Generated from the SAME marker/script constants the operator
+    uses, so the two can never drift."""
+    from littletable_spark.operators.textops import (
+        LANG_MARKERS,
+        LANG_SCRIPTS,
+        SCRIPT_RANGES,
+    )
+
+    codes = sorted(LANG_MARKERS)
+    score_exprs = []
+    for c in codes:
+        lst = ",".join("'" + m.replace("'", "''") + "'" for m in LANG_MARKERS[c])
+        e = f"len(list_intersect(toks, [{lst}]))"
+        for script, wgt in LANG_SCRIPTS.get(c, []):
+            e += (
+                f" + {wgt} * len(regexp_extract_all(text,"
+                f" '[{SCRIPT_RANGES[script]}]'))"
+            )
+        score_exprs.append(f"({e})::INTEGER AS score_{c}")
+    score_cols = ", ".join(f"score_{c}" for c in codes)
+    greatest = "greatest(" + score_cols + ")"
+    case = [f"CASE WHEN {greatest} = 0 THEN 'unknown'"]
+    for c in codes[:-1]:
+        case.append(f"WHEN score_{c} = {greatest} THEN '{c}'")
+    case.append(f"ELSE '{codes[-1]}' END AS pred_lang")
+    mix = " ".join(
+        f"WHEN {k} THEN text || ' {s}'" for k, s in _LANGID_SAMPLES.items()
+    )
+    return f"""
+        WITH docs2 AS (
+          SELECT doc_id,
+                 CASE doc_id % 8 {mix} ELSE text END AS text
+          FROM documents
+        ), t AS (
+          SELECT doc_id, text,
+                 list_transform(list_filter(
+                   string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                   x -> lower(x)) AS toks
+          FROM docs2
+        ), s AS (
+          SELECT doc_id, {", ".join(score_exprs)} FROM t
+        )
+        SELECT doc_id, {score_cols}, {" ".join(case)}
+        FROM s
+    """
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3474,32 +3547,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, logit, CAST(logit > 0.0 AS INT) AS keep
             FROM s
         """,
-        "text_langid": """
-            WITH t AS (
-              SELECT doc_id,
-                     list_transform(list_filter(
-                       string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-                       x -> lower(x)) AS toks
-              FROM documents
-            ), s AS (
-              SELECT doc_id,
-                len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','für','von'])) AS score_de,
-                len(list_intersect(toks, ['the','and','of','to','is','in','that','it','for','with'])) AS score_en,
-                len(list_intersect(toks, ['el','la','los','las','es','un','una','para','con','que'])) AS score_es,
-                len(list_intersect(toks, ['le','la','les','et','est','un','une','pour','dans','que'])) AS score_fr,
-                len(list_intersect(toks, ['的','是','了','在','和','有','我','不','这','他'])) AS score_zh
-              FROM t
-            )
-            SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
-                   CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0
-                          THEN 'unknown'
-                        WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
-                        WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
-                        WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
-                        WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
-                        ELSE 'zh' END AS pred_lang
-            FROM s
-        """,
+        "text_langid": _langid_oracle_sql(),
         "text_fingerprint": """
             WITH t AS (
               SELECT doc_id, text,

@@ -24,7 +24,45 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
     "es": ["el", "la", "los", "las", "es", "un", "una", "para", "con", "que"],
+    "pt": ["não", "uma", "são", "também", "já", "você", "isso", "muito", "mais", "como"],
+    "it": ["il", "che", "di", "non", "per", "sono", "una", "anche", "questo", "più"],
+    "nl": ["de", "het", "een", "niet", "dat", "van", "voor", "zijn", "maar", "ook"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha", "gibi", "ama"],
+    "pl": ["nie", "się", "jest", "na", "do", "że", "jak", "ale", "jego", "przez"],
+    "ru": ["и", "не", "на", "что", "это", "как", "по", "его", "она", "так"],
+    "ar": ["في", "من", "على", "أن", "إلى", "هذا", "كان", "مع", "التي", "لا"],
+    "hi": ["है", "के", "की", "में", "और", "यह", "से", "का", "को", "नहीं"],
+    "ja": ["です", "ます", "この", "それ", "ある", "いる", "した", "として", "など", "から"],
+    "ko": ["그리고", "있는", "하는", "것이", "하지만", "있다", "우리", "너무", "그것", "같은"],
     "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+# Unicode script ranges counted per CHARACTER over the raw text — pure
+# regexp_count projections, identical char-class semantics in Spark
+# (java.util.regex) and DuckDB (RE2): the ranges are literal BMP chars.
+# Scripts carry languages the marker lists can't (CJK text is not
+# whitespace-tokenized; Cyrillic/Arabic/Devanagari text identifies by
+# script long before marker words fire).
+SCRIPT_RANGES: dict[str, str] = {
+    "han": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힣",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+}
+
+# per-language additive script weights. kana/hangul weigh 2 so Japanese
+# and Korean beat the shared-Han zh score on mixed-script text (a
+# Japanese sentence is mostly kana with some kanji; doubling kana makes
+# ja dominate zh deterministically).
+LANG_SCRIPTS: dict[str, list[tuple[str, int]]] = {
+    "zh": [("han", 1)],
+    "ja": [("kana", 2)],
+    "ko": [("hangul", 2)],
+    "ru": [("cyrillic", 1)],
+    "ar": [("arabic", 1)],
+    "hi": [("devanagari", 1)],
 }
 
 STOPWORD_SAMPLE = LANG_MARKERS["en"]
@@ -211,24 +249,38 @@ def filter_quality(
 
 
 def lang_id(table: Table, text_col: str, id_col: str) -> Table:
-    """n-gram/marker-word language ID heuristic.
+    """marker-word + Unicode-script language ID heuristic (16 langs).
 
-    Scores each language by the count of distinct marker words present;
-    the prediction is the argmax with a fixed tie order (languages
-    compared in sorted code order). Deterministic and SQL-expressible.
+    Scores each language by the count of distinct marker words present
+    plus weighted per-character script counts (``LANG_SCRIPTS`` /
+    ``SCRIPT_RANGES`` — CJK/Cyrillic/Arabic/Devanagari text identifies
+    by script, which whitespace-tokenized markers alone can't do for
+    unsegmented scripts); the prediction is the argmax with a fixed tie
+    order (languages compared in sorted code order). Deterministic,
+    zero Python in the row path, and SQL-expressible — both the
+    intersect and the regexp_count translate 1:1 to DuckDB.
     """
-    # lowercase token array materialized once: the per-language
-    # intersect loop references it len(LANG_MARKERS) times, which would
-    # otherwise re-run the split+lower per language
+    # lowercase token array + script counts materialized once: the
+    # per-language loop references them len(LANG_MARKERS) times, which
+    # would otherwise re-run the split/lower/regexp per language
     toked = table.df.select(
         F.col(id_col),
         F.transform(_tokens(text_col), F.lower).alias("__tkl__"),
+        *[
+            F.regexp_count(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(f"[{rng}]")
+            ).alias(f"__sc_{name}__")
+            for name, rng in SCRIPT_RANGES.items()
+        ],
     )
     toks_lower = F.col("__tkl__")
     scores: list[tuple[str, Column]] = []
     for code in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
-        scores.append((code, F.size(F.array_intersect(toks_lower, markers))))
+        s: Column = F.size(F.array_intersect(toks_lower, markers))
+        for script, wgt in LANG_SCRIPTS.get(code, []):
+            s = s + F.lit(wgt) * F.col(f"__sc_{script}__")
+        scores.append((code, s.cast("int")))
     # argmax with deterministic tie-break: first language in sorted order
     pred: Column = F.lit("unknown")
     best: Column = F.lit(0)

@@ -295,6 +295,36 @@ def test_langid(spark):
     assert out == {0: "en", 1: "de", 2: "fr", 3: "unknown"}
 
 
+def test_lang_id_scripts_and_new_markers(spark):
+    """Round-11 widening: Unicode-script features identify unsegmented
+    CJK and non-Latin scripts (no whitespace tokens needed); kana/
+    Hangul outweigh shared Han so ja/ko beat zh on mixed text; the new
+    Latin marker tables cover pt/it/nl/tr/pl."""
+    from littletable_spark.operators.textops import lang_id
+
+    t = Table("langs", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 0, "text": "这是一段没有空格的中文文本在这里"},
+            {"doc_id": 1, "text": "これは日本語の文章です、漢字も含みます"},
+            {"doc_id": 2, "text": "이것은 한국어 문장입니다 그리고 있는"},
+            {"doc_id": 3, "text": "это текст на русском языке как всегда"},
+            {"doc_id": 4, "text": "هذا نص باللغة العربية في من على"},
+            {"doc_id": 5, "text": "यह हिंदी में एक पाठ है और"},
+            {"doc_id": 6, "text": "você não vai gostar muito disso também"},
+            {"doc_id": 7, "text": "questo non è anche per sono una cosa"},
+            {"doc_id": 8, "text": "het is niet dat een voor maar ook"},
+            {"doc_id": 9, "text": "bu bir şey için ve çok daha gibi"},
+            {"doc_id": 10, "text": "to nie jest tak jak przez ale jego"},
+        ]
+    )
+    out = {r.doc_id: r.pred_lang for r in lang_id(t, "text", "doc_id")}
+    assert out == {
+        0: "zh", 1: "ja", 2: "ko", 3: "ru", 4: "ar", 5: "hi",
+        6: "pt", 7: "it", 8: "nl", 9: "tr", 10: "pl",
+    }
+
+
 # ---------------------------------------------------------------- clusters
 def _brute_components(pairs):
     """Union-find ground truth: id -> min id of its component."""
