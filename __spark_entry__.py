@@ -2172,6 +2172,28 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tokenizer, vocab-cap TakeOrdered, OOV path, and avg-ln aggregation
     all execute IN-GATE inside text_bigram_logprob's backoff branch,
     and the standalone operator keeps its hypothesis differential).
+    Round-11 rotation (gate hygiene — five long-parked mirror rows
+    re-enter, five equally-covered veterans park, gate stays 50/50
+    all-oracle): IN — dedup_lines (parked r10 only), text_chunks
+    (parked r10 only), sample_weighted (parked since r8),
+    range_join (parked since r6), events_rollup (parked since r6).
+    OUT — slice_range (gated r1-r10; index-slice semantics stay
+    pytest-covered and the by-accessor window idiom runs in-gate via
+    window_moving_avg's frames), events_session (gated r1-r10;
+    session gap-merge stays mirror- and stream-vs-batch-test-covered
+    while events_rollup carries the events family in-gate),
+    sample_epoch (gated r6-r10; its md5 shard+order layout is the
+    same keyed-hash plan family as the three sampling rows still
+    in-gate), text_pack (gated r8-r10; pack_sequences runs IN-GATE
+    every round inside text_pack_ids), outer_join_left (gated
+    r1-r10; the hypothesis differential vs the live reference and
+    outer_join_full's mirror run carry the inverted-naming
+    semantics). Also this round: text_langid's gate row changes
+    SHAPE (16 languages, Unicode-script features, per-script
+    samples appended every 8th doc; oracle SQL generated from the
+    operator's own constants) and url_robots/url_canon change SHAPE
+    (equi-join rewrite, path-and-query matching, fragment decoys).
+
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
     return {
@@ -2181,7 +2203,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_numeric": q_convert_numeric,
         "unique": q_unique,
         "join_3way_agg": q_join_3way_agg,
-        "outer_join_left": q_outer_join_left,
+        "dedup_lines": q_dedup_lines,
         "text_filter_quality": q_text_filter_quality,
         "anti_join": q_anti_join,
         "asof_join": q_asof_join,
@@ -2193,8 +2215,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "window_moving_avg": q_window_moving_avg,
         "tpch_q3_shape": q_tpch_q3_shape,
-        "slice_range": q_slice_range,
-        "events_session": q_events_session,
+        "range_join": q_range_join,
+        "events_rollup": q_events_rollup,
         "text_corpus_report": q_text_corpus_report,
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "dedup_exact": q_dedup_exact,
@@ -2219,24 +2241,24 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_text": q_search_text,
         "grouping_sets": q_grouping_sets,
         "multimodal_meta": q_multimodal_meta,
-        "sample_epoch": q_sample_epoch,
+        "sample_weighted": q_sample_weighted,
         "sample_cap_per_group": q_sample_cap_per_group,
         "sample_cap_tokens": q_sample_cap_tokens,
         "sim_ivf_pq": q_sim_ivf_pq,
-        "text_pack": q_text_pack,
+        "text_chunks": q_text_chunks,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
         "text_bpe_pack": q_text_bpe_pack,
         "text_logprob": q_text_logprob,
-        "text_chunks": q_text_chunks,
-        "dedup_lines": q_dedup_lines,
+        "text_pack": q_text_pack,
+        "outer_join_left": q_outer_join_left,
         "multimodal_audio": q_multimodal_audio,
         "dedup_simhash": q_dedup_simhash,
         "events_dedup_stream": q_events_dedup_stream,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_spans": q_dedup_spans,
         "text_tfidf_incr": q_text_tfidf_incr,
-        "sample_weighted": q_sample_weighted,
+        "sample_epoch": q_sample_epoch,
         "sample_mixture": q_sample_mixture,
         "pivot_counts": q_pivot_counts,
         "text_quality": q_text_quality,
@@ -2249,8 +2271,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splitby": q_splitby,
         "union": q_union,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "range_join": q_range_join,
-        "events_rollup": q_events_rollup,
+        "slice_range": q_slice_range,
+        "events_session": q_events_session,
         "multimodal_decode": q_multimodal_decode,
         "text_pii_scrub": q_text_pii_scrub,
         "sim_cosine_topk": q_sim_cosine_topk,
