@@ -1,11 +1,20 @@
-"""Pure-stdlib/numpy WAV (RIFF/PCM) decoder for the multimodal pipeline.
+"""Pure-stdlib/numpy WAV + FLAC decoders for the multimodal pipeline.
 
 The WAV container is public and trivially parseable (RIFF chunks,
 Microsoft/IBM spec): ``fmt `` carries the sample format, ``data`` the
 interleaved frames. Supports PCM uint8 / int16 / int32 (format tag 1)
 and float32/float64 (format tag 3) — the formats real crawl audio
 overwhelmingly arrives in once containerized audio is transcoded.
-Compressed codecs (MP3/AAC/Opus) need ffmpeg and stay stubbed.
+
+FLAC (RFC 9639, fully public) decodes natively too: STREAMINFO
+metadata, frame sync + header (incl. CRC-8 verification), all four
+subframe types (CONSTANT / VERBATIM / FIXED orders 0-4 / LPC up to
+order 32), Rice-coded residual partitions (both 4- and 5-bit parameter
+methods, escape partitions), wasted bits, and the three stereo
+decorrelation modes (left/side, right/side, mid/side). Frame CRC-16 is
+verified — a corrupt frame raises to the ``on_error`` boundary instead
+of emitting noise. Lossy codecs (MP3/AAC/Opus) need ffmpeg and stay at
+the documented on_error boundary like lossy VP8.
 
 Like ``imagecodec``, everything here runs per-blob inside Arrow batches
 on executors and imports only stdlib + numpy.
@@ -17,7 +26,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_wav", "wav_features"]
+__all__ = ["decode_wav", "decode_flac", "decode_audio_blob", "wav_features"]
 
 
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
@@ -74,8 +83,9 @@ def wav_features(blob: bytes, n_points: int = 64) -> dict:
     """Decode + summarize one blob: rate/channels/duration, RMS, peak,
     zero-crossing rate, and an ``n_points`` nearest-neighbor waveform
     thumbnail of the channel-mean signal (the audio analogue of
-    decode_image's fixed grid)."""
-    samples, rate = decode_wav(blob)
+    decode_image's fixed grid). Container routed by magic: RIFF/WAVE
+    or FLAC."""
+    samples, rate = decode_audio_blob(blob)
     mono = samples.mean(axis=1) if samples.size else np.zeros(0)
     n = len(mono)
     if n == 0:
@@ -97,3 +107,305 @@ def wav_features(blob: bytes, n_points: int = 64) -> dict:
         "zcr": zcr,
         "waveform": wave,
     }
+
+
+# ------------------------------------------------------------------ #
+# FLAC (RFC 9639)
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC
+    frame-header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 — the
+    FLAC whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader over bytes."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bitpos: int = 0) -> None:
+        self.data = data
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("truncated FLAC bitstream")
+        byte_i = self.pos >> 3
+        nbytes = ((self.pos & 7) + n + 7) >> 3
+        val = int.from_bytes(self.data[byte_i : byte_i + nbytes], "big")
+        shift = nbytes * 8 - (self.pos & 7) - n
+        self.pos = end
+        return (val >> shift) & ((1 << n) - 1)
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _utf8_num(bits: _Bits) -> int:
+    """FLAC's UTF-8-style variable-length frame/sample number."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n == 0 or n > 6:
+        raise ValueError("bad FLAC frame number coding")
+    val = b0 & (mask - 1)
+    for _ in range(n):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad FLAC frame number continuation")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+def _flac_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = bits.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts:
+        raise ValueError("FLAC partition order does not divide block size")
+    out: list[int] = []
+    for p in range(nparts):
+        n = blocksize >> porder
+        if p == 0:
+            n -= order
+        param = bits.read(pbits)
+        if param == escape:
+            raw = bits.read(5)
+            out.extend(bits.sread(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = bits.unary()
+                u = (q << param) | (bits.read(param) if param else 0)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_subframe(bits: _Bits, blocksize: int, bps: int) -> list[int]:
+    if bits.read(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    ftype = bits.read(6)
+    wasted = 0
+    if bits.read(1):  # wasted-bits flag: unary count - 1 follows
+        wasted = bits.unary() + 1
+    eff = bps - wasted
+    if ftype == 0:  # CONSTANT
+        out = [bits.sread(eff)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        out = [bits.sread(eff) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED order 0-4
+        order = ftype - 8
+        warm = [bits.sread(eff) for _ in range(order)]
+        res = _flac_residual(bits, blocksize, order)
+        out = list(warm)
+        coef = _FIXED_COEFFS[order]
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coef))
+            out.append(r + pred)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = (ftype & 31) + 1
+        warm = [bits.sread(eff) for _ in range(order)]
+        prec = bits.read(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC LPC precision")
+        prec += 1
+        shift = bits.sread(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [bits.sread(prec) for _ in range(order)]
+        res = _flac_residual(bits, blocksize, order)
+        out = list(warm)
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(r + pred)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {ftype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC blob to (samples, sample_rate); samples float64 in
+    [-1, 1], shape (n_frames, n_channels). CRC-8 (header) and CRC-16
+    (frame) are verified. Raises ValueError on non-FLAC/corrupt data."""
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC blob")
+    pos = 4
+    info = None
+    last = False
+    while not last:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated FLAC metadata")
+        hdr = blob[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        length = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        if btype == 0:  # STREAMINFO
+            b = _Bits(blob, (pos + 4) * 8)
+            b.read(16)  # min block size
+            b.read(16)  # max block size
+            b.read(24)  # min frame size
+            b.read(24)  # max frame size
+            rate = b.read(20)
+            nch = b.read(3) + 1
+            bps = b.read(5) + 1
+            total = b.read(36)
+            info = (rate, nch, bps, total)
+        pos += 4 + length
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    s_rate, s_nch, s_bps, s_total = info
+    channels_out: list[list[list[int]]] = []
+    while pos < len(blob):
+        frame_start = pos
+        bits = _Bits(blob, pos * 8)
+        sync = bits.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("bad FLAC frame sync")
+        bits.read(1)  # reserved
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        ss_code = bits.read(3)
+        bits.read(1)  # reserved
+        _utf8_num(bits)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = bits.read(8) + 1
+        elif bs_code == 7:
+            blocksize = bits.read(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 0:
+            rate = s_rate
+        elif sr_code in _FLAC_RATES:
+            rate = _FLAC_RATES[sr_code]
+        elif sr_code == 12:
+            rate = bits.read(8) * 1000
+        elif sr_code == 13:
+            rate = bits.read(16)
+        elif sr_code == 14:
+            rate = bits.read(16) * 10
+        else:
+            raise ValueError("invalid FLAC sample rate code")
+        bps = s_bps if ss_code == 0 else _FLAC_BPS.get(ss_code)
+        if bps is None:
+            raise ValueError("reserved FLAC sample size code")
+        hdr_end = bits.pos >> 3
+        if _crc8(blob[frame_start:hdr_end]) != bits.read(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        if ch_code <= 7:
+            nch = ch_code + 1
+            chans = [
+                _flac_subframe(bits, blocksize, bps) for _ in range(nch)
+            ]
+        elif ch_code in (8, 9, 10):
+            nch = 2
+            # the SIDE channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(bits, blocksize, bps)
+                side = _flac_subframe(bits, blocksize, bps + 1)
+                chans = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(bits, blocksize, bps + 1)
+                right = _flac_subframe(bits, blocksize, bps)
+                chans = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side: mid = (l+r)>>1 with the dropped low bit
+                # recovered from side's parity (side = l - r)
+                mid = _flac_subframe(bits, blocksize, bps)
+                side = _flac_subframe(bits, blocksize, bps + 1)
+                chans = [
+                    [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)],
+                    [(((m << 1) | (s & 1)) - s) >> 1 for m, s in zip(mid, side)],
+                ]
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        bits.align()
+        crc_end = bits.pos >> 3
+        if _crc16(blob[frame_start:crc_end]) != bits.read(16):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = bits.pos >> 3
+        channels_out.append(chans)
+        if s_total and sum(len(f[0]) for f in channels_out) >= s_total:
+            break
+    if not channels_out:
+        raise ValueError("FLAC blob has no frames")
+    nch = len(channels_out[0])
+    cols = [
+        np.concatenate([np.array(f[c], dtype=np.float64) for f in channels_out])
+        for c in range(nch)
+    ]
+    samples = np.stack(cols, axis=1)
+    if s_total:
+        samples = samples[:s_total]
+    return samples / float(1 << (s_bps - 1)), (rate or s_rate)
+
+
+def decode_audio_blob(blob: bytes) -> tuple[np.ndarray, int]:
+    """Container-routed audio decode: RIFF/WAVE or FLAC by magic."""
+    if blob[:4] == b"fLaC":
+        return decode_flac(blob)
+    return decode_wav(blob)

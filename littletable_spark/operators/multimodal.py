@@ -67,6 +67,7 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
         .when(riff & (sub == F.lit("41564920")), F.lit("avi"))
         .when(riff & (sub == F.lit("57454250")), F.lit("webp"))
         .when(riff, F.lit("riff"))
+        .when(hx.startswith("664C6143"), F.lit("flac"))
         .when(F.substring(hx, 9, 8) == F.lit("66747970"), F.lit("mp4"))
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"), F.lit("tiff"))
         .when(hx.startswith("424D"), F.lit("bmp"))
@@ -234,10 +235,11 @@ def decode_audio(
     use_fake: bool = False,
     on_error: str = "raise",
 ) -> Table:
-    """Decode WAV audio blobs to per-row features + a fixed-size
+    """Decode WAV/FLAC audio blobs to per-row features + a fixed-size
     waveform thumbnail via mapInPandas — the audio analogue of
     ``decode_image``. The real path is the pure stdlib/numpy RIFF/PCM
-    decoder in ``functions/audiocodec.py`` (no audio library needed);
+    + FLAC (RFC 9639) decoders in ``functions/audiocodec.py`` (no
+    audio library needed; container routed by magic bytes);
     compressed codecs (MP3/AAC) would need ffmpeg and raise through
     ``on_error``. ``use_fake=True`` emits a deterministic md5-seeded
     feature row (the zero-cost plumbing/oracle path, like the image

@@ -1,0 +1,357 @@
+"""FLAC decoding: pure-stdlib codec against a hand-built test-side
+encoder (RFC 9639), matching the repo's encode-your-own-fixtures
+pattern (PNG/GIF/JPEG/WebP/TIFF/WAV). The encoder exercises every
+decoder feature: all subframe types, Rice partitions + escapes, all
+stereo decorrelations, wasted bits, multi-byte frame numbers, CRCs."""
+
+import numpy as np
+import pytest
+
+from littletable_spark.functions.audiocodec import (
+    _crc8,
+    _crc16,
+    decode_audio_blob,
+    decode_flac,
+)
+
+_FIXED_COEFFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+class _BitW:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, val: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.out)
+
+
+def _utf8_enc(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x800:
+        return bytes([0xC0 | v >> 6, 0x80 | v & 0x3F])
+    if v < 0x10000:
+        return bytes([0xE0 | v >> 12, 0x80 | (v >> 6) & 0x3F, 0x80 | v & 0x3F])
+    return bytes(
+        [0xF0 | v >> 18, 0x80 | (v >> 12) & 0x3F, 0x80 | (v >> 6) & 0x3F,
+         0x80 | v & 0x3F]
+    )
+
+
+def _rice_cost(res, p):
+    return sum((((v << 1) ^ (v >> 63)) >> p) + 1 + p for v in
+               (int(x) for x in res))
+
+
+def _write_residual(bw, res, porder, order, blocksize, escape=False):
+    """Rice-code a residual (method 0, 4-bit params)."""
+    bw.w(0, 2)
+    bw.w(porder, 4)
+    nparts = 1 << porder
+    start = 0
+    for p in range(nparts):
+        n = blocksize >> porder
+        if p == 0:
+            n -= order
+        part = res[start : start + n]
+        start += n
+        if escape:
+            width = max((int(abs(int(v))).bit_length() + 1 for v in part),
+                        default=1)
+            bw.w(15, 4)
+            bw.w(width, 5)
+            for v in part:
+                bw.w(int(v) & ((1 << width) - 1), width)
+            continue
+        best_p, best_c = 0, None
+        for cand in range(15):
+            c = _rice_cost(part, cand)
+            if best_c is None or c < best_c:
+                best_p, best_c = cand, c
+        bw.w(best_p, 4)
+        for v in part:
+            v = int(v)
+            u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+            q, r = u >> best_p, u & ((1 << best_p) - 1)
+            if q:
+                bw.w(0, q)
+            bw.w(1, 1)
+            bw.w(r, best_p)
+
+
+def _write_subframe(bw, x, bps, mode, porder=0, escape=False, wasted=0):
+    """mode: 'constant' | 'verbatim' | ('fixed', k) | ('lpc', coefs, shift)."""
+    x = [int(v) for v in x]
+    if wasted:
+        assert all(v % (1 << wasted) == 0 for v in x)
+        x = [v >> wasted for v in x]
+    eff = bps - wasted
+    bw.w(0, 1)
+    if mode == "constant":
+        bw.w(0, 6)
+    elif mode == "verbatim":
+        bw.w(1, 6)
+    elif mode[0] == "fixed":
+        bw.w(8 + mode[1], 6)
+    else:
+        bw.w(32 + len(mode[1]) - 1, 6)
+    if wasted:
+        bw.w(1, 1)
+        bw.w(0, wasted - 1)  # unary: (wasted-1) zeros ...
+        bw.w(1, 1)           # ... then the terminating 1
+    else:
+        bw.w(0, 1)
+    if mode == "constant":
+        assert len(set(x)) == 1
+        bw.w(x[0], eff)
+        return
+    if mode == "verbatim":
+        for v in x:
+            bw.w(v, eff)
+        return
+    if mode[0] == "fixed":
+        k = mode[1]
+        for v in x[:k]:
+            bw.w(v, eff)
+        coef = _FIXED_COEFFS[k]
+        res = [
+            x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coef))
+            for i in range(k, len(x))
+        ]
+        _write_residual(bw, res, porder, k, len(x), escape)
+        return
+    coefs, shift = mode[1], mode[2]
+    k = len(coefs)
+    for v in x[:k]:
+        bw.w(v, eff)
+    prec = max(max(abs(c) for c in coefs).bit_length() + 1, 2)
+    bw.w(prec - 1, 4)
+    bw.w(shift, 5)
+    for c in coefs:
+        bw.w(c, prec)
+    res = [
+        x[i] - (sum(c * x[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+        for i in range(k, len(x))
+    ]
+    _write_residual(bw, res, porder, k, len(x), escape)
+
+
+def _flac_encode(
+    samples: np.ndarray,
+    rate: int = 8000,
+    bps: int = 16,
+    blocksize: int = 64,
+    mode="auto",
+    channel_mode: str = "indep",
+    porder: int = 0,
+    escape: bool = False,
+    wasted: int = 0,
+    variable_blocking: bool = False,
+) -> bytes:
+    """samples: int array (n, ch) within [-2^(bps-1), 2^(bps-1))."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, nch = samples.shape
+    out = bytearray(b"fLaC")
+    si = _BitW()
+    si.w(blocksize, 16)
+    si.w(blocksize, 16)
+    si.w(0, 24)
+    si.w(0, 24)
+    si.w(rate, 20)
+    si.w(nch - 1, 3)
+    si.w(bps - 1, 5)
+    si.w(n, 36)
+    body = si.bytes() + b"\x00" * 16  # md5 unset
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    def pick(x):
+        if mode != "auto":
+            return mode
+        return "constant" if len(set(int(v) for v in x)) == 1 else ("fixed", 2)
+
+    ch_code = {"indep": nch - 1, "left_side": 8, "right_side": 9,
+               "mid_side": 10}[channel_mode]
+    for fi, start in enumerate(range(0, n, blocksize)):
+        block = samples[start : start + blocksize]
+        bsz = len(block)
+        bw = _BitW()
+        bw.w(0x3FFE, 14)
+        bw.w(0, 1)
+        bw.w(1 if variable_blocking else 0, 1)
+        bw.w(7, 4)       # 16-bit blocksize - 1 at header end
+        bw.w(0, 4)       # rate from streaminfo
+        bw.w(ch_code, 4)
+        ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+        bw.w(ss_code, 3)
+        bw.w(0, 1)
+        num = start if variable_blocking else fi
+        for byte in _utf8_enc(num):
+            bw.w(byte, 8)
+        bw.w(bsz - 1, 16)
+        hdr = bw
+        hdr_bytes_partial = bytes(hdr.out)  # aligned so far (14+1+1+4+4+4+3+1 = 32 bits + bytes)
+        assert hdr.n == 0
+        crc8 = _crc8(hdr_bytes_partial)
+        bw.w(crc8, 8)
+        if channel_mode == "indep":
+            subs = [(block[:, c], bps) for c in range(nch)]
+        else:
+            l = block[:, 0].astype(np.int64)
+            r = block[:, 1].astype(np.int64)
+            side = l - r
+            if channel_mode == "left_side":
+                subs = [(l, bps), (side, bps + 1)]
+            elif channel_mode == "right_side":
+                subs = [(side, bps + 1), (r, bps)]
+            else:
+                subs = [((l + r) >> 1, bps), (side, bps + 1)]
+        for x, sbps in subs:
+            _write_subframe(
+                bw, x, sbps, pick(x), porder=porder, escape=escape,
+                wasted=wasted,
+            )
+        bw.align()
+        frame = bytes(bw.out)
+        bw.w(_crc16(frame), 16)
+        out += bw.bytes()
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ #
+
+
+def _rt(samples, bps=16, **kw):
+    blob = _flac_encode(np.asarray(samples), bps=bps, **kw)
+    got, rate = decode_flac(blob)
+    want = np.asarray(samples, dtype=np.float64)
+    if want.ndim == 1:
+        want = want[:, None]
+    np.testing.assert_array_equal(got * (1 << (bps - 1)), want)
+    return rate
+
+
+def _sig(n, seed=0, scale=1000):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    x = scale * np.sin(t / 9.0) + rng.randint(-20, 21, n)
+    return x.astype(np.int64)
+
+
+def test_flac_fixed_orders_mono():
+    x = _sig(200, seed=1)
+    for k in range(5):
+        _rt(x, mode=("fixed", k))
+
+
+def test_flac_constant_and_verbatim():
+    _rt(np.full(128, -345, dtype=np.int64), mode="constant")
+    rng = np.random.RandomState(2)
+    _rt(rng.randint(-30000, 30000, 150), mode="verbatim")
+
+
+def test_flac_stereo_decorrelation_modes():
+    n = 192
+    left = _sig(n, seed=3)
+    right = left + _sig(n, seed=4, scale=50)
+    st = np.stack([left, right], axis=1)
+    for cm in ("indep", "left_side", "right_side", "mid_side"):
+        _rt(st, channel_mode=cm)
+
+
+def test_flac_rice_partitions_and_escape():
+    x = _sig(256, seed=5)
+    for po in (1, 2):
+        _rt(x, porder=po)
+    _rt(x, escape=True)
+    _rt(x, porder=2, escape=True)
+
+
+def test_flac_lpc_subframe():
+    x = _sig(160, seed=6)
+    _rt(x, mode=("lpc", [3, -2], 1))
+    _rt(x, mode=("lpc", [2, -3, 1, 1], 2))
+
+
+def test_flac_wasted_bits():
+    x = (_sig(96, seed=7) << 3).astype(np.int64)
+    _rt(x, mode=("fixed", 1), wasted=3)
+
+
+def test_flac_bit_depths():
+    _rt(_sig(100, seed=8, scale=50), bps=8)
+    _rt(_sig(100, seed=9, scale=100000) * 10, bps=24)
+
+
+def test_flac_multiframe_and_short_tail():
+    x = _sig(64 * 3 + 17, seed=10)  # last block is 17 samples
+    rate = _rt(x, blocksize=64)
+    assert rate == 8000
+
+
+def test_flac_variable_blocking_multibyte_framenum():
+    """Sample-number coding exceeds one byte (UTF-8 style multi-byte)."""
+    x = _sig(64 * 5, seed=11)
+    _rt(x, blocksize=64, variable_blocking=True)
+    blob = _flac_encode(_sig(70000, seed=12), blocksize=4096,
+                        variable_blocking=True)
+    got, _ = decode_flac(blob)
+    assert got.shape[0] == 70000
+
+
+def test_flac_crc_validation_raises():
+    x = _sig(80, seed=13)
+    blob = bytearray(_flac_encode(x))
+    blob[-3] ^= 0x40  # flip a bit inside the last frame's payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(blob))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"junkjunkjunk")
+
+
+def test_flac_routing_and_features():
+    from littletable_spark.functions.audiocodec import wav_features
+
+    x = _sig(256, seed=14)
+    blob = _flac_encode(x, rate=16000)
+    got, rate = decode_audio_blob(blob)
+    assert rate == 16000 and got.shape == (256, 1)
+    f = wav_features(blob)
+    assert f["sample_rate"] == 16000
+    assert f["n_frames"] == 256
+    assert len(f["waveform"]) == 64
+    assert f["peak"] > 0
+
+
+def test_flac_random_differential():
+    """20-trial round-trip sweep over random shapes/modes."""
+    rng = np.random.RandomState(15)
+    for trial in range(20):
+        n = int(rng.randint(10, 700))
+        nch = int(rng.randint(1, 3))
+        scale = int(rng.choice([10, 1000, 30000]))
+        x = rng.randint(-scale, scale, (n, nch)).astype(np.int64)
+        mode = [("fixed", int(rng.randint(0, 5))), "verbatim"][trial % 2]
+        kw = {}
+        if nch == 2:
+            kw["channel_mode"] = ["indep", "left_side", "right_side",
+                                  "mid_side"][trial % 4]
+        bs = int(rng.choice([32, 64, 256]))
+        _rt(x, blocksize=bs, mode=mode, porder=0, **kw)
