@@ -1388,6 +1388,32 @@ def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perceptual audio dedup (round 11): 64-bit spectral fingerprint
+    per blob, pigeonhole-blocked Hamming pair join (shared
+    hamming_hash_pairs) — completes the dedup matrix alongside text
+    SimHash and image dHash. Gated on the md5 'aud:'-salted FAKE hash
+    contract (JVM-native, SQL-expressible, like image_hash); the real
+    path (WAV/FLAC decode → 8-band × 9-frame spectral time-difference
+    bits, gain- and container-invariant) is pinned by
+    test_flaccodec.py. Blobs synthesize duplicate groups
+    (content = doc_id % 45) so the pair join has real work."""
+    from littletable_spark.operators.multimodal import audio_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    d.compute_field(
+        "blob",
+        F.encode(
+            F.concat(F.lit("aud-"), (F.col("doc_id") % 45).cast("string")),
+            "utf-8",
+        ),
+    )
+    pairs = audio_dup_pairs(d, "blob", "doc_id", max_hamming=3, n_blocks=4)
+    return pairs.df.select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary media columns: magic-byte sniff + typed metadata struct."""
     from littletable_spark.operators.multimodal import sniff_media
@@ -2193,6 +2219,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     samples appended every 8th doc; oracle SQL generated from the
     operator's own constants) and url_robots/url_canon change SHAPE
     (equi-join rewrite, path-and-query matching, fragment decoys).
+    Net-new multimodal_audio_dedup (spectral-fingerprint audio dedup,
+    fake-hash contract like image_hash; the real WAV/FLAC spectral
+    path is pinned by test_flaccodec.py) gates immediately per the
+    new-query-gates-first rule; text_tokens parks in exchange (gated
+    r1-r10; its whitespace tokenizer and count aggregations run
+    IN-GATE every round inside text_corpus_report's token stats and
+    text_pack_ids' stand-in ids, and token_stats keeps its own unit
+    suite).
 
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
@@ -2234,7 +2268,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cluster": q_sim_cluster,
         "sim_ivf_incr": q_sim_ivf_incr,
         "sim_f32_topk": q_sim_f32_topk,
-        "text_tokens": q_text_tokens,
+        "multimodal_audio_dedup": q_multimodal_audio_dedup,
         "text_quality_clf": q_text_quality_clf,
         "text_bigram_logprob": q_text_bigram_logprob,
         "text_bm25_incr": q_text_bm25_incr,
@@ -2248,6 +2282,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "text_tokens": q_text_tokens,
         "text_bpe_pack": q_text_bpe_pack,
         "text_logprob": q_text_logprob,
         "text_pack": q_text_pack,
@@ -3675,6 +3710,18 @@ def oracle_sql() -> dict[str, str]:
         # the fake image hash is the first 15 md5 hex chars of the blob
         # (60-bit positive BIGINT in both engines); the n^2 oracle join
         # is fine at gate scale, the ENGINE uses pigeonhole blocking
+        "multimodal_audio_dedup": """
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('aud:' || lower(hex(encode(
+                        'aud-' || (doc_id % 45)::VARCHAR)))), 1, 15))::BIGINT AS sh
+              FROM documents
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
         "multimodal_image_dedup": """
             WITH h AS (
               SELECT doc_id,

@@ -26,7 +26,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_wav", "decode_flac", "decode_audio_blob", "wav_features"]
+__all__ = [
+    "decode_wav",
+    "decode_flac",
+    "decode_audio_blob",
+    "wav_features",
+    "audio_fingerprint",
+]
 
 
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
@@ -409,3 +415,37 @@ def decode_audio_blob(blob: bytes) -> tuple[np.ndarray, int]:
     if blob[:4] == b"fLaC":
         return decode_flac(blob)
     return decode_wav(blob)
+
+
+def audio_fingerprint(blob: bytes, frames: int = 9, bands: int = 8) -> int:
+    """Perceptual 64-bit audio fingerprint — the audio analogue of the
+    image dHash: decode (WAV or FLAC), mono-mix, split into ``frames``
+    equal time segments, compute per-segment spectral energy in
+    ``bands`` frequency bands (rFFT magnitude², DC dropped), and set
+    bit ``r*(frames-1)+c`` when band ``r``'s energy RISES from frame
+    ``c`` to ``c+1``. Comparing energies of the SAME band across time
+    makes the hash exactly invariant to uniform gain and to the
+    container (the same samples hash identically from WAV and FLAC);
+    re-encoded/slightly-noised audio lands within a few bits. Feed
+    pairs into the blocked-Hamming dedup machinery like image dHash
+    and text SimHash."""
+    samples, _rate = decode_audio_blob(blob)
+    mono = samples.mean(axis=1) if samples.size else np.zeros(frames)
+    if len(mono) < frames:
+        mono = np.concatenate([mono, np.zeros(frames - len(mono))])
+    seg_len = len(mono) // frames
+    energies = np.empty((bands, frames), dtype=np.float64)
+    for c in range(frames):
+        seg = mono[c * seg_len : (c + 1) * seg_len]
+        mag = np.abs(np.fft.rfft(seg)) ** 2
+        mag = mag[1:] if len(mag) > 1 else mag  # drop DC
+        chunks = np.array_split(mag, bands)
+        energies[:, c] = [ch.sum() if len(ch) else 0.0 for ch in chunks]
+    bits = (energies[:, 1:] > energies[:, :-1]).ravel()
+    h = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            h |= 1 << i
+    if h >= 1 << 63:  # two's-complement into a signed long
+        h -= 1 << 64
+    return h

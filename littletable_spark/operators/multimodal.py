@@ -486,6 +486,99 @@ def image_dup_pairs(
     return Table.from_df(pairs, name=f"{table.table_name}_imgdup_pairs")
 
 
+def audio_hash(
+    table: Table,
+    bin_col: str,
+    id_col: str,
+    use_fake: bool = True,
+    on_error: str = "raise",
+) -> Table:
+    """Perceptual 64-bit audio fingerprint per blob: ``(id, audio_hash
+    long)`` — the audio analogue of ``image_hash``.
+
+    Real path (``use_fake=False``): the spectral time-difference hash
+    in ``functions/audiocodec.py:audio_fingerprint`` — decode (WAV or
+    FLAC, routed by magic), mono-mix, 8 frequency bands × 9 time
+    frames of rFFT energy, bit set where a band's energy rises frame
+    to frame. Exactly invariant to uniform gain and to the container
+    (the same samples hash identically from WAV and FLAC);
+    re-encoded/lightly-noised audio lands within a few bits.
+
+    Fake path (``use_fake=True``, the oracle-checked plumbing
+    contract like ``image_hash``): a 60-bit integer from the blob's
+    md5 with an ``aud:`` salt — fully JVM-native and SQL-expressible,
+    so the hash+blocking+Hamming pipeline is driver-gateable.
+
+    NOTE (real path): construction runs one eager column-pruned count
+    job to bound the Arrow feed partitions — see
+    ``_bounded_blob_input``. The fake path is a pure projection.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"audio_hash: on_error must be raise|null, got {on_error!r}")
+    if use_fake:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aud:"), F.lower(F.hex(F.col(bin_col))))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = table._require_df().select(F.col(id_col), h.alias("audio_hash"))
+        return Table.from_df(out, name=f"{table.table_name}_audiohash")
+
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = f"{id_col} {id_type}, audio_hash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audiocodec import audio_fingerprint
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for b in pdf[bin_col]:
+                try:
+                    hashes.append(audio_fingerprint(bytes(b or b"")))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col], "audio_hash": hashes})
+
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    out = inp.mapInPandas(run, schema)
+    return Table.from_df(out, name=f"{table.table_name}_audiohash")
+
+
+def audio_dup_pairs(
+    table: Table,
+    bin_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    bits: int = 64,
+    use_fake: bool = True,
+    on_error: str = "raise",
+) -> Table:
+    """Near-duplicate audio pairs ``(id1, id2, hamming)`` by spectral-
+    fingerprint Hamming distance ≤ ``max_hamming`` — completes the
+    dedup matrix alongside text SimHash and image dHash, sharing the
+    same pigeonhole blocking (``hamming_hash_pairs``): one equi-join
+    per block, exact ``bit_count(xor)`` filter, never a cross join.
+    At crawl scale this is the re-encoded/re-hosted audio dedup
+    pass (same clip as WAV and FLAC, gain-normalized copies)."""
+    from .dedup import hamming_hash_pairs
+
+    hashes = audio_hash(table, bin_col, id_col, use_fake, on_error)
+    hdf = hashes.df.where(F.col("audio_hash").isNotNull())
+    pairs = hamming_hash_pairs(
+        hdf, id_col, "audio_hash", bits, max_hamming, n_blocks
+    )
+    return Table.from_df(pairs, name=f"{table.table_name}_audiodup_pairs")
+
+
 def exif_report(table: Table, bin_col: str, id_col: str) -> Table:
     """Per-blob EXIF/PII audit for JPEG images: ``(id, has_exif,
     orientation, make, model, exif_datetime, has_gps, gps_lat,

@@ -355,3 +355,118 @@ def test_flac_random_differential():
                                   "mid_side"][trial % 4]
         bs = int(rng.choice([32, 64, 256]))
         _rt(x, blocksize=bs, mode=mode, porder=0, **kw)
+
+
+# ------------------------------------------------------------------ #
+# perceptual audio fingerprint + dedup (audio analogue of image dHash)
+
+
+def _wav_pcm16(x: np.ndarray, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1 if x.ndim == 1 else x.shape[1])
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(x.astype("<i2").tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def _wav_f32(x: np.ndarray, rate: int = 8000) -> bytes:
+    import struct as _s
+
+    data = x.astype("<f4").tobytes()
+    fmt = _s.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    out = b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    out += b"data" + _s.pack("<I", len(data)) + data
+    return out
+
+
+def _tone(n=2048, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    x = (
+        8000 * np.sin(2 * np.pi * t * 0.01)
+        + 3000 * np.sin(2 * np.pi * t * (0.09 + 0.02 * (seed % 3)))
+        + rng.randint(-300, 300, n)
+    )
+    return x.astype(np.int64)
+
+
+def test_audio_fingerprint_container_invariant():
+    """The same samples hash identically from WAV and FLAC."""
+    from littletable_spark.functions.audiocodec import audio_fingerprint
+
+    x = _tone(seed=1)
+    h_wav = audio_fingerprint(_wav_pcm16(x))
+    h_flac = audio_fingerprint(_flac_encode(x, bps=16))
+    assert h_wav == h_flac
+
+
+def test_audio_fingerprint_gain_invariant_and_discriminative():
+    from littletable_spark.functions.audiocodec import audio_fingerprint
+
+    x = _tone(seed=2).astype(np.float64) / 32768.0
+    h1 = audio_fingerprint(_wav_f32(x))
+    h2 = audio_fingerprint(_wav_f32(x * 0.25))
+    assert h1 == h2  # exact gain invariance
+    other = _tone(seed=5).astype(np.float64) / 32768.0
+    h3 = audio_fingerprint(_wav_f32(other[::-1]))
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") > 8
+
+
+def test_audio_fingerprint_near_dup_within_bits():
+    from littletable_spark.functions.audiocodec import audio_fingerprint
+
+    x = _tone(seed=3)
+    rng = np.random.RandomState(4)
+    noisy = x + rng.randint(-80, 80, len(x))
+    h1 = audio_fingerprint(_wav_pcm16(x))
+    h2 = audio_fingerprint(_wav_pcm16(noisy))
+    assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_audio_dup_pairs_real_path(spark):
+    """End-to-end Spark operator: the same clip as WAV and FLAC (plus a
+    gain-scaled copy) pairs up; unrelated clips don't; corrupt blobs
+    NULL out under on_error='null'."""
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import audio_dup_pairs, audio_hash
+
+    x = _tone(seed=6)
+    y = _tone(seed=8)[::-1].copy()
+    t = Table("aud", spark=spark)
+    t.insert_many(
+        [
+            {"aid": 0, "blob": _wav_pcm16(x)},
+            {"aid": 1, "blob": _flac_encode(x, bps=16)},       # same clip
+            {"aid": 2, "blob": _wav_pcm16(y)},                 # different
+            {"aid": 3, "blob": b"corrupt audio bytes"},
+        ]
+    )
+    hashes = {
+        r.aid: r.audio_hash
+        for r in audio_hash(t, "blob", "aid", use_fake=False, on_error="null")
+    }
+    assert hashes[0] == hashes[1] and hashes[3] is None
+    pairs = audio_dup_pairs(
+        t, "blob", "aid", max_hamming=3, use_fake=False, on_error="null"
+    )
+    got = {(r.id1, r.id2): r.hamming for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert all(p == (0, 1) for p in got)
+
+
+def test_audio_hash_fake_path_is_projection(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import audio_hash
+
+    t = Table("aud", spark=spark)
+    t.insert_many([{"aid": 0, "blob": b"abc"}, {"aid": 1, "blob": b"abc"}])
+    rows = list(audio_hash(t, "blob", "aid"))
+    assert rows[0].audio_hash == rows[1].audio_hash
+    assert 0 <= rows[0].audio_hash < (1 << 60)
