@@ -1684,6 +1684,60 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.df.select("doc_id", "url")
 
 
+def q_url_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-host politeness scheduling (round 11): robots.txt
+    Crawl-delay values (parsed per-lang domain, delay derived from the
+    lang's first letter so the oracle can replay it arithmetically)
+    drive schedule_fetches — per-host priority-desc rank windows space
+    fetches crawl_delay seconds apart; unlisted hosts (every 13th doc)
+    take the scheduler default. Covers robots_crawl_delays (previously
+    test-only) AND the keyed-window family in one gate row."""
+    from littletable_spark.operators.robots import (
+        robots_crawl_delays,
+        schedule_fetches,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dly = (F.ascii(F.substring(F.col("lang"), 1, 1)) % 3 + 1).cast("int")
+    robots = Table.from_df(
+        d.df.select("lang")
+        .distinct()
+        .select(
+            F.concat(F.lit("site-"), F.col("lang"), F.lit(".com")).alias(
+                "domain"
+            ),
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                dly.cast("string"),
+                F.lit("\n"),
+            ).alias("txt"),
+        ),
+        name="robots",
+    )
+    delays = robots_crawl_delays(robots, "txt", "domain", default_delay=1.0)
+    url = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.lit("https://unlisted-"), F.col("lang"), F.lit(".org/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site-"), F.col("lang"), F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    d.compute_field("url", url)
+    d.compute_field("prio", (F.col("doc_id") % 7).cast("int"))
+    frontier = Table.from_df(
+        d.df.select("doc_id", "url", "prio"), name="frontier"
+    )
+    out = schedule_fetches(
+        frontier, delays, priority_col="prio", default_delay=0.5
+    )
+    return out.df.select("doc_id", "url", "prio", "fetch_at")
+
+
 def q_text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-(lang, source) curation report (round 9): doc counts, empty
     counts, char/token totals and means, exact p50/p95 token counts —
@@ -2227,6 +2281,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     IN-GATE every round inside text_corpus_report's token stats and
     text_pack_ids' stand-in ids, and token_stats keeps its own unit
     suite).
+    Net-new url_schedule (schedule_fetches: per-host politeness
+    offsets from parsed Crawl-delay values — covers
+    robots_crawl_delays, previously test-only, plus the keyed-window
+    plan family) also gates immediately; window_moving_avg parks in
+    exchange (gated r1-r10; the keyed rank/frame window plan family
+    runs IN-GATE via url_schedule, and the rowsBetween frame
+    semantics keep mirror + pytest coverage).
 
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
@@ -2247,7 +2308,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_compact": q_stream_ingest_compact,
         "stats": q_stats,
         "skew_report": q_skew_report,
-        "window_moving_avg": q_window_moving_avg,
+        "url_schedule": q_url_schedule,
         "tpch_q3_shape": q_tpch_q3_shape,
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
@@ -2282,6 +2343,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "window_moving_avg": q_window_moving_avg,
         "text_tokens": q_text_tokens,
         "text_bpe_pack": q_text_bpe_pack,
         "text_logprob": q_text_logprob,
@@ -3872,6 +3934,42 @@ def oracle_sql() -> dict[str, str]:
         # replayed as VALUES; same LIKE patterns (ESCAPE '\\'), same
         # longest-rule/allow-wins window, same subdomain-safe domain
         # match and listed/unlisted distinction
+        "url_schedule": """
+            WITH langs AS (
+              SELECT DISTINCT lang,
+                     (ascii(substr(lang, 1, 1)) % 3 + 1)::INTEGER AS dly
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN
+                       'https://unlisted-' || lang || '.org/p/' || doc_id::VARCHAR
+                     ELSE
+                       'https://site-' || lang || '.com/p/' || doc_id::VARCHAR
+                     END AS url,
+                     (doc_id % 7)::INTEGER AS prio
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, url, prio,
+                     regexp_extract(
+                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       '^(?:[^@]*@)?([^:]*)', 1) AS host
+              FROM u
+            ),
+            j AS (
+              SELECT f.*,
+                     coalesce(l.dly * 1.0, 0.5) AS delay
+              FROM f LEFT JOIN langs l
+                ON f.host = 'site-' || l.lang || '.com'
+            )
+            SELECT doc_id, url, prio,
+                   (row_number() OVER (
+                      PARTITION BY host
+                      ORDER BY prio DESC NULLS LAST, url
+                    ) - 1) * delay AS fetch_at
+            FROM j
+        """,
         "url_robots": """
             WITH langs AS (SELECT DISTINCT lang FROM documents),
             rules AS (

@@ -62,6 +62,7 @@ __all__ = [
     "robots_sitemaps",
     "robots_crawl_delays",
     "robots_like_pattern",
+    "schedule_fetches",
 ]
 
 
@@ -338,5 +339,64 @@ def filter_by_robots(
     )
     out = joined.where(keep).drop(
         "__row_ord__", "__host__", "__path__", "__best__", "__nlisted__"
+    )
+    return table._derive(out)
+
+
+def schedule_fetches(
+    table: Table,
+    delays: Table | None = None,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    delay_col: str = "crawl_delay",
+    priority_col: str | None = None,
+    default_delay: float = 1.0,
+    out_col: str = "fetch_at",
+) -> Table:
+    """Per-host politeness schedule — the fetch-ORDERING hand-off that
+    closes the crawl loop (sitemaps/WARC → canonicalize → dedup →
+    robots filter → THIS → fetcher): order each host's URLs (by
+    ``priority_col`` descending when given, then URL) and space them
+    ``crawl_delay`` seconds apart. ``out_col`` is the per-row offset in
+    seconds from crawl start at which the URL may be fetched without
+    violating its host's Crawl-delay; a fetcher fleet keyed on host can
+    dispatch row-at-``fetch_at`` independently per host. Compose with
+    ``parse_robots``/``robots_crawl_delays`` for the delays table;
+    hosts absent from it use ``default_delay``. Crawl-delay is an
+    origin-host property (each host serves its own robots.txt), so the
+    delays join is EXACT host equality — no suffix chain needed here.
+
+    Plan shape: one broadcast-able equi-join on host + ONE keyed window
+    (per host — never a global sort); at web scale the window's
+    partition key is the host, whose fan-in is the per-site page count,
+    not the corpus.
+    """
+    from pyspark.sql import Window
+
+    df = table._require_df()
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    host = F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1)
+    work = df.withColumn("__host__", host)
+    if delays is not None:
+        ddf = delays._require_df().select(
+            F.lower(F.col(domain_col)).alias("__ddom__"),
+            F.col(delay_col).cast("double").alias("__delay__"),
+        )
+        work = work.join(
+            ddf, F.col("__host__") == F.col("__ddom__"), "left"
+        ).drop("__ddom__")
+    else:
+        work = work.withColumn("__delay__", F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("__delay__"), F.lit(float(default_delay)))
+    order = []
+    if priority_col:
+        order.append(F.desc_nulls_last(priority_col))
+    order.append(F.col(url_col))
+    w = Window.partitionBy("__host__").orderBy(*order)
+    fields = table.fields
+    out = work.select(
+        *[F.col(c) for c in fields],
+        ((F.row_number().over(w) - 1) * delay).alias(out_col),
     )
     return table._derive(out)

@@ -265,3 +265,49 @@ def test_robots_crawl_delays(spark):
         for r in robots_crawl_delays(rt, "txt", agent="FastBot/9")
     }
     assert fast["a.com"] == 0.1  # delay-only group still wins for its agent
+
+
+def test_schedule_fetches_politeness(spark):
+    """Per-host fetch offsets: priority-desc order, crawl_delay
+    spacing, default for unlisted hosts, one keyed window."""
+    from littletable_spark.operators.robots import (
+        robots_crawl_delays,
+        schedule_fetches,
+    )
+
+    rt = Table("robots", spark=spark)
+    rt.insert_many(
+        [
+            {"domain": "a.com", "txt": "User-agent: *\nCrawl-delay: 2.5\n"},
+            {"domain": "b.com", "txt": "User-agent: *\nDisallow: /x\n"},
+        ]
+    )
+    delays = robots_crawl_delays(rt, "txt", "domain", default_delay=1.0)
+    t = Table("u", spark=spark)
+    t.insert_many(
+        [
+            {"url": "https://a.com/p1", "prio": 1},
+            {"url": "https://a.com/p2", "prio": 9},
+            {"url": "https://a.com/p3", "prio": 5},
+            {"url": "https://b.com/q1", "prio": 2},
+            {"url": "https://c.org/r1", "prio": 3},  # unlisted host
+            {"url": "https://c.org/r2", "prio": 3},  # tie -> url order
+        ]
+    )
+    out = schedule_fetches(
+        t, delays, priority_col="prio", default_delay=0.25
+    )
+    got = {r.url: r.fetch_at for r in out}
+    # a.com: p2 (prio 9) at 0, p3 at 2.5, p1 at 5.0
+    assert got["https://a.com/p2"] == 0.0
+    assert got["https://a.com/p3"] == 2.5
+    assert got["https://a.com/p1"] == 5.0
+    # b.com listed in robots (no Crawl-delay) -> delays table default 1.0
+    assert got["https://b.com/q1"] == 0.0
+    # c.org unlisted -> schedule default 0.25; tie broken by url
+    assert got["https://c.org/r1"] == 0.0
+    assert got["https://c.org/r2"] == 0.25
+    assert set(out.fields) == {"url", "prio", "fetch_at"}
+    # without a delays table every host uses the default
+    out2 = schedule_fetches(t, None, default_delay=2.0)
+    assert {r.fetch_at for r in out2 if "a.com" in r.url} == {0.0, 2.0, 4.0}
