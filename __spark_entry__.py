@@ -1684,6 +1684,116 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.df.select("doc_id", "url")
 
 
+def q_url_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """link discovery (round 11): per-doc HTML synthesized with every
+    href shape — absolute (kept), other-scheme (dropped),
+    scheme-relative //, root-relative /, relative with ../ and ./
+    dot segments, fragments, single- and double-quoted attributes —
+    extracted and RFC 3986-resolved against the row's base URL by
+    extract_links; the oracle replays the SAME regex constants and
+    bounded dot-segment normalization (generated from the operator's
+    own module, no drift)."""
+    from littletable_spark.operators.urlops import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<a href="https://ext-'), F.col("lang"), F.lit(".org/a/"),
+        did, F.lit('">x</a>'),
+        F.lit("<a href='//cdn-"), F.col("lang"), F.lit(".net/c/"),
+        (F.col("doc_id") % 9).cast("string"), F.lit("'>y</a>"),
+        F.lit('<a href="/r/'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('?q=1#frag">z</a>'),
+        F.lit('<a href="rel/'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('.html">r</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<a href="../up/./'), did, F.lit('.html">u</a>')),
+        ).otherwise(F.lit('<a href="mailto:a@b.c">m</a><a href="#s">s</a>')),
+    )
+    base = F.concat(
+        F.lit("https://site-"), F.col("lang"), F.lit(".com/d/"),
+        (F.col("doc_id") % 7).cast("string"), F.lit("/p.html"),
+    )
+    d.compute_field("html", html)
+    d.compute_field("url", base)
+    out = extract_links(d, "html", "url", "doc_id")
+    return out.df.select("doc_id", "link")
+
+
+def _links_oracle_sql() -> str:
+    """Generated from extract_links' own regex constants so the two
+    can never drift (same pattern as _langid_oracle_sql)."""
+    from littletable_spark.operators.urlops import (
+        _DOT_SEG_ITERS,
+        _DOTDOT_RE,
+        _HOST_RE,
+        _HREF_DQ_RE,
+        _HREF_SQ_RE,
+        _PATH_RE,
+    )
+
+    def q(s: str) -> str:  # SQL single-quote escape
+        return s.replace("'", "''")
+
+    def norm(expr: str) -> str:
+        for _ in range(2):
+            expr = f"regexp_replace({expr}, '/\\.(/|$)', '/', 'g')"
+        for _ in range(_DOT_SEG_ITERS):
+            expr = f"regexp_replace({expr}, '{q(_DOTDOT_RE)}', '/', 'g')"
+            expr = f"regexp_replace({expr}, '^/\\.\\.(/|$)', '/', 'g')"
+        return expr
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 '<a href="https://ext-' || lang || '.org/a/' || doc_id::VARCHAR || '">x</a>'
+                 || '<a href=''//cdn-' || lang || '.net/c/' || (doc_id % 9)::VARCHAR || '''>y</a>'
+                 || '<a href="/r/' || (doc_id % 5)::VARCHAR || '?q=1#frag">z</a>'
+                 || '<a href="rel/' || (doc_id % 3)::VARCHAR || '.html">r</a>'
+                 || CASE WHEN doc_id % 2 = 0
+                      THEN '<a href="../up/./' || doc_id::VARCHAR || '.html">u</a>'
+                      ELSE '<a href="mailto:a@b.c">m</a><a href="#s">s</a>' END
+                 AS html,
+                 'https://site-' || lang || '.com/d/' || (doc_id % 7)::VARCHAR || '/p.html' AS base
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id, base, unnest(list_concat(
+                   regexp_extract_all(html, '{q(_HREF_DQ_RE)}', 1),
+                   regexp_extract_all(html, '{q(_HREF_SQ_RE)}', 1))) AS rawh
+          FROM d
+        ),
+        f AS (
+          SELECT doc_id,
+                 regexp_extract(rawh, '^([^#]*)', 1) AS raw,
+                 regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bsch,
+                 regexp_extract(base, '{q(_HOST_RE)}', 1) AS bauth,
+                 regexp_replace(
+                   CASE WHEN regexp_extract(base, '{q(_PATH_RE)}', 1) = ''
+                        THEN '/' ELSE regexp_extract(base, '{q(_PATH_RE)}', 1) END,
+                   '[^/]*$', '') AS bdir
+          FROM e
+        ),
+        r AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN raw = '' THEN NULL
+                   WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN
+                     CASE WHEN regexp_matches(raw, '^(?i)https?://') THEN raw
+                          ELSE NULL END
+                   WHEN raw LIKE '//%' THEN bsch || ':' || raw
+                   WHEN raw LIKE '/%' THEN bsch || '://' || bauth || {norm("raw")}
+                   ELSE bsch || '://' || bauth || {norm("bdir || raw")}
+                 END AS link
+          FROM f
+        )
+        SELECT doc_id, link FROM r
+        WHERE link IS NOT NULL AND link <> ''
+          AND regexp_matches(link, '^(?i)https?://[^/?#]+')
+    """
+
+
 def q_url_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-host politeness scheduling (round 11): robots.txt
     Crawl-delay values (parsed per-lang domain, delay derived from the
@@ -2288,6 +2398,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exchange (gated r1-r10; the keyed rank/frame window plan family
     runs IN-GATE via url_schedule, and the rowsBetween frame
     semantics keep mirror + pytest coverage).
+    Net-new url_links (extract_links: native href discovery + RFC
+    3986 resolution — the frontier feeder) also gates immediately;
+    anti_join parks in exchange (gated r1-r10; the left-anti plan
+    family runs IN-GATE inside dedup_lines' boilerplate strip and
+    text_contamination's decontamination join, and the truth-table
+    tests stay).
 
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
@@ -2300,7 +2416,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_3way_agg": q_join_3way_agg,
         "dedup_lines": q_dedup_lines,
         "text_filter_quality": q_text_filter_quality,
-        "anti_join": q_anti_join,
+        "url_links": q_url_links,
         "asof_join": q_asof_join,
         "upsert_merge": q_upsert_merge,
         "groupby_summaries": q_groupby_summaries,
@@ -2343,6 +2459,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "anti_join": q_anti_join,
         "window_moving_avg": q_window_moving_avg,
         "text_tokens": q_text_tokens,
         "text_bpe_pack": q_text_bpe_pack,
@@ -3934,6 +4051,7 @@ def oracle_sql() -> dict[str, str]:
         # replayed as VALUES; same LIKE patterns (ESCAPE '\\'), same
         # longest-rule/allow-wins window, same subdomain-safe domain
         # match and listed/unlisted distinction
+        "url_links": _links_oracle_sql(),
         "url_schedule": """
             WITH langs AS (
               SELECT DISTINCT lang,

@@ -539,3 +539,63 @@ def test_url_features_differential_vs_urllib(spark):
         assert r.tld == (p.hostname or "").rsplit(".", 1)[-1] if "." in (p.hostname or "") else True
 
     check()
+
+
+def test_extract_links_resolution(spark):
+    """<a href> discovery + RFC 3986 resolution: absolute kept,
+    scheme-relative / root-relative / relative resolved, fragments
+    stripped, non-http schemes dropped, dot segments normalized,
+    multiplicity preserved."""
+    from littletable_spark.operators.urlops import extract_links
+
+    html = (
+        '<p><a href="https://other.com/abs">x</a>'
+        "<a href='//cdn.com/sr'>y</a>"
+        '<a href="/root/page?q=1#frag">z</a>'
+        '<a href="sub/rel.html">r</a>'
+        '<a href="../up/./two.html">u</a>'
+        '<a href="mailto:a@b.c">m</a>'
+        '<a href="javascript:void(0)">j</a>'
+        '<a href="#same-page">s</a>'
+        '<a href="https://other.com/abs">dup</a></p>'
+    )
+    t = Table("pages", spark=spark)
+    t.insert_many(
+        [{"doc_id": 0, "html": html, "url": "https://a.com/dir/sub/index.html"}]
+    )
+    out = extract_links(t, "html", "url", "doc_id")
+    links = sorted(r.link for r in out)
+    assert links == sorted(
+        [
+            "https://other.com/abs",
+            "https://other.com/abs",           # multiplicity preserved
+            "https://cdn.com/sr",
+            "https://a.com/root/page?q=1",     # fragment stripped
+            "https://a.com/dir/sub/sub/rel.html",
+            "https://a.com/dir/up/two.html",   # ../ and ./ normalized
+        ]
+    )
+    assert set(out.fields) == {"doc_id", "link"}
+
+
+def test_extract_links_composes_with_frontier(spark):
+    """Discovery feeds the frontier: extract -> canonicalize -> dedup."""
+    from littletable_spark.operators.urlops import dedup_urls, extract_links
+
+    t = Table("pages", spark=spark)
+    t.insert_many(
+        [
+            {
+                "doc_id": i,
+                "html": '<a href="/P?utm_source=x&a=1">l</a>'
+                '<a href="/P?a=1">l2</a>',
+                "url": f"https://S{i % 2}.com/x",
+            }
+            for i in range(4)
+        ]
+    )
+    links = extract_links(t, "html", "url", "doc_id")
+    assert len(links) == 8
+    deduped = dedup_urls(links, "link")
+    # 2 hosts x 1 canonical URL (utm dropped, same ?a=1)
+    assert len(deduped) == 2
