@@ -36,8 +36,13 @@ dictionary is resolved, every font's ``/ToUnicode`` stream is parsed
 operator tracks the ACTIVE font so each shown string decodes through
 its own font's CMap — multi-byte CIDs, multi-code-unit targets
 (ligatures → "fi"), and per-string font switches all land as real
-text instead of mojibake. Strings of fonts without a ToUnicode fall
-back to the BOM/Latin-1 path above.
+text instead of mojibake. Simple fonts WITHOUT a ToUnicode but with an
+``/Encoding`` dictionary decode through it: ``/Differences`` glyph
+names resolve via an Adobe Glyph List subset (letters/digits by their
+own names, ``uniXXXX`` directly), unmapped bytes through the named
+base encoding (``/WinAnsiEncoding`` = cp1252, ``/MacRomanEncoding``);
+ToUnicode always wins when both exist. Strings of fonts with neither
+fall back to the BOM/Latin-1 path above.
 
 Out of scope (raise ValueError → ``on_error`` policy upstream):
 encrypted files. A structurally valid PDF in which no page object can
@@ -282,11 +287,128 @@ class _ToUnicodeCMap:
         return "".join(out)
 
 
+# Adobe Glyph List subset: the names real /Differences arrays use.
+# Letters/digits map by their own conventions (A-Z, a-z are their own
+# glyph names; digits are spelled out); 'uniXXXX' resolves directly.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "Euro": "€", "degree": "°", "copyright": "©",
+    "registered": "®", "trademark": "™", "dagger": "†",
+    "daggerdbl": "‡", "section": "§", "paragraph": "¶",
+    "guillemotleft": "«", "guillemotright": "»",
+    "exclamdown": "¡", "questiondown": "¿", "cent": "¢",
+    "sterling": "£", "yen": "¥", "florin": "ƒ",
+    "dotlessi": "ı", "oe": "œ", "OE": "Œ",
+    "ae": "æ", "AE": "Æ", "oslash": "ø",
+    "Oslash": "Ø", "germandbls": "ß",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê",
+    "edieresis": "ë", "agrave": "à", "aacute": "á",
+    "acircumflex": "â", "adieresis": "ä", "aring": "å",
+    "atilde": "ã", "ccedilla": "ç", "igrave": "ì",
+    "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "odieresis": "ö", "otilde": "õ", "ugrave": "ù",
+    "uacute": "ú", "ucircumflex": "û", "udieresis": "ü",
+    "ntilde": "ñ", "yacute": "ý", "ydieresis": "ÿ",
+    "alpha": "α", "beta": "β", "gamma": "γ",
+    "delta": "δ", "epsilon": "ε", "zeta": "ζ",
+    "eta": "η", "theta": "θ", "iota": "ι",
+    "kappa": "κ", "lambda": "λ", "mu": "μ",
+    "nu": "ν", "xi": "ξ", "omicron": "ο", "pi": "π",
+    "rho": "ρ", "sigma": "σ", "tau": "τ",
+    "upsilon": "υ", "phi": "φ", "chi": "χ",
+    "psi": "ψ", "omega": "ω",
+    "Alpha": "Α", "Beta": "Β", "Gamma": "Γ",
+    "Delta": "Δ", "Theta": "Θ", "Lambda": "Λ",
+    "Pi": "Π", "Sigma": "Σ", "Phi": "Φ",
+    "Psi": "Ψ", "Omega": "Ω",
+    "minus": "−", "multiply": "×", "divide": "÷",
+    "plusminus": "±", "lessequal": "≤",
+    "greaterequal": "≥", "notequal": "≠",
+    "approxequal": "≈", "infinity": "∞",
+    "partialdiff": "∂", "summation": "∑", "product": "∏",
+    "radical": "√", "integral": "∫", "arrowright": "→",
+    "arrowleft": "←", "nbspace": " ", "middot": "·",
+    "periodcentered": "·",
+}
+_UNI_NAME_RE = re.compile(r"^uni([0-9A-Fa-f]{4,6})$")
+_DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([^\s/\[\]()<>]+)")
+
+
+def _glyph_to_char(name: str) -> str | None:
+    if len(name) == 1 and (name.isalpha() or name.isdigit()):
+        return name  # A-Z a-z are their own glyph names
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        try:
+            return chr(int(m.group(1), 16))
+        except ValueError:
+            return None
+    return _AGL.get(name)
+
+
+class _DiffEncoding:
+    """A simple font's ``/Encoding`` with ``/Differences`` (or a named
+    base encoding): byte → char via the Differences glyph names
+    (resolved through the AGL subset / ``uniXXXX``), falling back to
+    the base encoding (WinAnsi = cp1252, MacRoman, else Latin-1) for
+    unmapped bytes."""
+
+    __slots__ = ("diffs", "codec")
+
+    def __init__(self, enc_body: bytes) -> None:
+        if b"/WinAnsiEncoding" in enc_body:
+            self.codec = "cp1252"
+        elif b"/MacRomanEncoding" in enc_body:
+            self.codec = "mac_roman"
+        else:
+            self.codec = "latin-1"
+        self.diffs: dict[int, str] = {}
+        dm = re.search(rb"/Differences\s*\[(.*?)\]", enc_body, re.S)
+        if dm is not None:
+            code = 0
+            for num, name in _DIFF_TOKEN_RE.findall(dm.group(1)):
+                if num:
+                    code = int(num)
+                    continue
+                ch = _glyph_to_char(name.decode("latin-1"))
+                if ch is not None:
+                    self.diffs[code] = ch
+                code += 1
+
+    def decode(self, raw: bytes) -> str:
+        if raw[:2] == b"\xfe\xff":  # BOM still wins (writer quirk)
+            return raw[2:].decode("utf-16-be", errors="replace")
+        out = []
+        for b in raw:
+            ch = self.diffs.get(b)
+            if ch is None:
+                ch = bytes([b]).decode(self.codec, errors="replace")
+            out.append(ch)
+        return "".join(out)
+
+
 def _font_map(
     body: bytes, objects: dict[int, bytes], fcache: dict[int, object]
 ) -> dict[bytes, object]:
-    """``/Resources → /Font`` name → parsed ToUnicode CMap (or None
-    when the font declares none) for a page or form dictionary."""
+    """``/Resources → /Font`` name → per-font string decoder: the
+    parsed ToUnicode CMap when present (always wins), else a
+    ``/Differences``/named-base simple-font encoding, else None
+    (BOM/Latin-1 fallback) — for a page or form dictionary."""
     m = re.search(rb"/Resources\s*", body)
     if m is None:
         return {}
@@ -299,13 +421,25 @@ def _font_map(
     for nm, num in _XOBJ_NAME_RE.findall(fdict):
         fnum = int(num)
         if fnum not in fcache:
-            cmap = None
+            cmap: object | None = None
             fbody = objects.get(fnum, b"")
             tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
             if tm is not None:
                 data = _stream_data(objects.get(int(tm.group(1)), b""))
                 if data:
                     cmap = _ToUnicodeCMap(data)
+            if cmap is None:
+                em = re.search(rb"/Encoding\s*", fbody)
+                if em is not None:
+                    nxt = fbody[em.end() : em.end() + 1]
+                    if nxt == b"/":  # bare name: /WinAnsiEncoding etc.
+                        enc_body = fbody[em.end() : em.end() + 40]
+                    else:  # inline dict or indirect reference
+                        enc_body = _resolve_dict(fbody, em.end(), objects)
+                    if enc_body:
+                        enc = _DiffEncoding(enc_body)
+                        if enc.diffs or enc.codec != "latin-1":
+                            cmap = enc
             fcache[fnum] = cmap
         out[nm] = fcache[fnum]
     return out

@@ -429,17 +429,27 @@ def _make_pdf_cid(
         objs.append(body)
         return len(objs)
 
-    def add_font(cmap: bytes | None) -> int:
-        if cmap is None:
+    def add_font(spec) -> int:
+        """spec: None = plain font; bytes = ToUnicode CMap stream;
+        ("enc", dict_bytes) = /Encoding dictionary (Differences/base);
+        ("both", cmap_bytes, dict_bytes) = ToUnicode + Encoding."""
+        if spec is None:
             return add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        if isinstance(spec, tuple) and spec[0] == "enc":
+            return add(
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+                b"/Encoding " + spec[1] + b" >>"
+            )
+        cmap = spec[1] if isinstance(spec, tuple) else spec
         data = zlib.compress(cmap)
         sid = add(
             b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
             + data + b"\nendstream"
         )
+        extra = b"/Encoding " + spec[2] + b" " if isinstance(spec, tuple) else b""
         return add(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Subset "
-            b"/ToUnicode %d 0 R >>" % sid
+            + extra + b"/ToUnicode %d 0 R >>" % sid
         )
 
     font_ids = {nm: add_font(cm) for nm, cm in fonts.items()}
@@ -566,3 +576,45 @@ def test_tounicode_persists_across_bt_et():
     page = b"BT /F1 12 Tf <0001> Tj ET BT <0002> Tj ET"
     pdf = _make_pdf_cid(page, {b"F1": _CMAP_2B})
     assert extract_pdf_text(pdf) == "Hi"
+
+
+def test_differences_encoding_remap():
+    """Subsetted Type1 with /Differences and no ToUnicode: bytes map
+    through glyph names (letters by own name, spelled punctuation,
+    typographic names, uniXXXX)."""
+    enc = (
+        b"<< /Type /Encoding /Differences "
+        b"[ 1 /H /e /l 5 /o 10 /space /emdash /fi /uni0041 ] >>"
+    )
+    page = b"BT /F1 12 Tf (\x01\x02\x03\x03\x05\x0a\x0b\x0c\x0d) Tj ET"
+    pdf = _make_pdf_cid(page, {b"F1": ("enc", enc)})
+    assert extract_pdf_text(pdf) == "Hello —ﬁA"
+
+
+def test_winansi_base_encoding():
+    """/WinAnsiEncoding: the 0x80-0x9F cp1252 range (smart quotes,
+    euro) decodes correctly, unlike Latin-1."""
+    enc = b"/WinAnsiEncoding"
+    page = b"BT /F1 12 Tf (\x93Hi\x94 \x80) Tj ET"
+    pdf = _make_pdf_cid(page, {b"F1": ("enc", enc)})
+    assert extract_pdf_text(pdf) == "“Hi” €"
+
+
+def test_differences_with_winansi_base():
+    """Unmapped bytes fall back to the base encoding named in the
+    /Encoding dict."""
+    enc = (
+        b"<< /BaseEncoding /WinAnsiEncoding /Differences [ 1 /Euro ] >>"
+    )
+    page = b"BT /F1 12 Tf (\x01 ok \x93q\x94) Tj ET"
+    pdf = _make_pdf_cid(page, {b"F1": ("enc", enc)})
+    assert extract_pdf_text(pdf) == "€ ok “q”"
+
+
+def test_tounicode_wins_over_differences():
+    enc = b"<< /Differences [ 1 /Z ] >>"
+    pdf = _make_pdf_cid(
+        b"BT /F1 12 Tf <0001> Tj ET",
+        {b"F1": ("both", _CMAP_2B, enc)},
+    )
+    assert extract_pdf_text(pdf) == "H"  # CMap, not /Z
