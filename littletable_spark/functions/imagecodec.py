@@ -154,13 +154,40 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _tiff_chunk(raw: bytes, expected: int, compression: int) -> bytes:
+    """One strip/tile's decompressed bytes (exactly ``expected``)."""
+    if compression == 32773:
+        return _packbits_decode(raw, expected)
+    if compression == 5:
+        return _tiff_lzw_decode(raw, expected)
+    if compression in (8, 32946):
+        try:
+            data = zlib.decompress(raw)
+        except zlib.error as exc:
+            raise ValueError(f"bad TIFF Deflate data: {exc}") from None
+        if len(data) < expected:
+            raise ValueError("truncated TIFF Deflate data")
+        return data[:expected]
+    if len(raw) < expected:
+        raise ValueError("truncated TIFF strip/tile")
+    return raw[:expected]
+
+
+def _undo_predictor(data: bytes, rows: int, width: int, spp: int) -> bytes:
+    """Undo horizontal differencing (predictor 2) per row per sample."""
+    arr = np.frombuffer(data, np.uint8).reshape(rows, width, spp)
+    return arr.cumsum(axis=1, dtype=np.uint8).tobytes()
+
+
 def _decode_tiff(blob: bytes) -> np.ndarray:
     """Baseline TIFF: first IFD, 8-bit gray/RGB(A), chunky planar
-    layout, strip-based; compression none (1), LZW (5, TIFF 6.0 §13),
-    Deflate (8 and legacy 32946, via zlib), or PackBits (32773), with
-    the horizontal-differencing predictor (tag 317 = 2, applied per
-    row per sample after decompression). CCITT/JPEG-in-TIFF raise →
-    PIL fallback / on_error."""
+    layout, strip-based OR tiled (tags 322-325 — the scanned-document
+    and GIS layout: fixed-size tiles row-major, edge tiles padded to
+    full size then cropped); compression none (1), LZW (5, TIFF 6.0
+    §13), Deflate (8 and legacy 32946, via zlib), or PackBits (32773),
+    with the horizontal-differencing predictor (tag 317 = 2, applied
+    per row per sample after decompression, per strip/tile). CCITT/
+    JPEG-in-TIFF raise → PIL fallback / on_error."""
     if blob[:2] == b"II":
         fmt = "<"
     elif blob[:2] == b"MM":
@@ -188,10 +215,11 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
     try:
         w = tags[256][0]
         h = tags[257][0]
-        strip_offsets = tags[273]
-        strip_counts = tags[279]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag: {exc}") from None
+    tiled = 322 in tags and 324 in tags
+    if not tiled and 273 not in tags:
+        raise ValueError("TIFF missing required tag: strip/tile offsets")
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8] * spp)
     compression = tags.get(259, [1])[0]
@@ -209,37 +237,44 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
         raise ValueError(f"TIFF photometric {photometric} not supported")
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} not supported")
-    out = bytearray()
-    rows_left = h
-    for off, cnt in zip(strip_offsets, strip_counts):
-        rows = min(rows_per_strip, rows_left)
-        rows_left -= rows
-        expected = rows * w * spp
-        raw = blob[off : off + cnt]
-        if compression == 32773:
-            strip = _packbits_decode(raw, expected)
-        elif compression == 5:
-            strip = _tiff_lzw_decode(raw, expected)
-        elif compression in (8, 32946):
-            try:
-                strip = zlib.decompress(raw)
-            except zlib.error as exc:
-                raise ValueError(f"bad TIFF Deflate strip: {exc}") from None
-            if len(strip) < expected:
-                raise ValueError("truncated TIFF Deflate strip")
-            strip = strip[:expected]
-        else:
-            if len(raw) < expected:
-                raise ValueError("truncated TIFF strip")
-            strip = raw[:expected]
-        if predictor == 2:
-            # horizontal differencing: each sample is stored as the
-            # delta from the same sample of the pixel to its left;
-            # rows never cross strip boundaries, so undo per strip
-            arr = np.frombuffer(strip, np.uint8).reshape(rows, w, spp)
-            strip = arr.cumsum(axis=1, dtype=np.uint8).tobytes()
-        out += strip
-    arr = np.frombuffer(bytes(out), np.uint8, h * w * spp).reshape(h, w, spp)
+    if tiled:
+        tile_w = tags[322][0]
+        tile_h = tags.get(323, [tile_w])[0]
+        offsets = tags[324]
+        counts = tags.get(325, [len(blob)] * len(offsets))
+        across = -(-w // tile_w)
+        down = -(-h // tile_h)
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tile count mismatch")
+        arr = np.zeros((down * tile_h, across * tile_w, spp), np.uint8)
+        expected = tile_w * tile_h * spp
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            data = _tiff_chunk(blob[off : off + cnt], expected, compression)
+            if predictor == 2:
+                data = _undo_predictor(data, tile_h, tile_w, spp)
+            ty, tx = divmod(ti, across)
+            arr[
+                ty * tile_h : (ty + 1) * tile_h,
+                tx * tile_w : (tx + 1) * tile_w,
+            ] = np.frombuffer(data, np.uint8).reshape(tile_h, tile_w, spp)
+        arr = arr[:h, :w]  # crop edge-tile padding
+    else:
+        if 279 not in tags:
+            raise ValueError("TIFF missing required tag: strip byte counts")
+        out = bytearray()
+        rows_left = h
+        for off, cnt in zip(tags[273], tags[279]):
+            rows = min(rows_per_strip, rows_left)
+            rows_left -= rows
+            expected = rows * w * spp
+            strip = _tiff_chunk(blob[off : off + cnt], expected, compression)
+            if predictor == 2:
+                # rows never cross strip boundaries: undo per strip
+                strip = _undo_predictor(strip, rows, w, spp)
+            out += strip
+        arr = np.frombuffer(bytes(out), np.uint8, h * w * spp).reshape(
+            h, w, spp
+        )
     if photometric == 2:
         if spp < 3:
             raise ValueError("RGB TIFF with <3 samples")

@@ -682,10 +682,27 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_diff(block: np.ndarray, width: int, spp: int) -> np.ndarray:
+    b3 = block.reshape(block.shape[0], width, spp).astype(np.int16)
+    diff = b3.copy()
+    diff[:, 1:] = b3[:, 1:] - b3[:, :-1]
+    return (diff % 256).astype(np.uint8)
+
+
+def _tiff_compress(raw: bytes, compression: int) -> bytes:
+    if compression == 32773:
+        return _packbits_encode(raw)
+    if compression == 5:
+        return _tiff_lzw_encode(raw)
+    if compression in (8, 32946):
+        return zlib.compress(raw)
+    return raw
+
+
 def _tiff_encode(
     img: np.ndarray, bo: str = "II", compression: int = 1,
     rows_per_strip: int | None = None, photometric: int | None = None,
-    predictor: int = 1,
+    predictor: int = 1, tile: tuple[int, int] | None = None,
 ) -> bytes:
     fmt = "<" if bo == "II" else ">"
     gray = img.ndim == 2
@@ -695,21 +712,23 @@ def _tiff_encode(
         photometric = 1 if gray else 2
     rps = rows_per_strip or h
     strips = []
-    for y0 in range(0, h, rps):
-        block = img[y0 : y0 + rps]
-        if predictor == 2:  # horizontal differencing per row/sample
-            b3 = block.reshape(block.shape[0], w, spp).astype(np.int16)
-            diff = b3.copy()
-            diff[:, 1:] = b3[:, 1:] - b3[:, :-1]
-            block = (diff % 256).astype(np.uint8)
-        raw = block.tobytes()
-        if compression == 32773:
-            raw = _packbits_encode(raw)
-        elif compression == 5:
-            raw = _tiff_lzw_encode(raw)
-        elif compression in (8, 32946):
-            raw = zlib.compress(raw)
-        strips.append(raw)
+    if tile is not None:
+        tw, th = tile
+        img3 = img.reshape(h, w, spp)
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                block = np.zeros((th, tw, spp), dtype=np.uint8)
+                src = img3[ty : ty + th, tx : tx + tw]
+                block[: src.shape[0], : src.shape[1]] = src
+                if predictor == 2:
+                    block = _tiff_diff(block, tw, spp)
+                strips.append(_tiff_compress(block.tobytes(), compression))
+    else:
+        for y0 in range(0, h, rps):
+            block = img[y0 : y0 + rps]
+            if predictor == 2:  # horizontal differencing per row/sample
+                block = _tiff_diff(block, w, spp)
+            strips.append(_tiff_compress(block.tobytes(), compression))
     out = bytearray(bo.encode() + struct.pack(fmt + "HI", 42, 0))
     strip_offsets = []
     for s in strips:
@@ -736,10 +755,16 @@ def _tiff_encode(
     entry(258, 3, [8] * spp, "H")
     entry(259, 3, [compression], "H")
     entry(262, 3, [photometric], "H")
-    entry(273, 4, strip_offsets, "I")
     entry(277, 3, [spp], "H")
-    entry(278, 4, [rps], "I")
-    entry(279, 4, [len(s) for s in strips], "I")
+    if tile is not None:
+        entry(322, 4, [tile[0]], "I")
+        entry(323, 4, [tile[1]], "I")
+        entry(324, 4, strip_offsets, "I")
+        entry(325, 4, [len(s) for s in strips], "I")
+    else:
+        entry(273, 4, strip_offsets, "I")
+        entry(278, 4, [rps], "I")
+        entry(279, 4, [len(s) for s in strips], "I")
     if predictor != 1:
         entry(317, 3, [predictor], "H")
     ifd_off = len(out)
@@ -856,3 +881,18 @@ def test_tiff_lzw_differential_random():
         else:
             data = rng.randint(0, 256, n, dtype=np.uint8).tobytes()
         assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+
+def test_tiff_tiled_layout():
+    """Tiled TIFF (tags 322-325): row-major tile grid, edge tiles
+    padded then cropped, every compression + the predictor."""
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (37, 53, 3), dtype=np.uint8)  # non-multiple
+    for comp in (1, 5, 8, 32773):
+        blob = _tiff_encode(img, compression=comp, tile=(16, 16))
+        np.testing.assert_array_equal(decode_pixels(blob), img.astype(np.float64))
+    gray = rng.randint(0, 256, (40, 32), dtype=np.uint8)  # exact multiple
+    blob = _tiff_encode(gray, compression=5, tile=(16, 16), predictor=2)
+    np.testing.assert_array_equal(decode_pixels(blob), gray.astype(np.float64))
+    blob = _tiff_encode(gray, bo="MM", compression=8, tile=(32, 8), predictor=2)
+    np.testing.assert_array_equal(decode_pixels(blob), gray.astype(np.float64))
