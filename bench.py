@@ -80,7 +80,8 @@ def main() -> None:
         for n in queries
         if n not in HEADLINE
         and n.startswith(
-            ("dedup", "sim", "text", "search", "url", "multimodal_image")
+            ("dedup", "sim", "text", "search", "url", "multimodal_image",
+             "multimodal_audio_dedup")
         )
     ]
 

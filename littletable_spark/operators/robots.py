@@ -389,12 +389,24 @@ def schedule_fetches(
     else:
         work = work.withColumn("__delay__", F.lit(None).cast("double"))
     delay = F.coalesce(F.col("__delay__"), F.lit(float(default_delay)))
+    fields = table.fields
     order = []
     if priority_col:
         order.append(F.desc_nulls_last(priority_col))
     order.append(F.col(url_col))
+    # total-order discipline: extend the tiebreak over every remaining
+    # orderable column so rows tied on (priority, url) still rank
+    # deterministically — fully identical rows are interchangeable
+    # (they swap slots within the same fetch_at set), so the output
+    # multiset is run-stable. Maps are not orderable in Spark; skip.
+    dtypes = dict(df.dtypes)
+    order.extend(
+        F.col(c)
+        for c in fields
+        if c not in (url_col, priority_col)
+        and not dtypes.get(c, "").startswith("map<")
+    )
     w = Window.partitionBy("__host__").orderBy(*order)
-    fields = table.fields
     out = work.select(
         *[F.col(c) for c in fields],
         ((F.row_number().over(w) - 1) * delay).alias(out_col),

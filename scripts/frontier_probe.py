@@ -151,11 +151,56 @@ def main() -> None:
             res,
         )
 
+    # link discovery (pure projection + explode) and per-host
+    # politeness scheduling (one keyed window) at 1x/10x
+    from littletable_spark.operators.robots import schedule_fetches
+    from littletable_spark.operators.urlops import extract_links
+
+    def html_table(n_docs: int, name: str) -> Table:
+        df = (
+            spark.range(n_docs)
+            .selectExpr(
+                "id",
+                "concat('https://site-', cast(id % {0} as string), "
+                "'.com/d/', cast(id as string), '/p.html') AS url".format(
+                    N_DOMAINS
+                ),
+                "concat('<a href=\"/r/', cast(id % 97 as string), '\">x</a>',"
+                "'<a href=\"rel/', cast(id % 13 as string), '.html\">y</a>',"
+                "'<a href=\"https://ext.org/', cast(id as string), '\">z</a>',"
+                "'<a href=\"../up/', cast(id % 7 as string), '\">u</a>',"
+                "'<a href=\"mailto:a@b.c\">m</a>') AS html",
+            )
+            .persist()
+        )
+        df.count()
+        return Table.from_df(df, name=name)
+
+    pages = {s: html_table(N_URLS_1X * s, f"pages_{s}x") for s in (1, 10)}
+
+    def links(t: Table, n: int) -> None:
+        assert extract_links(t, "html", "url", "id").df.count() == 4 * n
+
+    links(pages[1], N_URLS_1X)  # untimed warmup
+    for s in (1, 10):
+        timed(f"links_{s}x", lambda s=s: links(pages[s], N_URLS_1X * s), res)
+
+    def sched(t: Table) -> None:
+        schedule_fetches(t, None, url_col="url").df.agg(
+            F.sum("fetch_at")
+        ).collect()
+
+    sched(pre[1])  # untimed warmup (pre = deduped frontier tables)
+    for s in (1, 10):
+        timed(f"schedule_{s}x", lambda s=s: sched(pre[s]), res)
+
     for k, v in res.items():
         print(f"{k:20s} {v:8.3f}s")
     print(f"{'frontier':20s} 10x/1x  ratio {res['frontier_10x'] / res['frontier_1x']:6.2f}")
     print(f"{'frontier':20s} 100x/10x ratio {res['frontier_100x'] / res['frontier_10x']:6.2f}")
     print(f"{'robots_only':20s} 10x/1x  ratio {res['robots_only_10x'] / res['robots_only_1x']:6.2f}")
+    print(f"{'links':20s} 10x/1x  ratio {res['links_10x'] / res['links_1x']:6.2f}")
+    print(f"{'schedule':20s} 10x/1x  ratio {res['schedule_10x'] / res['schedule_1x']:6.2f}")
 
 
 if __name__ == "__main__":
