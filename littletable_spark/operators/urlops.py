@@ -47,9 +47,17 @@ __all__ = [
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-# Anchored with a lazy fragment-free prefix so a '?' INSIDE the
-# fragment never reads as a query: 'http://a/p#f?x' has no query.
-_QUERY_RE = r"^[^#]*?\?([^#]*)"
+# The query is extracted from the PRE-FRAGMENT substring so a '?'
+# inside the fragment never reads as a query ('http://a/p#f?x' has no
+# query). Two linear extracts — a single lazy-prefix regex
+# ('^[^#]*?\?...') backtracks quadratically on long query-less URLs.
+_PREFRAG_RE = r"^([^#]*)"
+
+
+def _query_of(url):
+    return F.regexp_extract(
+        F.regexp_extract(url, _PREFRAG_RE, 1), r"\?(.*)$", 1
+    )
 
 # Embedded snapshot of the most common two-level public suffixes —
 # the ccTLD second-level registries under which sites register
@@ -131,7 +139,7 @@ def url_features(table: Table, url_col: str = "url", psl=None) -> Table:
     path_depth = F.size(
         F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
     )
-    query = F.regexp_extract(url, _QUERY_RE, 1)
+    query = _query_of(url)
     n_params = F.when(query == F.lit(""), F.lit(0)).otherwise(
         F.size(F.split(query, "&"))
     )
@@ -240,7 +248,7 @@ def canonicalize_urls(
     ).otherwise(F.concat(F.lit(":"), port))
     raw_path = F.regexp_extract(url, _PATH_RE, 1)
     path = F.when(raw_path == F.lit(""), F.lit("/")).otherwise(raw_path)
-    query = F.regexp_extract(url, _QUERY_RE, 1)
+    query = _query_of(url)
     keep = F.filter(
         F.split(query, "&"),
         (lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE))
