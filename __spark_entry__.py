@@ -1794,6 +1794,79 @@ def _links_oracle_sql() -> str:
     """
 
 
+def q_url_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """link-graph authority scoring (round 11): 3 damped power
+    iterations with dangling-mass redistribution over a synthesized
+    link graph (src = doc_id%83, dst = (7·doc_id+3)%97 — nodes ≥83
+    are dangling sinks, duplicate edges count per occurrence). The
+    oracle replays the SAME three iterations as a generated CTE chain;
+    ranks compare at the gate's 1e-6 rounding, far above float
+    reorder noise. Feed ranks into schedule_fetches(priority_col=)
+    for authority-first crawling."""
+    from littletable_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    edges = Table.from_df(
+        d.df.select(
+            (F.col("doc_id") % 83).cast("long").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 97).cast("long").alias("dst"),
+        ),
+        name="links",
+    )
+    pr = pagerank(edges, iterations=3)
+    return pr.df.select("node", "rank")
+
+
+def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    """The same damped power iteration as a generated CTE chain."""
+    parts = [
+        """
+        WITH edges AS (
+          SELECT (doc_id % 83)::BIGINT AS src,
+                 ((doc_id * 7 + 3) % 97)::BIGINT AS dst
+          FROM documents
+        ),
+        nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst AS node FROM edges
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (
+          SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src
+        ),
+        r0 AS (
+          SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes
+        )"""
+    ]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+        c{k} AS (
+          SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS contrib
+          FROM {prev} r
+          JOIN deg ON r.node = deg.src
+          JOIN edges e ON e.src = r.node
+          GROUP BY e.dst
+        ),
+        dang{k} AS (
+          SELECT coalesce(sum(r.rank), 0) AS m
+          FROM {prev} r LEFT JOIN deg ON r.node = deg.src
+          WHERE deg.src IS NULL
+        ),
+        r{k} AS (
+          SELECT n.node,
+                 (1 - {d}) / nn.n
+                 + {d} * (coalesce(c.contrib, 0)
+                          + (SELECT m FROM dang{k}) / nn.n) AS rank
+          FROM nodes n
+          CROSS JOIN nn
+          LEFT JOIN c{k} c ON n.node = c.node
+        )""")
+        prev = f"r{k}"
+    parts.append(f"\n        SELECT node, rank FROM {prev}")
+    return "".join(parts)
+
+
 def q_url_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-host politeness scheduling (round 11): robots.txt
     Crawl-delay values (parsed per-lang domain, delay derived from the
@@ -2404,6 +2477,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family runs IN-GATE inside dedup_lines' boilerplate strip and
     text_contamination's decontamination join, and the truth-table
     tests stay).
+    Net-new url_pagerank (graph.pagerank: link-graph authority
+    scoring, 3 oracle-replayed power iterations) also gates
+    immediately; sample_cap_per_group parks in exchange (gated
+    r5-r10; the unweighted cap is the weight_col=None path of the
+    same cap_per_group function whose token-weighted quota path
+    stays in-gate via sample_cap_tokens).
 
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
@@ -2453,12 +2532,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "multimodal_meta": q_multimodal_meta,
         "sample_weighted": q_sample_weighted,
-        "sample_cap_per_group": q_sample_cap_per_group,
+        "url_pagerank": q_url_pagerank,
         "sample_cap_tokens": q_sample_cap_tokens,
         "sim_ivf_pq": q_sim_ivf_pq,
         "text_chunks": q_text_chunks,
         "text_contamination": q_text_contamination,
         # ---- parked beyond the driver's 50-query window ----
+        "sample_cap_per_group": q_sample_cap_per_group,
         "anti_join": q_anti_join,
         "window_moving_avg": q_window_moving_avg,
         "text_tokens": q_text_tokens,
@@ -4052,6 +4132,7 @@ def oracle_sql() -> dict[str, str]:
         # longest-rule/allow-wins window, same subdomain-safe domain
         # match and listed/unlisted distinction
         "url_links": _links_oracle_sql(),
+        "url_pagerank": _pagerank_oracle_sql(),
         "url_schedule": """
             WITH langs AS (
               SELECT DISTINCT lang,
