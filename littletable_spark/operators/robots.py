@@ -2,7 +2,8 @@
 as data-pipeline operators.
 
 A compliant crawl pipeline must drop URLs a site's robots.txt
-disallows for its user agent. Two operators:
+disallows for its user agent, and space per-host fetches to honor
+Crawl-delay. The operators:
 
 - ``parse_robots``: one robots.txt blob per domain → a RULES table
   ``(domain, path_pattern, allow, rule_len, like_pattern)``. Group

@@ -599,3 +599,92 @@ def test_extract_links_composes_with_frontier(spark):
     deduped = dedup_urls(links, "link")
     # 2 hosts x 1 canonical URL (utm dropped, same ?a=1)
     assert len(deduped) == 2
+
+
+def test_full_crawl_loop_composition(spark):
+    """The whole discovery loop in one pipeline: pages -> extract_links
+    -> canonicalize/dedup -> filter_by_robots -> pagerank priorities ->
+    schedule_fetches. Every stage is the real operator; the assertions
+    pin the cross-stage contracts (frontier keys survive, disallowed
+    URLs never reach the schedule, authority orders the fetches)."""
+    from littletable_spark.operators.graph import pagerank
+    from littletable_spark.operators.robots import (
+        filter_by_robots,
+        parse_robots,
+        robots_crawl_delays,
+        schedule_fetches,
+    )
+    from littletable_spark.operators.urlops import dedup_urls, extract_links
+
+    # three crawled pages; hub.com is linked from everywhere
+    pages = Table("pages", spark=spark)
+    pages.insert_many(
+        [
+            {
+                "doc_id": 0,
+                "url": "https://a.com/index.html",
+                "html": '<a href="https://hub.com/x">h</a>'
+                '<a href="/private/p1">p</a>'
+                '<a href="/ok/1?utm_source=z">o</a>',
+            },
+            {
+                "doc_id": 1,
+                "url": "https://b.com/page",
+                "html": '<a href="https://hub.com/x#frag">h</a>'
+                '<a href="https://a.com/ok/1">o</a>',
+            },
+            {
+                "doc_id": 2,
+                "url": "https://hub.com/x",
+                "html": '<a href="https://a.com/ok/1?utm_source=q">o</a>'
+                '<a href="mailto:x@y.z">m</a>',
+            },
+        ]
+    )
+    links = extract_links(pages, "html", "url", "doc_id")
+    # page->link edges drive both the frontier and the authority graph
+    frontier = dedup_urls(
+        Table.from_df(links.df.select("link"), name="f"), "link"
+    )
+    robots = Table("robots", spark=spark)
+    robots.insert_many(
+        [
+            {
+                "domain": "a.com",
+                "txt": "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n",
+            },
+            {"domain": "hub.com", "txt": "User-agent: *\n"},
+        ]
+    )
+    rules = parse_robots(robots, "txt", "domain")
+    allowed = filter_by_robots(frontier, rules, "link")
+    kept = sorted(r.link for r in allowed)
+    assert kept == [
+        "https://a.com/ok/1",       # tracking param canonicalized away
+        "https://hub.com/x",        # fragment variant collapsed
+    ]
+    # authority graph over CANONICAL keys: a.com/ok/1 collects all
+    # three in-links (two tracking-param variants collapse onto it)
+    from littletable_spark.operators.urlops import canonicalize_urls
+
+    canon_links = canonicalize_urls(links, "link", out_col="canon")
+    edges = Table.from_df(
+        canon_links.df.selectExpr(
+            "cast(doc_id as string) AS src", "canon AS dst"
+        ),
+        name="edges",
+    )
+    pr = pagerank(edges, iterations=5)
+    ranks = {r.node: r.rank for r in pr}
+    delays = robots_crawl_delays(robots, "txt", "domain")
+    prio = Table.from_df(
+        allowed.df.join(
+            pr.df.withColumnRenamed("node", "link"), "link", "left"
+        ),
+        name="prio",
+    )
+    sched = schedule_fetches(prio, delays, url_col="link", priority_col="rank")
+    got = {r.link: r.fetch_at for r in sched}
+    # one URL per host here -> everything fetchable at t=0
+    assert set(got.values()) == {0.0}
+    assert ranks["https://a.com/ok/1"] > ranks["https://hub.com/x"] > 0
