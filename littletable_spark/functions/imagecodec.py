@@ -1202,3 +1202,100 @@ def decode_to_gray(blob: bytes, width: int, height: int) -> np.ndarray:
     ys = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
     xs = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
     return img[np.ix_(ys, xs)] / 255.0
+
+
+def gif_frames(blob: bytes):
+    """Composited RGB frames of a (possibly animated) GIF89a: yields
+    ``(frame_index, HxWx3 uint8 canvas)`` — each a COPY of the logical
+    screen after drawing that frame, honoring frame placement offsets,
+    local palettes, interlacing, transparency, and all four disposal
+    methods (0/1 keep, 2 restore-to-background, 3 restore-previous).
+    The first yielded canvas matches ``_decode_gif`` for whole-screen
+    first frames (the overwhelmingly common layout)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).astype(np.uint8).copy()
+    disposal, tidx = 0, None
+    findex = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension
+            label = blob[pos + 1]
+            if label == 0xF9 and blob[pos + 2] >= 4:  # graphic control
+                gpacked = blob[pos + 3]
+                disposal = (gpacked >> 2) & 0x07
+                tidx = blob[pos + 6] if gpacked & 0x01 else None
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", blob, pos + 1
+            )
+            pos += 10
+            interlaced = bool(ipacked & 0x40)
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                size = blob[pos]
+                data += blob[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1  # block terminator
+            idx = np.array(
+                _lzw_decode(bytes(data), min_code, w * h), dtype=np.intp
+            ).reshape(h, w)
+            if interlaced:
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                out = np.empty_like(idx)
+                out[order] = idx
+                idx = out
+            # clip frames that overhang the logical screen
+            w_c, h_c = min(w, sw - left), min(h, sh - top)
+            idx = idx[:h_c, :w_c]
+            saved = canvas.copy() if disposal == 3 else None
+            rect = canvas[top : top + h_c, left : left + w_c]
+            colors = table[idx]
+            if tidx is not None:
+                mask = idx != tidx
+                rect[mask] = colors[mask]
+            else:
+                rect[:] = colors
+            yield findex, canvas.copy()
+            findex += 1
+            if disposal == 2:
+                canvas[top : top + h_c, left : left + w_c] = bg_rgb
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+            disposal, tidx = 0, None  # GCE applies to ONE image
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if findex == 0:
+        raise ValueError("GIF has no image frame")

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["avi_video_frames", "sample_avi_frames"]
+__all__ = ["avi_video_frames", "sample_avi_frames", "sample_gif_frames"]
 
 
 def _walk_chunks(buf: bytes, pos: int, end: int):
@@ -64,3 +64,58 @@ def sample_avi_frames(blob: bytes, n_frames: int) -> list[tuple[int, bytes]]:
         return list(enumerate(frames))
     idxs = sorted({(i * total) // n_frames for i in range(n_frames)})
     return [(i, frames[i]) for i in idxs]
+
+
+def sample_gif_frames(blob: bytes, n_frames: int) -> list[tuple[int, bytes]]:
+    """n evenly spaced (frame_index, frame_bytes) samples from an
+    animated GIF — the animation analogue of ``sample_avi_frames``.
+    Frames are COMPOSITED on the logical screen (placement offsets,
+    transparency, disposal methods — ``imagecodec.gif_frames``) and
+    emitted as P6 PPM bytes, so downstream ``decode_image`` reads them
+    with the same builtin codecs as any other blob. Every frame must
+    be composited regardless of sampling (later frames depend on
+    earlier canvases); only the selected canvases are serialized."""
+    from .imagecodec import gif_frames
+
+    # structural pre-scan for the frame count (descriptor walk only —
+    # no LZW work), so sampling indices are known up front
+    total = 0
+    pos = 13
+    if blob[10] & 0x80:
+        pos += (2 << (blob[10] & 0x07)) * 3
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            total += 1
+            pos += 10
+            ipacked = blob[pos - 1]
+            if ipacked & 0x80:
+                pos += (2 << (ipacked & 0x07)) * 3
+            pos += 1  # min code size
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        else:
+            break
+    if total == 0:
+        raise ValueError("GIF has no image frame")
+    want = (
+        set(range(total))
+        if total <= n_frames
+        else {(i * total) // n_frames for i in range(n_frames)}
+    )
+    out = []
+    for idx, canvas in gif_frames(blob):
+        if idx in want:
+            h, w = canvas.shape[:2]
+            out.append(
+                (idx, b"P6\n%d %d\n255\n" % (w, h) + canvas.tobytes())
+            )
+        if idx >= max(want):
+            break
+    return out

@@ -694,7 +694,11 @@ def frame_sample(
     ``##dc``/``##db`` payloads) — and MJPEG frame bytes ARE baseline
     JPEGs, which ``imagecodec`` now decodes natively, so the
     container walk + frame decode chain is real end-to-end (pinned by
-    tests/test_jpegcodec.py). Inter-coded codecs (H.264 etc.) still
+    tests/test_jpegcodec.py). Animated GIFs route to
+    ``sample_gif_frames``: frames are composited on the logical
+    screen (placement, transparency, disposal methods) and emitted
+    as P6 PPM bytes — also natively decodable downstream.
+    Inter-coded codecs (H.264 etc.) still
     need ffmpeg and surface through ``on_error`` (``"null"`` emits a
     single NULL-frame row per undecodable blob so corpus jobs keep
     going; count them downstream for the audit trail).
@@ -711,8 +715,11 @@ def frame_sample(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not use_fake:
-            from ..functions.videocodec import sample_avi_frames
             from ..functions.imagecodec import CORRUPT_ERRORS
+            from ..functions.videocodec import (
+                sample_avi_frames,
+                sample_gif_frames,
+            )
 
         for pdf in batches:
             rows = []
@@ -726,9 +733,14 @@ def frame_sample(
                         )
                     continue
                 try:
+                    sampler = (
+                        sample_gif_frames
+                        if blob[:6] in (b"GIF87a", b"GIF89a")
+                        else sample_avi_frames
+                    )
                     rows.extend(
                         (_id, idx, frame)
-                        for idx, frame in sample_avi_frames(blob, n_frames)
+                        for idx, frame in sampler(blob, n_frames)
                     )
                 except CORRUPT_ERRORS:
                     if on_error == "raise":

@@ -896,3 +896,126 @@ def test_tiff_tiled_layout():
     np.testing.assert_array_equal(decode_pixels(blob), gray.astype(np.float64))
     blob = _tiff_encode(gray, bo="MM", compression=8, tile=(32, 8), predictor=2)
     np.testing.assert_array_equal(decode_pixels(blob), gray.astype(np.float64))
+
+
+# ------------------------------------------------------------------ #
+# animated GIF frame sampling
+
+
+def _gif_encode_animated(frames, palette, screen=None, gces=None) -> bytes:
+    """frames: list of (left, top, index_array); gces: per-frame
+    (disposal, transparent_idx | None) graphic-control settings."""
+    n = len(palette)
+    gct_bits = max((n - 1).bit_length(), 1) - 1
+    gct_n = 2 << gct_bits
+    pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    sw = screen[0] if screen else max(l + f.shape[1] for l, t, f in frames)
+    sh = screen[1] if screen else max(t + f.shape[0] for l, t, f in frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | gct_bits, 0, 0)
+    out += pal.tobytes()
+    for k, (left, top, idx) in enumerate(frames):
+        if gces and gces[k] is not None:
+            disposal, tidx = gces[k]
+            packed = (disposal & 7) << 2 | (1 if tidx is not None else 0)
+            out += bytes([0x21, 0xF9, 4, packed, 0, 0, tidx or 0, 0])
+        h, w = idx.shape
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        mcs = max(gct_bits + 1, 2)
+        out.append(mcs)
+        data = _gif_lzw_encode(list(idx.reshape(-1)), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing():
+    """Placement offsets, transparency, and disposal 2 (restore to
+    background) compose across frames."""
+    from littletable_spark.functions.imagecodec import gif_frames
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                   dtype=np.uint8)
+    base = np.zeros((4, 4), dtype=np.uint8)      # full screen, color 0
+    patch = np.full((2, 2), 1, dtype=np.uint8)   # red patch
+    trans = np.array([[2, 3], [3, 2]], dtype=np.uint8)  # 3 = transparent
+    blob = _gif_encode_animated(
+        [(0, 0, base), (1, 1, patch), (0, 0, trans)],
+        pal,
+        screen=(4, 4),
+        gces=[None, (2, None), (0, 3)],
+    )
+    frames = dict(gif_frames(blob))
+    assert len(frames) == 3
+    np.testing.assert_array_equal(frames[0], np.full((4, 4, 3), 10))
+    # frame 1: red patch drawn at (1,1)
+    np.testing.assert_array_equal(frames[1][1:3, 1:3], np.full((2, 2, 3), [200, 0, 0]))
+    np.testing.assert_array_equal(frames[1][0, 0], [10, 10, 10])
+    # frame 2: disposal 2 restored the patch to background BEFORE this
+    # frame; transparent pixels (idx 3) keep the background
+    np.testing.assert_array_equal(frames[2][2, 2], [10, 10, 10])  # frame1 gone
+    np.testing.assert_array_equal(frames[2][0, 0], [0, 200, 0])   # idx 2 drawn
+    np.testing.assert_array_equal(frames[2][0, 1], [10, 10, 10])  # transparent
+    np.testing.assert_array_equal(frames[2][1, 1], [0, 200, 0])   # redrawn
+
+
+def test_gif_disposal_restore_previous():
+    from littletable_spark.functions.imagecodec import gif_frames
+
+    pal = np.array([[5, 5, 5], [250, 0, 0], [0, 250, 0]], dtype=np.uint8)
+    base = np.zeros((3, 3), dtype=np.uint8)
+    overlay = np.full((1, 1), 1, dtype=np.uint8)
+    final = np.full((1, 1), 2, dtype=np.uint8)
+    blob = _gif_encode_animated(
+        [(0, 0, base), (1, 1, overlay), (0, 0, final)],
+        pal,
+        screen=(3, 3),
+        gces=[None, (3, None), None],  # disposal 3: restore previous
+    )
+    frames = dict(gif_frames(blob))
+    np.testing.assert_array_equal(frames[1][1, 1], [250, 0, 0])
+    # after disposal 3 the overlay is gone; frame 2 draws only (0,0)
+    np.testing.assert_array_equal(frames[2][1, 1], [5, 5, 5])
+    np.testing.assert_array_equal(frames[2][0, 0], [0, 250, 0])
+
+
+def test_gif_frame_sampling_even_spacing():
+    from littletable_spark.functions.videocodec import sample_gif_frames
+    from littletable_spark.functions.imagecodec import decode_pixels
+
+    pal = np.array([[i * 25, 0, 0] for i in range(8)], dtype=np.uint8)
+    frames = [
+        (0, 0, np.full((2, 2), k, dtype=np.uint8)) for k in range(8)
+    ]
+    blob = _gif_encode_animated(frames, pal, screen=(2, 2))
+    got = sample_gif_frames(blob, 4)
+    assert [i for i, _ in got] == [0, 2, 4, 6]
+    # sampled frames are P6 PPMs the builtin codecs read back exactly
+    px = decode_pixels(got[2][1])
+    np.testing.assert_array_equal(px, np.full((2, 2, 3), [100, 0, 0], dtype=float))
+    # fewer frames than requested: every frame once
+    assert [i for i, _ in sample_gif_frames(blob, 20)] == list(range(8))
+
+
+def test_gif_frame_sample_operator(spark):
+    """Spark frame_sample routes GIF blobs to the compositor; AVI and
+    corrupt blobs keep their existing behavior."""
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import frame_sample
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    frames = [(0, 0, np.full((2, 2), k % 2, dtype=np.uint8)) for k in range(6)]
+    gif = _gif_encode_animated(frames, pal, screen=(2, 2))
+    t = Table("vids", spark=spark)
+    t.insert_many([{"vid": 0, "blob": gif}, {"vid": 1, "blob": b"junk"}])
+    out = frame_sample(t, "blob", "vid", n_frames=3, use_fake=False,
+                       on_error="null")
+    rows = sorted(
+        ((r.vid, r.frame_idx) for r in out), key=lambda x: (x[0], x[1] or -1)
+    )
+    assert rows == [(0, 0), (0, 2), (0, 4), (1, None)]
