@@ -107,4 +107,8 @@ def pagerank(
         new_ranks.count()
         ranks.unpersist()
         ranks = new_ranks
+    # ranks is materialized; the build-side caches can go
+    edges_w.unpersist()
+    edges.unpersist()
+    nodes.unpersist()
     return Table.from_df(ranks, name=f"{table.table_name}_pagerank")
