@@ -194,6 +194,29 @@ def main() -> None:
     for s in (1, 10):
         timed(f"schedule_{s}x", lambda s=s: sched(pre[s]), res)
 
+    # pagerank over the extracted link graph (page url -> link),
+    # 3 iterations — the Pregel loop's per-iteration cost must grow
+    # with EDGES, not iterations x corpus scans
+    from littletable_spark.operators.graph import pagerank
+
+    graphs = {}
+    for s in (1, 10):
+        edf = (
+            extract_links(pages[s], "html", "url", "id")
+            .df.join(pages[s].df.select("id", "url"), "id")
+            .selectExpr("url AS src", "link AS dst")
+            .persist()
+        )
+        edf.count()
+        graphs[s] = Table.from_df(edf, name=f"graph_{s}x")
+
+    def pr(t: Table) -> None:
+        pagerank(t, iterations=3).df.agg(F.sum("rank")).collect()
+
+    pr(graphs[1])  # untimed warmup
+    for s in (1, 10):
+        timed(f"pagerank_{s}x", lambda s=s: pr(graphs[s]), res)
+
     for k, v in res.items():
         print(f"{k:20s} {v:8.3f}s")
     print(f"{'frontier':20s} 10x/1x  ratio {res['frontier_10x'] / res['frontier_1x']:6.2f}")
@@ -201,6 +224,7 @@ def main() -> None:
     print(f"{'robots_only':20s} 10x/1x  ratio {res['robots_only_10x'] / res['robots_only_1x']:6.2f}")
     print(f"{'links':20s} 10x/1x  ratio {res['links_10x'] / res['links_1x']:6.2f}")
     print(f"{'schedule':20s} 10x/1x  ratio {res['schedule_10x'] / res['schedule_1x']:6.2f}")
+    print(f"{'pagerank':20s} 10x/1x  ratio {res['pagerank_10x'] / res['pagerank_1x']:6.2f}")
 
 
 if __name__ == "__main__":
