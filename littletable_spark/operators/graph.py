@@ -6,20 +6,35 @@ ranks into ``schedule_fetches(priority_col=)`` and high-authority
 pages fetch first). Damped power iteration with dangling-mass
 redistribution:
 
-    PR_{k+1}(v) = (1-d)/N + d * ( Σ_{(u,v)∈E} PR_k(u)/outdeg(u)
-                                  + dangling_k / N )
+    PR_{k+1}(v) = (1-d)·p(v) + d · ( Σ_{(u,v)∈E} PR_k(u)/outdeg(u)
+                                     + dangling_k · p(v) )
 
-where ``dangling_k`` is the total rank of nodes with no out-edges.
-Duplicate edges contribute once per occurrence (multiset semantics,
-matching what ``extract_links`` emits for repeated links).
+where ``dangling_k`` is the total rank of nodes with no out-edges and
+``p`` is the teleport vector — uniform ``1/N`` by default, or a
+normalized seed-node vector for PERSONALIZED PageRank (rank authority
+relative to a trusted seed set; nodes outside the seed set get zero
+teleport mass and are reachable only through links). Duplicate edges
+contribute once per occurrence (multiset semantics, matching what
+``extract_links`` emits for repeated links).
+
+Recrawl shape: ``against_ranks=`` WARM-STARTS the iteration from a
+previously stored ranks table instead of the uniform vector — after
+incremental edge ingest (a recrawl cycle adds a few percent of edges),
+the old ranks are already near the new fixed point, so convergence
+takes a fraction of the cold-start iterations. Pair with ``tol=`` to
+stop at measured convergence (L1 delta between successive rank
+vectors) rather than a fixed iteration count; the iterations actually
+run are reported on the result as ``.pagerank_iterations``. Full
+recompute per crawl cycle at 100 TB is the anti-pattern this removes.
 
 Scale shape: the edge table joins RANKS (node-sized) to EDGES
 (edge-sized) once per iteration — a standard Pregel-style loop of k
 hash joins + k map-combined groupBys; ranks persist per step and the
 previous step unpersists, so lineage stays O(1). The only driver-side
-work per iteration is the dangling-mass SCALAR fold (one number).
-Deterministic up to float summation order; the oracle gate compares
-at 1e-6, far above the ~1e-15 relative reorder error.
+work per iteration is the dangling-mass SCALAR fold (plus one more
+scalar per step when ``tol`` is set). Deterministic up to float
+summation order; the oracle gate compares at 1e-6, far above the
+~1e-15 relative reorder error.
 
 No reference analog; net-new crawl capability like robots/urlops.
 """
@@ -41,10 +56,27 @@ def pagerank(
     damping: float = 0.85,
     node_out: str = "node",
     rank_out: str = "rank",
+    against_ranks: Table | None = None,
+    personalization: Table | None = None,
+    weight_col: str = "weight",
+    tol: float | None = None,
 ) -> Table:
     """Rank every node of the edge table: ``(node, rank)``, ranks
     summing to 1. Nodes appearing only as destinations rank too;
-    dangling nodes (no out-edges) redistribute their mass uniformly."""
+    dangling nodes (no out-edges) redistribute their mass through the
+    teleport vector.
+
+    ``against_ranks``: a prior ``(node, rank)`` table (this function's
+    own output, round-tripped through parquet) — iteration starts from
+    those ranks (renormalized over the CURRENT node set; nodes new to
+    the graph start at ``1/N``) instead of uniform. ``personalization``:
+    a ``(node, weight)`` seed table; teleport mass lands on seeds
+    proportionally to weight (normalized over seeds present in the
+    graph) instead of uniformly. ``tol``: stop as soon as the L1
+    distance between successive rank vectors drops below it (at most
+    ``iterations`` steps); the result Table carries the realized step
+    count as ``.pagerank_iterations``.
+    """
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
     df = table._require_df()
@@ -55,25 +87,83 @@ def pagerank(
         .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
         .persist()
     )
-    nodes = (
+    nodes_raw = (
         edges.select(F.col("__src__").alias(node_out))
         .union(edges.select(F.col("__dst__").alias(node_out)))
         .distinct()
         .persist()
     )
-    n = nodes.count()
+    n = nodes_raw.count()
     if n == 0:
-        return Table.from_df(
-            nodes.withColumn(rank_out, F.lit(None).cast("double")),
+        empty = nodes_raw.withColumn(rank_out, F.lit(None).cast("double"))
+        out = Table.from_df(
+            # materialize the empty frame before dropping the caches it
+            # was derived from, so the returned Table holds no lineage
+            # into unpersisted plans
+            empty.sparkSession.createDataFrame([], empty.schema),
             name=f"{table.table_name}_pagerank",
         )
+        edges.unpersist()
+        nodes_raw.unpersist()
+        out.pagerank_iterations = 0
+        return out
+
+    # teleport vector p(v), attached per node: uniform 1/n, or the
+    # personalization weights normalized over seeds present in the graph
+    if personalization is None:
+        nodes = nodes_raw.withColumn("__p__", F.lit(1.0 / n)).persist()
+    else:
+        pdf = personalization._require_df().select(
+            F.col(personalization.fields[0]).alias(node_out),
+            F.col(weight_col).cast("double").alias("__w__"),
+        )
+        seeded = nodes_raw.join(pdf, node_out, "left").select(
+            node_out,
+            F.coalesce(F.col("__w__"), F.lit(0.0)).alias("__w__"),
+        )
+        psum = seeded.agg(F.sum("__w__")).collect()[0][0] or 0.0
+        if psum <= 0:
+            edges.unpersist()
+            nodes_raw.unpersist()
+            raise ValueError(
+                "pagerank: no personalization seed with positive weight "
+                "appears in the graph"
+            )
+        nodes = seeded.select(
+            node_out, (F.col("__w__") / F.lit(psum)).alias("__p__")
+        ).persist()
+    nodes.count()
+    nodes_raw.unpersist()
+
     outdeg = edges.groupBy("__src__").agg(F.count(F.lit(1)).alias("__deg__"))
     # per-edge contribution denominator attached once, reused every step
     edges_w = edges.join(outdeg, "__src__").persist()
     edges_w.count()
     d = float(damping)
-    base = (1.0 - d) / n
-    ranks = nodes.withColumn(rank_out, F.lit(1.0 / n)).persist()
+
+    if against_ranks is None:
+        ranks = nodes.select(
+            node_out, "__p__", F.lit(1.0 / n).alias(rank_out)
+        ).persist()
+    else:
+        adf = against_ranks._require_df().select(
+            F.col(against_ranks.fields[0]).alias(node_out),
+            F.col(against_ranks.fields[1]).cast("double").alias("__r0__"),
+        )
+        warm = nodes.join(adf, node_out, "left").select(
+            node_out,
+            "__p__",
+            F.coalesce(F.col("__r0__"), F.lit(1.0 / n)).alias("__r0__"),
+        )
+        rsum = warm.agg(F.sum("__r0__")).collect()[0][0] or 0.0
+        if rsum <= 0:
+            raise ValueError("pagerank: against_ranks sums to zero")
+        ranks = warm.select(
+            node_out, "__p__", (F.col("__r0__") / F.lit(rsum)).alias(rank_out)
+        ).persist()
+    ranks.count()
+
+    steps = 0
     for _ in range(iterations):
         dangling = (
             ranks.join(
@@ -95,20 +185,41 @@ def pagerank(
             nodes.join(contrib, node_out, "left")
             .select(
                 F.col(node_out),
+                F.col("__p__"),
                 (
-                    F.lit(base)
+                    (F.lit(1.0) - F.lit(d)) * F.col("__p__")
                     + F.lit(d)
                     * (F.coalesce(F.col("__c__"), F.lit(0.0))
-                       + F.lit(dangling / n))
+                       + F.lit(dangling) * F.col("__p__"))
                 ).alias(rank_out),
             )
             .persist()
         )
         new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+        steps += 1
+        if tol is not None:
+            delta = (
+                new_ranks.select(node_out, F.col(rank_out).alias("__new__"))
+                .join(
+                    ranks.select(node_out, F.col(rank_out).alias("__old__")),
+                    node_out,
+                )
+                .agg(F.sum(F.abs(F.col("__new__") - F.col("__old__"))))
+                .collect()[0][0]
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks.unpersist()
+            ranks = new_ranks
     # ranks is materialized; the build-side caches can go
     edges_w.unpersist()
     edges.unpersist()
     nodes.unpersist()
-    return Table.from_df(ranks, name=f"{table.table_name}_pagerank")
+    out = Table.from_df(
+        ranks.select(node_out, rank_out), name=f"{table.table_name}_pagerank"
+    )
+    out.pagerank_iterations = steps
+    return out

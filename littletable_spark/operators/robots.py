@@ -36,8 +36,9 @@ Crawl-delay. The operators:
 Scale shape: rules table can be web-crawl-sized (millions of
 domains × tens of rules) — it is NEVER broadcast-nested-looped; the
 corpus side shuffles on the exploded host suffix (≤ label count per
-URL), the verdict fold is a partial-aggregating groupBy on the row
-ordinal, and the join back to the corpus is a plain equi-join.
+URL), the verdict fold is a partial-aggregating groupBy on the
+deterministic content key (host, path-and-query), and the join back
+to the corpus is a plain equi-join on that same content key.
 No reference analog; net-new crawl capability like urlops/warc_io.
 """
 
@@ -282,22 +283,23 @@ def filter_by_robots(
     rules join is PURE EQUALITY on domain — a hash join that scales
     with matched (url, rule) pairs, not corpus × rules. The verdict
     per URL is one map-combined ``max(struct(rule_len, allow))``
-    groupBy on a synthesized per-row ordinal
-    (``monotonically_increasing_id`` computed BEFORE the join), so
-    the input needs no unique key and duplicate rows keep their
-    multiplicity — filters must never dedup. The same aggregation's
-    group EXISTENCE is the listed-domain probe (no second join)."""
+    groupBy keyed on the CONTENT pair ``(host, path-and-query)`` —
+    the verdict is a pure function of that pair, so every key is
+    deterministic row content, both branches of the plan compute
+    identical keys under any upstream shuffle/retry order, and the
+    join back to the corpus gives each duplicate row its verdict
+    without deduping (filters must never dedup; identical URLs get
+    the identical verdict by definition). No synthesized ordinal is
+    involved, so the Table's own ``__row_ord__`` order column passes
+    through untouched. The same aggregation's group EXISTENCE is the
+    listed-domain probe (no second join)."""
     df = table._require_df()
     url = F.coalesce(F.col(url_col), F.lit(""))
     authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     host = F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1)
     raw_pq = F.regexp_extract(url, _PATHQ_RE, 1)
     pathq = F.when(raw_pq == F.lit(""), F.lit("/")).otherwise(raw_pq)
-    work = (
-        df.withColumn("__row_ord__", F.monotonically_increasing_id())
-        .withColumn("__host__", host)
-        .withColumn("__path__", pathq)
-    )
+    work = df.withColumn("__host__", host).withColumn("__path__", pathq)
     rdf = rules._require_df().select(
         F.lower(F.col(rules.fields[0])).alias("__rdom__"),
         F.col("allow").alias("__allow__"),
@@ -314,14 +316,16 @@ def filter_by_robots(
         "size(split(__host__, '\\\\.'))), '.'))"
     )
     sufs = work.select(
-        "__row_ord__", "__path__", F.explode(suffixes).alias("__hsuf__")
+        "__host__", "__path__", F.explode(suffixes).alias("__hsuf__")
     )
     matches = sufs.join(rdf, F.col("__hsuf__") == F.col("__rdom__"), "inner")
     # Group existence ⇒ the domain is listed; __best__ is null when no
     # rule's LIKE pattern matched the path-and-query (listed-no-match
     # ⇒ allowed). max(struct) orders by rule_len first, then allow
-    # (true > false): longest rule wins, Allow wins ties.
-    verdicts = matches.groupBy("__row_ord__").agg(
+    # (true > false): longest rule wins, Allow wins ties. Duplicate
+    # URLs collapse map-side here (max/count are duplicate-idempotent
+    # for the existence test), so a hot URL never hot-keys the fold.
+    verdicts = matches.groupBy("__host__", "__path__").agg(
         F.max(
             F.when(
                 F.like(F.col("__path__"), F.col("__rlike__"), F.lit("\\")),
@@ -330,7 +334,7 @@ def filter_by_robots(
         ).alias("__best__"),
         F.count(F.lit(1)).alias("__nlisted__"),
     )
-    joined = work.join(verdicts, "__row_ord__", "left")
+    joined = work.join(verdicts, ["__host__", "__path__"], "left")
     keep = F.when(
         F.col("__best__").isNotNull(), F.col("__best__").getField("__allow__")
     ).otherwise(
@@ -339,7 +343,7 @@ def filter_by_robots(
         )
     )
     out = joined.where(keep).drop(
-        "__row_ord__", "__host__", "__path__", "__best__", "__nlisted__"
+        "__host__", "__path__", "__best__", "__nlisted__"
     )
     return table._derive(out)
 
@@ -395,18 +399,23 @@ def schedule_fetches(
     if priority_col:
         order.append(F.desc_nulls_last(priority_col))
     order.append(F.col(url_col))
-    # total-order discipline: extend the tiebreak over every remaining
-    # orderable column so rows tied on (priority, url) still rank
-    # deterministically — fully identical rows are interchangeable
-    # (they swap slots within the same fetch_at set), so the output
-    # multiset is run-stable. Maps are not orderable in Spark; skip.
+    # total-order discipline: tiebreak rows tied on (priority, url) by
+    # ONE 8-byte xxhash64 over the remaining columns, not the raw
+    # columns themselves — a frontier carrying wide payloads (page
+    # text, HTML) must never feed whole blobs into the window's sort
+    # key. Fully identical rows hash identically and stay
+    # interchangeable (they swap slots within the same fetch_at set),
+    # so the output multiset is run-stable. xxhash64 rejects map
+    # types at ANY nesting depth (array<map<...>>, struct with a map
+    # field), so any column whose type mentions map is skipped.
     dtypes = dict(df.dtypes)
-    order.extend(
-        F.col(c)
+    rest = [
+        c
         for c in fields
-        if c not in (url_col, priority_col)
-        and not dtypes.get(c, "").startswith("map<")
-    )
+        if c not in (url_col, priority_col) and "map<" not in dtypes.get(c, "")
+    ]
+    if rest:
+        order.append(F.xxhash64(F.struct(*[F.col(c) for c in rest])))
     w = Window.partitionBy("__host__").orderBy(*order)
     out = work.select(
         *[F.col(c) for c in fields],

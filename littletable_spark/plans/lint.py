@@ -26,6 +26,17 @@ What it flags (each a structured ``PlanWarning``):
   global sort). Legitimate for ordered output; wasteful when only a
   top-k was wanted (use ``head``/``limit`` so Spark plans
   ``TakeOrderedAndProject`` instead).
+- ``nondeterministic-ordinal-join`` — a join whose CONDITION compares
+  two attributes that are each defined by their own
+  ``monotonically_increasing_id()`` projection. That shape arises when
+  one frame is stamped with a fresh ordinal and then SELF-joined (an
+  aggregate of itself joined back on the ordinal): the two branches
+  re-evaluate the nondeterministic expression independently, and any
+  unstable upstream row order (round-robin repartition, task retry,
+  shuffle read order) lets the ids disagree between branches —
+  silently mis-keying the join. Key such folds on deterministic row
+  CONTENT (the columns themselves, or ``xxhash64(struct(...))``), or
+  pin one evaluation with persist/localCheckpoint before branching.
 
 Deliberately NOT flagged: broadcast-vs-shuffle join choice (needs
 statistics Catalyst/AQE already uses), shuffle counts (workload-
@@ -42,6 +53,13 @@ from pyspark.sql import DataFrame
 #: sort-direction markers that distinguish a sort spec from a partition
 #: column inside ``windowspecdefinition(part..., sort..., frame)``
 _SORT_MARK = re.compile(r"\b(ASC|DESC)\b")
+
+#: an attribute defined by monotonically_increasing_id() in the analyzed
+#: plan: ``monotonically_increasing_id() AS __row_ord__#123L``
+_MID_DEF = re.compile(r"monotonically_increasing_id\(\)\s+AS\s+[^#\s,]*#(\d+)")
+#: a join node carrying a condition: ``Join LeftOuter, (a#1L = b#2L)``
+_JOIN_COND = re.compile(r"\bJoin\s+\w+,\s+(.*)$", re.MULTILINE)
+_ATTR_REF = re.compile(r"#(\d+)")
 
 
 @dataclass(frozen=True)
@@ -89,6 +107,22 @@ def _unpartitioned_windows(analyzed: str) -> int:
     for m in re.finditer(r"windowspecdefinition\(", analyzed):
         args = _split_top_level(_balanced_args(analyzed, m.end() - 1))
         if args and _SORT_MARK.search(args[0]):
+            n += 1
+    return n
+
+
+def _ordinal_join_conditions(analyzed: str) -> int:
+    """Count join conditions comparing two DISTINCT attributes that are
+    each produced by a ``monotonically_increasing_id()`` projection —
+    the self-join-on-fresh-ordinal hazard (two independent evaluations
+    of a nondeterministic expression keying one join)."""
+    mid_ids = set(_MID_DEF.findall(analyzed))
+    if len(mid_ids) < 2:
+        return 0
+    n = 0
+    for m in _JOIN_COND.finditer(analyzed):
+        refs = {i for i in _ATTR_REF.findall(m.group(1)) if i in mid_ids}
+        if len(refs) >= 2:
             n += 1
     return n
 
@@ -141,6 +175,22 @@ def lint_plan(df: DataFrame) -> list[PlanWarning]:
                 "one Python call per row. Prefer native "
                 "pyspark.sql.functions, or an Arrow-vectorized "
                 "pandas_udf/mapInPandas (10-100x less overhead).",
+            )
+        )
+    n_ord_joins = _ordinal_join_conditions(analyzed)
+    if n_ord_joins:
+        out.append(
+            PlanWarning(
+                "nondeterministic-ordinal-join",
+                f"{n_ord_joins} join condition(s) compare two attributes "
+                "each defined by its own monotonically_increasing_id() — "
+                "a self-join keyed on a fresh nondeterministic ordinal. "
+                "The branches re-evaluate the ids independently, so an "
+                "unstable upstream row order (repartition, task retry, "
+                "shuffle read) silently mis-keys the join. Key the fold "
+                "on deterministic row content (the columns themselves or "
+                "xxhash64(struct(...))), or persist/localCheckpoint the "
+                "stamped frame before branching.",
             )
         )
     if re.search(r"Exchange rangepartitioning", physical) and (

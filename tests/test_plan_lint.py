@@ -49,6 +49,26 @@ def test_flags_row_at_a_time_udf(spark):
     assert "python-row-udf" in _codes(_df(spark).select(plus1("id")))
 
 
+def test_flags_self_join_on_fresh_ordinal(spark):
+    """The filter_by_robots round-11 hazard shape: stamp a fresh
+    monotonically_increasing_id, aggregate one branch, join back on the
+    ordinal — two independent evaluations of a nondeterministic key."""
+    work = _df(spark).withColumn("ord", F.monotonically_increasing_id())
+    agg = work.groupBy("ord").agg(F.sum("v").alias("s"))
+    assert "nondeterministic-ordinal-join" in _codes(work.join(agg, "ord"))
+
+
+def test_content_key_join_of_stamped_frames_is_clean(spark):
+    """Two frames that each CARRY a mid-stamped ordinal column joined
+    on ordinary content keys must not trigger the ordinal warning —
+    the ids never key the join."""
+    a = _df(spark).withColumn("orda", F.monotonically_increasing_id())
+    b = _df(spark, 10).withColumn("ordb", F.monotonically_increasing_id())
+    joined = a.join(b.select(F.col("k").alias("k2"), "ordb"),
+                    F.col("k") == F.col("k2"))
+    assert "nondeterministic-ordinal-join" not in _codes(joined)
+
+
 def test_global_sort_flagged_but_topk_is_not(spark):
     assert "global-sort" in _codes(_df(spark).orderBy("v"))
     assert "global-sort" not in _codes(_df(spark).orderBy("v").limit(5))

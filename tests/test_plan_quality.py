@@ -424,7 +424,8 @@ def test_filter_by_robots_plan_shape(spark):
     exploded host-suffix chain — NEVER a nested-loop or cartesian
     (those are O(corpus × total_rules) and require broadcasting a
     potentially web-crawl-sized rules table). The verdict fold is a
-    partially-aggregated groupBy on the per-row ordinal."""
+    partially-aggregated groupBy on the deterministic content key
+    (host, path-and-query) — never a synthesized ordinal."""
     from littletable_spark.operators.robots import filter_by_robots, parse_robots
 
     d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
@@ -441,9 +442,14 @@ def test_filter_by_robots_plan_shape(spark):
 
     parts = re.findall(r"hashpartitioning\((\w+)", plan)
     # every exchange keys on the join/agg columns: the suffix↔domain
-    # equi-join, the per-row verdict fold, and the verdict join-back
+    # equi-join, the content-keyed verdict fold, and the verdict
+    # join-back — and NEVER a nondeterministic ordinal
     assert all(
-        p in ("__row_ord__", "__rdom__", "__hsuf__") for p in parts
+        p in ("__host__", "__path__", "__rdom__", "__hsuf__") for p in parts
     ), plan
+    from littletable_spark.plans.lint import lint_plan
+
+    codes = [w.code for w in lint_plan(filter_by_robots(d, rules, "url").df)]
+    assert "nondeterministic-ordinal-join" not in codes, codes
     # map-side partial aggregation before the verdict shuffle
     assert "partial_max" in plan or "HashAggregate" in plan, plan

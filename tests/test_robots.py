@@ -311,3 +311,90 @@ def test_schedule_fetches_politeness(spark):
     # without a delays table every host uses the default
     out2 = schedule_fetches(t, None, default_delay=2.0)
     assert {r.fetch_at for r in out2 if "a.com" in r.url} == {0.0, 2.0, 4.0}
+
+
+def test_filter_post_shuffle_determinism(spark):
+    """Round-11 verdict hazard regression: a frontier that reaches the
+    robots filter AFTER a shuffle (dedup_urls window + a round-robin
+    repartition — deliberately unstable row order) must still key
+    verdicts correctly and stably: the verdict fold's key is row
+    CONTENT, never a per-branch nondeterministic ordinal, so repeated
+    actions on the same plan agree exactly."""
+    from littletable_spark.operators.urlops import dedup_urls
+
+    rt = Table("r", spark=spark)
+    rt.insert_many(
+        [{"domain": "s.com", "txt": "User-agent: *\nDisallow: /no\n"}]
+    )
+    rules = parse_robots(rt, "txt", "domain")
+    t = Table("u", spark=spark)
+    t.insert_many(
+        [
+            {
+                "doc_id": i,
+                "url": (
+                    f"https://s.com/no/{i}" if i % 3 == 0
+                    else f"https://s.com/ok/{i}"
+                ),
+            }
+            for i in range(300)
+        ]
+        # duplicates that dedup_urls collapses -> window shuffle upstream
+        # (only for /ok/ originals so the dup shares their canonical key)
+        + [{"doc_id": 1000 + i, "url": f"https://s.com/ok/{i}#frag"}
+           for i in range(0, 300, 7) if i % 3 != 0]
+    )
+    frontier = dedup_urls(t, "url")
+    # force an additional order-scrambling exchange between dedup and
+    # the filter (round-robin repartition = nondeterministic placement)
+    frontier = frontier._derive(frontier._require_df().repartition(13))
+    expected = {i for i in range(300) if i % 3 != 0}
+    runs = [
+        sorted(r.doc_id for r in filter_by_robots(frontier, rules, "url"))
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert set(runs[0]) == expected
+
+
+def test_schedule_fetches_sort_key_is_hash_not_blobs(spark):
+    """The per-host window's sort key is (priority, url, ONE 8-byte
+    xxhash64) — wide payload columns never enter the sort, and
+    map-typed columns (at any nesting depth) are excluded from the
+    hash."""
+    from pyspark.sql import functions as F
+
+    from littletable_spark.operators.robots import schedule_fetches
+
+    t = Table("u", spark=spark)
+    t.insert_many(
+        [
+            {
+                "url": f"https://a.com/{i}",
+                "prio": i % 3,
+                "body": "x" * 50,
+                "tags": ["a", "b"],
+            }
+            for i in range(10)
+        ]
+    )
+    # add a map-nested column: must be skipped by the hash tiebreak
+    t.compute_field("meta", F.array(F.create_map(F.lit("k"), F.lit("v"))))
+    out = schedule_fetches(t, None, priority_col="prio")
+    analyzed = out.df._jdf.queryExecution().analyzed().toString()
+    import re
+
+    # Catalyst extracts the hash into a _w<n> pre-projection the window
+    # sorts on: assert the hash exists, covers body+tags but NOT the
+    # map-nested meta, and is the only extra sort key
+    assert re.search(r"xxhash64\(struct\(body, body#\d+, tags, tags#\d+\)",
+                     analyzed), analyzed
+    spec = re.search(r"windowspecdefinition\((.*)", analyzed).group(1)
+    assert re.search(r"_w\d+#\d+L? ASC", spec), analyzed
+    # the raw body/tags/meta columns are not sort keys themselves
+    assert not re.search(r"body#\d+ ASC", analyzed), analyzed
+    assert not re.search(r"tags#\d+ ASC", analyzed), analyzed
+    assert not re.search(r"meta#\d+ ASC", analyzed), analyzed
+    # and the schedule itself is still deterministic + correct
+    got = [r.fetch_at for r in out]
+    assert sorted(got)[:3] == [0.0, 1.0, 2.0]
