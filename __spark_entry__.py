@@ -1685,19 +1685,30 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """link discovery (round 11): per-doc HTML synthesized with every
-    href shape — absolute (kept), other-scheme (dropped),
-    scheme-relative //, root-relative /, relative with ../ and ./
-    dot segments, fragments, single- and double-quoted attributes —
-    extracted and RFC 3986-resolved against the row's base URL by
-    extract_links; the oracle replays the SAME regex constants and
-    bounded dot-segment normalization (generated from the operator's
-    own module, no drift)."""
+    """link discovery (round 11, widened round 12): per-doc HTML
+    synthesized with every href shape — absolute (kept), other-scheme
+    (dropped), scheme-relative //, root-relative /, QUERY-ONLY ?page=
+    (RFC 3986 §5.3: keeps the full base path), relative with ../ and
+    ./ dot segments, fragments, single- and double-quoted attributes,
+    <area href> image-map links, and a <base href> on some docs
+    (absolute on doc_id%4==1, root-relative on %4==2) that re-roots
+    every relative link — extracted and RFC 3986-resolved against the
+    page's EFFECTIVE base by extract_links; the oracle replays the
+    SAME regex constants and bounded dot-segment normalization
+    (generated from the operator's own module, no drift)."""
     from littletable_spark.operators.urlops import extract_links
 
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     html = F.concat(
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit('<head><base href="https://bh-'), F.col("lang"),
+                     F.lit('.com/bb/x.html"></head>')),
+        ).when(
+            F.col("doc_id") % 4 == 2,
+            F.lit("<head><base href='/newroot/'></head>"),
+        ).otherwise(F.lit("")),
         F.lit('<a href="https://ext-'), F.col("lang"), F.lit(".org/a/"),
         did, F.lit('">x</a>'),
         F.lit("<a href='//cdn-"), F.col("lang"), F.lit(".net/c/"),
@@ -1706,6 +1717,10 @@ def q_url_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('?q=1#frag">z</a>'),
         F.lit('<a href="rel/'), (F.col("doc_id") % 3).cast("string"),
         F.lit('.html">r</a>'),
+        F.lit('<a href="?page='), (F.col("doc_id") % 6).cast("string"),
+        F.lit('#top">p</a>'),
+        F.lit("<area shape='rect' href='/map/"),
+        (F.col("doc_id") % 11).cast("string"), F.lit("'>"),
         F.when(
             F.col("doc_id") % 2 == 0,
             F.concat(F.lit('<a href="../up/./'), did, F.lit('.html">u</a>')),
@@ -1725,6 +1740,10 @@ def _links_oracle_sql() -> str:
     """Generated from extract_links' own regex constants so the two
     can never drift (same pattern as _langid_oracle_sql)."""
     from littletable_spark.operators.urlops import (
+        _AREA_DQ_RE,
+        _AREA_SQ_RE,
+        _BASE_DQ_RE,
+        _BASE_SQ_RE,
         _DOT_SEG_ITERS,
         _DOTDOT_RE,
         _HOST_RE,
@@ -1747,10 +1766,17 @@ def _links_oracle_sql() -> str:
     return f"""
         WITH d AS (
           SELECT doc_id,
-                 '<a href="https://ext-' || lang || '.org/a/' || doc_id::VARCHAR || '">x</a>'
+                 CASE WHEN doc_id % 4 = 1
+                      THEN '<head><base href="https://bh-' || lang || '.com/bb/x.html"></head>'
+                      WHEN doc_id % 4 = 2
+                      THEN '<head><base href=''/newroot/''></head>'
+                      ELSE '' END
+                 || '<a href="https://ext-' || lang || '.org/a/' || doc_id::VARCHAR || '">x</a>'
                  || '<a href=''//cdn-' || lang || '.net/c/' || (doc_id % 9)::VARCHAR || '''>y</a>'
                  || '<a href="/r/' || (doc_id % 5)::VARCHAR || '?q=1#frag">z</a>'
                  || '<a href="rel/' || (doc_id % 3)::VARCHAR || '.html">r</a>'
+                 || '<a href="?page=' || (doc_id % 6)::VARCHAR || '#top">p</a>'
+                 || '<area shape=''rect'' href=''/map/' || (doc_id % 11)::VARCHAR || '''>'
                  || CASE WHEN doc_id % 2 = 0
                       THEN '<a href="../up/./' || doc_id::VARCHAR || '.html">u</a>'
                       ELSE '<a href="mailto:a@b.c">m</a><a href="#s">s</a>' END
@@ -1758,17 +1784,46 @@ def _links_oracle_sql() -> str:
                  'https://site-' || lang || '.com/d/' || (doc_id % 7)::VARCHAR || '/p.html' AS base
           FROM documents
         ),
+        eb AS (
+          SELECT doc_id, html,
+                 CASE WHEN bref = '' THEN base
+                      WHEN regexp_matches(bref, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN bref
+                      WHEN bref LIKE '//%' THEN dsch || ':' || bref
+                      WHEN bref LIKE '/%' THEN dsch || '://' || dauth || bref
+                      ELSE dsch || '://' || dauth || ddir || bref
+                 END AS base
+          FROM (
+            SELECT doc_id, html, base,
+                   regexp_extract(
+                     CASE WHEN regexp_extract(html, '{q(_BASE_DQ_RE)}', 1) <> ''
+                          THEN regexp_extract(html, '{q(_BASE_DQ_RE)}', 1)
+                          ELSE regexp_extract(html, '{q(_BASE_SQ_RE)}', 1) END,
+                     '^([^#]*)', 1) AS bref,
+                   regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS dsch,
+                   regexp_extract(base, '{q(_HOST_RE)}', 1) AS dauth,
+                   regexp_replace(
+                     CASE WHEN regexp_extract(base, '{q(_PATH_RE)}', 1) = ''
+                          THEN '/' ELSE regexp_extract(base, '{q(_PATH_RE)}', 1) END,
+                     '[^/]*$', '') AS ddir
+            FROM d
+          )
+        ),
         e AS (
-          SELECT doc_id, base, unnest(list_concat(
+          SELECT doc_id, base, unnest(list_concat(list_concat(list_concat(
                    regexp_extract_all(html, '{q(_HREF_DQ_RE)}', 1),
-                   regexp_extract_all(html, '{q(_HREF_SQ_RE)}', 1))) AS rawh
-          FROM d
+                   regexp_extract_all(html, '{q(_HREF_SQ_RE)}', 1)),
+                   regexp_extract_all(html, '{q(_AREA_DQ_RE)}', 1)),
+                   regexp_extract_all(html, '{q(_AREA_SQ_RE)}', 1))) AS rawh
+          FROM eb
         ),
         f AS (
           SELECT doc_id,
                  regexp_extract(rawh, '^([^#]*)', 1) AS raw,
                  regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bsch,
                  regexp_extract(base, '{q(_HOST_RE)}', 1) AS bauth,
+                 CASE WHEN regexp_extract(base, '{q(_PATH_RE)}', 1) = ''
+                      THEN '/' ELSE regexp_extract(base, '{q(_PATH_RE)}', 1) END
+                   AS bpathfull,
                  regexp_replace(
                    CASE WHEN regexp_extract(base, '{q(_PATH_RE)}', 1) = ''
                         THEN '/' ELSE regexp_extract(base, '{q(_PATH_RE)}', 1) END,
@@ -1784,6 +1839,7 @@ def _links_oracle_sql() -> str:
                           ELSE NULL END
                    WHEN raw LIKE '//%' THEN bsch || ':' || raw
                    WHEN raw LIKE '/%' THEN bsch || '://' || bauth || {norm("raw")}
+                   WHEN raw LIKE '?%' THEN bsch || '://' || bauth || bpathfull || raw
                    ELSE bsch || '://' || bauth || {norm("bdir || raw")}
                  END AS link
           FROM f

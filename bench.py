@@ -129,18 +129,69 @@ def main() -> None:
         except Exception:
             pass
 
+    # fixed-work calibration JOBS (defined up front so the query loop
+    # can interleave them): a pure-JVM, zero-I/O job (fold of xxhash64
+    # over a fixed 2B range, whole-stage codegen) and the Arrow job
+    # above. Round 11 lesson: end-of-run calibration can sample a
+    # quieter moment than the query loop itself (the r11 artifact
+    # looked like a uniform 1.45x regression until a code A/B cleared
+    # it), so the pair is ALSO re-timed inside the loop every
+    # ~CAL_EVERY queries — the per-segment samples time-resolve box
+    # drift across the run.
+    from pyspark.sql import functions as F
+
+    def _cal_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, CPUS).select(
+            # max, not sum: summing 2B hashes overflows long under
+            # ANSI mode; max forces the same per-row work
+            F.max(F.xxhash64(F.col("id"))).alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def _loadavg() -> list[float] | None:
+        try:
+            with open("/proc/loadavg") as fh:
+                return [float(x) for x in fh.read().split()[:3]]
+        except Exception:
+            return None
+
+    cal_every = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_EVERY", "15"))
+    cal_segments: list[dict] = []
+    _cal_counter = {"n": 0}
+
+    def _maybe_segment_cal(force: bool = False) -> None:
+        _cal_counter["n"] += 1
+        if not force and _cal_counter["n"] % cal_every:
+            return
+        cal_segments.append(
+            {
+                "after_query": _cal_counter["n"],
+                "t_rel": round(time.perf_counter() - loop_t0, 1),
+                "jvm": round(_cal_once(), 3),
+                "arrow": round(_cal_arrow_once(), 3),
+                "loadavg": _loadavg(),
+            }
+        )
+
     # per-query median over N timed passes: single-JVM GC/JIT noise at
     # this scale swings individual runs by 2x; the median is the honest
     # steady-state figure (and is what a profile of repeated production
     # runs would report)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     samples: dict[str, list[float]] = {n: [] for n in names}
+    ts_start = time.time()
+    loadavg_start = _loadavg()
+    loop_t0 = time.perf_counter()
+    _cal_once()  # codegen warmup for the JVM calibration job, untimed
+    _maybe_segment_cal(force=True)  # segment 0: loop-start conditions
     for _ in range(passes):
         for name in names:
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            _maybe_segment_cal()
     # sub-second queries are the most load-noise-sensitive (a single GC
     # pause doubles them, and round-over-round comparisons then chase
     # phantom regressions); give them extra passes so their median
@@ -155,33 +206,25 @@ def main() -> None:
                 "overwrite"
             ).save()
             samples[name].append(time.perf_counter() - t0)
+            _maybe_segment_cal()
+    _maybe_segment_cal(force=True)  # final segment: loop-end conditions
+    ts_end = time.time()
+    loadavg_end = _loadavg()
     timings = {
         n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()
     }
 
-    # fixed-work calibration: a pure-JVM, zero-I/O, data-independent job
-    # (fold of xxhash64 over a fixed 2B range, whole-stage codegen) timed the
-    # same way as the queries. Its ONLY purpose is cross-round drift
-    # normalization: the box's quiet-state throughput varies ~1.1-1.25x
-    # between rounds (BASELINE.md round-6 notes), and this row moves
-    # with that drift while the workload stays bit-identical — divide a
-    # query's round-over-round ratio by the calibration ratio before
-    # calling it a regression. Deliberately NOT in `queries`/`value` so
-    # headline totals stay comparable with earlier rounds.
-    from pyspark.sql import functions as F
-
-    def _cal_once() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 2_000_000_000, 1, CPUS).select(
-            # max, not sum: summing 2B hashes overflows long under
-            # ANSI mode; max forces the same per-row work
-            F.max(F.xxhash64(F.col("id"))).alias("s")
-        ).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-
-    _cal_once()  # codegen warmup, untimed
+    # headline calibration rows, kept methodology-identical to earlier
+    # rounds (median of 3 dedicated post-loop runs) so cross-round
+    # ratios stay meaningful; the in-loop `calibration_segments` are
+    # the drift-resolving samples (normalize a query by the segment
+    # nearest its position in the loop, or by the segment median).
     cal = [_cal_once() for _ in range(3)]
     calibration = round(sorted(cal)[1], 3)
+    seg_jvm = sorted(s["jvm"] for s in cal_segments)
+    seg_arrow = sorted(s["arrow"] for s in cal_segments)
+    calibration_seg_jvm_median = seg_jvm[len(seg_jvm) // 2]
+    calibration_seg_arrow_median = seg_arrow[len(seg_arrow) // 2]
 
     # post-run ARROW calibration: same fixed job as the pre-run one —
     # by now the session's Arrow feed path carries the array-writer
@@ -217,6 +260,10 @@ def main() -> None:
                     if calibration_arrow_fresh
                     else None
                 ),
+                "calibration_seg_jvm_median": calibration_seg_jvm_median,
+                "calibration_seg_arrow_median": calibration_seg_arrow_median,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": loadavg_end,
                 "n_queries": len(timings),
                 "sf": sf_val,
             }
@@ -236,6 +283,20 @@ def main() -> None:
                 ),
                 "arrow_confs_pre": arrow_confs_pre,
                 "arrow_confs_post": _arrow_confs(),
+                # in-loop drift telemetry (round-12): the fixed-work
+                # calibration pair re-timed every ~cal_every queries
+                # during the loop, with 1/5/15-min loadavg — a uniform
+                # shift of all segments vs BASELINE.md's reference
+                # values is box drift, not code (see BASELINE.md
+                # "Normalizing with calibration segments")
+                "ts_start": round(ts_start, 1),
+                "ts_end": round(ts_end, 1),
+                "loadavg_start": loadavg_start,
+                "loadavg_end": loadavg_end,
+                "cal_every": cal_every,
+                "calibration_segments": cal_segments,
+                "calibration_seg_jvm_median": calibration_seg_jvm_median,
+                "calibration_seg_arrow_median": calibration_seg_arrow_median,
                 "queries": timings,
                 "value": total,
                 "calibration_sec": calibration,

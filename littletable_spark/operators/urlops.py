@@ -347,6 +347,10 @@ def filter_url_blocklist(
 # identical semantics in java.util.regex (Spark) and RE2 (DuckDB).
 _HREF_DQ_RE = r'(?i)<a\s[^>]*?href\s*=\s*"([^"]*)"'
 _HREF_SQ_RE = r"(?i)<a\s[^>]*?href\s*=\s*'([^']*)'"
+_AREA_DQ_RE = r'(?i)<area\s[^>]*?href\s*=\s*"([^"]*)"'
+_AREA_SQ_RE = r"(?i)<area\s[^>]*?href\s*=\s*'([^']*)'"
+_BASE_DQ_RE = r'(?i)<base\s[^>]*?href\s*=\s*"([^"]*)"'
+_BASE_SQ_RE = r"(?i)<base\s[^>]*?href\s*=\s*'([^']*)'"
 # a path segment that is NOT '.' or '..' followed by '/../' — RE2 has
 # no lookahead, so spell out "has a non-dot char or 3+ chars":
 _DOTDOT_RE = r"/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\.(/|$)"
@@ -375,11 +379,16 @@ def extract_links(
     link_col: str = "link",
 ) -> Table:
     """Link discovery — the crawl-frontier feeder extract_text can't
-    provide: pull every ``<a href>`` out of the HTML column and resolve
-    it against the row's base URL per RFC 3986 (absolute kept,
-    scheme-relative ``//``, root-relative ``/``, and relative paths
-    resolved; fragments stripped; ``mailto:``/``javascript:``/other
-    non-http(s) schemes dropped; bounded dot-segment normalization).
+    provide: pull every ``<a href>`` and ``<area href>`` out of the
+    HTML column and resolve it against the page's EFFECTIVE base per
+    RFC 3986 (absolute kept, scheme-relative ``//``, root-relative
+    ``/``, query-only ``?`` — which keeps the full base path per
+    §5.3 — and relative paths resolved; fragments stripped;
+    ``mailto:``/``javascript:``/other non-http(s) schemes dropped;
+    bounded dot-segment normalization). The effective base honors the
+    page's first ``<base href>`` when present (itself resolved against
+    the document URL — a page with ``<base>`` mis-resolves EVERY
+    relative link if ignored); otherwise the row's ``base_col``.
     Output: one ``(id, link)`` row per extracted link, multiplicity
     preserved — feed into canonicalize/dedup/filter_by_robots/
     schedule_fetches for the full discovery loop.
@@ -395,9 +404,42 @@ def extract_links(
     hrefs = F.concat(
         F.regexp_extract_all(html, F.lit(_HREF_DQ_RE), F.lit(1)),
         F.regexp_extract_all(html, F.lit(_HREF_SQ_RE), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_AREA_DQ_RE), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_AREA_SQ_RE), F.lit(1)),
+    )
+    # effective base: the page's first <base href> (fragment stripped),
+    # resolved against the document URL; any explicit scheme passes
+    # through untouched (non-http bases then drop their links at the
+    # final scheme filter rather than producing junk concatenations)
+    bref_dq = F.regexp_extract(html, _BASE_DQ_RE, 1)
+    bref_sq = F.regexp_extract(html, _BASE_SQ_RE, 1)
+    bref = F.regexp_extract(
+        F.when(bref_dq != F.lit(""), bref_dq).otherwise(bref_sq),
+        r"^([^#]*)",
+        1,
+    )
+    d_scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    d_auth = F.regexp_extract(base, _HOST_RE, 1)
+    d_path = F.regexp_extract(base, _PATH_RE, 1)
+    d_dir = F.regexp_replace(
+        F.when(d_path == F.lit(""), F.lit("/")).otherwise(d_path),
+        r"[^/]*$",
+        "",
+    )
+    eff_base = (
+        F.when(bref == F.lit(""), base)
+        .when(bref.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), bref)
+        .when(bref.startswith("//"), F.concat(d_scheme, F.lit(":"), bref))
+        .when(
+            bref.startswith("/"),
+            F.concat(d_scheme, F.lit("://"), d_auth, bref),
+        )
+        .otherwise(F.concat(d_scheme, F.lit("://"), d_auth, d_dir, bref))
     )
     work = df.select(
-        F.col(id_col), base.alias("__base__"), F.explode(hrefs).alias("__raw__")
+        F.col(id_col),
+        eff_base.alias("__base__"),
+        F.explode(hrefs).alias("__raw__"),
     )
     raw = F.regexp_extract(F.col("__raw__"), r"^([^#]*)", 1)  # strip fragment
     b_scheme = F.regexp_extract(
@@ -405,11 +447,8 @@ def extract_links(
     )
     b_auth = F.regexp_extract(F.col("__base__"), _HOST_RE, 1)
     b_path = F.regexp_extract(F.col("__base__"), _PATH_RE, 1)
-    b_dir = F.regexp_replace(
-        F.when(b_path == F.lit(""), F.lit("/")).otherwise(b_path),
-        r"[^/]*$",
-        "",
-    )
+    b_path_full = F.when(b_path == F.lit(""), F.lit("/")).otherwise(b_path)
+    b_dir = F.regexp_replace(b_path_full, r"[^/]*$", "")
     has_scheme = raw.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
     resolved = (
         F.when(raw == F.lit(""), F.lit(None).cast("string"))
@@ -425,6 +464,12 @@ def extract_links(
         .when(
             raw.startswith("/"),
             F.concat(b_scheme, F.lit("://"), b_auth, _normalize_dot_segments(raw)),
+        )
+        .when(
+            # RFC 3986 §5.3: an empty-path query-only reference keeps
+            # the FULL base path (…/p.html + ?page=2 → …/p.html?page=2)
+            raw.startswith("?"),
+            F.concat(b_scheme, F.lit("://"), b_auth, b_path_full, raw),
         )
         .otherwise(
             F.concat(

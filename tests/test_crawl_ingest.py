@@ -578,6 +578,63 @@ def test_extract_links_resolution(spark):
     assert set(out.fields) == {"doc_id", "link"}
 
 
+def test_extract_links_base_area_and_query_only(spark):
+    """Round-12 breadth: <base href> re-roots relative links (absolute
+    base, root-relative base, ignored-when-absent), <area href> links
+    are discovered, and a query-only ?ref keeps the FULL base path per
+    RFC 3986 §5.3 (pagination links), both with and without <base>."""
+    from littletable_spark.operators.urlops import extract_links
+
+    rows = [
+        {  # absolute <base>: every relative form re-roots to it
+            "doc_id": 0,
+            "html": (
+                '<head><base href="https://b.org/bb/x.html"></head>'
+                '<a href="rel.html">r</a>'
+                '<a href="/root">q</a>'
+                '<a href="?page=2">p</a>'
+                "<area shape='rect' href='m/ap.html'>"
+            ),
+            "url": "https://a.com/dir/p.html",
+        },
+        {  # root-relative <base>: doc scheme+authority, base path
+            "doc_id": 1,
+            "html": (
+                "<head><base href='/newroot/'></head>"
+                '<a href="rel.html">r</a><a href="?k=v">p</a>'
+            ),
+            "url": "https://a.com/dir/p.html",
+        },
+        {  # no <base>: query-only keeps the doc's full path
+            "doc_id": 2,
+            "html": '<a href="?page=9">p</a><area href="/m2">',
+            "url": "https://a.com/dir/p.html",
+        },
+        {  # fragment-only <base> is treated as absent
+            "doc_id": 3,
+            "html": '<base href="#top"><a href="rel.html">r</a>',
+            "url": "https://a.com/dir/p.html",
+        },
+    ]
+    t = Table("pages", spark=spark)
+    t.insert_many(rows)
+    out = extract_links(t, "html", "url", "doc_id")
+    got = sorted((r.doc_id, r.link) for r in out)
+    assert got == sorted(
+        [
+            (0, "https://b.org/bb/rel.html"),
+            (0, "https://b.org/root"),
+            (0, "https://b.org/bb/x.html?page=2"),
+            (0, "https://b.org/bb/m/ap.html"),
+            (1, "https://a.com/newroot/rel.html"),
+            (1, "https://a.com/newroot/?k=v"),
+            (2, "https://a.com/dir/p.html?page=9"),
+            (2, "https://a.com/m2"),
+            (3, "https://a.com/dir/rel.html"),
+        ]
+    )
+
+
 def test_extract_links_composes_with_frontier(spark):
     """Discovery feeds the frontier: extract -> canonicalize -> dedup."""
     from littletable_spark.operators.urlops import dedup_urls, extract_links
