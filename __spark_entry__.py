@@ -1873,6 +1873,136 @@ def q_url_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.df.select("node", "rank")
 
 
+def q_url_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warm-start + personalized pagerank (round 12) — the RECRAWL
+    shape: ranks from a PRIOR crawl (2 cold iterations over the
+    subgraph with src%4!=0) seed the iteration over the GROWN graph
+    (all edges), renormalized over the new node set with new nodes at
+    1/N; the teleport vector is a personalization over seed nodes
+    0,10,…,90 with weight node+1 (normalized over seeds present).
+    Two warm iterations then run with dangling mass redistributed
+    through the personalization vector. The oracle replays both
+    phases as one generated CTE chain."""
+    from littletable_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    all_edges = d.df.select(
+        (F.col("doc_id") % 83).cast("long").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 97).cast("long").alias("dst"),
+    )
+    prior_edges = Table.from_df(
+        all_edges.where(F.col("src") % 4 != 0), name="links_prior"
+    )
+    prior = pagerank(prior_edges, iterations=2)
+    seeds = Table.from_df(
+        spark.range(0, 97, 10).select(
+            F.col("id").cast("long").alias("node"),
+            (F.col("id") + 1).cast("double").alias("weight"),
+        ),
+        name="seeds",
+    )
+    edges = Table.from_df(all_edges, name="links")
+    pr = pagerank(
+        edges,
+        iterations=2,
+        against_ranks=prior,
+        personalization=seeds,
+    )
+    return pr.df.select("node", "rank")
+
+
+def _pagerank_warm_oracle_sql(d: float = 0.85) -> str:
+    """Both pagerank phases (cold prior on the subgraph, then
+    warm-start + personalized on the full graph) as one CTE chain —
+    the same arithmetic the operator runs, engine-portably."""
+
+    def iter_block(k: int, prev: str, pfx: str, teleport: str) -> str:
+        e, deg, nodes = f"{pfx}e", f"{pfx}deg", f"{pfx}nodes"
+        return f""",
+        {pfx}c{k} AS (
+          SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS contrib
+          FROM {prev} r
+          JOIN {deg} deg ON r.node = deg.src
+          JOIN {e} e ON e.src = r.node
+          GROUP BY e.dst
+        ),
+        {pfx}dang{k} AS (
+          SELECT coalesce(sum(r.rank), 0) AS m
+          FROM {prev} r LEFT JOIN {deg} deg ON r.node = deg.src
+          WHERE deg.src IS NULL
+        ),
+        {pfx}r{k} AS (
+          SELECT n.node,
+                 (1 - {d}) * {teleport}
+                 + {d} * (coalesce(c.contrib, 0)
+                          + (SELECT m FROM {pfx}dang{k}) * {teleport}) AS rank
+          FROM {nodes} n
+          {"JOIN pv ON n.node = pv.node" if pfx == "w" else "CROSS JOIN ann"}
+          LEFT JOIN {pfx}c{k} c ON n.node = c.node
+        )"""
+
+    parts = [
+        """
+        WITH alledges AS (
+          SELECT (doc_id % 83)::BIGINT AS src,
+                 ((doc_id * 7 + 3) % 97)::BIGINT AS dst
+          FROM documents
+        ),
+        ae AS (SELECT src, dst FROM alledges WHERE src % 4 <> 0),
+        anodes AS (
+          SELECT DISTINCT src AS node FROM ae
+          UNION SELECT DISTINCT dst AS node FROM ae
+        ),
+        ann AS (SELECT count(*)::DOUBLE AS n FROM anodes),
+        adeg AS (
+          SELECT src, count(*)::DOUBLE AS outdeg FROM ae GROUP BY src
+        ),
+        ar0 AS (
+          SELECT node, (SELECT 1.0 / n FROM ann) AS rank FROM anodes
+        )"""
+    ]
+    prev = "ar0"
+    for k in (1, 2):
+        parts.append(iter_block(k, prev, "a", "(1.0 / ann.n)"))
+        prev = f"ar{k}"
+    parts.append(f""",
+        we AS (SELECT src, dst FROM alledges),
+        wnodes AS (
+          SELECT DISTINCT src AS node FROM we
+          UNION SELECT DISTINCT dst AS node FROM we
+        ),
+        wnn AS (SELECT count(*)::DOUBLE AS n FROM wnodes),
+        wdeg AS (
+          SELECT src, count(*)::DOUBLE AS outdeg FROM we GROUP BY src
+        ),
+        seeds AS (
+          SELECT i::BIGINT AS node, (i + 1)::DOUBLE AS w
+          FROM (SELECT unnest(generate_series(0, 96, 10)) AS i)
+        ),
+        pv AS (
+          SELECT n.node,
+                 coalesce(s.w, 0)
+                 / (SELECT sum(coalesce(s2.w, 0))
+                    FROM wnodes n2 LEFT JOIN seeds s2 ON n2.node = s2.node)
+                 AS pv
+          FROM wnodes n LEFT JOIN seeds s ON n.node = s.node
+        ),
+        w0raw AS (
+          SELECT n.node,
+                 coalesce(p.rank, (SELECT 1.0 / n FROM wnn)) AS r
+          FROM wnodes n LEFT JOIN {prev} p ON n.node = p.node
+        ),
+        wr0 AS (
+          SELECT node, r / (SELECT sum(r) FROM w0raw) AS rank FROM w0raw
+        )""")
+    prev = "wr0"
+    for k in (1, 2):
+        parts.append(iter_block(k, prev, "w", "pv.pv"))
+        prev = f"wr{k}"
+    parts.append(f"\n        SELECT node, rank FROM {prev}")
+    return "".join(parts)
+
+
 def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
     """The same damped power iteration as a generated CTE chain."""
     parts = [
@@ -2540,14 +2670,35 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     same cap_per_group function whose token-weighted quota path
     stays in-gate via sample_cap_tokens).
 
+    Round-12 rotation (stale-veteran hygiene per the r11 verdict —
+    the seven queries parked since r6 re-enter, plus one net-new):
+    IN — url_pagerank_warm (net-new: warm-start + personalized
+    pagerank, the recrawl shape; gates first), orderby_head, rank,
+    rollup, delete, cube, pivot_sum, head_tail (all parked since r6;
+    longest-stale in the registry). OUT, coverage preserved —
+    grouping_sets (cube + rollup re-enter: the same GROUPING SETS
+    plan family now gates twice over), where_comparators (gated
+    r1-r11; the comparator truth table keeps its pytest suite and
+    delete re-enters running where-predicate filtering in-gate),
+    compute_field (gated r1-r11; computed-column projection executes
+    in-gate inside the url_links/url_schedule/url_pagerank fixtures
+    every round), unique (gated r1-r11; the full-record hash-dedup
+    family stays in-gate via dedup_exact), update_where (gated
+    r1-r11; the keyed-mutation family stays via upsert_merge),
+    skew_report (gated r6-r11; the count/top-key diagnostic fold
+    family stays via stats and the report columns keep their unit
+    tests), multimodal_meta (gated r1-r11; the Arrow sniff pass
+    executes in-gate inside multimodal_image_dedup and
+    multimodal_audio_dedup, which decode the same containers),
+    convert_numeric (gated r1-r11; the convert/parse functions keep
+    their unit suite and the csv-transforms round-trip tests).
+    url_links changes SHAPE this round (<base href> honoring,
+    <area href> discovery, RFC 3986 §5.3 query-only refs; oracle
+    generator extended identically).
+
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
     return {
-        "where_comparators": q_where_comparators,
-        "compute_field": q_compute_field,
-        "update_where": q_update_where,
-        "convert_numeric": q_convert_numeric,
-        "unique": q_unique,
         "join_3way_agg": q_join_3way_agg,
         "dedup_lines": q_dedup_lines,
         "text_filter_quality": q_text_filter_quality,
@@ -2558,7 +2709,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_runs": q_groupby_runs,
         "stream_ingest_compact": q_stream_ingest_compact,
         "stats": q_stats,
-        "skew_report": q_skew_report,
         "url_schedule": q_url_schedule,
         "tpch_q3_shape": q_tpch_q3_shape,
         "range_join": q_range_join,
@@ -2585,15 +2735,29 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "text_bm25_incr": q_text_bm25_incr,
         "search_text": q_search_text,
-        "grouping_sets": q_grouping_sets,
-        "multimodal_meta": q_multimodal_meta,
         "sample_weighted": q_sample_weighted,
         "url_pagerank": q_url_pagerank,
         "sample_cap_tokens": q_sample_cap_tokens,
         "sim_ivf_pq": q_sim_ivf_pq,
         "text_chunks": q_text_chunks,
         "text_contamination": q_text_contamination,
+        "url_pagerank_warm": q_url_pagerank_warm,
+        "orderby_head": q_orderby_head,
+        "rank": q_rank,
+        "rollup": q_rollup,
+        "delete": q_delete,
+        "cube": q_cube,
+        "pivot_sum": q_pivot_sum,
+        "head_tail": q_head_tail,
         # ---- parked beyond the driver's 50-query window ----
+        "grouping_sets": q_grouping_sets,
+        "where_comparators": q_where_comparators,
+        "compute_field": q_compute_field,
+        "unique": q_unique,
+        "update_where": q_update_where,
+        "skew_report": q_skew_report,
+        "multimodal_meta": q_multimodal_meta,
+        "convert_numeric": q_convert_numeric,
         "sample_cap_per_group": q_sample_cap_per_group,
         "anti_join": q_anti_join,
         "window_moving_avg": q_window_moving_avg,
@@ -2633,10 +2797,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_remove": q_dedup_spans_remove,
         "dedup_minhash": q_dedup_minhash,
         "text_fingerprint": q_text_fingerprint,
-        "orderby_head": q_orderby_head,
-        "rank": q_rank,
-        "rollup": q_rollup,
-        "delete": q_delete,
         "dedup_fingerprint": q_dedup_fingerprint,
         "sim_lsh_topk": q_sim_lsh_topk,
         "text_langid": q_text_langid,
@@ -2645,9 +2805,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_raw": q_search_raw,
         "outer_join_full": q_outer_join_full,
         "events_sliding": q_events_sliding,
-        "cube": q_cube,
-        "pivot_sum": q_pivot_sum,
-        "head_tail": q_head_tail,
         "sample_split": q_sample_split,
         "join_dsl": q_join_dsl,
         "text_repetition": q_text_repetition,
@@ -4189,6 +4346,7 @@ def oracle_sql() -> dict[str, str]:
         # match and listed/unlisted distinction
         "url_links": _links_oracle_sql(),
         "url_pagerank": _pagerank_oracle_sql(),
+        "url_pagerank_warm": _pagerank_warm_oracle_sql(),
         "url_schedule": """
             WITH langs AS (
               SELECT DISTINCT lang,

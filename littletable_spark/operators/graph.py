@@ -29,8 +29,11 @@ recompute per crawl cycle at 100 TB is the anti-pattern this removes.
 
 Scale shape: the edge table joins RANKS (node-sized) to EDGES
 (edge-sized) once per iteration — a standard Pregel-style loop of k
-hash joins + k map-combined groupBys; ranks persist per step and the
-previous step unpersists, so lineage stays O(1). The only driver-side
+hash joins + k map-combined groupBys; each step's ranks are
+``localCheckpoint``-ed, which truncates lineage to the materialized
+node-sized blocks (persist alone keeps the full logical chain and
+makes per-step planning O(k) — fatal for tol= runs of many
+iterations). The only driver-side
 work per iteration is the dangling-mass SCALAR fold (plus one more
 scalar per step when ``tol`` is set). Deterministic up to float
 summation order; the oracle gate compares at 1e-6, far above the
@@ -144,7 +147,7 @@ def pagerank(
     if against_ranks is None:
         ranks = nodes.select(
             node_out, "__p__", F.lit(1.0 / n).alias(rank_out)
-        ).persist()
+        ).localCheckpoint()
     else:
         adf = against_ranks._require_df().select(
             F.col(against_ranks.fields[0]).alias(node_out),
@@ -160,8 +163,7 @@ def pagerank(
             raise ValueError("pagerank: against_ranks sums to zero")
         ranks = warm.select(
             node_out, "__p__", (F.col("__r0__") / F.lit(rsum)).alias(rank_out)
-        ).persist()
-    ranks.count()
+        ).localCheckpoint()
 
     steps = 0
     for _ in range(iterations):
@@ -181,6 +183,14 @@ def pagerank(
             .groupBy(node_out)
             .agg(F.sum("__c__").alias("__c__"))
         )
+        # localCheckpoint, not persist: persist caches blocks but keeps
+        # the FULL logical lineage, so a long iteration chain makes
+        # every plan-analysis step O(k) and the cumulative cost O(k²)
+        # (and a tol= run of many steps can OOM the driver just
+        # STRINGIFYING the plan). The checkpoint truncates lineage to
+        # the materialized node-sized blocks — true O(1) per-step plan,
+        # any iteration count. Superseded blocks are dropped by Spark's
+        # ContextCleaner as references lapse.
         new_ranks = (
             nodes.join(contrib, node_out, "left")
             .select(
@@ -193,9 +203,8 @@ def pagerank(
                        + F.lit(dangling) * F.col("__p__"))
                 ).alias(rank_out),
             )
-            .persist()
+            .localCheckpoint()
         )
-        new_ranks.count()
         steps += 1
         if tol is not None:
             delta = (
@@ -207,14 +216,12 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("__new__") - F.col("__old__"))))
                 .collect()[0][0]
             )
-            ranks.unpersist()
             ranks = new_ranks
             if delta is not None and delta < tol:
                 break
         else:
-            ranks.unpersist()
             ranks = new_ranks
-    # ranks is materialized; the build-side caches can go
+    # ranks is checkpointed; the build-side caches can go
     edges_w.unpersist()
     edges.unpersist()
     nodes.unpersist()
