@@ -17,11 +17,13 @@ transforms applied inverse-in-reverse-order:
 - COLOR_INDEXING (delta-coded palette, sub-byte index packing for
   palettes of ≤16 colors)
 
-Lossy VP8 and animations are NOT implemented (raise ValueError →
-``decode_pixels`` falls back to PIL when installed, else the
-``on_error`` policy applies upstream — the documented contract for
-codec variants out of scope). No reference analog; extends the
-multimodal mandate like imagecodec/audiocodec.
+Lossy VP8 key frames route to vp8codec (RFC 6386 intra decode,
+round 12 — differentially pinned bit-exact against the system
+libwebp). Animations and the ALPH alpha chunk remain NOT implemented
+(raise ValueError → ``decode_pixels`` falls back to PIL when
+installed, else the ``on_error`` policy applies upstream — the
+documented contract for codec variants out of scope). No reference
+analog; extends the multimodal mandate like imagecodec/audiocodec.
 """
 
 from __future__ import annotations
@@ -524,8 +526,9 @@ def _inv_color_indexing(
 # container + entry point
 
 
-def _find_vp8l(blob: bytes) -> bytes:
-    """Walk the RIFF chunks to the VP8L payload (plain or VP8X)."""
+def _find_stream(blob: bytes) -> tuple:
+    """Walk the RIFF chunks to the image payload (plain or VP8X):
+    returns ("VP8L", payload) or ("VP8", payload)."""
     if not sniff_webp(blob):
         raise ValueError("not a WebP")
     pos = 12
@@ -535,21 +538,32 @@ def _find_vp8l(blob: bytes) -> bytes:
         (size,) = struct.unpack_from("<I", blob, pos + 4)
         payload = blob[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L":
-            return payload
+            return "VP8L", payload
         if fourcc == b"VP8 ":
-            raise ValueError(
-                "lossy (VP8) WebP not supported by the builtin decoder"
-            )
+            return "VP8", payload
         if fourcc == b"ANIM" or fourcc == b"ANMF":
             raise ValueError("animated WebP not supported")
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
-    raise ValueError("no VP8L chunk in WebP")
+    raise ValueError("no VP8/VP8L chunk in WebP")
+
+
+def _find_vp8l(blob: bytes) -> bytes:
+    kind, payload = _find_stream(blob)
+    if kind != "VP8L":
+        raise ValueError("not a lossless WebP")
+    return payload
 
 
 def decode_webp(blob: bytes) -> np.ndarray:
-    """Decode a lossless WebP blob to an HxWx3 float64 RGB array in
-    0..255 (alpha dropped, like the PNG path)."""
-    data = _find_vp8l(blob)
+    """Decode a WebP blob to an HxWx3 float64 RGB array in 0..255
+    (alpha dropped, like the PNG path). Lossless (VP8L) decodes here;
+    lossy (VP8 key frame) routes to vp8codec — bit-exact YUV
+    reconstruction, JPEG-style BT.601 RGB conversion."""
+    kind, data = _find_stream(blob)
+    if kind == "VP8":
+        from .vp8codec import decode_vp8
+
+        return decode_vp8(data)
     br = _Bits(data)
     if br.bits(8) != 0x2F:
         raise ValueError("bad VP8L signature")

@@ -680,8 +680,10 @@ def test_random_transform_combinations_hypothesis():
 def test_rejections():
     with pytest.raises(ValueError, match="not a WebP"):
         decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+    # a VP8 chunk now ROUTES to the lossy decoder (round 12); a
+    # 4-zero-byte payload is a truncated frame, still a clean error
     lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-    with pytest.raises(ValueError, match="lossy"):
+    with pytest.raises(ValueError, match="truncated"):
         decode_webp(lossy)
     anim = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"ANIM" + struct.pack("<I", 4) + b"\x00" * 4
     with pytest.raises(ValueError, match="animated"):
@@ -689,7 +691,7 @@ def test_rejections():
     good = encode_vp8l(_rgb(6, 6))
     with pytest.raises(ValueError):
         decode_webp(good[:20])
-    # decode_pixels routes lossy → PIL fallback → ValueError here
+    # decode_pixels on a corrupt lossy blob → PIL fallback → ValueError
     with pytest.raises(ValueError):
         decode_pixels(lossy)
 
