@@ -44,11 +44,20 @@ base encoding (``/WinAnsiEncoding`` = cp1252, ``/MacRomanEncoding``);
 ToUnicode always wins when both exist. Strings of fonts with neither
 fall back to the BOM/Latin-1 path above.
 
+Encrypted files (round 12): the standard security handler with an
+EMPTY user password — the owner-password-only files that dominate
+"encrypted" web PDFs — decrypts transparently before the pipeline
+above: RC4 40..128-bit (/V 1-2 and /V 4 ``/CFM /V2``) and
+AES-128-CBC (``/AESV2``), per-object keys, /U verified so
+wrong-password files raise instead of emitting mojibake
+(functions/pdfcrypt.py; key algorithms ISO 32000-1 §7.6.3).
+
 Out of scope (raise ValueError → ``on_error`` policy upstream):
-encrypted files. A structurally valid PDF in which no page object can
-be located also raises (rather than silently returning ``""``) so
-``on_error`` audit trails see the loss. No reference analog; fulfils
-the brief's multimodal mandate like imagecodec/audiocodec.
+AES-256 (/AESV3, R5/6) and real user-password files. A structurally
+valid PDF in which no page object can be located also raises (rather
+than silently returning ``""``) so ``on_error`` audit trails see the
+loss. No reference analog; fulfils the brief's multimodal mandate
+like imagecodec/audiocodec.
 """
 
 from __future__ import annotations
@@ -594,6 +603,149 @@ _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 
 
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_ID_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_ID_LIT_RE = re.compile(rb"/ID\s*\[\s*\(")
+_INT_FIELD = {
+    name: re.compile(rb"/" + name + rb"\s+(-?\d+)")
+    for name in (b"V", b"R", b"Length", b"P")
+}
+
+
+def _dict_string(body: bytes, name: bytes) -> bytes | None:
+    """The raw bytes of a string-valued dict entry (/O, /U):
+    literal or hex form."""
+    m = re.search(rb"/" + name + rb"\s*", body)
+    if not m:
+        return None
+    i = m.end()
+    if body[i : i + 1] == b"(":
+        inner, _ = _balanced_paren_string(body, i)
+        return _literal_string(inner)
+    if body[i : i + 1] == b"<":
+        j = body.index(b">", i)
+        hexs = re.sub(rb"\s", b"", body[i + 1 : j])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii"))
+    return None
+
+
+def _build_cryptor(blob: bytes, objects: dict, gens: dict):
+    """Parse the trailer's /Encrypt dict → (PDFCryptor, encrypt objnum).
+    ISO 32000 §7.6.3 standard handler, empty user password (the
+    owner-password-only files that dominate 'encrypted' web PDFs)."""
+    from .pdfcrypt import PDFCryptor
+
+    refs = _ENCRYPT_REF_RE.findall(blob)
+    if not refs:
+        raise ValueError("encrypted PDF with unlocatable /Encrypt")
+    enc_num = int(refs[-1][0])  # latest trailer wins
+    body = objects.get(enc_num)
+    if body is None:
+        raise ValueError("encrypted PDF: /Encrypt object missing")
+    if b"/Standard" not in body:
+        raise ValueError("unsupported PDF security handler")
+
+    def intf(name: bytes, default: int | None = None) -> int:
+        m = _INT_FIELD[name].search(body)
+        if m is None:
+            if default is None:
+                raise ValueError(f"PDF /Encrypt missing /{name.decode()}")
+            return default
+        return int(m.group(1))
+
+    v = intf(b"V", 0)
+    r = intf(b"R")
+    length = intf(b"Length", 40)
+    p = intf(b"P")
+    o_entry = _dict_string(body, b"O")
+    u_entry = _dict_string(body, b"U")
+    if o_entry is None or u_entry is None:
+        raise ValueError("PDF /Encrypt missing /O or /U")
+    aes = b"/AESV2" in body
+    if b"/AESV3" in body or r > 4 or v > 4:
+        raise ValueError("unsupported PDF encryption (AES-256 / R5+)")
+    encrypt_metadata = b"/EncryptMetadata false" not in re.sub(
+        rb"\s+", b" ", body
+    )
+    idm = _ID_HEX_RE.search(blob)
+    if idm:
+        id0 = bytes.fromhex(idm.group(1).decode("ascii"))
+    else:
+        lm = _ID_LIT_RE.search(blob)
+        if lm:
+            inner, _ = _balanced_paren_string(blob, lm.end() - 1)
+            id0 = _literal_string(inner)
+        else:
+            id0 = b""
+    return (
+        PDFCryptor(
+            v=v, r=r, length_bits=length, o_entry=o_entry, u_entry=u_entry,
+            p=p, id0=id0, aes=aes, encrypt_metadata=encrypt_metadata,
+        ),
+        enc_num,
+    )
+
+
+_ANY_STRING_RE = re.compile(rb"\(|(?<!<)<(?![<])")
+
+
+def _decrypt_body_strings(body: bytes, num: int, gen: int, cryptor) -> bytes:
+    """Re-emit every string in a (non-stream portion of an) object
+    body decrypted, in hex form."""
+    out = bytearray()
+    i = 0
+    n = len(body)
+    while i < n:
+        m = _ANY_STRING_RE.search(body, i)
+        if not m:
+            out += body[i:]
+            break
+        out += body[i : m.start()]
+        if body[m.start() : m.start() + 1] == b"(":
+            inner, end = _balanced_paren_string(body, m.start())
+            raw = _literal_string(inner)
+        else:
+            end = body.index(b">", m.start()) + 1
+            hexs = re.sub(rb"\s", b"", body[m.start() + 1 : end - 1])
+            if len(hexs) % 2:
+                hexs += b"0"
+            raw = bytes.fromhex(hexs.decode("ascii"))
+        try:
+            plain = cryptor.decrypt(num, gen, raw)
+        except ValueError:
+            plain = raw  # malformed/short string: leave as-is
+        out += b"<" + plain.hex().encode("ascii") + b">"
+        i = end
+    return bytes(out)
+
+
+def _decrypt_objects(objects: dict, gens: dict, enc_num: int, cryptor) -> None:
+    """Decrypt every object's stream payload and strings in place.
+    Objects later merged OUT of object streams are already plaintext
+    (spec §7.6.2: strings inside an ObjStm are not re-encrypted), so
+    this runs BEFORE _merge_object_streams."""
+    for num in list(objects):
+        if num == enc_num:
+            continue
+        body = objects[num]
+        gen = gens.get(num, 0)
+        sm = _STREAM_RE.search(body)
+        if sm:
+            head = _decrypt_body_strings(body[: sm.start()], num, gen, cryptor)
+            try:
+                plain = cryptor.decrypt(num, gen, sm.group(1))
+            except ValueError:
+                plain = b""
+            objects[num] = (
+                head + b"stream\n" + plain + b"\nendstream"
+                + body[sm.end() :]
+            )
+        else:
+            objects[num] = _decrypt_body_strings(body, num, gen, cryptor)
+
+
 def _merge_object_streams(objects: dict[int, bytes]) -> None:
     """Inflate ``/Type /ObjStm`` streams and merge their contained
     objects into ``objects`` (spec 7.5.7: ``/N`` pairs of
@@ -626,11 +778,18 @@ def extract_pdf_text(blob: bytes) -> str:
     newlines at line moves, pages separated by form feeds."""
     if not blob.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
-    if b"/Encrypt" in blob:
-        raise ValueError("encrypted PDF not supported")
     objects: dict[int, bytes] = {}
+    gens: dict[int, int] = {}
     for m in _OBJ_RE.finditer(blob):
-        objects[int(m.group(1))] = m.group(3)
+        num = int(m.group(1))
+        objects[num] = m.group(3)
+        gens[num] = int(m.group(2))
+    if b"/Encrypt" in blob:
+        # standard security handler, empty user password (§7.6.3) —
+        # the owner-password-only files that dominate "encrypted" web
+        # PDFs; wrong-password / AES-256 files raise to on_error
+        cryptor, enc_num = _build_cryptor(blob, objects, gens)
+        _decrypt_objects(objects, gens, enc_num, cryptor)
     _merge_object_streams(objects)
     pages: list[str] = []
     n_page_objs = 0

@@ -618,3 +618,187 @@ def test_tounicode_wins_over_differences():
         {b"F1": ("both", _CMAP_2B, enc)},
     )
     assert extract_pdf_text(pdf) == "H"  # CMap, not /Z
+
+
+# ------------------------------------------------------------------ #
+# encrypted PDFs (ISO 32000 §7.6 standard security handler)
+
+
+def _alg2_file_key(user_pw, o_entry, p, id0, r, keylen):
+    """Test-side Algorithm 2 (independent of the prod module)."""
+    import hashlib
+    import struct
+
+    from littletable_spark.functions.pdfcrypt import PAD
+
+    h = hashlib.md5()
+    h.update((user_pw + PAD)[:32])
+    h.update(o_entry)
+    h.update(struct.pack("<i", p))
+    h.update(id0)
+    d = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d[:keylen]).digest()
+    return d[:keylen]
+
+
+def _make_encrypted_pdf(
+    text=b"Secret page text",
+    *,
+    v=2,
+    r=3,
+    length=128,
+    aes=False,
+    user_pw=b"",
+    owner_pw=b"own3r",
+):
+    """Write a one-page PDF encrypted with the standard handler:
+    /O per Algorithm 3, /U per Algorithm 4/5, content stream
+    encrypted with the per-object key (Algorithm 1)."""
+    import hashlib
+    import struct
+    import zlib
+
+    from littletable_spark.functions.pdfcrypt import (
+        PAD,
+        aes128_cbc_encrypt,
+        rc4,
+    )
+
+    id0 = bytes(range(16))
+    p = -44
+    keylen = 5 if r == 2 else length // 8
+
+    # Algorithm 3: /O entry
+    d = hashlib.md5((owner_pw + PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d[:keylen]).digest()
+    okey = d[:keylen]
+    o_entry = rc4(okey, (user_pw + PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o_entry = rc4(bytes(b ^ i for b in okey), o_entry)
+
+    key = _alg2_file_key(user_pw, o_entry, p, id0, r, keylen)
+
+    # Algorithm 4 / 5: /U entry
+    if r == 2:
+        u_entry = rc4(key, PAD)
+    else:
+        d = hashlib.md5(PAD + id0).digest()
+        d = rc4(key, d)
+        for i in range(1, 20):
+            d = rc4(bytes(b ^ i for b in key), d)
+        u_entry = d + b"\x00" * 16
+
+    def objkey(num, gen):
+        h = hashlib.md5()
+        h.update(key)
+        h.update(struct.pack("<I", num)[:3])
+        h.update(struct.pack("<I", gen)[:2])
+        if aes:
+            h.update(b"sAlT")
+        return h.digest()[: min(keylen + 5, 16)]
+
+    def enc(num, data):
+        if aes:
+            return aes128_cbc_encrypt(objkey(num, 0), bytes(range(16)), data)
+        return rc4(objkey(num, 0), data)
+
+    stream_plain = zlib.compress(b"BT /F1 12 Tf (" + text + b") Tj ET")
+    stream = enc(1, stream_plain)
+
+    cf = b""
+    if v == 4:
+        cfm = b"/AESV2" if aes else b"/V2"
+        cf = (
+            b"/CF << /StdCF << /CFM " + cfm + b" /Length %d >> >> "
+            b"/StmF /StdCF /StrF /StdCF " % (length // 8)
+        )
+    objs = [
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+        + stream + b"\nendstream",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 1 0 R "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, r, length)
+        + cf
+        + b"/O <" + o_entry.hex().encode() + b"> "
+        + b"/U <" + u_entry.hex().encode() + b"> "
+        + b"/P %d >>" % p,
+    ]
+    out = bytearray(b"%PDF-1.6\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 4 0 R /Encrypt 5 0 R /ID [<"
+        % (len(objs) + 1)
+        + id0.hex().encode() + b"> <" + id0.hex().encode() + b">] >>\n"
+        b"startxref\n%d\n%%%%EOF" % xref_at
+    )
+    return bytes(out)
+
+
+def test_encrypted_rc4_40bit():
+    pdf = _make_encrypted_pdf(b"Forty bit secret", v=1, r=2, length=40)
+    assert extract_pdf_text(pdf) == "Forty bit secret"
+
+
+def test_encrypted_rc4_128bit():
+    pdf = _make_encrypted_pdf(b"Stronger RC4 secret", v=2, r=3, length=128)
+    assert extract_pdf_text(pdf) == "Stronger RC4 secret"
+
+
+def test_encrypted_rc4_v4_crypt_filter():
+    pdf = _make_encrypted_pdf(b"V4 RC4 filter", v=4, r=4, length=128)
+    assert extract_pdf_text(pdf) == "V4 RC4 filter"
+
+
+def test_encrypted_aes128():
+    pdf = _make_encrypted_pdf(
+        b"AES page contents", v=4, r=4, length=128, aes=True
+    )
+    assert extract_pdf_text(pdf) == "AES page contents"
+
+
+def test_encrypted_wrong_user_password_raises():
+    pdf = _make_encrypted_pdf(b"locked", v=2, r=3, user_pw=b"hunter2")
+    with pytest.raises(ValueError, match="password"):
+        extract_pdf_text(pdf)
+    pdf2 = _make_encrypted_pdf(b"locked", v=1, r=2, length=40, user_pw=b"x")
+    with pytest.raises(ValueError, match="password"):
+        extract_pdf_text(pdf2)
+
+
+def test_encrypted_aes256_unsupported():
+    pdf = _make_encrypted_pdf(b"t", v=4, r=4, aes=True).replace(
+        b"/AESV2", b"/AESV3"
+    )
+    with pytest.raises(ValueError, match="AES-256|password|unsupported"):
+        extract_pdf_text(pdf)
+
+
+def test_encrypted_pdf_spark_on_error(spark):
+    """Pipeline contract: decryptable files extract, wrong-password
+    files land as NULL under on_error='null'."""
+    from littletable_spark.operators.multimodal import extract_text
+
+    good = _make_encrypted_pdf(b"Crawlable secret", aes=False)
+    locked = _make_encrypted_pdf(b"locked", user_pw=b"pw")
+    t = Table("docs", spark=spark)
+    t.insert_many(
+        [{"doc_id": 0, "blob": good}, {"doc_id": 1, "blob": locked}]
+    )
+    out = extract_text(t, "blob", "doc_id", on_error="null")
+    got = {r.doc_id: r.text for r in out}
+    assert got[0] == "Crawlable secret"
+    assert got[1] is None
