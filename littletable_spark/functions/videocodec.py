@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["avi_video_frames", "sample_avi_frames", "sample_gif_frames"]
+__all__ = ["avi_video_frames", "sample_avi_frames", "sample_gif_frames", "sample_webp_frames"]
 
 
 def _walk_chunks(buf: bytes, pos: int, end: int):
@@ -111,6 +111,49 @@ def sample_gif_frames(blob: bytes, n_frames: int) -> list[tuple[int, bytes]]:
     )
     out = []
     for idx, canvas in gif_frames(blob):
+        if idx in want:
+            h, w = canvas.shape[:2]
+            out.append(
+                (idx, b"P6\n%d %d\n255\n" % (w, h) + canvas.tobytes())
+            )
+        if idx >= max(want):
+            break
+    return out
+
+
+def sample_webp_frames(blob: bytes, n_frames: int) -> list[tuple[int, bytes]]:
+    """n evenly spaced (frame_index, frame_bytes) samples from an
+    animated WebP — the same contract as ``sample_gif_frames``:
+    frames are composited on the VP8X canvas (placement offsets,
+    dispose-to-background; ``webpcodec.webp_frames``) and emitted as
+    P6 PPM bytes, natively decodable downstream. Every frame must be
+    composited regardless of sampling (later frames depend on earlier
+    canvases); only the selected canvases are serialized."""
+    import struct as _struct
+
+    from .webpcodec import sniff_webp, webp_frames
+
+    if not sniff_webp(blob):
+        raise ValueError("not a WebP")
+    # structural pre-scan: count ANMF chunks so sampling indices are
+    # known before any pixel work
+    total = 0
+    pos = 12
+    while pos + 8 <= len(blob):
+        fourcc = blob[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", blob, pos + 4)
+        if fourcc == b"ANMF":
+            total += 1
+        pos += 8 + size + (size & 1)
+    if total == 0:
+        total = 1  # plain still: webp_frames yields it as frame 0
+    want = (
+        set(range(total))
+        if total <= n_frames
+        else {(i * total) // n_frames for i in range(n_frames)}
+    )
+    out = []
+    for idx, canvas in webp_frames(blob):
         if idx in want:
             h, w = canvas.shape[:2]
             out.append(

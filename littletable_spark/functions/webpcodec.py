@@ -19,10 +19,13 @@ transforms applied inverse-in-reverse-order:
 
 Lossy VP8 key frames route to vp8codec (RFC 6386 intra decode,
 round 12 — differentially pinned bit-exact against the system
-libwebp). Animations and the ALPH alpha chunk remain NOT implemented
-(raise ValueError → ``decode_pixels`` falls back to PIL when
-installed, else the ``on_error`` policy applies upstream — the
-documented contract for codec variants out of scope). No reference
+libwebp). Animated WebP (VP8X + ANIM/ANMF) composites through
+``webp_frames`` (round 12): frame placement, dispose-to-background,
+VP8L or VP8 frame payloads — the animation analogue of
+imagecodec.gif_frames, feeding ``frame_sample``. Single-image
+``decode_webp`` keeps rejecting animations (one image in, one grid
+out), and the ALPH alpha chunk remains out of scope (frames
+composite as opaque rects; documented in webp_frames). No reference
 analog; extends the multimodal mandate like imagecodec/audiocodec.
 """
 
@@ -32,7 +35,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_webp", "sniff_webp"]
+__all__ = ["decode_webp", "sniff_webp", "webp_frames"]
 
 
 def sniff_webp(blob: bytes) -> bool:
@@ -589,3 +592,94 @@ def decode_webp(blob: bytes) -> np.ndarray:
         raise ValueError("VP8L stream width mismatch")
     comp = pix.view(np.uint8).reshape(h, w, 4)  # little-endian B G R A
     return comp[:, :, [2, 1, 0]].astype(np.float64)
+
+
+# ------------------------------------------------------------------ #
+# animated WebP (public container spec: VP8X + ANIM/ANMF chunks)
+
+
+def webp_frames(blob: bytes):
+    """Composited RGB frames of a (possibly animated) WebP: yields
+    ``(frame_index, HxWx3 uint8 canvas)`` — each a COPY of the canvas
+    after drawing that frame, honoring the VP8X canvas size, ANMF
+    frame placement offsets, and the dispose-to-background flag.
+    Frame pixel data decodes through the builtin VP8L (lossless) or
+    VP8 (lossy key-frame) decoders. A non-animated WebP yields its
+    single image as frame 0.
+
+    Alpha is out of the builtin decoders' scope (ALPH chunks are
+    skipped, VP8L alpha is dropped), so frames composite as OPAQUE
+    rects — the ANMF blend flag degenerates to overwrite. Real-web
+    animated WebP overwhelmingly uses full-canvas frames, where the
+    two are identical; partial-frame alpha-blended animations render
+    with hard rect edges rather than failing.
+    """
+    if not sniff_webp(blob):
+        raise ValueError("not a WebP")
+
+    def u24(off: int) -> int:
+        return blob[off] | (blob[off + 1] << 8) | (blob[off + 2] << 16)
+
+    pos = 12
+    n = len(blob)
+    canvas = None
+    bg = np.array([255, 255, 255], dtype=np.uint8)
+    findex = 0
+    saw_frame = False
+    while pos + 8 <= n:
+        fourcc = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body_at = pos + 8
+        if fourcc == b"VP8X":
+            cw = u24(body_at + 4) + 1
+            ch = u24(body_at + 7) + 1
+            canvas = np.broadcast_to(bg, (ch, cw, 3)).astype(np.uint8).copy()
+        elif fourcc == b"ANIM":
+            # background color is BGRA
+            b_, g_, r_ = blob[body_at], blob[body_at + 1], blob[body_at + 2]
+            bg = np.array([r_, g_, b_], dtype=np.uint8)
+            if canvas is not None:
+                canvas[:] = bg
+        elif fourcc == b"ANMF":
+            fx = u24(body_at) * 2
+            fy = u24(body_at + 3) * 2
+            dispose_bg = bool(blob[body_at + 15] & 0x01)
+            # subchunks after the 16-byte ANMF header
+            sub = body_at + 16
+            end = body_at + size
+            rgb = None
+            while sub + 8 <= end:
+                sc = blob[sub : sub + 4]
+                (ssz,) = struct.unpack_from("<I", blob, sub + 4)
+                if sc == b"VP8L":
+                    rgb = decode_webp(
+                        b"RIFF\x00\x00\x00\x00WEBPVP8L"
+                        + struct.pack("<I", ssz)
+                        + blob[sub + 8 : sub + 8 + ssz]
+                    )
+                elif sc == b"VP8 ":
+                    from .vp8codec import decode_vp8
+
+                    rgb = decode_vp8(blob[sub + 8 : sub + 8 + ssz])
+                sub += 8 + ssz + (ssz & 1)
+            if rgb is None:
+                raise ValueError("ANMF frame without VP8/VP8L data")
+            frame = rgb.astype(np.uint8)
+            if canvas is None:
+                canvas = frame.copy()
+                fy = fx = 0
+            fh = min(frame.shape[0], canvas.shape[0] - fy)
+            fw = min(frame.shape[1], canvas.shape[1] - fx)
+            canvas[fy : fy + fh, fx : fx + fw] = frame[:fh, :fw]
+            yield findex, canvas.copy()
+            findex += 1
+            saw_frame = True
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif fourcc in (b"VP8L", b"VP8 ") and not saw_frame:
+            rgb = decode_webp(blob)
+            yield 0, rgb.astype(np.uint8)
+            return
+        pos += 8 + size + (size & 1)
+    if not saw_frame:
+        raise ValueError("no image frames in WebP")

@@ -697,7 +697,9 @@ def frame_sample(
     tests/test_jpegcodec.py). Animated GIFs route to
     ``sample_gif_frames``: frames are composited on the logical
     screen (placement, transparency, disposal methods) and emitted
-    as P6 PPM bytes — also natively decodable downstream.
+    as P6 PPM bytes — also natively decodable downstream. Animated
+    WebP routes to ``sample_webp_frames`` the same way (VP8X canvas,
+    ANMF placement + dispose-to-background, VP8L/VP8 payloads).
     Inter-coded codecs (H.264 etc.) still
     need ffmpeg and surface through ``on_error`` (``"null"`` emits a
     single NULL-frame row per undecodable blob so corpus jobs keep
@@ -719,6 +721,7 @@ def frame_sample(
             from ..functions.videocodec import (
                 sample_avi_frames,
                 sample_gif_frames,
+                sample_webp_frames,
             )
 
         for pdf in batches:
@@ -733,11 +736,12 @@ def frame_sample(
                         )
                     continue
                 try:
-                    sampler = (
-                        sample_gif_frames
-                        if blob[:6] in (b"GIF87a", b"GIF89a")
-                        else sample_avi_frames
-                    )
+                    if blob[:6] in (b"GIF87a", b"GIF89a"):
+                        sampler = sample_gif_frames
+                    elif blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+                        sampler = sample_webp_frames
+                    else:
+                        sampler = sample_avi_frames
                     rows.extend(
                         (_id, idx, frame)
                         for idx, frame in sampler(blob, n_frames)

@@ -727,3 +727,122 @@ def test_decode_image_real_path_spark(spark):
     }
     assert rows[0].pixels is not None and len(rows[0].pixels) == 9
     assert rows[1].pixels is None
+
+
+# ------------------------------------------------------------------ #
+# animated WebP (VP8X + ANIM/ANMF) — round 12
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _u24(v: int) -> bytes:
+    return bytes([v & 255, (v >> 8) & 255, (v >> 16) & 255])
+
+
+def _vp8l_chunk(rgb: np.ndarray) -> bytes:
+    """The bare VP8L chunk of a test-side lossless encode."""
+    container = encode_vp8l(rgb)
+    assert container[12:16] == b"VP8L"
+    (sz,) = struct.unpack_from("<I", container, 16)
+    return _chunk(b"VP8L", container[20 : 20 + sz])
+
+
+def _anim_webp(canvas_wh, frames, bg=(0, 0, 255, 255)) -> bytes:
+    """Hand-assembled animated WebP: frames = [(x, y, rgb, dispose_bg)]."""
+    cw, ch = canvas_wh
+    body = _chunk(
+        b"VP8X",
+        bytes([0x02]) + b"\x00" * 3 + _u24(cw - 1) + _u24(ch - 1),
+    )
+    b_, g_, r_, a_ = bg[2], bg[1], bg[0], bg[3]
+    body += _chunk(b"ANIM", bytes([b_, g_, r_, a_]) + struct.pack("<H", 0))
+    for x, y, rgb, dispose in frames:
+        h, w, _ = rgb.shape
+        hdr = (
+            _u24(x // 2) + _u24(y // 2) + _u24(w - 1) + _u24(h - 1)
+            + _u24(40) + bytes([0x01 if dispose else 0x00])
+        )
+        body += _chunk(b"ANMF", hdr + _vp8l_chunk(rgb))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def test_webp_frames_composites_placement():
+    from littletable_spark.functions.webpcodec import webp_frames
+
+    base = _rgb(6, 8)  # full canvas: 6 rows, 8 cols
+    patch = np.full((2, 4, 3), 200, np.uint8)
+    blob = _anim_webp((8, 6), [(0, 0, base, False), (2, 2, patch, False)])
+    frames = list(webp_frames(blob))
+    assert [i for i, _ in frames] == [0, 1]
+    np.testing.assert_array_equal(frames[0][1], base)
+    expect = base.copy()
+    expect[2:4, 2:6] = 200
+    np.testing.assert_array_equal(frames[1][1], expect)
+
+
+def test_webp_frames_dispose_to_background():
+    from littletable_spark.functions.webpcodec import webp_frames
+
+    base = _rgb(8, 8)
+    patch = np.full((4, 4, 3), 9, np.uint8)
+    tail = np.full((2, 2, 3), 77, np.uint8)
+    blob = _anim_webp(
+        (8, 8),
+        [(0, 0, base, False), (4, 4, patch, True), (0, 0, tail, False)],
+        bg=(10, 20, 30, 255),
+    )
+    frames = list(webp_frames(blob))
+    # frame 2's canvas: patch rect restored to ANIM background color
+    last = frames[2][1]
+    np.testing.assert_array_equal(
+        last[4:8, 4:8], np.broadcast_to([10, 20, 30], (4, 4, 3))
+    )
+    np.testing.assert_array_equal(last[0:2, 0:2], tail)
+
+
+def test_webp_frames_still_image_single_frame():
+    from littletable_spark.functions.webpcodec import webp_frames
+
+    img = _rgb(5, 4)
+    frames = list(webp_frames(encode_vp8l(img)))
+    assert len(frames) == 1 and frames[0][0] == 0
+    np.testing.assert_array_equal(frames[0][1], img)
+
+
+def test_sample_webp_frames_ppm_roundtrip():
+    from littletable_spark.functions.imagecodec import decode_pixels
+    from littletable_spark.functions.videocodec import sample_webp_frames
+
+    base = _rgb(6, 6)
+    frames = [(0, 0, base, False)] + [
+        (0, 0, np.full((6, 6, 3), 30 * k, np.uint8), False)
+        for k in range(1, 6)
+    ]
+    blob = _anim_webp((6, 6), frames)
+    out = sample_webp_frames(blob, 3)
+    assert len(out) == 3
+    idxs = [i for i, _ in out]
+    assert idxs == sorted(idxs) and idxs[0] == 0
+    px = decode_pixels(out[-1][1])
+    np.testing.assert_array_equal(
+        px.astype(np.uint8), np.full((6, 6, 3), 30 * idxs[-1], np.uint8)
+    )
+
+
+def test_frame_sample_routes_animated_webp(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import frame_sample
+
+    base = _rgb(6, 6)
+    blob = _anim_webp(
+        (6, 6),
+        [(0, 0, base, False), (0, 0, np.full((6, 6, 3), 50, np.uint8), False)],
+    )
+    t = Table("vids", spark=spark)
+    t.insert_many([{"vid": 1, "blob": blob}])
+    out = frame_sample(t, "blob", "vid", n_frames=2, use_fake=False)
+    rows = sorted((r.vid, r.frame_idx) for r in out)
+    assert rows == [(1, 0), (1, 1)]
