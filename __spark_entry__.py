@@ -1684,6 +1684,163 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.df.select("doc_id", "url")
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<link rel=canonical> extraction (round 12): per-doc HTML
+    synthesized over every shape — rel-before-href and href-before-rel,
+    double/single/unquoted rel values, absolute / root-relative /
+    relative-with-<base> targets, a non-http target (→ NULL), no
+    canonical at all (→ NULL), and a rel=stylesheet decoy on every
+    page; extract_canonical resolves against the effective base. The
+    oracle replays the operator's own regex constants."""
+    from littletable_spark.operators.urlops import extract_canonical
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<link rel="stylesheet" href="/style.css">'),
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit('<link rel="canonical" href="https://canon-'),
+                     F.col("lang"), F.lit(".com/c/"),
+                     (F.col("doc_id") % 13).cast("string"), F.lit('">')),
+        ).when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("<link href='/canon/"),
+                     (F.col("doc_id") % 7).cast("string"),
+                     F.lit("' rel='canonical'>")),
+        ).when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit('<head><base href="https://bh-'), F.col("lang"),
+                     F.lit('.org/bb/"></head>'),
+                     F.lit('<link rel=canonical href="rel/'),
+                     (F.col("doc_id") % 3).cast("string"),
+                     F.lit('.html#frag">')),
+        ).when(
+            F.col("doc_id") % 5 == 4,
+            F.lit('<link rel="canonical" href="ftp://x.com/y">'),
+        ).otherwise(F.lit("")),
+    )
+    base = F.concat(
+        F.lit("https://site-"), F.col("lang"), F.lit(".com/d/"),
+        (F.col("doc_id") % 7).cast("string"), F.lit("/p.html"),
+    )
+    d.compute_field("html", html)
+    d.compute_field("url", base)
+    out = extract_canonical(d, "html", "url", "doc_id")
+    return out.df.select("doc_id", "canonical_url")
+
+
+def _canonical_oracle_sql() -> str:
+    """Generated from extract_canonical's own regex constants."""
+    from littletable_spark.operators.urlops import (
+        _BASE_DQ_RE,
+        _BASE_SQ_RE,
+        _CANON_HF_DQ,
+        _CANON_HF_SQ,
+        _CANON_RF_DQ,
+        _CANON_RF_SQ,
+        _DOT_SEG_ITERS,
+        _DOTDOT_RE,
+        _HOST_RE,
+        _PATH_RE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    def norm(expr: str) -> str:
+        for _ in range(2):
+            expr = f"regexp_replace({expr}, '/\\.(/|$)', '/', 'g')"
+        for _ in range(_DOT_SEG_ITERS):
+            expr = f"regexp_replace({expr}, '{q(_DOTDOT_RE)}', '/', 'g')"
+            expr = f"regexp_replace({expr}, '^/\\.\\.(/|$)', '/', 'g')"
+        return expr
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 '<link rel="stylesheet" href="/style.css">'
+                 || CASE
+                      WHEN doc_id % 5 = 1 THEN
+                        '<link rel="canonical" href="https://canon-' || lang
+                        || '.com/c/' || (doc_id % 13)::VARCHAR || '">'
+                      WHEN doc_id % 5 = 2 THEN
+                        '<link href=''/canon/' || (doc_id % 7)::VARCHAR
+                        || ''' rel=''canonical''>'
+                      WHEN doc_id % 5 = 3 THEN
+                        '<head><base href="https://bh-' || lang
+                        || '.org/bb/"></head><link rel=canonical href="rel/'
+                        || (doc_id % 3)::VARCHAR || '.html#frag">'
+                      WHEN doc_id % 5 = 4 THEN
+                        '<link rel="canonical" href="ftp://x.com/y">'
+                      ELSE '' END AS html,
+                 'https://site-' || lang || '.com/d/' || (doc_id % 7)::VARCHAR || '/p.html' AS base
+          FROM documents
+        ),
+        eb AS (
+          SELECT doc_id, html,
+                 CASE WHEN bref = '' THEN base
+                      WHEN regexp_matches(bref, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN bref
+                      WHEN bref LIKE '//%' THEN dsch || ':' || bref
+                      WHEN bref LIKE '/%' THEN dsch || '://' || dauth || bref
+                      ELSE dsch || '://' || dauth || ddir || bref
+                 END AS base
+          FROM (
+            SELECT doc_id, html, base,
+                   regexp_extract(
+                     CASE WHEN regexp_extract(html, '{q(_BASE_DQ_RE)}', 1) <> ''
+                          THEN regexp_extract(html, '{q(_BASE_DQ_RE)}', 1)
+                          ELSE regexp_extract(html, '{q(_BASE_SQ_RE)}', 1) END,
+                     '^([^#]*)', 1) AS bref,
+                   regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS dsch,
+                   regexp_extract(base, '{q(_HOST_RE)}', 1) AS dauth,
+                   regexp_replace(
+                     CASE WHEN regexp_extract(base, '{q(_PATH_RE)}', 1) = ''
+                          THEN '/' ELSE regexp_extract(base, '{q(_PATH_RE)}', 1) END,
+                     '[^/]*$', '') AS ddir
+            FROM d
+          )
+        ),
+        f AS (
+          SELECT doc_id,
+                 regexp_extract(
+                   coalesce(
+                     nullif(regexp_extract(html, '{q(_CANON_RF_DQ)}', 1), ''),
+                     nullif(regexp_extract(html, '{q(_CANON_RF_SQ)}', 1), ''),
+                     nullif(regexp_extract(html, '{q(_CANON_HF_DQ)}', 1), ''),
+                     nullif(regexp_extract(html, '{q(_CANON_HF_SQ)}', 1), '')),
+                   '^([^#]*)', 1) AS raw,
+                 regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bsch,
+                 regexp_extract(base, '{q(_HOST_RE)}', 1) AS bauth,
+                 CASE WHEN regexp_extract(base, '{q(_PATH_RE)}', 1) = ''
+                      THEN '/' ELSE regexp_extract(base, '{q(_PATH_RE)}', 1) END
+                   AS bpathfull,
+                 regexp_replace(
+                   CASE WHEN regexp_extract(base, '{q(_PATH_RE)}', 1) = ''
+                        THEN '/' ELSE regexp_extract(base, '{q(_PATH_RE)}', 1) END,
+                   '[^/]*$', '') AS bdir
+          FROM eb
+        ),
+        r AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN raw = '' THEN NULL
+                   WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN
+                     CASE WHEN regexp_matches(raw, '^(?i)https?://') THEN raw
+                          ELSE NULL END
+                   WHEN raw LIKE '//%' THEN bsch || ':' || raw
+                   WHEN raw LIKE '/%' THEN bsch || '://' || bauth || {norm("raw")}
+                   WHEN raw LIKE '?%' THEN bsch || '://' || bauth || bpathfull || raw
+                   ELSE bsch || '://' || bauth || {norm("bdir || raw")}
+                 END AS link
+          FROM f
+        )
+        SELECT doc_id,
+               CASE WHEN regexp_matches(link, '^(?i)https?://[^/?#]+')
+                    THEN link ELSE NULL END AS canonical_url
+        FROM r
+    """
+
+
 def q_url_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """link discovery (round 11, widened round 12): per-doc HTML
     synthesized with every href shape — absolute (kept), other-scheme
@@ -2695,6 +2852,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_links changes SHAPE this round (<base href> honoring,
     <area href> discovery, RFC 3986 §5.3 query-only refs; oracle
     generator extended identically).
+    Also net-new url_canonical (extract_canonical: <link rel=canonical>
+    discovery + effective-base resolution, the publisher-declared
+    dedup key; oracle generated from the operator's own regex
+    constants) gates immediately per the new-query-gates-first rule;
+    sim_cluster parks in exchange (gated r8-r11; the ANN family keeps
+    THREE gate rows — sim_ivf_incr, sim_f32_topk, sim_ivf_pq — and
+    the k-means assignment core runs in-gate inside dedup_semantic
+    and dedup_semantic_incr every round).
 
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
@@ -2727,7 +2892,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh_incr": q_dedup_embedding_lsh_incr,
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_incr": q_dedup_semantic_incr,
-        "sim_cluster": q_sim_cluster,
         "sim_ivf_incr": q_sim_ivf_incr,
         "sim_f32_topk": q_sim_f32_topk,
         "multimodal_audio_dedup": q_multimodal_audio_dedup,
@@ -2749,7 +2913,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "pivot_sum": q_pivot_sum,
         "head_tail": q_head_tail,
+        "url_canonical": q_url_canonical,
         # ---- parked beyond the driver's 50-query window ----
+        "sim_cluster": q_sim_cluster,
         "grouping_sets": q_grouping_sets,
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
@@ -4347,6 +4513,7 @@ def oracle_sql() -> dict[str, str]:
         "url_links": _links_oracle_sql(),
         "url_pagerank": _pagerank_oracle_sql(),
         "url_pagerank_warm": _pagerank_warm_oracle_sql(),
+        "url_canonical": _canonical_oracle_sql(),
         "url_schedule": """
             WITH langs AS (
               SELECT DISTINCT lang,

@@ -37,6 +37,7 @@ from ..table import Table
 
 __all__ = [
     "extract_links",
+    "extract_canonical",
     "url_features",
     "filter_url_blocklist",
     "canonicalize_urls",
@@ -351,6 +352,13 @@ _AREA_DQ_RE = r'(?i)<area\s[^>]*?href\s*=\s*"([^"]*)"'
 _AREA_SQ_RE = r"(?i)<area\s[^>]*?href\s*=\s*'([^']*)'"
 _BASE_DQ_RE = r'(?i)<base\s[^>]*?href\s*=\s*"([^"]*)"'
 _BASE_SQ_RE = r"(?i)<base\s[^>]*?href\s*=\s*'([^']*)'"
+# <link rel=canonical href=...> in both attribute orders and both
+# quote styles — four alternations instead of lookahead, so the SAME
+# patterns run under Java regex (Spark) and RE2 (DuckDB oracle)
+_CANON_RF_DQ = r'(?i)<link\s[^>]*rel\s*=\s*["\x27]?canonical[^>]*href\s*=\s*"([^"]*)"'
+_CANON_RF_SQ = r"(?i)<link\s[^>]*rel\s*=\s*[\"\x27]?canonical[^>]*href\s*=\s*'([^']*)'"
+_CANON_HF_DQ = r'(?i)<link\s[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*["\x27]?canonical'
+_CANON_HF_SQ = r"(?i)<link\s[^>]*href\s*=\s*'([^']*)'[^>]*rel\s*=\s*[\"\x27]?canonical"
 # a path segment that is NOT '.' or '..' followed by '/../' — RE2 has
 # no lookahead, so spell out "has a non-dot char or 3+ chars":
 _DOTDOT_RE = r"/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\.(/|$)"
@@ -369,6 +377,110 @@ def _normalize_dot_segments(col: F.Column) -> F.Column:
         col = F.regexp_replace(col, _DOTDOT_RE, "/")
         col = F.regexp_replace(col, r"^/\.\.(/|$)", "/")
     return col
+
+
+def _effective_base(html, base):
+    """The page's effective base URL: the first ``<base href>``
+    (fragment stripped), resolved against the document URL; any
+    explicit scheme passes through untouched (non-http bases then
+    drop their links at the final scheme filter rather than producing
+    junk concatenations); no ``<base>`` → the document URL."""
+    bref_dq = F.regexp_extract(html, _BASE_DQ_RE, 1)
+    bref_sq = F.regexp_extract(html, _BASE_SQ_RE, 1)
+    bref = F.regexp_extract(
+        F.when(bref_dq != F.lit(""), bref_dq).otherwise(bref_sq),
+        r"^([^#]*)",
+        1,
+    )
+    d_scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    d_auth = F.regexp_extract(base, _HOST_RE, 1)
+    d_path = F.regexp_extract(base, _PATH_RE, 1)
+    d_dir = F.regexp_replace(
+        F.when(d_path == F.lit(""), F.lit("/")).otherwise(d_path),
+        r"[^/]*$",
+        "",
+    )
+    return (
+        F.when(bref == F.lit(""), base)
+        .when(bref.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), bref)
+        .when(bref.startswith("//"), F.concat(d_scheme, F.lit(":"), bref))
+        .when(
+            bref.startswith("/"),
+            F.concat(d_scheme, F.lit("://"), d_auth, bref),
+        )
+        .otherwise(F.concat(d_scheme, F.lit("://"), d_auth, d_dir, bref))
+    )
+
+
+def _resolve_ref(raw_col, base_col):
+    """RFC 3986 §5 reference resolution as a native CASE: ``raw_col``
+    (an href, fragment NOT yet stripped) resolved against ``base_col``
+    (an absolute URL). Absolute http(s) kept, other schemes → NULL,
+    scheme-relative ``//``, root-relative ``/``, query-only ``?``
+    (keeps the FULL base path per §5.3), relative paths via the base
+    directory; bounded dot-segment normalization; fragments stripped.
+
+    Expression-size discipline: the bounded dot-segment chain (14
+    chained regexp_replace calls) appears ONCE, applied to a merged
+    "path to normalize" CASE (root-relative raw | base-dir + relative
+    raw), with the no-normalization forms (absolute, scheme-relative,
+    query-only) folded in via coalesce — duplicating the chain per
+    branch blows the generated Java method past janino's 64 KB limit
+    and silently drops the whole stage to interpreted mode."""
+    b_scheme = F.regexp_extract(
+        base_col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
+    )
+    b_auth = F.regexp_extract(base_col, _HOST_RE, 1)
+    b_path = F.regexp_extract(base_col, _PATH_RE, 1)
+    b_path_full = F.when(b_path == F.lit(""), F.lit("/")).otherwise(b_path)
+    b_dir = F.regexp_replace(b_path_full, r"[^/]*$", "")
+    return _resolve_ref_parts(raw_col, b_scheme, b_auth, b_path_full, b_dir)
+
+
+def _resolve_ref_parts(raw_col, b_scheme, b_auth, b_path_full, b_dir):
+    """`_resolve_ref` with the base already split into its parts —
+    callers that fan one base out to MANY references (extract_links'
+    explode) pass the parts as materialized columns so the base
+    regexes run once per page in the pre-explode projection, not once
+    per link inside the post-explode consume method (which must stay
+    under janino's 64 KB ceiling)."""
+    raw = F.regexp_extract(raw_col, r"^([^#]*)", 1)  # strip fragment
+    has_scheme = raw.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    # forms needing no path normalization (NULL otherwise)
+    direct = (
+        F.when(raw == F.lit(""), F.lit(None).cast("string"))
+        .when(
+            has_scheme,
+            F.when(raw.rlike(r"^(?i)https?://"), raw).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .when(raw.startswith("//"), F.concat(b_scheme, F.lit(":"), raw))
+        .when(
+            # RFC 3986 §5.3: an empty-path query-only reference keeps
+            # the FULL base path (…/p.html + ?page=2 → …/p.html?page=2)
+            raw.startswith("?"),
+            F.concat(b_scheme, F.lit("://"), b_auth, b_path_full, raw),
+        )
+    )
+    # the one path that runs through dot-segment normalization
+    path_part = (
+        F.when(
+            (raw == F.lit("")) | has_scheme
+            | raw.startswith("//") | raw.startswith("?"),
+            F.lit(None).cast("string"),
+        )
+        .when(raw.startswith("/"), raw)
+        .otherwise(F.concat(b_dir, raw))
+    )
+    normalized = F.concat(
+        b_scheme, F.lit("://"), b_auth, _normalize_dot_segments(path_part)
+    )
+    # NOTE: direct is NULL exactly when the reference is a
+    # normalization-form or an invalid form; in the invalid forms
+    # path_part is NULL so `normalized` is NULL too and the coalesce
+    # yields NULL overall
+    return F.coalesce(direct, normalized)
 
 
 def extract_links(
@@ -407,82 +519,74 @@ def extract_links(
         F.regexp_extract_all(html, F.lit(_AREA_DQ_RE), F.lit(1)),
         F.regexp_extract_all(html, F.lit(_AREA_SQ_RE), F.lit(1)),
     )
-    # effective base: the page's first <base href> (fragment stripped),
-    # resolved against the document URL; any explicit scheme passes
-    # through untouched (non-http bases then drop their links at the
-    # final scheme filter rather than producing junk concatenations)
-    bref_dq = F.regexp_extract(html, _BASE_DQ_RE, 1)
-    bref_sq = F.regexp_extract(html, _BASE_SQ_RE, 1)
-    bref = F.regexp_extract(
-        F.when(bref_dq != F.lit(""), bref_dq).otherwise(bref_sq),
-        r"^([^#]*)",
-        1,
-    )
-    d_scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    d_auth = F.regexp_extract(base, _HOST_RE, 1)
-    d_path = F.regexp_extract(base, _PATH_RE, 1)
-    d_dir = F.regexp_replace(
-        F.when(d_path == F.lit(""), F.lit("/")).otherwise(d_path),
-        r"[^/]*$",
-        "",
-    )
-    eff_base = (
-        F.when(bref == F.lit(""), base)
-        .when(bref.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), bref)
-        .when(bref.startswith("//"), F.concat(d_scheme, F.lit(":"), bref))
-        .when(
-            bref.startswith("/"),
-            F.concat(d_scheme, F.lit("://"), d_auth, bref),
-        )
-        .otherwise(F.concat(d_scheme, F.lit("://"), d_auth, d_dir, bref))
-    )
-    work = df.select(
-        F.col(id_col),
-        eff_base.alias("__base__"),
-        F.explode(hrefs).alias("__raw__"),
-    )
-    raw = F.regexp_extract(F.col("__raw__"), r"^([^#]*)", 1)  # strip fragment
-    b_scheme = F.regexp_extract(
-        F.col("__base__"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
-    )
-    b_auth = F.regexp_extract(F.col("__base__"), _HOST_RE, 1)
-    b_path = F.regexp_extract(F.col("__base__"), _PATH_RE, 1)
+    eff_base = _effective_base(html, base)
+    # Resolution runs INSIDE the array (transform), validity filtering
+    # on the array elements (filter), and only the finished links
+    # explode. Two reasons, both load-bearing at scale:
+    # - resolving AFTER the explode put the ~20-regexp resolution CASE
+    #   in the post-Generate projection, where predicate pushdown
+    #   substituted it into the validity Filter too — the whole
+    #   expression evaluated TWICE per link, and the fused consume
+    #   method blew janino's 64 KB ceiling, dropping the entire stage
+    #   out of whole-stage codegen;
+    # - the array form evaluates the resolution exactly ONCE per href
+    #   and leaves the explode with zero downstream expressions.
+    b_scheme = F.regexp_extract(eff_base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    b_auth = F.regexp_extract(eff_base, _HOST_RE, 1)
+    b_path = F.regexp_extract(eff_base, _PATH_RE, 1)
     b_path_full = F.when(b_path == F.lit(""), F.lit("/")).otherwise(b_path)
     b_dir = F.regexp_replace(b_path_full, r"[^/]*$", "")
-    has_scheme = raw.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
-    resolved = (
-        F.when(raw == F.lit(""), F.lit(None).cast("string"))
-        .when(
-            has_scheme,
-            F.when(raw.rlike(r"^(?i)https?://"), raw).otherwise(
-                F.lit(None).cast("string")
+    links_arr = F.filter(
+        F.transform(
+            hrefs,
+            lambda r: _resolve_ref_parts(
+                r, b_scheme, b_auth, b_path_full, b_dir
             ),
-        )
-        .when(
-            raw.startswith("//"), F.concat(b_scheme, F.lit(":"), raw)
-        )
-        .when(
-            raw.startswith("/"),
-            F.concat(b_scheme, F.lit("://"), b_auth, _normalize_dot_segments(raw)),
-        )
-        .when(
-            # RFC 3986 §5.3: an empty-path query-only reference keeps
-            # the FULL base path (…/p.html + ?page=2 → …/p.html?page=2)
-            raw.startswith("?"),
-            F.concat(b_scheme, F.lit("://"), b_auth, b_path_full, raw),
-        )
-        .otherwise(
-            F.concat(
-                b_scheme,
-                F.lit("://"),
-                b_auth,
-                _normalize_dot_segments(F.concat(b_dir, raw)),
-            )
-        )
+        ),
+        lambda link: link.rlike(r"^(?i)https?://[^/?#]+"),
     )
-    out = (
-        work.select(F.col(id_col), resolved.alias(link_col))
-        .where(F.col(link_col).isNotNull() & (F.col(link_col) != F.lit("")))
-        .where(F.col(link_col).rlike(r"^(?i)https?://[^/?#]+"))
-    )
+    out = df.select(F.col(id_col), F.explode(links_arr).alias(link_col))
     return Table.from_df(out, name=f"{table.table_name}_links")
+
+
+def extract_canonical(
+    table: Table,
+    html_col: str,
+    base_col: str,
+    id_col: str,
+    out_col: str = "canonical_url",
+) -> Table:
+    """The page's ``<link rel=canonical>`` target, resolved — the
+    publisher-declared dedup key: pages reachable at many URLs
+    (pagination params, mirrors, mobile subdomains) declare one
+    canonical form, and grouping a crawl by it collapses them BEFORE
+    expensive content dedup. Output: one ``(id, canonical_url)`` row
+    per input row; NULL when the page declares none (or the target
+    is not http(s)) — compose with ``coalesce(canonical_url, url)``
+    then ``dedup_urls``.
+
+    The first canonical link wins; both attribute orders
+    (``rel`` before/after ``href``) and both quote styles match; the
+    target resolves against the page's effective base (honoring
+    ``<base href>``) exactly like ``extract_links``. Fully native and
+    1:1 SQL-expressible (the alternation patterns avoid lookahead so
+    Spark's Java regex and the DuckDB oracle's RE2 agree). Plan: one
+    narrow projection, NO explode, zero shuffle.
+    """
+    df = table._require_df()
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    base = F.coalesce(F.col(base_col), F.lit(""))
+    raw = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(html, pat, 1), F.lit(""))
+            for pat in (_CANON_RF_DQ, _CANON_RF_SQ, _CANON_HF_DQ, _CANON_HF_SQ)
+        ]
+    )
+    resolved = F.when(
+        raw.isNotNull(), _resolve_ref(raw, _effective_base(html, base))
+    )
+    resolved = F.when(
+        resolved.rlike(r"^(?i)https?://[^/?#]+"), resolved
+    ).otherwise(F.lit(None).cast("string"))
+    out = df.select(F.col(id_col), resolved.alias(out_col))
+    return Table.from_df(out, name=f"{table.table_name}_canonical")

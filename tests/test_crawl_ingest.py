@@ -745,3 +745,45 @@ def test_full_crawl_loop_composition(spark):
     # one URL per host here -> everything fetchable at t=0
     assert set(got.values()) == {0.0}
     assert ranks["https://a.com/ok/1"] > ranks["https://hub.com/x"] > 0
+
+
+def test_extract_canonical_shapes(spark):
+    """<link rel=canonical>: both attribute orders and quote styles,
+    effective-base resolution, non-http -> NULL, absent -> NULL,
+    stylesheet decoys never match, first canonical wins."""
+    from littletable_spark.operators.urlops import extract_canonical
+
+    rows = [
+        {"doc_id": 0,
+         "html": '<link rel="stylesheet" href="/s.css">'
+                 '<link rel="canonical" href="https://c.org/x">'
+                 '<link rel="canonical" href="https://c.org/second">',
+         "url": "https://a.com/d/p.html"},
+        {"doc_id": 1,
+         "html": "<link href='/canon/1' rel='canonical'>",
+         "url": "https://a.com/d/p.html"},
+        {"doc_id": 2,
+         "html": '<head><base href="https://b.net/bb/"></head>'
+                 '<link rel=canonical href="rel.html#f">',
+         "url": "https://a.com/d/p.html"},
+        {"doc_id": 3, "html": '<link rel="canonical" href="ftp://x/y">',
+         "url": "https://a.com/d/p.html"},
+        {"doc_id": 4, "html": "<p>no links at all</p>",
+         "url": "https://a.com/d/p.html"},
+        {"doc_id": 5,
+         "html": '<link rel="canonical" href="?page=3">',
+         "url": "https://a.com/d/p.html"},
+    ]
+    t = Table("pages", spark=spark)
+    t.insert_many(rows)
+    out = extract_canonical(t, "html", "url", "doc_id")
+    got = {r.doc_id: r.canonical_url for r in out}
+    assert got == {
+        0: "https://c.org/x",          # first canonical wins
+        1: "https://a.com/canon/1",
+        2: "https://b.net/bb/rel.html",
+        3: None,
+        4: None,
+        5: "https://a.com/d/p.html?page=3",
+    }
+    assert len(out) == 6  # one row per page, always

@@ -453,3 +453,46 @@ def test_filter_by_robots_plan_shape(spark):
     assert "nondeterministic-ordinal-join" not in codes, codes
     # map-side partial aggregation before the verdict shuffle
     assert "partial_max" in plan or "HashAggregate" in plan, plan
+
+
+def test_extract_links_plan_no_shuffle_no_row_filter(spark):
+    """extract_links: projection + ONE generate, zero exchanges — and
+    the validity filter lives INSIDE the array (filter() HOF), never
+    as a row-level Filter node. A row Filter would be pushed through
+    the projection and re-evaluate the ~20-regexp resolution CASE per
+    link (double work, and the fused consume method blows janino's
+    64 KB ceiling — the whole stage silently drops out of codegen)."""
+    from littletable_spark.operators.urlops import extract_links
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    d.compute_field(
+        "html",
+        F.concat(F.lit('<a href="/p/'), F.col("doc_id").cast("string"),
+                 F.lit('">x</a>')),
+    )
+    d.compute_field(
+        "url", F.concat(F.lit("https://x.com/d/"), F.col("doc_id").cast("string"))
+    )
+    out = extract_links(d, "html", "url", "doc_id")
+    plan = _plan(out.df)
+    import re
+
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    # no row-level Filter: validity is applied inside the link array
+    assert not re.findall(r"\(\d+\) Filter", plan), plan
+
+
+def test_extract_canonical_plan_is_pure_projection(spark):
+    """extract_canonical: one narrow projection — no explode, no
+    shuffle, no Python."""
+    from littletable_spark.operators.urlops import extract_canonical
+
+    d = Table.parquet_import(spark, "/root/testdata/sf0.001/documents.parquet")
+    d.compute_field("html", F.lit('<link rel="canonical" href="/c">'))
+    d.compute_field("url", F.lit("https://x.com/d/p"))
+    out = extract_canonical(d, "html", "url", "doc_id")
+    plan = _plan(out.df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
