@@ -93,6 +93,17 @@ ALLOW_INTERCHANGEABLE: dict[str, str] = {
         "clause — a full-partition frame is order-insensitive, so "
         "tied rows are trivially interchangeable"
     ),
+    "url_schedule": (
+        "the sort key ends in xxhash64(struct(<every remaining "
+        "column>)) (round 12: wide payloads must not enter the sort); "
+        "rows tied on the ENTIRE key (host, priority, url, hash) "
+        "agree on every hash input column short of a 64-bit collision "
+        "between rows already equal on (host, priority, url) — i.e. "
+        "tie groups are identical rows, which swap fetch_at slots "
+        "without changing the output multiset. The gate fixture "
+        "additionally keeps url unique per host, making the key total "
+        "there outright"
+    ),
 }
 
 
