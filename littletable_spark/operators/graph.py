@@ -29,11 +29,13 @@ recompute per crawl cycle at 100 TB is the anti-pattern this removes.
 
 Scale shape: the edge table joins RANKS (node-sized) to EDGES
 (edge-sized) once per iteration — a standard Pregel-style loop of k
-hash joins + k map-combined groupBys; each step's ranks are
-``localCheckpoint``-ed, which truncates lineage to the materialized
-node-sized blocks (persist alone keeps the full logical chain and
-makes per-step planning O(k) — fatal for tol= runs of many
-iterations). The only driver-side
+hash joins + k map-combined groupBys; each step's ranks persist (and
+the superseded step unpersists), with a ``localCheckpoint`` every
+8th step to truncate the logical chain — persist alone keeps full
+lineage and makes per-step planning O(k) (fatal for tol= runs of
+many iterations), while checkpointing every step pays block
+serialization per iteration (~1.5x on the 2M-edge probe). The only
+driver-side
 work per iteration is the dangling-mass SCALAR fold (plus one more
 scalar per step when ``tol`` is set). Deterministic up to float
 summation order; the oracle gate compares at 1e-6, far above the
@@ -111,10 +113,14 @@ def pagerank(
         out.pagerank_iterations = 0
         return out
 
-    # teleport vector p(v), attached per node: uniform 1/n, or the
-    # personalization weights normalized over seeds present in the graph
+    # teleport vector p(v): uniform 1/n stays a LITERAL (no extra
+    # column shuffled through every iteration — the common case pays
+    # nothing for the personalization feature); a personalization
+    # table attaches a normalized per-node __p__ column
     if personalization is None:
-        nodes = nodes_raw.withColumn("__p__", F.lit(1.0 / n)).persist()
+        nodes = nodes_raw
+        p_col = F.lit(1.0 / n)
+        carry = [node_out]
     else:
         pdf = personalization._require_df().select(
             F.col(personalization.fields[0]).alias(node_out),
@@ -135,8 +141,10 @@ def pagerank(
         nodes = seeded.select(
             node_out, (F.col("__w__") / F.lit(psum)).alias("__p__")
         ).persist()
-    nodes.count()
-    nodes_raw.unpersist()
+        nodes.count()
+        nodes_raw.unpersist()
+        p_col = F.col("__p__")
+        carry = [node_out, "__p__"]
 
     outdeg = edges.groupBy("__src__").agg(F.count(F.lit(1)).alias("__deg__"))
     # per-edge contribution denominator attached once, reused every step
@@ -146,26 +154,28 @@ def pagerank(
 
     if against_ranks is None:
         ranks = nodes.select(
-            node_out, "__p__", F.lit(1.0 / n).alias(rank_out)
-        ).localCheckpoint()
+            *carry, F.lit(1.0 / n).alias(rank_out)
+        ).persist()
     else:
         adf = against_ranks._require_df().select(
             F.col(against_ranks.fields[0]).alias(node_out),
             F.col(against_ranks.fields[1]).cast("double").alias("__r0__"),
         )
         warm = nodes.join(adf, node_out, "left").select(
-            node_out,
-            "__p__",
+            *carry,
             F.coalesce(F.col("__r0__"), F.lit(1.0 / n)).alias("__r0__"),
         )
         rsum = warm.agg(F.sum("__r0__")).collect()[0][0] or 0.0
         if rsum <= 0:
             raise ValueError("pagerank: against_ranks sums to zero")
         ranks = warm.select(
-            node_out, "__p__", (F.col("__r0__") / F.lit(rsum)).alias(rank_out)
-        ).localCheckpoint()
+            *carry, (F.col("__r0__") / F.lit(rsum)).alias(rank_out)
+        ).persist()
+    ranks.count()
+    ranks_cached = True
 
     steps = 0
+    since_ckpt = 0
     for _ in range(iterations):
         dangling = (
             ranks.join(
@@ -183,28 +193,32 @@ def pagerank(
             .groupBy(node_out)
             .agg(F.sum("__c__").alias("__c__"))
         )
-        # localCheckpoint, not persist: persist caches blocks but keeps
-        # the FULL logical lineage, so a long iteration chain makes
-        # every plan-analysis step O(k) and the cumulative cost O(k²)
-        # (and a tol= run of many steps can OOM the driver just
-        # STRINGIFYING the plan). The checkpoint truncates lineage to
-        # the materialized node-sized blocks — true O(1) per-step plan,
-        # any iteration count. Superseded blocks are dropped by Spark's
-        # ContextCleaner as references lapse.
-        new_ranks = (
-            nodes.join(contrib, node_out, "left")
-            .select(
-                F.col(node_out),
-                F.col("__p__"),
-                (
-                    (F.lit(1.0) - F.lit(d)) * F.col("__p__")
-                    + F.lit(d)
-                    * (F.coalesce(F.col("__c__"), F.lit(0.0))
-                       + F.lit(dangling) * F.col("__p__"))
-                ).alias(rank_out),
-            )
-            .localCheckpoint()
+        new_ranks = nodes.join(contrib, node_out, "left").select(
+            *carry,
+            (
+                (F.lit(1.0) - F.lit(d)) * p_col
+                + F.lit(d)
+                * (F.coalesce(F.col("__c__"), F.lit(0.0))
+                   + F.lit(dangling) * p_col)
+            ).alias(rank_out),
         )
+        # Lineage discipline: persist+count per step (cheap, blocks
+        # stay memory-deserialized) with a localCheckpoint every 8th
+        # step to TRUNCATE the logical chain — persist alone keeps the
+        # full lineage, making per-step plan analysis O(k) and OOM-ing
+        # the driver on long tol= runs just stringifying the plan,
+        # while checkpointing EVERY step pays block serialization per
+        # iteration (measured ~1.5x on the 2M-edge probe). Bounded
+        # depth ≤ 8 keeps analysis O(1)-ish at any iteration count.
+        since_ckpt += 1
+        if since_ckpt >= 8:
+            new_ranks = new_ranks.localCheckpoint()
+            since_ckpt = 0
+            new_cached = False
+        else:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+            new_cached = True
         steps += 1
         if tol is not None:
             delta = (
@@ -216,12 +230,15 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("__new__") - F.col("__old__"))))
                 .collect()[0][0]
             )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
         else:
-            ranks = new_ranks
-    # ranks is checkpointed; the build-side caches can go
+            delta = None
+        if ranks_cached:
+            ranks.unpersist()
+        ranks = new_ranks
+        ranks_cached = new_cached
+        if tol is not None and delta is not None and delta < tol:
+            break
+    # ranks is materialized; the build-side caches can go
     edges_w.unpersist()
     edges.unpersist()
     nodes.unpersist()
