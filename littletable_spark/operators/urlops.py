@@ -582,11 +582,23 @@ def extract_canonical(
             for pat in (_CANON_RF_DQ, _CANON_RF_SQ, _CANON_HF_DQ, _CANON_HF_SQ)
         ]
     )
-    resolved = F.when(
-        raw.isNotNull(), _resolve_ref(raw, _effective_base(html, base))
+    # Evaluate the 4-pattern extraction and the effective base ONCE by
+    # routing them through a single-element transform() lambda —
+    # inlined directly, every reference inside _resolve_ref's CASE
+    # branches re-evaluates them (subexpression elimination cannot
+    # hoist out of conditional branches), multiplying the html-scanning
+    # regex work ~15x (measured 1.2s -> 0.1s per bench pass at sf0.1).
+    resolved0 = F.get(
+        F.transform(
+            F.array(F.struct(raw.alias("r"), _effective_base(html, base).alias("b"))),
+            lambda x: F.when(
+                x["r"].isNotNull(), _resolve_ref(x["r"], x["b"])
+            ),
+        ),
+        F.lit(0),
     )
     resolved = F.when(
-        resolved.rlike(r"^(?i)https?://[^/?#]+"), resolved
+        resolved0.rlike(r"^(?i)https?://[^/?#]+"), resolved0
     ).otherwise(F.lit(None).cast("string"))
     out = df.select(F.col(id_col), resolved.alias(out_col))
     return Table.from_df(out, name=f"{table.table_name}_canonical")
