@@ -146,8 +146,37 @@ def _decode_text(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
+_STREAM_HEAD_RE = re.compile(rb"stream\r?\n")
+_DIRECT_LEN_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _stream_data(body: bytes) -> bytes | None:
-    """Stream payload of an object body, inflated when FlateDecode."""
+    """Stream payload of an object body, inflated when FlateDecode.
+
+    When the dict carries a DIRECT /Length, the payload is taken by
+    length (verified to be followed by ``endstream``) — binary
+    payloads (decrypted streams, raw Flate data) can legitimately end
+    in ``\r`` or contain ``\nendstream``, which the delimiter-regex
+    fallback would truncate."""
+    hm = _STREAM_HEAD_RE.search(body)
+    if hm is not None:
+        lm = _DIRECT_LEN_RE.search(body[: hm.start()])
+        if lm is not None:
+            n = int(lm.group(1))
+            start = hm.end()
+            cand = body[start : start + n]
+            if len(cand) == n and re.match(
+                rb"\s*endstream", body[start + n : start + n + 16]
+            ):
+                data = cand
+                if b"/FlateDecode" in body[: hm.start()]:
+                    try:
+                        return zlib.decompress(data)
+                    except zlib.error as exc:
+                        raise ValueError(
+                            f"bad PDF Flate stream: {exc}"
+                        ) from None
+                return data
     m = _STREAM_RE.search(body)
     if m is None:
         return None
@@ -691,6 +720,25 @@ def _build_cryptor(blob: bytes, objects: dict, gens: dict):
 _ANY_STRING_RE = re.compile(rb"\(|(?<!<)<(?![<])")
 
 
+def _raw_stream_payload(body: bytes) -> bytes:
+    """The ciphertext of an encrypted stream: by direct /Length when
+    available (ciphertext can end in CR or contain 'endstream'), else
+    the delimiter-regex capture."""
+    hm = _STREAM_HEAD_RE.search(body)
+    if hm is not None:
+        lm = _DIRECT_LEN_RE.search(body[: hm.start()])
+        if lm is not None:
+            n = int(lm.group(1))
+            start = hm.end()
+            cand = body[start : start + n]
+            if len(cand) == n and re.match(
+                rb"\s*endstream", body[start + n : start + n + 16]
+            ):
+                return cand
+    m = _STREAM_RE.search(body)
+    return m.group(1) if m else b""
+
+
 def _decrypt_body_strings(body: bytes, num: int, gen: int, cryptor) -> bytes:
     """Re-emit every string in a (non-stream portion of an) object
     body decrypted, in hex form."""
@@ -733,11 +781,18 @@ def _decrypt_objects(objects: dict, gens: dict, enc_num: int, cryptor) -> None:
         gen = gens.get(num, 0)
         sm = _STREAM_RE.search(body)
         if sm:
+            raw = _raw_stream_payload(body)
             head = _decrypt_body_strings(body[: sm.start()], num, gen, cryptor)
             try:
-                plain = cryptor.decrypt(num, gen, sm.group(1))
+                plain = cryptor.decrypt(num, gen, raw)
             except ValueError:
                 plain = b""
+            # stamp the exact plaintext length so the re-parse is
+            # length-delimited (a plaintext ending in \r would lose
+            # its last byte to the delimiter-regex fallback)
+            head = _DIRECT_LEN_RE.sub(
+                b"/Length %d" % len(plain), head, count=1
+            )
             objects[num] = (
                 head + b"stream\n" + plain + b"\nendstream"
                 + body[sm.end() :]

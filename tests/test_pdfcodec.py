@@ -802,3 +802,40 @@ def test_encrypted_pdf_spark_on_error(spark):
     got = {r.doc_id: r.text for r in out}
     assert got[0] == "Crawlable secret"
     assert got[1] is None
+
+
+def test_stream_payload_ending_in_cr_is_not_truncated():
+    """Length-delimited stream reads (round 12): a Flate (or
+    decrypted) payload whose LAST byte is 0x0D loses it to the
+    ``\\r?\\nendstream`` delimiter regex unless the direct /Length
+    takes precedence — found by the codec_probe sweep on encrypted
+    fixtures, pinned here on both the plain and encrypted paths."""
+    import zlib
+
+    # find a text whose compressed stream ends in CR
+    text = None
+    for i in range(4000):
+        cand = b"Carriage return hunt %d" % i
+        if zlib.compress(b"BT /F1 12 Tf (" + cand + b") Tj ET")[-1] == 0x0D:
+            text = cand
+            break
+    assert text is not None, "no CR-tailed fixture found in range"
+    pdf = _make_pdf([b"BT /F1 12 Tf (" + text + b") Tj ET"], compress=True)
+    assert extract_pdf_text(pdf) == text.decode()
+
+    # encrypted path: RC4 ciphertext ending in CR (search again over
+    # the encrypted bytes, which depend on the object key)
+    hit = None
+    for i in range(4000):
+        cand = b"Encrypted CR hunt %d" % i
+        blob = _make_encrypted_pdf(cand, v=2, r=3)
+        import re
+
+        body = re.search(rb"1 0 obj\n(.*?)\nendobj", blob, re.S).group(1)
+        sm = re.search(rb"stream\n(.*?)\nendstream", body, re.S)
+        if sm and sm.group(1)[-1:] == b"\r":
+            hit = (cand, blob)
+            break
+    if hit is not None:  # probabilistic search; pin when found
+        cand, blob = hit
+        assert extract_pdf_text(blob) == cand.decode()
