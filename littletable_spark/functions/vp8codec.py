@@ -592,19 +592,22 @@ def _nf_mask(p3, p2, p1, p0, q0, q1, q2, q3, ilim, elim):
 
 
 def _sclamp(x):
-    return np.clip(x, -128, 127)
+    # minimum/maximum beat np.clip's wrapper dispatch on the tiny
+    # per-edge arrays this filter runs on
+    return np.minimum(np.maximum(x, -128), 127)
 
 
 def _u2s(x):
-    return x.astype(np.int32) - 128
+    return x - 128  # slabs arrive int32 (see _edge_slab_*)
 
 
 def _s2u(x):
-    return np.clip(x + 128, 0, 255)
+    return np.minimum(np.maximum(x + 128, 0), 255)
 
 
 def _filter_common(p1, p0, q0, q1, use_outer, mask):
-    """§15.3 common 4-tap adjustment. Returns new (p0, q0, filt)."""
+    """§15.3 common 4-tap adjustment (int32 inputs). Returns new
+    (p0, q0, filt)."""
     ps1, ps0, qs0, qs1 = _u2s(p1), _u2s(p0), _u2s(q0), _u2s(q1)
     filt = np.where(use_outer, _sclamp(ps1 - qs1), 0)
     filt = _sclamp(filt + 3 * (qs0 - ps0))
@@ -617,7 +620,7 @@ def _filter_common(p1, p0, q0, q1, use_outer, mask):
 def _subblock_filter(pix, ilim, elim, thresh):
     """Normal sub-block edge filter on a (8, n) pixel slab
     [p3..p0,q0..q3] x n; returns filtered slab."""
-    p3, p2, p1, p0, q0, q1, q2, q3 = (pix[i].astype(np.int32) for i in range(8))
+    p3, p2, p1, p0, q0, q1, q2, q3 = pix
     mask = _nf_mask(p3, p2, p1, p0, q0, q1, q2, q3, ilim, elim)
     hev = (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
     np0, nq0, f1 = _filter_common(p1, p0, q0, q1, hev, mask)
@@ -636,7 +639,7 @@ def _subblock_filter(pix, ilim, elim, thresh):
 
 def _mbedge_filter(pix, ilim, elim, thresh):
     """Normal macroblock edge filter (§15.3, 6-tap wide)."""
-    p3, p2, p1, p0, q0, q1, q2, q3 = (pix[i].astype(np.int32) for i in range(8))
+    p3, p2, p1, p0, q0, q1, q2, q3 = pix
     mask = _nf_mask(p3, p2, p1, p0, q0, q1, q2, q3, ilim, elim)
     hev = (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
     ps2, ps1, ps0 = _u2s(p2), _u2s(p1), _u2s(p0)
@@ -670,7 +673,7 @@ def _mbedge_filter(pix, ilim, elim, thresh):
 
 def _simple_filter(pix, elim):
     """Simple filter (§15.1): only p1,p0,q0,q1 in the slab rows 2..5."""
-    p1, p0, q0, q1 = (pix[i].astype(np.int32) for i in range(2, 6))
+    p1, p0, q0, q1 = pix[2], pix[3], pix[4], pix[5]
     mask = np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= elim
     np0, nq0, _ = _filter_common(p1, p0, q0, q1, True, mask)
     out = pix.copy()
@@ -680,8 +683,8 @@ def _simple_filter(pix, elim):
 
 
 def _edge_slab_v(plane, x, y0, h):
-    """(8,h) slab of columns x-4..x+3 for a vertical edge."""
-    return plane[y0 : y0 + h, x - 4 : x + 4].T.copy()
+    """(8,h) int32 slab of columns x-4..x+3 for a vertical edge."""
+    return plane[y0 : y0 + h, x - 4 : x + 4].T.astype(np.int32)
 
 
 def _put_slab_v(plane, x, y0, slab):
@@ -689,7 +692,7 @@ def _put_slab_v(plane, x, y0, slab):
 
 
 def _edge_slab_h(plane, y, x0, w):
-    return plane[y - 4 : y + 4, x0 : x0 + w].copy()
+    return plane[y - 4 : y + 4, x0 : x0 + w].astype(np.int32)
 
 
 def _put_slab_h(plane, y, x0, slab):
