@@ -1,5 +1,7 @@
 """The full crawl story in-engine (rounds 9-10): WARC archives on
 disk → records → robots filtering → canonical-URL dedup → extracted
+text → quality gates → cross-site dedup → link discovery (resolve,
+canonicalize, robots-filter, PageRank-prioritize, politeness-schedule)
 text → quality filter → content dedup → curation report.
 
 Builds a small synthetic crawl (two .warc/.warc.gz files of HTML +
@@ -51,14 +53,20 @@ def _record(url: str, body: bytes, ctype: bytes = b"text/html") -> bytes:
 
 
 def _page(i: int) -> bytes:
+    # even docs declare a canonical URL (the publisher dedup key)
+    canonical = (
+        "<link rel='canonical' href='http://site-a.test/%d'>" % i
+        if i % 2 == 0
+        else ""
+    )
     body = (
-        "<html><head><title>Doc %d</title></head><body>"
+        "<html><head><title>Doc %d</title>%s</head><body>"
         "<nav><a href='/'>Home</a> <a href='/x'>More</a></nav>"
         "<p>This is substantial unique content for document %d, with "
         "enough words that the quality rules keep it. It discusses "
         "topic %d in satisfying, fully punctuated sentences.</p>"
         "<footer><a href='/terms'>Terms</a></footer></body></html>"
-        % (i, i, i % 3)
+        % (i, canonical, i, i % 3)
     ).encode()
     return body
 
@@ -126,7 +134,51 @@ def main() -> None:
     print(f"dedup: {len(deduped)} canonical docs "
           f"({len(with_text) - len(deduped)} mirrors removed)")
 
-    # 5. the curation report
+    # 5. discovery loop (round 11-12 ops): links out of the fetched
+    # pages feed the NEXT crawl cycle — resolve every <a>/<area> href
+    # (honoring <base href>), prefer publisher-declared canonical
+    # URLs, drop disallowed targets, rank authority, space fetches
+    from littletable_spark.operators.graph import pagerank
+    from littletable_spark.operators.robots import (
+        robots_crawl_delays,
+        schedule_fetches,
+    )
+    from littletable_spark.operators.urlops import (
+        extract_canonical,
+        extract_links,
+    )
+
+    pages = Table.from_df(
+        frontier.df.selectExpr(
+            "url", "cast(payload as string) AS html"
+        ),
+        name="pages",
+    )
+    links = extract_links(pages, "html", "url", "url", link_col="link")
+    canon = extract_canonical(pages, "html", "url", "url")
+    print(f"discovery: {len(links)} links, "
+          f"{canon.df.where('canonical_url IS NOT NULL').count()} canonical tags")
+
+    next_frontier = dedup_urls(
+        Table.from_df(links.df.selectExpr("link AS url"), name="nf"), "url"
+    )
+    allowed = filter_by_robots(next_frontier, rules, "url")
+    edges = Table.from_df(
+        links.df.selectExpr("url AS src", "link AS dst"), name="edges"
+    )
+    ranks = pagerank(edges, iterations=5)
+    prio = Table.from_df(
+        allowed.df.join(
+            ranks.df.withColumnRenamed("node", "url"), "url", "left"
+        ).fillna(0.0, ["rank"]),
+        name="prio",
+    )
+    delays = robots_crawl_delays(robots, "txt", "domain")
+    sched = schedule_fetches(prio, delays, priority_col="rank")
+    head = sched.df.orderBy("fetch_at").limit(3).collect()
+    print("next fetches:", [(r.url, round(r.fetch_at, 2)) for r in head])
+
+    # 6. the curation report
     report = corpus_report(
         Table.from_df(
             texts.df.where("text IS NOT NULL"), name="texts"
