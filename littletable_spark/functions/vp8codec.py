@@ -22,9 +22,10 @@ deliberately NOT libwebp's fancy upsampler (hashes/features downstream
 need stability, not its exact RGB rendition).
 
 Static probability/quantizer tables live in vp8tables.py (normative
-RFC 6386 content). Animations (ANIM/ANMF) and the ALPH alpha channel
-stay out of scope for the builtin decoder (documented on_error
-boundary, same contract as MP3/AAC audio). No reference analog;
+RFC 6386 content). This module decodes SINGLE key frames; animated
+WebP composites through webpcodec.webp_frames (which calls back in
+here per ANMF frame), and the ALPH alpha channel stays out of scope
+(documented boundary — frames render opaque). No reference analog;
 extends the multimodal mandate like imagecodec/webpcodec.
 """
 
@@ -152,10 +153,7 @@ _KF_BMODE_PROBS = tuple(
 _SEGMENT_TREE = (2, 4, -0, -1, -2, -3)
 
 # token tree (§13.2); leaves: 0..4 literal values, 5..10 categories
-_EOB, _CAT1, _CAT2, _CAT3, _CAT4, _CAT5, _CAT6 = -1, 5, 6, 7, 8, 9, 10
-_TOKEN_TREE = (
-    1, 2,            # placeholder row never used via start=0 path below
-)
+_CAT1, _CAT2, _CAT3, _CAT4, _CAT5, _CAT6 = 5, 6, 7, 8, 9, 10
 # RFC coeff tree: indexes are node pairs; leaf -> -value_id (EOB = 11)
 _COEFF_TREE = (
     -11, 2,          # EOB
