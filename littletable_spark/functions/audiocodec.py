@@ -29,6 +29,8 @@ import numpy as np
 __all__ = [
     "decode_wav",
     "decode_flac",
+    "mp3_info",
+    "sniff_mp3",
     "decode_audio_blob",
     "wav_features",
     "audio_fingerprint",
@@ -449,3 +451,129 @@ def audio_fingerprint(blob: bytes, frames: int = 9, bands: int = 8) -> int:
     if h >= 1 << 63:  # two's-complement into a signed long
         h -= 1 << 64
     return h
+
+
+# ------------------------------------------------------------------ #
+# MP3 metadata (header-only parse — ISO/IEC 11172-3 / 13818-3 frame
+# headers + the de-facto Xing/Info and VBRI VBR headers). FULL MP3
+# decode (hybrid filterbank) stays at the documented ffmpeg boundary;
+# curation needs duration/rate/channels, which the headers carry.
+
+#: bitrate tables in kbps, index 1..14 (0 = free, 15 = bad)
+_MP3_BITRATES = {
+    # (version_group, layer): V1 = MPEG-1; V2 = MPEG-2 and 2.5
+    ("V1", 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("V1", 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("V1", 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("V2", 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("V2", 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("V2", 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {
+    3: (44100, 48000, 32000),   # MPEG-1   (version bits 11)
+    2: (22050, 24000, 16000),   # MPEG-2   (version bits 10)
+    0: (11025, 12000, 8000),    # MPEG-2.5 (version bits 00)
+}
+
+
+def _mp3_frame_header(b: bytes, i: int):
+    """Parse a 4-byte frame header at offset i; None when invalid."""
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b[i + 1] >> 3) & 0x3
+    layer_bits = (b[i + 1] >> 1) & 0x3
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # bits 11/10/01 -> layer 1/2/3
+    br_idx = (b[i + 2] >> 4) & 0xF
+    sr_idx = (b[i + 2] >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    padding = (b[i + 2] >> 1) & 1
+    mode = (b[i + 3] >> 6) & 0x3
+    vgroup = "V1" if ver_bits == 3 else "V2"
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    if layer == 1:
+        spf = 384
+        frame_len = (12 * bitrate // rate + padding) * 4
+    else:
+        spf = 1152 if (vgroup == "V1" or layer == 2) else 576
+        frame_len = spf // 8 * bitrate // rate + padding
+    return {
+        "version": {3: "1", 2: "2", 0: "2.5"}[ver_bits],
+        "layer": layer,
+        "bitrate": bitrate,
+        "sample_rate": rate,
+        "n_channels": 1 if mode == 3 else 2,
+        "samples_per_frame": spf,
+        "frame_len": frame_len,
+        "mono": mode == 3,
+    }
+
+
+def sniff_mp3(blob: bytes) -> bool:
+    if blob[:3] == b"ID3":
+        return True
+    return len(blob) >= 4 and _mp3_frame_header(blob, 0) is not None
+
+
+def mp3_info(blob: bytes) -> dict:
+    """Metadata of an MP3 blob without decoding audio: sample_rate,
+    n_channels, duration (exact from a Xing/Info/VBRI frame count
+    when present, else the CBR estimate audio_size*8/bitrate),
+    bitrate, layer/version strings, and vbr flag. Raises ValueError
+    on non-MP3 data (the on_error contract)."""
+    pos = 0
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        size = (
+            (blob[6] & 0x7F) << 21 | (blob[7] & 0x7F) << 14
+            | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
+        )
+        pos = 10 + size
+    # resync scan: tolerate leading junk, bounded
+    hdr = None
+    limit = min(len(blob), pos + 65536)
+    i = pos
+    while i < limit:
+        hdr = _mp3_frame_header(blob, i)
+        if hdr is not None:
+            # require the NEXT frame to parse too (guards random 0xFF)
+            j = i + hdr["frame_len"]
+            if j + 4 > len(blob) or _mp3_frame_header(blob, j) is not None:
+                break
+            hdr = None
+        i += 1
+    if hdr is None:
+        raise ValueError("no MP3 frame sync found")
+    audio_bytes = len(blob) - i
+    frames = None
+    vbr = False
+    # Xing/Info at the layer-3 side-info offset; VBRI at fixed +36
+    if hdr["layer"] == 3:
+        if hdr["version"] == "1":
+            off = i + 4 + (17 if hdr["mono"] else 32)
+        else:
+            off = i + 4 + (9 if hdr["mono"] else 17)
+        tag = blob[off : off + 4]
+        if tag in (b"Xing", b"Info"):
+            flags = int.from_bytes(blob[off + 4 : off + 8], "big")
+            if flags & 1:
+                frames = int.from_bytes(blob[off + 8 : off + 12], "big")
+                vbr = tag == b"Xing"
+        elif blob[i + 36 : i + 40] == b"VBRI":
+            frames = int.from_bytes(blob[i + 50 : i + 54], "big")
+            vbr = True
+    if frames:
+        duration = frames * hdr["samples_per_frame"] / hdr["sample_rate"]
+    else:
+        duration = audio_bytes * 8.0 / hdr["bitrate"]
+    return {
+        "sample_rate": hdr["sample_rate"],
+        "n_channels": hdr["n_channels"],
+        "duration": duration,
+        "bitrate": hdr["bitrate"],
+        "mpeg_version": hdr["version"],
+        "layer": hdr["layer"],
+        "vbr": vbr,
+    }

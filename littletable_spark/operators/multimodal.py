@@ -70,6 +70,12 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
         .when(hx.startswith("664C6143"), F.lit("flac"))
         .when(F.substring(hx, 9, 8) == F.lit("66747970"), F.lit("mp4"))
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"), F.lit("tiff"))
+        .when(hx.startswith("494433"), F.lit("mp3"))  # ID3v2
+        .when(
+            # bare MPEG frame sync: FF Ex/Fx (11-bit sync + valid ver)
+            hx.startswith("FFF") | hx.startswith("FFE"),
+            F.lit("mp3"),
+        )
         .when(hx.startswith("424D"), F.lit("bmp"))
         .otherwise(F.lit("unknown"))
     )
@@ -240,7 +246,12 @@ def decode_audio(
     ``decode_image``. The real path is the pure stdlib/numpy RIFF/PCM
     + FLAC (RFC 9639) decoders in ``functions/audiocodec.py`` (no
     audio library needed; container routed by magic bytes);
-    compressed codecs (MP3/AAC) would need ffmpeg and raise through
+    compressed codecs route by magic: MP3 blobs yield a
+    METADATA-ONLY row (sample_rate, n_channels, n_frames, duration —
+    exact via Xing/Info/VBRI frame counts, else the CBR estimate —
+    with NULL rms/peak/zcr/waveform; header parse per ISO 11172-3,
+    no audio decoded), which is what corpus curation needs from
+    lossy audio; AAC/Opus would need ffmpeg and raise through
     ``on_error``. ``use_fake=True`` emits a deterministic md5-seeded
     feature row (the zero-cost plumbing/oracle path, like the image
     fake). ``on_error="null"`` NULLs the features for undecodable
@@ -267,7 +278,7 @@ def decode_audio(
         import hashlib as _hl
 
         if not use_fake:
-            from ..functions.audiocodec import wav_features
+            from ..functions.audiocodec import mp3_info, sniff_mp3, wav_features
             from ..functions.imagecodec import CORRUPT_ERRORS
 
         for pdf in batches:
@@ -286,7 +297,18 @@ def decode_audio(
                     )
                     continue
                 try:
-                    f = wav_features(bytes(b or b""), n_points=n_points)
+                    blob = bytes(b or b"")
+                    if sniff_mp3(blob):
+                        m = mp3_info(blob)
+                        rows.append(
+                            (
+                                _id, m["sample_rate"], m["n_channels"],
+                                int(round(m["duration"] * m["sample_rate"])),
+                                m["duration"], None, None, None, None,
+                            )
+                        )
+                        continue
+                    f = wav_features(blob, n_points=n_points)
                     rows.append(
                         (
                             _id, f["sample_rate"], f["n_channels"],

@@ -470,3 +470,94 @@ def test_audio_hash_fake_path_is_projection(spark):
     rows = list(audio_hash(t, "blob", "aid"))
     assert rows[0].audio_hash == rows[1].audio_hash
     assert 0 <= rows[0].audio_hash < (1 << 60)
+
+
+# ------------------------------------------------------------------ #
+# MP3 header metadata (round 12): duration/rate/channels without
+# decoding — test-side frames are hand-assembled from the public
+# ISO 11172-3 header layout.
+
+
+def _mp3_frame(bitrate_kbps=128, rate_idx=0, pad=0, mono=False):
+    # MPEG-1 Layer III header: FF FB  (sync + ver 11 + layer 01 + noprot)
+    br_map = {32:1,40:2,48:3,56:4,64:5,80:6,96:7,112:8,128:9,160:10,192:11,224:12,256:13,320:14}
+    b2 = (br_map[bitrate_kbps] << 4) | (rate_idx << 2) | (pad << 1)
+    b3 = 0xC0 if mono else 0x00
+    rate = (44100, 48000, 32000)[rate_idx]
+    flen = 1152 // 8 * bitrate_kbps * 1000 // rate + pad
+    return bytes([0xFF, 0xFB, b2, b3]) + b"\x00" * (flen - 4)
+
+
+def test_mp3_info_cbr_and_id3():
+    from littletable_spark.functions.audiocodec import mp3_info, sniff_mp3
+
+    blob = _mp3_frame() * 77
+    info = mp3_info(blob)
+    assert (info["sample_rate"], info["n_channels"]) == (44100, 2)
+    assert abs(info["duration"] - 77 * 1152 / 44100) < 0.05
+    assert info["bitrate"] == 128000 and not info["vbr"]
+    # ID3v2 prefix skipped (syncsafe size)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 30]) + b"\xaa" * 30
+    assert abs(mp3_info(id3 + blob)["duration"] - info["duration"]) < 0.01
+    assert sniff_mp3(blob) and sniff_mp3(id3 + blob)
+    assert not sniff_mp3(b"RIFFxxxxWAVE")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MP3"):
+        mp3_info(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4]) + b"\x00" * 500)
+
+
+def test_mp3_info_xing_exact_frames():
+    from littletable_spark.functions.audiocodec import mp3_info
+
+    first = bytearray(_mp3_frame())
+    first[4 + 32 : 4 + 36] = b"Xing"
+    first[4 + 36 : 4 + 40] = (1).to_bytes(4, "big")
+    first[4 + 40 : 4 + 44] = (500).to_bytes(4, "big")
+    blob = bytes(first) + _mp3_frame() * 5
+    info = mp3_info(blob)
+    assert info["vbr"]
+    assert abs(info["duration"] - 500 * 1152 / 44100) < 1e-9
+
+
+def test_mp3_info_mono_mpeg2():
+    from littletable_spark.functions.audiocodec import mp3_info
+
+    # MPEG-2 Layer III mono, 24000 Hz, 64 kbps: FF F3 (ver 10), spf 576
+    b2 = (5 << 4) | (1 << 2)  # br idx 5 = 64k in the V2 L3 table? idx5=48...
+    # V2 L3 table: idx -> (0,8,16,24,32,40,48,56,64,...): 64k = idx 8
+    b2 = (8 << 4) | (1 << 2)
+    flen = 576 // 8 * 64000 // 24000
+    frame = bytes([0xFF, 0xF3, b2, 0xC0]) + b"\x00" * (flen - 4)
+    info = mp3_info(frame * 50)
+    assert (info["sample_rate"], info["n_channels"]) == (24000, 1)
+    assert info["mpeg_version"] == "2" and info["bitrate"] == 64000
+    assert abs(info["duration"] - 50 * 576 / 24000) < 0.03
+
+
+def test_decode_audio_mp3_metadata_row(spark):
+    """Pipeline contract: MP3 blobs land metadata-only (features
+    NULL), WAV/FLAC rows keep full features, junk NULLs out."""
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import decode_audio, sniff_media
+
+    t_ = np.arange(8000) / 8000.0
+    wav = _wav_pcm16(np.sin(2 * np.pi * 440 * t_))
+    mp3 = _mp3_frame() * 40
+    t = Table("snd", spark=spark)
+    t.insert_many(
+        [
+            {"sid": 0, "blob": wav},
+            {"sid": 1, "blob": mp3},
+            {"sid": 2, "blob": b"not audio at all"},
+        ]
+    )
+    out = decode_audio(t, "blob", "sid", on_error="null")
+    rows = {r.sid: r for r in out}
+    assert rows[0].rms is not None
+    assert rows[1].sample_rate == 44100 and rows[1].n_channels == 2
+    assert abs(rows[1].duration - 40 * 1152 / 44100) < 0.05
+    assert rows[1].rms is None and rows[1].waveform is None
+    assert rows[2].sample_rate is None
+    fmt = {r.sid: r.media_meta["format"] for r in sniff_media(t, "blob")}
+    assert fmt[0] == "wav" and fmt[1] == "mp3"
