@@ -42,6 +42,24 @@ def _track_re() -> str:
     return TRACKING_PARAM_RE
 
 
+def _host_sql(url_expr: str) -> str:
+    """DuckDB SQL for the shared host chain (urlops.host_sql) — ONE
+    definition in the operator module, composed here so the oracles
+    can never drift from the Spark-side host extraction (incl. the
+    round-13 bracketed-IPv6 widening)."""
+    from littletable_spark.operators.urlops import host_sql
+
+    return host_sql(url_expr)
+
+
+def _hostport_sql(url_expr: str) -> str:
+    """DuckDB SQL for urlops.hostport_of (lowercased, userinfo
+    stripped; IPv6 brackets and any explicit port still attached)."""
+    from littletable_spark.operators.urlops import hostport_sql
+
+    return hostport_sql(url_expr)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
     """Load a test table. With SPARK_GRAFT_CACHE_TABLES=1 (set by
     bench.py) base tables are persisted and reused across queries — the
@@ -1529,7 +1547,8 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL curation features (round 9, r10: public-suffix-aware
     registrable domains): synthesize crawl-shaped URLs from document
-    fields (ip-hosted every 11th doc, ccTLD `.co.uk` hosts every 7th,
+    fields (ip-hosted every 11th doc, bracketed-IPv6 hosts with
+    userinfo+port every doc_id%11==5, ccTLD `.co.uk` hosts every 7th,
     query params every 3rd), then derive host / registrable domain /
     tld / path depth / param count / is_ip with the SAME regexes AND
     the same public-suffix IN-list in both engines (deliberately not
@@ -1543,6 +1562,14 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://10.0.0."),
             (F.col("doc_id") % 200).cast("string"),
             F.lit("/mirror/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).when(
+        F.col("doc_id") % 11 == 5,
+        F.concat(
+            F.lit("http://u@[2001:db8::"),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit("]:8080/v6/"),
             F.col("doc_id").cast("string"),
         ),
     ).otherwise(
@@ -1584,9 +1611,25 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pair = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+    # doc_id%11==7: bracketed-IPv6 authorities (round 13) — uppercase
+    # hex + userinfo + explicit default port on the even rows, bare
+    # bracket form on the odd rows; the address's colons must never
+    # read as a port and the brackets must survive canonicalization
     url = F.when(F.col("doc_id") % 11 == 0, F.lit("no scheme here")).otherwise(
         F.concat(
             F.when(
+                (F.col("doc_id") % 11 == 7) & (F.col("doc_id") % 2 == 0),
+                F.concat(
+                    F.lit("HTTPS://U:P@[2001:DB8::1]:443/V6/"), pair,
+                    F.lit("?utm_source=x&b=2&a=1"),
+                ),
+            ).when(
+                F.col("doc_id") % 11 == 7,
+                F.concat(
+                    F.lit("https://[2001:db8::1]/V6/"), pair,
+                    F.lit("?a=1&b=2&gclid="), F.col("doc_id").cast("string"),
+                ),
+            ).when(
                 F.col("doc_id") % 2 == 0,
                 F.concat(
                     F.lit("HTTPS://CDN.Example-"), F.col("lang"),
@@ -1642,6 +1685,10 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from littletable_spark.operators.robots import filter_by_robots, parse_robots
 
     d = _t(spark, sf_dir, "documents")
+    # one listed bracketed-IPv6 host rides along (round 13): its
+    # /public/ URLs must be KEPT under keep_unlisted=False, which only
+    # happens when the shared host chain yields the bracket contents
+    # (a mis-parse like '[2001' reads as unlisted and drops them)
     robots = Table.from_df(
         d.df.select("lang")
         .distinct()
@@ -1650,33 +1697,41 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "domain"
             ),
             F.lit(_ROBOTS_TEMPLATE).alias("txt"),
+        )
+        .unionByName(
+            d.df.sparkSession.createDataFrame(
+                [("2001:db8::1", _ROBOTS_TEMPLATE)], "domain string, txt string"
+            )
         ),
         name="robots",
     )
     rules = parse_robots(robots, "txt", "domain")
     shape = F.col("doc_id") % 5
+    pathpart = F.concat(
+        F.when(shape == 0, F.lit("/public/"))
+        .when(shape == 1, F.lit("/private/"))
+        .when(shape == 2, F.lit("/private/ok/"))
+        .otherwise(F.lit("/tmp")),
+        F.col("doc_id").cast("string"),
+        F.when(shape == 3, F.lit(".bak"))
+        .when(shape == 4, F.lit(".bak.txt"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("?sessionid="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit("#frag?sessionid=9"))
+        .otherwise(F.lit("")),
+    )
     url = F.when(
         F.col("doc_id") % 13 == 0,
         F.concat(F.lit("https://unlisted-"), F.col("lang"), F.lit(".org/x")),
+    ).when(
+        F.col("doc_id") % 13 == 6,
+        F.concat(F.lit("https://u@[2001:db8::1]:8080"), pathpart),
     ).otherwise(
         F.concat(
-            F.lit("https://site-"),
-            F.col("lang"),
-            F.lit(".com"),
-            F.when(shape == 0, F.lit("/public/"))
-            .when(shape == 1, F.lit("/private/"))
-            .when(shape == 2, F.lit("/private/ok/"))
-            .otherwise(F.lit("/tmp")),
-            F.col("doc_id").cast("string"),
-            F.when(shape == 3, F.lit(".bak"))
-            .when(shape == 4, F.lit(".bak.txt"))
-            .otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(F.lit("?sessionid="), F.col("doc_id").cast("string")),
-            ).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 9 == 0, F.lit("#frag?sessionid=9"))
-            .otherwise(F.lit("")),
+            F.lit("https://site-"), F.col("lang"), F.lit(".com"), pathpart
         )
     )
     d.compute_field("url", url)
@@ -1883,9 +1938,20 @@ def q_url_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit('<a href="../up/./'), did, F.lit('.html">u</a>')),
         ).otherwise(F.lit('<a href="mailto:a@b.c">m</a><a href="#s">s</a>')),
     )
-    base = F.concat(
-        F.lit("https://site-"), F.col("lang"), F.lit(".com/d/"),
-        (F.col("doc_id") % 7).cast("string"), F.lit("/p.html"),
+    # every doc_id%8==3 page lives on a bracketed-IPv6 authority
+    # (round 13): relative/root-relative/query-only hrefs must resolve
+    # against the full '[2001:db8::7]:8443' authority in both engines
+    base = F.when(
+        F.col("doc_id") % 8 == 3,
+        F.concat(
+            F.lit("https://[2001:db8::7]:8443/d/"),
+            (F.col("doc_id") % 7).cast("string"), F.lit("/p.html"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site-"), F.col("lang"), F.lit(".com/d/"),
+            (F.col("doc_id") % 7).cast("string"), F.lit("/p.html"),
+        )
     )
     d.compute_field("html", html)
     d.compute_field("url", base)
@@ -1938,7 +2004,10 @@ def _links_oracle_sql() -> str:
                       THEN '<a href="../up/./' || doc_id::VARCHAR || '.html">u</a>'
                       ELSE '<a href="mailto:a@b.c">m</a><a href="#s">s</a>' END
                  AS html,
-                 'https://site-' || lang || '.com/d/' || (doc_id % 7)::VARCHAR || '/p.html' AS base
+                 CASE WHEN doc_id % 8 = 3
+                      THEN 'https://[2001:db8::7]:8443/d/' || (doc_id % 7)::VARCHAR || '/p.html'
+                      ELSE 'https://site-' || lang || '.com/d/' || (doc_id % 7)::VARCHAR || '/p.html'
+                 END AS base
           FROM documents
         ),
         eb AS (
@@ -2216,7 +2285,9 @@ def q_url_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang's first letter so the oracle can replay it arithmetically)
     drive schedule_fetches — per-host priority-desc rank windows space
     fetches crawl_delay seconds apart; unlisted hosts (every 13th doc)
-    take the scheduler default. Covers robots_crawl_delays (previously
+    and a bracketed-IPv6 host (doc_id%13==6, round 13 — its own window
+    partition only if the shared host chain parses the brackets) take
+    the scheduler default. Covers robots_crawl_delays (previously
     test-only) AND the keyed-window family in one gate row."""
     from littletable_spark.operators.robots import (
         robots_crawl_delays,
@@ -2245,6 +2316,12 @@ def q_url_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 13 == 0,
         F.concat(
             F.lit("https://unlisted-"), F.col("lang"), F.lit(".org/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).when(
+        F.col("doc_id") % 13 == 6,
+        F.concat(
+            F.lit("https://[2001:db8::a]:8443/p/"),
             F.col("doc_id").cast("string"),
         ),
     ).otherwise(
@@ -4414,6 +4491,9 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN doc_id % 11 = 0 THEN
                        'http://10.0.0.' || (doc_id % 200)::VARCHAR
                        || '/mirror/' || doc_id::VARCHAR
+                     WHEN doc_id % 11 = 5 THEN
+                       'http://u@[2001:db8::' || (doc_id % 9)::VARCHAR
+                       || ']:8080/v6/' || doc_id::VARCHAR
                      ELSE
                        'https://u:p@' || source || '.example-' || lang
                        || CASE WHEN doc_id % 7 = 0 THEN '.co.uk:8443/docs/'
@@ -4424,34 +4504,32 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), f AS (
               SELECT doc_id, url,
-                     regexp_extract(
-                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                       '^(?:[^@]*@)?([^:]*)', 1) AS host,
+                     __HOST_EXPR__ AS host,
                      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
                      regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\\?(.*)$', 1) AS query
               FROM u
             ), g AS (
               SELECT *,
                      regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS sfx2,
-                     regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS sfx3
+                     regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS sfx3,
+                     (regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
+                      OR contains(host, ':')) AS ipish
               FROM f
             )
             SELECT doc_id, host,
-                   CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
-                        THEN host
+                   CASE WHEN ipish THEN host
                         WHEN sfx2 IN (__PSL_IN_LIST__) AND sfx3 <> ''
                         THEN sfx3
                         ELSE sfx2 END AS domain,
-                   CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
-                        THEN ''
+                   CASE WHEN ipish THEN ''
                         ELSE regexp_extract(host, '\\.([A-Za-z0-9-]+)$', 1) END AS tld,
                    len(list_filter(string_split(path, '/'), x -> x <> ''))::INTEGER AS path_depth,
                    CASE WHEN query = '' THEN 0
                         ELSE len(string_split(query, '&')) END::INTEGER AS n_params,
-                   CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
-                        THEN 1 ELSE 0 END AS is_ip
+                   CASE WHEN ipish THEN 1 ELSE 0 END AS is_ip
             FROM g
-        """.replace("__PSL_IN_LIST__", _psl_in_list()),
+        """.replace("__PSL_IN_LIST__", _psl_in_list())
+        .replace("__HOST_EXPR__", _host_sql("url")),
         # canonicalization: same regexes, same byte-order param sort;
         # the tracking-param regex is the operator's own constant so
         # the engines cannot drift
@@ -4460,7 +4538,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN doc_id % 11 = 0 THEN 'no scheme here'
                      ELSE
-                       CASE WHEN doc_id % 2 = 0 THEN
+                       CASE WHEN doc_id % 11 = 7 AND doc_id % 2 = 0 THEN
+                         'HTTPS://U:P@[2001:DB8::1]:443/V6/'
+                         || (doc_id - doc_id % 2)::VARCHAR
+                         || '?utm_source=x&b=2&a=1'
+                       WHEN doc_id % 11 = 7 THEN
+                         'https://[2001:db8::1]/V6/'
+                         || (doc_id - doc_id % 2)::VARCHAR
+                         || '?a=1&b=2&gclid=' || doc_id::VARCHAR
+                       WHEN doc_id % 2 = 0 THEN
                          'HTTPS://CDN.Example-' || lang || '.COM:443/Item/'
                          || (doc_id - doc_id % 2)::VARCHAR
                          || '?utm_source=x&b=2&a=1'
@@ -4475,24 +4561,24 @@ def oracle_sql() -> dict[str, str]:
             ), f AS (
               SELECT doc_id,
                      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                     regexp_extract(
-                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                       '^(?:[^@]*@)?(.*)$', 1) AS hostport,
+                     __HOSTPORT_EXPR__ AS hostport,
                      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS raw_path,
                      regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\\?(.*)$', 1) AS query
               FROM u
             ), g AS (
               SELECT doc_id, scheme,
-                     regexp_extract(hostport, '^([^:]*)', 1) AS host,
-                     regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                     regexp_extract(hostport, '^(\\[[^\\]]*\\]|[^:]*)', 1) AS host_token,
+                     regexp_extract(hostport, '^(?:\\[[^\\]]*\\]|[^:]*):([0-9]+)$', 1) AS port,
                      CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path,
                      list_sort(list_filter(string_split(query, '&'),
                        p -> p <> '' AND NOT regexp_matches(p, '__TRACK_RE__'))) AS params
               FROM f
             ), c AS (
               SELECT doc_id,
-                     CASE WHEN scheme = '' OR host = '' THEN NULL
-                     ELSE scheme || '://' || host
+                     CASE WHEN scheme = ''
+                          OR regexp_replace(host_token, '^\\[|\\]$', '', 'g') = ''
+                     THEN NULL
+                     ELSE scheme || '://' || host_token
                        || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                                     OR (scheme = 'https' AND port = '443')
                                THEN '' ELSE ':' || port END
@@ -4505,7 +4591,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canon_url,
                    (count(*) OVER (PARTITION BY canon_url))::INTEGER AS n_same_key
             FROM c
-        """.replace("__TRACK_RE__", _track_re()),
+        """.replace("__TRACK_RE__", _track_re())
+        .replace("__HOSTPORT_EXPR__", _hostport_sql("url")),
         # robots filtering: the parsed rules of the fixed template are
         # replayed as VALUES; same LIKE patterns (ESCAPE '\\'), same
         # longest-rule/allow-wins window, same subdomain-safe domain
@@ -4524,6 +4611,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN doc_id % 13 = 0 THEN
                        'https://unlisted-' || lang || '.org/p/' || doc_id::VARCHAR
+                     WHEN doc_id % 13 = 6 THEN
+                       'https://[2001:db8::a]:8443/p/' || doc_id::VARCHAR
                      ELSE
                        'https://site-' || lang || '.com/p/' || doc_id::VARCHAR
                      END AS url,
@@ -4532,9 +4621,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (
               SELECT doc_id, url, prio,
-                     regexp_extract(
-                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                       '^(?:[^@]*@)?([^:]*)', 1) AS host
+                     __HOST_EXPR__ AS host
               FROM u
             ),
             j AS (
@@ -4549,13 +4636,17 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY prio DESC NULLS LAST, url
                     ) - 1) * delay AS fetch_at
             FROM j
-        """,
+        """.replace("__HOST_EXPR__", _host_sql("url")),
         "url_robots": """
-            WITH langs AS (SELECT DISTINCT lang FROM documents),
+            WITH doms AS (
+              SELECT 'site-' || lang || '.com' AS domain
+              FROM (SELECT DISTINCT lang FROM documents)
+              UNION ALL SELECT '2001:db8::1'
+            ),
             rules AS (
-              SELECT 'site-' || lang || '.com' AS domain,
+              SELECT d.domain,
                      r.allow, r.rule_len, r.like_pattern
-              FROM langs, (VALUES
+              FROM doms d, (VALUES
                 (false, 9, '/private/%'),
                 (true, 11, '/private/ok%'),
                 (false, 10, '/tmp%.bak'),
@@ -4567,7 +4658,9 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN doc_id % 13 = 0 THEN
                        'https://unlisted-' || lang || '.org/x'
                      ELSE
-                       'https://site-' || lang || '.com'
+                       CASE WHEN doc_id % 13 = 6
+                            THEN 'https://u@[2001:db8::1]:8080'
+                            ELSE 'https://site-' || lang || '.com' END
                        || CASE doc_id % 5 WHEN 0 THEN '/public/'
                             WHEN 1 THEN '/private/' WHEN 2 THEN '/private/ok/'
                             ELSE '/tmp' END
@@ -4583,9 +4676,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (
               SELECT doc_id, url,
-                     regexp_extract(
-                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                       '^(?:[^@]*@)?([^:]*)', 1) AS host,
+                     __HOST_EXPR__ AS host,
                      CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) = ''
                           THEN '/'
                           ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)
@@ -4615,7 +4706,7 @@ def oracle_sql() -> dict[str, str]:
               AND CASE WHEN j.rule_len IS NOT NULL THEN j.allow
                        WHEN l.is_listed IS NOT NULL THEN TRUE
                        ELSE FALSE END
-        """,
+        """.replace("__HOST_EXPR__", _host_sql("url")),
         # exact percentiles: quantile_cont ≡ Spark percentile (A/B
         # verified bit-equal incl. interpolation error)
         "text_corpus_report": """

@@ -241,13 +241,15 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    # the driver's artifact stores a byte-bounded TAIL of stdout, and in
-    # round 8 the single long JSON line lost its own head (headline
-    # `value` + first queries). Truncation-proofing, both directions:
-    # (1) a compact summary line FIRST, (2) the headline scalars
-    # repeated at the END of the full dict, after the big `queries`
-    # map — whichever end a capture keeps, the totals survive. The
-    # LAST stdout line is always the full record.
+    # the driver's artifact stores a byte-bounded TAIL of stdout (last
+    # ~2,000 bytes), and in rounds 8/11/12 the long full-record line
+    # lost its own head — including the first four per-query keys.
+    # Truncation-proofing, all directions: (1) a compact summary line
+    # FIRST, (2) the full record (scalars repeated after the big
+    # `queries` map), and (3) a final COMPACT line with EVERY query as
+    # integer milliseconds and no spaces (~1.8 KB for ~85 rows), so the
+    # tail capture always parses every registry bench row. The full
+    # record is also written to bench_last.json beside this script.
     print(
         json.dumps(
             {
@@ -305,6 +307,52 @@ def main() -> None:
             }
         )
     )
+
+    # Full record to a sibling file too — survives any stdout capture
+    # policy (best-effort: bench must still succeed on a read-only FS).
+    full_record = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": sf_val,
+        "cpus": CPUS,
+        "queries": timings,
+        "value": total,
+        "calibration_sec": calibration,
+        "calibration_arrow_fresh_sec": calibration_arrow_fresh,
+        "calibration_arrow_sec": calibration_arrow,
+        "calibration_seg_jvm_median": calibration_seg_jvm_median,
+        "calibration_seg_arrow_median": calibration_seg_arrow_median,
+        "calibration_segments": cal_segments,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+        "ts_start": round(ts_start, 1),
+        "ts_end": round(ts_end, 1),
+    }
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_last.json")
+        with open(out, "w") as fh:
+            json.dump(full_record, fh)
+    except OSError:
+        pass
+
+    # FINAL line: every query, integer time units, separators with no
+    # spaces — sized to fit the driver's ~2,000-byte tail capture. If
+    # the registry ever grows the ms form past the budget, degrade the
+    # unit (ms -> cs -> ds); the `unit` key tells the reader which.
+    for unit, scale in (("ms", 1000), ("cs", 100), ("ds", 10)):
+        compact = json.dumps(
+            {
+                "unit": unit,
+                "q": {n: int(round(v * scale)) for n, v in timings.items()},
+                "value": total,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+        if len(compact) <= 1960:
+            break
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,260 @@
+"""DOCX / ODT text extraction — pure stdlib (zipfile + xml.etree).
+
+Office documents are the largest class of real-corpus text blobs after
+PDF/HTML (reference parity: littletable has no blob ingestion at all —
+this extends the crawl-ingestion surface the same way pdfcodec.py
+does). Both formats are ZIP containers holding XML:
+
+- DOCX (ECMA-376 WordprocessingML): ``word/document.xml`` body plus
+  ``word/header*.xml`` / ``word/footer*.xml`` parts. Text lives in
+  ``w:t`` runs inside ``w:p`` paragraphs; ``w:tab`` is a tab, ``w:br``
+  / ``w:cr`` are line breaks; tables are ``w:tbl`` > ``w:tr`` >
+  ``w:tc``.
+- ODT (OASIS OpenDocument v1.2 §3.3): ``mimetype`` member declares
+  ``application/vnd.oasis.opendocument.text``; ``content.xml`` holds
+  ``text:p`` / ``text:h`` paragraphs with ``text:tab``,
+  ``text:line-break``, and ``text:s`` (run-length spaces) whitespace
+  elements; tables are ``table:table`` > ``table-row`` > ``table-cell``.
+
+Whitespace semantics (deterministic, tested):
+- each paragraph / heading is one output line;
+- table rows are one line each, cells joined by tabs (a cell's inner
+  paragraphs joined by a single space);
+- DOCX part order: headers, body, footers.
+
+Every failure mode (corrupt zip, missing part, encrypted/locked
+members, malformed XML, non-document zip) raises ``ValueError`` so the
+caller's ``on_error`` policy (multimodal.extract_text) applies
+uniformly.
+"""
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree
+
+__all__ = [
+    "sniff_office",
+    "extract_docx_text",
+    "extract_odt_text",
+    "extract_office_text",
+]
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_T = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_TBL = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+
+_ODT_MIME = b"mimetypeapplication/vnd.oasis.opendocument.text"
+
+
+def sniff_office(blob: bytes) -> str | None:
+    """'docx' / 'odt' / None for a PK-magic blob. The ODT fast path is
+    the spec's own guarantee (ODF §3.2: ``mimetype`` is the FIRST
+    member, STORED, so its name+bytes sit at a fixed offset); DOCX
+    needs the central directory for ``word/document.xml``."""
+    if not blob.startswith(b"PK\x03\x04"):
+        return None
+    # ODT: local header (30 bytes) + 'mimetype' + literal mime bytes
+    if blob[30:30 + len(_ODT_MIME)] == _ODT_MIME:
+        return "odt"
+    try:
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            names = set(zf.namelist())
+    except Exception:
+        return None
+    if "word/document.xml" in names:
+        return "docx"
+    if "mimetype" in names:
+        try:
+            with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                if zf.read("mimetype").startswith(
+                    b"application/vnd.oasis.opendocument.text"
+                ):
+                    return "odt"
+        except Exception:
+            return None
+    return None
+
+
+def _open_zip(blob: bytes) -> zipfile.ZipFile:
+    try:
+        return zipfile.ZipFile(io.BytesIO(blob))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"corrupt zip container: {e}") from e
+
+
+def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
+    try:
+        return zf.read(name)
+    except KeyError as e:
+        raise ValueError(f"zip member missing: {name}") from e
+    except (RuntimeError, NotImplementedError, zipfile.BadZipFile) as e:
+        # encrypted ('password required') or unsupported compression
+        raise ValueError(f"unreadable zip member {name}: {e}") from e
+
+
+def _parse_xml(data: bytes, part: str) -> ElementTree.Element:
+    try:
+        return ElementTree.fromstring(data)
+    except ElementTree.ParseError as e:
+        raise ValueError(f"malformed XML in {part}: {e}") from e
+
+
+# ---------------------------------------------------------------- DOCX
+
+def _docx_para_text(p) -> str:
+    """Flatten one w:p: w:t text, w:tab -> \\t, w:br / w:cr -> \\n."""
+    out: list[str] = []
+    for el in p.iter():
+        tag = el.tag
+        if tag == f"{_W}t":
+            out.append(el.text or "")
+        elif tag == f"{_W}tab":
+            out.append("\t")
+        elif tag in (f"{_W}br", f"{_W}cr"):
+            out.append("\n")
+    return "".join(out)
+
+
+def _docx_block_lines(root) -> list[str]:
+    """Lines for the direct block children of a body-like element:
+    paragraphs one line each, tables one line per row (cells joined by
+    tabs, a cell's paragraphs joined by a space)."""
+    lines: list[str] = []
+    for child in root:
+        tag = child.tag
+        if tag == f"{_W}p":
+            lines.append(_docx_para_text(child))
+        elif tag == f"{_W}tbl":
+            for tr in child.iter(f"{_W}tr"):
+                cells = []
+                for tc in tr.findall(f"{_W}tc"):
+                    cells.append(
+                        " ".join(
+                            _docx_para_text(p) for p in tc.iter(f"{_W}p")
+                        )
+                    )
+                lines.append("\t".join(cells))
+        elif tag == f"{_W}sdt":
+            # structured document tag: recurse into its content block
+            content = child.find(f"{_W}sdtContent")
+            if content is not None:
+                lines.extend(_docx_block_lines(content))
+    return lines
+
+
+# headers/footers sorted by the numeric suffix so header1, header2, …
+_HDR_RE = re.compile(r"^word/(header|footer)(\d+)\.xml$")
+
+
+def extract_docx_text(blob: bytes) -> str:
+    """Text of a DOCX blob: headers, then the document body, then
+    footers; one line per paragraph / table row."""
+    with _open_zip(blob) as zf:
+        names = zf.namelist()
+        if "word/document.xml" not in names:
+            raise ValueError("not a DOCX: word/document.xml missing")
+        headers, footers = [], []
+        for n in names:
+            m = _HDR_RE.match(n)
+            if m:
+                (headers if m.group(1) == "header" else footers).append(
+                    (int(m.group(2)), n)
+                )
+        lines: list[str] = []
+        for _, n in sorted(headers):
+            lines.extend(_docx_block_lines(_part_body(zf, n)))
+        body = _parse_xml(
+            _read_member(zf, "word/document.xml"), "word/document.xml"
+        ).find(f"{_W}body")
+        if body is None:
+            raise ValueError("DOCX document.xml has no w:body")
+        lines.extend(_docx_block_lines(body))
+        for _, n in sorted(footers):
+            lines.extend(_docx_block_lines(_part_body(zf, n)))
+    return "\n".join(lines).strip()
+
+
+def _part_body(zf: zipfile.ZipFile, name: str):
+    """A header/footer part's root element (w:hdr / w:ftr) — its
+    children are the same block content as w:body's."""
+    return _parse_xml(_read_member(zf, name), name)
+
+
+# ----------------------------------------------------------------- ODT
+
+def _odt_para_text(p) -> str:
+    """Flatten one text:p / text:h, expanding ODF whitespace elements
+    in document order (ElementTree: element text, then each child's
+    expansion, then the child's tail)."""
+    out: list[str] = []
+
+    def walk(el) -> None:
+        tag = el.tag
+        if tag == f"{_T}tab":
+            out.append("\t")
+        elif tag == f"{_T}line-break":
+            out.append("\n")
+        elif tag == f"{_T}s":
+            out.append(" " * int(el.get(f"{_T}c", "1") or "1"))
+        if el.text and tag not in (f"{_T}tab", f"{_T}line-break", f"{_T}s"):
+            out.append(el.text)
+        for ch in el:
+            walk(ch)
+            if ch.tail:
+                out.append(ch.tail)
+
+    out.append(p.text or "")
+    for ch in p:
+        walk(ch)
+        if ch.tail:
+            out.append(ch.tail)
+    return "".join(out)
+
+
+def _odt_block_lines(root) -> list[str]:
+    lines: list[str] = []
+    for child in root:
+        tag = child.tag
+        if tag in (f"{_T}p", f"{_T}h"):
+            lines.append(_odt_para_text(child))
+        elif tag == f"{_TBL}table":
+            for tr in child.iter(f"{_TBL}table-row"):
+                cells = []
+                for tc in tr.findall(f"{_TBL}table-cell"):
+                    cells.append(
+                        " ".join(
+                            _odt_para_text(p)
+                            for p in tc.iter()
+                            if p.tag in (f"{_T}p", f"{_T}h")
+                        )
+                    )
+                lines.append("\t".join(cells))
+        elif tag == f"{_T}section":
+            lines.extend(_odt_block_lines(child))
+    return lines
+
+
+def extract_odt_text(blob: bytes) -> str:
+    """Text of an ODT blob (content.xml office:body > office:text)."""
+    _O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+    with _open_zip(blob) as zf:
+        root = _parse_xml(_read_member(zf, "content.xml"), "content.xml")
+    body = root.find(f"{_O}body")
+    text = body.find(f"{_O}text") if body is not None else None
+    if text is None:
+        raise ValueError("ODT content.xml has no office:body/office:text")
+    return "\n".join(_odt_block_lines(text)).strip()
+
+
+def extract_office_text(blob: bytes) -> tuple[str, str]:
+    """(format, text) for a PK-magic blob; ValueError when the zip is
+    not a DOCX/ODT document (xlsx/pptx/plain archives included — the
+    caller's on_error policy decides whether that kills the job)."""
+    kind = sniff_office(blob)
+    if kind == "docx":
+        return "docx", extract_docx_text(blob)
+    if kind == "odt":
+        return "odt", extract_odt_text(blob)
+    raise ValueError("zip container is not a DOCX or ODT document")

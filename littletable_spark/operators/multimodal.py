@@ -423,6 +423,11 @@ def extract_text(
       ``html_main_content=True`` additionally drops
       link-dense/short boilerplate blocks — the readability
       heuristic);
+    - DOCX / ODT (``PK`` magic + member sniff) via the pure-stdlib
+      zipfile+XML extractor in ``functions/officecodec.py``
+      (paragraphs, tables, headers/footers, w:tab / w:br / text:tab /
+      text:s whitespace semantics; corrupt or locked archives and
+      non-document zips surface through ``on_error``);
     - everything else: UTF-8 passthrough.
 
     ``on_error="null"`` NULLs the text for unextractable blobs so one
@@ -443,6 +448,7 @@ def extract_text(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.htmlcodec import extract_html_text, looks_like_html
         from ..functions.imagecodec import CORRUPT_ERRORS
+        from ..functions.officecodec import extract_office_text
         from ..functions.pdfcodec import extract_pdf_text
 
         for pdf in batches:
@@ -454,6 +460,9 @@ def extract_text(
                 try:
                     if blob.startswith(b"%PDF-"):
                         rows.append((_id, "pdf", "", extract_pdf_text(blob)))
+                    elif blob.startswith(b"PK\x03\x04"):
+                        kind, text = extract_office_text(blob)
+                        rows.append((_id, kind, "", text))
                     elif looks_like_html(blob):
                         got = extract_html_text(
                             blob, main_content=html_main_content

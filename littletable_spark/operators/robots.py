@@ -50,7 +50,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..table import Table
-from .urlops import _HOST_RE
+from .urlops import host_of
 
 # Path AND query (everything after the authority up to any fragment):
 # RFC 9309 rules match against the path-and-query, so a rule like
@@ -295,8 +295,7 @@ def filter_by_robots(
     listed-domain probe (no second join)."""
     df = table._require_df()
     url = F.coalesce(F.col(url_col), F.lit(""))
-    authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
-    host = F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1)
+    host = host_of(url)  # shared chain: userinfo/port/IPv6-brackets
     raw_pq = F.regexp_extract(url, _PATHQ_RE, 1)
     pathq = F.when(raw_pq == F.lit(""), F.lit("/")).otherwise(raw_pq)
     work = df.withColumn("__host__", host).withColumn("__path__", pathq)
@@ -380,8 +379,7 @@ def schedule_fetches(
 
     df = table._require_df()
     url = F.coalesce(F.col(url_col), F.lit(""))
-    authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
-    host = F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1)
+    host = host_of(url)  # shared chain: userinfo/port/IPv6-brackets
     work = df.withColumn("__host__", host)
     if delays is not None:
         ddf = delays._require_df().select(

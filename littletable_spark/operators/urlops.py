@@ -48,6 +48,60 @@ __all__ = [
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+# ONE definition of "host of a URL" for the whole URL family —
+# url_features / canonicalize_urls / filter_by_robots /
+# schedule_fetches consume these builders, and the DuckDB oracle
+# generators compose the SQL twins (``host_sql``), so the engines
+# cannot drift. Bracketed-IPv6 authorities (RFC 3986 §3.2.2,
+# ``http://[2001:db8::1]:8080/``) yield host = the bracket contents
+# and port = the digits after ``]:``; every regex is RE2-safe (no
+# lookaround, no backrefs) so Spark's Java regex and DuckDB agree.
+_HOSTPORT_RE = r"^(?:[^@]*@)?(.*)$"  # strip userinfo
+_HOST_TOKEN_RE = r"^(\[[^\]]*\]|[^:]*)"  # bracketed IPv6 | up-to-colon
+_BRACKETS_RE = r"^\[|\]$"
+_PORT_RE = r"^(?:\[[^\]]*\]|[^:]*):([0-9]+)$"
+
+
+def hostport_of(url: F.Column) -> F.Column:
+    """Lowercased authority of a URL column, userinfo stripped."""
+    authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.regexp_extract(authority, _HOSTPORT_RE, 1)
+
+
+def host_token_of(hostport: F.Column) -> F.Column:
+    """Host part of a ``hostport_of`` value with IPv6 brackets KEPT
+    (``[2001:db8::1]``) — the form a canonical URL re-embeds."""
+    return F.regexp_extract(hostport, _HOST_TOKEN_RE, 1)
+
+
+def host_of(url: F.Column) -> F.Column:
+    """THE host of a URL column: lowercased, userinfo and port
+    stripped, bracketed-IPv6 authorities yield the bracket contents."""
+    return F.regexp_replace(
+        host_token_of(hostport_of(url)), _BRACKETS_RE, ""
+    )
+
+
+def port_of(hostport: F.Column) -> F.Column:
+    """Explicit port of a ``hostport_of`` value ('' when absent) —
+    bracket-aware, so an IPv6 address's colons never read as a port."""
+    return F.regexp_extract(hostport, _PORT_RE, 1)
+
+
+def hostport_sql(url_expr: str) -> str:
+    """DuckDB SQL text computing ``hostport_of(url_expr)``."""
+    return (
+        f"regexp_extract(lower(regexp_extract({url_expr}, "
+        f"'{_HOST_RE}', 1)), '{_HOSTPORT_RE}', 1)"
+    )
+
+
+def host_sql(url_expr: str) -> str:
+    """DuckDB SQL text computing exactly ``host_of(url_expr)``."""
+    token = (
+        f"regexp_extract({hostport_sql(url_expr)}, '{_HOST_TOKEN_RE}', 1)"
+    )
+    return f"regexp_replace({token}, '{_BRACKETS_RE}', '', 'g')"
 # The query is extracted from the PRE-FRAGMENT substring so a '?'
 # inside the fragment never reads as a query ('http://a/p#f?x' has no
 # query). Two linear extracts — a single lazy-prefix regex
@@ -118,7 +172,9 @@ def url_features(table: Table, url_col: str = "url", psl=None) -> Table:
     iterable form this stays a pure narrow projection (no UDF, no
     shuffle, no join); the Table form adds one broadcast join.
     Unparseable/relative URLs yield empty host and zero counts rather
-    than failing the job."""
+    than failing the job. Bracketed-IPv6 authorities parse like IPv4
+    literals: ``host`` is the bracket contents, ``is_ip`` is true,
+    ``domain`` = host, ``tld`` = ''."""
     taken = set(_FEATURE_COLS)
     clash = sorted(taken & set(table.fields))
     if clash:
@@ -127,10 +183,13 @@ def url_features(table: Table, url_col: str = "url", psl=None) -> Table:
             "rename them first"
         )
     url = F.coalesce(F.col(url_col), F.lit(""))
-    authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
-    # strip userinfo and port: host is what's between '@' and ':'
-    host = F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1)
-    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    # shared host chain (userinfo/port stripped, IPv6 brackets removed)
+    host = host_of(url)
+    # dotted-quad IPv4, or IPv6 (a colon can only appear in a host via
+    # a bracketed-IPv6 authority — plain hosts lose theirs to the port)
+    is_ip = host.rlike(
+        r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+    ) | host.contains(":")
     sfx2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     sfx3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     tld = F.when(is_ip, F.lit("")).otherwise(
@@ -219,7 +278,9 @@ def canonicalize_urls(
 
     - scheme and host lowercased; userinfo (``user:pw@``) dropped
     - default ports stripped (``:80`` for http, ``:443`` for https);
-      other ports kept
+      other ports kept — bracket-aware, so an IPv6 address's colons
+      never read as a port and the brackets survive in the canonical
+      form (``http://[2001:db8::1]/``)
     - fragment (``#...``) dropped
     - empty path becomes ``/``
     - query params: empty params dropped, tracking params
@@ -237,10 +298,10 @@ def canonicalize_urls(
         )
     url = F.coalesce(F.col(url_col), F.lit(""))
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    authority = F.lower(F.regexp_extract(url, _HOST_RE, 1))
-    hostport = F.regexp_extract(authority, r"^(?:[^@]*@)?(.*)$", 1)
-    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    hostport = hostport_of(url)
+    host_token = host_token_of(hostport)  # IPv6 brackets kept
+    host = F.regexp_replace(host_token, _BRACKETS_RE, "")
+    port = port_of(hostport)
     default_port = (
         (scheme == F.lit("http")) & (port == F.lit("80"))
     ) | ((scheme == F.lit("https")) & (port == F.lit("443")))
@@ -262,7 +323,7 @@ def canonicalize_urls(
     canon = F.when(
         (scheme == F.lit("")) | (host == F.lit("")), F.lit(None).cast("string")
     ).otherwise(
-        F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+        F.concat(scheme, F.lit("://"), host_token, port_part, path, query_part)
     )
     out = table._require_df().withColumn(out_col, canon)
     return table._derive(out)

@@ -787,3 +787,39 @@ def test_extract_canonical_shapes(spark):
         5: "https://a.com/d/p.html?page=3",
     }
     assert len(out) == 6  # one row per page, always
+
+
+def test_bracketed_ipv6_authorities(spark):
+    """RFC 3986 §3.2.2 bracketed-IPv6 authorities across the URL
+    family (round 13): host = the bracket contents, the address's
+    colons never read as a port, userinfo and real ports still strip,
+    brackets survive canonicalization, and plain hosts are unchanged."""
+    from littletable_spark.operators.urlops import (
+        canonicalize_urls,
+        url_features,
+    )
+
+    t = Table("recs", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "url": "http://[2001:DB8::1]/a/b?x=1"},
+            {"id": 1, "url": "https://u:pw@[::1]:8443/x"},
+            {"id": 2, "url": "HTTPS://[2001:db8::2]:443/y"},
+            {"id": 3, "url": "http://[::ffff:10.0.0.1]:80/z"},
+            {"id": 4, "url": "http://plain.example.com:8080/p"},
+        ]
+    )
+    feats = {r.id: r for r in url_features(t, "url")}
+    assert feats[0].host == "2001:db8::1"  # lowercased, brackets gone
+    assert feats[0].is_ip and feats[0].domain == "2001:db8::1"
+    assert feats[0].tld == "" and feats[0].path_depth == 2
+    assert feats[1].host == "::1" and feats[1].is_ip  # userinfo+port strip
+    assert feats[3].host == "::ffff:10.0.0.1" and feats[3].is_ip
+    assert feats[4].host == "plain.example.com" and not feats[4].is_ip
+
+    canon = {r.id: r.canon_url for r in canonicalize_urls(t, "url")}
+    assert canon[0] == "http://[2001:db8::1]/a/b?x=1"  # brackets kept
+    assert canon[1] == "https://[::1]:8443/x"  # non-default port kept
+    assert canon[2] == "https://[2001:db8::2]/y"  # default :443 stripped
+    assert canon[3] == "http://[::ffff:10.0.0.1]/z"  # default :80 stripped
+    assert canon[4] == "http://plain.example.com:8080/p"

@@ -1,0 +1,221 @@
+"""DOCX / ODT extraction (functions/officecodec.py): fixture writers
+build real zip containers with hand-built WordprocessingML / ODF XML —
+paragraph, tab/break, table, header/footer, and run-length-space
+semantics are all pinned, plus every failure route (corrupt zip,
+encrypted member, non-document zip) and the Spark extract_text
+composition into token_stats."""
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from littletable_spark.functions.officecodec import (
+    extract_docx_text,
+    extract_odt_text,
+    extract_office_text,
+    sniff_office,
+)
+
+_W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+_ODF_NS = (
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"'
+)
+
+
+def make_docx(body_xml: str, headers=(), footers=()) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types '
+            'xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        zf.writestr(
+            "word/document.xml",
+            f'<?xml version="1.0"?><w:document {_W_NS}>'
+            f"<w:body>{body_xml}</w:body></w:document>",
+        )
+        for i, h in enumerate(headers, 1):
+            zf.writestr(
+                f"word/header{i}.xml",
+                f'<?xml version="1.0"?><w:hdr {_W_NS}>{h}</w:hdr>',
+            )
+        for i, f_ in enumerate(footers, 1):
+            zf.writestr(
+                f"word/footer{i}.xml",
+                f'<?xml version="1.0"?><w:ftr {_W_NS}>{f_}</w:ftr>',
+            )
+    return buf.getvalue()
+
+
+def make_odt(text_body_xml: str) -> bytes:
+    """ODF-conformant container: 'mimetype' FIRST and STORED (that
+    placement is what the sniff fast path reads)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"),
+            "application/vnd.oasis.opendocument.text",
+            compress_type=zipfile.ZIP_STORED,
+        )
+        zf.writestr(
+            "content.xml",
+            f'<?xml version="1.0"?><office:document-content {_ODF_NS}>'
+            f"<office:body><office:text>{text_body_xml}</office:text>"
+            "</office:body></office:document-content>",
+        )
+    return buf.getvalue()
+
+
+def _p(text: str) -> str:
+    return f"<w:p><w:r><w:t>{text}</w:t></w:r></w:p>"
+
+
+def test_docx_paragraphs_tabs_breaks():
+    body = (
+        "<w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:t xml:space='preserve'> "
+        "world</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/>"
+        "<w:t>c</w:t></w:r></w:p>"
+    )
+    blob = make_docx(body)
+    assert sniff_office(blob) == "docx"
+    assert extract_docx_text(blob) == "Hello world\na\tb\nc"
+
+
+def test_docx_table_rows_tab_joined():
+    tbl = (
+        "<w:tbl>"
+        f"<w:tr><w:tc>{_p('h1')}</w:tc><w:tc>{_p('h2')}</w:tc></w:tr>"
+        f"<w:tr><w:tc>{_p('a')}{_p('b')}</w:tc><w:tc>{_p('c')}</w:tc></w:tr>"
+        "</w:tbl>"
+    )
+    blob = make_docx(_p("before") + tbl + _p("after"))
+    # a cell's inner paragraphs join with a space; cells join with tabs
+    assert extract_docx_text(blob) == "before\nh1\th2\na b\tc\nafter"
+
+
+def test_docx_headers_body_footers_order():
+    blob = make_docx(
+        _p("BODY"),
+        headers=[_p("HDR1"), _p("HDR2")],
+        footers=[_p("FTR")],
+    )
+    assert extract_docx_text(blob) == "HDR1\nHDR2\nBODY\nFTR"
+
+
+def test_odt_paragraph_whitespace_elements():
+    body = (
+        "<text:h>Title</text:h>"
+        "<text:p>a<text:tab/>b<text:line-break/>c</text:p>"
+        "<text:p>x<text:s text:c='3'/>y<text:s/>z</text:p>"
+        "<text:p>spanned <text:span>inner</text:span> tail</text:p>"
+    )
+    blob = make_odt(body)
+    assert sniff_office(blob) == "odt"
+    assert extract_odt_text(blob) == (
+        "Title\na\tb\nc\nx   y z\nspanned inner tail"
+    )
+
+
+def test_odt_table_rows():
+    body = (
+        "<text:p>pre</text:p>"
+        "<table:table>"
+        "<table:table-row>"
+        "<table:table-cell><text:p>r1c1</text:p></table:table-cell>"
+        "<table:table-cell><text:p>r1c2</text:p></table:table-cell>"
+        "</table:table-row>"
+        "<table:table-row>"
+        "<table:table-cell><text:p>r2c1</text:p><text:p>more</text:p>"
+        "</table:table-cell>"
+        "<table:table-cell><text:p>r2c2</text:p></table:table-cell>"
+        "</table:table-row>"
+        "</table:table>"
+    )
+    blob = make_odt(body)
+    assert extract_odt_text(blob) == "pre\nr1c1\tr1c2\nr2c1 more\tr2c2"
+
+
+def test_non_document_zip_rejected():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("random.txt", "not a document")
+    blob = buf.getvalue()
+    assert sniff_office(blob) is None
+    with pytest.raises(ValueError, match="not a DOCX or ODT"):
+        extract_office_text(blob)
+
+
+def test_corrupt_zip_rejected():
+    blob = make_docx(_p("x"))[:40]  # truncated: PK magic, broken body
+    with pytest.raises(ValueError):
+        extract_office_text(blob)
+
+
+def _set_encrypted_flag(blob: bytes, member: bytes) -> bytes:
+    """Flip the encryption bit (general-purpose flag bit 0) for one
+    member in both the local header and the central directory — the
+    'password required' shape zipfile refuses to read."""
+    b = bytearray(blob)
+    for sig, name_off, flag_off in (
+        (b"PK\x03\x04", 30, 6),   # local header
+        (b"PK\x01\x02", 46, 8),   # central directory
+    ):
+        i = 0
+        while True:
+            i = b.find(sig, i)
+            if i < 0:
+                break
+            if bytes(b[i + name_off:i + name_off + len(member)]) == member:
+                b[i + flag_off] |= 1
+            i += 4
+    return bytes(b)
+
+
+def test_encrypted_member_routes_to_valueerror():
+    blob = _set_encrypted_flag(make_odt("<text:p>secret</text:p>"),
+                               b"content.xml")
+    assert sniff_office(blob) == "odt"  # fast path reads mimetype only
+    with pytest.raises(ValueError, match="unreadable zip member"):
+        extract_odt_text(blob)
+
+
+def test_extract_text_routes_office_blobs(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import extract_text
+    from littletable_spark.operators.textops import token_stats
+
+    rows = [
+        {"id": 0, "blob": make_docx(_p("alpha beta") + _p("gamma"))},
+        {"id": 1, "blob": make_odt("<text:p>delta epsilon</text:p>")},
+        {"id": 2, "blob": b"plain utf-8 text"},
+        {"id": 3, "blob": make_docx(_p("x"))[:40]},  # corrupt
+    ]
+    t = Table("blobs", spark=spark)
+    t.insert_many(rows)
+    out = {r.id: r for r in extract_text(t, "blob", "id", on_error="null")}
+    assert out[0].doc_format == "docx" and out[0].text == "alpha beta\ngamma"
+    assert out[1].doc_format == "odt" and out[1].text == "delta epsilon"
+    assert out[2].doc_format == "text"
+    assert out[3].text is None and out[3].doc_format is None
+
+    # corrupt blob kills the job under on_error='raise'
+    with pytest.raises(Exception):
+        extract_text(t, "blob", "id", on_error="raise").df.collect()
+
+    # composition: extracted office text feeds token_stats
+    txt = extract_text(t, "blob", "id", on_error="null")
+    stats = {
+        r.id: r.n_tokens
+        for r in token_stats(
+            Table.from_df(txt.df.where("text is not null"), name="txt"),
+            "text",
+            "id",
+        )
+    }
+    assert stats[0] == 3 and stats[1] == 2

@@ -398,3 +398,43 @@ def test_schedule_fetches_sort_key_is_hash_not_blobs(spark):
     # and the schedule itself is still deterministic + correct
     got = [r.fetch_at for r in out]
     assert sorted(got)[:3] == [0.0, 1.0, 2.0]
+
+
+def test_robots_and_schedule_ipv6_hosts(spark):
+    """A listed bracketed-IPv6 host behaves like any registered name:
+    its rules apply (host = bracket contents via the shared chain in
+    urlops), and schedule_fetches gives it its own politeness window."""
+    from littletable_spark import Table
+    from littletable_spark.operators.robots import (
+        filter_by_robots,
+        parse_robots,
+        schedule_fetches,
+    )
+
+    robots = Table("robots", spark=spark)
+    robots.insert_many(
+        [{"domain": "2001:db8::1",
+          "txt": "User-agent: *\nDisallow: /private/\n"}]
+    )
+    rules = parse_robots(robots, "txt", "domain")
+    t = Table("urls", spark=spark)
+    t.insert_many(
+        [
+            {"id": 0, "url": "http://[2001:db8::1]/ok"},
+            {"id": 1, "url": "http://u@[2001:DB8::1]:8080/private/x"},
+            {"id": 2, "url": "http://[2001:db8::9]/private/x"},  # unlisted
+        ]
+    )
+    kept = sorted(r.id for r in filter_by_robots(t, rules, "url"))
+    assert kept == [0, 2]  # rule blocks 1; unlisted IPv6 kept by default
+    strict = sorted(
+        r.id for r in filter_by_robots(t, rules, "url", keep_unlisted=False)
+    )
+    assert strict == [0]
+
+    sched = schedule_fetches(t, None, default_delay=2.0)
+    by_id = {r.id: r.fetch_at for r in sched}
+    # ids 0 and 1 share host 2001:db8::1 (port/userinfo stripped) ->
+    # politeness-spaced; id 2 is its own host -> slot 0
+    assert sorted([by_id[0], by_id[1]]) == [0.0, 2.0]
+    assert by_id[2] == 0.0
