@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1503,6 +1504,73 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX/ODT text extraction (round 13, functions/officecodec.py):
+    REAL zip containers with hand-built WordprocessingML / ODF XML are
+    synthesized per doc in an Arrow pass — doc_id%3==0 a DOCX with a
+    w:tab run, %3==1 an ODT with a run-length text:s, %3==2 a
+    non-document zip that must NULL under on_error='null' — then the
+    real zipfile+ElementTree extractor runs end-to-end. The oracle
+    predicts the extracted text arithmetically (the fixture content is
+    a pure function of (doc_id, lang)), so extraction, whitespace
+    semantics, format routing, AND the on_error audit trail all
+    hash-gate."""
+    from littletable_spark.operators.multimodal import extract_text
+
+    d = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def make_blob(doc_id: pd.Series, lang: pd.Series) -> pd.Series:
+        import io
+        import zipfile
+
+        w_ns = (
+            'xmlns:w="http://schemas.openxmlformats.org/'
+            'wordprocessingml/2006/main"'
+        )
+        odf_ns = (
+            'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+            'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+        )
+        out = []
+        for i, lg in zip(doc_id, lang):
+            i = int(i)
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                if i % 3 == 0:
+                    zf.writestr(
+                        "word/document.xml",
+                        f"<w:document {w_ns}><w:body>"
+                        f'<w:p><w:r><w:t xml:space="preserve">Doc {i}'
+                        "</w:t></w:r></w:p>"
+                        f"<w:p><w:r><w:t>{lg}</w:t><w:tab/><w:t>x</w:t>"
+                        "</w:r></w:p></w:body></w:document>",
+                    )
+                elif i % 3 == 1:
+                    zf.writestr(
+                        zipfile.ZipInfo("mimetype"),
+                        "application/vnd.oasis.opendocument.text",
+                        compress_type=zipfile.ZIP_STORED,
+                    )
+                    zf.writestr(
+                        "content.xml",
+                        f"<office:document-content {odf_ns}>"
+                        "<office:body><office:text>"
+                        f"<text:p>Doc {i}</text:p>"
+                        f'<text:p>{lg}<text:s text:c="2"/>x</text:p>'
+                        "</office:text></office:body>"
+                        "</office:document-content>",
+                    )
+                else:
+                    zf.writestr("data.txt", "not a document")
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    d.compute_field("blob", make_blob(F.col("doc_id"), F.col("lang")))
+    out = extract_text(d, "blob", "doc_id", on_error="null")
+    return out.df.select("doc_id", "doc_format", "title", "text", "n_chars")
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """document chunking: fixed 16-token windows with 4-token overlap —
     the pre-training/RAG chunking step as a native posexplode plan."""
@@ -2938,6 +3006,36 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the k-means assignment core runs in-gate inside dedup_semantic
     and dedup_semantic_incr every round).
 
+    Round-13 rotation (stale-veteran hygiene per the r12 verdict —
+    the ten queries parked since r6, the registry's longest-stale set,
+    all re-enter, plus one net-new): IN — office_extract (net-new:
+    DOCX/ODT extraction through the real zipfile+XML extractor over
+    per-doc synthesized containers incl. on_error NULL rows; gates
+    first), slice_positional, search_raw, outer_join_full,
+    events_sliding, sample_split, join_dsl, text_repetition,
+    explode_embedding, semi_join, sample_stratified. OUT, coverage
+    preserved — orderby_head / rank / rollup / delete / cube /
+    pivot_sum / head_tail (the r12 re-entrants, freshly driver-green
+    r12: multi-key sort+limit stays in-gate via tpch_q3_shape, rank
+    windows via url_schedule's politeness row_numbers, positional
+    slicing re-enters directly via slice_positional and head/tail
+    stays pytest+mirror-covered, keyed deletion's where-predicate
+    family via upsert_merge + text_filter_quality, GROUPING SETS and
+    pivot return to the r7-r11 parked state with their unit suites
+    and mirror rows), range_join (gated r11-r12; the join family
+    keeps FIVE gate rows — join_3way_agg, asof_join, semi_join,
+    join_dsl, outer_join_full — and the binning-rewrite plan asserts
+    stay), events_rollup (gated r11-r12; events_sliding re-enters the
+    events family and stream_ingest_compact runs multi-resolution
+    compaction in-gate every round), sample_weighted (gated r11-r12;
+    the sampling family keeps sample_split, sample_stratified,
+    sample_cap_tokens in-gate), search_text (gated r1-r12; exchanged
+    for search_raw — the SAME create_search_index + query-DSL
+    operator, raw-weights variant — so the search family stays
+    in-gate continuously). Also this round: url_features, url_canon,
+    url_robots, url_schedule, url_links change SHAPE (bracketed-IPv6
+    decoy URLs; oracle generators compose the shared host_sql twin).
+
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
     return {
@@ -2953,8 +3051,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats": q_stats,
         "url_schedule": q_url_schedule,
         "tpch_q3_shape": q_tpch_q3_shape,
-        "range_join": q_range_join,
-        "events_rollup": q_events_rollup,
         "text_corpus_report": q_text_corpus_report,
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "dedup_exact": q_dedup_exact,
@@ -2975,14 +3071,25 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_clf": q_text_quality_clf,
         "text_bigram_logprob": q_text_bigram_logprob,
         "text_bm25_incr": q_text_bm25_incr,
-        "search_text": q_search_text,
-        "sample_weighted": q_sample_weighted,
         "url_pagerank": q_url_pagerank,
         "sample_cap_tokens": q_sample_cap_tokens,
         "sim_ivf_pq": q_sim_ivf_pq,
         "text_chunks": q_text_chunks,
         "text_contamination": q_text_contamination,
         "url_pagerank_warm": q_url_pagerank_warm,
+        "url_canonical": q_url_canonical,
+        "office_extract": q_office_extract,
+        "slice_positional": q_slice_positional,
+        "search_raw": q_search_raw,
+        "outer_join_full": q_outer_join_full,
+        "events_sliding": q_events_sliding,
+        "sample_split": q_sample_split,
+        "join_dsl": q_join_dsl,
+        "text_repetition": q_text_repetition,
+        "explode_embedding": q_explode_embedding,
+        "semi_join": q_semi_join,
+        "sample_stratified": q_sample_stratified,
+        # ---- parked beyond the driver's 50-query window ----
         "orderby_head": q_orderby_head,
         "rank": q_rank,
         "rollup": q_rollup,
@@ -2990,8 +3097,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "pivot_sum": q_pivot_sum,
         "head_tail": q_head_tail,
-        "url_canonical": q_url_canonical,
-        # ---- parked beyond the driver's 50-query window ----
+        "range_join": q_range_join,
+        "events_rollup": q_events_rollup,
+        "sample_weighted": q_sample_weighted,
+        "search_text": q_search_text,
         "sim_cluster": q_sim_cluster,
         "grouping_sets": q_grouping_sets,
         "where_comparators": q_where_comparators,
@@ -3044,16 +3153,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "text_langid": q_text_langid,
         "dedup_embedding": q_dedup_embedding,
-        "slice_positional": q_slice_positional,
-        "search_raw": q_search_raw,
-        "outer_join_full": q_outer_join_full,
-        "events_sliding": q_events_sliding,
-        "sample_split": q_sample_split,
-        "join_dsl": q_join_dsl,
-        "text_repetition": q_text_repetition,
-        "explode_embedding": q_explode_embedding,
-        "semi_join": q_semi_join,
-        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -4422,6 +4521,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "multimodal_decode": _decode_oracle_sql(width=4, height=4),
+        # office extraction: the DOCX/ODT fixtures are pure functions
+        # of (doc_id, lang), so the oracle predicts the extracted text
+        # (chr(10)=paragraph join, chr(9)=w:tab, two spaces=text:s c=2)
+        # and the non-document zip rows' on_error NULLs arithmetically
+        "office_extract": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       'Doc ' || doc_id::VARCHAR || chr(10) || lang
+                       || chr(9) || 'x'
+                     WHEN doc_id % 3 = 1 THEN
+                       'Doc ' || doc_id::VARCHAR || chr(10) || lang || '  x'
+                     ELSE NULL END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'docx'
+                        WHEN doc_id % 3 = 1 THEN 'odt'
+                        ELSE NULL END AS doc_format,
+                   CASE WHEN doc_id % 3 = 2 THEN NULL ELSE '' END AS title,
+                   text,
+                   length(text)::INTEGER AS n_chars
+            FROM t
+        """,
         # the fake image hash is the first 15 md5 hex chars of the blob
         # (60-bit positive BIGINT in both engines); the n^2 oracle join
         # is fine at gate scale, the ENGINE uses pigeonhole blocking
