@@ -24,8 +24,14 @@ libwebp). Animated WebP (VP8X + ANIM/ANMF) composites through
 VP8L or VP8 frame payloads — the animation analogue of
 imagecodec.gif_frames, feeding ``frame_sample``. Single-image
 ``decode_webp`` keeps rejecting animations (one image in, one grid
-out), and the ALPH alpha chunk remains out of scope (frames
-composite as opaque rects; documented in webp_frames). No reference
+out). The ALPH alpha chunk decodes since round 13 (raw and
+VP8L-compressed forms, all four inverse filters — container spec
+§Alpha, differentially pinned byte-exact against the system
+libwebp's WebPDecodeRGBA): ``decode_webp_rgba`` returns straight
+RGBA for VP8X+ALPH lossy stills and VP8L alpha alike, and
+``webp_frames`` honors the ANMF blend flag with real alpha
+compositing. Level pre-processing (encoder quantize_levels smoothing,
+alpha_quality<100 only) stays the documented boundary. No reference
 analog; extends the multimodal mandate like imagecodec/audiocodec.
 """
 
@@ -35,7 +41,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_webp", "sniff_webp", "webp_frames"]
+__all__ = ["decode_webp", "decode_webp_rgba", "sniff_webp", "webp_frames"]
 
 
 def sniff_webp(blob: bytes) -> bool:
@@ -135,7 +141,13 @@ class _Huff:
                 raise ValueError("corrupt VP8L prefix stream")
 
 
-_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+# kCodeLengthCodeOrder: symbol 16 (repeat-previous) sits at POSITION 8,
+# then 6..15 — NOT appended last. Round 13: the misplaced 16 was a
+# latent shared misreading between this decoder and the test-side
+# encoder (they agreed with each other, so round-11 round-trips passed)
+# caught by the first REAL-libwebp differential; any stream whose
+# code-length code uses symbols >= 6 misparsed before this fix.
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Huff:
@@ -529,25 +541,35 @@ def _inv_color_indexing(
 # container + entry point
 
 
-def _find_stream(blob: bytes) -> tuple:
-    """Walk the RIFF chunks to the image payload (plain or VP8X):
-    returns ("VP8L", payload) or ("VP8", payload)."""
+def _find_still(blob: bytes) -> tuple:
+    """Walk the RIFF chunks to the still-image payload (plain or VP8X):
+    returns ("VP8L"|"VP8", payload, alph_payload_or_None). The ALPH
+    chunk precedes the VP8 chunk in the VP8X layout (container spec)."""
     if not sniff_webp(blob):
         raise ValueError("not a WebP")
     pos = 12
     n = len(blob)
+    alph = None
     while pos + 8 <= n:
         fourcc = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
         payload = blob[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8L":
-            return "VP8L", payload
-        if fourcc == b"VP8 ":
-            return "VP8", payload
-        if fourcc == b"ANIM" or fourcc == b"ANMF":
+        if fourcc == b"ALPH":
+            alph = payload
+        elif fourcc == b"VP8L":
+            return "VP8L", payload, alph
+        elif fourcc == b"VP8 ":
+            return "VP8", payload, alph
+        elif fourcc == b"ANIM" or fourcc == b"ANMF":
             raise ValueError("animated WebP not supported")
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise ValueError("no VP8/VP8L chunk in WebP")
+
+
+def _find_stream(blob: bytes) -> tuple:
+    """Back-compat form of ``_find_still`` without the ALPH payload."""
+    kind, payload, _ = _find_still(blob)
+    return kind, payload
 
 
 def _find_vp8l(blob: bytes) -> bytes:
@@ -557,16 +579,9 @@ def _find_vp8l(blob: bytes) -> bytes:
     return payload
 
 
-def decode_webp(blob: bytes) -> np.ndarray:
-    """Decode a WebP blob to an HxWx3 float64 RGB array in 0..255
-    (alpha dropped, like the PNG path). Lossless (VP8L) decodes here;
-    lossy (VP8 key frame) routes to vp8codec — bit-exact YUV
-    reconstruction, JPEG-style BT.601 RGB conversion."""
-    kind, data = _find_stream(blob)
-    if kind == "VP8":
-        from .vp8codec import decode_vp8
-
-        return decode_vp8(data)
+def _vp8l_pixels(data: bytes) -> np.ndarray:
+    """Decode a full VP8L bitstream (with signature + size header) to
+    an HxWx4 uint8 array in B,G,R,A channel order."""
     br = _Bits(data)
     if br.bits(8) != 0x2F:
         raise ValueError("bad VP8L signature")
@@ -575,6 +590,13 @@ def decode_webp(blob: bytes) -> np.ndarray:
     br.bit()  # alpha-is-used hint
     if br.bits(3) != 0:
         raise ValueError("unknown VP8L version")
+    pix = _vp8l_image(br, w, h)
+    return pix.view(np.uint8).reshape(h, w, 4)  # little-endian B G R A
+
+
+def _vp8l_image(br: _Bits, w: int, h: int) -> np.ndarray:
+    """Entropy-decode + inverse-transform one level-0 VP8L image
+    stream already positioned past any headers: flat uint32 ARGB."""
     pix, transforms, w_coded = _decode_image_stream(br, w, h, True)
     # inverse transforms, reverse order of appearance
     for tr in reversed(transforms):
@@ -590,8 +612,106 @@ def decode_webp(blob: bytes) -> np.ndarray:
             _inv_color_transform(pix, w_coded, h, tr[1], tr[2])
     if w_coded != w:
         raise ValueError("VP8L stream width mismatch")
-    comp = pix.view(np.uint8).reshape(h, w, 4)  # little-endian B G R A
+    return pix
+
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Inverse of the ALPH chunk's per-row filtering (container spec
+    §Alpha; semantics match libwebp's {Horizontal,Vertical,Gradient}
+    Unfilter: row 0 always unfilters horizontally with predictor 0)."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = plane.astype(np.int64)
+    # row 0: horizontal with initial predictor 0 (cumulative sum)
+    out[0] = np.cumsum(out[0]) & 0xFF
+    if method == 1:  # HORIZONTAL: pred = left; first col pred = above[0]
+        for y in range(1, h):
+            out[y, 0] = (out[y, 0] + out[y - 1, 0]) & 0xFF
+            out[y] = np.cumsum(out[y]) & 0xFF
+    elif method == 2:  # VERTICAL: pred = above (vectorizes per row)
+        for y in range(1, h):
+            out[y] = (out[y] + out[y - 1]) & 0xFF
+    else:  # GRADIENT: pred = clip(left + above - above_left)
+        for y in range(1, h):
+            prev = out[y - 1]
+            left = int(prev[0])
+            tl = left
+            row = out[y]
+            for x in range(w):
+                t = int(prev[x])
+                g = left + t - tl
+                left = (int(row[x]) + (0 if g < 0 else 255 if g > 255 else g)) & 0xFF
+                row[x] = left
+                tl = t
+    return out.astype(np.uint8)
+
+
+def _decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Decode an ALPH chunk to the (h, w) uint8 alpha plane.
+
+    Header byte (container spec): bits 0-1 compression (0 = raw,
+    1 = VP8L), bits 2-3 filtering, bits 4-5 pre-processing. The VP8L
+    form is a HEADERLESS level-0 image stream of implicit dimensions
+    w x h whose GREEN channel carries the alpha values. Pre-processing
+    method 1 (encoder-side quantize_levels smoothing, emitted only for
+    alpha_quality < 100) is out of scope and raises."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    hdr = payload[0]
+    comp = hdr & 3
+    filt = (hdr >> 2) & 3
+    pre = (hdr >> 4) & 3
+    if comp > 1:
+        raise ValueError(f"bad ALPH compression method {comp}")
+    if pre == 1:
+        raise ValueError("ALPH level pre-processing not supported")
+    if comp == 0:
+        if len(payload) < 1 + w * h:
+            raise ValueError("truncated raw ALPH chunk")
+        plane = np.frombuffer(
+            payload, dtype=np.uint8, count=w * h, offset=1
+        ).reshape(h, w)
+    else:
+        pix = _vp8l_image(_Bits(payload[1:]), w, h)
+        plane = ((pix >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+    return _unfilter_alpha(plane, filt)
+
+
+def decode_webp(blob: bytes) -> np.ndarray:
+    """Decode a WebP blob to an HxWx3 float64 RGB array in 0..255
+    (alpha dropped, like the PNG path — ``decode_webp_rgba`` keeps
+    it). Lossless (VP8L) decodes here; lossy (VP8 key frame) routes
+    to vp8codec — bit-exact YUV reconstruction, JPEG-style BT.601 RGB
+    conversion."""
+    kind, data = _find_stream(blob)
+    if kind == "VP8":
+        from .vp8codec import decode_vp8
+
+        return decode_vp8(data)
+    comp = _vp8l_pixels(data)
     return comp[:, :, [2, 1, 0]].astype(np.float64)
+
+
+def decode_webp_rgba(blob: bytes) -> np.ndarray:
+    """Decode a WebP still to HxWx4 float64 RGBA in 0..255 (straight,
+    non-premultiplied — byte-exact vs libwebp's WebPDecodeRGBA).
+    Lossless alpha comes from the VP8L A channel; lossy alpha decodes
+    the VP8X layout's ALPH chunk (raw and VP8L-compressed forms, all
+    four inverse filters); a lossy still with no ALPH is opaque."""
+    kind, data, alph = _find_still(blob)
+    if kind == "VP8L":
+        comp = _vp8l_pixels(data)
+        return comp[:, :, [2, 1, 0, 3]].astype(np.float64)
+    from .vp8codec import decode_vp8
+
+    rgb = decode_vp8(data)
+    h, w = rgb.shape[:2]
+    if alph is None:
+        a = np.full((h, w), 255.0)
+    else:
+        a = _decode_alpha(alph, w, h).astype(np.float64)
+    return np.dstack([rgb, a])
 
 
 # ------------------------------------------------------------------ #
@@ -607,12 +727,12 @@ def webp_frames(blob: bytes):
     VP8 (lossy key-frame) decoders. A non-animated WebP yields its
     single image as frame 0.
 
-    Alpha is out of the builtin decoders' scope (ALPH chunks are
-    skipped, VP8L alpha is dropped), so frames composite as OPAQUE
-    rects — the ANMF blend flag degenerates to overwrite. Real-web
-    animated WebP overwhelmingly uses full-canvas frames, where the
-    two are identical; partial-frame alpha-blended animations render
-    with hard rect edges rather than failing.
+    Alpha-aware since round 13: VP8L frame alpha and lossy frames'
+    ALPH subchunks both decode, and the ANMF blend flag is honored —
+    blend-method 0 alpha-composites the frame over the canvas
+    (canvas is opaque, so ``out = (src*a + dst*(255-a) + 127) // 255``
+    per channel, round-half-up), blend-method 1 overwrites the rect.
+    Dispose-to-background still rect-fills with the ANIM background.
     """
     if not sniff_webp(blob):
         raise ValueError("not a WebP")
@@ -644,19 +764,22 @@ def webp_frames(blob: bytes):
             fx = u24(body_at) * 2
             fy = u24(body_at + 3) * 2
             dispose_bg = bool(blob[body_at + 15] & 0x01)
+            no_blend = bool(blob[body_at + 15] & 0x02)
             # subchunks after the 16-byte ANMF header
             sub = body_at + 16
             end = body_at + size
             rgb = None
+            alpha = None
+            alph_payload = None
             while sub + 8 <= end:
                 sc = blob[sub : sub + 4]
                 (ssz,) = struct.unpack_from("<I", blob, sub + 4)
-                if sc == b"VP8L":
-                    rgb = decode_webp(
-                        b"RIFF\x00\x00\x00\x00WEBPVP8L"
-                        + struct.pack("<I", ssz)
-                        + blob[sub + 8 : sub + 8 + ssz]
-                    )
+                if sc == b"ALPH":
+                    alph_payload = blob[sub + 8 : sub + 8 + ssz]
+                elif sc == b"VP8L":
+                    comp = _vp8l_pixels(blob[sub + 8 : sub + 8 + ssz])
+                    rgb = comp[:, :, [2, 1, 0]].astype(np.float64)
+                    alpha = comp[:, :, 3]
                 elif sc == b"VP8 ":
                     from .vp8codec import decode_vp8
 
@@ -665,12 +788,24 @@ def webp_frames(blob: bytes):
             if rgb is None:
                 raise ValueError("ANMF frame without VP8/VP8L data")
             frame = rgb.astype(np.uint8)
+            if alph_payload is not None and alpha is None:
+                alpha = _decode_alpha(
+                    alph_payload, frame.shape[1], frame.shape[0]
+                )
             if canvas is None:
                 canvas = frame.copy()
                 fy = fx = 0
             fh = min(frame.shape[0], canvas.shape[0] - fy)
             fw = min(frame.shape[1], canvas.shape[1] - fx)
-            canvas[fy : fy + fh, fx : fx + fw] = frame[:fh, :fw]
+            if no_blend or alpha is None:
+                canvas[fy : fy + fh, fx : fx + fw] = frame[:fh, :fw]
+            else:
+                a = alpha[:fh, :fw].astype(np.uint32)[..., None]
+                src = frame[:fh, :fw].astype(np.uint32)
+                dst = canvas[fy : fy + fh, fx : fx + fw].astype(np.uint32)
+                canvas[fy : fy + fh, fx : fx + fw] = (
+                    (src * a + dst * (255 - a) + 127) // 255
+                ).astype(np.uint8)
             yield findex, canvas.copy()
             findex += 1
             saw_frame = True

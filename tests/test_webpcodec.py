@@ -94,7 +94,10 @@ def _canon_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+# kCodeLengthCodeOrder with 16 at position 8 (round-13 fix: both this
+# encoder and the decoder had 16 appended last, agreeing with each
+# other but not with libwebp — caught by the real-libwebp differential)
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 def _write_prefix_code(bw: _BW, lengths: dict[int, int], alphabet: int) -> None:
@@ -121,8 +124,7 @@ def _write_prefix_code(bw: _BW, lengths: dict[int, int], alphabet: int) -> None:
     for v in full:
         cl_freqs[v] = cl_freqs.get(v, 0) + 1
     cl_lengths = _huff_lengths(cl_freqs)
-    max_cl_sym = max(cl_lengths)
-    num_codes = max(4, 2 + max_cl_sym + 1)  # position in _CL_ORDER
+    num_codes = max(4, max(_CL_ORDER.index(s) for s in cl_lengths) + 1)
     bw.write(num_codes - 4, 4)
     for i in range(num_codes):
         bw.write(cl_lengths.get(_CL_ORDER[i], 0), 3)
