@@ -47,13 +47,16 @@ fall back to the BOM/Latin-1 path above.
 Encrypted files (round 12): the standard security handler with an
 EMPTY user password — the owner-password-only files that dominate
 "encrypted" web PDFs — decrypts transparently before the pipeline
-above: RC4 40..128-bit (/V 1-2 and /V 4 ``/CFM /V2``) and
-AES-128-CBC (``/AESV2``), per-object keys, /U verified so
+above: RC4 40..128-bit (/V 1-2 and /V 4 ``/CFM /V2``),
+AES-128-CBC (``/AESV2``) with per-object keys, and — round 13 —
+AES-256 (``/AESV3``, V5 R5/R6 per ISO 32000-2 §7.6.4: Algorithm-2.B
+hardened hash validates /U, file key unwraps from /UE, objects use
+the file key directly); /U verified in every revision so
 wrong-password files raise instead of emitting mojibake
-(functions/pdfcrypt.py; key algorithms ISO 32000-1 §7.6.3).
+(functions/pdfcrypt.py).
 
 Out of scope (raise ValueError → ``on_error`` policy upstream):
-AES-256 (/AESV3, R5/6) and real user-password files. A structurally
+real user-password files (any revision). A structurally
 valid PDF in which no page object can be located also raises (rather
 than silently returning ``""``) so ``on_error`` audit trails see the
 loss. No reference analog; fulfils the brief's multimodal mandate
@@ -642,9 +645,10 @@ _INT_FIELD = {
 
 
 def _dict_string(body: bytes, name: bytes) -> bytes | None:
-    """The raw bytes of a string-valued dict entry (/O, /U):
-    literal or hex form."""
-    m = re.search(rb"/" + name + rb"\s*", body)
+    """The raw bytes of a string-valued dict entry (/O, /U, /UE):
+    literal or hex form. The name must end at a non-name character so
+    /U never matches the prefix of /UE (R5/R6 dicts carry both)."""
+    m = re.search(rb"/" + name + rb"(?![A-Za-z0-9])\s*", body)
     if not m:
         return None
     i = m.end()
@@ -692,9 +696,10 @@ def _build_cryptor(blob: bytes, objects: dict, gens: dict):
     u_entry = _dict_string(body, b"U")
     if o_entry is None or u_entry is None:
         raise ValueError("PDF /Encrypt missing /O or /U")
-    aes = b"/AESV2" in body
-    if b"/AESV3" in body or r > 4 or v > 4:
-        raise ValueError("unsupported PDF encryption (AES-256 / R5+)")
+    aes = b"/AESV2" in body or b"/AESV3" in body
+    if r > 6 or v > 5:
+        raise ValueError(f"unsupported PDF encryption V={v} R={r}")
+    ue_entry = _dict_string(body, b"UE") if r in (5, 6) else None
     encrypt_metadata = b"/EncryptMetadata false" not in re.sub(
         rb"\s+", b" ", body
     )
@@ -712,6 +717,7 @@ def _build_cryptor(blob: bytes, objects: dict, gens: dict):
         PDFCryptor(
             v=v, r=r, length_bits=length, o_entry=o_entry, u_entry=u_entry,
             p=p, id0=id0, aes=aes, encrypt_metadata=encrypt_metadata,
+            ue_entry=ue_entry,
         ),
         enc_num,
     )

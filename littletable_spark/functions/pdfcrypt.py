@@ -14,6 +14,12 @@ module implements the standard handler for exactly that case:
   ``sAlT`` suffix for AES).
 - Ciphers: RC4 (40..128 bit, /V 1-2, and /V 4 ``/CFM /V2``) and
   AES-128-CBC (``/CFM /AESV2``, leading 16-byte IV, PKCS#7 padding).
+- AES-256 (round 13, ``/CFM /AESV3``, V5 R5/R6 — ISO 32000-2 §7.6.4):
+  the Algorithm-2.B hardened hash (SHA-256/384/512 chain keyed by
+  AES-128-CBC, ≥64 data-dependently-terminated rounds) validates the
+  48-byte /U for the empty user password, and the 256-bit file key
+  unwraps from /UE (AES-256-CBC, zero IV, no padding); V5 objects use
+  the file key directly, no per-object derivation.
 
 The AES core derives its S-box and GF(2⁸) multiplication tables at
 import time from the public construction (multiplicative inverse +
@@ -25,9 +31,8 @@ streams decrypt at table-lookup speed rather than per-byte Python.
 The encrypt direction exists for the test-side fixture writers
 (tests/test_pdfcodec.py) — the differential that pins this module.
 
-AES-256 (/AESV3, revision 5/6) is NOT implemented — those files are
-rare on the open web and typically carry real user passwords anyway;
-they keep raising to ``on_error``.
+Files with a real (non-empty) user password keep raising to
+``on_error`` in every revision — /U validation fails by construction.
 """
 
 from __future__ import annotations
@@ -41,6 +46,7 @@ __all__ = [
     "PDFCryptor",
     "aes128_cbc_decrypt",
     "aes128_cbc_encrypt",
+    "hash_2b",
     "rc4",
 ]
 
@@ -134,17 +140,23 @@ _INV_SHIFT = np.array(
 
 
 def _expand_key(key: bytes):
-    assert len(key) == 16
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 key schedule for AES-128/192/256 (Nk = 4/6/8,
+    Nr = Nk + 6); returns Nr+1 round keys of 16 bytes."""
+    nk = len(key) // 4
+    assert len(key) in (16, 24, 32)
+    nr = nk + 6
+    words = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [int(_SBOX[b]) for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [int(_SBOX[b]) for b in t]  # AES-256 extra SubWord
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
     rks = []
-    for r in range(11):
+    for r in range(nr + 1):
         rk = bytes(b for w in words[4 * r : 4 * r + 4] for b in w)
         rks.append(np.frombuffer(rk, dtype=np.uint8))
     return rks
@@ -177,21 +189,23 @@ def _inv_mix_columns(s: np.ndarray) -> np.ndarray:
 
 def _ecb_encrypt_blocks(key: bytes, blocks: np.ndarray) -> np.ndarray:
     rks = _expand_key(key)
+    nr = len(rks) - 1
     s = blocks ^ rks[0]
-    for r in range(1, 10):
+    for r in range(1, nr):
         s = _SBOX[s]
         s = s[:, _SHIFT]
         s = _mix_columns(s)
         s = s ^ rks[r]
     s = _SBOX[s]
     s = s[:, _SHIFT]
-    return s ^ rks[10]
+    return s ^ rks[nr]
 
 
 def _ecb_decrypt_blocks(key: bytes, blocks: np.ndarray) -> np.ndarray:
     rks = _expand_key(key)
-    s = blocks ^ rks[10]
-    for r in range(9, 0, -1):
+    nr = len(rks) - 1
+    s = blocks ^ rks[nr]
+    for r in range(nr - 1, 0, -1):
         s = s[:, _INV_SHIFT]
         s = _INV_SBOX[s]
         s = s ^ rks[r]
@@ -202,7 +216,9 @@ def _ecb_decrypt_blocks(key: bytes, blocks: np.ndarray) -> np.ndarray:
 
 
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """§7.6.2: ``data`` = 16-byte IV + ciphertext; strips PKCS#7."""
+    """§7.6.2: ``data`` = 16-byte IV + ciphertext; strips PKCS#7.
+    (Name kept from round 12; the core now also takes 24/32-byte keys,
+    so the AESV3 path reuses it verbatim.)"""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC payload length")
     arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
@@ -219,13 +235,47 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
     """Fixture-writer direction (PKCS#7 pad, prepend IV)."""
     padlen = 16 - len(plain) % 16
     plain += bytes([padlen]) * padlen
+    return iv + _cbc_encrypt_nopad(key, iv, plain)
+
+
+def _cbc_encrypt_nopad(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """Raw CBC encrypt, no padding, IV not prepended — Algorithm 2.B's
+    inner step and the /UE-wrap fixture direction."""
+    assert len(plain) % 16 == 0
     blocks = np.frombuffer(plain, dtype=np.uint8).reshape(-1, 16).copy()
     prev = np.frombuffer(iv, dtype=np.uint8)
-    out = [prev]
+    out = []
     for i in range(len(blocks)):
         prev = _ecb_encrypt_blocks(key, (blocks[i] ^ prev)[np.newaxis, :])[0]
         out.append(prev)
     return b"".join(b.tobytes() for b in out)
+
+
+def _cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC decrypt, no padding — the /UE file-key unwrap
+    (ISO 32000-2 §7.6.4.4.8: AES-256, zero IV, no padding)."""
+    assert len(data) % 16 == 0 and data
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    plain = _ecb_decrypt_blocks(key, arr)
+    prev = np.vstack([np.frombuffer(iv, dtype=np.uint8), arr[:-1]])
+    return (plain ^ prev).tobytes()
+
+
+def hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the revision-6 hardened
+    hash: an SHA-256/384/512 chain keyed by an AES-128-CBC encryption
+    of the repeated input, at least 64 rounds, data-dependent stop."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 # ------------------------------------------------------------------ #
@@ -235,7 +285,16 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
 class PDFCryptor:
     """Decryptor for one document: derives the file key from the
     /Encrypt dictionary fields (empty user password), verifies /U,
-    and hands out per-object ``decrypt(objnum, gen, data)``."""
+    and hands out per-object ``decrypt(objnum, gen, data)``.
+
+    Revisions 5 (deprecated Adobe extension) and 6 (ISO 32000-2,
+    /AESV3) take the V5 path: the 48-byte /U carries the password
+    hash + validation and key salts, the empty-user-password hash is
+    Algorithm 2.B (R6) or a single SHA-256 (R5), and the 256-bit file
+    key unwraps from /UE via AES-256-CBC (zero IV, no padding). V5
+    objects encrypt with the FILE key directly — no per-object
+    derivation. (/Perms consistency is not re-verified: /P gates
+    editing permissions, not text extraction.)"""
 
     def __init__(
         self,
@@ -249,7 +308,28 @@ class PDFCryptor:
         id0: bytes,
         aes: bool,
         encrypt_metadata: bool = True,
+        ue_entry: bytes | None = None,
     ):
+        self.v5 = r in (5, 6)
+        if self.v5:
+            if len(u_entry) < 48:
+                raise ValueError("PDF R5/R6 /U entry shorter than 48 bytes")
+            vsalt = u_entry[32:40]
+            ksalt = u_entry[40:48]
+            if r == 6:
+                expect = hash_2b(b"", vsalt)
+            else:
+                expect = hashlib.sha256(vsalt).digest()
+            if expect != u_entry[:32]:
+                raise ValueError("encrypted PDF: user password required")
+            if ue_entry is None or len(ue_entry) < 32:
+                raise ValueError("PDF R5/R6 missing /UE key material")
+            ik = hash_2b(b"", ksalt) if r == 6 else hashlib.sha256(
+                ksalt
+            ).digest()
+            self.key = _cbc_decrypt_nopad(ik, b"\x00" * 16, ue_entry[:32])
+            self.aes = True
+            return
         if v not in (1, 2, 4) or r not in (2, 3, 4):
             raise ValueError(f"unsupported PDF encryption V={v} R={r}")
         self.aes = aes
@@ -284,6 +364,8 @@ class PDFCryptor:
             raise ValueError("encrypted PDF: user password required")
 
     def object_key(self, num: int, gen: int) -> bytes:
+        if self.v5:
+            return self.key  # V5: the file key encrypts every object
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<I", num)[:3])

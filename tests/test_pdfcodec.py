@@ -779,12 +779,137 @@ def test_encrypted_wrong_user_password_raises():
         extract_pdf_text(pdf2)
 
 
-def test_encrypted_aes256_unsupported():
-    pdf = _make_encrypted_pdf(b"t", v=4, r=4, aes=True).replace(
-        b"/AESV2", b"/AESV3"
+def _make_encrypted_pdf_r6(
+    text=b"AES-256 secret", *, r=6, user_pw=b"", owner_pw=b"own3r"
+):
+    """Write a one-page AES-256 PDF (ISO 32000-2 §7.6.4, V5 R5/R6):
+    /U per Algorithm 8 (hash + validation/key salts), /UE wraps the
+    256-bit file key, /O//OE per Algorithm 9. Algorithm 2.B is
+    re-implemented HERE from the spec text (only the raw CBC cipher
+    primitive is shared with the prod module) so writer and reader
+    can't share a misreading of the hash chain."""
+    import hashlib
+    import zlib
+
+    from littletable_spark.functions.pdfcrypt import (
+        _cbc_encrypt_nopad,
+        aes128_cbc_encrypt,
     )
-    with pytest.raises(ValueError, match="AES-256|password|unsupported"):
+
+    def hash_r6(pwd, salt, udata=b""):
+        k = hashlib.sha256(pwd + salt + udata).digest()
+        i = 0
+        while True:
+            k1 = (pwd + k + udata) * 64
+            e = _cbc_encrypt_nopad(k[:16], k[16:32], k1)
+            k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+                sum(e[:16]) % 3
+            ](e).digest()
+            i += 1
+            if i >= 64 and e[-1] <= i - 32:
+                return k[:32]
+
+    if r == 5:  # deprecated Adobe extension: single SHA-256, no chain
+        def hsh(pwd, salt, udata=b""):
+            return hashlib.sha256(pwd + salt + udata).digest()
+    else:
+        hsh = hash_r6
+
+    file_key = bytes(range(32))
+    uvs, uks = b"UVALSALT", b"UKEYSALT"
+    u_entry = hsh(user_pw, uvs) + uvs + uks
+    ue_entry = _cbc_encrypt_nopad(
+        hsh(user_pw, uks), b"\x00" * 16, file_key
+    )
+    ovs, oks = b"OVALSALT", b"OKEYSALT"
+    o_entry = hsh(owner_pw, ovs, u_entry) + ovs + oks
+    oe_entry = _cbc_encrypt_nopad(
+        hsh(owner_pw, oks, u_entry), b"\x00" * 16, file_key
+    )
+
+    stream_plain = zlib.compress(b"BT /F1 12 Tf (" + text + b") Tj ET")
+    stream = aes128_cbc_encrypt(file_key, bytes(range(16)), stream_plain)
+
+    objs = [
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+        + stream + b"\nendstream",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 1 0 R "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Filter /Standard /V 5 /R %d /Length 256 " % r
+        + b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        + b"/O <" + o_entry.hex().encode() + b"> "
+        + b"/U <" + u_entry.hex().encode() + b"> "
+        + b"/OE <" + oe_entry.hex().encode() + b"> "
+        + b"/UE <" + ue_entry.hex().encode() + b"> "
+        + b"/Perms <" + (b"\x00" * 16).hex().encode() + b"> "
+        + b"/P -44 >>",
+    ]
+    out = bytearray(b"%PDF-2.0\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 4 0 R /Encrypt 5 0 R /ID [<"
+        % (len(objs) + 1)
+        + bytes(range(16)).hex().encode() + b"> <"
+        + bytes(range(16)).hex().encode() + b">] >>\n"
+        b"startxref\n%d\n%%%%EOF" % xref_at
+    )
+    return bytes(out)
+
+
+def test_encrypted_aes256_r6():
+    pdf = _make_encrypted_pdf_r6(b"Hardened-hash secret", r=6)
+    assert extract_pdf_text(pdf) == "Hardened-hash secret"
+
+
+def test_encrypted_aes256_r5():
+    pdf = _make_encrypted_pdf_r6(b"Legacy R5 secret", r=5)
+    assert extract_pdf_text(pdf) == "Legacy R5 secret"
+
+
+def test_encrypted_aes256_wrong_password_raises():
+    for rev in (5, 6):
+        pdf = _make_encrypted_pdf_r6(b"locked", r=rev, user_pw=b"hunter2")
+        with pytest.raises(ValueError, match="password"):
+            extract_pdf_text(pdf)
+
+
+def test_encrypted_future_revision_unsupported():
+    pdf = _make_encrypted_pdf_r6(b"t", r=6).replace(b"/R 6", b"/R 7")
+    with pytest.raises(ValueError, match="unsupported"):
         extract_pdf_text(pdf)
+
+
+def test_aes_core_fips197_vectors():
+    """FIPS-197 Appendix C block vectors pin the widened key schedule
+    (AES-128 pinned since round 12; 192/256 are the round-13 paths)."""
+    import numpy as np
+
+    from littletable_spark.functions.pdfcrypt import _ecb_encrypt_blocks
+
+    pt = np.frombuffer(
+        bytes.fromhex("00112233445566778899aabbccddeeff"), dtype=np.uint8
+    ).reshape(1, 16)
+    for keyhex, cthex in [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]:
+        ct = _ecb_encrypt_blocks(bytes.fromhex(keyhex), pt)
+        assert ct.tobytes().hex() == cthex
 
 
 def test_encrypted_pdf_spark_on_error(spark):
