@@ -513,9 +513,25 @@ def _mp3_frame_header(b: bytes, i: int):
 
 
 def sniff_mp3(blob: bytes) -> bool:
+    """True when a valid MPEG audio frame header is locatable. An ID3
+    prefix alone is NOT enough (ID3 tags also wrap FLAC/AIFF): the
+    scan skips the ID3v2 header and requires real frame sync within
+    the same bounded window mp3_info uses (round-13 ADVICE fix)."""
+    pos = 0
     if blob[:3] == b"ID3":
-        return True
-    return len(blob) >= 4 and _mp3_frame_header(blob, 0) is not None
+        if len(blob) < 10:
+            return False
+        pos = 10 + (
+            (blob[6] & 0x7F) << 21 | (blob[7] & 0x7F) << 14
+            | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
+        )
+    limit = min(len(blob), pos + 65536)
+    i = blob.find(b"\xff", pos)
+    while 0 <= i < limit:
+        if _mp3_frame_header(blob, i) is not None:
+            return True
+        i = blob.find(b"\xff", i + 1)
+    return False
 
 
 def mp3_info(blob: bytes) -> dict:
@@ -546,7 +562,13 @@ def mp3_info(blob: bytes) -> dict:
         i += 1
     if hdr is None:
         raise ValueError("no MP3 frame sync found")
-    audio_bytes = len(blob) - i
+    # CBR duration divides audio bytes by bitrate: exclude a trailing
+    # 128-byte ID3v1 'TAG' block so tagged files don't inflate it
+    # (round-13 ADVICE fix; the Xing path below is count-exact anyway)
+    end = len(blob)
+    if end - i >= 128 and blob[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    audio_bytes = end - i
     frames = None
     vbr = False
     # Xing/Info at the layer-3 side-info offset; VBRI at fixed +36

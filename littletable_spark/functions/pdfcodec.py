@@ -726,23 +726,37 @@ def _build_cryptor(blob: bytes, objects: dict, gens: dict):
 _ANY_STRING_RE = re.compile(rb"\(|(?<!<)<(?![<])")
 
 
-def _raw_stream_payload(body: bytes) -> bytes:
-    """The ciphertext of an encrypted stream: by direct /Length when
-    available (ciphertext can end in CR or contain 'endstream'), else
-    the delimiter-regex capture."""
+_INDIRECT_LEN_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+
+
+def _raw_stream_span(body: bytes, objects: dict | None = None) -> tuple[bytes, int]:
+    """The ciphertext of an encrypted stream AND the offset just past
+    its ``endstream``: by /Length when available — direct, or an
+    indirect ``/Length N 0 R`` resolved through ``objects`` (round-13
+    ADVICE fix; ciphertext can end in CR or contain '\\nendstream',
+    which the delimiter regex would truncate AND leave ciphertext
+    bytes dangling in the tail) — else the delimiter-regex capture."""
     hm = _STREAM_HEAD_RE.search(body)
     if hm is not None:
+        n = None
         lm = _DIRECT_LEN_RE.search(body[: hm.start()])
         if lm is not None:
             n = int(lm.group(1))
+        elif objects is not None:
+            im = _INDIRECT_LEN_RE.search(body[: hm.start()])
+            if im is not None:
+                ref = objects.get(int(im.group(1)))
+                nm = re.search(rb"\d+", ref) if ref is not None else None
+                if nm is not None:
+                    n = int(nm.group(0))
+        if n is not None:
             start = hm.end()
             cand = body[start : start + n]
-            if len(cand) == n and re.match(
-                rb"\s*endstream", body[start + n : start + n + 16]
-            ):
-                return cand
+            em = re.match(rb"\s*endstream", body[start + n : start + n + 16])
+            if len(cand) == n and em:
+                return cand, start + n + em.end()
     m = _STREAM_RE.search(body)
-    return m.group(1) if m else b""
+    return (m.group(1), m.end()) if m else (b"", len(body))
 
 
 def _decrypt_body_strings(body: bytes, num: int, gen: int, cryptor) -> bytes:
@@ -785,23 +799,35 @@ def _decrypt_objects(objects: dict, gens: dict, enc_num: int, cryptor) -> None:
             continue
         body = objects[num]
         gen = gens.get(num, 0)
-        sm = _STREAM_RE.search(body)
-        if sm:
-            raw = _raw_stream_payload(body)
-            head = _decrypt_body_strings(body[: sm.start()], num, gen, cryptor)
+        hm = _STREAM_HEAD_RE.search(body)
+        if hm:
+            raw, tail_at = _raw_stream_span(body, objects)
+            head = _decrypt_body_strings(body[: hm.start()], num, gen, cryptor)
             try:
                 plain = cryptor.decrypt(num, gen, raw)
             except ValueError:
                 plain = b""
-            # stamp the exact plaintext length so the re-parse is
-            # length-delimited (a plaintext ending in \r would lose
-            # its last byte to the delimiter-regex fallback)
-            head = _DIRECT_LEN_RE.sub(
-                b"/Length %d" % len(plain), head, count=1
-            )
+            # stamp the exact plaintext length — ALWAYS as a direct
+            # /Length (replacing an indirect '/Length N 0 R', inserting
+            # one when absent) so the re-parse is length-delimited in
+            # every case: a plaintext ending in \r or containing
+            # 'endstream' would otherwise truncate under the
+            # delimiter-regex fallback (round-13 ADVICE fix)
+            stamp = b"/Length %d" % len(plain)
+            new_head = _DIRECT_LEN_RE.sub(stamp, head, count=1)
+            if _DIRECT_LEN_RE.search(new_head) is None:
+                new_head = re.sub(
+                    rb"/Length\s+\d+\s+\d+\s+R", stamp, head, count=1
+                )
+                if _DIRECT_LEN_RE.search(new_head) is None:
+                    at = new_head.rfind(b">>")
+                    if at >= 0:
+                        new_head = (
+                            new_head[:at] + stamp + b" " + new_head[at:]
+                        )
             objects[num] = (
-                head + b"stream\n" + plain + b"\nendstream"
-                + body[sm.end() :]
+                new_head + b"stream\n" + plain + b"\nendstream"
+                + body[tail_at:]
             )
         else:
             objects[num] = _decrypt_body_strings(body, num, gen, cryptor)

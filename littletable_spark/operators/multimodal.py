@@ -72,8 +72,16 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"), F.lit("tiff"))
         .when(hx.startswith("494433"), F.lit("mp3"))  # ID3v2
         .when(
-            # bare MPEG frame sync: FF Ex/Fx (11-bit sync + valid ver)
-            hx.startswith("FFF") | hx.startswith("FFE"),
+            # bare MPEG frame sync: 11-bit sync AND valid version/layer
+            # bits (second byte E2-E7 / F2-F7 / FA-FF — reserved MPEG
+            # version 01 and layer 00 excluded, so arbitrary FF Ex
+            # binaries no longer type as mp3; round-13 ADVICE fix)
+            (F.substring(hx, 1, 2) == F.lit("FF"))
+            & F.substring(hx, 3, 2).isin(
+                "E2", "E3", "E4", "E5", "E6", "E7",
+                "F2", "F3", "F4", "F5", "F6", "F7",
+                "FA", "FB", "FC", "FD", "FE", "FF",
+            ),
             F.lit("mp3"),
         )
         .when(hx.startswith("424D"), F.lit("bmp"))

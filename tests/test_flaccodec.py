@@ -561,3 +561,21 @@ def test_decode_audio_mp3_metadata_row(spark):
     assert rows[2].sample_rate is None
     fmt = {r.sid: r.media_meta["format"] for r in sniff_media(t, "blob")}
     assert fmt[0] == "wav" and fmt[1] == "mp3"
+
+
+def test_mp3_round13_advice_fixes():
+    """Round-13 ADVICE: (a) sniff_mp3 no longer claims ID3-prefixed
+    non-MP3 audio — it requires real frame sync after the tag; (b) CBR
+    duration excludes a trailing 128-byte ID3v1 'TAG' block."""
+    from littletable_spark.functions.audiocodec import mp3_info, sniff_mp3
+
+    blob = _mp3_frame() * 77
+    # ID3-wrapped FLAC-ish payload: tag header then no frame sync
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 30]) + b"\xaa" * 30
+    assert not sniff_mp3(id3 + b"fLaC" + b"\x00" * 400)
+    assert sniff_mp3(id3 + blob)  # real frames after the tag still sniff
+
+    # trailing ID3v1 tag must not inflate the CBR duration
+    tag = b"TAG" + b"\x00" * 125
+    base = mp3_info(blob)["duration"]
+    assert abs(mp3_info(blob + tag)["duration"] - base) < 1e-9

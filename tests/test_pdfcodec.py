@@ -964,3 +964,45 @@ def test_stream_payload_ending_in_cr_is_not_truncated():
     if hit is not None:  # probabilistic search; pin when found
         cand, blob = hit
         assert extract_pdf_text(blob) == cand.decode()
+
+
+def test_decrypt_objects_indirect_length_pathological_payload():
+    """Round-13 ADVICE fix: with an INDIRECT '/Length N 0 R', the
+    ciphertext span must resolve through the length object (a payload
+    containing '\\nendstream' or ending in CR would truncate under the
+    delimiter fallback and leave dangling ciphertext), and the rebuilt
+    stream must carry a DIRECT /Length so the re-parse is
+    length-delimited too."""
+    from littletable_spark.functions.pdfcodec import (
+        _DIRECT_LEN_RE,
+        _decrypt_objects,
+        _stream_data,
+    )
+
+    class Identity:
+        def decrypt(self, num, gen, data):
+            return data
+
+    plain = b"abc\nendstream decoy\r"
+    body = (
+        b"<< /Length 6 0 R >>\nstream\n" + plain + b"\nendstream TAIL"
+    )
+    objects = {1: body, 6: b"%d" % len(plain)}
+    _decrypt_objects(objects, {}, 99, Identity())
+    out = objects[1]
+    assert _DIRECT_LEN_RE.search(out) is not None
+    assert _stream_data(out) == plain  # full payload, no truncation
+    assert out.endswith(b"endstream TAIL")  # tail preserved, no debris
+    assert out.count(b"decoy") == 1  # no duplicated ciphertext
+
+    # same pathological payload with NO /Length at all: one is inserted
+    body2 = b"<< /Type /XObject >>\nstream\n" + plain + b"\nendstream"
+    objects2 = {1: body2}
+    _decrypt_objects(objects2, {}, 99, Identity())
+    # delimiter fallback necessarily truncates at the embedded
+    # endstream, but the re-parse must at least be length-consistent
+    out2 = objects2[1]
+    m = _DIRECT_LEN_RE.search(out2)
+    assert m is not None
+    assert _stream_data(out2) is not None
+    assert len(_stream_data(out2)) == int(m.group(1))
