@@ -61,6 +61,24 @@ def _hostport_sql(url_expr: str) -> str:
     return hostport_sql(url_expr)
 
 
+def _earliest_match_sql(html_expr: str, pats) -> str:
+    """DuckDB twin of urlops._earliest_match: group-1 of whichever
+    pattern's first match occurs earliest in the document (full-match
+    position via strpos ≡ Spark instr; ties on match text then href).
+    NULL when nothing matches."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    entries = ", ".join(
+        "{'pos': strpos(%s, regexp_extract(%s, '%s', 0)), "
+        "'m': regexp_extract(%s, '%s', 0), "
+        "'href': regexp_extract(%s, '%s', 1)}"
+        % (html_expr, html_expr, q(p), html_expr, q(p), html_expr, q(p))
+        for p in pats
+    )
+    return f"list_sort(list_filter([{entries}], x -> x.m <> ''))[1].href"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
     """Load a test table. With SPARK_GRAFT_CACHE_TABLES=1 (set by
     bench.py) base tables are persisted and reused across queries — the
@@ -1910,9 +1928,7 @@ def _canonical_oracle_sql() -> str:
           FROM (
             SELECT doc_id, html, base,
                    regexp_extract(
-                     CASE WHEN regexp_extract(html, '{q(_BASE_DQ_RE)}', 1) <> ''
-                          THEN regexp_extract(html, '{q(_BASE_DQ_RE)}', 1)
-                          ELSE regexp_extract(html, '{q(_BASE_SQ_RE)}', 1) END,
+                     coalesce({_earliest_match_sql("html", (_BASE_DQ_RE, _BASE_SQ_RE))}, ''),
                      '^([^#]*)', 1) AS bref,
                    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS dsch,
                    regexp_extract(base, '{q(_HOST_RE)}', 1) AS dauth,
@@ -1926,11 +1942,7 @@ def _canonical_oracle_sql() -> str:
         f AS (
           SELECT doc_id,
                  regexp_extract(
-                   coalesce(
-                     nullif(regexp_extract(html, '{q(_CANON_RF_DQ)}', 1), ''),
-                     nullif(regexp_extract(html, '{q(_CANON_RF_SQ)}', 1), ''),
-                     nullif(regexp_extract(html, '{q(_CANON_HF_DQ)}', 1), ''),
-                     nullif(regexp_extract(html, '{q(_CANON_HF_SQ)}', 1), '')),
+                   coalesce({_earliest_match_sql("html", (_CANON_RF_DQ, _CANON_RF_SQ, _CANON_HF_DQ, _CANON_HF_SQ))}, ''),
                    '^([^#]*)', 1) AS raw,
                  regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bsch,
                  regexp_extract(base, '{q(_HOST_RE)}', 1) AS bauth,
@@ -2089,9 +2101,7 @@ def _links_oracle_sql() -> str:
           FROM (
             SELECT doc_id, html, base,
                    regexp_extract(
-                     CASE WHEN regexp_extract(html, '{q(_BASE_DQ_RE)}', 1) <> ''
-                          THEN regexp_extract(html, '{q(_BASE_DQ_RE)}', 1)
-                          ELSE regexp_extract(html, '{q(_BASE_SQ_RE)}', 1) END,
+                     coalesce({_earliest_match_sql("html", (_BASE_DQ_RE, _BASE_SQ_RE))}, ''),
                      '^([^#]*)', 1) AS bref,
                    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS dsch,
                    regexp_extract(base, '{q(_HOST_RE)}', 1) AS dauth,

@@ -440,16 +440,46 @@ def _normalize_dot_segments(col: F.Column) -> F.Column:
     return col
 
 
+def _earliest_match(html, pats):
+    """Group-1 of whichever pattern's first match occurs EARLIEST in
+    the document (full-match position via instr — the regex's leftmost
+    match IS the matched text's first occurrence, so instr equals the
+    match offset; ties break on the match text then the href, all
+    deterministic and engine-portable). NULL when nothing matches.
+    Round-13 ADVICE fix: pattern ORDER (double-quote-first) no longer
+    overrides document order when both quote styles appear."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.regexp_extract(html, p, 0).alias("m"),
+                F.regexp_extract(html, p, 1).alias("href"),
+            )
+            for p in pats
+        ]
+    )
+    positioned = F.transform(
+        entries,
+        lambda x: F.struct(
+            F.instr(html, x["m"]).alias("pos"),
+            x["m"].alias("m"),
+            x["href"].alias("href"),
+        ),
+    )
+    valid = F.filter(positioned, lambda x: x["m"] != F.lit(""))
+    return F.get(F.array_sort(valid), F.lit(0))["href"]
+
+
 def _effective_base(html, base):
-    """The page's effective base URL: the first ``<base href>``
-    (fragment stripped), resolved against the document URL; any
-    explicit scheme passes through untouched (non-http bases then
-    drop their links at the final scheme filter rather than producing
-    junk concatenations); no ``<base>`` → the document URL."""
-    bref_dq = F.regexp_extract(html, _BASE_DQ_RE, 1)
-    bref_sq = F.regexp_extract(html, _BASE_SQ_RE, 1)
+    """The page's effective base URL: the first ``<base href>`` in
+    DOCUMENT order across both quote styles (fragment stripped),
+    resolved against the document URL; any explicit scheme passes
+    through untouched (non-http bases then drop their links at the
+    final scheme filter rather than producing junk concatenations);
+    no ``<base>`` → the document URL."""
     bref = F.regexp_extract(
-        F.when(bref_dq != F.lit(""), bref_dq).otherwise(bref_sq),
+        F.coalesce(
+            _earliest_match(html, (_BASE_DQ_RE, _BASE_SQ_RE)), F.lit("")
+        ),
         r"^([^#]*)",
         1,
     )
@@ -580,10 +610,9 @@ def extract_links(
         F.regexp_extract_all(html, F.lit(_AREA_DQ_RE), F.lit(1)),
         F.regexp_extract_all(html, F.lit(_AREA_SQ_RE), F.lit(1)),
     )
-    eff_base = _effective_base(html, base)
     # Resolution runs INSIDE the array (transform), validity filtering
     # on the array elements (filter), and only the finished links
-    # explode. Two reasons, both load-bearing at scale:
+    # explode. Three reasons, all load-bearing at scale:
     # - resolving AFTER the explode put the ~20-regexp resolution CASE
     #   in the post-Generate projection, where predicate pushdown
     #   substituted it into the validity Filter too — the whole
@@ -591,22 +620,30 @@ def extract_links(
     #   method blew janino's 64 KB ceiling, dropping the entire stage
     #   out of whole-stage codegen;
     # - the array form evaluates the resolution exactly ONCE per href
-    #   and leaves the explode with zero downstream expressions.
-    b_scheme = F.regexp_extract(eff_base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    b_auth = F.regexp_extract(eff_base, _HOST_RE, 1)
-    b_path = F.regexp_extract(eff_base, _PATH_RE, 1)
-    b_path_full = F.when(b_path == F.lit(""), F.lit("/")).otherwise(b_path)
-    b_dir = F.regexp_replace(b_path_full, r"[^/]*$", "")
-    links_arr = F.filter(
+    #   and leaves the explode with zero downstream expressions;
+    # - the html-scanning work (the four href scans and the
+    #   document-order effective-base pick, the expensive part) is
+    #   materialized ONCE per row in the outer single-element array —
+    #   expressions captured in a transform lambda re-evaluate per
+    #   element, so only cheap extracts over the short materialized
+    #   base string may live inside the per-href lambda (same-box A/B
+    #   round 13: capturing the base expression directly cost 1.7x).
+    packed = F.get(
         F.transform(
-            hrefs,
-            lambda r: _resolve_ref_parts(
-                r, b_scheme, b_auth, b_path_full, b_dir
+            F.array(
+                F.struct(
+                    hrefs.alias("h"),
+                    _effective_base(html, base).alias("b"),
+                )
+            ),
+            lambda x: F.filter(
+                F.transform(x["h"], lambda r: _resolve_ref(r, x["b"])),
+                lambda link: link.rlike(r"^(?i)https?://[^/?#]+"),
             ),
         ),
-        lambda link: link.rlike(r"^(?i)https?://[^/?#]+"),
+        F.lit(0),
     )
-    out = df.select(F.col(id_col), F.explode(links_arr).alias(link_col))
+    out = df.select(F.col(id_col), F.explode(packed).alias(link_col))
     return Table.from_df(out, name=f"{table.table_name}_links")
 
 
@@ -626,22 +663,27 @@ def extract_canonical(
     is not http(s)) — compose with ``coalesce(canonical_url, url)``
     then ``dedup_urls``.
 
-    The first canonical link wins; both attribute orders
-    (``rel`` before/after ``href``) and both quote styles match; the
-    target resolves against the page's effective base (honoring
-    ``<base href>``) exactly like ``extract_links``. Fully native and
-    1:1 SQL-expressible (the alternation patterns avoid lookahead so
-    Spark's Java regex and the DuckDB oracle's RE2 agree). Plan: one
-    narrow projection, NO explode, zero shuffle.
+    The first canonical link in DOCUMENT order wins (round 13: across
+    both attribute orders AND both quote styles — earliest full-match
+    position, not pattern order); the target resolves against the
+    page's effective base (honoring ``<base href>``) exactly like
+    ``extract_links``. Fully native and 1:1 SQL-expressible (the
+    alternation patterns avoid lookahead so Spark's Java regex and
+    the DuckDB oracle's RE2 agree). Plan: one narrow projection, NO
+    explode, zero shuffle.
     """
     df = table._require_df()
     html = F.coalesce(F.col(html_col), F.lit(""))
     base = F.coalesce(F.col(base_col), F.lit(""))
-    raw = F.coalesce(
-        *[
-            F.nullif(F.regexp_extract(html, pat, 1), F.lit(""))
-            for pat in (_CANON_RF_DQ, _CANON_RF_SQ, _CANON_HF_DQ, _CANON_HF_SQ)
-        ]
+    raw = F.nullif(
+        F.coalesce(
+            _earliest_match(
+                html,
+                (_CANON_RF_DQ, _CANON_RF_SQ, _CANON_HF_DQ, _CANON_HF_SQ),
+            ),
+            F.lit(""),
+        ),
+        F.lit(""),
     )
     # Evaluate the 4-pattern extraction and the effective base ONCE by
     # routing them through a single-element transform() lambda —

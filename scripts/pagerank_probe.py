@@ -7,12 +7,17 @@ session — cross-run absolutes are not citable, see BASELINE.md):
    between a 6-iteration and a 2-iteration run, so fixed setup cost
    cancels): the Pregel loop's step must scale with EDGES — ~10x at
    10x edges, never super-linear;
-2. the warm-start recrawl story on a 10%-GROWN 20M graph: cold
-   (uniform start) vs ``against_ranks=`` warm start from the previous
-   crawl's ranks, both with the same ``tol`` — iteration count and
-   wall-clock savings are the recrawl payoff.
+2. the warm-start recrawl story on a 1%-GROWN 20M graph (interleaved
+   cold/warm A/B, medians): cold (uniform start) vs ``against_ranks=``
+   warm start from the previous crawl's ranks, both with the same
+   ``tol`` — iteration count and wall-clock savings are the recrawl
+   payoff. (A 10% random rewire was probed first: it genuinely moves
+   the stationary distribution, so warm start saved ~1 iteration —
+   no start vector can skip real mixing time.)
 
-Run: python scripts/pagerank_probe.py  (local[32], ~128 GiB box)
+Run: SPARK_DRIVER_MEMORY=48g python scripts/pagerank_probe.py
+(local[32]; the runs keep several 20M-edge graphs + rank vectors
+cached, which overflows the default 8g heap)
 """
 from __future__ import annotations
 
@@ -73,11 +78,17 @@ def main() -> None:
         out.df.agg(F.sum("rank")).collect()
         return out
 
-    run(g1, 2)  # untimed warmup
-    timed("pr_2m_2iter", lambda: run(g1, 2), res)
-    timed("pr_2m_6iter", lambda: run(g1, 6), res)
-    timed("pr_20m_2iter", lambda: run(g10, 2), res)
-    timed("pr_20m_6iter", lambda: run(g10, 6), res)
+    def done(out: Table) -> None:
+        """Release a finished run's persisted rank vector — repeated
+        probe runs otherwise accumulate caches until the heap fills
+        (the r13b probe OOMed exactly this way)."""
+        out.df.unpersist()
+
+    done(run(g1, 2))  # untimed warmup
+    done(timed("pr_2m_2iter", lambda: run(g1, 2), res))
+    done(timed("pr_2m_6iter", lambda: run(g1, 6), res))
+    done(timed("pr_20m_2iter", lambda: run(g10, 2), res))
+    done(timed("pr_20m_6iter", lambda: run(g10, 6), res))
     per_iter_1 = (res["pr_2m_6iter"] - res["pr_2m_2iter"]) / 4
     per_iter_10 = (res["pr_20m_6iter"] - res["pr_20m_2iter"]) / 4
     print(f"per-iteration 2M:  {per_iter_1:6.3f}s")
@@ -97,6 +108,7 @@ def main() -> None:
     print(f"cold converged in {prev_iters} iterations (tol={TOL})")
     path = "/tmp/pagerank_probe_prior.parquet"
     cold_prev.df.write.mode("overwrite").parquet(path)
+    done(cold_prev)
     prior = Table.from_df(spark.read.parquet(path), name="prior")
 
     # recrawl: the grown graph = original 20M + 1% new salted edges —
@@ -116,11 +128,13 @@ def main() -> None:
                   lambda: run(grown, MAX_ITERS, tol=TOL), res)
         colds.append((res[f"pr_grown_cold_tol_r{rnd}"],
                       c.pagerank_iterations))
+        done(c)
         w = timed(f"pr_grown_warm_tol_r{rnd}",
                   lambda: run(grown, MAX_ITERS, tol=TOL,
                               against_ranks=prior), res)
         warms.append((res[f"pr_grown_warm_tol_r{rnd}"],
                       w.pagerank_iterations))
+        done(w)
     cs = sorted(colds)[len(colds) // 2]
     ws = sorted(warms)[len(warms) // 2]
     print(f"grown graph (+1% edges): cold {cs[1]} iters / {cs[0]}s, "

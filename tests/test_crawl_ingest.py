@@ -823,3 +823,52 @@ def test_bracketed_ipv6_authorities(spark):
     assert canon[2] == "https://[2001:db8::2]/y"  # default :443 stripped
     assert canon[3] == "http://[::ffff:10.0.0.1]/z"  # default :80 stripped
     assert canon[4] == "http://plain.example.com:8080/p"
+
+
+def test_canonical_and_base_document_order_across_quote_styles(spark):
+    """Round-13 ADVICE fix: 'first wins' is DOCUMENT order, not
+    quote-style order — an earlier single-quoted <link rel=canonical>
+    (or <base href>) beats a later double-quoted one, and vice versa."""
+    from littletable_spark.operators.urlops import (
+        extract_canonical,
+        extract_links,
+    )
+
+    rows = [
+        {"doc_id": 0,
+         "html": "<link rel='canonical' href='https://first.org/sq'>"
+                 '<link rel="canonical" href="https://second.org/dq">',
+         "url": "https://a.com/p"},
+        {"doc_id": 1,
+         "html": '<link rel="canonical" href="https://first.org/dq">'
+                 "<link rel='canonical' href='https://second.org/sq'>",
+         "url": "https://a.com/p"},
+        {"doc_id": 2,  # earlier sq <base> re-roots; later dq base loses
+         "html": "<head><base href='/sqroot/'>"
+                 '<base href="https://dq.example.com/lost/"></head>'
+                 '<link rel="canonical" href="rel.html">',
+         "url": "https://a.com/d/p"},
+    ]
+    t = Table("pages", spark=spark)
+    t.insert_many(rows)
+    got = {r.doc_id: r.canonical_url
+           for r in extract_canonical(t, "html", "url", "doc_id")}
+    assert got[0] == "https://first.org/sq"
+    assert got[1] == "https://first.org/dq"
+    assert got[2] == "https://a.com/sqroot/rel.html"
+
+    # extract_links resolves against the same document-order base
+    links = {r.link for r in extract_links(
+        Table.from_df(t.df.where("doc_id = 2"), name="p2"),
+        "html", "url", "doc_id")}
+    assert links == set()  # canonical <link> is not an <a>; no a-hrefs
+    t2 = Table("pages2", spark=spark)
+    t2.insert_many([{
+        "doc_id": 0,
+        "html": "<base href='/sqroot/'>"
+                '<base href="https://dq.example.com/lost/">'
+                '<a href="x.html">x</a>',
+        "url": "https://a.com/d/p",
+    }])
+    links = {r.link for r in extract_links(t2, "html", "url", "doc_id")}
+    assert links == {"https://a.com/sqroot/x.html"}
