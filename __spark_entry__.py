@@ -1523,16 +1523,17 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DOCX/ODT text extraction (round 13, functions/officecodec.py):
-    REAL zip containers with hand-built WordprocessingML / ODF XML are
-    synthesized per doc in an Arrow pass — doc_id%3==0 a DOCX with a
-    w:tab run, %3==1 an ODT with a run-length text:s, %3==2 a
-    non-document zip that must NULL under on_error='null' — then the
-    real zipfile+ElementTree extractor runs end-to-end. The oracle
-    predicts the extracted text arithmetically (the fixture content is
-    a pure function of (doc_id, lang)), so extraction, whitespace
-    semantics, format routing, AND the on_error audit trail all
-    hash-gate."""
+    """Office text extraction (round 13, functions/officecodec.py):
+    REAL zip containers with hand-built ECMA-376 / ODF XML are
+    synthesized per doc in an Arrow pass — doc_id%5==0 a DOCX with a
+    w:tab run, %5==1 an ODT with a run-length text:s, %5==2 an XLSX
+    (shared string + numeric cell + inline-string row), %5==3 a PPTX
+    (two slides, a:tab run), %5==4 a non-document zip that must NULL
+    under on_error='null' — then the real zipfile+ElementTree
+    extractors run end-to-end. The oracle predicts the extracted text
+    arithmetically (the fixture content is a pure function of
+    (doc_id, lang)), so extraction, whitespace semantics, format
+    routing, AND the on_error audit trail all hash-gate."""
     from littletable_spark.operators.multimodal import extract_text
 
     d = _t(spark, sf_dir, "documents")
@@ -1550,12 +1551,23 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
             'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
         )
+        ss_ns = (
+            'xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"'
+        )
+        p_ns = (
+            'xmlns:p="http://schemas.openxmlformats.org/'
+            'presentationml/2006/main" '
+            'xmlns:a="http://schemas.openxmlformats.org/'
+            'drawingml/2006/main"'
+        )
         out = []
         for i, lg in zip(doc_id, lang):
             i = int(i)
             buf = io.BytesIO()
             with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-                if i % 3 == 0:
+                k = i % 5
+                if k == 0:
                     zf.writestr(
                         "word/document.xml",
                         f"<w:document {w_ns}><w:body>"
@@ -1564,7 +1576,7 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"<w:p><w:r><w:t>{lg}</w:t><w:tab/><w:t>x</w:t>"
                         "</w:r></w:p></w:body></w:document>",
                     )
-                elif i % 3 == 1:
+                elif k == 1:
                     zf.writestr(
                         zipfile.ZipInfo("mimetype"),
                         "application/vnd.oasis.opendocument.text",
@@ -1578,6 +1590,37 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f'<text:p>{lg}<text:s text:c="2"/>x</text:p>'
                         "</office:text></office:body>"
                         "</office:document-content>",
+                    )
+                elif k == 2:
+                    zf.writestr("xl/workbook.xml", f"<workbook {ss_ns}/>")
+                    zf.writestr(
+                        "xl/sharedStrings.xml",
+                        f"<sst {ss_ns}><si><t>Doc {i}</t></si></sst>",
+                    )
+                    zf.writestr(
+                        "xl/worksheets/sheet1.xml",
+                        f"<worksheet {ss_ns}><sheetData>"
+                        f'<row><c t="s"><v>0</v></c><c><v>{i % 7}</v></c>'
+                        "</row>"
+                        f'<row><c t="inlineStr"><is><t>{lg}</t></is></c>'
+                        "</row></sheetData></worksheet>",
+                    )
+                elif k == 3:
+                    zf.writestr(
+                        "ppt/presentation.xml", f"<p:presentation {p_ns}/>"
+                    )
+                    zf.writestr(
+                        "ppt/slides/slide1.xml",
+                        f"<p:sld {p_ns}><p:cSld><p:spTree><p:sp><p:txBody>"
+                        f"<a:p><a:r><a:t>Doc {i}</a:t></a:r></a:p>"
+                        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>",
+                    )
+                    zf.writestr(
+                        "ppt/slides/slide2.xml",
+                        f"<p:sld {p_ns}><p:cSld><p:spTree><p:sp><p:txBody>"
+                        f"<a:p><a:r><a:t>{lg}</a:t></a:r><a:tab/>"
+                        "<a:r><a:t>x</a:t></a:r></a:p>"
+                        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>",
                     )
                 else:
                     zf.writestr("data.txt", "not a document")
@@ -3019,9 +3062,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-13 rotation (stale-veteran hygiene per the r12 verdict —
     the ten queries parked since r6, the registry's longest-stale set,
     all re-enter, plus one net-new): IN — office_extract (net-new:
-    DOCX/ODT extraction through the real zipfile+XML extractor over
-    per-doc synthesized containers incl. on_error NULL rows; gates
-    first), slice_positional, search_raw, outer_join_full,
+    DOCX/ODT/XLSX/PPTX extraction through the real zipfile+XML
+    extractors over per-doc synthesized containers incl. on_error
+    NULL rows; gates first), slice_positional, search_raw,
+    outer_join_full,
     events_sliding, sample_split, join_dsl, text_repetition,
     explode_embedding, semi_join, sample_stratified. OUT, coverage
     preserved — orderby_head / rank / rollup / delete / cube /
@@ -4531,26 +4575,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "multimodal_decode": _decode_oracle_sql(width=4, height=4),
-        # office extraction: the DOCX/ODT fixtures are pure functions
-        # of (doc_id, lang), so the oracle predicts the extracted text
-        # (chr(10)=paragraph join, chr(9)=w:tab, two spaces=text:s c=2)
-        # and the non-document zip rows' on_error NULLs arithmetically
+        # office extraction: the DOCX/ODT/XLSX/PPTX fixtures are pure
+        # functions of (doc_id, lang), so the oracle predicts the
+        # extracted text (chr(10)=paragraph/row join, chr(9)=tab,
+        # chr(12)=slide separator, two spaces=text:s c=2) and the
+        # non-document zip rows' on_error NULLs arithmetically
         "office_extract": """
             WITH t AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 3 = 0 THEN
+                     CASE WHEN doc_id % 5 = 0 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang
                        || chr(9) || 'x'
-                     WHEN doc_id % 3 = 1 THEN
+                     WHEN doc_id % 5 = 1 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang || '  x'
+                     WHEN doc_id % 5 = 2 THEN
+                       'Doc ' || doc_id::VARCHAR || chr(9)
+                       || (doc_id % 7)::VARCHAR || chr(10) || lang
+                     WHEN doc_id % 5 = 3 THEN
+                       'Doc ' || doc_id::VARCHAR || chr(12) || lang
+                       || chr(9) || 'x'
                      ELSE NULL END AS text
               FROM documents
             )
             SELECT doc_id,
-                   CASE WHEN doc_id % 3 = 0 THEN 'docx'
-                        WHEN doc_id % 3 = 1 THEN 'odt'
+                   CASE WHEN doc_id % 5 = 0 THEN 'docx'
+                        WHEN doc_id % 5 = 1 THEN 'odt'
+                        WHEN doc_id % 5 = 2 THEN 'xlsx'
+                        WHEN doc_id % 5 = 3 THEN 'pptx'
                         ELSE NULL END AS doc_format,
-                   CASE WHEN doc_id % 3 = 2 THEN NULL ELSE '' END AS title,
+                   CASE WHEN doc_id % 5 = 4 THEN NULL ELSE '' END AS title,
                    text,
                    length(text)::INTEGER AS n_chars
             FROM t

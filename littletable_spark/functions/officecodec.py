@@ -1,9 +1,10 @@
-"""DOCX / ODT text extraction — pure stdlib (zipfile + xml.etree).
+"""DOCX / ODT / XLSX / PPTX text extraction — pure stdlib
+(zipfile + xml.etree).
 
 Office documents are the largest class of real-corpus text blobs after
 PDF/HTML (reference parity: littletable has no blob ingestion at all —
 this extends the crawl-ingestion surface the same way pdfcodec.py
-does). Both formats are ZIP containers holding XML:
+does). All four formats are ZIP containers holding XML:
 
 - DOCX (ECMA-376 WordprocessingML): ``word/document.xml`` body plus
   ``word/header*.xml`` / ``word/footer*.xml`` parts. Text lives in
@@ -15,11 +16,20 @@ does). Both formats are ZIP containers holding XML:
   ``text:p`` / ``text:h`` paragraphs with ``text:tab``,
   ``text:line-break``, and ``text:s`` (run-length spaces) whitespace
   elements; tables are ``table:table`` > ``table-row`` > ``table-cell``.
+- XLSX (ECMA-376 SpreadsheetML, round 13): ``xl/worksheets/sheetN.xml``
+  rows, cells resolved through ``xl/sharedStrings.xml`` (``t="s"``,
+  rich ``<r>`` runs concatenated), inline strings (``t="inlineStr"``),
+  and raw ``<v>`` values; one line per row, cells tab-joined, sheets
+  in numeric order.
+- PPTX (ECMA-376 PresentationML, round 13): ``ppt/slides/slideN.xml``
+  in numeric order; each ``a:p`` paragraph is one line (``a:t`` runs,
+  ``a:br`` newline, ``a:tab`` tab); slides separated by form feeds —
+  the same page convention as pdfcodec.
 
 Whitespace semantics (deterministic, tested):
-- each paragraph / heading is one output line;
-- table rows are one line each, cells joined by tabs (a cell's inner
-  paragraphs joined by a single space);
+- each paragraph / heading / sheet row is one output line;
+- table rows / sheet rows are one line each, cells joined by tabs (a
+  DOCX/ODT cell's inner paragraphs joined by a single space);
 - DOCX part order: headers, body, footers.
 
 Every failure mode (corrupt zip, missing part, encrypted/locked
@@ -38,12 +48,16 @@ __all__ = [
     "sniff_office",
     "extract_docx_text",
     "extract_odt_text",
+    "extract_xlsx_text",
+    "extract_pptx_text",
     "extract_office_text",
 ]
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _T = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 _TBL = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+_SS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 
 _ODT_MIME = b"mimetypeapplication/vnd.oasis.opendocument.text"
 
@@ -65,6 +79,10 @@ def sniff_office(blob: bytes) -> str | None:
         return None
     if "word/document.xml" in names:
         return "docx"
+    if "xl/workbook.xml" in names:
+        return "xlsx"
+    if "ppt/presentation.xml" in names:
+        return "pptx"
     if "mimetype" in names:
         try:
             with zipfile.ZipFile(io.BytesIO(blob)) as zf:
@@ -248,13 +266,112 @@ def extract_odt_text(blob: bytes) -> str:
     return "\n".join(_odt_block_lines(text)).strip()
 
 
+# ---------------------------------------------------------------- XLSX
+
+_SHEET_RE = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+
+
+def _xlsx_cell_text(c, shared: list[str]) -> str:
+    t = c.get("t", "n")
+    if t == "s":  # shared-string index
+        v = c.find(f"{_SS}v")
+        try:
+            idx = int((v.text or "").strip()) if v is not None else -1
+        except ValueError:
+            idx = -1
+        return shared[idx] if 0 <= idx < len(shared) else ""
+    if t == "inlineStr":
+        return "".join(x.text or "" for x in c.iter(f"{_SS}t"))
+    v = c.find(f"{_SS}v")  # numeric / boolean / formula-cached str
+    return (v.text or "") if v is not None else ""
+
+
+def extract_xlsx_text(blob: bytes) -> str:
+    """Text of an XLSX blob: one line per sheet row, cells tab-joined
+    in document order (empty-column GAPS are not reconstructed — cell
+    addresses are ignored, which is the right shape for text mining,
+    not for layout fidelity), sheets in numeric filename order."""
+    with _open_zip(blob) as zf:
+        names = set(zf.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            sst = _parse_xml(
+                _read_member(zf, "xl/sharedStrings.xml"),
+                "xl/sharedStrings.xml",
+            )
+            for si in sst.iter(f"{_SS}si"):
+                shared.append(
+                    "".join(t.text or "" for t in si.iter(f"{_SS}t"))
+                )
+        sheets = sorted(
+            (int(m.group(1)), n)
+            for n in names
+            for m in (_SHEET_RE.match(n),)
+            if m
+        )
+        if not sheets:
+            raise ValueError("XLSX has no xl/worksheets/sheetN.xml")
+        lines: list[str] = []
+        for _, n in sheets:
+            root = _parse_xml(_read_member(zf, n), n)
+            for row in root.iter(f"{_SS}row"):
+                lines.append(
+                    "\t".join(
+                        _xlsx_cell_text(c, shared)
+                        for c in row.findall(f"{_SS}c")
+                    )
+                )
+    return "\n".join(lines).strip()
+
+
+# ---------------------------------------------------------------- PPTX
+
+_SLIDE_RE = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+
+
+def extract_pptx_text(blob: bytes) -> str:
+    """Text of a PPTX blob: slides in numeric order separated by form
+    feeds (the pdfcodec page convention); each a:p paragraph one line,
+    a:t runs concatenated, a:br -> newline, a:tab -> tab."""
+    with _open_zip(blob) as zf:
+        names = set(zf.namelist())
+        slides = sorted(
+            (int(m.group(1)), n)
+            for n in names
+            for m in (_SLIDE_RE.match(n),)
+            if m
+        )
+        if not slides:
+            raise ValueError("PPTX has no ppt/slides/slideN.xml")
+        pages: list[str] = []
+        for _, n in slides:
+            root = _parse_xml(_read_member(zf, n), n)
+            lines: list[str] = []
+            for p in root.iter(f"{_A}p"):
+                out: list[str] = []
+                for el in p.iter():
+                    if el.tag == f"{_A}t":
+                        out.append(el.text or "")
+                    elif el.tag == f"{_A}br":
+                        out.append("\n")
+                    elif el.tag == f"{_A}tab":
+                        out.append("\t")
+                lines.append("".join(out))
+            pages.append("\n".join(lines).strip())
+    return "\f".join(pages).strip()
+
+
 def extract_office_text(blob: bytes) -> tuple[str, str]:
     """(format, text) for a PK-magic blob; ValueError when the zip is
-    not a DOCX/ODT document (xlsx/pptx/plain archives included — the
-    caller's on_error policy decides whether that kills the job)."""
+    not a recognized Office/ODF document (plain archives included —
+    the caller's on_error policy decides whether that kills the job)."""
     kind = sniff_office(blob)
     if kind == "docx":
         return "docx", extract_docx_text(blob)
     if kind == "odt":
         return "odt", extract_odt_text(blob)
-    raise ValueError("zip container is not a DOCX or ODT document")
+    if kind == "xlsx":
+        return "xlsx", extract_xlsx_text(blob)
+    if kind == "pptx":
+        return "pptx", extract_pptx_text(blob)
+    raise ValueError("zip container is not a DOCX/ODT/XLSX/PPTX document")

@@ -431,11 +431,13 @@ def extract_text(
       ``html_main_content=True`` additionally drops
       link-dense/short boilerplate blocks — the readability
       heuristic);
-    - DOCX / ODT (``PK`` magic + member sniff) via the pure-stdlib
-      zipfile+XML extractor in ``functions/officecodec.py``
-      (paragraphs, tables, headers/footers, w:tab / w:br / text:tab /
-      text:s whitespace semantics; corrupt or locked archives and
-      non-document zips surface through ``on_error``);
+    - DOCX / ODT / XLSX / PPTX (``PK`` magic + member sniff) via the
+      pure-stdlib zipfile+XML extractors in
+      ``functions/officecodec.py`` (paragraphs, tables,
+      headers/footers, shared-string/inline spreadsheet cells, slide
+      paragraphs; tab/break/run-length-space whitespace semantics;
+      corrupt or locked archives and non-document zips surface
+      through ``on_error``);
     - everything else: UTF-8 passthrough.
 
     ``on_error="null"`` NULLs the text for unextractable blobs so one

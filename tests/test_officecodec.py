@@ -147,7 +147,7 @@ def test_non_document_zip_rejected():
         zf.writestr("random.txt", "not a document")
     blob = buf.getvalue()
     assert sniff_office(blob) is None
-    with pytest.raises(ValueError, match="not a DOCX or ODT"):
+    with pytest.raises(ValueError, match="not a DOCX/ODT/XLSX/PPTX"):
         extract_office_text(blob)
 
 
@@ -219,3 +219,107 @@ def test_extract_text_routes_office_blobs(spark):
         )
     }
     assert stats[0] == 3 and stats[1] == 2
+
+
+_SS_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_P_NS = (
+    'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+)
+
+
+def make_xlsx(sheets: dict[int, str], shared_xml: str = "") -> bytes:
+    """sheets: {sheet_number: <sheetData inner xml>}."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/workbook.xml", f"<workbook {_SS_NS}/>")
+        if shared_xml:
+            zf.writestr(
+                "xl/sharedStrings.xml", f"<sst {_SS_NS}>{shared_xml}</sst>"
+            )
+        for num, inner in sheets.items():
+            zf.writestr(
+                f"xl/worksheets/sheet{num}.xml",
+                f"<worksheet {_SS_NS}><sheetData>{inner}</sheetData>"
+                "</worksheet>",
+            )
+    return buf.getvalue()
+
+
+def make_pptx(slides: dict[int, str]) -> bytes:
+    """slides: {slide_number: <spTree inner xml using p:/a: prefixes>}."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("ppt/presentation.xml", f"<p:presentation {_P_NS}/>")
+        for num, inner in slides.items():
+            zf.writestr(
+                f"ppt/slides/slide{num}.xml",
+                f"<p:sld {_P_NS}><p:cSld><p:spTree>{inner}"
+                "</p:spTree></p:cSld></p:sld>",
+            )
+    return buf.getvalue()
+
+
+def test_xlsx_shared_inline_and_numeric_cells():
+    from littletable_spark.functions.officecodec import extract_xlsx_text
+
+    shared = "<si><t>hello</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si>"
+    sheet = (
+        '<row><c t="s"><v>0</v></c><c><v>42</v></c></row>'
+        '<row><c t="s"><v>1</v></c>'
+        '<c t="inlineStr"><is><t>inline</t></is></c></row>'
+        '<row><c t="s"><v>99</v></c><c/></row>'  # oob index + empty cell
+    )
+    blob = make_xlsx({1: sheet}, shared)
+    assert sniff_office(blob) == "xlsx"
+    # the oob-index + empty-cell row renders as "\t" and strips away
+    assert extract_xlsx_text(blob) == "hello\t42\nrich\tinline"
+
+
+def test_xlsx_multi_sheet_numeric_order():
+    from littletable_spark.functions.officecodec import extract_xlsx_text
+
+    blob = make_xlsx({
+        10: '<row><c><v>third</v></c></row>',
+        2: '<row><c><v>second</v></c></row>',
+        1: '<row><c><v>first</v></c></row>',
+    })
+    assert extract_xlsx_text(blob) == "first\nsecond\nthird"
+
+
+def test_pptx_slides_runs_breaks_tabs():
+    from littletable_spark.functions.officecodec import extract_pptx_text
+
+    s1 = (
+        "<p:sp><p:txBody>"
+        "<a:p><a:r><a:t>Title here</a:t></a:r><a:br/>"
+        "<a:r><a:t>after break</a:t></a:r></a:p>"
+        "<a:p><a:r><a:t>a</a:t></a:r><a:tab/><a:r><a:t>b</a:t></a:r></a:p>"
+        "</p:txBody></p:sp>"
+    )
+    s2 = "<p:sp><p:txBody><a:p><a:r><a:t>second slide</a:t></a:r></a:p></p:txBody></p:sp>"
+    blob = make_pptx({2: s2, 1: s1})
+    assert sniff_office(blob) == "pptx"
+    assert extract_pptx_text(blob) == (
+        "Title here\nafter break\na\tb\fsecond slide"
+    )
+
+
+def test_extract_text_routes_xlsx_pptx(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import extract_text
+
+    rows = [
+        {"id": 0, "blob": make_xlsx(
+            {1: '<row><c t="s"><v>0</v></c></row>'}, "<si><t>cell</t></si>")},
+        {"id": 1, "blob": make_pptx(
+            {1: "<p:sp><p:txBody><a:p><a:r><a:t>slide text</a:t></a:r>"
+                "</a:p></p:txBody></p:sp>"})},
+    ]
+    t = Table("blobs", spark=spark)
+    t.insert_many(rows)
+    out = {r.id: r for r in extract_text(t, "blob", "id", on_error="null")}
+    assert out[0].doc_format == "xlsx" and out[0].text == "cell"
+    assert out[1].doc_format == "pptx" and out[1].text == "slide text"
