@@ -438,6 +438,9 @@ def extract_text(
       paragraphs; tab/break/run-length-space whitespace semantics;
       corrupt or locked archives and non-document zips surface
       through ``on_error``);
+    - RTF (``{\\rtf`` magic) via ``functions/rtfcodec.py`` (control-
+      word walk, destination groups skipped, code-page + \\uN
+      escapes, \\par/\\tab whitespace semantics);
     - everything else: UTF-8 passthrough.
 
     ``on_error="null"`` NULLs the text for unextractable blobs so one
@@ -460,6 +463,7 @@ def extract_text(
         from ..functions.imagecodec import CORRUPT_ERRORS
         from ..functions.officecodec import extract_office_text
         from ..functions.pdfcodec import extract_pdf_text
+        from ..functions.rtfcodec import extract_rtf_text
 
         for pdf in batches:
             if pdf.empty:
@@ -473,6 +477,8 @@ def extract_text(
                     elif blob.startswith(b"PK\x03\x04"):
                         kind, text = extract_office_text(blob)
                         rows.append((_id, kind, "", text))
+                    elif blob.startswith(b"{\\rtf"):
+                        rows.append((_id, "rtf", "", extract_rtf_text(blob)))
                     elif looks_like_html(blob):
                         got = extract_html_text(
                             blob, main_content=html_main_content

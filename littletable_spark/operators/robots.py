@@ -398,12 +398,16 @@ def schedule_fetches(
         order.append(F.desc_nulls_last(priority_col))
     order.append(F.col(url_col))
     # total-order discipline: tiebreak rows tied on (priority, url) by
-    # ONE 8-byte xxhash64 over the remaining columns, not the raw
-    # columns themselves — a frontier carrying wide payloads (page
-    # text, HTML) must never feed whole blobs into the window's sort
-    # key. Fully identical rows hash identically and stay
-    # interchangeable (they swap slots within the same fetch_at set),
-    # so the output multiset is run-stable. xxhash64 rejects map
+    # TWO independent 8-byte xxhash64 keys over the remaining columns
+    # (the second hashes the struct with a shifted seed column and
+    # reversed field order), not the raw columns themselves — a
+    # frontier carrying wide payloads (page text, HTML) must never
+    # feed whole blobs into the window's sort key. Fully identical
+    # rows hash identically under both and stay interchangeable (they
+    # swap slots within the same fetch_at set), so the output multiset
+    # is run-stable; two distinct rows would need a simultaneous
+    # 64+64-bit collision to get run-dependent slots (round 13,
+    # closing the r12 single-hash collision nit). xxhash64 rejects map
     # types at ANY nesting depth (array<map<...>>, struct with a map
     # field), so any column whose type mentions map is skipped.
     dtypes = dict(df.dtypes)
@@ -414,6 +418,11 @@ def schedule_fetches(
     ]
     if rest:
         order.append(F.xxhash64(F.struct(*[F.col(c) for c in rest])))
+        order.append(
+            F.xxhash64(
+                F.lit(0x9E3779B9), F.struct(*[F.col(c) for c in reversed(rest)])
+            )
+        )
     w = Window.partitionBy("__host__").orderBy(*order)
     out = work.select(
         *[F.col(c) for c in fields],

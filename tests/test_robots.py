@@ -358,10 +358,10 @@ def test_filter_post_shuffle_determinism(spark):
 
 
 def test_schedule_fetches_sort_key_is_hash_not_blobs(spark):
-    """The per-host window's sort key is (priority, url, ONE 8-byte
-    xxhash64) — wide payload columns never enter the sort, and
+    """The per-host window's sort key is (priority, url, two 8-byte
+    xxhash64 keys) — wide payload columns never enter the sort, and
     map-typed columns (at any nesting depth) are excluded from the
-    hash."""
+    hashes."""
     from pyspark.sql import functions as F
 
     from littletable_spark.operators.robots import schedule_fetches
@@ -389,6 +389,10 @@ def test_schedule_fetches_sort_key_is_hash_not_blobs(spark):
     # map-nested meta, and is the only extra sort key
     assert re.search(r"xxhash64\(struct\(body, body#\d+, tags, tags#\d+\)",
                      analyzed), analyzed
+    # the second, independent tiebreak: seeded + reversed field order
+    assert re.search(
+        r"xxhash64\(2654435769, struct\(tags, tags#\d+, body, body#\d+\)",
+        analyzed), analyzed
     spec = re.search(r"windowspecdefinition\((.*)", analyzed).group(1)
     assert re.search(r"_w\d+#\d+L? ASC", spec), analyzed
     # the raw body/tags/meta columns are not sort keys themselves

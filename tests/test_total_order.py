@@ -94,11 +94,12 @@ ALLOW_INTERCHANGEABLE: dict[str, str] = {
         "tied rows are trivially interchangeable"
     ),
     "url_schedule": (
-        "the sort key ends in xxhash64(struct(<every remaining "
-        "column>)) (round 12: wide payloads must not enter the sort); "
-        "rows tied on the ENTIRE key (host, priority, url, hash) "
-        "agree on every hash input column short of a 64-bit collision "
-        "between rows already equal on (host, priority, url) — i.e. "
+        "the sort key ends in TWO independent xxhash64 keys over the "
+        "remaining columns (round 12: wide payloads must not enter "
+        "the sort; round 13: a second seeded reversed-field hash, so "
+        "distinct rows would need a simultaneous 128-bit collision); "
+        "rows tied on the ENTIRE key (host, priority, url, hashes) "
+        "agree on every hash input column short of that — i.e. "
         "tie groups are identical rows, which swap fetch_at slots "
         "without changing the output multiset. The gate fixture "
         "additionally keeps url unique per host, making the key total "
