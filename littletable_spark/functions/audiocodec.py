@@ -30,6 +30,7 @@ __all__ = [
     "decode_wav",
     "decode_flac",
     "mp3_info",
+    "mp3_tags",
     "sniff_mp3",
     "decode_audio_blob",
     "wav_features",
@@ -599,3 +600,149 @@ def mp3_info(blob: bytes) -> dict:
         "layer": hdr["layer"],
         "vbr": vbr,
     }
+
+
+# ------------------------------------------------------------------ #
+# ID3 tags (round 13): title/artist/album/year/genre without decoding
+# audio — ID3v2.2/2.3/2.4 text frames with all four text encodings,
+# ID3v1 trailing-block fallback. Public spec (id3.org).
+
+# the canonical ID3v1 genre list (indices 0-79, public spec data)
+_ID3V1_GENRES = (
+    "Blues", "Classic Rock", "Country", "Dance", "Disco", "Funk",
+    "Grunge", "Hip-Hop", "Jazz", "Metal", "New Age", "Oldies", "Other",
+    "Pop", "R&B", "Rap", "Reggae", "Rock", "Techno", "Industrial",
+    "Alternative", "Ska", "Death Metal", "Pranks", "Soundtrack",
+    "Euro-Techno", "Ambient", "Trip-Hop", "Vocal", "Jazz+Funk",
+    "Fusion", "Trance", "Classical", "Instrumental", "Acid", "House",
+    "Game", "Sound Clip", "Gospel", "Noise", "AlternRock", "Bass",
+    "Soul", "Punk", "Space", "Meditative", "Instrumental Pop",
+    "Instrumental Rock", "Ethnic", "Gothic", "Darkwave",
+    "Techno-Industrial", "Electronic", "Pop-Folk", "Eurodance",
+    "Dream", "Southern Rock", "Comedy", "Cult", "Gangsta", "Top 40",
+    "Christian Rap", "Pop/Funk", "Jungle", "Native American",
+    "Cabaret", "New Wave", "Psychadelic", "Rave", "Showtunes",
+    "Trailer", "Lo-Fi", "Tribal", "Acid Punk", "Acid Jazz", "Polka",
+    "Retro", "Musical", "Rock & Roll", "Hard Rock",
+)
+
+# frame id -> tag key, per ID3 version family (v2.2 uses 3-byte ids)
+_ID3_FRAMES_V23 = {
+    b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+    b"TYER": "year", b"TDRC": "year", b"TCON": "genre",
+}
+_ID3_FRAMES_V22 = {
+    b"TT2": "title", b"TP1": "artist", b"TAL": "album",
+    b"TYE": "year", b"TCO": "genre",
+}
+
+
+def _syncsafe(b: bytes) -> int:
+    return (
+        (b[0] & 0x7F) << 21 | (b[1] & 0x7F) << 14
+        | (b[2] & 0x7F) << 7 | (b[3] & 0x7F)
+    )
+
+
+def _id3_text(payload: bytes) -> str:
+    """Decode one text frame: encoding byte + terminated string(s);
+    multiple values (v2.4 \\x00-separated) join with ' / '."""
+    if not payload:
+        return ""
+    enc = payload[0]
+    data = payload[1:]
+    if enc == 0:
+        parts = data.split(b"\x00")
+        vals = [p.decode("latin-1", "replace") for p in parts]
+    elif enc == 1:
+        vals = [
+            p.decode("utf-16", "replace")
+            for p in data.split(b"\x00\x00")
+        ]
+    elif enc == 2:
+        vals = [
+            p.decode("utf-16-be", "replace")
+            for p in data.split(b"\x00\x00")
+        ]
+    else:
+        vals = [p.decode("utf-8", "replace") for p in data.split(b"\x00")]
+    vals = [v.strip("\x00").strip() for v in vals]
+    return " / ".join(v for v in vals if v)
+
+
+def _resolve_genre(raw: str) -> str:
+    """'(NN)' / bare-number ID3v1 genre references resolve to names."""
+    import re as _re
+
+    m = _re.fullmatch(r"\((\d+)\)(.*)", raw)
+    if m:
+        rest = m.group(2).strip()
+        if rest:
+            return rest
+        raw = m.group(1)
+    if raw.isdigit() and int(raw) < len(_ID3V1_GENRES):
+        return _ID3V1_GENRES[int(raw)]
+    return raw
+
+
+def mp3_tags(blob: bytes) -> dict:
+    """Tag metadata of an MP3 blob: title / artist / album / year /
+    genre (None when absent). ID3v2 text frames win; a trailing
+    128-byte ID3v1 block fills remaining gaps. Never raises on tag
+    damage — tags are best-effort metadata, unlike the frame header
+    contract of ``mp3_info``."""
+    tags: dict = {
+        "title": None, "artist": None, "album": None,
+        "year": None, "genre": None,
+    }
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        ver = blob[3]
+        flags = blob[5]
+        size = _syncsafe(blob[6:10])
+        data = blob[10 : 10 + size]
+        pos = 0
+        if flags & 0x40 and len(data) >= 4:  # extended header
+            if ver >= 4:
+                pos = _syncsafe(data[:4])  # size includes itself
+            else:
+                pos = 4 + int.from_bytes(data[:4], "big")
+        frames = _ID3_FRAMES_V22 if ver == 2 else _ID3_FRAMES_V23
+        id_len = 3 if ver == 2 else 4
+        head_len = 6 if ver == 2 else 10
+        while pos + head_len <= len(data):
+            fid = data[pos : pos + id_len]
+            if fid.rstrip(b"\x00") == b"":  # padding reached
+                break
+            if ver == 2:
+                fsize = int.from_bytes(data[pos + 3 : pos + 6], "big")
+            elif ver >= 4:
+                fsize = _syncsafe(data[pos + 4 : pos + 8])
+            else:
+                fsize = int.from_bytes(data[pos + 4 : pos + 8], "big")
+            body = data[pos + head_len : pos + head_len + fsize]
+            key = frames.get(fid)
+            if key and tags[key] is None and body:
+                text = _id3_text(body)
+                if key == "genre":
+                    text = _resolve_genre(text)
+                if key == "year":
+                    text = text[:4]
+                tags[key] = text or None
+            pos += head_len + fsize
+            if fsize <= 0:
+                break
+    # ID3v1 fallback for anything still missing
+    if len(blob) >= 128 and blob[-128:-125] == b"TAG":
+        v1 = blob[-128:]
+
+        def field(a: int, b: int) -> str | None:
+            s = v1[a:b].split(b"\x00")[0].decode("latin-1", "replace").strip()
+            return s or None
+
+        tags["title"] = tags["title"] or field(3, 33)
+        tags["artist"] = tags["artist"] or field(33, 63)
+        tags["album"] = tags["album"] or field(63, 93)
+        tags["year"] = tags["year"] or field(93, 97)
+        if tags["genre"] is None and v1[127] < len(_ID3V1_GENRES):
+            tags["genre"] = _ID3V1_GENRES[v1[127]]
+    return tags

@@ -335,6 +335,45 @@ def decode_audio(
     return Table.from_df(out, name=f"{table.table_name}_audio")
 
 
+def audio_tags(table: Table, bin_col: str, id_col: str) -> Table:
+    """ID3 tag metadata per MP3 blob: ``(id, title, artist, album,
+    year, genre)`` — ID3v2.2/2.3/2.4 text frames (all four text
+    encodings, numeric genre references resolved) with the trailing
+    ID3v1 block as fallback (``functions/audiocodec.py:mp3_tags``,
+    round 13). Non-MP3 blobs yield an all-NULL row rather than
+    failing: tags are optional curation metadata, not a decode
+    contract, so there is no ``on_error`` knob to misconfigure.
+
+    NOTE: construction runs one eager column-pruned count job to bound
+    the Arrow feed partitions — see ``_bounded_blob_input``."""
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, title string, artist string, "
+        "album string, year string, genre string"
+    )
+    keys = ("title", "artist", "album", "year", "genre")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audiocodec import mp3_tags, sniff_mp3
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _id, b in zip(pdf[id_col], pdf[bin_col]):
+                blob = bytes(b or b"")
+                if sniff_mp3(blob):
+                    t = mp3_tags(blob)
+                    rows.append((_id, *[t[k] for k in keys]))
+                else:
+                    rows.append((_id,) + (None,) * 5)
+            yield pd.DataFrame(rows, columns=[id_col, *keys])
+
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    out = inp.mapInPandas(run, schema)
+    return Table.from_df(out, name=f"{table.table_name}_audio_tags")
+
+
 def image_hash(
     table: Table,
     bin_col: str,

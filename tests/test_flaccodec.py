@@ -579,3 +579,109 @@ def test_mp3_round13_advice_fixes():
     tag = b"TAG" + b"\x00" * 125
     base = mp3_info(blob)["duration"]
     assert abs(mp3_info(blob + tag)["duration"] - base) < 1e-9
+
+
+# ------------------------------------------------------------------ #
+# ID3 tags (round 13): test-side tag writers assembled from the public
+# id3.org layouts, independent of the parser.
+
+
+def _id3v2_frame(fid: bytes, text: str, enc: int = 3, ver: int = 3) -> bytes:
+    if enc == 0:
+        payload = bytes([0]) + text.encode("latin-1")
+    elif enc == 1:
+        payload = bytes([1]) + text.encode("utf-16")  # BOM included
+    elif enc == 2:
+        payload = bytes([2]) + text.encode("utf-16-be")
+    else:
+        payload = bytes([3]) + text.encode("utf-8")
+    if ver == 2:
+        return fid + len(payload).to_bytes(3, "big") + payload
+    if ver == 4:
+        n = len(payload)
+        size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+        return fid + size + b"\x00\x00" + payload
+    return fid + len(payload).to_bytes(4, "big") + b"\x00\x00" + payload
+
+
+def _id3v2(frames: bytes, ver: int = 3) -> bytes:
+    n = len(frames)
+    size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3" + bytes([ver, 0, 0]) + size + frames
+
+
+def _id3v1(title=b"", artist=b"", album=b"", year=b"", genre=255) -> bytes:
+    return (b"TAG" + title.ljust(30, b"\x00") + artist.ljust(30, b"\x00")
+            + album.ljust(30, b"\x00") + year.ljust(4, b"\x00")
+            + b"\x00" * 30 + bytes([genre]))
+
+
+def test_mp3_tags_id3v23_all_encodings():
+    from littletable_spark.functions.audiocodec import mp3_tags
+
+    frames = (
+        _id3v2_frame(b"TIT2", "Tïtle", enc=1)
+        + _id3v2_frame(b"TPE1", "Ártist", enc=3)
+        + _id3v2_frame(b"TALB", "Albüm", enc=2)
+        + _id3v2_frame(b"TYER", "1999", enc=0)
+        + _id3v2_frame(b"TCON", "(17)", enc=0)
+    )
+    blob = _id3v2(frames) + _mp3_frame() * 3
+    t = mp3_tags(blob)
+    assert t == {"title": "Tïtle", "artist": "Ártist", "album": "Albüm",
+                 "year": "1999", "genre": "Rock"}
+
+
+def test_mp3_tags_v22_v24_and_v1_fallback():
+    from littletable_spark.functions.audiocodec import mp3_tags
+
+    # v2.2: 3-byte ids and sizes
+    blob22 = _id3v2(
+        _id3v2_frame(b"TT2", "Old Title", enc=0, ver=2), ver=2
+    ) + _mp3_frame() * 2
+    assert mp3_tags(blob22)["title"] == "Old Title"
+
+    # v2.4: syncsafe frame sizes + TDRC year
+    blob24 = _id3v2(
+        _id3v2_frame(b"TIT2", "New Title", ver=4)
+        + _id3v2_frame(b"TDRC", "2021-05-01", ver=4),
+        ver=4,
+    ) + _mp3_frame() * 2
+    t = mp3_tags(blob24)
+    assert t["title"] == "New Title" and t["year"] == "2021"
+
+    # ID3v1 fills the gaps an ID3v2 tag leaves
+    blob = (
+        _id3v2(_id3v2_frame(b"TIT2", "V2 Title")) + _mp3_frame() * 2
+        + _id3v1(title=b"V1 Title", artist=b"V1 Artist",
+                 year=b"1988", genre=8)
+    )
+    t = mp3_tags(blob)
+    assert t["title"] == "V2 Title"       # v2 wins
+    assert t["artist"] == "V1 Artist"     # v1 fills the gap
+    assert t["year"] == "1988" and t["genre"] == "Jazz"
+
+    # no tags at all
+    assert mp3_tags(_mp3_frame() * 2) == {
+        "title": None, "artist": None, "album": None,
+        "year": None, "genre": None,
+    }
+
+
+def test_audio_tags_operator(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import audio_tags
+
+    blob = _id3v2(
+        _id3v2_frame(b"TIT2", "Song") + _id3v2_frame(b"TPE1", "Band")
+    ) + _mp3_frame() * 2
+    t = Table("a", spark=spark)
+    t.insert_many([
+        {"id": 0, "blob": blob},
+        {"id": 1, "blob": b"not audio at all"},
+    ])
+    out = {r.id: r for r in audio_tags(t, "blob", "id")}
+    assert out[0].title == "Song" and out[0].artist == "Band"
+    assert out[1].title is None and out[1].genre is None
