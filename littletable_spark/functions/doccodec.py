@@ -1,0 +1,257 @@
+"""Legacy binary Word (.doc) text extraction — pure stdlib.
+
+Two public-spec layers:
+
+1. OLE2 / Compound File Binary (MS-CFB): 512-byte header with the
+   D0CF11E0 magic, a FAT of uint32 sector chains built from the 109
+   header DIFAT slots (+ DIFAT chain for huge files), a directory of
+   128-byte entries, and a mini-stream (the root entry's chain,
+   64-byte mini-sectors via the miniFAT) for streams under the 4096
+   cutoff. ``CompoundFile`` reads any stream by name — .doc here,
+   and reusable for other OLE-hosted formats.
+
+2. MS-DOC: the ``WordDocument`` stream starts with the FIB (magic
+   0xA5EC); FIB flag bit 0x0200 picks the ``1Table``/``0Table``
+   companion stream holding the CLX at (fcClx, lcbClx). The CLX's
+   Pcdt carries the PIECE TABLE: n+1 character positions plus n PCDs
+   whose fc encodes where each piece's text lives in WordDocument and
+   whether it is compressed (bit 30: 8-bit cp1252 at fc/2) or UTF-16LE
+   (at fc). Every post-Word-97 file uses this layout, including
+   "non-complex" saves.
+
+Control characters map like the other codecs: 0x0D/0x0B -> newline,
+cell mark 0x07 -> tab (row mark ends the line), field/object marks
+(0x13/0x14/0x15/0x01/0x08) drop, non-breaking/optional hyphens map to
+'-'/''. Malformed input raises ValueError into ``on_error``.
+
+Fixtures are WRITTEN test-side (a from-scratch CFB writer + piece
+tables, tests/test_doccodec.py) so the reader is pinned against the
+spec layout, not against itself.
+"""
+from __future__ import annotations
+
+import re
+import struct
+
+__all__ = ["CompoundFile", "sniff_doc", "extract_doc_text"]
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FREE = 0xFFFFFFFF
+_ENDCHAIN = 0xFFFFFFFE
+
+
+class CompoundFile:
+    """Minimal MS-CFB reader: directory walk + stream extraction
+    (FAT chains for big streams, miniFAT chains inside the root's
+    mini stream for streams under the cutoff)."""
+
+    def __init__(self, blob: bytes) -> None:
+        if len(blob) < 512 or blob[:8] != _CFB_MAGIC:
+            raise ValueError("not an OLE2 compound file")
+        (
+            sector_shift,
+            mini_shift,
+        ) = struct.unpack_from("<HH", blob, 30)
+        self.sec = 1 << sector_shift
+        self.minisec = 1 << mini_shift
+        if self.sec not in (512, 4096) or self.minisec != 64:
+            raise ValueError("unsupported CFB sector geometry")
+        (n_fat,) = struct.unpack_from("<I", blob, 44)
+        (dir_start,) = struct.unpack_from("<I", blob, 48)
+        (self.mini_cutoff,) = struct.unpack_from("<I", blob, 56)
+        (minifat_start,) = struct.unpack_from("<I", blob, 60)
+        (n_minifat,) = struct.unpack_from("<I", blob, 64)
+        (difat_start,) = struct.unpack_from("<I", blob, 68)
+        (n_difat,) = struct.unpack_from("<I", blob, 72)
+        self.blob = blob
+
+        # FAT sector list: 109 header DIFAT slots, then the DIFAT chain
+        fat_secs = [
+            s
+            for (s,) in struct.iter_unpack("<I", blob[76:512])
+            if s not in (_FREE, _ENDCHAIN)
+        ]
+        seen = 0
+        sect = difat_start
+        while sect not in (_FREE, _ENDCHAIN) and seen < n_difat:
+            body = self._sector(sect)
+            entries = list(struct.unpack_from(f"<{self.sec // 4}I", body))
+            fat_secs.extend(
+                s for s in entries[:-1] if s not in (_FREE, _ENDCHAIN)
+            )
+            sect = entries[-1]
+            seen += 1
+        self.fat: list[int] = []
+        for s in fat_secs[:n_fat] if n_fat else fat_secs:
+            self.fat.extend(
+                struct.unpack_from(f"<{self.sec // 4}I", self._sector(s))
+            )
+
+        # directory entries
+        self.entries: dict[str, tuple[int, int, int]] = {}
+        root = None
+        for body in self._chain_sectors(dir_start):
+            for off in range(0, len(body), 128):
+                e = body[off : off + 128]
+                if len(e) < 128:
+                    break
+                (nlen,) = struct.unpack_from("<H", e, 64)
+                etype = e[66]
+                if etype == 0 or nlen < 2:
+                    continue
+                name = e[: nlen - 2].decode("utf-16-le", "replace")
+                (start,) = struct.unpack_from("<I", e, 116)
+                (size,) = struct.unpack_from("<Q", e, 120)
+                self.entries[name] = (etype, start, size)
+                if etype == 5:
+                    root = (start, size)
+        if root is None:
+            raise ValueError("CFB has no root directory entry")
+
+        # miniFAT + the mini stream (the root entry's FAT chain)
+        self.minifat: list[int] = []
+        sect = minifat_start
+        count = 0
+        while sect not in (_FREE, _ENDCHAIN) and count < n_minifat:
+            self.minifat.extend(
+                struct.unpack_from(f"<{self.sec // 4}I", self._sector(sect))
+            )
+            sect = self.fat[sect] if sect < len(self.fat) else _ENDCHAIN
+            count += 1
+        self.ministream = b"".join(self._chain_sectors(root[0]))[: root[1]]
+
+    def _sector(self, n: int) -> bytes:
+        off = 512 + n * self.sec
+        body = self.blob[off : off + self.sec]
+        if len(body) < self.sec:
+            raise ValueError("truncated CFB sector")
+        return body
+
+    def _chain_sectors(self, start: int):
+        sect = start
+        hops = 0
+        while sect not in (_FREE, _ENDCHAIN):
+            yield self._sector(sect)
+            sect = self.fat[sect] if sect < len(self.fat) else _ENDCHAIN
+            hops += 1
+            if hops > len(self.blob) // 64:
+                raise ValueError("cyclic CFB FAT chain")
+
+    def stream(self, name: str) -> bytes:
+        """The named stream's bytes (mini stream routed when small)."""
+        if name not in self.entries:
+            raise ValueError(f"CFB stream missing: {name}")
+        etype, start, size = self.entries[name]
+        if etype != 2:
+            raise ValueError(f"CFB entry {name!r} is not a stream")
+        if size < self.mini_cutoff:
+            out = bytearray()
+            sect = start
+            hops = 0
+            while sect not in (_FREE, _ENDCHAIN):
+                off = sect * self.minisec
+                out += self.ministream[off : off + self.minisec]
+                sect = (
+                    self.minifat[sect]
+                    if sect < len(self.minifat)
+                    else _ENDCHAIN
+                )
+                hops += 1
+                if hops > len(self.blob) // 16:
+                    raise ValueError("cyclic CFB miniFAT chain")
+            return bytes(out[:size])
+        return b"".join(self._chain_sectors(start))[:size]
+
+
+def sniff_doc(blob: bytes) -> bool:
+    """OLE2 magic + a WordDocument stream (cheap full check — CFB
+    parse is linear and the magic alone also matches xls/ppt/msi)."""
+    if not blob.startswith(_CFB_MAGIC):
+        return False
+    try:
+        return "WordDocument" in CompoundFile(blob).entries
+    except ValueError:
+        return False
+
+
+# Word control characters -> text (MS-DOC §2.8; same flattening
+# conventions as the other office codecs)
+_DOC_CHARMAP = {
+    "\r": "\n",        # paragraph mark
+    "\x0b": "\n",      # hard line break
+    "\x0c": "\f",      # page break / section mark
+    "\x07": "\t",      # cell mark (row mark handled below)
+    "\x1e": "-",       # non-breaking hyphen
+    "\x1f": "",        # optional hyphen
+    "\xa0": " ",       # non-breaking space
+    "\x01": "",        # inline object anchor
+    "\x08": "",        # drawn-object anchor
+    "\x13": "",        # field begin
+    "\x14": "",        # field separator
+    "\x15": "",        # field end
+    "\x05": "",        # annotation reference
+}
+
+
+def extract_doc_text(blob: bytes) -> str:
+    """All text of a legacy .doc blob via the piece table."""
+    cf = CompoundFile(blob)
+    word = cf.stream("WordDocument")
+    if len(word) < 1124 or struct.unpack_from("<H", word, 0)[0] != 0xA5EC:
+        raise ValueError("WordDocument stream has no FIB magic")
+    (flags,) = struct.unpack_from("<H", word, 0x000A)
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    table = cf.stream(table_name)
+    # FibRgFcLcb97: after base(32) + csw(2)+fibRgW(28) + cslw(2)+
+    # fibRgLw(88) + cbRgFcLcb(2) = offset 154; fcClx/lcbClx are dwords
+    # 66/67 of that blob
+    fc_clx, lcb_clx = struct.unpack_from("<II", word, 154 + 66 * 4)
+    if lcb_clx == 0:
+        raise ValueError(".doc has no CLX (piece table)")
+    clx = table[fc_clx : fc_clx + lcb_clx]
+    # CLX = RgPrc (clxt=1 blocks) then Pcdt (clxt=2)
+    pos = 0
+    plc = None
+    while pos < len(clx):
+        t = clx[pos]
+        if t == 1:  # Prc: 2-byte size + data
+            (sz,) = struct.unpack_from("<h", clx, pos + 1)
+            pos += 3 + sz
+        elif t == 2:  # Pcdt: 4-byte size + PlcPcd
+            (sz,) = struct.unpack_from("<I", clx, pos + 1)
+            plc = clx[pos + 5 : pos + 5 + sz]
+            break
+        else:
+            raise ValueError(f"unknown CLX block type {t}")
+    if plc is None:
+        raise ValueError(".doc CLX has no Pcdt")
+    # PlcPcd over n pieces: (n+1) CPs (4 bytes) + n PCDs (8 bytes)
+    n = (len(plc) - 4) // 12
+    if n < 1:
+        raise ValueError("empty .doc piece table")
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    out: list[str] = []
+    for k in range(n):
+        fc_field = struct.unpack_from("<I", plc, 4 * (n + 1) + 8 * k + 2)[0]
+        n_chars = cps[k + 1] - cps[k]
+        if fc_field & 0x40000000:  # fCompressed: 8-bit cp1252 at fc/2
+            fc = (fc_field & 0x3FFFFFFF) // 2
+            raw = word[fc : fc + n_chars]
+            out.append(raw.decode("cp1252", "replace"))
+        else:
+            fc = fc_field & 0x3FFFFFFF
+            raw = word[fc : fc + 2 * n_chars]
+            out.append(raw.decode("utf-16-le", "replace"))
+    text = "".join(out)
+    # field CODES (between field-begin 0x13 and separator 0x14, e.g.
+    # 'HYPERLINK "..."') are instructions, not text: strip them
+    # innermost-first (bounded nesting), keep the shown result
+    for _ in range(4):
+        stripped = re.sub("\x13[^\x13\x14\x15]*\x14", "", text)
+        if stripped == text:
+            break
+        text = stripped
+    # row marks are cell marks ending a row: "\x07" runs already map to
+    # tabs; a trailing cell mark before a paragraph end reads fine as a
+    # tab, so apply the plain map (documented flattening)
+    return "".join(_DOC_CHARMAP.get(ch, ch) for ch in text).strip()
