@@ -25,6 +25,10 @@ does). All four formats are ZIP containers holding XML:
   in numeric order; each ``a:p`` paragraph is one line (``a:t`` runs,
   ``a:br`` newline, ``a:tab`` tab); slides separated by form feeds —
   the same page convention as pdfcodec.
+- EPUB (OCF/OPF, round 13): ``META-INF/container.xml`` names the
+  package document; its ``<spine>`` orders the manifest's XHTML
+  chapters, each extracted through the HTML codec, chapters separated
+  by form feeds.
 
 Whitespace semantics (deterministic, tested):
 - each paragraph / heading / sheet row is one output line;
@@ -50,6 +54,7 @@ __all__ = [
     "extract_odt_text",
     "extract_xlsx_text",
     "extract_pptx_text",
+    "extract_epub_text",
     "extract_office_text",
 ]
 
@@ -60,18 +65,23 @@ _SS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 
 _ODT_MIME = b"mimetypeapplication/vnd.oasis.opendocument.text"
+_EPUB_MIME = b"mimetypeapplication/epub+zip"
 
 
 def sniff_office(blob: bytes) -> str | None:
-    """'docx' / 'odt' / None for a PK-magic blob. The ODT fast path is
-    the spec's own guarantee (ODF §3.2: ``mimetype`` is the FIRST
-    member, STORED, so its name+bytes sit at a fixed offset); DOCX
-    needs the central directory for ``word/document.xml``."""
+    """'docx' / 'odt' / 'xlsx' / 'pptx' / 'epub' / None for a PK-magic
+    blob. The ODT/EPUB fast path is the spec's own guarantee (ODF §3.2
+    and OCF both mandate ``mimetype`` as the FIRST member, STORED, so
+    its name+bytes sit at a fixed offset); the OOXML kinds need the
+    central directory for their marker member."""
     if not blob.startswith(b"PK\x03\x04"):
         return None
-    # ODT: local header (30 bytes) + 'mimetype' + literal mime bytes
+    # ODT/EPUB: local header (30 bytes) + 'mimetype' + literal mime
+    # bytes (OCF and ODF both mandate the first-member STORED layout)
     if blob[30:30 + len(_ODT_MIME)] == _ODT_MIME:
         return "odt"
+    if blob[30:30 + len(_EPUB_MIME)] == _EPUB_MIME:
+        return "epub"
     try:
         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
             names = set(zf.namelist())
@@ -86,10 +96,11 @@ def sniff_office(blob: bytes) -> str | None:
     if "mimetype" in names:
         try:
             with zipfile.ZipFile(io.BytesIO(blob)) as zf:
-                if zf.read("mimetype").startswith(
-                    b"application/vnd.oasis.opendocument.text"
-                ):
-                    return "odt"
+                mime = zf.read("mimetype")
+            if mime.startswith(b"application/vnd.oasis.opendocument.text"):
+                return "odt"
+            if mime.startswith(b"application/epub+zip"):
+                return "epub"
         except Exception:
             return None
     return None
@@ -361,10 +372,58 @@ def extract_pptx_text(blob: bytes) -> str:
     return "\f".join(pages).strip()
 
 
+# ---------------------------------------------------------------- EPUB
+
+_CNT = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+_OPF = "{http://www.idpf.org/2007/opf}"
+
+
+def extract_epub_text(blob: bytes) -> str:
+    """Text of an EPUB (OCF/OPF): META-INF/container.xml names the
+    package document, whose <spine> orders the manifest's XHTML
+    chapters; each chapter extracts through the HTML codec, chapters
+    separated by form feeds (the pdfcodec page convention)."""
+    import posixpath
+
+    from .htmlcodec import extract_html_text
+
+    with _open_zip(blob) as zf:
+        container = _parse_xml(
+            _read_member(zf, "META-INF/container.xml"),
+            "META-INF/container.xml",
+        )
+        root = None
+        for rf in container.iter(f"{_CNT}rootfile"):
+            root = rf.get("full-path")
+            if root:
+                break
+        if not root:
+            raise ValueError("EPUB container.xml names no rootfile")
+        opf = _parse_xml(_read_member(zf, root), root)
+        base = posixpath.dirname(root)
+        items: dict[str, tuple[str, str]] = {}
+        for it in opf.iter(f"{_OPF}item"):
+            iid = it.get("id")
+            if iid:
+                items[iid] = (it.get("href") or "", it.get("media-type") or "")
+        pages: list[str] = []
+        for ref in opf.iter(f"{_OPF}itemref"):
+            href, mtype = items.get(ref.get("idref") or "", ("", ""))
+            if not href or "xhtml" not in mtype and "html" not in mtype:
+                continue
+            member = posixpath.normpath(posixpath.join(base, href))
+            got = extract_html_text(_read_member(zf, member))
+            pages.append(got["text"].strip())
+    if not pages:
+        raise ValueError("EPUB spine has no XHTML chapters")
+    return "\f".join(pages).strip()
+
+
 def extract_office_text(blob: bytes) -> tuple[str, str]:
     """(format, text) for a PK-magic blob; ValueError when the zip is
-    not a recognized Office/ODF document (plain archives included —
-    the caller's on_error policy decides whether that kills the job)."""
+    not a recognized Office/ODF/EPUB document (plain archives included
+    — the caller's on_error policy decides whether that kills the
+    job)."""
     kind = sniff_office(blob)
     if kind == "docx":
         return "docx", extract_docx_text(blob)
@@ -374,4 +433,8 @@ def extract_office_text(blob: bytes) -> tuple[str, str]:
         return "xlsx", extract_xlsx_text(blob)
     if kind == "pptx":
         return "pptx", extract_pptx_text(blob)
-    raise ValueError("zip container is not a DOCX/ODT/XLSX/PPTX document")
+    if kind == "epub":
+        return "epub", extract_epub_text(blob)
+    raise ValueError(
+        "zip container is not a DOCX/ODT/XLSX/PPTX/EPUB document"
+    )

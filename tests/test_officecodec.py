@@ -323,3 +323,82 @@ def test_extract_text_routes_xlsx_pptx(spark):
     out = {r.id: r for r in extract_text(t, "blob", "id", on_error="null")}
     assert out[0].doc_format == "xlsx" and out[0].text == "cell"
     assert out[1].doc_format == "pptx" and out[1].text == "slide text"
+
+
+def make_epub(chapters: dict[str, str], spine: list[str],
+              opf_dir: str = "OEBPS") -> bytes:
+    """chapters: {id: body html}; spine: chapter ids in reading order."""
+    cnt_ns = 'xmlns="urn:oasis:names:tc:opendocument:xmlns:container"'
+    opf_ns = 'xmlns="http://www.idpf.org/2007/opf"'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"), "application/epub+zip",
+            compress_type=zipfile.ZIP_STORED,
+        )
+        zf.writestr(
+            "META-INF/container.xml",
+            f'<container {cnt_ns}><rootfiles>'
+            f'<rootfile full-path="{opf_dir}/content.opf" '
+            'media-type="application/oebps-package+xml"/>'
+            "</rootfiles></container>",
+        )
+        manifest = "".join(
+            f'<item id="{cid}" href="ch/{cid}.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+            for cid in chapters
+        ) + '<item id="css" href="style.css" media-type="text/css"/>'
+        spine_xml = "".join(f'<itemref idref="{cid}"/>' for cid in spine)
+        zf.writestr(
+            f"{opf_dir}/content.opf",
+            f'<package {opf_ns} version="3.0">'
+            f"<manifest>{manifest}</manifest>"
+            f"<spine>{spine_xml}</spine></package>",
+        )
+        zf.writestr(f"{opf_dir}/style.css", "body {}")
+        for cid, body in chapters.items():
+            zf.writestr(
+                f"{opf_dir}/ch/{cid}.xhtml",
+                "<html><head><title>t</title></head>"
+                f"<body>{body}</body></html>",
+            )
+    return buf.getvalue()
+
+
+def test_epub_spine_order_and_html_extraction():
+    from littletable_spark.functions.officecodec import extract_epub_text
+
+    blob = make_epub(
+        {"c2": "<p>Second chapter.</p>",
+         "c1": "<h1>First</h1><p>chapter one</p>"},
+        spine=["c1", "c2"],
+    )
+    assert sniff_office(blob) == "epub"
+    assert extract_epub_text(blob) == (
+        "First\nchapter one\fSecond chapter."
+    )
+    # spine picks and orders: reversed spine reverses the text
+    blob2 = make_epub(
+        {"c1": "<p>one</p>", "c2": "<p>two</p>"}, spine=["c2", "c1"]
+    )
+    assert extract_epub_text(blob2) == "two\fone"
+
+
+def test_epub_rejections_and_routing(spark):
+    from littletable_spark import Table
+    from littletable_spark.functions.officecodec import extract_epub_text
+    from littletable_spark.operators.multimodal import extract_text
+
+    # an epub-mimetyped zip without container.xml raises
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("mimetype"), "application/epub+zip",
+                    compress_type=zipfile.ZIP_STORED)
+    with pytest.raises(ValueError, match="container.xml"):
+        extract_epub_text(buf.getvalue())
+
+    blob = make_epub({"c1": "<p>book text</p>"}, spine=["c1"])
+    t = Table("blobs", spark=spark)
+    t.insert_many([{"id": 0, "blob": blob}])
+    out = list(extract_text(t, "blob", "id"))
+    assert out[0].doc_format == "epub" and out[0].text == "book text"
