@@ -33,7 +33,14 @@ from __future__ import annotations
 import re
 import struct
 
-__all__ = ["CompoundFile", "sniff_doc", "extract_doc_text"]
+__all__ = [
+    "CompoundFile",
+    "sniff_doc",
+    "extract_doc_text",
+    "sniff_xls",
+    "extract_xls_text",
+    "extract_ole_text",
+]
 
 _CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 _FREE = 0xFFFFFFFF
@@ -255,3 +262,218 @@ def extract_doc_text(blob: bytes) -> str:
     # tabs; a trailing cell mark before a paragraph end reads fine as a
     # tab, so apply the plain map (documented flattening)
     return "".join(_DOC_CHARMAP.get(ch, ch) for ch in text).strip()
+
+
+# ------------------------------------------------------------------ #
+# legacy .xls (BIFF8, MS-XLS): cell text from the Workbook stream.
+# Bounded scope: BIFF8 only (the Excel 97-2003 default), SST shared
+# strings incl. CONTINUE spillover with per-fragment option flags,
+# LABELSST / LABEL / NUMBER / RK / BOOLERR cells, sheets in BOUNDSHEET
+# order. BIFF5 and encrypted workbooks (FILEPASS) raise to on_error.
+
+_XLS_SHEET_SEP = "\n"
+
+
+def sniff_xls(blob: bytes) -> bool:
+    if not blob.startswith(_CFB_MAGIC):
+        return False
+    try:
+        return "Workbook" in CompoundFile(blob).entries
+    except ValueError:
+        return False
+
+
+def _biff_records(data: bytes):
+    pos = 0
+    while pos + 4 <= len(data):
+        rid, sz = struct.unpack_from("<HH", data, pos)
+        yield rid, pos + 4, sz
+        pos += 4 + sz
+        if rid == 0x000A:  # EOF record ends a substream; keep scanning
+            continue
+
+
+def _read_xl_string(data: bytes, pos: int, n_chars: int) -> str:
+    """XLUnicodeRichExtendedString body at ``pos`` (the char count is
+    already consumed; ``pos`` points at the option-flags byte):
+    returns the text, honoring compressed (latin-1) vs UTF-16 forms.
+    Rich-text run counts and phonetic blocks are length-skipped."""
+    flags = data[pos]
+    pos += 1
+    if flags & 0x08:  # rich text: run count precedes the characters
+        pos += 2
+    if flags & 0x04:  # phonetic: byte count precedes the characters
+        pos += 4
+    if flags & 0x01:
+        return data[pos : pos + 2 * n_chars].decode("utf-16-le", "replace")
+    return data[pos : pos + n_chars].decode("latin-1", "replace")
+
+
+def _parse_sst(stream: bytes, rec_at: int, rec_sz: int,
+               records: list[tuple[int, int, int]], rec_idx: int) -> list[str]:
+    """The SST record (+ its CONTINUE records): a list of shared
+    strings. Strings may split across CONTINUE boundaries; each
+    continued fragment restarts with its own option-flags byte."""
+    # gather the SST byte span plus following CONTINUEs with their
+    # boundaries (each CONTINUE restarts option flags — so we parse
+    # fragment-aware rather than concatenating blindly)
+    chunks = [(rec_at, rec_sz)]
+    j = rec_idx + 1
+    while j < len(records) and records[j][0] == 0x003C:  # CONTINUE
+        chunks.append((records[j][1], records[j][2]))
+        j += 1
+    (n_total,) = struct.unpack_from("<I", stream, rec_at + 4)
+    strings: list[str] = []
+    ci = 0
+    pos = chunks[0][0] + 8  # skip cstTotal + cstUnique
+    end = chunks[0][0] + chunks[0][1]
+    while len(strings) < n_total:
+        if pos >= end:
+            ci += 1
+            if ci >= len(chunks):
+                break
+            pos, sz = chunks[ci]
+            end = pos + sz
+        if pos + 3 > end:
+            raise ValueError("truncated XLS SST record")
+        (n_chars,) = struct.unpack_from("<H", stream, pos)
+        pos += 2
+        flags = stream[pos]
+        pos += 1
+        n_runs = 0
+        extsz = 0
+        if flags & 0x08:
+            (n_runs,) = struct.unpack_from("<H", stream, pos)
+            pos += 2
+        if flags & 0x04:
+            (extsz,) = struct.unpack_from("<I", stream, pos)
+            pos += 4
+        parts: list[str] = []
+        remaining = n_chars
+        wide = bool(flags & 0x01)
+        while remaining:
+            avail = (end - pos) // (2 if wide else 1)
+            take = min(remaining, avail)
+            raw = stream[pos : pos + take * (2 if wide else 1)]
+            parts.append(
+                raw.decode("utf-16-le" if wide else "latin-1", "replace")
+            )
+            pos += take * (2 if wide else 1)
+            remaining -= take
+            if remaining:
+                ci += 1
+                if ci >= len(chunks):
+                    raise ValueError("XLS SST string spills past CONTINUE")
+                pos, sz = chunks[ci]
+                end = pos + sz
+                wide = bool(stream[pos] & 0x01)  # fragment option flags
+                pos += 1
+        # skip rich runs + phonetic data (may themselves span chunks)
+        skip = 4 * n_runs + extsz
+        while skip:
+            step = min(skip, end - pos)
+            pos += step
+            skip -= step
+            if skip:
+                ci += 1
+                if ci >= len(chunks):
+                    raise ValueError("XLS SST trailer spills past CONTINUE")
+                pos, sz = chunks[ci]
+                end = pos + sz
+        strings.append("".join(parts))
+    return strings
+
+
+def _rk_value(rk: int) -> str:
+    """RkNumber: bit0 = divide by 100, bit1 = 30-bit signed int vs the
+    high 30 bits of an IEEE-754 double (low 34 bits zero)."""
+    div = 100.0 if rk & 1 else 1.0
+    if rk & 2:
+        v = rk >> 2
+        if rk & 0x80000000:
+            v -= 1 << 30
+        num = v / div
+    else:
+        high = struct.pack("<I", rk & 0xFFFFFFFC)
+        num = struct.unpack("<d", b"\x00\x00\x00\x00" + high)[0] / div
+    return f"{num:g}"
+
+
+def extract_xls_text(blob: bytes) -> str:
+    """Cell text of a legacy .xls blob: one line per row, cells
+    tab-joined in record order (the same text-mining flattening as
+    extract_xlsx_text), sheets in BOUNDSHEET order separated by
+    newlines."""
+    cf = CompoundFile(blob)
+    try:
+        stream = cf.stream("Workbook")
+    except ValueError:
+        stream = cf.stream("Book")  # BIFF5 name — then rejected below
+    records = list(_biff_records(stream))
+    sst: list[str] = []
+    sheet_starts: list[int] = []
+    for idx, (rid, at, sz) in enumerate(records):
+        if rid == 0x0809 and sz >= 4:  # BOF
+            (ver,) = struct.unpack_from("<H", stream, at)
+            if ver != 0x0600:
+                raise ValueError(f"unsupported BIFF version {ver:#06x}")
+        elif rid == 0x002F:  # FILEPASS
+            raise ValueError("encrypted XLS workbook")
+        elif rid == 0x00FC:  # SST
+            sst = _parse_sst(stream, at, sz, records, idx)
+        elif rid == 0x0085 and sz >= 8:  # BOUNDSHEET
+            (lb_pos,) = struct.unpack_from("<I", stream, at)
+            sheet_starts.append(lb_pos)
+    if not sheet_starts:
+        raise ValueError("XLS has no BOUNDSHEET records")
+
+    sheets_text: list[str] = []
+    for start in sheet_starts:
+        rows: dict[int, list[str]] = {}
+
+        def put(row: int, text: str) -> None:
+            rows.setdefault(row, []).append(text)
+
+        pos = start
+        while pos + 4 <= len(stream):
+            rid, sz = struct.unpack_from("<HH", stream, pos)
+            at = pos + 4
+            pos += 4 + sz
+            if rid == 0x000A:  # EOF: end of this sheet substream
+                break
+            if rid == 0x00FD and sz >= 10:  # LABELSST
+                row, _col, _ixfe, isst = struct.unpack_from(
+                    "<HHHI", stream, at
+                )
+                put(row, sst[isst] if isst < len(sst) else "")
+            elif rid == 0x0204 and sz >= 8:  # LABEL (BIFF8 inline)
+                row, _col, _ixfe = struct.unpack_from("<HHH", stream, at)
+                (n_chars,) = struct.unpack_from("<H", stream, at + 6)
+                put(row, _read_xl_string(stream, at + 8, n_chars))
+            elif rid == 0x0203 and sz >= 14:  # NUMBER
+                row, _col, _ixfe = struct.unpack_from("<HHH", stream, at)
+                (num,) = struct.unpack_from("<d", stream, at + 6)
+                put(row, f"{num:g}")
+            elif rid == 0x027E and sz >= 10:  # RK
+                row, _col, _ixfe = struct.unpack_from("<HHH", stream, at)
+                (rk,) = struct.unpack_from("<I", stream, at + 6)
+                put(row, _rk_value(rk))
+            elif rid == 0x0205 and sz >= 8:  # BOOLERR
+                row, _col, _ixfe = struct.unpack_from("<HHH", stream, at)
+                val, is_err = stream[at + 6], stream[at + 7]
+                put(row, "#ERR" if is_err else ("TRUE" if val else "FALSE"))
+        sheets_text.append(
+            "\n".join("\t".join(rows[r]) for r in sorted(rows))
+        )
+    return _XLS_SHEET_SEP.join(s for s in sheets_text if s).strip()
+
+
+def extract_ole_text(blob: bytes) -> tuple[str, str]:
+    """(format, text) for an OLE2-magic blob: .doc or .xls; other OLE
+    hosts (ppt, msi, msg, ...) raise into the caller's on_error."""
+    cf = CompoundFile(blob)
+    if "WordDocument" in cf.entries:
+        return "doc", extract_doc_text(blob)
+    if "Workbook" in cf.entries or "Book" in cf.entries:
+        return "xls", extract_xls_text(blob)
+    raise ValueError("OLE2 file is not a Word or Excel document")

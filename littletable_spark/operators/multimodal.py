@@ -480,10 +480,11 @@ def extract_text(
     - RTF (``{\\rtf`` magic) via ``functions/rtfcodec.py`` (control-
       word walk, destination groups skipped, code-page + \\uN
       escapes, \\par/\\tab whitespace semantics);
-    - legacy .doc (OLE2 magic) via ``functions/doccodec.py`` (MS-CFB
-      compound file + the MS-DOC piece table: compressed cp1252 and
-      UTF-16 pieces, field codes stripped; other OLE hosts — xls,
-      ppt, msi — raise through ``on_error``);
+    - legacy .doc / .xls (OLE2 magic) via ``functions/doccodec.py``
+      (MS-CFB compound file + the MS-DOC piece table or the BIFF8
+      Workbook records: compressed/UTF-16 pieces, SST shared strings
+      with CONTINUE spillover, LABELSST/NUMBER/RK/BOOLERR cells;
+      other OLE hosts — ppt, msi — raise through ``on_error``);
     - everything else: UTF-8 passthrough.
 
     ``on_error="null"`` NULLs the text for unextractable blobs so one
@@ -504,7 +505,7 @@ def extract_text(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.htmlcodec import extract_html_text, looks_like_html
         from ..functions.imagecodec import CORRUPT_ERRORS
-        from ..functions.doccodec import extract_doc_text
+        from ..functions.doccodec import extract_ole_text
         from ..functions.officecodec import extract_office_text
         from ..functions.pdfcodec import extract_pdf_text
         from ..functions.rtfcodec import extract_rtf_text
@@ -524,7 +525,8 @@ def extract_text(
                     elif blob.startswith(b"{\\rtf"):
                         rows.append((_id, "rtf", "", extract_rtf_text(blob)))
                     elif blob.startswith(b"\xd0\xcf\x11\xe0"):
-                        rows.append((_id, "doc", "", extract_doc_text(blob)))
+                        kind, text = extract_ole_text(blob)
+                        rows.append((_id, kind, "", text))
                     elif looks_like_html(blob):
                         got = extract_html_text(
                             blob, main_content=html_main_content

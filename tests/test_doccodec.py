@@ -214,3 +214,157 @@ def test_extract_text_routes_doc(spark):
     assert out[0].doc_format == "doc"
     assert out[0].text == "doc body text\nsecond"
     assert out[1].doc_format is None and out[1].text is None  # OLE, not .doc
+
+
+# ------------------------------------------------------------------ #
+# legacy .xls (BIFF8): a test-side record writer pins the reader.
+
+
+def _rec(rid: int, body: bytes) -> bytes:
+    return struct.pack("<HH", rid, len(body)) + body
+
+
+def _bof(dt: int) -> bytes:
+    return _rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0, 0, 0, 0))
+
+
+def _sst_bodies(strings, split=None):
+    """SST record body (+ optional CONTINUE bodies). ``split`` =
+    (string_index, char_offset) forces that string to spill into a
+    CONTINUE whose fragment restarts with its own option flags."""
+    bodies = [bytearray(struct.pack("<II", len(strings), len(strings)))]
+    for k, s in enumerate(strings):
+        wide = any(ord(c) > 255 for c in s)
+        head = struct.pack("<HB", len(s), 1 if wide else 0)
+        if split and split[0] == k:
+            a, b = s[: split[1]], s[split[1] :]
+            bodies[-1] += head + a.encode(
+                "utf-16-le" if wide else "latin-1"
+            )
+            frag = bytes([1 if wide else 0]) + b.encode(
+                "utf-16-le" if wide else "latin-1"
+            )
+            bodies.append(bytearray(frag))
+        else:
+            bodies[-1] += head + s.encode(
+                "utf-16-le" if wide else "latin-1"
+            )
+    out = [_rec(0x00FC, bytes(bodies[0]))]
+    for c in bodies[1:]:
+        out.append(_rec(0x003C, bytes(c)))
+    return b"".join(out)
+
+
+def make_xls(sheets, shared, split=None) -> bytes:
+    """sheets: list of sheet cell lists [(row, col, kind, value)];
+    kind in {'s','label','n','rk','bool'}."""
+    sheet_blobs = []
+    for cells in sheets:
+        body = bytearray(_bof(0x0010))
+        for row, col, kind, val in cells:
+            if kind == "s":
+                body += _rec(0x00FD, struct.pack("<HHHI", row, col, 0, val))
+            elif kind == "label":
+                wide = any(ord(c) > 255 for c in val)
+                s = struct.pack("<HB", len(val), 1 if wide else 0) + \
+                    val.encode("utf-16-le" if wide else "latin-1")
+                body += _rec(0x0204, struct.pack("<HHH", row, col, 0) + s)
+            elif kind == "n":
+                body += _rec(0x0203, struct.pack("<HHHd", row, col, 0, val))
+            elif kind == "rk":
+                body += _rec(0x027E, struct.pack("<HHHI", row, col, 0, val))
+            elif kind == "bool":
+                body += _rec(
+                    0x0205,
+                    struct.pack("<HHHBB", row, col, 0, 1 if val else 0, 0),
+                )
+        body += _rec(0x000A, b"")
+        sheet_blobs.append(bytes(body))
+
+    # globals with BOUNDSHEET offsets patched in a second pass
+    def globals_blob(offsets):
+        g = bytearray(_bof(0x0005))
+        g += _sst_bodies(shared, split)
+        for i, off in enumerate(offsets):
+            name = f"S{i+1}".encode("latin-1")
+            g += _rec(
+                0x0085,
+                struct.pack("<IH", off, 0)
+                + bytes([len(name), 0]) + name,
+            )
+        g += _rec(0x000A, b"")
+        return bytes(g)
+
+    glen = len(globals_blob([0] * len(sheet_blobs)))
+    offsets = []
+    pos = glen
+    for sb in sheet_blobs:
+        offsets.append(pos)
+        pos += len(sb)
+    stream = globals_blob(offsets) + b"".join(sheet_blobs)
+    return write_cfb({"Workbook": stream})
+
+
+def test_xls_cell_kinds_and_sheets():
+    from littletable_spark.functions.doccodec import (
+        extract_xls_text,
+        sniff_xls,
+    )
+
+    blob = make_xls(
+        [
+            [(0, 0, "s", 0), (0, 1, "n", 42.5), (1, 0, "s", 1),
+             (1, 1, "rk", (7 << 2) | 2)],          # int RK 7
+            [(0, 0, "label", "inline ştring"), (0, 1, "bool", True)],
+        ],
+        shared=["hello", "wörld"],
+    )
+    assert sniff_xls(blob)
+    assert extract_xls_text(blob) == (
+        "hello\t42.5\nwörld\t7\ninline ştring\tTRUE"
+    )
+
+
+def test_xls_rk_forms():
+    from littletable_spark.functions.doccodec import extract_xls_text
+
+    import struct as _s
+    # float RK: high 32 bits of IEEE double for 2.5; x100 variant
+    high = _s.unpack("<I", _s.pack("<d", 2.5)[4:])[0] & 0xFFFFFFFC
+    blob = make_xls(
+        [[(0, 0, "rk", high), (0, 1, "rk", high | 1),
+          (0, 2, "rk", ((100 << 2) | 2) | 1)]],   # int 100 / 100 = 1
+        shared=[],
+    )
+    assert extract_xls_text(blob) == "2.5\t0.025\t1"
+
+
+def test_xls_sst_continue_spillover():
+    from littletable_spark.functions.doccodec import extract_xls_text
+
+    long = "abcdefghij" * 10
+    blob = make_xls(
+        [[(0, 0, "s", 0), (1, 0, "s", 1)]],
+        shared=[long, "after"],
+        split=(0, 37),  # split the long string mid-way into a CONTINUE
+    )
+    assert extract_xls_text(blob) == f"{long}\nafter"
+
+
+def test_xls_rejections_and_routing(spark):
+    from littletable_spark import Table
+    from littletable_spark.functions.doccodec import extract_xls_text
+    from littletable_spark.operators.multimodal import extract_text
+
+    # FILEPASS (encrypted) rejects
+    enc_stream = _bof(0x0005) + _rec(0x002F, b"\x00" * 4) + _rec(0x000A, b"")
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_xls_text(write_cfb({"Workbook": enc_stream}))
+
+    blob = make_xls([[(0, 0, "s", 0)]], shared=["routed cell"])
+    doc = make_doc([("word text", True)])
+    t = Table("blobs", spark=spark)
+    t.insert_many([{"id": 0, "blob": blob}, {"id": 1, "blob": doc}])
+    out = {r.id: r for r in extract_text(t, "blob", "id")}
+    assert out[0].doc_format == "xls" and out[0].text == "routed cell"
+    assert out[1].doc_format == "doc" and out[1].text == "word text"
