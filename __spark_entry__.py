@@ -1523,15 +1523,16 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Office text extraction (round 13, functions/officecodec.py):
-    REAL zip containers with hand-built ECMA-376 / ODF XML are
-    synthesized per doc in an Arrow pass — doc_id%5==0 a DOCX with a
-    w:tab run, %5==1 an ODT with a run-length text:s, %5==2 an XLSX
-    (shared string + numeric cell + inline-string row), %5==3 a PPTX
-    (two slides, a:tab run), %5==4 a non-document zip that must NULL
-    under on_error='null' — then the real zipfile+ElementTree
-    extractors run end-to-end. The oracle predicts the extracted text
-    arithmetically (the fixture content is a pure function of
+    """Document text extraction (round 13, functions/officecodec.py +
+    rtfcodec.py): REAL containers are synthesized per doc in an Arrow
+    pass — doc_id%7==0 a DOCX with a w:tab run, %7==1 an ODT with a
+    run-length text:s, %7==2 an XLSX (shared string + numeric cell +
+    inline-string row), %7==3 a PPTX (two slides, a:tab run), %7==4 an
+    RTF (destination group + \\par/\\tab + a hex escape), %7==5 an
+    EPUB (container.xml -> OPF spine -> two XHTML chapters), %7==6 a
+    non-document zip that must NULL under on_error='null' — then the
+    real extractors run end-to-end. The oracle predicts the extracted
+    text arithmetically (the fixture content is a pure function of
     (doc_id, lang)), so extraction, whitespace semantics, format
     routing, AND the on_error audit trail all hash-gate."""
     from littletable_spark.operators.multimodal import extract_text
@@ -1561,13 +1562,54 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             'xmlns:a="http://schemas.openxmlformats.org/'
             'drawingml/2006/main"'
         )
+        cnt_ns = 'xmlns="urn:oasis:names:tc:opendocument:xmlns:container"'
+        opf_ns = 'xmlns="http://www.idpf.org/2007/opf"'
         out = []
         for i, lg in zip(doc_id, lang):
             i = int(i)
+            k = i % 7
+            if k == 4:  # RTF: no zip container
+                out.append(
+                    (
+                        "{\\rtf1\\ansi{\\fonttbl{\\f0 Times;}}Doc %d\\par "
+                        "%s\\tab caf\\'e9}" % (i, lg)
+                    ).encode("ascii")
+                )
+                continue
             buf = io.BytesIO()
             with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-                k = i % 5
-                if k == 0:
+                if k == 5:  # EPUB
+                    zf.writestr(
+                        zipfile.ZipInfo("mimetype"),
+                        "application/epub+zip",
+                        compress_type=zipfile.ZIP_STORED,
+                    )
+                    zf.writestr(
+                        "META-INF/container.xml",
+                        f"<container {cnt_ns}><rootfiles>"
+                        '<rootfile full-path="OEBPS/content.opf"/>'
+                        "</rootfiles></container>",
+                    )
+                    zf.writestr(
+                        "OEBPS/content.opf",
+                        f'<package {opf_ns}><manifest>'
+                        '<item id="c1" href="c1.xhtml" '
+                        'media-type="application/xhtml+xml"/>'
+                        '<item id="c2" href="c2.xhtml" '
+                        'media-type="application/xhtml+xml"/>'
+                        "</manifest><spine>"
+                        '<itemref idref="c1"/><itemref idref="c2"/>'
+                        "</spine></package>",
+                    )
+                    zf.writestr(
+                        "OEBPS/c1.xhtml",
+                        f"<html><body><p>Doc {i}</p></body></html>",
+                    )
+                    zf.writestr(
+                        "OEBPS/c2.xhtml",
+                        f"<html><body><p>{lg} chapter</p></body></html>",
+                    )
+                elif k == 0:
                     zf.writestr(
                         "word/document.xml",
                         f"<w:document {w_ns}><w:body>"
@@ -1600,7 +1642,7 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     zf.writestr(
                         "xl/worksheets/sheet1.xml",
                         f"<worksheet {ss_ns}><sheetData>"
-                        f'<row><c t="s"><v>0</v></c><c><v>{i % 7}</v></c>'
+                        f'<row><c t="s"><v>0</v></c><c><v>{i % 9}</v></c>'
                         "</row>"
                         f'<row><c t="inlineStr"><is><t>{lg}</t></is></c>'
                         "</row></sheetData></worksheet>",
@@ -4583,27 +4625,35 @@ def oracle_sql() -> dict[str, str]:
         "office_extract": """
             WITH t AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 5 = 0 THEN
+                     CASE WHEN doc_id % 7 = 0 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang
                        || chr(9) || 'x'
-                     WHEN doc_id % 5 = 1 THEN
+                     WHEN doc_id % 7 = 1 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang || '  x'
-                     WHEN doc_id % 5 = 2 THEN
+                     WHEN doc_id % 7 = 2 THEN
                        'Doc ' || doc_id::VARCHAR || chr(9)
-                       || (doc_id % 7)::VARCHAR || chr(10) || lang
-                     WHEN doc_id % 5 = 3 THEN
+                       || (doc_id % 9)::VARCHAR || chr(10) || lang
+                     WHEN doc_id % 7 = 3 THEN
                        'Doc ' || doc_id::VARCHAR || chr(12) || lang
                        || chr(9) || 'x'
+                     WHEN doc_id % 7 = 4 THEN
+                       'Doc ' || doc_id::VARCHAR || chr(10) || lang
+                       || chr(9) || 'caf' || chr(233)
+                     WHEN doc_id % 7 = 5 THEN
+                       'Doc ' || doc_id::VARCHAR || chr(12) || lang
+                       || ' chapter'
                      ELSE NULL END AS text
               FROM documents
             )
             SELECT doc_id,
-                   CASE WHEN doc_id % 5 = 0 THEN 'docx'
-                        WHEN doc_id % 5 = 1 THEN 'odt'
-                        WHEN doc_id % 5 = 2 THEN 'xlsx'
-                        WHEN doc_id % 5 = 3 THEN 'pptx'
+                   CASE WHEN doc_id % 7 = 0 THEN 'docx'
+                        WHEN doc_id % 7 = 1 THEN 'odt'
+                        WHEN doc_id % 7 = 2 THEN 'xlsx'
+                        WHEN doc_id % 7 = 3 THEN 'pptx'
+                        WHEN doc_id % 7 = 4 THEN 'rtf'
+                        WHEN doc_id % 7 = 5 THEN 'epub'
                         ELSE NULL END AS doc_format,
-                   CASE WHEN doc_id % 5 = 4 THEN NULL ELSE '' END AS title,
+                   CASE WHEN doc_id % 7 = 6 THEN NULL ELSE '' END AS title,
                    text,
                    length(text)::INTEGER AS n_chars
             FROM t
