@@ -3104,9 +3104,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-13 rotation (stale-veteran hygiene per the r12 verdict —
     the ten queries parked since r6, the registry's longest-stale set,
     all re-enter, plus one net-new): IN — office_extract (net-new:
-    DOCX/ODT/XLSX/PPTX extraction through the real zipfile+XML
-    extractors over per-doc synthesized containers incl. on_error
-    NULL rows; gates first), slice_positional, search_raw,
+    document extraction through the real extractors — docx/odt/xlsx/
+    pptx/rtf/epub containers synthesized per doc, incl. on_error NULL
+    rows; gates first), slice_positional, search_raw,
     outer_join_full,
     events_sliding, sample_split, join_dsl, text_repetition,
     explode_embedding, semi_join, sample_stratified. OUT, coverage
