@@ -1456,12 +1456,22 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from littletable_spark.operators.multimodal import sniff_media
 
     d = _t(spark, sf_dir, "documents")
-    # synthesize blobs: every 5th doc gets a PNG magic prefix
+    # synthesize blobs: magic-byte prefixes cycling PNG / RTF / zip /
+    # OLE2 (round 13 adds the document-container rows) over raw text
     d.compute_field(
         "blob",
         F.when(
-            F.col("doc_id") % 5 == 0,
+            F.col("doc_id") % 7 == 0,
             F.concat(F.unhex(F.lit("89504E470D0A1A0A")), F.encode(F.col("text"), "utf-8")),
+        ).when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.unhex(F.lit("7B5C72746631")), F.encode(F.col("text"), "utf-8")),
+        ).when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.unhex(F.lit("504B030414")), F.encode(F.col("text"), "utf-8")),
+        ).when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.unhex(F.lit("D0CF11E0A1B11AE1")), F.encode(F.col("text"), "utf-8")),
         ).otherwise(F.encode(F.col("text"), "utf-8")),
     )
     out = sniff_media(d, "blob")
@@ -5211,13 +5221,23 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": """
             WITH b AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 5 = 0
+                     CASE WHEN doc_id % 7 = 0
                           THEN from_hex('89504E470D0A1A0A') || encode(text)
+                          WHEN doc_id % 7 = 1
+                          THEN from_hex('7B5C72746631') || encode(text)
+                          WHEN doc_id % 7 = 2
+                          THEN from_hex('504B030414') || encode(text)
+                          WHEN doc_id % 7 = 3
+                          THEN from_hex('D0CF11E0A1B11AE1') || encode(text)
                           ELSE encode(text) END AS blob
               FROM documents
             )
             SELECT doc_id,
-                   CASE WHEN doc_id % 5 = 0 THEN 'png' ELSE 'unknown' END AS media_format,
+                   CASE WHEN doc_id % 7 = 0 THEN 'png'
+                        WHEN doc_id % 7 = 1 THEN 'rtf'
+                        WHEN doc_id % 7 = 2 THEN 'zip'
+                        WHEN doc_id % 7 = 3 THEN 'ole'
+                        ELSE 'unknown' END AS media_format,
                    octet_length(blob) AS n_bytes,
                    md5(lower(hex(blob))) AS content_hash
             FROM b

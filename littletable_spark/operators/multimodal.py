@@ -85,6 +85,12 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
             F.lit("mp3"),
         )
         .when(hx.startswith("424D"), F.lit("bmp"))
+        # document containers (round 13): typed at the CONTAINER level
+        # natively — zip subtype resolution (docx/xlsx/epub/...) needs
+        # member inspection, which extract_text's sniff does per blob
+        .when(hx.startswith("7B5C727466"), F.lit("rtf"))  # {\rtf
+        .when(hx.startswith("504B0304"), F.lit("zip"))
+        .when(hx.startswith("D0CF11E0"), F.lit("ole"))
         .otherwise(F.lit("unknown"))
     )
     meta = F.struct(
