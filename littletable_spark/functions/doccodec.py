@@ -39,7 +39,9 @@ __all__ = [
     "extract_doc_text",
     "sniff_xls",
     "extract_xls_text",
+    "extract_ppt_text",
     "extract_ole_text",
+    "ole_title",
 ]
 
 _CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -468,12 +470,129 @@ def extract_xls_text(blob: bytes) -> str:
     return _XLS_SHEET_SEP.join(s for s in sheets_text if s).strip()
 
 
-def extract_ole_text(blob: bytes) -> tuple[str, str]:
-    """(format, text) for an OLE2-magic blob: .doc or .xls; other OLE
-    hosts (ppt, msi, msg, ...) raise into the caller's on_error."""
+# MS-PPT record types (all records — PowerPoint and the embedded
+# OfficeArt drawing layer — share the 8-byte header: verAndInstance
+# uint16, recType uint16, recLen uint32; recVer 0xF marks a container)
+_PPT_SLIDE = 0x03EE          # Slide container
+_PPT_SLIDEPERSIST = 0x03F3   # SlidePersistAtom (SlideListWithText)
+_PPT_TEXTCHARS = 0x0FA0      # TextCharsAtom: UTF-16LE
+_PPT_TEXTBYTES = 0x0FA8      # TextBytesAtom: ANSI (cp1252)
+_PPT_CRYPT = 0x2F14          # CryptSession10Container: encrypted
+
+
+def _ppt_clean(text: str) -> str:
+    """MS-PPT text-atom payload → lines: CR is the paragraph mark,
+    VT the soft line break (MS-PPT §2.9; same flattening as .doc)."""
+    return (
+        text.replace("\r\n", "\n")
+        .replace("\r", "\n")
+        .replace("\x0b", "\n")
+        .rstrip("\x00")
+        .strip()
+    )
+
+
+def extract_ppt_text(blob: bytes) -> str:
+    """All slide text of a legacy .ppt blob (MS-PPT): walk the
+    `PowerPoint Document` stream's record tree (containers recurse —
+    the OfficeArt drawing records nested under each slide share the
+    header format), collecting TextCharsAtom (UTF-16LE) and
+    TextBytesAtom (ANSI) payloads. A new slide bucket opens at each
+    Slide container (drawing-layer text) or SlidePersistAtom
+    (SlideListWithText outline text) — persist order as laid out in
+    the stream; slides are form-feed separated like the pptx path.
+    Encrypted decks (CryptSession10Container) raise to on_error."""
+    cf = CompoundFile(blob)
+    stream = cf.stream("PowerPoint Document")
+    buckets: list[list[str]] = [[]]
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            opts, rtype, rlen = struct.unpack_from("<HHI", stream, pos)
+            pos += 8
+            end = min(pos + rlen, hi)
+            if rtype == _PPT_CRYPT:
+                raise ValueError(
+                    "encrypted PowerPoint (CryptSession10) is not "
+                    "extractable"
+                )
+            if rtype in (_PPT_SLIDE, _PPT_SLIDEPERSIST):
+                buckets.append([])
+            if (opts & 0xF) == 0xF:
+                walk(pos, end)
+            elif rtype == _PPT_TEXTCHARS:
+                buckets[-1].append(
+                    _ppt_clean(
+                        stream[pos:end].decode("utf-16-le", "replace")
+                    )
+                )
+            elif rtype == _PPT_TEXTBYTES:
+                buckets[-1].append(
+                    _ppt_clean(stream[pos:end].decode("cp1252", "replace"))
+                )
+            pos = end
+
+    walk(0, len(stream))
+    slides = ["\n".join(p for p in b if p) for b in buckets]
+    slides = [s for s in slides if s]
+    if not slides:
+        raise ValueError("no text atoms in PowerPoint Document stream")
+    return "\f".join(slides).strip()
+
+
+def ole_title(cf: CompoundFile) -> str:
+    """Document title from the ``\\x05SummaryInformation`` property-set
+    stream (MS-OLEPS): PIDSI_TITLE (0x02) in the first property set,
+    honoring the set's PID 1 codepage for VT_LPSTR values. Missing
+    stream / property / any malformation → "" — titles are optional
+    metadata and must never NULL the text."""
+    name = "\x05SummaryInformation"
+    if name not in cf.entries:
+        return ""
+    try:
+        data = cf.stream(name)
+        (off,) = struct.unpack_from("<I", data, 44)
+        (_sz, nprops) = struct.unpack_from("<II", data, off)
+        codepage = 1252
+        title_at = None
+        for i in range(nprops):
+            pid, poff = struct.unpack_from("<II", data, off + 8 + 8 * i)
+            if pid == 1:
+                (cp,) = struct.unpack_from("<H", data, off + poff + 4)
+                codepage = cp or 1252
+            elif pid == 2:
+                title_at = off + poff
+        if title_at is None:
+            return ""
+        (vt,) = struct.unpack_from("<I", data, title_at)
+        (n,) = struct.unpack_from("<I", data, title_at + 4)
+        if vt == 30:  # VT_LPSTR: n bytes incl. NUL, set codepage
+            raw = data[title_at + 8 : title_at + 8 + n]
+            if codepage == 1200:
+                txt = raw.decode("utf-16-le", "replace")
+            else:
+                txt = raw.decode(f"cp{codepage}", "replace")
+        elif vt == 31:  # VT_LPWSTR: n UTF-16 code units incl. NUL
+            raw = data[title_at + 8 : title_at + 8 + 2 * n]
+            txt = raw.decode("utf-16-le", "replace")
+        else:
+            return ""
+        return re.sub(r"\s+", " ", txt.split("\x00", 1)[0]).strip()
+    except (ValueError, struct.error, IndexError, LookupError):
+        return ""
+
+
+def extract_ole_text(blob: bytes) -> tuple[str, str, str]:
+    """(format, text, title) for an OLE2-magic blob: .doc, .xls, or
+    .ppt (title from the SummaryInformation property set when
+    present); other OLE hosts (msi, msg, ...) raise into the caller's
+    on_error."""
     cf = CompoundFile(blob)
     if "WordDocument" in cf.entries:
-        return "doc", extract_doc_text(blob)
+        return "doc", extract_doc_text(blob), ole_title(cf)
     if "Workbook" in cf.entries or "Book" in cf.entries:
-        return "xls", extract_xls_text(blob)
-    raise ValueError("OLE2 file is not a Word or Excel document")
+        return "xls", extract_xls_text(blob), ole_title(cf)
+    if "PowerPoint Document" in cf.entries:
+        return "ppt", extract_ppt_text(blob), ole_title(cf)
+    raise ValueError("OLE2 file is not a Word/Excel/PowerPoint document")

@@ -56,6 +56,7 @@ __all__ = [
     "extract_pptx_text",
     "extract_epub_text",
     "extract_office_text",
+    "office_title",
 ]
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
@@ -419,22 +420,71 @@ def extract_epub_text(blob: bytes) -> str:
     return "\f".join(pages).strip()
 
 
-def extract_office_text(blob: bytes) -> tuple[str, str]:
-    """(format, text) for a PK-magic blob; ValueError when the zip is
-    not a recognized Office/ODF/EPUB document (plain archives included
-    — the caller's on_error policy decides whether that kills the
-    job)."""
+_DC = "{http://purl.org/dc/elements/1.1/}"
+
+
+def office_title(blob: bytes, kind: str) -> str:
+    """Document title of an Office/ODF/EPUB container — cheap,
+    dedup-useful curation metadata:
+
+    - OOXML (docx/xlsx/pptx): ``docProps/core.xml`` ``<dc:title>``
+      (ECMA-376 Part 2 §11 core properties);
+    - ODT: ``meta.xml`` ``<dc:title>`` (ODF 1.2 §3.1.3.4);
+    - EPUB: the package document's ``<dc:title>`` (OPF metadata).
+
+    Missing part / element → "" (titles are optional everywhere);
+    malformed XML in an otherwise-extractable document also → "" —
+    a bad optional metadata part must not NULL the text."""
+    part = {
+        "docx": "docProps/core.xml",
+        "xlsx": "docProps/core.xml",
+        "pptx": "docProps/core.xml",
+        "odt": "meta.xml",
+    }.get(kind)
+    try:
+        with _open_zip(blob) as zf:
+            if kind == "epub":
+                container = _parse_xml(
+                    _read_member(zf, "META-INF/container.xml"),
+                    "META-INF/container.xml",
+                )
+                part = next(
+                    (
+                        rf.get("full-path")
+                        for rf in container.iter(f"{_CNT}rootfile")
+                        if rf.get("full-path")
+                    ),
+                    None,
+                )
+            if part is None or part not in zf.namelist():
+                return ""
+            root = _parse_xml(_read_member(zf, part), part)
+    except ValueError:
+        return ""
+    el = next(root.iter(f"{_DC}title"), None)
+    if el is None:
+        return ""
+    return re.sub(r"\s+", " ", "".join(el.itertext())).strip()
+
+
+def extract_office_text(blob: bytes) -> tuple[str, str, str]:
+    """(format, text, title) for a PK-magic blob; ValueError when the
+    zip is not a recognized Office/ODF/EPUB document (plain archives
+    included — the caller's on_error policy decides whether that kills
+    the job)."""
     kind = sniff_office(blob)
     if kind == "docx":
-        return "docx", extract_docx_text(blob)
-    if kind == "odt":
-        return "odt", extract_odt_text(blob)
-    if kind == "xlsx":
-        return "xlsx", extract_xlsx_text(blob)
-    if kind == "pptx":
-        return "pptx", extract_pptx_text(blob)
-    if kind == "epub":
-        return "epub", extract_epub_text(blob)
-    raise ValueError(
-        "zip container is not a DOCX/ODT/XLSX/PPTX/EPUB document"
-    )
+        text = extract_docx_text(blob)
+    elif kind == "odt":
+        text = extract_odt_text(blob)
+    elif kind == "xlsx":
+        text = extract_xlsx_text(blob)
+    elif kind == "pptx":
+        text = extract_pptx_text(blob)
+    elif kind == "epub":
+        text = extract_epub_text(blob)
+    else:
+        raise ValueError(
+            "zip container is not a DOCX/ODT/XLSX/PPTX/EPUB document"
+        )
+    return kind, text, office_title(blob, kind)

@@ -68,7 +68,7 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["extract_pdf_text"]
+__all__ = ["extract_pdf_text", "extract_pdf_doc"]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
@@ -860,9 +860,36 @@ def _merge_object_streams(objects: dict[int, bytes]) -> None:
             objects.setdefault(objnum, data[first + off : first + offsets[k + 1]])
 
 
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+
+
+def _info_title(blob: bytes, objects: dict[int, bytes]) -> str:
+    """``/Title`` of the document information dictionary (§14.3.3):
+    the trailer's ``/Info N G R`` names the dict; the LAST trailer
+    wins under incremental update. Text-string decoding (UTF-16BE BOM
+    else PDFDocEncoding≈latin-1) via ``_decode_text``; strings were
+    already decrypted when the file is encrypted."""
+    refs = _INFO_REF_RE.findall(blob)
+    if not refs:
+        return ""
+    body = objects.get(int(refs[-1]))
+    if body is None:
+        return ""
+    raw = _dict_string(body, b"Title")
+    if raw is None:
+        return ""
+    return re.sub(r"\s+", " ", _decode_text(raw)).strip()
+
+
 def extract_pdf_text(blob: bytes) -> str:
-    """All page text of a PDF blob, reading order per content stream,
-    newlines at line moves, pages separated by form feeds."""
+    """All page text of a PDF blob — see ``extract_pdf_doc``."""
+    return extract_pdf_doc(blob)["text"]
+
+
+def extract_pdf_doc(blob: bytes) -> dict:
+    """``{"title", "text"}`` of a PDF blob: page text in reading order
+    per content stream, newlines at line moves, pages separated by
+    form feeds; title from the /Info dictionary (empty when absent)."""
     if not blob.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
     objects: dict[int, bytes] = {}
@@ -914,4 +941,4 @@ def extract_pdf_text(blob: bytes) -> str:
         # (top-level or inside an ObjStm): surface the loss so
         # ``on_error`` applies instead of silently emitting "".
         raise ValueError("no page objects found in PDF")
-    return "\f".join(pages)
+    return {"title": _info_title(blob, objects), "text": "\f".join(pages)}

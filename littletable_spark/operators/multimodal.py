@@ -486,12 +486,23 @@ def extract_text(
     - RTF (``{\\rtf`` magic) via ``functions/rtfcodec.py`` (control-
       word walk, destination groups skipped, code-page + \\uN
       escapes, \\par/\\tab whitespace semantics);
-    - legacy .doc / .xls (OLE2 magic) via ``functions/doccodec.py``
-      (MS-CFB compound file + the MS-DOC piece table or the BIFF8
-      Workbook records: compressed/UTF-16 pieces, SST shared strings
-      with CONTINUE spillover, LABELSST/NUMBER/RK/BOOLERR cells;
-      other OLE hosts — ppt, msi — raise through ``on_error``);
-    - everything else: UTF-8 passthrough.
+    - legacy .doc / .xls / .ppt (OLE2 magic) via
+      ``functions/doccodec.py`` (MS-CFB compound file + the MS-DOC
+      piece table, the BIFF8 Workbook records, or the MS-PPT
+      TextCharsAtom/TextBytesAtom record walk: compressed/UTF-16
+      pieces, SST shared strings with CONTINUE spillover,
+      LABELSST/NUMBER/RK/BOOLERR cells, slide buckets form-feed
+      separated; other OLE hosts — msi, msg — raise through
+      ``on_error``);
+    - everything else: bare text through the charset decode ladder
+      (``functions/textenc.py``: BOM sniff → UTF-8 strict → detected
+      cp1251/shift-jis/cp1252 → latin-1 fallback), the chosen codec
+      recorded in the ``encoding`` column; binary junk (NULs,
+      control-heavy) raises instead of mis-decoding.
+
+    Titles: populated for HTML (``<title>``), PDF (/Info /Title),
+    OOXML/ODF/EPUB (docProps/core.xml, meta.xml, OPF ``dc:title``),
+    and OLE (SummaryInformation PIDSI_TITLE); "" when absent.
 
     ``on_error="null"`` NULLs the text for unextractable blobs so one
     bad file never kills a corpus job — count the NULLs downstream for
@@ -505,7 +516,7 @@ def extract_text(
     id_type = dict(table._require_df().dtypes)[id_col]
     schema = (
         f"{id_col} {id_type}, doc_format string, title string, "
-        "text string, n_chars int"
+        "text string, n_chars int, encoding string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -513,8 +524,9 @@ def extract_text(
         from ..functions.imagecodec import CORRUPT_ERRORS
         from ..functions.doccodec import extract_ole_text
         from ..functions.officecodec import extract_office_text
-        from ..functions.pdfcodec import extract_pdf_text
+        from ..functions.pdfcodec import extract_pdf_doc
         from ..functions.rtfcodec import extract_rtf_text
+        from ..functions.textenc import decode_text_blob
 
         for pdf in batches:
             if pdf.empty:
@@ -524,26 +536,36 @@ def extract_text(
                 blob = bytes(b or b"")
                 try:
                     if blob.startswith(b"%PDF-"):
-                        rows.append((_id, "pdf", "", extract_pdf_text(blob)))
+                        got = extract_pdf_doc(blob)
+                        rows.append(
+                            (_id, "pdf", got["title"], got["text"], None)
+                        )
                     elif blob.startswith(b"PK\x03\x04"):
-                        kind, text = extract_office_text(blob)
-                        rows.append((_id, kind, "", text))
+                        kind, text, title = extract_office_text(blob)
+                        rows.append((_id, kind, title, text, None))
                     elif blob.startswith(b"{\\rtf"):
-                        rows.append((_id, "rtf", "", extract_rtf_text(blob)))
+                        rows.append(
+                            (_id, "rtf", "", extract_rtf_text(blob), None)
+                        )
                     elif blob.startswith(b"\xd0\xcf\x11\xe0"):
-                        kind, text = extract_ole_text(blob)
-                        rows.append((_id, kind, "", text))
+                        kind, text, title = extract_ole_text(blob)
+                        rows.append((_id, kind, title, text, None))
                     elif looks_like_html(blob):
                         got = extract_html_text(
                             blob, main_content=html_main_content
                         )
-                        rows.append((_id, "html", got["title"], got["text"]))
+                        rows.append(
+                            (_id, "html", got["title"], got["text"], None)
+                        )
                     else:
-                        rows.append((_id, "text", "", blob.decode("utf-8")))
+                        # bare text: BOM → UTF-8 strict → detected
+                        # 8-bit/shift-jis → latin-1; binary junk raises
+                        text, enc = decode_text_blob(blob)
+                        rows.append((_id, "text", "", text, enc))
                 except (*CORRUPT_ERRORS, UnicodeDecodeError):
                     if on_error == "raise":
                         raise
-                    rows.append((_id, None, None, None))
+                    rows.append((_id, None, None, None, None))
             yield pd.DataFrame(
                 {
                     id_col: [r[0] for r in rows],
@@ -553,6 +575,7 @@ def extract_text(
                     "n_chars": [
                         len(r[3]) if r[3] is not None else None for r in rows
                     ],
+                    "encoding": [r[4] for r in rows],
                 }
             )
 

@@ -402,3 +402,66 @@ def test_epub_rejections_and_routing(spark):
     t.insert_many([{"id": 0, "blob": blob}])
     out = list(extract_text(t, "blob", "id"))
     assert out[0].doc_format == "epub" and out[0].text == "book text"
+
+
+# ------------------------------------------------------------- titles
+_CP_NS = (
+    'xmlns:cp="http://schemas.openxmlformats.org/package/2006/'
+    'metadata/core-properties" '
+    'xmlns:dc="http://purl.org/dc/elements/1.1/"'
+)
+
+
+def _with_member(blob: bytes, name: str, data: str) -> bytes:
+    """Re-zip an existing fixture with one extra member appended."""
+    src = zipfile.ZipFile(io.BytesIO(blob))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for zi in src.infolist():
+            zf.writestr(zi, src.read(zi.filename))
+        zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_docx_core_title():
+    from littletable_spark.functions.officecodec import extract_office_text
+
+    blob = _with_member(
+        make_docx(_p("body")),
+        "docProps/core.xml",
+        f'<cp:coreProperties {_CP_NS}>'
+        "<dc:title>  The   Annual\nReport </dc:title>"
+        "</cp:coreProperties>",
+    )
+    assert extract_office_text(blob) == (
+        "docx",
+        "body",
+        "The Annual Report",
+    )
+
+
+def test_odt_meta_title():
+    from littletable_spark.functions.officecodec import extract_office_text
+
+    meta = (
+        '<office:document-meta '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        "<office:meta><dc:title>Ein Titel</dc:title></office:meta>"
+        "</office:document-meta>"
+    )
+    blob = _with_member(
+        make_odt("<text:p>odt body</text:p>"), "meta.xml", meta
+    )
+    assert extract_office_text(blob) == ("odt", "odt body", "Ein Titel")
+
+
+def test_title_absent_or_malformed_is_empty():
+    from littletable_spark.functions.officecodec import extract_office_text
+
+    assert extract_office_text(make_docx(_p("b")))[2] == ""
+    # malformed optional metadata part must not NULL the text
+    blob = _with_member(
+        make_docx(_p("b")), "docProps/core.xml", "<unclosed"
+    )
+    assert extract_office_text(blob) == ("docx", "b", "")

@@ -12,10 +12,15 @@ from littletable_spark import Table
 from littletable_spark.functions.pdfcodec import extract_pdf_text
 
 
-def _make_pdf(page_streams: list[bytes], compress: bool = True) -> bytes:
+def _make_pdf(
+    page_streams: list[bytes],
+    compress: bool = True,
+    info: bytes | None = None,
+) -> bytes:
     """Minimal valid PDF: catalog, page tree, one page + content stream
     per entry. The xref table is written correctly even though the
-    extractor scans objects linearly."""
+    extractor scans objects linearly. ``info`` adds a document
+    information dictionary body and a trailer ``/Info`` reference."""
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -46,6 +51,7 @@ def _make_pdf(page_streams: list[bytes], compress: bool = True) -> bytes:
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % len(page_ids)
     )
     catalog_id = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+    info_id = add(info) if info is not None else None
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
@@ -57,9 +63,10 @@ def _make_pdf(page_streams: list[bytes], compress: bool = True) -> bytes:
     out += b"0000000000 65535 f \n"
     for off in offsets:
         out += b"%010d 00000 n \n" % off
+    info_entry = b" /Info %d 0 R" % info_id if info_id else b""
     out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
-        % (len(objs) + 1, catalog_id, xref_at)
+        b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF"
+        % (len(objs) + 1, catalog_id, info_entry, xref_at)
     )
     return bytes(out)
 
@@ -383,7 +390,8 @@ def test_extract_text_operator_end_to_end(spark):
         [
             {"id": 0, "blob": pdf},
             {"id": 1, "blob": "plain utf-8 text".encode()},
-            {"id": 2, "blob": b"\xff\xfe\x00bad"},
+            # NUL-laden, no BOM: binary junk under the decode ladder
+            {"id": 2, "blob": b"\x7fELF\x02\x01\x01\x00\x00bad"},
         ]
     )
     out = {r.id: r for r in extract_text(t, "blob", "id", on_error="null")}
@@ -1006,3 +1014,35 @@ def test_decrypt_objects_indirect_length_pathological_payload():
     assert m is not None
     assert _stream_data(out2) is not None
     assert len(_stream_data(out2)) == int(m.group(1))
+
+
+# ------------------------------------------------------ /Info titles
+def test_info_title_literal():
+    from littletable_spark.functions.pdfcodec import extract_pdf_doc
+
+    pdf = _make_pdf(
+        [_text_stream([b"body"])],
+        info=b"<< /Title (Annual Report) /Author (x) >>",
+    )
+    got = extract_pdf_doc(pdf)
+    assert got["title"] == "Annual Report"
+    assert got["text"] == "body"
+
+
+def test_info_title_utf16_hex():
+    from littletable_spark.functions.pdfcodec import extract_pdf_doc
+
+    raw = b"\xfe\xff" + "Отчёт".encode("utf-16-be")
+    pdf = _make_pdf(
+        [_text_stream([b"body"])],
+        info=b"<< /Title <" + raw.hex().encode() + b"> >>",
+    )
+    assert extract_pdf_doc(pdf)["title"] == "Отчёт"
+
+
+def test_info_title_absent_is_empty():
+    from littletable_spark.functions.pdfcodec import extract_pdf_doc
+
+    assert extract_pdf_doc(_make_pdf([_text_stream([b"x"])]))["title"] == ""
+    pdf = _make_pdf([_text_stream([b"x"])], info=b"<< /Author (n) >>")
+    assert extract_pdf_doc(pdf)["title"] == ""
