@@ -1135,10 +1135,25 @@ def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """token counting: total, distinct, type-token ratio."""
+    """token counting: total, distinct, type-token ratio, CJK chars
+    (round 14: CJK-aware — every doc_id%5==0 doc gets a synthesized
+    Han/kana suffix, `中文好 テスト` repeated (doc_id%3)+1 times, so
+    the per-char token proxy, the ceil(chars/2) BPE proxy, and the
+    n_cjk_chars column all hash-gate; the corpus itself is ASCII)."""
     from littletable_spark.operators.textops import token_stats
 
     d = _t(spark, sf_dir, "documents")
+    d.compute_field(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.repeat(F.lit("中文好 テスト"), (F.col("doc_id") % 3 + 1).cast("int")),
+            ),
+        ).otherwise(F.col("text")),
+    )
     return token_stats(d, "text", "doc_id").df
 
 
@@ -2693,10 +2708,25 @@ def q_text_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality filtering with an audit trail: keep flag +
     the array of violated rules per doc (fixed rule order), so curation
     decisions are explainable and per-rule rejection rates aggregable
-    (textops.filter_quality; narrow projection, scan-speed)."""
+    (textops.filter_quality; narrow projection, scan-speed).
+
+    Round 14: every doc_id%13==0 doc's text is REPLACED by a pure-CJK
+    paragraph (length varies with doc_id) so the CJK-dominant
+    exemption of the word-shaped rules (mean_token_len,
+    stopword_ratio) and the per-char token counts hash-gate."""
     from littletable_spark.operators.textops import filter_quality
 
     d = _t(spark, sf_dir, "documents")
+    d.compute_field(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.repeat(
+                F.lit("中文字符的段落テスト"),
+                (F.col("doc_id") % 7 + 5).cast("int"),
+            ),
+        ).otherwise(F.col("text")),
+    )
     out = filter_quality(d, "text", "doc_id")
     # the Table-level operator returns failed_rules as a real
     # array<string>; the gate serializes it ('|'-joined, fixed rule
@@ -4457,24 +4487,43 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5
             ) WHERE rank <= 10
         """,
+        # round 14: CJK-aware tokens — the query synthesizes a Han/kana
+        # suffix on every 5th doc; the oracle replays the exact
+        # expressions (space-pad each CJK char then whitespace-split;
+        # BPE proxy over CJK-collapsed text + ceil(cjk/2))
         "text_tokens": """
-            WITH t AS (
+            WITH s AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       text || ' ' || repeat('中文好 テスト', CAST(doc_id % 3 + 1 AS INTEGER))
+                     ELSE text END AS text
               FROM documents
+            ), t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(
+                       regexp_replace(text, '([一-鿿぀-ヿ])', ' \\1 ', 'g')
+                     ), '\\s+'), x -> x <> '') AS toks,
+                     length(text) - length(
+                       regexp_replace(text, '[一-鿿぀-ヿ]', '', 'g')
+                     ) AS cjk
+              FROM s
             )
-            SELECT t.doc_id, len(toks) AS n_tokens,
+            SELECT doc_id, len(toks) AS n_tokens,
                    len(list_distinct(toks)) AS n_distinct_tokens,
-                   len(regexp_extract_all(d.text,
+                   len(regexp_extract_all(
+                     trim(regexp_replace(text, '\\s*[一-鿿぀-ヿ]+\\s*', ' ', 'g')),
                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
-                   )) AS n_bpe_tokens,
+                   )) + CAST(floor((cjk + 1) / 2) AS INTEGER) AS n_bpe_tokens,
+                   CAST(cjk AS INTEGER) AS n_cjk_chars,
                    len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
-            FROM t JOIN documents d ON t.doc_id = d.doc_id
+            FROM t
         """,
         "text_quality": """
             WITH t AS (
               SELECT doc_id, text,
-                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                     list_filter(string_split_regex(trim(
+                       regexp_replace(text, '([一-鿿぀-ヿ])', ' \\1 ', 'g')
+                     ), '\\s+'), x -> x <> '') AS toks
               FROM documents
             ), f AS (
               SELECT doc_id,
@@ -4608,7 +4657,9 @@ def oracle_sql() -> dict[str, str]:
         "text_chunks": """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+                     list_filter(string_split_regex(trim(
+                       regexp_replace(text, '([一-鿿぀-ヿ])', ' \\1 ', 'g')
+                     ), '\\s+'), x -> x <> '') AS t
               FROM documents
             ), nz AS (
               SELECT * FROM toks WHERE len(t) > 0
@@ -4712,8 +4763,9 @@ def oracle_sql() -> dict[str, str]:
         "text_pack": f"""
             WITH t AS (
               SELECT doc_id,
-                     len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
-                                     x -> x <> ''))::INTEGER AS n_tokens,
+                     len(list_filter(string_split_regex(trim(
+                       regexp_replace(coalesce(text, ''), '([一-鿿぀-ヿ])', ' \\1 ', 'g')
+                     ), '\\s+'), x -> x <> ''))::INTEGER AS n_tokens,
                      CAST(({_hash_bucket_sql('doc_id', 'pack')}) % 8 AS INTEGER) AS shard
               FROM documents
             ), c AS (
@@ -5105,13 +5157,25 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE cum <= 4000
         """,
         "text_filter_quality": """
-            WITH t AS (
-              SELECT doc_id, text,
-                     list_filter(string_split_regex(trim(text), '\\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ), sig AS (
+            WITH s AS (
               SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN
+                       repeat('中文字符的段落テスト',
+                              CAST(doc_id % 7 + 5 AS INTEGER))
+                     ELSE text END AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(
+                       regexp_replace(text, '([一-鿿぀-ヿ])', ' \\1 ', 'g')
+                     ), '\\s+'), x -> x <> '') AS toks,
+                     (length(text) - length(
+                        regexp_replace(text, '[一-鿿぀-ヿ]', '', 'g'))) * 2
+                       >= length(regexp_replace(text, '\\s', '', 'g'))
+                       AS cjk_dom
+              FROM s
+            ), sig AS (
+              SELECT doc_id, cjk_dom,
                      CAST(len(toks) AS DOUBLE) AS n_tokens,
                      CAST(list_sum(list_transform(toks, x -> length(x)))
                           AS DOUBLE) / len(toks) AS mean_token_len,
@@ -5127,17 +5191,17 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN NOT (n_tokens IS NOT NULL AND n_tokens >= 50.0
                                       AND n_tokens <= 100000.0)
                             THEN 'n_tokens' END,
-                       CASE WHEN NOT (mean_token_len IS NOT NULL
+                       CASE WHEN NOT ((mean_token_len IS NOT NULL
                                       AND mean_token_len >= 3.0
-                                      AND mean_token_len <= 10.0)
+                                      AND mean_token_len <= 10.0) OR cjk_dom)
                             THEN 'mean_token_len' END,
                        CASE WHEN NOT (symbol_ratio IS NOT NULL
                                       AND symbol_ratio >= 0.0
                                       AND symbol_ratio <= 0.1)
                             THEN 'symbol_ratio' END,
-                       CASE WHEN NOT (stopword_ratio IS NOT NULL
+                       CASE WHEN NOT ((stopword_ratio IS NOT NULL
                                       AND stopword_ratio >= 0.02
-                                      AND stopword_ratio <= 1.0)
+                                      AND stopword_ratio <= 1.0) OR cjk_dom)
                             THEN 'stopword_ratio' END
                      ], x -> x IS NOT NULL) AS failed_rules
               FROM sig

@@ -644,6 +644,23 @@ def _syncsafe(b: bytes) -> int:
     )
 
 
+def _split_utf16(data: bytes) -> list[bytes]:
+    """Split UTF-16 payload on its 2-byte NUL terminator at CODE-UNIT
+    (even) offsets — ``bytes.split(b"\\x00\\x00")`` cuts mid-unit when
+    a unit's zero byte sits next to the following unit's zero byte
+    (e.g. U+0100 'Ā' = ``00 01`` LE, or ASCII text whose terminator
+    lands at an odd byte offset), garbling non-Latin tags."""
+    parts: list[bytes] = []
+    start = i = 0
+    while i + 1 < len(data):
+        if data[i] == 0 and data[i + 1] == 0:
+            parts.append(data[start:i])
+            start = i + 2
+        i += 2
+    parts.append(data[start:])
+    return parts
+
+
 def _id3_text(payload: bytes) -> str:
     """Decode one text frame: encoding byte + terminated string(s);
     multiple values (v2.4 \\x00-separated) join with ' / '."""
@@ -655,14 +672,10 @@ def _id3_text(payload: bytes) -> str:
         parts = data.split(b"\x00")
         vals = [p.decode("latin-1", "replace") for p in parts]
     elif enc == 1:
-        vals = [
-            p.decode("utf-16", "replace")
-            for p in data.split(b"\x00\x00")
-        ]
+        vals = [p.decode("utf-16", "replace") for p in _split_utf16(data)]
     elif enc == 2:
         vals = [
-            p.decode("utf-16-be", "replace")
-            for p in data.split(b"\x00\x00")
+            p.decode("utf-16-be", "replace") for p in _split_utf16(data)
         ]
     else:
         vals = [p.decode("utf-8", "replace") for p in data.split(b"\x00")]
@@ -721,6 +734,19 @@ def mp3_tags(blob: bytes) -> dict:
                 fsize = int.from_bytes(data[pos + 4 : pos + 8], "big")
             body = data[pos + head_len : pos + head_len + fsize]
             key = frames.get(fid)
+            # v2.3/2.4 per-frame format flags (2nd flag byte): frames
+            # with compression / encryption / data-length-indicator
+            # hold deflated or opaque payloads — decoding them as text
+            # emits mojibake, so skip; v2.4 unsynchronised frames are
+            # reversed (FF 00 -> FF) and decoded normally
+            if ver >= 3 and len(data) >= pos + 10:
+                fmt = data[pos + 9]
+                if ver == 3 and fmt & 0xC0:
+                    key = None
+                elif ver >= 4 and fmt & 0x0D:
+                    key = None
+                elif ver >= 4 and fmt & 0x02:
+                    body = body.replace(b"\xff\x00", b"\xff")
             if key and tags[key] is None and body:
                 text = _id3_text(body)
                 if key == "genre":

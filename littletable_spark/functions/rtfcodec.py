@@ -100,6 +100,10 @@ def extract_rtf_text(blob: bytes) -> str:
             if not stack:
                 raise ValueError("unbalanced RTF group")
             skip, uc = stack.pop()
+            # a \uN fallback's scope ends with its group (spec §"\uc"):
+            # without this, \uN as a group's last token swallows the
+            # first character(s) of the PARENT group's following text
+            uc_pending = 0
             just_opened = False
             continue
         opened = just_opened

@@ -793,8 +793,14 @@ def webp_frames(blob: bytes):
                     alph_payload, frame.shape[1], frame.shape[0]
                 )
             if canvas is None:
-                canvas = frame.copy()
+                # no VP8X: canvas starts as the ANIM background color
+                # (container spec) and frame 1 composites like any
+                # other — a partially-transparent first frame must show
+                # background, not its own RGB, through its alpha
                 fy = fx = 0
+                canvas = (
+                    np.broadcast_to(bg, frame.shape).astype(np.uint8).copy()
+                )
             fh = min(frame.shape[0], canvas.shape[0] - fy)
             fw = min(frame.shape[1], canvas.shape[1] - fx)
             if no_blend or alpha is None:

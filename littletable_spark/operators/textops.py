@@ -80,24 +80,90 @@ STOPWORD_SAMPLE = LANG_MARKERS["en"]
 # Spark and DuckDB (verified side-by-side in tests).
 BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
+# Han + Hiragana/Katakana (SCRIPT_RANGES han/kana): scripts written
+# WITHOUT word spaces, so whitespace tokenization lumps a whole CJK
+# paragraph into ~1 token and every token-budgeted stage (stats,
+# chunking, packing, Gopher bands) mis-measures by 100x. Hangul is
+# deliberately excluded — Korean IS whitespace-segmented. The proxy:
+# each CJK char counts as one token (space-pad it, then the normal
+# whitespace split applies), the standard char-level convention for
+# unsegmented scripts; the BPE proxy counts ceil(chars/2) (BPE merges
+# ~2 CJK chars per piece). Literal BMP ranges — identical char-class
+# semantics in Spark (java.util.regex) and DuckDB (RE2), so oracles
+# replay the exact expressions.
+CJK_CLASS = "一-鿿぀-ヿ"
+
+
+def _cjk_pad(col: Column) -> Column:
+    """Space-pad each CJK char so the whitespace tokenizer treats it
+    as its own token (identity on text without CJK)."""
+    return F.regexp_replace(col, f"([{CJK_CLASS}])", " $1 ")
+
+
+def _aware_tokens(col) -> Column:
+    """CJK-aware whitespace tokens: per-char for Han/kana runs,
+    whitespace words elsewhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _tokens(_cjk_pad(c))
+
+
+def _cjk_count(col: Column) -> Column:
+    """Number of CJK (Han/kana) chars — length-difference, no UDF."""
+    return F.length(col) - F.length(
+        F.regexp_replace(col, f"[{CJK_CLASS}]", "")
+    )
+
+
+def _cjk_dominant(col: Column) -> Column:
+    """True when >=50% of the non-whitespace chars are Han/kana — the
+    gate for exempting word-shaped Gopher rules (mean token length,
+    English stopword ratio) that are meaningless at char granularity."""
+    return (_cjk_count(col) * 2) >= F.length(
+        F.regexp_replace(col, r"\s", "")
+    )
+
 
 def token_stats(table: Table, text_col: str, id_col: str) -> Table:
-    """Whitespace token count + distinct-token count + type/token ratio,
-    plus a BPE-ish subword proxy count (``BPE_TOKEN_RE`` matches — the
-    pre-merge piece count, a standard training-data size estimate)."""
+    """CJK-aware token count + distinct-token count + type/token ratio,
+    plus a BPE-ish subword proxy count and the CJK char count.
+
+    Tokens are whitespace words with each Han/kana char its own token
+    (``_aware_tokens`` — identity on space-segmented text). The BPE
+    proxy is ``BPE_TOKEN_RE`` matches over the text with CJK runs
+    collapsed, plus ceil(cjk_chars / 2) — BPE merges ~2 CJK chars per
+    piece, where the raw regex would lump a whole CJK run into one
+    ``[^\\sA-Za-z0-9]+`` match."""
     toked = table.df.select(
         F.col(id_col),
         F.col(text_col).alias("__txt__"),
-        _tokens(text_col).alias("__tk__"),  # split once, not per signal
+        _aware_tokens(text_col).alias("__tk__"),  # split once per row
     )
     toks = F.col("__tk__")
+    cjk = _cjk_count(F.col("__txt__"))
     out = toked.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.size(
-            F.regexp_extract_all(F.col("__txt__"), F.lit(BPE_TOKEN_RE), F.lit(0))
+        (
+            F.size(
+                F.regexp_extract_all(
+                    # CJK runs (with adjacent whitespace) collapse to
+                    # one space + trim, so a pure-CJK doc leaves no
+                    # residual whitespace piece
+                    F.trim(
+                        F.regexp_replace(
+                            F.col("__txt__"),
+                            rf"\s*[{CJK_CLASS}]+\s*",
+                            " ",
+                        )
+                    ),
+                    F.lit(BPE_TOKEN_RE),
+                    F.lit(0),
+                )
+            )
+            + F.floor((cjk + F.lit(1)) / F.lit(2)).cast("int")
         ).alias("n_bpe_tokens"),
+        cjk.cast("int").alias("n_cjk_chars"),
     ).withColumn(
         "ttr",
         F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),
@@ -118,7 +184,7 @@ def quality_score(table: Table, text_col: str, id_col: str) -> Table:
     toked = table.df.select(
         F.col(id_col),
         F.col(text_col).alias("__txt__"),
-        _tokens(text_col).alias("__tk__"),
+        _aware_tokens(text_col).alias("__tk__"),
     )
     toks = F.col("__tk__")
     n_chars = F.length(F.col("__txt__"))
@@ -188,6 +254,14 @@ def filter_quality(
     UDF, scan-speed at any scale; downstream callers typically
     ``where(keep=True)`` (pushed to the scan) or group on
     ``explode(failed_rules)`` for a per-rule rejection report.
+
+    CJK: tokens are ``_aware_tokens`` (per-char for Han/kana), and the
+    word-shaped rules — ``mean_token_len`` and the English
+    ``stopword_ratio`` — are EXEMPT for CJK-dominant docs (>=50%
+    Han/kana chars): at char granularity mean token length is ~1 and
+    English stopwords are absent, so without the exemption every
+    Chinese/Japanese doc would be flagged by rules that exist to catch
+    gibberish, not scripts.
     """
     rules = dict(rules) if rules is not None else dict(GOPHER_RULES)
     unknown = set(rules) - set(GOPHER_RULES)
@@ -200,7 +274,8 @@ def filter_quality(
     toked = table.df.select(
         F.col(id_col),
         F.col(text_col).alias("__txt__"),
-        _tokens(text_col).alias("__tk__"),
+        _aware_tokens(text_col).alias("__tk__"),
+        _cjk_dominant(F.col(text_col)).alias("__cjk__"),
     )
     tk = F.col("__tk__")
     n_tokens = F.size(tk)
@@ -228,7 +303,10 @@ def filter_quality(
     sig_df = toked.select(
         F.col(id_col),
         *[signals[n].alias(n) for n in GOPHER_RULES if n in rules],
+        F.col("__cjk__"),
     )
+    # word-shaped rules that are meaningless at CJK char granularity
+    _CJK_EXEMPT = {"mean_token_len", "stopword_ratio"}
     checks = []
     for name in GOPHER_RULES:  # fixed order for the audit array
         if name not in rules:
@@ -236,6 +314,8 @@ def filter_quality(
         lo, hi = rules[name]
         sig = F.col(name)  # the materialized signal, not a recompute
         ok = sig.isNotNull() & (sig >= F.lit(float(lo))) & (sig <= F.lit(float(hi)))
+        if name in _CJK_EXEMPT:
+            ok = ok | F.col("__cjk__")
         checks.append(F.when(~ok, F.lit(name)))
     failed = F.array_compact(F.array(*checks)) if checks else F.array().cast(
         "array<string>"
@@ -244,7 +324,7 @@ def filter_quality(
         "*",
         failed.alias("failed_rules"),
         (F.size(failed) == 0).alias("keep"),
-    )
+    ).drop("__cjk__")
     return Table.from_df(out, name=f"{table.table_name}_filtered")
 
 
@@ -357,7 +437,9 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = _tokens(text_col)
+    # CJK-aware: Han/kana chars are their own tokens, so CJK docs chunk
+    # at char granularity instead of one chunk per paragraph
+    toks = _aware_tokens(text_col)
     df = table.df.select(F.col(id_col), toks.alias("__toks__")).where(
         F.size("__toks__") > 0
     )
@@ -473,7 +555,8 @@ def pack_sequences(
         n_tokens = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     else:
         safe_text = F.coalesce(F.col(text_col), F.lit(""))
-        n_tokens = F.size(_tokens(safe_text))  # int, the gated schema
+        # CJK-aware count so pack budgets hold for unsegmented scripts
+        n_tokens = F.size(_aware_tokens(safe_text))  # int, gated schema
     df = table.df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),

@@ -685,3 +685,64 @@ def test_audio_tags_operator(spark):
     out = {r.id: r for r in audio_tags(t, "blob", "id")}
     assert out[0].title == "Song" and out[0].artist == "Band"
     assert out[1].title is None and out[1].genre is None
+
+
+def test_id3_utf16_terminator_alignment():
+    """Round 14: the 2-byte UTF-16 terminator must be matched at even
+    (code-unit) offsets — bytes.split(b"\\x00\\x00") cuts mid-unit when
+    a unit's zero byte abuts the terminator (LE 'o' = 6F 00 + 00 00)
+    or when a unit contains 00 internally (U+0100 'Ā' = 00 01 LE)."""
+    from littletable_spark.functions.audiocodec import mp3_tags
+
+    # enc=1 (UTF-16 w/ BOM, LE): "Āx" + terminator + second value "y"
+    payload = (
+        bytes([1])
+        + "Āx".encode("utf-16")      # FF FE 00 01 78 00
+        + b"\x00\x00"
+        + "y".encode("utf-16")
+    )
+    frame = b"TIT2" + len(payload).to_bytes(4, "big") + b"\x00\x00" + payload
+    t = mp3_tags(_id3v2(frame) + _mp3_frame() * 2)
+    assert t["title"] == "Āx / y"
+
+    # ASCII LE value whose terminator starts at an ODD byte offset
+    payload2 = bytes([1]) + "Hello".encode("utf-16") + b"\x00\x00"
+    frame2 = (
+        b"TPE1" + len(payload2).to_bytes(4, "big") + b"\x00\x00" + payload2
+    )
+    t2 = mp3_tags(_id3v2(frame2) + _mp3_frame() * 2)
+    assert t2["artist"] == "Hello"
+
+
+def test_id3_frame_format_flags_skipped():
+    """Round 14: v2.3/v2.4 frames with compression / encryption /
+    data-length-indicator format flags hold non-text payloads — they
+    must be skipped, not decoded as mojibake; a v2.4 unsynchronised
+    frame is reversed (FF 00 -> FF) and decoded."""
+    import zlib
+
+    from littletable_spark.functions.audiocodec import mp3_tags
+
+    # v2.3 compressed frame (flag 0x80): deflated junk, must skip
+    comp = zlib.compress(bytes([0]) + b"Real Title")
+    frame = b"TIT2" + len(comp).to_bytes(4, "big") + b"\x00\x80" + comp
+    t = mp3_tags(_id3v2(frame) + _mp3_frame() * 2)
+    assert t["title"] is None
+
+    # v2.4 encrypted frame (flag 0x04): must skip
+    enc_body = bytes([0]) + b"\x99\x88\x77"
+    n = len(enc_body)
+    size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+    frame24 = b"TIT2" + size + b"\x00\x04" + enc_body
+    assert mp3_tags(_id3v2(frame24, ver=4) + _mp3_frame() * 2)["title"] is None
+
+    # v2.4 unsynchronised frame (flag 0x02): FF 00 de-stuffed; the
+    # latin-1 payload 'Caf\xff...' survives
+    body = bytes([0]) + b"Caf\xff\x00e"  # de-unsync -> b"Caf\xffe"
+    n = len(body)
+    size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+    frame_u = b"TIT2" + size + b"\x00\x02" + body
+    t = mp3_tags(_id3v2(frame_u, ver=4) + _mp3_frame() * 2)
+    assert t["title"] == "Caf\xffe"

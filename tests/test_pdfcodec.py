@@ -793,9 +793,15 @@ def _make_encrypted_pdf_r6(
     """Write a one-page AES-256 PDF (ISO 32000-2 §7.6.4, V5 R5/R6):
     /U per Algorithm 8 (hash + validation/key salts), /UE wraps the
     256-bit file key, /O//OE per Algorithm 9. Algorithm 2.B is
-    re-implemented HERE from the spec text (only the raw CBC cipher
-    primitive is shared with the prod module) so writer and reader
-    can't share a misreading of the hash chain."""
+    re-implemented HERE in the control-flow shape used by the PUBLIC
+    open-source readers (pdf.js calculateHash / qpdf hash_V5: a
+    pre-condition ``while rounds < 64 or E[-1] > rounds - 32`` loop
+    with K1 accumulated by 64 appends), structurally unlike the prod
+    post-condition loop, so writer and reader can't share a
+    misreading of the K1 repeat count or the 64-round stop condition
+    — the two traps a line-identical copy would round-trip through.
+    Only the raw CBC cipher primitive is shared with the prod
+    module."""
     import hashlib
     import zlib
 
@@ -805,17 +811,26 @@ def _make_encrypted_pdf_r6(
     )
 
     def hash_r6(pwd, salt, udata=b""):
+        # ISO 32000-2 Algorithm 2.B in the pdf.js/qpdf loop shape
         k = hashlib.sha256(pwd + salt + udata).digest()
-        i = 0
-        while True:
-            k1 = (pwd + k + udata) * 64
-            e = _cbc_encrypt_nopad(k[:16], k[16:32], k1)
-            k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
-                sum(e[:16]) % 3
-            ](e).digest()
-            i += 1
-            if i >= 64 and e[-1] <= i - 32:
-                return k[:32]
+        rounds = 0
+        e = b"\xff"  # sentinel: first 64 rounds run unconditionally
+        while rounds < 64 or e[-1] > rounds - 32:
+            k1_parts = []
+            for _ in range(64):
+                k1_parts.append(pwd)
+                k1_parts.append(k)
+                k1_parts.append(udata)
+            e = _cbc_encrypt_nopad(k[:16], k[16:32], b"".join(k1_parts))
+            digest_pick = (sum(e[0:16])) % 3
+            if digest_pick == 0:
+                k = hashlib.sha256(e).digest()
+            elif digest_pick == 1:
+                k = hashlib.sha384(e).digest()
+            else:
+                k = hashlib.sha512(e).digest()
+            rounds += 1
+        return k[:32]
 
     if r == 5:  # deprecated Adobe extension: single SHA-256, no chain
         def hsh(pwd, salt, udata=b""):

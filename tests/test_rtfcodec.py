@@ -94,3 +94,16 @@ def test_extract_text_routes_rtf(spark):
     assert out[0].doc_format == "rtf"
     assert out[0].text == "RTF body\nsecond line"
     assert out[1].doc_format == "text"
+
+
+def test_u_fallback_scope_ends_with_group():
+    """Round 14: a \\uN as the LAST token of a group must not swallow
+    the first chars of the parent group's following text — per spec
+    the fallback scope ends at the group boundary."""
+    from littletable_spark.functions.rtfcodec import extract_rtf_text
+
+    assert extract_rtf_text(rb"{\rtf1{\uc1\u1055}text}") == "\u041ftext"
+    # two pending fallback chars when the group closes
+    assert extract_rtf_text(rb"{\rtf1{\uc2\u1055}ab}") == "\u041fab"
+    # inside the SAME group the fallback is still consumed
+    assert extract_rtf_text(rb"{\rtf1{\uc1\u1055 Xtail}}") == "\u041ftail"

@@ -311,3 +311,46 @@ def test_vp8l_real_encoder_differential_deep_codes():
         ref = _decode_rgba_ref(webp)
         got = decode_webp_rgba(webp).astype(np.uint8)
         assert (got == ref).all()
+
+
+@needs_libwebp
+def test_anmf_first_frame_blends_over_background_without_vp8x():
+    """Round 14: with no VP8X chunk the canvas must initialize to the
+    ANIM background color and frame 1 composites like any other frame
+    (container spec) — previously the first frame's RGB was copied
+    verbatim, showing frame pixels where background should show
+    through its alpha."""
+    from littletable_spark.functions.vp8codec import decode_vp8
+
+    h, w = 16, 16
+    rgb = np.full((h, w, 3), 200, np.uint8)
+    opaque = np.dstack([rgb, np.full((h, w), 255, np.uint8)])
+    vp8 = _vp8_payload(_encode_rgba(opaque, 95.0))
+    frame_rgb = decode_vp8(vp8).astype(np.uint8).astype(np.uint32)
+    alpha = np.full((h, w), 128, np.uint8)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    # ANIM (bg = solid green, BGRA order) + one ANMF, NO VP8X
+    anim = chunk(b"ANIM", bytes([0, 255, 0, 255]) + b"\x00\x00")
+    hdr = (
+        (0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        + (10).to_bytes(3, "little") + bytes([0])  # blend over canvas
+    )
+    anmf = chunk(
+        b"ANMF",
+        hdr + chunk(b"ALPH", bytes([0]) + alpha.tobytes())
+        + chunk(b"VP8 ", vp8),
+    )
+    body = b"WEBP" + anim + anmf
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    frames = list(webp_frames(blob))
+    assert len(frames) == 1
+    got = frames[0][1].astype(np.uint32)
+    bg = np.broadcast_to(np.array([0, 255, 0], np.uint32), (h, w, 3))
+    want = (frame_rgb * 128 + bg * 127 + 127) // 255
+    assert (got == want).all()
