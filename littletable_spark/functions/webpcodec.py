@@ -30,9 +30,12 @@ VP8L-compressed forms, all four inverse filters — container spec
 libwebp's WebPDecodeRGBA): ``decode_webp_rgba`` returns straight
 RGBA for VP8X+ALPH lossy stills and VP8L alpha alike, and
 ``webp_frames`` honors the ANMF blend flag with real alpha
-compositing. Level pre-processing (encoder quantize_levels smoothing,
-alpha_quality<100 only) stays the documented boundary. No reference
-analog; extends the multimodal mandate like imagecodec/audiocodec.
+compositing. The level pre-processing flag (P=1, encoder-side level
+quantization for alpha_quality<100) is informative per the spec and
+accepted — the default libwebp decode path returns the quantized
+plane verbatim, and so do we (round 14; differentially pinned). No
+reference analog; extends the multimodal mandate like
+imagecodec/audiocodec.
 """
 
 from __future__ import annotations
@@ -653,19 +656,24 @@ def _decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
     Header byte (container spec): bits 0-1 compression (0 = raw,
     1 = VP8L), bits 2-3 filtering, bits 4-5 pre-processing. The VP8L
     form is a HEADERLESS level-0 image stream of implicit dimensions
-    w x h whose GREEN channel carries the alpha values. Pre-processing
-    method 1 (encoder-side quantize_levels smoothing, emitted only for
-    alpha_quality < 100) is out of scope and raises."""
+    w x h whose GREEN channel carries the alpha values.
+
+    Pre-processing (P=1, emitted when the encoder quantized alpha
+    levels for alpha_quality < 100) is INFORMATIVE per the container
+    spec: "Decoders are not required to use this information in any
+    specified way." libwebp's default decode path (WebPDecodeRGBA,
+    alpha_dithering_strength = 0) returns the quantized plane verbatim
+    and only its optional dithering mode consumes the flag — so for
+    byte-exactness the flag is accepted and the plane decodes
+    normally (pinned by the libwebp differential on hand-assembled
+    P=1 containers, test_webp_alpha.py)."""
     if not payload:
         raise ValueError("empty ALPH chunk")
     hdr = payload[0]
     comp = hdr & 3
     filt = (hdr >> 2) & 3
-    pre = (hdr >> 4) & 3
     if comp > 1:
         raise ValueError(f"bad ALPH compression method {comp}")
-    if pre == 1:
-        raise ValueError("ALPH level pre-processing not supported")
     if comp == 0:
         if len(payload) < 1 + w * h:
             raise ValueError("truncated raw ALPH chunk")

@@ -175,11 +175,12 @@ def _forward_filter(plane: np.ndarray, method: int) -> np.ndarray:
 
 
 def _build_vp8x_alph(vp8_payload: bytes, alpha: np.ndarray,
-                     filt: int) -> bytes:
-    """Hand-build a VP8X still: ALPH (raw method, given filter) + VP8."""
+                     filt: int, pre: int = 0) -> bytes:
+    """Hand-build a VP8X still: ALPH (raw method, given filter,
+    optional pre-processing bits) + VP8."""
     h, w = alpha.shape
     filtered = _forward_filter(alpha, filt)
-    alph = bytes([filt << 2]) + filtered.tobytes()  # C=0 raw
+    alph = bytes([(pre << 4) | (filt << 2)]) + filtered.tobytes()  # C=0 raw
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -228,8 +229,6 @@ def test_raw_alpha_all_filters_differential(filt):
 
 
 def test_alpha_rejections():
-    with pytest.raises(ValueError, match="pre-processing"):
-        _decode_alpha(bytes([0x10]) + bytes(4), 2, 2)
     with pytest.raises(ValueError, match="compression"):
         _decode_alpha(bytes([0x02]) + bytes(4), 2, 2)
     with pytest.raises(ValueError, match="truncated"):
@@ -354,3 +353,27 @@ def test_anmf_first_frame_blends_over_background_without_vp8x():
     bg = np.broadcast_to(np.array([0, 255, 0], np.uint32), (h, w, 3))
     want = (frame_rgb * 128 + bg * 127 + 127) // 255
     assert (got == want).all()
+
+
+@needs_libwebp
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_preprocessed_levels_alpha_differential(filt):
+    """Round 14: the ALPH pre-processing flag (P=1, set by encoders
+    when alpha_quality < 100 quantized the levels) is INFORMATIVE per
+    the container spec — libwebp's default path (alpha_dithering 0)
+    returns the quantized plane verbatim. Hand-built P=1 containers
+    with level-quantized planes must decode byte-identically in both
+    decoders, across every row filter."""
+    rng = np.random.RandomState(40 + filt)
+    h, w = 19, 23
+    rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    # level-quantized plane, like the encoder's quantize_levels output
+    alpha = (rng.randint(0, 8, (h, w)) * 36).astype(np.uint8)
+    opaque = np.dstack([rgb, np.full((h, w), 255, np.uint8)])
+    vp8 = _vp8_payload(_encode_rgba(opaque, 80.0))
+    webp = _build_vp8x_alph(vp8, alpha, filt, pre=1)
+    ref = _decode_rgba_ref(webp)
+    got = decode_webp_rgba(webp).astype(np.uint8)
+    assert got.shape == ref.shape
+    assert (got[:, :, 3] == ref[:, :, 3]).all()
+    assert (got[:, :, 3] == alpha).all()
