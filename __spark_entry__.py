@@ -1548,18 +1548,24 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document text extraction (round 13, functions/officecodec.py +
-    rtfcodec.py): REAL containers are synthesized per doc in an Arrow
-    pass — doc_id%7==0 a DOCX with a w:tab run, %7==1 an ODT with a
-    run-length text:s, %7==2 an XLSX (shared string + numeric cell +
-    inline-string row), %7==3 a PPTX (two slides, a:tab run), %7==4 an
-    RTF (destination group + \\par/\\tab + a hex escape), %7==5 an
-    EPUB (container.xml -> OPF spine -> two XHTML chapters), %7==6 a
-    non-document zip that must NULL under on_error='null' — then the
+    """Document text extraction (round 13, reshaped round 14): REAL
+    containers are synthesized per doc in an Arrow pass — doc_id%10==0
+    a DOCX with a w:tab run + a docProps/core.xml dc:title, %10==1 an
+    ODT with a run-length text:s + a meta.xml dc:title, %10==2 an
+    XLSX (shared string + numeric cell + inline-string row), %10==3 a
+    PPTX (two slides, a:tab run), %10==4 an RTF (destination group +
+    \\par/\\tab + a hex escape), %10==5 an EPUB (container.xml -> OPF
+    spine with a dc:title -> two XHTML chapters), %10==6 a
+    non-document zip that must NULL under on_error='null', %10==7 a
+    LATIN-1 plain-text blob (round 14: charset decode ladder —
+    detected cp1252, encoding column), %10==8 a UTF-16-LE-BOM text
+    blob, %10==9 a legacy .ppt (round 14: MS-CFB container written
+    inline, two slides via TextBytesAtom/TextCharsAtom) — then the
     real extractors run end-to-end. The oracle predicts the extracted
-    text arithmetically (the fixture content is a pure function of
-    (doc_id, lang)), so extraction, whitespace semantics, format
-    routing, AND the on_error audit trail all hash-gate."""
+    text, title, AND encoding arithmetically (the fixture content is
+    a pure function of (doc_id, lang)), so extraction, whitespace
+    semantics, format routing, titles, the charset ladder, and the
+    on_error audit trail all hash-gate."""
     from littletable_spark.operators.multimodal import extract_text
 
     d = _t(spark, sf_dir, "documents")
@@ -1567,7 +1573,71 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("binary")
     def make_blob(doc_id: pd.Series, lang: pd.Series) -> pd.Series:
         import io
+        import struct as st
         import zipfile
+
+        def cfb_single_stream(name: str, data: bytes) -> bytes:
+            """Minimal MS-CFB with ONE big stream (padded past the
+            mini cutoff so only the main FAT is needed)."""
+            FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+            data = data.ljust(4096, b"\x00")
+            nsec = -(-len(data) // 512)
+            sectors = [
+                data[k * 512 : (k + 1) * 512].ljust(512, b"\x00")
+                for k in range(nsec)
+            ]
+            fat = list(range(1, nsec)) + [END]
+
+            def dirent(nm, etype, start, size, child=FREE):
+                raw = nm.encode("utf-16-le") + b"\x00\x00"
+                e = bytearray(128)
+                e[: len(raw)] = raw
+                st.pack_into("<H", e, 64, len(raw))
+                e[66] = etype
+                e[67] = 1
+                st.pack_into("<I", e, 68, FREE)
+                st.pack_into("<I", e, 72, FREE)
+                st.pack_into("<I", e, 76, child)
+                st.pack_into("<I", e, 116, start)
+                st.pack_into("<Q", e, 120, size)
+                return bytes(e)
+
+            dir_start = len(sectors)
+            ents = dirent("Root Entry", 5, END, 0, child=1) + dirent(
+                name, 2, 0, len(data)
+            )
+            sectors.append(ents.ljust(512, b"\x00"))
+            fat.append(END)
+            fat_first = len(sectors)
+            fat.append(FATSECT)
+            sectors.append(
+                b"".join(st.pack("<I", v) for v in fat).ljust(512, b"\xff")
+            )
+            hdr = bytearray(512)
+            hdr[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+            st.pack_into("<H", hdr, 24, 0x3E)
+            st.pack_into("<H", hdr, 26, 3)
+            st.pack_into("<H", hdr, 28, 0xFFFE)
+            st.pack_into("<H", hdr, 30, 9)
+            st.pack_into("<H", hdr, 32, 6)
+            st.pack_into("<I", hdr, 44, 1)
+            st.pack_into("<I", hdr, 48, dir_start)
+            st.pack_into("<I", hdr, 56, 4096)
+            st.pack_into("<I", hdr, 60, END)
+            st.pack_into("<I", hdr, 64, 0)
+            st.pack_into("<I", hdr, 68, END)
+            st.pack_into("<I", hdr, 72, 0)
+            st.pack_into("<I", hdr, 76, fat_first)
+            for j in range(1, 109):
+                st.pack_into("<I", hdr, 76 + 4 * j, FREE)
+            return bytes(hdr) + b"".join(sectors)
+
+        def ppt_atom(rtype: int, payload: bytes) -> bytes:
+            return st.pack("<HHI", 0, rtype, len(payload)) + payload
+
+        def ppt_container(rtype: int, *children: bytes) -> bytes:
+            body = b"".join(children)
+            return st.pack("<HHI", 0xF, rtype, len(body)) + body
 
         w_ns = (
             'xmlns:w="http://schemas.openxmlformats.org/'
@@ -1590,9 +1660,18 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt_ns = 'xmlns="urn:oasis:names:tc:opendocument:xmlns:container"'
         opf_ns = 'xmlns="http://www.idpf.org/2007/opf"'
         out = []
+        cp_ns = (
+            'xmlns:cp="http://schemas.openxmlformats.org/package/2006/'
+            'metadata/core-properties" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/"'
+        )
+        meta_ns = (
+            'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/"'
+        )
         for i, lg in zip(doc_id, lang):
             i = int(i)
-            k = i % 7
+            k = i % 10
             if k == 4:  # RTF: no zip container
                 out.append(
                     (
@@ -1600,6 +1679,27 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "%s\\tab caf\\'e9}" % (i, lg)
                     ).encode("ascii")
                 )
+                continue
+            if k == 7:  # latin-1 plain text -> cp1252 via the ladder
+                out.append(f"Doc {i} café {lg}".encode("latin-1"))
+                continue
+            if k == 8:  # UTF-16-LE with BOM
+                out.append(
+                    b"\xff\xfe" + f"Doc {i} Ж{lg}".encode("utf-16-le")
+                )
+                continue
+            if k == 9:  # legacy .ppt inside a hand-written MS-CFB
+                stream = ppt_container(
+                    0x03E8,  # Document
+                    ppt_container(
+                        0x03EE, ppt_atom(0x0FA8, f"Doc {i}".encode("cp1252"))
+                    ),
+                    ppt_container(
+                        0x03EE,
+                        ppt_atom(0x0FA0, f"{lg} deck".encode("utf-16-le")),
+                    ),
+                )
+                out.append(cfb_single_stream("PowerPoint Document", stream))
                 continue
             buf = io.BytesIO()
             with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -1617,7 +1717,10 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     zf.writestr(
                         "OEBPS/content.opf",
-                        f'<package {opf_ns}><manifest>'
+                        f'<package {opf_ns} '
+                        'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+                        f"<metadata><dc:title>E{i}</dc:title></metadata>"
+                        "<manifest>"
                         '<item id="c1" href="c1.xhtml" '
                         'media-type="application/xhtml+xml"/>'
                         '<item id="c2" href="c2.xhtml" '
@@ -1643,6 +1746,11 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"<w:p><w:r><w:t>{lg}</w:t><w:tab/><w:t>x</w:t>"
                         "</w:r></w:p></w:body></w:document>",
                     )
+                    zf.writestr(
+                        "docProps/core.xml",
+                        f"<cp:coreProperties {cp_ns}>"
+                        f"<dc:title>T{i}</dc:title></cp:coreProperties>",
+                    )
                 elif k == 1:
                     zf.writestr(
                         zipfile.ZipInfo("mimetype"),
@@ -1657,6 +1765,12 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f'<text:p>{lg}<text:s text:c="2"/>x</text:p>'
                         "</office:text></office:body>"
                         "</office:document-content>",
+                    )
+                    zf.writestr(
+                        "meta.xml",
+                        f"<office:document-meta {meta_ns}><office:meta>"
+                        f"<dc:title>O{i}</dc:title>"
+                        "</office:meta></office:document-meta>",
                     )
                 elif k == 2:
                     zf.writestr("xl/workbook.xml", f"<workbook {ss_ns}/>")
@@ -1696,7 +1810,9 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d.compute_field("blob", make_blob(F.col("doc_id"), F.col("lang")))
     out = extract_text(d, "blob", "doc_id", on_error="null")
-    return out.df.select("doc_id", "doc_format", "title", "text", "n_chars")
+    return out.df.select(
+        "doc_id", "doc_format", "title", "text", "n_chars", "encoding"
+    )
 
 
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3172,6 +3288,29 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_robots, url_schedule, url_links change SHAPE (bracketed-IPv6
     decoy URLs; oracle generators compose the shared host_sql twin).
 
+    Round-14 rotation (stale-veteran hygiene per the r13 verdict —
+    the longest-parked set re-enters): IN — text_tokens (changed
+    SHAPE: CJK-aware counts + n_cjk_chars column + synthesized
+    Han/kana suffixes; gates first), pivot_sum, update_where,
+    anti_join, cube, rollup, grouping_sets, window_topk_per_group,
+    window_moving_avg (parked since r11-r12, the named r13-verdict
+    set). OUT, coverage preserved — text_repetition (r13 re-entrant,
+    freshly green; the token-signal family stays via
+    text_filter_quality + text_chunks), sample_split +
+    sample_stratified (r13 re-entrants; sampling keeps
+    sample_cap_tokens in-gate), semi_join + outer_join_full +
+    join_dsl (r13 re-entrants; the join family keeps join_3way_agg +
+    asof_join and anti_join RE-ENTERS the same semi/anti plan
+    family), explode_embedding (r13 re-entrant; the explode shape
+    runs in-gate inside dedup_embedding_lsh_incr/sim_* every round),
+    events_sliding (r13 re-entrant; the events family keeps the two
+    stream_ingest rows and the keyed-window family stays via
+    url_schedule), slice_positional (r13 re-entrant; slicing returns
+    to its pytest+mirror state). Also this round: office_extract and
+    text_filter_quality change SHAPE (round-14 fixtures: titles,
+    charset-ladder text blobs, .ppt containers; CJK-dominant
+    exemption docs).
+
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
     return {
@@ -3215,8 +3354,18 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_pagerank_warm": q_url_pagerank_warm,
         "url_canonical": q_url_canonical,
         "office_extract": q_office_extract,
-        "slice_positional": q_slice_positional,
+        "text_tokens": q_text_tokens,
+        "pivot_sum": q_pivot_sum,
+        "update_where": q_update_where,
+        "anti_join": q_anti_join,
+        "cube": q_cube,
+        "rollup": q_rollup,
+        "grouping_sets": q_grouping_sets,
+        "window_topk_per_group": q_window_topk_per_group,
+        "window_moving_avg": q_window_moving_avg,
         "search_raw": q_search_raw,
+        # ---- parked beyond the driver's 50-query window ----
+        "slice_positional": q_slice_positional,
         "outer_join_full": q_outer_join_full,
         "events_sliding": q_events_sliding,
         "sample_split": q_sample_split,
@@ -3225,31 +3374,22 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_embedding": q_explode_embedding,
         "semi_join": q_semi_join,
         "sample_stratified": q_sample_stratified,
-        # ---- parked beyond the driver's 50-query window ----
         "orderby_head": q_orderby_head,
         "rank": q_rank,
-        "rollup": q_rollup,
         "delete": q_delete,
-        "cube": q_cube,
-        "pivot_sum": q_pivot_sum,
         "head_tail": q_head_tail,
         "range_join": q_range_join,
         "events_rollup": q_events_rollup,
         "sample_weighted": q_sample_weighted,
         "search_text": q_search_text,
         "sim_cluster": q_sim_cluster,
-        "grouping_sets": q_grouping_sets,
         "where_comparators": q_where_comparators,
         "compute_field": q_compute_field,
         "unique": q_unique,
-        "update_where": q_update_where,
         "skew_report": q_skew_report,
         "multimodal_meta": q_multimodal_meta,
         "convert_numeric": q_convert_numeric,
         "sample_cap_per_group": q_sample_cap_per_group,
-        "anti_join": q_anti_join,
-        "window_moving_avg": q_window_moving_avg,
-        "text_tokens": q_text_tokens,
         "text_bpe_pack": q_text_bpe_pack,
         "text_logprob": q_text_logprob,
         "text_pack": q_text_pack,
@@ -3265,7 +3405,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "text_quality": q_text_quality,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "window_topk_per_group": q_window_topk_per_group,
         "text_tfidf": q_text_tfidf,
         "text_bm25": q_text_bm25,
         "where_predicates": q_where_predicates,
@@ -4678,45 +4817,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "multimodal_decode": _decode_oracle_sql(width=4, height=4),
-        # office extraction: the DOCX/ODT/XLSX/PPTX fixtures are pure
-        # functions of (doc_id, lang), so the oracle predicts the
-        # extracted text (chr(10)=paragraph/row join, chr(9)=tab,
-        # chr(12)=slide separator, two spaces=text:s c=2) and the
-        # non-document zip rows' on_error NULLs arithmetically
+        # office extraction: the fixtures are pure functions of
+        # (doc_id, lang), so the oracle predicts the extracted text
+        # (chr(10)=paragraph/row join, chr(9)=tab, chr(12)=slide/
+        # chapter separator, two spaces=text:s c=2), the titles
+        # (docProps/core.xml, meta.xml, OPF dc:title), the charset-
+        # ladder encodings (latin-1 'café' detects as cp1252, the BOM
+        # row as utf-16-le), and the non-document-zip on_error NULLs
+        # arithmetically
         "office_extract": """
             WITH t AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 7 = 0 THEN
+                     CASE WHEN doc_id % 10 = 0 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang
                        || chr(9) || 'x'
-                     WHEN doc_id % 7 = 1 THEN
+                     WHEN doc_id % 10 = 1 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang || '  x'
-                     WHEN doc_id % 7 = 2 THEN
+                     WHEN doc_id % 10 = 2 THEN
                        'Doc ' || doc_id::VARCHAR || chr(9)
                        || (doc_id % 9)::VARCHAR || chr(10) || lang
-                     WHEN doc_id % 7 = 3 THEN
+                     WHEN doc_id % 10 = 3 THEN
                        'Doc ' || doc_id::VARCHAR || chr(12) || lang
                        || chr(9) || 'x'
-                     WHEN doc_id % 7 = 4 THEN
+                     WHEN doc_id % 10 = 4 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang
                        || chr(9) || 'caf' || chr(233)
-                     WHEN doc_id % 7 = 5 THEN
+                     WHEN doc_id % 10 = 5 THEN
                        'Doc ' || doc_id::VARCHAR || chr(12) || lang
                        || ' chapter'
+                     WHEN doc_id % 10 = 7 THEN
+                       'Doc ' || doc_id::VARCHAR || ' caf' || chr(233)
+                       || ' ' || lang
+                     WHEN doc_id % 10 = 8 THEN
+                       'Doc ' || doc_id::VARCHAR || ' ' || chr(1046) || lang
+                     WHEN doc_id % 10 = 9 THEN
+                       'Doc ' || doc_id::VARCHAR || chr(12) || lang
+                       || ' deck'
                      ELSE NULL END AS text
               FROM documents
             )
-            SELECT doc_id,
-                   CASE WHEN doc_id % 7 = 0 THEN 'docx'
-                        WHEN doc_id % 7 = 1 THEN 'odt'
-                        WHEN doc_id % 7 = 2 THEN 'xlsx'
-                        WHEN doc_id % 7 = 3 THEN 'pptx'
-                        WHEN doc_id % 7 = 4 THEN 'rtf'
-                        WHEN doc_id % 7 = 5 THEN 'epub'
+            SELECT t.doc_id,
+                   CASE WHEN t.doc_id % 10 = 0 THEN 'docx'
+                        WHEN t.doc_id % 10 = 1 THEN 'odt'
+                        WHEN t.doc_id % 10 = 2 THEN 'xlsx'
+                        WHEN t.doc_id % 10 = 3 THEN 'pptx'
+                        WHEN t.doc_id % 10 = 4 THEN 'rtf'
+                        WHEN t.doc_id % 10 = 5 THEN 'epub'
+                        WHEN t.doc_id % 10 = 7 THEN 'text'
+                        WHEN t.doc_id % 10 = 8 THEN 'text'
+                        WHEN t.doc_id % 10 = 9 THEN 'ppt'
                         ELSE NULL END AS doc_format,
-                   CASE WHEN doc_id % 7 = 6 THEN NULL ELSE '' END AS title,
+                   CASE WHEN t.doc_id % 10 = 0 THEN 'T' || t.doc_id::VARCHAR
+                        WHEN t.doc_id % 10 = 1 THEN 'O' || t.doc_id::VARCHAR
+                        WHEN t.doc_id % 10 = 5 THEN 'E' || t.doc_id::VARCHAR
+                        WHEN t.doc_id % 10 = 6 THEN NULL
+                        ELSE '' END AS title,
                    text,
-                   length(text)::INTEGER AS n_chars
+                   length(text)::INTEGER AS n_chars,
+                   CASE WHEN t.doc_id % 10 = 7 THEN 'cp1252'
+                        WHEN t.doc_id % 10 = 8 THEN 'utf-16-le'
+                        ELSE NULL END AS encoding
             FROM t
         """,
         # the fake image hash is the first 15 md5 hex chars of the blob

@@ -1,6 +1,7 @@
-"""Round-13 document-codec scale probe: the six net-new extract_text
-formats (docx / odt / xlsx / pptx / rtf / epub via officecodec +
-rtfcodec, legacy doc / xls via doccodec) through the REAL Spark blob
+"""Document-codec scale probe (round 13, extended round 14): the
+extract_text formats (docx / odt / xlsx / pptx / rtf / epub via
+officecodec + rtfcodec, legacy doc / xls / ppt via doccodec, plus the
+round-14 charset-ladder text rows) through the REAL Spark blob
 pipeline at 1x / 10x volume.
 
 Claim probed (COVERAGE.md): every extractor is per-blob CPU inside
@@ -37,7 +38,7 @@ def _blob(i: int) -> bytes:
     """One deterministic document blob per index, cycling the formats."""
     from test_doccodec import make_doc, make_xls  # test-side writers
 
-    k = i % 8
+    k = i % 11
     body = f"Document {i} body text with enough words to matter " * 8
     if k == 0:  # docx
         w = ('xmlns:w="http://schemas.openxmlformats.org/'
@@ -124,10 +125,23 @@ def _blob(i: int) -> bytes:
         return buf.getvalue()
     if k == 6:  # legacy .doc
         return make_doc([(body.replace(" ", " ") + "\r", True)])
-    # legacy .xls
-    return make_xls(
-        [[(r, 0, "label", f"cell {i}-{r}") for r in range(20)]], shared=[]
-    )
+    if k == 7:  # legacy .xls
+        return make_xls(
+            [[(r, 0, "label", f"cell {i}-{r}") for r in range(20)]],
+            shared=[],
+        )
+    if k == 8:  # legacy .ppt (round 14)
+        from test_doccodec import write_cfb
+        from test_pptcodec import DOCUMENT, SLIDE, TEXTBYTES, atom, container
+
+        stream = container(
+            DOCUMENT, container(SLIDE, atom(TEXTBYTES, body.encode()))
+        )
+        return write_cfb({"PowerPoint Document": stream})
+    if k == 9:  # latin-1 text (round-14 charset ladder -> cp1252)
+        return (body + " caf\xe9 d\xe9j\xe0").encode("latin-1")
+    # UTF-16-LE with BOM
+    return b"\xff\xfe" + (body + " wide").encode("utf-16-le")
 
 
 def main() -> None:
@@ -159,7 +173,7 @@ def main() -> None:
         print(f"extract_{s}x  {res[f'extract_{s}x']:8.3f}s", flush=True)
     print(f"documents 10x/1x ratio: "
           f"{res['extract_10x'] / res['extract_1x']:.2f} "
-          f"({N_1X} -> {N_1X * 10} blobs, 8 formats cycling)")
+          f"({N_1X} -> {N_1X * 10} blobs, 11 formats cycling)")
 
 
 if __name__ == "__main__":
