@@ -1815,6 +1815,214 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media container metadata (round 14, functions/mp4codec.py +
+    oggcodec.py + the header-only wav/flac walks): REAL containers
+    are synthesized per doc in an Arrow pass — doc_id%7==0 an MP4
+    (mvhd duration, avc1 video trak with 16.16 tkhd dims, mp4a audio
+    trak, iTunes-style ilst title), %7==1 an M4A (64-bit version-1
+    mvhd, audio-only brand routing, ilst artist), %7==2 an Ogg
+    Vorbis (RFC 3533 pages with REAL CRCs; comment and setup packets
+    share a page so the packet-boundary cut is exercised; duration
+    from the final granule; VorbisComment TITLE/DATE), %7==3 an Ogg
+    Opus (RFC 7845 pre-skip subtracted at the fixed 48 kHz granule
+    rate; OpusTags ALBUM), %7==4 a PCM WAV (fmt + data-size
+    duration), %7==5 a native FLAC (STREAMINFO + VORBIS_COMMENT
+    blocks, no frames), %7==6 a text blob that must NULL under
+    on_error='null' — then ``media_info`` runs end-to-end. Every
+    fixture field is a pure function of doc_id, so format routing,
+    duration arithmetic (all durations are exact IEEE quotients of
+    identical rationals on both engines), dims, codec columns, tags,
+    AND the on_error audit trail all hash-gate."""
+    from littletable_spark.operators.multimodal import media_info
+
+    d = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def make_blob(doc_id: pd.Series) -> pd.Series:
+        import struct as st
+
+        def bx(t, *p):
+            body = b"".join(p)
+            return st.pack(">I4s", 8 + len(body), t) + body
+
+        def fb(t, ver, *p):
+            return bx(t, bytes([ver, 0, 0, 0]), *p)
+
+        def hdlr(h):
+            return fb(b"hdlr", 0, b"\x00" * 4 + h + b"\x00" * 13)
+
+        def a_stsd(ch, rate):
+            e = bx(
+                b"mp4a",
+                b"\x00" * 16 + st.pack(">HHHHI", ch, 16, 0, 0, rate << 16),
+            )
+            return fb(b"stsd", 0, st.pack(">I", 1), e)
+
+        def v_trak(w, h):
+            tk = fb(
+                b"tkhd", 0,
+                b"\x00" * 72 + st.pack(">II", w << 16, h << 16),
+            )
+            sd = fb(b"stsd", 0, st.pack(">I", 1), bx(b"avc1", b"\x00" * 78))
+            return bx(
+                b"trak", tk,
+                bx(b"mdia", hdlr(b"vide"), bx(b"minf", bx(b"stbl", sd))),
+            )
+
+        def a_trak(ch, rate):
+            return bx(
+                b"trak",
+                bx(
+                    b"mdia", hdlr(b"soun"),
+                    bx(b"minf", bx(b"stbl", a_stsd(ch, rate))),
+                ),
+            )
+
+        def ilst(atom, text):
+            data = bx(b"data", st.pack(">II", 1, 0) + text.encode())
+            return bx(
+                b"udta",
+                fb(b"meta", 0, hdlr(b"mdir"), bx(b"ilst", bx(atom, data))),
+            )
+
+        def mvhd(ts, dur, ver=0):
+            body = (
+                st.pack(">QQIQ", 0, 0, ts, dur)
+                if ver
+                else st.pack(">IIII", 0, 0, ts, dur)
+            )
+            return fb(b"mvhd", ver, body + b"\x00" * 80)
+
+        def ftyp(brand):
+            return bx(b"ftyp", brand, st.pack(">I", 0), b"isom")
+
+        def crc(data):
+            c = 0
+            for byte in data:
+                c ^= byte << 24
+                for _ in range(8):
+                    c = ((c << 1) ^ 0x04C11DB7) if c & (1 << 31) else c << 1
+                    c &= 0xFFFFFFFF
+            return c
+
+        def page(serial, seq, granule, packets, htype=0):
+            lacing = bytearray()
+            for p in packets:
+                lacing += b"\xff" * (len(p) // 255)
+                lacing.append(len(p) % 255)
+            hdr = st.pack(
+                "<4sBBqIIIB",
+                b"OggS", 0, htype, granule, serial, seq, 0, len(lacing),
+            )
+            pg = bytearray(hdr + bytes(lacing) + b"".join(packets))
+            st.pack_into("<I", pg, 22, crc(bytes(pg)))
+            return bytes(pg)
+
+        def vc(tags, prefix):
+            body = st.pack("<I", 4) + b"sprk" + st.pack("<I", len(tags))
+            for k, v in tags.items():
+                kv = f"{k}={v}".encode()
+                body += st.pack("<I", len(kv)) + kv
+            out = prefix + body
+            if prefix == b"\x03vorbis":
+                out += b"\x01"
+            return out
+
+        def streaminfo(rate, ch, total):
+            bits = (rate << 44) | ((ch - 1) << 41) | (15 << 36) | total
+            return b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            k = i % 7
+            if k == 0:
+                out.append(
+                    ftyp(b"isom")
+                    + bx(
+                        b"moov",
+                        mvhd(1000, (i % 37 + 1) * 500),
+                        v_trak(16 * (i % 20 + 4), 16 * (i % 15 + 3)),
+                        a_trak(2, 44100),
+                        ilst(b"\xa9nam", f"M{i}"),
+                    )
+                )
+            elif k == 1:
+                out.append(
+                    ftyp(b"M4A ")
+                    + bx(
+                        b"moov",
+                        mvhd(44100, (i % 50 + 1) * 44100, ver=1),
+                        a_trak(1 + i % 2, 44100),
+                        ilst(b"\xa9ART", f"A{i}"),
+                    )
+                )
+            elif k == 2:
+                rate = 8000 + (i % 5) * 8000
+                ident = (
+                    b"\x01vorbis"
+                    + st.pack("<IBIiii", 0, 1 + i % 2, rate, -1, 128000, -1)
+                    + b"\xb8\x01"
+                )
+                out.append(
+                    page(7, 0, 0, [ident], htype=2)
+                    + page(
+                        7, 1, 0,
+                        [
+                            vc(
+                                {"TITLE": f"V{i}", "DATE": f"200{i % 10}"},
+                                b"\x03vorbis",
+                            ),
+                            b"\x05vorbis" + b"\x00" * 24,
+                        ],
+                    )
+                    + page(7, 2, (i % 23 + 1) * rate, [b"\x00" * 8], htype=4)
+                )
+            elif k == 3:
+                head = (
+                    b"OpusHead\x01\x02"
+                    + st.pack("<HI", 312, 48000)
+                    + b"\x00\x00\x00"
+                )
+                out.append(
+                    page(9, 0, 0, [head], htype=2)
+                    + page(9, 1, 0, [vc({"ALBUM": f"P{i}"}, b"OpusTags")])
+                    + page(
+                        9, 2, 312 + (i % 11 + 1) * 48000,
+                        [b"\x00" * 8], htype=4,
+                    )
+                )
+            elif k == 4:
+                ch = 1 + i % 2
+                data_len = (i % 9 + 1) * 800 * ch * 2
+                fmt = st.pack("<HHIIHH", 1, ch, 8000, 8000 * ch * 2, ch * 2, 16)
+                body = (
+                    b"WAVEfmt " + st.pack("<I", 16) + fmt
+                    + b"data" + st.pack("<I", data_len) + b"\x00" * data_len
+                )
+                out.append(b"RIFF" + st.pack("<I", len(body)) + body)
+            elif k == 5:
+                tags = vc({"GENRE": f"g{i}"}, b"")
+                out.append(
+                    b"fLaC"
+                    + b"\x00" + (34).to_bytes(3, "big")
+                    + streaminfo(16000, 2, (i % 13 + 1) * 16000)
+                    + b"\x84" + len(tags).to_bytes(3, "big") + tags
+                )
+            else:
+                out.append(f"not media {i}".encode())
+        return pd.Series(out)
+
+    d.compute_field("blob", make_blob(F.col("doc_id")))
+    out = media_info(d, "blob", "doc_id", on_error="null")
+    return out.df.select(
+        "doc_id", "media_format", "duration_s", "width", "height",
+        "codec", "audio_codec", "channels", "sample_rate", "n_tracks",
+        "title", "artist", "album", "year", "genre",
+    )
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """document chunking: fixed 16-token windows with 4-token overlap —
     the pre-training/RAG chunking step as a native posexplode plan."""
@@ -3309,7 +3517,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to its pytest+mirror state). Also this round: office_extract and
     text_filter_quality change SHAPE (round-14 fixtures: titles,
     charset-ladder text blobs, .ppt containers; CJK-dominant
-    exemption docs).
+    exemption docs); media_info is NET-NEW (MP4/Ogg/WAV/FLAC
+    container metadata — debuts in-gate like office_extract did in
+    r13), parking search_raw (r13 re-entrant, freshly green; the
+    search family stays pytest + mirror-covered).
 
     The local mirror (scripts/verify_oracle.py) still runs every query
     every round, rows-only where no oracle exists."""
@@ -3363,8 +3574,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "window_topk_per_group": q_window_topk_per_group,
         "window_moving_avg": q_window_moving_avg,
-        "search_raw": q_search_raw,
+        "media_info": q_media_info,
         # ---- parked beyond the driver's 50-query window ----
+        "search_raw": q_search_raw,
         "slice_positional": q_slice_positional,
         "outer_join_full": q_outer_join_full,
         "events_sliding": q_events_sliding,
@@ -4878,6 +5090,67 @@ def oracle_sql() -> dict[str, str]:
                         WHEN t.doc_id % 10 = 8 THEN 'utf-16-le'
                         ELSE NULL END AS encoding
             FROM t
+        """,
+        # media containers: every fixture field is a pure function of
+        # doc_id (see q_media_info), so format routing, durations
+        # (exact IEEE quotients of identical rationals — mvhd
+        # duration/timescale, Ogg granule/rate, Opus granule minus
+        # pre-skip over 48000, WAV data bytes over byte rate, FLAC
+        # total-samples/rate), dims, codecs, and the VorbisComment /
+        # ilst tags are all predicted arithmetically
+        "media_info": """
+            SELECT doc_id,
+                   CASE doc_id % 7 WHEN 0 THEN 'mp4' WHEN 1 THEN 'm4a'
+                        WHEN 2 THEN 'ogg-vorbis' WHEN 3 THEN 'ogg-opus'
+                        WHEN 4 THEN 'wav' WHEN 5 THEN 'flac'
+                        ELSE NULL END AS media_format,
+                   CASE doc_id % 7
+                        WHEN 0 THEN ((doc_id % 37 + 1) * 500) / 1000.0
+                        WHEN 1 THEN ((doc_id % 50 + 1) * 44100) / 44100.0
+                        WHEN 2 THEN (doc_id % 23 + 1)::DOUBLE
+                        WHEN 3 THEN (doc_id % 11 + 1)::DOUBLE
+                        WHEN 4 THEN ((doc_id % 9 + 1) * 800) / 8000.0
+                        WHEN 5 THEN (doc_id % 13 + 1)::DOUBLE
+                        ELSE NULL END AS duration_s,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN (16 * (doc_id % 20 + 4))::INTEGER
+                        ELSE NULL END AS width,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN (16 * (doc_id % 15 + 3))::INTEGER
+                        ELSE NULL END AS height,
+                   CASE WHEN doc_id % 7 = 0 THEN 'avc1'
+                        ELSE NULL END AS codec,
+                   CASE doc_id % 7 WHEN 0 THEN 'mp4a' WHEN 1 THEN 'mp4a'
+                        WHEN 2 THEN 'vorbis' WHEN 3 THEN 'opus'
+                        WHEN 4 THEN 'pcm' WHEN 5 THEN 'flac'
+                        ELSE NULL END AS audio_codec,
+                   CASE doc_id % 7 WHEN 0 THEN 2 WHEN 3 THEN 2
+                        WHEN 5 THEN 2
+                        WHEN 1 THEN (1 + doc_id % 2)
+                        WHEN 2 THEN (1 + doc_id % 2)
+                        WHEN 4 THEN (1 + doc_id % 2)
+                        ELSE NULL END::INTEGER AS channels,
+                   CASE doc_id % 7 WHEN 0 THEN 44100 WHEN 1 THEN 44100
+                        WHEN 2 THEN 8000 + (doc_id % 5) * 8000
+                        WHEN 3 THEN 48000 WHEN 4 THEN 8000
+                        WHEN 5 THEN 16000
+                        ELSE NULL END::INTEGER AS sample_rate,
+                   CASE doc_id % 7 WHEN 0 THEN 2 WHEN 6 THEN NULL
+                        ELSE 1 END::INTEGER AS n_tracks,
+                   CASE doc_id % 7
+                        WHEN 0 THEN 'M' || doc_id::VARCHAR
+                        WHEN 2 THEN 'V' || doc_id::VARCHAR
+                        ELSE NULL END AS title,
+                   CASE WHEN doc_id % 7 = 1 THEN 'A' || doc_id::VARCHAR
+                        ELSE NULL END AS artist,
+                   CASE WHEN doc_id % 7 = 3 THEN 'P' || doc_id::VARCHAR
+                        ELSE NULL END AS album,
+                   CASE WHEN doc_id % 7 = 2
+                        THEN '200' || (doc_id % 10)::VARCHAR
+                        ELSE NULL END AS year,
+                   CASE WHEN doc_id % 7 = 5 THEN 'g' || doc_id::VARCHAR
+                        ELSE NULL END AS genre
+            FROM documents
         """,
         # the fake image hash is the first 15 md5 hex chars of the blob
         # (60-bit positive BIGINT in both engines); the n^2 oracle join

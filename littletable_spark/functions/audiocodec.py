@@ -33,6 +33,8 @@ __all__ = [
     "mp3_tags",
     "sniff_mp3",
     "decode_audio_blob",
+    "wav_info",
+    "flac_info",
     "wav_features",
     "audio_fingerprint",
 ]
@@ -86,6 +88,71 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         )
     n_frames = len(x) // max(n_channels, 1)
     return x[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def wav_info(blob: bytes) -> dict:
+    """Header-only WAV metadata — ``sample_rate`` / ``channels`` /
+    ``duration_s`` from the fmt chunk and the data chunk SIZE, no
+    sample decode. Unlike ``decode_wav`` this accepts compressed
+    format tags too (metadata is still in the header; duration then
+    uses the fmt byte rate). Raises ValueError on non-WAV data."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_channels, rate, byte_rate, align, bits = fmt
+    if tag in (1, 3) and rate and n_channels and bits:
+        dur = data_size / (rate * n_channels * (bits // 8))
+    else:
+        dur = data_size / byte_rate if byte_rate else None
+    return {
+        "codec": "pcm" if tag in (1, 3) else f"wav-{tag:#06x}",
+        "sample_rate": rate,
+        "channels": n_channels,
+        "duration_s": dur,
+    }
+
+
+def flac_info(blob: bytes) -> dict:
+    """Header-only native-FLAC metadata: STREAMINFO rate / channels /
+    duration plus the VORBIS_COMMENT tags (title/artist/album/year/
+    genre) — the metadata-block walk of ``decode_flac`` without
+    decoding frames. Raises ValueError on non-FLAC data."""
+    from .oggcodec import _vorbis_comments
+
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC blob")
+    out: dict = {"codec": "flac"}
+    pos, last = 4, False
+    while not last:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated FLAC metadata")
+        hdr = blob[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        length = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        body = blob[pos + 4 : pos + 4 + length]
+        if btype == 0 and length >= 18:  # STREAMINFO
+            bits = int.from_bytes(body[10:18], "big")
+            rate = bits >> 44
+            out["sample_rate"] = rate
+            out["channels"] = ((bits >> 41) & 0x7) + 1
+            total = bits & ((1 << 36) - 1)
+            out["duration_s"] = total / rate if rate and total else None
+        elif btype == 4:  # VORBIS_COMMENT
+            out.update(_vorbis_comments(body))
+        pos += 4 + length
+    if "sample_rate" not in out:
+        raise ValueError("FLAC missing STREAMINFO")
+    return out
 
 
 def wav_features(blob: bytes, n_points: int = 64) -> dict:

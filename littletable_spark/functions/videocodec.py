@@ -18,7 +18,50 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["avi_video_frames", "sample_avi_frames", "sample_gif_frames", "sample_webp_frames"]
+__all__ = [
+    "avi_video_frames",
+    "avi_info",
+    "sample_avi_frames",
+    "sample_gif_frames",
+    "sample_webp_frames",
+]
+
+
+def avi_info(blob: bytes) -> dict:
+    """Header-only AVI metadata: dims / frame count / duration from
+    the ``hdrl`` LIST's ``avih`` MainAVIHeader (dwMicroSecPerFrame at
+    0, dwTotalFrames at 16, dwWidth/dwHeight at 32/36) and the video
+    codec fourcc from the first ``strl`` whose ``strh`` is a ``vids``
+    stream — no frame payload is touched. Raises ValueError on
+    non-AVI data."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob")
+    out: dict = {}
+
+    def scan(pos: int, end: int) -> None:
+        for cid, body, size in _walk_chunks(blob, pos, end):
+            if cid == b"LIST":
+                scan(body + 4, body + size)
+            elif cid == b"avih" and size >= 40 and "width" not in out:
+                us_frame, total = struct.unpack_from("<I12xI", blob, body)
+                w, h = struct.unpack_from("<II", blob, body + 32)
+                out["width"], out["height"] = w, h
+                out["n_frames"] = total
+                out["n_tracks"] = struct.unpack_from("<I", blob, body + 24)[0]
+                out["duration_s"] = (
+                    total * us_frame / 1_000_000 if us_frame else None
+                )
+            elif cid == b"strh" and size >= 12 and "codec" not in out:
+                if blob[body : body + 4] == b"vids":
+                    out["codec"] = (
+                        blob[body + 4 : body + 8].decode("latin-1").strip()
+                        or None
+                    )
+
+    scan(12, len(blob))
+    if "width" not in out:
+        raise ValueError("AVI missing avih header")
+    return out
 
 
 def _walk_chunks(buf: bytes, pos: int, end: int):

@@ -25,6 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -70,6 +71,7 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
         .when(hx.startswith("664C6143"), F.lit("flac"))
         .when(F.substring(hx, 9, 8) == F.lit("66747970"), F.lit("mp4"))
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"), F.lit("tiff"))
+        .when(hx.startswith("4F676753"), F.lit("ogg"))  # OggS
         .when(hx.startswith("494433"), F.lit("mp3"))  # ID3v2
         .when(
             # bare MPEG frame sync: 11-bit sync AND valid version/layer
@@ -342,13 +344,17 @@ def decode_audio(
 
 
 def audio_tags(table: Table, bin_col: str, id_col: str) -> Table:
-    """ID3 tag metadata per MP3 blob: ``(id, title, artist, album,
-    year, genre)`` — ID3v2.2/2.3/2.4 text frames (all four text
+    """Audio tag metadata per blob: ``(id, title, artist, album,
+    year, genre)`` — MP3 ID3v2.2/2.3/2.4 text frames (all four text
     encodings, numeric genre references resolved) with the trailing
     ID3v1 block as fallback (``functions/audiocodec.py:mp3_tags``,
-    round 13). Non-MP3 blobs yield an all-NULL row rather than
-    failing: tags are optional curation metadata, not a decode
-    contract, so there is no ``on_error`` knob to misconfigure.
+    round 13), plus (round 14) the VorbisComment family for Ogg
+    Vorbis/Opus/FLAC (``functions/oggcodec.py``), native FLAC
+    (``audiocodec.flac_info``), and the iTunes-style ``ilst`` atoms
+    for M4A/MP4 (``functions/mp4codec.py``). Untagged-format and
+    non-audio blobs yield an all-NULL row rather than failing: tags
+    are optional curation metadata, not a decode contract, so there
+    is no ``on_error`` knob to misconfigure.
 
     NOTE: construction runs one eager column-pruned count job to bound
     the Arrow feed partitions — see ``_bounded_blob_input``."""
@@ -360,7 +366,9 @@ def audio_tags(table: Table, bin_col: str, id_col: str) -> Table:
     keys = ("title", "artist", "album", "year", "genre")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.audiocodec import mp3_tags, sniff_mp3
+        from ..functions.audiocodec import flac_info, mp3_tags, sniff_mp3
+        from ..functions.mp4codec import mp4_info, sniff_mp4
+        from ..functions.oggcodec import ogg_info, sniff_ogg
 
         for pdf in batches:
             if pdf.empty:
@@ -368,16 +376,143 @@ def audio_tags(table: Table, bin_col: str, id_col: str) -> Table:
             rows = []
             for _id, b in zip(pdf[id_col], pdf[bin_col]):
                 blob = bytes(b or b"")
-                if sniff_mp3(blob):
-                    t = mp3_tags(blob)
-                    rows.append((_id, *[t[k] for k in keys]))
-                else:
-                    rows.append((_id,) + (None,) * 5)
+                t: dict = {}
+                try:
+                    # container magics BEFORE the mp3 frame-sync scan:
+                    # Vorbis id headers carry FF FF FF FF bitrate
+                    # fields that satisfy MPEG sync
+                    if sniff_ogg(blob):
+                        t = ogg_info(blob)
+                    elif sniff_mp4(blob):
+                        t = mp4_info(blob)
+                    elif blob[:4] == b"fLaC":
+                        t = flac_info(blob)
+                    elif sniff_mp3(blob):
+                        t = mp3_tags(blob)
+                except (ValueError, struct.error, IndexError):
+                    t = {}  # tags are optional — corrupt tag block != no row
+                rows.append((_id, *[t.get(k) for k in keys]))
             yield pd.DataFrame(rows, columns=[id_col, *keys])
 
     inp = _bounded_blob_input(table.df.select(id_col, bin_col))
     out = inp.mapInPandas(run, schema)
     return Table.from_df(out, name=f"{table.table_name}_audio_tags")
+
+
+def media_info(
+    table: Table, bin_col: str, id_col: str, on_error: str = "raise"
+) -> Table:
+    """One typed curation row per media blob — the deep-metadata
+    complement to ``sniff_media``'s native magic-byte sniff:
+    ``(id, media_format, duration_s, width, height, codec,
+    audio_codec, channels, sample_rate, n_tracks, title, artist,
+    album, year, genre)``.
+
+    Containers routed by content sniff, all header-only walks (no
+    frame/sample decode — per-blob cost is proportional to box/page/
+    chunk count, not media bytes):
+
+    - ISO-BMFF mp4/m4a/mov via ``functions/mp4codec.py`` (ftyp brand,
+      mvhd duration, tkhd dims, stsd codec fourccs, ilst tags);
+    - Ogg vorbis/opus/flac/theora via ``functions/oggcodec.py``
+      (id-header rates/channels, final-granule duration,
+      VorbisComment tags);
+    - RIFF/WAVE via ``audiocodec.wav_info`` (fmt chunk + data size);
+    - native FLAC via ``audiocodec.flac_info`` (STREAMINFO +
+      VORBIS_COMMENT, no frame decode);
+    - MP3 via ``audiocodec.mp3_info`` + ``mp3_tags`` (Xing/CBR
+      duration, ID3v1/v2 tags);
+    - RIFF/AVI via ``videocodec.avi_info`` (avih dims/frames, strh
+      vids fourcc).
+
+    Non-media blobs yield an all-NULL row under ``on_error="null"``
+    (the corpus-audit shape); ``"raise"`` propagates, for pipelines
+    that pre-filter on ``sniff_media``.
+
+    NOTE: construction runs one eager column-pruned count job to bound
+    the Arrow feed partitions — see ``_bounded_blob_input``.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(
+            f"media_info: on_error must be raise|null, got {on_error!r}"
+        )
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, media_format string, duration_s double, "
+        "width int, height int, codec string, audio_codec string, "
+        "channels int, sample_rate int, n_tracks int, title string, "
+        "artist string, album string, year string, genre string"
+    )
+    cols = [
+        "media_format", "duration_s", "width", "height", "codec",
+        "audio_codec", "channels", "sample_rate", "n_tracks",
+        "title", "artist", "album", "year", "genre",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audiocodec import (
+            flac_info,
+            mp3_info,
+            mp3_tags,
+            sniff_mp3,
+            wav_info,
+        )
+        from ..functions.mp4codec import mp4_info, sniff_mp4
+        from ..functions.oggcodec import ogg_info, sniff_ogg
+        from ..functions.videocodec import avi_info
+
+        def probe(blob: bytes) -> dict:
+            if sniff_mp4(blob):
+                return mp4_info(blob)
+            if sniff_ogg(blob):
+                return ogg_info(blob)
+            if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                return {"format": "wav", "n_tracks": 1, **wav_info(blob)}
+            if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                got = avi_info(blob)
+                return {"format": "avi", "codec": got.get("codec"), **got}
+            if blob[:4] == b"fLaC":
+                return {"format": "flac", "n_tracks": 1, **flac_info(blob)}
+            if sniff_mp3(blob):
+                got = mp3_info(blob)
+                return {
+                    "format": "mp3",
+                    "codec": "mp3",
+                    "duration_s": got["duration"],
+                    "channels": got["n_channels"],
+                    "sample_rate": got["sample_rate"],
+                    "n_tracks": 1,
+                    **mp3_tags(blob),
+                }
+            raise ValueError("media_info: unrecognized container")
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _id, b in zip(pdf[id_col], pdf[bin_col]):
+                blob = bytes(b or b"")
+                try:
+                    got = probe(blob)
+                    # audio-only containers report their codec in the
+                    # unified audio_codec column
+                    if "audio_codec" not in got and got.get("codec") and (
+                        got["format"] in ("wav", "flac", "mp3")
+                    ):
+                        got["audio_codec"] = got.pop("codec")
+                    got["media_format"] = got.pop("format")
+                    rows.append(
+                        (_id, *[got.get(c) for c in cols])
+                    )
+                except (ValueError, struct.error, IndexError):
+                    if on_error == "raise":
+                        raise
+                    rows.append((_id,) + (None,) * len(cols))
+            yield pd.DataFrame(rows, columns=[id_col, *cols])
+
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    out = inp.mapInPandas(run, schema)
+    return Table.from_df(out, name=f"{table.table_name}_media_info")
 
 
 def image_hash(

@@ -1,0 +1,489 @@
+"""ISO-BMFF (mp4codec.py), Ogg (oggcodec.py), and the header-only
+wav/flac/avi info walks, plus the unified ``media_info`` operator.
+
+Fixtures are WRITTEN here with independent container writers (box
+grammar per ISO/IEC 14496-12; Ogg pages with the real RFC 3533
+CRC-32) so the readers are pinned against the spec layout, not
+against themselves.
+"""
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from littletable_spark.functions.audiocodec import flac_info, wav_info
+from littletable_spark.functions.mp4codec import mp4_info, sniff_mp4
+from littletable_spark.functions.oggcodec import ogg_info, sniff_ogg
+from littletable_spark.functions.videocodec import avi_info
+
+# ------------------------------------------------------------------ #
+# ISO-BMFF writers (test-side, independent of the reader)
+
+
+def box(typ: bytes, *payloads: bytes, large: bool = False) -> bytes:
+    body = b"".join(payloads)
+    if large:
+        return struct.pack(">I4sQ", 1, typ, 16 + len(body)) + body
+    return struct.pack(">I4s", 8 + len(body), typ) + body
+
+
+def fullbox(typ: bytes, ver: int, *payloads: bytes) -> bytes:
+    return box(typ, bytes([ver, 0, 0, 0]), *payloads)
+
+
+def mvhd(timescale: int, duration: int, ver: int = 0) -> bytes:
+    if ver == 1:
+        body = struct.pack(">QQIQ", 0, 0, timescale, duration)
+    else:
+        body = struct.pack(">IIII", 0, 0, timescale, duration)
+    return fullbox(b"mvhd", ver, body + b"\x00" * 80)
+
+
+def tkhd(width: int, height: int) -> bytes:
+    body = b"\x00" * 20 + b"\x00" * 52 + struct.pack(
+        ">II", width << 16, height << 16
+    )
+    return fullbox(b"tkhd", 0, body)
+
+
+def hdlr(handler: bytes) -> bytes:
+    return fullbox(b"hdlr", 0, b"\x00" * 4 + handler + b"\x00" * 13)
+
+
+def video_stsd(fourcc: bytes) -> bytes:
+    entry = box(fourcc, b"\x00" * 78)  # VisualSampleEntry-sized body
+    return fullbox(b"stsd", 0, struct.pack(">I", 1), entry)
+
+
+def audio_stsd(fourcc: bytes, channels: int, rate: int) -> bytes:
+    entry = box(
+        fourcc,
+        b"\x00" * 8  # SampleEntry reserved + data_reference_index
+        + b"\x00" * 8  # AudioSampleEntry reserved
+        + struct.pack(">HHHHI", channels, 16, 0, 0, rate << 16),
+    )
+    return fullbox(b"stsd", 0, struct.pack(">I", 1), entry)
+
+
+def trak(handler: bytes, stsd: bytes, dims: tuple | None = None) -> bytes:
+    parts = [tkhd(*dims)] if dims else []
+    parts.append(box(b"mdia", hdlr(handler), box(b"minf", box(b"stbl", stsd))))
+    return box(b"trak", *parts)
+
+
+def ilst_item(atom: bytes, text: str) -> bytes:
+    data = box(b"data", struct.pack(">II", 1, 0) + text.encode())
+    return box(atom, data)
+
+
+def udta(*items: bytes) -> bytes:
+    return box(b"udta", fullbox(b"meta", 0, hdlr(b"mdir"), box(b"ilst", *items)))
+
+
+def ftyp(brand: bytes = b"isom") -> bytes:
+    return box(b"ftyp", brand, struct.pack(">I", 0), b"isommp42")
+
+
+# ------------------------------------------------------------------ #
+# Ogg writer (test-side): real RFC 3533 pages incl. the CRC
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 else crc << 1
+            crc &= 0xFFFFFFFF
+    return crc
+
+
+def ogg_page(
+    serial: int,
+    seq: int,
+    granule: int,
+    packets: list[bytes],
+    htype: int = 0,
+    continued_tail: bool = False,
+) -> bytes:
+    lacing = bytearray()
+    payload = b"".join(packets)
+    for i, p in enumerate(packets):
+        n = len(p)
+        lacing += b"\xff" * (n // 255)
+        if not (continued_tail and i == len(packets) - 1):
+            lacing.append(n % 255)
+        elif n % 255:
+            raise AssertionError("continued packet must be 255-aligned")
+    hdr = struct.pack(
+        "<4sBBqIIIB",
+        b"OggS", 0, htype, granule, serial, seq, 0, len(lacing),
+    )
+    page = bytearray(hdr + bytes(lacing) + payload)
+    struct.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def vorbis_id(channels: int, rate: int) -> bytes:
+    return (
+        b"\x01vorbis"
+        + struct.pack("<IB I i i i", 0, channels, rate, -1, 128000, -1)
+        + b"\xb8\x01"
+    )
+
+
+def vorbis_comments(tags: dict, prefix: bytes = b"\x03vorbis") -> bytes:
+    vendor = b"test"
+    body = struct.pack("<I", len(vendor)) + vendor
+    body += struct.pack("<I", len(tags))
+    for k, v in tags.items():
+        kv = f"{k}={v}".encode()
+        body += struct.pack("<I", len(kv)) + kv
+    out = prefix + body
+    if prefix == b"\x03vorbis":
+        out += b"\x01"  # framing bit
+    return out
+
+
+def flac_streaminfo(rate: int, channels: int, total: int) -> bytes:
+    bits = (rate << 44) | ((channels - 1) << 41) | (15 << 36) | total
+    return b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+
+
+# ------------------------------------------------------------------ #
+# MP4 tests
+
+
+def test_mp4_video_audio_tags():
+    blob = ftyp() + box(
+        b"moov",
+        mvhd(90000, 8 * 90000 + 45000),
+        trak(b"vide", video_stsd(b"avc1"), dims=(640, 360)),
+        trak(b"soun", audio_stsd(b"mp4a", 2, 44100)),
+        udta(
+            ilst_item(b"\xa9nam", "My Clip"),
+            ilst_item(b"\xa9ART", "Someone"),
+            ilst_item(b"\xa9alb", "Web"),
+        ),
+    )
+    assert sniff_mp4(blob)
+    got = mp4_info(blob)
+    assert got["format"] == "mp4"
+    assert got["duration_s"] == (8 * 90000 + 45000) / 90000
+    assert (got["width"], got["height"]) == (640, 360)
+    assert got["codec"] == "avc1"
+    assert got["audio_codec"] == "mp4a"
+    assert (got["channels"], got["sample_rate"]) == (2, 44100)
+    assert got["n_tracks"] == 2
+    assert (got["title"], got["artist"], got["album"]) == (
+        "My Clip", "Someone", "Web",
+    )
+
+
+def test_mp4_m4a_and_mov_routing():
+    audio = ftyp(b"M4A ") + box(
+        b"moov",
+        mvhd(44100, 44100 * 30, ver=1),  # 64-bit mvhd
+        trak(b"soun", audio_stsd(b"mp4a", 1, 44100)),
+    )
+    got = mp4_info(audio)
+    assert got["format"] == "m4a"
+    assert got["duration_s"] == 30.0
+    assert got["channels"] == 1
+
+    mov = ftyp(b"qt  ") + box(
+        b"moov",
+        mvhd(600, 1200),
+        trak(b"vide", video_stsd(b"jpeg"), dims=(320, 240)),
+    )
+    got = mp4_info(mov)
+    assert got["format"] == "mov"
+    assert got["codec"] == "jpeg"
+
+
+def test_mp4_largesize_uuid_and_errors():
+    blob = ftyp() + box(b"uuid", b"X" * 16 + b"junk") + box(
+        b"moov",
+        mvhd(1000, 2500),
+        large=True,
+    )
+    assert mp4_info(blob)["duration_s"] == 2.5
+
+    with pytest.raises(ValueError):
+        mp4_info(b"not a movie at all................")
+    with pytest.raises(ValueError):
+        mp4_info(ftyp())  # no moov
+    bad = ftyp() + struct.pack(">I4s", 5, b"moov")  # size < 8
+    with pytest.raises(ValueError):
+        mp4_info(bad)
+
+
+# ------------------------------------------------------------------ #
+# Ogg tests
+
+
+def test_ogg_vorbis_duration_and_tags():
+    serial = 77
+    pages = [
+        ogg_page(serial, 0, 0, [vorbis_id(2, 44100)], htype=0x02),
+        # comment + setup SHARE a page: the cut must land on the
+        # first packet boundary
+        ogg_page(
+            serial, 1, 0,
+            [vorbis_comments({"TITLE": "Song", "ARTIST": "Band",
+                              "DATE": "2003"}),
+             b"\x05vorbis" + b"\x00" * 40],
+        ),
+        ogg_page(serial, 2, 44100 * 2, [b"\xaa" * 100]),
+        ogg_page(serial, 3, 44100 * 5, [b"\xbb" * 100], htype=0x04),
+    ]
+    got = ogg_info(b"".join(pages))
+    assert got["format"] == "ogg-vorbis"
+    assert got["audio_codec"] == "vorbis"
+    assert (got["channels"], got["sample_rate"]) == (2, 44100)
+    assert got["duration_s"] == (44100 * 5) / 44100
+    assert (got["title"], got["artist"], got["year"]) == (
+        "Song", "Band", "2003",
+    )
+
+
+def test_ogg_opus_preskip_and_long_comment():
+    serial = 3
+    head = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + b"\x00\x00\x00"
+    )
+    # a comment packet long enough to span pages (255-lacing tail)
+    tags = vorbis_comments(
+        {"TITLE": "x" * 700, "ALBUM": "Pods"}, prefix=b"OpusTags"
+    )
+    first_cut = 510  # two full 255 segments continue to the next page
+    pages = [
+        ogg_page(serial, 0, 0, [head], htype=0x02),
+        ogg_page(serial, 1, -1, [tags[:first_cut]], continued_tail=True),
+        ogg_page(serial, 2, 0, [tags[first_cut:]], htype=0x01),
+        ogg_page(serial, 3, 312 + 48000 * 3, [b"\xcc" * 50], htype=0x04),
+    ]
+    got = ogg_info(b"".join(pages))
+    assert got["format"] == "ogg-opus"
+    assert (got["channels"], got["sample_rate"]) == (2, 48000)
+    assert got["duration_s"] == 3.0  # pre-skip removed
+    assert got["title"] == "x" * 700
+    assert got["album"] == "Pods"
+
+
+def test_ogg_flac_and_theora_and_errors():
+    serial = 9
+    mapping = (
+        b"\x7fFLAC\x01\x00" + struct.pack(">H", 1)
+        + b"fLaC" + b"\x80" + (34).to_bytes(3, "big")
+        + flac_streaminfo(8000, 1, 8000 * 7)
+    )
+    comment = b"\x84" + (0).to_bytes(3, "big")  # empty VORBIS_COMMENT
+    pages = [
+        ogg_page(serial, 0, 0, [mapping], htype=0x02),
+        ogg_page(serial, 1, 0, [comment]),
+    ]
+    got = ogg_info(b"".join(pages))
+    assert got["format"] == "ogg-flac"
+    assert (got["sample_rate"], got["channels"]) == (8000, 1)
+    assert got["duration_s"] == 7.0
+
+    theora_id = (
+        b"\x80theora" + bytes([3, 2, 1])
+        + struct.pack(">HH", 40, 30)
+        + (640).to_bytes(3, "big") + (480).to_bytes(3, "big")
+    )
+    got = ogg_info(ogg_page(5, 0, 0, [theora_id], htype=0x02))
+    assert got["format"] == "ogg-theora"
+    assert (got["width"], got["height"]) == (640, 480)
+    assert got["codec"] == "theora"
+
+    assert not sniff_ogg(b"OggX" + b"\x00" * 30)
+    with pytest.raises(ValueError):
+        ogg_info(b"random bytes, long enough to look at......")
+    torn = ogg_page(1, 0, 0, [vorbis_id(1, 8000)], htype=0x02)
+    with pytest.raises(ValueError):
+        ogg_info(torn + b"JUNKJUNK" + b"\x00" * 30)  # lost sync
+
+
+# ------------------------------------------------------------------ #
+# wav / flac / avi header-only info
+
+
+def _wav(rate: int, channels: int, n_frames: int, tag: int = 1) -> bytes:
+    bits = 16
+    data = b"\x00" * (n_frames * channels * 2)
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, rate,
+        rate * channels * (bits // 8), channels * (bits // 8), bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_info_pcm_and_compressed():
+    got = wav_info(_wav(16000, 2, 16000 * 3))
+    assert got == {
+        "codec": "pcm", "sample_rate": 16000, "channels": 2,
+        "duration_s": 3.0,
+    }
+    # compressed tag: duration falls back to the fmt byte rate
+    got = wav_info(_wav(8000, 1, 8000, tag=0x55))
+    assert got["codec"] == "wav-0x0055"
+    assert got["duration_s"] == (8000 * 2) / (8000 * 1 * 2)
+    with pytest.raises(ValueError):
+        wav_info(b"RIFF\x00\x00\x00\x00AVI not wave")
+
+
+def test_flac_info_streaminfo_and_comments():
+    vc = vorbis_comments({"TITLE": "Take 1", "GENRE": "field"}, prefix=b"")
+    blob = (
+        b"fLaC"
+        + b"\x00" + (34).to_bytes(3, "big") + flac_streaminfo(22050, 2, 22050)
+        + b"\x84" + len(vc).to_bytes(3, "big") + vc
+    )
+    got = flac_info(blob)
+    assert (got["sample_rate"], got["channels"]) == (22050, 2)
+    assert got["duration_s"] == 1.0
+    assert (got["title"], got["genre"]) == ("Take 1", "field")
+    with pytest.raises(ValueError):
+        flac_info(b"fLaC")  # truncated
+
+
+def _avi(width: int, height: int, n: int, usf: int) -> bytes:
+    avih = struct.pack("<I12xI12xII", usf, n, width, height) + b"\x00" * 8
+    strh = b"vids" + b"MJPG" + b"\x00" * 48
+    hdrl = (
+        b"hdrl"
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+        + b"LIST" + struct.pack("<I", 4 + 8 + len(strh))
+        + b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+    )
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_info():
+    got = avi_info(_avi(320, 240, 250, 40000))
+    assert (got["width"], got["height"]) == (320, 240)
+    assert got["n_frames"] == 250
+    assert got["duration_s"] == 250 * 40000 / 1_000_000
+    assert got["codec"] == "MJPG"
+    with pytest.raises(ValueError):
+        avi_info(b"RIFF\x04\x00\x00\x00AVI ")  # no avih
+
+
+# ------------------------------------------------------------------ #
+# the unified operator
+
+
+def test_media_info_operator(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import media_info
+
+    m4a = ftyp(b"M4A ") + box(
+        b"moov",
+        mvhd(1000, 12500),
+        trak(b"soun", audio_stsd(b"mp4a", 2, 48000)),
+        udta(ilst_item(b"\xa9nam", "Pod")),
+    )
+    ogg = b"".join(
+        [
+            ogg_page(1, 0, 0, [vorbis_id(1, 16000)], htype=0x02),
+            ogg_page(1, 1, 0, [vorbis_comments({"ARTIST": "A"})]),
+            ogg_page(1, 2, 16000 * 4, [b"\x00" * 10], htype=0x04),
+        ]
+    )
+    rows = [
+        {"mid": 1, "blob": m4a},
+        {"mid": 2, "blob": ogg},
+        {"mid": 3, "blob": _wav(8000, 1, 8000 * 2)},
+        {"mid": 4, "blob": _avi(160, 120, 50, 100000)},
+        {"mid": 5, "blob": b"plain text, not media at all!"},
+    ]
+    t = Table("media", spark=spark)
+    t.insert_many(rows)
+    got = {
+        r.mid: r
+        for r in media_info(t, "blob", "mid", on_error="null")
+        .df.collect()
+    }
+    assert got[1].media_format == "m4a"
+    assert got[1].duration_s == 12.5
+    assert got[1].title == "Pod"
+    assert got[1].audio_codec == "mp4a"
+    assert got[2].media_format == "ogg-vorbis"
+    assert got[2].duration_s == 4.0
+    assert got[2].artist == "A"
+    assert got[3].media_format == "wav"
+    assert got[3].audio_codec == "pcm"
+    assert got[3].duration_s == 2.0
+    assert got[4].media_format == "avi"
+    assert (got[4].width, got[4].height) == (160, 120)
+    assert got[4].codec == "MJPG"
+    assert got[5].media_format is None and got[5].duration_s is None
+
+    with pytest.raises(Exception):
+        media_info(t, "blob", "mid", on_error="raise").df.collect()
+
+
+def test_audio_tags_routes_ogg_m4a_flac(spark):
+    """Round 14: audio_tags covers the VorbisComment family and ilst
+    atoms, not just ID3."""
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import audio_tags
+
+    ogg = b"".join(
+        [
+            ogg_page(4, 0, 0, [vorbis_id(2, 44100)], htype=0x02),
+            ogg_page(4, 1, 0, [vorbis_comments({"TITLE": "OggSong"})]),
+        ]
+    )
+    m4a = ftyp(b"M4A ") + box(
+        b"moov",
+        mvhd(10, 10),
+        trak(b"soun", audio_stsd(b"mp4a", 2, 44100)),
+        udta(ilst_item(b"\xa9alb", "Disc")),
+    )
+    vcb = vorbis_comments({"ARTIST": "F"}, prefix=b"")
+    flac = (
+        b"fLaC"
+        + b"\x00" + (34).to_bytes(3, "big") + flac_streaminfo(8000, 1, 0)
+        + b"\x84" + len(vcb).to_bytes(3, "big") + vcb
+    )
+    t = Table("tags", spark=spark)
+    t.insert_many(
+        [
+            {"id": 1, "blob": ogg},
+            {"id": 2, "blob": m4a},
+            {"id": 3, "blob": flac},
+            {"id": 4, "blob": b"OggS" + b"\x01" * 40},  # corrupt -> NULLs
+        ]
+    )
+    got = {r.id: r for r in audio_tags(t, "blob", "id")}
+    assert got[1].title == "OggSong"
+    assert got[2].album == "Disc"
+    assert got[3].artist == "F"
+    assert got[4].title is None
+
+
+def test_sniff_media_types_ogg(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import sniff_media
+
+    t = Table("s", spark=spark)
+    t.insert_many(
+        [
+            {"i": 1, "blob": ogg_page(1, 0, 0, [b"x"], htype=0x02)},
+            {"i": 2, "blob": ftyp() + box(b"moov", mvhd(10, 10))},
+        ]
+    )
+    got = {r.i: r.meta.format for r in
+           sniff_media(t, "blob", "meta").df.select("i", "meta").collect()}
+    assert got == {1: "ogg", 2: "mp4"}
