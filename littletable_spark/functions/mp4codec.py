@@ -32,7 +32,11 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["sniff_mp4", "mp4_info"]
+__all__ = ["sniff_mp4", "mp4_info", "mp4_video_frames", "sample_mp4_frames"]
+
+#: stsd fourccs whose samples are standalone intra frames (decodable
+#: without ffmpeg: MJPEG samples are baseline JPEGs, png is png)
+_INTRA_CODECS = {b"jpeg", b"mjpa", b"png "}
 
 #: ilst item fourcc -> tag name (the (c)-prefixed iTunes atoms)
 _ILST_TAGS = {
@@ -162,6 +166,107 @@ def _ilst_tags(buf: bytes, pos: int, end: int) -> dict:
                 tags[name] = buf[b2 + 8 : e2].decode("utf-8", "replace")
             break
     return tags
+
+
+def _stbl_tables(blob: bytes, spos: int, send: int):
+    """(sizes, chunk_offsets, stsc_entries) from a sample table."""
+    sizes: list[int] = []
+    offsets: list[int] = []
+    stsc: list[tuple[int, int]] = []
+    for typ, b, e in _boxes(blob, spos, send):
+        if typ == b"stsz":
+            _, p = _fullbox(blob, b)
+            uniform, count = struct.unpack(">II", blob[p : p + 8])
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                sizes = list(
+                    struct.unpack(f">{count}I", blob[p + 8 : p + 8 + 4 * count])
+                )
+        elif typ in (b"stco", b"co64"):
+            _, p = _fullbox(blob, b)
+            count = struct.unpack(">I", blob[p : p + 4])[0]
+            fmt, width = (">Q", 8) if typ == b"co64" else (">I", 4)
+            offsets = [
+                struct.unpack(fmt, blob[p + 4 + k * width : p + 4 + (k + 1) * width])[0]
+                for k in range(count)
+            ]
+        elif typ == b"stsc":
+            _, p = _fullbox(blob, b)
+            count = struct.unpack(">I", blob[p : p + 4])[0]
+            for k in range(count):
+                fc, spc = struct.unpack(
+                    ">II", blob[p + 4 + k * 12 : p + 12 + k * 12]
+                )
+                stsc.append((fc, spc))
+    return sizes, offsets, stsc
+
+
+def mp4_video_frames(blob: bytes) -> list[bytes]:
+    """All video sample payloads of an intra-coded MP4/MOV, in track
+    order — the ISO-BMFF analogue of ``videocodec.avi_video_frames``
+    (MJPEG samples ARE baseline JPEGs, so the chain into the native
+    JPEG decoder is real). The sample table resolves each sample to
+    its mdat bytes: stsc maps samples onto chunks, stco/co64 places
+    the chunks, stsz sizes the samples, samples within a chunk are
+    contiguous. Inter-coded tracks (avc1/hvc1/vp09...) raise — they
+    need ffmpeg and surface through the caller's ``on_error``."""
+    if not sniff_mp4(blob):
+        raise ValueError("mp4: no ftyp box")
+    moov = _first(blob, 0, len(blob), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    for typ, b, e in _boxes(blob, *moov):
+        if typ != b"trak":
+            continue
+        hdlr = _first(blob, b, e, b"mdia", b"hdlr")
+        if not hdlr or blob[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _first(blob, b, e, b"mdia", b"minf", b"stbl")
+        if stbl is None:
+            continue
+        stsd = _first(blob, *stbl, b"stsd")
+        fourcc = _stsd_entry(blob, *stsd)[0] if stsd else b"????"
+        if fourcc not in _INTRA_CODECS:
+            raise ValueError(
+                f"mp4: inter-coded video ({fourcc.decode('latin-1')}) "
+                "needs ffmpeg"
+            )
+        sizes, offsets, stsc = _stbl_tables(blob, *stbl)
+        if not sizes or not offsets or not stsc:
+            raise ValueError("mp4: incomplete sample table")
+        frames: list[bytes] = []
+        si = 0
+        for ci, chunk_off in enumerate(offsets):
+            # samples-per-chunk from the last stsc entry at/below ci+1
+            spc = next(
+                (s for fc, s in reversed(stsc) if fc <= ci + 1), stsc[0][1]
+            )
+            pos = chunk_off
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                end = pos + sizes[si]
+                if end > len(blob):
+                    raise ValueError("mp4: sample beyond blob")
+                frames.append(bytes(blob[pos:end]))
+                pos = end
+                si += 1
+        if not frames:
+            raise ValueError("mp4: empty video track")
+        return frames
+    raise ValueError("mp4: no video track")
+
+
+def sample_mp4_frames(blob: bytes, n_frames: int) -> list[tuple[int, bytes]]:
+    """n evenly spaced (frame_index, frame_bytes) samples — fewer when
+    the clip has fewer frames than requested (every frame, once)."""
+    frames = mp4_video_frames(blob)
+    total = len(frames)
+    if total <= n_frames:
+        return list(enumerate(frames))
+    idxs = sorted({(i * total) // n_frames for i in range(n_frames)})
+    return [(i, frames[i]) for i in idxs]
 
 
 def mp4_info(blob: bytes) -> dict:

@@ -72,6 +72,7 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
         .when(F.substring(hx, 9, 8) == F.lit("66747970"), F.lit("mp4"))
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"), F.lit("tiff"))
         .when(hx.startswith("4F676753"), F.lit("ogg"))  # OggS
+        .when(hx.startswith("1A45DFA3"), F.lit("mkv"))  # EBML
         .when(hx.startswith("494433"), F.lit("mp3"))  # ID3v2
         .when(
             # bare MPEG frame sync: 11-bit sync AND valid version/layer
@@ -350,8 +351,9 @@ def audio_tags(table: Table, bin_col: str, id_col: str) -> Table:
     ID3v1 block as fallback (``functions/audiocodec.py:mp3_tags``,
     round 13), plus (round 14) the VorbisComment family for Ogg
     Vorbis/Opus/FLAC (``functions/oggcodec.py``), native FLAC
-    (``audiocodec.flac_info``), and the iTunes-style ``ilst`` atoms
-    for M4A/MP4 (``functions/mp4codec.py``). Untagged-format and
+    (``audiocodec.flac_info``), the iTunes-style ``ilst`` atoms
+    for M4A/MP4 (``functions/mp4codec.py``), and the Matroska/WebM
+    segment title (``functions/mkvcodec.py``). Untagged-format and
     non-audio blobs yield an all-NULL row rather than failing: tags
     are optional curation metadata, not a decode contract, so there
     is no ``on_error`` knob to misconfigure.
@@ -367,6 +369,7 @@ def audio_tags(table: Table, bin_col: str, id_col: str) -> Table:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.audiocodec import flac_info, mp3_tags, sniff_mp3
+        from ..functions.mkvcodec import mkv_info, sniff_mkv
         from ..functions.mp4codec import mp4_info, sniff_mp4
         from ..functions.oggcodec import ogg_info, sniff_ogg
 
@@ -385,6 +388,8 @@ def audio_tags(table: Table, bin_col: str, id_col: str) -> Table:
                         t = ogg_info(blob)
                     elif sniff_mp4(blob):
                         t = mp4_info(blob)
+                    elif sniff_mkv(blob):
+                        t = mkv_info(blob)
                     elif blob[:4] == b"fLaC":
                         t = flac_info(blob)
                     elif sniff_mp3(blob):
@@ -414,6 +419,9 @@ def media_info(
 
     - ISO-BMFF mp4/m4a/mov via ``functions/mp4codec.py`` (ftyp brand,
       mvhd duration, tkhd dims, stsd codec fourccs, ilst tags);
+    - Matroska/WebM via ``functions/mkvcodec.py`` (EBML walk: Info
+      duration/timescale/title, TrackEntry codecs/dims/audio params —
+      Cluster payloads skipped by size);
     - Ogg vorbis/opus/flac/theora via ``functions/oggcodec.py``
       (id-header rates/channels, final-granule duration,
       VorbisComment tags);
@@ -457,6 +465,7 @@ def media_info(
             sniff_mp3,
             wav_info,
         )
+        from ..functions.mkvcodec import mkv_info, sniff_mkv
         from ..functions.mp4codec import mp4_info, sniff_mp4
         from ..functions.oggcodec import ogg_info, sniff_ogg
         from ..functions.videocodec import avi_info
@@ -464,6 +473,8 @@ def media_info(
         def probe(blob: bytes) -> dict:
             if sniff_mp4(blob):
                 return mp4_info(blob)
+            if sniff_mkv(blob):
+                return mkv_info(blob)
             if sniff_ogg(blob):
                 return ogg_info(blob)
             if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
@@ -633,7 +644,11 @@ def extract_text(
       (``functions/textenc.py``: BOM sniff → UTF-8 strict → detected
       cp1251/shift-jis/cp1252 → latin-1 fallback), the chosen codec
       recorded in the ``encoding`` column; binary junk (NULs,
-      control-heavy) raises instead of mis-decoding.
+      control-heavy) raises instead of mis-decoding. SRT / WebVTT
+      subtitles (round 14, ``functions/subcodec.py``) are sniffed
+      AFTER the ladder and shed cue indices, ``-->`` timing lines,
+      NOTE/STYLE/REGION blocks, and voice/markup tags, so subtitle
+      corpora land as clean dialog text (``doc_format`` srt/vtt).
 
     Titles: populated for HTML (``<title>``), PDF (/Info /Title),
     OOXML/ODF/EPUB (docProps/core.xml, meta.xml, OPF ``dc:title``),
@@ -661,6 +676,12 @@ def extract_text(
         from ..functions.officecodec import extract_office_text
         from ..functions.pdfcodec import extract_pdf_doc
         from ..functions.rtfcodec import extract_rtf_text
+        from ..functions.subcodec import (
+            extract_srt_text,
+            extract_vtt_text,
+            looks_like_srt,
+            looks_like_vtt,
+        )
         from ..functions.textenc import decode_text_blob
 
         for pdf in batches:
@@ -694,9 +715,21 @@ def extract_text(
                         )
                     else:
                         # bare text: BOM → UTF-8 strict → detected
-                        # 8-bit/shift-jis → latin-1; binary junk raises
+                        # 8-bit/shift-jis → latin-1; binary junk raises.
+                        # Subtitle formats (round 14) ride the same
+                        # ladder, then shed their cue indices,
+                        # timing lines, and markup.
                         text, enc = decode_text_blob(blob)
-                        rows.append((_id, "text", "", text, enc))
+                        if looks_like_vtt(text):
+                            rows.append(
+                                (_id, "vtt", "", extract_vtt_text(text), enc)
+                            )
+                        elif looks_like_srt(text):
+                            rows.append(
+                                (_id, "srt", "", extract_srt_text(text), enc)
+                            )
+                        else:
+                            rows.append((_id, "text", "", text, enc))
                 except (*CORRUPT_ERRORS, UnicodeDecodeError):
                     if on_error == "raise":
                         raise
@@ -953,7 +986,11 @@ def frame_sample(
     ``##dc``/``##db`` payloads) — and MJPEG frame bytes ARE baseline
     JPEGs, which ``imagecodec`` now decodes natively, so the
     container walk + frame decode chain is real end-to-end (pinned by
-    tests/test_jpegcodec.py). Animated GIFs route to
+    tests/test_jpegcodec.py). Intra-coded MP4/MOV routes to
+    ``mp4codec.sample_mp4_frames`` (round 14: the stsc/stco/stsz
+    sample-table walk resolves each MJPEG sample to its mdat bytes;
+    inter-coded stsd fourccs raise into ``on_error`` like inter AVI
+    always has). Animated GIFs route to
     ``sample_gif_frames``: frames are composited on the logical
     screen (placement, transparency, disposal methods) and emitted
     as P6 PPM bytes — also natively decodable downstream. Animated
@@ -999,6 +1036,10 @@ def frame_sample(
                         sampler = sample_gif_frames
                     elif blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
                         sampler = sample_webp_frames
+                    elif len(blob) >= 12 and blob[4:8] == b"ftyp":
+                        from ..functions.mp4codec import sample_mp4_frames
+
+                        sampler = sample_mp4_frames
                     else:
                         sampler = sample_avi_frames
                     rows.extend(

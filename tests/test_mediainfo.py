@@ -433,6 +433,208 @@ def test_media_info_operator(spark):
         media_info(t, "blob", "mid", on_error="raise").df.collect()
 
 
+# ------------------------------------------------------------------ #
+# Matroska / WebM (EBML writer is test-side and independent)
+
+
+def _eid(i: int) -> bytes:
+    return i.to_bytes((i.bit_length() + 7) // 8, "big")
+
+
+def _esize(n: int, length: int | None = None) -> bytes:
+    if length is None:
+        length = 1
+        while n >= (1 << (7 * length)) - 1:
+            length += 1
+    out = bytearray(n.to_bytes(length, "big"))
+    out[0] |= 1 << (8 - length)
+    return bytes(out)
+
+
+def el(i: int, body: bytes, size: bytes | None = None) -> bytes:
+    return _eid(i) + (size if size is not None else _esize(len(body))) + body
+
+
+def _mkv(
+    doctype: str = "webm",
+    duration_ticks: float = 4000.0,
+    timescale: int = 1_000_000,
+    title: str | None = "Clip",
+    unknown_segment_size: bool = False,
+) -> bytes:
+    header = el(0x1A45DFA3, el(0x4282, doctype.encode()))
+    info = el(0x2AD7B1, timescale.to_bytes(4, "big")) + el(
+        0x4489, struct.pack(">d", duration_ticks)
+    )
+    if title is not None:
+        info += el(0x7BA9, title.encode())
+    video_tr = el(
+        0xAE,
+        el(0x83, b"\x01")
+        + el(0x86, b"V_VP9")
+        + el(0xE0, el(0xB0, (1280).to_bytes(2, "big"))
+            + el(0xBA, (720).to_bytes(2, "big"))),
+    )
+    audio_tr = el(
+        0xAE,
+        el(0x83, b"\x02")
+        + el(0x86, b"A_OPUS")
+        + el(0xE1, el(0xB5, struct.pack(">f", 48000.0))
+            + el(0x9F, b"\x02")),
+    )
+    cluster = el(0x1F43B675, b"\xde\xad" * 20)  # skipped by size
+    seg_body = (
+        el(0x1549A966, info)
+        + el(0x1654AE6B, video_tr + audio_tr)
+        + cluster
+    )
+    seg_size = b"\xff" if unknown_segment_size else None
+    return header + el(0x18538067, seg_body, size=seg_size)
+
+
+def test_mkv_webm_info():
+    got = __import__(
+        "littletable_spark.functions.mkvcodec", fromlist=["mkv_info"]
+    ).mkv_info(_mkv())
+    assert got["format"] == "webm"
+    assert got["duration_s"] == 4.0  # 4000 ms ticks at the 1 ms scale
+    assert (got["width"], got["height"]) == (1280, 720)
+    assert got["codec"] == "V_VP9"
+    assert got["audio_codec"] == "A_OPUS"
+    assert (got["channels"], got["sample_rate"]) == (2, 48000)
+    assert got["n_tracks"] == 2
+    assert got["title"] == "Clip"
+
+
+def test_mkv_unknown_size_and_matroska_doctype():
+    from littletable_spark.functions.mkvcodec import mkv_info, sniff_mkv
+
+    got = mkv_info(
+        _mkv(doctype="matroska", title=None, unknown_segment_size=True)
+    )
+    assert got["format"] == "mkv"
+    assert got["title"] is None
+    assert got["duration_s"] == 4.0
+
+    assert not sniff_mkv(b"\x1a\x45\xdf\xa4nope")
+    with pytest.raises(ValueError):
+        mkv_info(b"no ebml here.....................")
+    with pytest.raises(ValueError):
+        # EBML header but no Segment
+        mkv_info(el(0x1A45DFA3, el(0x4282, b"webm")))
+
+
+# ------------------------------------------------------------------ #
+# MP4 intra-frame sampling (sample-table walk)
+
+
+def _stbl(sizes: list[int], chunk_offsets: list[int],
+          stsc: list[tuple[int, int]], fourcc: bytes = b"jpeg") -> bytes:
+    stsz = fullbox(
+        b"stsz", 0,
+        struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = fullbox(
+        b"stco", 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stsc_b = fullbox(
+        b"stsc", 0,
+        struct.pack(">I", len(stsc))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in stsc),
+    )
+    return box(b"stbl", video_stsd(fourcc), stsz, stco, stsc_b)
+
+
+def test_mp4_video_frames_sample_table():
+    from littletable_spark.functions.mp4codec import (
+        mp4_video_frames,
+        sample_mp4_frames,
+    )
+
+    frames = [b"F0!", b"F1x!", b"F2xx!", b"F3xxx!"]
+    ft = ftyp()
+    mdat_payload = b"".join(frames)
+    mdat = box(b"mdat", mdat_payload)
+    base = len(ft) + 8  # payload offset of the first frame
+    # chunk 1 holds 2 samples, chunk 2 holds the rest
+    offs = [base, base + len(frames[0]) + len(frames[1])]
+    tk = box(
+        b"trak",
+        box(
+            b"mdia", hdlr(b"vide"),
+            box(b"minf", _stbl([len(f) for f in frames], offs, [(1, 2)])),
+        ),
+    )
+    blob = ft + mdat + box(b"moov", mvhd(1000, 4000), tk)
+    assert mp4_video_frames(blob) == frames
+    assert sample_mp4_frames(blob, 2) == [(0, frames[0]), (2, frames[2])]
+    assert sample_mp4_frames(blob, 9) == list(enumerate(frames))
+
+    # inter-coded tracks refuse (they need ffmpeg)
+    tk_avc = box(
+        b"trak",
+        box(
+            b"mdia", hdlr(b"vide"),
+            box(b"minf", _stbl([3], [base], [(1, 1)], fourcc=b"avc1")),
+        ),
+    )
+    with pytest.raises(ValueError):
+        mp4_video_frames(ft + mdat + box(b"moov", tk_avc))
+    # sample beyond the blob
+    tk_far = box(
+        b"trak",
+        box(
+            b"mdia", hdlr(b"vide"),
+            box(b"minf", _stbl([9999], [base], [(1, 1)])),
+        ),
+    )
+    with pytest.raises(ValueError):
+        mp4_video_frames(ft + mdat + box(b"moov", tk_far))
+
+
+def test_frame_sample_routes_mp4(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import frame_sample
+
+    frames = [b"AA", b"BBB", b"CCCC"]
+    ft = ftyp()
+    mdat = box(b"mdat", b"".join(frames))
+    base = len(ft) + 8
+    tk = box(
+        b"trak",
+        box(
+            b"mdia", hdlr(b"vide"),
+            box(b"minf", _stbl([len(f) for f in frames], [base], [(1, 3)])),
+        ),
+    )
+    blob = ft + mdat + box(b"moov", tk)
+    t = Table("v", spark=spark)
+    t.insert_many([{"vid": 1, "blob": blob}])
+    got = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in frame_sample(t, "blob", "vid", n_frames=3, use_fake=False)
+    )
+    assert got == list(enumerate(frames))
+
+
+def test_media_info_routes_mkv(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import media_info, sniff_media
+
+    t = Table("mk", spark=spark)
+    t.insert_many([{"id": 1, "blob": _mkv()}])
+    r = media_info(t, "blob", "id").df.collect()[0]
+    assert r.media_format == "webm"
+    assert r.duration_s == 4.0
+    assert (r.width, r.height) == (1280, 720)
+    assert r.title == "Clip"
+    got = sniff_media(t, "blob", "meta").df.collect()[0]
+    assert got.meta.format == "mkv"
+
+
 def test_audio_tags_routes_ogg_m4a_flac(spark):
     """Round 14: audio_tags covers the VorbisComment family and ilst
     atoms, not just ID3."""
