@@ -1817,19 +1817,23 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media container metadata (round 14, functions/mp4codec.py +
-    oggcodec.py + the header-only wav/flac walks): REAL containers
-    are synthesized per doc in an Arrow pass — doc_id%7==0 an MP4
-    (mvhd duration, avc1 video trak with 16.16 tkhd dims, mp4a audio
-    trak, iTunes-style ilst title), %7==1 an M4A (64-bit version-1
-    mvhd, audio-only brand routing, ilst artist), %7==2 an Ogg
-    Vorbis (RFC 3533 pages with REAL CRCs; comment and setup packets
-    share a page so the packet-boundary cut is exercised; duration
-    from the final granule; VorbisComment TITLE/DATE), %7==3 an Ogg
+    oggcodec.py + mkvcodec.py + the header-only wav/flac walks):
+    REAL containers are synthesized per doc in an Arrow pass —
+    doc_id%8==0 an MP4 (mvhd duration, avc1 video trak with 16.16
+    tkhd dims, mp4a audio trak, iTunes-style ilst title), %8==1 an
+    M4A (64-bit version-1 mvhd, audio-only brand routing, ilst
+    artist), %8==2 an Ogg Vorbis (RFC 3533 pages with REAL CRCs;
+    comment and setup packets share a page so the packet-boundary
+    cut is exercised; duration from the final granule; VorbisComment
+    TITLE/DATE), %8==3 an Ogg
     Opus (RFC 7845 pre-skip subtracted at the fixed 48 kHz granule
-    rate; OpusTags ALBUM), %7==4 a PCM WAV (fmt + data-size
-    duration), %7==5 a native FLAC (STREAMINFO + VORBIS_COMMENT
-    blocks, no frames), %7==6 a text blob that must NULL under
-    on_error='null' — then ``media_info`` runs end-to-end. Every
+    rate; OpusTags ALBUM), %8==4 a PCM WAV (fmt + data-size
+    duration), %8==5 a native FLAC (STREAMINFO + VORBIS_COMMENT
+    blocks, no frames), %8==6 a WebM (EBML vints, Info
+    duration/timescale/title, V_VP9 + A_OPUS track entries, a
+    Cluster that must be skipped by size), %8==7 a text blob that
+    must NULL under on_error='null' — then ``media_info`` runs
+    end-to-end. Every
     fixture field is a pure function of doc_id, so format routing,
     duration arithmetic (all durations are exact IEEE quotients of
     identical rationals on both engines), dims, codec columns, tags,
@@ -1933,10 +1937,25 @@ def q_media_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits = (rate << 44) | ((ch - 1) << 41) | (15 << 36) | total
             return b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
 
+        def esize(n):
+            ln = 1
+            while n >= (1 << (7 * ln)) - 1:
+                ln += 1
+            raw = bytearray(n.to_bytes(ln, "big"))
+            raw[0] |= 1 << (8 - ln)
+            return bytes(raw)
+
+        def el(eid, body):
+            return (
+                eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+                + esize(len(body))
+                + body
+            )
+
         out = []
         for i in doc_id:
             i = int(i)
-            k = i % 7
+            k = i % 8
             if k == 0:
                 out.append(
                     ftyp(b"isom")
@@ -2009,6 +2028,39 @@ def q_media_info(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + b"\x00" + (34).to_bytes(3, "big")
                     + streaminfo(16000, 2, (i % 13 + 1) * 16000)
                     + b"\x84" + len(tags).to_bytes(3, "big") + tags
+                )
+            elif k == 6:
+                info = (
+                    el(0x2AD7B1, (1_000_000).to_bytes(4, "big"))
+                    + el(0x4489, st.pack(">d", (i % 19 + 1) * 1000.0))
+                    + el(0x7BA9, f"W{i}".encode())
+                )
+                vtr = el(
+                    0xAE,
+                    el(0x83, b"\x01") + el(0x86, b"V_VP9")
+                    + el(
+                        0xE0,
+                        el(0xB0, (8 * (i % 30 + 10)).to_bytes(2, "big"))
+                        + el(0xBA, (8 * (i % 22 + 8)).to_bytes(2, "big")),
+                    ),
+                )
+                atr = el(
+                    0xAE,
+                    el(0x83, b"\x02") + el(0x86, b"A_OPUS")
+                    + el(
+                        0xE1,
+                        el(0xB5, st.pack(">f", 48000.0))
+                        + el(0x9F, bytes([1 + i % 2])),
+                    ),
+                )
+                out.append(
+                    el(0x1A45DFA3, el(0x4282, b"webm"))
+                    + el(
+                        0x18538067,
+                        el(0x1549A966, info)
+                        + el(0x1654AE6B, vtr + atr)
+                        + el(0x1F43B675, b"\xde\xad" * 12),
+                    )
                 )
             else:
                 out.append(f"not media {i}".encode())
@@ -5100,55 +5152,67 @@ def oracle_sql() -> dict[str, str]:
         # ilst tags are all predicted arithmetically
         "media_info": """
             SELECT doc_id,
-                   CASE doc_id % 7 WHEN 0 THEN 'mp4' WHEN 1 THEN 'm4a'
+                   CASE doc_id % 8 WHEN 0 THEN 'mp4' WHEN 1 THEN 'm4a'
                         WHEN 2 THEN 'ogg-vorbis' WHEN 3 THEN 'ogg-opus'
                         WHEN 4 THEN 'wav' WHEN 5 THEN 'flac'
+                        WHEN 6 THEN 'webm'
                         ELSE NULL END AS media_format,
-                   CASE doc_id % 7
+                   CASE doc_id % 8
                         WHEN 0 THEN ((doc_id % 37 + 1) * 500) / 1000.0
                         WHEN 1 THEN ((doc_id % 50 + 1) * 44100) / 44100.0
                         WHEN 2 THEN (doc_id % 23 + 1)::DOUBLE
                         WHEN 3 THEN (doc_id % 11 + 1)::DOUBLE
                         WHEN 4 THEN ((doc_id % 9 + 1) * 800) / 8000.0
                         WHEN 5 THEN (doc_id % 13 + 1)::DOUBLE
+                        WHEN 6 THEN ((doc_id % 19 + 1) * 1000.0 * 1000000)
+                                    / 1000000000.0
                         ELSE NULL END AS duration_s,
-                   CASE WHEN doc_id % 7 = 0
+                   CASE WHEN doc_id % 8 = 0
                         THEN (16 * (doc_id % 20 + 4))::INTEGER
+                        WHEN doc_id % 8 = 6
+                        THEN (8 * (doc_id % 30 + 10))::INTEGER
                         ELSE NULL END AS width,
-                   CASE WHEN doc_id % 7 = 0
+                   CASE WHEN doc_id % 8 = 0
                         THEN (16 * (doc_id % 15 + 3))::INTEGER
+                        WHEN doc_id % 8 = 6
+                        THEN (8 * (doc_id % 22 + 8))::INTEGER
                         ELSE NULL END AS height,
-                   CASE WHEN doc_id % 7 = 0 THEN 'avc1'
+                   CASE doc_id % 8 WHEN 0 THEN 'avc1'
+                        WHEN 6 THEN 'V_VP9'
                         ELSE NULL END AS codec,
-                   CASE doc_id % 7 WHEN 0 THEN 'mp4a' WHEN 1 THEN 'mp4a'
+                   CASE doc_id % 8 WHEN 0 THEN 'mp4a' WHEN 1 THEN 'mp4a'
                         WHEN 2 THEN 'vorbis' WHEN 3 THEN 'opus'
                         WHEN 4 THEN 'pcm' WHEN 5 THEN 'flac'
+                        WHEN 6 THEN 'A_OPUS'
                         ELSE NULL END AS audio_codec,
-                   CASE doc_id % 7 WHEN 0 THEN 2 WHEN 3 THEN 2
+                   CASE doc_id % 8 WHEN 0 THEN 2 WHEN 3 THEN 2
                         WHEN 5 THEN 2
                         WHEN 1 THEN (1 + doc_id % 2)
                         WHEN 2 THEN (1 + doc_id % 2)
                         WHEN 4 THEN (1 + doc_id % 2)
+                        WHEN 6 THEN (1 + doc_id % 2)
                         ELSE NULL END::INTEGER AS channels,
-                   CASE doc_id % 7 WHEN 0 THEN 44100 WHEN 1 THEN 44100
+                   CASE doc_id % 8 WHEN 0 THEN 44100 WHEN 1 THEN 44100
                         WHEN 2 THEN 8000 + (doc_id % 5) * 8000
                         WHEN 3 THEN 48000 WHEN 4 THEN 8000
-                        WHEN 5 THEN 16000
+                        WHEN 5 THEN 16000 WHEN 6 THEN 48000
                         ELSE NULL END::INTEGER AS sample_rate,
-                   CASE doc_id % 7 WHEN 0 THEN 2 WHEN 6 THEN NULL
+                   CASE doc_id % 8 WHEN 0 THEN 2 WHEN 6 THEN 2
+                        WHEN 7 THEN NULL
                         ELSE 1 END::INTEGER AS n_tracks,
-                   CASE doc_id % 7
+                   CASE doc_id % 8
                         WHEN 0 THEN 'M' || doc_id::VARCHAR
                         WHEN 2 THEN 'V' || doc_id::VARCHAR
+                        WHEN 6 THEN 'W' || doc_id::VARCHAR
                         ELSE NULL END AS title,
-                   CASE WHEN doc_id % 7 = 1 THEN 'A' || doc_id::VARCHAR
+                   CASE WHEN doc_id % 8 = 1 THEN 'A' || doc_id::VARCHAR
                         ELSE NULL END AS artist,
-                   CASE WHEN doc_id % 7 = 3 THEN 'P' || doc_id::VARCHAR
+                   CASE WHEN doc_id % 8 = 3 THEN 'P' || doc_id::VARCHAR
                         ELSE NULL END AS album,
-                   CASE WHEN doc_id % 7 = 2
+                   CASE WHEN doc_id % 8 = 2
                         THEN '200' || (doc_id % 10)::VARCHAR
                         ELSE NULL END AS year,
-                   CASE WHEN doc_id % 7 = 5 THEN 'g' || doc_id::VARCHAR
+                   CASE WHEN doc_id % 8 = 5 THEN 'g' || doc_id::VARCHAR
                         ELSE NULL END AS genre
             FROM documents
         """,
