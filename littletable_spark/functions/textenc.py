@@ -15,13 +15,30 @@ bare text:
    alone never fails, so this check must come first);
 3. **UTF-8 strict** — the overwhelmingly common case, and UTF-8 is
    self-validating enough that a strict success is trusted;
-4. **statistical 8-bit / shift-jis detection** — candidate decodes
+4. **statistical multi-byte / 8-bit detection** — candidate decodes
    are scored by how many of their non-ASCII characters land in the
-   script the encoding exists to serve (Cyrillic for cp1251, CJK for
-   shift-jis, Latin letters for cp1252), with a run-length prior:
-   Cyrillic words encode as unbroken high-byte runs while Western
-   accents appear singly inside ASCII words;
+   script the encoding exists to serve (kana+ideographs for
+   shift-jis/euc-jp, Hangul for euc-kr, ideographs for gbk, Cyrillic
+   for cp1251, Latin letters for cp1252), with two structural
+   priors: the high-byte mean-run-length prior (Cyrillic/CJK words
+   encode as unbroken runs, Western accents appear singly), and —
+   round 14, the gbk-vs-cp1251 discriminator — the run PARITY
+   prior: double-byte CJK text produces even-length high-byte runs,
+   while single-byte Cyrillic words are as often odd as even, so a
+   corpus-realistic Russian sentence always shows odd runs and GBK
+   hanzi virtually never does (GBK trails 0x40-0x7E could break
+   parity but are rare in running text). Order matters and is
+   pinned by tests: euc-kr (Hangul is unambiguous) before gbk
+   (GBK decodes ANY double-byte text to plausible ideographs),
+   euc-jp (kana-gated) before gbk for the same reason, cp1251
+   (odd-run-gated) before gbk so Chinese no longer reads as
+   Cyrillic and Russian no longer reads as hanzi;
 5. **latin-1 fallback** — total decode, every byte maps somewhere.
+
+Known bound (documented, deliberate): kana-free kanji-only Japanese
+in euc-jp falls through the kana gate and detects as gbk — the
+ideograph repertoires overlap and a kana-less document carries no
+deterministic signal either way.
 
 Everything is deterministic (no chardet-style confidence sampling) so
 the DuckDB oracle can predict the chosen encoding arithmetically.
@@ -99,6 +116,28 @@ def _cjk_score(text: str) -> float:
     return hit / len(non_ascii)
 
 
+def _hangul_score(text: str) -> float:
+    non_ascii = [ord(c) for c in text if ord(c) > 0x7F]
+    if not non_ascii:
+        return 0.0
+    hit = sum(
+        1
+        for o in non_ascii
+        if 0xAC00 <= o <= 0xD7A3  # precomposed syllables
+        or 0x1100 <= o <= 0x11FF  # jamo
+        or 0x3130 <= o <= 0x318F  # compatibility jamo
+    )
+    return hit / len(non_ascii)
+
+
+def _kana_score(text: str) -> float:
+    non_ascii = [ord(c) for c in text if ord(c) > 0x7F]
+    if not non_ascii:
+        return 0.0
+    hit = sum(1 for o in non_ascii if 0x3040 <= o <= 0x30FF)
+    return hit / len(non_ascii)
+
+
 def decode_text_blob(blob: bytes) -> tuple[str, str]:
     """``(text, encoding)`` for a plain-text blob.
 
@@ -121,21 +160,59 @@ def decode_text_blob(blob: bytes) -> tuple[str, str]:
         pass
 
     sample = blob[:8192]
-    # mean high-byte run length: Cyrillic words are unbroken runs of
-    # bytes >= 0x80; Latin accents are isolated bytes in ASCII words
+    # mean high-byte run length: Cyrillic/CJK words are unbroken runs
+    # of bytes >= 0x80; Latin accents are isolated bytes in ASCII
+    # words. Run PARITY separates single-byte Cyrillic (odd runs
+    # routinely occur) from double-byte CJK (runs are even).
     runs = _HI_RUN_RE.findall(sample)
     mean_run = (sum(len(r) for r in runs) / len(runs)) if runs else 0.0
+    has_odd_run = any(len(r) % 2 for r in runs)
 
-    try:
-        sj = sample.decode("shift_jis")
-    except (UnicodeDecodeError, LookupError):
-        sj = None
+    def _try(codec: str) -> str | None:
+        try:
+            return sample.decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            return None
+
+    sj = _try("shift_jis")
     if sj is not None and mean_run >= 2.0 and _cjk_score(sj) >= 0.8:
         return blob.decode("shift_jis"), "shift_jis"
 
+    # Hangul-gated euc-kr before gbk, which decodes ANY double-byte
+    # text to plausible ideographs (round 14). The gate is 0.95, not
+    # lower: GBK hanzi can strictly decode under euc-kr into a
+    # hangul/hanja MIX via the overlapping KS X 1001 rows, but modern
+    # Korean is near-pure hangul (hanja-heavy legacy Korean falls to
+    # gbk — the documented bound, like kana-free euc-jp)
+    kr = _try("euc_kr")
+    if kr is not None and mean_run >= 2.0 and _hangul_score(kr) >= 0.95:
+        return blob.decode("euc_kr"), "euc_kr"
+
+    # euc-jp before gbk: GBK also maps the kana rows, so the kana
+    # gate must see the euc-jp candidate first
+    jp = _try("euc_jp")
+    if (
+        jp is not None
+        and mean_run >= 2.0
+        and _cjk_score(jp) >= 0.8
+        and _kana_score(jp) >= 0.2
+    ):
+        return blob.decode("euc_jp"), "euc_jp"
+
+    # cp1251 before gbk, odd-run-gated: GBK hanzi decoded as cp1251
+    # scores ~0.8 Cyrillic but its high-byte runs are all even, while
+    # real Russian text always carries odd-length words
     cyr = sample.decode("cp1251", "replace")
-    if mean_run >= 3.0 and _script_score(cyr, 0x0400, 0x04FF) >= 0.8:
+    if (
+        mean_run >= 3.0
+        and has_odd_run
+        and _script_score(cyr, 0x0400, 0x04FF) >= 0.8
+    ):
         return blob.decode("cp1251", "replace"), "cp1251"
+
+    zh = _try("gbk")
+    if zh is not None and mean_run >= 2.0 and _cjk_score(zh) >= 0.8:
+        return blob.decode("gbk"), "gbk"
 
     w = sample.decode("cp1252", "replace")
     if "�" not in w and _script_score(w, 0x00A0, 0x024F) >= 0.5:

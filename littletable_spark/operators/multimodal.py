@@ -642,7 +642,8 @@ def extract_text(
       ``on_error``);
     - everything else: bare text through the charset decode ladder
       (``functions/textenc.py``: BOM sniff → UTF-8 strict → detected
-      cp1251/shift-jis/cp1252 → latin-1 fallback), the chosen codec
+      shift-jis/euc-kr/euc-jp/cp1251/gbk/cp1252 → latin-1
+      fallback), the chosen codec
       recorded in the ``encoding`` column; binary junk (NULs,
       control-heavy) raises instead of mis-decoding. SRT / WebVTT
       subtitles (round 14, ``functions/subcodec.py``) are sniffed

@@ -82,6 +82,95 @@ def test_shift_jis():
     assert decode_text_blob(t.encode("shift_jis")) == (t, "shift_jis")
 
 
+def test_gbk_chinese():
+    t = "这是一个简单的中文测试句子，包含标点符号。机器学习模型需要大量数据。"
+    assert decode_text_blob(t.encode("gbk")) == (t, "gbk")
+    # with an ASCII prefix, like real docs
+    t2 = "Report 2024: " + t
+    assert decode_text_blob(t2.encode("gbk")) == (t2, "gbk")
+
+
+def test_euc_kr_korean():
+    t = "이것은 간단한 한국어 테스트 문장입니다. 기계 학습 모델은 많은 데이터가 필요합니다."
+    assert decode_text_blob(t.encode("euc_kr")) == (t, "euc_kr")
+
+
+def test_euc_jp_japanese():
+    t = "これは簡単な日本語のテスト文です。機械学習モデルには大量のデータが必要です。"
+    assert decode_text_blob(t.encode("euc_jp")) == (t, "euc_jp")
+
+
+def test_gbk_not_misread_as_cp1251():
+    """Round-14 regression: GBK hanzi decoded as cp1251 scores ~0.8
+    Cyrillic and used to clear the threshold; the even-run-parity
+    prior now routes it to gbk (double-byte runs are even, Russian
+    words are routinely odd)."""
+    t = "数据处理管道需要正确的字符编码检测功能。"
+    _, enc = decode_text_blob(t.encode("gbk"))
+    assert enc == "gbk"
+
+
+def test_korean_not_misread_as_gbk_or_cp1251():
+    """EUC-KR decodes 'validly' under GBK into plausible ideographs —
+    the Hangul gate must win first."""
+    t = "한국어 문서가 중국어로 오인되면 안 됩니다."
+    _, enc = decode_text_blob(t.encode("euc_kr"))
+    assert enc == "euc_kr"
+
+
+def test_russian_not_misread_as_gbk():
+    """Cyrillic byte runs can form valid GBK pairs; the cp1251 check
+    (odd-run-gated) must still come first and win."""
+    t = "Это простое русское предложение для проверки декодирования текста."
+    assert decode_text_blob(t.encode("cp1251")) == (t, "cp1251")
+
+
+def test_detection_sweep_multi_sentence():
+    """32-case robustness sweep: four varied sentences per multi-byte
+    encoding (two for the short-fixture pairs), each with and without
+    an ASCII prefix — every case must detect its true encoding."""
+    cases = [
+        ("gbk", [
+            "北京今天的天气很好，适合出去散步。",
+            "我们需要讨论下一季度的销售计划和预算分配。",
+            "人工智能正在改变世界各地的工业生产方式。",
+            "请在明天上午十点之前提交你的工作报告。",
+        ]),
+        ("euc_kr", [
+            "서울의 날씨가 오늘 매우 좋습니다.",
+            "다음 분기 판매 계획을 논의해야 합니다.",
+            "인공지능이 전 세계 산업을 바꾸고 있습니다.",
+            "내일 오전까지 보고서를 제출해 주세요.",
+        ]),
+        ("euc_jp", [
+            "東京の天気はとても良いです。散歩に行きましょう。",
+            "来四半期の販売計画について話し合う必要があります。",
+            "人工知能は世界中の産業を変えています。",
+            "明日の朝までにレポートを提出してください。",
+        ]),
+        ("shift_jis", [
+            "大阪の天気は晴れです。",
+            "プロジェクトの進捗を確認しましょう。",
+        ]),
+        ("cp1251", [
+            "Погода в Москве сегодня замечательная.",
+            "Нам нужно обсудить план продаж на следующий квартал.",
+            "Искусственный интеллект меняет промышленность во всём мире.",
+            "Пожалуйста, отправьте отчёт до завтрашнего утра.",
+        ]),
+        ("cp1252", [
+            "Le café est déjà prêt, señor — à bientôt.",
+            "Über allen Gipfeln ist Ruh, die Vögel schweigen.",
+        ]),
+    ]
+    for enc, texts in cases:
+        for t in texts:
+            for prefix in ("", "Subject: report 42\n"):
+                text, got = decode_text_blob((prefix + t).encode(enc))
+                assert got == enc, (enc, got, t)
+                assert text == prefix + t
+
+
 def test_empty_blob():
     assert decode_text_blob(b"") == ("", "utf-8")
 
