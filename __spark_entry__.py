@@ -1549,7 +1549,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document text extraction (round 13, reshaped round 14): REAL
-    containers are synthesized per doc in an Arrow pass — doc_id%10==0
+    containers are synthesized per doc in an Arrow pass — doc_id%12==0
     a DOCX with a w:tab run + a docProps/core.xml dc:title, %10==1 an
     ODT with a run-length text:s + a meta.xml dc:title, %10==2 an
     XLSX (shared string + numeric cell + inline-string row), %10==3 a
@@ -1671,7 +1671,27 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, lg in zip(doc_id, lang):
             i = int(i)
-            k = i % 10
+            k = i % 12
+            if k == 10:  # SRT subtitles through the text ladder
+                out.append(
+                    (
+                        f"1\n00:00:01,000 --> 00:00:02,000\n"
+                        f"Doc {i} line one\n\n"
+                        f"2\n00:00:03,000 --> 00:00:04,500\n"
+                        f"<i>{lg} dialog</i>\n"
+                    ).encode("ascii")
+                )
+                continue
+            if k == 11:  # WebVTT: NOTE block + cue id + voice tag
+                out.append(
+                    (
+                        f"WEBVTT\n\nNOTE synthesized\n\n"
+                        f"00:01.000 --> 00:02.000\nDoc {i} opening\n\n"
+                        f"cue-2\n00:03.000 --> 00:04.000 align:start\n"
+                        f"<v Narrator>{lg} closing</v>\n"
+                    ).encode("ascii")
+                )
+                continue
             if k == 4:  # RTF: no zip container
                 out.append(
                     (
@@ -5092,54 +5112,64 @@ def oracle_sql() -> dict[str, str]:
         "office_extract": """
             WITH t AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 10 = 0 THEN
+                     CASE WHEN doc_id % 12 = 0 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang
                        || chr(9) || 'x'
-                     WHEN doc_id % 10 = 1 THEN
+                     WHEN doc_id % 12 = 1 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang || '  x'
-                     WHEN doc_id % 10 = 2 THEN
+                     WHEN doc_id % 12 = 2 THEN
                        'Doc ' || doc_id::VARCHAR || chr(9)
                        || (doc_id % 9)::VARCHAR || chr(10) || lang
-                     WHEN doc_id % 10 = 3 THEN
+                     WHEN doc_id % 12 = 3 THEN
                        'Doc ' || doc_id::VARCHAR || chr(12) || lang
                        || chr(9) || 'x'
-                     WHEN doc_id % 10 = 4 THEN
+                     WHEN doc_id % 12 = 4 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang
                        || chr(9) || 'caf' || chr(233)
-                     WHEN doc_id % 10 = 5 THEN
+                     WHEN doc_id % 12 = 5 THEN
                        'Doc ' || doc_id::VARCHAR || chr(12) || lang
                        || ' chapter'
-                     WHEN doc_id % 10 = 7 THEN
+                     WHEN doc_id % 12 = 7 THEN
                        'Doc ' || doc_id::VARCHAR || ' caf' || chr(233)
                        || ' ' || lang
-                     WHEN doc_id % 10 = 8 THEN
+                     WHEN doc_id % 12 = 8 THEN
                        'Doc ' || doc_id::VARCHAR || ' ' || chr(1046) || lang
-                     WHEN doc_id % 10 = 9 THEN
+                     WHEN doc_id % 12 = 9 THEN
                        'Doc ' || doc_id::VARCHAR || chr(12) || lang
                        || ' deck'
+                     WHEN doc_id % 12 = 10 THEN
+                       'Doc ' || doc_id::VARCHAR || ' line one'
+                       || chr(10) || lang || ' dialog'
+                     WHEN doc_id % 12 = 11 THEN
+                       'Doc ' || doc_id::VARCHAR || ' opening'
+                       || chr(10) || lang || ' closing'
                      ELSE NULL END AS text
               FROM documents
             )
             SELECT t.doc_id,
-                   CASE WHEN t.doc_id % 10 = 0 THEN 'docx'
-                        WHEN t.doc_id % 10 = 1 THEN 'odt'
-                        WHEN t.doc_id % 10 = 2 THEN 'xlsx'
-                        WHEN t.doc_id % 10 = 3 THEN 'pptx'
-                        WHEN t.doc_id % 10 = 4 THEN 'rtf'
-                        WHEN t.doc_id % 10 = 5 THEN 'epub'
-                        WHEN t.doc_id % 10 = 7 THEN 'text'
-                        WHEN t.doc_id % 10 = 8 THEN 'text'
-                        WHEN t.doc_id % 10 = 9 THEN 'ppt'
+                   CASE WHEN t.doc_id % 12 = 0 THEN 'docx'
+                        WHEN t.doc_id % 12 = 1 THEN 'odt'
+                        WHEN t.doc_id % 12 = 2 THEN 'xlsx'
+                        WHEN t.doc_id % 12 = 3 THEN 'pptx'
+                        WHEN t.doc_id % 12 = 4 THEN 'rtf'
+                        WHEN t.doc_id % 12 = 5 THEN 'epub'
+                        WHEN t.doc_id % 12 = 7 THEN 'text'
+                        WHEN t.doc_id % 12 = 8 THEN 'text'
+                        WHEN t.doc_id % 12 = 9 THEN 'ppt'
+                        WHEN t.doc_id % 12 = 10 THEN 'srt'
+                        WHEN t.doc_id % 12 = 11 THEN 'vtt'
                         ELSE NULL END AS doc_format,
-                   CASE WHEN t.doc_id % 10 = 0 THEN 'T' || t.doc_id::VARCHAR
-                        WHEN t.doc_id % 10 = 1 THEN 'O' || t.doc_id::VARCHAR
-                        WHEN t.doc_id % 10 = 5 THEN 'E' || t.doc_id::VARCHAR
-                        WHEN t.doc_id % 10 = 6 THEN NULL
+                   CASE WHEN t.doc_id % 12 = 0 THEN 'T' || t.doc_id::VARCHAR
+                        WHEN t.doc_id % 12 = 1 THEN 'O' || t.doc_id::VARCHAR
+                        WHEN t.doc_id % 12 = 5 THEN 'E' || t.doc_id::VARCHAR
+                        WHEN t.doc_id % 12 = 6 THEN NULL
                         ELSE '' END AS title,
                    text,
                    length(text)::INTEGER AS n_chars,
-                   CASE WHEN t.doc_id % 10 = 7 THEN 'cp1252'
-                        WHEN t.doc_id % 10 = 8 THEN 'utf-16-le'
+                   CASE WHEN t.doc_id % 12 = 7 THEN 'cp1252'
+                        WHEN t.doc_id % 12 = 8 THEN 'utf-16-le'
+                        WHEN t.doc_id % 12 = 10 THEN 'utf-8'
+                        WHEN t.doc_id % 12 = 11 THEN 'utf-8'
                         ELSE NULL END AS encoding
             FROM t
         """,
