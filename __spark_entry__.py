@@ -1549,7 +1549,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document text extraction (round 13, reshaped round 14): REAL
-    containers are synthesized per doc in an Arrow pass — doc_id%12==0
+    containers are synthesized per doc in an Arrow pass — doc_id%14==0
     a DOCX with a w:tab run + a docProps/core.xml dc:title, %10==1 an
     ODT with a run-length text:s + a meta.xml dc:title, %10==2 an
     XLSX (shared string + numeric cell + inline-string row), %10==3 a
@@ -1671,7 +1671,19 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, lg in zip(doc_id, lang):
             i = int(i)
-            k = i % 12
+            k = i % 14
+            if k == 12:  # gzipped latin-1 text: transparent unwrap
+                import gzip as _gz
+
+                out.append(
+                    _gz.compress(f"Doc {i} zipped caf\xe9 {lg}".encode("latin-1"))
+                )
+                continue
+            if k == 13:  # xz utf-8 text
+                import lzma as _xz
+
+                out.append(_xz.compress(f"Doc {i} xz {lg}".encode()))
+                continue
             if k == 10:  # SRT subtitles through the text ladder
                 out.append(
                     (
@@ -5112,64 +5124,73 @@ def oracle_sql() -> dict[str, str]:
         "office_extract": """
             WITH t AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 12 = 0 THEN
+                     CASE WHEN doc_id % 14 = 0 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang
                        || chr(9) || 'x'
-                     WHEN doc_id % 12 = 1 THEN
+                     WHEN doc_id % 14 = 1 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang || '  x'
-                     WHEN doc_id % 12 = 2 THEN
+                     WHEN doc_id % 14 = 2 THEN
                        'Doc ' || doc_id::VARCHAR || chr(9)
                        || (doc_id % 9)::VARCHAR || chr(10) || lang
-                     WHEN doc_id % 12 = 3 THEN
+                     WHEN doc_id % 14 = 3 THEN
                        'Doc ' || doc_id::VARCHAR || chr(12) || lang
                        || chr(9) || 'x'
-                     WHEN doc_id % 12 = 4 THEN
+                     WHEN doc_id % 14 = 4 THEN
                        'Doc ' || doc_id::VARCHAR || chr(10) || lang
                        || chr(9) || 'caf' || chr(233)
-                     WHEN doc_id % 12 = 5 THEN
+                     WHEN doc_id % 14 = 5 THEN
                        'Doc ' || doc_id::VARCHAR || chr(12) || lang
                        || ' chapter'
-                     WHEN doc_id % 12 = 7 THEN
+                     WHEN doc_id % 14 = 7 THEN
                        'Doc ' || doc_id::VARCHAR || ' caf' || chr(233)
                        || ' ' || lang
-                     WHEN doc_id % 12 = 8 THEN
+                     WHEN doc_id % 14 = 8 THEN
                        'Doc ' || doc_id::VARCHAR || ' ' || chr(1046) || lang
-                     WHEN doc_id % 12 = 9 THEN
+                     WHEN doc_id % 14 = 9 THEN
                        'Doc ' || doc_id::VARCHAR || chr(12) || lang
                        || ' deck'
-                     WHEN doc_id % 12 = 10 THEN
+                     WHEN doc_id % 14 = 10 THEN
                        'Doc ' || doc_id::VARCHAR || ' line one'
                        || chr(10) || lang || ' dialog'
-                     WHEN doc_id % 12 = 11 THEN
+                     WHEN doc_id % 14 = 11 THEN
                        'Doc ' || doc_id::VARCHAR || ' opening'
                        || chr(10) || lang || ' closing'
+                     WHEN doc_id % 14 = 12 THEN
+                       'Doc ' || doc_id::VARCHAR || ' zipped caf'
+                       || chr(233) || ' ' || lang
+                     WHEN doc_id % 14 = 13 THEN
+                       'Doc ' || doc_id::VARCHAR || ' xz ' || lang
                      ELSE NULL END AS text
               FROM documents
             )
             SELECT t.doc_id,
-                   CASE WHEN t.doc_id % 12 = 0 THEN 'docx'
-                        WHEN t.doc_id % 12 = 1 THEN 'odt'
-                        WHEN t.doc_id % 12 = 2 THEN 'xlsx'
-                        WHEN t.doc_id % 12 = 3 THEN 'pptx'
-                        WHEN t.doc_id % 12 = 4 THEN 'rtf'
-                        WHEN t.doc_id % 12 = 5 THEN 'epub'
-                        WHEN t.doc_id % 12 = 7 THEN 'text'
-                        WHEN t.doc_id % 12 = 8 THEN 'text'
-                        WHEN t.doc_id % 12 = 9 THEN 'ppt'
-                        WHEN t.doc_id % 12 = 10 THEN 'srt'
-                        WHEN t.doc_id % 12 = 11 THEN 'vtt'
+                   CASE WHEN t.doc_id % 14 = 0 THEN 'docx'
+                        WHEN t.doc_id % 14 = 1 THEN 'odt'
+                        WHEN t.doc_id % 14 = 2 THEN 'xlsx'
+                        WHEN t.doc_id % 14 = 3 THEN 'pptx'
+                        WHEN t.doc_id % 14 = 4 THEN 'rtf'
+                        WHEN t.doc_id % 14 = 5 THEN 'epub'
+                        WHEN t.doc_id % 14 = 7 THEN 'text'
+                        WHEN t.doc_id % 14 = 8 THEN 'text'
+                        WHEN t.doc_id % 14 = 9 THEN 'ppt'
+                        WHEN t.doc_id % 14 = 10 THEN 'srt'
+                        WHEN t.doc_id % 14 = 11 THEN 'vtt'
+                        WHEN t.doc_id % 14 = 12 THEN 'text'
+                        WHEN t.doc_id % 14 = 13 THEN 'text'
                         ELSE NULL END AS doc_format,
-                   CASE WHEN t.doc_id % 12 = 0 THEN 'T' || t.doc_id::VARCHAR
-                        WHEN t.doc_id % 12 = 1 THEN 'O' || t.doc_id::VARCHAR
-                        WHEN t.doc_id % 12 = 5 THEN 'E' || t.doc_id::VARCHAR
-                        WHEN t.doc_id % 12 = 6 THEN NULL
+                   CASE WHEN t.doc_id % 14 = 0 THEN 'T' || t.doc_id::VARCHAR
+                        WHEN t.doc_id % 14 = 1 THEN 'O' || t.doc_id::VARCHAR
+                        WHEN t.doc_id % 14 = 5 THEN 'E' || t.doc_id::VARCHAR
+                        WHEN t.doc_id % 14 = 6 THEN NULL
                         ELSE '' END AS title,
                    text,
                    length(text)::INTEGER AS n_chars,
-                   CASE WHEN t.doc_id % 12 = 7 THEN 'cp1252'
-                        WHEN t.doc_id % 12 = 8 THEN 'utf-16-le'
-                        WHEN t.doc_id % 12 = 10 THEN 'utf-8'
-                        WHEN t.doc_id % 12 = 11 THEN 'utf-8'
+                   CASE WHEN t.doc_id % 14 = 7 THEN 'cp1252'
+                        WHEN t.doc_id % 14 = 8 THEN 'utf-16-le'
+                        WHEN t.doc_id % 14 = 10 THEN 'utf-8'
+                        WHEN t.doc_id % 14 = 11 THEN 'utf-8'
+                        WHEN t.doc_id % 14 = 12 THEN 'cp1252'
+                        WHEN t.doc_id % 14 = 13 THEN 'utf-8'
                         ELSE NULL END AS encoding
             FROM t
         """,

@@ -94,6 +94,11 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
         .when(hx.startswith("7B5C727466"), F.lit("rtf"))  # {\rtf
         .when(hx.startswith("504B0304"), F.lit("zip"))
         .when(hx.startswith("D0CF11E0"), F.lit("ole"))
+        # single-stream compression wrappers (round 14): typed at the
+        # container level; extract_text unwraps them transparently
+        .when(hx.startswith("1F8B"), F.lit("gzip"))
+        .when(hx.startswith("425A68"), F.lit("bzip2"))
+        .when(hx.startswith("FD377A585A00"), F.lit("xz"))
         .otherwise(F.lit("unknown"))
     )
     meta = F.struct(
@@ -611,6 +616,13 @@ def extract_text(
     step that turns a crawled/scanned blob corpus into rows the text
     operators (quality, dedup, tokenize, pack) consume.
 
+    Compressed blobs (gzip / bzip2 / xz — crawls store ``.html.gz``
+    and friends at the blob level) unwrap transparently first
+    (round 14, ``functions/compress.py``: incremental decompression
+    with a 128 MiB output cap so a zip bomb raises instead of
+    OOMing an executor, nesting bounded at 3 layers), then the
+    payload routes like any other blob.
+
     Formats, routed by content sniff:
     - PDF (``%PDF-``) via the pure-stdlib extractor in
       ``functions/pdfcodec.py`` (FlateDecode streams, BT/ET text
@@ -671,6 +683,7 @@ def extract_text(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.compress import maybe_decompress
         from ..functions.htmlcodec import extract_html_text, looks_like_html
         from ..functions.imagecodec import CORRUPT_ERRORS
         from ..functions.doccodec import extract_ole_text
@@ -692,6 +705,10 @@ def extract_text(
             for _id, b in zip(pdf[id_col], pdf[bin_col]):
                 blob = bytes(b or b"")
                 try:
+                    # transparent gzip/bzip2/xz unwrap (round 14):
+                    # crawls store .html.gz/.txt.xz at the blob level;
+                    # bomb-capped, ≤3 layers, corrupt -> on_error
+                    blob, _ = maybe_decompress(blob)
                     if blob.startswith(b"%PDF-"):
                         got = extract_pdf_doc(blob)
                         rows.append(
