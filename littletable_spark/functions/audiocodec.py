@@ -33,8 +33,10 @@ __all__ = [
     "mp3_tags",
     "sniff_mp3",
     "decode_audio_blob",
+    "decode_aiff",
     "wav_info",
     "flac_info",
+    "aiff_info",
     "wav_features",
     "audio_fingerprint",
 ]
@@ -480,10 +482,108 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
     return samples / float(1 << (s_bps - 1)), (rate or s_rate)
 
 
+def _f80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF sample rates are stored
+    this way): 1 sign + 15 exponent + 64 explicit-integer-bit
+    mantissa."""
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _aiff_chunks(blob: bytes):
+    """(form_type, iterator of (ckid, body)) for a big-endian IFF."""
+    if len(blob) < 12 or blob[:4] != b"FORM":
+        raise ValueError("not an IFF/AIFF blob")
+    form = blob[8:12]
+
+    def walk():
+        pos = 12
+        while pos + 8 <= len(blob):
+            cid, size = struct.unpack_from(">4sI", blob, pos)
+            yield cid, blob[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)  # chunks pad to even offsets
+
+    return form, walk()
+
+
+def decode_aiff(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode an AIFF / AIFF-C PCM blob to (samples, sample_rate);
+    samples float64 in [-1, 1], shape (n_frames, n_channels). AIFF-C
+    accepts the uncompressed codecs only ('NONE' big-endian, 'sowt'
+    little-endian); compressed AIFC raises for on_error."""
+    form, chunks = _aiff_chunks(blob)
+    if form not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"not an AIFF form: {form!r}")
+    comm = None
+    data = None
+    compression = b"NONE"
+    for cid, body in chunks:
+        if cid == b"COMM":
+            nch, nframes, bits = struct.unpack_from(">HIH", body, 0)
+            rate = _f80(body[8:18])
+            comm = (nch, nframes, bits, rate)
+            if form == b"AIFC" and len(body) >= 22:
+                compression = body[18:22]
+        elif cid == b"SSND":
+            offset = struct.unpack_from(">I", body, 0)[0]
+            data = body[8 + offset :]
+    if comm is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    nch, nframes, bits, rate = comm
+    if compression not in (b"NONE", b"sowt"):
+        raise ValueError(
+            f"compressed AIFC ({compression.decode('latin-1')}) needs ffmpeg"
+        )
+    endian = "<" if compression == b"sowt" else ">"
+    if bits == 8:  # AIFF 8-bit PCM is SIGNED (unlike WAV)
+        x = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, dtype=f"{endian}i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = (
+            np.frombuffer(data, dtype=f"{endian}i4").astype(np.float64)
+            / 2147483648.0
+        )
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    n = min(len(x) // max(nch, 1), nframes)
+    return x[: n * nch].reshape(n, nch), int(round(rate))
+
+
+def aiff_info(blob: bytes) -> dict:
+    """Header-only AIFF metadata — the COMM walk without touching
+    SSND samples; the AIFF analogue of ``wav_info``."""
+    form, chunks = _aiff_chunks(blob)
+    if form not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"not an AIFF form: {form!r}")
+    for cid, body in chunks:
+        if cid == b"COMM":
+            nch, nframes, bits = struct.unpack_from(">HIH", body, 0)
+            rate = int(round(_f80(body[8:18])))
+            if not rate:
+                raise ValueError("AIFF COMM rate 0")
+            return {
+                "codec": "pcm",
+                "sample_rate": rate,
+                "channels": nch,
+                "duration_s": nframes / rate,
+            }
+    raise ValueError("AIFF missing COMM chunk")
+
+
 def decode_audio_blob(blob: bytes) -> tuple[np.ndarray, int]:
-    """Container-routed audio decode: RIFF/WAVE or FLAC by magic."""
+    """Container-routed audio decode: RIFF/WAVE, AIFF, or FLAC by
+    magic."""
     if blob[:4] == b"fLaC":
         return decode_flac(blob)
+    if blob[:4] == b"FORM":
+        return decode_aiff(blob)
     return decode_wav(blob)
 
 

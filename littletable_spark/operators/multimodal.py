@@ -68,6 +68,11 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
         .when(riff & (sub == F.lit("41564920")), F.lit("avi"))
         .when(riff & (sub == F.lit("57454250")), F.lit("webp"))
         .when(riff, F.lit("riff"))
+        .when(
+            hx.startswith("464F524D")
+            & F.substring(hx, 17, 6).isin("414946", "414943"),  # AIF F/C
+            F.lit("aiff"),
+        )
         .when(hx.startswith("664C6143"), F.lit("flac"))
         .when(F.substring(hx, 9, 8) == F.lit("66747970"), F.lit("mp4"))
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"), F.lit("tiff"))
@@ -431,6 +436,8 @@ def media_info(
       (id-header rates/channels, final-granule duration,
       VorbisComment tags);
     - RIFF/WAVE via ``audiocodec.wav_info`` (fmt chunk + data size);
+    - AIFF/AIFF-C via ``audiocodec.aiff_info`` (COMM chunk incl. the
+      80-bit extended sample rate);
     - native FLAC via ``audiocodec.flac_info`` (STREAMINFO +
       VORBIS_COMMENT, no frame decode);
     - MP3 via ``audiocodec.mp3_info`` + ``mp3_tags`` (Xing/CBR
@@ -464,6 +471,7 @@ def media_info(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.audiocodec import (
+            aiff_info,
             flac_info,
             mp3_info,
             mp3_tags,
@@ -484,6 +492,8 @@ def media_info(
                 return ogg_info(blob)
             if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                 return {"format": "wav", "n_tracks": 1, **wav_info(blob)}
+            if blob[:4] == b"FORM" and blob[8:12] in (b"AIFF", b"AIFC"):
+                return {"format": "aiff", "n_tracks": 1, **aiff_info(blob)}
             if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
                 got = avi_info(blob)
                 return {"format": "avi", "codec": got.get("codec"), **got}
@@ -513,7 +523,7 @@ def media_info(
                     # audio-only containers report their codec in the
                     # unified audio_codec column
                     if "audio_codec" not in got and got.get("codec") and (
-                        got["format"] in ("wav", "flac", "mp3")
+                        got["format"] in ("wav", "aiff", "flac", "mp3")
                     ):
                         got["audio_codec"] = got.pop("codec")
                     got["media_format"] = got.pop("format")

@@ -380,6 +380,126 @@ def test_avi_info():
 
 
 # ------------------------------------------------------------------ #
+# AIFF (independent test-side writer incl. the 80-bit rate encoder)
+
+
+def _f80_enc(v: float) -> bytes:
+    """Encode a positive number as IEEE 754 80-bit extended — written
+    from the format definition (sign, 15-bit biased exponent, 64-bit
+    mantissa with explicit integer bit), independent of the reader."""
+    import math
+
+    assert v > 0
+    m, e = math.frexp(v)  # v = m * 2**e, m in [0.5, 1)
+    mant = int(m * (1 << 64))
+    return struct.pack(">H", e - 1 + 16383) + mant.to_bytes(8, "big")
+
+
+def _aiff(rate: int, channels: int, frames_pcm: bytes, nframes: int,
+          bits: int = 16, form: bytes = b"AIFF",
+          compression: bytes = b"") -> bytes:
+    comm = (
+        struct.pack(">HIH", channels, nframes, bits)
+        + _f80_enc(float(rate))
+        + compression
+    )
+    ssnd = struct.pack(">II", 0, 0) + frames_pcm
+    body = (
+        form
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + (b"\x00" if len(comm) % 2 else b"")
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_aiff_decode_and_info():
+    import numpy as np
+
+    from littletable_spark.functions.audiocodec import (
+        aiff_info,
+        decode_aiff,
+        decode_audio_blob,
+    )
+
+    samples = np.array([0, 8192, -8192, 16384, -16384, 32767], "<i2")
+    blob = _aiff(8000, 2, samples.astype(">i2").tobytes(), 3)
+    got, rate = decode_aiff(blob)
+    assert rate == 8000 and got.shape == (3, 2)
+    assert abs(got[0, 1] - 8192 / 32768.0) < 1e-12
+    # routed through the generic decoder too
+    got2, _ = decode_audio_blob(blob)
+    assert (got == got2).all()
+
+    info = aiff_info(blob)
+    assert info == {
+        "codec": "pcm", "sample_rate": 8000, "channels": 2,
+        "duration_s": 3 / 8000,
+    }
+
+
+def test_aifc_sowt_and_rejections():
+    import numpy as np
+
+    from littletable_spark.functions.audiocodec import decode_aiff
+
+    samples = np.array([100, -200, 300, -400], "<i2")
+    sowt = _aiff(
+        16000, 1, samples.tobytes(), 4, form=b"AIFC",
+        compression=b"sowt" + b"\x04sowt",
+    )
+    got, rate = decode_aiff(sowt)
+    assert rate == 16000
+    assert abs(got[1, 0] + 200 / 32768.0) < 1e-12
+
+    with pytest.raises(ValueError):
+        decode_aiff(
+            _aiff(8000, 1, b"", 0, form=b"AIFC",
+                  compression=b"ima4" + b"\x03IMA")
+        )
+    with pytest.raises(ValueError):
+        decode_aiff(b"FORM\x00\x00\x00\x04WAVE")
+    with pytest.raises(ValueError):
+        decode_aiff(b"RIFF not aiff at all")
+
+
+def test_aiff_8bit_is_signed():
+    import numpy as np
+
+    from littletable_spark.functions.audiocodec import decode_aiff
+
+    pcm = np.array([0, 64, -64, 127, -128], np.int8).tobytes()
+    got, _ = decode_aiff(_aiff(8000, 1, pcm, 5, bits=8))
+    assert abs(got[1, 0] - 0.5) < 1e-12
+    assert abs(got[4, 0] + 1.0) < 1e-12
+
+
+def test_fingerprint_wav_aiff_container_invariance():
+    """The same samples must hash identically from WAV and AIFF —
+    the container-invariance contract already pinned for FLAC."""
+    import numpy as np
+
+    from littletable_spark.functions.audiocodec import audio_fingerprint
+
+    rng = np.random.default_rng(7)
+    pcm = (rng.standard_normal(8000) * 8000).astype("<i2")
+    wav = _wav_pcm16(8000, 1, pcm.tobytes())
+    aiff = _aiff(8000, 1, pcm.astype(">i2").tobytes(), len(pcm))
+    assert audio_fingerprint(wav) == audio_fingerprint(aiff)
+
+
+def _wav_pcm16(rate: int, channels: int, data: bytes) -> bytes:
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------------------------ #
 # the unified operator
 
 
@@ -406,6 +526,7 @@ def test_media_info_operator(spark):
         {"mid": 3, "blob": _wav(8000, 1, 8000 * 2)},
         {"mid": 4, "blob": _avi(160, 120, 50, 100000)},
         {"mid": 5, "blob": b"plain text, not media at all!"},
+        {"mid": 6, "blob": _aiff(22050, 2, b"\x00" * (22050 * 4), 22050)},
     ]
     t = Table("media", spark=spark)
     t.insert_many(rows)
@@ -428,6 +549,10 @@ def test_media_info_operator(spark):
     assert (got[4].width, got[4].height) == (160, 120)
     assert got[4].codec == "MJPG"
     assert got[5].media_format is None and got[5].duration_s is None
+    assert got[6].media_format == "aiff"
+    assert got[6].audio_codec == "pcm"
+    assert got[6].duration_s == 1.0
+    assert (got[6].channels, got[6].sample_rate) == (2, 22050)
 
     with pytest.raises(Exception):
         media_info(t, "blob", "mid", on_error="raise").df.collect()
