@@ -1,7 +1,8 @@
 """Document-codec scale probe (round 13, extended round 14): the
 extract_text formats (docx / odt / xlsx / pptx / rtf / epub via
 officecodec + rtfcodec, legacy doc / xls / ppt via doccodec, plus the
-round-14 charset-ladder text rows) through the REAL Spark blob
+round-14 charset-ladder text rows, SRT subtitles, and gzipped HTML
+through the transparent unwrap) through the REAL Spark blob
 pipeline at 1x / 10x volume.
 
 Claim probed (COVERAGE.md): every extractor is per-blob CPU inside
@@ -38,7 +39,7 @@ def _blob(i: int) -> bytes:
     """One deterministic document blob per index, cycling the formats."""
     from test_doccodec import make_doc, make_xls  # test-side writers
 
-    k = i % 11
+    k = i % 13
     body = f"Document {i} body text with enough words to matter " * 8
     if k == 0:  # docx
         w = ('xmlns:w="http://schemas.openxmlformats.org/'
@@ -140,8 +141,22 @@ def _blob(i: int) -> bytes:
         return write_cfb({"PowerPoint Document": stream})
     if k == 9:  # latin-1 text (round-14 charset ladder -> cp1252)
         return (body + " caf\xe9 d\xe9j\xe0").encode("latin-1")
-    # UTF-16-LE with BOM
-    return b"\xff\xfe" + (body + " wide").encode("utf-16-le")
+    if k == 10:  # UTF-16-LE with BOM
+        return b"\xff\xfe" + (body + " wide").encode("utf-16-le")
+    if k == 11:  # SRT subtitles (round 14)
+        cues = "".join(
+            f"{c + 1}\n00:00:{c:02d},000 --> 00:00:{c + 1:02d},000\n"
+            f"cue {i}-{c} with some dialog text\n\n"
+            for c in range(12)
+        )
+        return cues.encode()
+    # gzipped HTML (round-14 transparent unwrap)
+    import gzip
+
+    return gzip.compress(
+        (f"<html><head><title>D{i}</title></head><body><p>{body}</p>"
+         "</body></html>").encode()
+    )
 
 
 def main() -> None:
@@ -173,7 +188,7 @@ def main() -> None:
         print(f"extract_{s}x  {res[f'extract_{s}x']:8.3f}s", flush=True)
     print(f"documents 10x/1x ratio: "
           f"{res['extract_10x'] / res['extract_1x']:.2f} "
-          f"({N_1X} -> {N_1X * 10} blobs, 11 formats cycling)")
+          f"({N_1X} -> {N_1X * 10} blobs, 13 formats cycling)")
 
 
 if __name__ == "__main__":
