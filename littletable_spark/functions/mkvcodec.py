@@ -46,6 +46,20 @@ _AUDIO = 0xE1
 _SAMPLING_FREQ = 0xB5
 _CHANNELS = 0x9F
 _DOCTYPE = 0x4282
+_TAGS = 0x1254C367
+_TAG = 0x7373
+_SIMPLE_TAG = 0x67C8
+_TAG_NAME = 0x45A3
+_TAG_STRING = 0x4487
+
+#: Matroska official tag names -> our unified columns
+_TAG_MAP = {
+    "TITLE": "title",
+    "ARTIST": "artist",
+    "ALBUM": "album",
+    "DATE_RELEASED": "year",
+    "GENRE": "genre",
+}
 
 
 def sniff_mkv(blob: bytes) -> bool:
@@ -188,6 +202,25 @@ def mkv_info(blob: bytes) -> dict:
                     info["channels"] = audio.get("channels", 1)
                     if "sample_rate" in audio:
                         info["sample_rate"] = audio["sample_rate"]
+        elif eid == _TAGS:
+            # Tags -> Tag -> SimpleTag pairs (TagName / TagString);
+            # segment-global tags only — per-track Targets are rare
+            # in crawled files and out of scope for one-row metadata
+            for tid, tb, te in _elements(blob, b, e):
+                if tid != _TAG:
+                    continue
+                for sid, sb, se in _elements(blob, tb, te):
+                    if sid != _SIMPLE_TAG:
+                        continue
+                    name = value = None
+                    for fid, fb, fe in _elements(blob, sb, se):
+                        if fid == _TAG_NAME:
+                            name = blob[fb:fe].decode("utf-8", "replace")
+                        elif fid == _TAG_STRING:
+                            value = blob[fb:fe].decode("utf-8", "replace")
+                    col = _TAG_MAP.get((name or "").upper())
+                    if col and value and info.get(col) is None:
+                        info[col] = value
     if duration_ticks is not None:
         info["duration_s"] = duration_ticks * timescale / 1e9
     return info

@@ -631,6 +631,34 @@ def test_mkv_webm_info():
     assert got["title"] == "Clip"
 
 
+def test_mkv_tags_element():
+    """Tags -> Tag -> SimpleTag pairs map to the unified columns; the
+    segment Title element still wins for title."""
+    from littletable_spark.functions.mkvcodec import mkv_info
+
+    def stag(name: bytes, value: bytes) -> bytes:
+        return el(0x67C8, el(0x45A3, name) + el(0x4487, value))
+
+    tags = el(
+        0x1254C367,
+        el(0x7373, stag(b"ARTIST", b"Band") + stag(b"DATE_RELEASED", b"2019")
+           + stag(b"GENRE", b"doc") + stag(b"IGNORED_NAME", b"x")),
+    )
+    base = _mkv()
+    # splice the Tags element into the Segment: rebuild with a bigger body
+    header = el(0x1A45DFA3, el(0x4282, b"webm"))
+    from littletable_spark.functions.mkvcodec import _elements
+
+    (eid, b0, e0), = list(_elements(base, len(header), len(base)))
+    assert eid == 0x18538067
+    blob = header + el(0x18538067, base[b0:e0] + tags)
+    got = mkv_info(blob)
+    assert got["artist"] == "Band"
+    assert got["year"] == "2019"
+    assert got["genre"] == "doc"
+    assert got["title"] == "Clip"  # segment Title unaffected
+
+
 def test_mkv_unknown_size_and_matroska_doctype():
     from littletable_spark.functions.mkvcodec import mkv_info, sniff_mkv
 
