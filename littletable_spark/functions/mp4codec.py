@@ -272,7 +272,9 @@ def sample_mp4_frames(blob: bytes, n_frames: int) -> list[tuple[int, bytes]]:
 def mp4_info(blob: bytes) -> dict:
     """Container metadata of an ISO-BMFF blob without decoding frames:
     ``format`` (mp4 / m4a / mov by brand + track mix), ``duration_s``
-    (mvhd duration / timescale as one float division), video
+    (mvhd duration / timescale as one float division; when the mvhd
+    duration is 0 — fragmented/DASH files — the mvex/mehd
+    fragment_duration is used instead), video
     ``width`` / ``height`` / ``codec`` fourcc from the first vide
     trak, ``audio_codec`` / ``channels`` / ``sample_rate`` from the
     first soun trak, ``n_tracks``, and the ilst ``title`` / ``artist``
@@ -302,10 +304,20 @@ def mp4_info(blob: bytes) -> dict:
         "genre": None,
     }
     has_video = False
+    timescale = mvhd_dur = mehd_dur = None
     for typ, b, e in _boxes(blob, mpos, mend):
         if typ == b"mvhd":
-            timescale, duration = _mvhd(blob, b, e)
-            info["duration_s"] = duration / timescale
+            timescale, mvhd_dur = _mvhd(blob, b, e)
+        elif typ == b"mvex":
+            # fragmented MP4 (DASH): mvhd duration is 0 and the total
+            # lives in the movie-extends mehd fragment_duration
+            mehd = _first(blob, b, e, b"mehd")
+            if mehd:
+                ver, p = _fullbox(blob, mehd[0])
+                if ver == 1:
+                    mehd_dur = struct.unpack(">Q", blob[p : p + 8])[0]
+                else:
+                    mehd_dur = struct.unpack(">I", blob[p : p + 4])[0]
         elif typ == b"trak":
             info["n_tracks"] += 1
             hdlr = _first(blob, b, e, b"mdia", b"hdlr")
@@ -334,6 +346,11 @@ def mp4_info(blob: bytes) -> dict:
             ilst = _first(blob, b, e, b"meta", b"ilst")
             if ilst:
                 info.update(_ilst_tags(blob, *ilst))
+    if timescale:
+        if mvhd_dur:
+            info["duration_s"] = mvhd_dur / timescale
+        elif mehd_dur:
+            info["duration_s"] = mehd_dur / timescale
     if brand in ("qt",):
         info["format"] = "mov"
     elif not has_video and info["audio_codec"] is not None:

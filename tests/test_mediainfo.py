@@ -202,6 +202,25 @@ def test_mp4_m4a_and_mov_routing():
     assert got["codec"] == "jpeg"
 
 
+def test_mp4_fragmented_mehd_duration():
+    """DASH-style fMP4: mvhd duration 0, total in mvex/mehd."""
+    mehd = fullbox(b"mehd", 1, struct.pack(">Q", 90000 * 12))
+    blob = ftyp() + box(
+        b"moov",
+        mvhd(90000, 0),
+        box(b"mvex", mehd),
+        trak(b"vide", video_stsd(b"avc1"), dims=(320, 180)),
+    )
+    got = mp4_info(blob)
+    assert got["duration_s"] == 12.0
+    # a v0 mehd too
+    blob0 = ftyp() + box(
+        b"moov", mvhd(1000, 0),
+        box(b"mvex", fullbox(b"mehd", 0, struct.pack(">I", 2500))),
+    )
+    assert mp4_info(blob0)["duration_s"] == 2.5
+
+
 def test_mp4_largesize_uuid_and_errors():
     blob = ftyp() + box(b"uuid", b"X" * 16 + b"junk") + box(
         b"moov",
