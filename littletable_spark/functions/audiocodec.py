@@ -92,21 +92,51 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     return x[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
 
 
+#: RIFF LIST/INFO sub-chunk ids -> unified tag columns
+_RIFF_INFO_TAGS = {
+    b"INAM": "title",
+    b"IART": "artist",
+    b"IPRD": "album",
+    b"ICRD": "year",
+    b"IGNR": "genre",
+}
+
+
+def _riff_info_tags(blob: bytes, pos: int, end: int) -> dict:
+    """Tags from a RIFF ``LIST``/``INFO`` body: NUL-terminated latin-1
+    strings per sub-chunk."""
+    out: dict = {}
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        name = _RIFF_INFO_TAGS.get(cid)
+        if name and name not in out:
+            raw = blob[pos + 8 : pos + 8 + size].split(b"\x00", 1)[0]
+            if raw:
+                out[name] = raw.decode("latin-1")
+        pos += 8 + size + (size & 1)
+    return out
+
+
 def wav_info(blob: bytes) -> dict:
     """Header-only WAV metadata — ``sample_rate`` / ``channels`` /
     ``duration_s`` from the fmt chunk and the data chunk SIZE, no
-    sample decode. Unlike ``decode_wav`` this accepts compressed
-    format tags too (metadata is still in the header; duration then
-    uses the fmt byte rate). Raises ValueError on non-WAV data."""
+    sample decode, plus the ``LIST``/``INFO`` tags (INAM/IART/IPRD/
+    ICRD/IGNR) wild WAVs carry. Unlike ``decode_wav`` this accepts
+    compressed format tags too (metadata is still in the header;
+    duration then uses the fmt byte rate). Raises ValueError on
+    non-WAV data."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
     pos, fmt, data_size = 12, None, None
+    tags: dict = {}
     while pos + 8 <= len(blob):
         cid, size = struct.unpack_from("<4sI", blob, pos)
         if cid == b"fmt " and size >= 16:
             fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
         elif cid == b"data":
             data_size = size
+        elif cid == b"LIST" and blob[pos + 8 : pos + 12] == b"INFO":
+            tags = _riff_info_tags(blob, pos + 12, pos + 8 + size)
         pos += 8 + size + (size & 1)
     if fmt is None or data_size is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -120,6 +150,7 @@ def wav_info(blob: bytes) -> dict:
         "sample_rate": rate,
         "channels": n_channels,
         "duration_s": dur,
+        **tags,
     }
 
 
@@ -558,23 +589,36 @@ def decode_aiff(blob: bytes) -> tuple[np.ndarray, int]:
 
 def aiff_info(blob: bytes) -> dict:
     """Header-only AIFF metadata — the COMM walk without touching
-    SSND samples; the AIFF analogue of ``wav_info``."""
+    SSND samples, plus the ``NAME``/``AUTH`` text chunks; the AIFF
+    analogue of ``wav_info``."""
     form, chunks = _aiff_chunks(blob)
     if form not in (b"AIFF", b"AIFC"):
         raise ValueError(f"not an AIFF form: {form!r}")
+    out: dict | None = None
+    tags: dict = {}
     for cid, body in chunks:
         if cid == b"COMM":
             nch, nframes, bits = struct.unpack_from(">HIH", body, 0)
             rate = int(round(_f80(body[8:18])))
             if not rate:
                 raise ValueError("AIFF COMM rate 0")
-            return {
+            out = {
                 "codec": "pcm",
                 "sample_rate": rate,
                 "channels": nch,
                 "duration_s": nframes / rate,
             }
-    raise ValueError("AIFF missing COMM chunk")
+        elif cid == b"NAME" and body:
+            tags.setdefault(
+                "title", body.split(b"\x00", 1)[0].decode("latin-1")
+            )
+        elif cid == b"AUTH" and body:
+            tags.setdefault(
+                "artist", body.split(b"\x00", 1)[0].decode("latin-1")
+            )
+    if out is None:
+        raise ValueError("AIFF missing COMM chunk")
+    return {**out, **tags}
 
 
 def decode_audio_blob(blob: bytes) -> tuple[np.ndarray, int]:

@@ -378,7 +378,13 @@ def audio_tags(table: Table, bin_col: str, id_col: str) -> Table:
     keys = ("title", "artist", "album", "year", "genre")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.audiocodec import flac_info, mp3_tags, sniff_mp3
+        from ..functions.audiocodec import (
+            aiff_info,
+            flac_info,
+            mp3_tags,
+            sniff_mp3,
+            wav_info,
+        )
         from ..functions.mkvcodec import mkv_info, sniff_mkv
         from ..functions.mp4codec import mp4_info, sniff_mp4
         from ..functions.oggcodec import ogg_info, sniff_ogg
@@ -402,6 +408,12 @@ def audio_tags(table: Table, bin_col: str, id_col: str) -> Table:
                         t = mkv_info(blob)
                     elif blob[:4] == b"fLaC":
                         t = flac_info(blob)
+                    elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                        t = wav_info(blob)
+                    elif blob[:4] == b"FORM" and blob[8:12] in (
+                        b"AIFF", b"AIFC",
+                    ):
+                        t = aiff_info(blob)
                     elif sniff_mp3(blob):
                         t = mp3_tags(blob)
                 except (ValueError, struct.error, IndexError):

@@ -346,6 +346,33 @@ def _wav(rate: int, channels: int, n_frames: int, tag: int = 1) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def test_wav_list_info_and_aiff_name_tags():
+    from littletable_spark.functions.audiocodec import aiff_info, wav_info
+
+    base = _wav(8000, 1, 8000)
+    info = (
+        b"INFO"
+        + b"INAM" + struct.pack("<I", 8) + b"Title A\x00"
+        + b"IART" + struct.pack("<I", 5) + b"Band\x00\x00"  # odd pad
+        + b"ICRD" + struct.pack("<I", 4) + b"1999"
+    )
+    tagged = base + b"LIST" + struct.pack("<I", len(info)) + info
+    got = wav_info(tagged)
+    assert got["title"] == "Title A"
+    assert got["artist"] == "Band"
+    assert got["year"] == "1999"
+    assert got["duration_s"] == 1.0  # fmt/data unaffected
+
+    aiff = (
+        _aiff(8000, 1, b"\x00" * 16, 8)
+        + b"NAME" + struct.pack(">I", 5) + b"Tune\x00\x00"
+        + b"AUTH" + struct.pack(">I", 2) + b"Me"
+    )
+    got = aiff_info(aiff)
+    assert got["title"] == "Tune"
+    assert got["artist"] == "Me"
+
+
 def test_wav_info_pcm_and_compressed():
     got = wav_info(_wav(16000, 2, 16000 * 3))
     assert got == {
