@@ -684,6 +684,10 @@ def extract_text(
       AFTER the ladder and shed cue indices, ``-->`` timing lines,
       NOTE/STYLE/REGION blocks, and voice/markup tags, so subtitle
       corpora land as clean dialog text (``doc_format`` srt/vtt).
+      Generic XML (``<?xml`` prolog, not XHTML — that routes to the
+      HTML codec earlier) keeps its text nodes newline-joined and
+      sheds markup (``doc_format`` xml); malformed XML degrades to
+      raw text.
 
     Titles: populated for HTML (``<title>``), PDF (/Info /Title),
     OOXML/ODF/EPUB (docProps/core.xml, meta.xml, OPF ``dc:title``),
@@ -768,6 +772,22 @@ def extract_text(
                             rows.append(
                                 (_id, "srt", "", extract_srt_text(text), enc)
                             )
+                        elif text.lstrip().startswith("<?xml"):
+                            # generic XML: keep text nodes, shed markup;
+                            # malformed XML degrades to raw text rather
+                            # than NULLing a decodable blob
+                            try:
+                                import xml.etree.ElementTree as _ET
+
+                                root = _ET.fromstring(text)
+                                body = "\n".join(
+                                    s.strip()
+                                    for s in root.itertext()
+                                    if s.strip()
+                                )
+                                rows.append((_id, "xml", "", body, enc))
+                            except _ET.ParseError:
+                                rows.append((_id, "text", "", text, enc))
                         else:
                             rows.append((_id, "text", "", text, enc))
                 except (*CORRUPT_ERRORS, UnicodeDecodeError):

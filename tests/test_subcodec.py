@@ -84,6 +84,37 @@ def test_vtt_hour_timestamps():
     assert extract_vtt_text(v) == "Late cue."
 
 
+def test_extract_text_routes_generic_xml(spark):
+    from littletable_spark import Table
+    from littletable_spark.operators.multimodal import extract_text
+
+    rss = (
+        '<?xml version="1.0"?><rss><channel><title>Feed</title>'
+        "<item><title>Post one</title><description>Body text here"
+        "</description></item></channel></rss>"
+    ).encode()
+    malformed = b'<?xml version="1.0"?><open><unclosed></open>'
+    xhtml = (
+        b'<?xml version="1.0"?><html><head><title>X</title></head>'
+        b"<body><p>xhtml body</p></body></html>"
+    )
+    t = Table("xmls", spark=spark)
+    t.insert_many(
+        [
+            {"id": 1, "blob": rss},
+            {"id": 2, "blob": malformed},
+            {"id": 3, "blob": xhtml},
+        ]
+    )
+    got = {r.id: r for r in extract_text(t, "blob", "id", on_error="null")}
+    assert got[1].doc_format == "xml"
+    assert got[1].text.splitlines() == ["Feed", "Post one", "Body text here"]
+    assert got[2].doc_format == "text"  # malformed degrades, not NULL
+    assert got[2].text.startswith("<?xml")
+    assert got[3].doc_format == "html"  # XHTML stays with the HTML codec
+    assert got[3].title == "X"
+
+
 def test_extract_text_routes_subtitles(spark):
     from littletable_spark import Table
     from littletable_spark.operators.multimodal import extract_text
