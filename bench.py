@@ -81,7 +81,7 @@ def main() -> None:
         if n not in HEADLINE
         and n.startswith(
             ("dedup", "sim", "text", "search", "url", "multimodal_image",
-             "multimodal_audio_dedup", "office", "media")
+             "multimodal_audio_dedup", "office", "media", "archive")
         )
     ]
 

@@ -626,6 +626,70 @@ def image_hash(
     return Table.from_df(out, name=f"{table.table_name}_imghash")
 
 
+def _extract_document(
+    blob: bytes, html_main_content: bool = False
+) -> tuple[str, str, str, str | None]:
+    """One blob → ``(doc_format, title, text, encoding)`` — the
+    shared per-document core behind ``extract_text`` (one row per
+    blob) and ``extract_archive_text`` (one row per archive member).
+    Raises into the caller's ``on_error`` net for unextractable
+    input; see ``extract_text``'s docstring for the routing table."""
+    from ..functions.compress import maybe_decompress
+    from ..functions.doccodec import extract_ole_text
+    from ..functions.htmlcodec import extract_html_text, looks_like_html
+    from ..functions.officecodec import extract_office_text
+    from ..functions.pdfcodec import extract_pdf_doc
+    from ..functions.rtfcodec import extract_rtf_text
+    from ..functions.subcodec import (
+        extract_srt_text,
+        extract_vtt_text,
+        looks_like_srt,
+        looks_like_vtt,
+    )
+    from ..functions.textenc import decode_text_blob
+
+    # transparent gzip/bzip2/xz unwrap (round 14): crawls store
+    # .html.gz/.txt.xz at the blob level; bomb-capped, ≤3 layers,
+    # corrupt -> on_error
+    blob, _ = maybe_decompress(blob)
+    if blob.startswith(b"%PDF-"):
+        got = extract_pdf_doc(blob)
+        return "pdf", got["title"], got["text"], None
+    if blob.startswith(b"PK\x03\x04"):
+        kind, text, title = extract_office_text(blob)
+        return kind, title, text, None
+    if blob.startswith(b"{\\rtf"):
+        return "rtf", "", extract_rtf_text(blob), None
+    if blob.startswith(b"\xd0\xcf\x11\xe0"):
+        kind, text, title = extract_ole_text(blob)
+        return kind, title, text, None
+    if looks_like_html(blob):
+        got = extract_html_text(blob, main_content=html_main_content)
+        return "html", got["title"], got["text"], None
+    # bare text: BOM → UTF-8 strict → detected 8-bit/multi-byte →
+    # latin-1; binary junk raises. Subtitle formats (round 14) ride
+    # the same ladder, then shed cue indices, timing lines, markup.
+    text, enc = decode_text_blob(blob)
+    if looks_like_vtt(text):
+        return "vtt", "", extract_vtt_text(text), enc
+    if looks_like_srt(text):
+        return "srt", "", extract_srt_text(text), enc
+    if text.lstrip().startswith("<?xml"):
+        # generic XML: keep text nodes, shed markup; malformed XML
+        # degrades to raw text rather than NULLing a decodable blob
+        import xml.etree.ElementTree as _ET
+
+        try:
+            root = _ET.fromstring(text)
+        except _ET.ParseError:
+            return "text", "", text, enc
+        body = "\n".join(
+            s.strip() for s in root.itertext() if s.strip()
+        )
+        return "xml", "", body, enc
+    return "text", "", text, enc
+
+
 def extract_text(
     table: Table,
     bin_col: str,
@@ -709,87 +773,18 @@ def extract_text(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.compress import maybe_decompress
-        from ..functions.htmlcodec import extract_html_text, looks_like_html
         from ..functions.imagecodec import CORRUPT_ERRORS
-        from ..functions.doccodec import extract_ole_text
-        from ..functions.officecodec import extract_office_text
-        from ..functions.pdfcodec import extract_pdf_doc
-        from ..functions.rtfcodec import extract_rtf_text
-        from ..functions.subcodec import (
-            extract_srt_text,
-            extract_vtt_text,
-            looks_like_srt,
-            looks_like_vtt,
-        )
-        from ..functions.textenc import decode_text_blob
 
         for pdf in batches:
             if pdf.empty:
                 continue
             rows = []
             for _id, b in zip(pdf[id_col], pdf[bin_col]):
-                blob = bytes(b or b"")
                 try:
-                    # transparent gzip/bzip2/xz unwrap (round 14):
-                    # crawls store .html.gz/.txt.xz at the blob level;
-                    # bomb-capped, ≤3 layers, corrupt -> on_error
-                    blob, _ = maybe_decompress(blob)
-                    if blob.startswith(b"%PDF-"):
-                        got = extract_pdf_doc(blob)
-                        rows.append(
-                            (_id, "pdf", got["title"], got["text"], None)
-                        )
-                    elif blob.startswith(b"PK\x03\x04"):
-                        kind, text, title = extract_office_text(blob)
-                        rows.append((_id, kind, title, text, None))
-                    elif blob.startswith(b"{\\rtf"):
-                        rows.append(
-                            (_id, "rtf", "", extract_rtf_text(blob), None)
-                        )
-                    elif blob.startswith(b"\xd0\xcf\x11\xe0"):
-                        kind, text, title = extract_ole_text(blob)
-                        rows.append((_id, kind, title, text, None))
-                    elif looks_like_html(blob):
-                        got = extract_html_text(
-                            blob, main_content=html_main_content
-                        )
-                        rows.append(
-                            (_id, "html", got["title"], got["text"], None)
-                        )
-                    else:
-                        # bare text: BOM → UTF-8 strict → detected
-                        # 8-bit/shift-jis → latin-1; binary junk raises.
-                        # Subtitle formats (round 14) ride the same
-                        # ladder, then shed their cue indices,
-                        # timing lines, and markup.
-                        text, enc = decode_text_blob(blob)
-                        if looks_like_vtt(text):
-                            rows.append(
-                                (_id, "vtt", "", extract_vtt_text(text), enc)
-                            )
-                        elif looks_like_srt(text):
-                            rows.append(
-                                (_id, "srt", "", extract_srt_text(text), enc)
-                            )
-                        elif text.lstrip().startswith("<?xml"):
-                            # generic XML: keep text nodes, shed markup;
-                            # malformed XML degrades to raw text rather
-                            # than NULLing a decodable blob
-                            try:
-                                import xml.etree.ElementTree as _ET
-
-                                root = _ET.fromstring(text)
-                                body = "\n".join(
-                                    s.strip()
-                                    for s in root.itertext()
-                                    if s.strip()
-                                )
-                                rows.append((_id, "xml", "", body, enc))
-                            except _ET.ParseError:
-                                rows.append((_id, "text", "", text, enc))
-                        else:
-                            rows.append((_id, "text", "", text, enc))
+                    fmt, title, text, enc = _extract_document(
+                        bytes(b or b""), html_main_content
+                    )
+                    rows.append((_id, fmt, title, text, enc))
                 except (*CORRUPT_ERRORS, UnicodeDecodeError):
                     if on_error == "raise":
                         raise
@@ -810,6 +805,146 @@ def extract_text(
     inp = _bounded_blob_input(table.df.select(id_col, bin_col))
     out = inp.mapInPandas(run, schema)
     return Table.from_df(out, name=f"{table.table_name}_text")
+
+
+def extract_archive_text(
+    table: Table,
+    bin_col: str,
+    id_col: str,
+    on_error: str = "raise",
+    html_main_content: bool = False,
+    max_members: int = 10_000,
+    member_cap: int = 128 << 20,
+) -> Table:
+    """Extract document text from MULTI-MEMBER archive blobs — one
+    output row per member: ``(id, member, doc_format, title, text,
+    n_chars, encoding)``. The archive analogue of ``extract_text``
+    (crawled corpora carry source tarballs and zipped document sets
+    as single blobs), with ``frame_sample``'s one-blob-in /
+    many-rows-out Spark shape.
+
+    Containers: zip (``PK``) and tar — plain or behind the
+    gzip/bzip2/xz unwrap (``functions/compress.py``), so ``.tar.gz``
+    works. Each member routes through the SAME per-document core as
+    ``extract_text`` (``_extract_document``), compressed members
+    included (a ``.txt.gz`` inside a tar unwraps again).
+
+    Safety at corpus scale: members stop at ``max_members`` per
+    archive; a member whose DECLARED size exceeds ``member_cap``
+    becomes an on_error row without being read (the zip-bomb shape —
+    central-directory sizes lie cheap, materializing them doesn't);
+    directory entries and empty members are skipped.
+
+    ``on_error="null"`` emits per-MEMBER null rows (the member name
+    is kept for the audit trail); a blob that is not an archive at
+    all yields one null row with a NULL member. ``"raise"``
+    propagates.
+
+    NOTE: construction runs one eager column-pruned count job to bound
+    the Arrow feed partitions — see ``_bounded_blob_input``.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(
+            f"extract_archive_text: on_error must be raise|null, "
+            f"got {on_error!r}"
+        )
+    id_type = dict(table._require_df().dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, member string, doc_format string, "
+        "title string, text string, n_chars int, encoding string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+        import zipfile
+
+        from ..functions.compress import maybe_decompress
+        from ..functions.imagecodec import CORRUPT_ERRORS
+
+        def members(blob: bytes):
+            """Yield (name, payload_bytes_or_None_when_capped)."""
+            if blob.startswith(b"PK\x03\x04"):
+                try:
+                    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                        for zi in zf.infolist()[:max_members]:
+                            if zi.is_dir() or zi.file_size == 0:
+                                continue
+                            if zi.file_size > member_cap:
+                                yield zi.filename, None
+                            else:
+                                yield zi.filename, zf.read(zi)
+                except zipfile.BadZipFile as exc:
+                    raise ValueError(f"corrupt zip: {exc}") from exc
+                return
+            try:
+                tf = tarfile.open(fileobj=io.BytesIO(blob), mode="r:")
+            except tarfile.TarError as exc:
+                raise ValueError(f"not a zip/tar archive: {exc}") from exc
+            with tf:
+                count = 0
+                for ti in tf:
+                    if count >= max_members:
+                        break
+                    if not ti.isfile() or ti.size == 0:
+                        continue
+                    count += 1
+                    if ti.size > member_cap:
+                        yield ti.name, None
+                    else:
+                        f = tf.extractfile(ti)
+                        yield ti.name, f.read() if f else b""
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _id, b in zip(pdf[id_col], pdf[bin_col]):
+                blob = bytes(b or b"")
+                try:
+                    blob, _ = maybe_decompress(blob)  # .tar.gz et al.
+                    for name, payload in members(blob):
+                        if payload is None:  # declared size over cap
+                            if on_error == "raise":
+                                raise ValueError(
+                                    f"member {name!r} exceeds {member_cap}"
+                                )
+                            rows.append(
+                                (_id, name, None, None, None, None)
+                            )
+                            continue
+                        try:
+                            fmt, title, text, enc = _extract_document(
+                                payload, html_main_content
+                            )
+                            rows.append((_id, name, fmt, title, text, enc))
+                        except (*CORRUPT_ERRORS, UnicodeDecodeError):
+                            if on_error == "raise":
+                                raise
+                            rows.append(
+                                (_id, name, None, None, None, None)
+                            )
+                except (*CORRUPT_ERRORS, UnicodeDecodeError, OSError):
+                    if on_error == "raise":
+                        raise
+                    rows.append((_id, None, None, None, None, None))
+            yield pd.DataFrame(
+                {
+                    id_col: [r[0] for r in rows],
+                    "member": [r[1] for r in rows],
+                    "doc_format": [r[2] for r in rows],
+                    "title": [r[3] for r in rows],
+                    "text": [r[4] for r in rows],
+                    "n_chars": [
+                        len(r[4]) if r[4] is not None else None for r in rows
+                    ],
+                    "encoding": [r[5] for r in rows],
+                }
+            )
+
+    inp = _bounded_blob_input(table.df.select(id_col, bin_col))
+    out = inp.mapInPandas(run, schema)
+    return Table.from_df(out, name=f"{table.table_name}_archive_text")
 
 
 def image_dup_pairs(
