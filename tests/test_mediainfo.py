@@ -834,6 +834,56 @@ def test_media_info_routes_mkv(spark):
     assert got.meta.format == "mkv"
 
 
+def test_parsers_raise_catchable_errors_on_fuzz():
+    """The on_error contract: every container walk must terminate and
+    raise only the error types media_info's net catches (ValueError /
+    struct.error / IndexError) on arbitrary junk — random bytes,
+    magic-prefixed junk, and truncations of valid fixtures."""
+    import random
+    import struct as st
+
+    from littletable_spark.functions.audiocodec import (
+        aiff_info,
+        flac_info,
+        wav_info,
+    )
+    from littletable_spark.functions.mkvcodec import mkv_info
+    from littletable_spark.functions.mp4codec import mp4_info, mp4_video_frames
+    from littletable_spark.functions.oggcodec import ogg_info
+    from littletable_spark.functions.videocodec import avi_info
+
+    parsers = [
+        mp4_info, mp4_video_frames, ogg_info, mkv_info,
+        wav_info, flac_info, aiff_info, avi_info,
+    ]
+    magics = [
+        b"", b"\x00" * 64,
+        b"OggS" + b"\x00" * 40,
+        b"\x1a\x45\xdf\xa3" + b"\xff" * 40,
+        b"fLaC" + b"\x7f" * 20,
+        b"FORM\x00\x00\x00\x30AIFF" + b"\x99" * 40,
+        b"RIFF\x00\x00\x00\x30WAVE" + b"\x77" * 40,
+        b"RIFF\x00\x00\x00\x30AVI " + b"\x55" * 40,
+        st.pack(">I4s", 24, b"ftyp") + b"isom" + b"\x00" * 12,
+    ]
+    valid = [
+        _mkv(),
+        ftyp() + box(b"moov", mvhd(1000, 5000)),
+        _wav(8000, 1, 100),
+        _avi(32, 32, 10, 1000),
+    ]
+    rng = random.Random(1234)
+    cases = list(magics)
+    cases += [bytes(rng.randrange(256) for _ in range(64)) for _ in range(40)]
+    cases += [v[:k] for v in valid for k in (5, 13, 21, len(v) - 3)]
+    for blob in cases:
+        for parse in parsers:
+            try:
+                parse(blob)
+            except (ValueError, st.error, IndexError):
+                pass  # the contract: catchable, terminating
+
+
 def test_audio_tags_routes_ogg_m4a_flac(spark):
     """Round 14: audio_tags covers the VorbisComment family and ilst
     atoms, not just ID3."""
