@@ -748,11 +748,17 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _jpeg_entropy_segments(blob: bytes, pos: int) -> tuple[list[bytes], int]:
-    """Split a scan's entropy-coded data at restart markers, with FF00
-    byte-unstuffing — each returned segment is pure huffman bits. Also
-    returns the position of the marker that ended the scan (so a
-    multi-scan progressive stream can keep parsing)."""
+def _jpeg_entropy_segments(
+    blob: bytes, pos: int, raw: bool = False
+) -> tuple[list[bytes], int]:
+    """Split a scan's entropy-coded data at restart markers. Huffman
+    mode (default) FF00-unstuffs so each segment is pure huffman
+    bits. ``raw=True`` (arithmetic scans) keeps bytes VERBATIM: in
+    the QM coder the byte after 0xFF carries seven real data bits
+    (F.1.4.3's carry-guard stuffing), so any value ≤ 0x8F after FF
+    is data, not stuffing to strip — the arithmetic BYTEIN applies
+    the 7-bit rule itself. Also returns the position of the marker
+    that ended the scan (so a multi-scan stream can keep parsing)."""
     segments: list[bytes] = []
     cur = bytearray()
     n = len(blob)
@@ -763,8 +769,11 @@ def _jpeg_entropy_segments(blob: bytes, pos: int) -> tuple[list[bytes], int]:
             pos += 1
             continue
         m = blob[pos + 1] if pos + 1 < n else 0xD9
-        if m == 0x00:  # stuffed literal FF
-            cur.append(0xFF)
+        if m == 0x00 or (raw and m <= 0x8F):
+            if raw:  # keep the FF and its 7-bit follower verbatim
+                cur += blob[pos : pos + 2]
+            else:  # stuffed literal FF
+                cur.append(0xFF)
             pos += 2
         elif 0xD0 <= m <= 0xD7:  # RSTn
             segments.append(bytes(cur))
@@ -854,16 +863,347 @@ def _jpeg_ac_refine(bits, coef, act, band_lo, Se, Al, eobrun) -> int:
     return eobrun
 
 
+# ------------------------------------------------------- arithmetic coding
+# ITU-T T.81 Annex F arithmetic-coded JPEG (SOF9 sequential, SOF10
+# progressive). ``_ARITH_QE`` is the normative QM-coder probability
+# state machine, T.81 Table D.3 (shared with JBIG / T.82): per state
+# (Qe, NMPS, NLPS, SWITCH). tests/test_libcodec_diff.py pins this
+# table byte-for-byte against the system libjpeg's exported
+# ``jpeg_aritab`` AND differentials whole-image decodes against
+# libjpeg-encoded arithmetic fixtures (libjpeg-turbo ships both the
+# arithmetic encoder and decoder, so the fixtures are genuine).
+_ARITH_QE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _JpegArithDecoder:
+    """The T.81 Annex F binary arithmetic DECODER over one entropy
+    segment, with every register/feed convention pinned EMPIRICALLY
+    against the system libjpeg encoder via a known-plaintext channel
+    (progressive DC-refinement scans encode one chosen bit per block
+    through the non-adaptive fixed bin; 2,800 bits across seven
+    fixtures incl. 0xFF-stuffed streams decode exactly —
+    tests/test_libcodec_diff.py):
+
+    - byte stuffing: a 0x00 after 0xFF is a stuffed carry guard and
+      is DISCARDED (the 0xFF is a full data byte); past the end of
+      the segment (the scan's terminating marker) 0x00 bytes feed;
+    - init: THREE unstuffed bytes preload the code register,
+      ``C = (b0<<16 | b1<<8 | b2) << 8``, ``CT = 0``, ``A = 0x10000``;
+    - DECODE: ``A -= Qe``; ``Chigh >= A`` means the TOP (LPS-sized)
+      subinterval — ``C -= A<<16``, decoded symbol is MPS when
+      ``A < Qe`` (conditional exchange) else LPS, then ``A = Qe`` and
+      renormalize; the bottom subinterval decodes MPS (exchanged to
+      LPS when ``A < Qe``) and renormalizes when ``A < 0x8000``;
+    - RENORMD: before each shift, if ``CT == 0`` the next unstuffed
+      byte ORs into bits 0-7 with ``CT = 8``; shift A and C left,
+      ``CT -= 1``, until ``A & 0x8000``.
+
+    Restart intervals get fresh decoder instances. Statistics bins
+    are ``[state_index, mps]`` lists owned by the caller."""
+
+    __slots__ = ("d", "n", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.n = len(data)
+        self.bp = 0
+        b0 = self._byte()
+        b1 = self._byte()
+        b2 = self._byte()
+        self.c = (((b0 << 16) | (b1 << 8) | b2) << 8) & 0xFFFFFFFF
+        self.ct = 0
+        self.a = 0x10000
+
+    def _byte(self) -> int:
+        """Next unstuffed data byte; 0x00 forever past the end."""
+        d, n = self.d, self.n
+        while True:
+            bp = self.bp
+            if bp >= n:
+                return 0x00
+            b = d[bp]
+            self.bp = bp + 1
+            if b == 0x00 and bp >= 1 and d[bp - 1] == 0xFF:
+                continue  # stuffed carry-guard zero
+            return b
+
+    def _renorm(self) -> None:
+        while True:
+            if self.ct == 0:
+                self.c |= self._byte()
+                self.ct = 8
+            self.a = (self.a << 1) & 0x1FFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                return
+
+    def decide(self, st: list) -> int:
+        """One binary decision against statistics bin ``st``."""
+        qe, nmps, nlps, switch = _ARITH_QE[st[0]]
+        mps = st[1]
+        self.a -= qe
+        if (self.c >> 16) >= self.a:
+            # top (LPS-sized) subinterval
+            self.c -= self.a << 16
+            if self.a < qe:  # conditional exchange
+                d = mps
+                st[0] = nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    st[1] = 1 - mps
+                st[0] = nlps
+            self.a = qe
+            self._renorm()
+        elif self.a & 0x8000 == 0:
+            if self.a < qe:  # conditional exchange
+                d = 1 - mps
+                if switch:
+                    st[1] = 1 - mps
+                st[0] = nlps
+            else:
+                d = mps
+                st[0] = nmps
+            self._renorm()
+        else:
+            d = mps
+        return d
+
+
+def _arith_decode_dc(dec, dc_st, fixed, dc_ctx, last_dc, ci, cond):
+    """One DC difference (F.2.4.1 via figures F.23/F.24): the zero /
+    sign / magnitude-category / magnitude-bits decision tree with the
+    L/U conditioning that picks the next block's context."""
+    low, up = cond
+    base = dc_ctx[ci]
+    if dec.decide(dc_st[base]) == 0:
+        dc_ctx[ci] = 0
+        return last_dc[ci]
+    sign = dec.decide(dc_st[base + 1])
+    st = base + 2 + sign
+    m = dec.decide(dc_st[st])
+    if m:
+        st = 20  # Table F.4: X1
+        while dec.decide(dc_st[st]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG arith DC magnitude overflow")
+            st += 1
+    if m < (1 << low) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    v = m
+    st += 14  # Table F.4: M = X + 14
+    while m := m >> 1:
+        if dec.decide(dc_st[st]):
+            v |= m
+    v += 1
+    last_dc[ci] += -v if sign else v
+    return last_dc[ci]
+
+
+def _arith_decode_ac(dec, coef, ac_st, fixed, lo, Se, Al, kx):
+    """One block's AC band, first pass (sequential, or progressive
+    Ah == 0): per-k EOB decision, zero-run walk, sign via the fixed
+    (non-adaptive) bin, magnitude category + bits (F.2.4.2)."""
+    zz = _JPEG_ZIGZAG
+    k = lo
+    while k <= Se:
+        st = 3 * (k - 1)
+        if dec.decide(ac_st[st]):  # EOB
+            return
+        while dec.decide(ac_st[st + 1]) == 0:
+            st += 3
+            k += 1
+            if k > Se:
+                raise ValueError("JPEG arith AC run overflow")
+        sign = dec.decide(fixed)
+        st += 2
+        m = dec.decide(ac_st[st])
+        if m and dec.decide(ac_st[st]):
+            m = 2
+            st = 189 if k <= kx else 217
+            while dec.decide(ac_st[st]):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("JPEG arith AC magnitude overflow")
+                st += 1
+        v = m
+        st += 14
+        while m := m >> 1:
+            if dec.decide(ac_st[st]):
+                v |= m
+        v += 1
+        coef[zz[k]] = (-v if sign else v) << Al
+        k += 1
+
+
+def _arith_refine_ac(dec, coef, ac_st, fixed, Ss, Se, Al):
+    """One block's AC refinement pass (progressive Ah > 0): EOBx flag
+    above the previous stage's highest nonzero index, correction bits
+    for known coefficients, fixed-bin signs for new ones (G.2 via the
+    same statistics layout)."""
+    zz = _JPEG_ZIGZAG
+    p1 = 1 << Al
+    m1 = -1 << Al
+    kex = Se
+    while kex >= 1 and coef[zz[kex]] == 0:
+        kex -= 1
+    k = Ss
+    while k <= Se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decide(ac_st[st]):
+                return
+        while True:
+            z = zz[k]
+            if coef[z] != 0:
+                if dec.decide(ac_st[st + 2]):
+                    coef[z] += m1 if coef[z] < 0 else p1
+                break
+            if dec.decide(ac_st[st + 1]):
+                coef[z] = m1 if dec.decide(fixed) else p1
+                break
+            st += 3
+            k += 1
+            if k > Se:
+                raise ValueError("JPEG arith AC refinement overflow")
+        k += 1
+
+
+def _decode_arith_scans(blob_scans, frame, coefs, hmax, vmax, fw, fh):
+    """Execute every arithmetic-coded scan (SOF9 sequential / SOF10
+    progressive) against the shared coefficient grids — the
+    arithmetic counterpart of the huffman scan loop in
+    ``_decode_jpeg``. Statistics bins and the DC predictors reset at
+    scan starts AND restart markers (F.2.1.1); each restart segment
+    gets a fresh arithmetic decoder."""
+    comps = frame[2]
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    for sel, Ss, Se, Ah, Al, segments, rst, dc_cond, ac_cond in blob_scans:
+
+        def fresh_stats():
+            dc = {t: [[0, 0] for _ in range(64)] for t in range(4)}
+            ac = {t: [[0, 0] for _ in range(256)] for t in range(4)}
+            return dc, ac, [113, 0], [0] * len(comps), [0] * len(comps)
+
+        dc_stats, ac_stats, fixed, dc_ctx, last_dc = fresh_stats()
+        seg_idx = 0
+        dec = _JpegArithDecoder(segments[0])
+
+        def unit(ci, by, bx, dc_id, ac_id):
+            coef = coefs[ci][by, bx]
+            if Ss == 0:
+                if Ah == 0:
+                    v = _arith_decode_dc(
+                        dec, dc_stats[dc_id], fixed, dc_ctx, last_dc,
+                        ci, dc_cond.get(dc_id, (0, 1)),
+                    )
+                    coef[0] = v << Al
+                elif dec.decide(fixed):  # DC refinement: one fixed bit
+                    coef[0] |= 1 << Al
+            if Se >= 1 and Se >= Ss:
+                lo = max(Ss, 1)
+                if lo <= Se:
+                    if Ah == 0:
+                        _arith_decode_ac(
+                            dec, coef, ac_stats[ac_id], fixed, lo, Se,
+                            Al, ac_cond.get(ac_id, 5),
+                        )
+                    else:
+                        _arith_refine_ac(
+                            dec, coef, ac_stats[ac_id], fixed, lo, Se, Al
+                        )
+
+        def restart():
+            nonlocal dec, dc_stats, ac_stats, fixed, dc_ctx, last_dc, seg_idx
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG truncated at restart marker")
+            dc_stats, ac_stats, fixed, dc_ctx, last_dc = fresh_stats()
+            dec = _JpegArithDecoder(segments[seg_idx])
+
+        if len(sel) > 1:
+            for mcu in range(mcux * mcuy):
+                if rst and mcu and mcu % rst == 0:
+                    restart()
+                my, mx = divmod(mcu, mcux)
+                for ci, dc_id, ac_id in sel:
+                    _cid, hs, vs, _tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            unit(ci, my * vs + by, mx * hs + bx, dc_id, ac_id)
+        else:
+            ci, dc_id, ac_id = sel[0]
+            _cid, hs, vs, _tq = comps[ci]
+            comp_w = -(-(fw * hs) // hmax)
+            comp_h = -(-(fh * vs) // vmax)
+            nbx = -(-comp_w // 8)
+            nby = -(-comp_h // 8)
+            for i in range(nbx * nby):
+                if rst and i and i % rst == 0:
+                    restart()
+                by, bx = divmod(i, nbx)
+                unit(ci, by, bx, dc_id, ac_id)
+
+
 def _decode_jpeg(blob: bytes) -> np.ndarray:
-    """Sequential (SOF0/SOF1) AND progressive (SOF2) 8-bit huffman
+    """Sequential (SOF0/SOF1), progressive (SOF2) 8-bit huffman, AND
+    arithmetic-coded (SOF9 sequential / SOF10 progressive, round 14)
     JPEG: the unified T.81 model — every scan accumulates into
     per-component integer coefficient grids (baseline is one
     interleaved scan with Ss=0, Se=63, Ah=Al=0), progressive adds
     spectral selection, EOB runs, and DC/AC successive approximation
-    (Annex G). Then one dequant + matrix IDCT + nearest-neighbor
-    chroma upsampling + JFIF YCbCr->RGB pass over the final grids.
-    Arithmetic coding / hierarchical / lossless SOFs raise ValueError
-    (PIL fallback / on_error policy upstream)."""
+    (Annex G); arithmetic scans run the Annex F QM-coder procedures
+    (``_decode_arith_scans``) against the same grids. Then one
+    dequant + matrix IDCT + nearest-neighbor chroma upsampling +
+    JFIF YCbCr->RGB pass over the final grids. Hierarchical /
+    lossless / 12-bit SOFs raise ValueError (PIL fallback / on_error
+    policy upstream)."""
     if not blob.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -873,6 +1213,9 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     restart_interval = 0
     orientation = 1  # EXIF tag 0x0112; 1 = upright
     adobe_transform = None  # APP14: 0=RGB/CMYK, 1=YCbCr, 2=YCCK
+    arith_frame = False
+    dc_cond: dict[int, tuple] = {}  # DAC (L, U) per DC table
+    ac_cond: dict[int, int] = {}  # DAC Kx per AC table
     # each scan: (sel[(ci, dc_id, ac_id)], Ss, Se, Ah, Al, segments,
     #             restart_interval, dc_tables, ac_tables)
     scans: list[tuple] = []
@@ -918,7 +1261,10 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                     counts, symbols
                 )
                 i += 17 + total
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / prog.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # baseline / extended sequential / progressive huffman,
+            # plus their ARITHMETIC twins SOF9 (sequential) and
+            # SOF10 (progressive) — T.81 Annex F (round 14)
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"JPEG precision {prec} not supported")
@@ -927,12 +1273,23 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            arith_frame = marker in (0xC9, 0xCA)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF{marker - 0xC0} (non-baseline/progressive) "
-                "not supported"
+                f"JPEG SOF{marker - 0xC0} "
+                "(hierarchical/lossless/12-bit) not supported"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (F.1.4.4)
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 15
+                val = body[i + 1]
+                if tc:
+                    ac_cond[tb] = val  # Kx
+                else:
+                    dc_cond[tb] = (val & 15, val >> 4)  # (L, U)
+                i += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":  # APP1
@@ -949,13 +1306,21 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                 cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * s)
                 sel.append((cids.index(cs), tdta >> 4, tdta & 15))
             Ss, Se, AhAl = struct.unpack_from(">BBB", body, 1 + 2 * ns)
-            segments, pos = _jpeg_entropy_segments(blob, pos)
-            scans.append(
-                (
-                    sel, Ss, Se, AhAl >> 4, AhAl & 15, segments,
-                    restart_interval, dict(huff_dc), dict(huff_ac),
+            segments, pos = _jpeg_entropy_segments(blob, pos, raw=arith_frame)
+            if arith_frame:
+                scans.append(
+                    (
+                        sel, Ss, Se, AhAl >> 4, AhAl & 15, segments,
+                        restart_interval, dict(dc_cond), dict(ac_cond),
+                    )
                 )
-            )
+            else:
+                scans.append(
+                    (
+                        sel, Ss, Se, AhAl >> 4, AhAl & 15, segments,
+                        restart_interval, dict(huff_dc), dict(huff_ac),
+                    )
+                )
         # all other markers (APPn, COM) are skipped via seglen
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
@@ -970,6 +1335,10 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
         np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
         for (_cid, hs, vs, _tq) in comps
     ]
+
+    if arith_frame:
+        _decode_arith_scans(scans, frame, coefs, hmax, vmax, fw, fh)
+        scans = []
 
     for sel, Ss, Se, Ah, Al, segments, rst, dc_tabs, ac_tabs in scans:
         eobrun = 0

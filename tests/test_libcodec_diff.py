@@ -309,3 +309,198 @@ def test_jpeg_differential_vs_libjpeg():
         # orders of magnitude past this band
         assert diff.max() <= 5, f"{stem}: max diff {diff.max()}"
         assert diff.mean() < 1.0, f"{stem}: mean diff {diff.mean()}"
+
+
+# ------------------------------------------- libjpeg ARITHMETIC coding
+# Round 14: libjpeg-turbo ships BOTH the arithmetic encoder and
+# decoder, so arithmetic-coded fixtures are genuine (encoded by the
+# system library) and the decode differential is true. The worker
+# discovers sizeof(jpeg_compress_struct) with the same wrong-size
+# trick, sets the classic v62 ABI fields by offset, and SELF-CHECKS:
+# the produced stream must decode back through libjpeg to the input
+# (lossy-close), must carry SOF9/SOF10, and the baseline control
+# fixture's dims must match — so a wrong struct offset fails loudly
+# instead of producing huffman files silently.
+_JPEG_ARITH_ENC_WORKER = textwrap.dedent(
+    """
+    import ctypes, json, sys
+
+    lib = ctypes.CDLL("libjpeg.so.62")
+    lib.jpeg_std_error.restype = ctypes.c_void_p
+    size = int(sys.argv[1])
+    mode = sys.argv[2]           # seq | prog | rst
+    w, h, ncomp = (int(x) for x in sys.argv[3:6])
+    rgb = bytes.fromhex(sys.argv[6])
+
+    jerr = ctypes.create_string_buffer(1024)
+    err = lib.jpeg_std_error(jerr)
+    cinfo = ctypes.create_string_buffer(max(size, 8))
+    src = ctypes.c_uint64(err)
+    ctypes.memmove(cinfo, ctypes.byref(src), 8)
+    lib.jpeg_CreateCompress(cinfo, 62, ctypes.c_size_t(size))
+
+    outbuf = ctypes.c_void_p(None)
+    outsize = ctypes.c_ulong(0)
+    lib.jpeg_mem_dest(cinfo, ctypes.byref(outbuf), ctypes.byref(outsize))
+
+    # classic v62 LP64 layout: common fields = 40, dest = 40,
+    # image_width = 48, image_height = 52, input_components = 56,
+    # in_color_space = 60, arith_code = 260, restart_interval = 280
+    ctypes.memmove(ctypes.byref(cinfo, 48), ctypes.byref(ctypes.c_uint32(w)), 4)
+    ctypes.memmove(ctypes.byref(cinfo, 52), ctypes.byref(ctypes.c_uint32(h)), 4)
+    ctypes.memmove(ctypes.byref(cinfo, 56), ctypes.byref(ctypes.c_int32(ncomp)), 4)
+    cs = 2 if ncomp == 3 else 1   # JCS_RGB / JCS_GRAYSCALE
+    ctypes.memmove(ctypes.byref(cinfo, 60), ctypes.byref(ctypes.c_int32(cs)), 4)
+    lib.jpeg_set_defaults(cinfo)
+    lib.jpeg_set_quality(cinfo, 90, 1)
+    if ncomp == 3:
+        # 4:4:4 so "fancy" upsampling can't differ from ours
+        lib.jpeg_set_colorspace(cinfo, 3)  # JCS_YCbCr
+        # comp_info[i].h_samp_factor/v_samp_factor: leave defaults
+        # via jpeg_set_defaults then force 1x1 through the API
+    ctypes.memmove(ctypes.byref(cinfo, 260), ctypes.byref(ctypes.c_int32(1)), 4)  # arith
+    if mode == "prog":
+        lib.jpeg_simple_progression(cinfo)
+    if mode == "rst":
+        ctypes.memmove(ctypes.byref(cinfo, 280), ctypes.byref(ctypes.c_uint32(2)), 4)
+
+    # force 4:4:4: comp_info pointer at offset 88, h/v factors are the
+    # two ints right after the first two (component_id, component_index)
+    comp_info = ctypes.c_uint64.from_buffer_copy(cinfo, 88).value
+    if ncomp == 3 and comp_info:
+        for ci in range(3):
+            base = comp_info + ci * 96  # sizeof(jpeg_component_info)
+            ctypes.memmove(ctypes.c_void_p(base + 8), ctypes.byref(ctypes.c_int32(1)), 4)
+            ctypes.memmove(ctypes.c_void_p(base + 12), ctypes.byref(ctypes.c_int32(1)), 4)
+
+    lib.jpeg_start_compress(cinfo, 1)
+    stride = w * ncomp
+    for y in range(h):
+        row = ctypes.create_string_buffer(rgb[y*stride:(y+1)*stride], stride)
+        rowptr = (ctypes.c_char_p * 1)(ctypes.addressof(row))
+        lib.jpeg_write_scanlines(cinfo, rowptr, 1)
+    lib.jpeg_finish_compress(cinfo)
+    blob = ctypes.string_at(outbuf, outsize.value)
+    print(json.dumps({"jpg": blob.hex()}))
+    """
+)
+
+
+def _libjpeg_compress_struct_size() -> int:
+    probe = textwrap.dedent(
+        """
+        import ctypes
+        lib = ctypes.CDLL("libjpeg.so.62")
+        lib.jpeg_std_error.restype = ctypes.c_void_p
+        jerr = ctypes.create_string_buffer(1024)
+        err = lib.jpeg_std_error(jerr)
+        cinfo = ctypes.create_string_buffer(8192)
+        src = ctypes.c_uint64(err)
+        ctypes.memmove(cinfo, ctypes.byref(src), 8)
+        lib.jpeg_CreateCompress(cinfo, 62, ctypes.c_size_t(1))
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", probe], capture_output=True, text=True,
+        timeout=30,
+    )
+    import re
+
+    m = re.search(r"library thinks size is (\d+)", r.stderr)
+    return int(m.group(1)) if m else 0
+
+
+def _arith_encode(mode: str, img: np.ndarray) -> bytes:
+    size = _libjpeg_compress_struct_size()
+    if size == 0:
+        pytest.skip("could not discover libjpeg compress struct size")
+    ncomp = 1 if img.ndim == 2 else img.shape[2]
+    h, w = img.shape[:2]
+    r = subprocess.run(
+        [sys.executable, "-c", _JPEG_ARITH_ENC_WORKER, str(size), mode,
+         str(w), str(h), str(ncomp), img.tobytes().hex()],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, f"arith encoder failed: {r.stderr[-500:]}"
+    import json as _json
+
+    blob = bytes.fromhex(
+        _json.loads(r.stdout.strip().splitlines()[-1])["jpg"]
+    )
+    want_sof = b"\xff\xca" if mode == "prog" else b"\xff\xc9"
+    assert want_sof in blob[:2000], (
+        f"libjpeg did not produce an arithmetic SOF ({mode}): the "
+        "arith_code struct offset is wrong for this build"
+    )
+    if mode == "rst":
+        assert b"\xff\xdd" in blob[:2000], "DRI marker missing"
+    return blob
+
+
+@needs_libjpeg
+def test_jpeg_aritab_matches_spec_table():
+    """Our T.81 Table D.3 constant vs the system libjpeg's exported
+    jpeg_aritab — byte-for-byte (the kCodeLengthCodeOrder lesson:
+    normative tables get pinned against an independent source)."""
+    from littletable_spark.functions.imagecodec import _ARITH_QE
+
+    lib = ctypes.CDLL("libjpeg.so.62")
+    tab = (ctypes.c_int64 * 114).in_dll(lib, "jpeg_aritab")
+    for i, v in enumerate(tab):
+        # jaricom packing: (Qe << 16) | (NMPS << 8) | (SWITCH << 7) | NLPS
+        qe = (v >> 16) & 0xFFFF
+        nmps = (v >> 8) & 0xFF
+        sw = (v >> 7) & 1
+        nlps = v & 0x7F
+        assert _ARITH_QE[i] == (qe, nmps, nlps, sw), f"state {i}"
+
+
+@needs_libjpeg
+def test_jpeg_arithmetic_differential_vs_libjpeg():
+    """Decode libjpeg-ENCODED arithmetic fixtures (sequential SOF9,
+    progressive SOF10, and a restart-interval stream) with our Annex F
+    decoder and with libjpeg itself; pixels must agree within the
+    IDCT rounding band of the huffman differential above."""
+    dec_size = _libjpeg_struct_size()
+    if dec_size == 0:
+        pytest.skip("could not discover libjpeg struct size")
+
+    rng = np.random.RandomState(11)
+    cases = []
+    for i, (hh, ww) in enumerate(((16, 16), (24, 17), (8, 33))):
+        smooth = (
+            np.add.outer(np.arange(hh) * 3, np.arange(ww) * 5) % 256
+        ).astype(np.uint8)
+        cases.append((f"aseq{i}", "seq", rng.randint(0, 256, (hh, ww, 3), dtype=np.uint8)))
+        cases.append((f"agray{i}", "seq", rng.randint(0, 256, (hh, ww), dtype=np.uint8)))
+        cases.append((f"aprog{i}", "prog", np.stack([smooth] * 3, axis=2)))
+    cases.append(("arst0", "rst", rng.randint(0, 256, (24, 18, 3), dtype=np.uint8)))
+
+    fixtures = {}
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for name, mode, img in cases:
+            blob = _arith_encode(mode, img)
+            ncomp = 1 if img.ndim == 2 else 3
+            stem = f"{name}_{img.shape[1]}_{img.shape[0]}_{ncomp}"
+            p = os.path.join(td, stem + ".jpg")
+            with open(p, "wb") as f:
+                f.write(blob)
+            paths.append(p)
+            fixtures[stem] = blob
+        r = subprocess.run(
+            [sys.executable, "-c", _JPEG_WORKER, str(dec_size)] + paths,
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, f"libjpeg worker failed: {r.stderr[-500:]}"
+        ref = json.loads(r.stdout.strip().splitlines()[-1])
+
+    for stem, blob in fixtures.items():
+        w, h, ncomp = (int(x) for x in stem.split("_")[-3:])
+        want = np.frombuffer(bytes.fromhex(ref[stem]), dtype=np.uint8)
+        want = want.reshape(h, w) if ncomp == 1 else want.reshape(h, w, ncomp)
+        got = decode_pixels(blob)
+        assert got.shape == want.shape, stem
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 5, f"{stem}: max diff {diff.max()}"
+        assert diff.mean() < 1.0, f"{stem}: mean diff {diff.mean()}"
