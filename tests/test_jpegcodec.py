@@ -1165,3 +1165,73 @@ def test_parse_exif_on_raw_tiff_file():
     m = parse_exif(tiff)
     assert m["has_exif"] and m["orientation"] == 3
     assert m["gps_lat"] == pytest.approx(1.5, abs=1e-4)
+
+
+# ------------------------------------------- arithmetic coding (r14)
+# Byte-literal fixtures ENCODED BY the system libjpeg's arithmetic
+# encoder, with libjpeg's own decode as the pinned reference — so the
+# Annex F decoder stays regression-pinned even on boxes where
+# libjpeg.so is absent (the live differential in test_libcodec_diff
+# then skips, this test does not). Provenance: generated by the
+# ctypes compress worker in tests/test_libcodec_diff.py.
+_ARITH_SEQ_JPG = bytes.fromhex(
+    "ffd8ffe000104a46494600010100000100010000ffdb0043000302020302"
+    "020303030304030304050805050404050a070706080c0a0c0c0b0a0b0b0d"
+    "0e12100d0e110e0b0b1016101113141515150c0f171816141812141514ff"
+    "c9000b08000d000b01011100ffcc000600101005ffda0008010100003f00"
+    "cb6c1c37acdab7e720a111f54b947ac97592eecf87457a1592c8ecbac866"
+    "0e24ff0089ac38bb782207c30b5e20a55bf0634bc06fb4e34eff00f8744c"
+    "b5b9c24dd1f4e21a5509cf52bb73cfa15dd8a63b774fed60086af0d08fc9"
+    "880538e7cf8e21ff0057d43b49c1120ce1079d9e8ef5e6daf94d85690964"
+    "7445e0fdfd3f8f153acf7456b06373c85c18e2c50b2358368d5a44b2b0e0"
+    "5df9c76074afa7954c531e7405ea46b32d2b77f28b989cf10c7eb4ed447d"
+    "c2ca6927f31987bc86de49b0b439295565b565c8bda354ab9402e5ffd9"
+)
+_ARITH_SEQ_REF = bytes.fromhex(
+    "d9b749e962234b0354f05ea7d5e97858e849f6c520aa41089c19aa299c65"
+    "d9cde2945812c1ad5157a381b8ce745590e9aa9b875714aaf5bbac677f8a"
+    "3b0a3cad7a128136e878a18237daa087a17cb6dd78bf8667aeaa936aced0"
+    "19b09342d82f0ca62cd6c8b750bb20b2aa92c0e268e500ced34e02e5abbd"
+    "78c6f9445155a1ff77089ebb87659d0c97462a71e51492"
+)
+_ARITH_PROG_JPG = bytes.fromhex(
+    "ffd8ffe000104a46494600010100000100010000ffdb0043000302020302"
+    "020303030304030304050805050404050a070706080c0a0c0c0b0a0b0b0d"
+    "0e12100d0e110e0b0b1016101113141515150c0f171816141812141514ff"
+    "ca000b080010001001011100ffcc00040010ffda0008010100000001ff00"
+    "c884180410ffcc00041005ffda0008010100010502138fd514e34b10ffcc"
+    "00041005ffda0008010100063f025e14ffcc00041005ffda000801010001"
+    "3f21aa32e4ffda0008010100000010a0ffcc00041005ffda000801010001"
+    "3f10a5e309db2db0ffd9"
+)
+_ARITH_PROG_REF = bytes.fromhex(
+    "000306090c0f1215181b1e2124272a2d070a0d101316191c1f2225282b2e"
+    "31340e1114171a1d202326292c2f3235383b15171b1e202327292d2f3336"
+    "383b3f411d1f2326282b2f3135373b3e404347492326292c2f3235383b3e"
+    "4144474a4d502a2d303336393c3f4245484b4e5154573134373a3d404346"
+    "494c4f5255585b5e383b3e4144474a4d505356595c5f62653f4245484b4e"
+    "5154575a5d606366696c46484c4f5154585a5e606467696c70724d4f5356"
+    "585b5f6165676b6e7073777955575b5e606367696d6f7376787b7f815b5e"
+    "6164676a6d707376797c7f8285886265686b6e7174777a7d808386898c8f"
+    "696c6f7275787b7e8184878a8d909396"
+)
+
+
+def test_arithmetic_pinned_fixtures():
+    """SOF9 sequential and SOF10 progressive byte-literal fixtures
+    decode to libjpeg's pinned pixels within the IDCT rounding band."""
+    import numpy as np
+
+    from littletable_spark.functions.imagecodec import decode_pixels
+
+    got = decode_pixels(_ARITH_SEQ_JPG)
+    want = np.frombuffer(_ARITH_SEQ_REF, np.uint8).reshape(13, 11)
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 5 and diff.mean() < 1.0
+
+    got = decode_pixels(_ARITH_PROG_JPG)
+    want = np.frombuffer(_ARITH_PROG_REF, np.uint8).reshape(16, 16)
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 5 and diff.mean() < 1.0
