@@ -504,3 +504,122 @@ def test_jpeg_arithmetic_differential_vs_libjpeg():
         diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 5, f"{stem}: max diff {diff.max()}"
         assert diff.mean() < 1.0, f"{stem}: mean diff {diff.mean()}"
+
+
+# -------------------------------------------------------------- giflib
+_GIF = _load("libgif.so.7", ctypes.util.find_library("gif"))
+needs_libgif = pytest.mark.skipif(_GIF is None, reason="libgif absent")
+
+_GIF_WORKER = textwrap.dedent(
+    """
+    import ctypes, json, sys
+
+    lib = ctypes.CDLL("libgif.so.7")
+    lib.DGifOpenFileName.restype = ctypes.c_void_p
+    lib.DGifOpenFileName.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_int)]
+    lib.DGifSlurp.argtypes = [ctypes.c_void_p]
+
+    # giflib 5.x LP64 layout (self-checked below against the known
+    # dims): GifFileType { SWidth 0, SHeight 4, SColorResolution 8,
+    # SBackGroundColor 12, AspectByte 16, SColorMap 24, ImageCount 32,
+    # Image 40..72, SavedImages 72, ... }
+    # SavedImage { ImageDesc{Left 0,Top 4,Width 8,Height 12,
+    # Interlace 16(bool), ColorMap 24}, RasterBits 32, ... } size 56
+    # ColorMapObject { ColorCount 0, BitsPerPixel 4, SortFlag 8,
+    # Colors 16 }
+    def u32(addr, off):
+        return ctypes.c_int.from_address(addr + off).value
+    def ptr(addr, off):
+        return ctypes.c_uint64.from_address(addr + off).value
+
+    out = {}
+    for path in sys.argv[1:]:
+        err = ctypes.c_int(0)
+        gif = lib.DGifOpenFileName(path.encode(), ctypes.byref(err))
+        assert gif, f"open failed: {err.value}"
+        assert lib.DGifSlurp(gif) == 1, "slurp failed"
+        stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        w_exp, h_exp = (int(x) for x in stem.split("_")[-2:])
+        sw, sh = u32(gif, 0), u32(gif, 4)
+        assert (sw, sh) == (w_exp, h_exp), (
+            f"struct layout drift: {(sw, sh)} != {(w_exp, h_exp)}")
+        saved = ptr(gif, 72)
+        left, top = u32(saved, 0), u32(saved, 4)
+        iw, ih = u32(saved, 8), u32(saved, 12)
+        interlace = ctypes.c_bool.from_address(saved + 16).value
+        cmap = ptr(saved, 24) or ptr(gif, 24)  # local else global
+        ncol = u32(cmap, 0)
+        colors = ctypes.string_at(ptr(cmap, 16), ncol * 3)
+        raster = ctypes.string_at(ptr(saved, 32), iw * ih)
+        out[stem] = {
+            "w": iw, "h": ih, "interlace": int(interlace),
+            "palette": colors.hex(), "raster": raster.hex(),
+        }
+    print(json.dumps(out))
+    """
+)
+
+
+@needs_libgif
+def test_gif_differential_vs_giflib():
+    """Byte-exact: our GIF decode vs giflib's DGifSlurp raster mapped
+    through its own palette (GIF is lossless — no rounding band).
+    Covers interlace, palette sizes, odd dims, repetitive + random
+    index content, LZW width growth."""
+    from test_imagecodec import _gif_encode
+
+    rng = np.random.RandomState(9)
+    cases = []
+    for i, (h, w) in enumerate(((16, 16), (23, 17), (8, 33), (64, 64))):
+        ncol = [4, 16, 64, 256][i]
+        palette = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        rep = np.tile(np.arange(ncol) % ncol, (h * w) // ncol + 1)[
+            : h * w
+        ].reshape(h, w).astype(np.uint8)
+        rnd = rng.randint(0, ncol, (h, w), dtype=np.uint8)
+        mcs = max(2, (ncol - 1).bit_length())
+        cases.append((f"rep{i}", _gif_encode(rep, palette, mcs=mcs), rep, palette))
+        cases.append((f"rnd{i}", _gif_encode(rnd, palette, mcs=mcs), rnd, palette))
+        cases.append(
+            (f"int{i}",
+             _gif_encode(rnd, palette, mcs=mcs, interlace=True), rnd, palette)
+        )
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        meta = {}
+        for name, blob, idx, palette in cases:
+            h, w = idx.shape
+            stem = f"{name}_{w}_{h}"
+            p = os.path.join(td, stem + ".gif")
+            with open(p, "wb") as f:
+                f.write(blob)
+            paths.append(p)
+            meta[stem] = (blob, idx, palette)
+        r = subprocess.run(
+            [sys.executable, "-c", _GIF_WORKER] + paths,
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, f"giflib worker failed: {r.stderr[-500:]}"
+        ref = json.loads(r.stdout.strip().splitlines()[-1])
+
+    for stem, got_ref in ref.items():
+        blob, idx, palette = meta[stem]
+        h, w = idx.shape
+        raster = np.frombuffer(
+            bytes.fromhex(got_ref["raster"]), np.uint8
+        ).reshape(h, w)
+        # DGifSlurp deinterlaces on read (verified for this giflib);
+        # the raster is already in display row order
+        pal = np.frombuffer(
+            bytes.fromhex(got_ref["palette"]), np.uint8
+        ).reshape(-1, 3)
+        want = pal[raster]  # giflib raster through giflib's palette
+        got = decode_pixels(blob).astype(np.uint8)
+        assert got.shape == want.shape, stem
+        assert np.array_equal(got, want), (
+            f"{stem}: {np.abs(got.astype(int) - want.astype(int)).max()}"
+        )
+        # and giflib agrees with the original indices (fixture sanity)
+        assert np.array_equal(raster, idx), f"{stem}: fixture mismatch"
