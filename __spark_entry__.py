@@ -709,6 +709,11 @@ def q_text_tfidf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     stats = term_stats_table(d, "text", "doc_id")
+    # persist the (vocab-bounded) stats asset: the scalar collect below
+    # fills the cache, so the scoring join reuses it instead of
+    # re-tokenizing the corpus a second time within one invocation —
+    # the deployment shape, where the stats table is a durable asset
+    stats.df.persist()
     batch = Table.from_df(d.df.where(F.pmod(F.col("doc_id"), F.lit(9)) == 0))
     return tfidf_top_terms(
         batch, "text", "doc_id", k=3, against_stats=stats

@@ -1184,13 +1184,17 @@ def dup_clusters(
     """
     # count-only probe first: it ships no rows, so an oversized graph
     # (the exact case driver_edges guards) never pushes ~2M Row objects
-    # through the driver just to be discarded. The small-graph case pays
-    # a second execution of the pair pipeline, which its own persist
-    # (every in-repo pair generator persists its banded intermediate)
-    # makes cheap.
+    # through the driver just to be discarded. The pair list is persisted
+    # (spill-safe) around the probe so neither path re-executes the pair
+    # pipeline: the driver path's collect and the distributed path's
+    # src/dst symmetrization both read the probe's cache instead of
+    # re-running the candidate join + distinct (guide §1.2 — measured as
+    # a full second execution of the self-join stage per call).
+    pairs = pairs.persist(_PAIRGEN_CACHE)
     n_pairs = pairs.limit(driver_edges + 1).count()
     if n_pairs <= driver_edges:
         rows = pairs.select(a_col, b_col).collect()
+        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -1288,6 +1292,7 @@ def dup_clusters(
         )
     finally:
         edges.unpersist()
+        pairs.unpersist()
 
 
 def keep_canonical(

@@ -92,15 +92,35 @@ def pagerank(
         .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
         .persist()
     )
+    outdeg = edges.groupBy("__src__").agg(F.count(F.lit(1)).alias("__deg__"))
+    # dangling flag attached to the node table ONCE at setup: the
+    # per-iteration dangling-mass fold becomes a filter+sum over the
+    # already-cached ranks (no join) and rides into the iteration job
+    # as a broadcast scalar — one job per iteration instead of two,
+    # and one fewer node-sized shuffle per iteration (guide §2.4).
     nodes_raw = (
         edges.select(F.col("__src__").alias(node_out))
         .union(edges.select(F.col("__dst__").alias(node_out)))
         .distinct()
+        .join(
+            outdeg.select(
+                F.col("__src__").alias(node_out),
+                F.lit(False).alias("__dang__"),
+            ),
+            node_out,
+            "left",
+        )
+        .select(
+            node_out,
+            F.coalesce(F.col("__dang__"), F.lit(True)).alias("__dang__"),
+        )
         .persist()
     )
     n = nodes_raw.count()
     if n == 0:
-        empty = nodes_raw.withColumn(rank_out, F.lit(None).cast("double"))
+        empty = nodes_raw.select(node_out).withColumn(
+            rank_out, F.lit(None).cast("double")
+        )
         out = Table.from_df(
             # materialize the empty frame before dropping the caches it
             # was derived from, so the returned Table holds no lineage
@@ -120,7 +140,7 @@ def pagerank(
     if personalization is None:
         nodes = nodes_raw
         p_col = F.lit(1.0 / n)
-        carry = [node_out]
+        carry = [node_out, "__dang__"]
     else:
         pdf = personalization._require_df().select(
             F.col(personalization.fields[0]).alias(node_out),
@@ -128,6 +148,7 @@ def pagerank(
         )
         seeded = nodes_raw.join(pdf, node_out, "left").select(
             node_out,
+            "__dang__",
             F.coalesce(F.col("__w__"), F.lit(0.0)).alias("__w__"),
         )
         psum = seeded.agg(F.sum("__w__")).collect()[0][0] or 0.0
@@ -139,23 +160,25 @@ def pagerank(
                 "appears in the graph"
             )
         nodes = seeded.select(
-            node_out, (F.col("__w__") / F.lit(psum)).alias("__p__")
+            node_out,
+            "__dang__",
+            (F.col("__w__") / F.lit(psum)).alias("__p__"),
         ).persist()
         nodes.count()
         nodes_raw.unpersist()
         p_col = F.col("__p__")
-        carry = [node_out, "__p__"]
+        carry = [node_out, "__dang__", "__p__"]
 
-    outdeg = edges.groupBy("__src__").agg(F.count(F.lit(1)).alias("__deg__"))
     # per-edge contribution denominator attached once, reused every step
     edges_w = edges.join(outdeg, "__src__").persist()
     edges_w.count()
     d = float(damping)
 
     if against_ranks is None:
-        ranks = nodes.select(
-            *carry, F.lit(1.0 / n).alias(rank_out)
-        ).persist()
+        # a pure projection over the cached node table — no persist/count
+        # job of its own; iteration 1 derives it on the fly (guide §1.2:
+        # don't pay a whole job to materialize a trivial projection)
+        ranks = nodes.select(*carry, F.lit(1.0 / n).alias(rank_out))
     else:
         adf = against_ranks._require_df().select(
             F.col(against_ranks.fields[0]).alias(node_out),
@@ -171,19 +194,27 @@ def pagerank(
         ranks = warm.select(
             *carry, (F.col("__r0__") / F.lit(rsum)).alias(rank_out)
         ).persist()
-    ranks.count()
-    ranks_cached = True
+
+    ranks_cached = against_ranks is not None
+
+    # dangling-mass fold for iteration 1: a filter+sum over the
+    # (cached) rank source via the precomputed __dang__ flag — no
+    # anti-join shuffle (the old shape shuffled the node table against
+    # outdeg EVERY iteration just to find the dangling rows). For the
+    # warm path this job doubles as the init-ranks cache materializer
+    # (it scans every partition), replacing the old dedicated count().
+    def _dang_fold(frame) -> float:
+        return (
+            frame.where(F.col("__dang__"))
+            .agg(F.coalesce(F.sum(rank_out), F.lit(0.0)))
+            .collect()[0][0]
+        )
+
+    dangling = _dang_fold(ranks)
 
     steps = 0
     since_ckpt = 0
     for _ in range(iterations):
-        dangling = (
-            ranks.join(
-                outdeg, ranks[node_out] == outdeg["__src__"], "left_anti"
-            )
-            .agg(F.coalesce(F.sum(rank_out), F.lit(0.0)))
-            .collect()[0][0]
-        )
         contrib = (
             ranks.join(edges_w, ranks[node_out] == edges_w["__src__"])
             .select(
@@ -202,14 +233,18 @@ def pagerank(
                    + F.lit(dangling) * p_col)
             ).alias(rank_out),
         )
-        # Lineage discipline: persist+count per step (cheap, blocks
-        # stay memory-deserialized) with a localCheckpoint every 8th
-        # step to TRUNCATE the logical chain — persist alone keeps the
-        # full lineage, making per-step plan analysis O(k) and OOM-ing
-        # the driver on long tol= runs just stringifying the plan,
-        # while checkpointing EVERY step pays block serialization per
-        # iteration (measured ~1.5x on the 2M-edge probe). Bounded
-        # depth ≤ 8 keeps analysis O(1)-ish at any iteration count.
+        # Lineage discipline: persist + one materializing action per
+        # step (cheap, blocks stay memory-deserialized) with a
+        # localCheckpoint every 8th step to TRUNCATE the logical chain —
+        # persist alone keeps the full lineage, making per-step plan
+        # analysis O(k) and OOM-ing the driver on long tol= runs just
+        # stringifying the plan, while checkpointing EVERY step pays
+        # block serialization per iteration (measured ~1.5x on the
+        # 2M-edge probe). Bounded depth ≤ 8 keeps analysis O(1)-ish at
+        # any iteration count. The materializing action IS the next
+        # iteration's dangling-mass fold (with tol=, fused into the
+        # delta fold): one job per iteration where the old shape paid
+        # two (a dangling anti-join collect plus a dedicated count).
         since_ckpt += 1
         if since_ckpt >= 8:
             new_ranks = new_ranks.localCheckpoint()
@@ -217,21 +252,33 @@ def pagerank(
             new_cached = False
         else:
             new_ranks = new_ranks.persist()
-            new_ranks.count()
             new_cached = True
         steps += 1
         if tol is not None:
-            delta = (
-                new_ranks.select(node_out, F.col(rank_out).alias("__new__"))
+            drow = (
+                new_ranks.select(
+                    node_out, "__dang__", F.col(rank_out).alias("__new__")
+                )
                 .join(
                     ranks.select(node_out, F.col(rank_out).alias("__old__")),
                     node_out,
                 )
-                .agg(F.sum(F.abs(F.col("__new__") - F.col("__old__"))))
-                .collect()[0][0]
+                .agg(
+                    F.sum(F.abs(F.col("__new__") - F.col("__old__"))).alias(
+                        "__delta__"
+                    ),
+                    F.coalesce(
+                        F.sum(F.when(F.col("__dang__"), F.col("__new__"))),
+                        F.lit(0.0),
+                    ).alias("__dm__"),
+                )
+                .collect()[0]
             )
+            delta = drow["__delta__"]
+            dangling = drow["__dm__"]
         else:
             delta = None
+            dangling = _dang_fold(new_ranks)
         if ranks_cached:
             ranks.unpersist()
         ranks = new_ranks

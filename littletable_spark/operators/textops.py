@@ -738,16 +738,26 @@ def unigram_logprob(
     pattern) folded in as a literal — a scalar cross join would put a
     BroadcastNestedLoopJoin + single-partition exchange in every score
     plan."""
+    from pyspark import StorageLevel
+
     df = table._require_df()
     tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("__w__"))
     tdf = df if train_table is None else train_table._require_df()
     ttok = tdf.select(F.explode(_tokens(text_col)).alias("__w__"))
-    freq = ttok.groupBy("__w__").agg(F.count(F.lit(1)).alias("__c__"))
-    n_total = tdf.select(
-        F.sum(F.greatest(F.size(_tokens(text_col)), F.lit(0))).alias("n")
-    ).collect()[0]["n"]
+    # persist the unigram table and take N = sum of its counts (exactly
+    # the training token total, integer-identical to summing per-doc
+    # sizes): the N collect then folds into the model-build job instead
+    # of paying a second full corpus tokenize scan, and the scoring
+    # joins below reuse the cached model instead of re-running the
+    # frequency shuffle (guide §1.2 — was: one dedicated corpus scan
+    # for N plus a recomputed aggregation in the score job).
+    freq_all = ttok.groupBy("__w__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_total = freq_all.agg(F.sum("__c__").alias("n")).collect()[0]["n"]
+    freq = freq_all
     if vocab_size is not None:
-        freq = freq.orderBy(
+        freq = freq_all.orderBy(
             F.col("__c__").desc(), F.col("__w__").asc()
         ).limit(int(vocab_size))
     scored = tok.join(freq, on="__w__", how="left")
@@ -812,14 +822,19 @@ def bigram_logprob(
             F.col("__bg__.w2").alias("__w2__"),
         )
 
+    from pyspark import StorageLevel
+
+    # persist the unigram table and take N = sum of its counts (the
+    # exact training token total): the N collect folds into the unigram
+    # build instead of a second full corpus tokenize scan, and the two
+    # scoring joins below reuse the cached model (guide §1.2).
     uni = (
         tdf.select(F.explode(_tokens(text_col)).alias("__w__"))
         .groupBy("__w__")
         .agg(F.count(F.lit(1)).alias("__cu__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_total = tdf.select(
-        F.sum(F.greatest(F.size(_tokens(text_col)), F.lit(0))).alias("n")
-    ).collect()[0]["n"]
+    n_total = uni.agg(F.sum("__cu__").alias("n")).collect()[0]["n"]
     big = _bigrams(tdf, with_id=False).groupBy("__w1__", "__w2__").agg(
         F.count(F.lit(1)).alias("__c2__")
     )
@@ -1114,11 +1129,15 @@ def bm25_topk(
             r["term"]: float(r["df"]) for r in rows if r["term"] is not None
         }
     else:
-        d_count = float(len(table))
-        stats = df.select(
-            F.sum(F.greatest(F.size(_tokens(text_col)), F.lit(0))).alias("n")
+        # ONE fused scalar job for D and Σdl (was: a count job via
+        # len(table) plus a separate token-sum scan — two full corpus
+        # passes for two scalars; guide §1.2)
+        srow = df.agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sum(F.greatest(F.size(_tokens(text_col)), F.lit(0))).alias("n"),
         ).collect()[0]
-        avgdl = float(stats["n"] or 0) / d_count if d_count else 0.0
+        d_count = float(srow["d"])
+        avgdl = float(srow["n"] or 0) / d_count if d_count else 0.0
     if avgdl <= 0:
         raise ValueError("bm25_topk: corpus has no tokens")
     toked = df.select(

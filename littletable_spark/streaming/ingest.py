@@ -130,8 +130,6 @@ def ingest_batch(
         embedding_lsh_dup_pairs,
         embedding_signature_table,
         line_dedup,
-        minhash_band_table,
-        minhash_lsh_pairs,
         remove_duplicate_spans,
         span_gram_table,
     )
@@ -232,6 +230,7 @@ def ingest_batch(
 
     counts: dict[str, int] = {"batch_id": bid}
     batch = batch_df.persist()
+    bands_cur = None
     try:
         counts["received"] = batch.count() if collect_stats else -1
         cur = batch
@@ -284,28 +283,56 @@ def ingest_batch(
                 if collect_stats:
                     counts["after_span_cut"] = cur.count()
 
-        t = Table.from_df(cur, name=f"ingest_batch_{bid}")
-        self_pairs = minhash_lsh_pairs(
-            t, id_col, text_col, n=n, num_hashes=num_hashes, band_size=band_size
-        ).df
-        drop_self = self_pairs.select(F.col("id2").alias(id_col)).distinct()
+        # Band the batch text EXACTLY ONCE (the signature depends only on
+        # a doc's own text): the self-pair join, the stored-index probe,
+        # and the band-table write below all derive from this one cached
+        # band table instead of re-shingling + re-minhashing the batch
+        # per stage (three banding passes -> one; guide §1.2 "don't
+        # compute things twice"). Derivations are row-identical to the
+        # minhash_lsh_pairs/minhash_band_table formulations they replace:
+        # same _band_table_df rows, same join conditions, same greedy
+        # keep-smaller-id policy.
+        from ..operators.dedup import _PAIRGEN_CACHE, _band_table_df
+
+        bands_cur = _band_table_df(
+            cur, id_col, text_col, n, num_hashes, band_size
+        ).persist(_PAIRGEN_CACHE)
+        drop_self = (
+            bands_cur.alias("a")
+            .join(
+                bands_cur.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_key") == F.col("b.band_key"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .select(F.col(f"b.{id_col}").alias(id_col))
+            .distinct()
+        )
         kept = cur.join(drop_self, on=id_col, how="left_anti")
 
         stored = _stored(bands_path)
         if stored is not None:
-            cross = minhash_lsh_pairs(
-                Table.from_df(kept),
-                id_col,
-                text_col,
-                n=n,
-                num_hashes=num_hashes,
-                band_size=band_size,
-                against_bands=Table.from_df(
-                    stored.select(id_col, "band", "band_key")
-                ),
-            ).df
-            drop_cross = cross.select(F.col("id1").alias(id_col)).distinct()
-            kept = kept.join(drop_cross, on=id_col, how="left_anti")
+            # band rows of the within-batch survivors: a semi-join on the
+            # cached band table (band rows are per-doc pure, so filtering
+            # rows == re-banding the filtered docs)
+            cross = (
+                bands_cur.join(
+                    kept.select(id_col), on=id_col, how="left_semi"
+                )
+                .alias("a")
+                .join(
+                    stored.select(id_col, "band", "band_key").alias("b"),
+                    on=[
+                        F.col("a.band") == F.col("b.band"),
+                        F.col("a.band_key") == F.col("b.band_key"),
+                    ],
+                )
+                .select(F.col(f"a.{id_col}").alias(id_col))
+                .distinct()
+            )
+            kept = kept.join(cross, on=id_col, how="left_anti")
         if collect_stats:
             counts["after_minhash"] = kept.count()
 
@@ -349,10 +376,11 @@ def ingest_batch(
             kept.write.mode("overwrite").parquet(
                 f"{corpus_path}/batch_id={bid}"
             )
-            minhash_band_table(
-                kt, id_col, text_col,
-                n=n, num_hashes=num_hashes, band_size=band_size,
-            ).df.write.mode("overwrite").parquet(
+            # survivors' band rows from the SAME cached band table (the
+            # rows minhash_band_table(kt) would recompute from text)
+            bands_cur.join(
+                kept.select(id_col), on=id_col, how="left_semi"
+            ).write.mode("overwrite").parquet(
                 f"{bands_path}/batch_id={bid}"
             )
             if lines_path is not None:
@@ -402,6 +430,8 @@ def ingest_batch(
         finally:
             kept.unpersist()
     finally:
+        if bands_cur is not None:
+            bands_cur.unpersist()
         batch.unpersist()
     counts["dropped"] = (
         (counts["received"] - counts["appended"]) if collect_stats else -1
