@@ -98,13 +98,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
             t = Table.parquet_import(spark, f"{sf_dir}/{name}.parquet", name)
             df = t._require_df()
             # single-file parquet often scans as 1-3 splits; widen the
-            # cached layout so CPU-heavy aggs over the big tables get
-            # real fan-out — but keep small tables narrow (32 near-empty
-            # partitions just add per-task overhead to every query).
+            # cached layout so CPU-heavy stages get real fan-out. The
+            # old 20k-rows-per-partition heuristic left the PAYLOAD
+            # tables (documents: 5k rows of text, embeddings: 2k dim-64
+            # vectors) cached as ONE partition, serializing stage 1 of
+            # every tokenize/shingle/regex/BLAS consumer on a single
+            # core until its first exchange (guide §2.5 input-skew
+            # class). Per-row cost, not row count, is what matters for
+            # these: spread across all cores whenever each task keeps a
+            # meaningful chunk (>= 64 rows); genuinely tiny dimension
+            # tables (region, nation) still stay at 1 partition.
             # ROW_ORD is already attached (computed map-side, pre-
             # shuffle) so positional semantics are unchanged.
             n_rows = df.count()
-            target = max(1, min(spark.sparkContext.defaultParallelism, n_rows // 20_000))
+            target = max(1, min(spark.sparkContext.defaultParallelism, n_rows // 64))
             if df.rdd.getNumPartitions() < target:
                 df = df.repartition(target)
                 t._df = df
@@ -133,8 +140,9 @@ def _ev(spark: SparkSession, sf_dir: str):
             t = load_events(spark, f"{sf_dir}/events.parquet")
             df = t._require_df()
             n_rows = df.count()
+            # same >=64-rows-per-task fan-out rule as _t (see above)
             target = max(
-                1, min(spark.sparkContext.defaultParallelism, n_rows // 20_000)
+                1, min(spark.sparkContext.defaultParallelism, n_rows // 64)
             )
             if df.rdd.getNumPartitions() < target:
                 df = df.repartition(target)

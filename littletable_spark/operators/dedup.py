@@ -368,21 +368,43 @@ def ngram_jaccard_pairs(
     target = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, F.col(id_col))
-    # shingles are 64-bit-hashed BEFORE the distinct: every downstream
-    # stage (distinct, self-join sides, prefix ranking) then shuffles
-    # and sorts 8-byte longs instead of n-word strings (~3-4x fewer
-    # key bytes on the wire). Set semantics survive hashing up to
-    # xxhash64 collisions — p ~ (distinct shingles)²/2⁶⁴, ~1e-9 at 100M
-    # distinct shingles — so "exact" here means exact up to 64-bit
-    # shingle-hash collisions, same caveat every large-scale shingle
-    # pipeline accepts.
-    sh = (
-        _ngram_rows(src, id_col, text_col, n)
-        .select(F.col(id_col), F.xxhash64("s").alias("s"))
-        .distinct()
-        .persist(_PAIRGEN_CACHE)
+    # shingles are 64-bit-hashed (xxhash64 over the SAME joined-token
+    # string as always — identical hash values), and the per-doc
+    # shingle SET is built IN-ROW with array_distinct instead of a
+    # corpus-wide (id, s) distinct: a document's duplicate shingles are
+    # all inside its own row, so deduplicating them never needed a
+    # shuffle, and the per-doc set size falls out as size(array) with
+    # no groupBy either. This removes two full gram-stream exchanges
+    # (the distinct and the sizes aggregation) at every scale, and —
+    # unlike the old shape — costs the same whether the input arrives
+    # in one cached partition or thousands of real splits (the old
+    # distinct leaned on single-mapper partial aggregation to collapse
+    # duplicates pre-shuffle). Downstream stages shuffle 8-byte longs;
+    # set semantics survive hashing up to xxhash64 collisions — p ~
+    # (distinct shingles)²/2⁶⁴, ~1e-9 at 100M distinct shingles — so
+    # "exact" means exact up to 64-bit shingle-hash collisions, the
+    # caveat every large-scale shingle pipeline accepts.
+    toked = src.select(F.col(id_col), _tokens(text_col).alias("__tk__")).where(
+        F.size("__tk__") > 0
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    tk = F.col("__tk__")
+    gset = F.array_distinct(
+        F.when(
+            F.size(tk) < n, F.array(F.xxhash64(F.array_join(tk, " ")))
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))
+                ),
+                lambda i: F.xxhash64(F.array_join(F.slice(tk, i, n), " ")),
+            )
+        )
+    )
+    with_set = toked.select(F.col(id_col), gset.alias("__gs__")).persist(
+        _PAIRGEN_CACHE
+    )
+    sh = with_set.select(F.col(id_col), F.explode("__gs__").alias("s"))
+    sizes = with_set.select(F.col(id_col), F.size("__gs__").alias("sz"))
     if prefix_filter is None:
         decision_key = (df.semanticHash(), id_col, text_col, n)
         if decision_key in _ADAPTIVE_DECISIONS:
