@@ -116,7 +116,16 @@ def pagerank(
         )
         .persist()
     )
-    n = nodes_raw.count()
+    # ONE fused scalar job: node count + dangling-node count (guide
+    # §1.2 — was a bare count; the dangling count makes the cold-start
+    # initial dangling mass pure arithmetic, n_dang/n, instead of a
+    # dedicated fold job over the uniform init vector)
+    nrow = nodes_raw.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum(F.col("__dang__").cast("int")).alias("__nd__"),
+    ).collect()[0]
+    n = nrow["__n__"]
+    n_dang = int(nrow["__nd__"] or 0)
     if n == 0:
         empty = nodes_raw.select(node_out).withColumn(
             rank_out, F.lit(None).cast("double")
@@ -133,164 +142,199 @@ def pagerank(
         out.pagerank_iterations = 0
         return out
 
-    # teleport vector p(v): uniform 1/n stays a LITERAL (no extra
-    # column shuffled through every iteration — the common case pays
-    # nothing for the personalization feature); a personalization
-    # table attaches a normalized per-node __p__ column
-    if personalization is None:
-        nodes = nodes_raw
-        p_col = F.lit(1.0 / n)
-        carry = [node_out, "__dang__"]
-    else:
-        pdf = personalization._require_df().select(
-            F.col(personalization.fields[0]).alias(node_out),
-            F.col(weight_col).cast("double").alias("__w__"),
-        )
-        seeded = nodes_raw.join(pdf, node_out, "left").select(
-            node_out,
-            "__dang__",
-            F.coalesce(F.col("__w__"), F.lit(0.0)).alias("__w__"),
-        )
-        psum = seeded.agg(F.sum("__w__")).collect()[0][0] or 0.0
-        if psum <= 0:
-            edges.unpersist()
+    # Tiny-graph fast path (guide §2.5 scale-adaptive settings): when
+    # the node table is small, every per-iteration shuffle is at most
+    # node-sized and AQE's per-stage materialization jobs (one scheduling
+    # round-trip per exchange, ~27 jobs for a 3-iteration run here)
+    # dominate the actual work — measured ~0.8 s of a ~3.4 s query at
+    # sf0.1. Disable AQE for the ITERATION LOOP ONLY in that regime and
+    # restore it before returning; big graphs (the 100 TB shape) keep
+    # AQE's coalescing and skew handling. The threshold is node-count-
+    # derived (data-adaptive), not a local core-count constant.
+    _AQE_KEY = "spark.sql.adaptive.enabled"
+    small_graph = n <= 100_000
+    aqe_prev = None
+    if small_graph:
+        try:
+            aqe_prev = table.spark.conf.get(_AQE_KEY)
+        except Exception:
+            aqe_prev = "true"
+        table.spark.conf.set(_AQE_KEY, "false")
+    try:
+        # teleport vector p(v): uniform 1/n stays a LITERAL (no extra
+        # column shuffled through every iteration — the common case pays
+        # nothing for the personalization feature); a personalization
+        # table attaches a normalized per-node __p__ column
+        if personalization is None:
+            nodes = nodes_raw
+            nodes_src = nodes_raw
+            p_col = F.lit(1.0 / n)
+            carry = [node_out, "__dang__"]
+        else:
+            pdf = personalization._require_df().select(
+                F.col(personalization.fields[0]).alias(node_out),
+                F.col(weight_col).cast("double").alias("__w__"),
+            )
+            # persist the SEEDED frame and let the psum fold materialize it
+            # (it scans every partition); `nodes` is then a pure projection
+            # over the cache — no dedicated persist+count job (guide §1.2)
+            seeded = nodes_raw.join(pdf, node_out, "left").select(
+                node_out,
+                "__dang__",
+                F.coalesce(F.col("__w__"), F.lit(0.0)).alias("__w__"),
+            ).persist()
+            psum = seeded.agg(F.sum("__w__")).collect()[0][0] or 0.0
+            if psum <= 0:
+                edges.unpersist()
+                nodes_raw.unpersist()
+                seeded.unpersist()
+                raise ValueError(
+                    "pagerank: no personalization seed with positive weight "
+                    "appears in the graph"
+                )
+            nodes = seeded.select(
+                node_out,
+                "__dang__",
+                (F.col("__w__") / F.lit(psum)).alias("__p__"),
+            )
+            nodes_src = seeded
             nodes_raw.unpersist()
-            raise ValueError(
-                "pagerank: no personalization seed with positive weight "
-                "appears in the graph"
-            )
-        nodes = seeded.select(
-            node_out,
-            "__dang__",
-            (F.col("__w__") / F.lit(psum)).alias("__p__"),
-        ).persist()
-        nodes.count()
-        nodes_raw.unpersist()
-        p_col = F.col("__p__")
-        carry = [node_out, "__dang__", "__p__"]
+            p_col = F.col("__p__")
+            carry = [node_out, "__dang__", "__p__"]
 
-    # per-edge contribution denominator attached once, reused every step
-    edges_w = edges.join(outdeg, "__src__").persist()
-    edges_w.count()
-    d = float(damping)
+        # per-edge contribution denominator attached once, reused every step;
+        # persisted lazily — iteration 1 is the materializing scan (a
+        # dedicated count() job here bought nothing: same total work, one
+        # extra job of pure scheduling overhead — guide §1.2)
+        edges_w = edges.join(outdeg, "__src__").persist()
+        d = float(damping)
 
-    if against_ranks is None:
-        # a pure projection over the cached node table — no persist/count
-        # job of its own; iteration 1 derives it on the fly (guide §1.2:
-        # don't pay a whole job to materialize a trivial projection)
-        ranks = nodes.select(*carry, F.lit(1.0 / n).alias(rank_out))
-    else:
-        adf = against_ranks._require_df().select(
-            F.col(against_ranks.fields[0]).alias(node_out),
-            F.col(against_ranks.fields[1]).cast("double").alias("__r0__"),
-        )
-        warm = nodes.join(adf, node_out, "left").select(
-            *carry,
-            F.coalesce(F.col("__r0__"), F.lit(1.0 / n)).alias("__r0__"),
-        )
-        rsum = warm.agg(F.sum("__r0__")).collect()[0][0] or 0.0
-        if rsum <= 0:
-            raise ValueError("pagerank: against_ranks sums to zero")
-        ranks = warm.select(
-            *carry, (F.col("__r0__") / F.lit(rsum)).alias(rank_out)
-        ).persist()
-
-    ranks_cached = against_ranks is not None
-
-    # dangling-mass fold for iteration 1: a filter+sum over the
-    # (cached) rank source via the precomputed __dang__ flag — no
-    # anti-join shuffle (the old shape shuffled the node table against
-    # outdeg EVERY iteration just to find the dangling rows). For the
-    # warm path this job doubles as the init-ranks cache materializer
-    # (it scans every partition), replacing the old dedicated count().
-    def _dang_fold(frame) -> float:
-        return (
-            frame.where(F.col("__dang__"))
-            .agg(F.coalesce(F.sum(rank_out), F.lit(0.0)))
-            .collect()[0][0]
-        )
-
-    dangling = _dang_fold(ranks)
-
-    steps = 0
-    since_ckpt = 0
-    for _ in range(iterations):
-        contrib = (
-            ranks.join(edges_w, ranks[node_out] == edges_w["__src__"])
-            .select(
-                F.col("__dst__").alias(node_out),
-                (F.col(rank_out) / F.col("__deg__")).alias("__c__"),
-            )
-            .groupBy(node_out)
-            .agg(F.sum("__c__").alias("__c__"))
-        )
-        new_ranks = nodes.join(contrib, node_out, "left").select(
-            *carry,
-            (
-                (F.lit(1.0) - F.lit(d)) * p_col
-                + F.lit(d)
-                * (F.coalesce(F.col("__c__"), F.lit(0.0))
-                   + F.lit(dangling) * p_col)
-            ).alias(rank_out),
-        )
-        # Lineage discipline: persist + one materializing action per
-        # step (cheap, blocks stay memory-deserialized) with a
-        # localCheckpoint every 8th step to TRUNCATE the logical chain —
-        # persist alone keeps the full lineage, making per-step plan
-        # analysis O(k) and OOM-ing the driver on long tol= runs just
-        # stringifying the plan, while checkpointing EVERY step pays
-        # block serialization per iteration (measured ~1.5x on the
-        # 2M-edge probe). Bounded depth ≤ 8 keeps analysis O(1)-ish at
-        # any iteration count. The materializing action IS the next
-        # iteration's dangling-mass fold (with tol=, fused into the
-        # delta fold): one job per iteration where the old shape paid
-        # two (a dangling anti-join collect plus a dedicated count).
-        since_ckpt += 1
-        if since_ckpt >= 8:
-            new_ranks = new_ranks.localCheckpoint()
-            since_ckpt = 0
-            new_cached = False
+        if against_ranks is None:
+            # a pure projection over the cached node table — no persist/count
+            # job of its own; iteration 1 derives it on the fly (guide §1.2:
+            # don't pay a whole job to materialize a trivial projection)
+            ranks = nodes.select(*carry, F.lit(1.0 / n).alias(rank_out))
         else:
-            new_ranks = new_ranks.persist()
-            new_cached = True
-        steps += 1
-        if tol is not None:
-            drow = (
-                new_ranks.select(
-                    node_out, "__dang__", F.col(rank_out).alias("__new__")
-                )
-                .join(
-                    ranks.select(node_out, F.col(rank_out).alias("__old__")),
-                    node_out,
-                )
-                .agg(
-                    F.sum(F.abs(F.col("__new__") - F.col("__old__"))).alias(
-                        "__delta__"
-                    ),
-                    F.coalesce(
-                        F.sum(F.when(F.col("__dang__"), F.col("__new__"))),
-                        F.lit(0.0),
-                    ).alias("__dm__"),
-                )
-                .collect()[0]
+            adf = against_ranks._require_df().select(
+                F.col(against_ranks.fields[0]).alias(node_out),
+                F.col(against_ranks.fields[1]).cast("double").alias("__r0__"),
             )
-            delta = drow["__delta__"]
-            dangling = drow["__dm__"]
+            warm = nodes.join(adf, node_out, "left").select(
+                *carry,
+                F.coalesce(F.col("__r0__"), F.lit(1.0 / n)).alias("__r0__"),
+            )
+            rsum = warm.agg(F.sum("__r0__")).collect()[0][0] or 0.0
+            if rsum <= 0:
+                raise ValueError("pagerank: against_ranks sums to zero")
+            ranks = warm.select(
+                *carry, (F.col("__r0__") / F.lit(rsum)).alias(rank_out)
+            ).persist()
+
+        ranks_cached = against_ranks is not None
+
+        # dangling-mass fold between iterations: a filter+sum over the
+        # (cached) rank source via the precomputed __dang__ flag — no
+        # anti-join shuffle (the old shape shuffled the node table against
+        # outdeg EVERY iteration just to find the dangling rows). For the
+        # warm path the INITIAL fold doubles as the init-ranks cache
+        # materializer (it scans every partition), replacing the old
+        # dedicated count(); for the cold start the initial mass is pure
+        # arithmetic — every dangling node holds exactly 1/n — so no job
+        # runs at all (guide §1.2).
+        def _dang_fold(frame) -> float:
+            return (
+                frame.where(F.col("__dang__"))
+                .agg(F.coalesce(F.sum(rank_out), F.lit(0.0)))
+                .collect()[0][0]
+            )
+
+        if against_ranks is None:
+            dangling = n_dang * (1.0 / n)
         else:
-            delta = None
-            dangling = _dang_fold(new_ranks)
-        if ranks_cached:
-            ranks.unpersist()
-        ranks = new_ranks
-        ranks_cached = new_cached
-        if tol is not None and delta is not None and delta < tol:
-            break
-    # ranks is materialized; the build-side caches can go
-    edges_w.unpersist()
-    edges.unpersist()
-    nodes.unpersist()
-    out = Table.from_df(
-        ranks.select(node_out, rank_out), name=f"{table.table_name}_pagerank"
-    )
-    out.pagerank_iterations = steps
-    return out
+            dangling = _dang_fold(ranks)
+
+        steps = 0
+        since_ckpt = 0
+        for _ in range(iterations):
+            contrib = (
+                ranks.join(edges_w, ranks[node_out] == edges_w["__src__"])
+                .select(
+                    F.col("__dst__").alias(node_out),
+                    (F.col(rank_out) / F.col("__deg__")).alias("__c__"),
+                )
+                .groupBy(node_out)
+                .agg(F.sum("__c__").alias("__c__"))
+            )
+            new_ranks = nodes.join(contrib, node_out, "left").select(
+                *carry,
+                (
+                    (F.lit(1.0) - F.lit(d)) * p_col
+                    + F.lit(d)
+                    * (F.coalesce(F.col("__c__"), F.lit(0.0))
+                       + F.lit(dangling) * p_col)
+                ).alias(rank_out),
+            )
+            # Lineage discipline: persist + one materializing action per
+            # step (cheap, blocks stay memory-deserialized) with a
+            # localCheckpoint every 8th step to TRUNCATE the logical chain —
+            # persist alone keeps the full lineage, making per-step plan
+            # analysis O(k) and OOM-ing the driver on long tol= runs just
+            # stringifying the plan, while checkpointing EVERY step pays
+            # block serialization per iteration (measured ~1.5x on the
+            # 2M-edge probe). Bounded depth ≤ 8 keeps analysis O(1)-ish at
+            # any iteration count. The materializing action IS the next
+            # iteration's dangling-mass fold (with tol=, fused into the
+            # delta fold): one job per iteration where the old shape paid
+            # two (a dangling anti-join collect plus a dedicated count).
+            since_ckpt += 1
+            if since_ckpt >= 8:
+                new_ranks = new_ranks.localCheckpoint()
+                since_ckpt = 0
+                new_cached = False
+            else:
+                new_ranks = new_ranks.persist()
+                new_cached = True
+            steps += 1
+            if tol is not None:
+                drow = (
+                    new_ranks.select(
+                        node_out, "__dang__", F.col(rank_out).alias("__new__")
+                    )
+                    .join(
+                        ranks.select(node_out, F.col(rank_out).alias("__old__")),
+                        node_out,
+                    )
+                    .agg(
+                        F.sum(F.abs(F.col("__new__") - F.col("__old__"))).alias(
+                            "__delta__"
+                        ),
+                        F.coalesce(
+                            F.sum(F.when(F.col("__dang__"), F.col("__new__"))),
+                            F.lit(0.0),
+                        ).alias("__dm__"),
+                    )
+                    .collect()[0]
+                )
+                delta = drow["__delta__"]
+                dangling = drow["__dm__"]
+            else:
+                delta = None
+                dangling = _dang_fold(new_ranks)
+            if ranks_cached:
+                ranks.unpersist()
+            ranks = new_ranks
+            ranks_cached = new_cached
+            if tol is not None and delta is not None and delta < tol:
+                break
+        # ranks is materialized; the build-side caches can go
+        edges_w.unpersist()
+        edges.unpersist()
+        nodes_src.unpersist()
+        out = Table.from_df(
+            ranks.select(node_out, rank_out), name=f"{table.table_name}_pagerank"
+        )
+        out.pagerank_iterations = steps
+        return out
+    finally:
+        if small_graph and aqe_prev is not None:
+            table.spark.conf.set(_AQE_KEY, aqe_prev)

@@ -824,19 +824,38 @@ def bigram_logprob(
 
     from pyspark import StorageLevel
 
+    # tokenize the TRAINING corpus once: the unigram and bigram model
+    # builds both read one cached token-array frame instead of each
+    # re-running the regex split over the corpus (guide §1.2 — the
+    # tokenize is the measured majority of each model pass). The cache
+    # holds only the token arrays, no other columns.
+    ttok = tdf.select(_tokens(text_col).alias("__tk__")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # persist the unigram table and take N = sum of its counts (the
     # exact training token total): the N collect folds into the unigram
     # build instead of a second full corpus tokenize scan, and the two
     # scoring joins below reuse the cached model (guide §1.2).
     uni = (
-        tdf.select(F.explode(_tokens(text_col)).alias("__w__"))
+        ttok.select(F.explode("__tk__").alias("__w__"))
         .groupBy("__w__")
         .agg(F.count(F.lit(1)).alias("__cu__"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_total = uni.agg(F.sum("__cu__").alias("n")).collect()[0]["n"]
-    big = _bigrams(tdf, with_id=False).groupBy("__w1__", "__w2__").agg(
-        F.count(F.lit(1)).alias("__c2__")
+    tpairs = F.expr(
+        "transform(sequence(1, size(__tk__) - 1), "
+        "i -> struct(__tk__[i - 1] AS w1, __tk__[i] AS w2))"
+    )
+    big = (
+        ttok.where(F.size("__tk__") >= 2)
+        .select(F.explode(tpairs).alias("__bg__"))
+        .select(
+            F.col("__bg__.w1").alias("__w1__"),
+            F.col("__bg__.w2").alias("__w2__"),
+        )
+        .groupBy("__w1__", "__w2__")
+        .agg(F.count(F.lit(1)).alias("__c2__"))
     )
     if model_size is not None:
         big = big.orderBy(
@@ -1039,6 +1058,14 @@ def tfidf_top_terms(
             "df", F.coalesce(F.col("df"), F.lit(0).cast("bigint"))
         )
     else:
+        from pyspark import StorageLevel
+
+        # two consumers of the (doc, term) aggregate — the scored rows
+        # and the docfreq reduction — would each re-run the tokenize +
+        # explode + first shuffle without a persist (AQE's runtime
+        # stage reuse does not always dedupe the broadcast-side copy);
+        # the cached frame is (doc, distinct-term)-bounded (guide §1.2)
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
         d_count = float(len(table))
         docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         docfreq_joined = tf.join(docfreq, on="term")

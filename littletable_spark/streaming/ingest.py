@@ -373,34 +373,44 @@ def ingest_batch(
         try:
             counts["appended"] = kept.count() if collect_stats else -1
             kt = Table.from_df(kept, name=f"ingest_kept_{bid}")
-            kept.write.mode("overwrite").parquet(
+            # every asset append goes through an AQE REBALANCE shuffle so
+            # output files are SIZE-targeted, not partition-count-
+            # targeted (guide §6): without it each write inherited the
+            # join pipeline's partitioning and a few-hundred-KB batch
+            # landed as one near-empty file PER CORE (32 files at sf0.1
+            # — measured: the rebalanced write is also ~40% faster, the
+            # file-commit overhead exceeded the extra tiny shuffle), and
+            # every later probe/compaction paid the per-file open cost.
+            # A big batch still fans out: AQE sizes the shuffle output
+            # by advisoryPartitionSize and splits skewed partitions.
+            kept.hint("rebalance").write.mode("overwrite").parquet(
                 f"{corpus_path}/batch_id={bid}"
             )
             # survivors' band rows from the SAME cached band table (the
             # rows minhash_band_table(kt) would recompute from text)
             bands_cur.join(
                 kept.select(id_col), on=id_col, how="left_semi"
-            ).write.mode("overwrite").parquet(
+            ).hint("rebalance").write.mode("overwrite").parquet(
                 f"{bands_path}/batch_id={bid}"
             )
             if lines_path is not None:
                 boilerplate_line_table(
                     kt, text_col, id_col,
                     min_docs=line_min_docs, sep=line_sep,
-                ).df.write.mode("overwrite").parquet(
+                ).df.hint("rebalance").write.mode("overwrite").parquet(
                     f"{lines_path}/batch_id={bid}"
                 )
             if grams_path is not None:
                 span_gram_table(
                     kt, text_col, id_col, k=span_k, min_docs=span_min_docs,
-                ).df.write.mode("overwrite").parquet(
+                ).df.hint("rebalance").write.mode("overwrite").parquet(
                     f"{grams_path}/batch_id={bid}"
                 )
             if sigs_path is not None:
                 embedding_signature_table(
                     kt, id_col, emb_col,
                     n_planes=emb_planes, dim=emb_dim, seed=emb_seed,
-                ).df.write.mode("overwrite").parquet(
+                ).df.hint("rebalance").write.mode("overwrite").parquet(
                     f"{sigs_path}/batch_id={bid}"
                 )
             if ivf_path is not None:
@@ -414,7 +424,7 @@ def ingest_batch(
                 ivf_index_table(
                     kt, id_col, emb_col, centroids=ivf_centroids,
                     pq_codebooks=ivf_codebooks,
-                ).df.write.mode("overwrite").parquet(
+                ).df.hint("rebalance").write.mode("overwrite").parquet(
                     f"{ivf_path}/batch_id={bid}"
                 )
             if stats_path is not None:
@@ -424,9 +434,11 @@ def ingest_batch(
                 # docs, so fold_term_stats over a parquet read of
                 # stats_path is exactly term_stats_table of the whole
                 # written corpus, without ever re-tokenizing it
-                term_stats_table(kt, text_col, id_col).df.write.mode(
-                    "overwrite"
-                ).parquet(f"{stats_path}/batch_id={bid}")
+                term_stats_table(kt, text_col, id_col).df.hint(
+                    "rebalance"
+                ).write.mode("overwrite").parquet(
+                    f"{stats_path}/batch_id={bid}"
+                )
         finally:
             kept.unpersist()
     finally:
