@@ -578,8 +578,18 @@ def q_stream_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid),
             bid, corpus, bands, collect_stats=False,
         )
-    for p in (corpus, bands):
-        compact_asset(spark, p, max_generations=1)
+    # the two assets are disjoint paths, so their folds are independent
+    # jobs — overlap them (guide §2.6) instead of running the pair
+    # sequentially; each fold is one read+write job plus driver-side fs
+    # work, and the second fold's tasks back-fill the first's tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [
+            pool.submit(compact_asset, spark, p, max_generations=1)
+            for p in (corpus, bands)
+        ]:
+            f.result()
     ingest_batch(
         d.where(F.pmod(F.col("doc_id"), F.lit(3)) == 2),
         2, corpus, bands, collect_stats=False,

@@ -373,6 +373,7 @@ def ingest_batch(
         try:
             counts["appended"] = kept.count() if collect_stats else -1
             kt = Table.from_df(kept, name=f"ingest_kept_{bid}")
+
             # every asset append goes through an AQE REBALANCE shuffle so
             # output files are SIZE-targeted, not partition-count-
             # targeted (guide §6): without it each write inherited the
@@ -383,35 +384,61 @@ def ingest_batch(
             # every later probe/compaction paid the per-file open cost.
             # A big batch still fans out: AQE sizes the shuffle output
             # by advisoryPartitionSize and splits skewed partitions.
-            kept.hint("rebalance").write.mode("overwrite").parquet(
-                f"{corpus_path}/batch_id={bid}"
-            )
-            # survivors' band rows from the SAME cached band table (the
-            # rows minhash_band_table(kt) would recompute from text)
-            bands_cur.join(
-                kept.select(id_col), on=id_col, how="left_semi"
-            ).hint("rebalance").write.mode("overwrite").parquet(
-                f"{bands_path}/batch_id={bid}"
-            )
+            def _append(df: DataFrame, root: str) -> None:
+                df.hint("rebalance").write.mode("overwrite").parquet(
+                    f"{root}/batch_id={bid}"
+                )
+
+            # Every enabled asset write consumes the SAME persisted
+            # survivor frame (plus the cached band table) and writes a
+            # disjoint path, so the writes are independent jobs — submit
+            # them from a small thread pool instead of sequentially
+            # (guide §2.6: overlap independent jobs so one write's task
+            # tail back-fills with the next write's tasks; concurrent
+            # first-fill of the kept cache is safe — the block manager
+            # serializes per-partition computes). 3 in flight is enough
+            # to fill the tail without the jobs fighting for executors.
+            writes: list = [
+                lambda: _append(kept, corpus_path),
+                # survivors' band rows from the SAME cached band table
+                # (the rows minhash_band_table(kt) would recompute)
+                lambda: _append(
+                    bands_cur.join(
+                        kept.select(id_col), on=id_col, how="left_semi"
+                    ),
+                    bands_path,
+                ),
+            ]
             if lines_path is not None:
-                boilerplate_line_table(
-                    kt, text_col, id_col,
-                    min_docs=line_min_docs, sep=line_sep,
-                ).df.hint("rebalance").write.mode("overwrite").parquet(
-                    f"{lines_path}/batch_id={bid}"
+                writes.append(
+                    lambda: _append(
+                        boilerplate_line_table(
+                            kt, text_col, id_col,
+                            min_docs=line_min_docs, sep=line_sep,
+                        ).df,
+                        lines_path,
+                    )
                 )
             if grams_path is not None:
-                span_gram_table(
-                    kt, text_col, id_col, k=span_k, min_docs=span_min_docs,
-                ).df.hint("rebalance").write.mode("overwrite").parquet(
-                    f"{grams_path}/batch_id={bid}"
+                writes.append(
+                    lambda: _append(
+                        span_gram_table(
+                            kt, text_col, id_col,
+                            k=span_k, min_docs=span_min_docs,
+                        ).df,
+                        grams_path,
+                    )
                 )
             if sigs_path is not None:
-                embedding_signature_table(
-                    kt, id_col, emb_col,
-                    n_planes=emb_planes, dim=emb_dim, seed=emb_seed,
-                ).df.hint("rebalance").write.mode("overwrite").parquet(
-                    f"{sigs_path}/batch_id={bid}"
+                writes.append(
+                    lambda: _append(
+                        embedding_signature_table(
+                            kt, id_col, emb_col,
+                            n_planes=emb_planes, dim=emb_dim,
+                            seed=emb_seed,
+                        ).df,
+                        sigs_path,
+                    )
                 )
             if ivf_path is not None:
                 from ..operators.similarity import ivf_index_table
@@ -421,11 +448,14 @@ def ingest_batch(
                 # partition — the model rows are identical every batch
                 # and collapse in _load_ivf_index, so a plain parquet
                 # read of ivf_path is a searchable ivf_index_table
-                ivf_index_table(
-                    kt, id_col, emb_col, centroids=ivf_centroids,
-                    pq_codebooks=ivf_codebooks,
-                ).df.hint("rebalance").write.mode("overwrite").parquet(
-                    f"{ivf_path}/batch_id={bid}"
+                writes.append(
+                    lambda: _append(
+                        ivf_index_table(
+                            kt, id_col, emb_col, centroids=ivf_centroids,
+                            pq_codebooks=ivf_codebooks,
+                        ).df,
+                        ivf_path,
+                    )
                 )
             if stats_path is not None:
                 # retrieval-stats maintenance (no probe — pure index
@@ -434,11 +464,20 @@ def ingest_batch(
                 # docs, so fold_term_stats over a parquet read of
                 # stats_path is exactly term_stats_table of the whole
                 # written corpus, without ever re-tokenizing it
-                term_stats_table(kt, text_col, id_col).df.hint(
-                    "rebalance"
-                ).write.mode("overwrite").parquet(
-                    f"{stats_path}/batch_id={bid}"
+                writes.append(
+                    lambda: _append(
+                        term_stats_table(kt, text_col, id_col).df,
+                        stats_path,
+                    )
                 )
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(3, len(writes))
+            ) as pool:
+                futures = [pool.submit(w) for w in writes]
+                for f in futures:
+                    f.result()  # propagate the first failure
         finally:
             kept.unpersist()
     finally:

@@ -2,6 +2,7 @@
 index, idempotent partition-overwrite writes, and the true
 foreachBatch/readStream path (streaming/ingest.py)."""
 
+import os
 import shutil
 import tempfile
 
@@ -463,3 +464,29 @@ def test_ivf_pq_asset_compacts_with_dedup(spark, paths):
     n_model = after_tbl.df.where(F.col("corpus_id").isNull()).count()
     assert n_model == 3 + 4 * 8  # nlist + m*ksub
     assert search(after_tbl) == before and before
+
+
+def test_concurrent_asset_write_failure_propagates(spark, paths):
+    """The per-batch asset writes run overlapped on a thread pool; a
+    failing write must still fail ingest_batch itself (f.result()
+    re-raises), not vanish into a worker thread."""
+    corpus, bands, _, stage = paths
+    # make the stats asset root an unwritable location: a regular FILE
+    # where the writer needs a directory
+    os.makedirs(stage, exist_ok=True)
+    stats_file = f"{stage}/stats_as_file"
+    with open(stats_file, "w") as fh:
+        fh.write("not a directory")
+    with pytest.raises(Exception):
+        ingest_batch(
+            _docs(spark, [(1, _BASE[0]), (2, _BASE[1])]),
+            0,
+            corpus,
+            bands,
+            stats_path=f"{stats_file}/stats",
+        )
+    # the pool drained cleanly: a following good batch works end-to-end
+    s = ingest_batch(
+        _docs(spark, [(3, _BASE[2])]), 1, corpus, bands
+    )
+    assert s["appended"] == 1
