@@ -1034,6 +1034,15 @@ def semantic_dup_pairs(
         )
 
     packed_a = pack(attach(a_narrow, id_dtype_a).persist(_PAIRGEN_CACHE))
+    if against is None:
+        # the self-join consumes the packed frame TWICE (aa and bb) and
+        # exchange reuse does not dedupe the two aggregation subtrees
+        # (plan-verified: both ObjectHashAggregate pipelines execute) —
+        # persist the packed frame so the count-agg + broadcast +
+        # collect_list shuffles run once, not once per side (guide
+        # §1.2). Same bytes as the assigned cache: cluster-blocked
+        # structs of the corpus vectors.
+        packed_a = packed_a.persist(_PAIRGEN_CACHE)
     aa = packed_a.select(
         "cluster", F.col("__blk__").alias("b1"), F.col("items").alias("items1")
     )
