@@ -108,7 +108,9 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return out
 
 
-def _ngram_rows(df, id_col: str, text_col: str, n: int):
+def _ngram_rows(
+    df, id_col: str, text_col: str, n: int, keep_cols=(), per_doc_distinct=False
+):
     """(id, n-gram) rows with NO shuffle: tokenize once into a column,
     then ``transform`` + ``slice`` per start position — O(len·n) per doc
     for fixed small n, all codegen, inherits the input partitioning.
@@ -118,10 +120,17 @@ def _ngram_rows(df, id_col: str, text_col: str, n: int):
     corpus side of a contamination scan, or a self-join input that gets
     re-shuffled on the shingle anyway — should stay narrow.) Matches
     ``_shingle_rows`` semantics incl. the short-doc case (len < n ->
-    one shingle of all tokens; empty docs -> no rows)."""
-    toked = df.select(F.col(id_col), _tokens(text_col).alias("__tk__")).where(
-        F.size("__tk__") > 0
-    )
+    one shingle of all tokens; empty docs -> no rows). ``keep_cols``
+    carries extra per-doc columns through the explode (computed once
+    per doc row, copied per gram) so a downstream per-doc aggregation
+    can key on them instead of paying a join back to the doc table.
+    ``per_doc_distinct`` dedupes each doc's grams IN-ROW
+    (``array_distinct``) — identical rows to ``.distinct()`` over
+    (id, s) when ids are unique, without the corpus-wide exchange."""
+    keep = [F.col(c) for c in keep_cols]
+    toked = df.select(
+        F.col(id_col), *keep, _tokens(text_col).alias("__tk__")
+    ).where(F.size("__tk__") > 0)
     tk = F.col("__tk__")
     grams = F.when(
         F.size(tk) < n, F.array(F.array_join(tk, " "))
@@ -131,7 +140,9 @@ def _ngram_rows(df, id_col: str, text_col: str, n: int):
             lambda i: F.array_join(F.slice(tk, i, n), " "),
         )
     )
-    return toked.select(F.col(id_col), F.explode(grams).alias("s"))
+    if per_doc_distinct:
+        grams = F.array_distinct(grams)
+    return toked.select(F.col(id_col), *keep, F.explode(grams).alias("s"))
 
 
 def exact_dedup(table: Table, key_cols: list[str], id_col: str) -> Table:
@@ -676,6 +687,11 @@ def embedding_dup_pairs(
     packed = blocked.groupBy("__blk__").agg(
         F.collect_list(F.struct("__id__", "__vec__")).alias("items")
     )
+    # the self-join consumes the packed frame TWICE (a and b sides) and
+    # exchange reuse does not dedupe the two aggregation subtrees (the
+    # semantic_dup_pairs finding, guide §1.2) — persist so the
+    # corpus-vector collect_list shuffle runs once, not once per side
+    packed = packed.persist(_PAIRGEN_CACHE)
     a = packed.select(F.col("__blk__").alias("b1"), F.col("items").alias("items1"))
     b = packed.select(F.col("__blk__").alias("b2"), F.col("items").alias("items2"))
     block_pairs = a.join(b, F.col("b1") <= F.col("b2"))

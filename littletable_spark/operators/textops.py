@@ -389,9 +389,15 @@ def doc_fingerprint(table: Table, text_col: str, id_col: str) -> Table:
 
     The window strings explode to rows first so the md5 runs in
     whole-stage codegen (hashing inside an interpreted array transform is
-    ~10× slower); one shuffle keyed on id for the min-aggregation.
+    ~10× slower). The gram construction is the NARROW ``_ngram_rows``
+    form (transform+slice, no window-lead shuffle of the token stream)
+    and the per-doc md5 rides the explode as a groupBy key, so the only
+    exchange is the min-aggregation's map-side-combined one (~one row
+    per doc per partition) and there is no join back to the doc table —
+    at corpus scale this deletes a full token-stream exchange plus a
+    second corpus scan from the plan (guide §2.3/§2.4).
     """
-    from .dedup import _shingle_rows
+    from .dedup import _ngram_rows
 
     norm_fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
     lowered = table.df.select(
@@ -399,12 +405,10 @@ def doc_fingerprint(table: Table, text_col: str, id_col: str) -> Table:
         norm_fp.alias("fingerprint"),
         F.lower(F.col(text_col)).alias("__lt__"),
     )
-    windows = _shingle_rows(lowered, id_col, "__lt__", 4)
-    fps = lowered.select(id_col, "fingerprint")
+    windows = _ngram_rows(lowered, id_col, "__lt__", 4, keep_cols=("fingerprint",))
     out = (
-        windows.groupBy(id_col)
+        windows.groupBy(id_col, "fingerprint")
         .agg(F.min(F.md5(F.col("s"))).alias("min_window_hash"))
-        .join(fps, on=id_col)
         .select(id_col, "fingerprint", "min_window_hash")
     )
     return Table.from_df(out, name=f"{table.table_name}_fingerprint")
@@ -623,13 +627,14 @@ def contamination_check(
     shuffle-free ``_ngram_rows`` form, codegen end-to-end: the whole
     corpus side is one narrow scan stage.
     """
-    b_sh = (
-        _ngram_rows(
-            bench.df.select(bench_id, bench_text), bench_id, bench_text, n
-        )
-        .select(F.col(bench_id), F.col("s").alias("h"))
-        .distinct()
-    )
+    # per-doc gram dedup happens IN-ROW (array_distinct) — same rows as
+    # `.distinct()` over (id, gram) with unique ids, minus its exchange,
+    # which this plan would otherwise pay TWICE (the guard/broadcast
+    # branch and the final per-doc join both consume b_sh)
+    b_sh = _ngram_rows(
+        bench.df.select(bench_id, bench_text), bench_id, bench_text, n,
+        per_doc_distinct=True,
+    ).select(F.col(bench_id), F.col("s").alias("h"))
     bench_hashes = b_sh.select("h").distinct()
     if max_bench_ngrams is not None:
         # bounded probe (limit(cap+1), not a full count) over the small
@@ -913,41 +918,42 @@ def term_stats_table(table: Table, text_col: str, id_col: str) -> Table:
     ``tfidf_top_terms(..., against_stats=)`` / ``bm25_topk(...,
     against_stats=)`` — the corpus text is never re-tokenized again.
 
-    Scale shape: tokenize once; docfreq is the same two-stage shape as
-    self-mode tf-idf (one (doc, term) shuffle with map-side combine,
-    one term-key count); the scalars are a single-row aggregate unioned
-    on. Output size is vocabulary-bounded, not corpus-bounded."""
+    Scale shape: ONE corpus tokenize pass and ONE vocab-keyed shuffle
+    with map-side combine. A document's repeated terms all live inside
+    its own row, so the per-doc term SET is built in-row
+    (``array_distinct``, no corpus-wide ``(id, term) distinct``
+    exchange — the ngram_jaccard_pairs restructure, guide §2.4), and
+    the corpus scalars ride the SAME aggregation as a per-doc NULL-term
+    marker row (one marker per document carrying its token count, so
+    the NULL group's count/sum ARE n_docs/total_tokens) instead of a
+    second tokenize scan. Rows per document must be unique in
+    ``id_col`` (every caller's contract — df counts documents).
+    Output size is vocabulary-bounded, not corpus-bounded."""
     df = table._require_df()
-    tok = df.select(
-        F.col(id_col).alias("__id__"), _tokens(text_col).alias("__tk__")
+    tok = df.select(_tokens(text_col).alias("__tk__"))
+    rows = tok.select(
+        F.greatest(F.size("__tk__"), F.lit(0)).alias("__dl__"),
+        F.explode(
+            F.concat(
+                F.array(F.lit(None).cast("string")),
+                F.coalesce(
+                    F.array_distinct("__tk__"),
+                    F.array().cast("array<string>"),
+                ),
+            )
+        ).alias("term"),
     )
-    per_doc = tok.select(
-        "__id__",
-        F.size("__tk__").alias("__dl__"),
-        F.explode("__tk__").alias("term"),
+    agg = rows.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("__dl__").alias("__t__"),
     )
-    docfreq = (
-        per_doc.select("__id__", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select(
-            "term",
-            "df",
-            F.lit(None).cast("bigint").alias("n_docs"),
-            F.lit(None).cast("bigint").alias("total_tokens"),
-        )
+    out = agg.select(
+        "term",
+        F.when(F.col("term").isNotNull(), F.col("__n__")).alias("df"),
+        F.when(F.col("term").isNull(), F.col("__n__")).alias("n_docs"),
+        F.when(F.col("term").isNull(), F.col("__t__")).alias("total_tokens"),
     )
-    scalars = tok.agg(
-        F.lit(None).cast("string").alias("term"),
-        F.lit(None).cast("bigint").alias("df"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.greatest(F.size("__tk__"), F.lit(0))).alias("total_tokens"),
-    )
-    return Table.from_df(
-        docfreq.unionByName(scalars),
-        name=f"{table.table_name}_term_stats",
-    )
+    return Table.from_df(out, name=f"{table.table_name}_term_stats")
 
 
 def fold_term_stats(stats: Table) -> Table:

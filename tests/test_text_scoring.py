@@ -378,3 +378,106 @@ def test_ingest_stats_path_maintains_retrieval_asset(spark, tmp_path):
     ingest_batch(batch(b1), 1, corpus, bands, stats_path=stats_p)  # redelivery
     refolded = fold_term_stats(Table.parquet_import(spark, stats_p))
     assert key(refolded) == fresh_key
+
+
+# ------------------------------------------------------------------ #
+# round-14 narrow rewrites: _ngram_rows options, doc_fingerprint,    #
+# term_stats_table marker-row aggregation                            #
+# ------------------------------------------------------------------ #
+
+
+def test_ngram_rows_per_doc_distinct_matches_distinct(spark):
+    """per_doc_distinct=True (in-row array_distinct) must emit exactly
+    the rows `.distinct()` over (id, gram) would — the equivalence the
+    contamination/stats rewrites rely on."""
+    from littletable_spark.operators.dedup import _ngram_rows
+
+    docs = [
+        (0, "a b a b a b c"),          # repeated grams within the doc
+        (1, "a b a b a b c"),          # identical text, different id
+        (2, "x y"),                    # short doc: one gram of all tokens
+        (3, ""),                       # empty: no rows
+        (4, None),                     # null: no rows
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    inrow = _ngram_rows(df, "doc_id", "text", 3, per_doc_distinct=True)
+    shuffled = _ngram_rows(df, "doc_id", "text", 3).distinct()
+    key = lambda d: sorted((r.doc_id, r.s) for r in d.collect())  # noqa: E731
+    assert key(inrow) == key(shuffled)
+    # multiplicity really was collapsed (doc 0 has dup 3-grams raw)
+    raw = _ngram_rows(df, "doc_id", "text", 3)
+    assert raw.count() > inrow.count()
+
+
+def test_ngram_rows_keep_cols_carries_per_doc_values(spark):
+    from littletable_spark.operators.dedup import _ngram_rows
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "p q r s"), (1, "u v")], "doc_id int, text string"
+    ).withColumn("tag", F.concat(F.lit("t"), F.col("doc_id")))
+    rows = _ngram_rows(df, "doc_id", "text", 2, keep_cols=("tag",)).collect()
+    assert rows and all(r.tag == f"t{r.doc_id}" for r in rows)
+    assert {(r.doc_id, r.s) for r in rows} == {
+        (0, "p q"), (0, "q r"), (0, "r s"), (1, "u v"),
+    }
+
+
+def test_doc_fingerprint_matches_python_model(spark):
+    """doc_fingerprint after the narrow rewrite (no window shuffle, no
+    join-back): normalized md5 + min 4-gram window md5, incl. the
+    short-doc (one window of all tokens) and empty/null (no row)
+    cases."""
+    import hashlib
+    import re
+
+    from littletable_spark.operators.textops import doc_fingerprint
+
+    docs = [
+        (0, "The  quick Brown fox jumps over the lazy dog"),
+        (1, "one two three"),          # < 4 tokens: single window
+        (2, ""),                       # no row
+        (3, None),                     # no row
+        (4, "dup dup dup dup dup"),    # duplicate windows
+    ]
+    t = Table("docs", spark=spark)
+    t.insert_many([{"doc_id": i, "text": s} for i, s in docs])
+    got = sorted(
+        (r.doc_id, r.fingerprint, r.min_window_hash)
+        for r in doc_fingerprint(t, "text", "doc_id")
+    )
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    want = []
+    for i, s in docs:
+        toks = [w for w in re.split(r"\s+", (s or "").lower().strip()) if w]
+        if not toks:
+            continue
+        fp = md5(re.sub(r"\s+", " ", (s or "").lower().strip()))
+        if len(toks) < 4:
+            wins = [" ".join(toks)]
+        else:
+            wins = [" ".join(toks[j : j + 4]) for j in range(len(toks) - 3)]
+        want.append((i, fp, min(md5(w) for w in wins)))
+    assert got == sorted(want)
+
+
+def test_term_stats_counts_empty_and_null_docs(spark):
+    """the marker-row aggregation must still count token-less documents
+    in n_docs (they produce no vocab rows but ARE documents)."""
+    from littletable_spark.operators.textops import term_stats_table
+
+    t = Table("docs", spark=spark)
+    t.insert_many(
+        [
+            {"doc_id": 0, "text": "alpha beta alpha"},
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": None},
+            {"doc_id": 3, "text": "   "},
+        ]
+    )
+    rows = {(r.term or ""): r for r in term_stats_table(t, "text", "doc_id")}
+    scalar = rows[""]
+    assert scalar.n_docs == 4 and scalar.total_tokens == 3
+    assert rows["alpha"].df == 1 and rows["beta"].df == 1
+    assert set(rows) == {"", "alpha", "beta"}
