@@ -79,6 +79,37 @@ def _earliest_match_sql(html_expr: str, pats) -> str:
     return f"list_sort(list_filter([{entries}], x -> x.m <> ''))[1].href"
 
 
+def _cache_fanout(spark: SparkSession, path: str, n_rows: int) -> int:
+    """Target partition count for a cached bench base table (see the
+    regime comment in ``_t``): payload tables (>= 64 compressed
+    bytes/row) spread at SPARK_GRAFT_CACHE_ROWS_PER_TASK (default 512)
+    rows/task so per-row-heavy regex/BLAS/Arrow stages parallelize;
+    narrow relational tables keep the 20k-rows heuristic (codegen scans
+    them at memory speed — extra partitions are pure task overhead).
+    Both cap at defaultParallelism, so the driver's lower-core bench
+    scales proportionally."""
+    import os
+
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        )
+    except OSError:
+        size = 0
+    width = size / max(n_rows, 1)
+    if width >= 64:
+        rpt = int(os.environ.get("SPARK_GRAFT_CACHE_ROWS_PER_TASK", "512"))
+    else:
+        rpt = 20_000
+    return max(1, min(spark.sparkContext.defaultParallelism, n_rows // rpt))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
     """Load a test table. With SPARK_GRAFT_CACHE_TABLES=1 (set by
     bench.py) base tables are persisted and reused across queries — the
@@ -98,20 +129,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
             t = Table.parquet_import(spark, f"{sf_dir}/{name}.parquet", name)
             df = t._require_df()
             # single-file parquet often scans as 1-3 splits; widen the
-            # cached layout so CPU-heavy stages get real fan-out. The
-            # old 20k-rows-per-partition heuristic left the PAYLOAD
-            # tables (documents: 5k rows of text, embeddings: 2k dim-64
-            # vectors) cached as ONE partition, serializing stage 1 of
-            # every tokenize/shingle/regex/BLAS consumer on a single
-            # core until its first exchange (guide §2.5 input-skew
-            # class). Per-row cost, not row count, is what matters for
-            # these: spread across all cores whenever each task keeps a
-            # meaningful chunk (>= 64 rows); genuinely tiny dimension
-            # tables (region, nation) still stay at 1 partition.
-            # ROW_ORD is already attached (computed map-side, pre-
-            # shuffle) so positional semantics are unchanged.
+            # cached layout so CPU-heavy stages get real fan-out — but
+            # only for PAYLOAD tables. Two measured regimes (cal-matched
+            # A/B/A brackets, 32 and 8 cores):
+            #  - wide rows (documents ~120 compressed B/row of text,
+            #    embeddings ~400 B/row of vectors) feed per-row-heavy
+            #    regex/BLAS/Arrow stages: cached as 1 partition they
+            #    serialize stage 1 of every consumer (guide §2.5), so
+            #    spread them — 512 rows/task is the sweet spot (a
+            #    64/256/512/1024 sweep: 64 rows/task made every
+            #    mapInPandas row 1.5-3x SLOWER — a Python-worker round
+            #    trip per ~65-row batch — dedup_semantic_incr
+            #    1.85->1.16 s, sim_f32_topk 0.54->0.35; plateau past
+            #    512).
+            #  - narrow relational rows (orders/customer/lineitem/
+            #    events, ~20 B/row) are consumed at codegen scan speed:
+            #    fanning them out only buys task overhead (asof_join
+            #    1.29->0.84, window_topk_per_group 0.55->0.27,
+            #    events_session 0.67->0.51 at the old 20k-rows layout
+            #    vs 512) — keep the 20k-rows-per-task heuristic.
+            # The regime split keys on compressed bytes/row (>= 64)
+            # from the parquet footprint — a data property, not a table
+            # whitelist, so it holds at any scale factor. ROW_ORD is
+            # already attached (computed map-side, pre-shuffle) so
+            # positional semantics are unchanged.
             n_rows = df.count()
-            target = max(1, min(spark.sparkContext.defaultParallelism, n_rows // 64))
+            target = _cache_fanout(
+                spark, f"{sf_dir}/{name}.parquet", n_rows
+            )
             if df.rdd.getNumPartitions() < target:
                 df = df.repartition(target)
                 t._df = df
@@ -140,9 +185,9 @@ def _ev(spark: SparkSession, sf_dir: str):
             t = load_events(spark, f"{sf_dir}/events.parquet")
             df = t._require_df()
             n_rows = df.count()
-            # same >=64-rows-per-task fan-out rule as _t (see above)
-            target = max(
-                1, min(spark.sparkContext.defaultParallelism, n_rows // 64)
+            # same width-keyed fan-out rule as _t (see above)
+            target = _cache_fanout(
+                spark, f"{sf_dir}/events.parquet", n_rows
             )
             if df.rdd.getNumPartitions() < target:
                 df = df.repartition(target)
