@@ -104,7 +104,14 @@ def _cache_fanout(spark: SparkSession, path: str, n_rows: int) -> int:
         size = 0
     width = size / max(n_rows, 1)
     if width >= 64:
-        rpt = int(os.environ.get("SPARK_GRAFT_CACHE_ROWS_PER_TASK", "512"))
+        # clamp the env override: 0 or garbage must not break table load
+        try:
+            rpt = max(
+                1,
+                int(os.environ.get("SPARK_GRAFT_CACHE_ROWS_PER_TASK", "512")),
+            )
+        except ValueError:
+            rpt = 512
     else:
         rpt = 20_000
     return max(1, min(spark.sparkContext.defaultParallelism, n_rows // rpt))
@@ -775,8 +782,13 @@ def q_text_tfidf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the (vocab-bounded) stats asset: the scalar collect below
     # fills the cache, so the scoring join reuses it instead of
     # re-tokenizing the corpus a second time within one invocation —
-    # the deployment shape, where the stats table is a durable asset
+    # the deployment shape, where the stats table is a durable asset.
+    # Registered with the textops cache registry so repeated calls hold
+    # ONE stats cache, not one per invocation (guide §5).
     stats.df.persist()
+    from littletable_spark.operators.textops import _own_caches
+
+    _own_caches("q_text_tfidf_incr", [stats.df])
     batch = Table.from_df(d.df.where(F.pmod(F.col("doc_id"), F.lit(9)) == 0))
     return tfidf_top_terms(
         batch, "text", "doc_id", k=3, against_stats=stats

@@ -1236,57 +1236,60 @@ def dup_clusters(
     # pipeline: the driver path's collect and the distributed path's
     # src/dst symmetrization both read the probe's cache instead of
     # re-running the candidate join + distinct (guide §1.2 — measured as
-    # a full second execution of the self-join stage per call).
-    pairs = pairs.persist(_PAIRGEN_CACHE)
-    n_pairs = pairs.limit(driver_edges + 1).count()
-    if n_pairs <= driver_edges:
-        rows = pairs.select(a_col, b_col).collect()
-        pairs.unpersist()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for r in rows:
-            a, b = r[0], r[1]
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        nodes = {v for r in rows for v in (r[0], r[1])}
-        out = [(v, find(v)) for v in nodes]
-        spark = pairs.sparkSession
-        # derive the output schema from the input pair columns so the
-        # driver path returns the SAME types as the distributed path for
-        # any id dtype (string doc ids included) — behavior must not
-        # diverge by graph size
-        from pyspark.sql import types as SQLT
-
-        id_type = pairs.schema[a_col].dataType
-        schema = SQLT.StructType(
-            [
-                SQLT.StructField("doc_id", id_type, True),
-                SQLT.StructField("cluster_id", id_type, True),
-            ]
-        )
-        return spark.createDataFrame(out, schema)
-    e1 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    e2 = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = e1.union(e2).persist(_PAIRGEN_CACHE)
-    # seed = one neighbour-pull round fused into label construction
-    labels = (
-        edges.groupBy("src")
-        .agg(F.least(F.first("src"), F.min("dst")).alias("lbl"))
-        .select(F.col("src").alias("id"), "lbl")
-        .localCheckpoint()
-    )
-    small = labels.count() <= broadcast_nodes  # cached: near-free job
-    _b = F.broadcast if small else (lambda df: df)
+    # a full second execution of the self-join stage per call). Persist
+    # only if the CALLER has not already persisted the same frame (their
+    # cache, their lifecycle), and release on every exit path.
+    we_cached = pairs.storageLevel == StorageLevel.NONE
+    if we_cached:
+        pairs = pairs.persist(_PAIRGEN_CACHE)
     try:
+        n_pairs = pairs.limit(driver_edges + 1).count()
+        if n_pairs <= driver_edges:
+            rows = pairs.select(a_col, b_col).collect()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in rows:
+                a, b = r[0], r[1]
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = {v for r in rows for v in (r[0], r[1])}
+            out = [(v, find(v)) for v in nodes]
+            spark = pairs.sparkSession
+            # derive the output schema from the input pair columns so the
+            # driver path returns the SAME types as the distributed path
+            # for any id dtype (string doc ids included) — behavior must
+            # not diverge by graph size
+            from pyspark.sql import types as SQLT
+
+            id_type = pairs.schema[a_col].dataType
+            schema = SQLT.StructType(
+                [
+                    SQLT.StructField("doc_id", id_type, True),
+                    SQLT.StructField("cluster_id", id_type, True),
+                ]
+            )
+            return spark.createDataFrame(out, schema)
+        e1 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        e2 = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        edges = e1.union(e2).persist(_PAIRGEN_CACHE)
+        # seed = one neighbour-pull round fused into label construction
+        labels = (
+            edges.groupBy("src")
+            .agg(F.least(F.first("src"), F.min("dst")).alias("lbl"))
+            .select(F.col("src").alias("id"), "lbl")
+            .localCheckpoint()
+        )
+        small = labels.count() <= broadcast_nodes  # cached: near-free job
+        _b = F.broadcast if small else (lambda df: df)
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(_b(labels), edges["dst"] == labels["id"])
@@ -1338,8 +1341,12 @@ def dup_clusters(
             F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
         )
     finally:
-        edges.unpersist()
-        pairs.unpersist()
+        # edges exists only on the distributed path; the driver path
+        # returns before it is built
+        if "edges" in locals():
+            edges.unpersist()
+        if we_cached:
+            pairs.unpersist()
 
 
 def keep_canonical(

@@ -17,6 +17,36 @@ from pyspark.sql import functions as F
 from ..table import Table
 from .dedup import _ngram_rows, _tokens
 
+# ------------------------------------------------------------------ #
+# model-cache hygiene (guide §5): several operators persist model /
+# intermediate frames that must OUTLIVE their builder call because the
+# returned plan's lineage reads them (the scoring joins consume the
+# cache when the caller materializes). They cannot be unpersisted
+# eagerly, but leaving them forever accumulates a corpus-sized cache
+# per distinct input in a long-lived session. Each operator registers
+# its caches here; the NEXT call to the same operator releases the
+# previous call's frames unless they are the same plan (repeated
+# identical calls keep reusing one cache entry — Spark dedupes cached
+# plans, so unpersisting a semantically-equal old frame would drop the
+# new call's cache too). Unpersist is always correctness-safe: an
+# evicted frame recomputes from lineage.
+_OWNED_MODEL_CACHES: dict[str, list] = {}
+
+
+def _own_caches(op: str, frames: list) -> None:
+    old = _OWNED_MODEL_CACHES.get(op, [])
+    try:
+        new_hashes = {f.semanticHash() for f in frames}
+    except Exception:
+        new_hashes = set()
+    for f in old:
+        try:
+            if f.semanticHash() not in new_hashes:
+                f.unpersist()
+        except Exception:
+            pass
+    _OWNED_MODEL_CACHES[op] = list(frames)
+
 # deterministic marker-word lists per language; scoring is the count of
 # DISTINCT markers present (array_intersect semantics in both engines)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -645,6 +675,9 @@ def contamination_check(
         from pyspark import StorageLevel
 
         bench_hashes = bench_hashes.persist(StorageLevel.MEMORY_AND_DISK)
+        # survives the call (the broadcast + final join read it);
+        # released on the operator's next call (guide §5)
+        _own_caches("contamination_check", [bench_hashes])
         probed = bench_hashes.limit(max_bench_ngrams + 1).count()
         if probed > max_bench_ngrams:
             raise ValueError(
@@ -760,6 +793,10 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("__c__")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_total = freq_all.agg(F.sum("__c__").alias("n")).collect()[0]["n"]
+    # cache lifecycle: the scoring join below reads this cache when the
+    # caller materializes, so it must survive the call — the registry
+    # releases it on the operator's NEXT call (guide §5)
+    _own_caches("unigram_logprob", [freq_all])
     freq = freq_all
     if vocab_size is not None:
         freq = freq_all.orderBy(
@@ -847,7 +884,6 @@ def bigram_logprob(
         .agg(F.count(F.lit(1)).alias("__cu__"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_total = uni.agg(F.sum("__cu__").alias("n")).collect()[0]["n"]
     tpairs = F.expr(
         "transform(sequence(1, size(__tk__) - 1), "
         "i -> struct(__tk__[i - 1] AS w1, __tk__[i] AS w2))"
@@ -861,7 +897,28 @@ def bigram_logprob(
         )
         .groupBy("__w1__", "__w2__")
         .agg(F.count(F.lit(1)).alias("__c2__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # ONE fused fill: a union of the two models' one-row aggregates
+    # executes both model builds in a single query, returning N while
+    # filling BOTH caches — so the tokenized-corpus cache (a full copy
+    # of the training text) can be released RIGHT HERE instead of
+    # living for the session; the vocab-bounded model caches are what
+    # survive, owned by the registry (guide §1.2 scan fusion + §5
+    # memory hygiene). Rows are keyed, not positional, so the union's
+    # partition order can never misattribute the scalars.
+    fill = dict(
+        uni.agg(F.lit(0).alias("k"), F.sum("__cu__").alias("n"))
+        .unionAll(
+            big.agg(
+                F.lit(1).alias("k"), F.count(F.lit(1)).cast("bigint").alias("n")
+            )
+        )
+        .collect()
+    )
+    n_total = fill.get(0)
+    ttok.unpersist()
+    _own_caches("bigram_logprob", [uni, big])
     if model_size is not None:
         big = big.orderBy(
             F.col("__c2__").desc(), F.col("__w1__").asc(), F.col("__w2__").asc()
@@ -1072,6 +1129,9 @@ def tfidf_top_terms(
         # stage reuse does not always dedupe the broadcast-side copy);
         # the cached frame is (doc, distinct-term)-bounded (guide §1.2)
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        # survives the call (the returned plan reads it); released on
+        # the operator's next call by the registry (guide §5)
+        _own_caches("tfidf_top_terms", [tf])
         d_count = float(len(table))
         docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         docfreq_joined = tf.join(docfreq, on="term")

@@ -135,6 +135,22 @@ def ingest_batch(
     )
     from ..operators.textops import term_stats_table
 
+    # opt-in phase telemetry (guide §1 measure-first): one JSON line per
+    # batch with driver-side phase durations; no behavior change
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("SPARK_GRAFT_INGEST_TIMING") == "1"
+    _phases: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        if _timing:
+            now = _time.perf_counter()
+            _phases[phase] = _phases.get(phase, 0.0) + (now - _t0)
+            _t0 = now
+
     if sigs_path is not None and emb_col is None:
         raise ValueError("sigs_path requires emb_col (the embedding column)")
     if ivf_path is not None and (emb_col is None or ivf_centroids is None):
@@ -161,6 +177,7 @@ def ingest_batch(
     ):
         if p is not None:
             recover_asset(spark, p)
+    _mark("recover")
 
     # schema-drift guard: a plain partitioned-parquet read resolves its
     # schema from ONE footer, so a batch carrying a column (or a TYPE)
@@ -214,6 +231,7 @@ def ingest_batch(
                     "to unify the layout so plain reads see the union "
                     "schema."
                 )
+    _mark("schema_guard")
 
     def _stored(path: str) -> DataFrame | None:
         """The stored index MINUS this batch's own partition: a
@@ -297,31 +315,31 @@ def ingest_batch(
         bands_cur = _band_table_df(
             cur, id_col, text_col, n, num_hashes, band_size
         ).persist(_PAIRGEN_CACHE)
-        drop_self = (
-            bands_cur.alias("a")
-            .join(
-                bands_cur.alias("b"),
-                on=[
-                    F.col("a.band") == F.col("b.band"),
-                    F.col("a.band_key") == F.col("b.band_key"),
-                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-                ],
-            )
-            .select(F.col(f"b.{id_col}").alias(id_col))
-            .distinct()
-        )
-        kept = cur.join(drop_self, on=id_col, how="left_anti")
+        # within-batch near-dup drop as ONE window over the band key
+        # (guide §2.4): a candidate pair (id1 < id2 sharing a band row)
+        # drops id2 — equivalently, every id above its band group's
+        # minimum drops. The old self-join + distinct paid two extra
+        # exchanges for the same id set; the window reuses the single
+        # hash(band, band_key) exchange, and the anti-join below is
+        # duplicate-tolerant so no distinct is needed either.
+        from pyspark.sql import Window
 
+        w_band = Window.partitionBy("band", "band_key")
+        drops = (
+            bands_cur.withColumn("__min__", F.min(id_col).over(w_band))
+            .where(F.col(id_col) > F.col("__min__"))
+            .select(id_col)
+        )
         stored = _stored(bands_path)
         if stored is not None:
-            # band rows of the within-batch survivors: a semi-join on the
-            # cached band table (band rows are per-doc pure, so filtering
-            # rows == re-banding the filtered docs)
+            # stored-index probe over the WHOLE batch band table (no
+            # survivor semi-join first): probing a within-batch-dropped
+            # id only re-drops it — (A − B) − C == A − (B ∪ C) — so the
+            # final survivor set is identical while the semi-join, the
+            # distinct and the second anti-join all disappear; one
+            # union + ONE anti-join remains (guide §2.4).
             cross = (
-                bands_cur.join(
-                    kept.select(id_col), on=id_col, how="left_semi"
-                )
-                .alias("a")
+                bands_cur.alias("a")
                 .join(
                     stored.select(id_col, "band", "band_key").alias("b"),
                     on=[
@@ -330,9 +348,10 @@ def ingest_batch(
                     ],
                 )
                 .select(F.col(f"a.{id_col}").alias(id_col))
-                .distinct()
             )
-            kept = kept.join(cross, on=id_col, how="left_anti")
+            drops = drops.unionByName(cross)
+        kept = cur.join(drops, on=id_col, how="left_anti")
+        _mark("pipeline_build")
         if collect_stats:
             counts["after_minhash"] = kept.count()
 
@@ -371,21 +390,49 @@ def ingest_batch(
 
         kept = kept.persist()
         try:
-            counts["appended"] = kept.count() if collect_stats else -1
+            _mark("stage_counts")
+            # ONE parallel action fills the survivor cache (and the band
+            # cache its plan reads twice) so every asset write below is
+            # a read of memory, not a re-materialization of the curation
+            # pipeline behind its own shuffle. The count doubles as the
+            # observability figure when collect_stats is on; when off it
+            # is still run as the cache fill — it REPLACES the per-write
+            # REBALANCE shuffles (measured ~0.4 s of pure AQE-stage
+            # overhead per tiny write), so the hot path runs strictly
+            # fewer jobs than before (guide §1.2, §2.6).
+            n_kept = kept.count()
+            counts["appended"] = n_kept if collect_stats else -1
             kt = Table.from_df(kept, name=f"ingest_kept_{bid}")
 
-            # every asset append goes through an AQE REBALANCE shuffle so
-            # output files are SIZE-targeted, not partition-count-
-            # targeted (guide §6): without it each write inherited the
-            # join pipeline's partitioning and a few-hundred-KB batch
-            # landed as one near-empty file PER CORE (32 files at sf0.1
-            # — measured: the rebalanced write is also ~40% faster, the
-            # file-commit overhead exceeded the extra tiny shuffle), and
-            # every later probe/compaction paid the per-file open cost.
-            # A big batch still fans out: AQE sizes the shuffle output
-            # by advisoryPartitionSize and splits skewed partitions.
+            # SIZE-ADAPTIVE asset writes (guide §6): output files are
+            # size-targeted, never partition-count-targeted. A frame
+            # whose (post-fill, cache-informed) plan stats fit in ONE
+            # target file coalesces — no shuffle, one output file; a
+            # bigger frame goes through the AQE REBALANCE shuffle, which
+            # splits by advisoryPartitionSize (parallel, skew-safe) —
+            # the decision is data-derived per asset per batch, so a
+            # few-hundred-KB nightly batch writes one file while a
+            # multi-GB backfill batch fans out to ~target-sized files.
+            _TARGET_FILE_BYTES = 256 * 1024 * 1024  # in-memory estimate
+
             def _append(df: DataFrame, root: str) -> None:
-                df.hint("rebalance").write.mode("overwrite").parquet(
+                try:
+                    est = int(
+                        str(
+                            df._jdf.queryExecution()
+                            .optimizedPlan()
+                            .stats()
+                            .sizeInBytes()
+                        )
+                    )
+                except Exception:
+                    est = None
+                out = (
+                    df.coalesce(1)
+                    if est is not None and est <= _TARGET_FILE_BYTES
+                    else df.hint("rebalance")
+                )
+                out.write.mode("overwrite").parquet(
                     f"{root}/batch_id={bid}"
                 )
 
@@ -472,12 +519,14 @@ def ingest_batch(
                 )
             from concurrent.futures import ThreadPoolExecutor
 
+            _mark("write_build")
             with ThreadPoolExecutor(
                 max_workers=min(3, len(writes))
             ) as pool:
                 futures = [pool.submit(w) for w in writes]
                 for f in futures:
                     f.result()  # propagate the first failure
+            _mark("write_pool")
         finally:
             kept.unpersist()
     finally:
@@ -487,6 +536,16 @@ def ingest_batch(
     counts["dropped"] = (
         (counts["received"] - counts["appended"]) if collect_stats else -1
     )
+    if _timing:
+        import json as _json
+
+        print(
+            "INGEST_TIMING "
+            + _json.dumps(
+                {"batch_id": bid, **{k: round(v, 3) for k, v in _phases.items()}}
+            ),
+            flush=True,
+        )
     return counts
 
 

@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for registry queries into plans/r14/.
+"""Capture .explain("formatted") for registry queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py TAG [NAME...]
 
@@ -17,8 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+OUT_DIR = os.environ.get("SPARK_GRAFT_PLANS_DIR") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
 )
 
 

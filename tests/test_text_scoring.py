@@ -481,3 +481,67 @@ def test_term_stats_counts_empty_and_null_docs(spark):
     assert scalar.n_docs == 4 and scalar.total_tokens == 3
     assert rows["alpha"].df == 1 and rows["beta"].df == 1
     assert set(rows) == {"", "alpha", "beta"}
+
+
+def test_model_caches_stable_across_repeated_scoring_calls(spark):
+    """guide §5 hygiene: the model frames the scoring operators persist
+    (unigram freq, bigram uni+big models, tfidf (doc,term) aggregate)
+    are owned by a per-operator registry — repeated calls must not
+    accumulate cache entries, and a changed corpus must release the
+    previous corpus's caches."""
+    from littletable_spark.operators.textops import (
+        _OWNED_MODEL_CACHES,
+        bigram_logprob,
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    t = _mk(spark)
+
+    def run_all(tbl):
+        unigram_logprob(tbl, "text", "doc_id").df.collect()
+        bigram_logprob(tbl, "text", "doc_id").df.collect()
+        tfidf_top_terms(tbl, "text", "doc_id").df.collect()
+
+    run_all(t)
+    base = n_persistent()
+    # identical repeated calls: same plans -> the one cache entry per
+    # model is reused, never dropped-and-rebuilt, never duplicated
+    run_all(t)
+    run_all(t)
+    assert n_persistent() == base
+    # a different corpus evicts the old corpus's model caches: the
+    # total persisted count stays flat instead of growing per corpus
+    t2 = _mk(spark, [(10, "new corpus entirely"), (11, "other words here")])
+    run_all(t2)
+    assert n_persistent() <= base
+    # registry holds exactly one cache set per operator
+    assert {k for k in _OWNED_MODEL_CACHES} >= {
+        "unigram_logprob",
+        "bigram_logprob",
+        "tfidf_top_terms",
+    }
+    for frames in _OWNED_MODEL_CACHES.values():
+        assert len(frames) <= 2
+    # cleanup so later tests see a quiet cache
+    for frames in _OWNED_MODEL_CACHES.values():
+        for f in frames:
+            f.unpersist()
+
+
+def test_bigram_logprob_releases_tokenized_corpus_cache(spark):
+    """the full tokenized-corpus frame must NOT outlive the builder —
+    only the vocab-bounded model caches survive (guide §5)."""
+    from littletable_spark.operators.textops import (
+        _OWNED_MODEL_CACHES,
+        bigram_logprob,
+    )
+
+    t = _mk(spark)
+    out = bigram_logprob(t, "text", "doc_id")
+    owned = {f.semanticHash() for f in _OWNED_MODEL_CACHES["bigram_logprob"]}
+    assert len(owned) == 2  # uni + big models, not ttok
+    out.df.collect()  # scoring works off the surviving model caches
+    for f in _OWNED_MODEL_CACHES["bigram_logprob"]:
+        f.unpersist()
