@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from littletable_spark import Table
+from littletable_spark.session import small_df
 
 
 _TABLE_CACHE: dict[tuple[str, str], Table] = {}
@@ -2427,8 +2428,10 @@ def q_url_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_ROBOTS_TEMPLATE).alias("txt"),
         )
         .unionByName(
-            d.df.sparkSession.createDataFrame(
-                [("2001:db8::1", _ROBOTS_TEMPLATE)], "domain string, txt string"
+            small_df(
+                d.df.sparkSession,
+                [("2001:db8::1", _ROBOTS_TEMPLATE)],
+                "domain string, txt string",
             )
         ),
         name="robots",
@@ -3180,7 +3183,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     bands = Table.from_df(
-        spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+        small_df(spark, _PRICE_BANDS, "band string, lo double, hi double")
     )
     out = range_join(
         o, bands, "o_totalprice", "lo", "hi",

@@ -52,6 +52,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import functions as F
 
+from ..session import small_df
 from ..table import Table
 from .textops import BPE_TOKEN_RE
 
@@ -263,7 +264,7 @@ def train_bpe(
     if byte_level:
         # marker row (rank NULL, left NULL): readers self-configure
         rows.append((None, None, _BYTE_LEVEL_FLAG))
-    out = spark.createDataFrame(rows, "rank int, left string, right string")
+    out = small_df(spark, rows, "rank int, left string, right string")
     return Table.from_df(out, name=f"{table.table_name}_bpe_merges")
 
 
@@ -352,8 +353,8 @@ def bpe_vocab(merges: Table, unk_piece: str = "<unk>") -> Table:
     forever (alphabet + rank order; see ``_vocab_list``)."""
     merge_rows, alphabet, _byte = _load_asset(merges)
     vocab = _vocab_list(merge_rows, alphabet, unk_piece)
-    out = merges.spark.createDataFrame(
-        list(enumerate(vocab)), "token_id int, piece string"
+    out = small_df(
+        merges.spark, list(enumerate(vocab)), "token_id int, piece string"
     )
     return Table.from_df(out, name=f"{merges.table_name}_vocab")
 

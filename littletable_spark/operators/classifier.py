@@ -36,6 +36,7 @@ from typing import Any
 
 from pyspark.sql import Column, functions as F
 
+from ..session import small_df
 from ..table import Table
 
 
@@ -308,9 +309,9 @@ def train_text_classifier(
         (int(i), float(w), None) for i, w in enumerate(coefs.toArray()) if w
     ]
     schema = "feature_idx int, weight double, n_features int"
-    wdf = spark.createDataFrame(weight_rows, schema)
-    scalar = spark.createDataFrame(
-        [(None, float(model.intercept), int(n_features))], schema
+    wdf = small_df(spark, weight_rows, schema)
+    scalar = small_df(
+        spark, [(None, float(model.intercept), int(n_features))], schema
     )
     return Table.from_df(
         wdf.unionByName(scalar), name=f"{table.table_name}_text_clf"

@@ -20,10 +20,13 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import small_df
 from ..table import Table
 
 # Self-join pair generators consume their signature/shingle intermediate
@@ -88,24 +91,43 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     exactly, including the short-document case (len < n -> one shingle
     of all tokens).
     """
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col), F.posexplode(_tokens(text_col)).alias("p", "t")
-    )
-    w = Window.partitionBy(id_col).orderBy("p")
-    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
-    wlen = Window.partitionBy(id_col)
+    pieces = _shingle_exprs(id_col, text_col, n)
     out = (
-        toks.withColumn("__len__", F.count(F.lit(1)).over(wlen))
-        .withColumn("s", F.concat_ws(" ", *parts))  # concat_ws skips nulls
-        .filter(
-            (F.col("p") <= F.col("__len__") - F.lit(n))
-            | ((F.col("p") == 0) & (F.col("__len__") < F.lit(n)))
-        )
+        df.select(*pieces["toks"])
+        .withColumn("__len__", pieces["len"])
+        .withColumn("s", pieces["s"])  # concat_ws skips nulls
+        .filter(pieces["keep"])
         .select(F.col(id_col), F.col("s"))
     )
     return out
+
+
+@lru_cache(maxsize=128)
+def _shingle_exprs(id_col: str, text_col: str, n: int):
+    """The input-independent Column trees of ``_shingle_rows``, built
+    once per shape. Every ``F.*`` call is a py4j round trip, and the
+    shingle pipeline builds dozens — ~0.25 s of pure driver time per
+    ``_band_table_df`` call (measured), paid per ingest micro-batch.
+    Expression trees are immutable and reference column NAMES, so the
+    same objects compose into any DataFrame's plan; memoizing them cuts
+    the per-call construction to the df method chain alone (guide §1.2,
+    driver-side edition)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("p")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    return {
+        "toks": (
+            F.col(id_col),
+            F.posexplode(_tokens(text_col)).alias("p", "t"),
+        ),
+        "len": F.count(F.lit(1)).over(Window.partitionBy(id_col)),
+        "s": F.concat_ws(" ", *parts),
+        "keep": (
+            (F.col("p") <= F.col("__len__") - F.lit(n))
+            | ((F.col("p") == 0) & (F.col("__len__") < F.lit(n)))
+        ),
+    }
 
 
 def _ngram_rows(
@@ -203,11 +225,16 @@ def _minhash_signature_df(
     """
     exploded = _shingle_rows(df, id_col, text_col, n)
     # min over the multiset == min over the distinct set: no dedup needed
-    aggs = [
+    return exploded.groupBy(id_col).agg(*_mh_agg_exprs(num_hashes))
+
+
+@lru_cache(maxsize=32)
+def _mh_agg_exprs(num_hashes: int) -> tuple:
+    """Memoized minhash aggregate Columns (see ``_shingle_exprs``)."""
+    return tuple(
         F.min(F.md5(F.concat(F.col("s"), F.lit(f":{i}")))).alias(f"mh{i}")
         for i in range(num_hashes)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    )
 
 
 def _band_table_df(
@@ -216,8 +243,16 @@ def _band_table_df(
 ) -> DataFrame:
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be divisible by band_size")
-    n_bands = num_hashes // band_size
     sig = _minhash_signature_df(df, id_col, text_col, n, num_hashes)
+    # attach band ordinal so identical keys in different bands
+    # don't collide
+    return sig.select(*_band_select_exprs(id_col, num_hashes, band_size))
+
+
+@lru_cache(maxsize=32)
+def _band_select_exprs(id_col: str, num_hashes: int, band_size: int) -> tuple:
+    """Memoized banding Columns (see ``_shingle_exprs``)."""
+    n_bands = num_hashes // band_size
     band_keys = F.array(
         *[
             F.md5(
@@ -229,11 +264,7 @@ def _band_table_df(
             for b in range(n_bands)
         ]
     )
-    # attach band ordinal so identical keys in different bands
-    # don't collide
-    return sig.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
-    )
+    return (F.col(id_col), F.posexplode(band_keys).alias("band", "band_key"))
 
 
 def minhash_band_table(
@@ -1277,7 +1308,7 @@ def dup_clusters(
                     SQLT.StructField("cluster_id", id_type, True),
                 ]
             )
-            return spark.createDataFrame(out, schema)
+            return small_df(spark, out, schema)
         e1 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         e2 = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         edges = e1.union(e2).persist(_PAIRGEN_CACHE)

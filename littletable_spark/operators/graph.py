@@ -42,15 +42,50 @@ summation order; the oracle gate compares at 1e-6, far above the
 ~1e-15 relative reorder error.
 
 No reference analog; net-new crawl capability like robots/urlops.
+
+Concurrency: for small graphs (n <= 100k) the iteration loop disables
+AQE session-wide (measured ~0.8 s of scheduling overhead otherwise).
+The toggle is skipped when any other Spark job is in flight and is
+serialized against concurrent pagerank calls, so it never perturbs
+running work — but a query SUBMITTED by another thread while the loop
+runs would plan AQE-off; callers needing AQE mid-flight should run
+pagerank on its own session.
 """
 
 from __future__ import annotations
+
+import threading
 
 from pyspark.sql import functions as F
 
 from ..table import Table
 
 __all__ = ["pagerank"]
+
+# Guards the small-graph AQE toggle: SQL confs are SESSION-scoped in
+# Spark, so flipping spark.sql.adaptive.enabled is visible to every
+# query planned on the session while the iteration loop runs. The lock
+# serializes concurrent pagerank calls' save/restore (a reentrant
+# second call would otherwise restore the wrong value), and the
+# active-job gate below skips the toggle entirely when anything else is
+# running on the context — correctness is never at stake (AQE on is
+# merely slower for the tiny-graph loop), so when in doubt we leave the
+# conf alone.
+_AQE_TOGGLE_LOCK = threading.Lock()
+
+
+def _aqe_toggle_allowed(spark) -> bool:
+    """True when it is safe to flip the session-wide AQE conf: no other
+    Spark jobs in flight on this context (their re-planned stages would
+    silently lose AQE coalescing/skew handling — e.g. ingest_batch's
+    write pool). Queries STARTED by other threads mid-loop still see
+    the toggled conf; callers mixing pagerank with concurrent work on
+    the same session keep AQE by virtue of this gate only when their
+    jobs overlap the check — the docstring documents the contract."""
+    try:
+        return not spark.sparkContext.statusTracker().getActiveJobsIds()
+    except Exception:
+        return False
 
 
 def pagerank(
@@ -151,15 +186,25 @@ def pagerank(
     # restore it before returning; big graphs (the 100 TB shape) keep
     # AQE's coalescing and skew handling. The threshold is node-count-
     # derived (data-adaptive), not a local core-count constant.
+    # The toggle is skipped whenever other jobs are in flight or another
+    # pagerank holds the lock (see _aqe_toggle_allowed) — the loop then
+    # just runs with AQE on, trading a little scheduling overhead for
+    # never perturbing concurrent queries' plans.
     _AQE_KEY = "spark.sql.adaptive.enabled"
     small_graph = n <= 100_000
     aqe_prev = None
+    aqe_locked = False
     if small_graph:
-        try:
-            aqe_prev = table.spark.conf.get(_AQE_KEY)
-        except Exception:
-            aqe_prev = "true"
-        table.spark.conf.set(_AQE_KEY, "false")
+        aqe_locked = _AQE_TOGGLE_LOCK.acquire(blocking=False)
+        if aqe_locked and _aqe_toggle_allowed(table.spark):
+            try:
+                aqe_prev = table.spark.conf.get(_AQE_KEY)
+            except Exception:
+                aqe_prev = "true"
+            table.spark.conf.set(_AQE_KEY, "false")
+        elif aqe_locked:
+            _AQE_TOGGLE_LOCK.release()
+            aqe_locked = False
     try:
         # teleport vector p(v): uniform 1/n stays a LITERAL (no extra
         # column shuffled through every iteration — the common case pays
@@ -336,5 +381,7 @@ def pagerank(
         out.pagerank_iterations = steps
         return out
     finally:
-        if small_graph and aqe_prev is not None:
+        if aqe_prev is not None:
             table.spark.conf.set(_AQE_KEY, aqe_prev)
+        if aqe_locked:
+            _AQE_TOGGLE_LOCK.release()

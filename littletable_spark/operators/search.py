@@ -47,6 +47,7 @@ from ..functions.normalize import (
     normalize_text,
 )
 from ..plans.ordering import ROW_ORD
+from ..session import small_df
 
 BARE_WEIGHT = 100
 PREFER_WEIGHT = 1000
@@ -241,7 +242,7 @@ def search(
             {"word": w, "gid": gi} for gi, g in enumerate(groups) for w in g
         ]
         gdf = F.broadcast(
-            spark.createDataFrame(group_rows, schema="word string, gid long")
+            small_df(spark, group_rows, "word string, gid long")
         )
         ghits = index_df.join(gdf, on="word")
         # one job for both coverage statistics: per-row distinct-gid sets
@@ -271,7 +272,7 @@ def search(
     weight_rows = [{"word": w, "weight": wt} for w, wt in weights.items()]
     if weight_rows:
         wdf = F.broadcast(
-            spark.createDataFrame(weight_rows, schema="word string, weight long")
+            small_df(spark, weight_rows, "word string, weight long")
         )
         scored = (
             index_df.join(wdf, on="word")
@@ -294,9 +295,10 @@ def search(
         )
     if excluded:
         edf = F.broadcast(
-            spark.createDataFrame(
+            small_df(
+                spark,
                 [{"word": w} for w in dict.fromkeys(excluded)],
-                schema="word string",
+                "word string",
             )
         )
         excl_rows = index_df.join(edf, on="word").select(EPOCH, ROW_ORD).distinct()

@@ -20,6 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import small_df
 from ..table import Table
 
 # Query vectors are collected to the driver and broadcast (the probe set
@@ -631,7 +632,7 @@ def ivf_index_table(
             for s in range(books.shape[0])
             for c in range(books.shape[1])
         ]
-        model = corpus.spark.createDataFrame(model_rows, schema)
+        model = small_df(corpus.spark, model_rows, schema)
         out = Table.from_df(
             assigned.unionByName(model), name=f"{corpus.table_name}_ivf_pq_index"
         )
@@ -674,7 +675,8 @@ def ivf_index_table(
         )
         .withColumn("centroid", F.lit(None).cast("array<double>"))
     )
-    model = corpus.spark.createDataFrame(
+    model = small_df(
+        corpus.spark,
         [(int(i), None, None, [float(x) for x in c]) for i, c in enumerate(cents)],
         schema,
     )

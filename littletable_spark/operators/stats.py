@@ -22,6 +22,7 @@ from typing import Any
 from pyspark.sql import functions as F
 from pyspark.sql import types as SQLT
 
+from ..session import small_df
 from ..table import Table
 
 _NUMERIC_TYPES = (
@@ -365,14 +366,14 @@ def stats_table(
             "name string, mean double, median double, min double, max double, "
             "variance double, std_dev double, count long, missing long"
         )
-        out = spark.createDataFrame(recs, schema=schema_str)
+        out = small_df(spark, recs, schema_str)
     else:
         recs = [
             {"stat": s, **{c: float(row[f"{c}__{s}"]) if row[f"{c}__{s}"] is not None else None for c in fields}}
             for s in STAT_NAMES
         ]
         schema_str = "stat string, " + ", ".join(f"`{c}` double" for c in fields)
-        out = spark.createDataFrame(recs, schema=schema_str)
+        out = small_df(spark, recs, schema_str)
     t = Table.from_df(out, name=f"{table.table_name}_stats")
     return t
 

@@ -14,6 +14,7 @@ from typing import Mapping
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..session import small_df
 from ..table import Table
 from .dedup import _ngram_rows, _tokens
 
@@ -1252,7 +1253,8 @@ def bm25_topk(
         # vocab get df = 0, which BM25's idf handles natively
         # (idf = ln(1 + (D + 0.5)/0.5)) — an unseen query term still
         # ranks the docs that contain it.
-        docfreq = table.spark.createDataFrame(
+        docfreq = small_df(
+            table.spark,
             [(t, df_map.get(t, 0.0)) for t in terms],
             "`__w__` string, `__df__` double",
         )

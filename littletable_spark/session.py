@@ -48,6 +48,37 @@ def _runtime_sql_confs(cpus: int) -> dict[str, str]:
 
 _APPLIED: set[int] = set()
 
+# one slice per this many rows for driver-built frames (small_df); tiny
+# model/config frames stay at ONE task while a genuinely large
+# driver-side table still fans out across the cluster
+_SMALL_DF_ROWS_PER_SLICE = 20_000
+
+
+def small_df(spark: SparkSession, rows, schema):
+    """Driver-built DataFrame with a data-derived slice count.
+
+    ``createDataFrame`` on local data parallelizes into
+    ``defaultParallelism`` slices, so the few-row model/config frames the
+    operators build (stats output, search word groups, BPE merge tables,
+    IVF model rows, classifier weights, …) schedule one near-empty task
+    PER CORE in every consuming job — measured ~0.2 s of pure scheduling
+    overhead per job at local[32], and worse on a real cluster. Deriving
+    the slice count from the row count keeps a tiny frame at one task;
+    `coalesce(1)` is NOT equivalent (a coalesced parallelize collection
+    stalled ~5 s per action on 4.1.2 — measured, root cause scheduler-
+    side, so we size the slices at creation instead).
+
+    ``schema`` must be explicit (StructType or DDL string): the RDD
+    route would otherwise sample-infer, which diverges from local-data
+    inference. Rows may be tuples, dicts or Row objects.
+    """
+    data = rows if isinstance(rows, list) else list(rows)
+    n = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, -(-len(data) // _SMALL_DF_ROWS_PER_SLICE)),
+    )
+    return spark.createDataFrame(spark.sparkContext.parallelize(data, n), schema)
+
 
 def apply_runtime_confs(spark: SparkSession, cpus: int | None = None) -> SparkSession:
     """Idempotently apply the engine's runtime SQL confs to a session

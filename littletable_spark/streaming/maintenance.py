@@ -228,6 +228,12 @@ def compact_asset(
     """
     fs, _, jvm = _fs(spark, path)
     recover_asset(spark, path)
+    # the swap changes the asset layout under ingest's session-level
+    # metadata caches; conservatively drop them up front (lazy import —
+    # ingest imports this module)
+    from .ingest import _drop_asset_metadata
+
+    _drop_asset_metadata(path)
 
     dirs = _list_batch_dirs(fs, jvm, path)
     fresh = {

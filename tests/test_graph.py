@@ -163,3 +163,45 @@ def test_pagerank_warm_start_converges_faster(spark):
     wr = {r.node: r.rank for r in warm}
     for v in cr:
         assert wr[v] == pytest.approx(cr[v], abs=1e-4)
+
+
+def test_pagerank_aqe_toggle_scoped(spark):
+    """The small-graph AQE toggle must not perturb concurrent work: it
+    is skipped when other Spark jobs are in flight, a concurrent call
+    can't stomp the saved/restored value (module lock), and the conf is
+    always restored afterward."""
+    import littletable_spark.operators.graph as G
+
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+
+    # gate: active jobs on the context => toggle disallowed
+    class _FakeTracker:
+        def getActiveJobsIds(self):
+            return [1]
+
+    class _FakeSC:
+        def statusTracker(self):
+            return _FakeTracker()
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    assert G._aqe_toggle_allowed(_FakeSpark()) is False
+    # idle context => allowed
+    assert G._aqe_toggle_allowed(spark) is True
+
+    # lock held (another pagerank mid-loop) => pagerank runs fine and
+    # leaves the conf exactly as it found it
+    t = Table("edges_aqe", spark=spark)
+    t.insert_many([{"src": "a", "dst": "b"}, {"src": "b", "dst": "a"}])
+    with G._AQE_TOGGLE_LOCK:
+        out = pagerank(t, iterations=1)
+        assert len(out) == 2
+        assert spark.conf.get(key) == before
+    assert not G._AQE_TOGGLE_LOCK.locked()
+
+    # normal path restores too
+    pagerank(t, iterations=1)
+    assert spark.conf.get(key) == before
+    assert not G._AQE_TOGGLE_LOCK.locked()
