@@ -74,6 +74,144 @@ __all__ = ["pagerank"]
 _AQE_TOGGLE_LOCK = threading.Lock()
 
 
+# Driver fast-path bounds — DATA-derived, not core-count-derived. The
+# collected state is node ids + two float64 vectors + an edge index
+# triple: at the caps that is tens of MB, far under any sane driver
+# heap, and the caps are checked from measured counts BEFORE anything
+# is collected (a graph over either bound never ships a row).
+_DRIVER_MAX_NODES = 100_000
+_DRIVER_MAX_EDGE_ROWS = 500_000
+
+
+def _driver_pagerank(
+    table,
+    edges,
+    nodes_raw,
+    n: int,
+    n_dang: int,
+    iterations: int,
+    d: float,
+    tol,
+    node_out: str,
+    rank_out: str,
+    against_ranks,
+    personalization,
+    weight_col: str,
+):
+    """Run the power iteration in numpy when the graph provably fits on
+    the driver; return None to fall through to the distributed loop.
+
+    Mirrors the distributed semantics exactly: per-occurrence edge
+    contributions, dangling mass through the teleport vector,
+    personalization weights NULL->0 and normalized over seeds present
+    in the graph (ValueError when that sum is <= 0), warm-start ranks
+    NULL->1/n renormalized over the current node set (ValueError when
+    their sum is <= 0), tol as strict L1 < tol checked after each step.
+    """
+    import numpy as np
+
+    from ..session import small_df
+
+    # both collects are proven bounded by the caller's fused count job
+    # (one plain single-job collect each; a limit() probe here would
+    # run Spark's INCREMENTAL collect-limit — several jobs per call)
+    node_rows = nodes_raw.collect()
+    idx = {r[0]: i for i, r in enumerate(node_rows)}
+    dang_mask = np.fromiter(
+        (bool(r[1]) for r in node_rows), dtype=bool, count=len(node_rows)
+    )
+    deg = np.fromiter(
+        (float(r[2]) for r in node_rows), dtype=np.float64, count=len(node_rows)
+    )
+
+    # teleport vector
+    if personalization is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        pdf_rows = personalization._require_df().select(
+            F.col(personalization.fields[0]),
+            F.col(weight_col).cast("double"),
+        ).collect()
+        in_graph = [r for r in pdf_rows if r[0] in idx]
+        if len({r[0] for r in in_graph}) != len(in_graph):
+            # duplicate seed keys: the join-based path duplicates node
+            # rows (degenerate input) — preserve that behavior verbatim
+            return None
+        w = np.zeros(n)
+        for node, wt in in_graph:
+            w[idx[node]] = 0.0 if wt is None else float(wt)
+        psum = float(w.sum())
+        if psum <= 0:
+            edges.unpersist()
+            nodes_raw.unpersist()
+            raise ValueError(
+                "pagerank: no personalization seed with positive weight "
+                "appears in the graph"
+            )
+        p = w / psum
+
+    # initial ranks
+    if against_ranks is None:
+        r = np.full(n, 1.0 / n)
+        dangling = n_dang * (1.0 / n)
+    else:
+        adf_rows = against_ranks._require_df().select(
+            F.col(against_ranks.fields[0]),
+            F.col(against_ranks.fields[1]).cast("double"),
+        ).collect()
+        in_graph = [row for row in adf_rows if row[0] in idx]
+        if len({row[0] for row in in_graph}) != len(in_graph):
+            return None
+        r0 = np.full(n, 1.0 / n)
+        for node, rv in in_graph:
+            if rv is not None:
+                r0[idx[node]] = float(rv)
+        rsum = float(r0.sum())
+        if rsum <= 0:
+            raise ValueError("pagerank: against_ranks sums to zero")
+        r = r0 / rsum
+        dangling = float(r[dang_mask].sum())
+
+    edge_rows = edges.collect()
+    ui = np.fromiter(
+        (idx[row[0]] for row in edge_rows), dtype=np.int64, count=len(edge_rows)
+    )
+    vi = np.fromiter(
+        (idx[row[1]] for row in edge_rows), dtype=np.int64, count=len(edge_rows)
+    )
+
+    steps = 0
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        np.add.at(contrib, vi, r[ui] / deg[ui])
+        new_r = (1.0 - d) * p + d * (contrib + dangling * p)
+        steps += 1
+        delta = float(np.abs(new_r - r).sum()) if tol is not None else None
+        dangling = float(new_r[dang_mask].sum())
+        r = new_r
+        if tol is not None and delta < tol:
+            break
+
+    edges.unpersist()
+    nodes_raw.unpersist()
+    node_type = nodes_raw.schema[node_out].dataType
+    from pyspark.sql import types as SQLT
+
+    schema = SQLT.StructType(
+        [
+            SQLT.StructField(node_out, node_type, True),
+            SQLT.StructField(rank_out, SQLT.DoubleType(), True),
+        ]
+    )
+    out_rows = [(node_rows[i][0], float(r[i])) for i in range(n)]
+    out = Table.from_df(
+        small_df(table.spark, out_rows, schema),
+        name=f"{table.table_name}_pagerank",
+    )
+    out.pagerank_iterations = steps
+    return out
+
+
 def _aqe_toggle_allowed(spark) -> bool:
     """True when it is safe to flip the session-wide AQE conf: no other
     Spark jobs in flight on this context (their re-planned stages would
@@ -127,40 +265,54 @@ def pagerank(
         .where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
         .persist()
     )
-    outdeg = edges.groupBy("__src__").agg(F.count(F.lit(1)).alias("__deg__"))
-    # dangling flag attached to the node table ONCE at setup: the
-    # per-iteration dangling-mass fold becomes a filter+sum over the
-    # already-cached ranks (no join) and rides into the iteration job
-    # as a broadcast scalar — one job per iteration instead of two,
-    # and one fewer node-sized shuffle per iteration (guide §2.4).
+    # Node table in ONE map-combined aggregation (no distinct + no
+    # broadcast join — two shuffles and an exchange fewer than the old
+    # union/distinct/left-join shape): explode each edge into its two
+    # endpoints with a source flag; the flag-sum per node IS the
+    # out-degree, and degree 0 IS the dangling flag (guide §2.4). The
+    # degree column rides along so (a) the scalar probe below derives
+    # the total edge-row count for free, (b) the driver fast path reads
+    # per-node degrees off the collected rows, and (c) the distributed
+    # loop's out-degree side derives from this same cached frame
+    # instead of re-aggregating the edges.
     nodes_raw = (
-        edges.select(F.col("__src__").alias(node_out))
-        .union(edges.select(F.col("__dst__").alias(node_out)))
-        .distinct()
-        .join(
-            outdeg.select(
-                F.col("__src__").alias(node_out),
-                F.lit(False).alias("__dang__"),
-            ),
-            node_out,
-            "left",
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__src__").alias(node_out),
+                        F.lit(1).alias("__one__"),
+                    ),
+                    F.struct(
+                        F.col("__dst__").alias(node_out),
+                        F.lit(0).alias("__one__"),
+                    ),
+                )
+            ).alias("__e__")
         )
+        .select("__e__.*")
+        .groupBy(node_out)
+        .agg(F.sum("__one__").alias("__deg__"))
         .select(
-            node_out,
-            F.coalesce(F.col("__dang__"), F.lit(True)).alias("__dang__"),
+            node_out, (F.col("__deg__") == 0).alias("__dang__"), "__deg__"
         )
         .persist()
     )
-    # ONE fused scalar job: node count + dangling-node count (guide
-    # §1.2 — was a bare count; the dangling count makes the cold-start
-    # initial dangling mass pure arithmetic, n_dang/n, instead of a
-    # dedicated fold job over the uniform init vector)
+    outdeg = nodes_raw.where(F.col("__deg__") > 0).select(
+        F.col(node_out).alias("__src__"), "__deg__"
+    )
+    # ONE fused scalar job: node count + dangling-node count + total
+    # edge-row count (sum of out-degrees) — everything both the fast
+    # path's bound check and the distributed loop's literals need
+    # (guide §1.2).
     nrow = nodes_raw.agg(
         F.count(F.lit(1)).alias("__n__"),
         F.sum(F.col("__dang__").cast("int")).alias("__nd__"),
+        F.sum("__deg__").alias("__ne__"),
     ).collect()[0]
     n = nrow["__n__"]
     n_dang = int(nrow["__nd__"] or 0)
+    n_edges = int(nrow["__ne__"] or 0)
     if n == 0:
         empty = nodes_raw.select(node_out).withColumn(
             rank_out, F.lit(None).cast("double")
@@ -177,15 +329,38 @@ def pagerank(
         out.pagerank_iterations = 0
         return out
 
-    # Tiny-graph fast path (guide §2.5 scale-adaptive settings): when
-    # the node table is small, every per-iteration shuffle is at most
-    # node-sized and AQE's per-stage materialization jobs (one scheduling
-    # round-trip per exchange, ~27 jobs for a 3-iteration run here)
-    # dominate the actual work — measured ~0.8 s of a ~3.4 s query at
-    # sf0.1. Disable AQE for the ITERATION LOOP ONLY in that regime and
-    # restore it before returning; big graphs (the 100 TB shape) keep
-    # AQE's coalescing and skew handling. The threshold is node-count-
-    # derived (data-adaptive), not a local core-count constant.
+    # Tiny-graph driver fast path (guide §2.5 scale-adaptive settings):
+    # when BOTH the node count (known from the fused agg above) and the
+    # raw edge-row count (one early-terminating limit+count over the
+    # already-cached edge frame) are bounded, the whole iteration fits
+    # comfortably in driver memory (<= ~20 MB of ids + float64 vectors)
+    # and runs in numpy — zero per-iteration Spark jobs, zero
+    # broadcast-exchange builds (the distributed loop pays ~5 scheduled
+    # jobs PER ITERATION on a tiny graph, pure overhead). Numerically
+    # this is the same damped power iteration with the same
+    # dangling-mass redistribution; float summation ORDER differs
+    # (~1e-15 relative), far below the oracle gate's 1e-6 rounding —
+    # the same reorder tolerance the distributed loop already relies on
+    # vs DuckDB. Degenerate inputs the join-based path handles
+    # implicitly (duplicate node keys in personalization/against
+    # tables) fall through to the distributed loop.
+    if n <= _DRIVER_MAX_NODES and n_edges <= _DRIVER_MAX_EDGE_ROWS:
+        fast = _driver_pagerank(
+            table, edges, nodes_raw, n, n_dang, iterations,
+            float(damping), tol, node_out, rank_out, against_ranks,
+            personalization, weight_col,
+        )
+        if fast is not None:
+            return fast
+
+    # Distributed loop. For small node counts AQE's per-stage
+    # materialization jobs (one scheduling round-trip per exchange, ~27
+    # jobs for a 3-iteration run) dominate the actual work — measured
+    # ~0.8 s of a ~3.4 s query at sf0.1. Disable AQE for the ITERATION
+    # LOOP ONLY in that regime and restore it before returning; big
+    # graphs (the 100 TB shape) keep AQE's coalescing and skew
+    # handling. The threshold is node-count-derived (data-adaptive),
+    # not a local core-count constant.
     # The toggle is skipped whenever other jobs are in flight or another
     # pagerank holds the lock (see _aqe_toggle_allowed) — the loop then
     # just runs with AQE on, trading a little scheduling overhead for

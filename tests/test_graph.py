@@ -205,3 +205,48 @@ def test_pagerank_aqe_toggle_scoped(spark):
     pagerank(t, iterations=1)
     assert spark.conf.get(key) == before
     assert not G._AQE_TOGGLE_LOCK.locked()
+
+
+def test_pagerank_distributed_loop_matches_driver_fast_path(spark, monkeypatch):
+    """The numpy fast path and the distributed Spark loop are the same
+    algorithm — force the distributed loop (edge bound = 0) and compare
+    both against each other and the reference on every feature combo."""
+    import littletable_spark.operators.graph as G
+
+    t = Table("edges_fp", spark=spark)
+    t.insert_many([{"src": u, "dst": v} for u, v in EDGES])
+    seeds = Table("seeds_fp", spark=spark)
+    seeds.insert_many([{"node": "a", "weight": 2.0}, {"node": "c", "weight": 1.0}])
+
+    fast_cold = {r.node: r.rank for r in pagerank(t, iterations=4)}
+    fast_pers = {
+        r.node: r.rank
+        for r in pagerank(t, iterations=3, personalization=seeds)
+    }
+    prior = pagerank(t, iterations=2)
+    fast_warm = {
+        r.node: r.rank
+        for r in pagerank(t, iterations=2, against_ranks=prior)
+    }
+
+    monkeypatch.setattr(G, "_DRIVER_MAX_EDGE_ROWS", 0)
+    slow_cold = {r.node: r.rank for r in pagerank(t, iterations=4)}
+    slow_pers = {
+        r.node: r.rank
+        for r in pagerank(t, iterations=3, personalization=seeds)
+    }
+    slow_warm = {
+        r.node: r.rank
+        for r in pagerank(t, iterations=2, against_ranks=prior)
+    }
+
+    for fast, slow in (
+        (fast_cold, slow_cold), (fast_pers, slow_pers), (fast_warm, slow_warm)
+    ):
+        assert set(fast) == set(slow)
+        for v in fast:
+            assert fast[v] == pytest.approx(slow[v], abs=1e-12)
+
+    ref = _ref_pagerank(EDGES, 4)
+    for v in ref:
+        assert slow_cold[v] == pytest.approx(ref[v], rel=1e-9)
