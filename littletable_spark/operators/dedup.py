@@ -149,10 +149,24 @@ def _ngram_rows(
     ``per_doc_distinct`` dedupes each doc's grams IN-ROW
     (``array_distinct``) — identical rows to ``.distinct()`` over
     (id, s) when ids are unique, without the corpus-wide exchange."""
+    toked_cols, gram_col = _ngram_exprs(
+        id_col, text_col, n, tuple(keep_cols), per_doc_distinct
+    )
     keep = [F.col(c) for c in keep_cols]
-    toked = df.select(
-        F.col(id_col), *keep, _tokens(text_col).alias("__tk__")
-    ).where(F.size("__tk__") > 0)
+    toked = df.select(*toked_cols).where(F.size("__tk__") > 0)
+    return toked.select(F.col(id_col), *keep, gram_col)
+
+
+@lru_cache(maxsize=64)
+def _ngram_exprs(
+    id_col: str, text_col: str, n: int, keep_cols: tuple, per_doc_distinct: bool
+):
+    """``_ngram_rows``' input-independent Column trees, built once per
+    shape (see ``_shingle_exprs`` — this builder feeds contamination,
+    span, fingerprint AND jaccard paths, so the py4j construction cost
+    was paid several times per bench pass)."""
+    keep = [F.col(c) for c in keep_cols]
+    toked_cols = (F.col(id_col), *keep, _tokens(text_col).alias("__tk__"))
     tk = F.col("__tk__")
     grams = F.when(
         F.size(tk) < n, F.array(F.array_join(tk, " "))
@@ -164,7 +178,7 @@ def _ngram_rows(
     )
     if per_doc_distinct:
         grams = F.array_distinct(grams)
-    return toked.select(F.col(id_col), *keep, F.explode(grams).alias("s"))
+    return toked_cols, F.explode(grams).alias("s")
 
 
 def exact_dedup(table: Table, key_cols: list[str], id_col: str) -> Table:

@@ -9,6 +9,7 @@ engine-portable so the DuckDB oracle can check them.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Mapping
 
 from pyspark.sql import Column
@@ -371,10 +372,24 @@ def lang_id(table: Table, text_col: str, id_col: str) -> Table:
     zero Python in the row path, and SQL-expressible — both the
     intersect and the regexp_count translate 1:1 to DuckDB.
     """
+    toked_cols, scored_cols, final_cols = _lang_id_exprs(text_col, id_col)
+    out = table.df.select(*toked_cols).select(*scored_cols).select(*final_cols)
+    return Table.from_df(out, name=f"{table.table_name}_langid")
+
+
+@lru_cache(maxsize=32)
+def _lang_id_exprs(text_col: str, id_col: str):
+    """``lang_id``'s input-independent Column trees, built once per
+    (text_col, id_col) shape: 16 languages x dozens of marker literals
+    plus the script regexps cost ~0.5 s of pure py4j round trips per
+    call (measured — more than half the query's wall time at sf0.1).
+    Expression trees are immutable and reference column NAMES, so the
+    same objects compose into any DataFrame's plan (same memoization as
+    dedup._shingle_exprs; guide §1.2, driver-side edition)."""
     # lowercase token array + script counts materialized once: the
     # per-language loop references them len(LANG_MARKERS) times, which
     # would otherwise re-run the split/lower/regexp per language
-    toked = table.df.select(
+    toked_cols = (
         F.col(id_col),
         F.transform(_tokens(text_col), F.lower).alias("__tkl__"),
         *[
@@ -399,19 +414,19 @@ def lang_id(table: Table, text_col: str, id_col: str) -> Table:
     # the running best in every branch doubles the expression tree per
     # language — at 16 languages that is a 2^16-node plan Catalyst
     # chokes on (measured: 250× slower); this form is linear.
-    scored = toked.select(
+    scored_cols = (
         F.col(id_col), *[s.alias(f"score_{code}") for code, s in scores]
     )
     g = F.greatest(*[F.col(f"score_{c}") for c in codes])
     pred: Column = F.when(g <= F.lit(0), F.lit("unknown"))
     for c in codes:
         pred = pred.when(F.col(f"score_{c}") == g, F.lit(c))
-    out = scored.select(
+    final_cols = (
         F.col(id_col),
         *[F.col(f"score_{c}") for c in codes],
         pred.otherwise(F.lit("unknown")).alias("pred_lang"),
     )
-    return Table.from_df(out, name=f"{table.table_name}_langid")
+    return toked_cols, scored_cols, final_cols
 
 
 def doc_fingerprint(table: Table, text_col: str, id_col: str) -> Table:

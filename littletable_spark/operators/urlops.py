@@ -31,6 +31,8 @@ No reference analog; net-new pipeline capability like dedup/textops.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import functions as F
 
 from ..table import Table
@@ -182,6 +184,17 @@ def url_features(table: Table, url_col: str = "url", psl=None) -> Table:
             f"url_features would overwrite existing column(s) {clash}; "
             "rename them first"
         )
+    df = table._require_df()
+    fields = table.fields
+    if not isinstance(psl, Table):
+        suffixes = (
+            tuple(COMMON_TWO_LEVEL_SUFFIXES)
+            if psl is None
+            else tuple(str(s).lower() for s in psl)
+        )
+        out = df.withColumns(_url_feature_cols(url_col, suffixes))
+        return table._derive(out)
+
     url = F.coalesce(F.col(url_col), F.lit(""))
     # shared host chain (userinfo/port stripped, IPv6 brackets removed)
     host = host_of(url)
@@ -209,8 +222,6 @@ def url_features(table: Table, url_col: str = "url", psl=None) -> Table:
             F.when(on_suffix & (sfx3 != F.lit("")), sfx3).otherwise(sfx2)
         )
 
-    df = table._require_df()
-    fields = table.fields
     if isinstance(psl, Table):
         pdf = (
             psl._require_df()
@@ -230,24 +241,45 @@ def url_features(table: Table, url_col: str = "url", psl=None) -> Table:
             n_params.alias("n_params"),
             is_ip.alias("is_ip"),
         )
-    else:
-        suffixes = (
-            list(COMMON_TWO_LEVEL_SUFFIXES)
-            if psl is None
-            else [str(s).lower() for s in psl]
-        )
-        domain = _domain(sfx2.isin(suffixes) if suffixes else F.lit(False))
-        out = df.withColumns(
-            {
-                "host": host,
-                "domain": domain,
-                "tld": tld,
-                "path_depth": path_depth,
-                "n_params": n_params,
-                "is_ip": is_ip,
-            }
-        )
     return table._derive(out)
+
+
+@lru_cache(maxsize=32)
+def _url_feature_cols(url_col: str, suffixes: tuple) -> dict:
+    """``url_features``' input-independent Column map for the
+    default/iterable-psl path, built once per (url_col, suffix-list)
+    shape (see _links_packed_expr). The Table-psl path stays inline —
+    its broadcast join references a caller-provided frame."""
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    host = host_of(url)
+    is_ip = host.rlike(
+        r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+    ) | host.contains(":")
+    sfx2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    sfx3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    tld = F.when(is_ip, F.lit("")).otherwise(
+        F.regexp_extract(host, r"\.([A-Za-z0-9-]+)$", 1)
+    )
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path_depth = F.size(
+        F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    )
+    query = _query_of(url)
+    n_params = F.when(query == F.lit(""), F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    on_suffix = sfx2.isin(list(suffixes)) if suffixes else F.lit(False)
+    domain = F.when(is_ip, host).otherwise(
+        F.when(on_suffix & (sfx3 != F.lit("")), sfx3).otherwise(sfx2)
+    )
+    return {
+        "host": host,
+        "domain": domain,
+        "tld": tld,
+        "path_depth": path_depth,
+        "n_params": n_params,
+        "is_ip": is_ip,
+    }
 
 
 # query parameters that never change page content (analytics /
@@ -296,6 +328,16 @@ def canonicalize_urls(
             f"canonicalize_urls would overwrite existing column {out_col!r}; "
             "pass a different out_col"
         )
+    canon = _canon_url_expr(url_col, bool(drop_tracking_params))
+    out = table._require_df().withColumn(out_col, canon)
+    return table._derive(out)
+
+
+@lru_cache(maxsize=32)
+def _canon_url_expr(url_col: str, drop_tracking_params: bool):
+    """``canonicalize_urls``' input-independent Column tree, built once
+    per (url_col, drop_tracking_params) shape (see
+    _links_packed_expr)."""
     url = F.coalesce(F.col(url_col), F.lit(""))
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = hostport_of(url)
@@ -320,13 +362,11 @@ def canonicalize_urls(
     query_part = F.when(F.size(keep) == 0, F.lit("")).otherwise(
         F.concat(F.lit("?"), F.array_join(F.array_sort(keep), "&"))
     )
-    canon = F.when(
+    return F.when(
         (scheme == F.lit("")) | (host == F.lit("")), F.lit(None).cast("string")
     ).otherwise(
         F.concat(scheme, F.lit("://"), host_token, port_part, path, query_part)
     )
-    out = table._require_df().withColumn(out_col, canon)
-    return table._derive(out)
 
 
 def dedup_urls(
@@ -602,6 +642,17 @@ def extract_links(
     narrow projection + one generate (explode) — no shuffle at all.
     """
     df = table._require_df()
+    packed = _links_packed_expr(html_col, base_col)
+    out = df.select(F.col(id_col), F.explode(packed).alias(link_col))
+    return Table.from_df(out, name=f"{table.table_name}_links")
+
+
+@lru_cache(maxsize=32)
+def _links_packed_expr(html_col: str, base_col: str):
+    """``extract_links``' input-independent Column tree, built once per
+    column-name shape: the four href scans + the ~20-regexp resolution
+    CASE cost ~0.2 s of py4j round trips per call (same memoization as
+    textops._lang_id_exprs; guide §1.2, driver-side edition)."""
     html = F.coalesce(F.col(html_col), F.lit(""))
     base = F.coalesce(F.col(base_col), F.lit(""))
     hrefs = F.concat(
@@ -628,7 +679,7 @@ def extract_links(
     #   element, so only cheap extracts over the short materialized
     #   base string may live inside the per-href lambda (same-box A/B
     #   round 13: capturing the base expression directly cost 1.7x).
-    packed = F.get(
+    return F.get(
         F.transform(
             F.array(
                 F.struct(
@@ -643,8 +694,6 @@ def extract_links(
         ),
         F.lit(0),
     )
-    out = df.select(F.col(id_col), F.explode(packed).alias(link_col))
-    return Table.from_df(out, name=f"{table.table_name}_links")
 
 
 def extract_canonical(
@@ -673,6 +722,15 @@ def extract_canonical(
     explode, zero shuffle.
     """
     df = table._require_df()
+    resolved = _canonical_resolved_expr(html_col, base_col)
+    out = df.select(F.col(id_col), resolved.alias(out_col))
+    return Table.from_df(out, name=f"{table.table_name}_canonical")
+
+
+@lru_cache(maxsize=32)
+def _canonical_resolved_expr(html_col: str, base_col: str):
+    """``extract_canonical``'s input-independent Column tree, built
+    once per column-name shape (see _links_packed_expr)."""
     html = F.coalesce(F.col(html_col), F.lit(""))
     base = F.coalesce(F.col(base_col), F.lit(""))
     raw = F.nullif(
@@ -700,8 +758,6 @@ def extract_canonical(
         ),
         F.lit(0),
     )
-    resolved = F.when(
+    return F.when(
         resolved0.rlike(r"^(?i)https?://[^/?#]+"), resolved0
     ).otherwise(F.lit(None).cast("string"))
-    out = df.select(F.col(id_col), resolved.alias(out_col))
-    return Table.from_df(out, name=f"{table.table_name}_canonical")
