@@ -210,10 +210,19 @@ def quality_score(table: Table, text_col: str, id_col: str) -> Table:
     density, stopword ratio. The composite is a deterministic linear
     blend clamped to [0, 1] — same arithmetic in SQL.
     """
+    toked_cols, final_cols = _quality_score_exprs(text_col, id_col)
+    out = table.df.select(*toked_cols).select(*final_cols)
+    return Table.from_df(out, name=f"{table.table_name}_quality")
+
+
+@lru_cache(maxsize=32)
+def _quality_score_exprs(text_col: str, id_col: str):
+    """``quality_score``'s input-independent Column trees, built once
+    per shape (see ``_lang_id_exprs``)."""
     # materialize the token array once — the tokenizer expression is
     # referenced by three signals, and inlining it re-runs the regex
     # split per signal (same lesson as filter_quality/repetition_score)
-    toked = table.df.select(
+    toked_cols = (
         F.col(id_col),
         F.col(text_col).alias("__txt__"),
         _aware_tokens(text_col).alias("__tk__"),
@@ -243,7 +252,7 @@ def quality_score(table: Table, text_col: str, id_col: str) -> Table:
     # weights, small-integer ratios) and land exactly on round-half
     # boundaries where engines disagree; unrounded same-order doubles
     # are bit-identical across engines
-    out = toked.select(
+    final_cols = (
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -252,7 +261,7 @@ def quality_score(table: Table, text_col: str, id_col: str) -> Table:
         stop_ratio.alias("stopword_ratio"),
         score.alias("quality"),
     )
-    return Table.from_df(out, name=f"{table.table_name}_quality")
+    return toked_cols, final_cols
 
 
 #: Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
@@ -299,11 +308,26 @@ def filter_quality(
     unknown = set(rules) - set(GOPHER_RULES)
     if unknown:
         raise ValueError(f"unknown quality rules: {sorted(unknown)}")
+    toked_cols, sig_cols, final_cols = _filter_quality_exprs(
+        text_col, id_col, tuple(sorted((k, float(v[0]), float(v[1])) for k, v in rules.items()))
+    )
+    out = (
+        table.df.select(*toked_cols).select(*sig_cols).select(*final_cols)
+        .drop("__cjk__")
+    )
+    return Table.from_df(out, name=f"{table.table_name}_filtered")
+
+
+@lru_cache(maxsize=32)
+def _filter_quality_exprs(text_col: str, id_col: str, rule_items: tuple):
+    """``filter_quality``'s input-independent Column trees, built once
+    per (columns, rules) shape (see ``_lang_id_exprs``)."""
+    rules = {k: (lo, hi) for k, lo, hi in rule_items}
     # materialize the token array ONCE (the repetition_score trick):
     # referencing the tokenizer expression inside each signal would
     # re-run the regex split per signal AND again per rule check —
     # measured ~3x end-to-end on the bench corpus
-    toked = table.df.select(
+    toked_cols = (
         F.col(id_col),
         F.col(text_col).alias("__txt__"),
         _aware_tokens(text_col).alias("__tk__"),
@@ -332,7 +356,7 @@ def filter_quality(
             / n_tokens
         ),
     }
-    sig_df = toked.select(
+    sig_cols = (
         F.col(id_col),
         *[signals[n].alias(n) for n in GOPHER_RULES if n in rules],
         F.col("__cjk__"),
@@ -352,12 +376,12 @@ def filter_quality(
     failed = F.array_compact(F.array(*checks)) if checks else F.array().cast(
         "array<string>"
     )
-    out = sig_df.select(
-        "*",
+    final_cols = (
+        F.col("*"),
         failed.alias("failed_rules"),
         (F.size(failed) == 0).alias("keep"),
-    ).drop("__cjk__")
-    return Table.from_df(out, name=f"{table.table_name}_filtered")
+    )
+    return toked_cols, sig_cols, final_cols
 
 
 def lang_id(table: Table, text_col: str, id_col: str) -> Table:
