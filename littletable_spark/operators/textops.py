@@ -466,6 +466,10 @@ def doc_fingerprint(table: Table, text_col: str, id_col: str) -> Table:
     per doc per partition) and there is no join back to the doc table —
     at corpus scale this deletes a full token-stream exchange plus a
     second corpus scan from the plan (guide §2.3/§2.4).
+
+    Contract: rows must be unique in ``id_col`` — duplicate ids fold
+    into one (id, fingerprint) group here, where a corpus-wide distinct
+    would have, so only exact-duplicate rows are indistinguishable.
     """
     from .dedup import _ngram_rows
 
@@ -696,6 +700,10 @@ def contamination_check(
     hashing, since the narrow shingle scan dominates. Shingling is the
     shuffle-free ``_ngram_rows`` form, codegen end-to-end: the whole
     corpus side is one narrow scan stage.
+
+    Contract: benchmark rows must be unique in the id column — the
+    per-doc gram sets are built in-row, so a duplicated id counts each
+    physical row separately (nothing collapses it corpus-wide).
     """
     # per-doc gram dedup happens IN-ROW (array_distinct) — same rows as
     # `.distinct()` over (id, gram) with unique ids, minus its exchange,
