@@ -3135,9 +3135,19 @@ def q_text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     merges = train_bpe(d, "text", num_merges=60, max_words=5000)
     counts = apply_bpe(d, "text", "doc_id", merges)
-    joined = d.join(counts, doc_id="doc_id")
+    # pack_sequences with weight_col= reads ONLY (id, weight) — both on
+    # the apply_bpe output — so the old join back to the documents table
+    # was a row-preserving no-op (apply_bpe emits exactly one row per
+    # corpus row; inner-join on the unique id re-attached columns the
+    # pack never read). Feeding the counts directly removes that join —
+    # at corpus scale a full doc-side exchange (guide §2.4); the
+    # isNotNull filter reproduces the inner join's only row effect
+    # (a NULL id never matches itself), keeping results identical by
+    # construction, not by data. Row-identity verified at sf0.001/0.01/
+    # 0.1 (see OPTIMIZATION_r15.md).
     out = pack_sequences(
-        joined, "text", "doc_id", budget_tokens=512, n_shards=8,
+        Table.from_df(counts.df.where(F.col("doc_id").isNotNull())),
+        "text", "doc_id", budget_tokens=512, n_shards=8,
         salt="bpe", weight_col="n_bpe_tokens",
     )
     return out.select("doc_id n_tokens shard pack pack_offset").df

@@ -415,6 +415,41 @@ def apply_bpe(
 
         rx = _re.compile(pattern)
         rk, pids, bl = bc.value
+
+        if not emit_pieces and pids is None:
+            # count-only fast path (the token-budget callers): cache each
+            # distinct word's token COUNT instead of its piece tuple and
+            # never materialize the per-doc piece list — same arithmetic
+            # (len of the same _encode_word result), ~30% less Python per
+            # batch (guide §4.2: make the in-worker loop do only the work
+            # the output needs)
+            lcache: dict[str, int] = {}
+
+            def enc_len(word: str) -> int:
+                got = lcache.get(word)
+                if got is None:
+                    got = len(
+                        _encode_word(
+                            _to_byte_space(word) if bl else word, rk
+                        )
+                    )
+                    lcache[word] = got
+                return got
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_bpe_tokens": [
+                            sum(map(enc_len, rx.findall(text or "")))
+                            for text in pdf[text_col]
+                        ],
+                    }
+                )
+            return
+
         cache: dict[str, tuple[str, ...]] = {}
 
         def enc(word: str) -> tuple[str, ...]:
