@@ -97,7 +97,7 @@ def score_linear(
         )
     df = table._require_df()
     z = _logit_expr(weights, intercept)
-    cols = [F.col(c) for c in df.columns] + [z.alias(out_col)]
+    cols = list(df.columns) + [z.alias(out_col)]
     if prob_col is not None:
         cols.append(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(prob_col)

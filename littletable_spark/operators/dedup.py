@@ -152,9 +152,9 @@ def _ngram_rows(
     toked_cols, gram_col = _ngram_exprs(
         id_col, text_col, n, tuple(keep_cols), per_doc_distinct
     )
-    keep = [F.col(c) for c in keep_cols]
     toked = df.select(*toked_cols).where(F.size("__tk__") > 0)
-    return toked.select(F.col(id_col), *keep, gram_col)
+    # plain names pass through as strings — one py4j call for the select
+    return toked.select(id_col, *keep_cols, gram_col)
 
 
 @lru_cache(maxsize=64)

@@ -417,15 +417,17 @@ def schedule_fetches(
         if c not in (url_col, priority_col) and "map<" not in dtypes.get(c, "")
     ]
     if rest:
-        order.append(F.xxhash64(F.struct(*[F.col(c) for c in rest])))
+        # F.struct resolves plain names JVM-side — saves a py4j round
+        # trip per column on this per-call builder
+        order.append(F.xxhash64(F.struct(*rest)))
         order.append(
             F.xxhash64(
-                F.lit(0x9E3779B9), F.struct(*[F.col(c) for c in reversed(rest)])
+                F.lit(0x9E3779B9), F.struct(*list(reversed(rest)))
             )
         )
     w = Window.partitionBy("__host__").orderBy(*order)
     out = work.select(
-        *[F.col(c) for c in fields],
+        *fields,
         ((F.row_number().over(w) - 1) * delay).alias(out_col),
     )
     return table._derive(out)

@@ -353,7 +353,7 @@ def time_rollup(
     exploded = df.withColumn("__rb__", F.explode(pairs)).select(
         F.col("__rb__.resolution").alias("resolution"),
         F.col("__rb__.bucket_start").alias("bucket_start"),
-        *[F.col(c) for c in df.columns if c != "__rb__"],
+        *[c for c in df.columns if c != "__rb__"],
     )
     grouped = exploded.groupBy("resolution", "bucket_start", *keys).agg(
         *[c.alias(n) for n, c in aggs.items()]

@@ -1175,12 +1175,16 @@ class Table:
         return F.lit(expr)
 
     def select(self, fields: Any = None, **exprs: Any) -> "Table":
+        # plain names go through as strings: DataFrame.select resolves
+        # them JVM-side in the one select call, where F.col(c) costs a
+        # py4j round trip per column — same resolution semantics, and
+        # select() sits on nearly every query's construction path
         base = self._parse_fields_string(fields)
-        cols = [F.col(c) for c in base]
+        cols: list[Any] = list(base)
         for name, expr in exprs.items():
             cols.append(self._computed_column(expr).alias(name))
         df = self._require_df()
-        cols += [F.col(c) for c in df.columns if _is_internal(c)]
+        cols += [c for c in df.columns if _is_internal(c)]
         return self._derive(df.select(*cols))
 
     def compute_field(
