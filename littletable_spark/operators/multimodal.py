@@ -26,6 +26,7 @@ Scale notes:
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 from typing import Iterator
 
 import pandas as pd
@@ -56,6 +57,19 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
     files). ``bmp``'s two-byte magic is looser than the others — fine
     for media buckets, not for sniffing arbitrary text.
     """
+    meta = _sniff_meta_expr(bin_col)
+    out = table._require_df().withColumn(out_col, meta)
+    return table._derive(out)
+
+
+@lru_cache(maxsize=64)
+def _sniff_meta_expr(bin_col: str):
+    """``sniff_media``'s metadata struct, built once per column name:
+    the ~25-branch magic-byte when-chain is input-independent (names
+    and literals only, Column trees are immutable and compose into any
+    plan), and building it cost ~0.15 s of py4j round trips per call —
+    the same memoization the minhash banding / text-quality expression
+    trees use."""
     hx = F.upper(F.hex(F.substring(F.col(bin_col), 1, 12)))
     riff = hx.startswith("52494646")
     sub = F.substring(hx, 17, 8)  # RIFF type field, bytes 9-12
@@ -106,13 +120,11 @@ def sniff_media(table: Table, bin_col: str, out_col: str = "media_meta") -> Tabl
         .when(hx.startswith("FD377A585A00"), F.lit("xz"))
         .otherwise(F.lit("unknown"))
     )
-    meta = F.struct(
+    return F.struct(
         fmt.alias("format"),
         F.length(F.col(bin_col)).cast("long").alias("n_bytes"),
         F.md5(F.col(bin_col)).alias("content_hash"),
     )
-    out = table._require_df().withColumn(out_col, meta)
-    return table._derive(out)
 
 
 def media_repartition(df: DataFrame, bin_col: str, target_bytes: int = 128 << 20) -> DataFrame:
